@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series / event-log operators over the `events` table. The
+  * reference is batch-only (SURVEY.md §1.1), so these are the
+  * beyond-parity operators a log-shaped 100 TB corpus needs: time
+  * bucketing, JSON attribute extraction (the `_json_data` pattern,
+  * sql/migrations/004_staging_transform_template.sql:39), top-k actors,
+  * and gap-based sessionization.
+  */
+object EventQueries {
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw nanos (legacy conf) and convert with
+    * integer division — ns-since-epoch exceeds double's 2^53 mantissa,
+    * so float division would corrupt timestamps. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Daily time buckets per event type — partition-prunable at scale if
+    // the table is laid out by day.
+    "q40_time_buckets" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // JSON attribute extraction from the props blob (from_json/`->>'k'`
+    // parity with the reference's _json_data round-trips).
+    "q41_json_extract" -> ((s, dir) => {
+      ev(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("k_val")).as("min_k"), max(col("k_val")).as("max_k"),
+          sum(col("k_val").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // Top-20 most active users (ORDER BY count DESC LIMIT — §2.9).
+    "q42_top_users" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(desc("n_events"), asc("user_id"))
+        .limit(20)
+    }),
+
+    // Gap-based sessionization: a >30 min silence starts a new session
+    // (lag window per user). Keys partition cleanly at scale; state is
+    // one row per user.
+    "q43_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Per-type value distribution stats.
+    "q44_value_stats" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")).cast("double"), 4).as("min_v"),
+          round(max(col("value")).cast("double"), 4).as("max_v"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 4).as("avg_v"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_time_buckets" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q41_json_extract" ->
+      """WITH j AS (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k_val FROM events)
+        |SELECT event_type, COUNT(*) AS n, MIN(k_val) AS min_k, MAX(k_val) AS max_k,
+        |  CAST(SUM(CAST(k_val AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_top_users" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 20""".stripMargin,
+    "q43_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q44_value_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(MIN(value) AS DOUBLE), 4) AS min_v,
+        |  ROUND(CAST(MAX(value) AS DOUBLE), 4) AS max_v,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table (SURVEY.md
+  * §7.4): brute-force cosine top-k as the exactness baseline and a
+  * sign-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: the query vector is a one-row broadcast (O(1) driver
+  * data, like the reference's polyfilled query polygon,
+  * src/g_etl/h3_query.py:106-108); the LSH variant turns all-pairs
+  * similarity into bucket equi-joins — the same trick the reference
+  * plays turning ST_Intersects into an h3_cell equi-join
+  * (docs/H3_POLYGON_ANALYSIS.md:301-321). Dot products fold
+  * left-to-right over the array on both engines, so doubles compare
+  * bit-stable against the oracle.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** In-order double fold of sum(a[i]*b[i]) — deterministic, unlike a
+    * shuffled SUM over exploded rows. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** 8-bit sign-LSH bucket over fixed dims — the banding trick: vectors
+    * can only be near if they share a bucket. */
+  private def signBucket(a: Column): Column =
+    concat((1 to 57 by 8).map(i =>
+      when(element_at(a, i) > 0f, "1").otherwise("0")): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L2 norms + dims — the sanity projection every vector pipeline runs.
+    "q50_vector_norm" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+          round(l2(col("embedding")), 6).as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // Brute-force cosine top-10 vs the vec_id=42 query vector. The query
+    // side is a 1-row broadcast; the scan side is embarrassingly
+    // parallel; TakeOrdered keeps the shuffle at k rows.
+    "q51_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 42)
+        .select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"),
+          round(dot(col("embedding"), col("qe")) /
+            (l2(col("embedding")) * l2(col("qe"))), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Sign-LSH bucket histogram: 8 hyperplane-sign bits → 256 buckets.
+    "q52_lsh_buckets" -> ((s, dir) => {
+      emb(s, dir)
+        .select(signBucket(col("embedding")).as("bucket"), col("label"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("bucket")
+    }),
+
+    // Bucketed ANN: candidates restricted to the query's LSH bucket, then
+    // exact cosine within the bucket — bucket equi-join replaces the
+    // all-pairs cross join (at 100 TB: shuffle on bucket, ~1/256 of data
+    // per bucket, never N²).
+    "q53_ann_bucketed" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("bucket", signBucket(col("embedding")))
+      val q = e.filter(col("vec_id") === 42)
+        .select(col("bucket"), col("embedding").as("qe"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), col("bucket"),
+          round(dot(col("embedding"), col("qe")) /
+            (l2(col("embedding")) * l2(col("qe"))), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(5)
+    }),
+
+    // Per-label cluster stats: exact decimal bridge for the norm sum so
+    // the aggregation is order-independent.
+    "q54_label_stats" -> ((s, dir) => {
+      emb(s, dir)
+        .withColumn("l2_norm", l2(col("embedding")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("l2_norm").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 4).as("avg_norm"))
+        .orderBy("label")
+    })
+  )
+
+  private val sqlDot =
+    "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def sqlL2(a: String) = s"sqrt(${sqlDot.format(a, a)})"
+  private val sqlBucket = (1 to 57 by 8).map(i =>
+    s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val oracle: Map[String, String] = Map(
+    "q50_vector_norm" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         |  ROUND(${sqlL2("embedding")}, 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q51_knn_brute" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42)
+         |SELECT e.vec_id,
+         |  ROUND(${sqlDot.format("e.embedding", "q.qe")} /
+         |        (${sqlL2("e.embedding")} * ${sqlL2("q.qe")}), 6) AS cos_sim
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 42
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q52_lsh_buckets" ->
+      s"""SELECT $sqlBucket AS bucket, COUNT(*) AS n_vecs,
+         |  COUNT(DISTINCT label) AS n_labels
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q53_ann_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding, $sqlBucket AS bucket FROM embeddings),
+         |q AS (SELECT bucket, embedding AS qe FROM b WHERE vec_id = 42)
+         |SELECT e.vec_id, e.bucket,
+         |  ROUND(${sqlDot.format("e.embedding", "q.qe")} /
+         |        (${sqlL2("e.embedding")} * ${sqlL2("q.qe")}), 6) AS cos_sim
+         |FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 42
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q54_label_stats" ->
+      s"""SELECT label, COUNT(*) AS n_vecs,
+         |  ROUND(CAST(SUM(CAST(${sqlL2("embedding")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
+}
