@@ -1,0 +1,393 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.h3.H3Core
+import graft.spatial.{Crs, Geometry, Geom, Pt}
+
+/** Catalyst expression library for the reference's macro surface
+  * (`sql/migrations/003_db_makros.sql`, SURVEY.md §2.4/§2.12).
+  *
+  * Implemented as native `Expression`s (null-safe eval, CodegenFallback)
+  * rather than Scala UDFs: no Encoder round-trip per row, and the
+  * optimizer sees real expression trees (constant folding, null
+  * propagation). Geometry travels as WKB `BinaryType` — the GeoParquet
+  * convention (SURVEY §1.1).
+  */
+abstract class GeoExpr extends Expression with CodegenFallback {
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.length
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v
+      i += 1
+    }
+    try evalNotNull(vals)
+    catch { case _: IllegalArgumentException | _: IllegalStateException => null }
+  }
+
+  /** All-args-non-null evaluation; malformed input yields SQL NULL. */
+  protected def evalNotNull(args: Array[Any]): Any
+
+  // ---- shared decode helpers
+  protected final def str(a: Any): String = a.asInstanceOf[UTF8String].toString
+  protected final def wkb(a: Any): Geom = Geometry.fromWkb(a.asInstanceOf[Array[Byte]])
+  protected final def dbl(a: Any): Double = a match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case l: java.lang.Long => l.toDouble
+    case d: Decimal => d.toDouble
+  }
+  protected final def int(a: Any): Int = a match {
+    case i: java.lang.Integer => i
+    case l: java.lang.Long => l.toInt
+  }
+  protected final def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  protected final def strArray(xs: Array[String]): ArrayData =
+    new GenericArrayData(xs.map(utf8(_).asInstanceOf[Any]))
+}
+
+// ----------------------------------------------------------------- H3
+
+/** g_h3_center(lat, lng, res) -> cell id string (003_db_makros.sql:56). */
+case class H3Center(lat: Expression, lng: Expression, res: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(lat, lng, res)
+  override def dataType: DataType = StringType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    utf8(H3Core.toHexString(H3Core.latLngToCell(dbl(a(0)), dbl(a(1)), int(a(2)))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(lat = c(0), lng = c(1), res = c(2))
+}
+
+/** h3_cell_to_latlng(cell) -> [lat, lng] (aab_ext_restr/002:18). */
+case class H3CellToLatLng(cell: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cell)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val (lat, lng) = H3Core.cellToLatLng(H3Core.fromHexString(str(a(0))))
+    new GenericArrayData(Array[Any](lat, lng))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cell = c(0))
+}
+
+/** h3_cell_to_boundary_wkt(cell) (export.py:143,272). */
+case class H3CellToBoundaryWkt(cell: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cell)
+  override def dataType: DataType = StringType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    utf8(H3Core.cellToBoundaryWkt(H3Core.fromHexString(str(a(0)))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cell = c(0))
+}
+
+/** g_h3_cell_to_geom(cell) -> WKB polygon in SWEREF99 TM
+  * (003_db_makros.sql:87). */
+case class H3CellToGeom(cell: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cell)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val wgs = Geometry.fromWkt(H3Core.cellToBoundaryWkt(H3Core.fromHexString(str(a(0)))))
+    val sweref = Geometry.mapCoords(wgs, p => {
+      val (e, n) = Crs.wgs84ToSweref(p.y, p.x)
+      Pt(e, n)
+    })
+    Geometry.toWkb(sweref)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cell = c(0))
+}
+
+/** g_h3_polygon_cells(geom, res): SWEREF99 WKB polygon -> WGS84 ->
+  * polyfill -> cell array (003_db_makros.sql:64). */
+case class H3PolygonCells(geom: Expression, res: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom, res)
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val wgs = GeoExprs.swerefGeomToWgs84(wkb(a(0)))
+    strArray(H3Core.polygonToCells(wgs, int(a(1))).map(H3Core.toHexString))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0), res = c(1))
+}
+
+/** g_h3_line_cells(geom, buffer_m, res) (003_db_makros.sql:71). */
+case class H3LineCells(geom: Expression, bufferM: Expression, res: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom, bufferM, res)
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val wgs = GeoExprs.swerefGeomToWgs84(wkb(a(0)))
+    strArray(H3Core.lineToCells(Geometry.toWkt(wgs), dbl(a(1)), int(a(2)))
+      .map(H3Core.toHexString))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0), bufferM = c(1), res = c(2))
+}
+
+/** g_h3_point_cells(geom, res): centroid cell as 1-element array
+  * (003_db_makros.sql:78). */
+case class H3PointCells(geom: Expression, res: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom, res)
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val c = Geometry.centroid(wkb(a(0)))
+    if (c.isEmpty) null
+    else {
+      val (lat, lng) = Crs.swerefToWgs84(c.x, c.y)
+      strArray(Array(H3Core.toHexString(H3Core.latLngToCell(lat, lng, int(a(1))))))
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0), res = c(1))
+}
+
+/** h3_compact_cells(cells) (aab_ext_restr/003:14). */
+case class H3CompactCells(cells: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cells)
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val arr = a(0).asInstanceOf[ArrayData]
+    val in = (0 until arr.numElements()).map(i =>
+      H3Core.fromHexString(arr.getUTF8String(i).toString))
+    strArray(H3Core.compactCells(in).map(H3Core.toHexString).toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cells = c(0))
+}
+
+/** g_h3_query_cells(wkt, res): SWEREF99 WKT polygon -> query cell array
+  * (003_db_makros.sql:138). */
+case class H3QueryCells(wkt: Expression, res: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(wkt, res)
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val wgs = GeoExprs.swerefGeomToWgs84(Geometry.fromWkt(str(a(0))))
+    strArray(H3Core.polygonToCells(wgs, int(a(1))).map(H3Core.toHexString))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(wkt = c(0), res = c(1))
+}
+
+// ----------------------------------------------------------- geometry
+
+/** ST_GeomFromText (sql/examples/h3_polygon_queries.sql:24). */
+case class StGeomFromText(wkt: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(wkt)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    Geometry.toWkb(Geometry.fromWkt(str(a(0))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(wkt = c(0))
+}
+
+/** ST_AsText. */
+case class StAsText(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = StringType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    utf8(Geometry.toWkt(wkb(a(0))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** ST_GeometryType (004:50-58 dispatch). */
+case class StGeometryType(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = StringType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    utf8(wkb(a(0)).typeName)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** ST_IsValid (g_validate_geom, 003:25). */
+case class StIsValid(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = BooleanType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    java.lang.Boolean.valueOf(Geometry.isValid(wkb(a(0))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** g_validate_geom: NULL-safe make-valid (003:25). */
+case class GValidateGeom(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val g = wkb(a(0))
+    if (Geometry.isValid(g)) a(0)
+    else Geometry.makeValid(g).map(Geometry.toWkb).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** ST_Area (planar units; SWEREF99 -> m^2). */
+case class StArea(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    java.lang.Double.valueOf(Geometry.area(wkb(a(0))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** ST_Centroid. */
+case class StCentroid(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val c = Geometry.centroid(wkb(a(0)))
+    if (c.isEmpty) null else Geometry.toWkb(c)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** ST_PointOnSurface (aab_ext_restr/001:27). */
+case class StPointOnSurface(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val p = Geometry.pointOnSurface(wkb(a(0)))
+    if (p.isEmpty) null else Geometry.toWkb(p)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** ST_Distance (examples :185-188). */
+case class StDistance(a: Expression, b: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    java.lang.Double.valueOf(Geometry.distance(wkb(v(0)), wkb(v(1))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0), b = c(1))
+}
+
+/** ST_Buffer (003:71 uses it for line corridors). */
+case class StBuffer(geom: Expression, dist: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom, dist)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    Geometry.toWkb(Geometry.buffer(wkb(a(0)), dbl(a(1))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0), dist = c(1))
+}
+
+/** ST_Intersects (examples :240-244; exact-refine join §2.6). */
+case class StIntersects(a: Expression, b: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = BooleanType
+  override protected def evalNotNull(v: Array[Any]): Any =
+    java.lang.Boolean.valueOf(Geometry.intersects(wkb(v(0)), wkb(v(1))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(a = c(0), b = c(1))
+}
+
+/** ST_Point(x, y). */
+case class StPoint(x: Expression, y: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(x, y)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    Geometry.toWkb(Pt(dbl(a(0)), dbl(a(1))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(x = c(0), y = c(1))
+}
+
+/** ST_X / ST_Y on point geometries. */
+case class StX(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(a: Array[Any]): Any = wkb(a(0)) match {
+    case p: Pt if !p.isEmpty => java.lang.Double.valueOf(p.x)
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+case class StY(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(a: Array[Any]): Any = wkb(a(0)) match {
+    case p: Pt if !p.isEmpty => java.lang.Double.valueOf(p.y)
+    case _ => null
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** g_to_wgs84: SWEREF99 TM -> WGS84 coordinate transform on WKB
+  * (003_db_makros.sql:22). Output coords are (lng, lat) like the
+  * reference's ST_Transform output. */
+case class GToWgs84(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    Geometry.toWkb(GeoExprs.swerefGeomToWgs84(wkb(a(0))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** Inverse transform: WGS84 (lng, lat) -> SWEREF99 TM. */
+case class GToSweref(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    Geometry.toWkb(Geometry.mapCoords(wkb(a(0)), p => {
+      val (e, n) = Crs.wgs84ToSweref(p.y, p.x)
+      Pt(e, n)
+    }))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** g_centroid_lat / g_centroid_lng: centroid of a SWEREF99 geometry in
+  * WGS84 degrees (003_db_makros.sql:42-49). */
+case class GCentroidLat(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val c = Geometry.centroid(wkb(a(0)))
+    if (c.isEmpty) null
+    else java.lang.Double.valueOf(Crs.swerefToWgs84(c.x, c.y)._1)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+case class GCentroidLng(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = DoubleType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val c = Geometry.centroid(wkb(a(0)))
+    if (c.isEmpty) null
+    else java.lang.Double.valueOf(Crs.swerefToWgs84(c.x, c.y)._2)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+private[functions] object GeoExprs {
+  /** SWEREF99 TM WKB geometry -> WGS84 (x=lng, y=lat). */
+  def swerefGeomToWgs84(g: Geom): Geom =
+    Geometry.mapCoords(g, p => {
+      val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
+      Pt(lng, lat)
+    })
+}
