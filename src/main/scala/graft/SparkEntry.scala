@@ -23,7 +23,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       TextQueries.queries ++
       VectorQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++
+      GeoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     RelationalQueries.oracle ++
       TextQueries.oracle ++
       VectorQueries.oracle ++
-      EventQueries.oracle
+      EventQueries.oracle ++
+      GeoQueries.oracle
 }

@@ -48,6 +48,9 @@ object GFunctions {
   def g_h3_query_cells(wkt: Column, res: Column): Column =
     toCol(H3QueryCells(toExpr(wkt), toExpr(res)))
 
+  def h3_cell_to_parent(cell: Column, res: Column): Column =
+    toCol(H3CellToParent(toExpr(cell), toExpr(res)))
+
   // ---------------------------------------------------- geometry family
 
   def st_geomfromtext(wkt: Column): Column = toCol(StGeomFromText(toExpr(wkt)))
@@ -116,6 +119,7 @@ object GFunctions {
     reg2("g_h3_point_cells", H3PointCells(_, _))
     reg1("h3_compact_cells", H3CompactCells(_))
     reg2("g_h3_query_cells", H3QueryCells(_, _))
+    reg2("h3_cell_to_parent", H3CellToParent(_, _))
 
     reg1("st_geomfromtext", StGeomFromText(_))
     reg1("st_astext", StAsText(_))

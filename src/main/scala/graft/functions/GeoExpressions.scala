@@ -180,6 +180,21 @@ case class H3QueryCells(wkt: Expression, res: Expression) extends GeoExpr {
     copy(wkt = c(0), res = c(1))
 }
 
+/** h3_cell_to_parent(cell, res): coarser ancestor cell — lets a
+  * fine-resolution index join a coarse query-cell set (SURVEY §2.6). */
+case class H3CellToParent(cell: Expression, res: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cell, res)
+  override def dataType: DataType = StringType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val h = H3Core.fromHexString(str(a(0)))
+    val target = int(a(1))
+    if (target > H3Core.resolution(h)) null
+    else utf8(H3Core.toHexString(H3Core.cellToParent(h, target)))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cell = c(0), res = c(1))
+}
+
 // ----------------------------------------------------------- geometry
 
 /** ST_GeomFromText (sql/examples/h3_polygon_queries.sql:24). */

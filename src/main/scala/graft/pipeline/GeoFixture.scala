@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GFunctions._
+
+/** Deterministic geodata derived from the driver's `customer` table —
+  * the engine has no shipped geodata, so the spatial pipeline is
+  * exercised on synthetic SWEREF99 TM features whose WKT is built with
+  * pure integer arithmetic (reproducible in the DuckDB oracle for the
+  * string-level checks; the spatial results get rows-only checks).
+  *
+  * Coordinates land in a plausible southern-Sweden box
+  * (E 500-694 km, N 6400-6664 km). custkey % 3 picks the geometry
+  * type, mirroring the reference's mixed polygon/line/point datasets.
+  */
+object GeoFixture {
+
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val x0 = (col("c_custkey") % 97) * 2000 + 500000
+    val y0 = ((col("c_custkey") * 7) % 89) * 3000 + 6400000
+    def s(c0: org.apache.spark.sql.Column) = c0.cast("long").cast("string")
+    val wkt = when(col("c_custkey") % 3 === 0,
+      concat(lit("POINT ("), s(x0), lit(" "), s(y0), lit(")")))
+      .when(col("c_custkey") % 3 === 1,
+        concat(lit("POLYGON (("),
+          s(x0), lit(" "), s(y0), lit(", "),
+          s(x0 + 800), lit(" "), s(y0), lit(", "),
+          s(x0 + 800), lit(" "), s(y0 + 800), lit(", "),
+          s(x0), lit(" "), s(y0 + 800), lit(", "),
+          s(x0), lit(" "), s(y0), lit("))")))
+      .otherwise(
+        concat(lit("LINESTRING ("),
+          s(x0), lit(" "), s(y0), lit(", "),
+          s(x0 + 1500), lit(" "), s(y0 + 900), lit(")")))
+    c.select(
+      col("c_custkey").as("fid"),
+      col("c_custkey").cast("string").as("source_id"),
+      col("c_mktsegment").as("klass_raw"),
+      concat(lit("nation_"), col("c_nationkey").cast("string")).as("lev_raw"),
+      col("c_name").as("name"),
+      wkt.as("wkt"))
+      .withColumn("geom", st_geomfromtext(col("wkt")))
+  }
+
+  /** The SQL that reproduces the WKT strings in DuckDB, for oracles. */
+  val wktSql: String =
+    """CASE
+      |  WHEN c_custkey % 3 = 0 THEN 'POINT (' || CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ')'
+      |  WHEN c_custkey % 3 = 1 THEN 'POLYGON ((' ||
+      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 97) * 2000 + 500800 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 97) * 2000 + 500800 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400800 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400800 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || '))'
+      |  ELSE 'LINESTRING (' ||
+      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 97) * 2000 + 501500 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400900 AS VARCHAR) || ')'
+      |END""".stripMargin
+
+  /** A query polygon over the middle of the fixture box (SWEREF99). */
+  val queryPolygonWkt: String =
+    "POLYGON ((560000 6450000, 620000 6450000, 620000 6500000, 560000 6500000, 560000 6450000))"
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Post-merge index layer: the dynamic UNION-ALL `mart.h3_index` view
+  * and the `mart.h3_stats` pre-aggregate
+  * (`src/g_etl/services/pipeline_runner.py:1067-1157`).
+  *
+  * Spark-native shape: lazy DataFrames ARE views (the reference chose
+  * views over materialized tables deliberately, :1129-1135); Catalyst
+  * pushes h3_cell/dataset predicates through the union into each
+  * per-dataset scan, so a polygon query over one dataset reads one
+  * dataset. At 100 TB, materialize h3_stats with
+  * `.write.partitionBy(...)` instead of caching.
+  */
+object H3Index {
+
+  /** Output schema of the index view — also the empty-catalog fallback
+    * relation (pipeline_runner.py:1100-1110). */
+  val indexSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("dataset_id", StringType),
+    StructField("leverantor", StringType),
+    StructField("klass", StringType),
+    StructField("h3_cell", StringType),
+    StructField("geom", BinaryType)))
+
+  /** Union every per-dataset mart (`{ds}_h3` shape from
+    * Stages.martH3Cells) into one index relation. */
+  def build(spark: SparkSession, marts: Map[String, DataFrame]): DataFrame =
+    if (marts.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        indexSchema)
+    else
+      marts.map { case (_, df) =>
+        df.select(col("id"), col("dataset").as("dataset_id"),
+          col("leverantor"), col("klass"), col("h3_cell"), col("geom"))
+      }.reduce(_.unionByName(_))
+
+  /** mart.h3_stats (pipeline_runner.py:1144-1153): per-cell heatmap
+    * pre-aggregate. The count-distincts shuffle once on h3_cell with
+    * map-side partial aggregation — the layout that makes heatmap
+    * queries O(query cells) instead of O(index). */
+  def stats(index: DataFrame): DataFrame =
+    index
+      .groupBy("h3_cell")
+      .agg(
+        count(lit(1)).as("object_count"),
+        countDistinct(col("dataset_id")).as("dataset_count"),
+        sort_array(collect_set(col("dataset_id"))).as("datasets"),
+        sort_array(collect_set(col("klass"))).as("klasser"),
+        sort_array(collect_set(col("leverantor"))).as("leverantorer"))
+}

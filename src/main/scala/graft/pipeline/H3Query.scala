@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.h3.H3Core
+import graft.spatial.{Crs, Geometry, Pt}
+import graft.functions.GFunctions._
+
+/** Interactive polygon query API (`src/g_etl/h3_query.py:18-171`):
+  * polygon WKT (SWEREF99 TM) -> H3 cell set -> equi-join against the
+  * exploded index — the spatial-join-as-hash-join design that gives the
+  * reference its 100x speedup (docs/H3_POLYGON_ANALYSIS.md:301-321).
+  *
+  * Scale shape: the query side is a polyfill of ONE polygon — O(config)
+  * driver work — broadcast to every executor; the index side never
+  * shuffles for `objects`, and shuffles only the aggregated groups for
+  * `stats`/`heatmap`. When the query resolution is coarser than the
+  * index resolution, index cells map to their parent on the fly (cheap
+  * per-row math, no second explode).
+  */
+object H3Query {
+
+  val DefaultQueryRes = 8 // h3_query.py:21
+
+  /** Driver-side polyfill of the SWEREF99 query polygon at `res`. */
+  def queryCells(spark: SparkSession, wktSweref: String, res: Int): DataFrame = {
+    val wgs = Geometry.mapCoords(Geometry.fromWkt(wktSweref), p => {
+      val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
+      Pt(lng, lat)
+    })
+    val cells = H3Core.polygonToCells(wgs, res).map(H3Core.toHexString)
+    import spark.implicits._
+    cells.toSeq.toDF("q_cell")
+  }
+
+  private def joined(spark: SparkSession, index: DataFrame, wkt: String,
+      res: Int, datasets: Seq[String]): DataFrame = {
+    val q = broadcast(queryCells(spark, wkt, res))
+    val filtered =
+      if (datasets.isEmpty) index
+      else index.filter(col("dataset_id").isin(datasets: _*))
+    filtered
+      .withColumn("q_cell", h3_cell_to_parent(col("h3_cell"), lit(res)))
+      .join(q, "q_cell")
+  }
+
+  /** aggregation="objects" (h3_query.py:98-119): distinct matching
+    * objects, stable ordering. */
+  def objects(spark: SparkSession, index: DataFrame, wkt: String,
+      res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame =
+    joined(spark, index, wkt, res, datasets)
+      .select("id", "dataset_id", "leverantor", "klass")
+      .distinct()
+      .orderBy("dataset_id", "id")
+
+  /** aggregation="stats" (h3_query.py:122-144). */
+  def stats(spark: SparkSession, index: DataFrame, wkt: String,
+      res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame =
+    joined(spark, index, wkt, res, datasets)
+      .groupBy("dataset_id", "klass")
+      .agg(
+        countDistinct(col("id")).as("object_count"),
+        countDistinct(col("h3_cell")).as("cell_count"),
+        sort_array(collect_set(col("leverantor"))).as("leverantorer"))
+      .orderBy(desc("object_count"), asc("dataset_id"), asc("klass"))
+
+  /** aggregation="heatmap" (h3_query.py:147-171): per query cell. */
+  def heatmap(spark: SparkSession, index: DataFrame, wkt: String,
+      res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame =
+    joined(spark, index, wkt, res, datasets)
+      .groupBy("q_cell")
+      .agg(
+        countDistinct(col("id")).as("object_count"),
+        countDistinct(col("dataset_id")).as("dataset_count"),
+        sort_array(collect_set(col("dataset_id"))).as("datasets"))
+      .withColumnRenamed("q_cell", "h3_cell")
+      .orderBy(desc("object_count"), asc("h3_cell"))
+
+  /** Heatmap over ALL query cells (empty ones kept) via left join
+    * against a pre-aggregated stats relation
+    * (sql/examples/h3_polygon_queries.sql:96-104). `statsDf` must be
+    * keyed at the same resolution as `res`. */
+  def heatmapWithEmpty(spark: SparkSession, statsDf: DataFrame, wkt: String,
+      res: Int): DataFrame = {
+    val q = queryCells(spark, wkt, res).withColumnRenamed("q_cell", "h3_cell")
+    q.join(statsDf, Seq("h3_cell"), "left")
+      .withColumn("object_count", coalesce(col("object_count"), lit(0L)))
+      .orderBy("h3_cell")
+  }
+
+  /** H3 candidates then exact ST_Intersects refinement
+    * (docs/H3_POLYGON_ANALYSIS.md:337-355): the coarse equi-join prunes
+    * to candidate cells, the exact geometry test runs only on matches. */
+  def objectsExact(spark: SparkSession, index: DataFrame, wkt: String,
+      res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame = {
+    val queryWkb = Geometry.toWkb(Geometry.fromWkt(wkt))
+    joined(spark, index, wkt, res, datasets)
+      .filter(st_intersects(col("geom"), lit(queryWkb)))
+      .select("id", "dataset_id", "leverantor", "klass")
+      .distinct()
+      .orderBy("dataset_id", "id")
+  }
+}
