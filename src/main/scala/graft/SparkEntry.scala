@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.queries ++
       VectorQueries.queries ++
       EventQueries.queries ++
-      GeoQueries.queries
+      GeoQueries.queries ++
+      DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       TextQueries.oracle ++
       VectorQueries.oracle ++
       EventQueries.oracle ++
-      GeoQueries.oracle
+      GeoQueries.oracle ++
+      DedupQueries.oracle
 }

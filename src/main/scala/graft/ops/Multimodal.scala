@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (builder brief): image/audio/video travel
+  * as opaque `binary` payloads with a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample are per-row transforms whose
+  * Spark-side plumbing (schema, batching, partitioning) is real while
+  * the codec itself is STUBBED — this container has no image/audio
+  * libraries, so the decode produces deterministic digests, clearly
+  * marked, with the same shapes a real decoder would emit.
+  *
+  * At 100 TB the invariants that matter are here: payloads never reach
+  * a shuffle (all ops are map-only projections), metadata is a narrow
+  * struct that CAN shuffle, and frame sampling is bounded fan-out.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", StringType)))
+
+  /** Wrap a binary payload column with its metadata struct. */
+  def withMeta(payload: Column, mime: Column): Column =
+    struct(
+      mime.as("mime"),
+      length(payload).cast("long").as("n_bytes"),
+      md5(payload).as("checksum"))
+
+  /** STUB decode: a real implementation would JNI/FFI into an image
+    * library inside mapPartitions (batch-local codec reuse); the stub
+    * derives a deterministic 8-dim "feature" from payload digests so
+    * downstream plumbing (schema: array<double>) is exercised for real. */
+  def decodeFeaturesStub(payload: Column): Column =
+    transform(sequence(lit(0), lit(7)), i =>
+      (conv(substring(md5(payload), i * 4 + 1, lit(4)), 16, 10).cast("double") / 65535.0))
+
+  /** Frame sampling: `n` evenly spaced byte-range "frames", each
+    * identified by its digest — bounded fan-out, codegen'd built-ins
+    * only. A real video decoder swaps the md5 for a frame decode with
+    * the same (index, digest/tensor) shape. */
+  def frameSamples(payload: Column, n: Int): Column = {
+    val frameLen = floor(length(payload) / n).cast("int")
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      struct(
+        i.as("frame_idx"),
+        md5(substring(payload, (i * frameLen + 1).cast("int"),
+          greatest(frameLen, lit(1)))).as("frame_digest")))
+  }
+
+  /** STUB resize: byte-range truncation standing in for a pixel
+    * resample; preserves the binary-in/binary-out contract. */
+  def resizeStub(payload: Column, maxBytes: Int): Column =
+    substring(payload, 1, maxBytes)
+
+  /** Attach the full multimodal treatment to a DataFrame. */
+  def enrich(df: DataFrame, payloadCol: String, mime: String): DataFrame =
+    df
+      .withColumn("meta", withMeta(col(payloadCol), lit(mime)))
+      .withColumn("features", decodeFeaturesStub(col(payloadCol)))
+      .withColumn("frames", frameSamples(col(payloadCol), 4))
+}

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+import scala.util.hashing.MurmurHash3
+
+import graft.functions.GeoExpr
+
+/** Near-duplicate detection for 100 TB text corpora (SURVEY.md §7.4):
+  * MinHash + LSH banding, SimHash, and exact n-gram Jaccard — all using
+  * the same explode -> equi-join -> aggregate skeleton as the H3 index
+  * (docs/H3_POLYGON_ANALYSIS.md:301-321): candidate generation is a
+  * hash-bucket equi-join, never an all-pairs cross join.
+  *
+  * Scale notes: signatures are fixed-size arrays computed per row
+  * (map-only); the band explode multiplies rows by `bands` (small
+  * constant); the bucket join shuffles only (band, bucket-hash, doc_id,
+  * signature) — bounded by k longs per row, never the text.
+  */
+object TextDedup {
+
+  // --------------------------------------------------- expressions
+
+  /** 64-bit stable token hash (MurmurHash3 x2 — deterministic across
+    * JVMs, unlike String.hashCode's surrogate behavior edge cases). */
+  private def hash64(s: String, seed: Int): Long =
+    (MurmurHash3.stringHash(s, seed).toLong << 32) |
+      (MurmurHash3.stringHash(s, seed + 0x9e3779b9).toLong & 0xFFFFFFFFL)
+
+  /** minhash_signature(shingles, k, seed) -> array<long> of k minima. */
+  case class MinHashSig(tokens: Expression, k: Expression, seed: Expression)
+      extends GeoExpr {
+    override def children: Seq[Expression] = Seq(tokens, k, seed)
+    override def dataType: DataType = ArrayType(LongType)
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val arr = a(0).asInstanceOf[ArrayData]
+      val kk = int(a(1))
+      val sd = int(a(2))
+      val out = Array.fill(kk)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i).toString
+        var j = 0
+        while (j < kk) {
+          val h = hash64(s, sd + j * 31)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.map(java.lang.Long.valueOf(_).asInstanceOf[Any]))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(tokens = c(0), k = c(1), seed = c(2))
+  }
+
+  /** simhash64(tokens) -> long: per-bit weighted vote over token
+    * hashes; near-duplicates land within small Hamming distance. */
+  case class SimHash64(tokens: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(tokens)
+    override def dataType: DataType = LongType
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val arr = a(0).asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = hash64(arr.getUTF8String(i).toString, 0x51347)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(tokens = c(0))
+  }
+
+  def minhash_signature(shingles: Column, k: Int, seed: Int = 42): Column =
+    toCol(MinHashSig(toExpr(shingles), toExpr(lit(k)), toExpr(lit(seed))))
+
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
+  // ------------------------------------------- Column building blocks
+
+  /** Whitespace tokens of cleaned, lowercased text (pure built-ins). */
+  def tokensOf(text: Column): Column =
+    split(lower(trim(regexp_replace(text, "\\s+", " "))), " ")
+
+  /** Word n-gram shingles via transform over a position sequence —
+    * stays inside whole-stage codegen, no UDF. */
+  def shinglesOf(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array(concat_ws(" ", tokens)))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+
+  /** Exact Jaccard over two shingle arrays (codegen'd built-ins). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union)
+  }
+
+  // ------------------------------------------------- LSH band join
+
+  /** MinHash LSH candidate pairs: shingle -> k-minhash -> `bands` bands
+    * of `k/bands` rows -> explode -> bucket equi-join within band.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
+    * bands. `df` needs (idCol, textCol). */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(
+      col(idCol).as("doc_id"),
+      minhash_signature(shinglesOf(tokensOf(col(textCol)), shingleN), k).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (aggregate(
+          zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** SimHash candidate pairs: 4 x 16-bit bands of the 64-bit simhash;
+    * any pair within Hamming distance <= small k shares >= 1 band. */
+  def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      simhash64(tokensOf(col(textCol))).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.chunk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .groupBy("id_a", "id_b")
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard refinement of candidate pairs: join texts
+    * back (broadcast the small candidate set at interactive scale;
+    * shuffle-join on id at batch scale) and compute exact overlap. */
+  def jaccardRefine(candidates: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("jid"),
+      shinglesOf(tokensOf(col(textCol)), shingleN).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .drop("sh_a", "sh_b")
+  }
+}

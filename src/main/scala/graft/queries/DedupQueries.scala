@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, TextDedup, VectorOps}
+
+/** Near-dup / multimodal / IVF operator queries over `documents` and
+  * `embeddings` (builder brief: the LLM-training-data pipeline surface).
+  * MinHash/SimHash results have no SQL oracle (engine-internal hash
+  * functions); multimodal metadata is digest-level oracle-checked.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash LSH near-dup candidates (shingle -> 64 minhash -> 8 bands
+    // -> bucket join), estimated Jaccard from signature agreement.
+    "q70_minhash_neardup" -> ((s, dir) => {
+      TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_j"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-document 64-bit SimHash (hex) — the compact near-dup sketch.
+    "q71_simhash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          lower(hex(TextDedup.simhash64(TextDedup.tokensOf(col("text")))))
+            .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash banding candidates within Hamming distance 16.
+    "q72_simhash_pairs" -> ((s, dir) => {
+      TextDedup.simHashCandidates(docs(s, dir), "doc_id", "text", maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact n-gram Jaccard refinement of the MinHash candidates.
+    "q73_jaccard_refine" -> ((s, dir) => {
+      val cands = TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.2)
+      TextDedup.jaccardRefine(cands, docs(s, dir), "doc_id", "text",
+          threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal plumbing: binary payload + metadata struct + frame
+    // digests (decode stubbed; schema/batch shape real) — oracle-checked
+    // at digest level.
+    "q74_multimodal_meta" -> ((s, dir) => {
+      val withPayload = docs(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.enrich(withPayload, "payload", "text/plain")
+        .select(col("doc_id"),
+          col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          element_at(col("frames"), 1).getField("frame_digest").as("frame0"),
+          element_at(col("frames"), 4).getField("frame_digest").as("frame3"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF (KMeans coarse quantizer) cell histogram — the partition
+    // layout a 100 TB vector corpus would be written with.
+    "q75_ivf_cells" -> ((s, dir) => {
+      val (assigned, _) = VectorOps.ivfBuild(emb(s, dir), "vec_id", "embedding",
+        nlist = 8)
+      assigned.groupBy("ivf_cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("ivf_cell")
+    }),
+
+    // IVF probe search vs the vec_id=42 query (nprobe=2 of 8 cells).
+    "q76_ivf_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val query = e.filter(col("vec_id") === 42)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val (assigned, centroids) = VectorOps.ivfBuild(e, "vec_id", "embedding",
+        nlist = 8)
+      VectorOps.ivfSearch(assigned, centroids, "vec_id", "embedding",
+          query, k = 11, nprobe = 2)
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .limit(10)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q74_multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  md5(substring(text, 1, GREATEST(length(text) // 4, 1))) AS frame0,
+        |  md5(substring(text, 3 * (length(text) // 4) + 1, GREATEST(length(text) // 4, 1))) AS frame3
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

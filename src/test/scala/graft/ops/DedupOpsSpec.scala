@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Labeled near-dup fixture: 20 base documents; each gets an exact
+    * copy (id+1000) and a lightly perturbed copy (id+2000); unrelated
+    * docs share no vocabulary. */
+  private lazy val fixture = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 20).map { i =>
+      val words = (0 until 60).map(_ => s"w${i}_${rnd.nextInt(40)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val exact = base.map { case (id, t) => (id + 1000, t) }
+    val near = base.map { case (id, t) =>
+      val toks = t.split(" ").toVector
+      val mutated = toks.updated(5, "XX").updated(25, "YY").updated(45, "ZZ")
+      (id + 2000, mutated.mkString(" "))
+    }
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds every exact and near duplicate (recall = 1)") {
+    val cands = TextDedup.minHashCandidates(fixture, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    (0 until 20).foreach { i =>
+      assert(cands.contains((i.toLong, i + 1000L)), s"missed exact dup of $i")
+      assert(cands.contains((i.toLong, i + 2000L)), s"missed near dup of $i")
+    }
+  }
+
+  test("minhash LSH emits no high-estimate false positives") {
+    val fp = TextDedup.minHashCandidates(fixture, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (b % 1000) != (a % 1000) }
+    assert(fp.isEmpty, s"false positives: ${fp.toSeq}")
+  }
+
+  test("estimated jaccard tracks exact jaccard on candidates") {
+    val cands = TextDedup.minHashCandidates(fixture, "doc_id", "text")
+    val refined = TextDedup.jaccardRefine(cands, fixture, "doc_id", "text",
+      threshold = 0.0)
+    refined.collect().foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("jaccard")
+      assert(math.abs(est - exact) < 0.25,
+        s"estimate $est far from exact $exact for ${r.getLong(0)}/${r.getLong(1)}")
+    }
+    // exact dups refine to jaccard 1.0
+    val exactPairs = refined
+      .filter(col("id_a") < 1000 && col("id_b") === col("id_a") + 1000)
+      .collect()
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach(r => assert(r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("simhash: identical texts share hash, near-dups within small hamming") {
+    val pairs = TextDedup.simHashCandidates(fixture, "doc_id", "text",
+      maxHamming = 16).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
+    (0 until 20).foreach { i =>
+      assert(pairs.get((i.toLong, i + 1000L)).contains(0L), s"exact dup $i hamming != 0")
+      pairs.get((i.toLong, i + 2000L)).foreach(h => assert(h <= 16))
+    }
+  }
+
+  test("IVF search recall@10 >= 0.8 vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 42)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val brute = VectorOps.knnBrute(emb.filter(col("vec_id") =!= 42),
+      "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val (assigned, centroids) = VectorOps.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    val ivf = VectorOps.ivfSearch(
+      assigned.filter(col("vec_id") =!= 42), centroids,
+      "vec_id", "embedding", query, 10, nprobe = 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall@10 = $recall (brute=$brute ivf=$ivf)")
+  }
+
+  test("multimodal enrich: meta/features/frames have the contract shapes") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world, this is a binary payload stand-in"))
+      .toDF("id", "txt")
+      .withColumn("payload", col("txt").cast("binary"))
+    val out = Multimodal.enrich(df, "payload", "application/octet-stream").head()
+    val meta = out.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[String]("mime") == "application/octet-stream")
+    assert(meta.getAs[Long]("n_bytes") == 46L)
+    assert(meta.getAs[String]("checksum").length == 32)
+    val feats = out.getAs[scala.collection.Seq[Double]]("features")
+    assert(feats.length == 8)
+    assert(feats.forall(f => f >= 0.0 && f <= 1.0))
+    val frames = out.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames")
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(frames.map(_.getAs[String]("frame_digest")).distinct.size == 4)
+  }
+
+  test("shingles/jaccard building blocks behave") {
+    import spark.implicits._
+    val d = Seq(("a b c d e", "a b c d e"), ("a b c d e", "a b c x e"))
+      .toDF("t1", "t2")
+    val r = d.select(
+      TextDedup.jaccard(
+        TextDedup.shinglesOf(TextDedup.tokensOf(col("t1")), 3),
+        TextDedup.shinglesOf(TextDedup.tokensOf(col("t2")), 3)).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) > 0.0 && r(1) < 0.5)
+    // short text fallback: fewer tokens than n -> single shingle
+    val short = Seq("one two").toDF("t")
+      .select(TextDedup.shinglesOf(TextDedup.tokensOf(col("t")), 3).as("s"))
+      .head().getAs[scala.collection.Seq[String]]("s")
+    assert(short.toSeq == Seq("one two"))
+  }
+}
