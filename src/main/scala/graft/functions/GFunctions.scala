@@ -67,6 +67,8 @@ object GFunctions {
   def st_point(x: Column, y: Column): Column = toCol(StPoint(toExpr(x), toExpr(y)))
   def st_x(geom: Column): Column = toCol(StX(toExpr(geom)))
   def st_y(geom: Column): Column = toCol(StY(toExpr(geom)))
+  def st_asgeojson(geom: Column): Column = toCol(StAsGeoJson(toExpr(geom)))
+  def st_geomfromgeojson(json: Column): Column = toCol(StGeomFromGeoJson(toExpr(json)))
   def g_to_wgs84(geom: Column): Column = toCol(GToWgs84(toExpr(geom)))
   def g_to_sweref(geom: Column): Column = toCol(GToSweref(toExpr(geom)))
   def g_centroid_lat(geom: Column): Column = toCol(GCentroidLat(toExpr(geom)))
@@ -135,6 +137,8 @@ object GFunctions {
     reg2("st_point", StPoint(_, _))
     reg1("st_x", StX(_))
     reg1("st_y", StY(_))
+    reg1("st_asgeojson", StAsGeoJson(_))
+    reg1("st_geomfromgeojson", StGeomFromGeoJson(_))
     reg1("g_to_wgs84", GToWgs84(_))
     reg1("g_to_sweref", GToSweref(_))
     reg1("g_centroid_lat", GCentroidLat(_))

@@ -398,6 +398,28 @@ case class GCentroidLng(geom: Expression) extends GeoExpr {
     copy(geom = c(0))
 }
 
+/** st_asgeojson(geom): WKB -> GeoJSON geometry string — the exporter's
+  * building block (export.py:129-158). */
+case class StAsGeoJson(geom: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom)
+  override def dataType: DataType = StringType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    utf8(graft.spatial.GeoJson.toGeometryJson(wkb(a(0))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0))
+}
+
+/** st_geomfromgeojson(json): GeoJSON geometry string -> WKB. */
+case class StGeomFromGeoJson(json: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(json)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    try Geometry.toWkb(graft.spatial.GeoJson.parseGeometry(str(a(0))))
+    catch { case _: Exception => null }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(json = c(0))
+}
+
 private[functions] object GeoExprs {
   /** SWEREF99 TM WKB geometry -> WGS84 (x=lng, y=lat). */
   def swerefGeomToWgs84(g: Geom): Geom =

@@ -1,0 +1,176 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+import graft.functions.GFunctions._
+import graft.spatial.{Crs, Geometry, GeoJson, Pt}
+
+/** Export surface (`src/g_etl/export.py`, SURVEY §2.2): parquet (ZSTD),
+  * CSV with the Kepler.gl `hex_id` convention, GeoJSON (distributed
+  * newline-delimited features for scale; driver-side capped
+  * FeatureCollection for interactive use), GeoParquet (parquet +
+  * sidecar geo metadata), HTML map, and the smart per-mart-table
+  * dispatcher (`export.py:344-521`).
+  */
+object Exporters {
+
+  /** ZSTD parquet (`src/g_etl/plugins/base.py:104-111`). */
+  def parquetZstd(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+  /** CSV with header; H3 cells mirrored as Kepler.gl's `hex_id`
+    * (`src/g_etl/export.py:23-48`). Array columns become JSON strings
+    * (export.py:445-447 casts `x[]` to VARCHAR). */
+  def csv(df: DataFrame, path: String): Unit = {
+    var out = df
+    out.schema.fields.foreach { f =>
+      f.dataType match {
+        case _: ArrayType => out = out.withColumn(f.name, to_json(col(f.name)))
+        case _: BinaryType => out = out.withColumn(f.name, hex(col(f.name)))
+        case _ =>
+      }
+    }
+    if (out.columns.contains("h3_cell") && !out.columns.contains("hex_id"))
+      out = out.withColumn("hex_id", col("h3_cell"))
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** One GeoJSON Feature string per row — codegen'd expression, no
+    * driver collect. */
+  def featureColumn(df: DataFrame, geomCol: String): Column = {
+    val propCols = df.columns.filterNot(_ == geomCol).map(col)
+    concat(
+      lit("""{"type": "Feature", "properties": """),
+      to_json(struct(propCols.toIndexedSeq: _*)),
+      lit(""", "geometry": """),
+      st_asgeojson(col(geomCol)),
+      lit("}"))
+  }
+
+  /** Distributed newline-delimited GeoJSON features (GDAL GeoJSONSeq
+    * equivalent) — the 100 TB-safe export path. */
+  def geojsonSeq(df: DataFrame, path: String, geomCol: String = "geom"): Unit =
+    df.filter(col(geomCol).isNotNull)
+      .select(featureColumn(df, geomCol).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Driver-side FeatureCollection (capped, like the reference's folium
+    * 5000-row default, export.py:170) for interactive consumers. */
+  def geojsonFeatureCollection(df: DataFrame, path: String,
+      geomCol: String = "geom", limit: Int = 5000): Unit = {
+    val rows = df.filter(col(geomCol).isNotNull).limit(limit).collect()
+    val gIdx = df.columns.indexOf(geomCol)
+    val features = rows.map { r =>
+      val props = df.columns.zipWithIndex
+        .filterNot(_._2 == gIdx)
+        .map { case (c, i) => c -> r.get(i) }.toMap[String, Any]
+      val geom = Geometry.fromWkb(r.getAs[Array[Byte]](gIdx))
+      (props, geom)
+    }.toSeq
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), GeoJson.featureCollection(features))
+  }
+
+  /** GeoParquet: ZSTD parquet + sidecar `_geo_metadata.json` carrying
+    * the geo column/bbox/CRS descriptor. (Spark's parquet writer cannot
+    * attach custom file-level metadata, so the descriptor rides
+    * alongside — documented divergence from the in-footer spec.) */
+  def geoparquet(df: DataFrame, path: String, geomCol: String = "geom",
+      crs: String = "EPSG:3006"): Unit = {
+    parquetZstd(df, path)
+    val meta =
+      s"""{"version": "1.0.0", "primary_column": "$geomCol",
+         | "columns": {"$geomCol": {"encoding": "WKB", "crs": "$crs"}}}"""
+        .stripMargin
+    Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
+  }
+
+  /** Self-contained HTML map (SVG; replaces folium, export.py:161-256):
+    * driver-side, capped, with per-dataset colors and popups. */
+  def htmlMap(df: DataFrame, path: String, geomCol: String = "geom",
+      colorCol: Option[String] = None, limit: Int = 5000): Unit = {
+    val cols = df.columns
+    val rows = df.filter(col(geomCol).isNotNull).limit(limit).collect()
+    val gIdx = cols.indexOf(geomCol)
+    val geoms = rows.map(r => Geometry.fromWkb(r.getAs[Array[Byte]](gIdx)))
+    val pts = geoms.flatMap(g => Geometry.centroid(g) match {
+      case p if !p.isEmpty => Some(p)
+      case _ => None
+    })
+    if (pts.isEmpty) {
+      Files.writeString(Paths.get(path), "<html><body>empty</body></html>")
+      return
+    }
+    val minX = pts.map(_.x).min; val maxX = pts.map(_.x).max
+    val minY = pts.map(_.y).min; val maxY = pts.map(_.y).max
+    val w = 900.0; val h = 700.0
+    val sx = w / math.max(maxX - minX, 1e-9)
+    val sy = h / math.max(maxY - minY, 1e-9)
+    val s = math.min(sx, sy)
+    val palette = Seq("#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+      "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf")
+    val colorKeys = colorCol.map(c => rows.map(_.getAs[Any](cols.indexOf(c)))
+      .map(String.valueOf).distinct.sorted).getOrElse(Array("all")).toIndexedSeq
+    def colorOf(key: String): String =
+      palette(math.abs(colorKeys.indexOf(key)) % palette.size)
+    val svg = rows.zip(geoms).map { case (r, g) =>
+      val c = Geometry.centroid(g)
+      val x = (c.x - minX) * s
+      val y = h - (c.y - minY) * s
+      val key = colorCol.map(cc => String.valueOf(r.getAs[Any](cols.indexOf(cc))))
+        .getOrElse("all")
+      val title = cols.zipWithIndex.filterNot(_._2 == gIdx)
+        .map { case (cn, i) => s"$cn=${r.get(i)}" }.mkString(", ")
+      f"""<circle cx="$x%.1f" cy="$y%.1f" r="3" fill="${colorOf(key)}"><title>$title</title></circle>"""
+    }.mkString("\n")
+    val legend = colorKeys.zipWithIndex.map { case (k, i) =>
+      s"""<div><span style="color:${colorOf(k)}">&#9632;</span> $k</div>"""
+    }.mkString("\n")
+    val html =
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft map</title></head>
+         |<body><h3>graft map (${rows.length} features, cap $limit)</h3>
+         |<div style="display:flex"><svg width="${w.toInt}" height="${h.toInt}"
+         | style="border:1px solid #ccc">$svg</svg>
+         |<div style="margin-left:12px">$legend</div></div></body></html>""".stripMargin
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), html)
+  }
+
+  /** Smart mart exporter (`src/g_etl/export.py:344-521`): per-table
+    * dispatch — skip empty tables, skip tables with >1 geometry column,
+    * synthesize geometry from `h3_cell` when absent, CSV for H3-only
+    * tables, GeoJSON-seq + ZSTD parquet when geometry exists. Returns
+    * (table -> formats written). */
+  def exportMartTables(tables: Map[String, DataFrame], outDir: String)
+      : Map[String, Seq[String]] = {
+    tables.flatMap { case (name, df0) =>
+      val geomCols = df0.schema.fields
+        .filter(_.dataType == BinaryType).map(_.name)
+      if (geomCols.length > 1) {
+        Some(name -> Seq("skipped:multiple-geometry-columns"))
+      } else if (df0.isEmpty) {
+        Some(name -> Seq("skipped:empty"))
+      } else {
+        val df = if (geomCols.isEmpty && df0.columns.contains("h3_cell"))
+          df0.withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+        else df0
+        val written = scala.collection.mutable.ArrayBuffer[String]()
+        parquetZstd(df0, s"$outDir/$name.parquet")
+        written += "parquet"
+        if (df.columns.contains("geom")) {
+          geojsonSeq(df, s"$outDir/$name.geojsonl")
+          written += "geojsonl"
+        }
+        if (df0.columns.contains("h3_cell")) {
+          csv(df0, s"$outDir/$name.csv")
+          written += "csv"
+        }
+        Some(name -> written.toSeq)
+      }
+    }
+  }
+}

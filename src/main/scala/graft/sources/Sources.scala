@@ -1,0 +1,219 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.spatial.{GeoJson, Geometry}
+
+/** Source connector registry (`src/g_etl/plugins/__init__.py:23-47`):
+  * name -> connector, covering the reference's plugin surface. Every
+  * connector lands data as a DataFrame with geometry (when present)
+  * normalized to a WKB `geom` column — the engine's storage convention
+  * (SURVEY §1.1) — ready for `Stages.stage004`.
+  */
+trait SourceConnector {
+  def name: String
+
+  /** Read using string options (url/path, plus connector specifics). */
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame
+}
+
+object Sources {
+
+  /** Normalize alternative geometry column names to `geom`
+    * (`src/g_etl/services/pipeline_runner.py:445-496`). */
+  def normalizeGeometryColumn(df: DataFrame): DataFrame = {
+    val alts = Seq("geometry", "shape", "geometri", "wkb_geometry", "the_geom")
+    df.columns.find(c => alts.contains(c.toLowerCase)) match {
+      case Some(c) if !df.columns.contains("geom") => df.withColumnRenamed(c, "geom")
+      case _ => df
+    }
+  }
+
+  /** (Geo)Parquet scan (`src/g_etl/plugins/geoparquet.py:18-79`). */
+  object ParquetSource extends SourceConnector {
+    val name = "geoparquet"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+      normalizeGeometryColumn(spark.read.parquet(options("url")))
+  }
+
+  object CsvSource extends SourceConnector {
+    val name = "csv"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+      normalizeGeometryColumn(
+        spark.read
+          .option("header", options.getOrElse("header", "true"))
+          .option("inferSchema", options.getOrElse("inferSchema", "true"))
+          .csv(options("url")))
+  }
+
+  object JsonSource extends SourceConnector {
+    val name = "json"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+      normalizeGeometryColumn(spark.read.json(options("url")))
+  }
+
+  /** JDBC reader replacing the reference's hand-rolled pyodbc MSSQL
+    * plugin (`src/g_etl/plugins/mssql.py:18-217`): Spark's JDBC source
+    * gives type mapping and partitioned parallel reads for free. */
+  object JdbcSource extends SourceConnector {
+    val name = "mssql"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      var r = spark.read.format("jdbc")
+        .option("url", options("url"))
+        .option("dbtable", options.getOrElse("dbtable",
+          options.getOrElse("query", "")))
+      Seq("user", "password", "driver", "partitionColumn", "lowerBound",
+        "upperBound", "numPartitions", "fetchsize").foreach { k =>
+        options.get(k).foreach(v => r = r.option(k, v))
+      }
+      normalizeGeometryColumn(r.load())
+    }
+  }
+
+  /** GeoJSON FeatureCollection file -> rows
+    * (`src/g_etl/plugins/lantmateriet.py:34-110` endpoint shape). */
+  object GeoJsonSource extends SourceConnector {
+    val name = "geojson"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val path = Paths.get(java.net.URI.create(
+        if (options("url").contains(":")) options("url")
+        else "file://" + options("url")))
+      featuresToDf(spark, GeoJson.parseFeatureCollection(
+        Files.readString(path)))
+    }
+  }
+
+  /** WFS GetFeature reader with startIndex/count pagination
+    * (`src/g_etl/plugins/wfs.py:110-201`). The fetcher is pluggable so
+    * offline tests can serve canned pages; production uses
+    * Downloader-backed HTTP. */
+  final class WfsSource(fetch: String => String) extends SourceConnector {
+    val name = "wfs"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val base = options("url")
+      val pageSize = options.get("count").map(_.toInt)
+      val pages = pageSize match {
+        case None => Seq(GeoJson.parseFeatureCollection(fetch(base)))
+        case Some(n) =>
+          Iterator.from(0)
+            .map { page =>
+              val sep = if (base.contains("?")) "&" else "?"
+              GeoJson.parseFeatureCollection(
+                fetch(s"$base${sep}startIndex=${page * n}&count=$n"))
+            }
+            .takeWhile(_.nonEmpty)
+            .toSeq
+      }
+      val all = pages.flatten
+      featuresToDf(spark, all)
+    }
+  }
+
+  /** Bearer-authenticated REST endpoint returning GeoJSON
+    * (`src/g_etl/plugins/lantmateriet.py:34-110`). */
+  final class LantmaterietSource(fetch: (String, Map[String, String]) => String)
+      extends SourceConnector {
+    val name = "lantmateriet"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val headers = options.get("token")
+        .map(t => Map("Authorization" -> s"Bearer $t"))
+        .getOrElse(Map.empty[String, String])
+      featuresToDf(spark,
+        GeoJson.parseFeatureCollection(fetch(options("url"), headers)))
+    }
+  }
+
+  /** Zipped shapefile: download -> unzip -> parse .shp/.dbf
+    * (`src/g_etl/plugins/zip_shapefile.py:125-299`), honoring
+    * `shp_filename` selection and the DBF `encoding` override
+    * (default LATIN1). */
+  object ZipShapefileSource extends SourceConnector {
+    val name = "zip_shapefile"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val cacheDir = options.getOrElse("cache_dir",
+        Files.createTempDirectory("graft_dl").toString)
+      val archive = Downloader.fetch(options("url"), cacheDir)
+      val dir = Downloader.unzip(archive)
+      val shps = Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.toLowerCase.endsWith(".shp")).toSeq
+      val selected = options.get("shp_filename") match {
+        case Some(wanted) =>
+          shps.find(_.getFileName.toString == wanted)
+            .getOrElse(throw new IllegalArgumentException(
+              s"shp_filename $wanted not in archive: ${shps.map(_.getFileName)}"))
+        case None =>
+          require(shps.nonEmpty, s"no .shp in $archive")
+          shps.minBy(_.getFileName.toString)
+      }
+      val data = Shapefile.read(selected,
+        options.getOrElse("encoding", "ISO-8859-1"))
+      shpToDf(spark, data)
+    }
+  }
+
+  /** Zipped GeoPackage (`src/g_etl/plugins/zip_geopackage.py:67-343`).
+    * GPKG is SQLite; parsing SQLite pages has no offline-safe shortcut
+    * in this environment — registered for surface parity with a clear
+    * error steering to the shapefile/parquet route (SURVEY §2.1 notes
+    * the same minimum-slice guidance). */
+  object ZipGeopackageSource extends SourceConnector {
+    val name = "zip_geopackage"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+      throw new UnsupportedOperationException(
+        "zip_geopackage: GPKG (SQLite) parsing is not bundled; convert the " +
+          "layer to shapefile or (Geo)Parquet, or add a sqlite JDBC driver " +
+          "and use the mssql/jdbc connector with url=jdbc:sqlite:...")
+  }
+
+  // --------------------------------------------------------- registry
+
+  /** Default registry; WFS/REST connectors wired to the Downloader. */
+  def defaultRegistry(cacheDir: String = Files.createTempDirectory("graft_dl").toString)
+      : Map[String, SourceConnector] = {
+    def httpFetch(url: String): String =
+      Files.readString(Downloader.fetch(url, cacheDir))
+    def httpFetchH(url: String, headers: Map[String, String]): String =
+      Files.readString(Downloader.fetch(url, cacheDir, headers))
+    registryWith(new WfsSource(httpFetch), new LantmaterietSource(httpFetchH))
+  }
+
+  def registryWith(wfs: SourceConnector, lm: SourceConnector)
+      : Map[String, SourceConnector] =
+    Seq(ParquetSource, CsvSource, JsonSource, JdbcSource, GeoJsonSource,
+      wfs, lm, ZipShapefileSource, ZipGeopackageSource)
+      .map(c => c.name -> c).toMap
+
+  // ---------------------------------------------------------- helpers
+
+  private def featuresToDf(spark: SparkSession,
+      features: Seq[(Map[String, String], Option[graft.spatial.Geom])]): DataFrame = {
+    val keys = features.flatMap(_._1.keys).distinct.sorted
+    val schema = StructType(
+      keys.map(k => StructField(k, StringType)) :+ StructField("geom", BinaryType))
+    val rows = features.map { case (props, geom) =>
+      Row.fromSeq(keys.map(k => props.getOrElse(k, null)) :+
+        geom.map(Geometry.toWkb).orNull)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def shpToDf(spark: SparkSession, data: Shapefile.ShpData): DataFrame = {
+    val fieldType: Shapefile.DbfField => DataType = f => f.fieldType match {
+      case 'N' | 'F' => if (f.decimals == 0) LongType else DoubleType
+      case 'L' => BooleanType
+      case _ => StringType
+    }
+    val schema = StructType(
+      data.fields.map(f => StructField(f.name, fieldType(f))) :+
+        StructField("geom", BinaryType))
+    val rows = data.rows.map { case (attrs, geom) =>
+      Row.fromSeq(attrs :+ geom.map(Geometry.toWkb).orNull)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}

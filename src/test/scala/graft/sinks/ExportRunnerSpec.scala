@@ -1,0 +1,147 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+import graft.config.ConfigLoader
+import graft.pipeline.{GeoFixture, Ledger, Runner, Stages, FieldMapping}
+import graft.sources.Sources
+import graft.spatial.{Geometry, GeoJson}
+
+class ExportRunnerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val fm = FieldMapping(Map(
+    "source_id" -> "$source_id", "klass" -> "$klass_raw",
+    "grupp" -> "fixture", "typ" -> "synthetic", "leverantor" -> "$lev_raw"))
+
+  private lazy val mart = {
+    val staged = Stages.stage004(GeoFixture(spark, sfDir))
+    Stages.martH3Cells(
+      Stages.normalizeExtRestr(staged, fm, "geo_cust"), "geo_cust")
+  }
+
+  test("geojson-seq export: every line is a valid Feature") {
+    val out = Files.createTempDirectory("gj").toString + "/mart.geojsonl"
+    Exporters.geojsonSeq(mart.limit(50), out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.length == 50)
+    lines.take(5).foreach { l =>
+      assert(l.contains(""""type": "Feature""""), l.take(100))
+      val gjson = l.substring(l.indexOf(""""geometry": """) + 12, l.length - 1)
+      val g = GeoJson.parseGeometry(gjson)
+      assert(g.typeName == "POLYGON")
+    }
+  }
+
+  test("feature-collection export honors the row cap") {
+    val out = Files.createTempDirectory("gj2").resolve("fc.geojson").toString
+    Exporters.geojsonFeatureCollection(mart, out, limit = 25)
+    val fc = Files.readString(Paths.get(out))
+    val features = GeoJson.parseFeatureCollection(fc)
+    assert(features.length == 25)
+    assert(features.head._2.isDefined)
+  }
+
+  test("csv export: hex_id convention + arrays as json") {
+    import spark.implicits._
+    val df = Seq((1L, "8abc", Seq("a", "b"))).toDF("id", "h3_cell", "tags")
+    val out = Files.createTempDirectory("csv").toString + "/t.csv"
+    Exporters.csv(df, out)
+    val back = spark.read.option("header", "true").csv(out).head()
+    assert(back.getAs[String]("hex_id") == "8abc")
+    assert(back.getAs[String]("tags") == """["a","b"]""")
+  }
+
+  test("geoparquet export writes sidecar geo metadata") {
+    val out = Files.createTempDirectory("gpq").toString + "/t"
+    Exporters.geoparquet(mart.limit(10), out)
+    assert(spark.read.parquet(out).count() == 10)
+    val meta = Files.readString(Paths.get(out, "_geo_metadata.json"))
+    assert(meta.contains("\"encoding\": \"WKB\""))
+  }
+
+  test("html map export renders circles with colors and caps rows") {
+    val out = Files.createTempDirectory("html").resolve("map.html").toString
+    Exporters.htmlMap(mart, out, colorCol = Some("klass"), limit = 100)
+    val html = Files.readString(Paths.get(out))
+    assert(html.contains("<svg"))
+    assert(html.count(_ == 'c') > 0 && html.contains("<circle"))
+    assert(html.contains("100 features"))
+  }
+
+  test("smart mart exporter dispatch rules") {
+    import spark.implicits._
+    val withGeom = mart.limit(20)
+    val h3Only = mart.limit(20).select("id", "h3_cell", "klass")
+    val empty = mart.limit(0)
+    val twoGeoms = mart.limit(5)
+      .withColumn("geom2", col("geom"))
+    val out = Files.createTempDirectory("mart").toString
+    val results = Exporters.exportMartTables(Map(
+      "with_geom" -> withGeom, "h3_only" -> h3Only,
+      "empty_t" -> empty, "two_geoms" -> twoGeoms), out)
+    assert(results("with_geom").contains("parquet"))
+    assert(results("with_geom").contains("geojsonl"))
+    assert(results("h3_only").contains("csv")) // geometry synthesized from cell
+    assert(results("h3_only").contains("geojsonl"))
+    assert(results("empty_t") == Seq("skipped:empty"))
+    assert(results("two_geoms") == Seq("skipped:multiple-geometry-columns"))
+  }
+
+  test("runner end-to-end: yaml config -> extract -> transform -> index views") {
+    // stage a raw parquet "source" from the fixture
+    val srcDir = Files.createTempDirectory("runner_src").toString
+    GeoFixture(spark, sfDir).limit(200)
+      .write.mode("overwrite").parquet(s"$srcDir/geo.parquet")
+    val yaml =
+      s"""pipelines:
+         |  - id: ext_restr
+         |    datasets:
+         |      - id: fixture_ds
+         |        plugin: geoparquet
+         |        url: $srcDir/geo.parquet
+         |        field_mapping:
+         |          source_id_column: $$source_id
+         |          klass: $$klass_raw
+         |          grupp: fixture
+         |          typ: synthetic
+         |          leverantor: $$lev_raw
+         |""".stripMargin
+    val datasets = ConfigLoader.filtered(ConfigLoader.loadDatasets(yaml))
+    val outDir = Files.createTempDirectory("runner_out").toString
+    val ledger = Ledger.at(outDir)
+    val result = Runner.run(spark, datasets, Sources.defaultRegistry(),
+      outDir, ledger = Some(ledger))
+    assert(result.extracted("fixture_ds").isSuccess)
+    assert(result.transformed("fixture_ds").isSuccess)
+    assert(result.indexRows > 0 && result.statsRows > 0)
+    // layered outputs exist
+    assert(Files.exists(Paths.get(s"$outDir/raw/fixture_ds.parquet")))
+    assert(Files.exists(Paths.get(s"$outDir/staging_004/fixture_ds.parquet")))
+    assert(Files.exists(Paths.get(s"$outDir/mart/fixture_ds_h3.parquet")))
+    // post-merge views are queryable via SQL
+    val n = spark.sql(
+      "SELECT count(*) FROM h3_index WHERE dataset_id = 'fixture_ds'")
+      .head().getLong(0)
+    assert(n == result.indexRows)
+    assert(spark.table("h3_stats").columns.contains("object_count"))
+    // idempotent re-run: extract skipped via ledger (still succeeds)
+    val again = Runner.run(spark, datasets, Sources.defaultRegistry(),
+      outDir, ledger = Some(ledger))
+    assert(again.extracted("fixture_ds").isSuccess)
+    assert(again.indexRows == result.indexRows)
+  }
+}
