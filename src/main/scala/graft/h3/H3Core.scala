@@ -291,6 +291,14 @@ object H3Core {
   /** Parent = the res-`parentRes` cell containing this cell's center.
     * (H3's children are not strictly geometrically nested either; this
     * makes that semantic explicit and exactly self-consistent.) */
+  // Cells repeat massively across rows in real workloads (neighboring
+  // features share cells), so single-level parent and children lookups
+  // are memoized. Size-capped: beyond the cap the math runs uncached.
+  private val CacheCap = 4_000_000
+  private val parentCache = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  private val childrenCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+
   def cellToParent(h: Long, parentRes: Int): Long = {
     val res = resolution(h)
     require(parentRes >= 0 && parentRes <= res, s"bad parent res $parentRes for $res")
@@ -298,8 +306,14 @@ object H3Core {
     var cur = h
     var r = res
     while (r > parentRes) {
-      val (lat, lng) = cellToLatLng(cur)
-      cur = latLngToCell(lat, lng, r - 1)
+      val cached = parentCache.get(cur)
+      cur = if (cached != 0L) cached
+      else {
+        val (lat, lng) = cellToLatLng(cur)
+        val p = latLngToCell(lat, lng, r - 1)
+        if (parentCache.size < CacheCap) parentCache.put(cur, p)
+        p
+      }
       r -= 1
     }
     cur
@@ -323,6 +337,14 @@ object H3Core {
   }
 
   private def directChildren(h: Long): Seq[Long] = {
+    val cached = childrenCache.get(h)
+    if (cached != null) return cached
+    val result = directChildrenUncached(h)
+    if (childrenCache.size < CacheCap) childrenCache.put(h, result)
+    result
+  }
+
+  private def directChildrenUncached(h: Long): Seq[Long] = {
     val res = resolution(h)
     val childRes = res + 1
     // Candidates: a hex disk of radius 3 in the child lattice around the
@@ -365,11 +387,19 @@ object H3Core {
       val out = mutable.ArrayBuffer[Long]() ++ zero
       rest.groupBy(h => cellToParent(h, resolution(h) - 1)).foreach {
         case (p, kids) =>
-          val full = directChildren(p)
-          if (full.nonEmpty && full.forall(kids.contains) && kids.size == full.size) {
-            out += p
-            changed = true
-          } else out ++= kids
+          // complete families have >= 5 members (7 interior, 5-9 at
+          // icosahedron seams); smaller groups can't be complete, so
+          // skip the exact children computation for them
+          if (kids.size < 5) out ++= kids
+          else {
+            val full = directChildren(p)
+            val kidSet = kids.toSet
+            if (full.nonEmpty && full.size == kidSet.size &&
+              full.forall(kidSet.contains)) {
+              out += p
+              changed = true
+            } else out ++= kids
+          }
       }
       current = out.toSeq
     }
@@ -411,7 +441,7 @@ object H3Core {
       minX = math.min(minX, p.x); maxX = math.max(maxX, p.x)
       minY = math.min(minY, p.y); maxY = math.max(maxY, p.y)
     }
-    val stepRad = cellAngularSize(res) * 0.35 // < inradius; safe coverage
+    val stepRad = cellAngularSize(res) * 0.4 // <= inradius*sqrt2 coverage bound w/ distortion margin
     val stepLat = math.toDegrees(stepRad)
     val maxAbsLat = math.min(math.max(math.abs(minY), math.abs(maxY)), 89.0)
     val stepLng = stepLat / math.max(math.cos(math.toRadians(maxAbsLat)), 0.01)
@@ -452,7 +482,7 @@ object H3Core {
     }
     val metersPerDegLat = 111320.0
     val distDeg = distMeters / metersPerDegLat
-    val stepRad = cellAngularSize(res) * 0.35
+    val stepRad = cellAngularSize(res) * 0.4
     val stepDeg = math.toDegrees(stepRad)
     val seen = mutable.LongMap[Boolean]()
     val out = mutable.ArrayBuffer[Long]()

@@ -85,6 +85,20 @@ object Runner {
       spark.read.parquet(s"$outDir/mart/${cfg.datasetId}_h3.parquet").count()
     }
 
+    // ---- layered-schema catalog: one temp view per (schema, dataset)
+    // (`raw` -> `staging_004` -> `staging_{pipeline}_001` -> `mart`,
+    // docs/architecture.md:233-275)
+    okDatasets.filter(d => transformed(d.datasetId).isSuccess).foreach { d =>
+      spark.read.parquet(s"$outDir/raw/${d.datasetId}.parquet")
+        .createOrReplaceTempView(s"raw_${d.datasetId}")
+      spark.read.parquet(s"$outDir/staging_004/${d.datasetId}.parquet")
+        .createOrReplaceTempView(s"staging_004_${d.datasetId}")
+      spark.read.parquet(s"$outDir/staging_${d.pipeline}_001/${d.datasetId}.parquet")
+        .createOrReplaceTempView(s"staging_${d.pipeline}_001_${d.datasetId}")
+      spark.read.parquet(s"$outDir/mart/${d.datasetId}_h3.parquet")
+        .createOrReplaceTempView(s"mart_${d.datasetId}_h3")
+    }
+
     // ---- Merge + post-merge: dynamic union view + stats pre-aggregate
     val marts = okDatasets
       .filter(d => transformed(d.datasetId).isSuccess)

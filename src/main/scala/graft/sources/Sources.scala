@@ -186,7 +186,11 @@ object Sources {
       : Map[String, SourceConnector] =
     Seq(ParquetSource, CsvSource, JsonSource, JdbcSource, GeoJsonSource,
       wfs, lm, ZipShapefileSource, ZipGeopackageSource)
-      .map(c => c.name -> c).toMap
+      .map(c => c.name -> c).toMap ++
+      // the reference ships two WFS implementations (requests-based
+      // wfs.py and pyogrio-based wfs_geopandas.py) with identical
+      // capability; both names resolve to the one Spark-native reader
+      Map("wfs_geopandas" -> wfs, "geoparquet_http" -> ParquetSource)
 
   // ---------------------------------------------------------- helpers
 

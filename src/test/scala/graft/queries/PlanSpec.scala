@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan shape assertions (builder brief: ".explain the plan
+  * and iterate until it's the plan you'd want"). These lock in the
+  * scale-critical properties: parquet filter pushdown + column pruning,
+  * broadcast joins for small dims, TakeOrderedAndProject for top-k —
+  * the plans that still work at 1000 executors.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def formattedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: filters are pushed to the parquet scan") {
+    val plan = formattedPlan("q02_filter_pushdown")
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("l_shipdate"), "shipdate filter not pushed")
+    // column pruning: only the needed columns are read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan reads more than needed: $readSchema")
+  }
+
+  test("q03: projection prunes dropped columns at the scan") {
+    val plan = formattedPlan("q03_project_exclude")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_retailprice"),
+      s"dropped column still read: $readSchema")
+  }
+
+  test("q09/q13: small dims use broadcast hash joins, not shuffles") {
+    assert(planOf("q09_join_broadcast").contains("BroadcastHashJoin"))
+    val multi = planOf("q13_join_multi")
+    assert(multi.contains("BroadcastHashJoin"))
+    assert(!multi.contains("SortMergeJoin"),
+      "star join degenerated to sort-merge")
+  }
+
+  test("q16: top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q16_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("q11/q12: semi/anti joins plan as such") {
+    assert(planOf("q11_semi_join").contains("LeftSemi"))
+    assert(planOf("q12_anti_join").contains("LeftAnti"))
+  }
+
+  test("q01: aggregation has a partial (map-side) phase") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("HashAggregate"))
+    // partial + final pair means map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(600))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      "no WholeStageCodegen spans found:\n" + plan.take(800))
+  }
+}

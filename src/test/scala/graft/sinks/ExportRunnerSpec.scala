@@ -138,6 +138,18 @@ class ExportRunnerSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(n == result.indexRows)
     assert(spark.table("h3_stats").columns.contains("object_count"))
+    // catalog introspection over the layered views
+    import graft.pipeline.Catalog
+    val tables = Catalog.listTables(spark)
+    assert(tables.exists(_.name == "raw_fixture_ds"))
+    assert(tables.exists(_.name == "staging_004_fixture_ds"))
+    val martInfo = Catalog.describe(spark, "mart_fixture_ds_h3")
+    assert(martInfo.schemaLayer == "mart")
+    assert(martInfo.geometryColumns == Seq("geom") && martInfo.hasH3Cell)
+    assert(Catalog.martH3Tables(spark).contains("mart_fixture_ds_h3"))
+    // layer ordering: mart rows sort before staging before raw
+    val layers = tables.map(_.schemaLayer).distinct
+    assert(layers.indexOf("mart") < layers.indexOf("raw"))
     // idempotent re-run: extract skipped via ledger (still succeeds)
     val again = Runner.run(spark, datasets, Sources.defaultRegistry(),
       outDir, ledger = Some(ledger))
