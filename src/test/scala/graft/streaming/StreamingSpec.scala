@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+import graft.pipeline.{FieldMapping, GeoFixture, H3Index, H3Query}
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** events.parquet re-staged with micro-second timestamps so the
+    * streaming reader accepts the schema. */
+  private def stagedEvents(): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("sev").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts over a file stream match the batch equivalent") {
+    val dir = stagedEvents()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = StreamingOps.windowedEventCounts(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wincounts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wincounts")
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      val batch = spark.read.parquet(dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
+  test("incremental mart refresh feeds the batch query layer") {
+    val fm = FieldMapping(Map(
+      "source_id" -> "$source_id", "klass" -> "$klass_raw",
+      "grupp" -> "fixture", "typ" -> "synthetic", "leverantor" -> "$lev_raw"))
+    val rawDir = Files.createTempDirectory("rawstream").toString
+    val martPath = Files.createTempDirectory("mart").toString + "/inc_h3.parquet"
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    // first micro-batch of raw features
+    GeoFixture(spark, sfDir).limit(60).write.mode("append").parquet(rawDir)
+    val schema = spark.read.parquet(rawDir).schema
+    val stream = spark.readStream.schema(schema).parquet(rawDir)
+    val q1 = StreamingOps.incrementalMart(stream, fm, "inc_ds", martPath, ckpt)
+    q1.awaitTermination()
+    val afterFirst = spark.read.parquet(martPath).count()
+    assert(afterFirst > 0)
+
+    // late-arriving second batch appends incrementally (no reprocess)
+    GeoFixture(spark, sfDir).limit(90).exceptAll(GeoFixture(spark, sfDir).limit(60))
+      .write.mode("append").parquet(rawDir)
+    val q2 = StreamingOps.incrementalMart(
+      spark.readStream.schema(schema).parquet(rawDir), fm, "inc_ds", martPath, ckpt)
+    q2.awaitTermination()
+    val afterSecond = spark.read.parquet(martPath).count()
+    assert(afterSecond > afterFirst)
+
+    // the refreshed mart is immediately queryable by the batch layer
+    val idx = H3Index.build(spark,
+      Map("inc_ds" -> spark.read.parquet(martPath)))
+    val res = H3Query.stats(spark, idx, GeoFixture.queryPolygonWkt, 8)
+    assert(res.count() >= 0) // runs end-to-end over the streamed mart
+    assert(H3Index.stats(idx).count() > 0)
+  }
+
+  test("stateful sessionization matches the batch q43 logic") {
+    val dir = stagedEvents()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val sess = StreamingOps.sessionize(spark, stream)
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+      assert(streamed.count() > 0)
+      // single batch -> state sees each user once; compare to batch q43
+      val batch = graft.SparkEntry.queries("q43_sessions")(spark, sfDir)
+        .select("user_id", "n_sessions")
+      val joined = streamed.select(col("user_id"),
+        col("n_sessions").as("stream_sessions"))
+        .join(batch, "user_id")
+      val mismatches = joined
+        .filter(col("stream_sessions") =!= col("n_sessions")).count()
+      assert(mismatches == 0, s"$mismatches users disagree with batch sessionizer")
+    } finally q.stop()
+  }
+}
