@@ -46,13 +46,43 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // BASELINE.md headline micro-bench: polygon query over a ~10k-object
+    // H3 index with a 2x2 km query polygon (docs/H3_POLYGON_ANALYSIS.md:
+    // 318-319 reports ~50 ms in DuckDB). Index build is excluded (the
+    // reference queries a prebuilt warehouse too); measured warm.
+    val h3QueryMs: Double =
+      try {
+        import org.apache.spark.sql.functions._
+        val fixture = graft.pipeline.GeoFixture(spark, sfDir)
+          .orderBy("fid").limit(10000)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val fm = graft.pipeline.FieldMapping(Map(
+          "source_id" -> "$source_id", "klass" -> "$klass_raw",
+          "grupp" -> "b", "typ" -> "b", "leverantor" -> "$lev_raw"))
+        val mart = graft.pipeline.Stages.martH3Cells(
+          graft.pipeline.Stages.normalizeExtRestr(
+            graft.pipeline.Stages.stage004(fixture), fm, "bench"), "bench")
+        val index = graft.pipeline.H3Index.withParentAt(
+          graft.pipeline.H3Index.build(spark, Map("bench" -> mart)), 8).persist()
+        index.count() // materialize the warehouse
+        val poly =
+          "POLYGON ((574000 6450000, 576000 6450000, 576000 6452000, 574000 6452000, 574000 6450000))"
+        def once(): Long = graft.pipeline.H3Query
+          .objects(spark, index, poly, res = 8).count()
+        once() // warm
+        val t = System.nanoTime()
+        val reps = 5
+        (1 to reps).foreach(_ => once())
+        (System.nanoTime() - t) / 1e6 / reps
+      } catch { case _: Throwable => -1.0 }
+
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"h3_polygon_query_ms_10k_warm":$h3QueryMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the (lazy) views.
   */
 object Tables {
+  // TESTDATA.md documents the 8 TPC-H-ish tables; `documents` and
+  // `embeddings` also exist on disk at every scale factor (confirmed
+  // by the round-1 advisor) and carry the text/vector operator suites.
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

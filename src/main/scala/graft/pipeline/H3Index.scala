@@ -39,6 +39,16 @@ object H3Index {
           col("leverantor"), col("klass"), col("h3_cell"), col("geom"))
       }.reduce(_.unionByName(_))
 
+  /** Materialize the coarse query-resolution ancestor as an index
+    * column — the write-once/read-many trade the reference makes by
+    * storing query-joinable cells (docs/H3_POLYGON_ANALYSIS.md:254-271
+    * recommends exactly this as its "covering index"). H3Query uses the
+    * column automatically when present, turning polygon queries into
+    * pure equi-joins with no per-row cell math. */
+  def withParentAt(index: DataFrame, res: Int): DataFrame =
+    index.withColumn(s"h3_parent_$res",
+      graft.functions.GFunctions.h3_cell_to_parent(col("h3_cell"), lit(res)))
+
   /** mart.h3_stats (pipeline_runner.py:1144-1153): per-cell heatmap
     * pre-aggregate. The count-distincts shuffle once on h3_cell with
     * map-side partial aggregation — the layout that makes heatmap

@@ -40,9 +40,15 @@ object H3Query {
     val filtered =
       if (datasets.isEmpty) index
       else index.filter(col("dataset_id").isin(datasets: _*))
-    filtered
-      .withColumn("q_cell", h3_cell_to_parent(col("h3_cell"), lit(res)))
-      .join(q, "q_cell")
+    // prefer a pre-materialized query-res ancestor column
+    // (H3Index.withParentAt) over per-row cell math
+    val parentCol = s"h3_parent_$res"
+    val keyed =
+      if (filtered.columns.contains(parentCol))
+        filtered.withColumn("q_cell", col(parentCol))
+      else
+        filtered.withColumn("q_cell", h3_cell_to_parent(col("h3_cell"), lit(res)))
+    keyed.join(q, "q_cell")
   }
 
   /** aggregation="objects" (h3_query.py:98-119): distinct matching

@@ -132,6 +132,21 @@ object TextQueries {
         .orderBy("keep_id")
     }),
 
+    // BPE-ish regex token counting (builder brief: "whitespace + a
+    // BPE-ish regex"): letter runs, single digits, and punctuation
+    // marks as separate tokens — the pre-tokenizer shape GPT-style
+    // BPE vocabularies assume.
+    "q39_bpe_tokens" -> ((s, dir) => {
+      val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+            .cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Per-language corpus stats (the lang-distribution report every
     // data pipeline runs).
     "q38_lang_stats" -> ((s, dir) => {
@@ -200,6 +215,11 @@ object TextQueries {
       """SELECT md5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
         |  COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q39_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(string_split(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q38_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
