@@ -156,18 +156,75 @@ object Sources {
     }
   }
 
-  /** Zipped GeoPackage (`src/g_etl/plugins/zip_geopackage.py:67-343`).
-    * GPKG is SQLite; parsing SQLite pages has no offline-safe shortcut
-    * in this environment — registered for surface parity with a clear
-    * error steering to the shapefile/parquet route (SURVEY §2.1 notes
-    * the same minimum-slice guidance). */
+  /** GeoPackage reader (`src/g_etl/plugins/geopackage.py:49-167`):
+    * pure-JVM SQLite b-tree parser + GPKG geometry header decode, layer
+    * listing and named-layer selection — no GDAL, no JDBC driver.
+    * Geometry fixing mirrors the reference's buffer(0) fallback
+    * (`zip_geopackage.py:327-343`) via makeValid on unparseable rings. */
+  object GeopackageSource extends SourceConnector {
+    val name = "geopackage"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val p = options("url")
+      val path = Paths.get(
+        if (p.startsWith("file:")) java.net.URI.create(p).getPath else p)
+      gpkgToDf(spark, path, options.get("layer"))
+    }
+  }
+
+  /** Zipped GeoPackage: download -> unzip -> read layer
+    * (`src/g_etl/plugins/zip_geopackage.py:67-343`). */
   object ZipGeopackageSource extends SourceConnector {
     val name = "zip_geopackage"
-    def read(spark: SparkSession, options: Map[String, String]): DataFrame =
-      throw new UnsupportedOperationException(
-        "zip_geopackage: GPKG (SQLite) parsing is not bundled; convert the " +
-          "layer to shapefile or (Geo)Parquet, or add a sqlite JDBC driver " +
-          "and use the mssql/jdbc connector with url=jdbc:sqlite:...")
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val cacheDir = options.getOrElse("cache_dir",
+        Files.createTempDirectory("graft_dl").toString)
+      val archive = Downloader.fetch(options("url"), cacheDir)
+      val dir = Downloader.unzip(archive)
+      val gpkgs = Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.toLowerCase.endsWith(".gpkg")).toSeq
+      require(gpkgs.nonEmpty, s"no .gpkg in $archive")
+      gpkgToDf(spark, gpkgs.minBy(_.getFileName.toString), options.get("layer"))
+    }
+  }
+
+  private def gpkgToDf(spark: SparkSession, path: java.nio.file.Path,
+      layer: Option[String]): DataFrame = {
+    val db = SQLiteFile.open(path)
+    val (cols, rows, lyr) = Geopackage.readLayer(db, layer)
+    val gIdx = cols.indexOf(lyr.geometryColumn)
+    // infer a column type from the first non-null value (SQLite is
+    // dynamically typed; GPKG tables are homogeneous in practice —
+    // same inference the reference's MSSQL plugin does from row 1)
+    val types: Seq[DataType] = cols.indices.map { i =>
+      if (i == gIdx) BinaryType
+      else rows.iterator.map(_(i)).find(_ != null) match {
+        case Some(_: Long) => LongType
+        case Some(_: Double) => DoubleType
+        case Some(_: String) => StringType
+        case Some(_: Array[Byte]) => BinaryType
+        case _ => StringType
+      }
+    }
+    val schema = StructType(cols.zip(types).map { case (n, t) =>
+      StructField(if (n == lyr.geometryColumn) "geom" else n, t)
+    })
+    val data = rows.map { r =>
+      Row.fromSeq(r.zipWithIndex.map {
+        case (v, i) if i == gIdx => v
+        case (null, _) => null
+        case (v: Long, i) => types(i) match {
+          case DoubleType => v.toDouble
+          case StringType => v.toString
+          case _ => v
+        }
+        case (v: Double, i) => types(i) match {
+          case StringType => v.toString
+          case _ => v
+        }
+        case (v, _) => v
+      })
+    }
+    normalizeGeometryColumn(spark.createDataFrame(data.asJava, schema))
   }
 
   // --------------------------------------------------------- registry
@@ -185,7 +242,7 @@ object Sources {
   def registryWith(wfs: SourceConnector, lm: SourceConnector)
       : Map[String, SourceConnector] =
     Seq(ParquetSource, CsvSource, JsonSource, JdbcSource, GeoJsonSource,
-      wfs, lm, ZipShapefileSource, ZipGeopackageSource)
+      wfs, lm, ZipShapefileSource, GeopackageSource, ZipGeopackageSource)
       .map(c => c.name -> c).toMap ++
       // the reference ships two WFS implementations (requests-based
       // wfs.py and pyogrio-based wfs_geopandas.py) with identical

@@ -174,10 +174,8 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.normalizeGeometryColumn(df).columns.contains("geom"))
     val reg = Sources.defaultRegistry()
     assert(Set("geoparquet", "csv", "json", "mssql", "geojson", "wfs",
-      "lantmateriet", "zip_shapefile", "zip_geopackage").subsetOf(reg.keySet))
-    intercept[UnsupportedOperationException] {
-      reg("zip_geopackage").read(spark, Map("url" -> "x.zip"))
-    }
+      "lantmateriet", "zip_shapefile", "geopackage",
+      "zip_geopackage").subsetOf(reg.keySet))
   }
 
   test("geojson codec round-trips all geometry types") {
