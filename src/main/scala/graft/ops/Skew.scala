@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (builder brief: "salting for skew, AQE for
+  * runtime re-plan"). AQE's skew-join handles sort-merge skew
+  * automatically; explicit salting remains the tool when the skewed
+  * side must hash-join a non-broadcastable dimension (e.g. a hot
+  * h3_cell shared by millions of objects joining cell metadata).
+  */
+object Skew {
+
+  /** Salted inner equi-join: the skewed (big) side gets a random salt
+    * in [0, saltFactor); the small-ish side is replicated saltFactor
+    * times. Hot keys spread over saltFactor reducers at the cost of
+    * replicating the right side — use when `right` is too big to
+    * broadcast but small enough to replicate. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      (rand(42) * saltFactor).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase skew-aware aggregation: partial aggregate on
+    * (key, salt), then final aggregate on key — the manual form of
+    * map-side combine for high-cardinality-value aggregations (e.g.
+    * collect_set over a hot key). `partialAggs` must be re-aggregable
+    * by `finalAggs`. */
+  def saltedAgg(df: DataFrame, key: String, saltFactor: Int,
+      partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
+    df
+      .withColumn("__salt", (rand(42) * saltFactor).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAggs.head, finalAggs.tail: _*)
+
+  /** Top-N hot keys of a column — the diagnostic that decides whether
+    * salting is needed at all. */
+  def hotKeys(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n")).limit(topN)
+}

@@ -116,4 +116,15 @@ object TemplateEngine {
       pipeline: Option[String] = None,
       pipelineTemplates: Seq[TemplateInfo] = Nil): String =
     substitute(template, buildVariables(cfg, templateName, pipeline, pipelineTemplates))
+
+  /** Dialect shim for executing rendered templates via spark.sql: the
+    * few DuckDB constructs the reference's templates rely on that Spark
+    * SQL spells differently. */
+  def toSparkSql(sql: String): String =
+    sql
+      .replaceAll("([A-Za-z_][A-Za-z0-9_.]*)::VARCHAR", "CAST($1 AS STRING)")
+      .replaceAll("([A-Za-z_][A-Za-z0-9_.]*)::FLOAT", "CAST($1 AS FLOAT)")
+      .replaceAll("([A-Za-z_][A-Za-z0-9_.]*)::DOUBLE", "CAST($1 AS DOUBLE)")
+      .replaceAll("(?i)CREATE OR REPLACE TABLE", "CREATE OR REPLACE TEMP VIEW")
+      .replaceAll("(?i)strftime\\(", "date_format(")
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{FieldMapping, GeoFixture, H3Index, H3Wide, Stages, TemplateEngine}
+import graft.config.DatasetConfig
+
+class SkewWideSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GFunctions.registerAll(s)
+    s
+  }
+
+  test("salted join equals the plain join result") {
+    import spark.implicits._
+    // heavily skewed left side: 90% of rows share key 1
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))
+      .toDF("k", "v")
+    val right = (1L to 2000L).map(k => (k, s"meta_$k")).toDF("k", "meta")
+    val plain = left.join(right, "k").select("k", "v", "meta")
+    val salted = Skew.saltedJoin(left, right, "k", 8).select("k", "v", "meta")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (if (i % 20 == 0) i.toLong else 7L, i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(df, "k", 8,
+      partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      finalAggs = Seq(sum("ps").as("s"), sum("pn").as("n")))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+    val hot = Skew.hotKeys(df, "k", 1).head()
+    assert(hot.getLong(0) == 7L)
+  }
+
+  private lazy val index = {
+    val fm = FieldMapping(Map(
+      "source_id" -> "$source_id", "klass" -> "$klass_raw",
+      "grupp" -> "f", "typ" -> "s", "leverantor" -> "$lev_raw"))
+    val staged = Stages.stage004(GeoFixture(spark, "/root/testdata/sf0.001").limit(120))
+    H3Index.build(spark, Map("ds" ->
+      Stages.martH3Cells(Stages.normalizeExtRestr(staged, fm, "ds"), "ds")))
+  }
+
+  test("wide H3 layout: per-cell presence/count columns match the long index") {
+    val klasses = H3Wide.klassValuesOf(index)
+    assert(klasses.nonEmpty && klasses.size <= 5)
+    val wide = H3Wide.build(index, klasses)
+    assert(wide.count() == index.select("h3_cell").distinct().count())
+    // cross-check one klass column against the long layout
+    val k = klasses.head
+    val kcol = "k_" + k.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val fromWide = wide.filter(col(kcol) === 1).count()
+    val fromLong = index.filter(col("klass") === k)
+      .select("h3_cell").distinct().count()
+    assert(fromWide == fromLong)
+    // counts sum matches long row count for that klass
+    val sumWide = wide.agg(sum(col(kcol + "_n"))).head().getLong(0)
+    assert(sumWide == index.filter(col("klass") === k).count())
+  }
+
+  test("template engine renders executable SQL against the layered views") {
+    // a user-authored template in the reference's {{ var }} style,
+    // executed through spark.sql with the registered g_* functions
+    index.createOrReplaceTempView("staging_004_tmpl_ds")
+    val template =
+      """SELECT s.dataset_id, {{ grupp_expr }} AS grupp, COUNT(*) AS n,
+        |  COUNT(DISTINCT s.h3_cell) AS n_cells
+        |FROM {{ prev_schema }}_tmpl_ds s
+        |GROUP BY s.dataset_id, grupp ORDER BY n DESC""".stripMargin
+    val cfg = DatasetConfig(datasetId = "tmpl_ds", pipeline = "ext_restr",
+      grupp = "$klass")
+    val sql = TemplateEngine.render(template, cfg,
+      "005_staging_report.sql", None)
+    assert(sql.contains("FROM staging_004_tmpl_ds"))
+    assert(sql.contains("COALESCE(s.klass::VARCHAR, '')"))
+    // DuckDB-dialect constructs rewrite via the engine's shim
+    val sparkSql = TemplateEngine.toSparkSql(sql)
+    assert(sparkSql.contains("CAST(s.klass AS STRING)"))
+    val out = spark.sql(sparkSql).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(2)).sum == index.count())
+  }
+}
