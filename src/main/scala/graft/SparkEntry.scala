@@ -25,7 +25,8 @@ object SparkEntry {
       VectorQueries.queries ++
       EventQueries.queries ++
       GeoQueries.queries ++
-      DedupQueries.queries
+      DedupQueries.queries ++
+      ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       VectorQueries.oracle ++
       EventQueries.oracle ++
       GeoQueries.oracle ++
-      DedupQueries.oracle
+      DedupQueries.oracle ++
+      ExtendedQueries.oracle
 }

@@ -51,6 +51,9 @@ object GeoQueries {
         Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust"), "geo_cust")
     }
 
+  private[queries] def sharedIndex(s: SparkSession, dir: String): DataFrame =
+    index(s, dir)
+
   private def index(s: SparkSession, dir: String): DataFrame =
     cached("index", dir) {
       // two datasets split by id parity -> exercises the dynamic union,
