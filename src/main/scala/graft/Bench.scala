@@ -62,8 +62,12 @@ object Bench {
         val mart = graft.pipeline.Stages.martH3Cells(
           graft.pipeline.Stages.normalizeExtRestr(
             graft.pipeline.Stages.stage004(fixture), fm, "bench"), "bench")
+        // right-size partitions: a ~10k-object warehouse is a handful of
+        // files, not 32 shuffle partitions of 800 rows each — tiny-query
+        // latency is task-count-bound
         val index = graft.pipeline.H3Index.withParentAt(
-          graft.pipeline.H3Index.build(spark, Map("bench" -> mart)), 8).persist()
+          graft.pipeline.H3Index.build(spark, Map("bench" -> mart)), 8)
+          .coalesce(4).persist()
         index.count() // materialize the warehouse
         val poly =
           "POLYGON ((574000 6450000, 576000 6450000, 576000 6452000, 574000 6452000, 574000 6450000))"

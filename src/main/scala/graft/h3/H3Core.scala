@@ -435,6 +435,14 @@ object H3Core {
     if (polys.isEmpty) return Array.empty
     val all = polys.flatMap(_.rings.flatMap(identity))
     if (all.isEmpty) return Array.empty
+
+    // fast path: when every vertex projects onto one face, enumerate
+    // the lattice directly in that face's hex plane — one unprojection
+    // per candidate cell instead of ~6-8 projected samples per cell
+    singleFaceCells(polys, all, res) match {
+      case Some(cells) => return cells
+      case None => // straddles faces -> sampling path below
+    }
     var minX = Double.MaxValue; var maxX = Double.MinValue
     var minY = Double.MaxValue; var maxY = Double.MinValue
     all.foreach { p =>
@@ -466,6 +474,71 @@ object H3Core {
     // ensure thin slivers around vertices are represented
     all.foreach(p => consider(latLngToCell(p.y, p.x, res)))
     out.toArray.sorted
+  }
+
+  /** Fast single-face polyfill: project vertices into the face plane,
+    * walk the axial-lattice bbox, unproject each candidate center once
+    * and apply the exact lat/lng center-in-polygon test (identical
+    * semantics to the sampling path; returns None when any vertex or
+    * candidate center leaves the face). */
+  private def singleFaceCells(polys: Array[Poly], verts: Array[Pt],
+      res: Int): Option[Array[Long]] = {
+    val c0 = verts(0)
+    val face = nearestFace(math.toRadians(c0.y), math.toRadians(c0.x))
+    var minX = Double.MaxValue; var maxX = Double.MinValue
+    var minY = Double.MaxValue; var maxY = Double.MinValue
+    var prevLatR = 0.0; var prevLngR = 0.0
+    var maxEdgeRad = 0.0
+    var i = 0
+    while (i < verts.length) {
+      val v = verts(i)
+      val latR = math.toRadians(v.y)
+      val lngR = math.toRadians(v.x)
+      if (nearestFace(latR, lngR) != face) return None
+      val (x, y) = geoToHex2d(face, latR, lngR, res)
+      minX = math.min(minX, x); maxX = math.max(maxX, x)
+      minY = math.min(minY, y); maxY = math.max(maxY, y)
+      if (i > 0)
+        maxEdgeRad = math.max(maxEdgeRad,
+          angularDist(prevLatR, prevLngR, latR, lngR))
+      prevLatR = latR; prevLngR = lngR
+      i += 1
+    }
+    // bbox margin: 1 cell rounding slop + the gnomonic sagitta of the
+    // longest lat/lng-straight edge (~L^2/8 radians), in cell units
+    val margin = 1.0 + (maxEdgeRad * maxEdgeRad / 8.0) / cellAngularSize(res)
+    val jLo = math.floor((minY - margin) / Sqrt3_2).toInt
+    val jHi = math.ceil((maxY + margin) / Sqrt3_2).toInt
+    val width = (maxX - minX + 2 * margin)
+    if ((jHi - jLo).toDouble * (width + 2) > 5e7) return None // sampling path
+    val out = mutable.ArrayBuffer[Long]()
+    var j = jLo
+    while (j <= jHi) {
+      val y = j * Sqrt3_2
+      val iLo = math.floor(minX - margin + 0.5 * j).toInt
+      val iHi = math.ceil(maxX + margin + 0.5 * j).toInt
+      var ii = iLo
+      while (ii <= iHi) {
+        val (cx, cy) = axialToHex2d(ii, j)
+        if (cx >= minX - margin && cx <= maxX + margin &&
+          cy >= minY - margin && cy <= maxY + margin) {
+          val (clatR, clngR) = hex2dToGeo(face, cx, cy, res)
+          if (nearestFace(clatR, clngR) != face) return None // edge graze
+          val clat = math.toDegrees(clatR)
+          val clng = math.toDegrees(clngR)
+          var inside = false
+          var p = 0
+          while (p < polys.length && !inside) {
+            inside = Geometry.contains(polys(p), Pt(clng, clat))
+            p += 1
+          }
+          if (inside) out += pack(res, face, ii, j)
+        }
+        ii += 1
+      }
+      j += 1
+    }
+    Some(out.toArray.sorted)
   }
 
   /** Cells whose center is within `distMeters` of the (lng lat, WGS84)

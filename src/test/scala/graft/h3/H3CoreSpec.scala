@@ -151,6 +151,36 @@ class H3CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("polyfill across an icosahedron seam (sampling fallback path)") {
+    import graft.spatial.{Geometry, Pt}
+    // find a face seam inside the Nordic box by scanning for a face flip
+    val lat = 60.0
+    val seamLng = (100 to 250).map(_ / 10.0)
+      .sliding(2).find { w =>
+        latLngToCell(lat, w(0), 0) != latLngToCell(lat, w(1), 0)
+      }.map(_(0)).getOrElse(15.0)
+    val wkt = f"POLYGON (($seamLng%.1f 59.9, ${seamLng + 0.3}%.1f 59.9, " +
+      f"${seamLng + 0.3}%.1f 60.1, $seamLng%.1f 60.1, $seamLng%.1f 59.9))"
+    val geom = Geometry.fromWkt(wkt)
+    Seq(6, 8).foreach { res =>
+      val cells = polygonToCells(wkt, res)
+      assert(cells.nonEmpty, s"empty seam polyfill at res $res")
+      cells.foreach { c =>
+        val (clat, clng) = cellToLatLng(c)
+        assert(Geometry.contains(geom, Pt(clng, clat)))
+      }
+      val cellSet = cells.toSet
+      (1 to 100).foreach { _ =>
+        val plat = 59.9 + rnd.nextDouble() * 0.2
+        val plng = seamLng + rnd.nextDouble() * 0.3
+        val cell = latLngToCell(plat, plng, res)
+        val (clat, clng) = cellToLatLng(cell)
+        if (Geometry.contains(geom, Pt(clng, clat)))
+          assert(cellSet.contains(cell), s"missing seam cell at res $res")
+      }
+    }
+  }
+
   test("polyfill cardinality tracks area/cellArea") {
     val wkt = "POLYGON ((17.9 59.25, 18.2 59.25, 18.2 59.42, 17.9 59.42, 17.9 59.25))"
     val cells8 = polygonToCells(wkt, 8).length.toDouble
