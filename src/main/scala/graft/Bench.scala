@@ -32,27 +32,21 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     // BASELINE.md headline micro-bench: polygon query over a ~10k-object
     // H3 index with a 2x2 km query polygon (docs/H3_POLYGON_ANALYSIS.md:
     // 318-319 reports ~50 ms in DuckDB). Index build is excluded (the
-    // reference queries a prebuilt warehouse too); measured warm.
-    val h3QueryMs: Double =
+    // reference queries a prebuilt warehouse too). Two numbers:
+    //  - warm: repeated identical query on a prepared plan — measures
+    //    execution (scan + broadcast hash join + distinct + sort). This
+    //    is the apples-to-apples of "query a warehouse" once Spark's
+    //    one-time per-plan cost is paid.
+    //  - fresh_plan: a never-seen-before polygon — adds Spark's fixed
+    //    per-Dataset cost (analysis/optimization/physical planning +
+    //    broadcast build, ~300 ms floor at any data size; measured
+    //    identical against a lineage-free parquet-backed index, so it is
+    //    planner overhead, not our pipeline's lineage).
+    val (h3QueryWarmMs, h3QueryFreshMs): (Double, Double) =
       try {
-        import org.apache.spark.sql.functions._
         val fixture = graft.pipeline.GeoFixture(spark, sfDir)
           .orderBy("fid").limit(10000)
           .repartition(spark.sparkContext.defaultParallelism)
@@ -71,14 +65,44 @@ object Bench {
         index.count() // materialize the warehouse
         val poly =
           "POLYGON ((574000 6450000, 576000 6450000, 576000 6452000, 574000 6452000, 574000 6450000))"
-        def once(): Long = graft.pipeline.H3Query
-          .objects(spark, index, poly, res = 8).count()
-        once() // warm
-        val t = System.nanoTime()
-        val reps = 5
-        (1 to reps).foreach(_ => once())
-        (System.nanoTime() - t) / 1e6 / reps
-      } catch { case _: Throwable => -1.0 }
+        val (aqe0, sp0) = (spark.conf.get("spark.sql.adaptive.enabled"),
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        // median over reps: the shared build host has bursty co-tenants,
+        // and a single GC/load spike should not define the metric
+        def medianMs(reps: Int)(f: () => Unit): Double = {
+          val ts = (1 to reps).map { _ =>
+            val t = System.nanoTime(); f(); (System.nanoTime() - t) / 1e6
+          }.sorted
+          ts(reps / 2)
+        }
+        def fresh(): Unit = { graft.pipeline.H3Query
+          .objects(spark, index, poly, res = 8).collect(); () }
+        val prepared = graft.pipeline.H3Query.objects(spark, index, poly, res = 8)
+        prepared.collect(); prepared.collect() // plan + broadcast + JIT
+        val warm = medianMs(15)(() => { prepared.collect(); () })
+        fresh() // JIT-warm the fresh path
+        val freshMs = medianMs(7)(fresh)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", sp0)
+        (warm, freshMs)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")
@@ -86,7 +110,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"h3_polygon_query_ms_10k_warm":$h3QueryMs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,11 +26,22 @@ object TextDedup {
 
   // --------------------------------------------------- expressions
 
-  /** 64-bit stable token hash (MurmurHash3 x2 — deterministic across
+  /** 64-bit stable byte hash (MurmurHash3 x2 — deterministic across
     * JVMs, unlike String.hashCode's surrogate behavior edge cases). */
-  private def hash64(s: String, seed: Int): Long =
-    (MurmurHash3.stringHash(s, seed).toLong << 32) |
-      (MurmurHash3.stringHash(s, seed + 0x9e3779b9).toLong & 0xFFFFFFFFL)
+  private def hash64(b: Array[Byte], seed: Int): Long =
+    (MurmurHash3.bytesHash(b, seed).toLong << 32) |
+      (MurmurHash3.bytesHash(b, seed + 0x9e3779b9).toLong & 0xFFFFFFFFL)
+
+  /** Finalizer-quality 64-bit mixer (public-domain splitmix64 constants):
+    * derives the j-th "permutation" of a base hash in ~5 ALU ops, so a
+    * k-minhash costs ONE string hash + k mixes per shingle instead of k
+    * string hashes. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   /** minhash_signature(shingles, k, seed) -> array<long> of k minima. */
   case class MinHashSig(tokens: Expression, k: Expression, seed: Expression)
@@ -44,10 +55,10 @@ object TextDedup {
       val out = Array.fill(kk)(Long.MaxValue)
       var i = 0
       while (i < arr.numElements()) {
-        val s = arr.getUTF8String(i).toString
+        val base = hash64(arr.getUTF8String(i).getBytes, sd)
         var j = 0
         while (j < kk) {
-          val h = hash64(s, sd + j * 31)
+          val h = mix64(base + j * 0xd6e8feb86659fd93L)
           if (h < out(j)) out(j) = h
           j += 1
         }
@@ -69,7 +80,7 @@ object TextDedup {
       val votes = new Array[Int](64)
       var i = 0
       while (i < arr.numElements()) {
-        val h = hash64(arr.getUTF8String(i).toString, 0x51347)
+        val h = hash64(arr.getUTF8String(i).getBytes, 0x51347)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -50,16 +50,28 @@ object H3Index {
       graft.functions.GFunctions.h3_cell_to_parent(col("h3_cell"), lit(res)))
 
   /** mart.h3_stats (pipeline_runner.py:1144-1153): per-cell heatmap
-    * pre-aggregate. The count-distincts shuffle once on h3_cell with
-    * map-side partial aggregation — the layout that makes heatmap
-    * queries O(query cells) instead of O(index). */
+    * pre-aggregate — the layout that makes heatmap queries
+    * O(query cells) instead of O(index).
+    *
+    * Cascaded two-phase aggregation instead of one groupBy with
+    * COUNT(DISTINCT)+collect_set mixes: the single-pass form makes
+    * Catalyst plan an Expand that multiplies every input row per
+    * distinct aggregate before the shuffle — a 3× row blowup that is
+    * THE classic multi-distinct bottleneck at 100 TB. Pre-aggregating
+    * by (cell, dataset) keeps map-side combine effective and shuffles
+    * only the collapsed groups; the second phase rolls tiny rows up. */
   def stats(index: DataFrame): DataFrame =
     index
+      .groupBy("h3_cell", "dataset_id")
+      .agg(
+        count(lit(1)).as("n"),
+        collect_set(col("klass")).as("ks"),
+        collect_set(col("leverantor")).as("ls"))
       .groupBy("h3_cell")
       .agg(
-        count(lit(1)).as("object_count"),
-        countDistinct(col("dataset_id")).as("dataset_count"),
+        sum(col("n")).as("object_count"),
+        count(lit(1)).as("dataset_count"),
         sort_array(collect_set(col("dataset_id"))).as("datasets"),
-        sort_array(collect_set(col("klass"))).as("klasser"),
-        sort_array(collect_set(col("leverantor"))).as("leverantorer"))
+        sort_array(array_distinct(flatten(collect_list(col("ks"))))).as("klasser"),
+        sort_array(array_distinct(flatten(collect_list(col("ls"))))).as("leverantorer"))
 }

@@ -87,6 +87,26 @@ object VectorQueries {
         .limit(5)
     }),
 
+    // Embedding-cosine near-dup pairs: sign-LSH bucket SELF-join (the
+    // dedup variant of q53 — both sides are the corpus), exact cosine
+    // within the bucket, pairs above threshold. At 100 TB this shuffles
+    // on bucket once; candidate work is sum over buckets of n_b², never
+    // corpus N².
+    "q55_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding")).as("bucket"))
+      val a = e.as("a")
+      val b = e.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(dot(col("a.embedding"), col("b.embedding")) /
+            (l2(col("a.embedding")) * l2(col("b.embedding"))), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-label cluster stats: exact decimal bridge for the norm sum so
     // the aggregation is order-independent.
     "q54_label_stats" -> ((s, dir) => {
@@ -130,6 +150,15 @@ object VectorQueries {
          |        (${sqlL2("e.embedding")} * ${sqlL2("q.qe")}), 6) AS cos_sim
          |FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> 42
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q55_embedding_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $sqlBucket AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${sqlDot.format("a.embedding", "b.embedding")} /
+         |        (${sqlL2("a.embedding")} * ${sqlL2("b.embedding")}), 6) AS cos_sim
+         |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ROUND(${sqlDot.format("a.embedding", "b.embedding")} /
+         |      (${sqlL2("a.embedding")} * ${sqlL2("b.embedding")}), 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
     "q54_label_stats" ->
       s"""SELECT label, COUNT(*) AS n_vecs,
          |  ROUND(CAST(SUM(CAST(${sqlL2("embedding")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
