@@ -164,6 +164,8 @@ object Exporters {
         if (df.columns.contains("geom")) {
           geojsonSeq(df, s"$outDir/$name.geojsonl")
           written += "geojsonl"
+          GeopackageWriter.write(df, s"$outDir/$name.gpkg", name)
+          written += "gpkg"
         }
         if (df0.columns.contains("h3_cell")) {
           csv(df0, s"$outDir/$name.csv")
