@@ -577,6 +577,11 @@ object H3Core {
       }
       best
     }
+    singleFaceLineCells(lines, res, distDeg,
+      (lat, lng) => distToLinesDeg(lat, lng) <= distDeg) match {
+      case Some(cells) => return cells
+      case None => // straddles faces -> sampling path below
+    }
     def consider(cell: Long): Unit =
       if (!seen.contains(cell)) {
         val (clat, clng) = cellToLatLng(cell)
@@ -609,6 +614,89 @@ object H3Core {
       }
     }
     out.toArray.sorted
+  }
+
+  /** Fast single-face corridor fill: project the line vertices into the
+    * face hex plane, enumerate lattice candidates along each segment
+    * with pure integer/double arithmetic (no per-probe latLngToCell),
+    * then unproject each UNIQUE candidate once and apply the exact
+    * distance predicate — identical semantics to the sampling path.
+    * Returns None when any vertex or candidate center leaves the face
+    * (the sampling path handles seam-straddling corridors). */
+  private def singleFaceLineCells(lines: Array[Array[Pt]], res: Int,
+      distDeg: Double, exact: (Double, Double) => Boolean): Option[Array[Long]] = {
+    if (lines.isEmpty || lines(0).length == 0) return Some(Array.empty)
+    val v0 = lines(0)(0)
+    val face = nearestFace(math.toRadians(v0.y), math.toRadians(v0.x))
+    var maxEdgeRad = 0.0
+    val proj: Array[Array[(Double, Double)]] = lines.map { pts =>
+      var i = 0
+      val arr = new Array[(Double, Double)](pts.length)
+      var prevLatR = 0.0; var prevLngR = 0.0
+      while (i < pts.length) {
+        val latR = math.toRadians(pts(i).y)
+        val lngR = math.toRadians(pts(i).x)
+        if (nearestFace(latR, lngR) != face) return None
+        if (i > 0)
+          maxEdgeRad = math.max(maxEdgeRad,
+            angularDist(prevLatR, prevLngR, latR, lngR))
+        prevLatR = latR; prevLngR = lngR
+        arr(i) = geoToHex2d(face, latR, lngR, res)
+        i += 1
+      }
+      arr
+    }
+    // corridor half-width in cell units + rounding slop + gnomonic
+    // sagitta of the longest lat/lng-straight segment
+    val corridor = math.toRadians(distDeg) / cellAngularSize(res)
+    val win = corridor + 2.0 +
+      (maxEdgeRad * maxEdgeRad / 8.0) / cellAngularSize(res)
+    if (win > 64) return None // huge buffer vs cell size -> sampling
+    val cand = mutable.LongMap[Boolean]()
+    proj.foreach { pts =>
+      var s = 0
+      while (s < pts.length - 1) {
+        val (ax, ay) = pts(s)
+        val (bx, by) = pts(s + 1)
+        val len = math.hypot(bx - ax, by - ay)
+        val n = math.max(1, math.ceil(len / 0.7).toInt)
+        if (n.toDouble * (2 * win + 1) * (2 * win + 1) > 5e7) return None
+        var k = 0
+        while (k <= n) {
+          val t = k.toDouble / n
+          val x = ax + t * (bx - ax)
+          val y = ay + t * (by - ay)
+          val jLo = math.floor((y - win) / Sqrt3_2).toInt
+          val jHi = math.ceil((y + win) / Sqrt3_2).toInt
+          var j = jLo
+          while (j <= jHi) {
+            val iLo = math.floor(x - win + 0.5 * j).toInt
+            val iHi = math.ceil(x + win + 0.5 * j).toInt
+            var ii = iLo
+            while (ii <= iHi) {
+              cand((ii.toLong << 32) | (j.toLong & 0xFFFFFFFFL)) = true
+              ii += 1
+            }
+            j += 1
+          }
+          k += 1
+        }
+        s += 1
+      }
+    }
+    val out = mutable.ArrayBuffer[Long]()
+    val it = cand.keysIterator
+    while (it.hasNext) {
+      val key = it.next()
+      val ii = (key >> 32).toInt
+      val j = key.toInt
+      val (cx, cy) = axialToHex2d(ii, j)
+      val (clatR, clngR) = hex2dToGeo(face, cx, cy, res)
+      if (nearestFace(clatR, clngR) != face) return None // edge graze
+      if (exact(math.toDegrees(clatR), math.toDegrees(clngR)))
+        out += pack(res, face, ii, j)
+    }
+    Some(out.toArray.sorted)
   }
 
   // ------------------------------------------------- res-0 diagnostics

@@ -221,6 +221,45 @@ class H3CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("single-face line fast path matches dense-sampling reference") {
+    val pts = Seq((17.95, 59.30), (18.02, 59.33), (18.10, 59.35))
+    val line = "LINESTRING (" +
+      pts.map { case (x, y) => s"$x $y" }.mkString(", ") + ")"
+    val dist = 150.0
+    val res = 10
+    val got = lineToCells(line, dist, res).toSet
+    // independent reference: dense lat/lng probe of the corridor bbox,
+    // keep cells whose center passes the same equirectangular predicate
+    val distDeg = dist / 111320.0
+    def distToLine(lat: Double, lng: Double): Double = {
+      val cosLat = math.cos(math.toRadians(lat))
+      pts.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        val ax = (x1 - lng) * cosLat; val ay = y1 - lat
+        val bx = (x2 - lng) * cosLat; val by = y2 - lat
+        val dx = bx - ax; val dy = by - ay
+        val l2 = dx * dx + dy * dy
+        val t = if (l2 == 0) 0.0
+          else math.max(0.0, math.min(1.0, -(ax * dx + ay * dy) / l2))
+        math.hypot(ax + t * dx, ay + t * dy)
+      }.min
+    }
+    val ref = scala.collection.mutable.Set[Long]()
+    val step = math.toDegrees(cellAngularSize(res)) * 0.2
+    var lat = 59.30 - 3 * distDeg
+    while (lat <= 59.35 + 3 * distDeg) {
+      var lng = 17.95 - 6 * distDeg
+      while (lng <= 18.10 + 6 * distDeg) {
+        val c = latLngToCell(lat, lng, res)
+        val (clat, clng) = cellToLatLng(c)
+        if (distToLine(clat, clng) <= distDeg) ref += c
+        lng += step
+      }
+      lat += step
+    }
+    assert(got == ref.toSet,
+      s"missing=${(ref -- got).size} extra=${(got -- ref).size}")
+  }
+
   test("hex string round-trips") {
     val cell = latLngToCell(59.33, 18.07, 9)
     assert(fromHexString(toHexString(cell)) == cell)
