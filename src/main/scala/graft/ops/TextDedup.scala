@@ -100,8 +100,70 @@ object TextDedup {
       copy(tokens = c(0))
   }
 
+  /** minhash_shingle_signature(tokens, n, k, seed): fused shingle+hash —
+    * slides an n-token window over the token array and hashes the
+    * joined bytes directly, producing BIT-IDENTICAL minima to
+    * `MinHashSig(shinglesOf(tokens, n))` without materializing the
+    * O(tokens) shingle-string array through Catalyst (sequence/
+    * transform/slice/concat_ws allocate ~500 strings per document —
+    * that was the dominant cost of candidate generation, not the LSH
+    * join). */
+  case class MinHashShingleSig(tokens: Expression, n: Expression,
+      k: Expression, seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(tokens, n, k, seed)
+    override def dataType: DataType = ArrayType(LongType)
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val arr = a(0).asInstanceOf[ArrayData]
+      val nn = int(a(1))
+      val kk = int(a(2))
+      val sd = int(a(3))
+      val nTok = arr.numElements()
+      val toks = new Array[Array[Byte]](nTok)
+      var i = 0
+      while (i < nTok) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      val out = Array.fill(kk)(Long.MaxValue)
+      def consume(bytes: Array[Byte]): Unit = {
+        val base = hash64(bytes, sd)
+        var j = 0
+        while (j < kk) {
+          val h = mix64(base + j * 0xd6e8feb86659fd93L)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      def joined(from: Int, until: Int): Array[Byte] = {
+        var len = 0
+        var t = from
+        while (t < until) { len += toks(t).length + 1; t += 1 }
+        val buf = new Array[Byte](math.max(len - 1, 0))
+        var off = 0
+        t = from
+        while (t < until) {
+          System.arraycopy(toks(t), 0, buf, off, toks(t).length)
+          off += toks(t).length
+          if (t + 1 < until) { buf(off) = ' '.toByte; off += 1 }
+          t += 1
+        }
+        buf
+      }
+      if (nTok < nn) consume(joined(0, nTok)) // shinglesOf short-text fallback
+      else {
+        var w = 0
+        while (w + nn <= nTok) { consume(joined(w, w + nn)); w += 1 }
+      }
+      new GenericArrayData(out.map(java.lang.Long.valueOf(_).asInstanceOf[Any]))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(tokens = c(0), n = c(1), k = c(2), seed = c(3))
+  }
+
   def minhash_signature(shingles: Column, k: Int, seed: Int = 42): Column =
     toCol(MinHashSig(toExpr(shingles), toExpr(lit(k)), toExpr(lit(seed))))
+
+  def minhash_shingle_signature(tokens: Column, n: Int, k: Int,
+      seed: Int = 42): Column =
+    toCol(MinHashShingleSig(toExpr(tokens), toExpr(lit(n)), toExpr(lit(k)),
+      toExpr(lit(seed))))
 
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 
@@ -131,19 +193,36 @@ object TextDedup {
   /** MinHash LSH candidate pairs: shingle -> k-minhash -> `bands` bands
     * of `k/bands` rows -> explode -> bucket equi-join within band.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
-    * bands. `df` needs (idCol, textCol). */
+    * bands. `df` needs (idCol, textCol).
+    *
+    * `maxBucket` drops (band, bucket) groups larger than the cap before
+    * the self-join — the standard web-scale dedup guard: a bucket shared
+    * by thousands of documents is non-discriminative boilerplate and
+    * contributes O(n_b²) join work; true near-dup pairs still collide in
+    * their other, smaller bands. The size aggregation is map-side
+    * combinable and shuffles on the same (band, bucket) key the join
+    * needs anyway. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     val sig = df.select(
       col(idCol).as("doc_id"),
-      minhash_signature(shinglesOf(tokensOf(col(textCol)), shingleN), k).as("sig"))
-    val banded = sig.select(
+      minhash_shingle_signature(tokensOf(col(textCol)), shingleN, k).as("sig"))
+    val banded0 = sig.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bucket")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val sizes = banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucket)
+        banded0.join(sizes, Seq("band", "bucket")).drop("bsz")
+      }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -186,11 +265,19 @@ object TextDedup {
 
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts
     * back (broadcast the small candidate set at interactive scale;
-    * shuffle-join on id at batch scale) and compute exact overlap. */
+    * shuffle-join on id at batch scale) and compute exact overlap.
+    * Shingle arrays are computed ONLY for documents that appear in a
+    * candidate pair (semi-join first): the candidate set after LSH is
+    * orders of magnitude smaller than the corpus, and building the
+    * O(tokens) shingle array for every corpus row twice was the cost. */
   def jaccardRefine(candidates: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("jid"),
-      shinglesOf(tokensOf(col(textCol)), shingleN).as("sh"))
+    val ids = candidates.select(col("id_a").as("jid"))
+      .union(candidates.select(col("id_b").as("jid"))).distinct()
+    val needed = df.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+      .join(ids, "jid")
+    val sh = needed.select(col("jid"),
+      shinglesOf(tokensOf(col("jtext")), shingleN).as("sh"))
     candidates
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -25,9 +25,14 @@ object DedupQueries {
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, Array[Array[Double]])]()
 
+  // maxBucket=64: the synthetic corpus shares a tiny vocabulary, so a
+  // few boilerplate buckets hold hundreds of docs and would dominate
+  // the self-join quadratically — the cap is the same guard a web-scale
+  // dedup run ships with (see TextDedup.minHashCandidates).
   private def candidates(s: SparkSession, dir: String): DataFrame =
     candMemo.computeIfAbsent(dir, _ =>
-      TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text").persist())
+      TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text",
+        maxBucket = 64).persist())
 
   private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     ivfMemo.computeIfAbsent(dir, _ => {
