@@ -166,6 +166,8 @@ object Exporters {
           written += "geojsonl"
           GeopackageWriter.write(df, s"$outDir/$name.gpkg", name)
           written += "gpkg"
+          FlatGeobuf.write(df, s"$outDir/$name.fgb", name)
+          written += "fgb"
         }
         if (df0.columns.contains("h3_cell")) {
           csv(df0, s"$outDir/$name.csv")
