@@ -26,7 +26,8 @@ object SparkEntry {
       EventQueries.queries ++
       GeoQueries.queries ++
       DedupQueries.queries ++
-      ExtendedQueries.queries
+      ExtendedQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       EventQueries.oracle ++
       GeoQueries.oracle ++
       DedupQueries.oracle ++
-      ExtendedQueries.oracle
+      ExtendedQueries.oracle ++
+      PipelineQueries.oracle
 }

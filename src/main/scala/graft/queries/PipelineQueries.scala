@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operator battery over `documents`/`orders`
+  * (builder brief §LLM-pipeline): version dedup, deterministic
+  * hash sampling, corpus stats, vocabulary top-k, set ops — each
+  * DuckDB-oracle-checked. Every pattern is chosen for its 100 TB
+  * shape: hash-partitionable, no driver-side state, exact results
+  * independent of partitioning. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Keep-one-version dedup: row_number over the content fingerprint,
+    // earliest doc_id wins — the canonical "dedup exact copies, keep
+    // stable representative" pass of a corpus pipeline. Shuffles on the
+    // fingerprint hash; no global sort.
+    "q80_version_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      docs(s, dir)
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic hash sampling (~1/8 of the corpus): reproducible on
+    // any cluster/partitioning, unlike TABLESAMPLE. The filter pushes
+    // to the scan.
+    "q81_hash_sample" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // CUBE over (lang, source): the full coverage matrix incl. margins.
+    "q82_cube" -> ((s, dir) => {
+      docs(s, dir)
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+    }),
+
+    // Exact interpolated percentiles of document length per language.
+    "q83_percentiles" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+        .orderBy("lang")
+    }),
+
+    // ntile quartiles by length per language -> bucket histogram.
+    "q84_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      docs(s, dir)
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .groupBy("lang", "q")
+        .agg(count(lit(1)).as("n"), max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "q")
+    }),
+
+    // Anti-membership via EXCEPT: customers with no high-value order.
+    "q85_set_ops" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders")
+          .filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")
+        .limit(2000)
+    }),
+
+    // Scalar conditional battery: least/greatest/nullif/coalesce.
+    "q86_least_greatest" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+          least(col("l_quantity"), col("l_discount") * 100).as("lo"),
+          greatest(col("l_quantity"), col("l_tax") * 100).as("hi"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"))
+        .orderBy("l_orderkey", "ln")
+        .limit(2000)
+    }),
+
+    // Fixed-width histogram binning of order value.
+    "q87_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
+    // Vocabulary top-k: explode tokens -> count -> topk. Map-side
+    // partial aggregation collapses the token stream before the
+    // shuffle; TakeOrdered keeps the result exchange at k rows.
+    "q88_top_tokens" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(50)
+    }),
+
+    // Per-language share of the corpus (exact ratio via window-free
+    // cross join with the 1-row total — broadcast, no second shuffle).
+    "q89_lang_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val total = d.agg(count(lit(1)).as("total"))
+      d.groupBy("lang").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"))
+        .orderBy("lang")
+    }),
+
+    // Longest-doc-per-source via row_number (top-1-per-group pattern).
+    "q90_argmax_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("source")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q80_version_dedup" ->
+      """WITH r AS (
+        |  SELECT doc_id, md5(text) AS fp,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q81_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+    "q82_cube" ->
+      """SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q83_percentiles" ->
+      """SELECT lang,
+        |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q84_ntile" ->
+      """WITH q AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS q
+        |  FROM documents)
+        |SELECT lang, q, COUNT(*) AS n, MAX(n_chars) AS max_chars
+        |FROM q GROUP BY lang, q ORDER BY lang, q""".stripMargin,
+    "q85_set_ops" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |ORDER BY k LIMIT 2000""".stripMargin,
+    "q86_least_greatest" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  least(l_quantity, l_discount * 100) AS lo,
+        |  greatest(l_quantity, l_tax * 100) AS hi,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
+        |FROM lineitem ORDER BY l_orderkey, ln LIMIT 2000""".stripMargin,
+    "q87_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q88_top_tokens" ->
+      """SELECT t.token, COUNT(*) AS n
+        |FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+        |WHERE t.token <> ''
+        |GROUP BY t.token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "q89_lang_coverage" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS share
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q90_argmax_per_group" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+  )
+}
