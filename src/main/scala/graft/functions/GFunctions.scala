@@ -150,5 +150,14 @@ object GFunctions {
     reg1("area_ha", es => toExpr(g_area_ha(toCol(es))))
     reg3("h3_center", H3Center(_, _, _))
     reg2("h3_polygon_cells", H3PolygonCells(_, _))
+
+    // dedup sketch surface (beyond-reference: SURVEY §7.4 operators as
+    // SQL functions, so the LLM-pipeline passes are spark.sql-reachable)
+    def reg4(name: String,
+        f: (Expression, Expression, Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1), es(2), es(3)), "built-in")
+    reg3("minhash_signature", graft.ops.TextDedup.MinHashSig(_, _, _))
+    reg4("minhash_shingle_signature", graft.ops.TextDedup.MinHashShingleSig(_, _, _, _))
+    reg1("simhash64", graft.ops.TextDedup.SimHash64(_))
   }
 }

@@ -129,6 +129,33 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // RANGE-frame window: trailing-30-day order count per customer
+    // (value-based frame, not row-based).
+    "q91_range_frame" -> ((s, dir) => {
+      val d = datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("d", d.cast("long"))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .select("o_orderkey", "o_custkey", "n_30d")
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    }),
+
+    // first_value / last_value over the full partition frame.
+    "q92_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("last_price", last(col("o_totalprice")).over(w))
+        .select("o_orderkey", "o_custkey", "first_price", "last_price")
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    }),
+
     // Longest-doc-per-source via row_number (top-1-per-group pattern).
     "q90_argmax_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("source")
@@ -191,6 +218,24 @@ object PipelineQueries {
       """SELECT lang, COUNT(*) AS n,
         |  ROUND(COUNT(*) / (SELECT COUNT(*) FROM documents), 6) AS share
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q91_range_frame" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+        |FROM d ORDER BY o_custkey, o_orderkey LIMIT 2000""".stripMargin,
+    "q92_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000""".stripMargin,
     "q90_argmax_per_group" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,

@@ -143,6 +143,19 @@ class GFunctionsSpec extends AnyFunSuite {
     assert(q.length > 0)
   }
 
+  test("SQL surface: dedup sketch functions work in spark.sql") {
+    val r = spark.sql(
+      """SELECT
+        |  minhash_shingle_signature(split('a b c d e', ' '), 3, 8, 42) AS sig,
+        |  minhash_signature(array('a b c', 'b c d', 'c d e'), 8, 42) AS sig2,
+        |  simhash64(split('hello world hello', ' ')) AS sh""".stripMargin).head()
+    val sig = r.getSeq[Long](0)
+    val sig2 = r.getSeq[Long](1)
+    assert(sig.length == 8)
+    assert(sig == sig2) // fused shingle+hash is bit-identical to explicit shingles
+    assert(r.getLong(2) != 0L)
+  }
+
   test("g_validate_geom fixes an open ring, g_geom_md5 stable") {
     import spark.implicits._
     val d = Seq("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))").toDF("wkt")
