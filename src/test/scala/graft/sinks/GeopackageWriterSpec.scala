@@ -121,6 +121,34 @@ class GeopackageWriterSpec extends AnyFunSuite {
     assert(gc(2) == "GEOMETRY")
   }
 
+  test("writer output feeds the zip_geopackage source -> stage004 loop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, graft.spatial.Geometry.toWkb(Poly(Array(Array(
+        Pt(600000, 6500000), Pt(600800, 6500000),
+        Pt(600800, 6500800), Pt(600000, 6500800), Pt(600000, 6500000)))))))
+      .toDF("oid", "geom")
+    val dir = Files.createTempDirectory("gpkgzip")
+    val gpkg = dir.resolve("export.gpkg")
+    GeopackageWriter.write(df, gpkg.toString, "exported", "geom")
+    // zip it like a published dataset archive
+    val zipPath = dir.resolve("export.zip")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath.toFile))
+    zos.putNextEntry(new java.util.zip.ZipEntry("export.gpkg"))
+    zos.write(Files.readAllBytes(gpkg))
+    zos.closeEntry(); zos.close()
+
+    val back = graft.sources.Sources.ZipGeopackageSource.read(spark, Map(
+      "url" -> zipPath.toUri.toString,
+      "cache_dir" -> Files.createTempDirectory("gpkgzipc").toString))
+    assert(back.count() == 1)
+    val staged = graft.pipeline.Stages.stage004(back)
+    val r = staged.select("_geom_md5", "_h3_index").head()
+    assert(r.getString(0).length == 32)
+    assert(r.getString(1).nonEmpty)
+  }
+
   test("geopackage writer: GPKG blob header carries envelope + srs") {
     val blob = GeopackageWriter.gpkgBlob(
       Poly(Array(Array(Pt(0, 0), Pt(10, 0), Pt(10, 5), Pt(0, 5), Pt(0, 0)))), 3006)
