@@ -74,4 +74,19 @@ object H3Index {
         sort_array(collect_set(col("dataset_id"))).as("datasets"),
         sort_array(array_distinct(flatten(collect_list(col("ks"))))).as("klasser"),
         sort_array(array_distinct(flatten(collect_list(col("ls"))))).as("leverantorer"))
+
+  /** Sketch-based h3_stats for the 100 TB regime: HyperLogLog++
+    * cardinalities instead of exact distinct sets. The shuffle carries
+    * fixed-size sketches per (cell) group — bounded by cells × sketch
+    * size no matter how many objects land in a cell — and loses the
+    * exact member lists, which heatmap rendering doesn't need. `rsd` is
+    * the standard-deviation knob (Spark default 0.05). */
+  def statsApprox(index: DataFrame, rsd: Double = 0.05): DataFrame =
+    index
+      .groupBy("h3_cell")
+      .agg(
+        count(lit(1)).as("object_count"),
+        approx_count_distinct(col("dataset_id"), rsd).as("dataset_count"),
+        approx_count_distinct(col("klass"), rsd).as("klass_count"),
+        approx_count_distinct(col("leverantor"), rsd).as("leverantor_count"))
 }

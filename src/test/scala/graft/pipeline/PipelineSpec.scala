@@ -103,6 +103,17 @@ class PipelineSpec extends AnyFunSuite {
     val top = st.orderBy(desc("object_count")).head()
     assert(top.getAs[Long]("object_count") >= 1)
     assert(top.getAs[scala.collection.Seq[String]]("datasets").nonEmpty)
+
+    // sketch variant agrees with the exact pre-aggregate: identical
+    // object_count (it's exact in both), HLL cardinalities within rsd
+    // slack of the true distinct counts (tiny sets -> exact here)
+    val exact = st.select("h3_cell", "object_count", "dataset_count")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    H3Index.statsApprox(idx).collect().foreach { r =>
+      val (n, d) = exact(r.getString(0))
+      assert(r.getAs[Long]("object_count") == n)
+      assert(math.abs(r.getAs[Long]("dataset_count") - d) <= math.max(1, d / 10))
+    }
   }
 
   test("polygon query golden: objects mode matches a brute-force filter") {
