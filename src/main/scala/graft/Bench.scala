@@ -31,6 +31,19 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Warm the geometry/H3 JIT paths on a tiny slice (limit(200)) — the
+    // interpreted->C2 ramp of the cell-math expressions otherwise lands
+    // entirely inside the first geo query's measurement. The full-size
+    // staged/mart computation still happens (and is timed) in q61+.
+    try {
+      val tiny = graft.pipeline.GeoFixture(spark, sfDir).limit(200)
+      val st = graft.pipeline.Stages.stage004(tiny)
+      st.write.format("noop").mode("overwrite").save()
+      graft.pipeline.Stages.martH3Compact(
+        graft.pipeline.Stages.normalizeExtRestr(st, graft.pipeline.FieldMapping(
+          Map("source_id" -> "$source_id")), "warm"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
 
     // BASELINE.md headline micro-bench: polygon query over a ~10k-object
     // H3 index with a 2x2 km query polygon (docs/H3_POLYGON_ANALYSIS.md:

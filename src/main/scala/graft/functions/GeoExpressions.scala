@@ -99,12 +99,19 @@ case class H3CellToGeom(cell: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = BinaryType
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val wgs = Geometry.fromWkt(H3Core.cellToBoundaryWkt(H3Core.fromHexString(str(a(0)))))
-    val sweref = Geometry.mapCoords(wgs, p => {
-      val (e, n) = Crs.wgs84ToSweref(p.y, p.x)
-      Pt(e, n)
-    })
-    Geometry.toWkb(sweref)
+    // boundary vertices -> ring -> WKB directly; the earlier WKT
+    // print/parse round-trip per row dominated index-build time
+    val b = H3Core.cellToBoundary(H3Core.fromHexString(str(a(0))))
+    val ring = new Array[Pt](b.length + 1)
+    var i = 0
+    while (i < b.length) {
+      val (lat, lng) = b(i)
+      val (e, n) = Crs.wgs84ToSweref(lat, lng)
+      ring(i) = Pt(e, n)
+      i += 1
+    }
+    ring(b.length) = ring(0)
+    Geometry.toWkb(graft.spatial.Poly(Array(ring)))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cell = c(0))

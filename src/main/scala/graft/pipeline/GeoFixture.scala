@@ -12,15 +12,24 @@ import graft.functions.GFunctions._
   * string-level checks; the spatial results get rows-only checks).
   *
   * Coordinates land in a plausible southern-Sweden box
-  * (E 500-694 km, N 6400-6664 km). custkey % 3 picks the geometry
+  * (E 560-623 km, N 6440-6509 km). custkey % 3 picks the geometry
   * type, mirroring the reference's mixed polygon/line/point datasets.
+  * The query polygon below covers the box's northern ~60%, so polygon
+  * queries select a real subset.
   */
 object GeoFixture {
 
   def apply(spark: SparkSession, dir: String): DataFrame = {
     val c = spark.read.parquet(s"$dir/customer.parquet")
-    val x0 = (col("c_custkey") % 97) * 2000 + 500000
-    val y0 = ((col("c_custkey") * 7) % 89) * 3000 + 6400000
+    // 31 x 23 position grid (713 positions, coprime to the %3 type
+    // split -> every position hosts all three geometry types): objects
+    // CLUSTER — several per position as sf grows — so H3 cells are
+    // shared across objects and the heatmap / stats aggregates exercise
+    // real multi-object groups instead of the degenerate all-counts-1
+    // case (which is both unrealistic and the aggregation worst case:
+    // one group per row defeats map-side combine).
+    val x0 = (col("c_custkey") % 31) * 2000 + 560000
+    val y0 = ((col("c_custkey") * 7) % 23) * 3000 + 6440000
     def s(c0: org.apache.spark.sql.Column) = c0.cast("long").cast("string")
     val wkt = when(col("c_custkey") % 3 === 0,
       concat(lit("POINT ("), s(x0), lit(" "), s(y0), lit(")")))
@@ -48,16 +57,16 @@ object GeoFixture {
   /** The SQL that reproduces the WKT strings in DuckDB, for oracles. */
   val wktSql: String =
     """CASE
-      |  WHEN c_custkey % 3 = 0 THEN 'POINT (' || CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ')'
+      |  WHEN c_custkey % 3 = 0 THEN 'POINT (' || CAST((c_custkey % 31) * 2000 + 560000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS VARCHAR) || ')'
       |  WHEN c_custkey % 3 = 1 THEN 'POLYGON ((' ||
-      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ', ' ||
-      |    CAST((c_custkey % 97) * 2000 + 500800 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ', ' ||
-      |    CAST((c_custkey % 97) * 2000 + 500800 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400800 AS VARCHAR) || ', ' ||
-      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400800 AS VARCHAR) || ', ' ||
-      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || '))'
+      |    CAST((c_custkey % 31) * 2000 + 560000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 31) * 2000 + 560800 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 31) * 2000 + 560800 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440800 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 31) * 2000 + 560000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440800 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 31) * 2000 + 560000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS VARCHAR) || '))'
       |  ELSE 'LINESTRING (' ||
-      |    CAST((c_custkey % 97) * 2000 + 500000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400000 AS VARCHAR) || ', ' ||
-      |    CAST((c_custkey % 97) * 2000 + 501500 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 89 * 3000 + 6400900 AS VARCHAR) || ')'
+      |    CAST((c_custkey % 31) * 2000 + 560000 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS VARCHAR) || ', ' ||
+      |    CAST((c_custkey % 31) * 2000 + 561500 AS VARCHAR) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440900 AS VARCHAR) || ')'
       |END""".stripMargin
 
   /** A query polygon over the middle of the fixture box (SWEREF99). */

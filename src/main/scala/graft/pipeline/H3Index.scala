@@ -75,6 +75,26 @@ object H3Index {
         sort_array(array_distinct(flatten(collect_list(col("ks"))))).as("klasser"),
         sort_array(array_distinct(flatten(collect_list(col("ls"))))).as("leverantorer"))
 
+  /** Top-k h3_stats: "hottest cells" without paying the full set
+    * aggregation for every cell. object_count per cell is just the row
+    * count, so phase 1 is a codegen hash-count + TakeOrdered(k) — the
+    * cheap 99% — and the expensive collect_set columns are computed
+    * only for the k winning cells after a broadcast semi-join. Output
+    * is identical to
+    * `stats(index).orderBy(desc("object_count"), asc("h3_cell")).limit(k)`
+    * (per-cell aggregates are independent across cells). At 100 TB the
+    * shuffle carries (cell, partial count) instead of every row's
+    * string payload. */
+  def statsTop(index: DataFrame, k: Int): DataFrame = {
+    val top = index.groupBy("h3_cell")
+      .agg(count(lit(1)).as("object_count"))
+      .orderBy(desc("object_count"), asc("h3_cell"))
+      .limit(k)
+      .select("h3_cell")
+    stats(index.join(broadcast(top), "h3_cell"))
+      .orderBy(desc("object_count"), asc("h3_cell"))
+  }
+
   /** Sketch-based h3_stats for the 100 TB regime: HyperLogLog++
     * cardinalities instead of exact distinct sets. The shuffle carries
     * fixed-size sketches per (cell) group — bounded by cells × sketch

@@ -118,7 +118,16 @@ object Stages {
     * JSON cell array three times (cell, latlng, geom); here the array
     * explodes ONCE and latlng/geom derive from the exploded cell —
     * one shuffle-free projection instead of three array scans. */
-  def martH3Cells(df: DataFrame, datasetId: String): DataFrame = {
+  def martH3Cells(df: DataFrame, datasetId: String): DataFrame =
+    martH3Derived(martH3Core(df, datasetId))
+
+  /** The shuffle/storage-relevant part of the mart: one row per
+    * (object, cell), narrow columns only. Cache THIS — the derived
+    * latlng/geom columns are pure per-row functions of `h3_cell` and
+    * materializing them for every exploded row (WKB polygon ≈ 120 B ×
+    * billions of rows at 100 TB) wastes cache and I/O for the many
+    * consumers (stats, heatmap, explode-counts) that never read them. */
+  def martH3Core(df: DataFrame, datasetId: String): DataFrame =
     df
       .filter(col("h3_cells").isNotNull && size(col("h3_cells")) > 0)
       .select(
@@ -130,9 +139,14 @@ object Stages {
           coalesce(nullif(col("grupp"), lit("")), lit("-")),
           coalesce(nullif(col("typ"), lit("")), lit("-"))).as("classification"),
         explode(col("h3_cells")).as("h3_cell"))
+
+  /** Derived per-cell columns, applied lazily on top of the core so
+    * Catalyst's column pruning drops the (expensive) cell math for
+    * consumers that don't read them. */
+  def martH3Derived(core: DataFrame): DataFrame =
+    core
       .withColumn("latlng", h3_cell_to_latlng(col("h3_cell")))
       .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
-  }
 
   /** Mart template 003 (aab_ext_restr/003:10-16): per-object compacted
     * cell hierarchy — a pure per-row array op, no shuffle. */

@@ -83,14 +83,22 @@ object ExtendedQueries {
     }),
 
     // Array ops over embeddings: slice + in-order reverse + element ops.
+    // Final projection canonicalizes float arrays to scaled-integer
+    // strings (floor(x*1e6) is exact IEEE math in both engines) so the
+    // driver's pandas oracle can sort/hash the columns; the array ops
+    // themselves still run on the raw float arrays.
     "q47_array_ops" -> ((s, dir) => {
+      def canon(c: org.apache.spark.sql.Column) =
+        concat_ws(",",
+          transform(c, x => floor(x.cast("double") * 1000000).cast("string")))
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          slice(col("embedding"), 1, 5).as("head5"),
-          reverse(slice(col("embedding"), 1, 3)).as("rev3"),
-          element_at(col("embedding"), 64).as("last_elem"),
-          sort_array(slice(col("embedding"), 1, 4)).as("sorted4"))
+          canon(slice(col("embedding"), 1, 5)).as("head5"),
+          canon(reverse(slice(col("embedding"), 1, 3))).as("rev3"),
+          floor(element_at(col("embedding"), 64).cast("double") * 1000000)
+            .as("last_elem"),
+          canon(sort_array(slice(col("embedding"), 1, 4))).as("sorted4"))
         .orderBy("vec_id")
     }),
 
@@ -172,10 +180,14 @@ object ExtendedQueries {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q47_array_ops" ->
-      """SELECT vec_id, embedding[1:5] AS head5,
-        |  list_reverse(embedding[1:3]) AS rev3,
-        |  embedding[64] AS last_elem,
-        |  list_sort(embedding[1:4]) AS sorted4
+      """SELECT vec_id,
+        |  array_to_string(list_transform(embedding[1:5],
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) AS VARCHAR)), ',') AS head5,
+        |  array_to_string(list_transform(list_reverse(embedding[1:3]),
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) AS VARCHAR)), ',') AS rev3,
+        |  CAST(floor(CAST(embedding[64] AS DOUBLE)*1000000) AS BIGINT) AS last_elem,
+        |  array_to_string(list_transform(list_sort(embedding[1:4]),
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) AS VARCHAR)), ',') AS sorted4
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q48_regexp_extract" ->
       """SELECT doc_id,

@@ -45,25 +45,41 @@ object GeoQueries {
         GeoFixture(s, dir).repartition(s.sparkContext.defaultParallelism))
     }
 
+  /** Cache the NARROW mart core (id/klass/…/h3_cell) and derive the
+    * per-cell latlng/geom columns lazily on top: consumers that never
+    * read them (explode-counts, h3_stats, heatmap, objects) get them
+    * column-pruned instead of paying per-row cell->polygon math and a
+    * WKB-wide cache for 10^6-10^9 exploded rows. Only the exact-refine
+    * query (q67) evaluates geom, and only on its post-join matches. */
   private def mart(s: SparkSession, dir: String): DataFrame =
-    cached("mart", dir) {
-      Stages.martH3Cells(
+    Stages.martH3Derived(cached("mart_core", dir) {
+      Stages.martH3Core(
         Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust"), "geo_cust")
-    }
+    })
 
   private[queries] def sharedIndex(s: SparkSession, dir: String): DataFrame =
     index(s, dir)
 
-  private def index(s: SparkSession, dir: String): DataFrame =
-    cached("index", dir) {
+  /** The queryable index: persist the NARROW columns plus the
+    * materialized query-res ancestor (the covering column H3Query picks
+    * up automatically — polygon queries become pure equi-joins with no
+    * per-row cell math), and re-derive the WKB cell geometry lazily so
+    * only the exact-refine path ever evaluates it. */
+  private def index(s: SparkSession, dir: String): DataFrame = {
+    val core = cached("index_core", dir) {
       // two datasets split by id parity -> exercises the dynamic union,
       // both branches filtering the one cached mart (no recompute)
       val m = mart(s, dir)
       val parity = conv(substring(col("id"), 1, 2), 16, 10).cast("int") % 2
       val even = m.filter(parity === 0).withColumn("dataset", lit("geo_even"))
       val odd = m.filter(parity === 1).withColumn("dataset", lit("geo_odd"))
-      H3Index.build(s, Map("geo_even" -> even, "geo_odd" -> odd))
+      H3Index.withParentAt(
+        H3Index.build(s, Map("geo_even" -> even, "geo_odd" -> odd))
+          .drop("geom"),
+        H3Query.DefaultQueryRes)
     }
+    core.withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // WKB<->WKT round-trip + type dispatch, oracle-checked at string
@@ -100,10 +116,14 @@ object GeoQueries {
 
     // Dynamic-union index -> h3_stats heatmap pre-aggregate
     // (pipeline_runner.py:1144-1153), top cells.
+    // Array columns stringified in the final projection so the
+    // driver's pandas harness can sort/hash the output (the arrays
+    // themselves are still built distributed inside H3Index.stats).
     "q63_h3_stats" -> ((s, dir) => {
-      H3Index.stats(index(s, dir))
-        .orderBy(desc("object_count"), asc("h3_cell"))
-        .limit(50)
+      H3Index.statsTop(index(s, dir), 50)
+        .withColumn("datasets", concat_ws("|", col("datasets")))
+        .withColumn("klasser", concat_ws("|", col("klasser")))
+        .withColumn("leverantorer", concat_ws("|", col("leverantorer")))
     }),
 
     // Polygon query, objects mode (h3_query.py:98-119).
@@ -112,11 +132,13 @@ object GeoQueries {
 
     // Polygon query, stats mode (h3_query.py:122-144).
     "q65_query_stats" -> ((s, dir) =>
-      H3Query.stats(s, index(s, dir), GeoFixture.queryPolygonWkt, res = 8)),
+      H3Query.stats(s, index(s, dir), GeoFixture.queryPolygonWkt, res = 8)
+        .withColumn("leverantorer", concat_ws("|", col("leverantorer")))),
 
     // Polygon query, heatmap mode (h3_query.py:147-171).
     "q66_query_heatmap" -> ((s, dir) =>
       H3Query.heatmap(s, index(s, dir), GeoFixture.queryPolygonWkt, res = 8)
+        .withColumn("datasets", concat_ws("|", col("datasets")))
         .limit(100)),
 
     // H3 prefilter + exact ST_Intersects refine

@@ -244,9 +244,12 @@ object RelationalQueries {
     "q19_collect_sorted" -> ((s, dir) => {
       val r = t(s, dir, "region")
       val n = t(s, dir, "nation")
+      // final projection stringifies the array (concat_ws) so the
+      // driver's pandas-based oracle can sort/hash the column — the
+      // list itself is still built distributed via collect_set
       r.join(n, r("r_regionkey") === n("n_regionkey"))
         .groupBy("r_name")
-        .agg(sort_array(collect_set(col("n_name"))).as("nations"),
+        .agg(concat_ws("|", sort_array(collect_set(col("n_name")))).as("nations"),
           countDistinct(col("n_nationkey")).as("n_nations"))
         .orderBy("r_name")
     }),
@@ -392,7 +395,8 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN l_linestatus='O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q19_collect_sorted" ->
-      """SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations,
+      """SELECT r_name,
+        |  array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
         |  COUNT(DISTINCT n_nationkey) AS n_nations
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,

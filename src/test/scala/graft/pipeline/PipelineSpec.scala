@@ -50,8 +50,8 @@ class PipelineSpec extends AnyFunSuite {
     // fid % 3 == 0 -> POINT (x0 y0); centroid == the point itself
     val r = staged.filter(col("fid") === 3).head()
     val fid = 3L
-    val x0 = (fid % 97) * 2000 + 500000
-    val y0 = ((fid * 7) % 89) * 3000 + 6400000
+    val x0 = (fid % 31) * 2000 + 560000
+    val y0 = ((fid * 7) % 23) * 3000 + 6440000
     val (lat, lng) = Crs.swerefToWgs84(x0.toDouble, y0.toDouble)
     assert(math.abs(r.getAs[Double]("_centroid_lat") - lat) < 1e-9)
     val expect13 = H3Core.toHexString(H3Core.latLngToCell(lat, lng, 13))
