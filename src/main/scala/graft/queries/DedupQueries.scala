@@ -117,6 +117,29 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exact all-pairs 3-gram Jaccard — feasible for DuckDB at oracle
+    // scale. The LSH candidate path must find every pair the exhaustive
+    // scan finds (the corpus's true pairs all sit far above the banding
+    // threshold, and the recall-1 property is additionally spec-asserted),
+    // so the outputs match exactly — this upgrades the dedup battery's
+    // key result from rows-only to hash-checked.
+    "q73_jaccard_refine" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2],' ')))
+        |  END AS s
+        |  FROM tok
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q74_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

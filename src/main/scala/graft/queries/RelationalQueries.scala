@@ -153,9 +153,13 @@ object RelationalQueries {
     }),
 
     // §2.6 anti join (customers with no orders).
+    // The synthetic orders table covers every customer, so the right
+    // side deterministically drops one custkey residue class — the anti
+    // join then returns real orphans instead of passing vacuously on an
+    // empty result.
     "q12_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_custkey") % 100 =!= 7)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
@@ -358,7 +362,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q12_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_custkey % 100 <> 7)
         |ORDER BY c_custkey""".stripMargin,
     "q13_join_multi" ->
       """SELECT r_name, n_name,

@@ -54,9 +54,16 @@ object TextQueries {
     }),
 
     // Exact-dedup keep-first: representative min(doc_id) per content hash
-    // where duplicates exist.
+    // where duplicates exist. The raw corpus has no exact duplicates, so
+    // the query input UNIONs a deterministic re-crawl slice (every 50th
+    // doc re-ingested under a shifted id) — the green row then proves
+    // the group-and-keep-first logic on real duplicate groups instead of
+    // passing vacuously on zero rows.
     "q33_dedup_groups" -> ((s, dir) => {
-      docs(s, dir)
+      val d = docs(s, dir).select("doc_id", "text")
+      val recrawl = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      d.union(recrawl)
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
         .filter(col("n_copies") > 1)
@@ -177,7 +184,11 @@ object TextQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q33_dedup_groups" ->
       """SELECT md5(text) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+        |FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+        |) GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
     "q34_token_count" ->
       """WITH c AS (SELECT doc_id, text, TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS clean FROM documents)
         |SELECT doc_id, len(string_split(clean, ' ')) AS n_tokens,
