@@ -27,7 +27,8 @@ object SparkEntry {
       GeoQueries.queries ++
       DedupQueries.queries ++
       ExtendedQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      SourceSinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       GeoQueries.oracle ++
       DedupQueries.oracle ++
       ExtendedQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      SourceSinkQueries.oracle
 }
