@@ -216,7 +216,16 @@ object H3Core {
       math.abs(ajOf(h)).toDouble <= 3 * sqrt7Pow(resolution(h)) + 2
 
   def toHexString(h: Long): String = java.lang.Long.toHexString(h)
-  def fromHexString(s: String): Long = java.lang.Long.parseUnsignedLong(s.trim, 16)
+
+  /** Parse a cell id, failing loudly (IllegalArgumentException -> SQL
+    * NULL at the expression layer) when the mode/res/face bits don't
+    * describe one of our cells — a real Uber-libh3 id (mode bits in a
+    * different layout) decodes as garbage otherwise. */
+  def fromHexString(s: String): Long = {
+    val h = java.lang.Long.parseUnsignedLong(s.trim, 16)
+    require(isValidCell(h), s"not a graft H3 cell id (foreign or corrupt): $s")
+    h
+  }
 
   // ------------------------------------------------- core conversions
 

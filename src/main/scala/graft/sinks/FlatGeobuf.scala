@@ -204,8 +204,15 @@ object FlatGeobuf {
 
   def read(path: String): (FgbLayer, Seq[(Geom, Map[String, Any])]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
-    require(bytes.length > 8 && (0 until 3).forall(i => bytes(i) == Magic(i)),
+    // full magic check: both 'fgb' triplets AND the spec major version
+    // byte (offset 3) == 3 — incompatible future-version or corrupted
+    // files must not be parsed as if valid (byte 7, the patch version,
+    // is allowed to differ per spec)
+    require(bytes.length > 8 &&
+      Seq(0, 1, 2, 4, 5, 6).forall(i => bytes(i) == Magic(i)),
       "not a FlatGeobuf file")
+    require(bytes(3) == Magic(3),
+      s"unsupported FlatGeobuf spec version ${bytes(3)} (expected 3)")
     val (header, afterHeader) = readSizePrefixed(bytes, 8)
     val nCols = header.vecLen(7)
     val cols = (0 until nCols).map { i =>

@@ -31,9 +31,13 @@ object GeopackageWriter {
   /** SWEREF99 TM — the reference's storage CRS (config/config.yml). */
   val DefaultSrsId = 3006
 
+  /** `srsDef` supplies (srs_name, WKT definition) for srsIds other than
+    * the built-in 3006/4326 — without it, an unknown srsId is rejected
+    * rather than silently stamped with the SWEREF99 definition (which
+    * would mis-georeference the layer in any consumer). */
   def write(df: DataFrame, path: String, layerName: String,
       geomCol: String = "geom", srsId: Int = DefaultSrsId,
-      limit: Int = 1000000): Unit = {
+      limit: Int = 1000000, srsDef: Option[(String, String)] = None): Unit = {
     val schema = df.schema
     val gIdx = schema.fieldNames.indexOf(geomCol)
     require(gIdx >= 0, s"geometry column $geomCol not in schema")
@@ -81,11 +85,16 @@ object GeopackageWriter {
       Seq[Any]("WGS 84", 4326L, "EPSG", 4326L,
         """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""",
         "WGS 84 geodetic")) ++
-      (if (srsId != 4326 && srsId > 0) Seq(
-        Seq[Any]("SWEREF99 TM", srsId.toLong, "EPSG", srsId.toLong,
-          """PROJCS["SWEREF99 TM",GEOGCS["SWEREF99",DATUM["SWEREF99",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",0],UNIT["metre",1]]""",
-          "SWEREF99 TM projected"))
-       else Nil)
+      (if (srsId != 4326 && srsId > 0) {
+        val (srsName, srsWkt) = srsDef.getOrElse {
+          require(srsId == DefaultSrsId,
+            s"srsId $srsId has no built-in definition - pass srsDef=(name, wkt)")
+          ("SWEREF99 TM",
+            """PROJCS["SWEREF99 TM",GEOGCS["SWEREF99",DATUM["SWEREF99",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],PARAMETER["false_northing",0],UNIT["metre",1]]""")
+        }
+        Seq(Seq[Any](srsName, srsId.toLong, "EPSG", srsId.toLong, srsWkt,
+          s"$srsName projected"))
+       } else Nil)
 
     val haveEnv = minX != Double.MaxValue
     val contentsRows = Seq(Seq[Any](layerName, "features", layerName,

@@ -31,9 +31,9 @@ final class SQLiteFile(bytes: Array[Byte]) {
   final case class MasterRow(
       typ: String, name: String, tblName: String, rootPage: Int, sql: String)
 
-  /** sqlite_master: schema table rooted at page 1. */
+  /** sqlite_master: schema table rooted at page 1 (no rowid alias). */
   lazy val master: Seq[MasterRow] =
-    readTableRows(1).map { case (_, vals) =>
+    readTableRows(1, -1).map { case (_, vals) =>
       MasterRow(
         str(vals(0)), str(vals(1)), str(vals(2)),
         vals(3) match { case l: Long => l.toInt; case _ => 0 },
@@ -43,15 +43,16 @@ final class SQLiteFile(bytes: Array[Byte]) {
   def tableNames: Seq[String] =
     master.filter(_.typ == "table").map(_.name)
 
-  /** Column names declared by CREATE TABLE (records are positional). */
-  def columnsOf(table: String): Seq[String] = {
+  /** Top-level column/constraint parts of the CREATE TABLE body, with
+    * table-level constraints filtered out. */
+  private def columnParts(table: String): Seq[String] = {
     val sql = master.find(m => m.typ == "table" && m.name == table)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
       .sql
     val open = sql.indexOf('(')
     val close = sql.lastIndexOf(')')
     require(open > 0 && close > open, s"cannot parse DDL: $sql")
-    // split top-level commas, take the first identifier of each part
+    // split top-level commas
     val parts = ArrayBuffer[String]()
     var depth = 0
     val cur = new StringBuilder
@@ -65,33 +66,46 @@ final class SQLiteFile(bytes: Array[Byte]) {
     parts.map(_.trim)
       .filterNot(p => Seq("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
         .exists(k => p.toUpperCase.startsWith(k)))
-      .map { p =>
-        val first = p.split("\\s+")(0)
-        first.stripPrefix("\"").stripSuffix("\"")
-          .stripPrefix("`").stripSuffix("`")
-          .stripPrefix("[").stripSuffix("]")
-      }
       .toSeq
   }
 
-  /** All rows of a table as (rowid, positional values). A NULL in the
-    * INTEGER PRIMARY KEY position means the rowid alias. */
+  /** Column names declared by CREATE TABLE (records are positional). */
+  def columnsOf(table: String): Seq[String] =
+    columnParts(table).map { p =>
+      val first = p.split("\\s+")(0)
+      first.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`")
+        .stripPrefix("[").stripSuffix("]")
+    }
+
+  /** Position of the column declared `INTEGER PRIMARY KEY` (SQLite's
+    * rowid alias — stored as NULL in records), or -1 when the table has
+    * none. Only that position may substitute the rowid; a NULL in any
+    * other column — including a NULL first column — is real data. */
+  def rowidAliasIndex(table: String): Int =
+    columnParts(table).indexWhere(p =>
+      p.toUpperCase.replaceAll("\\s+", " ").contains("INTEGER PRIMARY KEY"))
+
+  /** All rows of a table as (rowid, positional values). A NULL stored in
+    * the table's INTEGER PRIMARY KEY position (per the DDL) is decoded
+    * as the rowid alias. */
   def readTable(table: String): Seq[(Long, Seq[Any])] = {
     val root = master.find(m => m.typ == "table" && m.name == table)
       .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
       .rootPage
-    readTableRows(root)
+    readTableRows(root, rowidAliasIndex(table))
   }
 
   // -------------------------------------------------------- b-tree walk
 
-  private def readTableRows(rootPage: Int): Seq[(Long, Seq[Any])] = {
+  private def readTableRows(rootPage: Int, aliasIdx: Int): Seq[(Long, Seq[Any])] = {
     val out = ArrayBuffer[(Long, Seq[Any])]()
-    walk(rootPage, out)
+    walk(rootPage, aliasIdx, out)
     out.toSeq
   }
 
-  private def walk(page: Int, out: ArrayBuffer[(Long, Seq[Any])]): Unit = {
+  private def walk(page: Int, aliasIdx: Int,
+      out: ArrayBuffer[(Long, Seq[Any])]): Unit = {
     val base = (page - 1) * pageSize
     val hdr = base + (if (page == 1) 100 else 0)
     val pageType = bytes(hdr) & 0xFF
@@ -101,7 +115,7 @@ final class SQLiteFile(bytes: Array[Byte]) {
         var i = 0
         while (i < nCells) {
           val cellPtr = base + (bb.getShort(hdr + 8 + 2 * i) & 0xFFFF)
-          out += readLeafCell(cellPtr)
+          out += readLeafCell(cellPtr, aliasIdx)
           i += 1
         }
       case 0x05 => // interior table
@@ -109,21 +123,21 @@ final class SQLiteFile(bytes: Array[Byte]) {
         while (i < nCells) {
           val cellPtr = base + (bb.getShort(hdr + 12 + 2 * i) & 0xFFFF)
           val child = bb.getInt(cellPtr)
-          walk(child, out)
+          walk(child, aliasIdx, out)
           i += 1
         }
-        walk(bb.getInt(hdr + 8), out) // rightmost pointer
+        walk(bb.getInt(hdr + 8), aliasIdx, out) // rightmost pointer
       case other =>
         throw new IllegalStateException(f"unexpected page type 0x$other%02x at page $page")
     }
   }
 
-  private def readLeafCell(pos0: Int): (Long, Seq[Any]) = {
+  private def readLeafCell(pos0: Int, aliasIdx: Int): (Long, Seq[Any]) = {
     var pos = pos0
     val (payloadLen, p1) = varint(pos); pos = p1
     val (rowid, p2) = varint(pos); pos = p2
     val payload = readPayload(pos, payloadLen.toInt)
-    (rowid, parseRecord(payload, rowid))
+    (rowid, parseRecord(payload, rowid, aliasIdx))
   }
 
   /** Local payload + overflow chain per the documented spill formula. */
@@ -155,7 +169,8 @@ final class SQLiteFile(bytes: Array[Byte]) {
 
   // ----------------------------------------------------- record format
 
-  private def parseRecord(payload: Array[Byte], rowid: Long): Seq[Any] = {
+  private def parseRecord(payload: Array[Byte], rowid: Long,
+      aliasIdx: Int): Seq[Any] = {
     val (headerLen, hStart) = varintIn(payload, 0)
     var hPos = hStart
     val serials = ArrayBuffer[Long]()
@@ -168,8 +183,9 @@ final class SQLiteFile(bytes: Array[Byte]) {
     serials.zipWithIndex.map { case (s, idx) =>
       val (v, size) = decodeSerial(payload, dPos, s)
       dPos += size
-      // NULL in column 0 of a table with INTEGER PRIMARY KEY = rowid alias
-      if (v == null && idx == 0) rowid else v
+      // only the DDL-declared INTEGER PRIMARY KEY position aliases the
+      // rowid; a NULL anywhere else is real data
+      if (v == null && idx == aliasIdx) rowid else v
     }.toSeq
   }
 

@@ -52,6 +52,27 @@ class GeopackageWriterSpec extends AnyFunSuite {
     assert(rows(1)._2(1) == null && rows(1)._2(2) == null && rows(1)._2(3) == 0L)
   }
 
+  test("rowid alias follows the DDL position; NULL elsewhere stays NULL") {
+    val p = tmp("alias.db")
+    SQLiteWriter.write(p, Seq(SQLiteWriter.Table(
+      "srs_like",
+      // alias in position 1 (gpkg_spatial_ref_sys shape) + a genuinely
+      // NULL first column
+      """CREATE TABLE "srs_like" ("srs_name" TEXT, "srs_id" INTEGER PRIMARY KEY, "org" TEXT)""",
+      Seq(
+        Seq[Any](null, 4326L, "EPSG"),
+        Seq[Any]("SWEREF99 TM", 3006L, null)),
+      rowidAliasIdx = 1)))
+    val db = SQLiteFile.open(p)
+    assert(db.rowidAliasIndex("srs_like") == 1)
+    val rows = db.readTable("srs_like")
+    assert(rows.map(_._1) == Seq(3006L, 4326L)) // b-tree key order
+    val byId = rows.map(_._2).map(r => r(1) -> r).toMap
+    assert(byId(4326L)(0) == null, "NULL first column must stay NULL")
+    assert(byId(4326L)(1) == 4326L, "alias position materializes the rowid")
+    assert(byId(3006L)(0) == "SWEREF99 TM" && byId(3006L)(2) == null)
+  }
+
   test("sqlite writer: multi-leaf b-tree with interior pages") {
     val p = tmp("big.db")
     val n = 5000
