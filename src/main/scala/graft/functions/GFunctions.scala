@@ -33,6 +33,9 @@ object GFunctions {
   def g_h3_cell_to_geom(cell: Column): Column =
     toCol(H3CellToGeom(toExpr(cell)))
 
+  def h3_cell_to_geom_wgs84(cell: Column): Column =
+    toCol(H3CellToGeomWgs84(toExpr(cell)))
+
   def g_h3_polygon_cells(geom: Column, res: Column): Column =
     toCol(H3PolygonCells(toExpr(geom), toExpr(res)))
 
@@ -116,6 +119,7 @@ object GFunctions {
     reg1("h3_cell_to_latlng", H3CellToLatLng(_))
     reg1("h3_cell_to_boundary_wkt", H3CellToBoundaryWkt(_))
     reg1("g_h3_cell_to_geom", H3CellToGeom(_))
+    reg1("h3_cell_to_geom_wgs84", H3CellToGeomWgs84(_))
     reg2("g_h3_polygon_cells", H3PolygonCells(_, _))
     reg3("g_h3_line_cells", H3LineCells(_, _, _))
     reg2("g_h3_point_cells", H3PointCells(_, _))

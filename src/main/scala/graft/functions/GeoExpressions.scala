@@ -117,6 +117,30 @@ case class H3CellToGeom(cell: Expression) extends GeoExpr {
     copy(cell = c(0))
 }
 
+/** h3_cell_to_geom_wgs84(cell) -> WKB polygon in WGS84 (lng, lat) —
+  * the export-edge variant: cell boundaries shipped as plain GeoJSON/
+  * WKB geometry are renderable by ANY external tool (Kepler, QGIS,
+  * geojson.io) without understanding the cell-id encoding (which is
+  * deliberately not libh3's, H3Core.scala:21-32). */
+case class H3CellToGeomWgs84(cell: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cell)
+  override def dataType: DataType = BinaryType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val b = H3Core.cellToBoundary(H3Core.fromHexString(str(a(0))))
+    val ring = new Array[Pt](b.length + 1)
+    var i = 0
+    while (i < b.length) {
+      val (lat, lng) = b(i)
+      ring(i) = Pt(lng, lat)
+      i += 1
+    }
+    ring(b.length) = ring(0)
+    Geometry.toWkb(graft.spatial.Poly(Array(ring)))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cell = c(0))
+}
+
 /** g_h3_polygon_cells(geom, res): SWEREF99 WKB polygon -> WGS84 ->
   * polyfill -> cell array (003_db_makros.sql:64). */
 case class H3PolygonCells(geom: Expression, res: Expression) extends GeoExpr {

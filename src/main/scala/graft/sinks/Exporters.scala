@@ -24,7 +24,15 @@ object Exporters {
 
   /** CSV with header; H3 cells mirrored as Kepler.gl's `hex_id`
     * (`src/g_etl/export.py:23-48`). Array columns become JSON strings
-    * (export.py:445-447 casts `x[]` to VARCHAR). */
+    * (export.py:445-447 casts `x[]` to VARCHAR).
+    *
+    * INTEROP NOTE: `hex_id` carries this engine's cell encoding, which
+    * is deliberately NOT libh3's (graft.h3.H3Core:21-32) — external H3
+    * tooling (Kepler's hex layer, DuckDB-h3, QGIS H3 plugins) cannot
+    * decode these ids, and real libh3 ids fed back in are rejected
+    * loudly at parse time. For tools that render by geometry instead of
+    * by id, use [[heatmapGeojson]], which ships each cell's boundary
+    * polygon as plain GeoJSON. */
   def csv(df: DataFrame, path: String): Unit = {
     var out = df
     out.schema.fields.foreach { f =>
@@ -57,6 +65,21 @@ object Exporters {
     df.filter(col(geomCol).isNotNull)
       .select(featureColumn(df, geomCol).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** Heatmap export renderable by ANY geo tool: one GeoJSON Feature per
+    * h3_cell row with the cell's WGS84 boundary polygon as geometry and
+    * the aggregate columns as properties. Interop by geometry rather
+    * than by id — the cell-id encoding is engine-internal (see csv's
+    * INTEROP NOTE), but a boundary polygon needs no decoder: Kepler,
+    * QGIS and geojson.io render it directly, matching the reference's
+    * Kepler heatmap workflow (`src/g_etl/export.py:23-48,143`).
+    * Distributed NDJSON — the 100 TB-safe shape. */
+  def heatmapGeojson(df: DataFrame, path: String,
+      cellCol: String = "h3_cell"): Unit = {
+    val withGeom = df.withColumn("_cell_geom",
+      h3_cell_to_geom_wgs84(col(cellCol)))
+    geojsonSeq(withGeom, path, "_cell_geom")
+  }
 
   /** Driver-side FeatureCollection (capped, like the reference's folium
     * 5000-row default, export.py:170) for interactive consumers. */

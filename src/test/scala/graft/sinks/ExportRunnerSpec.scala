@@ -33,6 +33,34 @@ class ExportRunnerSpec extends AnyFunSuite {
       Stages.normalizeExtRestr(staged, fm, "geo_cust"), "geo_cust")
   }
 
+  test("heatmap geojson: cell polygons render without decoding ids") {
+    import graft.pipeline.H3Index
+    val out = Files.createTempDirectory("hm").toString + "/heatmap.geojsonl"
+    val idx = H3Index.build(spark, Map("geo_cust" -> mart))
+    val heat = H3Index.stats(idx).limit(20)
+    Exporters.heatmapGeojson(heat
+      .select("h3_cell", "object_count", "dataset_count"), out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.nonEmpty)
+    lines.foreach { l =>
+      val feats = GeoJson.parseFeatureCollection(
+        s"""{"type":"FeatureCollection","features":[$l]}""")
+      val (props, geom) = feats.head
+      val g = geom.get
+      assert(g.typeName == "POLYGON")
+      val ring = g.asInstanceOf[graft.spatial.Poly].rings.head
+      assert(ring.length == 7 && ring.head == ring.last, "closed hexagon")
+      // WGS84 lng/lat in the fixture's Sweden box
+      assert(ring.forall(p => p.x > 11 && p.x < 22 && p.y > 55 && p.y < 62))
+      assert(props("object_count").toLong >= 1)
+      // the cell's own center must fall inside its boundary polygon
+      val cell = graft.h3.H3Core.fromHexString(props("h3_cell"))
+      val (clat, clng) = graft.h3.H3Core.cellToLatLng(cell)
+      assert(Geometry.contains(g.asInstanceOf[graft.spatial.Poly],
+        graft.spatial.Pt(clng, clat)))
+    }
+  }
+
   test("geojson-seq export: every line is a valid Feature") {
     val out = Files.createTempDirectory("gj").toString + "/mart.geojsonl"
     Exporters.geojsonSeq(mart.limit(50), out)
