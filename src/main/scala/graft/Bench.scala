@@ -74,7 +74,7 @@ object Bench {
         // latency is task-count-bound
         val index = graft.pipeline.H3Index.withParentAt(
           graft.pipeline.H3Index.build(spark, Map("bench" -> mart)), 8)
-          .coalesce(4).persist()
+          .coalesce(8).persist()
         index.count() // materialize the warehouse
         val poly =
           "POLYGON ((574000 6450000, 576000 6450000, 576000 6452000, 574000 6452000, 574000 6450000))"
@@ -90,13 +90,23 @@ object Bench {
           }.sorted
           ts(reps / 2)
         }
-        def fresh(): Unit = { graft.pipeline.H3Query
-          .objects(spark, index, poly, res = 8).collect(); () }
         val prepared = graft.pipeline.H3Query.objects(spark, index, poly, res = 8)
         prepared.collect(); prepared.collect() // plan + broadcast + JIT
         val warm = medianMs(15)(() => { prepared.collect(); () })
-        fresh() // JIT-warm the fresh path
-        val freshMs = medianMs(7)(fresh)
+        // fresh_plan: a never-seen-before polygon through the prepared
+        // parameterized handle (ONE planned Dataset, parameter re-shipped
+        // per execution) — the deployed interactive shape for arbitrary
+        // polygons. Each rep shifts the polygon so no result is reusable.
+        val handle = graft.pipeline.PreparedPolygonQuery(index, res = 8)
+        def shiftedPoly(i: Int): String = {
+          val dx = 400 * i
+          s"POLYGON ((${574000 + dx} 6450000, ${576000 + dx} 6450000, ${576000 + dx} 6452000, ${574000 + dx} 6452000, ${574000 + dx} 6450000))"
+        }
+        handle.objects(shiftedPoly(100)) // plan + JIT the handle once
+        var freshIdx = 0
+        val freshMs = medianMs(7) { () =>
+          freshIdx += 1; handle.objects(shiftedPoly(freshIdx)); ()
+        }
         spark.conf.set("spark.sql.adaptive.enabled", aqe0)
         spark.conf.set("spark.sql.shuffle.partitions", sp0)
         (warm, freshMs)

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The prepared parameterized polygon query must return exactly what
+  * the per-polygon Dataset path returns — for several polygons through
+  * the SAME handle, proving the re-serialized parameter actually lands
+  * (no stale plan/broadcast reuse). */
+class PreparedQuerySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val index = {
+    val fm = FieldMapping(Map(
+      "source_id" -> "$source_id", "klass" -> "$klass_raw",
+      "grupp" -> "f", "typ" -> "s", "leverantor" -> "$lev_raw"))
+    val mart = Stages.martH3Cells(
+      Stages.normalizeExtRestr(
+        Stages.stage004(GeoFixture(spark, sfDir)), fm, "geo_cust"), "geo_cust")
+    H3Index.withParentAt(
+      H3Index.build(spark, Map("geo_cust" -> mart)), 8).persist()
+  }
+
+  private val polys = Seq(
+    GeoFixture.queryPolygonWkt,
+    "POLYGON ((560000 6440000, 570000 6440000, 570000 6452000, 560000 6452000, 560000 6440000))",
+    "POLYGON ((575000 6455000, 577000 6455000, 577000 6457000, 575000 6457000, 575000 6455000))",
+    // far outside the fixture box -> must return 0 rows, not stale ones
+    "POLYGON ((100000 6000000, 101000 6000000, 101000 6001000, 100000 6001000, 100000 6000000))")
+
+  test("prepared handle matches the per-polygon Dataset path, per polygon") {
+    val prepared = PreparedPolygonQuery(index, res = 8)
+    polys.foreach { wkt =>
+      val expect = H3Query.objects(spark, index, wkt, res = 8)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val got = prepared.objects(wkt).map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq == expect.toSeq, s"mismatch for $wkt")
+    }
+    // and again with the FIRST polygon: switching back must not replay
+    // the last parameter
+    val expect0 = H3Query.objects(spark, index, polys.head, res = 8).count()
+    assert(prepared.objects(polys.head).length.toLong == expect0)
+  }
+}
