@@ -187,15 +187,20 @@ object Sources {
     }
   }
 
-  private def gpkgToDf(spark: SparkSession, path: java.nio.file.Path,
-      layer: Option[String]): DataFrame = {
-    val db = SQLiteFile.open(path)
+  /** Parse one GPKG byte image: (columns, raw rows, geometry index). */
+  private[sources] def gpkgLayerRaw(bytes: Array[Byte],
+      layer: Option[String]): (Seq[String], Seq[Seq[Any]], Int) = {
+    val db = new SQLiteFile(bytes)
     val (cols, rows, lyr) = Geopackage.readLayer(db, layer)
-    val gIdx = cols.indexOf(lyr.geometryColumn)
-    // infer a column type from the first non-null value (SQLite is
-    // dynamically typed; GPKG tables are homogeneous in practice —
-    // same inference the reference's MSSQL plugin does from row 1)
-    val types: Seq[DataType] = cols.indices.map { i =>
+    (cols, rows, cols.indexOf(lyr.geometryColumn))
+  }
+
+  /** Infer a column type from the first non-null value (SQLite is
+    * dynamically typed; GPKG tables are homogeneous in practice —
+    * same inference the reference's MSSQL plugin does from row 1). */
+  private[sources] def gpkgInferTypes(cols: Seq[String],
+      rows: Seq[Seq[Any]], gIdx: Int): Seq[DataType] =
+    cols.indices.map { i =>
       if (i == gIdx) BinaryType
       else rows.iterator.map(_(i)).find(_ != null) match {
         case Some(_: Long) => LongType
@@ -205,10 +210,11 @@ object Sources {
         case _ => StringType
       }
     }
-    val schema = StructType(cols.zip(types).map { case (n, t) =>
-      StructField(if (n == lyr.geometryColumn) "geom" else n, t)
-    })
-    val data = rows.map { r =>
+
+  /** Coerce raw SQLite values to the target schema types. */
+  private[sources] def gpkgCoerce(rows: Seq[Seq[Any]], types: Seq[DataType],
+      gIdx: Int): Seq[Row] =
+    rows.map { r =>
       Row.fromSeq(r.zipWithIndex.map {
         case (v, i) if i == gIdx => v
         case (null, _) => null
@@ -224,7 +230,102 @@ object Sources {
         case (v, _) => v
       })
     }
-    normalizeGeometryColumn(spark.createDataFrame(data.asJava, schema))
+
+  private[sources] def gpkgStruct(cols: Seq[String], types: Seq[DataType],
+      gIdx: Int): StructType =
+    StructType(cols.zip(types).zipWithIndex.map { case ((n, t), i) =>
+      StructField(if (i == gIdx) "geom" else n, t)
+    })
+
+  private def gpkgToDf(spark: SparkSession, path: java.nio.file.Path,
+      layer: Option[String]): DataFrame = {
+    val (cols, rows, gIdx) = gpkgLayerRaw(Files.readAllBytes(path), layer)
+    val types = gpkgInferTypes(cols, rows, gIdx)
+    val schema = gpkgStruct(cols, types, gIdx)
+    normalizeGeometryColumn(
+      spark.createDataFrame(gpkgCoerce(rows, types, gIdx).asJava, schema))
+  }
+
+  /** Distributed GPKG ingest — the 100 TB shape: a directory/glob of
+    * .gpkg files becomes one binaryFile scan, each file parsed INSIDE
+    * its task by the same pure-JVM SQLite parser (one archive is not
+    * splittable, but a lake of archives parallelizes per file; no
+    * driver-side row materialization, no OOM on big directories).
+    * Schema is inferred from the lexicographically first file; the
+    * other files must share its layout and are coerced to it. */
+  object GeopackageDistSource extends SourceConnector {
+    val name = "geopackage_dist"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val url = options("url")
+      val layer = options.get("layer")
+      val bin = spark.read.format("binaryFile").load(url)
+        .select("path", "content")
+      val firstPath = bin.select("path").orderBy("path").limit(1)
+        .collect().headOption.getOrElse(throw new IllegalArgumentException(
+          s"no files match $url")).getString(0)
+      val firstBytes = Files.readAllBytes(
+        Paths.get(java.net.URI.create(firstPath)))
+      val (cols, rows0, gIdx) = gpkgLayerRaw(firstBytes, layer)
+      val types = gpkgInferTypes(cols, rows0, gIdx)
+      val schema = gpkgStruct(cols, types, gIdx)
+      val colsB = cols
+      val typesB = types
+      val rowsRdd = bin.rdd.flatMap { r =>
+        val (c, rows, g) = gpkgLayerRaw(r.getAs[Array[Byte]]("content"), layer)
+        require(c == colsB,
+          s"layer schema mismatch in ${r.getString(0)}: $c vs $colsB")
+        gpkgCoerce(rows, typesB, g)
+      }
+      normalizeGeometryColumn(spark.createDataFrame(rowsRdd, schema))
+    }
+  }
+
+  /** Distributed zipped-shapefile ingest: *.zip via binaryFile, each
+    * archive unzipped and parsed in its task (same parsers as the
+    * single-archive source). */
+  object ZipShapefileDistSource extends SourceConnector {
+    val name = "zip_shapefile_dist"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val url = options("url")
+      val enc = options.getOrElse("encoding", "ISO-8859-1")
+      val wanted = options.get("shp_filename")
+      val bin = spark.read.format("binaryFile").load(url)
+        .select("path", "content")
+      val firstPath = bin.select("path").orderBy("path").limit(1)
+        .collect().headOption.getOrElse(throw new IllegalArgumentException(
+          s"no files match $url")).getString(0)
+      val first = parseZipShp(Files.readAllBytes(
+        Paths.get(java.net.URI.create(firstPath))), wanted, enc)
+      val schema = shpStruct(first.fields)
+      val fieldsB = first.fields
+      val rowsRdd = bin.rdd.flatMap { r =>
+        val d = parseZipShp(r.getAs[Array[Byte]]("content"), wanted, enc)
+        require(d.fields == fieldsB,
+          s"dbf schema mismatch in ${r.getString(0)}")
+        d.rows.map { case (attrs, geom) =>
+          Row.fromSeq(attrs :+ geom.map(Geometry.toWkb).orNull)
+        }
+      }
+      spark.createDataFrame(rowsRdd, schema)
+    }
+  }
+
+  private[sources] def parseZipShp(zipBytes: Array[Byte],
+      wanted: Option[String], encoding: String): Shapefile.ShpData = {
+    val tmpZip = Files.createTempFile("graft_shpz", ".zip")
+    Files.write(tmpZip, zipBytes)
+    val dir = Downloader.unzip(tmpZip)
+    val shps = Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.toLowerCase.endsWith(".shp")).toSeq
+    val selected = wanted match {
+      case Some(w) => shps.find(_.getFileName.toString == w)
+        .getOrElse(throw new IllegalArgumentException(
+          s"shp_filename $w not in archive: ${shps.map(_.getFileName)}"))
+      case None =>
+        require(shps.nonEmpty, "no .shp in archive")
+        shps.minBy(_.getFileName.toString)
+    }
+    Shapefile.read(selected, encoding)
   }
 
   // --------------------------------------------------------- registry
@@ -242,7 +343,8 @@ object Sources {
   def registryWith(wfs: SourceConnector, lm: SourceConnector)
       : Map[String, SourceConnector] =
     Seq(ParquetSource, CsvSource, JsonSource, JdbcSource, GeoJsonSource,
-      wfs, lm, ZipShapefileSource, GeopackageSource, ZipGeopackageSource)
+      wfs, lm, ZipShapefileSource, GeopackageSource, ZipGeopackageSource,
+      GeopackageDistSource, ZipShapefileDistSource)
       .map(c => c.name -> c).toMap ++
       // the reference ships two WFS implementations (requests-based
       // wfs.py and pyogrio-based wfs_geopandas.py) with identical
@@ -263,18 +365,20 @@ object Sources {
     spark.createDataFrame(rows.asJava, schema)
   }
 
-  private def shpToDf(spark: SparkSession, data: Shapefile.ShpData): DataFrame = {
+  private[sources] def shpStruct(fields: Seq[Shapefile.DbfField]): StructType = {
     val fieldType: Shapefile.DbfField => DataType = f => f.fieldType match {
       case 'N' | 'F' => if (f.decimals == 0) LongType else DoubleType
       case 'L' => BooleanType
       case _ => StringType
     }
-    val schema = StructType(
-      data.fields.map(f => StructField(f.name, fieldType(f))) :+
-        StructField("geom", BinaryType))
+    StructType(fields.map(f => StructField(f.name, fieldType(f))) :+
+      StructField("geom", BinaryType))
+  }
+
+  private def shpToDf(spark: SparkSession, data: Shapefile.ShpData): DataFrame = {
     val rows = data.rows.map { case (attrs, geom) =>
       Row.fromSeq(attrs :+ geom.map(Geometry.toWkb).orNull)
     }
-    spark.createDataFrame(rows.asJava, schema)
+    spark.createDataFrame(rows.asJava, shpStruct(data.fields))
   }
 }

@@ -11,21 +11,12 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import graft.spatial.{Geometry, GeoJson, Poly, Pt}
 
-class SourcesSpec extends AnyFunSuite {
-
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
-
-  // ----------------------------------------------- shapefile fixture
+/** Shared fixture builders (also used by DistSourcesSpec). */
+object SourcesSpecFixtures {
 
   /** Write a minimal polygon shapefile + dbf: 2 records with a NAME
     * (C), AREA (N.2) and CNT (N) column; one square each. */
-  private def writeShapefileFixture(dir: Path): Path = {
+  def writeShapefileFixture(dir: Path): Path = {
     val shp = dir.resolve("test.shp")
     // records: squares at (0,0)-(10,10) and (20,0)-(30,10), CW rings
     def square(x0: Double): Array[Pt] = Array(
@@ -87,6 +78,18 @@ class SourcesSpec extends AnyFunSuite {
     dbf.put(0x1A.toByte)
     Files.write(dir.resolve("test.dbf"), dbf.array())
     shp
+  }
+}
+
+class SourcesSpec extends AnyFunSuite {
+  import SourcesSpecFixtures.writeShapefileFixture
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
   }
 
   test("shapefile parser: polygons + latin1 dbf attributes") {
