@@ -309,6 +309,15 @@ object Geometry {
   private val WkbMLine = 5
   private val WkbMPoly = 6
   private val WkbColl = 7
+  // ISO curved types — read-only: linearized to the simple types above
+  // on parse (ref: zip_geopackage.py:327-343 downgrades MultiSurface/
+  // CurvePolygon/CompoundCurve via shapely buffer(0); we linearize arcs
+  // at 32 segments per full circle, then makeValid runs in stage004).
+  private val WkbCircular = 8
+  private val WkbCompound = 9
+  private val WkbCurvePoly = 10
+  private val WkbMCurve = 11
+  private val WkbMSurface = 12
 
   def toWkb(g: Geom): Array[Byte] = {
     val size = wkbSize(g)
@@ -390,8 +399,102 @@ object Geometry {
       case WkbColl =>
         val n = bb.getInt()
         GeomColl(Array.fill(n)(readWkb(bb)))
+      case WkbCircular =>
+        val n = bb.getInt()
+        Line(linearizeCircular(Array.fill(n)(Pt(bb.getDouble, bb.getDouble))))
+      case WkbCompound =>
+        val n = bb.getInt()
+        Line(joinSegments(Array.fill(n)(curvePoints(readWkb(bb)))))
+      case WkbCurvePoly =>
+        val nr = bb.getInt()
+        Poly(Array.fill(nr)(closeRing(curvePoints(readWkb(bb)))))
+      case WkbMCurve =>
+        val n = bb.getInt()
+        MultiLine(Array.fill(n)(Line(curvePoints(readWkb(bb)))))
+      case WkbMSurface =>
+        val n = bb.getInt()
+        MultiPoly(Array.fill(n)(readWkb(bb) match {
+          case p: Poly => p
+          case g => throw new IllegalArgumentException(
+            s"MULTISURFACE member is not a surface: ${g.typeName}")
+        }))
       case other =>
         throw new IllegalArgumentException(s"Unsupported WKB type $other")
+    }
+  }
+
+  // ------------------------------------------------ curve linearization
+
+  /** Vertex chain of an (already linearized) curve component. */
+  private def curvePoints(g: Geom): Array[Pt] = g match {
+    case Line(pts) => pts
+    case g => throw new IllegalArgumentException(
+      s"expected a curve component, got ${g.typeName}")
+  }
+
+  /** Concatenate CompoundCurve segments, dropping each joint's
+    * duplicated first vertex. */
+  private def joinSegments(segs: Array[Array[Pt]]): Array[Pt] = {
+    val out = Array.newBuilder[Pt]
+    segs.zipWithIndex.foreach { case (s, i) =>
+      out ++= (if (i == 0) s else s.drop(1))
+    }
+    out.result()
+  }
+
+  private def closeRing(pts: Array[Pt]): Array[Pt] =
+    if (pts.length >= 2 && pts.head != pts.last) pts :+ pts.head else pts
+
+  /** CIRCULARSTRING: consecutive 3-point arcs (p0,p1,p2),(p2,p3,p4)…
+    * Each arc becomes chords at ≤ 2π/32 sweep per chord; collinear
+    * triples degrade to a straight segment. */
+  private def linearizeCircular(pts: Array[Pt]): Array[Pt] = {
+    require(pts.length >= 3 && pts.length % 2 == 1,
+      s"CIRCULARSTRING needs odd n≥3 points, got ${pts.length}")
+    val out = Array.newBuilder[Pt]
+    out += pts(0)
+    var i = 0
+    while (i + 2 < pts.length) {
+      out ++= linearizeArc(pts(i), pts(i + 1), pts(i + 2))
+      i += 2
+    }
+    out.result()
+  }
+
+  /** Points AFTER `a` through `c` approximating the arc a→b→c. */
+  private def linearizeArc(a: Pt, b: Pt, c: Pt): Array[Pt] = {
+    val d = 2.0 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) + c.x * (a.y - b.y))
+    val span = math.max(math.hypot(c.x - a.x, c.y - a.y),
+      math.max(math.hypot(b.x - a.x, b.y - a.y), 1e-300))
+    // collinear (or numerically so relative to the arc's extent)
+    if (math.abs(d) < 1e-12 * span * span) return Array(c)
+    val aa = a.x * a.x + a.y * a.y
+    val bbq = b.x * b.x + b.y * b.y
+    val cc = c.x * c.x + c.y * c.y
+    val cx = (aa * (b.y - c.y) + bbq * (c.y - a.y) + cc * (a.y - b.y)) / d
+    val cy = (aa * (c.x - b.x) + bbq * (a.x - c.x) + cc * (b.x - a.x)) / d
+    val r = math.hypot(a.x - cx, a.y - cy)
+    val t0 = math.atan2(a.y - cy, a.x - cx)
+    val t1 = math.atan2(b.y - cy, b.x - cx)
+    val t2 = math.atan2(c.y - cy, c.x - cx)
+    val tau = 2.0 * math.Pi
+    def ccwDelta(from: Double, to: Double): Double = {
+      val dlt = (to - from) % tau
+      if (dlt < 0) dlt + tau else dlt
+    }
+    // closed arc (a == c): full circle through b
+    val closed = a.x == c.x && a.y == c.y
+    val sweep =
+      if (closed) { if (ccwDelta(t0, t1) > 0) tau else -tau }
+      else if (ccwDelta(t0, t1) <= ccwDelta(t0, t2)) ccwDelta(t0, t2)
+      else ccwDelta(t0, t2) - tau
+    val nSeg = math.max(2, math.ceil(math.abs(sweep) / (tau / 32)).toInt)
+    Array.tabulate(nSeg) { k =>
+      if (k == nSeg - 1 && !closed) c // land exactly on the given endpoint
+      else {
+        val t = t0 + sweep * (k + 1) / nSeg
+        Pt(cx + r * math.cos(t), cy + r * math.sin(t))
+      }
     }
   }
 
