@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.config.ConfigLoader
 import graft.pipeline.{Ledger, Runner, H3Query}
 import graft.sinks.Exporters
@@ -40,6 +42,7 @@ object Main {
         case "pipeline" => runPipeline(spark, opts)
         case "export" => runExport(spark, opts)
         case "query" => runQuery(spark, opts)
+        case "explorer" => runExplorer(spark, opts)
         case other =>
           System.err.println(s"unknown command: $other\n$usage")
           sys.exit(2)
@@ -72,6 +75,20 @@ object Main {
     val failed = (result.extracted.values ++ result.transformed.values)
       .count(_.isFailure)
     if (failed > 0) sys.exit(1)
+  }
+
+  /** Interactive/scripted warehouse explorer (the reference's admin
+    * TUI capability set, `admin/screens/explorer.py`): commands from
+    * --script FILE or stdin. */
+  private def runExplorer(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val views = graft.pipeline.Explorer.openWarehouse(
+      spark, required(opts, "warehouse"))
+    println(s"opened ${views.length} views; 'help' lists commands")
+    val commands = opts.get("script") match {
+      case Some(f) => Files.readAllLines(Paths.get(f)).iterator().asScala
+      case None => scala.io.Source.stdin.getLines()
+    }
+    graft.pipeline.Explorer.session(spark, commands, System.out)
   }
 
   private def runExport(spark: SparkSession, opts: Map[String, String]): Unit =
@@ -140,5 +157,6 @@ object Main {
     """usage:
       |  graft.Main pipeline --config datasets.yml --out DIR [--id a,b] [--typ T] [--include-disabled] [--export]
       |  graft.Main export --warehouse DIR --out DIR
-      |  graft.Main query --warehouse DIR --wkt WKT [--res N] [--mode objects|stats|heatmap] [--datasets a,b]""".stripMargin
+      |  graft.Main query --warehouse DIR --wkt WKT [--res N] [--mode objects|stats|heatmap] [--datasets a,b]
+      |  graft.Main explorer --warehouse DIR [--script FILE]""".stripMargin
 }
