@@ -110,6 +110,58 @@ object SourceSinkQueries {
         .orderBy("fid")
     }),
 
+    // Directory of GPKG archives -> distributed binaryFile ingest
+    // (one task per archive, rows parsed inside tasks) -> digest. The
+    // same 300 features as q93, so a file dropped by the distributed
+    // path breaks the hash.
+    "q98_gpkg_dist_read" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_q98")
+      val all = slice(s, dir)
+      Seq((0, 100), (101, 200), (201, 300)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          GeopackageWriter.write(
+            all.filter(col("src_fid").between(lo, hi)),
+            tmp.resolve(f"part_$i%02d.gpkg").toString, "loop")
+      }
+      val back = Sources.GeopackageDistSource.read(s,
+        Map("url" -> tmp.toString))
+      digest(back)
+    }),
+
+    // Curved-geometry ingest: a GPKG whose layer stores raw ISO
+    // CURVEPOLYGON WKB (full-circle ring per feature). The reader
+    // linearizes arcs at 32 chords per circle, so area/(pi r^2) is the
+    // inscribed-32-gon constant 0.993587... for EVERY feature — a
+    // deterministic integer the DuckDB oracle states in closed form.
+    "q99_curve_gpkg_read" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_q99")
+      val gpkg = tmp.resolve("curves.gpkg")
+      val fids = (1 to 50).map(_.toLong)
+      graft.sources.SQLiteWriter.write(gpkg, Seq(
+        graft.sources.SQLiteWriter.Table("gpkg_spatial_ref_sys",
+          """CREATE TABLE gpkg_spatial_ref_sys ("srs_name" TEXT NOT NULL, "srs_id" INTEGER PRIMARY KEY, "organization" TEXT NOT NULL, "organization_coordsys_id" INTEGER NOT NULL, "definition" TEXT NOT NULL, "description" TEXT)""",
+          Seq(Seq[Any]("SWEREF99 TM", 3006L, "EPSG", 3006L, "PROJCS[...]", "d")),
+          rowidAliasIdx = 1),
+        graft.sources.SQLiteWriter.Table("gpkg_contents",
+          """CREATE TABLE gpkg_contents ("table_name" TEXT NOT NULL, "data_type" TEXT NOT NULL, "identifier" TEXT, "description" TEXT, "last_change" TEXT NOT NULL, "min_x" REAL, "min_y" REAL, "max_x" REAL, "max_y" REAL, "srs_id" INTEGER)""",
+          Seq(Seq[Any]("kurvor", "features", "kurvor", "d",
+            "2026-01-01T00:00:00.000Z", null, null, null, null, 3006L))),
+        graft.sources.SQLiteWriter.Table("gpkg_geometry_columns",
+          """CREATE TABLE gpkg_geometry_columns ("table_name" TEXT NOT NULL, "column_name" TEXT NOT NULL, "geometry_type_name" TEXT NOT NULL, "srs_id" INTEGER NOT NULL, "z" TINYINT NOT NULL, "m" TINYINT NOT NULL)""",
+          Seq(Seq[Any]("kurvor", "geom", "CURVEPOLYGON", 3006L, 0L, 0L))),
+        graft.sources.SQLiteWriter.Table("kurvor",
+          """CREATE TABLE "kurvor" ("fid" INTEGER PRIMARY KEY, "geom" BLOB)""",
+          fids.map(f => Seq[Any](f,
+            curvePolygonWkb(560000 + f * 1000, 6440000 + f * 500, 100 + f))),
+          rowidAliasIdx = 0)))
+      val back = Sources.GeopackageSource.read(s, Map("url" -> gpkg.toString))
+      back.select(col("fid"),
+        round(st_area(col("geom")) /
+          (lit(math.Pi) * pow(lit(100).cast("double") + col("fid"), 2)) * 1000)
+          .cast("long").as("area_ratio_k"))
+        .orderBy("fid")
+    }),
+
     // CSV export (Kepler hex_id convention) -> CSV source: rows survive
     // only if hex_id mirrors h3_cell, so a broken mirror fails the
     // row-count check, and fid/name hash-match against the oracle.
@@ -128,8 +180,27 @@ object SourceSinkQueries {
     })
   )
 
+  /** Raw ISO WKB: CURVEPOLYGON with one full-circle CIRCULARSTRING
+    * ring (two CCW half-arcs), little-endian. */
+  private def curvePolygonWkb(cx: Double, cy: Double, r: Double): Array[Byte] = {
+    val pts = Seq((cx + r, cy), (cx, cy + r), (cx - r, cy),
+      (cx, cy - r), (cx + r, cy))
+    val bb = java.nio.ByteBuffer.allocate(9 + 9 + 16 * pts.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(10).putInt(1) // CURVEPOLYGON, 1 ring
+    bb.put(1.toByte).putInt(8).putInt(pts.length) // CIRCULARSTRING
+    pts.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+    bb.array()
+  }
+
   val oracle: Map[String, String] = Map(
     "q93_gpkg_roundtrip" -> digestOracle,
+    "q98_gpkg_dist_read" -> digestOracle,
+    // inscribed regular 32-gon: area/(pi r^2) = (16/pi)*sin(pi/16)
+    // = 0.9935865... -> ROUND(x*1000) = 994 for every feature
+    "q99_curve_gpkg_read" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS fid, CAST(994 AS BIGINT) AS area_ratio_k
+        |FROM customer WHERE c_custkey BETWEEN 1 AND 50 ORDER BY fid""".stripMargin,
     "q94_fgb_roundtrip" -> digestOracle,
     "q95_zip_gpkg_stage004" ->
       """SELECT CASE WHEN c_custkey % 3 = 0 THEN 'POINT'
