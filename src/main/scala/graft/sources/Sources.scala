@@ -114,6 +114,57 @@ object Sources {
     }
   }
 
+  /** Distributed WFS ingest — the large-pull shape for WFS 2.0
+    * endpoints (the reference's Arrow/pyogrio path,
+    * `src/g_etl/plugins/wfs_geopandas.py:28-173`, exists because big
+    * WFS layers choke the sequential JSON reader; on Spark the
+    * equivalent lever is fanning the GetFeature pages out across
+    * tasks). The total feature count comes from the `total` option or
+    * a `resultType=hits` probe (WFS 2.0 `numberMatched`); the column
+    * set comes from a driver-side probe of page 0; then each task
+    * fetches its own page range — no driver-side row buffering, and a
+    * multi-million-feature layer becomes ceil(total/count) parallel
+    * page fetches. `fetch` must be serializable (a plain
+    * url=>body function is).
+    */
+  final class WfsDistSource(fetch: String => String) extends SourceConnector {
+    val name = "wfs_dist"
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val base = options("url")
+      val n = options.getOrElse("count",
+        throw new IllegalArgumentException("wfs_dist requires count")).toInt
+      val sep = if (base.contains("?")) "&" else "?"
+      val total = options.get("total").map(_.toInt).getOrElse {
+        val hits = fetch(s"$base${sep}resultType=hits")
+        "\"?numberMatched\"?\\s*[=:]\\s*\"?(\\d+)".r.findFirstMatchIn(hits)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalArgumentException(
+            "endpoint did not report numberMatched; pass total=N"))
+      }
+      val nPages = math.max(1, (total + n - 1) / n)
+      // schema from a driver-side probe of the first page (property
+      // keys vary per feature; WFS layers are homogeneous in practice)
+      val probe = GeoJson.parseFeatureCollection(
+        fetch(s"$base${sep}startIndex=0&count=$n"))
+      val keys = probe.flatMap(_._1.keys).distinct.sorted
+      val schema = StructType(
+        keys.map(k => StructField(k, StringType)) :+
+          StructField("geom", BinaryType))
+      val fetchF = fetch // avoid capturing `this` in the task closure
+      val rows = spark.sparkContext
+        .parallelize(0 until nPages, math.min(nPages, 64))
+        .flatMap { page =>
+          GeoJson.parseFeatureCollection(
+            fetchF(s"$base${sep}startIndex=${page * n}&count=$n"))
+            .map { case (props, geom) =>
+              Row.fromSeq(keys.map(k => props.getOrElse(k, null)) :+
+                geom.map(Geometry.toWkb).orNull)
+            }
+        }
+      spark.createDataFrame(rows, schema)
+    }
+  }
+
   /** Bearer-authenticated REST endpoint returning GeoJSON
     * (`src/g_etl/plugins/lantmateriet.py:34-110`). */
   final class LantmaterietSource(fetch: (String, Map[String, String]) => String)
@@ -337,14 +388,16 @@ object Sources {
       Files.readString(Downloader.fetch(url, cacheDir))
     def httpFetchH(url: String, headers: Map[String, String]): String =
       Files.readString(Downloader.fetch(url, cacheDir, headers))
-    registryWith(new WfsSource(httpFetch), new LantmaterietSource(httpFetchH))
+    registryWith(new WfsSource(httpFetch), new LantmaterietSource(httpFetchH),
+      extras = Seq(new WfsDistSource(httpFetch)))
   }
 
-  def registryWith(wfs: SourceConnector, lm: SourceConnector)
+  def registryWith(wfs: SourceConnector, lm: SourceConnector,
+      extras: Seq[SourceConnector] = Nil)
       : Map[String, SourceConnector] =
-    Seq(ParquetSource, CsvSource, JsonSource, JdbcSource, GeoJsonSource,
+    (Seq(ParquetSource, CsvSource, JsonSource, JdbcSource, GeoJsonSource,
       wfs, lm, ZipShapefileSource, GeopackageSource, ZipGeopackageSource,
-      GeopackageDistSource, ZipShapefileDistSource)
+      GeopackageDistSource, ZipShapefileDistSource) ++ extras)
       .map(c => c.name -> c).toMap ++
       // the reference ships two WFS implementations (requests-based
       // wfs.py and pyogrio-based wfs_geopandas.py) with identical

@@ -7,7 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
 import graft.sinks.GeopackageWriter
-import graft.spatial.{Geometry, Poly, Pt}
+import graft.spatial.{GeoJson, Geometry, Poly, Pt}
+
+/** Serializable fake WFS 2.0 endpoint: 47 point features served in
+  * startIndex/count pages, `resultType=hits` reports numberMatched.
+  * Lives at top level so executor tasks can deserialize it. */
+object FakeWfsFetch extends (String => String) with Serializable {
+  def apply(url: String): String =
+    if (url.contains("resultType=hits"))
+      """{"type":"FeatureCollection","numberMatched":47,"features":[]}"""
+    else {
+      val start = "startIndex=(\\d+)".r.findFirstMatchIn(url)
+        .map(_.group(1).toInt).getOrElse(0)
+      val count = "count=(\\d+)".r.findFirstMatchIn(url)
+        .map(_.group(1).toInt).getOrElse(10)
+      val ids = start until math.min(start + count, 47)
+      GeoJson.featureCollection(ids.map(i =>
+        (Map[String, Any]("fid" -> i, "namn" -> s"f$i"),
+          Pt(10.0 + i, 60.0))))
+    }
+}
 
 /** Distributed archive ingestion: a directory of .gpkg archives becomes
   * a multi-task binaryFile scan with per-task parsing — no driver-side
@@ -53,6 +72,21 @@ class DistSourcesSpec extends AnyFunSuite {
         .head().getAs[Array[Byte]](0))
       assert(g.typeName == "POLYGON" && Geometry.area(g) == 1000.0 * 1000.0)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("wfs_dist: pages fan out across tasks, hits probe sets the range") {
+    val df = new Sources.WfsDistSource(FakeWfsFetch).read(spark,
+      Map("url" -> "http://example/wfs?typ=ns:t", "count" -> "10"))
+    assert(df.rdd.getNumPartitions > 1, "expected one task per page range")
+    assert(df.count() == 47) // numberMatched, not a page multiple
+    val fids = df.select("fid").collect().map(_.getString(0).toInt).sorted
+    assert(fids.toSeq == (0 until 47))
+    assert(df.columns.contains("geom"))
+    // explicit total overrides the probe
+    val df2 = new Sources.WfsDistSource(FakeWfsFetch).read(spark,
+      Map("url" -> "http://example/wfs?typ=ns:t", "count" -> "10",
+        "total" -> "20"))
+    assert(df2.count() == 20)
   }
 
   test("zip_shapefile_dist: zipped archives parse per task") {
