@@ -60,27 +60,72 @@ object H3Query {
       .distinct()
       .orderBy("dataset_id", "id")
 
-  /** aggregation="stats" (h3_query.py:122-144). */
+  /** aggregation="stats" (h3_query.py:122-144).
+    *
+    * Cascaded two-phase aggregation, NOT one groupBy mixing two
+    * COUNT(DISTINCT)s with a collect_set: that single-pass form makes
+    * Catalyst plan an Expand that replicates every joined row once per
+    * distinct aggregate (x3) before the shuffle — the multi-distinct
+    * blowup H3Index.stats documents as THE 100 TB killer (and it also
+    * defeats column pruning of lazily-derived index columns, so every
+    * row pays cell->geom math it never reads). Here each distinct count
+    * collapses on its fine key first (map-side combine effective,
+    * shuffle carries collapsed groups only) and the final join touches
+    * a handful of (dataset, klass) rows. */
   def stats(spark: SparkSession, index: DataFrame, wkt: String,
-      res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame =
+      res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame = {
+    // ONE pass over the (large) index side collapses the match set to
+    // one row per matching object — the interactive-query cardinality
+    // (10^3-10^5), never the exploded-cell cardinality. Per-object
+    // collect_sets are bounded by the polygon's fine cells per object.
+    // phase 2 merges the per-object sets in ONE aggregate (count +
+    // set-union + set-union) — no distinct aggregates, so no Expand,
+    // no second scan, no join. The collect_list(_cells) buffer per
+    // (dataset, klass) group is bounded by the polygon's distinct fine
+    // cells — the same polygon-area bound as the broadcast query-cell
+    // set itself, NOT by data size; a polygon too big for this buffer
+    // is too big to broadcast-polyfill in the first place, and that
+    // regime is served by the h3_stats pre-aggregate (heatmapWithEmpty).
     joined(spark, index, wkt, res, datasets)
+      .groupBy("dataset_id", "klass", "id")
+      .agg(
+        collect_set(col("leverantor")).as("_ls"),
+        collect_set(col("h3_cell")).as("_cells"))
       .groupBy("dataset_id", "klass")
       .agg(
-        countDistinct(col("id")).as("object_count"),
-        countDistinct(col("h3_cell")).as("cell_count"),
-        sort_array(collect_set(col("leverantor"))).as("leverantorer"))
+        count(lit(1)).as("object_count"),
+        size(array_distinct(flatten(collect_list(col("_cells")))))
+          .cast("long").as("cell_count"),
+        sort_array(array_distinct(flatten(collect_list(col("_ls")))))
+          .as("leverantorer"))
+      .select("dataset_id", "klass", "object_count", "cell_count", "leverantorer")
       .orderBy(desc("object_count"), asc("dataset_id"), asc("klass"))
+  }
 
-  /** aggregation="heatmap" (h3_query.py:147-171): per query cell. */
+  /** aggregation="heatmap" (h3_query.py:147-171): per query cell.
+    * Same cascade rationale as [[stats]]: COUNT(DISTINCT id) collapses
+    * per (cell, id) first; the dataset set needs no distinct-count at
+    * all — its size IS the distinct count. No Expand anywhere. */
   def heatmap(spark: SparkSession, index: DataFrame, wkt: String,
       res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame =
     joined(spark, index, wkt, res, datasets)
+      // phase 1 (the only pass over the index side): one row per
+      // (query cell, object); the per-pair dataset set is 1-element
+      .groupBy("q_cell", "id")
+      .agg(collect_set(col("dataset_id")).as("_ds"))
+      // phase 2: per-cell rollup over the collapsed pairs; the distinct
+      // dataset count IS the size of the merged set — no second
+      // distinct aggregate, so no Expand anywhere
       .groupBy("q_cell")
       .agg(
-        countDistinct(col("id")).as("object_count"),
-        countDistinct(col("dataset_id")).as("dataset_count"),
-        sort_array(collect_set(col("dataset_id"))).as("datasets"))
-      .withColumnRenamed("q_cell", "h3_cell")
+        count(lit(1)).as("object_count"),
+        sort_array(array_distinct(flatten(collect_list(col("_ds")))))
+          .as("datasets"))
+      .select(
+        col("q_cell").as("h3_cell"),
+        col("object_count"),
+        size(col("datasets")).cast("long").as("dataset_count"),
+        col("datasets"))
       .orderBy(desc("object_count"), asc("h3_cell"))
 
   /** Heatmap over ALL query cells (empty ones kept) via left join

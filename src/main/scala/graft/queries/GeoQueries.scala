@@ -57,7 +57,7 @@ object GeoQueries {
         Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust"), "geo_cust")
     })
 
-  private[queries] def sharedIndex(s: SparkSession, dir: String): DataFrame =
+  def sharedIndex(s: SparkSession, dir: String): DataFrame =
     index(s, dir)
 
   /** The queryable index: persist the NARROW columns plus the

@@ -27,8 +27,17 @@ object Shapefile {
     val dbfPath = companion(shpPath, ".dbf")
     require(Files.exists(dbfPath),
       s"missing companion .dbf for $shpPath") // zip_shapefile.py companion check
-    val geoms = readShp(shpPath)
-    val (fields, attrs) = readDbf(dbfPath, Charset.forName(encoding))
+    readBytes(Files.readAllBytes(shpPath), Files.readAllBytes(dbfPath), encoding)
+  }
+
+  /** Parse from in-memory byte images — the executor-side entry point
+    * for distributed archive ingest, where the bytes come from a
+    * `binaryFile` scan row (HDFS/S3-portable) rather than a local
+    * filesystem path. */
+  def readBytes(shpBytes: Array[Byte], dbfBytes: Array[Byte],
+      encoding: String = "ISO-8859-1"): ShpData = {
+    val geoms = readShp(shpBytes)
+    val (fields, attrs) = readDbf(dbfBytes, Charset.forName(encoding))
     require(geoms.length == attrs.length,
       s"shp/dbf record count mismatch: ${geoms.length} vs ${attrs.length}")
     ShpData(fields, attrs.zip(geoms))
@@ -42,8 +51,7 @@ object Shapefile {
 
   // ------------------------------------------------------------- .shp
 
-  private def readShp(path: Path): Seq[Option[Geom]] = {
-    val bytes = Files.readAllBytes(path)
+  private def readShp(bytes: Array[Byte]): Seq[Option[Geom]] = {
     val bb = ByteBuffer.wrap(bytes)
     bb.order(ByteOrder.BIG_ENDIAN)
     val fileCode = bb.getInt(0)
@@ -116,8 +124,7 @@ object Shapefile {
 
   // ------------------------------------------------------------- .dbf
 
-  private def readDbf(path: Path, cs: Charset): (Seq[DbfField], Seq[Seq[Any]]) = {
-    val bytes = Files.readAllBytes(path)
+  private def readDbf(bytes: Array[Byte], cs: Charset): (Seq[DbfField], Seq[Seq[Any]]) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = bb.getInt(4)
     val headerSize = bb.getShort(8) & 0xFFFF

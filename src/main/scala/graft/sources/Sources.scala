@@ -311,11 +311,13 @@ object Sources {
       val layer = options.get("layer")
       val bin = spark.read.format("binaryFile").load(url)
         .select("path", "content")
-      val firstPath = bin.select("path").orderBy("path").limit(1)
+      // schema probe from the first row's CONTENT (not a local-FS
+      // re-read of its path): binaryFile already fetched the bytes
+      // through Hadoop's FileSystem API, so this works identically on
+      // file:, hdfs: and s3a: (java.nio would only resolve local paths)
+      val firstBytes = bin.orderBy("path").limit(1)
         .collect().headOption.getOrElse(throw new IllegalArgumentException(
-          s"no files match $url")).getString(0)
-      val firstBytes = Files.readAllBytes(
-        Paths.get(java.net.URI.create(firstPath)))
+          s"no files match $url")).getAs[Array[Byte]]("content")
       val (cols, rows0, gIdx) = gpkgLayerRaw(firstBytes, layer)
       val types = gpkgInferTypes(cols, rows0, gIdx)
       val schema = gpkgStruct(cols, types, gIdx)
@@ -342,11 +344,11 @@ object Sources {
       val wanted = options.get("shp_filename")
       val bin = spark.read.format("binaryFile").load(url)
         .select("path", "content")
-      val firstPath = bin.select("path").orderBy("path").limit(1)
+      // probe bytes from the binaryFile row content — cluster-portable
+      // (see GeopackageDistSource)
+      val first = parseZipShp(bin.orderBy("path").limit(1)
         .collect().headOption.getOrElse(throw new IllegalArgumentException(
-          s"no files match $url")).getString(0)
-      val first = parseZipShp(Files.readAllBytes(
-        Paths.get(java.net.URI.create(firstPath))), wanted, enc)
+          s"no files match $url")).getAs[Array[Byte]]("content"), wanted, enc)
       val schema = shpStruct(first.fields)
       val fieldsB = first.fields
       val rowsRdd = bin.rdd.flatMap { r =>
@@ -361,22 +363,40 @@ object Sources {
     }
   }
 
+  /** Unzip an archive image fully in memory — per-task archive parsing
+    * must not churn executor temp disks (one temp file per task × 10^5
+    * tasks at 100 TB). Entry names keep their archive-relative paths. */
+  private[sources] def unzipToMap(zipBytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zipBytes))
+    val out = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+      zin.closeEntry()
+      e = zin.getNextEntry
+    }
+    out.toMap
+  }
+
   private[sources] def parseZipShp(zipBytes: Array[Byte],
       wanted: Option[String], encoding: String): Shapefile.ShpData = {
-    val tmpZip = Files.createTempFile("graft_shpz", ".zip")
-    Files.write(tmpZip, zipBytes)
-    val dir = Downloader.unzip(tmpZip)
-    val shps = Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.toLowerCase.endsWith(".shp")).toSeq
+    val entries = unzipToMap(zipBytes)
+    def fileName(entry: String): String =
+      entry.substring(entry.lastIndexOf('/') + 1)
+    val shps = entries.keys.filter(_.toLowerCase.endsWith(".shp")).toSeq
     val selected = wanted match {
-      case Some(w) => shps.find(_.getFileName.toString == w)
+      case Some(w) => shps.find(fileName(_) == w)
         .getOrElse(throw new IllegalArgumentException(
-          s"shp_filename $w not in archive: ${shps.map(_.getFileName)}"))
+          s"shp_filename $w not in archive: ${shps.map(fileName)}"))
       case None =>
         require(shps.nonEmpty, "no .shp in archive")
-        shps.minBy(_.getFileName.toString)
+        shps.minBy(fileName)
     }
-    Shapefile.read(selected, encoding)
+    val dbfName = selected.substring(0, selected.lastIndexOf('.')) + ".dbf"
+    val dbf = entries.getOrElse(dbfName,
+      throw new IllegalArgumentException(s"missing companion .dbf for $selected"))
+    Shapefile.readBytes(entries(selected), dbf, encoding)
   }
 
   // --------------------------------------------------------- registry
