@@ -28,7 +28,8 @@ object SparkEntry {
       DedupQueries.queries ++
       ExtendedQueries.queries ++
       PipelineQueries.queries ++
-      SourceSinkQueries.queries
+      SourceSinkQueries.queries ++
+      ConsistencyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       DedupQueries.oracle ++
       ExtendedQueries.oracle ++
       PipelineQueries.oracle ++
-      SourceSinkQueries.oracle
+      SourceSinkQueries.oracle ++
+      ConsistencyQueries.oracle
 }

@@ -48,6 +48,12 @@ object GFunctions {
   def h3_compact_cells(cells: Column): Column =
     toCol(H3CompactCells(toExpr(cells)))
 
+  def h3_uncompact_cells(cells: Column, res: Column): Column =
+    toCol(H3UncompactCells(toExpr(cells), toExpr(res)))
+
+  def h3_resolution(cell: Column): Column =
+    toCol(H3Resolution(toExpr(cell)))
+
   def g_h3_query_cells(wkt: Column, res: Column): Column =
     toCol(H3QueryCells(toExpr(wkt), toExpr(res)))
 
@@ -124,6 +130,8 @@ object GFunctions {
     reg3("g_h3_line_cells", H3LineCells(_, _, _))
     reg2("g_h3_point_cells", H3PointCells(_, _))
     reg1("h3_compact_cells", H3CompactCells(_))
+    reg2("h3_uncompact_cells", H3UncompactCells(_, _))
+    reg1("h3_resolution", H3Resolution(_))
     reg2("g_h3_query_cells", H3QueryCells(_, _))
     reg2("h3_cell_to_parent", H3CellToParent(_, _))
 

@@ -198,6 +198,32 @@ case class H3CompactCells(cells: Expression) extends GeoExpr {
     copy(cells = c(0))
 }
 
+/** h3_uncompact_cells(cells, res): expand a compacted hierarchy back to
+  * uniform-resolution cells — the inverse of h3_compact_cells
+  * (aab_ext_restr/003:14; libh3's uncompactCells surface). */
+case class H3UncompactCells(cells: Expression, res: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cells, res)
+  override def dataType: DataType = ArrayType(StringType)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val arr = a(0).asInstanceOf[ArrayData]
+    val in = (0 until arr.numElements()).map(i =>
+      H3Core.fromHexString(arr.getUTF8String(i).toString))
+    strArray(H3Core.uncompactCells(in, int(a(1))).map(H3Core.toHexString).toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cells = c(0), res = c(1))
+}
+
+/** h3_resolution(cell): the cell's resolution (libh3 getResolution). */
+case class H3Resolution(cell: Expression) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(cell)
+  override def dataType: DataType = IntegerType
+  override protected def evalNotNull(a: Array[Any]): Any =
+    java.lang.Integer.valueOf(H3Core.resolution(H3Core.fromHexString(str(a(0)))))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(cell = c(0))
+}
+
 /** g_h3_query_cells(wkt, res): SWEREF99 WKT polygon -> query cell array
   * (003_db_makros.sql:138). */
 case class H3QueryCells(wkt: Expression, res: Expression) extends GeoExpr {

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GFunctions._
+import graft.ops.VectorOps
+import graft.pipeline.{GeoFixture, H3Index, H3Query}
+import graft.spatial.Geometry
+
+/** Consistency oracles for the operators whose OUTPUTS are not
+  * SQL-expressible (H3 cell ids, IVF probes): the driver's DuckDB can't
+  * recompute the result, but it CAN check the mathematical
+  * RELATIONSHIPS the results must satisfy, and (because the geo fixture
+  * is closed-form integer arithmetic, GeoFixture.scala:8-19) several
+  * strong per-row memberships directly.
+  *
+  * Three oracle classes, strongest first:
+  *  - closed-form: DuckDB derives the expected rows from `customer`
+  *    with pure arithmetic (q78 object counts, q79 polygon membership
+  *    for margin-safe objects, q58 per-object roundtrip laws);
+  *  - identity: two independently-computed engine paths must agree
+  *    exactly — the oracle pins the difference at zero rows / zero diff
+  *    (q46 statsTop vs stats, q56 exact⊆candidates, q45/q57/q77 mass
+  *    conservation);
+  *  - exactness: an approximate operator configured to be exhaustive
+  *    must equal the exact baseline, which HAS a SQL oracle (q59 IVF
+  *    full-probe == q51 brute-force).
+  */
+object ConsistencyQueries {
+
+  private val wkt = GeoFixture.queryPolygonWkt
+  private val res = H3Query.DefaultQueryRes
+
+  private def joinedPairs(s: SparkSession, dir: String): DataFrame = {
+    val q = broadcast(H3Query.queryCells(s, wkt, res))
+    GeoQueries.sharedIndex(s, dir)
+      .withColumn("q_cell", col(s"h3_parent_$res"))
+      .join(q, "q_cell")
+  }
+
+  private def stringified(df: DataFrame): DataFrame =
+    df.withColumn("datasets", concat_ws("|", col("datasets")))
+      .withColumn("klasser", concat_ws("|", col("klasser")))
+      .withColumn("leverantorer", concat_ws("|", col("leverantorer")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // h3_stats mass conservation: per-cell object_count sums to the
+    // total index cardinality (pipeline_runner.py:1144-1153 aggregates
+    // every index row into exactly one (cell, dataset) bucket).
+    "q45_stats_mass" -> ((s, dir) => {
+      val idx = GeoQueries.sharedIndex(s, dir)
+      val lhs = H3Index.stats(idx)
+        .agg(sum(col("object_count")).as("stats_total"))
+      val rhs = idx.agg(count(lit(1)).as("index_total"))
+      lhs.crossJoin(rhs)
+        .select((col("stats_total") - col("index_total")).as("diff"))
+    }),
+
+    // statsTop's cheap-count + semi-join plan must equal the full
+    // aggregate ordered-and-limited (H3Index.scala:78-87 claims this
+    // identity; here the driver holds it to zero differing rows).
+    "q46_statstop_equiv" -> ((s, dir) => {
+      val idx = GeoQueries.sharedIndex(s, dir)
+      val viaTop = stringified(H3Index.statsTop(idx, 50))
+      val viaFull = stringified(
+        H3Index.stats(idx)
+          .orderBy(desc("object_count"), asc("h3_cell"))
+          .limit(50))
+      viaTop.except(viaFull)
+    }),
+
+    // Exact-refine is a strict subset of the candidate join
+    // (docs/H3_POLYGON_ANALYSIS.md:337-355: refinement only FILTERS).
+    "q56_exact_subset" -> ((s, dir) => {
+      val idx = GeoQueries.sharedIndex(s, dir)
+      H3Query.objectsExact(s, idx, wkt, res)
+        .except(H3Query.objects(s, idx, wkt, res))
+    }),
+
+    // Heatmap mass conservation: sum of per-cell distinct-object counts
+    // equals the number of distinct (query cell, object) pairs in the
+    // join input (h3_query.py:147-171 partitions pairs by cell).
+    "q57_heatmap_mass" -> ((s, dir) => {
+      val lhs = H3Query.heatmap(s, GeoQueries.sharedIndex(s, dir), wkt, res)
+        .agg(sum(col("object_count")).as("heat_total"))
+      val rhs = joinedPairs(s, dir)
+        .select("q_cell", "id").distinct()
+        .agg(count(lit(1)).as("pair_total"))
+      lhs.crossJoin(rhs)
+        .select((col("heat_total") - col("pair_total")).as("diff"))
+    }),
+
+    // Per-object compaction law: uncompact(compact(cells), res) == cells
+    // as sets, for every object (aab_ext_restr/003:10-16; closed-form:
+    // the fixture yields exactly one object per customer row).
+    "q58_compact_roundtrip" -> ((s, dir) => {
+      GeoQueries.sharedNormalized(s, dir)
+        .filter(col("h3_cells").isNotNull && size(col("h3_cells")) > 0)
+        .select(
+          col("source_id").cast("long").as("fid"),
+          (sort_array(h3_uncompact_cells(
+            h3_compact_cells(col("h3_cells")),
+            h3_resolution(element_at(col("h3_cells"), 1)))) ===
+            sort_array(array_distinct(col("h3_cells")))).as("ok"))
+        .orderBy("fid")
+    }),
+
+    // IVF probing ALL cells is exhaustive search, so it must equal the
+    // brute-force top-k — which has a real value-level SQL oracle
+    // (VectorQueries q51). Exercises the KMeans assignment + probe path
+    // end-to-end at the value level.
+    "q59_ivf_exact" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val query = e.filter(col("vec_id") === 42)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val (assigned, centroids) = DedupQueries.sharedIvf(s, dir)
+      VectorOps.ivfSearch(assigned, centroids, "vec_id", "embedding",
+          query, k = 11, nprobe = centroids.length)
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Stats mass conservation: the per-(dataset, klass) distinct-object
+    // counts sum to the objects-mode row count ((dataset, klass)
+    // partitions the distinct objects; h3_query.py:122-144).
+    "q77_query_mass" -> ((s, dir) => {
+      val idx = GeoQueries.sharedIndex(s, dir)
+      val lhs = H3Query.stats(s, idx, wkt, res)
+        .agg(sum(col("object_count")).as("stats_total"))
+      val rhs = H3Query.objects(s, idx, wkt, res)
+        .agg(count(lit(1)).as("objects_total"))
+      lhs.crossJoin(rhs)
+        .select((col("stats_total") - col("objects_total")).as("diff"))
+    }),
+
+    // Mart explode object conservation, closed-form: every customer row
+    // becomes exactly one object (all fixture geometries are valid and
+    // produce cells), so distinct objects per klass == customers per
+    // mktsegment — DuckDB counts them directly.
+    "q78_mart_objects" -> ((s, dir) => {
+      GeoQueries.sharedMart(s, dir)
+        .groupBy("klass")
+        .agg(countDistinct(col("id")).as("n_objects"))
+        .orderBy("klass")
+    }),
+
+    // Closed-form polygon membership: for objects ≥2 km inside (or
+    // outside) the query rectangle — beyond any res-8 cell's reach from
+    // the boundary — candidate-join + exact-refine membership is decided
+    // by pure integer arithmetic on c_custkey, which DuckDB replays
+    // directly. Catches polyfill, parent-derivation, equi-join and
+    // ST_Intersects bugs anywhere outside the ~1-cell boundary ring
+    // (misses -> missing fid; exterior overreach -> unexpected fid).
+    "q79_exact_closed" -> ((s, dir) => {
+      val qcells = broadcast(H3Query.queryCells(s, wkt, res))
+      val queryWkb = Geometry.toWkb(Geometry.fromWkt(wkt))
+      val cand = GeoQueries.sharedNormalized(s, dir)
+        .filter(col("h3_cells").isNotNull && size(col("h3_cells")) > 0)
+        .select(col("source_id"), col("geom"),
+          explode(col("h3_cells")).as("h3_cell"))
+        .withColumn("q_cell", h3_cell_to_parent(col("h3_cell"), lit(res)))
+        .join(qcells, "q_cell")
+        .select("source_id", "geom").distinct()
+      val k = col("source_id").cast("long")
+      val x0 = (k % 31) * 2000 + 560000
+      val y0 = ((k * 7) % 23) * 3000 + 6440000
+      val interiorSafe =
+        when(k % 3 === 0,
+          x0.between(562000, 618000) && y0.between(6452000, 6498000))
+          .when(k % 3 === 1,
+            x0 >= 562000 && x0 + 800 <= 618000 &&
+              y0 >= 6452000 && y0 + 800 <= 6498000)
+          .otherwise(
+            x0 >= 562000 && x0 + 1500 <= 618000 &&
+              y0 >= 6452000 && y0 + 900 <= 6498000)
+      // conservative: bbox (incl. max extent 1500x900) clear of the
+      // rectangle expanded by 2 km; x always overlaps, only y can clear
+      val exteriorSafe = (y0 + 900 < 6448000) || (y0 > 6502000)
+      cand
+        .filter(st_intersects(col("geom"), lit(queryWkb)))
+        .filter(interiorSafe || exteriorSafe)
+        .select(k.as("fid"))
+        .orderBy("fid")
+    })
+  )
+
+  private def emptySelect(cols: (String, String)*): String =
+    cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }
+      .mkString("SELECT ", ", ", " WHERE 1=0")
+
+  private val safeMembershipSql =
+    """WITH t AS (
+      |  SELECT c_custkey AS k,
+      |         (c_custkey % 31) * 2000 + 560000 AS x0,
+      |         ((c_custkey * 7) % 23) * 3000 + 6440000 AS y0
+      |  FROM customer)
+      |SELECT k AS fid FROM t
+      |WHERE CASE
+      |  WHEN k % 3 = 0 THEN x0 BETWEEN 562000 AND 618000
+      |                  AND y0 BETWEEN 6452000 AND 6498000
+      |  WHEN k % 3 = 1 THEN x0 >= 562000 AND x0 + 800 <= 618000
+      |                  AND y0 >= 6452000 AND y0 + 800 <= 6498000
+      |  ELSE x0 >= 562000 AND x0 + 1500 <= 618000
+      |   AND y0 >= 6452000 AND y0 + 900 <= 6498000
+      |END
+      |ORDER BY fid""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q45_stats_mass" -> "SELECT CAST(0 AS BIGINT) AS diff",
+    "q46_statstop_equiv" -> emptySelect(
+      "h3_cell" -> "VARCHAR", "object_count" -> "BIGINT",
+      "dataset_count" -> "BIGINT", "datasets" -> "VARCHAR",
+      "klasser" -> "VARCHAR", "leverantorer" -> "VARCHAR"),
+    "q56_exact_subset" -> emptySelect(
+      "id" -> "VARCHAR", "dataset_id" -> "VARCHAR",
+      "leverantor" -> "VARCHAR", "klass" -> "VARCHAR"),
+    "q57_heatmap_mass" -> "SELECT CAST(0 AS BIGINT) AS diff",
+    "q58_compact_roundtrip" ->
+      "SELECT c_custkey AS fid, true AS ok FROM customer ORDER BY fid",
+    "q59_ivf_exact" -> VectorQueries.oracle("q51_knn_brute"),
+    "q77_query_mass" -> "SELECT CAST(0 AS BIGINT) AS diff",
+    "q78_mart_objects" ->
+      """SELECT c_mktsegment AS klass, COUNT(*) AS n_objects
+        |FROM customer GROUP BY 1 ORDER BY klass""".stripMargin,
+    "q79_exact_closed" -> safeMembershipSql
+  )
+}

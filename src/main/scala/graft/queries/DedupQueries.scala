@@ -34,6 +34,9 @@ object DedupQueries {
       TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text",
         maxBucket = 64).persist())
 
+  private[queries] def sharedIvf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    ivf(s, dir)
+
   private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     ivfMemo.computeIfAbsent(dir, _ => {
       val (assigned, centroids) =

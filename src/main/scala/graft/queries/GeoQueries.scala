@@ -60,6 +60,15 @@ object GeoQueries {
   def sharedIndex(s: SparkSession, dir: String): DataFrame =
     index(s, dir)
 
+  /** Normalized objects (one row per object, with source_id) — lazy
+    * projection over the cached staged relation, shared with the
+    * consistency-oracle queries. */
+  private[queries] def sharedNormalized(s: SparkSession, dir: String): DataFrame =
+    Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust")
+
+  private[queries] def sharedMart(s: SparkSession, dir: String): DataFrame =
+    mart(s, dir)
+
   /** The queryable index: persist the NARROW columns plus the
     * materialized query-res ancestor (the covering column H3Query picks
     * up automatically — polygon queries become pure equi-joins with no
