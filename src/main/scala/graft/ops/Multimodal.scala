@@ -6,11 +6,16 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column support (builder brief): image/audio/video travel
   * as opaque `binary` payloads with a typed metadata struct; decode /
-  * feature-extract / resize / frame-sample are per-row transforms whose
-  * Spark-side plumbing (schema, batching, partitioning) is real while
-  * the codec itself is STUBBED — this container has no image/audio
-  * libraries, so the decode produces deterministic digests, clearly
-  * marked, with the same shapes a real decoder would emit.
+  * feature-extract / resize / frame-sample are per-row transforms.
+  *
+  * What's REAL vs STUBBED: container metadata extraction is real —
+  * [[ImageCodec.image_meta]] parses actual PNG/JPEG/GIF byte layouts
+  * (published specs, no native codec needed) for width/height/channels.
+  * PIXEL-level work (feature vectors, resampling) is stubbed with
+  * deterministic digests — this container ships no image/audio
+  * libraries — with the same shapes a real decoder would emit, so the
+  * Spark-side plumbing (schema, batching, partitioning) is exercised
+  * for real.
   *
   * At 100 TB the invariants that matter are here: payloads never reach
   * a shuffle (all ops are map-only projections), metadata is a narrow
@@ -30,10 +35,16 @@ object Multimodal {
       length(payload).cast("long").as("n_bytes"),
       md5(payload).as("checksum"))
 
-  /** STUB decode: a real implementation would JNI/FFI into an image
-    * library inside mapPartitions (batch-local codec reuse); the stub
-    * derives a deterministic 8-dim "feature" from payload digests so
-    * downstream plumbing (schema: array<double>) is exercised for real. */
+  /** REAL header decode: width/height/channels/format parsed from the
+    * payload's container bytes (PNG IHDR / JPEG SOFn / GIF LSD) — NULL
+    * struct for unrecognized payloads. */
+  def imageMeta(payload: Column): Column = ImageCodec.image_meta(payload)
+
+  /** STUB pixel decode: a real implementation would JNI/FFI into an
+    * image library inside mapPartitions (batch-local codec reuse); the
+    * stub derives a deterministic 8-dim "feature" from payload digests
+    * so downstream plumbing (schema: array<double>) is exercised for
+    * real. */
   def decodeFeaturesStub(payload: Column): Column =
     transform(sequence(lit(0), lit(7)), i =>
       (conv(substring(md5(payload), i * 4 + 1, lit(4)), 16, 10).cast("double") / 65535.0))

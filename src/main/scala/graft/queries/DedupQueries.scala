@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Multimodal, TextDedup, VectorOps}
+import graft.ops.{ImageCodec, Multimodal, TextDedup, VectorOps}
 
 /** Near-dup / multimodal / IVF operator queries over `documents` and
   * `embeddings` (builder brief: the LLM-training-data pipeline surface).
@@ -85,13 +85,30 @@ object DedupQueries {
     "q74_multimodal_meta" -> ((s, dir) => {
       val withPayload = docs(s, dir)
         .withColumn("payload", col("text").cast("binary"))
+      // image payloads with deterministic dimensions: the fixture
+      // encoder writes REAL PNG/JPEG headers, image_meta parses them
+      // back, and the oracle predicts the values by arithmetic — so a
+      // byte-layout bug on either side breaks the hash-match (absolute
+      // layout correctness is additionally pinned by MultimodalSpec's
+      // hand-written spec-hex vectors).
+      val n = length(col("text"))
+      val fmt = when(n % 3 === 0, "png")
+        .when(n % 3 === 1, "jpeg")
+        .otherwise("jpeg_gray")
+      val img = ImageCodec.image_fixture(fmt, lit(16) + (n % 240),
+        lit(16) + ((n * 7) % 240))
       Multimodal.enrich(withPayload, "payload", "text/plain")
+        .withColumn("img_meta", Multimodal.imageMeta(img))
         .select(col("doc_id"),
           col("meta.mime").as("mime"),
           col("meta.n_bytes").as("n_bytes"),
           col("meta.checksum").as("checksum"),
           element_at(col("frames"), 1).getField("frame_digest").as("frame0"),
-          element_at(col("frames"), 4).getField("frame_digest").as("frame3"))
+          element_at(col("frames"), 4).getField("frame_digest").as("frame3"),
+          col("img_meta.format").as("img_format"),
+          col("img_meta.width").as("img_w"),
+          col("img_meta.height").as("img_h"),
+          col("img_meta.channels").as("img_ch"))
         .orderBy("doc_id")
     }),
 
@@ -148,7 +165,11 @@ object DedupQueries {
         |  CAST(length(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS checksum,
         |  md5(substring(text, 1, GREATEST(length(text) // 4, 1))) AS frame0,
-        |  md5(substring(text, 3 * (length(text) // 4) + 1, GREATEST(length(text) // 4, 1))) AS frame3
+        |  md5(substring(text, 3 * (length(text) // 4) + 1, GREATEST(length(text) // 4, 1))) AS frame3,
+        |  CASE WHEN length(text) % 3 = 0 THEN 'png' ELSE 'jpeg' END AS img_format,
+        |  CAST(16 + length(text) % 240 AS INTEGER) AS img_w,
+        |  CAST(16 + (length(text) * 7) % 240 AS INTEGER) AS img_h,
+        |  CAST(CASE WHEN length(text) % 3 = 2 THEN 1 ELSE 3 END AS INTEGER) AS img_ch
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

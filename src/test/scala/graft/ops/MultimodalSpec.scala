@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Image header codec: absolute byte-layout vectors written by hand
+  * from the published specs (NOT via our own encoder, so an encoder+
+  * decoder inverse-bug pair can't hide), plus encoder round-trips and
+  * the Spark expression surface.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("PNG IHDR vector from RFC 2083: 257x64 truecolor") {
+    // signature | IHDR len=13 | 'IHDR' | w=0x101 | h=0x40 | depth=8
+    // colortype=2 | comp=0 filter=0 interlace=0 | crc (value irrelevant
+    // to the parser, present for layout)
+    val png = hex(
+      "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000101" + "00000040" + "08" + "02" + "000000" + "DEADBEEF")
+    assert(ImageCodec.decode(png) ===
+      Some(ImageCodec.Meta("png", 257, 64, 3)))
+  }
+
+  test("PNG colortype channel mapping (gray/palette/gray+a/rgba)") {
+    for ((ct, ch) <- Seq(0 -> 1, 3 -> 1, 4 -> 2, 6 -> 4)) {
+      val b = ImageCodec.pngBytes(10, 20, colorType = ct)
+      assert(ImageCodec.decode(b) === Some(ImageCodec.Meta("png", 10, 20, ch)))
+    }
+  }
+
+  test("JPEG SOF0 vector from ITU-T T.81: APP0 skipped, 640x480x3") {
+    // SOI | APP0 len=16 'JFIF\0' v1.1 units=0 density 1x1 no thumb |
+    // SOF0 len=17 prec=8 h=480(0x01E0) w=640(0x0280) ncomp=3 + 3 comps
+    val jpg = hex(
+      "FFD8" +
+        "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000" +
+        "FFC0" + "0011" + "08" + "01E0" + "0280" + "03" +
+        "011100" + "021101" + "031101")
+    assert(ImageCodec.decode(jpg) ===
+      Some(ImageCodec.Meta("jpeg", 640, 480, 3)))
+  }
+
+  test("JPEG progressive (SOF2) also carries dimensions") {
+    val jpg = hex("FFD8" + "FFC2" + "000B" + "08" + "0064" + "00C8" + "01" + "011100")
+    assert(ImageCodec.decode(jpg) === Some(ImageCodec.Meta("jpeg", 200, 100, 1)))
+  }
+
+  test("GIF89a vector: 3x5 little-endian dims") {
+    val gif = hex("474946383961" + "0300" + "0500" + "F7" + "00" + "00")
+    assert(ImageCodec.decode(gif) === Some(ImageCodec.Meta("gif", 3, 5, 3)))
+  }
+
+  test("garbage, truncated and text payloads decode to None") {
+    assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
+    assert(ImageCodec.decode(ImageCodec.pngBytes(5, 5).take(20)).isEmpty)
+    // PNG signature with a non-IHDR first chunk is rejected
+    val bad = hex("89504E470D0A1A0A" + "0000000D" + "49444154" +
+      "00000001000000010802000000" + "00000000")
+    assert(ImageCodec.decode(bad).isEmpty)
+  }
+
+  test("encoder round-trips across the dimension range") {
+    for ((w, h) <- Seq(1 -> 1, 16 -> 255, 255 -> 16, 4096 -> 2160)) {
+      assert(ImageCodec.decode(ImageCodec.pngBytes(w, h)) ===
+        Some(ImageCodec.Meta("png", w, h, 3)))
+      assert(ImageCodec.decode(ImageCodec.jpegBytes(w, h)) ===
+        Some(ImageCodec.Meta("jpeg", w, h, 3)))
+      assert(ImageCodec.decode(ImageCodec.jpegBytes(w, h, channels = 1)) ===
+        Some(ImageCodec.Meta("jpeg", w, h, 1)))
+    }
+  }
+
+  test("PNG chunk CRCs are real (external readers checksum them)") {
+    val b = ImageCodec.pngBytes(99, 7)
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 4 + 13) // 'IHDR' + data
+    val stored = ((b(29) & 0xFFL) << 24) | ((b(30) & 0xFFL) << 16) |
+      ((b(31) & 0xFFL) << 8) | (b(32) & 0xFFL)
+    assert(crc.getValue === stored)
+  }
+
+  test("image_meta expression: NULL-safe struct over mixed payloads") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", ImageCodec.pngBytes(33, 44)),
+      ("b", ImageCodec.jpegBytes(55, 66, 1)),
+      ("c", "plain text".getBytes),
+      ("d", null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+      .withColumn("m", ImageCodec.image_meta(col("payload")))
+      .select("id", "m.format", "m.width", "m.height", "m.channels")
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).toSeq === Seq("a", "png", 33, 44, 3))
+    assert(rows(1).toSeq === Seq("b", "jpeg", 55, 66, 1))
+    assert(rows(2).toSeq === Seq("c", null, null, null, null))
+    assert(rows(3).toSeq === Seq("d", null, null, null, null))
+  }
+
+  test("fixture expression matches direct encoding") {
+    import spark.implicits._
+    val r = Seq(("png", 12, 34), ("jpeg", 56, 78), ("jpeg_gray", 9, 10))
+      .toDF("fmt", "w", "h")
+      .select(ImageCodec.image_meta(
+        ImageCodec.image_fixture(col("fmt"), col("w"), col("h"))).as("m"))
+      .select("m.format", "m.width", "m.height", "m.channels")
+      .collect()
+    assert(r(0).toSeq === Seq("png", 12, 34, 3))
+    assert(r(1).toSeq === Seq("jpeg", 56, 78, 3))
+    assert(r(2).toSeq === Seq("jpeg", 9, 10, 1))
+  }
+}
