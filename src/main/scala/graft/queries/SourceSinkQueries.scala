@@ -162,6 +162,26 @@ object SourceSinkQueries {
         .orderBy("fid")
     }),
 
+    // GeoParquet export (geo descriptor spliced into each part FOOTER,
+    // the spec location) -> plain parquet source -> digest: proves the
+    // footer-rewritten files are still valid parquet with intact rows,
+    // and fails loudly if any part lost its geo key.
+    "q100_geoparquet_footer" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_q100")
+      val path = tmp.resolve("gpq").toString
+      Exporters.geoparquet(slice(s, dir), path)
+      import scala.jdk.CollectionConverters._
+      val parts = Files.list(tmp.resolve("gpq")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      require(parts.nonEmpty, "no parquet parts written")
+      parts.foreach { p =>
+        val geo = graft.sinks.ParquetFooter.readKeyValue(p)
+        require(geo.get("geo").exists(_.contains("\"encoding\": \"WKB\"")),
+          s"geo footer key missing in $p")
+      }
+      digest(Sources.ParquetSource.read(s, Map("url" -> path)))
+    }),
+
     // CSV export (Kepler hex_id convention) -> CSV source: rows survive
     // only if hex_id mirrors h3_cell, so a broken mirror fails the
     // row-count check, and fid/name hash-match against the oracle.
@@ -209,6 +229,7 @@ object SourceSinkQueries {
         |FROM customer WHERE c_custkey <= 300
         |GROUP BY 1 ORDER BY gtype""".stripMargin,
     "q96_geojson_roundtrip" -> digestOracle,
+    "q100_geoparquet_footer" -> digestOracle,
     "q97_csv_export_loop" ->
       """SELECT c_custkey AS fid, c_name AS name
         |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin

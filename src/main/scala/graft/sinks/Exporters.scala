@@ -98,18 +98,31 @@ object Exporters {
     Files.writeString(Paths.get(path), GeoJson.featureCollection(features))
   }
 
-  /** GeoParquet: ZSTD parquet + sidecar `_geo_metadata.json` carrying
-    * the geo column/bbox/CRS descriptor. (Spark's parquet writer cannot
-    * attach custom file-level metadata, so the descriptor rides
-    * alongside — documented divergence from the in-footer spec.) */
+  /** GeoParquet (spec 1.0.0): ZSTD parquet with the `geo` descriptor
+    * embedded in each part file's FOOTER key-value metadata — the real
+    * spec location (`src/g_etl/export.py:259-281` writes the same via
+    * geopandas), so external GeoParquet readers recognize the output.
+    * Spark's writer can't attach custom footer metadata, so the
+    * descriptor is spliced in post-write by [[ParquetFooter]] — an
+    * O(footer) tail rewrite, row groups untouched. geometry_types are
+    * computed from the data (one cheap distinct over the type column). */
   def geoparquet(df: DataFrame, path: String, geomCol: String = "geom",
-      crs: String = "EPSG:3006"): Unit = {
+      epsgCode: Int = 3006, crsName: String = "SWEREF99 TM"): Unit = {
     parquetZstd(df, path)
-    val meta =
-      s"""{"version": "1.0.0", "primary_column": "$geomCol",
-         | "columns": {"$geomCol": {"encoding": "WKB", "crs": "$crs"}}}"""
-        .stripMargin
-    Files.writeString(Paths.get(path, "_geo_metadata.json"), meta)
+    val camel = Map("POINT" -> "Point", "MULTIPOINT" -> "MultiPoint",
+      "LINESTRING" -> "LineString", "MULTILINESTRING" -> "MultiLineString",
+      "POLYGON" -> "Polygon", "MULTIPOLYGON" -> "MultiPolygon",
+      "GEOMETRYCOLLECTION" -> "GeometryCollection")
+    val gtypes = df.filter(col(geomCol).isNotNull)
+      .select(st_geometrytype(col(geomCol)).as("t")).distinct()
+      .collect().map(_.getString(0))
+      .flatMap(camel.get).sorted
+      .map("\"" + _ + "\"").mkString("[", ", ", "]")
+    val crsJson =
+      s"""{"type": "ProjectedCRS", "name": "$crsName", "id": {"authority": "EPSG", "code": $epsgCode}}"""
+    val geo =
+      s"""{"version": "1.0.0", "primary_column": "$geomCol", "columns": {"$geomCol": {"encoding": "WKB", "geometry_types": $gtypes, "crs": $crsJson}}}"""
+    ParquetFooter.addKeyValueToDir(path, Map("geo" -> geo))
   }
 
   /** Self-contained HTML map (SVG; replaces folium, export.py:161-256):

@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.config.ConfigLoader
 import graft.pipeline.{GeoFixture, Ledger, Runner, Stages, FieldMapping}
 import graft.sources.Sources
@@ -93,12 +95,47 @@ class ExportRunnerSpec extends AnyFunSuite {
     assert(back.getAs[String]("tags") == """["a","b"]""")
   }
 
-  test("geoparquet export writes sidecar geo metadata") {
+  test("geoparquet export embeds the geo key in every part footer") {
     val out = Files.createTempDirectory("gpq").toString + "/t"
     Exporters.geoparquet(mart.limit(10), out)
-    assert(spark.read.parquet(out).count() == 10)
-    val meta = Files.readString(Paths.get(out, "_geo_metadata.json"))
-    assert(meta.contains("\"encoding\": \"WKB\""))
+    // the footer-rewritten files must still be valid parquet with the
+    // same rows, and EVERY part must carry the spec's `geo` key
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10)
+    assert(back.columns.contains("geom"))
+    val parts = Files.list(Paths.get(out)).iterator()
+    var nParts = 0
+    parts.forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        nParts += 1
+        val geo = ParquetFooter.readKeyValue(p).getOrElse("geo",
+          fail(s"no geo key in $p"))
+        assert(geo.contains("\"encoding\": \"WKB\""))
+        assert(geo.contains("\"primary_column\": \"geom\""))
+        assert(geo.contains("\"code\": 3006"))
+        assert(geo.contains("geometry_types"))
+      }
+    }
+    assert(nParts > 0)
+  }
+
+  test("footer rewrite preserves spark's own schema metadata") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("gpq2").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .repartition(1).write.parquet(out)
+    val part = Files.list(Paths.get(out)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val before = ParquetFooter.readKeyValue(part)
+    ParquetFooter.addKeyValue(part, Map("custom" -> "v1"))
+    val after = ParquetFooter.readKeyValue(part)
+    assert(after("custom") == "v1")
+    before.keys.foreach(k => assert(after.contains(k), s"lost key $k"))
+    // idempotent replace, not duplicate
+    ParquetFooter.addKeyValue(part, Map("custom" -> "v2"))
+    assert(ParquetFooter.readKeyValue(part)("custom") == "v2")
+    assert(spark.read.parquet(out).orderBy("id").collect().map(_.getString(1))
+      .toSeq == Seq("a", "b"))
   }
 
   test("html map export renders circles with colors and caps rows") {
