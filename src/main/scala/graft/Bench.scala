@@ -31,12 +31,15 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Warm the geometry/H3 JIT paths on a tiny slice (limit(200)) — the
-    // interpreted->C2 ramp of the cell-math expressions otherwise lands
-    // entirely inside the first geo query's measurement. The full-size
-    // staged/mart computation still happens (and is timed) in q61+.
+    // Warm the geometry/H3 JIT paths. 2000 rows (~650 polygon polyfills
+    // plus line corridors and point cells) is enough invocations to get
+    // the polyfill inner loops through the interpreted->C2 ramp — with
+    // a 200-row slice the ramp landed inside the first geo query's
+    // measurement and dominated it (driver r03 measured q61 at 9.5 s
+    // cold vs 1.6-1.8 s steady-state). The full-size staged/mart
+    // computation still happens (and is timed) in the geo queries.
     try {
-      val tiny = graft.pipeline.GeoFixture(spark, sfDir).limit(200)
+      val tiny = graft.pipeline.GeoFixture(spark, sfDir).limit(2000)
       val st = graft.pipeline.Stages.stage004(tiny)
       st.write.format("noop").mode("overwrite").save()
       graft.pipeline.Stages.martH3Compact(

@@ -62,65 +62,44 @@ object H3Query {
 
   /** aggregation="stats" (h3_query.py:122-144).
     *
-    * Cascaded two-phase aggregation, NOT one groupBy mixing two
-    * COUNT(DISTINCT)s with a collect_set: that single-pass form makes
-    * Catalyst plan an Expand that replicates every joined row once per
-    * distinct aggregate (x3) before the shuffle — the multi-distinct
-    * blowup H3Index.stats documents as THE 100 TB killer (and it also
-    * defeats column pruning of lazily-derived index columns, so every
-    * row pays cell->geom math it never reads). Here each distinct count
-    * collapses on its fine key first (map-side combine effective,
-    * shuffle carries collapsed groups only) and the final join touches
-    * a handful of (dataset, klass) rows. */
+    * NOT one groupBy mixing COUNT(DISTINCT)s with a collect_set: that
+    * form makes Catalyst plan an Expand replicating every joined row
+    * once per distinct aggregate (x3) before the shuffle — the
+    * multi-distinct blowup H3Index.stats documents as THE 100 TB
+    * killer (it also defeats column pruning of lazily-derived index
+    * columns, so every row pays cell->geom math it never reads). */
   def stats(spark: SparkSession, index: DataFrame, wkt: String,
       res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame = {
-    // ONE pass over the (large) index side collapses the match set to
-    // one row per matching object — the interactive-query cardinality
-    // (10^3-10^5), never the exploded-cell cardinality. Per-object
-    // collect_sets are bounded by the polygon's fine cells per object.
-    // phase 2 merges the per-object sets in ONE aggregate (count +
-    // set-union + set-union) — no distinct aggregates, so no Expand,
-    // no second scan, no join. The collect_list(_cells) buffer per
-    // (dataset, klass) group is bounded by the polygon's distinct fine
-    // cells — the same polygon-area bound as the broadcast query-cell
-    // set itself, NOT by data size; a polygon too big for this buffer
-    // is too big to broadcast-polyfill in the first place, and that
-    // regime is served by the h3_stats pre-aggregate (heatmapWithEmpty).
+    // ONE set-based aggregate: distinct counts are SIZES of collected
+    // sets, so Catalyst plans a plain two-phase ObjectHashAggregate
+    // (map-side partial sets, shuffle of collapsed groups, final
+    // merge) — no distinct-aggregate rewrite, no Expand, one scan,
+    // two stages. The set buffers are bounded by the polygon's match
+    // set (objects + fine cells inside it) — the same polygon-area
+    // bound as the broadcast query-cell set itself, NOT by data size;
+    // a polygon too big for these buffers is too big to
+    // broadcast-polyfill in the first place, and that regime is served
+    // by the h3_stats pre-aggregate (statsApprox / heatmapWithEmpty).
     joined(spark, index, wkt, res, datasets)
-      .groupBy("dataset_id", "klass", "id")
-      .agg(
-        collect_set(col("leverantor")).as("_ls"),
-        collect_set(col("h3_cell")).as("_cells"))
       .groupBy("dataset_id", "klass")
       .agg(
-        count(lit(1)).as("object_count"),
-        size(array_distinct(flatten(collect_list(col("_cells")))))
-          .cast("long").as("cell_count"),
-        sort_array(array_distinct(flatten(collect_list(col("_ls")))))
-          .as("leverantorer"))
-      .select("dataset_id", "klass", "object_count", "cell_count", "leverantorer")
+        size(collect_set(col("id"))).cast("long").as("object_count"),
+        size(collect_set(col("h3_cell"))).cast("long").as("cell_count"),
+        sort_array(collect_set(col("leverantor"))).as("leverantorer"))
       .orderBy(desc("object_count"), asc("dataset_id"), asc("klass"))
   }
 
   /** aggregation="heatmap" (h3_query.py:147-171): per query cell.
-    * Same cascade rationale as [[stats]]: COUNT(DISTINCT id) collapses
-    * per (cell, id) first; the dataset set needs no distinct-count at
-    * all — its size IS the distinct count. No Expand anywhere. */
+    * Same rationale as [[stats]]: both distinct counts are set sizes,
+    * so no distinct-aggregate rewrite and no Expand anywhere; the id
+    * sets per cell are bounded by the polygon's match set. */
   def heatmap(spark: SparkSession, index: DataFrame, wkt: String,
       res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame =
     joined(spark, index, wkt, res, datasets)
-      // phase 1 (the only pass over the index side): one row per
-      // (query cell, object); the per-pair dataset set is 1-element
-      .groupBy("q_cell", "id")
-      .agg(collect_set(col("dataset_id")).as("_ds"))
-      // phase 2: per-cell rollup over the collapsed pairs; the distinct
-      // dataset count IS the size of the merged set — no second
-      // distinct aggregate, so no Expand anywhere
       .groupBy("q_cell")
       .agg(
-        count(lit(1)).as("object_count"),
-        sort_array(array_distinct(flatten(collect_list(col("_ds")))))
-          .as("datasets"))
+        size(collect_set(col("id"))).cast("long").as("object_count"),
+        sort_array(collect_set(col("dataset_id"))).as("datasets"))
       .select(
         col("q_cell").as("h3_cell"),
         col("object_count"),
