@@ -29,7 +29,8 @@ object SparkEntry {
       ExtendedQueries.queries ++
       PipelineQueries.queries ++
       SourceSinkQueries.queries ++
-      ConsistencyQueries.queries
+      ConsistencyQueries.queries ++
+      ConsistencyQueries2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       ExtendedQueries.oracle ++
       PipelineQueries.oracle ++
       SourceSinkQueries.oracle ++
-      ConsistencyQueries.oracle
+      ConsistencyQueries.oracle ++
+      ConsistencyQueries2.oracle
 }

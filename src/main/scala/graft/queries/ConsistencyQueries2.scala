@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextDedup
+
+/** Second consistency-oracle battery: q69 (heatmap-with-empty) plus the
+  * near-dup sketches q70/q72, whose hash functions are engine-internal
+  * (murmur-based, not replayable in SQL) but whose RECALL ON IDENTICAL
+  * TEXT is a hard law: identical documents have identical signatures,
+  * identical signatures share every LSH band, so every identical-text
+  * pair MUST surface as a candidate — and DuckDB can enumerate the
+  * identical-text pairs directly with a self-join on md5(text).
+  */
+object ConsistencyQueries2 {
+
+  private val wkt = graft.pipeline.GeoFixture.queryPolygonWkt
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Identical-text pairs straight from the corpus (the DuckDB-checkable
+    * ground truth for sketch recall). */
+  private def dupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val a = d.as("a")
+    val b = d.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
+  private val dupPairsSql =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM documents a JOIN documents b
+      |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // heatmapWithEmpty laws: (a) exactly one row per query cell —
+    // polyfill count preserved through the left join; (b) total object
+    // mass equals the heatmap's (empty cells contribute the coalesced
+    // 0). Both sides computed through DIFFERENT paths.
+    "q101_heatmap_empty_mass" -> ((s, dir) => {
+      val index = GeoQueries.sharedIndex(s, dir)
+      val hm = graft.pipeline.H3Query.heatmap(s, index, wkt, 8)
+        .select("h3_cell", "object_count")
+      val withEmpty = graft.pipeline.H3Query.heatmapWithEmpty(s, hm, wkt, 8)
+      val nCells = graft.pipeline.H3Query.queryCells(s, wkt, 8).count()
+      val lhs = withEmpty.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("object_count")).as("mass_empty"))
+      val rhs = hm.agg(sum(col("object_count")).as("mass_hm"))
+      lhs.crossJoin(rhs).select(
+        (col("n_rows") - lit(nCells)).as("row_diff"),
+        (col("mass_empty") - col("mass_hm")).as("mass_diff"))
+    }),
+
+    // MinHash recall law: every identical-text pair is an LSH candidate
+    // (identical signatures share every band). Output = the identical
+    // pairs found among the candidates; oracle = ALL identical pairs,
+    // so a single dropped pair breaks the row count and hash.
+    "q102_minhash_dup_recall" -> ((s, dir) => {
+      val cands = TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text",
+        maxBucket = 64)
+        .select("id_a", "id_b")
+      cands.join(dupPairs(s, dir), Seq("id_a", "id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash recall law: identical text -> identical 64-bit simhash ->
+    // hamming 0 -> candidate at any banding threshold.
+    "q103_simhash_dup_recall" -> ((s, dir) => {
+      val cands = TextDedup.simHashCandidates(docs(s, dir), "doc_id", "text",
+        maxHamming = 16)
+        .select("id_a", "id_b")
+      cands.join(dupPairs(s, dir), Seq("id_a", "id_b"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q101_heatmap_empty_mass" ->
+      "SELECT CAST(0 AS BIGINT) AS row_diff, CAST(0 AS BIGINT) AS mass_diff",
+    "q102_minhash_dup_recall" -> dupPairsSql,
+    "q103_simhash_dup_recall" -> dupPairsSql
+  )
+}

@@ -182,6 +182,26 @@ object SourceSinkQueries {
       digest(Sources.ParquetSource.read(s, Map("url" -> path)))
     }),
 
+    // LIVE JDBC round-trip: Spark JDBC writer -> embedded Derby (a real
+    // SQL database on the classpath) -> the repo's JdbcSource reader,
+    // exercising type mapping, BLOB geometry transport and the
+    // `geometry`->`geom` normalization against an actual database
+    // rather than a stubbed registry (`src/g_etl/plugins/mssql.py`'s
+    // contract). In-memory Derby is JVM-local — fine under local[n];
+    // a cluster deployment points the same options at a server URL.
+    "q104_jdbc_roundtrip" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftq104;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      slice(s, dir)
+        .select(col("src_fid"), col("name"), col("geom").as("geometry"))
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "DOCS")
+        .option("driver", driver).save()
+      val back = Sources.JdbcSource.read(s, Map(
+        "url" -> url, "dbtable" -> "DOCS", "driver" -> driver))
+      digest(back)
+    }),
+
     // CSV export (Kepler hex_id convention) -> CSV source: rows survive
     // only if hex_id mirrors h3_cell, so a broken mirror fails the
     // row-count check, and fid/name hash-match against the oracle.
@@ -230,6 +250,7 @@ object SourceSinkQueries {
         |GROUP BY 1 ORDER BY gtype""".stripMargin,
     "q96_geojson_roundtrip" -> digestOracle,
     "q100_geoparquet_footer" -> digestOracle,
+    "q104_jdbc_roundtrip" -> digestOracle,
     "q97_csv_export_loop" ->
       """SELECT c_custkey AS fid, c_name AS name
         |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin

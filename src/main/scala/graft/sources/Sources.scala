@@ -165,6 +165,36 @@ object Sources {
     }
   }
 
+  /** The reference ships a second WFS plugin
+    * (`src/g_etl/plugins/wfs_geopandas.py:28-173`, pyogrio/Arrow-backed)
+    * whose whole reason to exist is large layers that choke the
+    * sequential requests-based reader. The Spark-native equivalent of
+    * that lever is the page fan-out, so this connector picks the path
+    * by the same criterion the reference user does: when a page size is
+    * given and the endpoint (or the caller) can state the total, pages
+    * fan out across tasks; otherwise it degrades to the sequential
+    * reader. Both paths produce the identical (sorted string props +
+    * geom WKB) schema, so the dispatch is invisible to consumers. */
+  final class WfsAutoSource(fetch: String => String) extends SourceConnector {
+    val name = "wfs_geopandas"
+    private val seq = new WfsSource(fetch)
+    private val dist = new WfsDistSource(fetch)
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      val distReady = options.contains("count") &&
+        (options.contains("total") || probeTotal(options).nonEmpty)
+      if (distReady) dist.read(spark, options) else seq.read(spark, options)
+    }
+    private def probeTotal(options: Map[String, String]): Option[Int] = {
+      val base = options("url")
+      val sep = if (base.contains("?")) "&" else "?"
+      try {
+        val hits = fetch(s"$base${sep}resultType=hits")
+        "\"?numberMatched\"?\\s*[=:]\\s*\"?(\\d+)".r.findFirstMatchIn(hits)
+          .map(_.group(1).toInt)
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** Bearer-authenticated REST endpoint returning GeoJSON
     * (`src/g_etl/plugins/lantmateriet.py:34-110`). */
   final class LantmaterietSource(fetch: (String, Map[String, String]) => String)
@@ -409,20 +439,23 @@ object Sources {
     def httpFetchH(url: String, headers: Map[String, String]): String =
       Files.readString(Downloader.fetch(url, cacheDir, headers))
     registryWith(new WfsSource(httpFetch), new LantmaterietSource(httpFetchH),
-      extras = Seq(new WfsDistSource(httpFetch)))
+      extras = Seq(new WfsDistSource(httpFetch), new WfsAutoSource(httpFetch)))
   }
 
   def registryWith(wfs: SourceConnector, lm: SourceConnector,
       extras: Seq[SourceConnector] = Nil)
-      : Map[String, SourceConnector] =
-    (Seq(ParquetSource, CsvSource, JsonSource, JdbcSource, GeoJsonSource,
-      wfs, lm, ZipShapefileSource, GeopackageSource, ZipGeopackageSource,
-      GeopackageDistSource, ZipShapefileDistSource) ++ extras)
-      .map(c => c.name -> c).toMap ++
-      // the reference ships two WFS implementations (requests-based
-      // wfs.py and pyogrio-based wfs_geopandas.py) with identical
-      // capability; both names resolve to the one Spark-native reader
-      Map("wfs_geopandas" -> wfs, "geoparquet_http" -> ParquetSource)
+      : Map[String, SourceConnector] = {
+    val base = (Seq(ParquetSource, CsvSource, JsonSource, JdbcSource,
+      GeoJsonSource, wfs, lm, ZipShapefileSource, GeopackageSource,
+      ZipGeopackageSource, GeopackageDistSource, ZipShapefileDistSource) ++
+      extras).map(c => c.name -> c).toMap
+    // the reference's second WFS plugin (pyogrio/Arrow-backed
+    // wfs_geopandas.py) targets large pulls; when no WfsAutoSource was
+    // injected (test registries), the name falls back to the plain reader
+    base ++ Map(
+      "wfs_geopandas" -> base.getOrElse("wfs_geopandas", wfs),
+      "geoparquet_http" -> ParquetSource)
+  }
 
   // ---------------------------------------------------------- helpers
 

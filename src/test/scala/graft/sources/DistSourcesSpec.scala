@@ -89,6 +89,32 @@ class DistSourcesSpec extends AnyFunSuite {
     assert(df2.count() == 20)
   }
 
+  test("wfs_geopandas: auto-dispatch picks fan-out when total is knowable") {
+    // endpoint reports numberMatched -> the large-pull path engages
+    val auto = new Sources.WfsAutoSource(FakeWfsFetch)
+    val df = auto.read(spark,
+      Map("url" -> "http://example/wfs?typ=ns:t", "count" -> "10"))
+    assert(df.rdd.getNumPartitions > 1, "expected the distributed path")
+    assert(df.count() == 47)
+
+    // no page size -> sequential single-request read, same schema
+    val one = auto.read(spark, Map("url" -> "http://example/wfs?typ=ns:t"))
+    assert(one.count() == 10) // FakeWfsFetch default page, no fan-out
+    assert(one.columns.toSeq == df.columns.toSeq)
+
+    // hits probe fails and no total -> degrades to sequential paging,
+    // still complete (47 rows via takeWhile-nonEmpty page walk)
+    object NoHitsFetch extends (String => String) with Serializable {
+      def apply(url: String): String =
+        if (url.contains("resultType=hits")) throw new RuntimeException("418")
+        else FakeWfsFetch(url)
+    }
+    val seqDf = new Sources.WfsAutoSource(NoHitsFetch).read(spark,
+      Map("url" -> "http://example/wfs?typ=ns:t", "count" -> "10"))
+    assert(seqDf.count() == 47)
+    assert(seqDf.columns.toSeq == df.columns.toSeq)
+  }
+
   test("zip_shapefile_dist: zipped archives parse per task") {
     // two zips, each wrapping the canonical shapefile fixture from
     // SourcesSpec (re-built here minimally via the gpkg writer is not
