@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate.
+
+Compares two bench JSON lines (driver `BENCH_r{N}.json` or a local
+`graft.Bench` capture): prints a markdown delta table sorted by ratio and
+flags any query slower than FLAG_RATIO x the old time (ignoring noise
+below MIN_SEC). Exit code 1 when a regression is flagged, so the check
+can gate a round. Round 3 shipped a 2.6-3.3x regression on q65/q66
+unnoticed; this is the tool that would have caught it.
+
+Usage: benchdiff.py OLD.json NEW.json [--all]
+"""
+import json
+import re
+import sys
+
+FLAG_RATIO = 1.5
+MIN_SEC = 0.5  # both-sides-under-this = timer noise at sf0.1, never flagged
+
+
+def load(path):
+    """Accepts either a raw graft.Bench line ({"metric",...,"queries":{}})
+    or the driver's wrapper, which keeps only a 2000-char tail of that
+    line — per-query pairs are regexed out of whatever survived."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return {"queries": d["queries"], "value": d.get("value")}
+    text = d.get("tail", "")
+    pairs = dict(
+        (m.group(1), float(m.group(2)))
+        for m in re.finditer(r'"(q\w+)":([0-9.]+)', text))
+    total = re.search(r'"value":([0-9.]+)', text)
+    return {"queries": pairs,
+            "value": float(total.group(1)) if total else None}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    show_all = "--all" in sys.argv
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    rows = []
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            # absent from a tail-truncated baseline is not "new"
+            rows.append((0.0, name, a, b, ""))
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        flag = "REGRESSION" if (
+            ratio > FLAG_RATIO and max(a, b) >= MIN_SEC) else ""
+        rows.append((ratio, name, a, b, flag))
+    rows.sort(reverse=True)
+    flagged = [r for r in rows if r[4] == "REGRESSION"]
+    print(f"| query | old s | new s | ratio | flag |")
+    print(f"|---|---|---|---|---|")
+    for ratio, name, a, b, flag in rows:
+        if not show_all and not flag and ratio <= FLAG_RATIO and name not in (
+                "q61_stage004", "q62_mart_explode", "q63_h3_stats",
+                "q65_query_stats", "q66_query_heatmap"):
+            continue
+        fa = "-" if a is None else f"{a:.2f}"
+        fb = "-" if b is None else f"{b:.2f}"
+        fr = "-" if a is None or b is None else f"{ratio:.2f}x"
+        print(f"| {name} | {fa} | {fb} | {fr} | {flag} |")
+    print()
+    ov = "?" if old["value"] is None else f"{old['value']:.1f}s"
+    nv = "?" if new["value"] is None else f"{new['value']:.1f}s"
+    print(f"total: {ov} -> {nv}; "
+          f"{len(flagged)} regression(s) flagged "
+          f"(>{FLAG_RATIO}x and >={MIN_SEC}s)")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
