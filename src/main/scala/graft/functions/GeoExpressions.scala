@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,13 +14,21 @@ import graft.spatial.{Crs, Geometry, Geom, Pt}
 /** Catalyst expression library for the reference's macro surface
   * (`sql/migrations/003_db_makros.sql`, SURVEY.md §2.4/§2.12).
   *
-  * Implemented as native `Expression`s (null-safe eval, CodegenFallback)
-  * rather than Scala UDFs: no Encoder round-trip per row, and the
-  * optimizer sees real expression trees (constant folding, null
-  * propagation). Geometry travels as WKB `BinaryType` — the GeoParquet
-  * convention (SURVEY §1.1).
+  * Implemented as native `Expression`s rather than Scala UDFs: no
+  * Encoder round-trip per row, and the optimizer sees real expression
+  * trees (constant folding, null propagation). Geometry travels as WKB
+  * `BinaryType` — the GeoParquet convention (SURVEY §1.1).
+  *
+  * Codegen: NOT CodegenFallback. A CodegenFallback expression marks the
+  * whole enclosing plan node unsupported for whole-stage codegen, so a
+  * scan->filter->project pipeline containing one geo column falls out
+  * of Tungsten fusion entirely — at 100 TB that de-fuses the index
+  * build's hottest stage. Instead `doGenCode` emits a boxed-args call
+  * into [[evalBoxed]]: the per-row cost is one virtual call + boxing of
+  * a handful of args (noise next to polyfill/WKB math), and the
+  * surrounding operators stay inside one generated loop.
   */
-abstract class GeoExpr extends Expression with CodegenFallback {
+abstract class GeoExpr extends Expression {
   override def nullable: Boolean = true
   override lazy val deterministic: Boolean = true
 
@@ -33,8 +42,47 @@ abstract class GeoExpr extends Expression with CodegenFallback {
       vals(i) = v
       i += 1
     }
-    try evalNotNull(vals)
+    evalBoxed(vals)
+  }
+
+  /** Generated-code entry point: all-args-non-null boxed evaluation
+    * with the same malformed-input => SQL NULL contract as eval. */
+  final def evalBoxed(args: Array[Any]): Any =
+    try evalNotNull(args)
     catch { case _: IllegalArgumentException | _: IllegalStateException => null }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geoExpr", this, classOf[GeoExpr].getName)
+    val childGen = children.map(_.genCode(ctx))
+    val args = ctx.freshName("geoArgs")
+    val res = ctx.freshName("geoRes")
+    val childCode = childGen.zipWithIndex.map { case (c, i) =>
+      s"""
+         |${c.code}
+         |if (${c.isNull}) {
+         |  $args = null;
+         |} else if ($args != null) {
+         |  $args[$i] = ${c.value};
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxedType = CodeGenerator.boxedType(dataType)
+    val body =
+      s"""
+         |Object[] $args = new Object[${children.length}];
+         |$childCode
+         |boolean ${ev.isNull} = true;
+         |$javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+         |if ($args != null) {
+         |  Object $res = $ref.evalBoxed($args);
+         |  if ($res != null) {
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = ($boxedType) $res;
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = code"$body")
   }
 
   /** All-args-non-null evaluation; malformed input yields SQL NULL. */

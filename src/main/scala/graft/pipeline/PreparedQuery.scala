@@ -50,8 +50,12 @@ case class ParamCellsContains(cell: Expression, holder: CellSetHolder)
     else java.lang.Boolean.valueOf(holder.containsUtf8(
       v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
   }
+  // generated-code path (GeoExpr.doGenCode -> evalBoxed): same probe.
+  // The codegen references array is re-serialized per job submission,
+  // so `holder`'s CURRENT set still ships with every execution.
   override protected def evalNotNull(a: Array[Any]): Any =
-    throw new IllegalStateException("unreachable: eval is overridden")
+    java.lang.Boolean.valueOf(holder.containsUtf8(
+      a(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cell = c(0))
 }

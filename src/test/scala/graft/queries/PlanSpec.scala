@@ -82,4 +82,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
       "no WholeStageCodegen spans found:\n" + plan.take(800))
   }
+
+  test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
+    // the index build's hottest stage: parquet scan -> fixture geometry
+    // -> polyfill projection. With CodegenFallback H3 expressions the
+    // whole Project falls out of Tungsten fusion; the GeoExpr doGenCode
+    // keeps it inside a generated loop ("*(n) Project ... h3...").
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = GeoQueries.sharedNormalized(spark, sfDir)
+      .select(col("source_id"),
+        graft.functions.GFunctions.g_h3_polygon_cells(col("geom"), lit(11)).as("cells"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val geoProject = plan.linesIterator
+      .find(l => l.contains("Project") && l.toLowerCase.contains("h3"))
+    assert(geoProject.nonEmpty, "no geo projection in plan:\n" + plan.take(1200))
+    assert(geoProject.get.contains("*("),
+      "geo projection runs OUTSIDE whole-stage codegen:\n" + geoProject.get)
+  }
 }
