@@ -40,6 +40,11 @@ object Multimodal {
     * struct for unrecognized payloads. */
   def imageMeta(payload: Column): Column = ImageCodec.image_meta(payload)
 
+  /** REAL audio header decode: sample rate/channels/bit depth/duration
+    * from WAV (RIFF fmt/data chunks) or FLAC (STREAMINFO) bytes — NULL
+    * struct for unrecognized payloads. */
+  def audioMeta(payload: Column): Column = AudioCodec.audio_meta(payload)
+
   /** STUB pixel decode: a real implementation would JNI/FFI into an
     * image library inside mapPartitions (batch-local codec reuse); the
     * stub derives a deterministic 8-dim "feature" from payload digests

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ImageCodec, Multimodal, TextDedup, VectorOps}
+import graft.ops.{AudioCodec, ImageCodec, Multimodal, TextDedup, VectorOps}
 
 /** Near-dup / multimodal / IVF operator queries over `documents` and
   * `embeddings` (builder brief: the LLM-training-data pipeline surface).
@@ -112,6 +112,29 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Audio sibling of q74: the fixture encoder writes REAL WAV/FLAC
+    // headers with parameters derived from doc length, audio_meta
+    // parses them back, and the oracle predicts every field by
+    // arithmetic — byte-layout bugs on either side break the hash.
+    "q105_audio_meta" -> ((s, dir) => {
+      val n = length(col("text"))
+      val fmt = when(n % 3 === 0, "wav")
+        .when(n % 3 === 1, "wav_stereo")
+        .otherwise("flac")
+      val rate = lit(8000) + (n % 8) * 1000
+      val samples = lit(1000) + (n * 13) % 9000
+      docs(s, dir)
+        .withColumn("am",
+          AudioCodec.audio_meta(AudioCodec.audio_fixture(fmt, rate, samples)))
+        .select(col("doc_id"),
+          col("am.format").as("audio_format"),
+          col("am.sample_rate").as("sample_rate"),
+          col("am.channels").as("channels"),
+          col("am.bits_per_sample").as("bits_per_sample"),
+          col("am.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -170,6 +193,17 @@ object DedupQueries {
         |  CAST(16 + length(text) % 240 AS INTEGER) AS img_w,
         |  CAST(16 + (length(text) * 7) % 240 AS INTEGER) AS img_h,
         |  CAST(CASE WHEN length(text) % 3 = 2 THEN 1 ELSE 3 END AS INTEGER) AS img_ch
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // duration_ms: dataLen*1000/byteRate collapses to nSamples*1000/rate
+    // exactly (floor of equal rationals), so DuckDB can replay it
+    "q105_audio_meta" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN n % 3 = 2 THEN 'flac' ELSE 'wav' END AS audio_format,
+        |  CAST(8000 + (n % 8) * 1000 AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN n % 3 = 0 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(((1000 + (n * 13) % 9000) * 1000) // (8000 + (n % 8) * 1000) AS BIGINT) AS duration_ms
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -51,6 +51,20 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming exact dedup — the incremental-ingest front gate of the
+    * corpus pipeline (the streaming analogue of the q32 md5-groupBy
+    * batch dedup): each content fingerprint is admitted once within the
+    * watermark horizon. dropDuplicatesWithinWatermark keeps the
+    * fingerprint state BOUNDED (entries older than the horizon are
+    * evicted), so a re-crawl storm of known documents never grows state
+    * or re-admits rows — no historical corpus scan per batch. */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(lastTs: Long, sessions: Int)
   final case class SessionUpdate(user_id: Long, n_sessions: Int, n_events: Long)

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Audio header codec: absolute byte-layout vectors written by hand
+  * from the published specs (NOT via our own encoder, so an encoder+
+  * decoder inverse-bug pair can't hide), plus encoder round-trips and
+  * the Spark expression surface — the audio mirror of MultimodalSpec.
+  */
+class AudioCodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("WAV vector from the RIFF spec: 8 kHz mono 16-bit, 4000 samples") {
+    // RIFF size=8036 WAVE | fmt len=16 pcm ch=1 rate=8000 byteRate=16000
+    // align=2 bps=16 | data len=8000 (bytes absent: header-only fixture)
+    val wav = hex(
+      "52494646" + "641F0000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" +
+        "401F0000" + "803E0000" + "0200" + "1000" +
+        "64617461" + "401F0000")
+    assert(AudioCodec.decode(wav) ===
+      Some(AudioCodec.Meta("wav", 8000, 1, 16, 500)))
+  }
+
+  test("WAV chunk walk skips foreign chunks (LIST before data)") {
+    val wav = hex(
+      "52494646" + "00000000" + "57415645" +
+        "4C495354" + "04000000" + "AABBCCDD" + // LIST chunk, skipped
+        "666D7420" + "10000000" + "0100" + "0200" +
+        "44AC0000" + "10B10200" + "0400" + "1000" + // 44100 Hz stereo
+        "64617461" + "10B10200") // exactly 1 s of data
+    assert(AudioCodec.decode(wav) ===
+      Some(AudioCodec.Meta("wav", 44100, 2, 16, 1000)))
+  }
+
+  test("FLAC STREAMINFO vector: 44.1 kHz stereo 16-bit, 1 second") {
+    // fLaC | last-block STREAMINFO len=34 | 10 zero bytes (block/frame
+    // sizes) | rate 20b / ch-1 3b / bps-1 5b / totalSamples 36b | md5
+    val flac = hex(
+      "664C6143" + "80" + "000022" +
+        "00" * 10 + "0A" + "C4" + "42" + "F0" + "0000AC44" + "00" * 16)
+    assert(AudioCodec.decode(flac) ===
+      Some(AudioCodec.Meta("flac", 44100, 2, 16, 1000)))
+  }
+
+  test("garbage, truncated and text payloads decode to None") {
+    assert(AudioCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(AudioCodec.decode("definitely not audio data here".getBytes).isEmpty)
+    assert(AudioCodec.decode(
+      AudioCodec.wavBytes(8000, 1, 16, 100).take(20)).isEmpty)
+    // RIFF but not WAVE
+    assert(AudioCodec.decode(hex("52494646" + "00000000" + "41564920")).isEmpty)
+    // FLAC magic but first block is not STREAMINFO (type 4 = VORBIS_COMMENT)
+    assert(AudioCodec.decode(
+      hex("664C6143" + "04" + "000022" + "00" * 34)).isEmpty)
+  }
+
+  test("encoder round-trips across the parameter range") {
+    for ((rate, ch, bps, n) <- Seq(
+        (8000, 1, 16, 1), (16000, 2, 16, 12345),
+        (44100, 2, 24, 44100), (48000, 1, 8, 480))) {
+      val expectMs = n.toLong * 1000 / rate
+      assert(AudioCodec.decode(AudioCodec.wavBytes(rate, ch, bps, n)) ===
+        Some(AudioCodec.Meta("wav", rate, ch, bps, expectMs)))
+      assert(AudioCodec.decode(AudioCodec.flacBytes(rate, ch, bps, n.toLong)) ===
+        Some(AudioCodec.Meta("flac", rate, ch, bps, expectMs)))
+    }
+  }
+
+  test("audio_meta expression: NULL-safe struct over mixed payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", AudioCodec.wavBytes(22050, 2, 16, 22050)),
+      ("b", AudioCodec.flacBytes(96000, 1, 24, 96000L)),
+      ("c", "plain text".getBytes),
+      ("d", null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+      .withColumn("m", AudioCodec.audio_meta(col("payload")))
+      .select("id", "m.format", "m.sample_rate", "m.channels",
+        "m.bits_per_sample", "m.duration_ms")
+      .orderBy("id")
+      .collect()
+    assert(rows(0).toSeq === Seq("a", "wav", 22050, 2, 16, 1000L))
+    assert(rows(1).toSeq === Seq("b", "flac", 96000, 1, 24, 1000L))
+    assert(rows(2).toSeq === Seq("c", null, null, null, null, null))
+    assert(rows(3).toSeq === Seq("d", null, null, null, null, null))
+  }
+
+  test("fixture expression matches direct encoding") {
+    import spark.implicits._
+    val r = Seq(("wav", 8000, 4000), ("wav_stereo", 16000, 8000),
+        ("flac", 44100, 44100))
+      .toDF("fmt", "rate", "n")
+      .select(AudioCodec.audio_meta(
+        AudioCodec.audio_fixture(col("fmt"), col("rate"), col("n"))).as("m"))
+      .select("m.format", "m.sample_rate", "m.channels", "m.duration_ms")
+      .collect()
+    assert(r(0).toSeq === Seq("wav", 8000, 1, 500L))
+    assert(r(1).toSeq === Seq("wav", 16000, 2, 500L))
+    assert(r(2).toSeq === Seq("flac", 44100, 2, 1000L))
+  }
+}

@@ -109,4 +109,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(mismatches == 0, s"$mismatches users disagree with batch sessionizer")
     } finally q.stop()
   }
+
+  test("streaming dedup admits each fingerprint once, bounded state") {
+    import spark.implicits._
+    // corpus with every text ingested twice at different times
+    val dir = Files.createTempDirectory("dedupstream").toString
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"document body number ${i % 20}", // only 20 distinct texts
+        java.sql.Timestamp.valueOf(s"2026-01-01 10:${i % 60}:00")))
+      .toDF("doc_id", "text", "ingest_ts")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamingOps.streamingDedup(stream, "ingest_ts", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedupout").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedupout")
+      assert(out.count() == 20, "expected one row per distinct text")
+      assert(out.select("fingerprint").distinct().count() == 20)
+    } finally q.stop()
+  }
 }
