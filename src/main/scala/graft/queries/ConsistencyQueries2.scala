@@ -43,8 +43,12 @@ object ConsistencyQueries2 {
     // 0). Both sides computed through DIFFERENT paths.
     "q101_heatmap_empty_mass" -> ((s, dir) => {
       val index = GeoQueries.sharedIndex(s, dir)
+      // persist: both sides of the identity read the SAME heatmap — the
+      // independence under test is the left-join path vs the raw
+      // aggregate, not two computations of the aggregate itself
       val hm = graft.pipeline.H3Query.heatmap(s, index, wkt, 8)
         .select("h3_cell", "object_count")
+        .persist()
       val withEmpty = graft.pipeline.H3Query.heatmapWithEmpty(s, hm, wkt, 8)
       val nCells = graft.pipeline.H3Query.queryCells(s, wkt, 8).count()
       val lhs = withEmpty.agg(

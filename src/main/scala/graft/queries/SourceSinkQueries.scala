@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import java.nio.file.Files
 
 import graft.functions.GFunctions._
-import graft.pipeline.{GeoFixture, Stages}
+import graft.pipeline.{Bucketed, GeoFixture, Stages}
 import graft.sinks.{Exporters, FlatGeobuf, GeopackageWriter}
 import graft.sources.Sources
 
@@ -202,6 +202,25 @@ object SourceSinkQueries {
       digest(back)
     }),
 
+    // Bucketed-layout loop: both sides written bucketBy(k) (ONE shuffle,
+    // at write time), then joined and aggregated through the bucketed
+    // read — the co-located path BucketedSpec plan-asserts as
+    // zero-exchange — and value-checked against DuckDB replaying the
+    // same join from the raw parquet.
+    "q106_bucketed_join" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("k"), col("o_totalprice"))
+      Bucketed.writeBucketed(cust, "q106_cust", "k", buckets = 8)
+      Bucketed.writeBucketed(ord, "q106_ord", "k", buckets = 8)
+      Bucketed.joinCoBucketed(s, "q106_cust", "q106_ord", "k")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // CSV export (Kepler hex_id convention) -> CSV source: rows survive
     // only if hex_id mirrors h3_cell, so a broken mirror fails the
     // row-count check, and fid/name hash-match against the oracle.
@@ -251,6 +270,11 @@ object SourceSinkQueries {
     "q96_geojson_roundtrip" -> digestOracle,
     "q100_geoparquet_footer" -> digestOracle,
     "q104_jdbc_roundtrip" -> digestOracle,
+    "q106_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q97_csv_export_loop" ->
       """SELECT c_custkey AS fid, c_name AS name
         |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin
