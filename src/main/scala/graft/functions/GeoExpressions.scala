@@ -237,10 +237,9 @@ case class H3CompactCells(cells: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cells)
   override def dataType: DataType = ArrayType(StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val arr = a(0).asInstanceOf[ArrayData]
-    val in = (0 until arr.numElements()).map(i =>
-      H3Core.fromHexString(arr.getUTF8String(i).toString))
-    strArray(H3Core.compactCells(in).map(H3Core.toHexString).toArray)
+    val in = GeoExprs.cellArray(a(0))
+    if (in == null) null
+    else strArray(H3Core.compactCells(in).map(H3Core.toHexString).toArray)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cells = c(0))
@@ -253,10 +252,10 @@ case class H3UncompactCells(cells: Expression, res: Expression) extends GeoExpr 
   override def children: Seq[Expression] = Seq(cells, res)
   override def dataType: DataType = ArrayType(StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val arr = a(0).asInstanceOf[ArrayData]
-    val in = (0 until arr.numElements()).map(i =>
-      H3Core.fromHexString(arr.getUTF8String(i).toString))
-    strArray(H3Core.uncompactCells(in, int(a(1))).map(H3Core.toHexString).toArray)
+    val in = GeoExprs.cellArray(a(0))
+    if (in == null) null
+    else strArray(
+      H3Core.uncompactCells(in, int(a(1))).map(H3Core.toHexString).toArray)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cells = c(0), res = c(1))
@@ -532,4 +531,21 @@ private[functions] object GeoExprs {
       val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
       Pt(lng, lat)
     })
+
+  /** Decode an ArrayData of cell-id strings; a NULL element makes the
+    * whole input malformed (-> caller returns SQL NULL) instead of an
+    * NPE escaping the expression contract. */
+  def cellArray(a: Any): IndexedSeq[Long] = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s == null) return null
+      out(i) = H3Core.fromHexString(s.toString)
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 }

@@ -70,17 +70,23 @@ object ImageCodec {
     var i = 2
     while (i + 4 <= b.length) {
       if ((b(i) & 0xFF) != 0xFF) return None // desynced segment chain
-      val marker = b(i + 1) & 0xFF
-      if (marker == 0xD9 || marker == 0xDA) return None // EOI / scan data
-      val len = be16(b, i + 2)
-      if (len < 2 || i + 2 + len > b.length) return None
-      val isSof = marker >= 0xC0 && marker <= 0xCF &&
-        marker != 0xC4 && marker != 0xC8 && marker != 0xCC
-      if (isSof) {
-        if (len < 8) return None
-        return Some(Meta("jpeg", be16(b, i + 7), be16(b, i + 5), b(i + 9) & 0xFF))
+      if ((b(i + 1) & 0xFF) == 0xFF) {
+        // fill bytes: any number of 0xFF may pad before a marker
+        // (ITU-T T.81 §B.1.1.2) — skip, don't parse one as a marker
+        i += 1
+      } else {
+        val marker = b(i + 1) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) return None // EOI / scan data
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (len < 8) return None
+          return Some(Meta("jpeg", be16(b, i + 7), be16(b, i + 5), b(i + 9) & 0xFF))
+        }
+        i += 2 + len
       }
-      i += 2 + len
     }
     None
   }

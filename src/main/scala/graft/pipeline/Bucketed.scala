@@ -25,15 +25,13 @@ object Bucketed {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an in-memory catalog forgets tables across JVMs but the managed
-    // location survives on disk and blocks the next CTAS — clear it
-    val warehouse = java.nio.file.Paths.get(
-      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
-        .getPath, table.toLowerCase)
-    if (java.nio.file.Files.exists(warehouse)) {
-      java.nio.file.Files.walk(warehouse).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    // location survives in storage and blocks the next CTAS — clear it
+    // through Hadoop's FileSystem so file:, hdfs: and s3a: warehouses
+    // all behave identically (java.nio would only see local disk)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")

@@ -60,6 +60,10 @@ object ConsistencyQueries {
     // statsTop's cheap-count + semi-join plan must equal the full
     // aggregate ordered-and-limited (H3Index.scala:78-87 claims this
     // identity; here the driver holds it to zero differing rows).
+    // SYMMETRIC difference: a one-sided except would green on a
+    // statsTop regression that DROPS rows (even an empty frame). Both
+    // sides are <=50 rows post-limit, so each is computed ONCE and the
+    // set diff runs on the driver — no persist to leak, no recompute.
     "q46_statstop_equiv" -> ((s, dir) => {
       val idx = GeoQueries.sharedIndex(s, dir)
       val viaTop = stringified(H3Index.statsTop(idx, 50))
@@ -67,7 +71,13 @@ object ConsistencyQueries {
         H3Index.stats(idx)
           .orderBy(desc("object_count"), asc("h3_cell"))
           .limit(50))
-      viaTop.except(viaFull)
+      val topRows = viaTop.collect()
+      val fullRows = viaFull.collect()
+      val topSet = topRows.map(_.toSeq).toSet
+      val fullSet = fullRows.map(_.toSeq).toSet
+      val diff = topRows.filterNot(r => fullSet(r.toSeq)) ++
+        fullRows.filterNot(r => topSet(r.toSeq))
+      s.createDataFrame(java.util.Arrays.asList(diff: _*), viaTop.schema)
     }),
 
     // Exact-refine is a strict subset of the candidate join

@@ -42,22 +42,26 @@ object ConsistencyQueries2 {
     // mass equals the heatmap's (empty cells contribute the coalesced
     // 0). Both sides computed through DIFFERENT paths.
     "q101_heatmap_empty_mass" -> ((s, dir) => {
+      import s.implicits._
       val index = GeoQueries.sharedIndex(s, dir)
       // persist: both sides of the identity read the SAME heatmap — the
       // independence under test is the left-join path vs the raw
-      // aggregate, not two computations of the aggregate itself
+      // aggregate, not two computations of the aggregate itself. The
+      // aggregates run eagerly so the cache can be RELEASED before the
+      // builder returns (a long-lived harness calls this repeatedly).
       val hm = graft.pipeline.H3Query.heatmap(s, index, wkt, 8)
         .select("h3_cell", "object_count")
         .persist()
-      val withEmpty = graft.pipeline.H3Query.heatmapWithEmpty(s, hm, wkt, 8)
-      val nCells = graft.pipeline.H3Query.queryCells(s, wkt, 8).count()
-      val lhs = withEmpty.agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("object_count")).as("mass_empty"))
-      val rhs = hm.agg(sum(col("object_count")).as("mass_hm"))
-      lhs.crossJoin(rhs).select(
-        (col("n_rows") - lit(nCells)).as("row_diff"),
-        (col("mass_empty") - col("mass_hm")).as("mass_diff"))
+      try {
+        val withEmpty = graft.pipeline.H3Query.heatmapWithEmpty(s, hm, wkt, 8)
+        val nCells = graft.pipeline.H3Query.queryCells(s, wkt, 8).count()
+        val e = withEmpty.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("object_count")).as("mass_empty")).head()
+        val massHm = hm.agg(sum(col("object_count"))).head().getLong(0)
+        Seq((e.getLong(0) - nCells, e.getLong(1) - massHm))
+          .toDF("row_diff", "mass_diff")
+      } finally hm.unpersist()
     }),
 
     // MinHash recall law: every identical-text pair is an LSH candidate
@@ -65,8 +69,11 @@ object ConsistencyQueries2 {
     // pairs found among the candidates; oracle = ALL identical pairs,
     // so a single dropped pair breaks the row count and hash.
     "q102_minhash_dup_recall" -> ((s, dir) => {
+      // UNCAPPED: the recall law only holds without the hot-bucket
+      // guard — a capped (band,bucket) group may legitimately drop an
+      // identical-text pair, which the oracle would flag as a miss
       val cands = TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text",
-        maxBucket = 64)
+        maxBucket = Int.MaxValue)
         .select("id_a", "id_b")
       cands.join(dupPairs(s, dir), Seq("id_a", "id_b"))
         .orderBy("id_a", "id_b")

@@ -171,8 +171,11 @@ object SourceSinkQueries {
       val path = tmp.resolve("gpq").toString
       Exporters.geoparquet(slice(s, dir), path)
       import scala.jdk.CollectionConverters._
-      val parts = Files.list(tmp.resolve("gpq")).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val listing = Files.list(tmp.resolve("gpq"))
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally listing.close()
       require(parts.nonEmpty, "no parquet parts written")
       parts.foreach { p =>
         val geo = graft.sinks.ParquetFooter.readKeyValue(p)

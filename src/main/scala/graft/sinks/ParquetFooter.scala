@@ -78,8 +78,11 @@ object ParquetFooter {
   /** Apply [[addKeyValue]] to every part file of a Spark parquet output
     * directory. Driver-side over the local filesystem; on an object
     * store, run the same rewrite in a foreachPartition over file paths. */
-  def addKeyValueToDir(dir: String, kvs: Map[String, String]): Unit =
-    Files.list(Paths.get(dir)).iterator().asScala
+  def addKeyValueToDir(dir: String, kvs: Map[String, String]): Unit = {
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach(addKeyValue(_, kvs))
+    finally listing.close()
+  }
 }

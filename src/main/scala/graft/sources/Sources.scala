@@ -180,9 +180,15 @@ object Sources {
     private val seq = new WfsSource(fetch)
     private val dist = new WfsDistSource(fetch)
     def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
-      val distReady = options.contains("count") &&
-        (options.contains("total") || probeTotal(options).nonEmpty)
-      if (distReady) dist.read(spark, options) else seq.read(spark, options)
+      // pass the probed total through so the dist reader does not issue
+      // a second hits request (which could transiently fail AFTER the
+      // dispatcher already proved the total knowable)
+      val total = if (!options.contains("count")) None
+        else options.get("total").orElse(probeTotal(options).map(_.toString))
+      total match {
+        case Some(t) => dist.read(spark, options + ("total" -> t))
+        case None => seq.read(spark, options)
+      }
     }
     private def probeTotal(options: Map[String, String]): Option[Int] = {
       val base = options("url")
@@ -341,13 +347,7 @@ object Sources {
       val layer = options.get("layer")
       val bin = spark.read.format("binaryFile").load(url)
         .select("path", "content")
-      // schema probe from the first row's CONTENT (not a local-FS
-      // re-read of its path): binaryFile already fetched the bytes
-      // through Hadoop's FileSystem API, so this works identically on
-      // file:, hdfs: and s3a: (java.nio would only resolve local paths)
-      val firstBytes = bin.orderBy("path").limit(1)
-        .collect().headOption.getOrElse(throw new IllegalArgumentException(
-          s"no files match $url")).getAs[Array[Byte]]("content")
+      val firstBytes = probeFirstFile(spark, url)
       val (cols, rows0, gIdx) = gpkgLayerRaw(firstBytes, layer)
       val types = gpkgInferTypes(cols, rows0, gIdx)
       val schema = gpkgStruct(cols, types, gIdx)
@@ -374,11 +374,7 @@ object Sources {
       val wanted = options.get("shp_filename")
       val bin = spark.read.format("binaryFile").load(url)
         .select("path", "content")
-      // probe bytes from the binaryFile row content — cluster-portable
-      // (see GeopackageDistSource)
-      val first = parseZipShp(bin.orderBy("path").limit(1)
-        .collect().headOption.getOrElse(throw new IllegalArgumentException(
-          s"no files match $url")).getAs[Array[Byte]]("content"), wanted, enc)
+      val first = parseZipShp(probeFirstFile(spark, url), wanted, enc)
       val schema = shpStruct(first.fields)
       val fieldsB = first.fields
       val rowsRdd = bin.rdd.flatMap { r =>
@@ -391,6 +387,28 @@ object Sources {
       }
       spark.createDataFrame(rowsRdd, schema)
     }
+  }
+
+  /** Schema-probe bytes for the distributed archive sources: list the
+    * matching paths WITHOUT materializing content (binaryFile prunes the
+    * content column, so the probe costs a listing, not a full-lake
+    * read), then fetch exactly the lexicographically first file through
+    * Hadoop's FileSystem — identical behavior on file:, hdfs: and s3a:
+    * (java.nio would only resolve local paths). */
+  private[sources] def probeFirstFile(spark: SparkSession, url: String): Array[Byte] = {
+    val first = spark.read.format("binaryFile").load(url)
+      .select("path").orderBy("path").limit(1)
+      .collect().headOption.getOrElse(throw new IllegalArgumentException(
+        s"no files match $url")).getString(0)
+    val p = new org.apache.hadoop.fs.Path(first)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
   }
 
   /** Unzip an archive image fully in memory — per-task archive parsing

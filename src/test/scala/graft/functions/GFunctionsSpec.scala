@@ -126,6 +126,12 @@ class GFunctionsSpec extends AnyFunSuite {
     val bad = Seq("NOT A WKT").toDF("wkt")
       .select(st_geomfromtext($"wkt").as("g")).collect()
     assert(bad.head.isNullAt(0))
+    // a NULL ELEMENT inside a cell array is malformed input -> SQL
+    // NULL, not an executor-killing NPE
+    val nullElem = spark.sql(
+      """SELECT h3_compact_cells(array(h3_center(60.0, 15.0, 9), NULL)) AS c,
+        |       h3_uncompact_cells(array(NULL), 9) AS u""".stripMargin).collect()
+    assert(nullElem.head.isNullAt(0) && nullElem.head.isNullAt(1))
   }
 
   test("SQL surface: registered g_* functions work in spark.sql") {

@@ -54,6 +54,12 @@ class MultimodalSpec extends AnyFunSuite {
       Some(ImageCodec.Meta("jpeg", 640, 480, 3)))
   }
 
+  test("JPEG fill bytes (0xFF padding) before markers are skipped") {
+    // T.81 §B.1.1.2: markers may be preceded by any number of 0xFF
+    val jpg = hex("FFD8" + "FFFF" + "FFC0" + "000B" + "08" + "0040" + "0080" + "01" + "011100")
+    assert(ImageCodec.decode(jpg) === Some(ImageCodec.Meta("jpeg", 128, 64, 1)))
+  }
+
   test("JPEG progressive (SOF2) also carries dimensions") {
     val jpg = hex("FFD8" + "FFC2" + "000B" + "08" + "0064" + "00C8" + "01" + "011100")
     assert(ImageCodec.decode(jpg) === Some(ImageCodec.Meta("jpeg", 200, 100, 1)))
