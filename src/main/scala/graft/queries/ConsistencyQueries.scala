@@ -71,8 +71,16 @@ object ConsistencyQueries {
         H3Index.stats(idx)
           .orderBy(desc("object_count"), asc("h3_cell"))
           .limit(50))
-      val topRows = viaTop.collect()
-      val fullRows = viaFull.collect()
+      // collect the two sides CONCURRENTLY — as one lazy except-plan
+      // they executed as parallel subtrees of a single job; two serial
+      // collects would give back that parallelism for nothing
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fTop = Future(viaTop.collect())
+      val fFull = Future(viaFull.collect())
+      val topRows = Await.result(fTop, Duration.Inf)
+      val fullRows = Await.result(fFull, Duration.Inf)
       val topSet = topRows.map(_.toSeq).toSet
       val fullSet = fullRows.map(_.toSeq).toSet
       val diff = topRows.filterNot(r => fullSet(r.toSeq)) ++
