@@ -83,6 +83,29 @@ object EventQueries {
           round(sum(col("value").cast("decimal(18,4)")).cast("double") /
             count(lit(1)), 4).as("avg_v"))
         .orderBy("event_type")
+    }),
+
+    // As-of enrichment: each purchase gets the user's latest click at or
+    // before it (ops/AsofJoin union+window — ONE shuffle, no range
+    // cross-product). Timestamps compared as epoch micros on both
+    // engines; clicks pre-deduped per (user, ts) so the match is
+    // deterministic. DuckDB replays with its native ASOF LEFT JOIN —
+    // two independent implementations of the backward-inclusive
+    // convention held hash-equal.
+    "q107_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(col("value")).as("click_value"))
+      graft.ops.AsofJoin.asofBackward(
+          purchases, clicks, Seq("user_id"), "ts_us", Seq("click_value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts_us").as("click_ts_us"),
+          round(col("asof_click_value").cast("double"), 4).as("click_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -118,6 +141,21 @@ object EventQueries {
         |  ROUND(CAST(MIN(value) AS DOUBLE), 4) AS min_v,
         |  ROUND(CAST(MAX(value) AS DOUBLE), 4) AS max_v,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_v
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q107_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         ROUND(CAST(MAX(value) AS DOUBLE), 4) AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |       c.ts_us AS click_ts_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin
   )
 }
