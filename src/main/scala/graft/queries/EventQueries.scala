@@ -106,6 +106,25 @@ object EventQueries {
           col("asof_ts_us").as("click_ts_us"),
           round(col("asof_click_value").cast("double"), 4).as("click_value"))
         .orderBy("event_id")
+    }),
+
+    // Range join: each error with the count of events in its preceding
+    // 60 s (ops/RangeJoin bucketized equi-join — a bare inequality join
+    // would plan as a nested loop). Oracle replays the interval
+    // predicate directly in DuckDB.
+    "q108_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("t").as("err_t"))
+      val all = e.select(col("event_id").as("oid"), col("t").as("ot"))
+      graft.ops.RangeJoin.rangeJoin(errors, all, Seq(), "err_t", "ot",
+          beforeUs = 60000000L, afterUs = 0L, bucketUs = 60000000L)
+        .filter(col("oid") =!= col("err_id"))
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_prior"))
+        .orderBy("err_id")
     })
   )
 
@@ -156,6 +175,17 @@ object EventQueries {
         |       c.ts_us AS click_ts_us, c.click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    "q108_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'error'
+        |), o AS (
+        |  SELECT event_id AS oid, epoch_us(ts) AS t FROM events
+        |)
+        |SELECT err_id, COUNT(*) AS n_prior
+        |FROM e JOIN o
+        |  ON o.t BETWEEN e.t - 60000000 AND e.t AND o.oid != e.err_id
+        |GROUP BY 1 ORDER BY err_id""".stripMargin
   )
 }
