@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,8 +36,14 @@ object AsofJoin {
     val side = "_asof_side"
     val carry = "_asof_row"
     val l = left.withColumn(side, lit(1))
+    // NULL-ts / NULL-key right rows can never match under the DuckDB
+    // convention (`l.ts >= r.ts` is never true for NULL; equi-keys drop
+    // NULLs) — but the window encoding WOULD match them (ASC NULLS
+    // FIRST sorts a null-ts row before everything; partitionBy groups
+    // NULL keys). Filter them out so the two semantics stay identical.
     val r = right
       .select((keys :+ ts).map(col) ++ valueCols.map(col): _*)
+      .na.drop("any", keys :+ ts)
       .withColumn(side, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right (0) sorts before left (1) at the same ts -> inclusive match

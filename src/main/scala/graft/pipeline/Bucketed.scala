@@ -23,13 +23,15 @@ object Bucketed {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     // an in-memory catalog forgets tables across JVMs but the managed
-    // location survives in storage and blocks the next CTAS — clear it
-    // through Hadoop's FileSystem so file:, hdfs: and s3a: warehouses
-    // all behave identically (java.nio would only see local disk)
+    // location survives in storage and blocks the next CTAS — clear it.
+    // The location comes from the CATALOG's own default-path rule (so
+    // current-database and db-qualified names resolve to <db>.db/<t>,
+    // not a guessed <warehouse>/<t>) and is deleted through Hadoop's
+    // FileSystem so file:, hdfs: and s3a: warehouses behave identically.
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      org.apache.spark.sql.graftbridge.Bridge.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -58,8 +58,12 @@ object ConsistencyQueries2 {
         val e = withEmpty.agg(
           count(lit(1)).as("n_rows"),
           sum(col("object_count")).as("mass_empty")).head()
-        val massHm = hm.agg(sum(col("object_count"))).head().getLong(0)
-        Seq((e.getLong(0) - nCells, e.getLong(1) - massHm))
+        // a NULL sum means zero rows -> zero mass (an empty heatmap is
+        // CONSISTENT; non-emptiness is q66's rows check, not this law)
+        def longOr0(r: org.apache.spark.sql.Row, i: Int): Long =
+          if (r.isNullAt(i)) 0L else r.getLong(i)
+        val massHm = longOr0(hm.agg(sum(col("object_count"))).head(), 0)
+        Seq((e.getLong(0) - nCells, longOr0(e, 1) - massHm))
           .toDF("row_diff", "mass_diff")
       } finally hm.unpersist()
     }),

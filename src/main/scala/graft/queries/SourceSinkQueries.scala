@@ -170,12 +170,7 @@ object SourceSinkQueries {
       val tmp = Files.createTempDirectory("graft_q100")
       val path = tmp.resolve("gpq").toString
       Exporters.geoparquet(slice(s, dir), path)
-      import scala.jdk.CollectionConverters._
-      val listing = Files.list(tmp.resolve("gpq"))
-      val parts =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        finally listing.close()
+      val parts = graft.sinks.ParquetFooter.parquetParts(tmp.resolve("gpq").toString)
       require(parts.nonEmpty, "no parquet parts written")
       parts.foreach { p =>
         val geo = graft.sinks.ParquetFooter.readKeyValue(p)

@@ -78,11 +78,14 @@ object ParquetFooter {
   /** Apply [[addKeyValue]] to every part file of a Spark parquet output
     * directory. Driver-side over the local filesystem; on an object
     * store, run the same rewrite in a foreachPartition over file paths. */
-  def addKeyValueToDir(dir: String, kvs: Map[String, String]): Unit = {
+  def addKeyValueToDir(dir: String, kvs: Map[String, String]): Unit =
+    parquetParts(dir).foreach(addKeyValue(_, kvs))
+
+  /** The .parquet part files of a Spark output directory (stream closed). */
+  def parquetParts(dir: String): Seq[java.nio.file.Path] = {
     val listing = Files.list(Paths.get(dir))
     try listing.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(addKeyValue(_, kvs))
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     finally listing.close()
   }
 }

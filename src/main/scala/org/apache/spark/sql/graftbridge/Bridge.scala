@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The catalog's own default location for a (possibly db-qualified)
+    * managed table name — current database and `<db>.db/<t>` layout
+    * resolved by the same rule `saveAsTable` uses. `sessionState` is
+    * private[sql], hence exposed here. */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession,
+      table: String): java.net.URI = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ident = classic.sessionState.sqlParser.parseTableIdentifier(table)
+    classic.sessionState.catalog.defaultTablePath(ident)
+  }
 }

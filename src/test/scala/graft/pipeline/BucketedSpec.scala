@@ -53,8 +53,12 @@ class BucketedSpec extends AnyFunSuite {
 
   test("join on a NON-bucket key still shuffles (the assertion bites)") {
     // sanity check that the zero-exchange assertions above are not
-    // vacuous: the same tables joined on a different column DO exchange
-    val other = Bucketed.joinCoBucketed(spark, "b_cust", "b_cust", "c_name")
+    // vacuous: a bucketed table joined on a different column DOES
+    // exchange. Writes its own table so the test runs in isolation.
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    Bucketed.writeBucketed(cust, "b_cust_nv", "k", buckets = 8)
+    val other = Bucketed.joinCoBucketed(spark, "b_cust_nv", "b_cust_nv", "c_name")
     assert(plan(other).contains("Exchange"))
   }
 }
