@@ -36,7 +36,9 @@ object H3Query {
 
   private def joined(spark: SparkSession, index: DataFrame, wkt: String,
       res: Int, datasets: Seq[String]): DataFrame = {
-    val q = broadcast(queryCells(spark, wkt, res))
+    import spark.implicits._
+    val cells = PreparedPolygonQuery.cellStrings(wkt, res)
+    val q = broadcast(cells.toSeq.toDF("q_cell"))
     val filtered =
       if (datasets.isEmpty) index
       else index.filter(col("dataset_id").isin(datasets: _*))
@@ -44,9 +46,19 @@ object H3Query {
     // (H3Index.withParentAt) over per-row cell math
     val parentCol = s"h3_parent_$res"
     val keyed =
-      if (filtered.columns.contains(parentCol))
-        filtered.withColumn("q_cell", col(parentCol))
-      else
+      if (filtered.columns.contains(parentCol)) {
+        // SARGABLE range prefilter: same-res cell ids are fixed-width
+        // hex, so lexicographic [min,max] of the query cells bounds the
+        // IN-set. On a parquet-backed index this reaches the scan as a
+        // pushed range predicate — row groups outside the polygon's
+        // cell range are skipped by footer min/max stats, which an
+        // IN-list join alone can never do. Strict superset of the
+        // equi-join, so results are unchanged.
+        val pre =
+          if (cells.isEmpty) filtered
+          else filtered.filter(col(parentCol).between(cells.min, cells.max))
+        pre.withColumn("q_cell", col(parentCol))
+      } else
         filtered.withColumn("q_cell", h3_cell_to_parent(col("h3_cell"), lit(res)))
     keyed.join(q, "q_cell")
   }

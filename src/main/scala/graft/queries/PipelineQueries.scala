@@ -44,6 +44,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Stratified deterministic sample: a fixed-size uniform draw PER
+    // STRATUM (language), ranked by a salted hash so the draw is
+    // reproducible across engines and runs — the balanced-corpus
+    // sampler of a training pipeline (q81 is the global variant). At
+    // scale: one shuffle on the stratum key, rank bounded per group.
+    "q109_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat_ws("|", col("doc_id"), lit("graft"))), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    }),
+
     // CUBE over (lang, source): the full coverage matrix incl. margins.
     "q82_cube" -> ((s, dir) => {
       docs(s, dir)
@@ -179,6 +195,14 @@ object PipelineQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
         |ORDER BY doc_id""".stripMargin,
+    "q109_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat_ws('|', doc_id, 'graft')), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
     "q82_cube" ->
       """SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY CUBE (lang, source)

@@ -83,6 +83,25 @@ class PlanSpec extends AnyFunSuite {
       "no WholeStageCodegen spans found:\n" + plan.take(800))
   }
 
+  test("polygon query pushes a cell-range filter to a parquet-backed index") {
+    import org.apache.spark.sql.functions.col
+    // materialize a tiny index to parquet, query it, and assert the
+    // sargable [min,max] prefilter reached the scan — at 100 TB this is
+    // what lets footer stats skip row groups outside the polygon
+    val dir = java.nio.file.Files.createTempDirectory("idxscan").toString
+    GeoQueries.sharedIndex(spark, sfDir).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val df = graft.pipeline.H3Query.objects(spark, back,
+      graft.pipeline.GeoFixture.queryPolygonWkt, res = 8)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(h3_parent_8") &&
+      pushed.contains("LessThanOrEqual(h3_parent_8"),
+      "cell-range prefilter not pushed to the scan: " + pushed)
+    assert(df.count() > 0)
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the
