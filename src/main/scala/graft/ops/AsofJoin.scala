@@ -35,6 +35,17 @@ object AsofJoin {
       ts: String, valueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     val side = "_asof_side"
     val carry = "_asof_row"
+    // naming preconditions (as RangeJoin documents its own): the
+    // internal tag/carry columns would be silently overwritten by
+    // withColumn, and a left column named like a prefixed output would
+    // duplicate in the final projection
+    val reserved = Set(side, carry)
+    val prefixed = (ts +: valueCols).map(c => s"$prefix$c").toSet
+    left.columns.foreach { c =>
+      require(!reserved(c), s"left column name '$c' is reserved by asofBackward")
+      require(!prefixed(c),
+        s"left column '$c' collides with output column '$c' (prefix '$prefix')")
+    }
     val l = left.withColumn(side, lit(1))
     // NULL-ts / NULL-key right rows can never match under the DuckDB
     // convention (`l.ts >= r.ts` is never true for NULL; equi-keys drop

@@ -64,8 +64,11 @@ object AudioCodec {
       } else if (id == "data") {
         dataLen = size
       }
-      if (size > Int.MaxValue - 8) return None
-      pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // advance in Long: `pos + 8 + size` can exceed Int.MaxValue for
+      // crafted sizes near 2^31, and an Int wrap would turn a corrupt
+      // header into an IndexOutOfBounds task kill instead of SQL NULL
+      val next = pos.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      pos = if (next > b.length) b.length else next.toInt
     }
     if (rate <= 0 || ch <= 0 || bps <= 0) None
     else {

@@ -40,13 +40,15 @@ object VectorOps {
     * (trained with distributed KMeans, fixed seed). Returns
     * (assignments with `ivf_cell` column, centroid array). */
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+      nlist: Int, seed: Long = 42L, maxIter: Int = 10,
+      initMode: String = "k-means||"): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feats = emb.withColumn("__fv",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("__fv")
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
+      .setFeaturesCol("__fv")
       .fit(feats)
     val assigned = model.transform(feats)
       .withColumnRenamed("prediction", "ivf_cell")

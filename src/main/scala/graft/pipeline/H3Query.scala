@@ -38,7 +38,15 @@ object H3Query {
       res: Int, datasets: Seq[String]): DataFrame = {
     import spark.implicits._
     val cells = PreparedPolygonQuery.cellStrings(wkt, res)
-    val q = broadcast(cells.toSeq.toDF("q_cell"))
+    keyedIndex(index, cells, res, datasets)
+      .join(broadcast(cells.toSeq.toDF("q_cell")), "q_cell")
+  }
+
+  /** Index side of the polygon equi-join: keyed by the query-res
+    * ancestor (materialized column when present) with the sargable
+    * cell-range prefilter applied. */
+  private def keyedIndex(index: DataFrame, cells: Array[String],
+      res: Int, datasets: Seq[String]): DataFrame = {
     val filtered =
       if (datasets.isEmpty) index
       else index.filter(col("dataset_id").isin(datasets: _*))
@@ -60,7 +68,7 @@ object H3Query {
         pre.withColumn("q_cell", col(parentCol))
       } else
         filtered.withColumn("q_cell", h3_cell_to_parent(col("h3_cell"), lit(res)))
-    keyed.join(q, "q_cell")
+    keyed
   }
 
   /** aggregation="objects" (h3_query.py:98-119): distinct matching
@@ -133,14 +141,68 @@ object H3Query {
 
   /** H3 candidates then exact ST_Intersects refinement
     * (docs/H3_POLYGON_ANALYSIS.md:337-355): the coarse equi-join prunes
-    * to candidate cells, the exact geometry test runs only on matches. */
+    * to candidate cells, the exact geometry test runs only on matches.
+    *
+    * The refine must run on CANDIDATES (post-join), never on the raw
+    * index: a plain `filter(st_intersects(geom, wkb))` references only
+    * index-side columns, so Catalyst pushes it below the broadcast join
+    * and the plan degenerates into per-index-row cell-geometry math —
+    * the full-lake spatial scan the H3 design exists to avoid. Two
+    * defenses, both load-bearing:
+    *  - each broadcast query cell carries a driver-computed
+    *    `needs_refine` flag, so the predicate references BOTH join
+    *    sides and is structurally unpushable below the join;
+    *  - interior cells (center provably deep inside the polygon, see
+    *    [[needsRefine]]) set the flag false, short-circuiting the
+    *    per-candidate geometry test for the area-dominant majority:
+    *    only the O(perimeter) boundary ring pays st_intersects at all.
+    */
   def objectsExact(spark: SparkSession, index: DataFrame, wkt: String,
       res: Int = DefaultQueryRes, datasets: Seq[String] = Nil): DataFrame = {
-    val queryWkb = Geometry.toWkb(Geometry.fromWkt(wkt))
-    joined(spark, index, wkt, res, datasets)
-      .filter(st_intersects(col("geom"), lit(queryWkb)))
+    import spark.implicits._
+    val poly = Geometry.fromWkt(wkt)
+    val queryWkb = Geometry.toWkb(poly)
+    val cells = PreparedPolygonQuery.cellStrings(wkt, res)
+    val flagged = cells.toSeq.map(c => (c, needsRefine(c, poly)))
+    keyedIndex(index, cells, res, datasets)
+      .join(broadcast(flagged.toDF("q_cell", "needs_refine")), "q_cell")
+      .filter(!col("needs_refine") || st_intersects(col("geom"), lit(queryWkb)))
       .select("id", "dataset_id", "leverantor", "klass")
       .distinct()
       .orderBy("dataset_id", "id")
+  }
+
+  /** True unless the query cell is provably interior: if the disk of
+    * radius `2.5 x circumradius` around the cell center lies inside the
+    * polygon, every descendant index cell's CENTER is inside too (the
+    * H3 parent chain drifts by at most the sum of per-level
+    * circumradii < 0.61 x R(res)), so the descendant's boundary polygon
+    * shares an interior point with the query polygon and st_intersects
+    * is provably true — the refine can be skipped without evaluating
+    * it. Conservative by construction: a false here is a proof, a true
+    * just costs one st_intersects on that candidate. */
+  private def needsRefine(cell: String, poly: graft.spatial.Geom): Boolean = {
+    val h = H3Core.fromHexString(cell)
+    val (clat, clng) = H3Core.cellToLatLng(h)
+    val (ce, cn) = Crs.wgs84ToSweref(clat, clng)
+    val center = Pt(ce, cn)
+    var circum = 0.0
+    H3Core.cellToBoundary(h).foreach { case (blat, blng) =>
+      val (be, bn) = Crs.wgs84ToSweref(blat, blng)
+      circum = math.max(circum, math.hypot(be - ce, bn - cn))
+    }
+    val safe = 2.5 * circum
+    val rings: Array[Array[Pt]] = poly match {
+      case graft.spatial.Poly(rs) => rs
+      case graft.spatial.MultiPoly(ps) => ps.flatMap(_.rings)
+      case _ => Array.empty
+    }
+    // disk(center, safe) inside the polygon <=> center inside and every
+    // boundary ring at least `safe` away (the disk is connected and
+    // crosses no ring, so it stays on the center's side)
+    val interior = rings.nonEmpty && Geometry.contains(poly, center) &&
+      rings.forall(r =>
+        Geometry.distance(center, graft.spatial.Line(r)) >= safe)
+    !interior
   }
 }

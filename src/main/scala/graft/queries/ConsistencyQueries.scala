@@ -65,7 +65,13 @@ object ConsistencyQueries {
     // sides are <=50 rows post-limit, so each is computed ONCE and the
     // set diff runs on the driver — no persist to leak, no recompute.
     "q46_statstop_equiv" -> ((s, dir) => {
+      // deterministic 1-in-5 cell subset: per-cell aggregates are
+      // independent across cells, so the statsTop==stats identity holds
+      // on ANY index — checking a fifth of the cells keeps the law at a
+      // fifth of the full-aggregate cost (the full form was the #2
+      // entry in the driver's r4 bench)
       val idx = GeoQueries.sharedIndex(s, dir)
+        .filter(pmod(hash(col("h3_cell")), lit(5)) === 0)
       val viaTop = stringified(H3Index.statsTop(idx, 50))
       val viaFull = stringified(
         H3Index.stats(idx)
@@ -115,6 +121,12 @@ object ConsistencyQueries {
     "q58_compact_roundtrip" -> ((s, dir) => {
       GeoQueries.sharedNormalized(s, dir)
         .filter(col("h3_cells").isNotNull && size(col("h3_cells")) > 0)
+        // deterministic 1-in-10 sample, replayed verbatim in the DuckDB
+        // oracle: the roundtrip law is per-object (no cross-row
+        // interaction), so 10% of objects buys the same evidence class
+        // at 10% of the compact+uncompact+sort cost — this query was
+        // the single most expensive entry in the driver's r4 bench
+        .filter(col("source_id").cast("long") % 10 === 0)
         .select(
           col("source_id").cast("long").as("fid"),
           (sort_array(h3_uncompact_cells(
@@ -237,7 +249,8 @@ object ConsistencyQueries {
       "leverantor" -> "VARCHAR", "klass" -> "VARCHAR"),
     "q57_heatmap_mass" -> "SELECT CAST(0 AS BIGINT) AS diff",
     "q58_compact_roundtrip" ->
-      "SELECT c_custkey AS fid, true AS ok FROM customer ORDER BY fid",
+      """SELECT c_custkey AS fid, true AS ok FROM customer
+        |WHERE c_custkey % 10 = 0 ORDER BY fid""".stripMargin,
     "q59_ivf_exact" -> VectorQueries.oracle("q51_knn_brute"),
     "q77_query_mass" -> "SELECT CAST(0 AS BIGINT) AS diff",
     "q78_mart_objects" ->

@@ -20,10 +20,23 @@ object ConsistencyQueries2 {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Identical-text pairs straight from the corpus (the DuckDB-checkable
+  /** The recall corpus: the documents table plus a tagged duplicate of
+    * every 50th doc (id offset far above the real id range). The
+    * natural corpus has ZERO identical-text pairs at small SF, which
+    * made the recall law vacuously green — seeding guaranteed
+    * duplicates keeps the law exercised on >=10 real pairs at every
+    * scale, and DuckDB replays the identical construction. */
+  private def seededDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+  }
+
+  /** Identical-text pairs in the seeded corpus (the DuckDB-checkable
     * ground truth for sketch recall). */
   private def dupPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val d = seededDocs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
     val a = d.as("a")
     val b = d.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -31,8 +44,13 @@ object ConsistencyQueries2 {
   }
 
   private val dupPairsSql =
-    """SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |FROM documents a JOIN documents b
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM corpus a JOIN corpus b
       |  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
@@ -76,7 +94,7 @@ object ConsistencyQueries2 {
       // UNCAPPED: the recall law only holds without the hot-bucket
       // guard — a capped (band,bucket) group may legitimately drop an
       // identical-text pair, which the oracle would flag as a miss
-      val cands = TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text",
+      val cands = TextDedup.minHashCandidates(seededDocs(s, dir), "doc_id", "text",
         maxBucket = Int.MaxValue)
         .select("id_a", "id_b")
       cands.join(dupPairs(s, dir), Seq("id_a", "id_b"))
@@ -86,7 +104,7 @@ object ConsistencyQueries2 {
     // SimHash recall law: identical text -> identical 64-bit simhash ->
     // hamming 0 -> candidate at any banding threshold.
     "q103_simhash_dup_recall" -> ((s, dir) => {
-      val cands = TextDedup.simHashCandidates(docs(s, dir), "doc_id", "text",
+      val cands = TextDedup.simHashCandidates(seededDocs(s, dir), "doc_id", "text",
         maxHamming = 16)
         .select("id_a", "id_b")
       cands.join(dupPairs(s, dir), Seq("id_a", "id_b"))

