@@ -117,8 +117,16 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    var sinceGc = 0
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // periodic full GC: Spark's ContextCleaner releases finished
+      // broadcasts/shuffles only on GC, and a 110-query run on a big
+      // heap can go dozens of queries without one — the accumulated
+      // driver/executor references showed up in round 4 as 2-5x
+      // slowdowns on UNRELATED light queries late in the battery
+      sinceGc += 1
+      if (sinceGc >= 25) { System.gc(); sinceGc = 0 }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -10,13 +10,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.GeoExpr
 
-/** Pure-JVM image HEADER codec: width/height/channels from the
-  * published container formats (PNG IHDR — RFC 2083 §4.1.1; JPEG
-  * SOFn segments — ITU-T T.81 §B.2.2; GIF logical screen descriptor —
-  * GIF89a spec §18). No pixel decoding — this container ships no image
-  * libraries — but the METADATA extraction is real: it parses actual
-  * byte layouts, not digests, so corrupt or foreign payloads yield SQL
-  * NULL instead of fabricated dimensions.
+/** Pure-JVM image codec: header metadata for the published container
+  * formats (PNG IHDR — RFC 2083 §4.1.1; JPEG SOFn segments — ITU-T
+  * T.81 §B.2.2; GIF logical screen descriptor — GIF89a spec §18), plus
+  * FULL pixel decode for PNG ([[decodePixels]]: IDAT inflate via the
+  * JDK's zlib + all five scanline filter inversions, RFC 2083 §6) —
+  * PNG's compression is exactly DEFLATE, so no external image library
+  * is needed. JPEG/GIF remain header-only (their entropy coders need a
+  * real codec library). Corrupt or foreign payloads yield SQL NULL
+  * instead of fabricated values.
   *
   * The matching minimal encoders exist so fixtures can generate valid
   * headers with known dimensions (CRC-correct PNG chunks, well-formed
@@ -103,27 +105,208 @@ object ImageCodec {
       (b(8) & 0xFF) | ((b(9) & 0xFF) << 8), 3))
   }
 
+  // ------------------------------------------------------ pixel decode
+
+  /** Fully decoded 8-bit pixel data: `data` is the raw unfiltered
+    * scanline bytes, row-major, `channels` interleaved per pixel. */
+  final case class Pixels(width: Int, height: Int, channels: Int,
+      data: Array[Byte])
+
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // truecolor + alpha
+    case _ => -1 // palette (3) would need PLTE resolution — not supported
+  }
+
+  /** REAL PNG pixel decode (RFC 2083 §5-§6): chunk walk -> IDAT concat
+    * -> zlib inflate ([[java.util.zip.Inflater]] is the same DEFLATE
+    * the spec mandates) -> per-scanline filter inversion (§6.3-6.6:
+    * None/Sub/Up/Average/Paeth). Supports the non-palette 8-bit color
+    * types, no interlace; anything else (and any malformed/truncated
+    * stream) yields None, never a throw. A 64 MiB decoded-size cap
+    * keeps crafted headers from allocating unbounded buffers. */
+  def decodePixels(b: Array[Byte]): Option[Pixels] = {
+    if (b.length < 33 || !b.take(8).sameElements(PngSig)) return None
+    var pos = 8
+    var w = -1; var h = -1; var bitDepth = -1; var colorType = -1
+    var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 8 <= b.length) {
+      val len = be32(b, pos)
+      if (len < 0 || pos + 12L + len > b.length) return None
+      new String(b, pos + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(b, pos + 8); h = be32(b, pos + 12)
+          bitDepth = b(pos + 16) & 0xFF
+          colorType = b(pos + 17) & 0xFF
+          interlace = b(pos + 20) & 0xFF
+        case "IDAT" => idat.write(b, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => ()
+      }
+      pos += 12 + len
+    }
+    val ch = pngChannels(colorType)
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 || ch < 0 ||
+      idat.size == 0) return None
+    val stride = w.toLong * ch
+    val total = (stride + 1) * h
+    if (total > (64L << 20)) return None
+    val raw = new Array[Byte](total.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val st = stride.toInt
+    val out = new Array[Byte](st * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (st + 1)) & 0xFF
+      val rowIn = y * (st + 1) + 1
+      val rowOut = y * st
+      var i = 0
+      while (i < st) {
+        val x = raw(rowIn + i) & 0xFF
+        val left = if (i >= ch) out(rowOut + i - ch) & 0xFF else 0
+        val up = if (y > 0) out(rowOut - st + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= ch) out(rowOut - st + i - ch) & 0xFF else 0
+        val rec = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(rowOut + i) = rec.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(Pixels(w, h, ch, out))
+  }
+
   // ------------------------------------------------------------ encode
+
+  private def writePngChunk(out: java.io.ByteArrayOutputStream,
+      ctype: String, data: Array[Byte]): Unit = {
+    val len = data.length
+    out.write(Array[Byte](((len >> 24) & 0xFF).toByte, ((len >> 16) & 0xFF).toByte,
+      ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte), 0, 4)
+    val typeBytes = ctype.getBytes("US-ASCII")
+    out.write(typeBytes, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeBytes)
+    crc.update(data)
+    val c = crc.getValue
+    out.write(Array[Byte](((c >> 24) & 0xFF).toByte, ((c >> 16) & 0xFF).toByte,
+      ((c >> 8) & 0xFF).toByte, (c & 0xFF).toByte), 0, 4)
+  }
+
+  private def ihdrBytes(width: Int, height: Int, colorType: Int): Array[Byte] = {
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((width >> 24) & 0xFF).toByte
+    ihdr(1) = ((width >> 16) & 0xFF).toByte
+    ihdr(2) = ((width >> 8) & 0xFF).toByte
+    ihdr(3) = (width & 0xFF).toByte
+    ihdr(4) = ((height >> 24) & 0xFF).toByte
+    ihdr(5) = ((height >> 16) & 0xFF).toByte
+    ihdr(6) = ((height >> 8) & 0xFF).toByte
+    ihdr(7) = (height & 0xFF).toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    // compression 0, filter 0, interlace 0 already zeroed
+    ihdr
+  }
+
+  /** COMPLETE valid PNG with real pixel data: the deterministic pattern
+    * `v(idx) = (idx * 31 + seed) mod 256` (so an oracle can predict any
+    * pixel statistic by arithmetic), scanlines filtered with type
+    * `y mod 5` — cycling through ALL five PNG filters, so a decoder
+    * only reproduces the pattern if every filter inversion is right. */
+  def pngPixelBytes(width: Int, height: Int, colorType: Int,
+      seed: Long): Array[Byte] = {
+    val ch = pngChannels(colorType)
+    require(ch > 0, s"unsupported color type $colorType")
+    val stride = width * ch
+    val px = new Array[Byte](stride * height)
+    var idx = 0
+    while (idx < px.length) {
+      px(idx) = ((idx * 31L + seed) & 0xFF).toByte
+      idx += 1
+    }
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = px(y * stride + i) & 0xFF
+        val left = if (i >= ch) px(y * stride + i - ch) & 0xFF else 0
+        val up = if (y > 0) px((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= ch) px((y - 1) * stride + i - ch) & 0xFF else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(y * (stride + 1) + 1 + i) = filtered.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val compressed = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw)
+      defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) {
+        val n = defl.deflate(buf)
+        compressed.write(buf, 0, n)
+      }
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    writePngChunk(out, "IHDR", ihdrBytes(width, height, colorType))
+    writePngChunk(out, "IDAT", compressed.toByteArray)
+    writePngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 
   /** Minimal VALID PNG: signature + CRC-correct IHDR + IEND (no image
     * data chunks — a header-only fixture, fine for metadata paths). */
   def pngBytes(width: Int, height: Int, colorType: Int = 2): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig, 0, 8)
-    def writeChunk(ctype: String, data: Array[Byte]): Unit = {
-      val len = data.length
-      out.write(Array[Byte](((len >> 24) & 0xFF).toByte, ((len >> 16) & 0xFF).toByte,
-        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte), 0, 4)
-      val typeBytes = ctype.getBytes("US-ASCII")
-      out.write(typeBytes, 0, 4)
-      out.write(data, 0, data.length)
-      val crc = new java.util.zip.CRC32()
-      crc.update(typeBytes)
-      crc.update(data)
-      val c = crc.getValue
-      out.write(Array[Byte](((c >> 24) & 0xFF).toByte, ((c >> 16) & 0xFF).toByte,
-        ((c >> 8) & 0xFF).toByte, (c & 0xFF).toByte), 0, 4)
-    }
+    def writeChunk(ctype: String, data: Array[Byte]): Unit =
+      writePngChunk(out, ctype, data)
     val ihdr = new Array[Byte](13)
     ihdr(0) = ((width >> 24) & 0xFF).toByte
     ihdr(1) = ((width >> 16) & 0xFF).toByte
@@ -204,8 +387,73 @@ object ImageCodec {
       copy(format = c(0), wpx = c(1), hpx = c(2))
   }
 
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("pix_mean", DoubleType),
+    StructField("checksum", LongType)))
+
+  /** png_pixel_stats(payload) -> struct(width, height, channels,
+    * n_bytes, pix_mean, checksum) computed from the FULLY DECODED
+    * pixels (inflate + unfilter, [[decodePixels]]); NULL for anything
+    * that is not a supported well-formed PNG. `checksum` is the
+    * position-weighted sum `Σ idx*v(idx)` — order-sensitive, so a
+    * decoder that produces the right multiset of bytes in the wrong
+    * places still fails the oracle. */
+  case class PngPixelStatsExpr(payload: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(payload)
+    override def dataType: DataType = pixelStatsSchema
+    override protected def evalNotNull(a: Array[Any]): Any =
+      decodePixels(a(0).asInstanceOf[Array[Byte]]) match {
+        case Some(p) =>
+          var sum = 0L
+          var wsum = 0L
+          var i = 0
+          while (i < p.data.length) {
+            val v = p.data(i) & 0xFF
+            sum += v
+            wsum += i.toLong * v
+            i += 1
+          }
+          val mean =
+            if (p.data.length == 0) 0.0 else sum.toDouble / p.data.length
+          new GenericInternalRow(Array[Any](
+            p.width, p.height, p.channels, p.data.length.toLong, mean, wsum))
+        case None => null
+      }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(payload = c(0))
+  }
+
+  /** png_pixel_fixture(colorType, width, height, seed) -> complete PNG
+    * bytes with the deterministic pixel pattern of [[pngPixelBytes]]. */
+  case class PngPixelFixtureExpr(colorType: Expression, wpx: Expression,
+      hpx: Expression, seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(colorType, wpx, hpx, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val s = a(3) match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      }
+      pngPixelBytes(int(a(1)), int(a(2)), int(a(0)), s)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(colorType = c(0), wpx = c(1), hpx = c(2), seed = c(3))
+  }
+
   def image_meta(payload: Column): Column = toCol(ImageMetaExpr(toExpr(payload)))
 
   def image_fixture(format: Column, width: Column, height: Column): Column =
     toCol(ImageFixtureExpr(toExpr(format), toExpr(width), toExpr(height)))
+
+  def png_pixel_stats(payload: Column): Column =
+    toCol(PngPixelStatsExpr(toExpr(payload)))
+
+  def png_pixel_fixture(colorType: Column, width: Column, height: Column,
+      seed: Column): Column =
+    toCol(PngPixelFixtureExpr(toExpr(colorType), toExpr(width), toExpr(height),
+      toExpr(seed)))
 }

@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   *
   * What's REAL vs STUBBED: container metadata extraction is real —
   * [[ImageCodec.image_meta]] parses actual PNG/JPEG/GIF byte layouts
-  * (published specs, no native codec needed) for width/height/channels.
-  * PIXEL-level work (feature vectors, resampling) is stubbed with
-  * deterministic digests — this container ships no image/audio
-  * libraries — with the same shapes a real decoder would emit, so the
-  * Spark-side plumbing (schema, batching, partitioning) is exercised
-  * for real.
+  * (published specs, no native codec needed) for width/height/channels
+  * — and PNG pixel decode is real too ([[ImageCodec.decodePixels]]:
+  * IDAT inflate through the JDK's zlib + all five scanline filter
+  * inversions; [[pixelStats]] exposes it columnar). Only JPEG/GIF
+  * PIXEL work (entropy decode needs a codec library this container
+  * doesn't ship) stays stubbed with deterministic digests in the same
+  * shapes a real decoder would emit, so the Spark-side plumbing
+  * (schema, batching, partitioning) is exercised for real.
   *
   * At 100 TB the invariants that matter are here: payloads never reach
   * a shuffle (all ops are map-only projections), metadata is a narrow
@@ -45,11 +47,18 @@ object Multimodal {
     * struct for unrecognized payloads. */
   def audioMeta(payload: Column): Column = AudioCodec.audio_meta(payload)
 
-  /** STUB pixel decode: a real implementation would JNI/FFI into an
-    * image library inside mapPartitions (batch-local codec reuse); the
-    * stub derives a deterministic 8-dim "feature" from payload digests
-    * so downstream plumbing (schema: array<double>) is exercised for
-    * real. */
+  /** REAL pixel statistics for PNG payloads: width/height/channels +
+    * mean and a position-weighted checksum over the fully decoded
+    * (inflated + unfiltered) pixel bytes; NULL for non-PNG payloads. */
+  def pixelStats(payload: Column): Column = ImageCodec.png_pixel_stats(payload)
+
+  /** STUB pixel decode for formats whose pixel layer needs an external
+    * codec (JPEG/GIF entropy coding): a real implementation would
+    * JNI/FFI into an image library inside mapPartitions (batch-local
+    * codec reuse); the stub derives a deterministic 8-dim "feature"
+    * from payload digests so downstream plumbing (schema:
+    * array<double>) is exercised for real. PNG payloads don't need
+    * this — [[pixelStats]] decodes them for real. */
   def decodeFeaturesStub(payload: Column): Column =
     transform(sequence(lit(0), lit(7)), i =>
       (conv(substring(md5(payload), i * 4 + 1, lit(4)), 16, 10).cast("double") / 65535.0))

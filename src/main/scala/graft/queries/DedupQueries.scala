@@ -140,6 +140,33 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PNG pixel decode end-to-end: encode a complete PNG per doc
+    // (deterministic gradient pixels, scanline filters cycling through
+    // all five PNG filter types), then decode it back — IDAT inflate +
+    // per-filter inversion — and emit value-level pixel statistics.
+    // The oracle recomputes mean and the position-weighted checksum by
+    // pure arithmetic over the same pattern, so a single wrong byte
+    // anywhere in deflate/inflate/unfilter breaks the hash-match.
+    "q110_png_pixels" -> ((s, dir) => {
+      val ctype = when(col("doc_id") % 4 === 0, 0)
+        .when(col("doc_id") % 4 === 1, 2)
+        .when(col("doc_id") % 4 === 2, 4)
+        .otherwise(6)
+      val w = lit(8) + (col("doc_id") % 24).cast("int")
+      val h = lit(8) + ((col("doc_id") * 3) % 16).cast("int")
+      docs(s, dir)
+        .withColumn("st", ImageCodec.png_pixel_stats(
+          ImageCodec.png_pixel_fixture(ctype, w, h, col("doc_id"))))
+        .select(col("doc_id"),
+          col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_bytes").as("n_bytes"),
+          col("st.pix_mean").as("pix_mean"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -199,6 +226,29 @@ object DedupQueries {
         |  CAST(16 + (length(text) * 7) % 240 AS INTEGER) AS img_h,
         |  CAST(CASE WHEN length(text) % 3 = 2 THEN 1 ELSE 3 END AS INTEGER) AS img_ch
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The decoded pixel pattern is v(i) = (i*31 + doc_id) mod 256, so
+    // every statistic is plain arithmetic over range(n): exact-integer
+    // sums cast to DOUBLE divide identically to the engine's
+    // long-sum/length division.
+    "q110_png_pixels" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 24 AS w,
+        |         8 + (doc_id * 3) % 16 AS h,
+        |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+        |                         WHEN 2 THEN 2 ELSE 4 END AS ch
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(ch AS INTEGER) AS channels,
+        |  CAST(w * h * ch AS BIGINT) AS n_bytes,
+        |  CAST((SELECT sum((i * 31 + doc_id) % 256)
+        |        FROM range(4096) r(i) WHERE i < w * h * ch) AS DOUBLE)
+        |    / (w * h * ch) AS pix_mean,
+        |  CAST((SELECT sum(i * ((i * 31 + doc_id) % 256))
+        |        FROM range(4096) r(i) WHERE i < w * h * ch) AS BIGINT) AS checksum
+        |FROM t ORDER BY doc_id""".stripMargin,
     // duration_ms: dataLen*1000/byteRate collapses to nSamples*1000/rate
     // exactly (floor of equal rationals), so DuckDB can replay it
     "q105_audio_meta" ->

@@ -130,4 +130,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(1).toSeq === Seq("jpeg", 56, 78, 3))
     assert(r(2).toSeq === Seq("jpeg", 9, 10, 1))
   }
+
+  test("PNG pixel decode round-trips across color types and ALL filters") {
+    // heights >= 6 so the y%5 filter cycle exercises every filter type,
+    // including Paeth with a real up/upper-left context
+    for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)) {
+      val w = 13; val h = 9; val seed = 77L
+      val png = ImageCodec.pngPixelBytes(w, h, ct, seed)
+      val p = ImageCodec.decodePixels(png).getOrElse(
+        fail(s"decode failed for colorType $ct"))
+      assert((p.width, p.height, p.channels) === (w, h, ch))
+      assert(p.data.length === w * h * ch)
+      var i = 0
+      while (i < p.data.length) {
+        assert((p.data(i) & 0xFF) === ((i * 31L + seed) & 0xFF).toInt,
+          s"pixel $i wrong for colorType $ct")
+        i += 1
+      }
+    }
+  }
+
+  test("PNG pixel decode rejects malformed payloads as None, never throws") {
+    val good = ImageCodec.pngPixelBytes(10, 10, 2, 1L)
+    assert(ImageCodec.decodePixels(good).isDefined)
+    // header-only PNG (no IDAT)
+    assert(ImageCodec.decodePixels(ImageCodec.pngBytes(10, 10)).isEmpty)
+    // truncated IDAT stream
+    assert(ImageCodec.decodePixels(good.take(good.length - 20)).isEmpty)
+    // corrupted deflate bytes inside IDAT
+    val corrupt = good.clone()
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte
+    val res = ImageCodec.decodePixels(corrupt)
+    // either the stream fails to inflate (None) or inflates to wrong
+    // bytes — never an exception; wrong bytes are caught by the oracle
+    assert(res == None || res.isDefined)
+    // not a PNG at all
+    assert(ImageCodec.decodePixels("not a png".getBytes).isEmpty)
+    assert(ImageCodec.decodePixels(Array.emptyByteArray).isEmpty)
+  }
+
+  test("png_pixel_stats expression: value-level stats + NULL for non-PNG") {
+    import spark.implicits._
+    val df = Seq((1L, 0, 9, 7), (2L, 2, 8, 6), (3L, 4, 5, 5), (4L, 6, 4, 8))
+      .toDF("seed", "ct", "w", "h")
+      .select(col("seed"), ImageCodec.png_pixel_stats(
+        ImageCodec.png_pixel_fixture(col("ct"), col("w"), col("h"),
+          col("seed"))).as("st"))
+      .select(col("seed"), col("st.n_bytes"), col("st.pix_mean"), col("st.checksum"))
+      .collect()
+    df.foreach { r =>
+      val seed = r.getLong(0)
+      val ch = seed match { case 1 => 1; case 2 => 3; case 3 => 2; case 4 => 4 }
+      val n = r.getLong(1).toInt
+      val vals = (0 until n).map(i => ((i * 31L + seed) & 0xFF).toDouble)
+      assert(math.abs(r.getDouble(2) - vals.sum / n) < 1e-12)
+      val checksum = (0 until n).map(i => i.toLong * vals(i).toLong).sum
+      assert(r.getLong(3) === checksum)
+    }
+    // non-PNG payload -> NULL struct
+    val nulls = Seq("plain text").toDF("t")
+      .select(ImageCodec.png_pixel_stats(col("t").cast("binary")).as("st"))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+  }
 }
