@@ -22,11 +22,23 @@ object RangeJoin {
 
   /** Left/right must share no column names except `keys`. `lts`/`rts`
     * are epoch-microsecond long columns; `beforeUs`/`afterUs` bound the
-    * window relative to the left timestamp. */
+    * window relative to the left timestamp.
+    *
+    * The per-left-row fan-out is `window/bucketUs + 2` exploded rows; a
+    * bucket far smaller than the window silently multiplies the left
+    * side (bucketUs = window/1000 -> 1000x row blowup before the join —
+    * the quiet scale killer this operator exists to avoid), so the
+    * ratio is guarded at 64. */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       lts: String, rts: String, beforeUs: Long, afterUs: Long,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0 && beforeUs >= 0 && afterUs >= 0)
+    val fanOut = (beforeUs + afterUs) / bucketUs + 2
+    require(fanOut <= 64,
+      s"bucketUs=$bucketUs gives ~$fanOut exploded rows per left row for a " +
+        s"${beforeUs + afterUs}us window; pick bucketUs near the window " +
+        "width (fan-out 2-3) — a tiny bucket multiplies the left side " +
+        "before the join")
     // integer `div`, not `/`: SQL division is double, and floor of a
     // ~1e15 epoch divided as double can misbucket at boundaries
     val l = left.withColumn("_rj_bucket",

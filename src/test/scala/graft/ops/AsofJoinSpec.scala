@@ -56,6 +56,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("asof_v")))
   }
 
+  test("left columns colliding with internal/output names are rejected") {
+    import spark.implicits._
+    val right = Seq(("a", 5L, 1.0)).toDF("k", "t", "v")
+    // internal tag column
+    val bad1 = Seq((1L, "a", 10L)).toDF("_asof_side", "k", "t")
+    assert(intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(bad1, right, Seq("k"), "t", Seq("v"))
+    }.getMessage.contains("reserved"))
+    // prefixed output collision: left already has asof_v
+    val bad2 = Seq((1L, "a", 10L, 2.0)).toDF("id", "k", "t", "asof_v")
+    assert(intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(bad2, right, Seq("k"), "t", Seq("v"))
+    }.getMessage.contains("collides"))
+  }
+
   test("single shuffle: exactly one Exchange in the as-of plan") {
     import spark.implicits._
     val left = Seq((1L, "a", 10L)).toDF("id", "k", "t")

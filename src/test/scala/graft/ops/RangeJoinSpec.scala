@@ -43,6 +43,18 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 10L), (2L, 11L)))
   }
 
+  test("tiny bucket vs window is rejected (silent row-blowup guard)") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L)).toDF("lid", "lt")
+    val right = Seq((10L, 900L)).toDF("rid", "rt")
+    // 1,000,000us window / 100us bucket = ~10,000 exploded rows per left row
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(left, right, Seq(), "lt", "rt",
+        beforeUs = 1000000, afterUs = 0, bucketUs = 100)
+    }
+    assert(e.getMessage.contains("bucketUs"))
+  }
+
   test("plans as a shuffled equi-join, not a nested-loop/cartesian") {
     import spark.implicits._
     val left = Seq((1L, 1000L)).toDF("lid", "lt")
