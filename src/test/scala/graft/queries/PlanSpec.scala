@@ -135,6 +135,21 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q111: benchmark side broadcasts; q113: histogram has partial aggs") {
+    // decontamination: the benchmark gram set must broadcast — a
+    // shuffle join on the gram key would move the whole corpus's
+    // n-grams at 100 TB
+    val q111 = planOf("q111_decontaminate")
+    assert(q111.contains("BroadcastHashJoin"), q111.take(600))
+    assert(!q111.contains("SortMergeJoin"),
+      "benchmark join degenerated to sort-merge")
+    // repetition ratio: both hash aggregates must have a partial
+    // (map-side combine) phase so the shuffle carries collapsed
+    // (doc, gram) groups, not raw exploded grams
+    val q113 = planOf("q113_repetition")
+    assert("HashAggregate".r.findAllIn(q113).size >= 4, q113.take(800))
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the
