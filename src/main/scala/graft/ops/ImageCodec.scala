@@ -163,7 +163,12 @@ object ImageCodec {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // all input was provided up front, so a zero-byte step that
+        // didn't finish can never progress — truncated stream, or a
+        // zlib header demanding a preset dictionary (FDICT): both are
+        // malformed here, and only returning on needsInput() would
+        // spin forever on the dictionary case
+        if (n == 0) return None
         off += n
       }
       if (off != raw.length) return None
@@ -246,6 +251,9 @@ object ImageCodec {
       seed: Long): Array[Byte] = {
     val ch = pngChannels(colorType)
     require(ch > 0, s"unsupported color type $colorType")
+    require(width > 0 && height > 0 &&
+      (width.toLong * ch + 1) * height <= (64L << 20),
+      s"pixel fixture ${width}x$height x$ch exceeds the 64 MiB cap")
     val stride = width * ch
     val px = new Array[Byte](stride * height)
     var idx = 0
@@ -305,22 +313,8 @@ object ImageCodec {
   def pngBytes(width: Int, height: Int, colorType: Int = 2): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig, 0, 8)
-    def writeChunk(ctype: String, data: Array[Byte]): Unit =
-      writePngChunk(out, ctype, data)
-    val ihdr = new Array[Byte](13)
-    ihdr(0) = ((width >> 24) & 0xFF).toByte
-    ihdr(1) = ((width >> 16) & 0xFF).toByte
-    ihdr(2) = ((width >> 8) & 0xFF).toByte
-    ihdr(3) = (width & 0xFF).toByte
-    ihdr(4) = ((height >> 24) & 0xFF).toByte
-    ihdr(5) = ((height >> 16) & 0xFF).toByte
-    ihdr(6) = ((height >> 8) & 0xFF).toByte
-    ihdr(7) = (height & 0xFF).toByte
-    ihdr(8) = 8 // bit depth
-    ihdr(9) = colorType.toByte
-    // compression 0, filter 0, interlace 0 already zeroed
-    writeChunk("IHDR", ihdr)
-    writeChunk("IEND", Array.emptyByteArray)
+    writePngChunk(out, "IHDR", ihdrBytes(width, height, colorType))
+    writePngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
@@ -437,6 +431,8 @@ object ImageCodec {
       val s = a(3) match {
         case l: java.lang.Long => l.longValue
         case i: java.lang.Integer => i.longValue
+        case sh: java.lang.Short => sh.longValue
+        case b: java.lang.Byte => b.longValue
       }
       pngPixelBytes(int(a(1)), int(a(2)), int(a(0)), s)
     }

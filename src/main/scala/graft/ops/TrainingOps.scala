@@ -76,8 +76,12 @@ object TrainingOps {
     val cum = sum(col(nTokensCol)).over(w)
     docs
       .withColumn("cum_tokens", cum.cast("long"))
+      // integer `div`, not `/`: SQL division is double, and floor of a
+      // large prefix sum divided as double can misbucket at exact
+      // capacity boundaries (same reasoning as RangeJoin's bucketing);
+      // the numerator is a non-negative long, so div == floor
       .withColumn("bin",
-        floor((col("cum_tokens") - col(nTokensCol)) / capacity).cast("long"))
+        expr(s"(cum_tokens - $nTokensCol) div ${capacity}L").cast("long"))
   }
 
   /** Intra-document repetition ratio: the fraction of a document's

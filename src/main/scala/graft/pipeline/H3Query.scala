@@ -163,7 +163,7 @@ object H3Query {
     val poly = Geometry.fromWkt(wkt)
     val queryWkb = Geometry.toWkb(poly)
     val cells = PreparedPolygonQuery.cellStrings(wkt, res)
-    val flagged = cells.toSeq.map(c => (c, needsRefine(c, poly)))
+    val flagged = needsRefineFlags(cells, poly)
     keyedIndex(index, cells, res, datasets)
       .join(broadcast(flagged.toDF("q_cell", "needs_refine")), "q_cell")
       .filter(!col("needs_refine") || st_intersects(col("geom"), lit(queryWkb)))
@@ -172,37 +172,72 @@ object H3Query {
       .orderBy("dataset_id", "id")
   }
 
-  /** True unless the query cell is provably interior: if the disk of
-    * radius `2.5 x circumradius` around the cell center lies inside the
-    * polygon, every descendant index cell's CENTER is inside too (the
-    * H3 parent chain drifts by at most the sum of per-level
-    * circumradii < 0.61 x R(res)), so the descendant's boundary polygon
-    * shares an interior point with the query polygon and st_intersects
-    * is provably true — the refine can be skipped without evaluating
-    * it. Conservative by construction: a false here is a proof, a true
-    * just costs one st_intersects on that candidate. */
-  private def needsRefine(cell: String, poly: graft.spatial.Geom): Boolean = {
-    val h = H3Core.fromHexString(cell)
-    val (clat, clng) = H3Core.cellToLatLng(h)
-    val (ce, cn) = Crs.wgs84ToSweref(clat, clng)
-    val center = Pt(ce, cn)
-    var circum = 0.0
-    H3Core.cellToBoundary(h).foreach { case (blat, blng) =>
-      val (be, bn) = Crs.wgs84ToSweref(blat, blng)
-      circum = math.max(circum, math.hypot(be - ce, bn - cn))
-    }
-    val safe = 2.5 * circum
+  /** Per-cell refine flags: true unless the query cell is provably
+    * interior. If the disk of radius `2.5 x circumradius` around the
+    * cell center lies inside the polygon, every descendant index
+    * cell's CENTER is inside too (the H3 parent chain drifts by at
+    * most the sum of per-level circumradii < 0.61 x R(res)), so the
+    * descendant's boundary polygon shares an interior point with the
+    * query polygon and st_intersects is provably true — the refine can
+    * be skipped without evaluating it. Conservative by construction: a
+    * false here is a proof, a true just costs one st_intersects on
+    * that candidate.
+    *
+    * Driver cost is O(cells x polygon vertices) like the polyfill
+    * itself: the polygon's boundary segments are flattened ONCE and
+    * each cell pays one tight point-to-segment scan (disk inside the
+    * polygon <=> center inside and every boundary segment >= safe
+    * away — the disk is connected and crosses no ring, so it stays on
+    * the center's side). */
+  private def needsRefineFlags(cells: Array[String],
+      poly: graft.spatial.Geom): Seq[(String, Boolean)] = {
     val rings: Array[Array[Pt]] = poly match {
       case graft.spatial.Poly(rs) => rs
       case graft.spatial.MultiPoly(ps) => ps.flatMap(_.rings)
       case _ => Array.empty
     }
-    // disk(center, safe) inside the polygon <=> center inside and every
-    // boundary ring at least `safe` away (the disk is connected and
-    // crosses no ring, so it stays on the center's side)
-    val interior = rings.nonEmpty && Geometry.contains(poly, center) &&
-      rings.forall(r =>
-        Geometry.distance(center, graft.spatial.Line(r)) >= safe)
-    !interior
+    val sax = new scala.collection.mutable.ArrayBuffer[Double]()
+    val say = new scala.collection.mutable.ArrayBuffer[Double]()
+    val sbx = new scala.collection.mutable.ArrayBuffer[Double]()
+    val sby = new scala.collection.mutable.ArrayBuffer[Double]()
+    rings.foreach { r =>
+      var i = 0
+      while (i < r.length - 1) {
+        sax += r(i).x; say += r(i).y; sbx += r(i + 1).x; sby += r(i + 1).y
+        i += 1
+      }
+    }
+    val n = sax.length
+    def distToBoundary(px: Double, py: Double): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < n) {
+        val ax = sax(i); val ay = say(i)
+        val dx = sbx(i) - ax; val dy = sby(i) - ay
+        val l2 = dx * dx + dy * dy
+        val t =
+          if (l2 == 0) 0.0
+          else math.max(0.0, math.min(1.0,
+            ((px - ax) * dx + (py - ay) * dy) / l2))
+        val ex = px - (ax + t * dx); val ey = py - (ay + t * dy)
+        val d2 = ex * ex + ey * ey
+        if (d2 < best) best = d2
+        i += 1
+      }
+      math.sqrt(best)
+    }
+    cells.toSeq.map { c =>
+      val h = H3Core.fromHexString(c)
+      val (clat, clng) = H3Core.cellToLatLng(h)
+      val (ce, cn) = Crs.wgs84ToSweref(clat, clng)
+      var circum = 0.0
+      H3Core.cellToBoundary(h).foreach { case (blat, blng) =>
+        val (be, bn) = Crs.wgs84ToSweref(blat, blng)
+        circum = math.max(circum, math.hypot(be - ce, bn - cn))
+      }
+      val interior = n > 0 && Geometry.contains(poly, Pt(ce, cn)) &&
+        distToBoundary(ce, cn) >= 2.5 * circum
+      (c, !interior)
+    }
   }
 }

@@ -157,16 +157,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decodePixels(ImageCodec.pngBytes(10, 10)).isEmpty)
     // truncated IDAT stream
     assert(ImageCodec.decodePixels(good.take(good.length - 20)).isEmpty)
-    // corrupted deflate bytes inside IDAT
+    // zlib header demanding a preset dictionary (FDICT bit): inflate
+    // reports neither finished nor needs-input — must return None, not
+    // spin forever (regression test for the needsInput-only break)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 33) // signature + IHDR
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6)
+    val lenType = Array[Byte](0, 0, 0, fdictIdat.length.toByte,
+      'I', 'D', 'A', 'T')
+    out.write(lenType, 0, 8)
+    out.write(fdictIdat, 0, fdictIdat.length)
+    out.write(new Array[Byte](4), 0, 4) // CRC (unchecked by decode)
+    out.write(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D'), 0, 8)
+    out.write(new Array[Byte](4), 0, 4)
+    assert(ImageCodec.decodePixels(out.toByteArray).isEmpty)
+    // corrupted stored-block header inside IDAT: the inflater stalls
+    // or errors — both must surface as None, never a throw or hang
     val corrupt = good.clone()
     corrupt(45) = (corrupt(45) ^ 0x55).toByte
-    val res = ImageCodec.decodePixels(corrupt)
-    // either the stream fails to inflate (None) or inflates to wrong
-    // bytes — never an exception; wrong bytes are caught by the oracle
-    assert(res == None || res.isDefined)
+    ImageCodec.decodePixels(corrupt) // must return (no hang/throw)
     // not a PNG at all
     assert(ImageCodec.decodePixels("not a png".getBytes).isEmpty)
     assert(ImageCodec.decodePixels(Array.emptyByteArray).isEmpty)
+    // encoder refuses unbounded allocations (SQL sees NULL via the
+    // expression's IllegalArgumentException -> NULL contract)
+    assert(intercept[IllegalArgumentException] {
+      ImageCodec.pngPixelBytes(60000, 60000, 2, 0L)
+    }.getMessage.contains("64 MiB"))
   }
 
   test("png_pixel_stats expression: value-level stats + NULL for non-PNG") {

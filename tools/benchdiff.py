@@ -47,10 +47,13 @@ def main():
     rows = []
     for name in sorted(set(oq) | set(nq)):
         a, b = oq.get(name), nq.get(name)
-        if b is None and old["full"]:
-            # the old side is a FULL capture, so a query gone from the
-            # new run crashed or was dropped — that must not pass the
-            # gate silently (a tail-truncated old side proves nothing)
+        if b is None and new["full"]:
+            # the NEW side is a full capture, so a query present in the
+            # old run but absent from the new one crashed or was
+            # dropped — that must not pass the gate silently. (When the
+            # new side is tail-truncated, absence proves nothing; the
+            # old side's completeness is irrelevant — its entry already
+            # proves the query existed.)
             rows.append((float("inf"), name, a, b, "MISSING"))
             continue
         if a is None or b is None:
