@@ -157,6 +157,47 @@ object TextDedup {
       copy(tokens = c(0), n = c(1), k = c(2), seed = c(3))
   }
 
+  /** word_ngrams(tokens, n) -> array<string>: the same shingle array
+    * as the old sequence/transform/slice/concat_ws composition, built
+    * natively in one pass. Catalyst higher-order-function lambdas run
+    * INTERPRETED (never codegen'd) and allocate ~tokens intermediate
+    * rows per document — measured as the dominant cost of every
+    * full-corpus shingle consumer (exact-Jaccard refine, n-gram
+    * decontamination, repetition histogram). Output is bit-identical,
+    * including the <n-token whole-text fallback and concat_ws's
+    * skip-null semantics. */
+  case class WordNGrams(tokens: Expression, n: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(tokens, n)
+    override def dataType: DataType = ArrayType(StringType)
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = a(0).asInstanceOf[ArrayData]
+      val nn = int(a(1))
+      val nTok = arr.numElements()
+      val sep = UTF8String.fromString(" ")
+      val toks = new Array[UTF8String](nTok)
+      var i = 0
+      while (i < nTok) { toks(i) = arr.getUTF8String(i); i += 1 }
+      if (nTok < nn)
+        new GenericArrayData(Array[Any](UTF8String.concatWs(sep,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(toks): _*)))
+      else {
+        val out = new Array[Any](nTok - nn + 1)
+        var w = 0
+        while (w + nn <= nTok) {
+          val window = new Array[UTF8String](nn)
+          System.arraycopy(toks, w, window, 0, nn)
+          out(w) = UTF8String.concatWs(sep,
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(window): _*)
+          w += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(tokens = c(0), n = c(1))
+  }
+
   def minhash_signature(shingles: Column, k: Int, seed: Int = 42): Column =
     toCol(MinHashSig(toExpr(shingles), toExpr(lit(k)), toExpr(lit(seed))))
 
@@ -173,13 +214,12 @@ object TextDedup {
   def tokensOf(text: Column): Column =
     split(lower(trim(regexp_replace(text, "\\s+", " "))), " ")
 
-  /** Word n-gram shingles via transform over a position sequence —
-    * stays inside whole-stage codegen, no UDF. */
+  /** Word n-gram shingles — a native expression ([[WordNGrams]]), not
+    * a sequence/transform/slice lambda composition: Catalyst HOF
+    * lambdas evaluate interpreted, and this sits in the per-row hot
+    * path of every full-corpus shingle consumer. */
   def shinglesOf(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array(concat_ws(" ", tokens)))
-      .otherwise(transform(
-        sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+    toCol(WordNGrams(toExpr(tokens), toExpr(lit(n))))
 
   /** Exact Jaccard over two shingle arrays (codegen'd built-ins). */
   def jaccard(a: Column, b: Column): Column = {
