@@ -13,12 +13,14 @@ import graft.functions.GeoExpr
 /** Pure-JVM image codec: header metadata for the published container
   * formats (PNG IHDR — RFC 2083 §4.1.1; JPEG SOFn segments — ITU-T
   * T.81 §B.2.2; GIF logical screen descriptor — GIF89a spec §18), plus
-  * FULL pixel decode for PNG ([[decodePixels]]: IDAT inflate via the
-  * JDK's zlib + all five scanline filter inversions, RFC 2083 §6) —
-  * PNG's compression is exactly DEFLATE, so no external image library
-  * is needed. JPEG/GIF remain header-only (their entropy coders need a
-  * real codec library). Corrupt or foreign payloads yield SQL NULL
-  * instead of fabricated values.
+  * FULL pixel decode for PNG ([[decodePixelsPng]]: IDAT inflate via
+  * the JDK's zlib + all five scanline filter inversions, RFC 2083 §6 —
+  * PNG's compression is exactly DEFLATE) and for GIF
+  * ([[decodePixelsGif]]: from-scratch LZW decompressor per GIF89a
+  * appendix F + palette resolution). No external image library is
+  * needed for either; JPEG alone remains header-only (its arithmetic/
+  * Huffman entropy coding plus IDCT is a full codec library). Corrupt
+  * or foreign payloads yield SQL NULL instead of fabricated values.
   *
   * The matching minimal encoders exist so fixtures can generate valid
   * headers with known dimensions (CRC-correct PNG chunks, well-formed
@@ -120,6 +122,10 @@ object ImageCodec {
     case _ => -1 // palette (3) would need PLTE resolution — not supported
   }
 
+  /** Pixel decode for any supported container: PNG, then GIF. */
+  def decodePixels(b: Array[Byte]): Option[Pixels] =
+    decodePixelsPng(b).orElse(decodePixelsGif(b))
+
   /** REAL PNG pixel decode (RFC 2083 §5-§6): chunk walk -> IDAT concat
     * -> zlib inflate ([[java.util.zip.Inflater]] is the same DEFLATE
     * the spec mandates) -> per-scanline filter inversion (§6.3-6.6:
@@ -127,7 +133,7 @@ object ImageCodec {
     * types, no interlace; anything else (and any malformed/truncated
     * stream) yields None, never a throw. A 64 MiB decoded-size cap
     * keeps crafted headers from allocating unbounded buffers. */
-  def decodePixels(b: Array[Byte]): Option[Pixels] = {
+  def decodePixelsPng(b: Array[Byte]): Option[Pixels] = {
     if (b.length < 33 || !b.take(8).sameElements(PngSig)) return None
     var pos = 8
     var w = -1; var h = -1; var bitDepth = -1; var colorType = -1
@@ -206,6 +212,240 @@ object ImageCodec {
       y += 1
     }
     Some(Pixels(w, h, ch, out))
+  }
+
+  // ------------------------------------------------- GIF pixel decode
+
+  /** GIF LZW decompression (GIF89a spec appendix F): variable-width
+    * codes 3-12 bits packed LSB-first, clear/end-of-information codes,
+    * dictionary rebuilt from (prefix, suffix) chains, including the
+    * KwKwK case (code == next). Returns None on any malformed stream;
+    * output is capped at `maxBytes` so a crafted stream cannot
+    * allocate unboundedly. */
+  private def lzwDecode(minCodeSize: Int, data: Array[Byte],
+      maxBytes: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    var codeSize = minCodeSize + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = eoi + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def readCode(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        val p = bitPos + i
+        if (((data(p >> 3) >> (p & 7)) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    def firstByte(code0: Int): Byte = {
+      var c = code0
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    def writeExpansion(code0: Int): Boolean = {
+      var c = code0
+      var sp = 0
+      while (c >= clear) {
+        if (sp >= stack.length) return false
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      if (out.size + sp + 1 > maxBytes) return false
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+      true
+    }
+    var prev = -1
+    var guard = 0
+    while (guard < (1 << 26)) { // hard stop: no valid frame has 64M codes
+      guard += 1
+      val code = readCode()
+      if (code < 0) return None // ran out of bits before EOI
+      if (code == clear) {
+        codeSize = minCodeSize + 1
+        next = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        return Some(out.toByteArray)
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        if (out.size + 1 > maxBytes) return None
+        out.write(code)
+        prev = code
+      } else {
+        if (code > next || code == clear || code == eoi) return None
+        val kwkwk = code == next
+        if (kwkwk) {
+          // code not yet in the dictionary: expansion = prev + first(prev)
+          if (next >= 4096) return None
+          prefix(next) = prev; suffix(next) = firstByte(prev); next += 1
+          if (!writeExpansion(code)) return None
+        } else {
+          if (!writeExpansion(code)) return None
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstByte(code); next += 1
+          }
+        }
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    None
+  }
+
+  /** REAL GIF pixel decode (GIF89a spec §18-§22 + appendix F): logical
+    * screen descriptor, global/local color table, image descriptor,
+    * LZW-compressed color indices resolved through the palette to
+    * interleaved RGB. Non-interlaced full-frame images only (the
+    * fixture shape); anything else — and any malformed stream — yields
+    * None, never a throw. */
+  def decodePixelsGif(b: Array[Byte]): Option[Pixels] = {
+    if (b.length < 14) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = (b(6) & 0xFF) | ((b(7) & 0xFF) << 8)
+    val h = (b(8) & 0xFF) | ((b(9) & 0xFF) << 8)
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > (64L << 20)) return None
+    val packed = b(10) & 0xFF
+    var pos = 13
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val entries = 2 << (packed & 7)
+      if (pos + 3 * entries > b.length) return None
+      palette = java.util.Arrays.copyOfRange(b, pos, pos + 3 * entries)
+      pos += 3 * entries
+    }
+    while (pos < b.length) {
+      (b(pos) & 0xFF) match {
+        case 0x21 => // extension: label + length-prefixed sub-blocks
+          pos += 2
+          var done = false
+          while (!done) {
+            if (pos >= b.length) return None
+            val len = b(pos) & 0xFF
+            pos += 1 + len
+            if (len == 0) done = true
+          }
+        case 0x2C => // image descriptor
+          if (pos + 10 > b.length) return None
+          val left = (b(pos + 1) & 0xFF) | ((b(pos + 2) & 0xFF) << 8)
+          val top = (b(pos + 3) & 0xFF) | ((b(pos + 4) & 0xFF) << 8)
+          val fw = (b(pos + 5) & 0xFF) | ((b(pos + 6) & 0xFF) << 8)
+          val fh = (b(pos + 7) & 0xFF) | ((b(pos + 8) & 0xFF) << 8)
+          val ipacked = b(pos + 9) & 0xFF
+          pos += 10
+          if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
+          if (left != 0 || top != 0 || fw != w || fh != h) return None
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            val entries = 2 << (ipacked & 7)
+            if (pos + 3 * entries > b.length) return None
+            palette = java.util.Arrays.copyOfRange(b, pos, pos + 3 * entries)
+            pos += 3 * entries
+          }
+          if (palette == null || pos >= b.length) return None
+          val minCodeSize = b(pos) & 0xFF
+          pos += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (pos >= b.length) return None
+            val len = b(pos) & 0xFF
+            if (pos + 1 + len > b.length) return None
+            lzw.write(b, pos + 1, len)
+            pos += 1 + len
+            if (len == 0) done = true
+          }
+          val nPix = w * h
+          val indices = lzwDecode(minCodeSize, lzw.toByteArray, nPix) match {
+            case Some(ix) if ix.length == nPix => ix
+            case _ => return None
+          }
+          val maxIndex = palette.length / 3
+          val rgb = new Array[Byte](nPix * 3)
+          var i = 0
+          while (i < nPix) {
+            val ix = indices(i) & 0xFF
+            if (ix >= maxIndex) return None
+            rgb(i * 3) = palette(ix * 3)
+            rgb(i * 3 + 1) = palette(ix * 3 + 1)
+            rgb(i * 3 + 2) = palette(ix * 3 + 2)
+            i += 1
+          }
+          return Some(Pixels(w, h, 3, rgb))
+        case 0x3B => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** COMPLETE valid GIF89a with real LZW-compressed pixel data: a
+    * 256-entry grayscale identity palette (entry i = (i,i,i)) and
+    * color index `(p * 31 + seed) mod 256` at pixel p — so the decoded
+    * RGB stream is the same closed-form pattern as the PNG fixture,
+    * each value tripled. Indices are emitted as 9-bit literal codes
+    * with a CLEAR every 250 symbols, which keeps the code width fixed
+    * while exercising the decoder's dictionary-reset path. */
+  def gifPixelBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width.toLong * height * 3 <= (64L << 20),
+      s"pixel fixture ${width}x$height exceeds the 64 MiB cap")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(width); le16(height)
+    out.write(0xF7) // GCT present, 256 entries
+    out.write(0)    // background color
+    out.write(0)    // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no LCT, not interlaced
+    out.write(8) // LZW min code size
+    // 9-bit LSB-first code stream
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    def putCode(c: Int): Unit = {
+      acc |= (c.toLong & 0x1FF) << nAcc
+      nAcc += 9
+      while (nAcc >= 8) { bits.write((acc & 0xFF).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    val ClearCode = 256
+    val EoiCode = 257
+    putCode(ClearCode)
+    var p = 0
+    var sinceClear = 0
+    val nPix = width * height
+    while (p < nPix) {
+      putCode(((p * 31L + seed) & 0xFF).toInt)
+      sinceClear += 1
+      if (sinceClear == 250 && p + 1 < nPix) { putCode(ClearCode); sinceClear = 0 }
+      p += 1
+    }
+    putCode(EoiCode)
+    if (nAcc > 0) bits.write((acc & 0xFF).toInt)
+    val stream = bits.toByteArray
+    var off = 0
+    while (off < stream.length) {
+      val len = math.min(255, stream.length - off)
+      out.write(len)
+      out.write(stream, off, len)
+      off += len
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
   }
 
   // ------------------------------------------------------------ encode
@@ -389,14 +629,14 @@ object ImageCodec {
     StructField("pix_mean", DoubleType),
     StructField("checksum", LongType)))
 
-  /** png_pixel_stats(payload) -> struct(width, height, channels,
+  /** image_pixel_stats(payload) -> struct(width, height, channels,
     * n_bytes, pix_mean, checksum) computed from the FULLY DECODED
-    * pixels (inflate + unfilter, [[decodePixels]]); NULL for anything
-    * that is not a supported well-formed PNG. `checksum` is the
+    * pixels ([[decodePixels]]: PNG inflate+unfilter or GIF LZW+palette);
+    * NULL for anything that is not a supported well-formed image. `checksum` is the
     * position-weighted sum `Σ idx*v(idx)` — order-sensitive, so a
     * decoder that produces the right multiset of bytes in the wrong
     * places still fails the oracle. */
-  case class PngPixelStatsExpr(payload: Expression) extends GeoExpr {
+  case class ImagePixelStatsExpr(payload: Expression) extends GeoExpr {
     override def children: Seq[Expression] = Seq(payload)
     override def dataType: DataType = pixelStatsSchema
     override protected def evalNotNull(a: Array[Any]): Any =
@@ -427,17 +667,30 @@ object ImageCodec {
       hpx: Expression, seed: Expression) extends GeoExpr {
     override def children: Seq[Expression] = Seq(colorType, wpx, hpx, seed)
     override def dataType: DataType = BinaryType
-    override protected def evalNotNull(a: Array[Any]): Any = {
-      val s = a(3) match {
-        case l: java.lang.Long => l.longValue
-        case i: java.lang.Integer => i.longValue
-        case sh: java.lang.Short => sh.longValue
-        case b: java.lang.Byte => b.longValue
-      }
-      pngPixelBytes(int(a(1)), int(a(2)), int(a(0)), s)
-    }
+    override protected def evalNotNull(a: Array[Any]): Any =
+      pngPixelBytes(int(a(1)), int(a(2)), int(a(0)), seedLong(a(3)))
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(colorType = c(0), wpx = c(1), hpx = c(2), seed = c(3))
+  }
+
+  private[ops] def seedLong(a: Any): Long = a match {
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue
+    case sh: java.lang.Short => sh.longValue
+    case b: java.lang.Byte => b.longValue
+  }
+
+  /** gif_pixel_fixture(width, height, seed) -> complete GIF89a bytes
+    * with the deterministic palette-index pattern of
+    * [[gifPixelBytes]]. */
+  case class GifPixelFixtureExpr(wpx: Expression, hpx: Expression,
+      seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(wpx, hpx, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      gifPixelBytes(int(a(0)), int(a(1)), seedLong(a(2)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(wpx = c(0), hpx = c(1), seed = c(2))
   }
 
   def image_meta(payload: Column): Column = toCol(ImageMetaExpr(toExpr(payload)))
@@ -445,8 +698,11 @@ object ImageCodec {
   def image_fixture(format: Column, width: Column, height: Column): Column =
     toCol(ImageFixtureExpr(toExpr(format), toExpr(width), toExpr(height)))
 
-  def png_pixel_stats(payload: Column): Column =
-    toCol(PngPixelStatsExpr(toExpr(payload)))
+  def image_pixel_stats(payload: Column): Column =
+    toCol(ImagePixelStatsExpr(toExpr(payload)))
+
+  def gif_pixel_fixture(width: Column, height: Column, seed: Column): Column =
+    toCol(GifPixelFixtureExpr(toExpr(width), toExpr(height), toExpr(seed)))
 
   def png_pixel_fixture(colorType: Column, width: Column, height: Column,
       seed: Column): Column =

@@ -47,10 +47,11 @@ object Multimodal {
     * struct for unrecognized payloads. */
   def audioMeta(payload: Column): Column = AudioCodec.audio_meta(payload)
 
-  /** REAL pixel statistics for PNG payloads: width/height/channels +
-    * mean and a position-weighted checksum over the fully decoded
-    * (inflated + unfiltered) pixel bytes; NULL for non-PNG payloads. */
-  def pixelStats(payload: Column): Column = ImageCodec.png_pixel_stats(payload)
+  /** REAL pixel statistics for PNG/GIF payloads: width/height/channels
+    * + mean and a position-weighted checksum over the fully decoded
+    * pixel bytes (PNG: inflate + unfilter; GIF: LZW + palette); NULL
+    * for unsupported payloads. */
+  def pixelStats(payload: Column): Column = ImageCodec.image_pixel_stats(payload)
 
   /** STUB pixel decode for formats whose pixel layer needs an external
     * codec (JPEG/GIF entropy coding): a real implementation would

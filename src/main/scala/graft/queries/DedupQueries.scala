@@ -155,8 +155,31 @@ object DedupQueries {
       val w = lit(8) + (col("doc_id") % 24).cast("int")
       val h = lit(8) + ((col("doc_id") * 3) % 16).cast("int")
       docs(s, dir)
-        .withColumn("st", ImageCodec.png_pixel_stats(
+        .withColumn("st", ImageCodec.image_pixel_stats(
           ImageCodec.png_pixel_fixture(ctype, w, h, col("doc_id"))))
+        .select(col("doc_id"),
+          col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_bytes").as("n_bytes"),
+          col("st.pix_mean").as("pix_mean"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // GIF sibling of q110: REAL LZW decode end-to-end — encode a
+    // complete GIF89a per doc (grayscale identity palette, 9-bit
+    // literal codes with periodic dictionary resets), decode it back
+    // through the from-scratch LZW decompressor + palette, and emit
+    // the same pixel statistics. The decoded RGB stream is the PNG
+    // pattern with each value tripled, so the oracle's checksum is
+    // sum over pattern positions of (9i+3)*v(i).
+    "q114_gif_pixels" -> ((s, dir) => {
+      val w = lit(8) + (col("doc_id") % 21).cast("int")
+      val h = lit(8) + ((col("doc_id") * 5) % 13).cast("int")
+      docs(s, dir)
+        .withColumn("st", ImageCodec.image_pixel_stats(
+          ImageCodec.gif_pixel_fixture(w, h, col("doc_id"))))
         .select(col("doc_id"),
           col("st.width").as("width"),
           col("st.height").as("height"),
@@ -248,6 +271,26 @@ object DedupQueries {
         |    / (w * h * ch) AS pix_mean,
         |  CAST((SELECT sum(i * ((i * 31 + doc_id) % 256))
         |        FROM range(4096) r(i) WHERE i < w * h * ch) AS BIGINT) AS checksum
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // Decoded GIF RGB = pattern value v(i) = (i*31 + doc_id) mod 256
+    // tripled (grayscale palette): mean is unchanged vs the pattern,
+    // the position-weighted checksum becomes sum of (9i+3)*v(i).
+    "q114_gif_pixels" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 21 AS w,
+        |         8 + (doc_id * 5) % 13 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(3 * w * h AS BIGINT) AS n_bytes,
+        |  CAST((SELECT sum((i * 31 + doc_id) % 256)
+        |        FROM range(1024) r(i) WHERE i < w * h) AS DOUBLE)
+        |    / (w * h) AS pix_mean,
+        |  CAST((SELECT sum((9 * i + 3) * ((i * 31 + doc_id) % 256))
+        |        FROM range(1024) r(i) WHERE i < w * h) AS BIGINT) AS checksum
         |FROM t ORDER BY doc_id""".stripMargin,
     // duration_ms: dataLen*1000/byteRate collapses to nSamples*1000/rate
     // exactly (floor of equal rationals), so DuckDB can replay it

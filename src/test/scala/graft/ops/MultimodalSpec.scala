@@ -186,11 +186,11 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("64 MiB"))
   }
 
-  test("png_pixel_stats expression: value-level stats + NULL for non-PNG") {
+  test("image_pixel_stats expression: value-level stats + NULL for non-image") {
     import spark.implicits._
     val df = Seq((1L, 0, 9, 7), (2L, 2, 8, 6), (3L, 4, 5, 5), (4L, 6, 4, 8))
       .toDF("seed", "ct", "w", "h")
-      .select(col("seed"), ImageCodec.png_pixel_stats(
+      .select(col("seed"), ImageCodec.image_pixel_stats(
         ImageCodec.png_pixel_fixture(col("ct"), col("w"), col("h"),
           col("seed"))).as("st"))
       .select(col("seed"), col("st.n_bytes"), col("st.pix_mean"), col("st.checksum"))
@@ -204,10 +204,79 @@ class MultimodalSpec extends AnyFunSuite {
       val checksum = (0 until n).map(i => i.toLong * vals(i).toLong).sum
       assert(r.getLong(3) === checksum)
     }
-    // non-PNG payload -> NULL struct
+    // unsupported payload -> NULL struct
     val nulls = Seq("plain text").toDF("t")
-      .select(ImageCodec.png_pixel_stats(col("t").cast("binary")).as("st"))
+      .select(ImageCodec.image_pixel_stats(col("t").cast("binary")).as("st"))
       .collect()
     assert(nulls(0).isNullAt(0))
+  }
+
+  test("GIF pixel decode round-trips, incl. dictionary resets past 250 codes") {
+    // width*height > 250 exercises the encoder's periodic CLEAR and the
+    // decoder's dictionary-reset path; palette is grayscale identity so
+    // decoded RGB = pattern value tripled
+    for ((w, h, seed) <- Seq((20, 15, 3L), (9, 8, 77L), (31, 17, 123L))) {
+      val gif = ImageCodec.gifPixelBytes(w, h, seed)
+      val p = ImageCodec.decodePixels(gif).getOrElse(fail(s"decode failed ${w}x$h"))
+      assert((p.width, p.height, p.channels) === (w, h, 3))
+      assert(p.data.length === w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val v = ((i * 31L + seed) & 0xFF).toInt
+        assert((p.data(3 * i) & 0xFF) === v)
+        assert((p.data(3 * i + 1) & 0xFF) === v)
+        assert((p.data(3 * i + 2) & 0xFF) === v)
+        i += 1
+      }
+    }
+  }
+
+  test("GIF LZW decoder handles the KwKwK case and rejects malformed streams") {
+    // hand-built stream, minCodeSize=2: CLEAR(4), 1, 6(=next: KwKwK ->
+    // expands to prev+first(prev) = [1,1]), EOI(5) -> pixels [1,1,1]
+    def packLsb(codes: Seq[Int], codeSize: Int): Array[Byte] = {
+      var acc = 0L; var n = 0
+      val out = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        acc |= (c.toLong & ((1L << codeSize) - 1)) << n
+        n += codeSize
+        while (n >= 8) { out.write((acc & 0xFF).toInt); acc >>= 8; n -= 8 }
+      }
+      if (n > 0) out.write((acc & 0xFF).toInt)
+      out.toByteArray
+    }
+    val lzw = packLsb(Seq(4, 1, 6, 5), 3)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(3); out.write(0) // width 3
+    out.write(1); out.write(0) // height 1
+    out.write(0x80) // GCT present, 2 entries... (size bits 0 -> 2 entries)
+    out.write(0); out.write(0)
+    // 2-entry GCT is too small for index 1? entries = 2 << 0 = 2 -> indices 0,1 ok
+    out.write(0); out.write(0); out.write(0)       // palette[0] = black
+    out.write(9); out.write(9); out.write(9)       // palette[1] = 9,9,9
+    out.write(0x2C)
+    (0 until 4).foreach(_ => { out.write(0) }); out.write(3); out.write(0)
+    out.write(1); out.write(0); out.write(0) // 3x1, no LCT
+    out.write(2) // LZW min code size
+    out.write(lzw.length); out.write(lzw, 0, lzw.length); out.write(0)
+    out.write(0x3B)
+    val p = ImageCodec.decodePixelsGif(out.toByteArray)
+      .getOrElse(fail("KwKwK stream failed to decode"))
+    assert(p.data.toSeq === Seq[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9))
+    // malformed: truncated LZW data must be None, not a hang/throw
+    assert(ImageCodec.decodePixelsGif(out.toByteArray.dropRight(6)).isEmpty)
+    // index out of palette range -> None (stream of index 2 against a
+    // 2-entry palette)
+    val lzwBad = packLsb(Seq(4, 2, 2, 2, 5), 3)
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(out.toByteArray, 0, 6 + 7 + 6) // header + LSD + GCT
+    bad.write(0x2C)
+    (0 until 4).foreach(_ => bad.write(0)); bad.write(3); bad.write(0)
+    bad.write(1); bad.write(0); bad.write(0)
+    bad.write(2)
+    bad.write(lzwBad.length); bad.write(lzwBad, 0, lzwBad.length); bad.write(0)
+    bad.write(0x3B)
+    assert(ImageCodec.decodePixelsGif(bad.toByteArray).isEmpty)
   }
 }
