@@ -97,6 +97,54 @@ object AudioCodec {
     else Some(Meta("flac", rate, ch, bps, totalSamples * 1000L / rate))
   }
 
+  // ----------------------------------------------------- sample decode
+
+  /** Fully decoded PCM samples: interleaved signed 16-bit values. */
+  final case class Samples(sampleRate: Int, channels: Int,
+      values: Array[Int])
+
+  /** REAL WAV sample decode: the data chunk of a 16-bit PCM WAV is raw
+    * interleaved little-endian int16 — no entropy coding, so the
+    * sample layer needs nothing beyond the chunk walk the header
+    * decode already does. Non-PCM formats, other bit depths, and any
+    * truncated/malformed chunk layout yield None (FLAC stays
+    * header-only: its frames are rice-coded). A 64 MiB cap bounds
+    * allocation against crafted declared sizes. */
+  def decodeSamples(b: Array[Byte]): Option[Samples] = {
+    if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+      return None
+    var pos = 12
+    var rate = -1; var ch = -1; var bps = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= b.length) {
+      val id = ascii(b, pos, 4)
+      val size = le32(b, pos + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && pos + 8 + 16 <= b.length) {
+        if (le16(b, pos + 8) != 1) return None // PCM only
+        ch = le16(b, pos + 10)
+        rate = le32(b, pos + 12)
+        bps = le16(b, pos + 22)
+      } else if (id == "data") {
+        if (size > (64L << 20) || pos + 8 + size > b.length) return None
+        dataOff = pos + 8
+        dataLen = size.toInt
+      }
+      val next = pos.toLong + 8L + size + (size & 1L)
+      pos = if (next > b.length) b.length else next.toInt
+    }
+    if (rate <= 0 || ch <= 0 || bps != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    val vals = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val lo = b(dataOff + 2 * i) & 0xFF
+      val hi = b(dataOff + 2 * i + 1)
+      vals(i) = (hi << 8) | lo // sign from the high byte
+      i += 1
+    }
+    Some(Samples(rate, ch, vals))
+  }
+
   // ------------------------------------------------------------ encode
 
   /** Minimal valid PCM WAV: RIFF/WAVE + fmt + data header with
@@ -120,6 +168,40 @@ object AudioCodec {
     w16(blockAlign); w16(bitsPerSample)
     out.write("data".getBytes("US-ASCII")); w32(dataLen)
     out.write(new Array[Byte](dataLen), 0, dataLen)
+    out.toByteArray
+  }
+
+  /** COMPLETE PCM WAV with real sample data: interleaved int16 values
+    * following the deterministic pattern
+    * `v(i) = ((i*31 + seed) mod 65536) - 32768` over the
+    * `nSamples * channels` interleaved positions — full signed range,
+    * oracle-predictable by arithmetic. */
+  def wavPcmBytes(sampleRate: Int, channels: Int, nSamples: Int,
+      seed: Long): Array[Byte] = {
+    val nVals = nSamples * channels
+    require(channels > 0 && nSamples > 0 && nVals.toLong * 2 <= (64L << 20),
+      s"sample fixture $nSamples x$channels exceeds the 64 MiB cap")
+    val blockAlign = channels * 2
+    val dataLen = nVals * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1) // PCM
+    w16(channels); w32(sampleRate); w32(sampleRate * blockAlign)
+    w16(blockAlign); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    var i = 0
+    while (i < nVals) {
+      val v = (((i * 31L + seed) % 65536L).toInt + 65536) % 65536 - 32768
+      w16(v & 0xFFFF)
+      i += 1
+    }
     out.toByteArray
   }
 
@@ -172,6 +254,59 @@ object AudioCodec {
       copy(payload = c(0))
   }
 
+  val sampleStatsSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_vals", LongType),
+    StructField("mean_val", DoubleType),
+    StructField("sum_sq", LongType),
+    StructField("checksum", LongType)))
+
+  /** audio_sample_stats(payload) -> struct(sample_rate, channels,
+    * n_vals, mean_val, sum_sq, checksum) over the FULLY DECODED
+    * interleaved PCM values ([[decodeSamples]]); NULL for anything
+    * that is not well-formed 16-bit PCM WAV. `sum_sq` is the exact
+    * integer energy (no sqrt, so both engines compare exactly);
+    * `checksum` is the position-weighted sum — order-sensitive. */
+  case class AudioSampleStatsExpr(payload: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(payload)
+    override def dataType: DataType = sampleStatsSchema
+    override protected def evalNotNull(a: Array[Any]): Any =
+      decodeSamples(a(0).asInstanceOf[Array[Byte]]) match {
+        case Some(s) =>
+          var sum = 0L
+          var sq = 0L
+          var wsum = 0L
+          var i = 0
+          while (i < s.values.length) {
+            val v = s.values(i)
+            sum += v
+            sq += v.toLong * v
+            wsum += i.toLong * v
+            i += 1
+          }
+          val mean =
+            if (s.values.isEmpty) 0.0 else sum.toDouble / s.values.length
+          new GenericInternalRow(Array[Any](
+            s.sampleRate, s.channels, s.values.length.toLong, mean, sq, wsum))
+        case None => null
+      }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(payload = c(0))
+  }
+
+  /** wav_pcm_fixture(rate, channels, n_samples, seed) -> complete PCM
+    * WAV bytes with the deterministic pattern of [[wavPcmBytes]]. */
+  case class WavPcmFixtureExpr(rate: Expression, channels: Expression,
+      nSamples: Expression, seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(rate, channels, nSamples, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      wavPcmBytes(int(a(0)), int(a(1)), int(a(2)), ImageCodec.seedLong(a(3)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(rate = c(0), channels = c(1), nSamples = c(2), seed = c(3))
+  }
+
   /** audio_fixture(format, sample_rate, n_samples) -> minimal valid
     * header bytes; format 'wav' | 'wav_stereo' | 'flac'. */
   case class AudioFixtureExpr(format: Expression, rate: Expression,
@@ -190,6 +325,14 @@ object AudioCodec {
   }
 
   def audio_meta(payload: Column): Column = toCol(AudioMetaExpr(toExpr(payload)))
+
+  def audio_sample_stats(payload: Column): Column =
+    toCol(AudioSampleStatsExpr(toExpr(payload)))
+
+  def wav_pcm_fixture(rate: Column, channels: Column, nSamples: Column,
+      seed: Column): Column =
+    toCol(WavPcmFixtureExpr(toExpr(rate), toExpr(channels), toExpr(nSamples),
+      toExpr(seed)))
 
   def audio_fixture(format: Column, rate: Column, nSamples: Column): Column =
     toCol(AudioFixtureExpr(toExpr(format), toExpr(rate), toExpr(nSamples)))

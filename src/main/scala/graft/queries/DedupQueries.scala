@@ -190,6 +190,29 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // WAV sample decode end-to-end: 16-bit PCM data is raw interleaved
+    // little-endian int16, so the sample layer is fully decodable
+    // in-JVM. The fixture writes a full-range deterministic pattern;
+    // the stats (mean, exact integer energy, position-weighted
+    // checksum) are recomputed by DuckDB arithmetic — any byte-order,
+    // sign-extension or interleave bug breaks the hash-match.
+    "q115_wav_samples" -> ((s, dir) => {
+      val rate = lit(8000) + ((col("doc_id") % 8) * 1000).cast("int")
+      val chn = (lit(1) + col("doc_id") % 2).cast("int")
+      val nSamp = (lit(200) + (col("doc_id") * 7) % 300).cast("int")
+      docs(s, dir)
+        .withColumn("st", AudioCodec.audio_sample_stats(
+          AudioCodec.wav_pcm_fixture(rate, chn, nSamp, col("doc_id"))))
+        .select(col("doc_id"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"),
+          col("st.n_vals").as("n_vals"),
+          col("st.mean_val").as("mean_val"),
+          col("st.sum_sq").as("sum_sq"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -291,6 +314,28 @@ object DedupQueries {
         |    / (w * h) AS pix_mean,
         |  CAST((SELECT sum((9 * i + 3) * ((i * 31 + doc_id) % 256))
         |        FROM range(1024) r(i) WHERE i < w * h) AS BIGINT) AS checksum
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // Decoded PCM value v(i) = ((i*31 + doc_id) mod 65536) - 32768 over
+    // n_samples * channels interleaved positions; all three stats are
+    // exact integer arithmetic (the mean divides two exact integers).
+    "q115_wav_samples" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 8) * 1000 AS rate,
+        |         1 + doc_id % 2 AS chn,
+        |         (200 + (doc_id * 7) % 300) * (1 + doc_id % 2) AS nv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(chn AS INTEGER) AS channels,
+        |  CAST(nv AS BIGINT) AS n_vals,
+        |  CAST((SELECT sum((i * 31 + doc_id) % 65536 - 32768)
+        |        FROM range(1024) r(i) WHERE i < nv) AS DOUBLE) / nv AS mean_val,
+        |  CAST((SELECT sum(((i * 31 + doc_id) % 65536 - 32768)
+        |                 * ((i * 31 + doc_id) % 65536 - 32768))
+        |        FROM range(1024) r(i) WHERE i < nv) AS BIGINT) AS sum_sq,
+        |  CAST((SELECT sum(i * ((i * 31 + doc_id) % 65536 - 32768))
+        |        FROM range(1024) r(i) WHERE i < nv) AS BIGINT) AS checksum
         |FROM t ORDER BY doc_id""".stripMargin,
     // duration_ms: dataLen*1000/byteRate collapses to nSamples*1000/rate
     // exactly (floor of equal rationals), so DuckDB can replay it

@@ -113,4 +113,38 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(r(1).toSeq === Seq("wav", 16000, 2, 500L))
     assert(r(2).toSeq === Seq("flac", 44100, 2, 1000L))
   }
+
+  test("PCM sample decode round-trips the full signed range") {
+    // n=1500 pushes i*31 past 32768, so the pattern covers both signs
+    for ((ch, n, seed) <- Seq((1, 1500, 5L), (2, 123, 99L))) {
+      val wav = AudioCodec.wavPcmBytes(16000, ch, n, seed)
+      val s = AudioCodec.decodeSamples(wav).getOrElse(fail("decode failed"))
+      assert((s.sampleRate, s.channels, s.values.length) === (16000, ch, n * ch))
+      var i = 0
+      while (i < s.values.length) {
+        val expect = (((i * 31L + seed) % 65536L).toInt + 65536) % 65536 - 32768
+        assert(s.values(i) === expect, s"value $i (ch=$ch)")
+        i += 1
+      }
+      // sign coverage on the long fixture: both signs decoded correctly
+      if (n * ch > 1100)
+        assert(s.values.exists(_ < 0) && s.values.exists(_ > 0))
+    }
+  }
+
+  test("sample decode rejects non-PCM, wrong depth and truncated data") {
+    val good = AudioCodec.wavPcmBytes(8000, 1, 50, 1L)
+    assert(AudioCodec.decodeSamples(good).isDefined)
+    // zeroed-data header-only fixture still decodes (all-zero samples)
+    val zeros = AudioCodec.wavBytes(8000, 1, 16, 10)
+    assert(AudioCodec.decodeSamples(zeros).exists(_.values.forall(_ == 0)))
+    // truncated data chunk -> None
+    assert(AudioCodec.decodeSamples(good.take(good.length - 7)).isEmpty)
+    // 8-bit depth unsupported -> None
+    assert(AudioCodec.decodeSamples(AudioCodec.wavBytes(8000, 1, 8, 10)).isEmpty)
+    // FLAC payload -> None (header-only format)
+    assert(AudioCodec.decodeSamples(
+      AudioCodec.flacBytes(44100, 2, 16, 1000L)).isEmpty)
+    assert(AudioCodec.decodeSamples("not audio".getBytes).isEmpty)
+  }
 }
