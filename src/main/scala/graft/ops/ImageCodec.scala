@@ -448,6 +448,74 @@ object ImageCodec {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------- resample
+
+  /** Nearest-neighbor resample (floor mapping: source index =
+    * `out * src div out_dim` — integer arithmetic end-to-end, so an
+    * oracle can replay every output byte). */
+  def resizeNearest(p: Pixels, outW: Int, outH: Int): Pixels = {
+    require(outW > 0 && outH > 0 &&
+      outW.toLong * outH * p.channels <= (64L << 20),
+      s"resize target ${outW}x$outH exceeds the 64 MiB cap")
+    val ch = p.channels
+    val out = new Array[Byte](outW * outH * ch)
+    var y = 0
+    while (y < outH) {
+      val srcY = ((y.toLong * p.height) / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val srcX = ((x.toLong * p.width) / outW).toInt
+        val src = (srcY * p.width + srcX) * ch
+        val dst = (y * outW + x) * ch
+        var c = 0
+        while (c < ch) { out(dst + c) = p.data(src + c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(outW, outH, ch, out)
+  }
+
+  /** Encode decoded pixels back to a complete valid PNG (filter 0 on
+    * every scanline — simplest spec-conformant choice; channels map to
+    * color types 0/4/2/6). The inverse closes the decode->transform->
+    * encode loop, making image RESIZE a real operation instead of a
+    * byte-truncation stub. */
+  def pngEncode(p: Pixels): Array[Byte] = {
+    val colorType = p.channels match {
+      case 1 => 0
+      case 2 => 4
+      case 3 => 2
+      case 4 => 6
+      case n => throw new IllegalArgumentException(s"unsupported channels $n")
+    }
+    val stride = p.width * p.channels
+    val raw = new Array[Byte]((stride + 1) * p.height)
+    var y = 0
+    while (y < p.height) {
+      // filter byte 0 already zeroed
+      System.arraycopy(p.data, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val compressed = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw)
+      defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) {
+        val n = defl.deflate(buf)
+        compressed.write(buf, 0, n)
+      }
+    } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    writePngChunk(out, "IHDR", ihdrBytes(p.width, p.height, colorType))
+    writePngChunk(out, "IDAT", compressed.toByteArray)
+    writePngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------ encode
 
   private def writePngChunk(out: java.io.ByteArrayOutputStream,
@@ -680,6 +748,24 @@ object ImageCodec {
     case b: java.lang.Byte => b.longValue
   }
 
+  /** image_resize_png(payload, out_w, out_h) -> complete PNG bytes:
+    * decode any supported container (PNG/GIF), nearest-neighbor
+    * resample to the target dimensions, re-encode as PNG. NULL for
+    * undecodable payloads or out-of-cap targets — the REAL resize that
+    * replaces the byte-truncation stub. */
+  case class ImageResizePngExpr(payload: Expression, outW: Expression,
+      outH: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(payload, outW, outH)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      decodePixels(a(0).asInstanceOf[Array[Byte]]) match {
+        case Some(p) => pngEncode(resizeNearest(p, int(a(1)), int(a(2))))
+        case None => null
+      }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(payload = c(0), outW = c(1), outH = c(2))
+  }
+
   /** gif_pixel_fixture(width, height, seed) -> complete GIF89a bytes
     * with the deterministic palette-index pattern of
     * [[gifPixelBytes]]. */
@@ -703,6 +789,9 @@ object ImageCodec {
 
   def gif_pixel_fixture(width: Column, height: Column, seed: Column): Column =
     toCol(GifPixelFixtureExpr(toExpr(width), toExpr(height), toExpr(seed)))
+
+  def image_resize_png(payload: Column, outW: Column, outH: Column): Column =
+    toCol(ImageResizePngExpr(toExpr(payload), toExpr(outW), toExpr(outH)))
 
   def png_pixel_fixture(colorType: Column, width: Column, height: Column,
       seed: Column): Column =

@@ -77,8 +77,15 @@ object Multimodal {
           greatest(frameLen, lit(1)))).as("frame_digest")))
   }
 
-  /** STUB resize: byte-range truncation standing in for a pixel
-    * resample; preserves the binary-in/binary-out contract. */
+  /** REAL resize for decodable payloads (PNG/GIF in, PNG out): full
+    * decode -> nearest-neighbor resample -> re-encode; NULL when the
+    * payload isn't decodable. */
+  def resizePng(payload: Column, outW: Column, outH: Column): Column =
+    ImageCodec.image_resize_png(payload, outW, outH)
+
+  /** STUB resize for formats without an in-JVM pixel decoder (JPEG):
+    * byte-range truncation preserving the binary-in/binary-out
+    * contract. Decodable formats use [[resizePng]] instead. */
   def resizeStub(payload: Column, maxBytes: Int): Column =
     substring(payload, 1, maxBytes)
 

@@ -213,6 +213,31 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL image resize end-to-end: decode the patterned PNG fixture,
+    // nearest-neighbor resample to ~half size (floor mapping — pure
+    // integer arithmetic), re-encode as PNG, decode AGAIN and emit the
+    // pixel stats. The oracle replays the whole resample by arithmetic,
+    // so this pins decode -> transform -> encode -> decode in one hash.
+    "q116_image_resize" -> ((s, dir) => {
+      val w = lit(8) + (col("doc_id") % 13).cast("int")
+      val h = lit(8) + ((col("doc_id") * 3) % 11).cast("int")
+      val w2 = ((w + 1) / 2).cast("int")
+      val h2 = ((h + 1) / 2).cast("int")
+      docs(s, dir)
+        .withColumn("st", ImageCodec.image_pixel_stats(
+          ImageCodec.image_resize_png(
+            ImageCodec.png_pixel_fixture(lit(2), w, h, col("doc_id")),
+            w2, h2)))
+        .select(col("doc_id"),
+          col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_bytes").as("n_bytes"),
+          col("st.pix_mean").as("pix_mean"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -315,6 +340,38 @@ object DedupQueries {
         |  CAST((SELECT sum((9 * i + 3) * ((i * 31 + doc_id) % 256))
         |        FROM range(1024) r(i) WHERE i < w * h) AS BIGINT) AS checksum
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Nearest-neighbor floor mapping replayed in SQL: output position
+    // p decomposes to (px, py, c); its source byte index is
+    // ((py*h)//h2 * w + (px*w)//w2) * 3 + c over the fixture pattern.
+    "q116_image_resize" -> {
+      // build the per-position value expression programmatically so
+      // the nesting stays balanced: src byte index of output position
+      // p, then the fixture pattern value at that index
+      val py = "(p // 3) // w2"
+      val px = "(p // 3) % w2"
+      val srcY = s"((($py)) * h) // h2"
+      val srcX = s"((($px)) * w) // w2"
+      val src = s"((($srcY) * w + ($srcX)) * 3 + (p % 3))"
+      val v = s"((($src) * 31 + doc_id) % 256)"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         8 + doc_id % 13 AS w,
+         |         8 + (doc_id * 3) % 11 AS h,
+         |         (8 + doc_id % 13 + 1) // 2 AS w2,
+         |         (8 + (doc_id * 3) % 11 + 1) // 2 AS h2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(w2 AS INTEGER) AS width,
+         |  CAST(h2 AS INTEGER) AS height,
+         |  CAST(3 AS INTEGER) AS channels,
+         |  CAST(w2 * h2 * 3 AS BIGINT) AS n_bytes,
+         |  CAST((SELECT sum($v)
+         |        FROM range(512) r(p) WHERE p < w2 * h2 * 3) AS DOUBLE)
+         |    / (w2 * h2 * 3) AS pix_mean,
+         |  CAST((SELECT sum(p * $v)
+         |        FROM range(512) r(p) WHERE p < w2 * h2 * 3) AS BIGINT) AS checksum
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     // Decoded PCM value v(i) = ((i*31 + doc_id) mod 65536) - 32768 over
     // n_samples * channels interleaved positions; all three stats are
     // exact integer arithmetic (the mean divides two exact integers).

@@ -231,6 +231,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pngEncode/resizeNearest: decode->resample->encode->decode closes") {
+    for (ct <- Seq(0, 2, 6)) {
+      val src = ImageCodec.decodePixels(
+        ImageCodec.pngPixelBytes(12, 10, ct, 9L)).get
+      val half = ImageCodec.resizeNearest(src, 6, 5)
+      val back = ImageCodec.decodePixels(ImageCodec.pngEncode(half)).getOrElse(
+        fail(s"re-encoded PNG failed to decode (colorType $ct)"))
+      assert((back.width, back.height, back.channels) === (6, 5, src.channels))
+      // every output byte is the floor-mapped source byte
+      var y = 0
+      while (y < 5) {
+        var x = 0
+        while (x < 6) {
+          val sy = y * 10 / 5; val sx = x * 12 / 6
+          var c = 0
+          while (c < src.channels) {
+            assert(back.data((y * 6 + x) * src.channels + c) ===
+              src.data((sy * 12 + sx) * src.channels + c))
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // GIF input resizes too (decode dispatches by container)
+    val gif = ImageCodec.gifPixelBytes(10, 8, 4L)
+    val viaExpr = ImageCodec.decodePixels(gif).map(p =>
+      ImageCodec.resizeNearest(p, 5, 4))
+    assert(viaExpr.exists(p => p.width == 5 && p.height == 4 && p.channels == 3))
+    // upscale is legal (nearest repeats pixels)
+    val up = ImageCodec.resizeNearest(ImageCodec.decodePixels(gif).get, 20, 16)
+    assert(up.data.length === 20 * 16 * 3)
+  }
+
   test("GIF LZW decoder handles the KwKwK case and rejects malformed streams") {
     // hand-built stream, minCodeSize=2: CLEAR(4), 1, 6(=next: KwKwK ->
     // expands to prev+first(prev) = [1,1]), EOI(5) -> pixels [1,1,1]
