@@ -748,6 +748,49 @@ object ImageCodec {
     case b: java.lang.Byte => b.longValue
   }
 
+  val channelStatsSchema: StructType = StructType(Seq(
+    StructField("channel", IntegerType),
+    StructField("mean_val", DoubleType),
+    StructField("sum_sq", LongType)))
+
+  /** image_channel_stats(payload) -> array<struct(channel, mean_val,
+    * sum_sq)> over the fully decoded pixels — REAL per-channel feature
+    * extraction for decodable containers (PNG/GIF): the mean/energy
+    * pair per channel is the canonical cheap image descriptor. Exact
+    * integer energy (no sqrt) keeps engine/oracle comparison exact;
+    * NULL for undecodable payloads. */
+  case class ImageChannelStatsExpr(payload: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(payload)
+    override def dataType: DataType = ArrayType(channelStatsSchema)
+    override protected def evalNotNull(a: Array[Any]): Any =
+      decodePixels(a(0).asInstanceOf[Array[Byte]]) match {
+        case Some(p) =>
+          val ch = p.channels
+          val sums = new Array[Long](ch)
+          val sqs = new Array[Long](ch)
+          var i = 0
+          while (i < p.data.length) {
+            val v = p.data(i) & 0xFF
+            val c = i % ch
+            sums(c) += v
+            sqs(c) += v.toLong * v
+            i += 1
+          }
+          val nPerCh = p.width.toLong * p.height
+          val rows = new Array[Any](ch)
+          var c = 0
+          while (c < ch) {
+            val mean = if (nPerCh == 0) 0.0 else sums(c).toDouble / nPerCh
+            rows(c) = new GenericInternalRow(Array[Any](c, mean, sqs(c)))
+            c += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+        case None => null
+      }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(payload = c(0))
+  }
+
   /** image_resize_png(payload, out_w, out_h) -> complete PNG bytes:
     * decode any supported container (PNG/GIF), nearest-neighbor
     * resample to the target dimensions, re-encode as PNG. NULL for
@@ -792,6 +835,9 @@ object ImageCodec {
 
   def image_resize_png(payload: Column, outW: Column, outH: Column): Column =
     toCol(ImageResizePngExpr(toExpr(payload), toExpr(outW), toExpr(outH)))
+
+  def image_channel_stats(payload: Column): Column =
+    toCol(ImageChannelStatsExpr(toExpr(payload)))
 
   def png_pixel_fixture(colorType: Column, width: Column, height: Column,
       seed: Column): Column =

@@ -77,6 +77,12 @@ object Multimodal {
           greatest(frameLen, lit(1)))).as("frame_digest")))
   }
 
+  /** REAL per-channel feature extraction for decodable payloads
+    * (PNG/GIF): (channel, mean, exact energy) per channel from the
+    * fully decoded pixels; NULL when undecodable. */
+  def channelFeatures(payload: Column): Column =
+    ImageCodec.image_channel_stats(payload)
+
   /** REAL resize for decodable payloads (PNG/GIF in, PNG out): full
     * decode -> nearest-neighbor resample -> re-encode; NULL when the
     * payload isn't decodable. */

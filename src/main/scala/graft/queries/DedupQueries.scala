@@ -238,6 +238,28 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL per-channel feature extraction: decode the patterned image
+    // and emit (channel, mean, exact energy) per channel — the cheap
+    // image descriptor a multimodal pipeline stores alongside the
+    // payload. One output row per (doc, channel); channels vary 1/2/3/4
+    // with the color-type cycle, all replayed by DuckDB arithmetic.
+    "q117_pixel_features" -> ((s, dir) => {
+      val ctype = when(col("doc_id") % 4 === 0, 0)
+        .when(col("doc_id") % 4 === 1, 2)
+        .when(col("doc_id") % 4 === 2, 4)
+        .otherwise(6)
+      val w = lit(8) + (col("doc_id") % 24).cast("int")
+      val h = lit(8) + ((col("doc_id") * 3) % 16).cast("int")
+      docs(s, dir)
+        .withColumn("cs", explode(ImageCodec.image_channel_stats(
+          ImageCodec.png_pixel_fixture(ctype, w, h, col("doc_id")))))
+        .select(col("doc_id"),
+          col("cs.channel").as("channel"),
+          col("cs.mean_val").as("mean_val"),
+          col("cs.sum_sq").as("sum_sq"))
+        .orderBy("doc_id", "channel")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -372,6 +394,25 @@ object DedupQueries {
          |        FROM range(512) r(p) WHERE p < w2 * h2 * 3) AS BIGINT) AS checksum
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    // Per-channel slices of the fixture pattern: channel c owns the
+    // positions p with p mod ch = c.
+    "q117_pixel_features" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         8 + doc_id % 24 AS w,
+        |         8 + (doc_id * 3) % 16 AS h,
+        |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+        |                         WHEN 2 THEN 2 ELSE 4 END AS ch
+        |  FROM documents),
+        |e AS (SELECT doc_id, w, h, ch, c FROM t, range(4) r(c) WHERE c < ch)
+        |SELECT doc_id,
+        |  CAST(c AS INTEGER) AS channel,
+        |  CAST((SELECT sum((p * 31 + doc_id) % 256)
+        |        FROM range(4096) r2(p) WHERE p < w * h * ch AND p % ch = c) AS DOUBLE)
+        |    / (w * h) AS mean_val,
+        |  CAST((SELECT sum(((p * 31 + doc_id) % 256) * ((p * 31 + doc_id) % 256))
+        |        FROM range(4096) r2(p) WHERE p < w * h * ch AND p % ch = c) AS BIGINT) AS sum_sq
+        |FROM e ORDER BY doc_id, channel""".stripMargin,
     // Decoded PCM value v(i) = ((i*31 + doc_id) mod 65536) - 32768 over
     // n_samples * channels interleaved positions; all three stats are
     // exact integer arithmetic (the mean divides two exact integers).
