@@ -84,6 +84,35 @@ object TrainingOps {
         expr(s"(cum_tokens - $nTokensCol) div ${capacity}L").cast("long"))
   }
 
+  /** Overlapping token-window chunking: split each document into
+    * windows of `chunkSize` tokens advancing by `stride` (< chunkSize
+    * gives overlap) — the splitter that turns long documents into
+    * training/RAG rows. A doc with n tokens yields
+    * `1 + max(0, ceil((n - chunkSize) / stride))` chunks (the last one
+    * may be short; every token lands in at least one chunk).
+    *
+    * Shape: pure per-row explode with bounded fan-out (n/stride), all
+    * codegen'd built-ins (sequence/slice are not lambda HOFs) — no
+    * shuffle at all. Chunk count math is integer arithmetic end-to-end
+    * so the layout replays exactly in SQL. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    docs
+      .select(col(idCol), TextDedup.tokensOf(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(lit(0L),
+          expr(s"(n_tokens - ${chunkSize}L + ${stride}L - 1L) div ${stride}L")))))
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
+  }
+
   /** Intra-document repetition ratio: the fraction of a document's
     * word bigrams taken by its single most frequent bigram — the
     * boilerplate/spam signal used for repetition-based quality

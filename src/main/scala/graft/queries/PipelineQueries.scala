@@ -99,6 +99,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Overlapping token-window chunking (ops/TrainingOps.chunkTokens):
+    // 64-token windows, 48-token stride — one training/RAG row per
+    // window, chunk content pinned by md5.
+    "q118_chunk_tokens" -> ((s, dir) => {
+      graft.ops.TrainingOps.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // CUBE over (lang, source): the full coverage matrix incl. margins.
     "q82_cube" -> ((s, dir) => {
       docs(s, dir)
@@ -262,6 +271,21 @@ object PipelineQueries {
         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         |FROM corpus c JOIN bench b USING (gram)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q118_chunk_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM tok
+        |), x AS (
+        |  SELECT doc_id, t, n_tokens, i AS chunk_idx
+        |  FROM c, range(64) r(i)
+        |  WHERE i <= greatest(0, (n_tokens - 64 + 48 - 1) // 48)
+        |)
+        |SELECT doc_id, chunk_idx, n_tokens,
+        |  CAST(len(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "q112_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,

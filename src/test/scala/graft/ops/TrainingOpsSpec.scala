@@ -52,6 +52,35 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("chunkTokens: overlap layout, short docs, full coverage") {
+    import spark.implicits._
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text10), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TrainingOps.chunkTokens(d, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: 10 tokens -> chunks at 0,3,6 cover [1-4],[4-7],[7-10] ->
+    // 1 + ceil((10-4)/3) = 3 chunks, all full size
+    val doc1 = got.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(doc1.map(_.getLong(3)).toSeq === Seq(4L, 4L, 4L))
+    // every token of doc 1 is covered by at least one chunk
+    val covered = doc1.flatMap { r =>
+      val s = r.getLong(1).toInt * 3
+      (s until math.min(s + 4, 10))
+    }.toSet
+    assert(covered === (0 until 10).toSet)
+    // doc 2: 3 tokens < chunkSize -> exactly one (short) chunk
+    val doc2 = got.filter(_.getLong(0) == 2L)
+    assert(doc2.length === 1 && doc2(0).getLong(3) === 3L)
+    // doc 3: single token -> one chunk of one token
+    assert(got.count(_.getLong(0) == 3L) === 1)
+    // invalid parameters rejected
+    assert(intercept[IllegalArgumentException] {
+      TrainingOps.chunkTokens(d, "doc_id", "text", 4, 5)
+    }.getMessage.contains("stride"))
+  }
+
   test("repetitionRatio: 1.0 for pure repetition, low for diverse text") {
     import spark.implicits._
     val d = Seq(
