@@ -102,6 +102,12 @@ abstract class GeoExpr extends Expression {
     case i: java.lang.Integer => i
     case l: java.lang.Long => l.toInt
   }
+  protected final def lng(a: Any): Long = a match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.longValue
+    case s: java.lang.Short => s.longValue
+    case b: java.lang.Byte => b.longValue
+  }
   protected final def utf8(s: String): UTF8String = UTF8String.fromString(s)
   protected final def strArray(xs: Array[String]): ArrayData =
     new GenericArrayData(xs.map(utf8(_).asInstanceOf[Any]))

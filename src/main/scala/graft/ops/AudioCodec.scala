@@ -9,13 +9,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.GeoExpr
 
-/** Pure-JVM audio HEADER codec, the audio sibling of [[ImageCodec]]:
-  * sample rate / channels / bit depth / duration from the published
-  * container formats (WAV — RIFF/WAVE `fmt ` + `data` chunks, original
+/** Pure-JVM audio codec, the audio sibling of [[ImageCodec]]: sample
+  * rate / channels / bit depth / duration from the published container
+  * formats (WAV — RIFF/WAVE `fmt ` + `data` chunks, original
   * Microsoft/IBM spec; FLAC — STREAMINFO metadata block, flac format
-  * spec §9). No sample decoding — this container ships no audio
-  * libraries — but the METADATA extraction is real byte-layout parsing:
-  * corrupt or foreign payloads yield SQL NULL, never fabricated rates.
+  * spec §9), plus FULL sample decode for 16-bit PCM WAV
+  * ([[decodeSamples]]: the data chunk is raw interleaved LE int16, no
+  * entropy coding). FLAC frames alone stay header-only (rice coding is
+  * a real codec). Corrupt or foreign payloads yield SQL NULL, never
+  * fabricated values.
   *
   * Matching minimal encoders generate valid fixtures with known
   * parameters so oracles can predict every decoded field by arithmetic.
@@ -147,26 +149,37 @@ object AudioCodec {
 
   // ------------------------------------------------------------ encode
 
+  private def w32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+  }
+
+  private def w16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+  }
+
+  /** RIFF/WAVE + fmt header + the data chunk header for `dataLen`
+    * payload bytes — shared by both fixture encoders so the two can't
+    * drift apart. */
+  private def wavHeader(out: java.io.ByteArrayOutputStream, sampleRate: Int,
+      channels: Int, bitsPerSample: Int, dataLen: Int): Unit = {
+    val blockAlign = channels * bitsPerSample / 8
+    out.write("RIFF".getBytes("US-ASCII")); w32(out, 36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(out, 16)
+    w16(out, 1) // PCM
+    w16(out, channels); w32(out, sampleRate); w32(out, sampleRate * blockAlign)
+    w16(out, blockAlign); w16(out, bitsPerSample)
+    out.write("data".getBytes("US-ASCII")); w32(out, dataLen)
+  }
+
   /** Minimal valid PCM WAV: RIFF/WAVE + fmt + data header with
     * `nSamples` zeroed samples (so duration is predictable). */
   def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
       nSamples: Int): Array[Byte] = {
-    val blockAlign = channels * bitsPerSample / 8
-    val byteRate = sampleRate * blockAlign
-    val dataLen = nSamples * blockAlign
+    val dataLen = nSamples * (channels * bitsPerSample / 8)
     val out = new java.io.ByteArrayOutputStream()
-    def w32(v: Int): Unit = {
-      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
-      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
-    }
-    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
-    out.write("WAVE".getBytes("US-ASCII"))
-    out.write("fmt ".getBytes("US-ASCII")); w32(16)
-    w16(1) // PCM
-    w16(channels); w32(sampleRate); w32(byteRate)
-    w16(blockAlign); w16(bitsPerSample)
-    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    wavHeader(out, sampleRate, channels, bitsPerSample, dataLen)
     out.write(new Array[Byte](dataLen), 0, dataLen)
     out.toByteArray
   }
@@ -178,28 +191,19 @@ object AudioCodec {
     * oracle-predictable by arithmetic. */
   def wavPcmBytes(sampleRate: Int, channels: Int, nSamples: Int,
       seed: Long): Array[Byte] = {
-    val nVals = nSamples * channels
-    require(channels > 0 && nSamples > 0 && nVals.toLong * 2 <= (64L << 20),
+    // the product in Long BEFORE any Int use: an Int-wrapped nVals
+    // could slip past the cap and emit a wrong-sized (but well-formed)
+    // fixture instead of rejecting
+    val nValsL = nSamples.toLong * channels
+    require(channels > 0 && nSamples > 0 && nValsL * 2 <= (64L << 20),
       s"sample fixture $nSamples x$channels exceeds the 64 MiB cap")
-    val blockAlign = channels * 2
-    val dataLen = nVals * 2
+    val nVals = nValsL.toInt
     val out = new java.io.ByteArrayOutputStream()
-    def w32(v: Int): Unit = {
-      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
-      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
-    }
-    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
-    out.write("WAVE".getBytes("US-ASCII"))
-    out.write("fmt ".getBytes("US-ASCII")); w32(16)
-    w16(1) // PCM
-    w16(channels); w32(sampleRate); w32(sampleRate * blockAlign)
-    w16(blockAlign); w16(16)
-    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    wavHeader(out, sampleRate, channels, 16, nVals * 2)
     var i = 0
     while (i < nVals) {
       val v = (((i * 31L + seed) % 65536L).toInt + 65536) % 65536 - 32768
-      w16(v & 0xFFFF)
+      w16(out, v & 0xFFFF)
       i += 1
     }
     out.toByteArray
@@ -302,7 +306,7 @@ object AudioCodec {
     override def children: Seq[Expression] = Seq(rate, channels, nSamples, seed)
     override def dataType: DataType = BinaryType
     override protected def evalNotNull(a: Array[Any]): Any =
-      wavPcmBytes(int(a(0)), int(a(1)), int(a(2)), ImageCodec.seedLong(a(3)))
+      wavPcmBytes(int(a(0)), int(a(1)), int(a(2)), lng(a(3)))
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(rate = c(0), channels = c(1), nSamples = c(2), seed = c(3))
   }

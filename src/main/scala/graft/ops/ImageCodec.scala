@@ -497,10 +497,19 @@ object ImageCodec {
       System.arraycopy(p.data, y * stride, raw, y * (stride + 1) + 1, stride)
       y += 1
     }
+    assemblePng(p.width, p.height, colorType, raw)
+  }
+
+  // ------------------------------------------------------------ encode
+
+  /** Deflate the filtered scanlines and wrap them in signature + IHDR
+    * + IDAT + IEND — the one assembly path both PNG encoders share. */
+  private def assemblePng(width: Int, height: Int, colorType: Int,
+      filteredScanlines: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     val compressed = new java.io.ByteArrayOutputStream()
     try {
-      defl.setInput(raw)
+      defl.setInput(filteredScanlines)
       defl.finish()
       val buf = new Array[Byte](8192)
       while (!defl.finished()) {
@@ -510,13 +519,11 @@ object ImageCodec {
     } finally defl.end()
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig, 0, 8)
-    writePngChunk(out, "IHDR", ihdrBytes(p.width, p.height, colorType))
+    writePngChunk(out, "IHDR", ihdrBytes(width, height, colorType))
     writePngChunk(out, "IDAT", compressed.toByteArray)
     writePngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
-
-  // ------------------------------------------------------------ encode
 
   private def writePngChunk(out: java.io.ByteArrayOutputStream,
       ctype: String, data: Array[Byte]): Unit = {
@@ -597,23 +604,7 @@ object ImageCodec {
       }
       y += 1
     }
-    val defl = new java.util.zip.Deflater()
-    val compressed = new java.io.ByteArrayOutputStream()
-    try {
-      defl.setInput(raw)
-      defl.finish()
-      val buf = new Array[Byte](8192)
-      while (!defl.finished()) {
-        val n = defl.deflate(buf)
-        compressed.write(buf, 0, n)
-      }
-    } finally defl.end()
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(PngSig, 0, 8)
-    writePngChunk(out, "IHDR", ihdrBytes(width, height, colorType))
-    writePngChunk(out, "IDAT", compressed.toByteArray)
-    writePngChunk(out, "IEND", Array.emptyByteArray)
-    out.toByteArray
+    assemblePng(width, height, colorType, raw)
   }
 
   /** Minimal VALID PNG: signature + CRC-correct IHDR + IEND (no image
@@ -736,16 +727,9 @@ object ImageCodec {
     override def children: Seq[Expression] = Seq(colorType, wpx, hpx, seed)
     override def dataType: DataType = BinaryType
     override protected def evalNotNull(a: Array[Any]): Any =
-      pngPixelBytes(int(a(1)), int(a(2)), int(a(0)), seedLong(a(3)))
+      pngPixelBytes(int(a(1)), int(a(2)), int(a(0)), lng(a(3)))
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(colorType = c(0), wpx = c(1), hpx = c(2), seed = c(3))
-  }
-
-  private[ops] def seedLong(a: Any): Long = a match {
-    case l: java.lang.Long => l.longValue
-    case i: java.lang.Integer => i.longValue
-    case sh: java.lang.Short => sh.longValue
-    case b: java.lang.Byte => b.longValue
   }
 
   val channelStatsSchema: StructType = StructType(Seq(
@@ -817,7 +801,7 @@ object ImageCodec {
     override def children: Seq[Expression] = Seq(wpx, hpx, seed)
     override def dataType: DataType = BinaryType
     override protected def evalNotNull(a: Array[Any]): Any =
-      gifPixelBytes(int(a(0)), int(a(1)), seedLong(a(2)))
+      gifPixelBytes(int(a(0)), int(a(1)), lng(a(2)))
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(wpx = c(0), hpx = c(1), seed = c(2))
   }

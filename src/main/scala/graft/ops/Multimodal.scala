@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   *
   * What's REAL vs STUBBED: container metadata extraction is real —
   * [[ImageCodec.image_meta]] parses actual PNG/JPEG/GIF byte layouts
-  * (published specs, no native codec needed) for width/height/channels
-  * — and PNG pixel decode is real too ([[ImageCodec.decodePixels]]:
-  * IDAT inflate through the JDK's zlib + all five scanline filter
-  * inversions; [[pixelStats]] exposes it columnar). Only JPEG/GIF
-  * PIXEL work (entropy decode needs a codec library this container
-  * doesn't ship) stays stubbed with deterministic digests in the same
+  * (published specs, no native codec needed) — and so is the pixel/
+  * sample layer for every format whose coding is implementable from
+  * the spec: PNG (zlib inflate + filter inversions), GIF (from-scratch
+  * LZW + palette), WAV PCM (raw int16); [[pixelStats]],
+  * [[channelFeatures]], [[resizePng]] expose them columnar. Only JPEG
+  * PIXEL work (Huffman entropy decode + IDCT needs a real codec
+  * library) stays stubbed with deterministic digests in the same
   * shapes a real decoder would emit, so the Spark-side plumbing
   * (schema, batching, partitioning) is exercised for real.
   *
@@ -53,13 +54,14 @@ object Multimodal {
     * for unsupported payloads. */
   def pixelStats(payload: Column): Column = ImageCodec.image_pixel_stats(payload)
 
-  /** STUB pixel decode for formats whose pixel layer needs an external
-    * codec (JPEG/GIF entropy coding): a real implementation would
-    * JNI/FFI into an image library inside mapPartitions (batch-local
-    * codec reuse); the stub derives a deterministic 8-dim "feature"
-    * from payload digests so downstream plumbing (schema:
-    * array<double>) is exercised for real. PNG payloads don't need
-    * this — [[pixelStats]] decodes them for real. */
+  /** STUB pixel decode for the one format whose pixel layer needs an
+    * external codec (JPEG: Huffman entropy coding + IDCT): a real
+    * implementation would JNI/FFI into an image library inside
+    * mapPartitions (batch-local codec reuse); the stub derives a
+    * deterministic 8-dim "feature" from payload digests so downstream
+    * plumbing (schema: array<double>) is exercised for real. PNG/GIF
+    * payloads don't need this — [[pixelStats]]/[[channelFeatures]]
+    * decode them for real. */
   def decodeFeaturesStub(payload: Column): Column =
     transform(sequence(lit(0), lit(7)), i =>
       (conv(substring(md5(payload), i * 4 + 1, lit(4)), 16, 10).cast("double") / 65535.0))

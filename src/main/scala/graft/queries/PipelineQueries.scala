@@ -271,6 +271,12 @@ object PipelineQueries {
         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         |FROM corpus c JOIN bench b USING (gram)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    // NOTE the range(4096) fan-out bound: unlike the fixture-derived
+    // oracles, n_tokens here comes from real corpus text, so the bound
+    // must exceed any plausible doc (4096 chunks = ~196k tokens at
+    // this stride; current corpora max out near 100 tokens/doc). A doc
+    // beyond it would make the oracle under-count while the engine is
+    // correct.
     "q118_chunk_tokens" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
@@ -279,7 +285,7 @@ object PipelineQueries {
         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM tok
         |), x AS (
         |  SELECT doc_id, t, n_tokens, i AS chunk_idx
-        |  FROM c, range(64) r(i)
+        |  FROM c, range(4096) r(i)
         |  WHERE i <= greatest(0, (n_tokens - 64 + 48 - 1) // 48)
         |)
         |SELECT doc_id, chunk_idx, n_tokens,
