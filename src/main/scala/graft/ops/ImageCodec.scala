@@ -303,13 +303,21 @@ object ImageCodec {
     None
   }
 
-  /** REAL GIF pixel decode (GIF89a spec §18-§22 + appendix F): logical
-    * screen descriptor, global/local color table, image descriptor,
-    * LZW-compressed color indices resolved through the palette to
-    * interleaved RGB. Non-interlaced full-frame images only (the
-    * fixture shape); anything else — and any malformed stream — yields
-    * None, never a throw. */
-  def decodePixelsGif(b: Array[Byte]): Option[Pixels] = {
+  /** REAL GIF pixel decode (GIF89a spec §18-§22 + appendix F): first
+    * frame of [[decodeGifFrames]]. */
+  def decodePixelsGif(b: Array[Byte]): Option[Pixels] =
+    decodeGifFrames(b, maxFrames = 1).flatMap(_.headOption)
+
+  /** ALL frames of a (possibly animated) GIF: logical screen
+    * descriptor, global/local color tables, one decoded [[Pixels]] per
+    * image descriptor — LZW-decompressed indices resolved through the
+    * active palette to interleaved RGB. Non-interlaced full-frame
+    * images only (the fixture shape; animated fixtures emit one
+    * full-frame image per frame, no disposal compositing); anything
+    * else — and any malformed stream — yields None, never a throw.
+    * Total decoded bytes across frames are capped at 64 MiB. */
+  def decodeGifFrames(b: Array[Byte],
+      maxFrames: Int = 4096): Option[Vector[Pixels]] = {
     if (b.length < 14) return None
     val sig = new String(b, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -325,6 +333,9 @@ object ImageCodec {
       palette = java.util.Arrays.copyOfRange(b, pos, pos + 3 * entries)
       pos += 3 * entries
     }
+    val frames = Vector.newBuilder[Pixels]
+    var nFrames = 0
+    var decodedBytes = 0L
     while (pos < b.length) {
       (b(pos) & 0xFF) match {
         case 0x21 => // extension: label + length-prefixed sub-blocks
@@ -346,13 +357,14 @@ object ImageCodec {
           pos += 10
           if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
           if (left != 0 || top != 0 || fw != w || fh != h) return None
+          var framePalette = palette
           if ((ipacked & 0x80) != 0) { // local color table wins
             val entries = 2 << (ipacked & 7)
             if (pos + 3 * entries > b.length) return None
-            palette = java.util.Arrays.copyOfRange(b, pos, pos + 3 * entries)
+            framePalette = java.util.Arrays.copyOfRange(b, pos, pos + 3 * entries)
             pos += 3 * entries
           }
-          if (palette == null || pos >= b.length) return None
+          if (framePalette == null || pos >= b.length) return None
           val minCodeSize = b(pos) & 0xFF
           pos += 1
           val lzw = new java.io.ByteArrayOutputStream()
@@ -365,28 +377,38 @@ object ImageCodec {
             pos += 1 + len
             if (len == 0) done = true
           }
-          val nPix = w * h
-          val indices = lzwDecode(minCodeSize, lzw.toByteArray, nPix) match {
-            case Some(ix) if ix.length == nPix => ix
-            case _ => return None
+          if (nFrames < maxFrames) {
+            val nPix = w * h
+            decodedBytes += nPix.toLong * 3
+            if (decodedBytes > (64L << 20)) return None
+            val indices = lzwDecode(minCodeSize, lzw.toByteArray, nPix) match {
+              case Some(ix) if ix.length == nPix => ix
+              case _ => return None
+            }
+            val maxIndex = framePalette.length / 3
+            val rgb = new Array[Byte](nPix * 3)
+            var i = 0
+            while (i < nPix) {
+              val ix = indices(i) & 0xFF
+              if (ix >= maxIndex) return None
+              rgb(i * 3) = framePalette(ix * 3)
+              rgb(i * 3 + 1) = framePalette(ix * 3 + 1)
+              rgb(i * 3 + 2) = framePalette(ix * 3 + 2)
+              i += 1
+            }
+            frames += Pixels(w, h, 3, rgb)
+            nFrames += 1
           }
-          val maxIndex = palette.length / 3
-          val rgb = new Array[Byte](nPix * 3)
-          var i = 0
-          while (i < nPix) {
-            val ix = indices(i) & 0xFF
-            if (ix >= maxIndex) return None
-            rgb(i * 3) = palette(ix * 3)
-            rgb(i * 3 + 1) = palette(ix * 3 + 1)
-            rgb(i * 3 + 2) = palette(ix * 3 + 2)
-            i += 1
-          }
-          return Some(Pixels(w, h, 3, rgb))
-        case 0x3B => return None // trailer before any image
+        case 0x3B => // trailer
+          val fs = frames.result()
+          return if (fs.isEmpty) None else Some(fs)
         case _ => return None
       }
     }
-    None
+    // missing trailer: accept the frames decoded so far (lenient, like
+    // the header decoder), reject if none
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some(fs)
   }
 
   /** COMPLETE valid GIF89a with real LZW-compressed pixel data: a
@@ -396,9 +418,19 @@ object ImageCodec {
     * each value tripled. Indices are emitted as 9-bit literal codes
     * with a CLEAR every 250 symbols, which keeps the code width fixed
     * while exercising the decoder's dictionary-reset path. */
-  def gifPixelBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
-    require(width > 0 && height > 0 && width.toLong * height * 3 <= (64L << 20),
-      s"pixel fixture ${width}x$height exceeds the 64 MiB cap")
+  def gifPixelBytes(width: Int, height: Int, seed: Long): Array[Byte] =
+    gifAnimBytes(width, height, nFrames = 1, seed)
+
+  /** Animated variant: `nFrames` full-frame images (frame f's color
+    * index at pixel p is `(p*31 + seed + f*97) mod 256`), shared
+    * grayscale GCT — REAL frame extraction becomes testable without a
+    * video container, since each image descriptor is an independently
+    * LZW-coded frame. */
+  def gifAnimBytes(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 &&
+      width.toLong * height * 3 * nFrames <= (64L << 20),
+      s"pixel fixture ${width}x$height x$nFrames exceeds the 64 MiB cap")
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
     def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
@@ -408,11 +440,25 @@ object ImageCodec {
     out.write(0)    // aspect
     var i = 0
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
-    out.write(0x2C) // image descriptor
-    le16(0); le16(0); le16(width); le16(height)
-    out.write(0) // no LCT, not interlaced
-    out.write(8) // LZW min code size
-    // 9-bit LSB-first code stream
+    var f = 0
+    while (f < nFrames) {
+      out.write(0x2C) // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(0) // no LCT, not interlaced
+      out.write(8) // LZW min code size
+      writeGifLzwLiterals(out, width * height, p => ((p * 31L + seed + f * 97L) & 0xFF).toInt)
+      f += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** One frame's LZW data as 9-bit literal codes with a CLEAR every
+    * 250 symbols (keeps the code width fixed while exercising the
+    * decoder's dictionary-reset path), packed into <=255-byte
+    * sub-blocks with terminator. */
+  private def writeGifLzwLiterals(out: java.io.ByteArrayOutputStream,
+      nPix: Int, indexAt: Int => Int): Unit = {
     val bits = new java.io.ByteArrayOutputStream()
     var acc = 0L
     var nAcc = 0
@@ -426,9 +472,8 @@ object ImageCodec {
     putCode(ClearCode)
     var p = 0
     var sinceClear = 0
-    val nPix = width * height
     while (p < nPix) {
-      putCode(((p * 31L + seed) & 0xFF).toInt)
+      putCode(indexAt(p))
       sinceClear += 1
       if (sinceClear == 250 && p + 1 < nPix) { putCode(ClearCode); sinceClear = 0 }
       p += 1
@@ -443,9 +488,7 @@ object ImageCodec {
       out.write(stream, off, len)
       off += len
     }
-    out.write(0)    // block terminator
-    out.write(0x3B) // trailer
-    out.toByteArray
+    out.write(0) // block terminator
   }
 
   // ---------------------------------------------------------- resample
@@ -775,6 +818,62 @@ object ImageCodec {
       copy(payload = c(0))
   }
 
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("pix_mean", DoubleType),
+    StructField("checksum", LongType)))
+
+  /** gif_frame_samples(payload, n) -> array<struct(frame_idx,
+    * pix_mean, checksum)>: REAL frame sampling over an animated GIF —
+    * n evenly spaced frames (indices `k*nFrames div n`, deduplicated),
+    * each FULLY DECODED (LZW + palette) and summarized. Bounded
+    * fan-out like the digest-based video stub, but with actual frame
+    * content; NULL for undecodable payloads. */
+  case class GifFrameSamplesExpr(payload: Expression, n: Expression)
+      extends GeoExpr {
+    override def children: Seq[Expression] = Seq(payload, n)
+    override def dataType: DataType = ArrayType(frameSampleSchema)
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val nn = int(a(1))
+      if (nn <= 0) return null
+      decodeGifFrames(a(0).asInstanceOf[Array[Byte]]) match {
+        case Some(frames) =>
+          val nF = frames.length
+          val idxs = (0 until nn).map(k => k * nF / nn).distinct
+          val rows = idxs.map { fi =>
+            val d = frames(fi).data
+            var sum = 0L
+            var wsum = 0L
+            var i = 0
+            while (i < d.length) {
+              val v = d(i) & 0xFF
+              sum += v
+              wsum += i.toLong * v
+              i += 1
+            }
+            val mean = if (d.length == 0) 0.0 else sum.toDouble / d.length
+            new GenericInternalRow(Array[Any](fi, mean, wsum)): Any
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+        case None => null
+      }
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(payload = c(0), n = c(1))
+  }
+
+  /** gif_anim_fixture(width, height, n_frames, seed) -> complete
+    * animated GIF89a bytes ([[gifAnimBytes]]). */
+  case class GifAnimFixtureExpr(wpx: Expression, hpx: Expression,
+      nFrames: Expression, seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(wpx, hpx, nFrames, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      gifAnimBytes(int(a(0)), int(a(1)), int(a(2)), lng(a(3)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(wpx = c(0), hpx = c(1), nFrames = c(2), seed = c(3))
+  }
+
   /** image_resize_png(payload, out_w, out_h) -> complete PNG bytes:
     * decode any supported container (PNG/GIF), nearest-neighbor
     * resample to the target dimensions, re-encode as PNG. NULL for
@@ -822,6 +921,14 @@ object ImageCodec {
 
   def image_channel_stats(payload: Column): Column =
     toCol(ImageChannelStatsExpr(toExpr(payload)))
+
+  def gif_frame_samples(payload: Column, n: Column): Column =
+    toCol(GifFrameSamplesExpr(toExpr(payload), toExpr(n)))
+
+  def gif_anim_fixture(width: Column, height: Column, nFrames: Column,
+      seed: Column): Column =
+    toCol(GifAnimFixtureExpr(toExpr(width), toExpr(height), toExpr(nFrames),
+      toExpr(seed)))
 
   def png_pixel_fixture(colorType: Column, width: Column, height: Column,
       seed: Column): Column =

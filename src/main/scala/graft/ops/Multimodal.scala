@@ -66,10 +66,19 @@ object Multimodal {
     transform(sequence(lit(0), lit(7)), i =>
       (conv(substring(md5(payload), i * 4 + 1, lit(4)), 16, 10).cast("double") / 65535.0))
 
-  /** Frame sampling: `n` evenly spaced byte-range "frames", each
-    * identified by its digest — bounded fan-out, codegen'd built-ins
-    * only. A real video decoder swaps the md5 for a frame decode with
-    * the same (index, digest/tensor) shape. */
+  /** REAL frame sampling for animated GIF payloads: n evenly spaced
+    * frames, each fully decoded (LZW + palette) and summarized —
+    * the implementable stand-in for video frame-sampling (a video
+    * container's entropy-coded frames need a codec library). */
+  def gifFrameSamples(payload: Column, n: Column): Column =
+    ImageCodec.gif_frame_samples(payload, n)
+
+  /** Frame sampling for OPAQUE payloads (no in-JVM decoder): `n`
+    * evenly spaced byte-range "frames", each identified by its
+    * digest — bounded fan-out, codegen'd built-ins only. A real video
+    * decoder swaps the md5 for a frame decode with the same
+    * (index, digest/tensor) shape; [[gifFrameSamples]] IS that shape
+    * for animated GIF. */
   def frameSamples(payload: Column, n: Int): Column = {
     val frameLen = floor(length(payload) / n).cast("int")
     transform(sequence(lit(0), lit(n - 1)), i =>

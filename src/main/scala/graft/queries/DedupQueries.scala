@@ -260,6 +260,25 @@ object DedupQueries {
         .orderBy("doc_id", "channel")
     }),
 
+    // REAL frame sampling over an animated GIF (each image descriptor
+    // is an independently LZW-coded frame): 3 evenly spaced frames,
+    // fully decoded, one output row per (doc, sampled frame). The
+    // closest implementable stand-in for video frame-sampling without
+    // a video codec, and the oracle replays every frame's stats.
+    "q119_gif_frames" -> ((s, dir) => {
+      val w = lit(6) + (col("doc_id") % 7).cast("int")
+      val h = lit(6) + ((col("doc_id") * 3) % 5).cast("int")
+      val nf = (lit(2) + col("doc_id") % 5).cast("int")
+      docs(s, dir)
+        .withColumn("fr", explode(ImageCodec.gif_frame_samples(
+          ImageCodec.gif_anim_fixture(w, h, nf, col("doc_id")), lit(3))))
+        .select(col("doc_id"),
+          col("fr.frame_idx").as("frame_idx"),
+          col("fr.pix_mean").as("pix_mean"),
+          col("fr.checksum").as("checksum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -413,6 +432,29 @@ object DedupQueries {
         |  CAST((SELECT sum(((p * 31 + doc_id) % 256) * ((p * 31 + doc_id) % 256))
         |        FROM range(4096) r2(p) WHERE p < w * h * ch AND p % ch = c) AS BIGINT) AS sum_sq
         |FROM e ORDER BY doc_id, channel""".stripMargin,
+    // Frame f's pattern value at pixel i is (i*31 + doc_id + f*97) mod
+    // 256; mean is over the pattern, checksum over the tripled RGB
+    // stream (weights 9i+3, as q114). Sampled frames = distinct
+    // (k*nFrames)//3 for k in 0..2.
+    "q119_gif_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         6 + doc_id % 7 AS w,
+        |         6 + (doc_id * 3) % 5 AS h,
+        |         2 + doc_id % 5 AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT DISTINCT doc_id, w, h, nf, (k * nf) // 3 AS frame_idx
+        |  FROM t, range(3) r(k)
+        |)
+        |SELECT doc_id,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST((SELECT sum((i * 31 + doc_id + frame_idx * 97) % 256)
+        |        FROM range(256) r2(i) WHERE i < w * h) AS DOUBLE)
+        |    / (w * h) AS pix_mean,
+        |  CAST((SELECT sum((9 * i + 3) * ((i * 31 + doc_id + frame_idx * 97) % 256))
+        |        FROM range(256) r2(i) WHERE i < w * h) AS BIGINT) AS checksum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
     // Decoded PCM value v(i) = ((i*31 + doc_id) mod 65536) - 32768 over
     // n_samples * channels interleaved positions; all three stats are
     // exact integer arithmetic (the mean divides two exact integers).

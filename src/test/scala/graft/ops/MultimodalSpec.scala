@@ -266,6 +266,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(up.data.length === 20 * 16 * 3)
   }
 
+  test("animated GIF: per-frame decode + evenly spaced frame sampling") {
+    val anim = ImageCodec.gifAnimBytes(7, 6, nFrames = 5, seed = 11L)
+    val frames = ImageCodec.decodeGifFrames(anim).getOrElse(fail("no frames"))
+    assert(frames.length === 5)
+    for ((f, fi) <- frames.zipWithIndex; i <- 0 until 7 * 6) {
+      val v = ((i * 31L + 11L + fi * 97L) & 0xFF).toInt
+      assert((f.data(3 * i) & 0xFF) === v, s"frame $fi pixel $i")
+    }
+    // single-frame decode = frame 0
+    assert(ImageCodec.decodePixels(anim).get.data.toSeq === frames(0).data.toSeq)
+    // sampling: n=3 of 5 frames -> indices 0, 1, 3
+    val expr = ImageCodec.GifFrameSamplesExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(anim),
+      org.apache.spark.sql.catalyst.expressions.Literal(3))
+    val arr = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val idxs = (0 until arr.numElements())
+      .map(i => arr.getStruct(i, 3).getInt(0))
+    assert(idxs === Seq(0, 1, 3))
+    // n larger than frame count -> every frame once
+    val exprAll = ImageCodec.GifFrameSamplesExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(anim),
+      org.apache.spark.sql.catalyst.expressions.Literal(10))
+    val all = exprAll.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until all.numElements())
+      .map(i => all.getStruct(i, 3).getInt(0)) === Seq(0, 1, 2, 3, 4))
+  }
+
+  test("codec fuzz: random and mutated payloads never throw or hang") {
+    val rnd = new scala.util.Random(20260813L)
+    // pure-random buffers of varied sizes
+    for (_ <- 1 to 300) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      ImageCodec.decodePixels(b)
+      ImageCodec.decode(b)
+      AudioCodec.decodeSamples(b)
+      AudioCodec.decode(b)
+    }
+    // valid payloads with random single-byte mutations: exercises the
+    // deep parser paths (chunk walk, LZW, inflate, sample copy) with
+    // almost-valid input, where off-by-one crashes live
+    val seeds = Seq(
+      ImageCodec.pngPixelBytes(9, 7, 2, 3L),
+      ImageCodec.gifPixelBytes(9, 7, 3L),
+      AudioCodec.wavPcmBytes(8000, 2, 40, 3L))
+    for (base <- seeds; _ <- 1 to 200) {
+      val b = base.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      ImageCodec.decodePixels(b) // must return, not throw/hang
+      AudioCodec.decodeSamples(b)
+    }
+  }
+
   test("GIF LZW decoder handles the KwKwK case and rejects malformed streams") {
     // hand-built stream, minCodeSize=2: CLEAR(4), 1, 6(=next: KwKwK ->
     // expands to prev+first(prev) = [1,1]), EOI(5) -> pixels [1,1,1]
