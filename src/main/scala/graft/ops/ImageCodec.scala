@@ -13,14 +13,15 @@ import graft.functions.GeoExpr
 /** Pure-JVM image codec: header metadata for the published container
   * formats (PNG IHDR — RFC 2083 §4.1.1; JPEG SOFn segments — ITU-T
   * T.81 §B.2.2; GIF logical screen descriptor — GIF89a spec §18), plus
-  * FULL pixel decode for PNG ([[decodePixelsPng]]: IDAT inflate via
-  * the JDK's zlib + all five scanline filter inversions, RFC 2083 §6 —
-  * PNG's compression is exactly DEFLATE) and for GIF
-  * ([[decodePixelsGif]]: from-scratch LZW decompressor per GIF89a
-  * appendix F + palette resolution). No external image library is
-  * needed for either; JPEG alone remains header-only (its arithmetic/
-  * Huffman entropy coding plus IDCT is a full codec library). Corrupt
-  * or foreign payloads yield SQL NULL instead of fabricated values.
+  * FULL pixel decode for all three: PNG ([[decodePixelsPng]]: IDAT
+  * inflate via the JDK's zlib + all five scanline filter inversions,
+  * RFC 2083 §6), GIF ([[decodePixelsGif]]: from-scratch LZW per GIF89a
+  * appendix F + palette resolution, animated frames included), and
+  * baseline JPEG ([[JpegCodec.decodePixels]]: from-scratch Huffman +
+  * differential DC + dequant + IDCT + YCbCr transform per T.81;
+  * sequential 8-bit 1x1-sampling streams — subsampled/progressive
+  * yield None). No external image library anywhere. Corrupt or foreign
+  * payloads yield SQL NULL instead of fabricated values.
   *
   * The matching minimal encoders exist so fixtures can generate valid
   * headers with known dimensions (CRC-correct PNG chunks, well-formed
@@ -122,9 +123,11 @@ object ImageCodec {
     case _ => -1 // palette (3) would need PLTE resolution — not supported
   }
 
-  /** Pixel decode for any supported container: PNG, then GIF. */
+  /** Pixel decode for any supported container: PNG, GIF, then baseline
+    * JPEG ([[JpegCodec.decodePixels]]). */
   def decodePixels(b: Array[Byte]): Option[Pixels] =
     decodePixelsPng(b).orElse(decodePixelsGif(b))
+      .orElse(JpegCodec.decodePixels(b))
 
   /** REAL PNG pixel decode (RFC 2083 §5-§6): chunk walk -> IDAT concat
     * -> zlib inflate ([[java.util.zip.Inflater]] is the same DEFLATE
@@ -928,6 +931,24 @@ object ImageCodec {
   def gif_anim_fixture(width: Column, height: Column, nFrames: Column,
       seed: Column): Column =
     toCol(GifAnimFixtureExpr(toExpr(width), toExpr(height), toExpr(nFrames),
+      toExpr(seed)))
+
+  /** jpeg_pixel_fixture(channels, width, height, seed) -> complete
+    * baseline JPEG bytes ([[JpegCodec.jpegPixelBytes]]: block-constant
+    * pattern, losslessly decodable by construction). */
+  case class JpegPixelFixtureExpr(channels: Expression, wpx: Expression,
+      hpx: Expression, seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(channels, wpx, hpx, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      JpegCodec.jpegPixelBytes(int(a(1)), int(a(2)), int(a(0)), lng(a(3)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(channels = c(0), wpx = c(1), hpx = c(2), seed = c(3))
+  }
+
+  def jpeg_pixel_fixture(channels: Column, width: Column, height: Column,
+      seed: Column): Column =
+    toCol(JpegPixelFixtureExpr(toExpr(channels), toExpr(width), toExpr(height),
       toExpr(seed)))
 
   def png_pixel_fixture(colorType: Column, width: Column, height: Column,

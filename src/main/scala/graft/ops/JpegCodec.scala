@@ -1,0 +1,490 @@
+package graft.ops
+
+/** Pure-JVM baseline JPEG pixel codec (ITU-T T.81): sequential DCT,
+  * 8-bit precision, Huffman entropy coding, 1x1 sampling (grayscale or
+  * YCbCr 4:4:4). The DECODER is the general article — segment walk,
+  * DQT/DHT/SOF0/DRI/SOS parsing, MSB-first bit reader with 0xFF00
+  * unstuffing and RSTn handling, canonical Huffman decode, coefficient
+  * EXTEND (F.2.2.1), zigzag + dequantization, separable IDCT, YCbCr ->
+  * RGB. Subsampled (4:2:0/4:2:2), progressive and arithmetic-coded
+  * streams yield None (documented partial support), as does any
+  * malformed stream — never a throw.
+  *
+  * The ENCODER is fixture-grade by design: block-constant images
+  * (every 8x8 block one value) have only a DC coefficient, and with
+  * the DC quantizer set to 8 the quantized value is exactly v-128 —
+  * so encode->decode is LOSSLESS on the fixture family and an oracle
+  * can predict every decoded pixel by arithmetic, while the decoder
+  * paths exercised (Huffman, differential DC, dequant, IDCT, color
+  * convert) are the real ones any baseline JPEG needs.
+  */
+object JpegCodec {
+
+  import ImageCodec.Pixels
+
+  // --------------------------------------------------------- constants
+
+  /** Zigzag scan order (T.81 figure 5): zigzag index -> block index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis: cos((2x+1) u pi / 16) * C(u), C(0)=1/sqrt2. */
+  private val Cos: Array[Array[Double]] = {
+    val t = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u)(x) = cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  // ----------------------------------------------------------- decoder
+
+  private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+    // canonical code tables: minCode/maxCode/valPtr per length (F.2.2.3)
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1)
+          k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return symbols(valPtr(l) + code - minCode(l))
+        val b = br.bit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** Entropy-coded-segment bit reader: MSB first, 0xFF00 unstuffed,
+    * stops (returns -1) at any real marker. RSTn markers are consumed
+    * by [[restart]]. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var markerSeen = false
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) return -1
+        val v = b(pos) & 0xFF
+        if (v == 0xFF) {
+          if (pos + 1 >= b.length) return -1
+          val m = b(pos + 1) & 0xFF
+          if (m == 0x00) { pos += 2; acc = 0xFF }
+          else { markerSeen = true; return -1 } // real marker: stop
+        } else { pos += 1; acc = v }
+        nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val x = bit()
+        if (x < 0) return -1
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+    /** Consume an expected RSTn marker; true on success. */
+    def restart(): Boolean = {
+      nBits = 0
+      markerSeen = false
+      if (pos + 1 >= b.length) return false
+      if ((b(pos) & 0xFF) != 0xFF) return false
+      val m = b(pos + 1) & 0xFF
+      if (m < 0xD0 || m > 0xD7) return false
+      pos += 2
+      true
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map `size`-bit magnitude to signed value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  private final case class Component(id: Int, hSamp: Int, vSamp: Int,
+      quantId: Int, var dcId: Int = 0, var acId: Int = 0)
+
+  def decodePixels(b: Array[Byte]): Option[Pixels] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return None
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var width = -1; var height = -1
+    var comps: Array[Component] = null
+    var restartInterval = 0
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      if ((b(i + 1) & 0xFF) == 0xFF) { i += 1 }
+      else {
+        val marker = b(i + 1) & 0xFF
+        if (marker == 0xD9) return None // EOI before scan
+        val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        marker match {
+          case 0xDB => // DQT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xFF) >> 4
+              val tq = b(p) & 0x0F
+              if (pq != 0 || tq > 3) return None // 8-bit tables only
+              if (p + 1 + 64 > segEnd) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(k) = b(p + 1 + k) & 0xFF; k += 1 }
+              quant(tq) = t
+              p += 65
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xFF) >> 4
+              val th = b(p) & 0x0F
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val counts = new Array[Int](16)
+              var total = 0
+              var k = 0
+              while (k < 16) {
+                counts(k) = b(p + 1 + k) & 0xFF; total += counts(k); k += 1
+              }
+              if (p + 17 + total > segEnd || total > 256) return None
+              val syms = new Array[Int](total)
+              k = 0
+              while (k < total) { syms(k) = b(p + 17 + k) & 0xFF; k += 1 }
+              val h = new Huff(counts, syms)
+              if (tc == 0) dcTables(th) = h else acTables(th) = h
+              p += 17 + total
+            }
+          case 0xC0 => // SOF0 baseline
+            if (len < 8) return None
+            if ((b(seg) & 0xFF) != 8) return None // 8-bit precision
+            height = ((b(seg + 1) & 0xFF) << 8) | (b(seg + 2) & 0xFF)
+            width = ((b(seg + 3) & 0xFF) << 8) | (b(seg + 4) & 0xFF)
+            val n = b(seg + 5) & 0xFF
+            if (n != 1 && n != 3) return None
+            if (width <= 0 || height <= 0 ||
+              width.toLong * height * n > (64L << 20)) return None
+            if (seg + 6 + 3 * n > segEnd) return None
+            comps = Array.tabulate(n) { c =>
+              val o = seg + 6 + 3 * c
+              val samp = b(o + 1) & 0xFF
+              Component(b(o) & 0xFF, samp >> 4, samp & 0x0F, b(o + 2) & 0xFF)
+            }
+            // 1x1 sampling only (4:4:4 / grayscale)
+            if (comps.exists(c => c.hSamp != 1 || c.vSamp != 1)) return None
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // non-baseline frame types unsupported
+          case 0xDD => // DRI
+            if (len != 4) return None
+            restartInterval = ((b(seg) & 0xFF) << 8) | (b(seg + 1) & 0xFF)
+          case 0xDA => // SOS: entropy-coded data follows
+            if (comps == null) return None
+            val n = b(seg) & 0xFF
+            if (n != comps.length || seg + 1 + 2 * n + 3 > segEnd) return None
+            var k = 0
+            while (k < n) {
+              val cid = b(seg + 1 + 2 * k) & 0xFF
+              val tbl = b(seg + 2 + 2 * k) & 0xFF
+              val comp = comps.find(_.id == cid).getOrElse(return None)
+              comp.dcId = tbl >> 4
+              comp.acId = tbl & 0x0F
+              k += 1
+            }
+            return decodeScan(b, segEnd, width, height, comps, quant,
+              dcTables, acTables, restartInterval)
+          case _ => () // APPn/COM/etc: skip
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], scanStart: Int, width: Int,
+      height: Int, comps: Array[Component], quant: Array[Array[Int]],
+      dcT: Array[Huff], acT: Array[Huff],
+      restartInterval: Int): Option[Pixels] = {
+    val n = comps.length
+    for (c <- comps) {
+      if (c.quantId > 3 || quant(c.quantId) == null) return None
+      if (dcT(c.dcId) == null || acT(c.acId) == null) return None
+    }
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    val planes = Array.fill(n)(new Array[Int](mcusX * mcusY * 64))
+    val br = new BitReader(b, scanStart)
+    val pred = new Array[Int](n)
+    val coef = new Array[Int](64)
+    val block = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      var c = 0
+      while (c < n) {
+        val comp = comps(c)
+        val q = quant(comp.quantId)
+        java.util.Arrays.fill(coef, 0)
+        // DC
+        val s = dcT(comp.dcId).decode(br)
+        if (s < 0 || s > 11) return None
+        val diffBits = if (s == 0) 0 else br.bits(s)
+        if (diffBits < 0) return None
+        pred(c) += extend(diffBits, s)
+        coef(0) = pred(c) * q(0)
+        // AC
+        var k = 1
+        var eob = false
+        while (!eob && k < 64) {
+          val rs = acT(comp.acId).decode(br)
+          if (rs < 0) return None
+          val run = rs >> 4
+          val size = rs & 0x0F
+          if (size == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true
+          } else {
+            k += run
+            if (k > 63) return None
+            val vb = br.bits(size)
+            if (vb < 0) return None
+            coef(Zigzag(k)) = extend(vb, size) * q(k)
+            k += 1
+          }
+        }
+        // IDCT (separable, double precision)
+        idct(coef, block)
+        val base = mcu * 64
+        var p = 0
+        while (p < 64) {
+          val v = math.round(block(p) + 128.0).toInt
+          planes(c)(base + p) = if (v < 0) 0 else if (v > 255) 255 else v
+          p += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // assemble: MCU-major planes -> row-major interleaved pixels
+    val out = new Array[Byte](width * height * n)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val mcuIdx = (y / 8) * mcusX + (x / 8)
+        val inBlock = (y % 8) * 8 + (x % 8)
+        val o = (y * width + x) * n
+        if (n == 1) {
+          out(o) = planes(0)(mcuIdx * 64 + inBlock).toByte
+        } else {
+          val yy = planes(0)(mcuIdx * 64 + inBlock)
+          val cb = planes(1)(mcuIdx * 64 + inBlock) - 128
+          val cr = planes(2)(mcuIdx * 64 + inBlock) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(Pixels(width, height, n, out))
+  }
+
+  /** 2-D IDCT via the separable definition (T.81 A.3.3). */
+  private def idct(coef: Array[Int], out: Array[Double]): Unit = {
+    // rows then columns; 0.5 factor per 1-D pass (total 1/4)
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(u)(x) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = 0.5 * s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cos(v)(yy) * tmp(v * 8 + x); v += 1 }
+        out(yy * 8 + x) = 0.5 * s
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  // ----------------------------------------------------------- encoder
+
+  /** Block-constant fixture JPEG: every 8x8 block of the Y plane holds
+    * one value — block (bx, by) has
+    * `v = ((by * blocksX + bx) * 31 + seed) mod 256` — chroma is
+    * neutral (128), so the decoded RGB equals (v, v, v) EXACTLY: with
+    * the DC quantizer at 8, the quantized DC is v-128 with zero
+    * rounding loss, every AC coefficient is genuinely zero, and the
+    * neutral chroma makes the color transform the identity. Dimensions
+    * must be multiples of 8 (fixture-grade; the decoder itself clips
+    * partial edge blocks). */
+  def jpegPixelBytes(width: Int, height: Int, channels: Int,
+      seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "fixture dimensions must be positive multiples of 8")
+    require(channels == 1 || channels == 3, s"channels must be 1 or 3")
+    require(width.toLong * height * channels <= (64L << 20),
+      s"pixel fixture ${width}x$height exceeds the 64 MiB cap")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    m(0xD8) // SOI
+    // DQT: table 0, DC quantizer 8 (lossless for our DC values), AC 16
+    m(0xDB); be16(2 + 1 + 64); out.write(0x00)
+    out.write(8)
+    var k = 1
+    while (k < 64) { out.write(16); k += 1 }
+    // SOF0
+    m(0xC0); be16(8 + 3 * channels)
+    out.write(8); be16(height); be16(width); out.write(channels)
+    var c = 0
+    while (c < channels) {
+      out.write(c + 1) // component id
+      out.write(0x11)  // 1x1 sampling
+      out.write(0)     // quant table 0
+      c += 1
+    }
+    // DHT: DC table 0 = categories 0..11 as 4-bit codes; AC table 0 =
+    // the single EOB symbol as a 1-bit code
+    m(0xC4); be16(2 + (17 + 12) + (17 + 1))
+    out.write(0x00) // DC, id 0
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12 // twelve 4-bit codes
+    dcCounts.foreach(out.write)
+    (0 to 11).foreach(out.write)
+    out.write(0x10) // AC, id 0
+    val acCounts = new Array[Int](16); acCounts(0) = 1 // one 1-bit code
+    acCounts.foreach(out.write)
+    out.write(0x00) // EOB
+    // SOS
+    m(0xDA); be16(6 + 2 * channels)
+    out.write(channels)
+    c = 0
+    while (c < channels) { out.write(c + 1); out.write(0x00); c += 1 }
+    out.write(0); out.write(63); out.write(0) // spectral selection
+    // entropy-coded data: per MCU, per component: DC category+bits, EOB
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    def putBits(v: Int, n2: Int): Unit = {
+      var i = n2 - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) {
+          val byte = (acc & 0xFF).toInt
+          bits.write(byte)
+          if (byte == 0xFF) bits.write(0x00) // byte stuffing
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a > 0) { a >>= 1; s += 1 }
+      s
+    }
+    val blocksX = width / 8
+    val blocksY = height / 8
+    val pred = new Array[Int](channels)
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        val v = (((by * blocksX + bx) * 31L + seed) & 0xFF).toInt
+        c = 0
+        while (c < channels) {
+          val dc = (if (c == 0) v else 128) - 128 // chroma neutral
+          val diff = dc - pred(c)
+          pred(c) = dc
+          val s = category(diff)
+          putBits(s, 4) // DC category (4-bit code = its own value)
+          if (s > 0) {
+            val db = if (diff < 0) diff + (1 << s) - 1 else diff
+            putBits(db, s)
+          }
+          putBits(0, 1) // EOB (1-bit code 0)
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (nAcc > 0) { // pad final byte with 1s (spec F.1.2.3)
+      val pad = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      val byte = (pad & 0xFF).toInt
+      bits.write(byte)
+      if (byte == 0xFF) bits.write(0x00)
+    }
+    val stream = bits.toByteArray
+    out.write(stream, 0, stream.length)
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+}

@@ -11,14 +11,15 @@ import org.apache.spark.sql.types._
   * What's REAL vs STUBBED: container metadata extraction is real —
   * [[ImageCodec.image_meta]] parses actual PNG/JPEG/GIF byte layouts
   * (published specs, no native codec needed) — and so is the pixel/
-  * sample layer for every format whose coding is implementable from
-  * the spec: PNG (zlib inflate + filter inversions), GIF (from-scratch
-  * LZW + palette), WAV PCM (raw int16); [[pixelStats]],
-  * [[channelFeatures]], [[resizePng]] expose them columnar. Only JPEG
-  * PIXEL work (Huffman entropy decode + IDCT needs a real codec
-  * library) stays stubbed with deterministic digests in the same
-  * shapes a real decoder would emit, so the Spark-side plumbing
-  * (schema, batching, partitioning) is exercised for real.
+  * sample layer for every image format plus PCM audio: PNG (zlib
+  * inflate + filter inversions), GIF (from-scratch LZW + palette,
+  * animated frames included), baseline JPEG (from-scratch Huffman +
+  * IDCT, [[JpegCodec]]), WAV PCM (raw int16); [[pixelStats]],
+  * [[channelFeatures]], [[resizePng]], [[gifFrameSamples]] expose
+  * them columnar. The digest-based stubs remain only for payloads
+  * with no in-JVM decoder at all (opaque video containers, JPEG
+  * variants outside baseline 1x1-sampling, FLAC frames), keeping the
+  * Spark-side plumbing exercised for real even there.
   *
   * At 100 TB the invariants that matter are here: payloads never reach
   * a shuffle (all ops are map-only projections), metadata is a narrow
@@ -54,14 +55,14 @@ object Multimodal {
     * for unsupported payloads. */
   def pixelStats(payload: Column): Column = ImageCodec.image_pixel_stats(payload)
 
-  /** STUB pixel decode for the one format whose pixel layer needs an
-    * external codec (JPEG: Huffman entropy coding + IDCT): a real
-    * implementation would JNI/FFI into an image library inside
+  /** STUB pixel decode for payloads with no in-JVM decoder (opaque
+    * video containers; JPEG variants outside baseline 1x1 sampling):
+    * a real implementation would JNI/FFI into a codec library inside
     * mapPartitions (batch-local codec reuse); the stub derives a
     * deterministic 8-dim "feature" from payload digests so downstream
-    * plumbing (schema: array<double>) is exercised for real. PNG/GIF
-    * payloads don't need this — [[pixelStats]]/[[channelFeatures]]
-    * decode them for real. */
+    * plumbing (schema: array<double>) is exercised for real.
+    * PNG/GIF/baseline-JPEG payloads don't need this —
+    * [[pixelStats]]/[[channelFeatures]] decode them for real. */
   def decodeFeaturesStub(payload: Column): Column =
     transform(sequence(lit(0), lit(7)), i =>
       (conv(substring(md5(payload), i * 4 + 1, lit(4)), 16, 10).cast("double") / 65535.0))

@@ -279,6 +279,28 @@ object DedupQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL baseline JPEG decode end-to-end (Huffman + differential DC
+    // + dequant + IDCT + color transform): the block-constant fixture
+    // family is LOSSLESS by construction (DC quantizer 8, neutral
+    // chroma), so DuckDB predicts every decoded pixel exactly — while
+    // the decoder exercises the same paths any baseline JPEG needs.
+    "q120_jpeg_pixels" -> ((s, dir) => {
+      val ch = (lit(1) + (col("doc_id") % 2) * 2).cast("int")
+      val w = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("int")
+      val h = (lit(8) * (lit(1) + col("doc_id") % 2)).cast("int")
+      docs(s, dir)
+        .withColumn("st", ImageCodec.image_pixel_stats(
+          ImageCodec.jpeg_pixel_fixture(ch, w, h, col("doc_id"))))
+        .select(col("doc_id"),
+          col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_bytes").as("n_bytes"),
+          col("st.pix_mean").as("pix_mean"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -432,6 +454,29 @@ object DedupQueries {
         |  CAST((SELECT sum(((p * 31 + doc_id) % 256) * ((p * 31 + doc_id) % 256))
         |        FROM range(4096) r2(p) WHERE p < w * h * ch AND p % ch = c) AS BIGINT) AS sum_sq
         |FROM e ORDER BY doc_id, channel""".stripMargin,
+    // Decoded JPEG pixel (x, y) carries its 8x8 block's constant
+    // value (block_index*31 + doc_id) mod 256, replicated across
+    // channels; byte-stream checksum = ch^2 * sum(p*v) +
+    // ch*(ch-1)/2 * sum(v) over pixel positions.
+    "q120_jpeg_pixels" -> {
+      val v = "((((p // w) // 8) * (w // 8) + (p % w) // 8) * 31 + doc_id) % 256"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         8 * (1 + doc_id % 3) AS w,
+         |         8 * (1 + doc_id % 2) AS h,
+         |         1 + 2 * (doc_id % 2) AS ch
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(ch AS INTEGER) AS channels,
+         |  CAST(w * h * ch AS BIGINT) AS n_bytes,
+         |  CAST((SELECT sum($v) FROM range(512) r(p) WHERE p < w * h) AS DOUBLE)
+         |    / (w * h) AS pix_mean,
+         |  CAST(ch * ch * (SELECT sum(p * ($v)) FROM range(512) r(p) WHERE p < w * h)
+         |     + ch * (ch - 1) // 2
+         |       * (SELECT sum($v) FROM range(512) r(p) WHERE p < w * h) AS BIGINT) AS checksum
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     // Frame f's pattern value at pixel i is (i*31 + doc_id + f*97) mod
     // 256; mean is over the pattern, checksum over the tripled RGB
     // stream (weights 9i+3, as q114). Sampled frames = distinct

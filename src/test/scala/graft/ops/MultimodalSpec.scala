@@ -295,6 +295,62 @@ class MultimodalSpec extends AnyFunSuite {
       .map(i => all.getStruct(i, 3).getInt(0)) === Seq(0, 1, 2, 3, 4))
   }
 
+  test("baseline JPEG decode: lossless on block-constant fixtures") {
+    for ((ch, w, h, seed) <- Seq((1, 16, 8, 5L), (3, 24, 16, 42L), (3, 8, 8, 0L))) {
+      val jpg = JpegCodec.jpegPixelBytes(w, h, ch, seed)
+      // header decode agrees (the existing SOFn parser reads our SOF0)
+      val meta = ImageCodec.decode(jpg).getOrElse(fail("header decode failed"))
+      assert((meta.format, meta.width, meta.height) === ("jpeg", w, h))
+      val p = JpegCodec.decodePixels(jpg).getOrElse(fail(s"decode failed $ch"))
+      assert((p.width, p.height, p.channels) === (w, h, ch))
+      val blocksX = w / 8
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+        val v = ((((y / 8) * blocksX + (x / 8)) * 31L + seed) & 0xFF).toInt
+        assert((p.data((y * w + x) * ch + c) & 0xFF) === v,
+          s"pixel ($x,$y,$c) ch=$ch")
+      }
+    }
+  }
+
+  test("JPEG decoder: general Huffman/AC path via a hand-built stream") {
+    // one 8x8 grayscale block with DC=0 and a single AC coefficient at
+    // zigzag position 1 (horizontal frequency u=1): the decoder must
+    // produce IDCT(q*1 at F(1,0)) — computed here by the textbook
+    // formula, independent of the decoder's own IDCT tables
+    val out = new java.io.ByteArrayOutputStream()
+    def m2(mk: Int): Unit = { out.write(0xFF); out.write(mk) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    m2(0xD8)
+    m2(0xDB); be16(67); out.write(0)
+    (0 until 64).foreach(_ => out.write(16)) // flat quantizer 16
+    m2(0xC0); be16(11); out.write(8); be16(8); be16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m2(0xC4); be16(2 + 17 + 12 + 17 + 2)
+    out.write(0x00) // DC table: 12 categories at 4 bits
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12
+    dcCounts.foreach(out.write); (0 to 11).foreach(out.write)
+    out.write(0x10) // AC table: symbols 0x00 (EOB) and 0x01 at 2 bits
+    val acCounts = new Array[Int](16); acCounts(1) = 2
+    acCounts.foreach(out.write); out.write(0x00); out.write(0x01)
+    m2(0xDA); be16(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    // bits: DC cat 0 = "0000"; AC symbol 0x01 (run 0, size 1) = "01";
+    // magnitude bit "1" (= +1); EOB = "00"; pad with 1s
+    // stream: 0000 01 1 0 | 0 1111111 -> bytes 0x06, 0x7F
+    out.write(0x06); out.write(0x7F)
+    m2(0xD9)
+    val p = JpegCodec.decodePixels(out.toByteArray)
+      .getOrElse(fail("hand-built JPEG failed to decode"))
+    assert((p.width, p.height, p.channels) === (8, 8, 1))
+    // expected: f(x,y) = 1/4 * C(1)C(0) * 16 * cos((2x+1)pi/16), + 128
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val c0 = 1.0 / math.sqrt(2.0)
+      val f = 0.25 * c0 * 16.0 * math.cos((2 * x + 1) * math.Pi / 16.0)
+      val expect = math.max(0, math.min(255, math.round(f + 128.0).toInt))
+      assert((p.data(y * 8 + x) & 0xFF) === expect, s"($x,$y)")
+    }
+  }
+
   test("codec fuzz: random and mutated payloads never throw or hang") {
     val rnd = new scala.util.Random(20260813L)
     // pure-random buffers of varied sizes
