@@ -223,7 +223,7 @@ object JpegCodec {
             if (len != 4) return None
             restartInterval = ((b(seg) & 0xFF) << 8) | (b(seg + 1) & 0xFF)
           case 0xDA => // SOS: entropy-coded data follows
-            if (comps == null) return None
+            if (comps == null || seg >= segEnd || segEnd > b.length) return None
             val n = b(seg) & 0xFF
             if (n != comps.length || seg + 1 + 2 * n + 3 > segEnd) return None
             var k = 0
@@ -252,15 +252,21 @@ object JpegCodec {
     val n = comps.length
     for (c <- comps) {
       if (c.quantId > 3 || quant(c.quantId) == null) return None
+      // table ids come from the 4-bit SOS nibbles (0..15); only 0..3
+      // index the table arrays — range-check BEFORE indexing
+      if (c.dcId > 3 || c.acId > 3) return None
       if (dcT(c.dcId) == null || acT(c.acId) == null) return None
     }
     val mcusX = (width + 7) / 8
     val mcusY = (height + 7) / 8
-    val planes = Array.fill(n)(new Array[Int](mcusX * mcusY * 64))
+    // byte planes: values are clamped to 0..255 anyway, and Int planes
+    // would quadruple the decoded-size cap the other decoders enforce
+    val planes = Array.fill(n)(new Array[Byte](mcusX * mcusY * 64))
     val br = new BitReader(b, scanStart)
     val pred = new Array[Int](n)
     val coef = new Array[Int](64)
     val block = new Array[Double](64)
+    val idctTmp = new Array[Double](64)
     var mcu = 0
     val nMcus = mcusX * mcusY
     while (mcu < nMcus) {
@@ -301,12 +307,13 @@ object JpegCodec {
           }
         }
         // IDCT (separable, double precision)
-        idct(coef, block)
+        idct(coef, block, idctTmp)
         val base = mcu * 64
         var p = 0
         while (p < 64) {
           val v = math.round(block(p) + 128.0).toInt
-          planes(c)(base + p) = if (v < 0) 0 else if (v > 255) 255 else v
+          planes(c)(base + p) =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
           p += 1
         }
         c += 1
@@ -323,11 +330,11 @@ object JpegCodec {
         val inBlock = (y % 8) * 8 + (x % 8)
         val o = (y * width + x) * n
         if (n == 1) {
-          out(o) = planes(0)(mcuIdx * 64 + inBlock).toByte
+          out(o) = planes(0)(mcuIdx * 64 + inBlock)
         } else {
-          val yy = planes(0)(mcuIdx * 64 + inBlock)
-          val cb = planes(1)(mcuIdx * 64 + inBlock) - 128
-          val cr = planes(2)(mcuIdx * 64 + inBlock) - 128
+          val yy = planes(0)(mcuIdx * 64 + inBlock) & 0xFF
+          val cb = (planes(1)(mcuIdx * 64 + inBlock) & 0xFF) - 128
+          val cr = (planes(2)(mcuIdx * 64 + inBlock) & 0xFF) - 128
           def clamp(d: Double): Byte = {
             val v = math.round(d).toInt
             (if (v < 0) 0 else if (v > 255) 255 else v).toByte
@@ -343,10 +350,12 @@ object JpegCodec {
     Some(Pixels(width, height, n, out))
   }
 
-  /** 2-D IDCT via the separable definition (T.81 A.3.3). */
-  private def idct(coef: Array[Int], out: Array[Double]): Unit = {
+  /** 2-D IDCT via the separable definition (T.81 A.3.3). `tmp` is a
+    * caller-owned 64-slot scratch buffer (hoisted out of the per-block
+    * hot loop). */
+  private def idct(coef: Array[Int], out: Array[Double],
+      tmp: Array[Double]): Unit = {
     // rows then columns; 0.5 factor per 1-D pass (total 1/4)
-    val tmp = new Array[Double](64)
     var y = 0
     while (y < 8) {
       var x = 0

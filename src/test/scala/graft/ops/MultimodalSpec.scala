@@ -368,6 +368,7 @@ class MultimodalSpec extends AnyFunSuite {
     val seeds = Seq(
       ImageCodec.pngPixelBytes(9, 7, 2, 3L),
       ImageCodec.gifPixelBytes(9, 7, 3L),
+      JpegCodec.jpegPixelBytes(16, 8, 3, 3L),
       AudioCodec.wavPcmBytes(8000, 2, 40, 3L))
     for (base <- seeds; _ <- 1 to 200) {
       val b = base.clone()
