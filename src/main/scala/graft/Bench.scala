@@ -115,7 +115,20 @@ object Bench {
         (warm, freshMs)
       } catch { case _: Throwable => (-1.0, -1.0) }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_SHUFFLE_ORDER=<seed>: run the battery in a seeded
+    // random order instead of sorted. A query whose time depends on its
+    // battery position is a harness bug by definition — this mode is
+    // the local detector for that class (round-5 shipped 9 collateral
+    // regressions that were pure position effects).
+    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_SHUFFLE_ORDER") match {
+      case Some(seed) => new scala.util.Random(seed.toLong).shuffle(sortedNames)
+      case None => sortedNames
+    }
+    // consumer-aware release of the battery's persisted intermediates:
+    // each shared memo (geo staged/mart/index, LSH candidates, IVF
+    // model) is unpersisted the moment no remaining query consumes it
+    graft.queries.Memos.begin(names)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     var sinceGc = 0
     val results = names.map { name =>
@@ -135,10 +148,17 @@ object Bench {
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // GC right after a memo release so the ContextCleaner also drops
+      // the broadcasts/shuffles the released lineage was pinning
+      if (graft.queries.Memos.afterQuery(name)) { System.gc(); sinceGc = 0 }
+      name -> (if (ok) dt else -1.0)
     }
+    graft.queries.Memos.endAll()
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
+    // keys printed sorted regardless of run order, so shuffled-order
+    // output diffs cleanly against a sorted-order run
+    val qs = results.sortBy(_._1).map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

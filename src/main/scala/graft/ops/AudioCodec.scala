@@ -15,9 +15,12 @@ import graft.functions.GeoExpr
   * Microsoft/IBM spec; FLAC — STREAMINFO metadata block, flac format
   * spec §9), plus FULL sample decode for 16-bit PCM WAV
   * ([[decodeSamples]]: the data chunk is raw interleaved LE int16, no
-  * entropy coding). FLAC frames alone stay header-only (rice coding is
-  * a real codec). Corrupt or foreign payloads yield SQL NULL, never
-  * fabricated values.
+  * entropy coding) and for FLAC streams whose subframes are CONSTANT or
+  * VERBATIM ([[decodeFlacSamples]]: real frame-header parse, UTF-8-style
+  * frame numbers, CRC-8 + CRC-16 verification per the flac format spec
+  * §9.1-9.2). FIXED/LPC-predicted subframes (rice-coded residuals)
+  * yield None — that honest limit is documented, not silent. Corrupt or
+  * foreign payloads yield SQL NULL, never fabricated values.
   *
   * Matching minimal encoders generate valid fixtures with known
   * parameters so oracles can predict every decoded field by arithmetic.
@@ -146,6 +149,203 @@ object AudioCodec {
     }
     Some(Samples(rate, ch, vals))
   }
+
+  // ------------------------------------------------- FLAC frame decode
+
+  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xFF)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xFF) << 8
+      var k = 0
+      while (k < 8) {
+        crc =
+          if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+          else (crc << 1) & 0xFFFF
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** FLAC's UTF-8-style coded number (frame spec §9.1.5): returns
+    * (value, bytesRead) or None on malformed/truncated coding. */
+  private def readUtf8Coded(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    if (pos >= b.length) return None
+    val first = b(pos) & 0xFF
+    if ((first & 0x80) == 0) return Some((first.toLong, 1))
+    var nBytes = 0
+    var mask = 0x40
+    while ((first & mask) != 0 && nBytes < 7) { nBytes += 1; mask >>= 1 }
+    if (nBytes < 1 || (first & mask) != 0) return None // 10xxxxxx lead or >7B
+    var v = (first & (mask - 1)).toLong
+    var i = 1
+    while (i <= nBytes) {
+      if (pos + i >= b.length || (b(pos + i) & 0xC0) != 0x80) return None
+      v = (v << 6) | (b(pos + i) & 0x3F)
+      i += 1
+    }
+    Some((v, nBytes + 1))
+  }
+
+  /** REAL FLAC sample decode for the CONSTANT/VERBATIM subframe subset
+    * (flac format spec §9): metadata-block walk, per-frame sync +
+    * header parse (blocksize/rate/channel-assignment/sample-size
+    * codes, UTF-8-style frame number), CRC-8 and CRC-16 VERIFIED, then
+    * one subframe per channel. With 16-bit samples and no wasted bits
+    * both supported subframe types are whole-byte payloads, so the
+    * frame stays byte-aligned throughout — the alignment the encoder
+    * guarantees by construction. Returns interleaved samples like
+    * [[decodeSamples]]. Predicted subframes (FIXED/LPC: rice-coded
+    * residuals), stereo decorrelation, wasted bits, non-16-bit depths
+    * and any CRC/structure violation yield None. */
+  def decodeFlacSamples(b: Array[Byte]): Option[Samples] = {
+    if (b.length < 42 || ascii(b, 0, 4) != "fLaC") return None
+    // metadata block walk (STREAMINFO must be first)
+    if ((b(4) & 0x7F) != 0) return None
+    var pos = 4
+    var last = false
+    var rate = -1; var ch = -1; var bps = -1; var total = -1L
+    var first = true
+    while (!last) {
+      if (pos + 4 > b.length) return None
+      last = (b(pos) & 0x80) != 0
+      val len = ((b(pos + 1) & 0xFF) << 16) | ((b(pos + 2) & 0xFF) << 8) |
+        (b(pos + 3) & 0xFF)
+      if (pos + 4L + len > b.length) return None
+      if (first) {
+        if (len < 34) return None
+        val o = pos + 4 + 10
+        rate = ((b(o) & 0xFF) << 12) | ((b(o + 1) & 0xFF) << 4) |
+          ((b(o + 2) & 0xF0) >> 4)
+        ch = ((b(o + 2) & 0x0E) >> 1) + 1
+        bps = (((b(o + 2) & 0x01) << 4) | ((b(o + 3) & 0xF0) >> 4)) + 1
+        total = ((b(o + 3) & 0x0FL) << 32) | ((b(o + 4) & 0xFFL) << 24) |
+          ((b(o + 5) & 0xFFL) << 16) | ((b(o + 6) & 0xFFL) << 8) |
+          (b(o + 7) & 0xFFL)
+        first = false
+      }
+      pos += 4 + len
+    }
+    if (rate <= 0 || ch <= 0 || bps != 16) return None
+    if (total > 0 && total * ch * 2 > (64L << 20)) return None
+    val out = new java.util.ArrayList[Array[Int]]() // interleaved per frame
+    var decoded = 0L
+    while (pos < b.length) {
+      val frameStart = pos
+      // frame header: 14-bit sync 11111111111110, reserved 0, blocking bit
+      if (pos + 4 > b.length) return None
+      if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xFC) != 0xF8) return None
+      // blocking strategy: 0 = fixed (frame number), 1 = variable
+      // (sample number) — both parse the same coded-number field
+      val bsCode = (b(pos + 2) & 0xF0) >> 4
+      val srCode = b(pos + 2) & 0x0F
+      val chAssign = (b(pos + 3) & 0xF0) >> 4
+      val ssCode = (b(pos + 3) & 0x0E) >> 1
+      if ((b(pos + 3) & 0x01) != 0) return None // reserved bit
+      if (chAssign > 7 || chAssign + 1 != ch) return None // indep. channels only
+      if (ssCode != 4 && ssCode != 0) return None // 16-bit (or via STREAMINFO)
+      pos += 4
+      val (_, numLen) = readUtf8Coded(b, pos) match {
+        case Some(t) => t
+        case None => return None
+      }
+      pos += numLen
+      val bs = bsCode match {
+        case 0 => return None // reserved
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 =>
+          if (pos >= b.length) return None
+          val v = (b(pos) & 0xFF) + 1; pos += 1; v
+        case 7 =>
+          if (pos + 2 > b.length) return None
+          val v = be16f(b, pos) + 1; pos += 2; v
+        case c => 256 << (c - 8)
+      }
+      srCode match {
+        case 0 => () // from STREAMINFO
+        case c if c >= 1 && c <= 11 => () // table codes carry no bytes
+        case 12 => pos += 1
+        case 13 | 14 => pos += 2
+        case _ => return None // 15 is invalid
+      }
+      if (pos >= b.length) return None
+      if (crc8(b, frameStart, pos) != (b(pos) & 0xFF)) return None
+      pos += 1
+      // subframes: one per channel, whole-byte with this subset
+      val chans = new Array[Array[Int]](ch)
+      var c = 0
+      while (c < ch) {
+        if (pos >= b.length) return None
+        val sh = b(pos) & 0xFF
+        if ((sh & 0x80) != 0) return None // padding bit must be 0
+        if ((sh & 0x01) != 0) return None // wasted bits: unsupported
+        val stype = (sh >> 1) & 0x3F
+        pos += 1
+        val vals = new Array[Int](bs)
+        stype match {
+          case 0 => // CONSTANT: one 16-bit value for the whole block
+            if (pos + 2 > b.length) return None
+            val v = (b(pos) << 8) | (b(pos + 1) & 0xFF)
+            java.util.Arrays.fill(vals, v)
+            pos += 2
+          case 1 => // VERBATIM: bs unencoded 16-bit samples
+            if (pos + 2L * bs > b.length) return None
+            var i = 0
+            while (i < bs) {
+              vals(i) = (b(pos + 2 * i) << 8) | (b(pos + 2 * i + 1) & 0xFF)
+              i += 1
+            }
+            pos += 2 * bs
+          case _ => return None // FIXED/LPC: rice-coded, out of subset
+        }
+        chans(c) = vals
+        c += 1
+      }
+      if (pos + 2 > b.length) return None
+      if (crc16(b, frameStart, pos) != be16f(b, pos)) return None
+      pos += 2
+      decoded += bs
+      if (decoded * ch * 2 > (64L << 20)) return None
+      val inter = new Array[Int](bs * ch)
+      var i = 0
+      while (i < bs) {
+        var cc = 0
+        while (cc < ch) { inter(i * ch + cc) = chans(cc)(i); cc += 1 }
+        i += 1
+      }
+      out.add(inter)
+    }
+    if (total > 0 && decoded != total) return None
+    if (out.isEmpty) return None
+    val all = new Array[Int]((decoded * ch).toInt)
+    var off = 0
+    val it = out.iterator()
+    while (it.hasNext) {
+      val a = it.next(); System.arraycopy(a, 0, all, off, a.length); off += a.length
+    }
+    Some(Samples(rate, ch, all))
+  }
+
+  private def be16f(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
 
   // ------------------------------------------------------------ encode
 

@@ -351,6 +351,13 @@ object ImageCodec {
             if (len == 0) done = true
           }
         case 0x2C => // image descriptor
+          // enough frames decoded: stop walking entirely — later frames
+          // may legitimately be partial/offset (disposal-optimized
+          // animation) and must not invalidate the frames already held
+          if (nFrames >= maxFrames) {
+            val fs = frames.result()
+            return if (fs.isEmpty) None else Some(fs)
+          }
           if (pos + 10 > b.length) return None
           val left = (b(pos + 1) & 0xFF) | ((b(pos + 2) & 0xFF) << 8)
           val top = (b(pos + 3) & 0xFF) | ((b(pos + 4) & 0xFF) << 8)
@@ -736,7 +743,8 @@ object ImageCodec {
 
   /** image_pixel_stats(payload) -> struct(width, height, channels,
     * n_bytes, pix_mean, checksum) computed from the FULLY DECODED
-    * pixels ([[decodePixels]]: PNG inflate+unfilter or GIF LZW+palette);
+    * pixels ([[decodePixels]]: PNG inflate+unfilter, GIF LZW+palette,
+    * or baseline-JPEG Huffman+IDCT);
     * NULL for anything that is not a supported well-formed image. `checksum` is the
     * position-weighted sum `Σ idx*v(idx)` — order-sensitive, so a
     * decoder that produces the right multiset of bytes in the wrong
@@ -785,7 +793,7 @@ object ImageCodec {
 
   /** image_channel_stats(payload) -> array<struct(channel, mean_val,
     * sum_sq)> over the fully decoded pixels — REAL per-channel feature
-    * extraction for decodable containers (PNG/GIF): the mean/energy
+    * extraction for decodable containers (PNG/GIF/baseline JPEG): the mean/energy
     * pair per channel is the canonical cheap image descriptor. Exact
     * integer energy (no sqrt) keeps engine/oracle comparison exact;
     * NULL for undecodable payloads. */
@@ -878,7 +886,8 @@ object ImageCodec {
   }
 
   /** image_resize_png(payload, out_w, out_h) -> complete PNG bytes:
-    * decode any supported container (PNG/GIF), nearest-neighbor
+    * decode any supported container (PNG/GIF/baseline JPEG),
+    * nearest-neighbor
     * resample to the target dimensions, re-encode as PNG. NULL for
     * undecodable payloads or out-of-cap targets — the REAL resize that
     * replaces the byte-truncation stub. */

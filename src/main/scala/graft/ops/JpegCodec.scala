@@ -285,6 +285,11 @@ object JpegCodec {
         val diffBits = if (s == 0) 0 else br.bits(s)
         if (diffBits < 0) return None
         pred(c) += extend(diffBits, s)
+        // T.81 F.1.1.5.1: for 8-bit precision the reconstructed DC lives
+        // in the 12-bit range — a stream that drives |pred| past 2048 is
+        // malformed, and an unbounded Int accumulator would otherwise
+        // overflow (~1M max-category diffs) into silent garbage output
+        if (pred(c) < -2048 || pred(c) > 2048) return None
         coef(0) = pred(c) * q(0)
         // AC
         var k = 1

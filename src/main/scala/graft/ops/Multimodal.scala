@@ -95,13 +95,15 @@ object Multimodal {
   def channelFeatures(payload: Column): Column =
     ImageCodec.image_channel_stats(payload)
 
-  /** REAL resize for decodable payloads (PNG/GIF in, PNG out): full
+  /** REAL resize for decodable payloads (PNG/GIF/baseline JPEG in,
+    * PNG out): full
     * decode -> nearest-neighbor resample -> re-encode; NULL when the
     * payload isn't decodable. */
   def resizePng(payload: Column, outW: Column, outH: Column): Column =
     ImageCodec.image_resize_png(payload, outW, outH)
 
-  /** STUB resize for formats without an in-JVM pixel decoder (JPEG):
+  /** STUB resize for genuinely opaque payloads with no in-JVM pixel
+    * decoder (video containers, progressive/subsampled JPEG):
     * byte-range truncation preserving the binary-in/binary-out
     * contract. Decodable formats use [[resizePng]] instead. */
   def resizeStub(payload: Column, maxBytes: Int): Column =

@@ -96,10 +96,24 @@ object ConsistencyQueries {
 
     // Exact-refine is a strict subset of the candidate join
     // (docs/H3_POLYGON_ANALYSIS.md:337-355: refinement only FILTERS).
+    // The two sides stay INDEPENDENT executions (sharing the candidate
+    // join would make subset-ness structurally vacuous), but both are
+    // small post-distinct object lists, so: collect them CONCURRENTLY
+    // and take the difference on the driver — one pass per side, no
+    // except-shuffle, same shape as q46's symmetric-diff law.
     "q56_exact_subset" -> ((s, dir) => {
       val idx = GeoQueries.sharedIndex(s, dir)
-      H3Query.objectsExact(s, idx, wkt, res)
-        .except(H3Query.objects(s, idx, wkt, res))
+      val exact = H3Query.objectsExact(s, idx, wkt, res)
+      val cand = H3Query.objects(s, idx, wkt, res)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fExact = Future(exact.collect())
+      val fCand = Future(cand.collect())
+      val exactRows = Await.result(fExact, Duration.Inf)
+      val candSet = Await.result(fCand, Duration.Inf).map(_.toSeq).toSet
+      val diff = exactRows.filterNot(r => candSet(r.toSeq))
+      s.createDataFrame(java.util.Arrays.asList(diff: _*), exact.schema)
     }),
 
     // Heatmap mass conservation: sum of per-cell distinct-object counts

@@ -29,16 +29,25 @@ object DedupQueries {
   // few boilerplate buckets hold hundreds of docs and would dominate
   // the self-join quadratically — the cap is the same guard a web-scale
   // dedup run ships with (see TextDedup.minHashCandidates).
-  private def candidates(s: SparkSession, dir: String): DataFrame =
-    candMemo.computeIfAbsent(dir, _ =>
+  // Memos.track runs after computeIfAbsent returns (the release thunk
+  // mutates the same map, which CHM forbids inside the mapping fn).
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val df = candMemo.computeIfAbsent(dir, _ =>
       TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text",
         maxBucket = 64).persist())
+    Memos.track(s"dedup:cand:$dir",
+      Set("q70_minhash_neardup", "q73_jaccard_refine")) { () =>
+      candMemo.remove(dir)
+      df.unpersist()
+    }
+    df
+  }
 
   private[queries] def sharedIvf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     ivf(s, dir)
 
-  private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
-    ivfMemo.computeIfAbsent(dir, _ => {
+  private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    val built = ivfMemo.computeIfAbsent(dir, _ => {
       // centroid QUALITY is irrelevant to every consumer's check (q59
       // probes all cells — exhaustive regardless of centroids; q75/q76
       // are shape checks), so buy the cheap fit: few iterations, random
@@ -48,6 +57,13 @@ object DedupQueries {
           maxIter = 3, initMode = "random")
       (assigned.persist(), centroids)
     })
+    Memos.track(s"dedup:ivf:$dir",
+      Set("q59_ivf_exact", "q75_ivf_cells", "q76_ivf_search")) { () =>
+      ivfMemo.remove(dir)
+      built._1.unpersist()
+    }
+    built
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash LSH near-dup candidates (shingle -> 64 minhash -> 8 bands

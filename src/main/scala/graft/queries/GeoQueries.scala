@@ -33,8 +33,40 @@ object GeoQueries {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def cached(key: String, dir: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((key, dir), _ => build.persist())
+  /** Battery queries that read each layer (directly or through the
+    * shared* accessors) — [[Memos]] releases a layer's persist as soon
+    * as no remaining battery query is in its set. A missed name is
+    * safe (that query would rebuild the layer), an extra name only
+    * delays the release. */
+  private val consumersOf: Map[String, Set[String]] = {
+    val indexConsumers = Set(
+      "q45_stats_mass", "q46_statstop_equiv", "q56_exact_subset",
+      "q57_heatmap_mass", "q63_h3_stats", "q64_query_objects",
+      "q65_query_stats", "q66_query_heatmap", "q67_query_exact",
+      "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass")
+    val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
+    val stagedConsumers = Set(
+      "q58_compact_roundtrip", "q61_stage004", "q68_compact",
+      "q79_exact_closed")
+    Map(
+      "index_core" -> indexConsumers,
+      // lower layers can be re-demanded by a rebuild of the layer above,
+      // so each keeps the upper layers' consumers in its own set
+      "mart_core" -> (martConsumers ++ indexConsumers),
+      "staged" -> (stagedConsumers ++ martConsumers ++ indexConsumers))
+  }
+
+  // Memos.track runs AFTER computeIfAbsent returns (never inside the
+  // mapping function — the release thunk mutates this same map, which
+  // CHM forbids mid-compute). Re-tracking on every access is idempotent.
+  private def cached(key: String, dir: String)(build: => DataFrame): DataFrame = {
+    val df = memo.computeIfAbsent((key, dir), _ => build.persist())
+    Memos.track(s"geo:$key:$dir", consumersOf(key)) { () =>
+      memo.remove((key, dir))
+      df.unpersist()
+    }
+    df
+  }
 
   private def staged(s: SparkSession, dir: String): DataFrame =
     cached("staged", dir) {

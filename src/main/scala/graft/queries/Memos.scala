@@ -1,0 +1,86 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+/** Lifecycle registry for the battery's persisted intermediates.
+  *
+  * The shared memoized frames (GeoQueries staged/mart_core/index_core,
+  * DedupQueries LSH candidates / IVF model) exist so that queries that
+  * genuinely share an expensive computation pay for it once. Left alone,
+  * though, the persisted blocks live until the JVM exits — and a
+  * 120-query run accumulates them as heap pressure that slows UNRELATED
+  * queries late in the battery (the round-5 driver gate flagged nine
+  * such collateral regressions).
+  *
+  * The fix is declarative: each memo registers its static consumer set
+  * (the query names that read it) and a release thunk. The bench loop
+  * tells the registry the battery order up front and reports each query
+  * as it finishes; the moment no REMAINING query is a consumer of a
+  * memo, its release thunk runs (unpersist + drop from the owner's map).
+  * This is order-independent — under a shuffled battery the release
+  * simply moves to wherever that memo's last consumer landed — and
+  * correctness-safe by construction: a memo released too early (e.g. a
+  * consumer missing from the declared set) just rebuilds on next access
+  * via computeIfAbsent.
+  *
+  * Outside the bench loop (Verify, tests, library use) `begin` is never
+  * called and the registry is inert: memos persist for the JVM lifetime
+  * exactly as before.
+  */
+object Memos {
+
+  private final case class Entry(consumers: Set[String], release: () => Unit)
+
+  private val entries = TrieMap[String, Entry]()
+  // None = not in a battery run (registry inert). Some(set) = queries
+  // still to run in this battery.
+  @volatile private var remaining: Option[Set[String]] = None
+
+  /** Register (or re-register, after a rebuild) a live memo. `consumers`
+    * are query names as they appear in SparkEntry.queries. The release
+    * thunk must make the owner rebuild on next access (unpersist AND
+    * remove from the owner's map). */
+  def track(key: String, consumers: Set[String])(release: () => Unit): Unit =
+    synchronized {
+      entries.put(key, Entry(consumers, release))
+      // late registration: if the battery has already passed every
+      // consumer (a non-battery caller built the memo mid-run), release
+      // immediately rather than leaking it
+      sweep()
+    }
+
+  /** Start a battery run over exactly these query names. */
+  def begin(battery: Seq[String]): Unit = synchronized {
+    remaining = Some(battery.toSet)
+  }
+
+  /** Report a finished query; returns true if any memo was released
+    * (callers may want to System.gc() so Spark's ContextCleaner drops
+    * the now-unreferenced broadcasts too). */
+  def afterQuery(name: String): Boolean = synchronized {
+    remaining match {
+      case None => false
+      case Some(r) =>
+        remaining = Some(r - name)
+        sweep()
+    }
+  }
+
+  /** End the battery run: release everything still tracked. */
+  def endAll(): Unit = synchronized {
+    remaining = Some(Set.empty)
+    sweep()
+    remaining = None
+  }
+
+  private def sweep(): Boolean = remaining match {
+    case None => false
+    case Some(r) =>
+      val dead = entries.filter { case (_, e) => e.consumers.forall(!r(_)) }
+      dead.foreach { case (k, e) =>
+        entries.remove(k)
+        try e.release() catch { case _: Throwable => () }
+      }
+      dead.nonEmpty
+  }
+}

@@ -295,6 +295,49 @@ class MultimodalSpec extends AnyFunSuite {
       .map(i => all.getStruct(i, 3).getInt(0)) === Seq(0, 1, 2, 3, 4))
   }
 
+  test("GIF maxFrames early-stop: partial later frames don't reject frame 0") {
+    // real-world animated GIFs optimize later frames as sub-rectangles
+    // (disposal compositing); a first-frame decode must not validate them
+    val anim = ImageCodec.gifAnimBytes(7, 6, nFrames = 3, seed = 11L)
+    // corrupt frame 1+: find the SECOND image descriptor (0x2C separator
+    // at a block boundary) and give it a nonzero left offset
+    def findDescriptors(b: Array[Byte]): Seq[Int] = {
+      // walk the block structure exactly as the decoder does
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var pos = 13
+      if ((b(10) & 0x80) != 0) pos += 3 * (2 << (b(10) & 7))
+      var stop = false
+      while (!stop && pos < b.length) {
+        (b(pos) & 0xFF) match {
+          case 0x21 =>
+            pos += 2
+            var done = false
+            while (!done) { val l = b(pos) & 0xFF; pos += 1 + l; done = l == 0 }
+          case 0x2C =>
+            out += pos
+            pos += 10
+            if ((b(pos - 1) & 0x80) != 0) pos += 3 * (2 << (b(pos - 1) & 7))
+            pos += 1 // LZW min code size
+            var done = false
+            while (!done) { val l = b(pos) & 0xFF; pos += 1 + l; done = l == 0 }
+          case 0x3B => stop = true
+          case _ => stop = true
+        }
+      }
+      out.toSeq
+    }
+    val descs = findDescriptors(anim)
+    assert(descs.length === 3)
+    val mutated = anim.clone()
+    mutated(descs(1) + 1) = 2 // frame 1 left offset = 2 (partial frame)
+    // full decode rejects (partial frames unsupported) ...
+    assert(ImageCodec.decodeGifFrames(mutated).isEmpty)
+    // ... but the first-frame path stops at maxFrames and still decodes
+    val first = ImageCodec.decodePixelsGif(mutated)
+    assert(first.exists(_.data.toSeq ==
+      ImageCodec.decodePixelsGif(anim).get.data.toSeq))
+  }
+
   test("baseline JPEG decode: lossless on block-constant fixtures") {
     for ((ch, w, h, seed) <- Seq((1, 16, 8, 5L), (3, 24, 16, 42L), (3, 8, 8, 0L))) {
       val jpg = JpegCodec.jpegPixelBytes(w, h, ch, seed)
