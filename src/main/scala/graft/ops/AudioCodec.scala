@@ -433,6 +433,88 @@ object AudioCodec {
     out.toByteArray
   }
 
+  /** FLAC's UTF-8-style coded-number encoding (frame spec §9.1.5). */
+  private def writeUtf8Coded(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    if (v < 0x80) { out.write(v.toInt); return }
+    // count payload bytes needed: n continuation bytes carry 6n bits,
+    // lead byte carries 6-n bits
+    var n = 1
+    while (n < 6 && (v >> (6 * n)) >= (1L << (6 - n))) n += 1
+    val lead = ((0xFF << (7 - n)) & 0xFF) | ((v >> (6 * n)) & ((1 << (6 - n)) - 1)).toInt
+    out.write(lead)
+    var i = n - 1
+    while (i >= 0) {
+      out.write(0x80 | ((v >> (6 * i)) & 0x3F).toInt)
+      i -= 1
+    }
+  }
+
+  /** COMPLETE FLAC stream with real audio frames: fixed blocking at
+    * `blockSize`, one independent subframe per channel, the
+    * CONSTANT/VERBATIM mix the decoder supports — frame f, channel c is
+    * CONSTANT when `(f + c) % 3 == 0` (value
+    * `((f*97 + c*31 + seed) mod 65536) - 32768` for the whole block),
+    * VERBATIM otherwise (sample t carries the WAV fixture's pattern at
+    * interleaved position `(f*blockSize + t)*channels + c`). Valid
+    * CRC-8/CRC-16 everywhere, so conformant third-party decoders accept
+    * the stream, and every decoded value is oracle-predictable. */
+  def flacPcmBytes(sampleRate: Int, channels: Int, nSamples: Int,
+      blockSize: Int, seed: Long): Array[Byte] = {
+    val nValsL = nSamples.toLong * channels
+    require(channels > 0 && channels <= 8 && nSamples > 0 && blockSize >= 16 &&
+      blockSize <= 65535 && nValsL * 2 <= (64L << 20),
+      s"flac fixture $nSamples x$channels bs=$blockSize out of range")
+    def pat(i: Long): Int =
+      (((i * 31L + seed) % 65536L).toInt + 65536) % 65536 - 32768
+    def constVal(f: Long, c: Int): Int =
+      (((f * 97L + c * 31L + seed) % 65536L).toInt + 65536) % 65536 - 32768
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(flacBytes(sampleRate, channels, 16, nSamples.toLong))
+    // patch STREAMINFO min/max block size in (bytes 8..11 of the file)
+    val head = out.toByteArray
+    head(8) = ((blockSize >> 8) & 0xFF).toByte
+    head(9) = (blockSize & 0xFF).toByte
+    head(10) = head(8); head(11) = head(9)
+    out.reset(); out.write(head, 0, head.length)
+    var f = 0L
+    var done = 0
+    while (done < nSamples) {
+      val bs = math.min(blockSize, nSamples - done)
+      val frame = new java.io.ByteArrayOutputStream()
+      frame.write(0xFF); frame.write(0xF8) // sync + fixed blocking
+      frame.write(0x70) // blocksize code 7 (16-bit follows), rate from STREAMINFO
+      frame.write(((channels - 1) << 4) | 0x08) // independent, 16-bit (code 100)
+      writeUtf8Coded(frame, f)
+      frame.write(((bs - 1) >> 8) & 0xFF); frame.write((bs - 1) & 0xFF)
+      val hdr = frame.toByteArray
+      frame.write(crc8(hdr, 0, hdr.length))
+      var c = 0
+      while (c < channels) {
+        if ((f + c) % 3 == 0) {
+          frame.write(0x00) // CONSTANT subframe header
+          val v = constVal(f, c)
+          frame.write((v >> 8) & 0xFF); frame.write(v & 0xFF)
+        } else {
+          frame.write(0x02) // VERBATIM subframe header
+          var t = 0
+          while (t < bs) {
+            val v = pat((done.toLong + t) * channels + c)
+            frame.write((v >> 8) & 0xFF); frame.write(v & 0xFF)
+            t += 1
+          }
+        }
+        c += 1
+      }
+      val body = frame.toByteArray
+      val crc = crc16(body, 0, body.length)
+      frame.write((crc >> 8) & 0xFF); frame.write(crc & 0xFF)
+      frame.writeTo(out)
+      done += bs
+      f += 1
+    }
+    out.toByteArray
+  }
+
   // ------------------------------------------------------- expressions
 
   val metaSchema: StructType = StructType(Seq(
@@ -468,15 +550,17 @@ object AudioCodec {
 
   /** audio_sample_stats(payload) -> struct(sample_rate, channels,
     * n_vals, mean_val, sum_sq, checksum) over the FULLY DECODED
-    * interleaved PCM values ([[decodeSamples]]); NULL for anything
-    * that is not well-formed 16-bit PCM WAV. `sum_sq` is the exact
-    * integer energy (no sqrt, so both engines compare exactly);
-    * `checksum` is the position-weighted sum — order-sensitive. */
+    * interleaved PCM values — 16-bit PCM WAV ([[decodeSamples]]) or a
+    * constant/verbatim-subframe FLAC stream ([[decodeFlacSamples]]);
+    * NULL for anything else. `sum_sq` is the exact integer energy (no
+    * sqrt, so both engines compare exactly); `checksum` is the
+    * position-weighted sum — order-sensitive. */
   case class AudioSampleStatsExpr(payload: Expression) extends GeoExpr {
     override def children: Seq[Expression] = Seq(payload)
     override def dataType: DataType = sampleStatsSchema
     override protected def evalNotNull(a: Array[Any]): Any =
-      decodeSamples(a(0).asInstanceOf[Array[Byte]]) match {
+      decodeSamples(a(0).asInstanceOf[Array[Byte]])
+        .orElse(decodeFlacSamples(a(0).asInstanceOf[Array[Byte]])) match {
         case Some(s) =>
           var sum = 0L
           var sq = 0L
@@ -511,6 +595,22 @@ object AudioCodec {
       copy(rate = c(0), channels = c(1), nSamples = c(2), seed = c(3))
   }
 
+  /** flac_pcm_fixture(rate, channels, n_samples, block_size, seed) ->
+    * complete FLAC bytes with the deterministic constant/verbatim frame
+    * mix of [[flacPcmBytes]]. */
+  case class FlacPcmFixtureExpr(rate: Expression, channels: Expression,
+      nSamples: Expression, blockSize: Expression, seed: Expression)
+      extends GeoExpr {
+    override def children: Seq[Expression] =
+      Seq(rate, channels, nSamples, blockSize, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      flacPcmBytes(int(a(0)), int(a(1)), int(a(2)), int(a(3)), lng(a(4)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(rate = c(0), channels = c(1), nSamples = c(2), blockSize = c(3),
+        seed = c(4))
+  }
+
   /** audio_fixture(format, sample_rate, n_samples) -> minimal valid
     * header bytes; format 'wav' | 'wav_stereo' | 'flac'. */
   case class AudioFixtureExpr(format: Expression, rate: Expression,
@@ -540,4 +640,9 @@ object AudioCodec {
 
   def audio_fixture(format: Column, rate: Column, nSamples: Column): Column =
     toCol(AudioFixtureExpr(toExpr(format), toExpr(rate), toExpr(nSamples)))
+
+  def flac_pcm_fixture(rate: Column, channels: Column, nSamples: Column,
+      blockSize: Column, seed: Column): Column =
+    toCol(FlacPcmFixtureExpr(toExpr(rate), toExpr(channels), toExpr(nSamples),
+      toExpr(blockSize), toExpr(seed)))
 }

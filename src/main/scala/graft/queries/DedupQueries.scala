@@ -317,6 +317,31 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL FLAC frame decode end-to-end: encode a complete multi-frame
+    // FLAC stream per doc (fixed 64-sample blocking, valid CRC-8/16,
+    // frame f x channel c is a CONSTANT subframe when (f+c)%3==0 and
+    // VERBATIM otherwise), decode it back through the frame-header +
+    // subframe parser, and emit the same sample statistics as q115.
+    // The oracle replays the constant/verbatim mix by pure arithmetic,
+    // so a bug anywhere in the frame walk, CRC handling, subframe
+    // dispatch or interleave breaks the hash-match.
+    "q121_flac_samples" -> ((s, dir) => {
+      val rate = lit(8000) + ((col("doc_id") % 8) * 1000).cast("int")
+      val chn = (lit(1) + col("doc_id") % 2).cast("int")
+      val nSamp = (lit(150) + (col("doc_id") * 11) % 250).cast("int")
+      docs(s, dir)
+        .withColumn("st", AudioCodec.audio_sample_stats(
+          AudioCodec.flac_pcm_fixture(rate, chn, nSamp, lit(64), col("doc_id"))))
+        .select(col("doc_id"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"),
+          col("st.n_vals").as("n_vals"),
+          col("st.mean_val").as("mean_val"),
+          col("st.sum_sq").as("sum_sq"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -538,6 +563,33 @@ object DedupQueries {
         |  CAST((SELECT sum(i * ((i * 31 + doc_id) % 65536 - 32768))
         |        FROM range(1024) r(i) WHERE i < nv) AS BIGINT) AS checksum
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Interleaved position i decomposes to sample s = i // ch, channel
+    // c = i % ch, frame f = s // 64; value is the constant pattern
+    // ((f*97 + c*31 + seed) mod 65536) - 32768 when (f+c)%3=0, else the
+    // verbatim pattern ((i*31 + seed) mod 65536) - 32768 — exactly what
+    // the encoder wrote, so DuckDB replays every decoded sample.
+    "q121_flac_samples" -> {
+      val v = """CASE WHEN ((i // chn) // 64 + i % chn) % 3 = 0
+                |  THEN ((i // chn) // 64 * 97 + (i % chn) * 31 + doc_id) % 65536 - 32768
+                |  ELSE (i * 31 + doc_id) % 65536 - 32768 END""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         8000 + (doc_id % 8) * 1000 AS rate,
+         |         1 + doc_id % 2 AS chn,
+         |         (150 + (doc_id * 11) % 250) * (1 + doc_id % 2) AS nv
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(rate AS INTEGER) AS sample_rate,
+         |  CAST(chn AS INTEGER) AS channels,
+         |  CAST(nv AS BIGINT) AS n_vals,
+         |  CAST((SELECT sum($v)
+         |        FROM range(1024) r(i) WHERE i < nv) AS DOUBLE) / nv AS mean_val,
+         |  CAST((SELECT sum(($v) * ($v))
+         |        FROM range(1024) r(i) WHERE i < nv) AS BIGINT) AS sum_sq,
+         |  CAST((SELECT sum(i * ($v))
+         |        FROM range(1024) r(i) WHERE i < nv) AS BIGINT) AS checksum
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     // duration_ms: dataLen*1000/byteRate collapses to nSamples*1000/rate
     // exactly (floor of equal rationals), so DuckDB can replay it
     "q105_audio_meta" ->

@@ -132,6 +132,64 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC frame decode round-trips the constant/verbatim mix") {
+    // nSamples not a multiple of blockSize -> exercises the short last
+    // frame; mono and stereo; multi-byte UTF-8 frame numbers need >127
+    // frames (tiny blockSize keeps that cheap)
+    for ((ch, n, bs, seed) <- Seq(
+        (1, 300, 64, 7L), (2, 250, 64, 42L), (1, 3000, 16, 3L))) {
+      val flac = AudioCodec.flacPcmBytes(16000, ch, n, bs, seed)
+      val s = AudioCodec.decodeFlacSamples(flac)
+        .getOrElse(fail(s"decode failed ch=$ch n=$n bs=$bs"))
+      assert((s.sampleRate, s.channels, s.values.length) === (16000, ch, n * ch))
+      var i = 0
+      while (i < s.values.length) {
+        val samp = i / ch; val c = i % ch; val f = samp / bs
+        val expect =
+          if ((f + c) % 3 == 0)
+            (((f * 97L + c * 31L + seed) % 65536L).toInt + 65536) % 65536 - 32768
+          else (((i * 31L + seed) % 65536L).toInt + 65536) % 65536 - 32768
+        assert(s.values(i) === expect, s"value $i (ch=$ch bs=$bs)")
+        i += 1
+      }
+      // the stream is ALSO a valid header for the metadata decoder
+      assert(AudioCodec.decode(flac) ===
+        Some(AudioCodec.Meta("flac", 16000, ch, 16, n.toLong * 1000 / 16000)))
+      // and the expression surface dispatches FLAC after WAV
+      assert(AudioCodec.AudioSampleStatsExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(flac)).eval(null) != null)
+    }
+  }
+
+  test("FLAC frame decode rejects CRC damage, predicted subframes, truncation") {
+    val flac = AudioCodec.flacPcmBytes(8000, 2, 200, 64, 11L)
+    assert(AudioCodec.decodeFlacSamples(flac).isDefined)
+    // find the first frame: the first 0xFF after the metadata blocks
+    var fs = 42 // 4 magic + 4 block header + 34 STREAMINFO
+    assert((flac(fs) & 0xFF) === 0xFF)
+    // flip a bit in the frame-header CRC-8 byte region (byte after the
+    // 16-bit blocksize: sync2+hdr2+num1+bs2 = offset 7 for frame 0)
+    val crcTamper = flac.clone(); crcTamper(fs + 7) = (crcTamper(fs + 7) ^ 1).toByte
+    assert(AudioCodec.decodeFlacSamples(crcTamper).isEmpty)
+    // flip a sample byte -> CRC-16 catches it
+    val dataTamper = flac.clone(); dataTamper(fs + 12) = (dataTamper(fs + 12) ^ 0x40).toByte
+    assert(AudioCodec.decodeFlacSamples(dataTamper).isEmpty)
+    // rewrite the first subframe header as FIXED order 1 (type 001001) —
+    // out of the supported subset, must reject not misparse
+    val fixedType = flac.clone(); fixedType(fs + 8) = 0x12
+    assert(AudioCodec.decodeFlacSamples(fixedType).isEmpty)
+    // truncation anywhere -> None
+    assert(AudioCodec.decodeFlacSamples(flac.take(flac.length - 3)).isEmpty)
+    assert(AudioCodec.decodeFlacSamples(flac.take(50)).isEmpty)
+    // header-only stream (no frames) -> None
+    assert(AudioCodec.decodeFlacSamples(
+      AudioCodec.flacBytes(8000, 2, 16, 200L)).isEmpty)
+    // STREAMINFO totalSamples disagreeing with decoded count -> None
+    // (byte 25 is the low byte of the 36-bit totalSamples field)
+    val wrongTotal = flac.clone(); wrongTotal(25) = (wrongTotal(25) ^ 1).toByte
+    assert(AudioCodec.decodeFlacSamples(wrongTotal).isEmpty)
+  }
+
   test("sample decode rejects non-PCM, wrong depth and truncated data") {
     val good = AudioCodec.wavPcmBytes(8000, 1, 50, 1L)
     assert(AudioCodec.decodeSamples(good).isDefined)

@@ -403,6 +403,7 @@ class MultimodalSpec extends AnyFunSuite {
       ImageCodec.decodePixels(b)
       ImageCodec.decode(b)
       AudioCodec.decodeSamples(b)
+      AudioCodec.decodeFlacSamples(b)
       AudioCodec.decode(b)
     }
     // valid payloads with random single-byte mutations: exercises the
@@ -412,13 +413,15 @@ class MultimodalSpec extends AnyFunSuite {
       ImageCodec.pngPixelBytes(9, 7, 2, 3L),
       ImageCodec.gifPixelBytes(9, 7, 3L),
       JpegCodec.jpegPixelBytes(16, 8, 3, 3L),
-      AudioCodec.wavPcmBytes(8000, 2, 40, 3L))
+      AudioCodec.wavPcmBytes(8000, 2, 40, 3L),
+      AudioCodec.flacPcmBytes(8000, 2, 100, 64, 3L))
     for (base <- seeds; _ <- 1 to 200) {
       val b = base.clone()
       val i = rnd.nextInt(b.length)
       b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
       ImageCodec.decodePixels(b) // must return, not throw/hang
       AudioCodec.decodeSamples(b)
+      AudioCodec.decodeFlacSamples(b)
     }
   }
 
