@@ -189,7 +189,7 @@ object H3Query {
     * polygon <=> center inside and every boundary segment >= safe
     * away — the disk is connected and crosses no ring, so it stays on
     * the center's side). */
-  private def needsRefineFlags(cells: Array[String],
+  private[graft] def needsRefineFlags(cells: Array[String],
       poly: graft.spatial.Geom): Seq[(String, Boolean)] = {
     val rings: Array[Array[Pt]] = poly match {
       case graft.spatial.Poly(rs) => rs
