@@ -165,6 +165,9 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"sf":"$sfDir"}""")
+    // the live-source test servers hold a non-daemon acceptor thread;
+    // without this the JVM (and the driver's harness) would hang on exit
+    graft.queries.LiveSourceQueries.stopServers()
     spark.stop()
   }
 }

@@ -30,7 +30,8 @@ object SparkEntry {
       PipelineQueries.queries ++
       SourceSinkQueries.queries ++
       ConsistencyQueries.queries ++
-      ConsistencyQueries2.queries
+      ConsistencyQueries2.queries ++
+      LiveSourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       PipelineQueries.oracle ++
       SourceSinkQueries.oracle ++
       ConsistencyQueries.oracle ++
-      ConsistencyQueries2.oracle
+      ConsistencyQueries2.oracle ++
+      LiveSourceQueries.oracle
 }

@@ -37,6 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the live-source test servers hold a non-daemon acceptor thread;
+    // without this the JVM (and the driver's harness) would hang on exit
+    graft.queries.LiveSourceQueries.stopServers()
     spark.stop()
   }
 }
