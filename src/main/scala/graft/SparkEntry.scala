@@ -31,7 +31,8 @@ object SparkEntry {
       SourceSinkQueries.queries ++
       ConsistencyQueries.queries ++
       ConsistencyQueries2.queries ++
-      LiveSourceQueries.queries
+      LiveSourceQueries.queries ++
+      SurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       SourceSinkQueries.oracle ++
       ConsistencyQueries.oracle ++
       ConsistencyQueries2.oracle ++
-      LiveSourceQueries.oracle
+      LiveSourceQueries.oracle ++
+      SurfaceQueries.oracle
 }

@@ -156,10 +156,33 @@ object GFunctions {
     reg1("g_centroid_lat", GCentroidLat(_))
     reg1("g_centroid_lng", GCentroidLng(_))
 
+    // pure-Column macros, registered as RAW catalyst expressions (the
+    // Column bridge would wrap unresolved function nodes that codegen
+    // can't compile) so the FULL g_* surface is spark.sql-reachable
+    // (003:98-127)
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Concat,
+      CurrentTimestamp, DateFormatClass, Divide, EqualTo, If, Literal,
+      Md5, RegExpReplace, StringTrim}
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, StringType}
+    def areaHaExpr(e: Expression): Expression =
+      Divide(StArea(e), Literal(10000.0, DoubleType))
+    reg1("g_area_ha", areaHaExpr)
+    reg1("g_clean_text",
+      e => StringTrim(RegExpReplace(e, Literal("\\s+"), Literal(" "))))
+    reg1("g_empty_to_null", e => {
+      val t = StringTrim(e)
+      If(EqualTo(t, Literal("")), Literal(null, StringType), t)
+    })
+    reg1("g_geom_md5", e => Md5(Cast(StAsText(e), BinaryType)))
+    reg1("g_generate_id", e => Md5(Cast(Concat(Seq(
+      Cast(e, StringType), Cast(CurrentTimestamp(), StringType))), BinaryType)))
+    reg1("g_format_date_iso",
+      e => DateFormatClass(e, Literal("yyyy-MM-dd")))
+
     // back-compat unprefixed aliases (003:157-166)
     reg1("validate_geom", GValidateGeom(_))
     reg1("to_wgs84", GToWgs84(_))
-    reg1("area_ha", es => toExpr(g_area_ha(toCol(es))))
+    reg1("area_ha", areaHaExpr)
     reg3("h3_center", H3Center(_, _, _))
     reg2("h3_polygon_cells", H3PolygonCells(_, _))
 

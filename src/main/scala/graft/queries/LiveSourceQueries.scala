@@ -57,7 +57,7 @@ object LiveSourceQueries {
     servers.clear()
   }
 
-  private def wfsServerUrl(s: SparkSession, dir: String): String =
+  private[queries] def serverBaseUrl(s: SparkSession, dir: String): String =
     servers.computeIfAbsent(dir, _ => {
       val tmp = Files.createTempDirectory("graft_wfs")
       Exporters.geojsonSeq(slice(s, dir), tmp.resolve("features").toString)
@@ -88,6 +88,23 @@ object LiveSourceQueries {
           ex.close()
         }
       })
+      // bearer-token endpoint for the Lantmateriet-style source: the
+      // full collection, but ONLY with the right Authorization header
+      server.createContext("/lm", new com.sun.net.httpserver.HttpHandler {
+        def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          val (code, body) =
+            if (!auth.contains("Bearer graft-test-token"))
+              (401, """{"error":"unauthorized"}""")
+            else (200, features
+              .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}"))
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
       // a small DAEMON pool: the distributed reader fetches pages from
       // many executor threads concurrently, and non-daemon workers
       // would pin the JVM open after main() returns
@@ -100,7 +117,7 @@ object LiveSourceQueries {
       starter.setDaemon(true)
       starter.start()
       starter.join()
-      (s"http://127.0.0.1:${server.getAddress.getPort}/wfs", server)
+      (s"http://127.0.0.1:${server.getAddress.getPort}", server)
     })._1
 
   private val httpFetch: String => String =
@@ -168,7 +185,7 @@ object LiveSourceQueries {
     // startIndex pages until the empty page — a dropped or duplicated
     // page breaks the row count and hash.
     "q122_wfs_pagination" -> ((s, dir) => {
-      val url = wfsServerUrl(s, dir)
+      val url = serverBaseUrl(s, dir) + "/wfs"
       val wfs = new Sources.WfsSource(httpFetch)
       digest(wfs.read(s, Map("url" -> url, "count" -> "50")))
     }),
@@ -178,7 +195,7 @@ object LiveSourceQueries {
     // pages fan OUT ACROSS TASKS, each task fetching its own page over
     // a real socket; same digest, so both paths must agree exactly.
     "q123_wfs_dist_fanout" -> ((s, dir) => {
-      val url = wfsServerUrl(s, dir)
+      val url = serverBaseUrl(s, dir) + "/wfs"
       val wfs = new Sources.WfsAutoSource(httpFetch)
       digest(wfs.read(s, Map("url" -> url, "count" -> "40")))
     }),

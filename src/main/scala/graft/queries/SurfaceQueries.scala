@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+import graft.functions.GFunctions
+import graft.functions.GFunctions._
+import graft.pipeline.{Catalog, GeoFixture}
+import graft.sinks.Exporters
+import graft.sources.Sources
+
+/** Driver checks for the remaining spec-only operator surfaces: the
+  * bearer-authenticated REST source (against the live loopback server,
+  * including the 401 path), geometry validation + area macros with
+  * closed-form expectations, the SQL-registered g_* function surface
+  * (spark.sql end to end), HTML map export row conservation, the smart
+  * mart exporter dispatch matrix, and catalog introspection.
+  */
+object SurfaceQueries {
+
+  private def slice(s: SparkSession, dir: String): DataFrame =
+    GeoFixture(s, dir).filter(col("fid") <= 300)
+      .select(col("fid").as("src_fid"), col("name"), col("geom"))
+
+  private def digest(df: DataFrame): DataFrame =
+    df.select(col("src_fid").cast("long").as("fid"),
+      col("name"),
+      md5(st_astext(col("geom")).cast("binary")).as("wkt_md5"))
+      .orderBy("fid")
+
+  private val digestOracle: String =
+    s"""SELECT c_custkey AS fid, c_name AS name, md5(${GeoFixture.wktSql}) AS wkt_md5
+       |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin
+
+  /** Header-capable HTTP fetch; non-200 throws (so the 401 path is a
+    * visible failure, not silent empty data). */
+  private val httpFetchH: (String, Map[String, String]) => String =
+    (u: String, hs: Map[String, String]) => {
+      val conn = new java.net.URL(u).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      hs.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val code = conn.getResponseCode
+      if (code != 200) {
+        conn.disconnect()
+        throw new java.io.IOException(s"HTTP $code for $u")
+      }
+      val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+      try src.mkString finally { src.close(); conn.disconnect() }
+    }
+
+  /** Spark-SQL replay of the fixture WKT (GeoFixture.wktSql is the
+    * DuckDB dialect; this is the same arithmetic in Spark SQL). */
+  private val wktSparkSql: String =
+    """CASE
+      |  WHEN c_custkey % 3 = 0 THEN 'POINT (' || CAST((c_custkey % 31) * 2000 + 560000 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS STRING) || ')'
+      |  WHEN c_custkey % 3 = 1 THEN 'POLYGON ((' || CAST((c_custkey % 31) * 2000 + 560000 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS STRING) || ', ' || CAST((c_custkey % 31) * 2000 + 560800 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS STRING) || ', ' || CAST((c_custkey % 31) * 2000 + 560800 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440800 AS STRING) || ', ' || CAST((c_custkey % 31) * 2000 + 560000 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440800 AS STRING) || ', ' || CAST((c_custkey % 31) * 2000 + 560000 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS STRING) || '))'
+      |  ELSE 'LINESTRING (' || CAST((c_custkey % 31) * 2000 + 560000 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440000 AS STRING) || ', ' || CAST((c_custkey % 31) * 2000 + 561500 AS STRING) || ' ' || CAST((c_custkey * 7) % 23 * 3000 + 6440900 AS STRING) || ')'
+      |END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bearer-authenticated REST source against the live server: the
+    // WRONG token must 401 (require'd), the right token returns the
+    // full layer — hash-matched like every other ingest loop.
+    "q127_lantmateriet_auth" -> ((s, dir) => {
+      val url = LiveSourceQueries.serverBaseUrl(s, dir) + "/lm"
+      val lm = new Sources.LantmaterietSource(httpFetchH)
+      val unauthorized =
+        try { lm.read(s, Map("url" -> url, "token" -> "wrong")); false }
+        catch { case _: java.io.IOException => true }
+      require(unauthorized, "endpoint accepted a bad bearer token")
+      digest(lm.read(s, Map("url" -> url, "token" -> "graft-test-token")))
+    }),
+
+    // Geometry validation + area macros, closed form: fixture shapes
+    // are valid as-is, the 800x800 polygon is exactly 64 ha, point/line
+    // areas are 0; an UNCLOSED 400x400 ring built per row is invalid
+    // as-is, and g_validate_geom's ring-closing repair must yield a
+    // valid polygon of exactly 16 ha. (A zero-signed-area bowtie is
+    // deliberately NOT the probe: that is the documented unfixable
+    // class that validate maps to NULL and stage004 drops.)
+    "q128_validate_area" -> ((s, dir) => {
+      val x0 = (col("src_fid") % 31) * 2000 + 560000
+      val y0 = ((col("src_fid") * 7) % 23) * 3000 + 6440000
+      def ss(c: org.apache.spark.sql.Column) = c.cast("long").cast("string")
+      val open = st_geomfromtext(concat(
+        lit("POLYGON (("),
+        ss(x0), lit(" "), ss(y0), lit(", "),
+        ss(x0 + 400), lit(" "), ss(y0), lit(", "),
+        ss(x0 + 400), lit(" "), ss(y0 + 400), lit(", "),
+        ss(x0), lit(" "), ss(y0 + 400), lit("))")))
+      slice(s, dir)
+        .select(col("src_fid").cast("long").as("fid"),
+          st_isvalid(col("geom")).as("raw_valid"),
+          round(g_area_ha(col("geom")), 6).as("area_ha"),
+          (!st_isvalid(open)).as("open_invalid"),
+          st_isvalid(g_validate_geom(open)).as("fixed_valid"),
+          round(g_area_ha(g_validate_geom(open)), 6).as("fixed_area_ha"))
+        .orderBy("fid")
+    }),
+
+    // The SQL-registered function surface end to end: registerAll puts
+    // the g_*/st_* names into the session FunctionRegistry and a plain
+    // spark.sql text query uses them — text cleanup, null coercion,
+    // date formatting, WKT parse + md5 — hash-matched against DuckDB
+    // replaying each macro.
+    "q129_sql_functions" -> ((s, dir) => {
+      GFunctions.registerAll(s)
+      s.read.parquet(s"$dir/customer.parquet")
+        .createOrReplaceTempView("q129_cust")
+      s.sql(
+        s"""SELECT c_custkey AS fid,
+           |  g_clean_text('  ' || c_name || '   x  ' || c_mktsegment) AS cleaned,
+           |  g_empty_to_null('   ') AS empty_null,
+           |  g_geom_md5(st_geomfromtext($wktSparkSql)) AS wkt_md5,
+           |  g_format_date_iso(DATE'1995-02-03') AS iso
+           |FROM q129_cust
+           |WHERE c_custkey <= 500
+           |ORDER BY fid""".stripMargin)
+    }),
+
+    // HTML map export row conservation: every input feature becomes
+    // exactly one SVG circle and the header states the count — the
+    // export can't silently drop rows.
+    "q130_html_map" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_q130")
+      val path = tmp.resolve("map.html")
+      Exporters.htmlMap(slice(s, dir), path.toString)
+      val html = Files.readString(path)
+      val nCircles = "<circle ".r.findAllIn(html).length.toLong
+      // conservation law: the header's stated feature count must equal
+      // the number of circles actually drawn
+      Seq((nCircles, html.contains(s"($nCircles features"), html.contains("<svg")))
+        .toDF("n_circles", "has_count", "has_svg")
+    }),
+
+    // Smart mart exporter dispatch matrix: geometry table -> parquet +
+    // geojsonl + gpkg + fgb; h3-only table -> parquet + csv; empty
+    // table -> skipped. The geometry table's parquet is read back and
+    // counted, so the dispatch result is also value-checked.
+    "q131_smart_export" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_q131").toString
+      val geo = slice(s, dir)
+      val cells = slice(s, dir).select(col("src_fid"),
+        g_h3_center(g_centroid_lat(col("geom")), g_centroid_lng(col("geom")),
+          lit(8)).as("h3_cell"))
+      val empty = geo.filter(lit(false))
+      val written = Exporters.exportMartTables(
+        Map("geo_t" -> geo, "cells_t" -> cells, "empty_t" -> empty), tmp)
+      val backCounts = Map(
+        "geo_t" -> s.read.parquet(s"$tmp/geo_t.parquet").count(),
+        "cells_t" -> s.read.parquet(s"$tmp/cells_t.parquet").count(),
+        "empty_t" -> -1L)
+      written.toSeq.map { case (t, fmts) =>
+        (t, fmts.mkString("|"), backCounts(t))
+      }.toDF("table_name", "formats", "n_back").orderBy("table_name")
+    }),
+
+    // Catalog introspection over the layered-schema convention: three
+    // prefixed temp views land in the right layers with the right
+    // column/geometry/h3 metadata, in the explorer's layer-priority
+    // order (mart, staging, raw).
+    "q132_catalog" -> ((s, dir) => {
+      import s.implicits._
+      val base = slice(s, dir)
+      base.select(col("src_fid"),
+        g_h3_center(g_centroid_lat(col("geom")), g_centroid_lng(col("geom")),
+          lit(8)).as("h3_cell"))
+        .createOrReplaceTempView("mart_q132cat_h3")
+      base.select("src_fid", "name").createOrReplaceTempView("staging_q132cat")
+      base.createOrReplaceTempView("raw_q132cat")
+      val infos = Catalog.listTables(s).filter(_.name.contains("q132cat"))
+      infos.zipWithIndex.map { case (t, i) =>
+        (t.name, t.schemaLayer, i.toLong, t.columns.length.toLong,
+          t.geometryColumns.mkString("|"), t.hasH3Cell)
+      }.toDF("table_name", "layer", "priority_rank", "n_cols", "geom_cols",
+        "has_h3").orderBy("table_name")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q127_lantmateriet_auth" -> digestOracle,
+    "q128_validate_area" ->
+      """SELECT c_custkey AS fid, true AS raw_valid,
+        |  CAST(CASE WHEN c_custkey % 3 = 1 THEN 64.0 ELSE 0.0 END AS DOUBLE) AS area_ha,
+        |  true AS open_invalid, true AS fixed_valid,
+        |  CAST(16.0 AS DOUBLE) AS fixed_area_ha
+        |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin,
+    "q129_sql_functions" ->
+      s"""SELECT c_custkey AS fid,
+         |  trim(regexp_replace('  ' || c_name || '   x  ' || c_mktsegment, '\\s+', ' ', 'g')) AS cleaned,
+         |  CAST(NULL AS VARCHAR) AS empty_null,
+         |  md5(${GeoFixture.wktSql}) AS wkt_md5,
+         |  '1995-02-03' AS iso
+         |FROM customer WHERE c_custkey <= 500 ORDER BY fid""".stripMargin,
+    "q130_html_map" ->
+      """SELECT CAST(301 AS BIGINT) AS n_circles, true AS has_count,
+        |  true AS has_svg""".stripMargin,
+    // cells_t synthesizes geometry FROM h3_cell (the dispatch's whole
+    // point), so it gets the geo formats AND the h3 csv
+    "q131_smart_export" ->
+      """SELECT 'cells_t' AS table_name, 'parquet|geojsonl|gpkg|fgb|csv' AS formats, CAST(301 AS BIGINT) AS n_back
+        |UNION ALL SELECT 'empty_t', 'skipped:empty', -1
+        |UNION ALL SELECT 'geo_t', 'parquet|geojsonl|gpkg|fgb', 301
+        |ORDER BY table_name""".stripMargin,
+    "q132_catalog" ->
+      """SELECT 'mart_q132cat_h3' AS table_name, 'mart' AS layer,
+        |  CAST(0 AS BIGINT) AS priority_rank, CAST(2 AS BIGINT) AS n_cols,
+        |  '' AS geom_cols, true AS has_h3
+        |UNION ALL SELECT 'raw_q132cat', 'raw', 2, 3, 'geom', false
+        |UNION ALL SELECT 'staging_q132cat', 'staging', 1, 2, '', false
+        |ORDER BY table_name""".stripMargin
+  )
+}
