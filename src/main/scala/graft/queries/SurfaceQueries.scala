@@ -159,6 +159,80 @@ object SurfaceQueries {
       }.toDF("table_name", "formats", "n_back").orderBy("table_name")
     }),
 
+    // CRS transform laws (the TM projection itself is not
+    // SQL-replayable, but its mathematical contract is): the
+    // WGS84<->SWEREF round-trip must return to the original centroid
+    // within 5 mm (measured max over the fixture: 1.7 mm — the inverse
+    // TM iteration's precision), and every fixture centroid must land
+    // inside the Sweden window in WGS84.
+    "q133_crs_roundtrip" -> ((s, dir) => {
+      val rt = g_to_sweref(g_to_wgs84(col("geom")))
+      val lat = g_centroid_lat(col("geom"))
+      val lng = g_centroid_lng(col("geom"))
+      slice(s, dir)
+        .select(col("src_fid").cast("long").as("fid"),
+          (abs(st_x(st_centroid(rt)) - st_x(st_centroid(col("geom")))) < 5e-3 &&
+            abs(st_y(st_centroid(rt)) - st_y(st_centroid(col("geom")))) < 5e-3)
+            .as("roundtrip_ok"),
+          lat.between(57.0, 60.0).as("lat_in_window"),
+          lng.between(15.0, 18.0).as("lng_in_window"))
+        .orderBy("fid")
+    }),
+
+    // Point/line cell laws: the point-cells entry point must agree with
+    // the g_h3_center entry point on the same centroid (two independent
+    // code paths); line corridors are non-empty with every cell at the
+    // requested resolution; polygon polyfills likewise.
+    "q134_cell_entrypoints" -> ((s, dir) => {
+      val pc = g_h3_point_cells(col("geom"), lit(8))
+      val center = g_h3_center(g_centroid_lat(col("geom")),
+        g_centroid_lng(col("geom")), lit(8))
+      val cells = when(st_geometrytype(col("geom")) === "LINESTRING",
+        g_h3_line_cells(col("geom"), lit(100.0), lit(10)))
+        .when(st_geometrytype(col("geom")) === "POLYGON",
+          g_h3_polygon_cells(col("geom"), lit(9)))
+        .otherwise(g_h3_point_cells(col("geom"), lit(9)))
+      slice(s, dir)
+        .select(col("src_fid").cast("long").as("fid"),
+          (size(pc) === 1 && element_at(pc, 1) === center).as("point_cell_ok"),
+          (size(cells) > 0).as("cells_nonempty"),
+          (size(filter(cells,
+            c => h3_resolution(c) === when(
+              st_geometrytype(col("geom")) === "LINESTRING", 10).otherwise(9)))
+            === size(cells)).as("cells_res_ok"))
+        .orderBy("fid")
+    }),
+
+    // The reference's h3_query_table macro (SQL-facing polygon query
+    // over a named table) replayed through the REGISTERED SQL surface:
+    // explode(g_h3_query_cells(wkt)) joined to the index view must
+    // return exactly the programmatic H3Query.objects rows — collected
+    // concurrently, diffed on the driver, pinned at zero rows.
+    "q135_query_table_macro" -> ((s, dir) => {
+      GFunctions.registerAll(s)
+      val idx = GeoQueries.sharedIndex(s, dir)
+      idx.createOrReplaceTempView("q135_index")
+      val wkt = GeoFixture.queryPolygonWkt
+      val viaSql = s.sql(
+        s"""WITH q AS (SELECT explode(g_h3_query_cells('$wkt', 8)) AS q_cell)
+           |SELECT DISTINCT id, dataset_id, leverantor, klass
+           |FROM q135_index i JOIN q ON i.h3_parent_8 = q.q_cell
+           |ORDER BY dataset_id, id""".stripMargin)
+      val viaApi = graft.pipeline.H3Query.objects(s, idx, wkt, res = 8)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fSql = Future(viaSql.collect())
+      val fApi = Future(viaApi.collect())
+      val sqlRows = Await.result(fSql, Duration.Inf).map(_.toSeq).toSet
+      val apiRows = Await.result(fApi, Duration.Inf).map(_.toSeq).toSet
+      val diff = (sqlRows -- apiRows) ++ (apiRows -- sqlRows)
+      s.createDataFrame(
+        java.util.Arrays.asList(diff.toSeq.map(
+          x => org.apache.spark.sql.Row.fromSeq(x)): _*),
+        viaApi.schema)
+    }),
+
     // Catalog introspection over the layered-schema convention: three
     // prefixed temp views land in the right layers with the right
     // column/geometry/h3 metadata, in the explorer's layer-priority
@@ -196,6 +270,18 @@ object SurfaceQueries {
          |  md5(${GeoFixture.wktSql}) AS wkt_md5,
          |  '1995-02-03' AS iso
          |FROM customer WHERE c_custkey <= 500 ORDER BY fid""".stripMargin,
+    "q133_crs_roundtrip" ->
+      """SELECT c_custkey AS fid, true AS roundtrip_ok,
+        |  true AS lat_in_window, true AS lng_in_window
+        |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin,
+    "q134_cell_entrypoints" ->
+      """SELECT c_custkey AS fid, true AS point_cell_ok,
+        |  true AS cells_nonempty, true AS cells_res_ok
+        |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin,
+    "q135_query_table_macro" ->
+      """SELECT CAST(NULL AS VARCHAR) AS id, CAST(NULL AS VARCHAR) AS dataset_id,
+        |  CAST(NULL AS VARCHAR) AS leverantor, CAST(NULL AS VARCHAR) AS klass
+        |WHERE 1=0""".stripMargin,
     "q130_html_map" ->
       """SELECT CAST(301 AS BIGINT) AS n_circles, true AS has_count,
         |  true AS has_svg""".stripMargin,
