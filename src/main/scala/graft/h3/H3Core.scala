@@ -172,20 +172,32 @@ object H3Core {
   private def axialToHex2d(ai: Int, aj: Int): (Double, Double) =
     (ai - 0.5 * aj, aj * Sqrt3_2)
 
-  /** Round fractional hex2d to the nearest lattice cell (cube rounding). */
+  /** Round fractional hex2d to the nearest lattice cell (cube rounding).
+    *
+    * CAUTION on the cube frame: with centers at axialToHex2d =
+    * (ai - aj/2, aj*sqrt3/2) the lattice neighbors are (±1,0), (0,±1)
+    * and ±(1,1) — the aj axis is FLIPPED relative to textbook axial
+    * coordinates (whose third neighbor pair is ±(1,-1)). The cube
+    * coordinates that sum to zero in THIS basis are therefore
+    * (q, r, s) = (ai, -aj, aj - ai). Rounding with the textbook
+    * s = -ai - aj instead mis-assigns boundary points to a center up to
+    * ~1.3x the circumradius away (caught by the q134 law: a point's
+    * assigned cell's boundary polygon did not contain the point). */
   private def hex2dToAxial(x: Double, y: Double): (Int, Int) = {
-    val aj = y / Sqrt3_2
-    val ai = x + 0.5 * aj
-    var q = math.round(ai).toInt
-    var r = math.round(aj).toInt
-    val s0 = -ai - aj
-    var s = math.round(s0).toInt
-    val dq = math.abs(q - ai)
-    val dr = math.abs(r - aj)
+    val ajF = y / Sqrt3_2
+    val aiF = x + 0.5 * ajF
+    val q0 = aiF
+    val r0 = -ajF
+    val s0 = ajF - aiF
+    var q = math.round(q0).toInt
+    var r = math.round(r0).toInt
+    val s = math.round(s0).toInt
+    val dq = math.abs(q - q0)
+    val dr = math.abs(r - r0)
     val ds = math.abs(s - s0)
     if (dq > dr && dq > ds) q = -r - s
     else if (dr > ds) r = -q - s
-    (q, r)
+    (q, -r)
   }
 
   // ------------------------------------------------- index bit layout

@@ -199,8 +199,52 @@ object SurfaceQueries {
           (size(filter(cells,
             c => h3_resolution(c) === when(
               st_geometrytype(col("geom")) === "LINESTRING", 10).otherwise(9)))
-            === size(cells)).as("cells_res_ok"))
+            === size(cells)).as("cells_res_ok"),
+          // the centroid's own cell, materialized as a boundary polygon
+          // (g_h3_cell_to_geom), must contain the centroid it was
+          // derived from — cell-to-geometry and point-to-cell are
+          // mutually consistent
+          st_intersects(g_h3_cell_to_geom(center), st_centroid(col("geom")))
+            .as("cell_contains_centroid"))
         .orderBy("fid")
+    }),
+
+    // Streaming parity: the SAME raw features ingested as a 3-micro-
+    // batch file stream through incrementalMart (foreachBatch running
+    // the batch stage transforms, AvailableNow trigger) must produce
+    // EXACTLY the batch mart's (id, h3_cell) set — require'd — and the
+    // streamed mart's per-klass distinct objects equal the closed-form
+    // customer counts, which DuckDB checks directly.
+    "q136_streaming_mart" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_q136")
+      val src = tmp.resolve("src").toString
+      val mart = tmp.resolve("mart").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val raw = GeoFixture(s, dir).filter(col("fid") <= 150)
+      // three files -> three micro-batches under maxFilesPerTrigger=1
+      for (r <- 0 to 2)
+        raw.filter(col("fid") % 3 === r).coalesce(1)
+          .write.mode("append").parquet(src)
+      val fm = graft.pipeline.FieldMapping(Map(
+        "source_id" -> "$source_id", "klass" -> "$klass_raw",
+        "grupp" -> "fixture", "typ" -> "synthetic",
+        "leverantor" -> "$lev_raw", "data_1" -> "$name"))
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val query = graft.streaming.StreamingOps.incrementalMart(
+        stream, fm, "sdemo", mart, ckpt)
+      query.awaitTermination()
+      val streamed = s.read.parquet(mart)
+      val batch = graft.pipeline.Stages.martH3Cells(
+        graft.pipeline.Stages.normalizeExtRestr(
+          graft.pipeline.Stages.stage004(raw), fm, "sdemo"), "sdemo")
+      val sSet = streamed.select("id", "h3_cell").collect().map(_.toSeq).toSet
+      val bSet = batch.select("id", "h3_cell").collect().map(_.toSeq).toSet
+      require(sSet == bSet,
+        s"streamed mart diverged from batch: ${sSet.size} vs ${bSet.size} pairs")
+      streamed.groupBy("klass")
+        .agg(countDistinct(col("id")).as("n_objects"))
+        .orderBy("klass")
     }),
 
     // The reference's h3_query_table macro (SQL-facing polygon query
@@ -276,8 +320,13 @@ object SurfaceQueries {
         |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin,
     "q134_cell_entrypoints" ->
       """SELECT c_custkey AS fid, true AS point_cell_ok,
-        |  true AS cells_nonempty, true AS cells_res_ok
+        |  true AS cells_nonempty, true AS cells_res_ok,
+        |  true AS cell_contains_centroid
         |FROM customer WHERE c_custkey <= 300 ORDER BY fid""".stripMargin,
+    "q136_streaming_mart" ->
+      """SELECT c_mktsegment AS klass, COUNT(*) AS n_objects
+        |FROM customer WHERE c_custkey <= 150
+        |GROUP BY 1 ORDER BY klass""".stripMargin,
     "q135_query_table_macro" ->
       """SELECT CAST(NULL AS VARCHAR) AS id, CAST(NULL AS VARCHAR) AS dataset_id,
         |  CAST(NULL AS VARCHAR) AS leverantor, CAST(NULL AS VARCHAR) AS klass

@@ -65,6 +65,28 @@ class H3CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("latLngToCell picks the nearest lattice center (cube-rounding law)") {
+    // the assigned cell's center can be at most the circumradius away —
+    // a point at a hexagon corner is equidistant from three centers.
+    // Regression pin for the axial-basis cube-rounding bug (the flipped
+    // aj axis makes the textbook s = -ai - aj the WRONG third cube
+    // coordinate; boundary points then land in a center up to ~1.3x the
+    // circumradius away, i.e. NOT their containing cell).
+    Seq(7, 8, 9, 10).foreach { res =>
+      (1 to 500).foreach { _ =>
+        val (lat, lng) = swedenPoint()
+        val cell = latLngToCell(lat, lng, res)
+        val (clat, clng) = cellToLatLng(cell)
+        val d = haversineRad(lat, lng, clat, clng)
+        val circum = cellToBoundary(cell).map { case (bla, bln) =>
+          haversineRad(clat, clng, bla, bln)
+        }.max
+        assert(d <= circum * 1.0001,
+          s"res $res: assigned center $d rad away, circumradius $circum")
+      }
+    }
+  }
+
   test("distinct points in distinct cells get distinct ids (no collisions)") {
     val res = 9
     val cells = (1 to 5000).map { _ =>
