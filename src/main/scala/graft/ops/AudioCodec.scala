@@ -15,12 +15,15 @@ import graft.functions.GeoExpr
   * Microsoft/IBM spec; FLAC — STREAMINFO metadata block, flac format
   * spec §9), plus FULL sample decode for 16-bit PCM WAV
   * ([[decodeSamples]]: the data chunk is raw interleaved LE int16, no
-  * entropy coding) and for FLAC streams whose subframes are CONSTANT or
-  * VERBATIM ([[decodeFlacSamples]]: real frame-header parse, UTF-8-style
-  * frame numbers, CRC-8 + CRC-16 verification per the flac format spec
-  * §9.1-9.2). FIXED/LPC-predicted subframes (rice-coded residuals)
-  * yield None — that honest limit is documented, not silent. Corrupt or
-  * foreign payloads yield SQL NULL, never fabricated values.
+  * entropy coding) and for FLAC streams ([[decodeFlacSamples]]: real
+  * frame-header parse, UTF-8-style frame numbers, CRC-8 + CRC-16
+  * verification, and ALL subframe types per the flac format spec
+  * §9.1-9.2 — CONSTANT, VERBATIM, FIXED orders 0-4 and LPC, with
+  * rice/escape residual partitions decoded bit-level). The remaining
+  * honest limits: 16-bit independent channels only (stereo
+  * decorrelation and wasted bits yield None, documented not silent).
+  * Corrupt or foreign payloads yield SQL NULL, never fabricated
+  * values.
   *
   * Matching minimal encoders generate valid fixtures with known
   * parameters so oracles can predict every decoded field by arithmetic.
@@ -112,9 +115,9 @@ object AudioCodec {
     * interleaved little-endian int16 — no entropy coding, so the
     * sample layer needs nothing beyond the chunk walk the header
     * decode already does. Non-PCM formats, other bit depths, and any
-    * truncated/malformed chunk layout yield None (FLAC stays
-    * header-only: its frames are rice-coded). A 64 MiB cap bounds
-    * allocation against crafted declared sizes. */
+    * truncated/malformed chunk layout yield None (FLAC payloads are
+    * served by [[decodeFlacSamples]]). A 64 MiB cap bounds allocation
+    * against crafted declared sizes. */
   def decodeSamples(b: Array[Byte]): Option[Samples] = {
     if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
       return None
@@ -204,17 +207,114 @@ object AudioCodec {
     Some((v, nBytes + 1))
   }
 
-  /** REAL FLAC sample decode for the CONSTANT/VERBATIM subframe subset
-    * (flac format spec §9): metadata-block walk, per-frame sync +
-    * header parse (blocksize/rate/channel-assignment/sample-size
-    * codes, UTF-8-style frame number), CRC-8 and CRC-16 VERIFIED, then
-    * one subframe per channel. With 16-bit samples and no wasted bits
-    * both supported subframe types are whole-byte payloads, so the
-    * frame stays byte-aligned throughout — the alignment the encoder
-    * guarantees by construction. Returns interleaved samples like
-    * [[decodeSamples]]. Predicted subframes (FIXED/LPC: rice-coded
-    * residuals), stereo decorrelation, wasted bits, non-16-bit depths
-    * and any CRC/structure violation yield None. */
+  /** MSB-first bit reader over a byte range — FLAC subframes are a bit
+    * stream (predicted subframes are not byte-aligned). Reads return -1
+    * on exhaustion; callers propagate that as a malformed-stream None. */
+  private final class FlacBits(b: Array[Byte], var pos: Int, end: Int) {
+    private var bit = 0
+    def readBit(): Int =
+      if (pos >= end) -1
+      else {
+        val v = (b(pos) >> (7 - bit)) & 1
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        v
+      }
+    /** n in 0..32; returns -1 on exhaustion. */
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val bi = readBit()
+        if (bi < 0) return -1L
+        v = (v << 1) | bi
+        i += 1
+      }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      if (v < 0) return Int.MinValue // sentinel; caller range-checks via ok()
+      ((v << (64 - n)) >> (64 - n)).toInt
+    }
+    /** Count of 0-bits before the next 1-bit; -1 on exhaustion. */
+    def readUnary(): Int = {
+      var q = 0
+      while (true) {
+        val bi = readBit()
+        if (bi < 0) return -1
+        if (bi == 1) return q
+        q += 1
+        if (q > (1 << 20)) return -1 // runaway guard on crafted streams
+      }
+      -1
+    }
+    /** Skip to the next byte boundary (frame padding). */
+    def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    def exhausted: Boolean = pos >= end
+  }
+
+  /** Rice/escape residual block (flac spec §9.2.7): 2-bit method,
+    * 4-bit partition order, per-partition parameter; rice values are
+    * zigzag-folded. Fills out(order until bs); false on malformed. */
+  private def readResiduals(br: FlacBits, bs: Int, order: Int,
+      out: Array[Int]): Boolean = {
+    val method = br.readBits(2)
+    if (method < 0 || method > 1) return false
+    val paramBits = if (method == 0L) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val po = br.readBits(4).toInt
+    if (po < 0) return false
+    val nPart = 1 << po
+    if (bs % nPart != 0) return false
+    var idx = order
+    var p = 0
+    while (p < nPart) {
+      val n = bs / nPart - (if (p == 0) order else 0)
+      if (n < 0) return false
+      val param = br.readBits(paramBits).toInt
+      if (param < 0) return false
+      if (param == escape) {
+        val raw = br.readBits(5).toInt
+        if (raw < 0) return false
+        var i = 0
+        while (i < n) {
+          if (raw == 0) out(idx) = 0
+          else {
+            val v = br.readSigned(raw)
+            if (v == Int.MinValue && raw < 32) return false
+            out(idx) = v
+          }
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = br.readUnary()
+          if (q < 0) return false
+          val low = if (param == 0) 0L else br.readBits(param)
+          if (low < 0) return false
+          val u = (q.toLong << param) | low
+          out(idx) = ((u >>> 1) ^ -(u & 1L)).toInt
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+    true
+  }
+
+  /** REAL FLAC sample decode (flac format spec §9): metadata-block
+    * walk, per-frame sync + header parse (blocksize/rate/channel-
+    * assignment/sample-size codes, UTF-8-style frame numbers), CRC-8
+    * and CRC-16 VERIFIED, then one bit-level subframe per channel —
+    * CONSTANT, VERBATIM, FIXED orders 0-4 (warm-up + rice/escape
+    * residuals + polynomial predictor) and LPC (precision/shift/
+    * coefficients + the same residual block). This covers every
+    * subframe type a conformant encoder can emit for 16-bit
+    * independent-channel streams. Returns interleaved samples like
+    * [[decodeSamples]]. Stereo decorrelation (mid/side), wasted bits,
+    * non-16-bit depths and any CRC/structure violation yield None. */
   def decodeFlacSamples(b: Array[Byte]): Option[Samples] = {
     if (b.length < 42 || ascii(b, 0, 4) != "fLaC") return None
     // metadata block walk (STREAMINFO must be first)
@@ -289,36 +389,91 @@ object AudioCodec {
       if (pos >= b.length) return None
       if (crc8(b, frameStart, pos) != (b(pos) & 0xFF)) return None
       pos += 1
-      // subframes: one per channel, whole-byte with this subset
+      // subframes: one per channel, decoded from the BIT stream
+      val br = new FlacBits(b, pos, b.length)
       val chans = new Array[Array[Int]](ch)
       var c = 0
       while (c < ch) {
-        if (pos >= b.length) return None
-        val sh = b(pos) & 0xFF
-        if ((sh & 0x80) != 0) return None // padding bit must be 0
-        if ((sh & 0x01) != 0) return None // wasted bits: unsupported
-        val stype = (sh >> 1) & 0x3F
-        pos += 1
+        if (br.readBit() != 0) return None // padding bit must be 0
+        val stype = br.readBits(6).toInt
+        if (stype < 0) return None
+        if (br.readBit() != 0) return None // wasted bits: unsupported
         val vals = new Array[Int](bs)
-        stype match {
-          case 0 => // CONSTANT: one 16-bit value for the whole block
-            if (pos + 2 > b.length) return None
-            val v = (b(pos) << 8) | (b(pos + 1) & 0xFF)
-            java.util.Arrays.fill(vals, v)
-            pos += 2
-          case 1 => // VERBATIM: bs unencoded 16-bit samples
-            if (pos + 2L * bs > b.length) return None
-            var i = 0
-            while (i < bs) {
-              vals(i) = (b(pos + 2 * i) << 8) | (b(pos + 2 * i + 1) & 0xFF)
-              i += 1
+        if (stype == 0) { // CONSTANT: one value for the whole block
+          val v = br.readSigned(16)
+          if (v == Int.MinValue) return None
+          java.util.Arrays.fill(vals, v)
+        } else if (stype == 1) { // VERBATIM: bs unencoded samples
+          var i = 0
+          while (i < bs) {
+            val v = br.readSigned(16)
+            if (v == Int.MinValue) return None
+            vals(i) = v
+            i += 1
+          }
+        } else if (stype >= 8 && stype <= 12) { // FIXED, order 0-4
+          val order = stype - 8
+          if (order > bs) return None
+          var i = 0
+          while (i < order) {
+            val v = br.readSigned(16)
+            if (v == Int.MinValue) return None
+            vals(i) = v
+            i += 1
+          }
+          if (!readResiduals(br, bs, order, vals)) return None
+          // polynomial predictors (spec §9.2.5): residual + prediction
+          i = order
+          while (i < bs) {
+            val pred = order match {
+              case 0 => 0
+              case 1 => vals(i - 1)
+              case 2 => 2 * vals(i - 1) - vals(i - 2)
+              case 3 => 3 * vals(i - 1) - 3 * vals(i - 2) + vals(i - 3)
+              case _ => 4 * vals(i - 1) - 6 * vals(i - 2) +
+                4 * vals(i - 3) - vals(i - 4)
             }
-            pos += 2 * bs
-          case _ => return None // FIXED/LPC: rice-coded, out of subset
-        }
+            vals(i) += pred
+            i += 1
+          }
+        } else if (stype >= 32) { // LPC, order 1-32 (spec §9.2.6)
+          val order = stype - 31
+          if (order > bs) return None
+          var i = 0
+          while (i < order) {
+            val v = br.readSigned(16)
+            if (v == Int.MinValue) return None
+            vals(i) = v
+            i += 1
+          }
+          val precM1 = br.readBits(4).toInt
+          if (precM1 < 0 || precM1 == 15) return None // 1111 invalid
+          val precision = precM1 + 1
+          val shift = br.readSigned(5)
+          if (shift < 0) return None // negative shift reserved
+          val coefs = new Array[Int](order)
+          i = 0
+          while (i < order) {
+            val cf = br.readSigned(precision)
+            if (cf == Int.MinValue && precision < 32) return None
+            coefs(i) = cf
+            i += 1
+          }
+          if (!readResiduals(br, bs, order, vals)) return None
+          i = order
+          while (i < bs) {
+            var acc = 0L
+            var j = 0
+            while (j < order) { acc += coefs(j).toLong * vals(i - 1 - j); j += 1 }
+            vals(i) += (acc >> shift).toInt
+            i += 1
+          }
+        } else return None // reserved subframe types
         chans(c) = vals
         c += 1
       }
+      br.align()
+      pos = br.pos
       if (pos + 2 > b.length) return None
       if (crc16(b, frameStart, pos) != be16f(b, pos)) return None
       pos += 2
@@ -449,15 +604,38 @@ object AudioCodec {
     }
   }
 
+  /** MSB-first bit writer for the subframe bit stream. */
+  private final class FlacBitW {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nb = 0
+    def bit(v: Int): Unit = {
+      acc = (acc << 1) | (v & 1)
+      nb += 1
+      if (nb == 8) { buf.write(acc); acc = 0; nb = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def unary(q: Int): Unit = { var i = 0; while (i < q) { bit(0); i += 1 }; bit(1) }
+    def padToByte(): Unit = while (nb != 0) bit(0)
+    def toBytes: Array[Byte] = { padToByte(); buf.toByteArray }
+  }
+
   /** COMPLETE FLAC stream with real audio frames: fixed blocking at
-    * `blockSize`, one independent subframe per channel, the
-    * CONSTANT/VERBATIM mix the decoder supports — frame f, channel c is
-    * CONSTANT when `(f + c) % 3 == 0` (value
-    * `((f*97 + c*31 + seed) mod 65536) - 32768` for the whole block),
-    * VERBATIM otherwise (sample t carries the WAV fixture's pattern at
-    * interleaved position `(f*blockSize + t)*channels + c`). Valid
-    * CRC-8/CRC-16 everywhere, so conformant third-party decoders accept
-    * the stream, and every decoded value is oracle-predictable. */
+    * `blockSize`, one independent subframe per channel, a three-way
+    * subframe mix — frame f, channel c is CONSTANT when
+    * `(f + c) % 3 == 0` (value `((f*97 + c*31 + seed) mod 65536) -
+    * 32768` for the whole block), VERBATIM when `% 3 == 1`, and FIXED
+    * order 2 with rice-coded residuals (partition order 1 when the
+    * block splits, adaptive rice parameter, zigzag folding) when
+    * `% 3 == 2` — the predicted classes carry the SAME deterministic
+    * pattern (sample t = pattern at interleaved position
+    * `(f*blockSize + t)*channels + c`), just entropy-coded, so the
+    * decoded values (and any oracle over them) are identical across
+    * encodings. Valid CRC-8/CRC-16 everywhere, so conformant
+    * third-party decoders accept the stream. */
   def flacPcmBytes(sampleRate: Int, channels: Int, nSamples: Int,
       blockSize: Int, seed: Long): Array[Byte] = {
     val nValsL = nSamples.toLong * channels
@@ -488,23 +666,61 @@ object AudioCodec {
       frame.write(((bs - 1) >> 8) & 0xFF); frame.write((bs - 1) & 0xFF)
       val hdr = frame.toByteArray
       frame.write(crc8(hdr, 0, hdr.length))
+      val bw = new FlacBitW
       var c = 0
       while (c < channels) {
-        if ((f + c) % 3 == 0) {
-          frame.write(0x00) // CONSTANT subframe header
-          val v = constVal(f, c)
-          frame.write((v >> 8) & 0xFF); frame.write(v & 0xFF)
-        } else {
-          frame.write(0x02) // VERBATIM subframe header
-          var t = 0
-          while (t < bs) {
-            val v = pat((done.toLong + t) * channels + c)
-            frame.write((v >> 8) & 0xFF); frame.write(v & 0xFF)
-            t += 1
-          }
+        // a short last frame can't hold order-2 warm-ups: fall back to
+        // verbatim there (same decoded values either way)
+        val cls = if ((f + c) % 3 == 2 && bs < 3) 1 else ((f + c) % 3).toInt
+        (cls: @annotation.switch) match {
+          case 0 =>
+            bw.bits(0x00, 8) // CONSTANT subframe header
+            bw.bits(constVal(f, c).toLong & 0xFFFF, 16)
+          case 1 =>
+            bw.bits(0x02, 8) // VERBATIM subframe header
+            var t = 0
+            while (t < bs) {
+              bw.bits(pat((done.toLong + t) * channels + c).toLong & 0xFFFF, 16)
+              t += 1
+            }
+          case _ =>
+            // FIXED order 2, rice-coded (subframe type 001010)
+            bw.bits(0x14, 8) // 0 | 001010 | 0
+            val a = Array.tabulate(bs)(t =>
+              pat((done.toLong + t) * channels + c))
+            bw.bits(a(0).toLong & 0xFFFF, 16) // warm-up x2
+            bw.bits(a(1).toLong & 0xFFFF, 16)
+            val res = Array.tabulate(bs - 2)(i =>
+              a(i + 2) - 2 * a(i + 1) + a(i))
+            bw.bits(0, 2) // residual method 00 = 4-bit rice
+            val po = if (bs % 2 == 0 && bs / 2 > 2) 1 else 0
+            bw.bits(po, 4)
+            val nPart = 1 << po
+            var p = 0
+            var idx = 0
+            while (p < nPart) {
+              val n = bs / nPart - (if (p == 0) 2 else 0)
+              val part = res.slice(idx, idx + n)
+              val maxU = part.foldLeft(0L) { (m, r) =>
+                math.max(m, (r.toLong << 1) ^ (r.toLong >> 63))
+              }
+              // adaptive parameter: quotients stay small; 14 is the
+              // 4-bit method's max non-escape parameter
+              var k = 0
+              while ((maxU >> k) > 7 && k < 14) k += 1
+              bw.bits(k, 4)
+              part.foreach { r =>
+                val u = (r.toLong << 1) ^ (r.toLong >> 63)
+                bw.unary((u >> k).toInt)
+                if (k > 0) bw.bits(u & ((1L << k) - 1), k)
+              }
+              idx += n
+              p += 1
+            }
         }
         c += 1
       }
+      frame.write(bw.toBytes)
       val body = frame.toByteArray
       val crc = crc16(body, 0, body.length)
       frame.write((crc >> 8) & 0xFF); frame.write(crc & 0xFF)
@@ -551,7 +767,7 @@ object AudioCodec {
   /** audio_sample_stats(payload) -> struct(sample_rate, channels,
     * n_vals, mean_val, sum_sq, checksum) over the FULLY DECODED
     * interleaved PCM values — 16-bit PCM WAV ([[decodeSamples]]) or a
-    * constant/verbatim-subframe FLAC stream ([[decodeFlacSamples]]);
+    * FLAC stream ([[decodeFlacSamples]], all subframe types);
     * NULL for anything else. `sum_sq` is the exact integer energy (no
     * sqrt, so both engines compare exactly); `checksum` is the
     * position-weighted sum — order-sensitive. */
@@ -596,8 +812,8 @@ object AudioCodec {
   }
 
   /** flac_pcm_fixture(rate, channels, n_samples, block_size, seed) ->
-    * complete FLAC bytes with the deterministic constant/verbatim frame
-    * mix of [[flacPcmBytes]]. */
+    * complete FLAC bytes with the deterministic constant/verbatim/
+    * fixed-rice frame mix of [[flacPcmBytes]]. */
   case class FlacPcmFixtureExpr(rate: Expression, channels: Expression,
       nSamples: Expression, blockSize: Expression, seed: Expression)
       extends GeoExpr {

@@ -161,7 +161,7 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("FLAC frame decode rejects CRC damage, predicted subframes, truncation") {
+  test("FLAC frame decode rejects CRC damage, reserved types, truncation") {
     val flac = AudioCodec.flacPcmBytes(8000, 2, 200, 64, 11L)
     assert(AudioCodec.decodeFlacSamples(flac).isDefined)
     // find the first frame: the first 0xFF after the metadata blocks
@@ -174,10 +174,10 @@ class AudioCodecSpec extends AnyFunSuite {
     // flip a sample byte -> CRC-16 catches it
     val dataTamper = flac.clone(); dataTamper(fs + 12) = (dataTamper(fs + 12) ^ 0x40).toByte
     assert(AudioCodec.decodeFlacSamples(dataTamper).isEmpty)
-    // rewrite the first subframe header as FIXED order 1 (type 001001) —
-    // out of the supported subset, must reject not misparse
-    val fixedType = flac.clone(); fixedType(fs + 8) = 0x12
-    assert(AudioCodec.decodeFlacSamples(fixedType).isEmpty)
+    // rewriting the subframe header also breaks the frame CRC-16 —
+    // any header tamper is caught even when the new type is supported
+    val typeTamper = flac.clone(); typeTamper(fs + 8) = 0x12
+    assert(AudioCodec.decodeFlacSamples(typeTamper).isEmpty)
     // truncation anywhere -> None
     assert(AudioCodec.decodeFlacSamples(flac.take(flac.length - 3)).isEmpty)
     assert(AudioCodec.decodeFlacSamples(flac.take(50)).isEmpty)
@@ -188,6 +188,81 @@ class AudioCodecSpec extends AnyFunSuite {
     // (byte 25 is the low byte of the 36-bit totalSamples field)
     val wrongTotal = flac.clone(); wrongTotal(25) = (wrongTotal(25) ^ 1).toByte
     assert(AudioCodec.decodeFlacSamples(wrongTotal).isEmpty)
+  }
+
+  test("FLAC LPC subframe: hand-built stream decodes via coefficient predictor") {
+    // Build a one-frame mono stream by hand: LPC order 1, coefficient
+    // [1], shift 0 -> prediction = previous sample, so sample i =
+    // warmup + sum of residuals. Residuals rice-coded with k=2.
+    val bs = 8
+    val warm = 100
+    val res = Array(3, -2, 5, 0, -7, 4, 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(10) = ((8000 >> 12) & 0xFF).toByte
+    si(11) = ((8000 >> 4) & 0xFF).toByte
+    si(12) = (((8000 & 0x0F) << 4) | (0 << 1) | 0).toByte // mono, bps hi bit 0
+    si(13) = ((15 << 4) | 0).toByte // bps-1 = 15 -> 16 bit
+    si(17) = bs.toByte // totalSamples = 8
+    out.write(si, 0, 34)
+    val frame = new java.io.ByteArrayOutputStream()
+    frame.write(0xFF); frame.write(0xF8)
+    frame.write(0x70) // 16-bit blocksize follows, rate from STREAMINFO
+    frame.write(0x08) // mono, sample size 100 (16-bit), reserved 0
+    frame.write(0)    // frame number 0
+    frame.write(0); frame.write(bs - 1)
+    val hdr = frame.toByteArray
+    // crc8 of the header (reuse the spec's own table-free computation)
+    def crc8(b: Array[Byte]): Int = {
+      var crc = 0
+      b.foreach { x =>
+        crc ^= (x & 0xFF)
+        (0 until 8).foreach { _ =>
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF else (crc << 1) & 0xFF
+        }
+      }
+      crc
+    }
+    frame.write(crc8(hdr))
+    // subframe bits: 0 | 100000 (LPC order 1) | 0, warmup 16b, prec-1
+    // 4b (15 would be invalid; coefficient 1 needs 2 bits -> prec=2),
+    // shift 5b = 0, coef 2b = 01, residual method 00, partition order
+    // 0000, rice param 0010, then zigzag(res) with k=2
+    val bits = new StringBuilder
+    bits.append("0").append("100000").append("0")
+    bits.append(("0000000000000000" + warm.toBinaryString).takeRight(16))
+    bits.append("0001") // precision - 1 = 1 -> 2 bits
+    bits.append("00000") // shift 0
+    bits.append("01") // coefficient +1 in 2-bit two's complement
+    bits.append("00").append("0000").append("0010") // method, po, k=2
+    res.foreach { r =>
+      val u = (r << 1) ^ (r >> 31)
+      bits.append("0" * (u >> 2)).append("1")
+      bits.append(((u & 3) >> 1).toString).append((u & 1).toString)
+    }
+    while (bits.length % 8 != 0) bits.append("0")
+    bits.toString.grouped(8).foreach(g => frame.write(Integer.parseInt(g, 2)))
+    val body = frame.toByteArray
+    def crc16(b: Array[Byte]): Int = {
+      var crc = 0
+      b.foreach { x =>
+        crc ^= (x & 0xFF) << 8
+        (0 until 8).foreach { _ =>
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+            else (crc << 1) & 0xFFFF
+        }
+      }
+      crc
+    }
+    val c16 = crc16(body)
+    frame.write((c16 >> 8) & 0xFF); frame.write(c16 & 0xFF)
+    out.write(frame.toByteArray)
+    val s = AudioCodec.decodeFlacSamples(out.toByteArray)
+      .getOrElse(fail("LPC stream did not decode"))
+    val expect = res.scanLeft(warm)(_ + _)
+    assert(s.values.toSeq === expect.toSeq)
   }
 
   test("sample decode rejects non-PCM, wrong depth and truncated data") {
