@@ -19,9 +19,11 @@ import graft.functions.GeoExpr
   * frame-header parse, UTF-8-style frame numbers, CRC-8 + CRC-16
   * verification, and ALL subframe types per the flac format spec
   * §9.1-9.2 — CONSTANT, VERBATIM, FIXED orders 0-4 and LPC, with
-  * rice/escape residual partitions decoded bit-level). The remaining
-  * honest limits: 16-bit independent channels only (stereo
-  * decorrelation and wasted bits yield None, documented not silent).
+  * rice/escape residual partitions decoded bit-level, and all three
+  * stereo decorrelation modes — left/side, right/side, mid/side —
+  * with the side channel's extra bit). The remaining honest limits:
+  * 16-bit depth only; wasted bits yield None (documented not
+  * silent).
   * Corrupt or foreign payloads yield SQL NULL, never fabricated
   * values.
   *
@@ -359,7 +361,12 @@ object AudioCodec {
       val chAssign = (b(pos + 3) & 0xF0) >> 4
       val ssCode = (b(pos + 3) & 0x0E) >> 1
       if ((b(pos + 3) & 0x01) != 0) return None // reserved bit
-      if (chAssign > 7 || chAssign + 1 != ch) return None // indep. channels only
+      // 0-7 = independent channels; 8/9/10 = left/side, right/side,
+      // mid/side stereo decorrelation (spec §9.1.3) — 2 channels, with
+      // the SIDE subframe carrying one extra bit per sample
+      val decorrelated = chAssign >= 8 && chAssign <= 10
+      if (decorrelated) { if (ch != 2) return None }
+      else if (chAssign > 7 || chAssign + 1 != ch) return None
       if (ssCode != 4 && ssCode != 0) return None // 16-bit (or via STREAMINFO)
       pos += 4
       val (_, numLen) = readUtf8Coded(b, pos) match {
@@ -398,15 +405,23 @@ object AudioCodec {
         val stype = br.readBits(6).toInt
         if (stype < 0) return None
         if (br.readBit() != 0) return None // wasted bits: unsupported
+        // the side channel of a decorrelated pair is one bit wider
+        // (its values span the difference range): LS/MS -> subframe 1,
+        // RS -> subframe 0
+        val sbps =
+          if (chAssign == 8 && c == 1) 17
+          else if (chAssign == 9 && c == 0) 17
+          else if (chAssign == 10 && c == 1) 17
+          else 16
         val vals = new Array[Int](bs)
         if (stype == 0) { // CONSTANT: one value for the whole block
-          val v = br.readSigned(16)
+          val v = br.readSigned(sbps)
           if (v == Int.MinValue) return None
           java.util.Arrays.fill(vals, v)
         } else if (stype == 1) { // VERBATIM: bs unencoded samples
           var i = 0
           while (i < bs) {
-            val v = br.readSigned(16)
+            val v = br.readSigned(sbps)
             if (v == Int.MinValue) return None
             vals(i) = v
             i += 1
@@ -416,7 +431,7 @@ object AudioCodec {
           if (order > bs) return None
           var i = 0
           while (i < order) {
-            val v = br.readSigned(16)
+            val v = br.readSigned(sbps)
             if (v == Int.MinValue) return None
             vals(i) = v
             i += 1
@@ -441,7 +456,7 @@ object AudioCodec {
           if (order > bs) return None
           var i = 0
           while (i < order) {
-            val v = br.readSigned(16)
+            val v = br.readSigned(sbps)
             if (v == Int.MinValue) return None
             vals(i) = v
             i += 1
@@ -471,6 +486,27 @@ object AudioCodec {
         } else return None // reserved subframe types
         chans(c) = vals
         c += 1
+      }
+      // undo stereo decorrelation (spec §4.2 / libFLAC reconstruction)
+      if (decorrelated) {
+        val a0 = chans(0); val a1 = chans(1)
+        var i = 0
+        while (i < bs) {
+          chAssign match {
+            case 8 => // left/side: L = a0, R = L - side
+              a1(i) = a0(i) - a1(i)
+            case 9 => // right/side: R = a1, L = R + side
+              val side = a0(i)
+              a0(i) = a1(i) + side
+            case _ => // mid/side
+              val side = a1(i)
+              var mid = a0(i) << 1
+              mid |= (side & 1)
+              a0(i) = (mid + side) >> 1
+              a1(i) = (mid - side) >> 1
+          }
+          i += 1
+        }
       }
       br.align()
       pos = br.pos
@@ -658,17 +694,45 @@ object AudioCodec {
     var done = 0
     while (done < nSamples) {
       val bs = math.min(blockSize, nSamples - done)
+      // stereo frames where BOTH channels carry the verbatim pattern
+      // ((f+0)%3==1, (f+1)%3==2) are emitted DECORRELATED, cycling
+      // left/side, right/side, mid/side — the reconstructed values are
+      // the same pattern, so every oracle over the output is unchanged
+      val decorrMode: Option[Int] =
+        if (channels == 2 && f % 3 == 1 && bs >= 1) Some(((f / 3) % 3).toInt)
+        else None
       val frame = new java.io.ByteArrayOutputStream()
       frame.write(0xFF); frame.write(0xF8) // sync + fixed blocking
       frame.write(0x70) // blocksize code 7 (16-bit follows), rate from STREAMINFO
-      frame.write(((channels - 1) << 4) | 0x08) // independent, 16-bit (code 100)
+      val chAssignByte = decorrMode match {
+        case Some(m) => ((8 + m) << 4) | 0x08 // LS/RS/MS, 16-bit code
+        case None => ((channels - 1) << 4) | 0x08 // independent, 16-bit
+      }
+      frame.write(chAssignByte)
       writeUtf8Coded(frame, f)
       frame.write(((bs - 1) >> 8) & 0xFF); frame.write((bs - 1) & 0xFF)
       val hdr = frame.toByteArray
       frame.write(crc8(hdr, 0, hdr.length))
       val bw = new FlacBitW
+      decorrMode.foreach { m =>
+        // decorrelated frame: two VERBATIM subframes; the side channel
+        // is 17 bits wide (spec §9.1.3)
+        val left = Array.tabulate(bs)(t => pat((done.toLong + t) * 2))
+        val right = Array.tabulate(bs)(t => pat((done.toLong + t) * 2 + 1))
+        val side = Array.tabulate(bs)(t => left(t) - right(t))
+        val subs: Seq[(Array[Int], Int)] = m match {
+          case 0 => Seq((left, 16), (side, 17))
+          case 1 => Seq((side, 17), (right, 16))
+          case _ => Seq((Array.tabulate(bs)(t =>
+            (left(t) + right(t)) >> 1), 16), (side, 17))
+        }
+        subs.foreach { case (vals, width) =>
+          bw.bits(0x02, 8) // VERBATIM subframe header
+          vals.foreach(v => bw.bits(v.toLong & ((1L << width) - 1), width))
+        }
+      }
       var c = 0
-      while (c < channels) {
+      while (decorrMode.isEmpty && c < channels) {
         // a short last frame can't hold order-2 warm-ups: fall back to
         // verbatim there (same decoded values either way)
         val cls = if ((f + c) % 3 == 2 && bs < 3) 1 else ((f + c) % 3).toInt

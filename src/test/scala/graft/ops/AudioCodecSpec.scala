@@ -136,8 +136,12 @@ class AudioCodecSpec extends AnyFunSuite {
     // nSamples not a multiple of blockSize -> exercises the short last
     // frame; mono and stereo; multi-byte UTF-8 frame numbers need >127
     // frames (tiny blockSize keeps that cheap)
+    // the (2, 600, 32, _) case spans 19 frames, reaching all three
+    // stereo decorrelation modes (f=1 left/side, f=4 right/side,
+    // f=7 mid/side) as well as the constant/verbatim/fixed-rice mix
     for ((ch, n, bs, seed) <- Seq(
-        (1, 300, 64, 7L), (2, 250, 64, 42L), (1, 3000, 16, 3L))) {
+        (1, 300, 64, 7L), (2, 250, 64, 42L), (1, 3000, 16, 3L),
+        (2, 600, 32, 9L))) {
       val flac = AudioCodec.flacPcmBytes(16000, ch, n, bs, seed)
       val s = AudioCodec.decodeFlacSamples(flac)
         .getOrElse(fail(s"decode failed ch=$ch n=$n bs=$bs"))
