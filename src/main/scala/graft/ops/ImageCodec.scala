@@ -960,6 +960,22 @@ object ImageCodec {
     toCol(JpegPixelFixtureExpr(toExpr(channels), toExpr(width), toExpr(height),
       toExpr(seed)))
 
+  /** jpeg420_pixel_fixture(width, height, seed) -> complete 4:2:0
+    * SUBSAMPLED color JPEG ([[JpegCodec.jpegPixelBytes420]]:
+    * macroblock-constant pattern, losslessly decodable). */
+  case class Jpeg420FixtureExpr(wpx: Expression, hpx: Expression,
+      seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(wpx, hpx, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      JpegCodec.jpegPixelBytes420(int(a(0)), int(a(1)), lng(a(2)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(wpx = c(0), hpx = c(1), seed = c(2))
+  }
+
+  def jpeg420_pixel_fixture(width: Column, height: Column, seed: Column): Column =
+    toCol(Jpeg420FixtureExpr(toExpr(width), toExpr(height), toExpr(seed)))
+
   def png_pixel_fixture(colorType: Column, width: Column, height: Column,
       seed: Column): Column =
     toCol(PngPixelFixtureExpr(toExpr(colorType), toExpr(width), toExpr(height),

@@ -1,14 +1,16 @@
 package graft.ops
 
 /** Pure-JVM baseline JPEG pixel codec (ITU-T T.81): sequential DCT,
-  * 8-bit precision, Huffman entropy coding, 1x1 sampling (grayscale or
-  * YCbCr 4:4:4). The DECODER is the general article — segment walk,
+  * 8-bit precision, Huffman entropy coding, arbitrary sampling factors
+  * (grayscale, YCbCr 4:4:4, and SUBSAMPLED 4:2:0/4:2:2 via the
+  * generalized interleaved-MCU walk with nearest-sample chroma
+  * upsampling). The DECODER is the general article — segment walk,
   * DQT/DHT/SOF0/DRI/SOS parsing, MSB-first bit reader with 0xFF00
   * unstuffing and RSTn handling, canonical Huffman decode, coefficient
   * EXTEND (F.2.2.1), zigzag + dequantization, separable IDCT, YCbCr ->
-  * RGB. Subsampled (4:2:0/4:2:2), progressive and arithmetic-coded
-  * streams yield None (documented partial support), as does any
-  * malformed stream — never a throw.
+  * RGB. Progressive and arithmetic-coded streams yield None
+  * (documented limits), as does any malformed stream — never a
+  * throw.
   *
   * The ENCODER is fixture-grade by design: block-constant images
   * (every 8x8 block one value) have only a DC coefficient, and with
@@ -214,8 +216,12 @@ object JpegCodec {
               val samp = b(o + 1) & 0xFF
               Component(b(o) & 0xFF, samp >> 4, samp & 0x0F, b(o + 2) & 0xFF)
             }
-            // 1x1 sampling only (4:4:4 / grayscale)
-            if (comps.exists(c => c.hSamp != 1 || c.vSamp != 1)) return None
+            // sampling factors 1-4 with the spec's <=10 blocks/MCU cap
+            // (T.81 B.2.2); 4:2:0 / 4:2:2 decode via the generalized
+            // MCU walk below
+            if (comps.exists(c => c.hSamp < 1 || c.hSamp > 4 ||
+              c.vSamp < 1 || c.vSamp > 4)) return None
+            if (comps.map(c => c.hSamp * c.vSamp).sum > 10) return None
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
             return None // non-baseline frame types unsupported
@@ -257,11 +263,22 @@ object JpegCodec {
       if (c.dcId > 3 || c.acId > 3) return None
       if (dcT(c.dcId) == null || acT(c.acId) == null) return None
     }
-    val mcusX = (width + 7) / 8
-    val mcusY = (height + 7) / 8
+    // generalized interleaved-MCU geometry (T.81 A.2.3): an MCU spans
+    // 8*Hmax x 8*Vmax pixels and carries hSamp x vSamp blocks per
+    // component; each component keeps its own block-grid plane
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val bw = comps.map(c => mcusX * c.hSamp)
+    val bh = comps.map(c => mcusY * c.vSamp)
+    var planeBytes = 0L
+    var ci = 0
+    while (ci < n) { planeBytes += bw(ci).toLong * bh(ci) * 64; ci += 1 }
+    if (planeBytes > (128L << 20)) return None
     // byte planes: values are clamped to 0..255 anyway, and Int planes
     // would quadruple the decoded-size cap the other decoders enforce
-    val planes = Array.fill(n)(new Array[Byte](mcusX * mcusY * 64))
+    val planes = Array.tabulate(n)(c => new Array[Byte](bw(c) * bh(c) * 64))
     val br = new BitReader(b, scanStart)
     val pred = new Array[Int](n)
     val coef = new Array[Int](64)
@@ -274,72 +291,91 @@ object JpegCodec {
         if (!br.restart()) return None
         java.util.Arrays.fill(pred, 0)
       }
+      val mcuX = mcu % mcusX
+      val mcuY = mcu / mcusX
       var c = 0
       while (c < n) {
         val comp = comps(c)
         val q = quant(comp.quantId)
-        java.util.Arrays.fill(coef, 0)
-        // DC
-        val s = dcT(comp.dcId).decode(br)
-        if (s < 0 || s > 11) return None
-        val diffBits = if (s == 0) 0 else br.bits(s)
-        if (diffBits < 0) return None
-        pred(c) += extend(diffBits, s)
-        // T.81 F.1.1.5.1: for 8-bit precision the reconstructed DC lives
-        // in the 12-bit range — a stream that drives |pred| past 2048 is
-        // malformed, and an unbounded Int accumulator would otherwise
-        // overflow (~1M max-category diffs) into silent garbage output
-        if (pred(c) < -2048 || pred(c) > 2048) return None
-        coef(0) = pred(c) * q(0)
-        // AC
-        var k = 1
-        var eob = false
-        while (!eob && k < 64) {
-          val rs = acT(comp.acId).decode(br)
-          if (rs < 0) return None
-          val run = rs >> 4
-          val size = rs & 0x0F
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true
-          } else {
-            k += run
-            if (k > 63) return None
-            val vb = br.bits(size)
-            if (vb < 0) return None
-            coef(Zigzag(k)) = extend(vb, size) * q(k)
-            k += 1
+        var byy = 0
+        while (byy < comp.vSamp) {
+          var bxx = 0
+          while (bxx < comp.hSamp) {
+            java.util.Arrays.fill(coef, 0)
+            // DC
+            val s = dcT(comp.dcId).decode(br)
+            if (s < 0 || s > 11) return None
+            val diffBits = if (s == 0) 0 else br.bits(s)
+            if (diffBits < 0) return None
+            pred(c) += extend(diffBits, s)
+            // T.81 F.1.1.5.1: for 8-bit precision the reconstructed DC
+            // lives in the 12-bit range — a stream that drives |pred|
+            // past 2048 is malformed, and an unbounded Int accumulator
+            // would otherwise overflow into silent garbage output
+            if (pred(c) < -2048 || pred(c) > 2048) return None
+            coef(0) = pred(c) * q(0)
+            // AC
+            var k = 1
+            var eob = false
+            while (!eob && k < 64) {
+              val rs = acT(comp.acId).decode(br)
+              if (rs < 0) return None
+              val run = rs >> 4
+              val size = rs & 0x0F
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += run
+                if (k > 63) return None
+                val vb = br.bits(size)
+                if (vb < 0) return None
+                coef(Zigzag(k)) = extend(vb, size) * q(k)
+                k += 1
+              }
+            }
+            // IDCT (separable, double precision)
+            idct(coef, block, idctTmp)
+            val blockIdx = (mcuY * comp.vSamp + byy) * bw(c) +
+              (mcuX * comp.hSamp + bxx)
+            val base = blockIdx * 64
+            var p = 0
+            while (p < 64) {
+              val v = math.round(block(p) + 128.0).toInt
+              planes(c)(base + p) =
+                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              p += 1
+            }
+            bxx += 1
           }
-        }
-        // IDCT (separable, double precision)
-        idct(coef, block, idctTmp)
-        val base = mcu * 64
-        var p = 0
-        while (p < 64) {
-          val v = math.round(block(p) + 128.0).toInt
-          planes(c)(base + p) =
-            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-          p += 1
+          byy += 1
         }
         c += 1
       }
       mcu += 1
     }
-    // assemble: MCU-major planes -> row-major interleaved pixels
+    // assemble: per-component block planes -> row-major interleaved
+    // pixels; subsampled components upsample by sample replication
+    // (nearest), the standard box reconstruction
+    def sampleAt(c: Int, x: Int, y: Int): Int = {
+      val comp = comps(c)
+      val sx = x * comp.hSamp / hMax
+      val sy = y * comp.vSamp / vMax
+      val blockIdx = (sy >> 3) * bw(c) + (sx >> 3)
+      planes(c)(blockIdx * 64 + ((sy & 7) << 3) + (sx & 7)) & 0xFF
+    }
     val out = new Array[Byte](width * height * n)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val mcuIdx = (y / 8) * mcusX + (x / 8)
-        val inBlock = (y % 8) * 8 + (x % 8)
         val o = (y * width + x) * n
         if (n == 1) {
-          out(o) = planes(0)(mcuIdx * 64 + inBlock)
+          out(o) = sampleAt(0, x, y).toByte
         } else {
-          val yy = planes(0)(mcuIdx * 64 + inBlock) & 0xFF
-          val cb = (planes(1)(mcuIdx * 64 + inBlock) & 0xFF) - 128
-          val cr = (planes(2)(mcuIdx * 64 + inBlock) & 0xFF) - 128
+          val yy = sampleAt(0, x, y)
+          val cb = sampleAt(1, x, y) - 128
+          val cr = sampleAt(2, x, y) - 128
           def clamp(d: Double): Byte = {
             val v = math.round(d).toInt
             (if (v < 0) 0 else if (v > 255) 255 else v).toByte
@@ -491,6 +527,114 @@ object JpegCodec {
       by += 1
     }
     if (nAcc > 0) { // pad final byte with 1s (spec F.1.2.3)
+      val pad = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      val byte = (pad & 0xFF).toInt
+      bits.write(byte)
+      if (byte == 0xFF) bits.write(0x00)
+    }
+    val stream = bits.toByteArray
+    out.write(stream, 0, stream.length)
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** COMPLETE 4:2:0 SUBSAMPLED color JPEG: Y at 2x2 sampling, Cb/Cr at
+    * 1x1, so each interleaved MCU carries 4 luma + 2 chroma blocks over
+    * a 16x16 pixel macroblock — the layout virtually every camera/web
+    * encoder emits. Each 16x16 macroblock is CONSTANT (value
+    * `(tile*31 + seed) mod 256`, neutral chroma), so all four luma
+    * blocks are DC-only, the chroma DCs are zero, and with the DC
+    * quantizer at 8 the decode is LOSSLESS: decoded RGB = (v, v, v)
+    * exactly, every pixel oracle-predictable. Dimensions must be
+    * multiples of 16. */
+  def jpegPixelBytes420(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0,
+      "fixture dimensions must be positive multiples of 16")
+    require(width.toLong * height * 3 <= (64L << 20),
+      s"pixel fixture ${width}x$height exceeds the 64 MiB cap")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    m(0xD8) // SOI
+    m(0xDB); be16(2 + 1 + 64); out.write(0x00)
+    out.write(8)
+    var k = 1
+    while (k < 64) { out.write(16); k += 1 }
+    // SOF0: Y 2x2, Cb 1x1, Cr 1x1 — all on quant table 0
+    m(0xC0); be16(8 + 9)
+    out.write(8); be16(height); be16(width); out.write(3)
+    out.write(1); out.write(0x22); out.write(0)
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    // DHT: same fixture tables as the 4:4:4 encoder
+    m(0xC4); be16(2 + (17 + 12) + (17 + 1))
+    out.write(0x00)
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12
+    dcCounts.foreach(out.write)
+    (0 to 11).foreach(out.write)
+    out.write(0x10)
+    val acCounts = new Array[Int](16); acCounts(0) = 1
+    acCounts.foreach(out.write)
+    out.write(0x00)
+    // SOS
+    m(0xDA); be16(6 + 6)
+    out.write(3)
+    (1 to 3).foreach { id => out.write(id); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    def putBits(v: Int, n2: Int): Unit = {
+      var i = n2 - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) {
+          val byte = (acc & 0xFF).toInt
+          bits.write(byte)
+          if (byte == 0xFF) bits.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a > 0) { a >>= 1; s += 1 }
+      s
+    }
+    def putDc(diff: Int): Unit = {
+      val s = category(diff)
+      putBits(s, 4)
+      if (s > 0) {
+        val db = if (diff < 0) diff + (1 << s) - 1 else diff
+        putBits(db, s)
+      }
+      putBits(0, 1) // EOB
+    }
+    val mcusX = width / 16
+    val mcusY = height / 16
+    val pred = new Array[Int](3)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        val v = (((my * mcusX + mx) * 31L + seed) & 0xFF).toInt
+        // four Y blocks, all the same constant tile value
+        var blk = 0
+        while (blk < 4) {
+          val dc = v - 128
+          putDc(dc - pred(0)); pred(0) = dc
+          blk += 1
+        }
+        // Cb then Cr, neutral
+        putDc(0 - pred(1)); pred(1) = 0
+        putDc(0 - pred(2)); pred(2) = 0
+        mx += 1
+      }
+      my += 1
+    }
+    if (nAcc > 0) {
       val pad = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
       val byte = (pad & 0xFF).toInt
       bits.write(byte)

@@ -342,6 +342,28 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL 4:2:0 SUBSAMPLED JPEG decode end-to-end: the interleaved-MCU
+    // layout virtually every camera/web encoder emits (4 luma + 2
+    // chroma blocks per 16x16 macroblock). The macroblock-constant
+    // fixture decodes LOSSLESSLY (DC-only blocks, neutral chroma), so
+    // DuckDB predicts every decoded pixel exactly while the decoder
+    // exercises the full generalized MCU walk + chroma upsampling.
+    "q137_jpeg420_pixels" -> ((s, dir) => {
+      val w = (lit(16) * (lit(1) + col("doc_id") % 3)).cast("int")
+      val h = (lit(16) * (lit(1) + col("doc_id") % 2)).cast("int")
+      docs(s, dir)
+        .withColumn("st", ImageCodec.image_pixel_stats(
+          ImageCodec.jpeg420_pixel_fixture(w, h, col("doc_id"))))
+        .select(col("doc_id"),
+          col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_bytes").as("n_bytes"),
+          col("st.pix_mean").as("pix_mean"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -516,6 +538,26 @@ object DedupQueries {
          |  CAST(ch * ch * (SELECT sum(p * ($v)) FROM range(512) r(p) WHERE p < w * h)
          |     + ch * (ch - 1) // 2
          |       * (SELECT sum($v) FROM range(512) r(p) WHERE p < w * h) AS BIGINT) AS checksum
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    // Decoded 4:2:0 pixel (x, y) carries its 16x16 MACROBLOCK's
+    // constant value (tile*31 + doc_id) mod 256 on all three channels;
+    // same checksum shape as q120 with ch = 3 and 16-pixel tiles.
+    "q137_jpeg420_pixels" -> {
+      val v = "((((p // w) // 16) * (w // 16) + (p % w) // 16) * 31 + doc_id) % 256"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         16 * (1 + doc_id % 3) AS w,
+         |         16 * (1 + doc_id % 2) AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(3 AS INTEGER) AS channels,
+         |  CAST(w * h * 3 AS BIGINT) AS n_bytes,
+         |  CAST((SELECT sum($v) FROM range(2048) r(p) WHERE p < w * h) AS DOUBLE)
+         |    / (w * h) AS pix_mean,
+         |  CAST(9 * (SELECT sum(p * ($v)) FROM range(2048) r(p) WHERE p < w * h)
+         |     + 3 * (SELECT sum($v) FROM range(2048) r(p) WHERE p < w * h) AS BIGINT) AS checksum
          |FROM t ORDER BY doc_id""".stripMargin
     },
     // Frame f's pattern value at pixel i is (i*31 + doc_id + f*97) mod

@@ -338,6 +338,23 @@ class MultimodalSpec extends AnyFunSuite {
       ImageCodec.decodePixelsGif(anim).get.data.toSeq))
   }
 
+  test("4:2:0 subsampled JPEG decode: lossless on macroblock-constant fixtures") {
+    for ((w, h, seed) <- Seq((16, 16, 0L), (32, 16, 5L), (48, 32, 42L))) {
+      val jpg = JpegCodec.jpegPixelBytes420(w, h, seed)
+      val p = ImageCodec.decodePixels(jpg).getOrElse(fail(s"decode failed ${w}x$h"))
+      assert((p.width, p.height, p.channels) === (w, h, 3))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val tile = (y / 16) * (w / 16) + x / 16
+        val exp = ((tile * 31L + seed) & 0xFF).toInt
+        assert((p.data((y * w + x) * 3 + c) & 0xFF) === exp,
+          s"pixel ($x,$y,$c) seed $seed")
+      }
+    }
+    // truncation/garbage still reject
+    val good = JpegCodec.jpegPixelBytes420(32, 16, 3L)
+    assert(JpegCodec.decodePixels(good.take(good.length - 5)).isEmpty)
+  }
+
   test("baseline JPEG decode: lossless on block-constant fixtures") {
     for ((ch, w, h, seed) <- Seq((1, 16, 8, 5L), (3, 24, 16, 42L), (3, 8, 8, 0L))) {
       val jpg = JpegCodec.jpegPixelBytes(w, h, ch, seed)
@@ -413,6 +430,7 @@ class MultimodalSpec extends AnyFunSuite {
       ImageCodec.pngPixelBytes(9, 7, 2, 3L),
       ImageCodec.gifPixelBytes(9, 7, 3L),
       JpegCodec.jpegPixelBytes(16, 8, 3, 3L),
+      JpegCodec.jpegPixelBytes420(32, 16, 3L),
       AudioCodec.wavPcmBytes(8000, 2, 40, 3L),
       AudioCodec.flacPcmBytes(8000, 2, 100, 64, 3L))
     for (base <- seeds; _ <- 1 to 200) {
