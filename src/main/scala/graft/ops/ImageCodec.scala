@@ -17,10 +17,11 @@ import graft.functions.GeoExpr
   * inflate via the JDK's zlib + all five scanline filter inversions,
   * RFC 2083 §6), GIF ([[decodePixelsGif]]: from-scratch LZW per GIF89a
   * appendix F + palette resolution, animated frames included), and
-  * baseline JPEG ([[JpegCodec.decodePixels]]: from-scratch Huffman +
+  * JPEG ([[JpegCodec.decodePixels]]: from-scratch Huffman +
   * differential DC + dequant + IDCT + YCbCr transform per T.81;
-  * sequential 8-bit 1x1-sampling streams — subsampled/progressive
-  * yield None). No external image library anywhere. Corrupt or foreign
+  * baseline with arbitrary sampling factors AND progressive multi-scan
+  * streams — only arithmetic-coded yields None). No external image
+  * library anywhere. Corrupt or foreign
   * payloads yield SQL NULL instead of fabricated values.
   *
   * The matching minimal encoders exist so fixtures can generate valid
@@ -975,6 +976,25 @@ object ImageCodec {
 
   def jpeg420_pixel_fixture(width: Column, height: Column, seed: Column): Column =
     toCol(Jpeg420FixtureExpr(toExpr(width), toExpr(height), toExpr(seed)))
+
+  /** jpeg_prog_pixel_fixture(channels, width, height, seed) -> complete
+    * PROGRESSIVE (SOF2) JPEG ([[JpegCodec.jpegPixelBytesProg]]:
+    * block-constant pattern over DC-first + DC-refine + per-component
+    * AC scans, losslessly decodable). */
+  case class JpegProgFixtureExpr(channels: Expression, wpx: Expression,
+      hpx: Expression, seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(channels, wpx, hpx, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      JpegCodec.jpegPixelBytesProg(int(a(1)), int(a(2)), int(a(0)), lng(a(3)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(channels = c(0), wpx = c(1), hpx = c(2), seed = c(3))
+  }
+
+  def jpeg_prog_pixel_fixture(channels: Column, width: Column,
+      height: Column, seed: Column): Column =
+    toCol(JpegProgFixtureExpr(toExpr(channels), toExpr(width), toExpr(height),
+      toExpr(seed)))
 
   def png_pixel_fixture(colorType: Column, width: Column, height: Column,
       seed: Column): Column =

@@ -8,9 +8,12 @@ package graft.ops
   * DQT/DHT/SOF0/DRI/SOS parsing, MSB-first bit reader with 0xFF00
   * unstuffing and RSTn handling, canonical Huffman decode, coefficient
   * EXTEND (F.2.2.1), zigzag + dequantization, separable IDCT, YCbCr ->
-  * RGB. Progressive and arithmetic-coded streams yield None
-  * (documented limits), as does any malformed stream — never a
-  * throw.
+  * RGB. PROGRESSIVE (SOF2) streams decode too: per-component
+  * coefficient buffers accumulate across scans (spectral selection +
+  * successive approximation, DC and AC first/refine passes with
+  * EOB-run accounting per T.81 G.2), dequantized and IDCT'd at EOI.
+  * Only arithmetic-coded streams yield None (documented limit), as
+  * does any malformed stream — never a throw.
   *
   * The ENCODER is fixture-grade by design: block-constant images
   * (every 8x8 block one value) have only a DC coefficient, and with
@@ -156,13 +159,25 @@ object JpegCodec {
     var width = -1; var height = -1
     var comps: Array[Component] = null
     var restartInterval = 0
+    var progressive = false
+    // progressive state: per-component coefficient buffers accumulated
+    // across scans, dequantized + IDCT'd only at EOI (T.81 G)
+    var pCoefs: Array[Array[Int]] = null
+    var pBw: Array[Int] = null; var pBh: Array[Int] = null
+    var pHMax = 1; var pVMax = 1
+    var sawProgScan = false
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if ((b(i) & 0xFF) != 0xFF) return None
       if ((b(i + 1) & 0xFF) == 0xFF) { i += 1 }
       else {
         val marker = b(i + 1) & 0xFF
-        if (marker == 0xD9) return None // EOI before scan
+        if (marker == 0xD9) { // EOI
+          if (!progressive || !sawProgScan) return None
+          return finalizeProgressive(width, height, comps, quant,
+            pCoefs, pBw, pBh, pHMax, pVMax)
+        }
+        if (i + 4 > b.length) return None // all other markers carry a length
         val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
         if (len < 2 || i + 2 + len > b.length) return None
         val seg = i + 4
@@ -201,7 +216,8 @@ object JpegCodec {
               if (tc == 0) dcTables(th) = h else acTables(th) = h
               p += 17 + total
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if (len < 8) return None
             if ((b(seg) & 0xFF) != 8) return None // 8-bit precision
             height = ((b(seg + 1) & 0xFF) << 8) | (b(seg + 2) & 0xFF)
@@ -222,33 +238,365 @@ object JpegCodec {
             if (comps.exists(c => c.hSamp < 1 || c.hSamp > 4 ||
               c.vSamp < 1 || c.vSamp > 4)) return None
             if (comps.map(c => c.hSamp * c.vSamp).sum > 10) return None
-          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+            if (progressive) {
+              pHMax = comps.map(_.hSamp).max
+              pVMax = comps.map(_.vSamp).max
+              val mcusX = (width + 8 * pHMax - 1) / (8 * pHMax)
+              val mcusY = (height + 8 * pVMax - 1) / (8 * pVMax)
+              pBw = comps.map(c => mcusX * c.hSamp)
+              pBh = comps.map(c => mcusY * c.vSamp)
+              var total = 0L
+              var ci = 0
+              while (ci < n) { total += pBw(ci).toLong * pBh(ci) * 64; ci += 1 }
+              if (total * 4 > (256L << 20)) return None
+              pCoefs = Array.tabulate(n)(c => new Array[Int](pBw(c) * pBh(c) * 64))
+            }
+          case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // non-baseline frame types unsupported
+            return None // other frame types (arithmetic etc.) unsupported
           case 0xDD => // DRI
             if (len != 4) return None
             restartInterval = ((b(seg) & 0xFF) << 8) | (b(seg + 1) & 0xFF)
           case 0xDA => // SOS: entropy-coded data follows
             if (comps == null || seg >= segEnd || segEnd > b.length) return None
-            val n = b(seg) & 0xFF
-            if (n != comps.length || seg + 1 + 2 * n + 3 > segEnd) return None
-            var k = 0
-            while (k < n) {
-              val cid = b(seg + 1 + 2 * k) & 0xFF
-              val tbl = b(seg + 2 + 2 * k) & 0xFF
-              val comp = comps.find(_.id == cid).getOrElse(return None)
-              comp.dcId = tbl >> 4
-              comp.acId = tbl & 0x0F
-              k += 1
+            if (!progressive) {
+              val n = b(seg) & 0xFF
+              if (n != comps.length || seg + 1 + 2 * n + 3 > segEnd) return None
+              var k = 0
+              while (k < n) {
+                val cid = b(seg + 1 + 2 * k) & 0xFF
+                val tbl = b(seg + 2 + 2 * k) & 0xFF
+                val comp = comps.find(_.id == cid).getOrElse(return None)
+                comp.dcId = tbl >> 4
+                comp.acId = tbl & 0x0F
+                k += 1
+              }
+              return decodeScan(b, segEnd, width, height, comps, quant,
+                dcTables, acTables, restartInterval)
+            } else {
+              decodeProgScan(b, seg, segEnd, width, height, comps,
+                dcTables, acTables, restartInterval,
+                pCoefs, pBw, pBh, pHMax, pVMax) match {
+                case Some(nextPos) =>
+                  sawProgScan = true
+                  i = nextPos
+                case None => return None
+              }
             }
-            return decodeScan(b, segEnd, width, height, comps, quant,
-              dcTables, acTables, restartInterval)
           case _ => () // APPn/COM/etc: skip
         }
-        i += 2 + len
+        if (!(progressive && marker == 0xDA)) i += 2 + len
       }
     }
     None
+  }
+
+  /** One progressive scan (T.81 G.2): spectral selection [Ss, Se] at
+    * successive-approximation stage Ah -> Al, accumulating into the
+    * coefficient buffers. Returns the position of the next marker's
+    * 0xFF after the scan's entropy data, or None on malformed input. */
+  private def decodeProgScan(b: Array[Byte], seg: Int, segEnd: Int,
+      width: Int, height: Int, comps: Array[Component],
+      dcT: Array[Huff], acT: Array[Huff], restartInterval: Int,
+      coefs: Array[Array[Int]], bw: Array[Int], bh: Array[Int],
+      hMax: Int, vMax: Int): Option[Int] = {
+    val ns = b(seg) & 0xFF
+    if (ns < 1 || ns > comps.length || seg + 1 + 2 * ns + 3 > segEnd)
+      return None
+    val scanIdx = new Array[Int](ns)
+    var k = 0
+    while (k < ns) {
+      val cid = b(seg + 1 + 2 * k) & 0xFF
+      val tbl = b(seg + 2 + 2 * k) & 0xFF
+      val ci = comps.indexWhere(_.id == cid)
+      if (ci < 0 || (tbl >> 4) > 3 || (tbl & 0x0F) > 3) return None
+      comps(ci).dcId = tbl >> 4
+      comps(ci).acId = tbl & 0x0F
+      scanIdx(k) = ci
+      k += 1
+    }
+    val ss = b(seg + 1 + 2 * ns) & 0xFF
+    val se = b(seg + 2 + 2 * ns) & 0xFF
+    val ahAl = b(seg + 3 + 2 * ns) & 0xFF
+    val ah = ahAl >> 4
+    val al = ahAl & 0x0F
+    if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 13) return None
+    val isDc = ss == 0
+    if (isDc && se != 0) return None // DC scans carry only coef 0
+    if (!isDc && ns != 1) return None // AC scans are non-interleaved
+    if (ah != 0 && ah != al + 1) return None // approximation steps by 1
+    val br = new BitReader(b, segEnd)
+    var eobrun = 0
+    val pred = new Array[Int](comps.length)
+
+    // ---- per-block decoders -----------------------------------------
+    def dcFirst(ci: Int, blockIdx: Int): Boolean = {
+      val t = dcT(comps(ci).dcId)
+      if (t == null) return false
+      val s = t.decode(br)
+      if (s < 0 || s > 11) return false
+      val diffBits = if (s == 0) 0 else br.bits(s)
+      if (diffBits < 0) return false
+      pred(ci) += extend(diffBits, s)
+      if (pred(ci) < -2048 || pred(ci) > 2048) return false
+      coefs(ci)(blockIdx * 64) = pred(ci) << al
+      true
+    }
+    def dcRefine(ci: Int, blockIdx: Int): Boolean = {
+      val bit = br.bit()
+      if (bit < 0) return false
+      if (bit == 1) coefs(ci)(blockIdx * 64) |= (1 << al)
+      true
+    }
+    def acFirst(ci: Int, blockIdx: Int): Boolean = {
+      val co = coefs(ci)
+      val base = blockIdx * 64
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var kk = ss
+      while (kk <= se) {
+        val rs = acT(comps(ci).acId) match {
+          case null => return false
+          case t => t.decode(br)
+        }
+        if (rs < 0) return false
+        val r = rs >> 4
+        val s = rs & 0x0F
+        if (s == 0) {
+          if (r == 15) { kk += 16 } // ZRL
+          else {
+            val extra = if (r == 0) 0 else br.bits(r)
+            if (extra < 0) return false
+            eobrun = (1 << r) - 1 + extra
+            return true
+          }
+        } else {
+          kk += r
+          if (kk > se) return false
+          val vb = br.bits(s)
+          if (vb < 0) return false
+          co(base + Zigzag(kk)) = extend(vb, s) << al
+          kk += 1
+        }
+      }
+      true
+    }
+    def acRefine(ci: Int, blockIdx: Int): Boolean = {
+      // T.81 G.2.2 correction-bit pass (the libjpeg AC_refine shape)
+      val co = coefs(ci)
+      val base = blockIdx * 64
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var kk = ss
+      if (eobrun == 0) {
+        var break = false
+        while (kk <= se && !break) {
+          val t = acT(comps(ci).acId)
+          if (t == null) return false
+          val rs = t.decode(br)
+          if (rs < 0) return false
+          var r = rs >> 4
+          val s = rs & 0x0F
+          var newval = 0
+          if (s != 0) {
+            if (s != 1) return false // refinement codes only +-1
+            val sb = br.bit()
+            if (sb < 0) return false
+            newval = if (sb == 1) p1 else m1
+          } else if (r != 15) {
+            // refine-scan EOB runs COUNT the current block (its
+            // remaining correction bits are handled below, then the
+            // run is decremented) — unlike first-scan runs
+            val extra = if (r == 0) 0 else br.bits(r)
+            if (extra < 0) return false
+            eobrun = (1 << r) + extra
+            break = true
+          }
+          if (!break) {
+            // advance past r zero-history coefficients, emitting
+            // correction bits for every nonzero coefficient passed
+            var placed = false
+            while (kk <= se && !placed) {
+              val idx = base + Zigzag(kk)
+              if (co(idx) != 0) {
+                val cb = br.bit()
+                if (cb < 0) return false
+                if (cb == 1 && (co(idx) & p1) == 0)
+                  co(idx) += (if (co(idx) >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newval != 0) co(idx) = newval
+                  placed = true
+                } else r -= 1
+              }
+              kk += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // inside an EOB run: still emit correction bits for the
+        // remaining nonzero coefficients of this block
+        while (kk <= se) {
+          val idx = base + Zigzag(kk)
+          if (co(idx) != 0) {
+            val cb = br.bit()
+            if (cb < 0) return false
+            if (cb == 1 && (co(idx) & p1) == 0)
+              co(idx) += (if (co(idx) >= 0) p1 else m1)
+          }
+          kk += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def decodeBlock(ci: Int, blockIdx: Int): Boolean =
+      if (isDc) { if (ah == 0) dcFirst(ci, blockIdx) else dcRefine(ci, blockIdx) }
+      else { if (ah == 0) acFirst(ci, blockIdx) else acRefine(ci, blockIdx) }
+
+    // ---- traversal ---------------------------------------------------
+    var unit = 0
+    var nUnits = 0
+    def maybeRestart(): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!br.restart()) return false
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      true
+    }
+    if (isDc && ns > 1) {
+      // interleaved DC scan: MCU walk with sampling factors
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      nUnits = mcusX * mcusY
+      while (unit < nUnits) {
+        if (!maybeRestart()) return None
+        val mcuX = unit % mcusX
+        val mcuY = unit / mcusX
+        var si = 0
+        while (si < ns) {
+          val ci = scanIdx(si)
+          val comp = comps(ci)
+          var byy = 0
+          while (byy < comp.vSamp) {
+            var bxx = 0
+            while (bxx < comp.hSamp) {
+              val blockIdx = (mcuY * comp.vSamp + byy) * bw(ci) +
+                (mcuX * comp.hSamp + bxx)
+              if (!decodeBlock(ci, blockIdx)) return None
+              bxx += 1
+            }
+            byy += 1
+          }
+          si += 1
+        }
+        unit += 1
+      }
+    } else {
+      // non-interleaved: raster walk over the component's OWN block
+      // grid (ceil of its scaled dimensions — the interleaved grid's
+      // edge padding blocks are NOT coded, T.81 A.2.2)
+      val ci = scanIdx(0)
+      val comp = comps(ci)
+      val compW = (width * comp.hSamp + hMax - 1) / hMax
+      val compH = (height * comp.vSamp + vMax - 1) / vMax
+      val nbx = (compW + 7) / 8
+      val nby = (compH + 7) / 8
+      nUnits = nbx * nby
+      while (unit < nUnits) {
+        if (!maybeRestart()) return None
+        val bx = unit % nbx
+        val by = unit / nbx
+        if (!decodeBlock(ci, by * bw(ci) + bx)) return None
+        unit += 1
+      }
+    }
+    // skip to the next marker (pad bits, stuffing and RSTn are part of
+    // the entropy stream; anything else is the next segment)
+    var p = br.pos
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xFF) == 0xFF) {
+        val m = b(p + 1) & 0xFF
+        if (m == 0x00) p += 2
+        else if (m >= 0xD0 && m <= 0xD7) p += 2
+        else if (m == 0xFF) p += 1
+        else return Some(p)
+      } else p += 1
+    }
+    None
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * assemble pixels (same plane layout + upsampling as the baseline
+    * path). */
+  private def finalizeProgressive(width: Int, height: Int,
+      comps: Array[Component], quant: Array[Array[Int]],
+      coefs: Array[Array[Int]], bw: Array[Int], bh: Array[Int],
+      hMax: Int, vMax: Int): Option[Pixels] = {
+    if (comps == null || coefs == null) return None
+    val n = comps.length
+    for (c <- comps)
+      if (c.quantId > 3 || quant(c.quantId) == null) return None
+    val planes = Array.tabulate(n)(c => new Array[Byte](bw(c) * bh(c) * 64))
+    val deq = new Array[Int](64)
+    val block = new Array[Double](64)
+    val idctTmp = new Array[Double](64)
+    var c = 0
+    while (c < n) {
+      val q = quant(comps(c).quantId)
+      val co = coefs(c)
+      val nBlocks = bw(c) * bh(c)
+      var bi = 0
+      while (bi < nBlocks) {
+        val base = bi * 64
+        // progressive buffers store coefficients in BLOCK order but
+        // quant tables index in zigzag order: map through Zigzag
+        var z = 0
+        while (z < 64) { deq(Zigzag(z)) = co(base + Zigzag(z)) * q(z); z += 1 }
+        idct(deq, block, idctTmp)
+        var p = 0
+        while (p < 64) {
+          val v = math.round(block(p) + 128.0).toInt
+          planes(c)(base + p) =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          p += 1
+        }
+        bi += 1
+      }
+      c += 1
+    }
+    def sampleAt(ci: Int, x: Int, y: Int): Int = {
+      val comp = comps(ci)
+      val sx = x * comp.hSamp / hMax
+      val sy = y * comp.vSamp / vMax
+      val blockIdx = (sy >> 3) * bw(ci) + (sx >> 3)
+      planes(ci)(blockIdx * 64 + ((sy & 7) << 3) + (sx & 7)) & 0xFF
+    }
+    val out = new Array[Byte](width * height * n)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * n
+        if (n == 1) out(o) = sampleAt(0, x, y).toByte
+        else {
+          val yy = sampleAt(0, x, y)
+          val cb = sampleAt(1, x, y) - 128
+          val cr = sampleAt(2, x, y) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(Pixels(width, height, n, out))
   }
 
   private def decodeScan(b: Array[Byte], scanStart: Int, width: Int,
@@ -642,6 +990,166 @@ object JpegCodec {
     }
     val stream = bits.toByteArray
     out.write(stream, 0, stream.length)
+    m(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** COMPLETE PROGRESSIVE (SOF2) JPEG: the same block-constant pattern
+    * as [[jpegPixelBytes]], but spread across 2 + channels scans the
+    * way real progressive encoders stage them —
+    *
+    *   1. interleaved DC first scan at successive-approximation
+    *      Al=1 (each block's DC arrives with its low bit missing),
+    *   2. a DC refinement scan (Ah=1, Al=0) delivering that low bit,
+    *   3. one non-interleaved AC first scan per component (Ss=1,
+    *      Se=63) whose entire payload is a single EOB run covering
+    *      every block (all ACs are genuinely zero).
+    *
+    * Because the DC quantizer is 8 and the refinement restores the
+    * exact low bit, decode is LOSSLESS: pixel (x, y) = the block
+    * constant `(block*31 + seed) mod 256` on every channel, so a SQL
+    * oracle predicts every byte while the decoder exercises dcFirst,
+    * dcRefine, acFirst EOB-run accounting and the multi-scan
+    * coefficient accumulation. Dimensions must be multiples of 8. */
+  def jpegPixelBytesProg(width: Int, height: Int, channels: Int,
+      seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      "fixture dimensions must be positive multiples of 8")
+    require(channels == 1 || channels == 3, s"channels must be 1 or 3")
+    require(width.toLong * height * channels <= (64L << 20),
+      s"pixel fixture ${width}x$height exceeds the 64 MiB cap")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int): Unit = { out.write(0xFF); out.write(marker) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    m(0xD8) // SOI
+    m(0xDB); be16(2 + 1 + 64); out.write(0x00)
+    out.write(8)
+    var k = 1
+    while (k < 64) { out.write(16); k += 1 }
+    // SOF2 (progressive), all components 1x1 on quant table 0
+    m(0xC2); be16(8 + 3 * channels)
+    out.write(8); be16(height); be16(width); out.write(channels)
+    var c = 0
+    while (c < channels) {
+      out.write(c + 1); out.write(0x11); out.write(0)
+      c += 1
+    }
+    // DHT: DC table 0 = categories 0..11 as 4-bit codes; AC table 0 =
+    // the fifteen EOBRUN symbols EOB0..EOB14 (r<<4) as 4-bit codes,
+    // canonical order => symbol r<<4 gets code value r at length 4
+    m(0xC4); be16(2 + (17 + 12) + (17 + 15))
+    out.write(0x00)
+    val dcCounts = new Array[Int](16); dcCounts(3) = 12
+    dcCounts.foreach(out.write)
+    (0 to 11).foreach(out.write)
+    out.write(0x10)
+    val acCounts = new Array[Int](16); acCounts(3) = 15
+    acCounts.foreach(out.write)
+    (0 to 14).foreach(r => out.write(r << 4))
+
+    // per-scan entropy buffer with byte stuffing + 1-padding
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    def putBits(v: Int, n2: Int): Unit = {
+      var i = n2 - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) {
+          val byte = (acc & 0xFF).toInt
+          bits.write(byte)
+          if (byte == 0xFF) bits.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = {
+      if (nAcc > 0) {
+        val pad = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+        val byte = (pad & 0xFF).toInt
+        bits.write(byte)
+        if (byte == 0xFF) bits.write(0x00)
+        acc = 0; nAcc = 0
+      }
+      val stream = bits.toByteArray
+      out.write(stream, 0, stream.length)
+      bits.reset()
+    }
+    def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a > 0) { a >>= 1; s += 1 }
+      s
+    }
+    def sosHeader(compIds: Seq[Int], ss: Int, se: Int, ah: Int,
+        al: Int): Unit = {
+      m(0xDA); be16(6 + 2 * compIds.length)
+      out.write(compIds.length)
+      compIds.foreach { id => out.write(id); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    val blocksX = width / 8
+    val blocksY = height / 8
+    val nBlocks = blocksX * blocksY
+    def dcq(bx: Int, by: Int, comp: Int): Int =
+      if (comp == 0) (((by * blocksX + bx) * 31L + seed) & 0xFF).toInt - 128
+      else 0 // neutral chroma
+
+    // ---- scan 1: DC first, Al=1 (values arrive >> 1, diff-coded) ----
+    sosHeader((1 to channels), ss = 0, se = 0, ah = 0, al = 1)
+    val pred = new Array[Int](channels)
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        c = 0
+        while (c < channels) {
+          val v1 = dcq(bx, by, c) >> 1 // arithmetic: T.81 G.1.2.1
+          val diff = v1 - pred(c)
+          pred(c) = v1
+          val s = category(diff)
+          putBits(s, 4)
+          if (s > 0) {
+            val db = if (diff < 0) diff + (1 << s) - 1 else diff
+            putBits(db, s)
+          }
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    flushScan()
+    // ---- scan 2: DC refinement, Ah=1 Al=0 (the missing low bit) ----
+    sosHeader((1 to channels), ss = 0, se = 0, ah = 1, al = 0)
+    by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        c = 0
+        while (c < channels) {
+          putBits(dcq(bx, by, c) & 1, 1)
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    flushScan()
+    // ---- scans 3..: per-component AC first scan, one EOB run -------
+    c = 0
+    while (c < channels) {
+      sosHeader(Seq(c + 1), ss = 1, se = 63, ah = 0, al = 0)
+      // single EOBn covering all nBlocks blocks: run = 2^r - 1 + extra
+      // ends the current block plus `run` more
+      var r = 0
+      while ((1 << (r + 1)) <= nBlocks) r += 1
+      putBits(r, 4) // AC code for symbol r<<4
+      if (r > 0) putBits(nBlocks - (1 << r), r)
+      flushScan()
+      c += 1
+    }
     m(0xD9) // EOI
     out.toByteArray
   }

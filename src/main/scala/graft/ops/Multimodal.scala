@@ -103,7 +103,7 @@ object Multimodal {
     ImageCodec.image_resize_png(payload, outW, outH)
 
   /** STUB resize for genuinely opaque payloads with no in-JVM pixel
-    * decoder (video containers, progressive/subsampled JPEG):
+    * decoder (video containers, arithmetic-coded JPEG):
     * byte-range truncation preserving the binary-in/binary-out
     * contract. Decodable formats use [[resizePng]] instead. */
   def resizeStub(payload: Column, maxBytes: Int): Column =

@@ -317,6 +317,30 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PROGRESSIVE (SOF2) JPEG decode end-to-end: DC-first scan at
+    // successive approximation Al=1, a DC refinement scan restoring
+    // the low bit, and one AC first scan (a single EOB run) per
+    // component — the multi-scan staging every web progressive encoder
+    // emits. The block-constant fixture decodes LOSSLESSLY, so the
+    // same closed-form oracle as q120 predicts every pixel while the
+    // decoder exercises coefficient accumulation across scans.
+    "q138_jpeg_prog_pixels" -> ((s, dir) => {
+      val ch = (lit(1) + (col("doc_id") % 2) * 2).cast("int")
+      val w = (lit(8) * (lit(1) + col("doc_id") % 3)).cast("int")
+      val h = (lit(8) * (lit(1) + col("doc_id") % 2)).cast("int")
+      docs(s, dir)
+        .withColumn("st", ImageCodec.image_pixel_stats(
+          ImageCodec.jpeg_prog_pixel_fixture(ch, w, h, col("doc_id"))))
+        .select(col("doc_id"),
+          col("st.width").as("width"),
+          col("st.height").as("height"),
+          col("st.channels").as("channels"),
+          col("st.n_bytes").as("n_bytes"),
+          col("st.pix_mean").as("pix_mean"),
+          col("st.checksum").as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // REAL FLAC frame decode end-to-end: encode a complete multi-frame
     // FLAC stream per doc (fixed 64-sample blocking, valid CRC-8/16,
     // frame f x channel c is a CONSTANT subframe when (f+c)%3==0 and
@@ -522,6 +546,28 @@ object DedupQueries {
     // channels; byte-stream checksum = ch^2 * sum(p*v) +
     // ch*(ch-1)/2 * sum(v) over pixel positions.
     "q120_jpeg_pixels" -> {
+      val v = "((((p // w) // 8) * (w // 8) + (p % w) // 8) * 31 + doc_id) % 256"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         8 * (1 + doc_id % 3) AS w,
+         |         8 * (1 + doc_id % 2) AS h,
+         |         1 + 2 * (doc_id % 2) AS ch
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(ch AS INTEGER) AS channels,
+         |  CAST(w * h * ch AS BIGINT) AS n_bytes,
+         |  CAST((SELECT sum($v) FROM range(512) r(p) WHERE p < w * h) AS DOUBLE)
+         |    / (w * h) AS pix_mean,
+         |  CAST(ch * ch * (SELECT sum(p * ($v)) FROM range(512) r(p) WHERE p < w * h)
+         |     + ch * (ch - 1) // 2
+         |       * (SELECT sum($v) FROM range(512) r(p) WHERE p < w * h) AS BIGINT) AS checksum
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    // Progressive decode reconstructs the SAME image as q120's
+    // baseline fixture (identical block-constant pattern, DC split
+    // across first+refine scans), so the closed form is identical.
+    "q138_jpeg_prog_pixels" -> {
       val v = "((((p // w) // 8) * (w // 8) + (p % w) // 8) * 31 + doc_id) % 256"
       s"""WITH t AS (
          |  SELECT doc_id,

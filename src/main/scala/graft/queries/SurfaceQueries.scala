@@ -332,14 +332,15 @@ object SurfaceQueries {
         |  CAST(NULL AS VARCHAR) AS leverantor, CAST(NULL AS VARCHAR) AS klass
         |WHERE 1=0""".stripMargin,
     "q130_html_map" ->
-      """SELECT CAST(301 AS BIGINT) AS n_circles, true AS has_count,
-        |  true AS has_svg""".stripMargin,
+      """SELECT (SELECT count(*) FROM customer WHERE c_custkey <= 300) AS n_circles,
+        |  true AS has_count, true AS has_svg""".stripMargin,
     // cells_t synthesizes geometry FROM h3_cell (the dispatch's whole
     // point), so it gets the geo formats AND the h3 csv
     "q131_smart_export" ->
-      """SELECT 'cells_t' AS table_name, 'parquet|geojsonl|gpkg|fgb|csv' AS formats, CAST(301 AS BIGINT) AS n_back
-        |UNION ALL SELECT 'empty_t', 'skipped:empty', -1
-        |UNION ALL SELECT 'geo_t', 'parquet|geojsonl|gpkg|fgb', 301
+      """WITH n AS (SELECT count(*) AS c FROM customer WHERE c_custkey <= 300)
+        |SELECT 'cells_t' AS table_name, 'parquet|geojsonl|gpkg|fgb|csv' AS formats, c AS n_back FROM n
+        |UNION ALL SELECT 'empty_t', 'skipped:empty', CAST(-1 AS BIGINT)
+        |UNION ALL SELECT 'geo_t', 'parquet|geojsonl|gpkg|fgb', c FROM n
         |ORDER BY table_name""".stripMargin,
     "q132_catalog" ->
       """SELECT 'mart_q132cat_h3' AS table_name, 'mart' AS layer,

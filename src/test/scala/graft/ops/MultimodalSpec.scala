@@ -411,6 +411,127 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive JPEG decode: lossless on multi-scan fixtures") {
+    for ((ch, w, h, seed) <- Seq((1, 16, 8, 5L), (3, 24, 16, 42L), (3, 8, 8, 0L))) {
+      val jpg = JpegCodec.jpegPixelBytesProg(w, h, ch, seed)
+      val meta = ImageCodec.decode(jpg).getOrElse(fail("header decode failed"))
+      assert((meta.format, meta.width, meta.height) === ("jpeg", w, h))
+      val p = JpegCodec.decodePixels(jpg).getOrElse(fail(s"decode failed $ch"))
+      assert((p.width, p.height, p.channels) === (w, h, ch))
+      val blocksX = w / 8
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+        val v = ((((y / 8) * blocksX + (x / 8)) * 31L + seed) & 0xFF).toInt
+        assert((p.data((y * w + x) * ch + c) & 0xFF) === v,
+          s"pixel ($x,$y,$c) ch=$ch seed=$seed")
+      }
+    }
+    // truncation still rejects (EOI never reached -> no finalize)
+    val good = JpegCodec.jpegPixelBytesProg(16, 8, 3, 7L)
+    assert(JpegCodec.decodePixels(good.take(good.length - 3)).isEmpty)
+  }
+
+  test("progressive JPEG: AC first + refinement scans match the baseline decode") {
+    // DIFFERENTIAL oracle: one 8x8 grayscale block with quantized
+    // coefficients DC=-3, zigzag1=+5, zigzag5=-2, encoded once as a
+    // baseline stream and once as four progressive scans (DC first at
+    // Al=1, DC refine, AC first at Al=1, AC refine with buffered
+    // correction bits after an EOB run). Both must decode to EXACTLY
+    // the same pixels — pinning the successive-approximation
+    // accumulation (magnitude-shift AC convention, two's-complement
+    // DC convention) against the plain path, IDCT included.
+    final class BW {
+      val bb = new java.io.ByteArrayOutputStream()
+      private var acc = 0L; private var n = 0
+      def put(v: Int, nb: Int): Unit = {
+        var i = nb - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1); n += 1
+          if (n == 8) {
+            val b = (acc & 0xFF).toInt
+            bb.write(b); if (b == 0xFF) bb.write(0x00)
+            acc = 0; n = 0
+          }
+          i -= 1
+        }
+      }
+      def flush(): Array[Byte] = {
+        if (n > 0) {
+          val b = (((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF).toInt
+          bb.write(b); if (b == 0xFF) bb.write(0x00)
+          acc = 0; n = 0
+        }
+        bb.toByteArray
+      }
+    }
+    // shared AC table: symbols [EOB, 0x02, 0x03, 0x31, 0x32] at 4-bit
+    // canonical codes 0..4
+    def header(sofMarker: Int): java.io.ByteArrayOutputStream = {
+      val out = new java.io.ByteArrayOutputStream()
+      def m2(mk: Int): Unit = { out.write(0xFF); out.write(mk) }
+      def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      m2(0xD8)
+      m2(0xDB); be16(67); out.write(0)
+      (0 until 64).foreach(_ => out.write(16))
+      m2(sofMarker); be16(11); out.write(8); be16(8); be16(8); out.write(1)
+      out.write(1); out.write(0x11); out.write(0)
+      m2(0xC4); be16(2 + 17 + 12 + 17 + 5)
+      out.write(0x00)
+      val dcCounts = new Array[Int](16); dcCounts(3) = 12
+      dcCounts.foreach(out.write); (0 to 11).foreach(out.write)
+      out.write(0x10)
+      val acCounts = new Array[Int](16); acCounts(3) = 5
+      acCounts.foreach(out.write)
+      Seq(0x00, 0x02, 0x03, 0x31, 0x32).foreach(out.write)
+      out
+    }
+    def sos(out: java.io.ByteArrayOutputStream, ss: Int, se: Int,
+        ahAl: Int): Unit = {
+      out.write(0xFF); out.write(0xDA)
+      out.write(0); out.write(8); out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write(ahAl)
+    }
+    // --- baseline: DC cat2 "-3", (0,3)+5, (3,2)-2, EOB ---
+    val base = header(0xC0)
+    sos(base, 0, 63, 0)
+    val bw = new BW
+    bw.put(2, 4); bw.put(0, 2)      // DC diff -3: cat 2, bits 00
+    bw.put(2, 4); bw.put(5, 3)      // AC symbol 0x03 (code 2), +5
+    bw.put(4, 4); bw.put(1, 2)      // AC symbol 0x32 (code 4), -2 -> 01
+    bw.put(0, 4)                    // EOB (code 0)
+    val bb = bw.flush(); base.write(bb, 0, bb.length)
+    base.write(0xFF); base.write(0xD9)
+    val pBase = JpegCodec.decodePixels(base.toByteArray)
+      .getOrElse(fail("baseline stream failed to decode"))
+    // --- progressive: 4 scans ---
+    val prog = header(0xC2)
+    sos(prog, 0, 0, 0x01)           // DC first, Al=1: -3>>1 = -2
+    val s1 = new BW; s1.put(2, 4); s1.put(1, 2) // cat 2, bits 01 = -2
+    val b1 = s1.flush(); prog.write(b1, 0, b1.length)
+    sos(prog, 0, 0, 0x10)           // DC refine, Ah=1: low bit of -3
+    val s2 = new BW; s2.put(1, 1)
+    val b2 = s2.flush(); prog.write(b2, 0, b2.length)
+    sos(prog, 1, 63, 0x01)          // AC first, Al=1: |5|>>1=2, -(|−2|>>1)=-1
+    val s3 = new BW
+    s3.put(1, 4); s3.put(2, 2)      // symbol 0x02 (code 1), +2
+    s3.put(3, 4); s3.put(0, 1)      // symbol 0x31 (code 3), -1 -> 0
+    s3.put(0, 4)                    // EOB0
+    val b3 = s3.flush(); prog.write(b3, 0, b3.length)
+    sos(prog, 1, 63, 0x10)          // AC refine, Ah=1 Al=0
+    val s4 = new BW
+    s4.put(0, 4)                    // EOB0 (run covers this block)
+    s4.put(1, 1)                    // correction bit for zigzag1: 5 has low bit 1
+    s4.put(0, 1)                    // correction bit for zigzag5: |-2| low bit 0
+    val b4 = s4.flush(); prog.write(b4, 0, b4.length)
+    prog.write(0xFF); prog.write(0xD9)
+    val pProg = JpegCodec.decodePixels(prog.toByteArray)
+      .getOrElse(fail("progressive stream failed to decode"))
+    assert((pProg.width, pProg.height, pProg.channels) === (8, 8, 1))
+    assert(pProg.data.toSeq === pBase.data.toSeq,
+      "progressive and baseline decodes diverge")
+    // the ACs must actually land: a DC-only block would be constant
+    assert(pProg.data.distinct.length > 1, "AC coefficients lost")
+  }
+
   test("codec fuzz: random and mutated payloads never throw or hang") {
     val rnd = new scala.util.Random(20260813L)
     // pure-random buffers of varied sizes
@@ -431,6 +552,7 @@ class MultimodalSpec extends AnyFunSuite {
       ImageCodec.gifPixelBytes(9, 7, 3L),
       JpegCodec.jpegPixelBytes(16, 8, 3, 3L),
       JpegCodec.jpegPixelBytes420(32, 16, 3L),
+      JpegCodec.jpegPixelBytesProg(16, 8, 3, 3L),
       AudioCodec.wavPcmBytes(8000, 2, 40, 3L),
       AudioCodec.flacPcmBytes(8000, 2, 100, 64, 3L))
     for (base <- seeds; _ <- 1 to 200) {
