@@ -9,17 +9,22 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample are per-row transforms.
   *
   * What's REAL vs STUBBED: container metadata extraction is real —
-  * [[ImageCodec.image_meta]] parses actual PNG/JPEG/GIF byte layouts
-  * (published specs, no native codec needed) — and so is the pixel/
-  * sample layer for every image format plus PCM audio: PNG (zlib
-  * inflate + filter inversions), GIF (from-scratch LZW + palette,
-  * animated frames included), baseline JPEG (from-scratch Huffman +
-  * IDCT, [[JpegCodec]]), WAV PCM (raw int16); [[pixelStats]],
+  * [[ImageCodec.image_meta]] parses actual PNG/JPEG/GIF byte layouts,
+  * [[AudioCodec.audio_meta]] WAV/FLAC, and [[VideoCodec.video_meta]]
+  * the ISO-BMFF (MP4) box tree (published specs, no native codec
+  * needed) — and so is the pixel/sample layer across the board: PNG
+  * (zlib inflate + filter inversions), GIF (from-scratch LZW +
+  * palette, animated frames included), JPEG baseline + 4:2:0
+  * subsampled + progressive (from-scratch Huffman + IDCT,
+  * [[JpegCodec]]), WAV PCM (raw int16) and FLAC frames (all subframe
+  * types, [[AudioCodec.decodeFlacSamples]]); [[pixelStats]],
   * [[channelFeatures]], [[resizePng]], [[gifFrameSamples]] expose
-  * them columnar. The digest-based stubs remain only for payloads
-  * with no in-JVM decoder at all (opaque video containers, JPEG
-  * variants outside baseline 1x1-sampling, FLAC frames), keeping the
-  * Spark-side plumbing exercised for real even there.
+  * them columnar. Video frame EXTRACTION is real at the container
+  * level ([[VideoCodec.decodeSampleTable]]: the exact mdat byte range,
+  * decode time and keyframe flag per sample); the digest-based stubs
+  * remain only for the single step with no in-JVM decoder — entropy-
+  * decoding extracted H.26x frame payloads and arithmetic-coded JPEG —
+  * keeping the Spark-side plumbing exercised for real even there.
   *
   * At 100 TB the invariants that matter are here: payloads never reach
   * a shuffle (all ops are map-only projections), metadata is a narrow
@@ -55,14 +60,15 @@ object Multimodal {
     * for unsupported payloads. */
   def pixelStats(payload: Column): Column = ImageCodec.image_pixel_stats(payload)
 
-  /** STUB pixel decode for payloads with no in-JVM decoder (opaque
-    * video containers; JPEG variants outside baseline 1x1 sampling):
-    * a real implementation would JNI/FFI into a codec library inside
+  /** STUB pixel decode for the one step with no in-JVM decoder
+    * (entropy-coded video frame payloads extracted by
+    * [[videoFrameSamples]]; arithmetic-coded JPEG): a real
+    * implementation would JNI/FFI into a codec library inside
     * mapPartitions (batch-local codec reuse); the stub derives a
     * deterministic 8-dim "feature" from payload digests so downstream
     * plumbing (schema: array<double>) is exercised for real.
-    * PNG/GIF/baseline-JPEG payloads don't need this —
-    * [[pixelStats]]/[[channelFeatures]] decode them for real. */
+    * PNG/GIF/JPEG (baseline, 4:2:0, progressive) payloads don't need
+    * this — [[pixelStats]]/[[channelFeatures]] decode them for real. */
   def decodeFeaturesStub(payload: Column): Column =
     transform(sequence(lit(0), lit(7)), i =>
       (conv(substring(md5(payload), i * 4 + 1, lit(4)), 16, 10).cast("double") / 65535.0))
@@ -74,12 +80,25 @@ object Multimodal {
   def gifFrameSamples(payload: Column, n: Column): Column =
     ImageCodec.gif_frame_samples(payload, n)
 
-  /** Frame sampling for OPAQUE payloads (no in-JVM decoder): `n`
-    * evenly spaced byte-range "frames", each identified by its
-    * digest — bounded fan-out, codegen'd built-ins only. A real video
-    * decoder swaps the md5 for a frame decode with the same
-    * (index, digest/tensor) shape; [[gifFrameSamples]] IS that shape
-    * for animated GIF. */
+  /** REAL video metadata: brand, movie clock, first video track dims,
+    * sample-entry fourcc and sample count from the ISO-BMFF box tree —
+    * NULL struct for non-MP4 payloads. */
+  def videoMeta(payload: Column): Column = VideoCodec.video_meta(payload)
+
+  /** REAL container-level video frame extraction: `n` evenly spaced
+    * samples located through the actual stts/stsc/stsz/stco/stss walk,
+    * each with decode time, byte size, keyframe flag and a checksum
+    * over its true mdat byte range — the exact bytes a codec would
+    * receive. Entropy-decoding those ranges is the single remaining
+    * stubbed step ([[decodeFeaturesStub]]). */
+  def videoFrameSamples(payload: Column, n: Column): Column =
+    VideoCodec.video_frame_samples(payload, n)
+
+  /** Frame sampling for OPAQUE payloads (not even a parseable
+    * container): `n` evenly spaced byte-range "frames", each
+    * identified by its digest — bounded fan-out, codegen'd built-ins
+    * only. For real containers use [[videoFrameSamples]] (MP4 sample
+    * table) or [[gifFrameSamples]] (animated GIF, fully decoded). */
   def frameSamples(payload: Column, n: Int): Column = {
     val frameLen = floor(length(payload) / n).cast("int")
     transform(sequence(lit(0), lit(n - 1)), i =>

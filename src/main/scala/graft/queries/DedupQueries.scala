@@ -388,6 +388,63 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL ISO-BMFF (MP4) container decode: the fixture writes a
+    // complete box tree (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/
+    // stbl + mdat) per doc, video_meta walks it back, and the oracle
+    // predicts brand, movie clock, track dims, codec fourcc and sample
+    // count by arithmetic — a byte-layout bug on either side breaks
+    // the hash-match. Duration crosses a TWO-RUN stts table, so the
+    // run-length expansion is part of what the hash pins.
+    "q139_mp4_meta" -> ((s, dir) => {
+      val w = (lit(160) + (col("doc_id") % 8) * 16).cast("int")
+      val h = (lit(120) + (col("doc_id") % 5) * 24).cast("int")
+      val ts = (lit(1000) + (col("doc_id") % 4) * 500).cast("int")
+      val delta = (lit(40) + (col("doc_id") % 3) * 20).cast("int")
+      val n = (lit(5) + col("doc_id") % 20).cast("int")
+      docs(s, dir)
+        .withColumn("vm", graft.ops.VideoCodec.video_meta(
+          graft.ops.VideoCodec.mp4_fixture(w, h, ts, delta, n, col("doc_id"))))
+        .select(col("doc_id"),
+          col("vm.brand").as("brand"),
+          col("vm.timescale").as("timescale"),
+          col("vm.duration_ms").as("duration_ms"),
+          col("vm.width").as("width"),
+          col("vm.height").as("height"),
+          col("vm.tracks").as("tracks"),
+          col("vm.codec").as("codec"),
+          col("vm.n_samples").as("n_samples"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL container-level frame EXTRACTION: 4 evenly spaced samples
+    // located through the actual sample-table walk (stts run-length
+    // times, stsc chunk mapping, stco anchors, stsz sizes, stss sync
+    // flags), each checksummed over its true mdat byte range — the
+    // exact bytes a video codec would be handed. The oracle replays
+    // time/size/sync/checksum per sampled frame by arithmetic, so a
+    // single mis-stepped offset anywhere in the four-table walk breaks
+    // the hash-match. Entropy-decoding the extracted ranges is the one
+    // step that stays out of scope (codec library).
+    "q140_mp4_frames" -> ((s, dir) => {
+      val w = (lit(160) + (col("doc_id") % 8) * 16).cast("int")
+      val h = (lit(120) + (col("doc_id") % 5) * 24).cast("int")
+      val ts = (lit(1000) + (col("doc_id") % 4) * 500).cast("int")
+      val delta = (lit(40) + (col("doc_id") % 3) * 20).cast("int")
+      val n = (lit(5) + col("doc_id") % 20).cast("int")
+      docs(s, dir)
+        .withColumn("fr", explode(graft.ops.VideoCodec.video_frame_samples(
+          graft.ops.VideoCodec.mp4_fixture(w, h, ts, delta, n, col("doc_id")),
+          lit(4))))
+        .select(col("doc_id"),
+          col("fr.frame_idx").as("frame_idx"),
+          col("fr.sample_idx").as("sample_idx"),
+          col("fr.time_ms").as("time_ms"),
+          col("fr.n_bytes").as("n_bytes"),
+          col("fr.is_sync").as("is_sync"),
+          col("fr.checksum").as("checksum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -436,6 +493,53 @@ object DedupQueries {
         |WHERE a.doc_id < b.doc_id
         |  AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // MP4 metadata replayed by arithmetic: dims/clock from the doc_id
+    // parameter grid; duration crosses the two-run stts (first ceil(n/2)
+    // samples tick delta, the rest 2*delta).
+    "q139_mp4_meta" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         160 + (doc_id % 8) * 16 AS w,
+        |         120 + (doc_id % 5) * 24 AS h,
+        |         1000 + (doc_id % 4) * 500 AS ts,
+        |         40 + (doc_id % 3) * 20 AS delta,
+        |         5 + doc_id % 20 AS n,
+        |         (5 + doc_id % 20 + 1) // 2 AS hh
+        |  FROM documents)
+        |SELECT doc_id, 'isom' AS brand,
+        |  CAST(ts AS INTEGER) AS timescale,
+        |  CAST((hh * delta + (n - hh) * 2 * delta) * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS tracks,
+        |  'avc1' AS codec,
+        |  CAST(n AS BIGINT) AS n_samples
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // Frame extraction replayed by arithmetic: sampled index k*n//4,
+    // decode time through the two-run stts, size/sync from the fixture
+    // grid, and the checksum over the sample's patterned mdat bytes
+    // b(j) = (doc_id + 131*s + 7*j) mod 256.
+    "q140_mp4_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         1000 + (doc_id % 4) * 500 AS ts,
+        |         40 + (doc_id % 3) * 20 AS delta,
+        |         5 + doc_id % 20 AS n,
+        |         (5 + doc_id % 20 + 1) // 2 AS hh
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, ts, delta, n, hh, k, (k * n) // 4 AS s
+        |  FROM t, range(4) r(k))
+        |SELECT doc_id,
+        |  CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(s AS INTEGER) AS sample_idx,
+        |  CAST((CASE WHEN s <= hh THEN s * delta
+        |        ELSE hh * delta + (s - hh) * 2 * delta END) * 1000 // ts AS BIGINT) AS time_ms,
+        |  CAST(40 + (doc_id + 7 * s) % 120 AS INTEGER) AS n_bytes,
+        |  (s % 3 = 0) AS is_sync,
+        |  CAST((SELECT sum(j * ((doc_id + 131 * s + 7 * j) % 256))
+        |        FROM range(160) r2(j) WHERE j < 40 + (doc_id + 7 * s) % 120) AS BIGINT) AS checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q74_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS BIGINT) AS n_bytes,
