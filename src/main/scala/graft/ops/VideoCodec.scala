@@ -67,6 +67,8 @@ object VideoCodec {
     ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
     ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
 
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+
   private def cat(parts: Array[Byte]*): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     parts.foreach(out.write)
@@ -114,6 +116,54 @@ object VideoCodec {
   def fixtureDurationTicks(nSamples: Int, delta: Int): Long =
     fixtureTimeTicks(nSamples, delta, nSamples)
 
+  private def ftypBox: Array[Byte] =
+    boxOf("ftyp", fourcc("isom"), be32(0x200), fourcc("isom"),
+      fourcc("mp42"))
+
+  /** stsd with one VisualSampleEntry 'avc1' and a minimal (zero
+    * parameter-set) avcC — syntactically complete per 14496-15. */
+  private def stsdBox(width: Int, height: Int): Array[Byte] = {
+    val avcC = boxOf("avcC",
+      Array(1.toByte, 66.toByte, 0.toByte, 30.toByte, 0xFF.toByte,
+        0xE0.toByte, 0.toByte))
+    val avc1 = boxOf("avc1",
+      new Array[Byte](6), be16(1), // reserved, data_reference_index
+      new Array[Byte](16), // pre_defined/reserved
+      be16(width), be16(height),
+      be32(0x00480000L), be32(0x00480000L), // 72 dpi
+      be32(0), be16(1), // reserved, frame_count
+      new Array[Byte](32), be16(24), be16(0xFFFF), // depth, pre_defined=-1
+      avcC)
+    fullBoxOf("stsd", 0, 0, be32(1), avc1)
+  }
+
+  private def mvhdBox(timescale: Int, durTicks: Long): Array[Byte] =
+    fullBoxOf("mvhd", 0, 0, be32(0), be32(0),
+      be32(timescale.toLong), be32(durTicks), be32(0x00010000L),
+      be16(0x0100), be16(0), new Array[Byte](8), identityMatrix,
+      new Array[Byte](24), be32(2))
+
+  /** One complete video trak around the given stbl. */
+  private def trakBox(width: Int, height: Int, timescale: Int,
+      durTicks: Long, stbl: Array[Byte]): Array[Byte] = {
+    val url0 = fullBoxOf("url ", 0, 1)
+    val dref = fullBoxOf("dref", 0, 0, be32(1), url0)
+    val dinf = boxOf("dinf", dref)
+    val vmhd = fullBoxOf("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+    val minf = boxOf("minf", vmhd, dinf, stbl)
+    val hdlr = fullBoxOf("hdlr", 0, 0, be32(0), fourcc("vide"),
+      new Array[Byte](12), "GraftVideo".getBytes("US-ASCII"),
+      Array(0.toByte))
+    val mdhd = fullBoxOf("mdhd", 0, 0, be32(0), be32(0),
+      be32(timescale.toLong), be32(durTicks), be16(0x55C4), be16(0))
+    val mdia = boxOf("mdia", mdhd, hdlr, minf)
+    val tkhd = fullBoxOf("tkhd", 0, 3, be32(0), be32(0), be32(1),
+      be32(0), be32(durTicks), new Array[Byte](8),
+      be16(0), be16(0), be16(0), be16(0), identityMatrix,
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    boxOf("trak", tkhd, mdia)
+  }
+
   /** Complete deterministic MP4: ftyp + moov (one video track with a
     * full sample table over two stts runs, 4-sample chunks, sync
     * samples every 3rd) + mdat carrying the patterned sample bytes.
@@ -129,24 +179,8 @@ object VideoCodec {
     val durTicks = fixtureDurationTicks(nSamples, delta)
     val h = (nSamples + 1) / 2
 
-    val ftyp = boxOf("ftyp", fourcc("isom"), be32(0x200),
-      fourcc("isom"), fourcc("mp42"))
-
-    // stsd: one VisualSampleEntry 'avc1' with a minimal (zero
-    // parameter-set) avcC — syntactically complete per 14496-15.
-    val compressor = new Array[Byte](32)
-    val avcC = boxOf("avcC",
-      Array(1.toByte, 66.toByte, 0.toByte, 30.toByte, 0xFF.toByte,
-        0xE0.toByte, 0.toByte))
-    val avc1 = boxOf("avc1",
-      new Array[Byte](6), be16(1), // reserved, data_reference_index
-      new Array[Byte](16), // pre_defined/reserved
-      be16(width), be16(height),
-      be32(0x00480000L), be32(0x00480000L), // 72 dpi
-      be32(0), be16(1), // reserved, frame_count
-      compressor, be16(24), be16(0xFFFF), // depth, pre_defined=-1
-      avcC)
-    val stsd = fullBoxOf("stsd", 0, 0, be32(1), avc1)
+    val ftyp = ftypBox
+    val stsd = stsdBox(width, height)
 
     // stts: two runs (h @ delta, n-h @ 2*delta); one run when n == 1.
     val stts =
@@ -190,27 +224,8 @@ object VideoCodec {
       val stco = fullBoxOf("stco", 0, 0, be32(nChunks),
         chunkOffsets(mdatPayloadStart))
       val stbl = boxOf("stbl", stsd, stts, stsc, stsz, stss, stco)
-      val url0 = fullBoxOf("url ", 0, 1)
-      val dref = fullBoxOf("dref", 0, 0, be32(1), url0)
-      val dinf = boxOf("dinf", dref)
-      val vmhd = fullBoxOf("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
-      val minf = boxOf("minf", vmhd, dinf, stbl)
-      val hdlr = fullBoxOf("hdlr", 0, 0, be32(0), fourcc("vide"),
-        new Array[Byte](12), "GraftVideo".getBytes("US-ASCII"),
-        Array(0.toByte))
-      val mdhd = fullBoxOf("mdhd", 0, 0, be32(0), be32(0),
-        be32(timescale.toLong), be32(durTicks), be16(0x55C4), be16(0))
-      val mdia = boxOf("mdia", mdhd, hdlr, minf)
-      val tkhd = fullBoxOf("tkhd", 0, 3, be32(0), be32(0), be32(1),
-        be32(0), be32(durTicks), new Array[Byte](8),
-        be16(0), be16(0), be16(0), be16(0), identityMatrix,
-        be32(width.toLong << 16), be32(height.toLong << 16))
-      val trak = boxOf("trak", tkhd, mdia)
-      val mvhd = fullBoxOf("mvhd", 0, 0, be32(0), be32(0),
-        be32(timescale.toLong), be32(durTicks), be32(0x00010000L),
-        be16(0x0100), be16(0), new Array[Byte](8), identityMatrix,
-        new Array[Byte](24), be32(2))
-      boxOf("moov", mvhd, trak)
+      boxOf("moov", mvhdBox(timescale, durTicks),
+        trakBox(width, height, timescale, durTicks, stbl))
     }
 
     // stco needs absolute offsets; moov's LENGTH is offset-independent,
@@ -227,6 +242,73 @@ object VideoCodec {
       i += 1
     }
     cat(ftyp, moov, boxOf("mdat", mdat.toByteArray))
+  }
+
+  /** The SAME logical movie as [[mp4Bytes]] in the FRAGMENTED layout
+    * (DASH/CMAF: empty stbl + mvex/trex/mehd, then per-4-sample
+    * moof+mdat pairs with tfhd default-base-is-moof, tfdt anchors and
+    * fully explicit truns). Identical sample sizes/times/sync flags/
+    * payload bytes, so flat-vs-fragmented equality is a testable law
+    * and q140's oracle arithmetic carries over unchanged. mvhd
+    * duration is 0 (as streaming muxers write it) — total duration
+    * lives in mehd, exercising that metadata path. */
+  def mp4FragBytes(width: Int, height: Int, timescale: Int, delta: Int,
+      nSamples: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && width <= 8192 && height > 0 && height <= 8192,
+      "mp4 fixture dims out of range")
+    require(timescale > 0 && delta > 0 && nSamples > 0 && nSamples <= 4096,
+      "mp4 fixture params out of range")
+    val sizes = Array.tabulate(nSamples)(sampleSize(seed, _))
+    val durTicks = fixtureDurationTicks(nSamples, delta)
+    val h = (nSamples + 1) / 2
+    def durOf(s: Int): Long = if (s < h) delta.toLong else 2L * delta
+    def flagsOf(s: Int): Long = if (s % 3 == 0) 0L else 0x00010000L
+
+    val stbl = boxOf("stbl", stsdBox(width, height),
+      fullBoxOf("stts", 0, 0, be32(0)),
+      fullBoxOf("stsc", 0, 0, be32(0)),
+      fullBoxOf("stsz", 0, 0, be32(0), be32(0)),
+      fullBoxOf("stco", 0, 0, be32(0)))
+    val trex = fullBoxOf("trex", 0, 0, be32(1), be32(1), be32(0),
+      be32(0), be32(0))
+    val mehd = fullBoxOf("mehd", 0, 0, be32(durTicks))
+    val mvex = boxOf("mvex", mehd, trex)
+    val moov = boxOf("moov", mvhdBox(timescale, 0L),
+      trakBox(width, height, timescale, durTicks, stbl), mvex)
+
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var seq = 1
+    while (i < nSamples) {
+      val cnt = math.min(4, nSamples - i)
+      val mfhd = fullBoxOf("mfhd", 0, 0, be32(seq.toLong))
+      val tfhd = fullBoxOf("tfhd", 0, 0x020000, be32(1)) // base-is-moof
+      val tfdt = fullBoxOf("tfdt", 1, 0,
+        be64(fixtureTimeTicks(nSamples, delta, i)))
+      val entries = cat((0 until cnt).map { k =>
+        cat(be32(durOf(i + k)), be32(sizes(i + k).toLong),
+          be32(flagsOf(i + k))) }: _*)
+      // trun flags: data-offset | duration | size | flags per sample
+      def trunOf(dataOff: Long) = fullBoxOf("trun", 0, 0x701,
+        be32(cnt.toLong), be32(dataOff), entries)
+      def moofOf(dataOff: Long) = boxOf("moof", mfhd,
+        boxOf("traf", tfhd, tfdt, trunOf(dataOff)))
+      // data_offset is moof-relative; moof length is offset-independent
+      val moofLen = moofOf(0L).length
+      val moof = moofOf(moofLen + 8L) // mdat payload starts after header
+      val mdat = new java.io.ByteArrayOutputStream()
+      var k = 0
+      while (k < cnt) {
+        var j = 0
+        while (j < sizes(i + k)) { mdat.write(sampleByte(seed, i + k, j)); j += 1 }
+        k += 1
+      }
+      segs += moof
+      segs += boxOf("mdat", mdat.toByteArray)
+      i += cnt
+      seq += 1
+    }
+    cat(Seq(ftypBox, moov) ++ segs: _*)
   }
 
   // ----------------------------------------------------------- parser
@@ -318,7 +400,9 @@ object VideoCodec {
   }
 
   /** Container metadata of the first video track; None for anything
-    * that is not a well-formed ISO-BMFF file with one. */
+    * that is not a well-formed ISO-BMFF file with one. Fragmented
+    * files (empty stbl + moof fragments) report the trun-summed sample
+    * count and the mehd/fragment-derived duration. */
   def decode(payload: Array[Byte]): Option[Meta] = {
     if (payload == null || payload.length < 16) return None
     val top = boxChildren(payload, 0, payload.length)
@@ -342,31 +426,178 @@ object VideoCodec {
       codec = new String(payload, sdS + 12, 4, "US-ASCII")
       (szS, szE) <- child(payload, stbl, "stsz")
       if szE - szS >= 12
+      stblCount = u32(payload, szS + 8)
+      (nSamples, duration) <- {
+        if (stblCount > 0) Some((stblCount, durTicks))
+        else decodeFragments(payload, top, moovKids).map { frags =>
+          val endTicks =
+            if (durTicks > 0) durTicks
+            else mehdDuration(payload, moovKids).getOrElse(
+              frags.lastOption.map(s => s.timeTicks +
+                fragEndDelta(frags)).getOrElse(0L))
+          (frags.length.toLong, endTicks)
+        }
+      }
     } yield Meta(brand, timescale,
-      durTicks * 1000L / timescale, w, h, trakCount, codec, u32(payload, szS + 8))
+      duration * 1000L / timescale, w, h, trakCount, codec, nSamples)
   }
 
-  /** Full per-sample layout of the first video track from the four
-    * sample-table boxes; None when the tables are absent, mutually
-    * inconsistent, or describe byte ranges outside the payload. */
+  /** Last-sample duration estimate for fragment files without mehd:
+    * the gap between the last two decode times (or 0 for <2 samples). */
+  private def fragEndDelta(frags: Array[Sample]): Long =
+    if (frags.length < 2) 0L
+    else frags(frags.length - 1).timeTicks - frags(frags.length - 2).timeTicks
+
+  /** mvex/mehd fragment_duration (v0/v1), when present. */
+  private def mehdDuration(b: Array[Byte], moovKids: List[(String, Int, Int)]): Option[Long] =
+    for {
+      (mxS, mxE) <- child(b, moovKids, "mvex")
+      (meS, meE) <- child(b, boxChildren(b, mxS, mxE), "mehd")
+      if meE - meS >= 8
+      v = b(meS) & 0xFF
+      d <- if (v == 0) Some(u32(b, meS + 4))
+           else if (v == 1 && meE - meS >= 12) Some(u64(b, meS + 4))
+           else None
+    } yield d
+
+  /** Full per-sample layout of the first video track; None when the
+    * tables are absent, mutually inconsistent, or describe byte ranges
+    * outside the payload. Flat files read the four stbl tables;
+    * fragmented files (empty stbl) walk every top-level moof's
+    * tfhd/tfdt/trun instead — both yield the same Sample view. */
   def decodeSampleTable(payload: Array[Byte]): Option[SampleTable] = {
     if (payload == null || payload.length < 16) return None
     val top = boxChildren(payload, 0, payload.length)
     for {
       _ <- child(payload, top, "ftyp")
       (mvS, mvE) <- child(payload, top, "moov")
+      moovKids = boxChildren(payload, mvS, mvE)
       (mediaTs, stbl) <- firstVideoStbl(payload, mvS, mvE)
       if mediaTs > 0
-      times <- sttsTimes(payload, stbl)
-      sizes <- stszSizes(payload, stbl)
-      if times.length == sizes.length
-      offsets <- chunkedOffsets(payload, stbl, sizes)
-      syncs = stssSet(payload, stbl, times.length)
-      samples = Array.tabulate(times.length) { i =>
+      flat = for {
+        times <- sttsTimes(payload, stbl)
+        sizes <- stszSizes(payload, stbl)
+        if times.length == sizes.length
+        offsets <- chunkedOffsets(payload, stbl, sizes)
+        syncs = stssSet(payload, stbl, times.length)
+      } yield Array.tabulate(times.length) { i =>
         Sample(i, times(i), sizes(i), offsets(i), syncs(i)) }
+      samples <- flat.filter(_.nonEmpty)
+        .orElse(decodeFragments(payload, top, moovKids))
       if samples.forall(s =>
         s.offset >= 0 && s.offset + s.size <= payload.length)
     } yield SampleTable(mediaTs, samples)
+  }
+
+  /** trex defaults (duration, size, flags) from moov/mvex, if any. */
+  private def trexDefaults(b: Array[Byte], moovKids: List[(String, Int, Int)]): (Long, Long, Long) =
+    (for {
+      (mxS, mxE) <- child(b, moovKids, "mvex")
+      (txS, txE) <- child(b, boxChildren(b, mxS, mxE), "trex")
+      if txE - txS >= 24
+    } yield (u32(b, txS + 12), u32(b, txS + 16), u32(b, txS + 20)))
+      .getOrElse((0L, 0L, 0L))
+
+  /** Samples of a fragmented file: walk top-level moof boxes in file
+    * order; per traf, resolve the base offset (explicit
+    * base_data_offset, or the moof start under default-base-is-moof /
+    * by default for the first trun), the decode-time anchor (tfdt, or
+    * the running clock), and expand each trun's per-sample
+    * duration/size/flags with tfhd-then-trex defaults. */
+  private def decodeFragments(b: Array[Byte], top: List[(String, Int, Int)],
+      moovKids: List[(String, Int, Int)]): Option[Array[Sample]] = {
+    val (trexDur, trexSize, trexFlags) = trexDefaults(b, moovKids)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Sample]
+    var clock = 0L
+    var any = false
+    for ((typ, mfPayloadS, mfE) <- top if typ == "moof") {
+      any = true
+      val moofStart = mfPayloadS - 8 // box header precedes the payload
+      val moofKids = boxChildren(b, mfPayloadS, mfE)
+      for ((tfTyp, tfS, tfE) <- moofKids if tfTyp == "traf") {
+        val trafKids = boxChildren(b, tfS, tfE)
+        // ---- tfhd: flags decide which fields follow track_ID
+        val (baseOff, dfltDur, dfltSize, dfltFlags) =
+          child(b, trafKids, "tfhd") match {
+            case Some((s, e)) if s + 8 <= e =>
+              val flags = u32(b, s) & 0xFFFFFF
+              var p = s + 8 // ver/flags + track_ID
+              var base: Option[Long] = None
+              if ((flags & 0x1) != 0) { // base-data-offset
+                if (p + 8 > e) return None
+                base = Some(u64(b, p)); p += 8
+              }
+              if ((flags & 0x2) != 0) p += 4 // sample-description-index
+              var dD = trexDur
+              if ((flags & 0x8) != 0) {
+                if (p + 4 > e) return None
+                dD = u32(b, p); p += 4
+              }
+              var dS = trexSize
+              if ((flags & 0x10) != 0) {
+                if (p + 4 > e) return None
+                dS = u32(b, p); p += 4
+              }
+              var dF = trexFlags
+              if ((flags & 0x20) != 0) {
+                if (p + 4 > e) return None
+                dF = u32(b, p); p += 4
+              }
+              val resolved = base.getOrElse(moofStart.toLong)
+              (resolved, dD, dS, dF)
+            case _ => return None
+          }
+        // ---- tfdt: absolute decode-time anchor (else running clock)
+        var t = child(b, trafKids, "tfdt") match {
+          case Some((s, e)) if s + 8 <= e =>
+            val v = b(s) & 0xFF
+            if (v == 1 && s + 12 <= e) u64(b, s + 4)
+            else u32(b, s + 4)
+          case _ => clock
+        }
+        // ---- truns, in order; data cursor continues across truns
+        var cursor = -1L
+        for ((trTyp, s, e) <- trafKids if trTyp == "trun") {
+          if (s + 8 > e) return None
+          val flags = u32(b, s) & 0xFFFFFF
+          val n = u32(b, s + 4)
+          if (n < 0 || out.length + n > MaxSamples) return None
+          var p = s + 8
+          if ((flags & 0x1) != 0) { // data-offset (signed, base-rel)
+            if (p + 4 > e) return None
+            cursor = baseOff + u32(b, p).toInt; p += 4
+          } else if (cursor < 0) cursor = baseOff
+          if ((flags & 0x4) != 0) p += 4 // first-sample-flags: skip
+          var k = 0L
+          while (k < n) {
+            var dur = dfltDur
+            if ((flags & 0x100) != 0) {
+              if (p + 4 > e) return None
+              dur = u32(b, p); p += 4
+            }
+            var size = dfltSize
+            if ((flags & 0x200) != 0) {
+              if (p + 4 > e) return None
+              size = u32(b, p); p += 4
+            }
+            var sFlags = dfltFlags
+            if ((flags & 0x400) != 0) {
+              if (p + 4 > e) return None
+              sFlags = u32(b, p); p += 4
+            }
+            if ((flags & 0x800) != 0) p += 4 // cts offset: skip
+            if (size < 0 || size > Int.MaxValue) return None
+            out += Sample(out.length, t, size.toInt, cursor,
+              (sFlags & 0x10000L) == 0L)
+            cursor += size
+            t += dur
+            k += 1
+          }
+        }
+        clock = t
+      }
+    }
+    if (!any) None else Some(out.toArray)
   }
 
   /** Per-sample decode times from stts run-length entries. */
@@ -414,12 +645,19 @@ object VideoCodec {
         u32(b, s + 8 + i * 12).toInt, // first_chunk (1-based)
         u32(b, s + 12 + i * 12).toInt))) // samples_per_chunk
     }.getOrElse(return None)
+    // stco (32-bit) or co64 (64-bit: files past 4 GiB — the form a
+    // 100 TB video lake actually holds)
     val chunkOffs = child(b, stbl, "stco").flatMap { case (s, e) =>
       if (s + 8 > e) return None
       val n = u32(b, s + 4)
       if (n < 0 || n > MaxSamples || s + 8 + n * 4 > e) return None
       Some(Array.tabulate(n.toInt)(i => u32(b, s + 8 + i * 4)))
-    }.getOrElse(return None)
+    }.orElse(child(b, stbl, "co64").flatMap { case (s, e) =>
+      if (s + 8 > e) return None
+      val n = u32(b, s + 4)
+      if (n < 0 || n > MaxSamples || s + 8 + n * 8 > e) return None
+      Some(Array.tabulate(n.toInt)(i => u64(b, s + 8 + i * 8)))
+    }).getOrElse(return None)
     if (stscEntries.isEmpty && sizes.isEmpty)
       return Some(Array.empty[Long])
     if (stscEntries.isEmpty || chunkOffs.isEmpty) return None
@@ -564,6 +802,23 @@ object VideoCodec {
         nSamples = c(4), seed = c(5))
   }
 
+  /** mp4_frag_fixture(width, height, timescale, delta, n_samples,
+    * seed) -> the SAME logical movie in the fragmented (DASH) layout
+    * ([[mp4FragBytes]]). */
+  case class Mp4FragFixtureExpr(wpx: Expression, hpx: Expression,
+      timescale: Expression, delta: Expression, nSamples: Expression,
+      seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] =
+      Seq(wpx, hpx, timescale, delta, nSamples, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      mp4FragBytes(int(a(0)), int(a(1)), int(a(2)), int(a(3)), int(a(4)),
+        lng(a(5)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(wpx = c(0), hpx = c(1), timescale = c(2), delta = c(3),
+        nSamples = c(4), seed = c(5))
+  }
+
   def video_meta(payload: Column): Column = toCol(VideoMetaExpr(toExpr(payload)))
 
   def video_frame_samples(payload: Column, n: Column): Column =
@@ -572,5 +827,10 @@ object VideoCodec {
   def mp4_fixture(width: Column, height: Column, timescale: Column,
       delta: Column, nSamples: Column, seed: Column): Column =
     toCol(Mp4FixtureExpr(toExpr(width), toExpr(height), toExpr(timescale),
+      toExpr(delta), toExpr(nSamples), toExpr(seed)))
+
+  def mp4_frag_fixture(width: Column, height: Column, timescale: Column,
+      delta: Column, nSamples: Column, seed: Column): Column =
+    toCol(Mp4FragFixtureExpr(toExpr(width), toExpr(height), toExpr(timescale),
       toExpr(delta), toExpr(nSamples), toExpr(seed)))
 }

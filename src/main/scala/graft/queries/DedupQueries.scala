@@ -445,6 +445,31 @@ object DedupQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // The SAME frame-extraction law through the FRAGMENTED (DASH/CMAF)
+    // layout: empty stbl + mvex/mehd/trex, per-4-sample moof+mdat
+    // pairs, tfhd default-base-is-moof, tfdt anchors, explicit truns.
+    // Same oracle arithmetic as q140 — flat and fragmented layouts
+    // must extract identical frames (also pinned as a spec law).
+    "q141_mp4_frag_frames" -> ((s, dir) => {
+      val w = (lit(160) + (col("doc_id") % 8) * 16).cast("int")
+      val h = (lit(120) + (col("doc_id") % 5) * 24).cast("int")
+      val ts = (lit(1000) + (col("doc_id") % 4) * 500).cast("int")
+      val delta = (lit(40) + (col("doc_id") % 3) * 20).cast("int")
+      val n = (lit(5) + col("doc_id") % 20).cast("int")
+      docs(s, dir)
+        .withColumn("fr", explode(graft.ops.VideoCodec.video_frame_samples(
+          graft.ops.VideoCodec.mp4_frag_fixture(w, h, ts, delta, n, col("doc_id")),
+          lit(4))))
+        .select(col("doc_id"),
+          col("fr.frame_idx").as("frame_idx"),
+          col("fr.sample_idx").as("sample_idx"),
+          col("fr.time_ms").as("time_ms"),
+          col("fr.n_bytes").as("n_bytes"),
+          col("fr.is_sync").as("is_sync"),
+          col("fr.checksum").as("checksum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -520,6 +545,29 @@ object DedupQueries {
     // grid, and the checksum over the sample's patterned mdat bytes
     // b(j) = (doc_id + 131*s + 7*j) mod 256.
     "q140_mp4_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         1000 + (doc_id % 4) * 500 AS ts,
+        |         40 + (doc_id % 3) * 20 AS delta,
+        |         5 + doc_id % 20 AS n,
+        |         (5 + doc_id % 20 + 1) // 2 AS hh
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, ts, delta, n, hh, k, (k * n) // 4 AS s
+        |  FROM t, range(4) r(k))
+        |SELECT doc_id,
+        |  CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(s AS INTEGER) AS sample_idx,
+        |  CAST((CASE WHEN s <= hh THEN s * delta
+        |        ELSE hh * delta + (s - hh) * 2 * delta END) * 1000 // ts AS BIGINT) AS time_ms,
+        |  CAST(40 + (doc_id + 7 * s) % 120 AS INTEGER) AS n_bytes,
+        |  (s % 3 = 0) AS is_sync,
+        |  CAST((SELECT sum(j * ((doc_id + 131 * s + 7 * j) % 256))
+        |        FROM range(160) r2(j) WHERE j < 40 + (doc_id + 7 * s) % 120) AS BIGINT) AS checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // The fragmented layout must extract IDENTICAL frames: same
+    // arithmetic as q140.
+    "q141_mp4_frag_frames" ->
       """WITH t AS (
         |  SELECT doc_id,
         |         1000 + (doc_id % 4) * 500 AS ts,

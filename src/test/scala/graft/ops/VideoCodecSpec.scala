@@ -212,6 +212,91 @@ class VideoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("fragmented layout law: moof/trun walk yields the SAME samples as the flat stbl") {
+    for (seed <- Seq(0L, 5L, 42L); n <- Seq(1, 4, 7, 13)) {
+      val flat = VideoCodec.mp4Bytes(320, 240, 1000, 40, n, seed)
+      val frag = VideoCodec.mp4FragBytes(320, 240, 1000, 40, n, seed)
+      val tf = VideoCodec.decodeSampleTable(flat).getOrElse(fail("flat"))
+      val tg = VideoCodec.decodeSampleTable(frag).getOrElse(fail(s"frag n=$n"))
+      assert(tg.timescale === tf.timescale)
+      assert(tg.samples.length === tf.samples.length)
+      for ((a, b) <- tf.samples.zip(tg.samples)) {
+        assert(a.idx === b.idx)
+        assert(a.timeTicks === b.timeTicks, s"time diverges at ${a.idx}")
+        assert(a.size === b.size)
+        assert(a.isSync === b.isSync, s"sync diverges at ${a.idx}")
+        // offsets differ between layouts; the BYTES must not
+        for (j <- 0 until a.size)
+          assert(flat((a.offset + j).toInt) === frag((b.offset + j).toInt),
+            s"payload bytes diverge at sample ${a.idx} byte $j")
+      }
+      // metadata: duration comes from mehd (mvhd is 0 in the frag file)
+      val mf = VideoCodec.decode(flat).get
+      val mg = VideoCodec.decode(frag).getOrElse(fail("frag meta"))
+      assert(mg.durationMs === mf.durationMs)
+      assert(mg.sampleCount === mf.sampleCount)
+      assert(mg.width === mf.width)
+    }
+  }
+
+  test("co64 (64-bit chunk offsets) parses like stco") {
+    // rewrite the writer's stco as a co64 box: same offsets widened to
+    // 8 bytes; grow the enclosing boxes accordingly
+    val n = 6
+    val base = VideoCodec.mp4Bytes(160, 120, 1000, 40, n, 9L)
+    def indexOf(hay: Array[Byte], needle: Array[Byte]): Int =
+      hay.indices.find(i => i + needle.length <= hay.length &&
+        needle.indices.forall(j => hay(i + j) == needle(j))).getOrElse(-1)
+    val at = indexOf(base, "stco".getBytes("US-ASCII")) - 4
+    val oldLen = ((base(at) & 0xFF) << 24) | ((base(at + 1) & 0xFF) << 16) |
+      ((base(at + 2) & 0xFF) << 8) | (base(at + 3) & 0xFF)
+    val nChunks = (n + 3) / 4
+    val offs = (0 until nChunks).map { c =>
+      val p = at + 8 + 4 + 4 + c * 4
+      ((base(p) & 0xFFL) << 24) | ((base(p + 1) & 0xFFL) << 16) |
+        ((base(p + 2) & 0xFFL) << 8) | (base(p + 3) & 0xFFL)
+    }
+    val grow = 4 * nChunks // each offset widens by 4 bytes
+    def be(v: Long, w: Int): Array[Byte] =
+      (w - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val co64 = be(oldLen + grow, 4) ++ "co64".getBytes("US-ASCII") ++
+      be(0, 4) ++ be(nChunks, 4) ++
+      offs.flatMap(o => be(o + grow, 8)) // mdat shifts by `grow` too
+    val spliced = base.take(at) ++ co64 ++ base.drop(at + oldLen)
+    for (typ <- Seq("moov", "trak", "mdia", "minf", "stbl")) {
+      val p = indexOf(spliced, typ.getBytes("US-ASCII")) - 4
+      val old = ((spliced(p) & 0xFF) << 24) | ((spliced(p + 1) & 0xFF) << 16) |
+        ((spliced(p + 2) & 0xFF) << 8) | (spliced(p + 3) & 0xFF)
+      val nw = old + grow
+      spliced(p) = ((nw >> 24) & 0xFF).toByte
+      spliced(p + 1) = ((nw >> 16) & 0xFF).toByte
+      spliced(p + 2) = ((nw >> 8) & 0xFF).toByte
+      spliced(p + 3) = (nw & 0xFF).toByte
+    }
+    val t = VideoCodec.decodeSampleTable(spliced).getOrElse(fail("co64 failed"))
+    assert(t.samples.length === n)
+    for (s <- t.samples; j <- 0 until s.size)
+      assert((spliced((s.offset + j).toInt) & 0xFF) ===
+        VideoCodec.sampleByte(9L, s.idx, j))
+  }
+
+  test("fragmented fuzz: mutated fMP4 never throws; surviving parses stay in-bounds") {
+    val good = VideoCodec.mp4FragBytes(320, 240, 1000, 40, 9, 13L)
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 400) {
+      val b = good.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      VideoCodec.decode(b)
+      VideoCodec.decodeSampleTable(b) match {
+        case Some(t) =>
+          assert(t.samples.forall(s => s.offset >= 0 &&
+            s.offset + s.size <= b.length))
+        case None =>
+      }
+    }
+  }
+
   test("stsz/stts count mismatch is rejected") {
     val base = VideoCodec.mp4Bytes(160, 120, 1000, 40, 8, 2L)
     def indexOf(hay: Array[Byte], needle: Array[Byte]): Int =
