@@ -38,7 +38,8 @@ object AudioCodec {
   // ------------------------------------------------------------ decode
 
   def decode(b: Array[Byte]): Option[Meta] =
-    decodeWav(b).orElse(decodeFlac(b))
+    decodeWav(b).orElse(decodeFlac(b)).orElse(decodeAdts(b))
+      .orElse(decodeMp3(b))
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -105,6 +106,154 @@ object AudioCodec {
       ((b(o + 5) & 0xFFL) << 16) | ((b(o + 6) & 0xFFL) << 8) | (b(o + 7) & 0xFFL)
     if (rate <= 0) None
     else Some(Meta("flac", rate, ch, bps, totalSamples * 1000L / rate))
+  }
+
+  // --------------------------------------------- lossy header formats
+
+  // MPEG-1/2 Layer III tables from the public MPEG-1 Part 3 /
+  // MPEG-2 Part 3 header layout (the layout every mp3 tool documents).
+  private val Mp3BitratesV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitratesV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RatesV1 = Array(44100, 48000, 32000)
+  private val Mp3RatesV2 = Array(22050, 24000, 16000)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000)
+
+  /** MP3: optional ID3v2 tag (syncsafe size), then a strict frame walk
+    * — every frame header must parse (sync, MPEG-1/2/2.5, Layer III,
+    * known bitrate/samplerate) and the walk must land exactly on the
+    * payload end; duration = frames x samples-per-frame / rate. A
+    * broken walk yields None, never a fabricated duration.
+    * bits_per_sample is 0 (lossy — no PCM width in the container). */
+  private def decodeMp3(b: Array[Byte]): Option[Meta] = {
+    if (b == null || b.length < 4) return None
+    var pos = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val tagLen = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      pos = 10 + tagLen
+      if (pos < 0 || pos >= b.length) return None
+    }
+    var frames = 0L
+    var rate = -1
+    var ch = -1
+    var spf = 0
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xE0) != 0xE0) return None
+      val version = (b(pos + 1) >> 3) & 0x3 // 0=2.5 2=MPEG2 3=MPEG1
+      val layer = (b(pos + 1) >> 1) & 0x3 // 1 = Layer III
+      if (layer != 1 || version == 1) return None
+      val brIdx = (b(pos + 2) >> 4) & 0xF
+      val srIdx = (b(pos + 2) >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val pad = (b(pos + 2) >> 1) & 0x1
+      val mode = (b(pos + 3) >> 6) & 0x3
+      val r = version match {
+        case 3 => Mp3RatesV1(srIdx)
+        case 2 => Mp3RatesV2(srIdx)
+        case _ => Mp3RatesV25(srIdx)
+      }
+      val br = (if (version == 3) Mp3BitratesV1(brIdx)
+                else Mp3BitratesV2(brIdx)) * 1000
+      val s = if (version == 3) 1152 else 576
+      val flen = s / 8 * br / r + pad
+      if (flen < 4) return None
+      if (rate < 0) { rate = r; ch = if (mode == 3) 1 else 2; spf = s }
+      frames += 1
+      pos += flen
+    }
+    if (frames == 0 || pos != b.length || rate <= 0) None
+    else Some(Meta("mp3", rate, ch, 0, frames * spf * 1000L / rate))
+  }
+
+  // ISO/IEC 13818-7 ADTS sampling-frequency-index table.
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** AAC in ADTS framing: strict frame walk over 0xFFF-sync headers
+    * (layer must be 0, known sampling index, nonzero channel config,
+    * 13-bit frame length), 1024 samples per raw data block. The walk
+    * must land exactly on the payload end; None otherwise. */
+  private def decodeAdts(b: Array[Byte]): Option[Meta] = {
+    if (b == null || b.length < 7) return None
+    var pos = 0
+    var frames = 0L
+    var samples = 0L
+    var rate = -1
+    var ch = -1
+    while (pos + 7 <= b.length) {
+      if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xF6) != 0xF0) return None
+      val sfi = (b(pos + 2) >> 2) & 0xF
+      if (sfi >= AdtsRates.length) return None
+      val chanCfg = ((b(pos + 2) & 0x1) << 2) | ((b(pos + 3) >> 6) & 0x3)
+      if (chanCfg == 0) return None
+      val frameLen = ((b(pos + 3) & 0x03) << 11) | ((b(pos + 4) & 0xFF) << 3) |
+        ((b(pos + 5) >> 5) & 0x7)
+      if (frameLen < 7) return None
+      val rdb = b(pos + 6) & 0x3
+      samples += (rdb + 1) * 1024L
+      rate = AdtsRates(sfi)
+      ch = chanCfg
+      frames += 1
+      pos += frameLen
+    }
+    if (frames == 0 || pos != b.length || rate <= 0) None
+    else Some(Meta("aac", rate, ch, 0, samples * 1000L / rate))
+  }
+
+  /** Deterministic MPEG-1 Layer III fixture: nFrames frames (no
+    * padding, no CRC) with patterned filler bytes — the header walk is
+    * what the decoder claims, not audio content. */
+  def mp3Bytes(srIdx: Int, brIdx: Int, mode: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2 && brIdx >= 1 && brIdx <= 14 &&
+      mode >= 0 && mode <= 3 && nFrames > 0 && nFrames <= 4096,
+      "mp3 fixture params out of range")
+    val rate = Mp3RatesV1(srIdx)
+    val br = Mp3BitratesV1(brIdx) * 1000
+    val flen = 144 * br / rate
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xFF)
+      out.write(0xFB) // MPEG1, Layer III, no CRC
+      out.write((brIdx << 4) | (srIdx << 2))
+      out.write(mode << 6)
+      var j = 4
+      while (j < flen) {
+        out.write(java.lang.Math.floorMod(seed + 17L * f + 3L * j, 256L).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic ADTS AAC fixture: nFrames frames of varying length
+    * (7-byte headers, protection absent, one raw data block each). */
+  def adtsBytes(sfi: Int, chanCfg: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(sfi >= 0 && sfi <= 12 && chanCfg >= 1 && chanCfg <= 7 &&
+      nFrames > 0 && nFrames <= 4096, "adts fixture params out of range")
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val flen = 7 + 20 + java.lang.Math.floorMod(seed + 13L * f, 50L).toInt
+      out.write(0xFF)
+      out.write(0xF1) // MPEG-4, layer 00, protection absent
+      out.write((1 << 6) | (sfi << 2) | ((chanCfg >> 2) & 0x1)) // AAC-LC
+      out.write(((chanCfg & 0x3) << 6) | ((flen >> 11) & 0x3))
+      out.write((flen >> 3) & 0xFF)
+      out.write(((flen & 0x7) << 5) | 0x1F)
+      out.write(0xFC) // fullness low bits + 1 raw data block (00)
+      var j = 7
+      while (j < flen) {
+        out.write(java.lang.Math.floorMod(seed + 29L * f + 7L * j, 256L).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
   }
 
   // ----------------------------------------------------- sample decode
@@ -907,6 +1056,43 @@ object AudioCodec {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(format = c(0), rate = c(1), nSamples = c(2))
   }
+
+  /** mp3_fixture(sr_idx, br_idx, mode, n_frames, seed) -> complete
+    * MPEG-1 Layer III bytes ([[mp3Bytes]]). */
+  case class Mp3FixtureExpr(srIdx: Expression, brIdx: Expression,
+      mode: Expression, nFrames: Expression, seed: Expression)
+      extends GeoExpr {
+    override def children: Seq[Expression] =
+      Seq(srIdx, brIdx, mode, nFrames, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      mp3Bytes(int(a(0)), int(a(1)), int(a(2)), int(a(3)), lng(a(4)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(srIdx = c(0), brIdx = c(1), mode = c(2), nFrames = c(3),
+        seed = c(4))
+  }
+
+  /** adts_fixture(sf_idx, chan_cfg, n_frames, seed) -> complete ADTS
+    * AAC bytes ([[adtsBytes]]). */
+  case class AdtsFixtureExpr(sfi: Expression, chanCfg: Expression,
+      nFrames: Expression, seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(sfi, chanCfg, nFrames, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      adtsBytes(int(a(0)), int(a(1)), int(a(2)), lng(a(3)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(sfi = c(0), chanCfg = c(1), nFrames = c(2), seed = c(3))
+  }
+
+  def mp3_fixture(srIdx: Column, brIdx: Column, mode: Column,
+      nFrames: Column, seed: Column): Column =
+    toCol(Mp3FixtureExpr(toExpr(srIdx), toExpr(brIdx), toExpr(mode),
+      toExpr(nFrames), toExpr(seed)))
+
+  def adts_fixture(sfi: Column, chanCfg: Column, nFrames: Column,
+      seed: Column): Column =
+    toCol(AdtsFixtureExpr(toExpr(sfi), toExpr(chanCfg), toExpr(nFrames),
+      toExpr(seed)))
 
   def audio_meta(payload: Column): Column = toCol(AudioMetaExpr(toExpr(payload)))
 

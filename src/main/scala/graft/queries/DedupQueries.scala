@@ -470,6 +470,35 @@ object DedupQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Lossy-audio container metadata (MP3 + ADTS AAC — what an audio
+    // lake actually holds): the fixtures write real MPEG-1 Layer III /
+    // ADTS frame sequences, audio_meta walks every frame header
+    // strictly (the walk must land exactly on the payload end), and
+    // the oracle predicts rate/channels/duration from the public
+    // bitrate/samplerate tables by arithmetic.
+    "q142_lossy_audio_meta" -> ((s, dir) => {
+      val half = shiftright(col("doc_id"), 1)
+      val srIdx = (col("doc_id") % 3).cast("int")
+      val brIdx = (lit(1) + col("doc_id") % 14).cast("int")
+      val mode = (half % 4).cast("int")
+      val nfM = (lit(10) + col("doc_id") % 30).cast("int")
+      val sfi = (lit(3) + col("doc_id") % 5).cast("int")
+      val cc = (lit(1) + half % 5).cast("int")
+      val nfA = (lit(10) + col("doc_id") % 20).cast("int")
+      val payload = when(col("doc_id") % 2 === 0,
+          AudioCodec.mp3_fixture(srIdx, brIdx, mode, nfM, col("doc_id")))
+        .otherwise(AudioCodec.adts_fixture(sfi, cc, nfA, col("doc_id")))
+      docs(s, dir)
+        .withColumn("am", AudioCodec.audio_meta(payload))
+        .select(col("doc_id"),
+          col("am.format").as("audio_format"),
+          col("am.sample_rate").as("sample_rate"),
+          col("am.channels").as("channels"),
+          col("am.bits_per_sample").as("bits_per_sample"),
+          col("am.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -588,6 +617,29 @@ object DedupQueries {
         |  CAST((SELECT sum(j * ((doc_id + 131 * s + 7 * j) % 256))
         |        FROM range(160) r2(j) WHERE j < 40 + (doc_id + 7 * s) % 120) AS BIGINT) AS checksum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // MP3/ADTS duration law replayed from the public tables:
+    // mp3 = n_frames*1152/rate, aac = n_frames*1024/rate.
+    "q142_lossy_audio_meta" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 2 AS half FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'aac' END AS audio_format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INTEGER) + 1)
+        |    ELSE list_extract([48000, 44100, 32000, 24000, 22050], CAST(doc_id % 5 AS INTEGER) + 1)
+        |  END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN (CASE WHEN half % 4 = 3 THEN 1 ELSE 2 END)
+        |    ELSE 1 + half % 5
+        |  END AS INTEGER) AS channels,
+        |  CAST(0 AS INTEGER) AS bits_per_sample,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN (10 + doc_id % 30) * 1152 * 1000
+        |      // list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INTEGER) + 1)
+        |    ELSE (10 + doc_id % 20) * 1024 * 1000
+        |      // list_extract([48000, 44100, 32000, 24000, 22050], CAST(doc_id % 5 AS INTEGER) + 1)
+        |  END AS BIGINT) AS duration_ms
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q74_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -284,4 +284,55 @@ class AudioCodecSpec extends AnyFunSuite {
       AudioCodec.flacBytes(44100, 2, 16, 1000L)).isEmpty)
     assert(AudioCodec.decodeSamples("not audio".getBytes).isEmpty)
   }
+
+  test("hand-written MP3 frame header: FF FB 90 00 = 128 kbps 44.1 kHz stereo") {
+    // one MPEG-1 Layer III frame written from the public header map:
+    // brIdx=9 (128 kbps), srIdx=0 (44100), no padding, stereo ->
+    // frame length 144*128000/44100 = 417 bytes
+    val frame = new Array[Byte](417)
+    frame(0) = 0xFF.toByte; frame(1) = 0xFB.toByte
+    frame(2) = 0x90.toByte; frame(3) = 0x00
+    val m = AudioCodec.decode(frame).getOrElse(fail("mp3 vector failed"))
+    assert(m.format === "mp3")
+    assert(m.sampleRate === 44100)
+    assert(m.channels === 2)
+    assert(m.bitsPerSample === 0)
+    assert(m.durationMs === 1152L * 1000 / 44100)
+  }
+
+  test("MP3 round-trip across the parameter grid, incl. ID3v2 skip") {
+    for (sr <- 0 to 2; br <- Seq(1, 7, 14); mode <- Seq(0, 3); nf <- Seq(1, 25)) {
+      val b = AudioCodec.mp3Bytes(sr, br, mode, nf, 5L)
+      val m = AudioCodec.decode(b).getOrElse(fail(s"sr=$sr br=$br"))
+      assert(m.format === "mp3")
+      assert(m.sampleRate === Seq(44100, 48000, 32000)(sr))
+      assert(m.channels === (if (mode == 3) 1 else 2))
+      assert(m.durationMs === nf * 1152L * 1000 / m.sampleRate)
+    }
+    // ID3v2 prefix (syncsafe size) must be skipped transparently
+    val body = AudioCodec.mp3Bytes(0, 9, 0, 3, 1L)
+    val tagPayload = new Array[Byte](200)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      0, 0, (200 >> 7).toByte, (200 & 0x7F).toByte) ++ tagPayload
+    val m2 = AudioCodec.decode(id3 ++ body).getOrElse(fail("ID3 skip failed"))
+    assert(m2.durationMs === 3L * 1152 * 1000 / 44100)
+  }
+
+  test("ADTS AAC round-trip; strict walks reject truncation and trailing junk") {
+    for (sfi <- Seq(3, 4, 11); cc <- Seq(1, 2, 6); nf <- Seq(1, 18)) {
+      val b = AudioCodec.adtsBytes(sfi, cc, nf, 9L)
+      val m = AudioCodec.decode(b).getOrElse(fail(s"sfi=$sfi cc=$cc"))
+      assert(m.format === "aac")
+      assert(m.sampleRate === Seq(96000, 88200, 64000, 48000, 44100, 32000,
+        24000, 22050, 16000, 12000, 11025, 8000, 7350)(sfi))
+      assert(m.channels === cc)
+      assert(m.durationMs === nf * 1024L * 1000 / m.sampleRate)
+    }
+    val good = AudioCodec.adtsBytes(4, 2, 5, 9L)
+    assert(AudioCodec.decode(good.dropRight(1)).isEmpty, "truncated frame")
+    assert(AudioCodec.decode(good ++ Array[Byte](0)).isEmpty, "trailing junk")
+    val mp3good = AudioCodec.mp3Bytes(0, 9, 0, 5, 9L)
+    assert(AudioCodec.decode(mp3good.dropRight(1)).isEmpty)
+    assert(AudioCodec.decode(mp3good ++ Array[Byte](1, 2)).isEmpty)
+  }
 }

@@ -554,7 +554,10 @@ class MultimodalSpec extends AnyFunSuite {
       JpegCodec.jpegPixelBytes420(32, 16, 3L),
       JpegCodec.jpegPixelBytesProg(16, 8, 3, 3L),
       AudioCodec.wavPcmBytes(8000, 2, 40, 3L),
-      AudioCodec.flacPcmBytes(8000, 2, 100, 64, 3L))
+      AudioCodec.flacPcmBytes(8000, 2, 100, 64, 3L),
+      AudioCodec.mp3Bytes(0, 9, 0, 6, 3L),
+      AudioCodec.adtsBytes(4, 2, 6, 3L),
+      VideoCodec.mp4Bytes(64, 48, 1000, 40, 6, 3L))
     for (base <- seeds; _ <- 1 to 200) {
       val b = base.clone()
       val i = rnd.nextInt(b.length)
@@ -562,6 +565,8 @@ class MultimodalSpec extends AnyFunSuite {
       ImageCodec.decodePixels(b) // must return, not throw/hang
       AudioCodec.decodeSamples(b)
       AudioCodec.decodeFlacSamples(b)
+      AudioCodec.decode(b)
+      VideoCodec.decode(b)
     }
   }
 
