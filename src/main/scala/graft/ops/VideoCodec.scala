@@ -721,13 +721,15 @@ object VideoCodec {
     StructField("n_samples", LongType)))
 
   /** video_meta(payload) -> struct(brand, timescale, duration_ms,
-    * width, height, tracks, codec, n_samples); NULL for payloads that
-    * are not well-formed ISO-BMFF with a video track. */
+    * width, height, tracks, codec, n_samples); dispatches over both
+    * container families (ISO-BMFF incl. fragmented, then WebM/
+    * Matroska); NULL for payloads that are neither. */
   case class VideoMetaExpr(payload: Expression) extends GeoExpr {
     override def children: Seq[Expression] = Seq(payload)
     override def dataType: DataType = metaSchema
     override protected def evalNotNull(a: Array[Any]): Any =
-      decode(a(0).asInstanceOf[Array[Byte]]) match {
+      decode(a(0).asInstanceOf[Array[Byte]])
+        .orElse(WebmCodec.decode(a(0).asInstanceOf[Array[Byte]])) match {
         case Some(m) => new GenericInternalRow(Array[Any](
           UTF8String.fromString(m.brand), m.timescale, m.durationMs,
           m.width, m.height, m.trackCount,
@@ -762,7 +764,7 @@ object VideoCodec {
       val nn = int(a(1))
       if (nn <= 0) return null
       val bytes = a(0).asInstanceOf[Array[Byte]]
-      decodeSampleTable(bytes) match {
+      decodeSampleTable(bytes).orElse(WebmCodec.decodeSampleTable(bytes)) match {
         case Some(t) if t.samples.nonEmpty =>
           val nS = t.samples.length
           val idxs = (0 until nn).map(k => k * nS / nn).distinct
@@ -818,6 +820,27 @@ object VideoCodec {
       copy(wpx = c(0), hpx = c(1), timescale = c(2), delta = c(3),
         nSamples = c(4), seed = c(5))
   }
+
+  /** webm_fixture(width, height, delta, n_samples, seed) -> the SAME
+    * logical movie in WebM/EBML form ([[WebmCodec.webmBytes]]). */
+  case class WebmFixtureExpr(wpx: Expression, hpx: Expression,
+      delta: Expression, nSamples: Expression, seed: Expression)
+      extends GeoExpr {
+    override def children: Seq[Expression] =
+      Seq(wpx, hpx, delta, nSamples, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      WebmCodec.webmBytes(int(a(0)), int(a(1)), int(a(2)), int(a(3)),
+        lng(a(4)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(wpx = c(0), hpx = c(1), delta = c(2), nSamples = c(3),
+        seed = c(4))
+  }
+
+  def webm_fixture(width: Column, height: Column, delta: Column,
+      nSamples: Column, seed: Column): Column =
+    toCol(WebmFixtureExpr(toExpr(width), toExpr(height), toExpr(delta),
+      toExpr(nSamples), toExpr(seed)))
 
   def video_meta(payload: Column): Column = toCol(VideoMetaExpr(toExpr(payload)))
 

@@ -499,6 +499,38 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // WebM/Matroska: the SAME movie + frame-extraction law through the
+    // EBML container family (RFC 8794 varints, Segment/Info/Tracks,
+    // per-cluster SimpleBlocks with signed relative times and keyframe
+    // flags). One query pins metadata AND per-frame extraction; the
+    // oracle replays every field by arithmetic — and the expression
+    // surface is the same video_meta/video_frame_samples that handles
+    // ISO-BMFF, dispatching on the container magic.
+    "q143_webm_media" -> ((s, dir) => {
+      val w = (lit(160) + (col("doc_id") % 8) * 16).cast("int")
+      val h = (lit(120) + (col("doc_id") % 5) * 24).cast("int")
+      val delta = (lit(40) + (col("doc_id") % 3) * 20).cast("int")
+      val n = (lit(5) + col("doc_id") % 20).cast("int")
+      val payload = graft.ops.VideoCodec.webm_fixture(w, h, delta, n, col("doc_id"))
+      docs(s, dir)
+        .withColumn("vm", graft.ops.VideoCodec.video_meta(payload))
+        .withColumn("fr", explode(
+          graft.ops.VideoCodec.video_frame_samples(payload, lit(4))))
+        .select(col("doc_id"),
+          col("vm.width").as("width"),
+          col("vm.height").as("height"),
+          col("vm.codec").as("codec"),
+          col("vm.duration_ms").as("duration_ms"),
+          col("vm.n_samples").as("n_samples"),
+          col("fr.frame_idx").as("frame_idx"),
+          col("fr.sample_idx").as("sample_idx"),
+          col("fr.time_ms").as("time_ms"),
+          col("fr.n_bytes").as("n_bytes"),
+          col("fr.is_sync").as("is_sync"),
+          col("fr.checksum").as("checksum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -640,6 +672,35 @@ object DedupQueries {
         |      // list_extract([48000, 44100, 32000, 24000, 22050], CAST(doc_id % 5 AS INTEGER) + 1)
         |  END AS BIGINT) AS duration_ms
         |FROM t ORDER BY doc_id""".stripMargin,
+    // WebM: 1 tick = 1 ms (TimestampScale 10^6 ns), so times need no
+    // clock division; frame sizes/sync/checksums share q140's laws.
+    "q143_webm_media" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         160 + (doc_id % 8) * 16 AS w,
+        |         120 + (doc_id % 5) * 24 AS h,
+        |         40 + (doc_id % 3) * 20 AS delta,
+        |         5 + doc_id % 20 AS n,
+        |         (5 + doc_id % 20 + 1) // 2 AS hh
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, delta, n, hh, k, (k * n) // 4 AS s
+        |  FROM t, range(4) r(k))
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  'V_VP9' AS codec,
+        |  CAST(hh * delta + (n - hh) * 2 * delta AS BIGINT) AS duration_ms,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(s AS INTEGER) AS sample_idx,
+        |  CAST(CASE WHEN s <= hh THEN s * delta
+        |       ELSE hh * delta + (s - hh) * 2 * delta END AS BIGINT) AS time_ms,
+        |  CAST(40 + (doc_id + 7 * s) % 120 AS INTEGER) AS n_bytes,
+        |  (s % 3 = 0) AS is_sync,
+        |  CAST((SELECT sum(j * ((doc_id + 131 * s + 7 * j) % 256))
+        |        FROM range(160) r2(j) WHERE j < 40 + (doc_id + 7 * s) % 120) AS BIGINT) AS checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q74_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -297,6 +297,72 @@ class VideoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("WebM: EBML round-trip matches the MP4 layout's samples (cross-container law)") {
+    for (seed <- Seq(0L, 5L, 42L); n <- Seq(1, 4, 9, 16)) {
+      val mp4 = VideoCodec.mp4Bytes(320, 240, 1000, 40, n, seed)
+      val webm = WebmCodec.webmBytes(320, 240, 40, n, seed)
+      val tm = VideoCodec.decodeSampleTable(mp4).getOrElse(fail("mp4"))
+      val tw = WebmCodec.decodeSampleTable(webm).getOrElse(fail(s"webm n=$n"))
+      assert(tw.timescale === 1000)
+      assert(tw.samples.length === tm.samples.length)
+      for ((a, b) <- tm.samples.zip(tw.samples)) {
+        // mp4 ticks are 1/1000 s here too, so times align directly
+        assert(a.timeTicks === b.timeTicks, s"time diverges at ${a.idx}")
+        assert(a.size === b.size)
+        assert(a.isSync === b.isSync)
+        for (j <- 0 until a.size)
+          assert(mp4((a.offset + j).toInt) === webm((b.offset + j).toInt),
+            s"payload bytes diverge at sample ${a.idx} byte $j")
+      }
+      val m = WebmCodec.decode(webm).getOrElse(fail("webm meta"))
+      assert(m.brand === "webm")
+      assert(m.codec === "V_VP9")
+      assert(m.width === 320)
+      assert(m.height === 240)
+      assert(m.trackCount === 1)
+      assert(m.sampleCount === n.toLong)
+      assert(m.durationMs === VideoCodec.fixtureDurationTicks(n, 40))
+    }
+  }
+
+  test("WebM: laced SimpleBlocks are rejected, not mis-sliced") {
+    val webm = WebmCodec.webmBytes(160, 120, 40, 4, 1L)
+    // find the first SimpleBlock (id 0xA3) and set a lacing bit in its
+    // flags byte (track vint 0x81 + s16 + flags)
+    def indexOf(hay: Array[Byte], pred: Int => Boolean): Int =
+      hay.indices.find(pred).getOrElse(-1)
+    val at = indexOf(webm, i => (webm(i) & 0xFF) == 0xA3 &&
+      i + 2 < webm.length && (webm(i + 2) & 0xFF) == 0x81)
+    assert(at >= 0, "SimpleBlock not found")
+    val flagsAt = at + 2 + 1 + 2 // id + size byte + vint + s16
+    val laced = webm.clone()
+    laced(flagsAt) = (laced(flagsAt) | 0x02).toByte
+    assert(WebmCodec.decodeSampleTable(laced).isEmpty)
+  }
+
+  test("WebM fuzz: mutated payloads never throw; survivors stay in-bounds") {
+    val good = WebmCodec.webmBytes(320, 240, 40, 9, 13L)
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 400) {
+      val b = good.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      WebmCodec.decode(b)
+      WebmCodec.decodeSampleTable(b) match {
+        case Some(t) =>
+          assert(t.samples.forall(s => s.offset >= 0 &&
+            s.offset + s.size <= b.length))
+        case None =>
+      }
+    }
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      WebmCodec.decode(b)
+      WebmCodec.decodeSampleTable(b)
+    }
+  }
+
   test("stsz/stts count mismatch is rejected") {
     val base = VideoCodec.mp4Bytes(160, 120, 1000, 40, 8, 2L)
     def indexOf(hay: Array[Byte], needle: Array[Byte]): Int =
