@@ -531,6 +531,38 @@ object DedupQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Gzip payload round-trip: REAL RFC 1952 decode (header flag
+    // handling + raw inflate — the same JDK zlib the PNG decoder
+    // uses). Web corpora arrive gzip-compressed; the oracle is the
+    // original text itself, so any header/inflate bug breaks the hash.
+    "q144_gzip_roundtrip" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.ops.WebArchive.gunzip_text(
+            graft.ops.WebArchive.gzip_fixture(col("text"))).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // WARC (ISO 28500 — the Common Crawl container) record extraction:
+    // the fixture serializes a 3-record archive per doc (request/
+    // response/metadata), warc_records walks it back strictly
+    // (version line, headers, Content-Length body slice, CRLF CRLF
+    // trailer) and digests each body from its TRUE byte range; the
+    // oracle rebuilds every field and digest from the documents table.
+    "q145_warc_records" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("r", explode(graft.ops.WebArchive.warc_records(
+          graft.ops.WebArchive.warc_fixture(col("doc_id"), col("text")))))
+        .select(col("doc_id"),
+          col("r.rec_idx").as("rec_idx"),
+          col("r.rec_type").as("rec_type"),
+          col("r.uri").as("uri"),
+          col("r.date").as("date"),
+          col("r.content_length").as("content_length"),
+          col("r.body_md5").as("body_md5"))
+        .orderBy("doc_id", "rec_idx")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -701,6 +733,28 @@ object DedupQueries {
         |  CAST((SELECT sum(j * ((doc_id + 131 * s + 7 * j) % 256))
         |        FROM range(160) r2(j) WHERE j < 40 + (doc_id + 7 * s) % 120) AS BIGINT) AS checksum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Round-trip: the oracle IS the original column.
+    "q144_gzip_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
+    // Every WARC field rebuilt from the documents table; body_md5 over
+    // the same strings the fixture serialized.
+    "q145_warc_records" ->
+      """WITH r AS (
+        |  SELECT doc_id, 0 AS rec_idx, 'request' AS rec_type,
+        |         'GET /doc/' || doc_id || ' HTTP/1.1' AS body
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'response', text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'metadata', 'len=' || length(text) FROM documents)
+        |SELECT doc_id,
+        |  CAST(rec_idx AS INTEGER) AS rec_idx,
+        |  rec_type,
+        |  'https://example.com/doc/' || doc_id AS uri,
+        |  '2026-01-01T00:00:00Z' AS date,
+        |  CAST(length(body) AS BIGINT) AS content_length,
+        |  md5(body) AS body_md5
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
     "q74_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS BIGINT) AS n_bytes,
