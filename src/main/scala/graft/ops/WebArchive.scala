@@ -119,6 +119,107 @@ object WebArchive {
     out.toByteArray
   }
 
+  /** One TAR entry: ustar header fields + payload byte range. */
+  final case class TarEntry(name: String, size: Long, typeflag: Char,
+      bodyStart: Int)
+
+  /** Strict POSIX ustar walk — the WebDataset shard format a
+    * multimodal training corpus ships in (sample files grouped by key
+    * inside .tar shards). 512-byte headers with VALIDATED checksums
+    * (sum of header bytes, checksum field as spaces), octal sizes,
+    * 512-aligned bodies, terminated by a zero block or EOF. None on
+    * any malformation — a bad checksum rejects the archive rather
+    * than mis-slicing every later entry. */
+  def tarEntries(b: Array[Byte]): Option[Vector[TarEntry]] = {
+    if (b == null || b.length < 512) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+    var p = 0
+    var ended = false
+    while (!ended && p + 512 <= b.length) {
+      if (b(p) == 0) { // zero block terminates the archive
+        ended = true
+      } else {
+        // magic: "ustar\0" (POSIX) or "ustar " (GNU)
+        if (!(b(p + 257) == 'u' && b(p + 258) == 's' && b(p + 259) == 't' &&
+          b(p + 260) == 'a' && b(p + 261) == 'r')) return None
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toLong else (b(p + i) & 0xFFL))
+          i += 1
+        }
+        val stored = octal(b, p + 148, 8).getOrElse(return None)
+        if (stored != sum) return None
+        var nameEnd = p
+        while (nameEnd < p + 100 && b(nameEnd) != 0) nameEnd += 1
+        val name = ascii(b, p, nameEnd - p)
+        val size = octal(b, p + 124, 12).getOrElse(return None)
+        if (size < 0 || size > Int.MaxValue) return None
+        val typeflag = (b(p + 156) & 0xFF).toChar
+        val bodyStart = p + 512
+        val padded = ((size + 511) / 512) * 512
+        if (bodyStart.toLong + padded > b.length) return None
+        if (out.length >= MaxRecords) return None
+        out += TarEntry(name, size, typeflag, bodyStart)
+        p = bodyStart + padded.toInt
+      }
+    }
+    if (out.isEmpty) None else Some(out.toVector)
+  }
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Option[Long] = {
+    var v = 0L
+    var i = off
+    var seen = false
+    while (i < off + len) {
+      val c = b(i) & 0xFF
+      if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+      else if (c == 0 || c == ' ') { /* terminator/padding */ }
+      else return None
+      i += 1
+    }
+    if (seen) Some(v) else None
+  }
+
+  /** Serialize (name, body) pairs as a POSIX ustar archive. */
+  def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((name, body) <- entries) {
+      require(name.getBytes("US-ASCII").length < 100, "tar name too long")
+      val hdr = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, hdr, 0, nb.length)
+      writeOctal(hdr, 100, 8, 420) // mode 0644
+      writeOctal(hdr, 108, 8, 0) // uid
+      writeOctal(hdr, 116, 8, 0) // gid
+      writeOctal(hdr, 124, 12, body.length.toLong)
+      writeOctal(hdr, 136, 12, 0) // mtime (fixed: deterministic)
+      hdr(156) = '0' // regular file
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, hdr, 257, 5)
+      hdr(263) = '0'; hdr(264) = '0' // version "00"
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += hdr(i) & 0xFFL; i += 1 }
+      writeOctal(hdr, 148, 7, sum)
+      hdr(155) = ' '
+      out.write(hdr)
+      out.write(body)
+      val pad = ((body.length + 511) / 512) * 512 - body.length
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two zero blocks
+    out.toByteArray
+  }
+
+  private def writeOctal(hdr: Array[Byte], off: Int, len: Int, v: Long): Unit = {
+    val s = java.lang.Long.toOctalString(v)
+    val padded = ("0" * (len - 1 - s.length)) + s
+    val bytes = padded.getBytes("US-ASCII")
+    System.arraycopy(bytes, 0, hdr, off, bytes.length)
+    hdr(off + len - 1) = 0
+  }
+
   private final val MaxInflate = 64 << 20
 
   /** Full gzip member decode: RFC 1952 header (magic 1F 8B, deflate
@@ -253,6 +354,67 @@ object WebArchive {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(docId = c(0), text = c(1))
   }
+
+  val tarEntrySchema: StructType = StructType(Seq(
+    StructField("entry_idx", IntegerType),
+    StructField("name", StringType),
+    StructField("n_bytes", LongType),
+    StructField("type", StringType),
+    StructField("body_md5", StringType)))
+
+  /** tar_entries(payload) -> array<struct(entry_idx, name, n_bytes,
+    * type, body_md5)>: every ustar entry (checksum-validated) with its
+    * payload digested from the TRUE byte range — WebDataset shard
+    * iteration as a columnar op. NULL for malformed archives. */
+  case class TarEntriesExpr(payload: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(payload)
+    override def dataType: DataType = ArrayType(tarEntrySchema)
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val bytes = a(0).asInstanceOf[Array[Byte]]
+      tarEntries(bytes) match {
+        case Some(entries) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val rows = entries.zipWithIndex.map { case (t, i) =>
+            md.reset()
+            md.update(bytes, t.bodyStart, t.size.toInt)
+            val hex = md.digest().map(x => f"${x & 0xFF}%02x").mkString
+            new GenericInternalRow(Array[Any](i,
+              UTF8String.fromString(t.name), t.size,
+              UTF8String.fromString(t.typeflag.toString),
+              UTF8String.fromString(hex))): Any
+          }
+          new GenericArrayData(rows.toArray)
+        case None => null
+      }
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(payload = c(0))
+  }
+
+  /** tar_fixture(doc_id, text) -> a WebDataset-style shard sample:
+    * {id}.txt (the text), {id}.json (closed-form json), {id}.cls
+    * (closed-form label) as one ustar archive. */
+  case class TarFixtureExpr(docId: Expression, text: Expression)
+      extends GeoExpr {
+    override def children: Seq[Expression] = Seq(docId, text)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val id = lng(a(0))
+      val text = a(1).asInstanceOf[UTF8String].toString
+      tarBytes(Seq(
+        (s"$id.txt", text.getBytes("UTF-8")),
+        (s"$id.json", s"""{"id":$id}""".getBytes("UTF-8")),
+        (s"$id.cls", (text.length % 10).toString.getBytes("UTF-8"))))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(docId = c(0), text = c(1))
+  }
+
+  def tar_entries(payload: Column): Column =
+    toCol(TarEntriesExpr(toExpr(payload)))
+
+  def tar_fixture(docId: Column, text: Column): Column =
+    toCol(TarFixtureExpr(toExpr(docId), toExpr(text)))
 
   def warc_records(payload: Column): Column =
     toCol(WarcRecordsExpr(toExpr(payload)))

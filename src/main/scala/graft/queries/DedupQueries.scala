@@ -563,6 +563,23 @@ object DedupQueries {
         .orderBy("doc_id", "rec_idx")
     }),
 
+    // WebDataset shard iteration: the fixture packs each doc as a
+    // {key}.txt/{key}.json/{key}.cls ustar sample (the multimodal
+    // training shard layout), tar_entries walks it back with VALIDATED
+    // header checksums and digests each body from its true byte range.
+    "q146_tar_webdataset" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("e", explode(graft.ops.WebArchive.tar_entries(
+          graft.ops.WebArchive.tar_fixture(col("doc_id"), col("text")))))
+        .select(col("doc_id"),
+          col("e.entry_idx").as("entry_idx"),
+          col("e.name").as("name"),
+          col("e.n_bytes").as("n_bytes"),
+          col("e.type").as("type"),
+          col("e.body_md5").as("body_md5"))
+        .orderBy("doc_id", "entry_idx")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -755,6 +772,22 @@ object DedupQueries {
         |  CAST(length(body) AS BIGINT) AS content_length,
         |  md5(body) AS body_md5
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+    // Every shard entry rebuilt from the documents table.
+    "q146_tar_webdataset" ->
+      """WITH e AS (
+        |  SELECT doc_id, 0 AS entry_idx, doc_id || '.txt' AS name, text AS body
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, doc_id || '.json', '{"id":' || doc_id || '}' FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, doc_id || '.cls', CAST(length(text) % 10 AS VARCHAR) FROM documents)
+        |SELECT doc_id,
+        |  CAST(entry_idx AS INTEGER) AS entry_idx,
+        |  name,
+        |  CAST(length(body) AS BIGINT) AS n_bytes,
+        |  '0' AS type,
+        |  md5(body) AS body_md5
+        |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
     "q74_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS BIGINT) AS n_bytes,
