@@ -39,7 +39,7 @@ object AudioCodec {
 
   def decode(b: Array[Byte]): Option[Meta] =
     decodeWav(b).orElse(decodeFlac(b)).orElse(decodeAdts(b))
-      .orElse(decodeMp3(b))
+      .orElse(decodeOgg(b)).orElse(decodeMp3(b))
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -200,6 +200,135 @@ object AudioCodec {
     }
     if (frames == 0 || pos != b.length || rate <= 0) None
     else Some(Meta("aac", rate, ch, 0, samples * 1000L / rate))
+  }
+
+  /** Ogg (RFC 3533) page walk + Opus (RFC 7845) / Vorbis ID headers:
+    * pages must tile the payload exactly ("OggS" capture, version 0,
+    * lacing-summed payload sizes); the FIRST beginning-of-stream
+    * page's initial packet is dispatched on the "OpusHead" /
+    * 0x01+"vorbis" magics, and duration comes from that stream's last
+    * page granule (Opus: 48 kHz granules minus pre-skip; Vorbis:
+    * sample count at the declared rate). None on any malformation. */
+  private def decodeOgg(b: Array[Byte]): Option[Meta] = {
+    if (b == null || b.length < 28) return None
+    var pos = 0
+    var serial = 0L
+    var haveStream = false
+    var lastGranule = 0L
+    var meta: Option[(String, Int, Int, Long)] = None // fmt, rate, ch, preskip
+    while (pos + 27 <= b.length) {
+      if (!(b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' &&
+        b(pos + 3) == 'S') || b(pos + 4) != 0) return None
+      val pType = b(pos + 5) & 0xFF
+      var granule = 0L
+      var i = 0
+      while (i < 8) { granule |= (b(pos + 6 + i) & 0xFFL) << (8 * i); i += 1 }
+      val pSerial = le32(b, pos + 14).toLong & 0xFFFFFFFFL
+      val nSeg = b(pos + 26) & 0xFF
+      if (pos + 27 + nSeg > b.length) return None
+      var payloadLen = 0
+      i = 0
+      while (i < nSeg) { payloadLen += b(pos + 27 + i) & 0xFF; i += 1 }
+      val payloadStart = pos + 27 + nSeg
+      if (payloadStart + payloadLen > b.length) return None
+      if ((pType & 0x02) != 0 && !haveStream) { // first BOS page
+        haveStream = true
+        serial = pSerial
+        // ID packet is the first packet of the BOS page
+        if (payloadLen >= 19 &&
+          ascii(b, payloadStart, 8) == "OpusHead") {
+          val ch = b(payloadStart + 9) & 0xFF
+          val preskip = le16(b, payloadStart + 10)
+          val rate = le32(b, payloadStart + 12)
+          if (ch <= 0 || rate <= 0) return None
+          meta = Some(("opus", rate, ch, preskip.toLong))
+        } else if (payloadLen >= 30 && (b(payloadStart) & 0xFF) == 1 &&
+          ascii(b, payloadStart + 1, 6) == "vorbis") {
+          val ch = b(payloadStart + 11) & 0xFF
+          val rate = le32(b, payloadStart + 12)
+          if (ch <= 0 || rate <= 0) return None
+          meta = Some(("vorbis", rate, ch, 0L))
+        } else return None
+      }
+      if (haveStream && pSerial == serial && granule >= 0)
+        lastGranule = granule
+      pos = payloadStart + payloadLen
+    }
+    if (pos != b.length) return None
+    meta.map { case (fmt, rate, ch, preskip) =>
+      val durMs = fmt match {
+        case "opus" => math.max(0L, lastGranule - preskip) * 1000L / 48000L
+        case _ => lastGranule * 1000L / rate
+      }
+      Meta(fmt, rate, ch, 0, durMs)
+    }
+  }
+
+  /** Deterministic Ogg fixture ('opus' | 'vorbis'): BOS page with the
+    * ID header, a comment page, then data pages whose final granule
+    * encodes nSamples (Opus: 48 kHz units after pre-skip). CRCs are
+    * zeroed (the walk validates structure, not the CRC polynomial —
+    * a documented limit). */
+  def oggBytes(format: String, rate: Int, channels: Int, preskip: Int,
+      nSamples: Long, seed: Long): Array[Byte] = {
+    require(rate > 0 && channels > 0 && channels <= 8 && preskip >= 0 &&
+      nSamples >= 0, "ogg fixture params out of range")
+    val out = new java.io.ByteArrayOutputStream()
+    def page(pType: Int, granule: Long, seq: Int, packet: Array[Byte]): Unit = {
+      require(packet.length < 255 * 255, "fixture packet too large")
+      val nSeg = packet.length / 255 + 1
+      out.write('O'); out.write('g'); out.write('g'); out.write('S')
+      out.write(0); out.write(pType)
+      var i = 0
+      while (i < 8) { out.write(((granule >> (8 * i)) & 0xFF).toInt); i += 1 }
+      val serial = 0x47524654 // 'GRFT'
+      i = 0
+      while (i < 4) { out.write((serial >> (8 * i)) & 0xFF); i += 1 }
+      i = 0
+      while (i < 4) { out.write((seq >> (8 * i)) & 0xFF); i += 1 }
+      out.write(0); out.write(0); out.write(0); out.write(0) // crc zeroed
+      out.write(nSeg)
+      var rest = packet.length
+      i = 0
+      while (i < nSeg) { out.write(math.min(rest, 255)); rest -= math.min(rest, 255); i += 1 }
+      out.write(packet)
+    }
+    val idPacket: Array[Byte] = format match {
+      case "opus" =>
+        val p = new java.io.ByteArrayOutputStream()
+        p.write("OpusHead".getBytes("US-ASCII"))
+        p.write(1); p.write(channels)
+        p.write(preskip & 0xFF); p.write((preskip >> 8) & 0xFF)
+        var i = 0
+        while (i < 4) { p.write((rate >> (8 * i)) & 0xFF); i += 1 }
+        p.write(0); p.write(0) // gain
+        p.write(0) // mapping family
+        p.toByteArray
+      case "vorbis" =>
+        val p = new java.io.ByteArrayOutputStream()
+        p.write(1); p.write("vorbis".getBytes("US-ASCII"))
+        p.write(Array[Byte](0, 0, 0, 0)) // version
+        p.write(channels)
+        var i = 0
+        while (i < 4) { p.write((rate >> (8 * i)) & 0xFF); i += 1 }
+        p.write(new Array[Byte](4 * 3 + 1 + 1)) // bitrates, blocksizes, framing
+        p.toByteArray
+      case _ => throw new IllegalArgumentException(s"ogg format: $format")
+    }
+    page(0x02, 0L, 0, idPacket) // BOS
+    val comment = (format match {
+      case "opus" => "OpusTags"
+      case _ => "vorbis"
+    }).getBytes("US-ASCII")
+    page(0x00, 0L, 1, comment)
+    // data pages: patterned dummy packets; final granule carries time
+    val finalGranule = (if (format == "opus") preskip.toLong else 0L) + nSamples
+    val half = finalGranule / 2
+    page(0x00, half, 2,
+      Array.tabulate(40)(j => java.lang.Math.floorMod(seed + 3L * j, 256L).toByte))
+    page(0x04, finalGranule, 3, // EOS
+      Array.tabulate(40)(j => java.lang.Math.floorMod(seed + 7L * j, 256L).toByte))
+    out.toByteArray
   }
 
   /** Deterministic MPEG-1 Layer III fixture: nFrames frames (no
@@ -1083,6 +1212,27 @@ object AudioCodec {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
       copy(sfi = c(0), chanCfg = c(1), nFrames = c(2), seed = c(3))
   }
+
+  /** ogg_fixture(format, rate, channels, preskip, n_samples, seed) ->
+    * complete Ogg bytes ([[oggBytes]]); format 'opus' | 'vorbis'. */
+  case class OggFixtureExpr(format: Expression, rate: Expression,
+      channels: Expression, preskip: Expression, nSamples: Expression,
+      seed: Expression) extends GeoExpr {
+    override def children: Seq[Expression] =
+      Seq(format, rate, channels, preskip, nSamples, seed)
+    override def dataType: DataType = BinaryType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      oggBytes(str(a(0)), int(a(1)), int(a(2)), int(a(3)), lng(a(4)),
+        lng(a(5)))
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(format = c(0), rate = c(1), channels = c(2), preskip = c(3),
+        nSamples = c(4), seed = c(5))
+  }
+
+  def ogg_fixture(format: Column, rate: Column, channels: Column,
+      preskip: Column, nSamples: Column, seed: Column): Column =
+    toCol(OggFixtureExpr(toExpr(format), toExpr(rate), toExpr(channels),
+      toExpr(preskip), toExpr(nSamples), toExpr(seed)))
 
   def mp3_fixture(srIdx: Column, brIdx: Column, mode: Column,
       nFrames: Column, seed: Column): Column =

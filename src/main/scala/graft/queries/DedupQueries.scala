@@ -580,6 +580,32 @@ object DedupQueries {
         .orderBy("doc_id", "entry_idx")
     }),
 
+    // Ogg container metadata (Opus per RFC 7845 + Vorbis): the fixture
+    // writes a real page sequence (BOS ID header, comment page, data
+    // pages, EOS granule), audio_meta's strict page walk reads it
+    // back, and the oracle replays the duration laws — Opus granules
+    // run at 48 kHz minus pre-skip regardless of the input rate,
+    // Vorbis granules are samples at the declared rate.
+    "q147_ogg_meta" -> ((s, dir) => {
+      val fmt = when(col("doc_id") % 2 === 0, "opus").otherwise("vorbis")
+      val rate = (lit(8000) + (col("doc_id") % 6) * 8000).cast("int")
+      val ch = (lit(1) + col("doc_id") % 2).cast("int")
+      val preskip = (lit(312) + col("doc_id") % 100).cast("int")
+      val nSamp = when(col("doc_id") % 2 === 0,
+        (lit(100) + col("doc_id") % 400) * 48) // opus: exact ms worth
+        .otherwise(lit(200) + (col("doc_id") * 7) % 1000)
+      docs(s, dir)
+        .withColumn("am", AudioCodec.audio_meta(
+          AudioCodec.ogg_fixture(fmt, rate, ch, preskip,
+            nSamp.cast("long"), col("doc_id"))))
+        .select(col("doc_id"),
+          col("am.format").as("audio_format"),
+          col("am.sample_rate").as("sample_rate"),
+          col("am.channels").as("channels"),
+          col("am.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -788,6 +814,17 @@ object DedupQueries {
         |  '0' AS type,
         |  md5(body) AS body_md5
         |FROM e ORDER BY doc_id, entry_idx""".stripMargin,
+    // Opus ticks at 48 kHz minus pre-skip (so the even docs' sample
+    // counts are chosen as exact milliseconds); Vorbis at its rate.
+    "q147_ogg_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS audio_format,
+        |  CAST(8000 + (doc_id % 6) * 8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 400
+        |       ELSE (200 + (doc_id * 7) % 1000) * 1000
+        |            // (8000 + (doc_id % 6) * 8000) END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q74_multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

@@ -318,6 +318,32 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(m2.durationMs === 3L * 1152 * 1000 / 44100)
   }
 
+  test("Ogg Opus/Vorbis round-trip; strict page walk rejects damage") {
+    // opus: duration = (granule - preskip) / 48 kHz, independent of
+    // the declared input rate
+    for (rate <- Seq(8000, 16000, 48000); ch <- Seq(1, 2); ms <- Seq(0L, 137L)) {
+      val b = AudioCodec.oggBytes("opus", rate, ch, 312, ms * 48, 7L)
+      val m = AudioCodec.decode(b).getOrElse(fail(s"opus rate=$rate"))
+      assert(m.format === "opus")
+      assert(m.sampleRate === rate)
+      assert(m.channels === ch)
+      assert(m.durationMs === ms)
+    }
+    for (rate <- Seq(8000, 44100); n <- Seq(0L, 999L)) {
+      val b = AudioCodec.oggBytes("vorbis", rate, 2, 0, n, 7L)
+      val m = AudioCodec.decode(b).getOrElse(fail(s"vorbis rate=$rate"))
+      assert(m.format === "vorbis")
+      assert(m.durationMs === n * 1000 / rate)
+    }
+    val good = AudioCodec.oggBytes("opus", 48000, 2, 312, 48000L, 7L)
+    assert(AudioCodec.decode(good.dropRight(1)).isEmpty, "truncated page")
+    assert(AudioCodec.decode(good ++ Array[Byte](0)).isEmpty, "trailing junk")
+    val badVer = good.clone(); badVer(4) = 1
+    assert(AudioCodec.decode(badVer).isEmpty, "nonzero ogg version")
+    val notBos = good.clone(); notBos(5) = 0 // clear BOS flag
+    assert(AudioCodec.decode(notBos).isEmpty, "stream without BOS ID header")
+  }
+
   test("ADTS AAC round-trip; strict walks reject truncation and trailing junk") {
     for (sfi <- Seq(3, 4, 11); cc <- Seq(1, 2, 6); nf <- Seq(1, 18)) {
       val b = AudioCodec.adtsBytes(sfi, cc, nf, 9L)
