@@ -88,6 +88,51 @@ object LiveSourceQueries {
           ex.close()
         }
       })
+      // Arrow IPC wire endpoint: the SAME layer served as real Arrow
+      // stream-format bytes (typed columns: fid Int64, name Utf8, geom
+      // WKB Binary), paged by startIndex/count; resultType=hits stays
+      // JSON (WFS capability negotiation is orthogonal to the payload
+      // format). Rows are re-encoded per request from a typed cache.
+      val typedRows: IndexedSeq[org.apache.spark.sql.Row] =
+        graft.spatial.GeoJson.parseFeatureCollection(features
+            .mkString("""{"type":"FeatureCollection","features":[""", ",", "]}"))
+          .toIndexedSeq
+          .map { case (props, geom) =>
+            org.apache.spark.sql.Row(
+              props("src_fid").toLong,
+              props.get("name").orNull,
+              geom.map(graft.spatial.Geometry.toWkb).orNull)
+          }
+      val arrowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src_fid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("geom",
+          org.apache.spark.sql.types.BinaryType)))
+      server.createContext("/wfs-arrow", new com.sun.net.httpserver.HttpHandler {
+        def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val params = q.split("&").filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+          val (ctype, bytes) =
+            if (params.get("resultType").contains("hits"))
+              ("application/json",
+                s"""{"type":"FeatureCollection","numberMatched":${typedRows.length},"features":[]}"""
+                  .getBytes("UTF-8"))
+            else {
+              val start = params.get("startIndex").map(_.toInt).getOrElse(0)
+              val n = params.get("count").map(_.toInt).getOrElse(typedRows.length)
+              ("application/vnd.apache.arrow.stream",
+                graft.sources.ArrowWire.write(arrowSchema,
+                  typedRows.slice(start, start + n), batchRows = 32))
+            }
+          ex.getResponseHeaders.add("Content-Type", ctype)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
       // bearer-token endpoint for the Lantmateriet-style source: the
       // full collection, but ONLY with the right Authorization header
       server.createContext("/lm", new com.sun.net.httpserver.HttpHandler {
@@ -124,6 +169,15 @@ object LiveSourceQueries {
     (u: String) => {
       val src = scala.io.Source.fromURL(u, "UTF-8")
       try src.mkString finally src.close()
+    }
+
+  /** Raw-bytes fetch for the Arrow wire (Arrow IPC is binary; a
+    * string round-trip would corrupt it). Serializable so the
+    * distributed page fan-out can call it from executor tasks. */
+  private val httpFetchBytes: String => Array[Byte] =
+    (u: String) => {
+      val in = new java.net.URI(u).toURL.openStream()
+      try in.readAllBytes() finally in.close()
     }
 
   // ------------------------------------------------------ shp fixture
@@ -264,6 +318,30 @@ object LiveSourceQueries {
         .orderBy("fid")
     }),
 
+    // Arrow IPC wire, distributed page fan-out: the layer served as
+    // REAL Arrow stream-format bytes (typed Int64/Utf8/Binary columns,
+    // 32-row record batches so every page is multi-batch). The endpoint
+    // reports numberMatched, so pages fan out across tasks, each task
+    // decoding its own stream with the Arrow Java reader. Same digest
+    // as the GeoJSON paths — the wire format must be invisible.
+    "q148_wfs_arrow_wire" -> ((s, dir) => {
+      val url = serverBaseUrl(s, dir) + "/wfs-arrow"
+      val wfs = new graft.sources.WfsArrowSource(httpFetchBytes)
+      digest(wfs.read(s, Map("url" -> url, "count" -> "60")))
+    }),
+
+    // Arrow wire, sequential page walk: a fetch wrapper fails the hits
+    // probe (endpoints without resultType=hits are common), forcing
+    // the walk-until-empty-page branch. Must agree with q148 exactly.
+    "q149_wfs_arrow_seq" -> ((s, dir) => {
+      val url = serverBaseUrl(s, dir) + "/wfs-arrow"
+      val noHits: String => Array[Byte] = u =>
+        if (u.contains("resultType=hits")) throw new java.io.IOException("no hits endpoint")
+        else httpFetchBytes(u)
+      val wfs = new graft.sources.WfsArrowSource(noHits)
+      digest(wfs.read(s, Map("url" -> url, "count" -> "45")))
+    }),
+
     // Migration-ledger checksum laws: fresh version not applied ->
     // applied after record; SAME content stays applied and not stale;
     // CHANGED content flips to stale (md5 mismatch); rollback forgets.
@@ -286,6 +364,8 @@ object LiveSourceQueries {
   val oracle: Map[String, String] = Map(
     "q122_wfs_pagination" -> digestOracle,
     "q123_wfs_dist_fanout" -> digestOracle,
+    "q148_wfs_arrow_wire" -> digestOracle,
+    "q149_wfs_arrow_seq" -> digestOracle,
     "q124_shapefile_roundtrip" ->
       s"""SELECT c_custkey AS fid, c_name AS name, md5(${GeoFixture.wktSql}) AS wkt_md5
          |FROM customer WHERE c_custkey <= 300 AND c_custkey % 3 = 0

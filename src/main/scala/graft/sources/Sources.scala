@@ -456,8 +456,11 @@ object Sources {
       Files.readString(Downloader.fetch(url, cacheDir))
     def httpFetchH(url: String, headers: Map[String, String]): String =
       Files.readString(Downloader.fetch(url, cacheDir, headers))
+    def httpFetchBytes(url: String): Array[Byte] =
+      Files.readAllBytes(Downloader.fetch(url, cacheDir))
     registryWith(new WfsSource(httpFetch), new LantmaterietSource(httpFetchH),
-      extras = Seq(new WfsDistSource(httpFetch), new WfsAutoSource(httpFetch)))
+      extras = Seq(new WfsDistSource(httpFetch), new WfsAutoSource(httpFetch),
+        new WfsArrowSource(httpFetchBytes)))
   }
 
   def registryWith(wfs: SourceConnector, lm: SourceConnector,
