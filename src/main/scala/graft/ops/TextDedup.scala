@@ -303,6 +303,100 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- duplicate clusters
+
+  /** SQL-replayable candidate pairs via rare-shingle co-occurrence:
+    * (id_a, id_b, n_shared) for document pairs sharing >= `minShared`
+    * distinct shingles whose corpus document-frequency is in
+    * [2, maxDf]. The df cap is the same non-discriminative-boilerplate
+    * guard as [[minHashCandidates]]' maxBucket: a shingle appearing in
+    * thousands of documents contributes O(df^2) pair work and no dedup
+    * evidence, while true near-dups still share rare shingles. Unlike
+    * the MinHash/SimHash generators (engine-internal hash functions),
+    * every step here is plain relational algebra, so the whole pipeline
+    * through [[connectedComponents]] replays in ANSI SQL — this is the
+    * generator the cluster battery query uses for its DuckDB oracle.
+    *
+    * 100 TB shape: distinct-shingle explode (map-side combinable),
+    * one df hash-aggregate, then a self-join whose work is bounded by
+    * df^2 <= maxDf^2 per shingle — never all-pairs. */
+  def rareShingleCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
+        .as("gram"))
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val rg = grams.join(rare, "gram")
+    val a = rg.as("a")
+    val b = rg.as("b")
+    a.join(b, col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Connected components over an undirected edge list — the cluster
+    * formation every dedup pipeline runs AFTER pair detection (pairs
+    * alone can't answer "keep one per duplicate group": near-dup is
+    * not transitive, the component closure is).
+    *
+    * Iterative min-label propagation: each vertex's label becomes the
+    * min of its own and its neighbors' labels until a fixpoint, so the
+    * component id is the min vertex id in the component —
+    * deterministic and partitioning-independent. Converges in
+    * O(component diameter) rounds; duplicate graphs are near-cliques
+    * (diameter 2-4), so the loop is a handful of rounds in practice.
+    * Each round is one shuffle join + one hash aggregate; the round's
+    * labels persist and the previous round's cache is released as soon
+    * as the convergence check runs. Convergence is detected by the sum
+    * of labels (labels only ever decrease, so an unchanged sum IS the
+    * fixpoint) — one aggregate, no extra join. For adversarially deep
+    * graphs (long chains) the star-contraction variants run in
+    * O(log n) rounds; not needed for dedup-shaped graphs, and `maxIter`
+    * bounds the loop regardless.
+    *
+    * Returns (id, component). Vertices = endpoints of `edges`; callers
+    * left-join docs against it (absent doc = singleton component). */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum == null // empty edge set: nothing to do
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
+        .groupBy("src").agg(min("nc").as("nbr_min"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts
     * back (broadcast the small candidate set at interactive scale;
     * shuffle-join on id at batch scale) and compute exact overlap.

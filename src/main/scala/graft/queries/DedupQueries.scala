@@ -606,6 +606,31 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplicate-CLUSTER formation — the step after pair detection that
+    // dedup actually needs (near-dup similarity is not transitive; the
+    // component closure is): SQL-replayable rare-shingle candidate
+    // edges (TextDedup.rareShingleCandidates) -> connected components
+    // by iterative min-label propagation -> per-doc cluster id +
+    // keep-one-per-cluster flag. Unlike the MinHash/SimHash paths, the
+    // edge generator here is plain relational algebra, so the WHOLE
+    // pipeline through the fixpoint replays in DuckDB via a recursive
+    // CTE — the cluster assignment is hash-checked, not rows-only.
+    "q150_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = TextDedup.rareShingleCandidates(d, "doc_id", "text",
+        shingleN = 5, maxDf = 8, minShared = 3)
+      val cc = TextDedup.connectedComponents(edges)
+      Memos.track(s"dedup:cc:$dir", Set("q150_dup_clusters")) { () =>
+        cc.unpersist()
+      }
+      d.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("keep", col("component") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -654,6 +679,45 @@ object DedupQueries {
         |WHERE a.doc_id < b.doc_id
         |  AND CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    // The full cluster pipeline replayed in SQL: same 5-gram shingles,
+    // same df window [2, 8], same >=3-shared-grams edge rule, then the
+    // component fixpoint as a recursive CTE (label lab reaches id =>
+    // same component; MIN over an undirected closure = min member id,
+    // exactly the engine's min-label-propagation fixpoint).
+    "q150_dup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t,' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4],' ')))
+        |  END AS s
+        |  FROM tok
+        |), g AS (
+        |  SELECT doc_id, unnest(s) AS gram FROM sh
+        |), rare AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 8
+        |), rg AS (
+        |  SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)
+        |), e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM e
+        |  UNION SELECT id_b, id_a FROM e
+        |), reach(id, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |), comp AS (
+        |  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(c.component, d.doc_id) AS component,
+        |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // MP4 metadata replayed by arithmetic: dims/clock from the doc_id
     // parameter grid; duration crosses the two-run stts (first ceil(n/2)
     // samples tick delta, the rest 2*delta).

@@ -135,4 +135,70 @@ class DedupOpsSpec extends AnyFunSuite {
       .head().getAs[scala.collection.Seq[String]]("s")
     assert(short.toSeq == Seq("one two"))
   }
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("id_a", "id_b")
+  }
+
+  private def componentsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val cc = TextDedup.connectedComponents(edgesDf(pairs))
+    val out = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.unpersist()
+    out
+  }
+
+  /** Brute-force union-find reference. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components: multi-hop chain collapses to min id") {
+    // 1-2-3-4-5 plus 10-11; diameter 4 forces several propagation rounds
+    val got = componentsOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components match brute-force union-find on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val pairs = (0 until 120).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(componentsOf(pairs) == unionFind(pairs))
+  }
+
+  test("rare-shingle candidates find seeded near-dups, resist boilerplate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // every doc shares a boilerplate sentence (df = n_docs > maxDf);
+    // docs 0/1 and 2/3 are near-identical beyond it; 4..23 are unique
+    val boiler = "all rights reserved contact us for more information today"
+    def uniq(i: Int) = (0 until 40).map(_ => s"u${i}_${rnd.nextInt(30)}").mkString(" ")
+    val pairText = uniq(100)
+    val pairText2 = uniq(200)
+    val docs = Seq(
+      (0L, s"$boiler $pairText"), (1L, s"$boiler $pairText extra"),
+      (2L, s"$boiler $pairText2"), (3L, s"$boiler $pairText2 tail")) ++
+      (4 until 24).map(i => (i.toLong, s"$boiler ${uniq(i)}"))
+    val edges = TextDedup.rareShingleCandidates(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 5, maxDf = 8, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((0L, 1L)), "missed seeded near-dup 0-1")
+    assert(edges.contains((2L, 3L)), "missed seeded near-dup 2-3")
+    // boilerplate alone (shared by all 24 docs, df over the cap) must
+    // not connect unrelated docs
+    val cross = edges.filter { case (a, b) => !(a < 4 && b < 4) }
+    assert(cross.isEmpty, s"boilerplate-only edges leaked: $cross")
+  }
 }
