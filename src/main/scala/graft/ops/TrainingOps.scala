@@ -113,6 +113,39 @@ object TrainingOps {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
   }
 
+  // ------------------------------------------------------ PII redaction
+
+  /** Email shape: local part @ dotted domain with an alpha TLD. Kept to
+    * the syntax subset that Java regex (Spark) and RE2 (DuckDB, and the
+    * scan engines a lakehouse fronts) interpret identically — no
+    * backrefs, no lookaround. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 between word boundaries. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Digit runs of >= 9 — phone/account/card shapes. */
+  val LongNumRe = "\\d{9,}"
+
+  /** PII redaction: replace emails, IPv4 addresses and long digit runs
+    * with typed placeholder tokens — the scrub pass a training-data
+    * pipeline runs before anything leaves the raw zone. Replacements
+    * apply in a fixed order (email, then ip, then number) so the
+    * output is deterministic: an address consumed by `<EMAIL>` can no
+    * longer partially match the later patterns. Map-only codegen'd
+    * regexp_replace — no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-category PII counts on the ORIGINAL text (each category
+    * counted independently, before any replacement). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
+    regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ip"),
+    regexp_count(text, lit(LongNumRe)).cast("long").as("n_num"))
+
   /** Intra-document repetition ratio: the fraction of a document's
     * word bigrams taken by its single most frequent bigram — the
     * boilerplate/spam signal used for repetition-based quality

@@ -427,4 +427,51 @@ object WebArchive {
 
   def warc_fixture(docId: Column, text: Column): Column =
     toCol(WarcFixtureExpr(toExpr(docId), toExpr(text)))
+
+  // ------------------------------------------------ URL canonicalization
+
+  /** Canonical URL — the key a web corpus dedups and joins crawls on
+    * (the same page arrives as dozens of surface forms across WARC
+    * snapshots). Normalizations, each replayable in ANSI SQL:
+    *  - scheme and host lowercased (path stays case-sensitive per
+    *    RFC 3986 §6.2.2.1);
+    *  - default ports stripped (http:80 / https:443);
+    *  - fragment dropped;
+    *  - tracking params removed (utm_*, fbclid, gclid);
+    *  - remaining query params sorted (binary order, both engines);
+    *  - trailing path slashes stripped.
+    *
+    * Built from codegen'd regexp/string built-ins plus tiny-array
+    * lambda HOFs (filter/array_sort over the param list — interpreted,
+    * but bounded by the handful of params a URL carries, not corpus
+    * size). Idempotent: canonical input maps to itself. */
+  def canonicalizeUrl(url: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(rawQ, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid=")))
+    val q = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** Registered-domain-ish key (last two host labels) — the grouping
+    * key for per-site corpus stats and crawl politeness. A true public
+    * -suffix-list lookup is a broadcast join against the PSL table;
+    * the two-label fallback is the standard offline approximation. */
+  def urlDomain(url: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(auth, ":\\d+$", "")
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
 }

@@ -108,6 +108,54 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // PII redaction (ops/TrainingOps.redactPii): the scrub pass before
+    // anything leaves the raw zone. The corpus text is augmented with
+    // DETERMINISTIC synthetic PII (email, dotted-quad, long account
+    // number derived from doc_id) so the redaction is exercised on
+    // every row and value-checked — a regex that silently stopped
+    // matching would break the hash, not pass vacuously.
+    "q151_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com via 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250).cast("string"), lit(" ref "),
+        (col("doc_id") * 1000000007L + 123456789L).cast("string"))
+      docs(s, dir)
+        .withColumn("t", aug)
+        .withColumn("pc", graft.ops.TrainingOps.piiCounts(col("t")))
+        .select(col("doc_id"),
+          graft.ops.TrainingOps.redactPii(col("t")).as("redacted"),
+          col("pc.n_email").as("n_email"),
+          col("pc.n_ip").as("n_ip"),
+          col("pc.n_num").as("n_num"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization (ops/WebArchive.canonicalizeUrl): collapse
+    // the surface forms a crawl emits (case, default port, fragment,
+    // tracking params, param order, trailing slash) to the dedup/join
+    // key, plus the registered-domain grouping key. The URL grid is
+    // derived from doc_id so every normalization branch is exercised
+    // and value-checked.
+    "q152_url_canon" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM"),
+        when(col("doc_id") % 3 === 0, ":443").otherwise(""),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, "/").otherwise(""),
+        lit("?utm_source=feed&b="), (col("doc_id") % 5).cast("string"),
+        lit("&a=1"),
+        when(col("doc_id") % 4 === 0, "&fbclid=XYZ").otherwise(""),
+        lit("#frag"))
+      docs(s, dir)
+        .withColumn("u", url)
+        .select(col("doc_id"),
+          graft.ops.WebArchive.canonicalizeUrl(col("u")).as("canon_url"),
+          graft.ops.WebArchive.urlDomain(col("u")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // CUBE over (lang, source): the full coverage matrix incl. margins.
     "q82_cube" -> ((s, dir) => {
       docs(s, dir)
@@ -320,6 +368,61 @@ object PipelineQueries {
         |)
         |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS rep_ratio
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same augmented text, same three regexes (the pattern subset Java
+    // regex and RE2 read identically), same fixed replacement order.
+    "q151_pii_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com via 10.'
+        |      || (doc_id % 200) || '.0.' || (doc_id % 250)
+        |      || ' ref ' || (doc_id * 1000000007 + 123456789) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{9,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '\d{9,}')) AS BIGINT) AS n_num
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Scheme/host lowercase, :443 stripped (scheme is https), fragment
+    // dropped, utm_/fbclid params removed, remaining params sorted
+    // binary, trailing slash stripped — replayed with DuckDB list ops.
+    "q152_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example' || (doc_id % 7) || '.COM'
+        |      || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        |      || '/Path/' || doc_id
+        |      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |      || '?utm_source=feed&b=' || (doc_id % 5) || '&a=1'
+        |      || CASE WHEN doc_id % 4 = 0 THEN '&fbclid=XYZ' ELSE '' END
+        |      || '#frag' AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS host,
+        |    path,
+        |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |        AND NOT starts_with(x, 'fbclid=')
+        |        AND NOT starts_with(x, 'gclid='))), '&') AS q
+        |  FROM p)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path
+        |    || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url,
+        |  regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q82_cube" ->
       """SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY CUBE (lang, source)

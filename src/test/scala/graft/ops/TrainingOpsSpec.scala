@@ -95,4 +95,55 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(2)._2 === 1.0) // single degenerate shingle
     assert(got(3)._2 === 1.0) // empty text -> one empty shingle
   }
+
+  test("redactPii: categories, fixed order, idempotence, clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.0.1 port 8080"),
+      (3L, "card 4111222233334444 and phone 0701234567"),
+      (4L, "nothing sensitive here 1234 end"),
+      (5L, "a@b.co via 10.0.0.1 ref 999999999")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TrainingOps.redactPii(col("text")).as("r"),
+        TrainingOps.piiCounts(col("text")).as("c"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "mail <EMAIL> now")
+    assert(out(1).getString(1) == "server at <IP> port 8080")
+    assert(out(2).getString(1) == "card <NUM> and phone <NUM>")
+    assert(out(3).getString(1) == "nothing sensitive here 1234 end")
+    assert(out(4).getString(1) == "<EMAIL> via <IP> ref <NUM>")
+    val c4 = out(4).getStruct(2)
+    assert((c4.getLong(0), c4.getLong(1), c4.getLong(2)) == ((1L, 1L, 1L)))
+    // idempotence: redacting redacted text changes nothing
+    val twice = d.select(TrainingOps.redactPii(
+        TrainingOps.redactPii(col("text"))).as("r2"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == out.map(_.getString(1)).toSeq)
+  }
+
+  test("canonicalizeUrl: surface forms of the same page collapse to one key") {
+    import spark.implicits._
+    val variants = Seq(
+      "https://www.site.com/a/b?x=1&y=2",          // already canonical
+      "HTTPS://WWW.SITE.COM/a/b?y=2&x=1",          // case + param order
+      "https://www.site.com:443/a/b/?x=1&y=2#top", // port + slash + fragment
+      "https://www.site.com/a/b?utm_source=nl&y=2&fbclid=Z&x=1") // tracking
+    val canon = variants.toDF("u")
+      .select(WebArchive.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    assert(canon.toSet == Set("https://www.site.com/a/b?x=1&y=2"))
+    // path case is preserved; http default port 80 stripped; empty query
+    val more = Seq(
+      ("http://Host.org:80/CaseSensitive", "http://host.org/CaseSensitive"),
+      ("http://host.org:8080/p", "http://host.org:8080/p"),
+      ("https://x.y.z.com/?utm_a=1", "https://x.y.z.com"))
+      .toDF("u", "want")
+      .select(WebArchive.canonicalizeUrl(col("u")).as("got"), col("want"))
+      .collect()
+    more.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"${r.getString(0)} != ${r.getString(1)}"))
+    val dom = Seq("https://a.b.site.co:8443/x").toDF("u")
+      .select(WebArchive.urlDomain(col("u"))).head.getString(0)
+    assert(dom == "site.co")
+  }
 }
