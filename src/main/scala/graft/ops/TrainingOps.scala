@@ -113,6 +113,55 @@ object TrainingOps {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
   }
 
+  // ------------------------------------------------- rule-based quality
+
+  /** Stopword probe set used by the quality gate (the "contains >= k
+    * common English words" heuristic from the published rule-based
+    * quality filters). */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Rule-based document quality gate following the published Gopher
+    * heuristics: word-count window, mean-word-length window,
+    * alphabetic-word fraction, and stopword presence — the cheap filter
+    * pass a pretraining pipeline runs before any model-based scoring.
+    *
+    * Output per doc: the four signals plus per-rule booleans and the
+    * conjunctive `keep`. Signals are exact integer sums divided once
+    * (not float accumulations), so the gate replays bit-identically in
+    * SQL.
+    *
+    * Shape: explode -> one codegen'd hash aggregate with map-side
+    * combine (same reasoning as [[repetitionRatio]]: a per-row lambda
+    * scan over the token array runs interpreted and 10x slower). The
+    * shuffle carries (doc, partial sums) — bounded by corpus token
+    * count, hash-partitioned, no skew beyond document length itself. */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextDedup.tokensOf(col(textCol))).as("w"))
+    toks.groupBy(idCol).agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("sum_len"),
+        sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        sum(when(col("w").isin(QualityStopwords: _*), 1L).otherwise(0L))
+          .as("n_stop"))
+      .withColumn("mean_word_len",
+        round(col("sum_len").cast("double") / col("n_words"), 4))
+      .withColumn("alpha_frac",
+        round(col("n_alpha").cast("double") / col("n_words"), 4))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("ok_stop", col("n_stop") >= minStopHits)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** Email shape: local part @ dotted domain with an alpha TLD. Kept to

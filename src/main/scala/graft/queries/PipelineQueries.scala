@@ -156,6 +156,56 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Salted inner join (ops/Skew.saltedJoin): the hot-key spreading
+    // pattern for joining a skewed fact against a non-broadcastable
+    // dim. Salting only re-routes rows, so the JOIN RESULT is
+    // salt-independent — aggregating it must equal the plain join,
+    // which IS the DuckDB oracle: a replication bug (a row meeting the
+    // dim 0 or 2 times) breaks both counts and sums.
+    "q153_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(li, sup, "l_suppkey", saltFactor = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Two-phase salted aggregation (ops/Skew.saltedAgg): partial agg on
+    // (key, salt), final on key — the manual map-side-combine form for
+    // hot keys. l_returnflag has 3 values over 600k rows (real skew).
+    // Partial sums/counts re-aggregate exactly, so the result equals
+    // the direct group-by, replayed in DuckDB.
+    "q154_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAgg(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_quantity")),
+          "l_returnflag", saltFactor = 16,
+          partialAggs = Seq(
+            count(lit(1)).as("pn"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("psum")),
+          finalAggs = Seq(
+            sum(col("pn")).cast("long").as("n"),
+            sum(col("psum")).cast("double").as("sum_qty")))
+        .orderBy("l_returnflag")
+    }),
+
+    // Rule-based quality gate (ops/TrainingOps.qualityRules): the
+    // published Gopher heuristics — word-count window, mean word
+    // length, alphabetic-word fraction, stopword presence — as one
+    // codegen'd hash aggregate. Signals are exact integer sums divided
+    // once, so every signal AND every rule boolean replays in DuckDB.
+    "q155_quality_rules" -> ((s, dir) => {
+      graft.ops.TrainingOps.qualityRules(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_frac"), col("n_stop"), col("ok_words"),
+          col("ok_mean_len"), col("ok_alpha"), col("ok_stop"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // CUBE over (lang, source): the full coverage matrix incl. margins.
     "q82_cube" -> ((s, dir) => {
       docs(s, dir)
@@ -368,6 +418,49 @@ object PipelineQueries {
         |)
         |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS rep_ratio
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The salted join must EQUAL the plain join — the oracle is the
+    // unsalted SQL.
+    "q153_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // Two-phase re-aggregation must equal the direct group-by.
+    "q154_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Same tokens, same integer sums, same single division, same rule
+    // thresholds (Gopher defaults: 50-100k words, mean len 3-10, alpha
+    // fraction >= 0.8, >= 2 stopword hits).
+    "q155_quality_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    SUM(length(w)) AS sum_len,
+        |    SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha,
+        |    SUM(CASE WHEN w IN ('the','be','to','of','and','that','have','with','a','in')
+        |        THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok GROUP BY doc_id
+        |), sig AS (
+        |  SELECT doc_id, n_words,
+        |    ROUND(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+        |    ROUND(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_frac,
+        |    n_stop
+        |  FROM m
+        |)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+        |  (alpha_frac >= 0.8) AS ok_alpha,
+        |  (n_stop >= 2) AS ok_stop,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND (alpha_frac >= 0.8) AND (n_stop >= 2)) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
     // Same augmented text, same three regexes (the pattern subset Java
     // regex and RE2 read identically), same fixed replacement order.
     "q151_pii_redact" ->

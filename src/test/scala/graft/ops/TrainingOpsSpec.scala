@@ -96,6 +96,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(3)._2 === 1.0) // empty text -> one empty shingle
   }
 
+  test("qualityRules: each rule gates independently, signals exact") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over and over with a lot of " * 5) +
+      "end").trim // 12 x 5 + 1 = 61 words, all alpha, stopword-rich
+    val short = "the and of brief"                       // fails word count
+    val noStop = (0 until 60).map(i => s"tok$i").mkString(" ") // fails stopwords
+    val longWords = (("extraordinarily incomprehensible " * 30).trim +
+      " the and of to be have") // mean word len > 10
+    val d = Seq((1L, good), (2L, short), (3L, noStop), (4L, longWords))
+      .toDF("doc_id", "text")
+    val got = TrainingOps.qualityRules(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (got(i).getAs[Boolean]("ok_words"),
+      got(i).getAs[Boolean]("ok_mean_len"), got(i).getAs[Boolean]("ok_alpha"),
+      got(i).getAs[Boolean]("ok_stop"), got(i).getAs[Boolean]("keep"))
+    assert(flags(0) == ((true, true, true, true, true)))
+    assert(flags(1)._1 == false && flags(1)._5 == false)
+    assert(flags(2)._4 == false && flags(2)._5 == false)
+    assert(flags(3)._2 == false && flags(3)._5 == false)
+    assert(got(0).getAs[Long]("n_words") == 61L)
+  }
+
   test("redactPii: categories, fixed order, idempotence, clean text untouched") {
     import spark.implicits._
     val d = Seq(

@@ -150,6 +150,24 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(q113).size >= 4, q113.take(800))
   }
 
+  test("q150 edges / q155 quality gate: no cartesian products, partial aggs") {
+    // rare-shingle candidate generation must be an equi-join on the
+    // gram key (bounded by maxDf^2 per gram) — a cartesian product
+    // here is the all-pairs scan the whole design exists to avoid
+    val edges = graft.ops.TextDedup.rareShingleCandidates(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      shingleN = 5, maxDf = 8, minShared = 3)
+    val ep = edges.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct") && !ep.contains("BroadcastNestedLoop"),
+      ep.take(600))
+    // the quality gate is ONE aggregate pair with a map-side phase —
+    // the shuffle carries per-doc partial sums, not raw tokens
+    val q155 = planOf("q155_quality_rules")
+    assert("HashAggregate".r.findAllIn(q155).size >= 2, q155.take(800))
+    assert(!q155.contains("SortMergeJoin") && !q155.contains("CartesianProduct"),
+      q155.take(600))
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the
