@@ -198,6 +198,44 @@ object ConsistencyQueries {
     // directly. Catches polyfill, parent-derivation, equi-join and
     // ST_Intersects bugs anywhere outside the ~1-cell boundary ring
     // (misses -> missing fid; exterior overreach -> unexpected fid).
+    // Line-corridor membership law (g_h3_line_cells, the one geo
+    // operator with no driver query until now): ~2 km SWEREF segments
+    // from the customer key grid, 9 samples per segment — every
+    // sample's res-9 point-cell must lie in the 400 m corridor.
+    // Geometric, not empirical: the corridor includes a cell iff its
+    // CENTER is within the buffer of the line (H3Core.lineToCells), a
+    // res-9 cell center is within ~230 m (circumradius x worst-case
+    // gnomonic distortion) of any point it contains, and an
+    // on-segment sample transformed pointwise deviates < 1 m from the
+    // transformed chord over 2 km — 230 + 1 << 400. Output = the
+    // violating (fid, j) pairs; the law pins it empty.
+    "q156_line_cells_law" -> ((s, dir) => {
+      val k = col("c_custkey").cast("long")
+      val x0 = ((k % 31) * 2000 + 560000).cast("double")
+      val y0 = (((k * 7) % 23) * 3000 + 6440000).cast("double")
+      val lineWkt = concat(
+        lit("LINESTRING ("), x0, lit(" "), y0, lit(", "),
+        x0 + 1800.0, lit(" "), y0 + 700.0, lit(")"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") <= 120)
+        .select(k.as("fid"),
+          g_h3_line_cells(st_geomfromtext(lineWkt), lit(400.0), lit(9))
+            .as("line_cells"),
+          x0.as("x0"), y0.as("y0"))
+        .withColumn("j", explode(sequence(lit(0), lit(8))))
+        .withColumn("px", col("x0") + col("j") * (1800.0 / 8))
+        .withColumn("py", col("y0") + col("j") * (700.0 / 8))
+        .withColumn("pcell", element_at(
+          g_h3_point_cells(st_point(col("px"), col("py")), lit(9)), 1))
+        // NULLs are violations, not three-valued-logic escapes: a
+        // decode failure anywhere must surface as rows, never as a
+        // vacuous pass
+        .filter(col("pcell").isNull || col("line_cells").isNull ||
+          !array_contains(col("line_cells"), col("pcell")))
+        .select(col("fid"), col("j"))
+        .orderBy("fid", "j")
+    }),
+
     "q79_exact_closed" -> ((s, dir) => {
       val qcells = broadcast(H3Query.queryCells(s, wkt, res))
       val queryWkb = Geometry.toWkb(Geometry.fromWkt(wkt))
@@ -270,6 +308,8 @@ object ConsistencyQueries {
     "q78_mart_objects" ->
       """SELECT c_mktsegment AS klass, COUNT(*) AS n_objects
         |FROM customer GROUP BY 1 ORDER BY klass""".stripMargin,
-    "q79_exact_closed" -> safeMembershipSql
+    "q79_exact_closed" -> safeMembershipSql,
+    "q156_line_cells_law" -> emptySelect(
+      "fid" -> "BIGINT", "j" -> "INTEGER")
   )
 }
