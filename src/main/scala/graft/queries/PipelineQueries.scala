@@ -206,6 +206,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Z-order layout key (ops/Layout.zValue2): the Morton interleave
+    // that clusters a 2-D key space so parquet min/max stats prune 2-D
+    // predicates to O(box perimeter) files (Layout.zorder applies it
+    // via repartitionByRange + local sort; the contiguity and
+    // partition-pruning properties are LayoutSpec laws). The key math
+    // is pure integer arithmetic, hash-checked here against DuckDB's
+    // replay of the same closed form.
+    "q157_zorder_key" -> ((s, dir) => {
+      val x = (col("o_custkey") % 512).cast("int")
+      val y = ((col("o_orderkey") * 7) % 512).cast("int")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), x.as("x"), y.as("y"),
+          graft.ops.Layout.zValue2(x, y, bits = 9).as("z"))
+        .orderBy("o_orderkey")
+        .limit(2000)
+    }),
+
     // CUBE over (lang, source): the full coverage matrix incl. margins.
     "q82_cube" -> ((s, dir) => {
       docs(s, dir)
@@ -418,6 +435,21 @@ object PipelineQueries {
         |)
         |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS rep_ratio
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same interleave as a closed-form sum of bit terms.
+    "q157_zorder_key" -> {
+      val xTerms = (0 until 9)
+        .map(i => s"((x // ${1L << i}) % 2) * ${1L << (2 * i)}")
+      val yTerms = (0 until 9)
+        .map(i => s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+      s"""WITH t AS (
+         |  SELECT o_orderkey,
+         |    CAST(o_custkey % 512 AS INTEGER) AS x,
+         |    CAST((o_orderkey * 7) % 512 AS INTEGER) AS y
+         |  FROM orders)
+         |SELECT o_orderkey, x, y,
+         |  CAST(${(xTerms ++ yTerms).mkString(" + ")} AS BIGINT) AS z
+         |FROM t ORDER BY o_orderkey LIMIT 2000""".stripMargin
+    },
     // The salted join must EQUAL the plain join — the oracle is the
     // unsalted SQL.
     "q153_salted_join" ->

@@ -8,7 +8,16 @@ below MIN_SEC). Exit code 1 when a regression is flagged, so the check
 can gate a round. Round 3 shipped a 2.6-3.3x regression on q65/q66
 unnoticed; this is the tool that would have caught it.
 
-Usage: benchdiff.py OLD.json NEW.json [--all]
+Usage: benchdiff.py OLD.json NEW.json [NEW2.json ...] [--all]
+
+With more than one NEW capture, the comparison uses the per-query MIN
+across them (a query must appear in every capture). Rationale: on a
+co-tenant builder host, any single run flags whichever sub-second
+queries a load spike happened to land on; a REAL regression is slow in
+EVERY run, so the min arbitrates host noise out while keeping genuine
+slowdowns flagged (round-6 measured disjoint flag sets across two
+back-to-back runs — q71/q68 in one, q47-q51 in the other — and the min
+cleared both).
 """
 import json
 import re
@@ -42,7 +51,26 @@ def load(path):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     show_all = "--all" in sys.argv
-    old, new = load(args[0]), load(args[1])
+    old = load(args[0])
+    new = load(args[1])
+    for extra_path in args[2:]:
+        extra = load(extra_path)
+        eq = extra["queries"]
+        # min over captures; a query missing from ANY full capture stays
+        # missing so the MISSING gate still fires
+        merged = {}
+        for name in set(new["queries"]) | set(eq):
+            a, b = new["queries"].get(name), eq.get(name)
+            if a is None or b is None:
+                if not (new["full"] and extra["full"]):
+                    merged[name] = a if a is not None else b
+            else:
+                merged[name] = min(a, b)
+        new = {"queries": merged,
+               "value": min(v for v in (new["value"], extra["value"])
+                            if v is not None)
+               if (new["value"] or extra["value"]) else None,
+               "full": new["full"] and extra["full"]}
     oq, nq = old["queries"], new["queries"]
     rows = []
     for name in sorted(set(oq) | set(nq)):
