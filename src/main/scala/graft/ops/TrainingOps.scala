@@ -113,6 +113,31 @@ object TrainingOps {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
   }
 
+  // ---------------------------------------------------- snapshot diff
+
+  /** Snapshot diff — the incremental-processing primitive for periodic
+    * crawls: classify every document across two corpus versions as
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * `changed` (present in both, fingerprint differs) or `unchanged`.
+    * Downstream, only `added`+`changed` re-enter the expensive stages
+    * (dedup, quality, embedding), which is what makes re-crawls
+    * O(delta) instead of O(corpus).
+    *
+    * One full outer join on the id — hash-partitioned both sides, no
+    * skew beyond id distribution; fingerprints travel instead of
+    * payloads, so the shuffle carries (id, digest) pairs. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      fpCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_old"))
+    val n = newSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_new"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // ------------------------------------------------- rule-based quality
 
   /** Stopword probe set used by the quality gate (the "contains >= k

@@ -206,6 +206,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Snapshot diff (ops/TrainingOps.snapshotDiff): two deterministic
+    // "crawl snapshots" derived from the corpus — the old one drops
+    // doc_id % 11 == 0 (so those read as added), the new one drops
+    // doc_id % 13 == 0 (removed) and rewrites text for doc_id % 5 == 0
+    // (changed) — classified by md5 fingerprint through one full outer
+    // join. Every status branch is exercised and the whole
+    // classification replays in SQL.
+    "q158_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      val newSnap = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).cast("binary")).as("fp"))
+      graft.ops.TrainingOps.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // Z-order layout key (ops/Layout.zValue2): the Morton interleave
     // that clusters a 2-D key space so parquet min/max stats prune 2-D
     // predicates to O(box perimeter) files (Layout.zorder applies it
@@ -435,6 +454,23 @@ object PipelineQueries {
         |)
         |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS rep_ratio
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same snapshot construction, same fingerprints, same
+    // classification via FULL OUTER JOIN.
+    "q158_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 0
+        |), n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Same interleave as a closed-form sum of bit terms.
     "q157_zorder_key" -> {
       val xTerms = (0 until 9)

@@ -96,6 +96,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(3)._2 === 1.0) // empty text -> one empty shingle
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "fp")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "fp")
+    val got = TrainingOps.snapshotDiff(oldSnap, newSnap, "doc_id", "fp")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
   test("qualityRules: each rule gates independently, signals exact") {
     import spark.implicits._
     val good = (("the quick brown fox jumps over and over with a lot of " * 5) +
