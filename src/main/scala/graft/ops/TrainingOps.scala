@@ -113,6 +113,45 @@ object TrainingOps {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
   }
 
+  // ---------------------------------------------------- corpus mixing
+
+  /** Deterministic corpus mixing with fractional per-source weights —
+    * the data-mixture primitive of a training run ("web x1.7, books
+    * x0.4, rest x1.0"). Weight w emits floor(w) full copies of each
+    * row plus one fractional copy kept for a deterministic
+    * hash-selected w-floor(w) share; w < 1 downsamples the single
+    * copy the same way. The keep decision is a fixed-width-hex md5
+    * prefix compared to the weight's 32-bit threshold — lexicographic
+    * compare of fixed-width lowercase hex is monotone in the value, so
+    * the selection replays bit-identically in any engine with md5.
+    *
+    * Shape: map-only explode with fan-out ceil(max weight) — no
+    * shuffle, no RNG (reproducible across runs, partitionings and
+    * engines, unlike `sample()`). Output keeps (idCol, sourceCol,
+    * copy_idx). */
+  def mixCorpus(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0),
+      "weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, wt)) =>
+      when(col(sourceCol) === src, wt).otherwise(acc)
+    }
+    def thresholdHex(weight: Column): Column = {
+      // 8-hex-digit threshold of the fractional part: frac * 2^32
+      val frac = weight - floor(weight)
+      lpad(lower(hex((frac * 4294967296.0).cast("long"))), 8, "0")
+    }
+    df.withColumn("__w", w)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0), greatest(ceil(col("__w")).cast("int") - 1, lit(0)))))
+      .filter(
+        col("copy_idx") < floor(col("__w")).cast("int") ||
+          substring(md5(concat(col(idCol).cast("string"), lit("#"),
+            col("copy_idx").cast("string")).cast("binary")), 1, 8)
+            < thresholdHex(col("__w")))
+      .drop("__w")
+  }
+
   // ---------------------------------------------------- snapshot diff
 
   /** Snapshot diff — the incremental-processing primitive for periodic

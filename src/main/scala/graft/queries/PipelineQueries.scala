@@ -206,6 +206,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus mixing (ops/TrainingOps.mixCorpus): fractional per-source
+    // sampling weights — src3 x2.5 (two full copies + a hash-selected
+    // half), src7 x0.25 (quarter downsample), src11 x0 (excluded),
+    // rest x1.0. Weights are exact binary fractions so the md5-prefix
+    // threshold replays bit-identically in DuckDB.
+    "q159_corpus_mix" -> ((s, dir) => {
+      graft.ops.TrainingOps.mixCorpus(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src3" -> 2.5, "src7" -> 0.25, "src11" -> 0.0))
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // Snapshot diff (ops/TrainingOps.snapshotDiff): two deterministic
     // "crawl snapshots" derived from the corpus — the old one drops
     // doc_id % 11 == 0 (so those read as added), the new one drops
@@ -454,6 +468,25 @@ object PipelineQueries {
         |)
         |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS rep_ratio
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same weight CASE, same copy fan-out, same md5-prefix keep rule
+    // (thresholds are the weights' exact 32-bit hex fractions).
+    "q159_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src3' THEN 2.5 WHEN 'src7' THEN 0.25
+        |                WHEN 'src11' THEN 0.0 ELSE 1.0 END AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, w, i AS copy_idx
+        |  FROM t, range(4) r(i)
+        |  WHERE i < greatest(CAST(ceil(w) AS INTEGER), 1))
+        |SELECT doc_id, source, CAST(copy_idx AS INTEGER) AS copy_idx
+        |FROM e
+        |WHERE copy_idx < CAST(floor(w) AS INTEGER)
+        |   OR substring(md5(doc_id || '#' || copy_idx), 1, 8) <
+        |      CASE source WHEN 'src3' THEN '80000000' WHEN 'src7' THEN '40000000'
+        |                  ELSE '00000000' END
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     // Same snapshot construction, same fingerprints, same
     // classification via FULL OUTER JOIN.
     "q158_snapshot_diff" ->

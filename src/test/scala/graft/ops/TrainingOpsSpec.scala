@@ -96,6 +96,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(3)._2 === 1.0) // empty text -> one empty shingle
   }
 
+  test("mixCorpus: integer copies exact, fractional share near weight, w=0 drops") {
+    import spark.implicits._
+    val d = (0 until 400).map(i => (i.toLong, if (i < 200) "up" else "down"))
+      .toDF("doc_id", "source")
+    val mixed = TrainingOps.mixCorpus(d, "doc_id", "source",
+      Map("up" -> 2.5, "down" -> 0.25))
+    val byCopy = mixed.groupBy("source", "copy_idx").count()
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // full copies are exact
+    assert(byCopy(("up", 0)) == 200L && byCopy(("up", 1)) == 200L)
+    // fractional copies hit the hash share within a loose band
+    assert(byCopy(("up", 2)) > 60L && byCopy(("up", 2)) < 140L)
+    assert(byCopy(("down", 0)) > 20L && byCopy(("down", 0)) < 80L)
+    // weight 0 excludes entirely; determinism: re-run is identical
+    val zero = TrainingOps.mixCorpus(d, "doc_id", "source",
+      Map("up" -> 0.0, "down" -> 0.0))
+    assert(zero.count() == 0L)
+    val again = TrainingOps.mixCorpus(d, "doc_id", "source",
+      Map("up" -> 2.5, "down" -> 0.25))
+      .groupBy("source", "copy_idx").count()
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(again == byCopy)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "fp")
