@@ -206,6 +206,46 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The COMPOSED training-data pipeline in ONE declarative plan —
+    // quality gate -> exact dedup (keep first fingerprint) -> benchmark
+    // decontamination (anti-join on shared 3-grams) -> token sizing ->
+    // sequence packing into 256-token bins across 4 shards. Each stage
+    // is an op verified alone (q155/q80/q111/q112); this query pins the
+    // COMPOSITION: Catalyst fuses the whole thing into one lineage
+    // (scan once, no driver round-trips) and the oracle replays every
+    // stage in SQL, so a subtle contract mismatch between stages (e.g.
+    // a stage changing dedup's tie-break or the token definition)
+    // breaks the hash even though every stage passes its own check.
+    "q160_pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = graft.ops.TrainingOps.qualityRules(d, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val kept = d.join(keepers, "doc_id")
+      val wDedup = Window.partitionBy("fp").orderBy("doc_id")
+      val deduped = kept
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(wDedup))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text")
+      // contamination = >= 8 shared distinct 3-grams (a THRESHOLD, as
+      // real decontamination runs use: single-gram collisions are
+      // vocabulary noise, a run of shared grams is benchmark text)
+      val contaminated = graft.ops.TrainingOps.ngramOverlap(
+          deduped.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 37 === 0), "text", n = 3)
+        .filter(col("n_shared_grams") >= 8)
+      val clean = deduped.filter(col("doc_id") % 37 =!= 0)
+        .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      val sized = clean.select(col("doc_id"),
+          size(graft.ops.TextDedup.tokensOf(col("text"))).cast("long")
+            .as("n_tokens"))
+        .withColumn("shard", (col("doc_id") % 4).cast("int"))
+      graft.ops.TrainingOps.packSequences(sized, "doc_id", "n_tokens",
+          capacity = 256, shardCol = Some("shard"))
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin")
+        .orderBy("doc_id")
+    }),
+
     // Corpus mixing (ops/TrainingOps.mixCorpus): fractional per-source
     // sampling weights — src3 x2.5 (two full copies + a hash-selected
     // half), src7 x0.25 (quarter downsample), src11 x0 (excluded),
@@ -468,6 +508,59 @@ object PipelineQueries {
         |)
         |SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS rep_ratio
         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Every stage replayed: quality (q155's construction), dedup
+    // (q80's), decontamination (q111's 3-gram shingles), sizing and
+    // packing (q112's window) — composed in the same order.
+    "q160_pipeline_e2e" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), m AS (
+        |  SELECT tok.doc_id, len(t) AS n_words,
+        |    (SELECT SUM(length(w)) FROM unnest(t) u(w)) AS sum_len,
+        |    (SELECT SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) FROM unnest(t) u(w)) AS n_alpha,
+        |    (SELECT SUM(CASE WHEN w IN ('the','be','to','of','and','that','have','with','a','in') THEN 1 ELSE 0 END) FROM unnest(t) u(w)) AS n_stop
+        |  FROM tok
+        |), keepers AS (
+        |  SELECT doc_id FROM m
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND ROUND(CAST(sum_len AS DOUBLE) / n_words, 4) BETWEEN 3.0 AND 10.0
+        |    AND ROUND(CAST(n_alpha AS DOUBLE) / n_words, 4) >= 0.8
+        |    AND n_stop >= 2
+        |), ded AS (
+        |  SELECT d.doc_id, d.text FROM (
+        |    SELECT doc_id, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents JOIN keepers USING (doc_id)) d
+        |  WHERE d.rn = 1
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2],' ')))
+        |  END AS s
+        |  FROM tok
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 37 = 0
+        |), corp AS (
+        |  SELECT sh.doc_id, unnest(sh.s) AS gram
+        |  FROM sh JOIN ded USING (doc_id) WHERE sh.doc_id % 37 <> 0
+        |), contam AS (
+        |  SELECT c.doc_id FROM corp c JOIN bench b USING (gram)
+        |  GROUP BY c.doc_id HAVING COUNT(*) >= 8
+        |), clean AS (
+        |  SELECT ded.doc_id, ded.text FROM ded
+        |  WHERE ded.doc_id % 37 <> 0
+        |    AND ded.doc_id NOT IN (SELECT doc_id FROM contam)
+        |), sized AS (
+        |  SELECT c.doc_id, CAST(c.doc_id % 4 AS INTEGER) AS shard,
+        |    CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM clean c JOIN tok ON tok.doc_id = c.doc_id
+        |), packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM sized)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS bin
+        |FROM packed ORDER BY doc_id""".stripMargin,
     // Same weight CASE, same copy fan-out, same md5-prefix keep rule
     // (thresholds are the weights' exact 32-bit hex fractions).
     "q159_corpus_mix" ->
