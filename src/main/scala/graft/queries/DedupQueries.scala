@@ -46,6 +46,14 @@ object DedupQueries {
   private[queries] def sharedIvf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
     ivf(s, dir)
 
+  /** Force-build the shared dedup intermediates (LSH candidate pairs,
+    * IVF cell assignment) for the bench setup phase — same attribution
+    * fix as [[GeoQueries.prewarmShared]]. */
+  def prewarmShared(s: SparkSession, dir: String): Unit = {
+    candidates(s, dir).write.format("noop").mode("overwrite").save()
+    ivf(s, dir)._1.write.format("noop").mode("overwrite").save()
+  }
+
   private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
     val built = ivfMemo.computeIfAbsent(dir, _ => {
       // centroid QUALITY is irrelevant to every consumer's check (q59

@@ -13,14 +13,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventQueries {
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and convert with
-    * integer division — ns-since-epoch exceeds double's 2^53 mantissa,
-    * so float division would corrupt timestamps. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read as raw nanos via the
+    * legacy conf and convert with integer division, since ns-since-epoch
+    * exceeds double's 2^53 mantissa) and plain TIMESTAMP(MICROS) (which
+    * Spark reads natively). Inspect the loaded dtype and normalize to a
+    * TimestampType `ts` either way, so the fixture's physical type is
+    * not a contract. */
   private def ev(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -93,6 +93,18 @@ object GeoQueries {
   def sharedIndex(s: SparkSession, dir: String): DataFrame =
     index(s, dir)
 
+  /** Force-build the shared layers (staged -> mart_core -> index_core) so
+    * a bench harness can charge the one-time build to an explicit setup
+    * phase instead of whichever consumer happens to run first. Rounds 4-7
+    * generated recurring false regression flags from exactly that
+    * attribution (driver r06: q69 5.2x, q46 3.6x, q45 1.7x — all cleared
+    * by clean-host recapture). One action through the index evaluates and
+    * persists all three layers. The lazily-derived geom column is dropped:
+    * it is not part of any persisted layer. */
+  def prewarmShared(s: SparkSession, dir: String): Unit =
+    index(s, dir).drop("geom")
+      .write.format("noop").mode("overwrite").save()
+
   /** Normalized objects (one row per object, with source_id) — lazy
     * projection over the cached staged relation, shared with the
     * consistency-oracle queries. */

@@ -23,13 +23,17 @@ class StreamingSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** events.parquet re-staged with micro-second timestamps so the
-    * streaming reader accepts the schema. */
+    * streaming reader accepts the schema. Schema-aware: the fixture has
+    * shipped as both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS). */
   private def stagedEvents(): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = Files.createTempDirectory("sev").toString
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val normalized = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    normalized.write.mode("overwrite").parquet(dir)
     dir
   }
 
