@@ -115,6 +115,21 @@ object Bench {
         (warm, freshMs)
       } catch { case _: Throwable => (-1.0, -1.0) }
 
+    // Setup phase: force-build the shared memoized layers (geo
+    // staged/mart_core/index_core, LSH candidates, IVF model) BEFORE the
+    // timed loop and report the build as its own setup_s metric.
+    // Without this the one-time build lands on whichever consumer runs
+    // first in battery order, and that attribution produced false
+    // regression flags three rounds running (driver r06: q69 5.2x,
+    // q46 3.6x, q45 1.7x — all cleared by clean-host recapture).
+    // Per-query times now measure operators, never build position.
+    val setupT0 = System.nanoTime()
+    try graft.queries.GeoQueries.prewarmShared(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.queries.DedupQueries.prewarmShared(spark, sfDir)
+    catch { case _: Throwable => () }
+    val setupS = (System.nanoTime() - setupT0) / 1e9
+
     // SPARK_GRAFT_SHUFFLE_ORDER=<seed>: run the battery in a seeded
     // random order instead of sorted. A query whose time depends on its
     // battery position is a harness bug by definition — this mode is
@@ -125,6 +140,12 @@ object Bench {
       case Some(seed) => new scala.util.Random(seed.toLong).shuffle(sortedNames)
       case None => sortedNames
     }
+    // SPARK_GRAFT_REPS=N: record the best of N executions per query so a
+    // single capture carries its own noise arbitration (a co-tenant load
+    // spike is slow in ONE rep, a real regression is slow in all).
+    // Default 1: the setup phase above removes the structural noise
+    // source; reps are for clean-host arbitration runs.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     // consumer-aware release of the battery's persisted intermediates:
     // each shared memo (geo staged/mart/index, LSH candidates, IVF
     // model) is unpersisted the moment no remaining query consumes it
@@ -140,15 +161,21 @@ object Bench {
       // slowdowns on UNRELATED light queries late in the battery
       sinceGc += 1
       if (sinceGc >= 25) { System.gc(); sinceGc = 0 }
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      var best = Double.MaxValue
+      var ok = true
+      var rep = 0
+      while (rep < reps && ok) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
-          false
+          ok = false
         }
-      val dt = (System.nanoTime() - t0) / 1e9
+        best = best.min((System.nanoTime() - t0) / 1e9)
+        rep += 1
+      }
+      val dt = best
       // GC right after a memo release so the ContextCleaner also drops
       // the broadcasts/shuffles the released lineage was pinning
       if (graft.queries.Memos.afterQuery(name)) { System.gc(); sinceGc = 0 }
@@ -163,11 +190,23 @@ object Bench {
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val summary =
+      f""""n_queries":${results.size},"n_failed":${errors.size},"setup_s":$setupS%.4f,"reps":$reps,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"sf":"$sfDir""""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,$summary}""")
+    // A second, COMPACT line (no per-query map, <400 chars): harnesses
+    // that keep only a bounded tail of the output truncate the full line
+    // mid-JSON (every BENCH_r0x.json records parsed:null for exactly this
+    // reason) — the summary line survives any tail >= ~400 chars intact.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",$summary}""")
     // the live-source test servers hold a non-daemon acceptor thread;
     // without this the JVM (and the driver's harness) would hang on exit
     graft.queries.LiveSourceQueries.stopServers()
     spark.stop()
+    // rc must reflect failures: round 7 recorded n_failed=7 with rc=0
+    // and a "[success]" footer, letting a known-broken round read as
+    // passing (ADVICE.md r07, high).
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
