@@ -24,11 +24,13 @@ object Verify {
         SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: ${failed(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +49,19 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure record: a query that fails plan/analysis
+    // produces no result dir, and a compare harness that iterates result
+    // dirs would silently OMIT it (round 7 shipped a 153-entry
+    // correctness file vs the 160-query battery — 7 failures invisible).
+    // errors.json keeps the battery shape auditable: every selected
+    // query is accounted for either as a result dir or an error entry.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(300))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} queries FAILED: ${failed.keys.mkString(", ")}")
     // the live-source test servers hold a non-daemon acceptor thread;
     // without this the JVM (and the driver's harness) would hang on exit
     graft.queries.LiveSourceQueries.stopServers()

@@ -40,8 +40,20 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify writes errors.json for queries that failed plan/analysis —
+    # surface each as a FAIL entry so the battery keeps a fixed shape
+    # (round 7's 7 failures were silently absent from the compare).
+    try:
+        verify_errors = json.load(open(f"{out_dir}/errors.json"))
+    except Exception:
+        verify_errors = {}
     n_pass = n_fail = 0
+    for name, err in sorted(verify_errors.items()):
+        print(f"FAIL {name}: verify error: {err[:200]}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in verify_errors:
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
