@@ -186,44 +186,122 @@ object TrainingOps {
     Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
 
   /** Rule-based document quality gate following the published Gopher
-    * heuristics: word-count window, mean-word-length window,
-    * alphabetic-word fraction, and stopword presence — the cheap filter
-    * pass a pretraining pipeline runs before any model-based scoring.
+    * heuristics (Rae et al. 2021, §A1.1.1), the cheap filter pass a
+    * pretraining pipeline runs before any model-based scoring:
     *
-    * Output per doc: the four signals plus per-rule booleans and the
+    *  - word-count window and mean-word-length window
+    *  - alphabetic-word fraction and stopword presence
+    *  - symbol-to-word ratios for `#` and `...`
+    *  - fraction of lines starting with a bullet / ending in `...`
+    *  - duplicate-line and duplicate-paragraph fractions, by line count
+    *    and by character mass
+    *
+    * Output per doc: every signal plus per-rule booleans and the
     * conjunctive `keep`. Signals are exact integer sums divided once
     * (not float accumulations), so the gate replays bit-identically in
     * SQL.
     *
-    * Shape: explode -> one codegen'd hash aggregate with map-side
-    * combine (same reasoning as [[repetitionRatio]]: a per-row lambda
-    * scan over the token array runs interpreted and 10x slower). The
-    * shuffle carries (doc, partial sums) — bounded by corpus token
-    * count, hash-partitioned, no skew beyond document length itself. */
+    * Shape: three codegen'd hash aggregates (word explode, line
+    * explode, paragraph explode — the dup fractions group by the line/
+    * paragraph VALUE first, so the shuffle carries (doc, unit, partial
+    * count) bounded by corpus size) plus one map-only symbol projection,
+    * joined on the doc id. All four sides hash-partition by the same
+    * key, so AQE plans one co-partitioned join chain; nothing in the
+    * gate is quadratic and no payload wider than a line ever shuffles.
+    * (A per-row lambda scan over the token array would avoid the
+    * shuffles but runs interpreted — Catalyst lambda functions don't
+    * codegen — and measured 10x slower; see [[repetitionRatio]].) */
   def qualityRules(docs: DataFrame, idCol: String, textCol: String,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
-      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3, maxDupFrac: Double = 0.3,
+      maxDupCharFrac: Double = 0.2): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextDedup.tokensOf(col(textCol))).as("w"))
-    toks.groupBy(idCol).agg(
+    val words = toks.groupBy(idCol).agg(
         count(lit(1)).as("n_words"),
         sum(length(col("w"))).as("sum_len"),
         sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("n_alpha"),
         sum(when(col("w").isin(QualityStopwords: _*), 1L).otherwise(0L))
           .as("n_stop"))
+
+    // whole-text symbol counts: map-only, no explode needed
+    val symbols = docs.select(col(idCol),
+      regexp_count(col(textCol), lit("#")).cast("long").as("n_hash"),
+      regexp_count(col(textCol), lit("\\.\\.\\.")).cast("long").as("n_ellipsis"))
+
+    // duplicate fraction over exploded units (lines or paragraphs):
+    // group by (doc, unit) first — every occurrence beyond the first is
+    // a duplicate, and duplicate character mass weighs them by length
+    def dupAgg(unitsCol: Column, prefix: String) = {
+      docs.select(col(idCol), explode(unitsCol).as("u"))
+        .withColumn("u", trim(col("u")))
+        .filter(col("u") =!= "")
+        .groupBy(col(idCol), col("u"))
+        .agg(count(lit(1)).as("cnt"),
+          (count(lit(1)) * length(col("u"))).as("chars"),
+          ((count(lit(1)) - 1) * length(col("u"))).as("dup_chars"))
+        .groupBy(idCol).agg(
+          sum(col("cnt")).as(s"n_$prefix"),
+          sum(col("cnt") - 1).as(s"n_dup_$prefix"),
+          sum(col("chars")).as(s"${prefix}_chars"),
+          sum(col("dup_chars")).as(s"dup_${prefix}_chars"),
+          sum(when(col("u").rlike("^[-*] "), col("cnt")).otherwise(0L))
+            .as("n_bullet"),
+          sum(when(col("u").rlike("\\.\\.\\.$"), col("cnt")).otherwise(0L))
+            .as("n_ellipsis_end"))
+    }
+    val lines = dupAgg(split(col(textCol), "\n"), "lines")
+    val paras = dupAgg(split(col(textCol), "\n\n"), "paras")
+      .drop("n_bullet", "n_ellipsis_end")
+
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den).otherwise(0.0), 4)
+
+    words
+      .join(symbols, Seq(idCol), "left")
+      .join(lines, Seq(idCol), "left")
+      .join(paras, Seq(idCol), "left")
       .withColumn("mean_word_len",
         round(col("sum_len").cast("double") / col("n_words"), 4))
       .withColumn("alpha_frac",
         round(col("n_alpha").cast("double") / col("n_words"), 4))
+      .withColumn("hash_ratio", frac(col("n_hash"), col("n_words")))
+      .withColumn("ellipsis_ratio", frac(col("n_ellipsis"), col("n_words")))
+      .withColumn("bullet_frac", frac(col("n_bullet"), col("n_lines")))
+      .withColumn("ellipsis_line_frac",
+        frac(col("n_ellipsis_end"), col("n_lines")))
+      .withColumn("dup_line_frac", frac(col("n_dup_lines"), col("n_lines")))
+      .withColumn("dup_line_char_frac",
+        frac(col("dup_lines_chars"), col("lines_chars")))
+      .withColumn("dup_para_frac", frac(col("n_dup_paras"), col("n_paras")))
+      .withColumn("dup_para_char_frac",
+        frac(col("dup_paras_chars"), col("paras_chars")))
       .withColumn("ok_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("ok_mean_len",
         col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
       .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
       .withColumn("ok_stop", col("n_stop") >= minStopHits)
+      .withColumn("ok_symbols",
+        col("hash_ratio") <= maxSymbolRatio &&
+          col("ellipsis_ratio") <= maxSymbolRatio)
+      .withColumn("ok_bullet", col("bullet_frac") <= maxBulletFrac)
+      .withColumn("ok_ellipsis_lines",
+        col("ellipsis_line_frac") <= maxEllipsisLineFrac)
+      .withColumn("ok_dup_lines",
+        col("dup_line_frac") <= maxDupFrac &&
+          col("dup_line_char_frac") <= maxDupCharFrac)
+      .withColumn("ok_dup_paras",
+        col("dup_para_frac") <= maxDupFrac &&
+          col("dup_para_char_frac") <= maxDupCharFrac)
       .withColumn("keep",
-        col("ok_words") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") &&
+          col("ok_stop") && col("ok_symbols") && col("ok_bullet") &&
+          col("ok_ellipsis_lines") && col("ok_dup_lines") &&
+          col("ok_dup_paras"))
   }
 
   // ------------------------------------------------------ PII redaction

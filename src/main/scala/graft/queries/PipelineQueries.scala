@@ -206,6 +206,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The FULL published Gopher rule set over deterministically
+    // augmented multi-line text (the fixture corpus is single-line, so
+    // line/paragraph-shaped rules would sit untested on raw text — the
+    // q151 pattern: derive text that exercises every rule BOTH ways
+    // from doc_id arithmetic, replayed identically in SQL). Signals:
+    // symbol-to-word ratios (#, ...), bullet-line and ellipsis-line
+    // fractions, duplicate-line/paragraph fractions by count and by
+    // character mass, plus the original four — every signal and every
+    // boolean hash-checked at paper-default thresholds.
+    "q161_quality_full" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 13 === 0,
+        lit("- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k\nplain closing line"))
+        .otherwise(concat(
+          col("text"),
+          lit("\n- alpha point\n- beta point"),
+          when(col("doc_id") % 4 === 0,
+            lit("\n- duplicated filler line carrying plenty of characters" * 4))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nto be continued...\nmore to come...\nfinal thought..."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit("\n" + ("wait... " * 12)))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n" + ("# " * 12)))
+            .otherwise(lit("")),
+          lit("\n\nclosing paragraph with plenty of characters to trip the duplicate mass threshold"),
+          when(col("doc_id") % 6 === 0,
+            lit("\n\nclosing paragraph with plenty of characters to trip the duplicate mass threshold"))
+            .otherwise(lit(""))))
+      graft.ops.TrainingOps.qualityRules(
+          docs(s, dir).select(col("doc_id"), aug.as("text")), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_frac"), col("n_stop"), col("hash_ratio"),
+          col("ellipsis_ratio"), col("bullet_frac"),
+          col("ellipsis_line_frac"), col("dup_line_frac"),
+          col("dup_line_char_frac"), col("dup_para_frac"),
+          col("dup_para_char_frac"), col("ok_words"), col("ok_mean_len"),
+          col("ok_alpha"), col("ok_stop"), col("ok_symbols"),
+          col("ok_bullet"), col("ok_ellipsis_lines"), col("ok_dup_lines"),
+          col("ok_dup_paras"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // The COMPOSED training-data pipeline in ONE declarative plan —
     // quality gate -> exact dedup (keep first fingerprint) -> benchmark
     // decontamination (anti-join on shared 3-grams) -> token sizing ->
@@ -654,6 +697,102 @@ object PipelineQueries {
         |  ((n_words >= 50 AND n_words <= 100000)
         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
         |    AND (alpha_frac >= 0.8) AND (n_stop >= 2)) AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    // Same augmented multi-line text, same explode/aggregate shapes,
+    // same single-division fractions, same paper-default thresholds.
+    "q161_quality_full" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      '- a'||chr(10)||'- b'||chr(10)||'- c'||chr(10)||'- d'||chr(10)||'- e'
+        |      ||chr(10)||'- f'||chr(10)||'- g'||chr(10)||'- h'||chr(10)||'- i'
+        |      ||chr(10)||'- j'||chr(10)||'- k'||chr(10)||'plain closing line'
+        |    ELSE
+        |      text
+        |      || chr(10)||'- alpha point'||chr(10)||'- beta point'
+        |      || CASE WHEN doc_id % 4 = 0 THEN
+        |           repeat(chr(10)||'- duplicated filler line carrying plenty of characters', 4)
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 3 = 0 THEN
+        |           chr(10)||'to be continued...'||chr(10)||'more to come...'||chr(10)||'final thought...'
+        |         ELSE '' END
+        |      || CASE WHEN doc_id % 9 = 0 THEN chr(10)||repeat('wait... ', 12) ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN chr(10)||repeat('# ', 12) ELSE '' END
+        |      || chr(10)||chr(10)||'closing paragraph with plenty of characters to trip the duplicate mass threshold'
+        |      || CASE WHEN doc_id % 6 = 0 THEN
+        |           chr(10)||chr(10)||'closing paragraph with plenty of characters to trip the duplicate mass threshold'
+        |         ELSE '' END
+        |    END AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(t,'\s+',' ','g'))),' ')) AS w
+        |  FROM a
+        |), m AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    SUM(length(w)) AS sum_len,
+        |    SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha,
+        |    SUM(CASE WHEN w IN ('the','be','to','of','and','that','have','with','a','in')
+        |        THEN 1 ELSE 0 END) AS n_stop
+        |  FROM tok GROUP BY doc_id
+        |), sym AS (
+        |  SELECT doc_id, len(regexp_extract_all(t, '#')) AS n_hash,
+        |    len(regexp_extract_all(t, '\.\.\.')) AS n_ellipsis
+        |  FROM a
+        |), lraw AS (
+        |  SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS u FROM a
+        |), lg AS (
+        |  SELECT doc_id, u, COUNT(*) AS cnt FROM lraw WHERE u <> '' GROUP BY doc_id, u
+        |), ln AS (
+        |  SELECT doc_id, SUM(cnt) AS n_lines, SUM(cnt - 1) AS n_dup_lines,
+        |    SUM(cnt * length(u)) AS lines_chars,
+        |    SUM((cnt - 1) * length(u)) AS dup_lines_chars,
+        |    SUM(CASE WHEN regexp_matches(u, '^[-*] ') THEN cnt ELSE 0 END) AS n_bullet,
+        |    SUM(CASE WHEN regexp_matches(u, '\.\.\.$') THEN cnt ELSE 0 END) AS n_ellipsis_end
+        |  FROM lg GROUP BY doc_id
+        |), praw AS (
+        |  SELECT doc_id, trim(unnest(string_split(t, chr(10)||chr(10)))) AS u FROM a
+        |), pg AS (
+        |  SELECT doc_id, u, COUNT(*) AS cnt FROM praw WHERE u <> '' GROUP BY doc_id, u
+        |), pn AS (
+        |  SELECT doc_id, SUM(cnt) AS n_paras, SUM(cnt - 1) AS n_dup_paras,
+        |    SUM(cnt * length(u)) AS paras_chars,
+        |    SUM((cnt - 1) * length(u)) AS dup_paras_chars
+        |  FROM pg GROUP BY doc_id
+        |), sig AS (
+        |  SELECT m.doc_id, m.n_words,
+        |    ROUND(CAST(m.sum_len AS DOUBLE) / m.n_words, 4) AS mean_word_len,
+        |    ROUND(CAST(m.n_alpha AS DOUBLE) / m.n_words, 4) AS alpha_frac,
+        |    CAST(m.n_stop AS BIGINT) AS n_stop,
+        |    CASE WHEN m.n_words > 0 THEN ROUND(CAST(sym.n_hash AS DOUBLE) / m.n_words, 4) ELSE 0.0 END AS hash_ratio,
+        |    CASE WHEN m.n_words > 0 THEN ROUND(CAST(sym.n_ellipsis AS DOUBLE) / m.n_words, 4) ELSE 0.0 END AS ellipsis_ratio,
+        |    CASE WHEN ln.n_lines > 0 THEN ROUND(CAST(ln.n_bullet AS DOUBLE) / ln.n_lines, 4) ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN ln.n_lines > 0 THEN ROUND(CAST(ln.n_ellipsis_end AS DOUBLE) / ln.n_lines, 4) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN ln.n_lines > 0 THEN ROUND(CAST(ln.n_dup_lines AS DOUBLE) / ln.n_lines, 4) ELSE 0.0 END AS dup_line_frac,
+        |    CASE WHEN ln.lines_chars > 0 THEN ROUND(CAST(ln.dup_lines_chars AS DOUBLE) / ln.lines_chars, 4) ELSE 0.0 END AS dup_line_char_frac,
+        |    CASE WHEN pn.n_paras > 0 THEN ROUND(CAST(pn.n_dup_paras AS DOUBLE) / pn.n_paras, 4) ELSE 0.0 END AS dup_para_frac,
+        |    CASE WHEN pn.paras_chars > 0 THEN ROUND(CAST(pn.dup_paras_chars AS DOUBLE) / pn.paras_chars, 4) ELSE 0.0 END AS dup_para_char_frac
+        |  FROM m LEFT JOIN sym USING (doc_id)
+        |    LEFT JOIN ln USING (doc_id) LEFT JOIN pn USING (doc_id)
+        |)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        |  hash_ratio, ellipsis_ratio, bullet_frac, ellipsis_line_frac,
+        |  dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+        |  (alpha_frac >= 0.8) AS ok_alpha,
+        |  (n_stop >= 2) AS ok_stop,
+        |  (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbols,
+        |  (bullet_frac <= 0.9) AS ok_bullet,
+        |  (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+        |  (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2) AS ok_dup_lines,
+        |  (dup_para_frac <= 0.3 AND dup_para_char_frac <= 0.2) AS ok_dup_paras,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND (alpha_frac >= 0.8) AND (n_stop >= 2)
+        |    AND (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
+        |    AND (bullet_frac <= 0.9) AND (ellipsis_line_frac <= 0.3)
+        |    AND (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)
+        |    AND (dup_para_frac <= 0.3 AND dup_para_char_frac <= 0.2)) AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
     // Same augmented text, same three regexes (the pattern subset Java
     // regex and RE2 read identically), same fixed replacement order.
