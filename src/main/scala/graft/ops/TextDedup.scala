@@ -403,6 +403,122 @@ object TextDedup {
     labels
   }
 
+  // ------------------------------------------------ incremental dedup
+
+  /** The stored dedup state a periodic-crawl pipeline keeps between
+    * runs: the per-document distinct shingle table, the corpus-wide
+    * shingle document frequencies, and the candidate pairs. All three
+    * are narrow relational tables (ids, grams, counts — never text), so
+    * they live as ordinary warehouse tables and every maintenance step
+    * below is a hash-partitioned join/aggregate on them. */
+  final case class ShingleState(grams: DataFrame, df: DataFrame,
+      pairs: DataFrame)
+
+  /** Full-run state construction — same pair semantics as
+    * [[rareShingleCandidates]], but also returns the gram and df tables
+    * that incremental maintenance needs. */
+  def shingleState(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2): ShingleState = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
+        .as("gram"))
+    val dfTab = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val valid = dfTab.filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gram")
+    val rg = grams.join(valid, "gram").select("doc_id", "gram")
+    val pairs = rg.as("a").join(rg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    ShingleState(grams, dfTab, pairs)
+  }
+
+  /** O(delta) maintenance of [[ShingleState]] across a re-crawl:
+    * given the docs whose old shingles must leave (`removedIds` =
+    * removed ∪ changed, old identity) and the docs whose shingles must
+    * be computed fresh (`addedDocs` = added ∪ changed, new text), the
+    * new state is provably EQUAL to a full re-run over the new corpus
+    * — the equivalence the battery pins (q162).
+    *
+    * Why the frontier is what it is: a rare-shingle pair's n_shared
+    * counts its shared grams with corpus df in [2, maxDf], so a pair
+    * between two untouched documents can only change if one of their
+    * grams' VALIDITY flipped — and any such gram is owned by both
+    * endpoints, making them "dirty". Pairs with both endpoints clean
+    * are therefore carried over verbatim; pairs with >= 1 dirty
+    * endpoint are recomputed from the maintained gram table under the
+    * merged df counts. Text is only ever re-shingled for `addedDocs`:
+    * everything else is joins/aggregates over the narrow state tables.
+    *
+    * 100 TB shape: the text explode is O(delta); df maintenance is a
+    * merge of delta counts into the stored df table; the recompute
+    * self-join is bounded by maxDf^2 per gram exactly like the full
+    * run, but only over grams owned by dirty documents. */
+  def incrementalShingleState(state: ShingleState, removedIds: DataFrame,
+      addedDocs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2): ShingleState = {
+    val rem = removedIds.select(col(idCol).as("doc_id"))
+    val gramsAdd = addedDocs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
+        .as("gram"))
+    val gramsRem = state.grams.join(rem, Seq("doc_id"), "left_semi")
+    val gramsNew = state.grams.join(rem, Seq("doc_id"), "left_anti")
+      .union(gramsAdd)
+
+    // df merge: stored counts +/- the delta's per-gram counts
+    val dfDelta = gramsAdd.groupBy("gram").agg(count(lit(1)).as("plus"))
+      .join(gramsRem.groupBy("gram").agg(count(lit(1)).as("minus")),
+        Seq("gram"), "full_outer")
+    val dfNew = state.df.join(dfDelta, Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("plus"), lit(0L))
+          - coalesce(col("minus"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+
+    def valid(c: Column): Column = c >= 2 && c <= maxDf
+    val flipped = state.df.select(col("gram"), valid(col("df")).as("vo"))
+      .join(dfNew.select(col("gram"), valid(col("df")).as("vn")),
+        Seq("gram"), "full_outer")
+      .filter(coalesce(col("vo"), lit(false)) =!= coalesce(col("vn"), lit(false)))
+      .select("gram")
+
+    // dirty = delta docs + owners of any validity-flipped gram
+    val dirty = gramsNew.join(flipped, Seq("gram"), "left_semi")
+      .select("doc_id")
+      .union(gramsAdd.select("doc_id"))
+      .distinct()
+
+    // carry over pairs whose endpoints are both clean AND both survive
+    val dirtyOrGone = dirty.union(rem).distinct()
+    // explicit re-select: each USING-join moves its key column first,
+    // and the union below is position-based
+    val cleanPairs = state.pairs
+      .join(dirtyOrGone.withColumnRenamed("doc_id", "id_a"),
+        Seq("id_a"), "left_anti")
+      .join(dirtyOrGone.withColumnRenamed("doc_id", "id_b"),
+        Seq("id_b"), "left_anti")
+      .select("id_a", "id_b", "n_shared")
+
+    // recompute every pair with >= 1 dirty endpoint under the new df.
+    // distinct on (pair, gram) collapses the symmetric double-count when
+    // BOTH endpoints are dirty; grams are per-doc distinct already.
+    val validNew = dfNew.filter(valid(col("df"))).select("gram")
+    val rgNew = gramsNew.join(validNew, "gram").select("doc_id", "gram")
+    val dirtyGrams = rgNew.join(dirty, Seq("doc_id"), "left_semi")
+    val recomputed = dirtyGrams.as("x").join(rgNew.as("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        col("x.gram").as("gram"))
+      .distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+    ShingleState(gramsNew, dfNew, cleanPairs.union(recomputed))
+  }
+
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts
     * back (broadcast the small candidate set at interactive scale;
     * shuffle-join on id at batch scale) and compute exact overlap.

@@ -639,6 +639,62 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental dedup — the O(delta) loop closed: snapshot-diff
+    // classification (q158's old/new construction) feeds
+    // TextDedup.incrementalShingleState, which maintains the stored
+    // (grams, df, pairs) state through removed/changed/added docs
+    // WITHOUT re-shingling the untouched corpus. The query require's
+    // the delta-run pair set EQUAL to a from-scratch
+    // rareShingleCandidates run over the new corpus (the claim that
+    // makes re-crawls cheap), then forms clusters from the delta-run
+    // pairs — and the oracle replays the FULL run in DuckDB via the
+    // q150 recursive CTE, so the hash check is delta-Spark vs
+    // full-SQL: two engines AND two algorithms agreeing.
+    "q162_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldCorpus = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newCorpus = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+
+      val built = TextDedup.shingleState(oldCorpus, "doc_id", "text",
+        shingleN = 5, maxDf = 8, minShared = 3)
+      val st = TextDedup.ShingleState(
+        built.grams.persist(), built.df.persist(), built.pairs.persist())
+
+      val removedIds = oldCorpus
+        .filter(col("doc_id") % 13 === 0 || col("doc_id") % 5 === 0)
+        .select("doc_id")
+      val addedDocs = newCorpus
+        .filter(col("doc_id") % 11 === 0 || col("doc_id") % 5 === 0)
+
+      val inc = TextDedup.incrementalShingleState(st, removedIds, addedDocs,
+        "doc_id", "text", shingleN = 5, maxDf = 8, minShared = 3)
+      val incPairs = inc.pairs.persist()
+
+      // the equivalence pin: delta-run == from-scratch, both directions
+      val full = TextDedup.rareShingleCandidates(newCorpus, "doc_id", "text",
+        shingleN = 5, maxDf = 8, minShared = 3)
+      val extra = incPairs.exceptAll(full).count()
+      val missing = full.exceptAll(incPairs).count()
+      require(extra == 0 && missing == 0,
+        s"incremental dedup diverged from full run: $extra extra pairs, $missing missing")
+
+      val cc = TextDedup.connectedComponents(incPairs)
+      Memos.track(s"dedup:inc:$dir", Set("q162_incremental_dedup")) { () =>
+        cc.unpersist(); incPairs.unpersist()
+        st.grams.unpersist(); st.df.unpersist(); st.pairs.unpersist()
+      }
+      newCorpus.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("keep", col("component") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -726,6 +782,47 @@ object DedupQueries {
         |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Full-run replay over the NEW snapshot — the Spark side answers
+    // with the INCREMENTAL state, so the hash match is cross-engine AND
+    // cross-algorithm (delta maintenance vs from-scratch recompute).
+    "q162_incremental_dedup" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |), tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM n
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t,' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4],' ')))
+        |  END AS s
+        |  FROM tok
+        |), g AS (
+        |  SELECT doc_id, unnest(s) AS gram FROM sh
+        |), rare AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 8
+        |), rg AS (
+        |  SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)
+        |), e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM e
+        |  UNION SELECT id_b, id_a FROM e
+        |), reach(id, lab) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+        |), comp AS (
+        |  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+        |)
+        |SELECT n.doc_id,
+        |  COALESCE(c.component, n.doc_id) AS component,
+        |  (COALESCE(c.component, n.doc_id) = n.doc_id) AS keep
+        |FROM n LEFT JOIN comp c ON c.id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     // MP4 metadata replayed by arithmetic: dims/clock from the doc_id
     // parameter grid; duration crosses the two-run stts (first ceil(n/2)
     // samples tick delta, the rest 2*delta).

@@ -178,6 +178,61 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(componentsOf(pairs) == unionFind(pairs))
   }
 
+  test("incremental shingle state equals full recompute across df-validity flips") {
+    import spark.implicits._
+    // Adversarial fixture aimed at the df-boundary cases a naive
+    // delta-only recompute gets wrong:
+    //  - group A (docs 1-8) shares a sentence with df=8 (valid); the NEW
+    //    snapshot adds doc 100 carrying the same sentence -> df=9 flips
+    //    INVALID, so every A-pair must disappear even though no A doc
+    //    changed;
+    //  - group B (docs 11-19) shares a sentence with df=9 (invalid); the
+    //    new snapshot removes doc 19 -> df=8 flips VALID, so B-pairs
+    //    must appear among untouched docs 11-18.
+    val sa = "alpha beta gamma delta epsilon zeta"
+    val sb = "eta theta iota kappa lambda mu"
+    val groupA = (1L to 8L).map(i => (i, s"$sa fa${i}1 fa${i}2 fa${i}3 fa${i}4 fa${i}5"))
+    val groupB = (11L to 19L).map(i => (i, s"$sb fb${i}1 fb${i}2 fb${i}3 fb${i}4 fb${i}5"))
+    val loners = Seq(
+      (30L, "solo thirty text with unique words entirely present"),
+      (40L, "solo forty text other unique words entirely present"))
+    val oldCorpus = (groupA ++ groupB ++ loners).toDF("doc_id", "text")
+    val newDocs = (groupA ++ groupB.filterNot(_._1 == 19L) ++ Seq(
+      (30L, "solo thirty text now rewritten completely differently here"),
+      (100L, s"$sa fx1 fx2 fx3 fx4 fx5"),
+      (50L, "fresh fifty text with its own unique words here")))
+      .toDF("doc_id", "text")
+
+    val st0 = TextDedup.shingleState(oldCorpus, "doc_id", "text",
+      shingleN = 5, maxDf = 8, minShared = 1)
+    val removed = Seq(19L, 30L, 40L).toDF("doc_id") // removed + changed-old
+    val added = newDocs.filter(col("doc_id").isin(30L, 100L, 50L))
+    val inc = TextDedup.incrementalShingleState(st0, removed, added,
+      "doc_id", "text", shingleN = 5, maxDf = 8, minShared = 1)
+    val full = TextDedup.shingleState(newDocs, "doc_id", "text",
+      shingleN = 5, maxDf = 8, minShared = 1)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def gramSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def dfSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val fullPairs = pairSet(full.pairs)
+    assert(pairSet(inc.pairs) == fullPairs)
+    // the carried state for the NEXT delta run must also equal full
+    assert(gramSet(inc.grams) == gramSet(full.grams))
+    assert(dfSet(inc.df) == dfSet(full.df))
+    // and the flips genuinely happened (the fixture isn't vacuous)
+    assert(!fullPairs.exists { case (_, b, _) => b <= 8 },
+      "A-pairs should vanish when their shared gram exceeds maxDf")
+    assert(fullPairs.exists { case (a, b, _) => a >= 11 && b <= 18 },
+      "B-pairs should appear when their shared gram drops to maxDf")
+    assert(pairSet(st0.pairs).exists { case (_, b, _) => b <= 8 })
+    assert(!pairSet(st0.pairs).exists { case (a, _, _) => a >= 11 })
+  }
+
   test("rare-shingle candidates find seeded near-dups, resist boilerplate") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
