@@ -11,15 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted inner equi-join: the skewed (big) side gets a random salt
-    * in [0, saltFactor); the small-ish side is replicated saltFactor
-    * times. Hot keys spread over saltFactor reducers at the cost of
-    * replicating the right side — use when `right` is too big to
-    * broadcast but small enough to replicate. */
+  /** Deterministic row salt in [0, saltFactor): a hash of the row's
+    * OTHER columns (everything except the hot key — hashing the key
+    * itself would put every hot-key row in one salt bucket and undo the
+    * spread). Unlike rand(seed), which assigns per-partition and so
+    * varies with input partitioning, this depends only on row VALUES:
+    * runs are bit-reproducible end-to-end regardless of how the input
+    * was split. */
+  private def rowSalt(df: DataFrame, key: String, saltFactor: Int): Column = {
+    val others = df.columns.filterNot(_ == key).map(col)
+    val basis = if (others.nonEmpty) others.toSeq else Seq(col(key))
+    pmod(hash(basis: _*), lit(saltFactor))
+  }
+
+  /** Salted inner equi-join: the skewed (big) side gets a deterministic
+    * value-derived salt in [0, saltFactor); the small-ish side is
+    * replicated saltFactor times. Hot keys spread over saltFactor
+    * reducers at the cost of replicating the right side — use when
+    * `right` is too big to broadcast but small enough to replicate. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
-    val salted = left.withColumn("__salt",
-      (rand(42) * saltFactor).cast("int"))
+    val salted = left.withColumn("__salt", rowSalt(left, key, saltFactor))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -33,7 +45,7 @@ object Skew {
   def saltedAgg(df: DataFrame, key: String, saltFactor: Int,
       partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
     df
-      .withColumn("__salt", (rand(42) * saltFactor).cast("int"))
+      .withColumn("__salt", rowSalt(df, key, saltFactor))
       .groupBy(col(key), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(col(key))

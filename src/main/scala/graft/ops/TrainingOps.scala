@@ -133,6 +133,20 @@ object TrainingOps {
       weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0),
       "weights must be non-negative")
+    // The cross-engine bit-identity claim rests on frac * 2^32 being
+    // EXACT: a weight whose fractional part is not a multiple of 2^-32
+    // (e.g. 0.1) truncates, and the threshold silently shifts by up to
+    // 1 ulp relative to an engine that rounds differently. Require
+    // binary fractions of at most 32 bits (0.5, 0.25, 0.375, ...) so
+    // the contract is explicit instead of silently weakened.
+    require((weights.values ++ Seq(defaultWeight)).forall { wt =>
+      val frac = wt - math.floor(wt)
+      (frac * 4294967296.0) == math.floor(frac * 4294967296.0)
+    }, "fractional weights must be binary fractions with <= 32 bits " +
+      "(k / 2^32) for bit-identical cross-engine replay; got " +
+      (weights.values ++ Seq(defaultWeight)).filter { wt =>
+        val f = wt - math.floor(wt); (f * 4294967296.0) % 1 != 0
+      }.mkString(", "))
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (src, wt)) =>
       when(col(sourceCol) === src, wt).otherwise(acc)
     }

@@ -43,6 +43,25 @@ class SkewWideSpec extends AnyFunSuite {
     assert(hot.getLong(0) == 7L)
   }
 
+  test("salt routing is partition-count invariant (value-derived, not RNG)") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))
+    def saltsOf(nPart: Int) = {
+      val left = rows.toDF("k", "v").repartition(nPart)
+      val right = (1L to 3000L).map(k => (k, s"m_$k")).toDF("k", "meta")
+      // re-derive the salt exactly as saltedJoin assigns it: a row's
+      // bucket must depend only on its VALUES
+      Skew.saltedJoin(left, right, "k", 8)
+        .select(col("v"), pmod(hash(col("v")), lit(8)).as("salt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    }
+    val a = saltsOf(1)
+    val b = saltsOf(13)
+    assert(a == b, "per-row salt assignment changed with input partitioning")
+    // and the hot key genuinely spreads across buckets
+    assert(a.collect { case (v, s) if v % 10 != 0 => s }.toSet.size > 4)
+  }
+
   private lazy val index = {
     val fm = FieldMapping(Map(
       "source_id" -> "$source_id", "klass" -> "$klass_raw",

@@ -118,6 +118,16 @@ class TrainingOpsSpec extends AnyFunSuite {
       .groupBy("source", "copy_idx").count()
       .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
     assert(again == byCopy)
+    // the explicit weight contract: a non-binary fraction (0.1 has no
+    // finite base-2 expansion) is rejected up front instead of silently
+    // weakening the cross-engine bit-identity claim
+    val ex = intercept[IllegalArgumentException] {
+      TrainingOps.mixCorpus(d, "doc_id", "source", Map("up" -> 1.1))
+    }
+    assert(ex.getMessage.contains("binary fraction"))
+    // exact binary fractions of any width pass
+    TrainingOps.mixCorpus(d, "doc_id", "source",
+      Map("up" -> (1.0 + 3.0 / 4294967296.0))).count()
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
