@@ -60,6 +60,35 @@ object GFunctions {
   def h3_cell_to_parent(cell: Column, res: Column): Column =
     toCol(H3CellToParent(toExpr(cell), toExpr(res)))
 
+  // ---- long-keyed internal variants (PERF.md lever: 8-byte cell ids
+  // inside the mart/index layers; hex only at surfaces and exports).
+  // Not SQL-registered: the public g_* surface stays hex-string.
+
+  def g_h3_center_l(lat: Column, lng: Column, res: Column): Column =
+    toCol(H3Center(toExpr(lat), toExpr(lng), toExpr(res), asLong = true))
+
+  def g_h3_polygon_cells_l(geom: Column, res: Column): Column =
+    toCol(H3PolygonCells(toExpr(geom), toExpr(res), asLong = true))
+
+  def g_h3_line_cells_l(geom: Column, bufferM: Column, res: Column): Column =
+    toCol(H3LineCells(toExpr(geom), toExpr(bufferM), toExpr(res), asLong = true))
+
+  def g_h3_point_cells_l(geom: Column, res: Column): Column =
+    toCol(H3PointCells(toExpr(geom), toExpr(res), asLong = true))
+
+  def g_h3_query_cells_l(wkt: Column, res: Column): Column =
+    toCol(H3QueryCells(toExpr(wkt), toExpr(res), asLong = true))
+
+  /** Long cell id -> the engine's canonical hex form. lower(hex(x)) is
+    * exactly Long.toHexString (minimal-width unsigned lowercase), and
+    * both stay codegen'd built-ins — the conversion belongs at RESULT
+    * surfaces, bounded by output size, never inside the index. */
+  def h3_hex(cell: Column): Column = lower(hex(cell))
+
+  /** Hex cell id -> long (conv is a codegen'd built-in; ids are < 2^61
+    * so the signed cast is exact). */
+  def h3_unhex(cell: Column): Column = conv(cell, 16, 10).cast("long")
+
   // ---------------------------------------------------- geometry family
 
   def st_geomfromtext(wkt: Column): Column = toCol(StGeomFromText(toExpr(wkt)))

@@ -111,16 +111,37 @@ abstract class GeoExpr extends Expression {
   protected final def utf8(s: String): UTF8String = UTF8String.fromString(s)
   protected final def strArray(xs: Array[String]): ArrayData =
     new GenericArrayData(xs.map(utf8(_).asInstanceOf[Any]))
+
+  /** Cell-id input, polymorphic: hex UTF8String (the public SQL surface)
+    * or raw 64-bit id (the internal long-keyed mart/index layers —
+    * PERF.md's "long-keyed index" lever: an 8-byte key instead of a
+    * 16-char string halves shuffle and cache width for every index
+    * build and polygon join). */
+  protected final def cellId(a: Any): Long = a match {
+    case u: UTF8String => H3Core.fromHexString(u.toString)
+    case l: java.lang.Long => l.longValue
+    case i: java.lang.Integer => i.longValue
+  }
+  protected final def longArray(xs: Array[Long]): ArrayData =
+    new GenericArrayData(xs.map(java.lang.Long.valueOf(_).asInstanceOf[Any]))
+  /** Cell-id array output in the caller's requested representation. */
+  protected final def cellsOut(xs: Array[Long], asLong: Boolean): ArrayData =
+    if (asLong) longArray(xs) else strArray(xs.map(H3Core.toHexString))
 }
 
 // ----------------------------------------------------------------- H3
 
-/** g_h3_center(lat, lng, res) -> cell id string (003_db_makros.sql:56). */
-case class H3Center(lat: Expression, lng: Expression, res: Expression) extends GeoExpr {
+/** g_h3_center(lat, lng, res) -> cell id string (003_db_makros.sql:56).
+  * `asLong` = the internal long-keyed representation (hex only at
+  * surfaces/exports). */
+case class H3Center(lat: Expression, lng: Expression, res: Expression,
+    asLong: Boolean = false) extends GeoExpr {
   override def children: Seq[Expression] = Seq(lat, lng, res)
-  override def dataType: DataType = StringType
-  override protected def evalNotNull(a: Array[Any]): Any =
-    utf8(H3Core.toHexString(H3Core.latLngToCell(dbl(a(0)), dbl(a(1)), int(a(2)))))
+  override def dataType: DataType = if (asLong) LongType else StringType
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val id = H3Core.latLngToCell(dbl(a(0)), dbl(a(1)), int(a(2)))
+    if (asLong) java.lang.Long.valueOf(id) else utf8(H3Core.toHexString(id))
+  }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(lat = c(0), lng = c(1), res = c(2))
 }
@@ -130,7 +151,7 @@ case class H3CellToLatLng(cell: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = ArrayType(DoubleType)
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val (lat, lng) = H3Core.cellToLatLng(H3Core.fromHexString(str(a(0))))
+    val (lat, lng) = H3Core.cellToLatLng(cellId(a(0)))
     new GenericArrayData(Array[Any](lat, lng))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -142,7 +163,7 @@ case class H3CellToBoundaryWkt(cell: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = StringType
   override protected def evalNotNull(a: Array[Any]): Any =
-    utf8(H3Core.cellToBoundaryWkt(H3Core.fromHexString(str(a(0)))))
+    utf8(H3Core.cellToBoundaryWkt(cellId(a(0))))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cell = c(0))
 }
@@ -155,7 +176,7 @@ case class H3CellToGeom(cell: Expression) extends GeoExpr {
   override protected def evalNotNull(a: Array[Any]): Any = {
     // boundary vertices -> ring -> WKB directly; the earlier WKT
     // print/parse round-trip per row dominated index-build time
-    val b = H3Core.cellToBoundary(H3Core.fromHexString(str(a(0))))
+    val b = H3Core.cellToBoundary(cellId(a(0)))
     val ring = new Array[Pt](b.length + 1)
     var i = 0
     while (i < b.length) {
@@ -180,7 +201,7 @@ case class H3CellToGeomWgs84(cell: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = BinaryType
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val b = H3Core.cellToBoundary(H3Core.fromHexString(str(a(0))))
+    val b = H3Core.cellToBoundary(cellId(a(0)))
     val ring = new Array[Pt](b.length + 1)
     var i = 0
     while (i < b.length) {
@@ -197,25 +218,29 @@ case class H3CellToGeomWgs84(cell: Expression) extends GeoExpr {
 
 /** g_h3_polygon_cells(geom, res): SWEREF99 WKB polygon -> WGS84 ->
   * polyfill -> cell array (003_db_makros.sql:64). */
-case class H3PolygonCells(geom: Expression, res: Expression) extends GeoExpr {
+case class H3PolygonCells(geom: Expression, res: Expression,
+    asLong: Boolean = false) extends GeoExpr {
   override def children: Seq[Expression] = Seq(geom, res)
-  override def dataType: DataType = ArrayType(StringType)
+  override def dataType: DataType =
+    ArrayType(if (asLong) LongType else StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
     val wgs = GeoExprs.swerefGeomToWgs84(wkb(a(0)))
-    strArray(H3Core.polygonToCells(wgs, int(a(1))).map(H3Core.toHexString))
+    cellsOut(H3Core.polygonToCells(wgs, int(a(1))), asLong)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(geom = c(0), res = c(1))
 }
 
 /** g_h3_line_cells(geom, buffer_m, res) (003_db_makros.sql:71). */
-case class H3LineCells(geom: Expression, bufferM: Expression, res: Expression) extends GeoExpr {
+case class H3LineCells(geom: Expression, bufferM: Expression, res: Expression,
+    asLong: Boolean = false) extends GeoExpr {
   override def children: Seq[Expression] = Seq(geom, bufferM, res)
-  override def dataType: DataType = ArrayType(StringType)
+  override def dataType: DataType =
+    ArrayType(if (asLong) LongType else StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
     val wgs = GeoExprs.swerefGeomToWgs84(wkb(a(0)))
-    strArray(H3Core.lineToCells(Geometry.toWkt(wgs), dbl(a(1)), int(a(2)))
-      .map(H3Core.toHexString))
+    cellsOut(H3Core.lineToCells(Geometry.toWkt(wgs), dbl(a(1)), int(a(2)))
+      .toArray, asLong)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(geom = c(0), bufferM = c(1), res = c(2))
@@ -223,15 +248,17 @@ case class H3LineCells(geom: Expression, bufferM: Expression, res: Expression) e
 
 /** g_h3_point_cells(geom, res): centroid cell as 1-element array
   * (003_db_makros.sql:78). */
-case class H3PointCells(geom: Expression, res: Expression) extends GeoExpr {
+case class H3PointCells(geom: Expression, res: Expression,
+    asLong: Boolean = false) extends GeoExpr {
   override def children: Seq[Expression] = Seq(geom, res)
-  override def dataType: DataType = ArrayType(StringType)
+  override def dataType: DataType =
+    ArrayType(if (asLong) LongType else StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
     val c = Geometry.centroid(wkb(a(0)))
     if (c.isEmpty) null
     else {
       val (lat, lng) = Crs.swerefToWgs84(c.x, c.y)
-      strArray(Array(H3Core.toHexString(H3Core.latLngToCell(lat, lng, int(a(1))))))
+      cellsOut(Array(H3Core.latLngToCell(lat, lng, int(a(1)))), asLong)
     }
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -241,11 +268,15 @@ case class H3PointCells(geom: Expression, res: Expression) extends GeoExpr {
 /** h3_compact_cells(cells) (aab_ext_restr/003:14). */
 case class H3CompactCells(cells: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cells)
-  override def dataType: DataType = ArrayType(StringType)
+  private def longIn: Boolean = cells.dataType match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(if (longIn) LongType else StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val in = GeoExprs.cellArray(a(0))
+    val in = GeoExprs.cellArray(a(0), longIn)
     if (in == null) null
-    else strArray(H3Core.compactCells(in).map(H3Core.toHexString).toArray)
+    else cellsOut(H3Core.compactCells(in).toArray, longIn)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cells = c(0))
@@ -256,12 +287,15 @@ case class H3CompactCells(cells: Expression) extends GeoExpr {
   * (aab_ext_restr/003:14; libh3's uncompactCells surface). */
 case class H3UncompactCells(cells: Expression, res: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cells, res)
-  override def dataType: DataType = ArrayType(StringType)
+  private def longIn: Boolean = cells.dataType match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
+  override def dataType: DataType =
+    ArrayType(if (longIn) LongType else StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val in = GeoExprs.cellArray(a(0))
+    val in = GeoExprs.cellArray(a(0), longIn)
     if (in == null) null
-    else strArray(
-      H3Core.uncompactCells(in, int(a(1))).map(H3Core.toHexString).toArray)
+    else cellsOut(H3Core.uncompactCells(in, int(a(1))).toArray, longIn)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cells = c(0), res = c(1))
@@ -272,19 +306,21 @@ case class H3Resolution(cell: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = IntegerType
   override protected def evalNotNull(a: Array[Any]): Any =
-    java.lang.Integer.valueOf(H3Core.resolution(H3Core.fromHexString(str(a(0)))))
+    java.lang.Integer.valueOf(H3Core.resolution(cellId(a(0))))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cell = c(0))
 }
 
 /** g_h3_query_cells(wkt, res): SWEREF99 WKT polygon -> query cell array
   * (003_db_makros.sql:138). */
-case class H3QueryCells(wkt: Expression, res: Expression) extends GeoExpr {
+case class H3QueryCells(wkt: Expression, res: Expression,
+    asLong: Boolean = false) extends GeoExpr {
   override def children: Seq[Expression] = Seq(wkt, res)
-  override def dataType: DataType = ArrayType(StringType)
+  override def dataType: DataType =
+    ArrayType(if (asLong) LongType else StringType)
   override protected def evalNotNull(a: Array[Any]): Any = {
     val wgs = GeoExprs.swerefGeomToWgs84(Geometry.fromWkt(str(a(0))))
-    strArray(H3Core.polygonToCells(wgs, int(a(1))).map(H3Core.toHexString))
+    cellsOut(H3Core.polygonToCells(wgs, int(a(1))), asLong)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(wkt = c(0), res = c(1))
@@ -294,11 +330,13 @@ case class H3QueryCells(wkt: Expression, res: Expression) extends GeoExpr {
   * fine-resolution index join a coarse query-cell set (SURVEY §2.6). */
 case class H3CellToParent(cell: Expression, res: Expression) extends GeoExpr {
   override def children: Seq[Expression] = Seq(cell, res)
-  override def dataType: DataType = StringType
+  private def longIn: Boolean = cell.dataType == LongType
+  override def dataType: DataType = if (longIn) LongType else StringType
   override protected def evalNotNull(a: Array[Any]): Any = {
-    val h = H3Core.fromHexString(str(a(0)))
+    val h = cellId(a(0))
     val target = int(a(1))
     if (target > H3Core.resolution(h)) null
+    else if (longIn) java.lang.Long.valueOf(H3Core.cellToParent(h, target))
     else utf8(H3Core.toHexString(H3Core.cellToParent(h, target)))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -538,18 +576,20 @@ private[functions] object GeoExprs {
       Pt(lng, lat)
     })
 
-  /** Decode an ArrayData of cell-id strings; a NULL element makes the
-    * whole input malformed (-> caller returns SQL NULL) instead of an
-    * NPE escaping the expression contract. */
-  def cellArray(a: Any): IndexedSeq[Long] = {
+  /** Decode an ArrayData of cell ids (hex strings or raw longs, per
+    * `longIn`); a NULL element makes the whole input malformed
+    * (-> caller returns SQL NULL) instead of an NPE escaping the
+    * expression contract. */
+  def cellArray(a: Any, longIn: Boolean): IndexedSeq[Long] = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (s == null) return null
-      out(i) = H3Core.fromHexString(s.toString)
+      if (arr.isNullAt(i)) return null
+      out(i) =
+        if (longIn) arr.getLong(i)
+        else H3Core.fromHexString(arr.getUTF8String(i).toString)
       i += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)

@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
 object H3Index {
 
   /** Output schema of the index view — also the empty-catalog fallback
-    * relation (pipeline_runner.py:1100-1110). */
+    * relation (pipeline_runner.py:1100-1110). h3_cell is LONG-keyed
+    * (the internal representation everywhere below the export edge):
+    * an 8-byte key instead of a 16-char string halves the width of
+    * every index shuffle, cache and per-cell join. */
   val indexSchema: StructType = StructType(Seq(
     StructField("id", StringType),
     StructField("dataset_id", StringType),
     StructField("leverantor", StringType),
     StructField("klass", StringType),
-    StructField("h3_cell", StringType),
+    StructField("h3_cell", LongType),
     StructField("geom", BinaryType)))
 
   /** Union every per-dataset mart (`{ds}_h3` shape from

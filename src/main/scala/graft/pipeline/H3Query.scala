@@ -23,13 +23,10 @@ object H3Query {
 
   val DefaultQueryRes = 8 // h3_query.py:21
 
-  /** Driver-side polyfill of the SWEREF99 query polygon at `res`. */
+  /** Driver-side polyfill of the SWEREF99 query polygon at `res`.
+    * LONG-keyed like the index (hex only at result surfaces). */
   def queryCells(spark: SparkSession, wktSweref: String, res: Int): DataFrame = {
-    val wgs = Geometry.mapCoords(Geometry.fromWkt(wktSweref), p => {
-      val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
-      Pt(lng, lat)
-    })
-    val cells = H3Core.polygonToCells(wgs, res).map(H3Core.toHexString)
+    val cells = PreparedPolygonQuery.cellIds(wktSweref, res)
     import spark.implicits._
     cells.toSeq.toDF("q_cell")
   }
@@ -37,7 +34,7 @@ object H3Query {
   private def joined(spark: SparkSession, index: DataFrame, wkt: String,
       res: Int, datasets: Seq[String]): DataFrame = {
     import spark.implicits._
-    val cells = PreparedPolygonQuery.cellStrings(wkt, res)
+    val cells = PreparedPolygonQuery.cellIds(wkt, res)
     keyedIndex(index, cells, res, datasets)
       .join(broadcast(cells.toSeq.toDF("q_cell")), "q_cell")
   }
@@ -45,7 +42,7 @@ object H3Query {
   /** Index side of the polygon equi-join: keyed by the query-res
     * ancestor (materialized column when present) with the sargable
     * cell-range prefilter applied. */
-  private def keyedIndex(index: DataFrame, cells: Array[String],
+  private def keyedIndex(index: DataFrame, cells: Array[Long],
       res: Int, datasets: Seq[String]): DataFrame = {
     val filtered =
       if (datasets.isEmpty) index
@@ -55,13 +52,13 @@ object H3Query {
     val parentCol = s"h3_parent_$res"
     val keyed =
       if (filtered.columns.contains(parentCol)) {
-        // SARGABLE range prefilter: same-res cell ids are fixed-width
-        // hex, so lexicographic [min,max] of the query cells bounds the
-        // IN-set. On a parquet-backed index this reaches the scan as a
-        // pushed range predicate — row groups outside the polygon's
-        // cell range are skipped by footer min/max stats, which an
-        // IN-list join alone can never do. Strict superset of the
-        // equi-join, so results are unchanged.
+        // SARGABLE range prefilter: [min,max] of the query cell ids
+        // bounds the IN-set (plain long comparisons now that the index
+        // is long-keyed). On a parquet-backed index this reaches the
+        // scan as a pushed range predicate — row groups outside the
+        // polygon's cell range are skipped by footer min/max stats,
+        // which an IN-list join alone can never do. Strict superset of
+        // the equi-join, so results are unchanged.
         val pre =
           if (cells.isEmpty) filtered
           else filtered.filter(col(parentCol).between(cells.min, cells.max))
@@ -121,7 +118,7 @@ object H3Query {
         size(collect_set(col("id"))).cast("long").as("object_count"),
         sort_array(collect_set(col("dataset_id"))).as("datasets"))
       .select(
-        col("q_cell").as("h3_cell"),
+        graft.functions.GFunctions.h3_hex(col("q_cell")).as("h3_cell"),
         col("object_count"),
         size(col("datasets")).cast("long").as("dataset_count"),
         col("datasets"))
@@ -133,7 +130,15 @@ object H3Query {
     * keyed at the same resolution as `res`. */
   def heatmapWithEmpty(spark: SparkSession, statsDf: DataFrame, wkt: String,
       res: Int): DataFrame = {
-    val q = queryCells(spark, wkt, res).withColumnRenamed("q_cell", "h3_cell")
+    // join in the statsDf's OWN key representation (hex for heatmap
+    // results, long for the internal h3_stats layer)
+    val qLong = queryCells(spark, wkt, res)
+    val q =
+      if (statsDf.schema("h3_cell").dataType ==
+          org.apache.spark.sql.types.LongType)
+        qLong.withColumnRenamed("q_cell", "h3_cell")
+      else qLong.select(
+        graft.functions.GFunctions.h3_hex(col("q_cell")).as("h3_cell"))
     q.join(statsDf, Seq("h3_cell"), "left")
       .withColumn("object_count", coalesce(col("object_count"), lit(0L)))
       .orderBy("h3_cell")
@@ -162,7 +167,7 @@ object H3Query {
     import spark.implicits._
     val poly = Geometry.fromWkt(wkt)
     val queryWkb = Geometry.toWkb(poly)
-    val cells = PreparedPolygonQuery.cellStrings(wkt, res)
+    val cells = PreparedPolygonQuery.cellIds(wkt, res)
     val flagged = needsRefineFlags(cells, poly)
     keyedIndex(index, cells, res, datasets)
       .join(broadcast(flagged.toDF("q_cell", "needs_refine")), "q_cell")
@@ -189,8 +194,8 @@ object H3Query {
     * polygon <=> center inside and every boundary segment >= safe
     * away — the disk is connected and crosses no ring, so it stays on
     * the center's side). */
-  private[graft] def needsRefineFlags(cells: Array[String],
-      poly: graft.spatial.Geom): Seq[(String, Boolean)] = {
+  private[graft] def needsRefineFlags(cells: Array[Long],
+      poly: graft.spatial.Geom): Seq[(Long, Boolean)] = {
     val rings: Array[Array[Pt]] = poly match {
       case graft.spatial.Poly(rs) => rs
       case graft.spatial.MultiPoly(ps) => ps.flatMap(_.rings)
@@ -226,8 +231,7 @@ object H3Query {
       }
       math.sqrt(best)
     }
-    cells.toSeq.map { c =>
-      val h = H3Core.fromHexString(c)
+    cells.toSeq.map { h =>
       val (clat, clng) = H3Core.cellToLatLng(h)
       val (ce, cn) = Crs.wgs84ToSweref(clat, clng)
       var circum = 0.0
@@ -237,7 +241,7 @@ object H3Query {
       }
       val interior = n > 0 && Geometry.contains(poly, Pt(ce, cn)) &&
         distToBoundary(ce, cn) >= 2.5 * circum
-      (c, !interior)
+      (h, !interior)
     }
   }
 }

@@ -18,19 +18,17 @@ import graft.spatial.{Crs, Geometry, Pt}
   * building a new Dataset (≈300-400 ms fixed planning cost) per
   * polygon. */
 final class CellSetHolder extends Serializable {
-  // UTF8String keys (Externalizable, so plain Java serialization of the
-  // set works): the hot probe then runs on the columnar value with no
-  // per-row String allocation
-  private var current: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] =
+  // Long keys (the index is long-keyed): the hot probe is one boxed
+  // HashSet lookup per row — no string materialization at all
+  private var current: java.util.HashSet[java.lang.Long] =
     new java.util.HashSet
-  def set(cells: Iterable[String]): Unit = {
-    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    cells.foreach(c =>
-      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(c)))
+  def set(cells: Iterable[Long]): Unit = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    cells.foreach(c => s.add(java.lang.Long.valueOf(c)))
     current = s
   }
-  def containsUtf8(c: org.apache.spark.unsafe.types.UTF8String): Boolean =
-    current.contains(c)
+  def containsCell(c: Long): Boolean =
+    current.contains(java.lang.Long.valueOf(c))
   def size: Int = current.size
 }
 
@@ -47,15 +45,15 @@ case class ParamCellsContains(cell: Expression, holder: CellSetHolder)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = cell.eval(input)
     if (v == null) null
-    else java.lang.Boolean.valueOf(holder.containsUtf8(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+    else java.lang.Boolean.valueOf(
+      holder.containsCell(v.asInstanceOf[java.lang.Long].longValue))
   }
   // generated-code path (GeoExpr.doGenCode -> evalBoxed): same probe.
   // The codegen references array is re-serialized per job submission,
   // so `holder`'s CURRENT set still ships with every execution.
   override protected def evalNotNull(a: Array[Any]): Any =
-    java.lang.Boolean.valueOf(holder.containsUtf8(
-      a(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+    java.lang.Boolean.valueOf(
+      holder.containsCell(a(0).asInstanceOf[java.lang.Long].longValue))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(cell = c(0))
 }
@@ -90,7 +88,7 @@ final class PreparedPolygonQuery private[pipeline] (
   /** Equivalent of H3Query.objects for a new polygon: distinct matching
     * objects with stable ordering. */
   def objects(wktSweref: String): Array[Row] = {
-    holder.set(PreparedPolygonQuery.cellStrings(wktSweref, res))
+    holder.set(PreparedPolygonQuery.cellIds(wktSweref, res))
     plan.collect()
       .distinct
       .sortBy(r => (r.getString(1), r.getString(0)))
@@ -102,12 +100,16 @@ object PreparedPolygonQuery {
   def apply(index: DataFrame, res: Int = H3Query.DefaultQueryRes): PreparedPolygonQuery =
     new PreparedPolygonQuery(index, res)
 
-  /** Driver-side polyfill of a SWEREF99 polygon at `res`, as id strings. */
-  def cellStrings(wktSweref: String, res: Int): Array[String] = {
+  /** Driver-side polyfill of a SWEREF99 polygon at `res`, as raw ids. */
+  def cellIds(wktSweref: String, res: Int): Array[Long] = {
     val wgs = Geometry.mapCoords(Geometry.fromWkt(wktSweref), p => {
       val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
       Pt(lng, lat)
     })
-    H3Core.polygonToCells(wgs, res).map(H3Core.toHexString)
+    H3Core.polygonToCells(wgs, res)
   }
+
+  /** Hex form of [[cellIds]] — the export/SQL-surface representation. */
+  def cellStrings(wktSweref: String, res: Int): Array[String] =
+    cellIds(wktSweref, res).map(H3Core.toHexString)
 }

@@ -48,7 +48,9 @@ object Stages {
     * Input: any schema with a WKB `geom` column. The geometry-type CASE
     * dispatch (004:50-58) picks polyfill/corridor/point cell strategy.
     * `_h3_cells` stays ArrayType (JSON-string only at export edges,
-    * SURVEY §1.1). */
+    * SURVEY §1.1) — LONG-keyed: 8-byte ids instead of 16-char hex
+    * halve the staged cache and every downstream shuffle; hex appears
+    * only at result surfaces via GFunctions.h3_hex. */
   def stage004(df: DataFrame, h3: H3Config = H3Config()): DataFrame = {
     val attrCols = df.columns.filterNot(_ == "geom").map(col)
     val jsonData = to_json(struct(attrCols.toIndexedSeq: _*))
@@ -67,11 +69,11 @@ object Stages {
         g_h3_center(col("_centroid_lat"), col("_centroid_lng"), lit(h3.centerRes)))
       .withColumn("_h3_cells",
         when(geomType.isin("POLYGON", "MULTIPOLYGON"),
-          g_h3_polygon_cells(col("geom"), lit(h3.polygonRes)))
+          g_h3_polygon_cells_l(col("geom"), lit(h3.polygonRes)))
           .when(geomType.isin("LINESTRING", "MULTILINESTRING"),
-            g_h3_line_cells(col("geom"), lit(h3.lineBufferM), lit(h3.lineRes)))
+            g_h3_line_cells_l(col("geom"), lit(h3.lineBufferM), lit(h3.lineRes)))
           .when(geomType.isin("POINT", "MULTIPOINT"),
-            g_h3_point_cells(col("geom"), lit(h3.pointRes)))
+            g_h3_point_cells_l(col("geom"), lit(h3.pointRes)))
           .otherwise(lit(null)))
       .withColumn("_a5_index", lit(null).cast("string")) // reserved (004:49)
   }

@@ -40,7 +40,8 @@ object ConsistencyQueries {
   }
 
   private def stringified(df: DataFrame): DataFrame =
-    df.withColumn("datasets", concat_ws("|", col("datasets")))
+    df.withColumn("h3_cell", h3_hex(col("h3_cell")))
+      .withColumn("datasets", concat_ws("|", col("datasets")))
       .withColumn("klasser", concat_ws("|", col("klasser")))
       .withColumn("leverantorer", concat_ws("|", col("leverantorer")))
 

@@ -180,6 +180,7 @@ object GeoQueries {
     // themselves are still built distributed inside H3Index.stats).
     "q63_h3_stats" -> ((s, dir) => {
       H3Index.statsTop(index(s, dir), 50)
+        .withColumn("h3_cell", h3_hex(col("h3_cell")))
         .withColumn("datasets", concat_ws("|", col("datasets")))
         .withColumn("klasser", concat_ws("|", col("klasser")))
         .withColumn("leverantorer", concat_ws("|", col("leverantorer")))

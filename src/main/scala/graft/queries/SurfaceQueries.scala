@@ -260,7 +260,8 @@ object SurfaceQueries {
       val viaSql = s.sql(
         s"""WITH q AS (SELECT explode(g_h3_query_cells('$wkt', 8)) AS q_cell)
            |SELECT DISTINCT id, dataset_id, leverantor, klass
-           |FROM q135_index i JOIN q ON i.h3_parent_8 = q.q_cell
+           |FROM q135_index i
+           |JOIN q ON i.h3_parent_8 = CAST(conv(q.q_cell, 16, 10) AS BIGINT)
            |ORDER BY dataset_id, id""".stripMargin)
       val viaApi = graft.pipeline.H3Query.objects(s, idx, wkt, res = 8)
       import scala.concurrent.{Await, Future}

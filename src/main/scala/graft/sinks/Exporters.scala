@@ -42,8 +42,14 @@ object Exporters {
         case _ =>
       }
     }
-    if (out.columns.contains("h3_cell") && !out.columns.contains("hex_id"))
-      out = out.withColumn("hex_id", col("h3_cell"))
+    if (out.columns.contains("h3_cell") && !out.columns.contains("hex_id")) {
+      // the internal layers are long-keyed; hex_id is the export form
+      val cellIsLong = df.schema.fields
+        .exists(f => f.name == "h3_cell" && f.dataType == LongType)
+      out = out.withColumn("hex_id",
+        if (cellIsLong) h3_hex(col("h3_cell")) else col("h3_cell"))
+      if (cellIsLong) out = out.withColumn("h3_cell", h3_hex(col("h3_cell")))
+    }
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
@@ -76,8 +82,13 @@ object Exporters {
     * Distributed NDJSON — the 100 TB-safe shape. */
   def heatmapGeojson(df: DataFrame, path: String,
       cellCol: String = "h3_cell"): Unit = {
+    val cellIsLong = df.schema.fields
+      .exists(f => f.name == cellCol && f.dataType == LongType)
     val withGeom = df.withColumn("_cell_geom",
-      h3_cell_to_geom_wgs84(col(cellCol)))
+        h3_cell_to_geom_wgs84(col(cellCol)))
+      // export edge: properties carry the hex form of the id
+      .withColumn(cellCol,
+        if (cellIsLong) h3_hex(col(cellCol)) else col(cellCol))
     geojsonSeq(withGeom, path, "_cell_geom")
   }
 

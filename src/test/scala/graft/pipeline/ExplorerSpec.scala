@@ -67,7 +67,7 @@ class ExplorerSpec extends AnyFunSuite {
     assert(lines(martLine).contains("geo"))
     // info block
     assert(txt.contains("geometry: geom"))
-    assert(txt.contains("- h3_cell (string)"))
+    assert(txt.contains("- h3_cell (bigint)"))
     // head renders a table with WKT-preview geometry, not raw bytes
     assert(txt.contains("| id ") || txt.contains("| id"))
     assert(txt.contains("POINT") || txt.contains("POLYGON") ||

@@ -79,17 +79,16 @@ class InteriorProofSpec extends AnyFunSuite {
       val jitter = if (trial == 0) 0.08 else 0.45
       val poly = starPoly(cx, cy, baseR, 14, jitter)
       val cells = H3Core.polygonToCells(toWgs(poly), res)
-        .map(H3Core.toHexString)
       val flags = H3Query.needsRefineFlags(cells, poly)
       assert(flags.length === cells.length)
       val interior = flags.collect { case (c, false) => c }
       if (interior.nonEmpty) polysWithInterior += 1
       for (c <- interior; childRes <- Seq(res + 1, res + 2);
-           d <- H3Core.cellToChildren(H3Core.fromHexString(c), childRes)) {
+           d <- H3Core.cellToChildren(c, childRes)) {
         interiorChecked += 1
         assert(Geometry.intersects(cellPoly(d), poly),
           s"descendant ${H3Core.toHexString(d)} (res $childRes) of interior " +
-            s"cell $c (res $res, trial $trial) does NOT intersect the polygon")
+            s"cell ${H3Core.toHexString(c)} (res $res, trial $trial) does NOT intersect the polygon")
       }
     }
     // the law must not green vacuously: the area-dominant interior has
@@ -109,15 +108,16 @@ class InteriorProofSpec extends AnyFunSuite {
     val poly = starPoly(580000, 6460000, 3000.0, 12, 0.4)
     val bigger = Poly(poly.rings.map(_.map(p =>
       Pt(580000 + (p.x - 580000) * 1.4, 6460000 + (p.y - 6460000) * 1.4))))
-    val cells = H3Core.polygonToCells(toWgs(bigger), 8).map(H3Core.toHexString)
+    val cells = H3Core.polygonToCells(toWgs(bigger), 8)
     val flags = H3Query.needsRefineFlags(cells, poly).toMap
     var centerOutside = 0
     for (c <- cells) {
-      val (lat, lng) = H3Core.cellToLatLng(H3Core.fromHexString(c))
+      val (lat, lng) = H3Core.cellToLatLng(c)
       val (e, n) = Crs.wgs84ToSweref(lat, lng)
       if (!Geometry.contains(poly, Pt(e, n))) {
         centerOutside += 1
-        assert(flags(c), s"cell $c center outside polygon but flagged interior")
+        assert(flags(c),
+          s"cell ${H3Core.toHexString(c)} center outside polygon but flagged interior")
       }
     }
     assert(centerOutside > 0, "no boundary cells — test polygon too coarse")

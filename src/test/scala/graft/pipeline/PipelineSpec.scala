@@ -39,7 +39,7 @@ class PipelineSpec extends AnyFunSuite {
       val lng = r.getAs[Double]("_centroid_lng")
       assert(lat > 55 && lat < 62, s"lat $lat outside Sweden box")
       assert(lng > 11 && lng < 22, s"lng $lng outside Sweden box")
-      val cells = r.getAs[scala.collection.Seq[String]]("_h3_cells")
+      val cells = r.getAs[scala.collection.Seq[Long]]("_h3_cells")
       assert(cells != null && cells.nonEmpty, "no h3 cells")
       val center = r.getAs[String]("_h3_index")
       assert(H3Core.resolution(H3Core.fromHexString(center)) == 13)
@@ -54,9 +54,9 @@ class PipelineSpec extends AnyFunSuite {
     val y0 = ((fid * 7) % 23) * 3000 + 6440000
     val (lat, lng) = Crs.swerefToWgs84(x0.toDouble, y0.toDouble)
     assert(math.abs(r.getAs[Double]("_centroid_lat") - lat) < 1e-9)
-    val expect13 = H3Core.toHexString(H3Core.latLngToCell(lat, lng, 13))
-    assert(r.getAs[String]("_h3_index") == expect13)
-    assert(r.getAs[scala.collection.Seq[String]]("_h3_cells").toSeq == Seq(expect13))
+    val expect13 = H3Core.latLngToCell(lat, lng, 13)
+    assert(r.getAs[String]("_h3_index") == H3Core.toHexString(expect13))
+    assert(r.getAs[scala.collection.Seq[Long]]("_h3_cells").toSeq == Seq(expect13))
   }
 
   test("normalization maps config fields with $col/literal semantics") {
@@ -74,9 +74,9 @@ class PipelineSpec extends AnyFunSuite {
     val sample = m.limit(20).collect()
     assert(sample.nonEmpty)
     sample.foreach { r =>
-      val cell = r.getAs[String]("h3_cell")
+      val cell = r.getAs[Long]("h3_cell")
       val latlng = r.getAs[scala.collection.Seq[Double]]("latlng")
-      val (elat, elng) = H3Core.cellToLatLng(H3Core.fromHexString(cell))
+      val (elat, elng) = H3Core.cellToLatLng(cell)
       assert(math.abs(latlng(0) - elat) < 1e-12)
       assert(math.abs(latlng(1) - elng) < 1e-12)
       assert(r.getAs[String]("classification") == "fixture.synthetic")
@@ -108,9 +108,9 @@ class PipelineSpec extends AnyFunSuite {
     // object_count (it's exact in both), HLL cardinalities within rsd
     // slack of the true distinct counts (tiny sets -> exact here)
     val exact = st.select("h3_cell", "object_count", "dataset_count")
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     H3Index.statsApprox(idx).collect().foreach { r =>
-      val (n, d) = exact(r.getString(0))
+      val (n, d) = exact(r.getLong(0))
       assert(r.getAs[Long]("object_count") == n)
       assert(math.abs(r.getAs[Long]("dataset_count") - d) <= math.max(1, d / 10))
     }
@@ -128,13 +128,9 @@ class PipelineSpec extends AnyFunSuite {
       val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
       Pt(lng, lat)
     })
-    val qset = H3Core.polygonToCells(wgs, res).map(H3Core.toHexString).toSet
+    val qset = H3Core.polygonToCells(wgs, res).toSet
     val expected = m.select(col("id"), col("h3_cell")).collect()
-      .filter { r =>
-        val parent = H3Core.toHexString(
-          H3Core.cellToParent(H3Core.fromHexString(r.getString(1)), res))
-        qset.contains(parent)
-      }
+      .filter(r => qset.contains(H3Core.cellToParent(r.getLong(1), res)))
       .map(_.getString(0)).toSet
     assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
     assert(got.nonEmpty, "query polygon matched nothing — fixture drifted?")

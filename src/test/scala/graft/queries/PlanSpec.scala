@@ -160,12 +160,15 @@ class PlanSpec extends AnyFunSuite {
     val ep = edges.queryExecution.executedPlan.toString
     assert(!ep.contains("CartesianProduct") && !ep.contains("BroadcastNestedLoop"),
       ep.take(600))
-    // the quality gate is ONE aggregate pair with a map-side phase —
-    // the shuffle carries per-doc partial sums, not raw tokens
+    // the full-rule quality gate is three hash-aggregate pairs (word,
+    // line, paragraph explodes) plus a map-only symbol projection,
+    // joined on the doc id — every aggregate keeps its map-side phase
+    // (the shuffle carries per-doc partial sums, not raw tokens) and
+    // nothing is a cartesian
     val q155 = planOf("q155_quality_rules")
-    assert("HashAggregate".r.findAllIn(q155).size >= 2, q155.take(800))
-    assert(!q155.contains("SortMergeJoin") && !q155.contains("CartesianProduct"),
-      q155.take(600))
+    assert("HashAggregate".r.findAllIn(q155).size >= 6, q155.take(800))
+    assert(!q155.contains("CartesianProduct") &&
+      !q155.contains("BroadcastNestedLoop"), q155.take(600))
   }
 
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
