@@ -135,7 +135,15 @@ object Bench {
     // battery position is a harness bug by definition — this mode is
     // the local detector for that class (round-5 shipped 9 collateral
     // regressions that were pure position effects).
-    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_ONLY=q162,q136 times just the named prefixes — the
+    // same spot-check knob Verify has; the driver never sets it.
+    val allNames = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(prefixes) =>
+        SparkEntry.queries.keys.toSeq.filter(n => prefixes.exists(n.startsWith))
+      case None => SparkEntry.queries.keys.toSeq
+    }
+    val sortedNames = allNames.sorted
     val names = sys.env.get("SPARK_GRAFT_SHUFFLE_ORDER") match {
       case Some(seed) => new scala.util.Random(seed.toLong).shuffle(sortedNames)
       case None => sortedNames

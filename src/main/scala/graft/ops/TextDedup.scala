@@ -368,15 +368,25 @@ object TextDedup {
     * left-join docs against it (absent doc = singleton component). */
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 30): DataFrame = {
+    // localCheckpoint, not persist: an iterative algorithm's round-N
+    // plan otherwise NESTS the full upstream lineage N times, and
+    // Catalyst re-analyzes that whole tree every round — fed by a
+    // deep input plan (e.g. the incremental-dedup maintenance chain),
+    // ANALYSIS dominated execution ~10x at sf0.1. The checkpoint
+    // truncates the logical plan to the materialized blocks, making
+    // each round's plan O(1) regardless of input lineage or round
+    // count. (On a cluster with failure-tolerance requirements, swap
+    // for reliable checkpoint() to a checkpoint dir; blocks are freed
+    // by the ContextCleaner once unreferenced.)
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges
         .select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
+      .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -391,15 +401,13 @@ object TextDedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint()
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
-    sym.unpersist()
     labels
   }
 
@@ -463,8 +471,16 @@ object TextDedup {
       explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
         .as("gram"))
     val gramsRem = state.grams.join(rem, Seq("doc_id"), "left_semi")
+    // persist the two RETURNED state tables: they are the next run's
+    // inputs anyway, and everything below (dirty set, valid-gram
+    // restriction, recompute join — several consumers each) derives
+    // from them, so without the cache each consumer would replay the
+    // delta explode and the df merge from scratch (measured 4x the
+    // whole maintenance cost at sf0.1). The caller owns the release,
+    // exactly as with a full-run state build.
     val gramsNew = state.grams.join(rem, Seq("doc_id"), "left_anti")
       .union(gramsAdd)
+      .persist()
 
     // df merge: stored counts +/- the delta's per-gram counts
     val dfDelta = gramsAdd.groupBy("gram").agg(count(lit(1)).as("plus"))
@@ -475,6 +491,7 @@ object TextDedup {
         (coalesce(col("df"), lit(0L)) + coalesce(col("plus"), lit(0L))
           - coalesce(col("minus"), lit(0L))).as("df"))
       .filter(col("df") > 0)
+      .persist()
 
     def valid(c: Column): Column = c >= 2 && c <= maxDf
     val flipped = state.df.select(col("gram"), valid(col("df")).as("vo"))

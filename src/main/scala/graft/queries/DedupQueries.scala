@@ -670,6 +670,8 @@ object DedupQueries {
       val addedDocs = newCorpus
         .filter(col("doc_id") % 11 === 0 || col("doc_id") % 5 === 0)
 
+      // inc.grams/inc.df come back persisted (they are the next run's
+      // state tables); released with everything else below
       val inc = TextDedup.incrementalShingleState(st, removedIds, addedDocs,
         "doc_id", "text", shingleN = 5, maxDf = 8, minShared = 3)
       val incPairs = inc.pairs.persist()
@@ -685,6 +687,7 @@ object DedupQueries {
       val cc = TextDedup.connectedComponents(incPairs)
       Memos.track(s"dedup:inc:$dir", Set("q162_incremental_dedup")) { () =>
         cc.unpersist(); incPairs.unpersist()
+        inc.grams.unpersist(); inc.df.unpersist()
         st.grams.unpersist(); st.df.unpersist(); st.pairs.unpersist()
       }
       newCorpus.select(col("doc_id"))
