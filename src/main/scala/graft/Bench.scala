@@ -72,12 +72,15 @@ object Bench {
         val mart = graft.pipeline.Stages.martH3Cells(
           graft.pipeline.Stages.normalizeExtRestr(
             graft.pipeline.Stages.stage004(fixture), fm, "bench"), "bench")
-        // right-size partitions: a ~10k-object warehouse is a handful of
-        // files, not 32 shuffle partitions of 800 rows each — tiny-query
-        // latency is task-count-bound
+        // right-size partitions for the MEMORY-cached warehouse: the
+        // prepared probe scans every cached row per query (the filter is
+        // the parameterized cell-set membership), so latency is
+        // scan-parallelism-bound — measured fresh_plan 99/69/54/41/39 ms
+        // at 2/4/8/16/32 partitions on local[32]. One partition per core
+        // wins; the narrow long-keyed rows make the full scan cheap.
         val index = graft.pipeline.H3Index.withParentAt(
           graft.pipeline.H3Index.build(spark, Map("bench" -> mart)), 8)
-          .coalesce(8).persist()
+          .coalesce(32).persist()
         index.count() // materialize the warehouse
         val poly =
           "POLYGON ((574000 6450000, 576000 6450000, 576000 6452000, 574000 6452000, 574000 6450000))"
