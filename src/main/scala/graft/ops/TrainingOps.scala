@@ -113,6 +113,50 @@ object TrainingOps {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
   }
 
+  // -------------------------------------------------- train/val split
+
+  /** Deterministic train/validation/test split — the assignment every
+    * training run needs to be REPRODUCIBLE and leakage-free: a
+    * document's split must never depend on partitioning, run order, or
+    * corpus growth (a re-crawl that adds documents must not move an
+    * existing doc from train to test, or eval contamination follows).
+    *
+    * Assignment = the md5 32-bit prefix of (idCol # salt) mapped onto
+    * cumulative fraction thresholds, exactly the [[mixCorpus]]
+    * convention: fixed-width lowercase hex compares monotonically, so
+    * the split replays bit-identically in any engine with md5 — and
+    * joining on the id reproduces the split years later without
+    * storing it. `salt` lets different experiments draw independent
+    * splits from the same corpus.
+    *
+    * Fractions must be >= 0, sum to <= 1, and (same contract as
+    * mixCorpus) be <= 32-bit binary fractions so threshold arithmetic
+    * is exact; any remainder falls to the LAST split in declaration
+    * order. Map-only projection — no shuffle, no RNG. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "fractions must be non-negative")
+    require(splits.map(_._2).sum <= 1.0 + 1e-12, "fractions must sum to <= 1")
+    require(splits.forall { case (_, f) =>
+      (f * 4294967296.0) == math.floor(f * 4294967296.0)
+    }, "fractions must be binary fractions with <= 32 bits (k / 2^32) " +
+      "for bit-identical cross-engine replay")
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    val prefix = substring(
+      md5(concat(col(idCol).cast("string"), lit("#"), lit(salt))
+        .cast("binary")), 1, 8)
+    def hexThreshold(f: Double): String = {
+      val v = (f * 4294967296.0).toLong.min(4294967295L)
+      f"$v%08x"
+    }
+    val assigned = splits.map(_._1).zip(cumulative)
+      .foldRight(lit(splits.last._1): Column) { case ((name, cum), acc) =>
+        when(prefix < lit(hexThreshold(cum)), name).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   // ---------------------------------------------------- corpus mixing
 
   /** Deterministic corpus mixing with fractional per-source weights —

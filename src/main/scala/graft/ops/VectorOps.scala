@@ -56,6 +56,59 @@ object VectorOps {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  // ------------------------------------------- int8 scalar quantization
+
+  /** Per-dimension max-abs scales for symmetric int8 quantization —
+    * one distributed pass (posexplode -> per-dim max, map-side
+    * combinable), collected to a tiny dims-sized array on the driver.
+    * Floored at 1e-30 so an all-zero dimension quantizes to 0 instead
+    * of dividing by zero. */
+  def sqScales(emb: DataFrame, vecCol: String): Array[Double] =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim").agg(max(abs(col("v").cast("double"))).as("m"))
+      .orderBy("dim").collect()
+      .map(r => math.max(r.getDouble(1), 1e-30))
+
+  /** Symmetric per-dimension int8 quantization: q_d = floor(x_d * 127 /
+    * scale_d + 0.5) clamped to [-127, 127] — "round half up" spelled as
+    * floor(+0.5) because it replays identically in any engine (Java
+    * rint is half-even, SQL ROUND is half-away; floor is floor
+    * everywhere). 4x memory/shuffle reduction for a 100 TB embedding
+    * corpus; map-only, codegen'd built-ins. */
+  def sqQuantize(vec: Column, scales: Array[Double]): Column =
+    zip_with(vec, typedLit(scales.toSeq), (v, s) =>
+      greatest(lit(-127), least(lit(127),
+        floor(v.cast("double") * 127.0 / s + 0.5).cast("int"))))
+
+  /** Cosine on quantized vectors, dequantized on the fly (the scales
+    * fold back in; the 127 denominators cancel in cosine but are kept
+    * so the dequantized values are also usable as magnitudes). */
+  def sqCosine(qa: Column, qb: Column, scales: Array[Double]): Column = {
+    val s = typedLit(scales.toSeq)
+    val da = zip_with(qa, s, (v, sc) => v.cast("double") * sc / 127.0)
+    val db = zip_with(qb, s, (v, sc) => v.cast("double") * sc / 127.0)
+    cosine(da, db)
+  }
+
+  /** Top-k by quantized cosine: the int8 corpus is what scans (a
+    * quarter of the float bytes); the query is quantized driver-side
+    * with the SAME scales so corpus and query live in one codebook. */
+  def sqKnn(quantized: DataFrame, idCol: String, qvecCol: String,
+      scales: Array[Double], query: Array[Float], k: Int): DataFrame = {
+    val qq = query.zip(scales).map { case (v, s) =>
+      math.max(-127, math.min(127, math.floor(v * 127.0 / s + 0.5))).toInt
+    }
+    sqKnnQuantized(quantized, idCol, qvecCol, scales, qq, k)
+  }
+
+  private def sqKnnQuantized(quantized: DataFrame, idCol: String,
+      qvecCol: String, scales: Array[Double], qq: Array[Int],
+      k: Int): DataFrame =
+    quantized.select(col(idCol),
+        sqCosine(col(qvecCol), typedLit(qq.toSeq), scales).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+
   /** IVF probe: search only the `nprobe` cells whose centroids are
     * closest to the query — partition pruning for vectors. */
   def ivfSearch(assigned: DataFrame, centroids: Array[Array[Double]],

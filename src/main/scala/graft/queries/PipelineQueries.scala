@@ -289,6 +289,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split (ops/TrainingOps.hashSplit):
+    // md5-prefix thresholds over (id # salt) — reproducible across
+    // runs, partitionings, engines and corpus growth (an added doc
+    // can never move an existing doc's split — the leakage property
+    // a RNG-based split silently lacks). 14/16 - 1/16 - 1/16 exact
+    // binary fractions; every assignment hash-matched.
+    "q163_hash_split" -> ((s, dir) => {
+      graft.ops.TrainingOps.hashSplit(
+          docs(s, dir).select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
+          salt = "exp1")
+        .orderBy("doc_id")
+    }),
+
     // Corpus mixing (ops/TrainingOps.mixCorpus): fractional per-source
     // sampling weights — src3 x2.5 (two full copies + a hash-selected
     // half), src7 x0.25 (quarter downsample), src11 x0 (excluded),
@@ -812,6 +826,14 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(t, '\d{9,}')) AS BIGINT) AS n_num
         |FROM a ORDER BY doc_id""".stripMargin,
+    // Same md5 prefix, same cumulative thresholds (0.875 -> e0000000,
+    // 0.9375 -> f0000000), remainder to the last split.
+    "q163_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(doc_id || '#exp1'), 1, 8) < 'e0000000' THEN 'train'
+        |       WHEN substring(md5(doc_id || '#exp1'), 1, 8) < 'f0000000' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Scheme/host lowercase, :443 stripped (scheme is https), fragment
     // dropped, utm_/fbclid params removed, remaining params sorted
     // binary, trailing slash stripped — replayed with DuckDB list ops.

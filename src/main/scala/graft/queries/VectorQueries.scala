@@ -36,6 +36,26 @@ object VectorQueries {
       when(element_at(a, i) > 0f, "1").otherwise("0")): _*)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Symmetric per-dimension int8 scalar quantization
+    // (ops/VectorOps.sqQuantize): the 4x memory/shuffle lever for a
+    // 100 TB embedding corpus. Scales are one distributed max-abs
+    // pass; quantization is a map-only zip_with of codegen'd
+    // built-ins, spelled floor(x*127/s + 0.5) because that rounding
+    // replays identically in any engine (Java rint is half-even, SQL
+    // ROUND half-away). Every quantized vector hash-matched against
+    // DuckDB's closed-form replay; the recall law (int8 top-10 vs
+    // float brute force) is spec-pinned in DedupOpsSpec.
+    "q164_sq_quantize" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val scales = graft.ops.VectorOps.sqScales(e, "embedding")
+      e.select(col("vec_id"),
+          md5(concat_ws(",",
+            transform(
+              graft.ops.VectorOps.sqQuantize(col("embedding"), scales),
+              _.cast("string"))).cast("binary")).as("q_md5"))
+        .orderBy("vec_id")
+    }),
+
     // L2 norms + dims — the sanity projection every vector pipeline runs.
     "q50_vector_norm" -> ((s, dir) => {
       emb(s, dir)
@@ -127,6 +147,23 @@ object VectorQueries {
     s"CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   val oracle: Map[String, String] = Map(
+    // Same max-abs scales, same floor(+0.5) rounding, same clamp —
+    // the whole codebook replayed in SQL (1-based list indexing on
+    // the fixed 64-dim corpus).
+    "q164_sq_quantize" ->
+      """WITH sc AS (
+        |  SELECT i, GREATEST(MAX(ABS(CAST(embedding[CAST(i AS INT)] AS DOUBLE))), 1e-30) AS m
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY i
+        |), scl AS (
+        |  SELECT list(m ORDER BY i) AS ms FROM sc
+        |)
+        |SELECT vec_id,
+        |  md5(array_to_string(list_transform(range(1, 65), i ->
+        |    CAST(GREATEST(-127, LEAST(127,
+        |      FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 127.0
+        |            / ms[CAST(i AS INT)] + 0.5))) AS INT)), ',')) AS q_md5
+        |FROM embeddings, scl
+        |ORDER BY vec_id""".stripMargin,
     "q50_vector_norm" ->
       s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
          |  ROUND(${sqlL2("embedding")}, 6) AS l2_norm

@@ -84,6 +84,41 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 scalar quantization: recall@10 >= 0.8 vs float brute force, bounded error") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scales = VectorOps.sqScales(emb, "embedding")
+    assert(scales.length == 64 && scales.forall(_ > 0))
+    val quantized = emb.select(col("vec_id"),
+      VectorOps.sqQuantize(col("embedding"), scales).as("q")).persist()
+    // per-element dequantization error is bounded by half a step
+    val deq = quantized.select(col("vec_id"),
+      org.apache.spark.sql.functions.zip_with(col("q"),
+        org.apache.spark.sql.functions.typedLit(scales.toSeq),
+        (v, s) => v.cast("double") * s / 127.0).as("d"))
+      .join(emb, "vec_id")
+      .collect()
+    deq.foreach { r =>
+      val d = r.getAs[scala.collection.Seq[Double]]("d")
+      val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+      d.indices.foreach { i =>
+        assert(math.abs(d(i) - x(i)) <= scales(i) / 127.0 * 0.5 + 1e-12)
+      }
+    }
+    // recall law vs the float brute-force baseline
+    val query = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = VectorOps.knnBrute(emb.filter(col("vec_id") =!= 7),
+        "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val viaInt8 = VectorOps.sqKnn(quantized.filter(col("vec_id") =!= 7),
+        "vec_id", "q", scales, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(viaInt8).size / 10.0
+    assert(recall >= 0.8, s"int8 recall@10 = $recall")
+    quantized.unpersist()
+  }
+
   test("IVF search recall@10 >= 0.8 vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val query = emb.filter(col("vec_id") === 42)

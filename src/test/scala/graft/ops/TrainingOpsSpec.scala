@@ -130,6 +130,35 @@ class TrainingOpsSpec extends AnyFunSuite {
       Map("up" -> (1.0 + 3.0 / 4294967296.0))).count()
   }
 
+  test("hashSplit: deterministic, near-target shares, growth-stable, contract enforced") {
+    import spark.implicits._
+    val d = (0L until 4000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625)
+    val got = TrainingOps.hashSplit(d, "doc_id", splits, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shares = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(shares("train") - 3500) < 200)
+    assert(math.abs(shares("val") - 250) < 100)
+    assert(math.abs(shares("test") - 250) < 100)
+    // growth stability: the split of the first 1000 docs is unchanged
+    // when the corpus quadruples — the leakage-freedom property
+    val small = TrainingOps.hashSplit((0L until 1000L).toDF("doc_id"),
+        "doc_id", splits, salt = "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, sp) => got(id) == sp })
+    // different salt draws an (almost surely) different assignment
+    val other = TrainingOps.hashSplit(d, "doc_id", splits, salt = "s2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other.exists { case (id, sp) => got(id) != sp })
+    // contract: non-binary fraction and sum > 1 both rejected
+    intercept[IllegalArgumentException] {
+      TrainingOps.hashSplit(d, "doc_id", Seq("a" -> 0.1, "b" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOps.hashSplit(d, "doc_id", Seq("a" -> 0.75, "b" -> 0.5))
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "fp")
