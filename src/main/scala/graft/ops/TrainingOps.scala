@@ -113,6 +113,45 @@ object TrainingOps {
         md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_md5"))
   }
 
+  // ----------------------------------------------- tf-idf term weights
+
+  /** Top-k characteristic terms per document by tf-idf — the corpus
+    * statistic behind keyword extraction, topic routing and
+    * rare-boilerplate detection in a pretraining pipeline.
+    *
+    * The idf factor is the RATIONAL form (N + 1) / (df + 1) instead of
+    * its logarithm: per-term ranking is identical (log is monotone and
+    * the factor is constant within a term), and IEEE division replays
+    * bit-identically in any engine while ln() may differ by an ulp
+    * between libm implementations — the same exactness-over-canon
+    * trade as the engine's decimal money sums.
+    *
+    * Shape: one token explode -> tf hash-aggregate on (doc, term) ->
+    * df hash-aggregate on term (both map-side combinable; df derives
+    * from tf so the corpus explodes ONCE) -> broadcast the 1-row
+    * corpus count -> join on term -> per-doc top-k window. Shuffles
+    * carry (doc, term, count) triples bounded by distinct-term mass,
+    * never raw text. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextDedup.tokensOf(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(desc("score"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (col("n_docs") + 1.0) / (col("df") + 1.0), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   // -------------------------------------------------- train/val split
 
   /** Deterministic train/validation/test split — the assignment every

@@ -289,6 +289,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-document top-3 characteristic terms by tf-idf
+    // (ops/TrainingOps.tfidfTopTerms): ONE corpus explode feeds both
+    // the (doc, term) tf aggregate and the term df aggregate; the
+    // rational idf (N+1)/(df+1) keeps ranking identical to the log
+    // form while replaying bit-identically cross-engine. Every rank,
+    // count and score hash-matched.
+    "q165_tfidf_top_terms" -> ((s, dir) => {
+      graft.ops.TrainingOps.tfidfTopTerms(docs(s, dir), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // Deterministic train/val/test split (ops/TrainingOps.hashSplit):
     // md5-prefix thresholds over (id # salt) — reproducible across
     // runs, partitionings, engines and corpus growth (an added doc
@@ -370,6 +382,43 @@ object PipelineQueries {
           round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
           round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
           round(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+        .orderBy("lang")
+    }),
+
+    // Approximate quantiles — the sketch path a 100 TB column actually
+    // uses (exact percentile holds every value per group in memory;
+    // approx_percentile's KLL-style sketch is fixed-size and
+    // merge-combinable, so the shuffle carries sketches, not values).
+    // The gate stays EXACT: the query require's the sketch answer
+    // within rank tolerance of the exact percentile per group (the
+    // accuracy contract approx_percentile documents), then RETURNS the
+    // exact values so the driver hash-matches them — the law rides in
+    // the require, the hash rides on replayable math.
+    "q166_approx_quantiles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val joined = d.groupBy("lang")
+        .agg(
+          expr("percentile(n_chars, array(0.5, 0.9, 0.99))").as("exact"),
+          expr("approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)")
+            .as("approx"),
+          count(lit(1)).as("n"),
+          min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .collect()
+      joined.foreach { r =>
+        val exact = r.getSeq[Double](1)
+        val approx = r.getSeq[Long](2).map(_.toDouble)
+        val spreadTol = (r.getLong(5) - r.getLong(4)).toDouble * 0.05 + 1.0
+        exact.zip(approx).foreach { case (e, a) =>
+          require(math.abs(e - a) <= spreadTol,
+            s"approx_percentile outside tolerance for lang ${r.getString(0)}: exact=$e approx=$a tol=$spreadTol")
+        }
+      }
+      d.groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
         .orderBy("lang")
     }),
 
@@ -826,6 +875,31 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
         |  CAST(len(regexp_extract_all(t, '\d{9,}')) AS BIGINT) AS n_num
         |FROM a ORDER BY doc_id""".stripMargin,
+    // Same single explode, same rational idf, same rounded score and
+    // (score DESC, term ASC) tie-break.
+    "q165_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    ROUND(tf.tf * (n.n_docs + 1.0) / (df.df + 1.0), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, term, tf, df, score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     // Same md5 prefix, same cumulative thresholds (0.875 -> e0000000,
     // 0.9375 -> f0000000), remainder to the last split.
     "q163_hash_split" ->
@@ -880,6 +954,15 @@ object PipelineQueries {
         |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
         |  ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // The hash checks the EXACT values (replayable); the sketch's rank
+    // tolerance is require'd inside the query.
+    "q166_approx_quantiles" ->
+      """SELECT lang,
+        |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(n_chars, 0.99), 4) AS p99,
+        |  COUNT(*) AS n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q84_ntile" ->
       """WITH q AS (
