@@ -247,6 +247,49 @@ object SurfaceQueries {
         .orderBy("klass")
     }),
 
+    // Streaming ingest dedup (StreamingOps.streamingDedup /
+    // dropDuplicatesWithinWatermark): documents stream in over three
+    // micro-batches with every text duplicated ~5x across batches; the
+    // gate must admit each content fingerprint EXACTLY once with
+    // bounded state. WHICH duplicate wins is processing-order
+    // dependent, so the query require's once-per-fingerprint and
+    // streaming-set == batch-set, then returns the admitted
+    // FINGERPRINT SET — deterministic, and hash-matched against
+    // DuckDB's distinct-md5 replay of the same synthetic corpus.
+    "q167_streaming_dedup" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_q167")
+      val src = tmp.resolve("src").toString
+      // duplicates of one text cluster within seconds (the re-crawl
+      // storm the op is for) — spreading them past the watermark
+      // horizon would make re-admission CORRECT eviction behavior
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("crawl body "), (col("doc_id") % 97).cast("string"))
+            .as("text"),
+          timestamp_seconds(lit(1700000000L) + (col("doc_id") % 97) * 60
+            + (col("doc_id") / 97).cast("long") * 5).as("ingest_ts"))
+      for (r <- 0 to 2)
+        base.filter(col("doc_id") % 3 === r).coalesce(1)
+          .write.mode("append").parquet(src)
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.StreamingOps
+        .streamingDedup(stream, "ingest_ts", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q167out").start()
+      try q.processAllAvailable() finally q.stop()
+      val admitted = s.table("q167out")
+      val n = admitted.count()
+      val fps = admitted.select("fingerprint").distinct()
+      require(n == fps.count(),
+        s"streaming dedup admitted a fingerprint twice: $n rows vs distinct")
+      val batchFps = base.select(md5(col("text")).as("fingerprint")).distinct()
+      require(fps.exceptAll(batchFps).isEmpty &&
+        batchFps.exceptAll(fps).isEmpty,
+        "streaming dedup's admitted set diverged from the batch dedup set")
+      fps.orderBy("fingerprint")
+    }),
+
     // The reference's h3_query_table macro (SQL-facing polygon query
     // over a named table) replayed through the REGISTERED SQL surface:
     // explode(g_h3_query_cells(wkt)) joined to the index view must
@@ -301,6 +344,12 @@ object SurfaceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // The admitted fingerprint set == distinct md5 of the synthetic
+    // corpus (which duplicate carried it is processing-order detail,
+    // require'd in-query).
+    "q167_streaming_dedup" ->
+      """SELECT DISTINCT md5('crawl body ' || (doc_id % 97)) AS fingerprint
+        |FROM documents ORDER BY fingerprint""".stripMargin,
     "q127_lantmateriet_auth" -> digestOracle,
     "q128_validate_area" ->
       """SELECT c_custkey AS fid, true AS raw_valid,
