@@ -411,6 +411,58 @@ object TextDedup {
     labels
   }
 
+  // ------------------------------------------------ repeated passages
+
+  /** Repeated-PASSAGE detection — exact substring-level duplication
+    * across documents (the boilerplate/licence-block/navigation-chrome
+    * signal that document-level dedup cannot see: two different pages
+    * sharing one large copied block).
+    *
+    * Segmentation is CONTENT-DEFINED, not position-defined: a token is
+    * a segment boundary iff its md5 starts with '0' or '1' (a 1-in-8
+    * value-only test, ~8-token expected segments), so an identical
+    * token run segments identically WHEREVER it sits in a document —
+    * fixed-offset windows provably cannot do this (the same passage at
+    * byte offset 100 in one doc and 900 in another never aligns). The
+    * interior segments of any shared block >= a few expected segment
+    * lengths hash equal across documents; a segment hash under >=
+    * `minDocs` distinct documents is a repeated passage. This is the
+    * CDC trick rsync/dedup storage uses, applied at the token level.
+    *
+    * Returns (passage_md5, n_tokens, n_docs, n_occurrences); join back
+    * on the hash to locate or excise occurrences.
+    *
+    * 100 TB shape: token explode -> one per-doc window cumsum (shuffle
+    * keyed by doc) -> per-(doc, segment) aggregate -> digest-only
+    * passage aggregate (the segment TEXT is hashed away before the
+    * second shuffle; only (hash, counts) travel). Both aggregates are
+    * map-side combinable; nothing is quadratic. */
+  def repeatedPassages(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 6, minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(tokensOf(col(textCol))).as(Seq("pos", "w")))
+    val isBoundary = substring(md5(col("w").cast("binary")), 1, 1)
+      .isin("0", "1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val segmented = toks.withColumn("seg",
+      sum(when(isBoundary, 1L).otherwise(0L)).over(w))
+    val segments = segmented
+      .groupBy(col(idCol), col("seg"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("ptext"))
+      .filter(col("n_tokens") >= minTokens)
+    segments
+      .select(col(idCol), col("n_tokens"),
+        md5(col("ptext").cast("binary")).as("passage_md5"))
+      .groupBy("passage_md5", "n_tokens")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // ------------------------------------------------ incremental dedup
 
   /** The stored dedup state a periodic-crawl pipeline keeps between

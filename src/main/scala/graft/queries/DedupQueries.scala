@@ -698,6 +698,30 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Repeated-passage detection via content-defined chunking
+    // (TextDedup.repeatedPassages): two boilerplate blocks are
+    // deterministically appended to overlapping doc subsets (%4:
+    // license text, %7: navigation chrome) at DIFFERENT offsets per
+    // document — position-defined windows provably cannot match them;
+    // the value-only boundary rule segments every occurrence
+    // identically, and each block's interior segments surface with
+    // n_docs == the subset size. Whole result hash-matched.
+    "q168_repeated_passages" -> ((s, dir) => {
+      val lic = " LICENSE NOTICE this corpus block is distributed under" +
+        " the open data license terms all rights reserved see the website" +
+        " for details of the license grant"
+      val nav = " NAVIGATION home products pricing documentation support" +
+        " contact about careers blog terms privacy sitemap search login" +
+        " register newsletter archive help faq press"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(lic)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(nav)).otherwise(lit("")))
+      TextDedup.repeatedPassages(
+          docs(s, dir).select(col("doc_id"), aug.as("text")),
+          "doc_id", "text", minTokens = 6, minDocs = 2)
+        .orderBy("passage_md5", "n_tokens")
+    }),
+
     // IVF (KMeans coarse quantizer) cell histogram — the partition
     // layout a 100 TB vector corpus would be written with.
     "q75_ivf_cells" -> ((s, dir) => {
@@ -785,6 +809,37 @@ object DedupQueries {
         |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Same augmentation, same 1-in-8 md5 boundary rule, same per-doc
+    // ordered window cumsum, same segment aggregation.
+    "q168_repeated_passages" ->
+      """WITH a AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' LICENSE NOTICE this corpus block is distributed under the open data license terms all rights reserved see the website for details of the license grant' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' NAVIGATION home products pricing documentation support contact about careers blog terms privacy sitemap search login register newsletter archive help faq press' ELSE '' END
+        |    AS t
+        |  FROM documents
+        |), tokl AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(t,'\s+',' ','g'))),' ') AS toks
+        |  FROM a
+        |), tok AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['w'] AS w
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(toks, (x, i) -> {'pos': i, 'w': x})) AS u
+        |        FROM tokl)
+        |), sg AS (
+        |  SELECT doc_id, pos, w,
+        |    SUM(CASE WHEN substring(md5(w), 1, 1) IN ('0','1') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+        |  FROM tok
+        |), segs AS (
+        |  SELECT doc_id, seg, COUNT(*) AS n_tokens,
+        |    string_agg(w, ' ' ORDER BY pos) AS ptext
+        |  FROM sg GROUP BY doc_id, seg HAVING COUNT(*) >= 6
+        |)
+        |SELECT md5(ptext) AS passage_md5, n_tokens,
+        |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        |FROM segs GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY passage_md5, n_tokens""".stripMargin,
     // Full-run replay over the NEW snapshot — the Spark side answers
     // with the INCREMENTAL state, so the hash match is cross-engine AND
     // cross-algorithm (delta maintenance vs from-scratch recompute).

@@ -213,6 +213,33 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(componentsOf(pairs) == unionFind(pairs))
   }
 
+  test("repeated passages: content-defined chunking matches blocks at ANY offset") {
+    import spark.implicits._
+    val block = "shared boilerplate license block alpha beta gamma delta " +
+      "epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    // the same block sits at a different token offset in every doc;
+    // filler vocabularies are disjoint so only the block can repeat
+    val docs = Seq(
+      (1L, s"$block and unique tail one two three"),
+      (2L, s"prefix p1 p2 p3 p4 p5 $block trailing t1 t2"),
+      (3L, s"longer prefix q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 $block"))
+      .toDF("doc_id", "text")
+    val rep = TextDedup.repeatedPassages(docs, "doc_id", "text",
+      minTokens = 4, minDocs = 3).collect()
+    assert(rep.nonEmpty,
+      "no passage matched across offsets — chunking is position-dependent")
+    // every reported passage is in all 3 docs (fillers are disjoint)
+    rep.foreach(r => assert(r.getAs[Long]("n_docs") == 3))
+    // and a position-DEFINED control (fixed 8-token windows from doc
+    // start) finds nothing across these offsets — the reason CDC exists
+    val fixedWindows = graft.ops.TrainingOps.chunkTokens(
+        docs, "doc_id", "text", chunkSize = 8, stride = 8)
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") === 3)
+    assert(fixedWindows.isEmpty)
+  }
+
   test("incremental shingle state equals full recompute across df-validity flips") {
     import spark.implicits._
     // Adversarial fixture aimed at the df-boundary cases a naive
