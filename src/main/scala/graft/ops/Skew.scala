@@ -11,17 +11,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic row salt in [0, saltFactor): a hash of the row's
-    * OTHER columns (everything except the hot key — hashing the key
-    * itself would put every hot-key row in one salt bucket and undo the
-    * spread). Unlike rand(seed), which assigns per-partition and so
-    * varies with input partitioning, this depends only on row VALUES:
-    * runs are bit-reproducible end-to-end regardless of how the input
-    * was split. */
+  /** Deterministic row salt in [0, saltFactor): a 64-bit hash of ALL
+    * the row's columns. Spread comes from the non-key columns (hashing
+    * the key ALONE would put every hot-key row in one bucket, so a
+    * frame with no non-key column is rejected loudly rather than
+    * silently degenerating). Unlike rand(seed), which assigns
+    * per-partition and so varies with input partitioning, this depends
+    * only on row VALUES: runs are bit-reproducible end-to-end
+    * regardless of how the input was split.
+    *
+    * CONTRACT: rows that are bit-identical across EVERY column land in
+    * the same bucket — no value-derived salt can separate true
+    * duplicates. If the hot key's rows are mostly duplicates, dedup
+    * (or count-compress) before joining; that is cheaper than any salt. */
   private def rowSalt(df: DataFrame, key: String, saltFactor: Int): Column = {
-    val others = df.columns.filterNot(_ == key).map(col)
-    val basis = if (others.nonEmpty) others.toSeq else Seq(col(key))
-    pmod(hash(basis: _*), lit(saltFactor))
+    val others = df.columns.filterNot(_ == key)
+    require(others.nonEmpty,
+      s"value-derived salting needs at least one non-key column " +
+        s"(frame has only '$key'): every hot-key row would land in one " +
+        s"salt bucket. Add a disambiguating column or pre-aggregate.")
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*),
+      lit(saltFactor.toLong)).cast("int")
   }
 
   /** Salted inner equi-join: the skewed (big) side gets a deterministic

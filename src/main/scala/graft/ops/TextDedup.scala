@@ -403,11 +403,20 @@ object TextDedup {
             .as("component"))
         .localCheckpoint()
       val nextSum = labelSum(next)
+      // free the superseded round's checkpoint blocks NOW: they are
+      // persist-backed and otherwise live until the driver GCs the
+      // dataframe and ContextCleaner runs — long iterative runs (or
+      // many CC calls in one JVM) would accumulate executor storage.
+      // `next` no longer references them (localCheckpoint truncated
+      // its plan to its own blocks), so this is safe.
+      val superseded = labels
       labels = next
+      superseded.unpersist(blocking = false)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
+    sym.unpersist(blocking = false)
     labels
   }
 

@@ -36,7 +36,7 @@ object DedupQueries {
       TextDedup.minHashCandidates(docs(s, dir), "doc_id", "text",
         maxBucket = 64).persist())
     Memos.track(s"dedup:cand:$dir",
-      Set("q70_minhash_neardup", "q73_jaccard_refine")) { () =>
+      Set("q70_minhash_neardup", "q73_jaccard_refine"), token = df) { () =>
       candMemo.remove(dir)
       df.unpersist()
     }
@@ -66,7 +66,8 @@ object DedupQueries {
       (assigned.persist(), centroids)
     })
     Memos.track(s"dedup:ivf:$dir",
-      Set("q59_ivf_exact", "q75_ivf_cells", "q76_ivf_search")) { () =>
+      Set("q59_ivf_exact", "q75_ivf_cells", "q76_ivf_search"),
+      token = built._1) { () =>
       ivfMemo.remove(dir)
       built._1.unpersist()
     }
@@ -676,11 +677,28 @@ object DedupQueries {
         "doc_id", "text", shingleN = 5, maxDf = 8, minShared = 3)
       val incPairs = inc.pairs.persist()
 
-      // the equivalence pin: delta-run == from-scratch, both directions
+      // the equivalence pin: delta-run == from-scratch, both directions,
+      // in ONE job — (id_a, id_b) is unique per side (groupBy output),
+      // so a full-outer join classifies every divergence: an inc-only
+      // key or an n_shared mismatch is "extra", a full-only key or a
+      // mismatch is "missing" — exactly what the two exceptAll passes
+      // counted, at half the cost (each exceptAll re-executed both
+      // sides; this executes each side once).
       val full = TextDedup.rareShingleCandidates(newCorpus, "doc_id", "text",
         shingleN = 5, maxDf = 8, minShared = 3)
-      val extra = incPairs.exceptAll(full).count()
-      val missing = full.exceptAll(incPairs).count()
+      val diffRow = incPairs.withColumnRenamed("n_shared", "n_inc")
+        .join(full.withColumnRenamed("n_shared", "n_full"),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("n_full").isNull ||
+            col("n_inc") =!= col("n_full"), 1L).otherwise(0L)), lit(0L))
+            .as("extra"),
+          coalesce(sum(when(col("n_inc").isNull ||
+            col("n_inc") =!= col("n_full"), 1L).otherwise(0L)), lit(0L))
+            .as("missing"))
+        .head()
+      val extra = diffRow.getLong(0)
+      val missing = diffRow.getLong(1)
       require(extra == 0 && missing == 0,
         s"incremental dedup diverged from full run: $extra extra pairs, $missing missing")
 

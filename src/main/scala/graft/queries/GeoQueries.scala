@@ -62,7 +62,7 @@ object GeoQueries {
   // CHM forbids mid-compute). Re-tracking on every access is idempotent.
   private def cached(key: String, dir: String)(build: => DataFrame): DataFrame = {
     val df = memo.computeIfAbsent((key, dir), _ => build.persist())
-    Memos.track(s"geo:$key:$dir", consumersOf(key)) { () =>
+    Memos.track(s"geo:$key:$dir", consumersOf(key), token = df) { () =>
       memo.remove((key, dir))
       df.unpersist()
     }

@@ -29,7 +29,8 @@ import scala.collection.concurrent.TrieMap
   */
 object Memos {
 
-  private final case class Entry(consumers: Set[String], release: () => Unit)
+  private final case class Entry(consumers: Set[String], release: () => Unit,
+      token: AnyRef)
 
   private val entries = TrieMap[String, Entry]()
   // None = not in a battery run (registry inert). Some(set) = queries
@@ -39,10 +40,25 @@ object Memos {
   /** Register (or re-register, after a rebuild) a live memo. `consumers`
     * are query names as they appear in SparkEntry.queries. The release
     * thunk must make the owner rebuild on next access (unpersist AND
-    * remove from the owner's map). */
-  def track(key: String, consumers: Set[String])(release: () => Unit): Unit =
+    * remove from the owner's map).
+    *
+    * `token` identifies the underlying resource (pass the persisted
+    * DataFrame). Re-registering the SAME key with the SAME token is the
+    * memoized-caller idempotent path (computeIfAbsent returned the
+    * cached frame) — the entry is refreshed, nothing released.
+    * Re-registering with a DIFFERENT (or no) token means the caller
+    * built NEW persisted state under this key (e.g. a bench rep
+    * re-invoking a query builder): the superseded entry's release thunk
+    * runs first, so the previous rep's frames never leak for the rest
+    * of the battery. */
+  def track(key: String, consumers: Set[String], token: AnyRef = null)(
+      release: () => Unit): Unit =
     synchronized {
-      entries.put(key, Entry(consumers, release))
+      entries.get(key).foreach { old =>
+        val same = (token ne null) && (old.token ne null) && (old.token eq token)
+        if (!same) { try old.release() catch { case _: Throwable => () } }
+      }
+      entries.put(key, Entry(consumers, release, token))
       // late registration: if the battery has already passed every
       // consumer (a non-battery caller built the memo mid-run), release
       // immediately rather than leaking it

@@ -211,11 +211,21 @@ object Exporters {
       } else if (df0.isEmpty) {
         Some(name -> Seq("skipped:empty"))
       } else {
-        val df = if (geomCols.isEmpty && df0.columns.contains("h3_cell"))
+        // Synthesize geometry from the internal (possibly long-keyed)
+        // cell id FIRST, then hex-convert: every export format ships
+        // hex cell ids (the reference's export.py emits hex in all
+        // mart exports, not only csv — "hex only at surfaces").
+        val withGeom = if (geomCols.isEmpty && df0.columns.contains("h3_cell"))
           df0.withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
         else df0
+        val cellIsLong = df0.schema.fields
+          .exists(f => f.name == "h3_cell" && f.dataType == LongType)
+        def hexed(d: DataFrame): DataFrame =
+          if (cellIsLong) d.withColumn("h3_cell", h3_hex(col("h3_cell"))) else d
+        val df = hexed(withGeom)
+        val dfFlat = hexed(df0)
         val written = scala.collection.mutable.ArrayBuffer[String]()
-        parquetZstd(df0, s"$outDir/$name.parquet")
+        parquetZstd(dfFlat, s"$outDir/$name.parquet")
         written += "parquet"
         if (df.columns.contains("geom")) {
           geojsonSeq(df, s"$outDir/$name.geojsonl")
@@ -225,8 +235,8 @@ object Exporters {
           FlatGeobuf.write(df, s"$outDir/$name.fgb", name)
           written += "fgb"
         }
-        if (df0.columns.contains("h3_cell")) {
-          csv(df0, s"$outDir/$name.csv")
+        if (dfFlat.columns.contains("h3_cell")) {
+          csv(dfFlat, s"$outDir/$name.csv")
           written += "csv"
         }
         Some(name -> written.toSeq)

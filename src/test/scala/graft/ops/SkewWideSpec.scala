@@ -50,9 +50,10 @@ class SkewWideSpec extends AnyFunSuite {
       val left = rows.toDF("k", "v").repartition(nPart)
       val right = (1L to 3000L).map(k => (k, s"m_$k")).toDF("k", "meta")
       // re-derive the salt exactly as saltedJoin assigns it: a row's
-      // bucket must depend only on its VALUES
+      // bucket must depend only on its VALUES (64-bit hash of all cols)
       Skew.saltedJoin(left, right, "k", 8)
-        .select(col("v"), pmod(hash(col("v")), lit(8)).as("salt"))
+        .select(col("v"),
+          pmod(xxhash64(col("k"), col("v")), lit(8L)).cast("int").as("salt"))
         .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
     }
     val a = saltsOf(1)
@@ -60,6 +61,16 @@ class SkewWideSpec extends AnyFunSuite {
     assert(a == b, "per-row salt assignment changed with input partitioning")
     // and the hot key genuinely spreads across buckets
     assert(a.collect { case (v, s) if v % 10 != 0 => s }.toSet.size > 4)
+  }
+
+  test("single-column frame is rejected loudly, not silently degenerate") {
+    import spark.implicits._
+    val onlyKey = Seq(1L, 1L, 2L).toDF("k")
+    val right = Seq((1L, "m")).toDF("k", "meta")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(onlyKey, right, "k", 8)
+    }
+    assert(e.getMessage.contains("non-key column"))
   }
 
   private lazy val index = {

@@ -164,6 +164,21 @@ class ExportRunnerSpec extends AnyFunSuite {
     assert(results("h3_only").contains("geojsonl"))
     assert(results("empty_t") == Seq("skipped:empty"))
     assert(results("two_geoms") == Seq("skipped:multiple-geometry-columns"))
+    // hex-only-at-exports: the internal long cell id must ship as the
+    // lowercase hex form in EVERY format, not just csv (the parquet
+    // branch leaked raw bigints until round 9)
+    assert(h3Only.schema("h3_cell").dataType ==
+      org.apache.spark.sql.types.LongType, "fixture precondition")
+    val back = spark.read.parquet(s"$out/h3_only.parquet")
+    assert(back.schema("h3_cell").dataType ==
+      org.apache.spark.sql.types.StringType)
+    back.select("h3_cell").collect().foreach { r =>
+      assert(r.getString(0).matches("[0-9a-f]+"), s"not hex: ${r.getString(0)}")
+    }
+    val gjl = spark.read.text(s"$out/h3_only.geojsonl")
+      .head().getString(0)
+    assert(!gjl.matches(""".*"h3_cell":\s*\d+.*"""),
+      "geojsonl leaked a numeric cell id")
   }
 
   test("runner end-to-end: yaml config -> extract -> transform -> index views") {
