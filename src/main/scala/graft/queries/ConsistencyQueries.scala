@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GFunctions._
 import graft.ops.VectorOps
-import graft.pipeline.{GeoFixture, H3Index, H3Query}
+import graft.pipeline.{GeoFixture, H3Index, H3Query, H3Wide}
 import graft.spatial.Geometry
 
 /** Consistency oracles for the operators whose OUTPUTS are not
@@ -267,6 +267,57 @@ object ConsistencyQueries {
         .filter(interiorSafe || exteriorSafe)
         .select(k.as("fid"))
         .orderBy("fid")
+    }),
+
+    // Hybrid mart layout (docs/tasks.md:28-147 — the reference's own
+    // recommended production design, never implemented there): the long
+    // index splits into per-category wide tables; THREE identities pin
+    // the split + router against the long layout as ground truth:
+    //  1. assemble(hybrid tables) == build(long index)  (full re-dense)
+    //  2. routed single-category request == pivot of the category's
+    //     long-index slice  (the one-narrow-scan fast path)
+    //  3. routed CROSS-category request (one klass from each category,
+    //     full-outer join + zero-coalesce path) == pivot of that slice
+    // Diffs are full-row comparisons over a full-outer join on h3_cell
+    // (missing cell / extra cell / any differing column all count).
+    "q169_hybrid_identity" -> ((s, dir) => {
+      val idx = GeoQueries.sharedIndex(s, dir)
+        .select("h3_cell", "klass", "dataset_id")
+      val klasses = H3Wide.klassValuesOf(idx)
+      val groups = H3Wide.defaultGroups(klasses, n = 2)
+      val tables = H3Wide.hybrid(idx, groups)
+
+      def wideDiff(a: DataFrame, b: DataFrame): DataFrame = {
+        require(a.columns.sameElements(b.columns),
+          s"schema drift: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+        val cols = a.columns.filterNot(_ == "h3_cell").toSeq
+        val bb = cols.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + "__r"))
+        val rowBad = cols.map(c =>
+          when(col(c).isNotNull && col(c + "__r").isNotNull &&
+            col(c) === col(c + "__r"), 0).otherwise(1))
+          .reduce(greatest(_, _))
+        a.join(bb, Seq("h3_cell"), "full_outer")
+          .agg(coalesce(sum(rowBad), lit(0)).cast("long").as("bad"),
+            count(lit(1)).as("n"))
+      }
+
+      val d1 = wideDiff(H3Wide.assemble(tables, groups),
+        H3Wide.build(idx, klasses))
+      val cat = groups.keys.min
+      val d2 = wideDiff(
+        H3Wide.routed(idx, tables, groups, groups(cat)),
+        H3Wide.build(idx.filter(col("klass").isin(groups(cat): _*)),
+          groups(cat)))
+      val span = groups.values.map(_.head).toSeq.sorted
+      val d3 = wideDiff(H3Wide.routed(idx, tables, groups, span),
+        H3Wide.build(idx.filter(col("klass").isin(span: _*)), span))
+
+      d1.select(col("bad").as("diff_assemble"), col("n").as("n1"))
+        .crossJoin(d2.select(col("bad").as("diff_single"), col("n").as("n2")))
+        .crossJoin(d3.select(col("bad").as("diff_span")))
+        // non-vacuity: every identity must have compared actual cells
+        .select(col("diff_assemble"), col("diff_single"), col("diff_span"),
+          (col("n1") > 0 && col("n2") > 0).as("nonempty"))
     })
   )
 
@@ -306,6 +357,10 @@ object ConsistencyQueries {
         |WHERE c_custkey % 10 = 0 ORDER BY fid""".stripMargin,
     "q59_ivf_exact" -> VectorQueries.oracle("q51_knn_brute"),
     "q77_query_mass" -> "SELECT CAST(0 AS BIGINT) AS diff",
+    "q169_hybrid_identity" ->
+      ("SELECT CAST(0 AS BIGINT) AS diff_assemble, " +
+        "CAST(0 AS BIGINT) AS diff_single, " +
+        "CAST(0 AS BIGINT) AS diff_span, true AS nonempty"),
     "q78_mart_objects" ->
       """SELECT c_mktsegment AS klass, COUNT(*) AS n_objects
         |FROM customer GROUP BY 1 ORDER BY klass""".stripMargin,

@@ -44,7 +44,7 @@ object GeoQueries {
       "q57_heatmap_mass", "q63_h3_stats", "q64_query_objects",
       "q65_query_stats", "q66_query_heatmap", "q67_query_exact",
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
-      "q135_query_table_macro")
+      "q135_query_table_macro", "q169_hybrid_identity")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",

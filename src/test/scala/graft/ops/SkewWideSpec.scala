@@ -99,6 +99,51 @@ class SkewWideSpec extends AnyFunSuite {
     assert(sumWide == index.filter(col("klass") === k).count())
   }
 
+  test("hybrid layout: split + reassemble equals the direct wide pivot") {
+    val klasses = H3Wide.klassValuesOf(index)
+    val groups = H3Wide.defaultGroups(klasses, n = 2)
+    assert(groups.values.flatten.toSeq.sorted == klasses.sorted)
+    val tables = H3Wide.hybrid(index, groups)
+    assert(tables.size == groups.size)
+    // each category table carries only cells with >=1 row of it
+    groups.foreach { case (cat, ks) =>
+      val expect = index.filter(col("klass").isin(ks: _*))
+        .select("h3_cell").distinct().count()
+      assert(tables(cat).count() == expect, s"category $cat cell count")
+    }
+    val direct = H3Wide.build(index, klasses)
+    val back = H3Wide.assemble(tables, groups)
+    assert(back.columns.sameElements(direct.columns))
+    assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty)
+  }
+
+  test("hybrid router: single scan, spanning join, long fallback") {
+    val klasses = H3Wide.klassValuesOf(index)
+    val groups = H3Wide.defaultGroups(klasses, n = 2)
+    val tables = H3Wide.hybrid(index, groups)
+    // all-in-one-category -> exactly that table
+    val cat = groups.keys.min
+    assert(H3Wide.route(groups, groups(cat).toSet) == Some(Seq(cat)))
+    // spanning request -> both tables, sorted
+    val span = groups.values.map(_.head).toSeq
+    if (groups.size > 1)
+      assert(H3Wide.route(groups, span.toSet) == Some(groups.keys.toSeq.sorted))
+    // unmaterialized klass -> long fallback
+    assert(H3Wide.route(groups, Set("no_such_klass")).isEmpty)
+    val fb = H3Wide.routed(index, tables, groups, Seq(klasses.head, "no_such_klass"))
+    val truth = H3Wide.build(
+      index.filter(col("klass").isin(klasses.head, "no_such_klass")),
+      Seq(klasses.head, "no_such_klass"))
+    assert(fb.exceptAll(truth).isEmpty && truth.exceptAll(fb).isEmpty)
+    // routed spanning request matches the long-layout ground truth
+    val routed = H3Wide.routed(index, tables, groups, span)
+    val truthSpan = H3Wide.build(
+      index.filter(col("klass").isin(span: _*)), span)
+    assert(routed.columns.sameElements(truthSpan.columns))
+    assert(routed.exceptAll(truthSpan).isEmpty &&
+      truthSpan.exceptAll(routed).isEmpty)
+  }
+
   test("template engine renders executable SQL against the layered views") {
     // a user-authored template in the reference's {{ var }} style,
     // executed through spark.sql with the registered g_* functions
