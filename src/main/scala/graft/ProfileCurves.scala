@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measurement mains backing PERF.md's two scale claims that were
+  * previously analytical only:
+  *
+  *  - [[ProfileDelta]]: the incremental-dedup O(delta) PAYOFF —
+  *    q162 proves the delta run EQUALS the full recompute; this
+  *    measures that it is also CHEAPER (state maintenance vs
+  *    from-scratch shingle state at a ~10% corpus delta).
+  *
+  *  - [[ProfileScale]]: the geo-index scale curve — polygon-query
+  *    latency vs index size at 1x/4x/16x the sf fixture, with the
+  *    index growing in AREA (disjoint east-shifted replicas at equal
+  *    density) so the query polygon keeps constant selectivity, which
+  *    is the 100 TB shape (more lake, not more overlap).
+  *
+  * Not part of the driver battery: run by hand, results recorded in
+  * PERF.md.
+  */
+object ProfileCurves {
+  def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def medianMs(reps: Int)(f: () => Unit): Double = {
+    val ts = (1 to reps).map { _ =>
+      val t = System.nanoTime(); f(); (System.nanoTime() - t) / 1e6
+    }.sorted
+    ts(reps / 2)
+  }
+}
+
+object ProfileDelta {
+  import ProfileCurves._
+
+  /** Sums shuffle bytes written across stages — wall-clock on a 32-core
+    * single box is stage-overhead-bound at test scale, but shuffle
+    * VOLUME is what a 1000-executor cluster pays for; this is the
+    * O(delta) claim's measurable form. */
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def drain(): Long = bytes.getAndSet(0L)
+  }
+
+  /** `times` disjoint replicas of the docs table at the SAME per-replica
+    * shingle statistics: replica i's text goes through a letter
+    * rotation (translate of the 10 most frequent letters), so its
+    * token/shingle sets are disjoint from every other replica's — df
+    * counts per replica match the base corpus instead of multiplying
+    * (a plain copy would push every common gram's corpus-df over maxDf
+    * and hollow the pair join out). */
+  private def blowup(docs: DataFrame, times: Int): DataFrame = {
+    val letters = "etaoinsrhl"
+    (0 until times).map { i =>
+      val rot = letters.drop(i % letters.length) ++
+        letters.take(i % letters.length)
+      docs.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), letters, rot)).as("text"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-delta")
+    import graft.ops.TextDedup
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val timesList = sys.env.get("SPARK_GRAFT_TIMES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    for (times <- timesList) {
+      val docs = blowup(base, times).persist()
+      val nDocs = docs.count()
+
+      // ~10% delta: 4% of docs removed, ~4.3% changed (removed +
+      // re-added with new text) — the re-crawl shape the incremental
+      // path exists for
+      val removedPred = col("doc_id") % 25 === 0
+      val changedPred = col("doc_id") % 23 === 0 && col("doc_id") % 25 =!= 0
+      val newCorpus = docs.filter(!removedPred)
+        .select(col("doc_id"),
+          when(changedPred, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .persist()
+      newCorpus.count()
+      val nDelta = docs.filter(removedPred || changedPred).count()
+
+      def materialize(st: TextDedup.ShingleState): Unit = {
+        def mb(): Double = { Thread.sleep(300); meter.bytes.get() / 1e6 }
+        val m0 = mb()
+        val tg = timed(noop(st.grams)); val m1 = mb()
+        val td = timed(noop(st.df)); val m2 = mb()
+        val tp = timed(noop(st.pairs)); val m3 = mb()
+        println(f"    grams $tg%.2f s (${m1 - m0}%.1f MB), df $td%.2f s (${m2 - m1}%.1f MB), pairs $tp%.2f s (${m3 - m2}%.1f MB)")
+      }
+
+      // stored state (NOT part of the comparison: it's the warehouse
+      // state an incremental engine already has)
+      val built = TextDedup.shingleState(docs, "doc_id", "text",
+        shingleN = 5, maxDf = 8, minShared = 3)
+      val st = TextDedup.ShingleState(
+        built.grams.persist(), built.df.persist(), built.pairs.persist())
+      materialize(st)
+
+      // the contender: delta maintenance (re-shingles ONLY delta docs)
+      val removedIds = docs.filter(removedPred || changedPred)
+        .select("doc_id")
+      val addedDocs = newCorpus.filter(changedPred)
+      var incState: TextDedup.ShingleState = null
+      Thread.sleep(500); meter.drain() // let queued listener events land
+      val tInc = timed {
+        incState = TextDedup.incrementalShingleState(st, removedIds,
+          addedDocs, "doc_id", "text", shingleN = 5, maxDf = 8,
+          minShared = 3)
+        materialize(incState)
+      }
+      Thread.sleep(500)
+      val incShuffleMb = meter.drain() / 1e6
+
+      // the baseline: full from-scratch state build over the new corpus
+      val tFull = timed {
+        materialize(TextDedup.shingleState(newCorpus, "doc_id", "text",
+          shingleN = 5, maxDf = 8, minShared = 3))
+      }
+      Thread.sleep(500)
+      val fullShuffleMb = meter.drain() / 1e6
+      // and the pairs-only form (an engine that keeps no state)
+      val tPairsOnly = timed {
+        noop(TextDedup.rareShingleCandidates(newCorpus, "doc_id", "text",
+          shingleN = 5, maxDf = 8, minShared = 3))
+      }
+
+      println(f"""{"metric":"incremental_dedup_delta","sf":"$sfDir","times":$times,"n_docs":$nDocs,"n_delta":$nDelta,"delta_frac":${nDelta.toDouble / nDocs}%.4f,"full_state_s":$tFull%.3f,"pairs_only_s":$tPairsOnly%.3f,"inc_state_s":$tInc%.3f,"inc_over_full":${tInc / tFull}%.3f,"full_shuffle_mb":$fullShuffleMb%.1f,"inc_shuffle_mb":$incShuffleMb%.1f,"inc_shuffle_ratio":${incShuffleMb / math.max(fullShuffleMb, 1e-9)}%.3f}""")
+
+      incState.release()
+      st.release()
+      Seq(newCorpus, docs).foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    spark.stop()
+  }
+}
+
+object ProfileScale {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-scale")
+    import graft.pipeline._
+
+    val fm = FieldMapping(Map(
+      "source_id" -> "$source_id", "klass" -> "$klass_raw",
+      "grupp" -> "b", "typ" -> "b", "leverantor" -> "$lev_raw"))
+    val res = H3Query.DefaultQueryRes
+    // fixed 2x2 km polygon in replica 0's band: constant selectivity
+    // at every scale factor
+    val poly =
+      "POLYGON ((574000 6450000, 576000 6450000, 576000 6452000, 574000 6452000, 574000 6450000))"
+
+    for (m <- Seq(1, 4, 16)) {
+      // m disjoint 70 km east-west bands, same density each
+      val fixture = (0 until m).map(i =>
+        GeoFixture(spark, sfDir, eastOffset = i.toLong * 70000L,
+          fidOffset = i.toLong * 100000000L))
+        .reduce(_.unionByName(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val tBuild = timed {
+        val mart = Stages.martH3Cells(
+          Stages.normalizeExtRestr(Stages.stage004(fixture), fm, "bench"),
+          "bench")
+        val idx0 = H3Index.withParentAt(
+          H3Index.build(spark, Map("bench" -> mart)), res)
+        idx0.persist().count()
+        ()
+      }
+      // rebuild handle on the persisted plan (persist() above reuses
+      // the same lineage -> same cache entry)
+      val mart = Stages.martH3Cells(
+        Stages.normalizeExtRestr(Stages.stage004(fixture), fm, "bench"),
+        "bench")
+      val index = H3Index.withParentAt(
+        H3Index.build(spark, Map("bench" -> mart)), res).persist()
+      val nRows = index.count()
+
+      // full-index aggregate — EXPECTED linear in m (scans everything)
+      val tStats = timed(noop(H3Index.stats(index)))
+      // polygon-scoped paths — the flat-latency claim under test
+      val tObjects = timed(H3Query.objects(spark, index, poly, res).collect())
+      val tExact = timed(H3Query.objectsExact(spark, index, poly, res).collect())
+      val prepared = H3Query.objects(spark, index, poly, res)
+      prepared.collect() // plan + broadcast + JIT
+      val (aqe0, sp0) = (spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val warmMs = medianMs(11)(() => { prepared.collect(); () })
+      val handle = PreparedPolygonQuery(index, res)
+      handle.objects(poly)
+      var i = 0
+      val freshMs = medianMs(7) { () =>
+        i += 1
+        val dx = 400 * i
+        handle.objects(
+          s"POLYGON ((${574000 + dx} 6450000, ${576000 + dx} 6450000, ${576000 + dx} 6452000, ${574000 + dx} 6452000, ${574000 + dx} 6450000))")
+        ()
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", sp0)
+
+      println(f"""{"metric":"geo_scale_curve","m":$m,"index_rows":$nRows,"build_s":$tBuild%.2f,"stats_s":$tStats%.2f,"objects_s":$tObjects%.3f,"exact_s":$tExact%.3f,"warm_ms":$warmMs%.1f,"fresh_plan_ms":$freshMs%.1f}""")
+      index.unpersist()
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -320,11 +320,25 @@ object TextDedup {
     * 100 TB shape: distinct-shingle explode (map-side combinable),
     * one df hash-aggregate, then a self-join whose work is bounded by
     * df^2 <= maxDf^2 per shingle — never all-pairs. */
+  /** Distinct shingles of each doc as 64-BIT HASHES: the rare-shingle
+    * state/pair machinery never needs the shingle TEXT back, and 8-byte
+    * long keys keep every downstream shuffle, sort, semi-join and
+    * runtime broadcast digest-only — ~4x narrower than raw 5-gram
+    * strings (with string grams the delta slices crossed the 10 MB AQE
+    * broadcast threshold at sf0.1 x50 and every "O(delta)" semi-join
+    * fell back to a full sort-merge shuffle of the corpus gram table).
+    * A 64-bit collision merges two shingles' df counts — 2^-64-scale,
+    * at worst perturbing one n_shared by 1. */
+  private def gramHashes(d: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    d.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
+        .as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
+
   def rareShingleCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
-        .as("gram"))
+    val grams = gramHashes(df, idCol, textCol, shingleN)
     // df-count via a window instead of agg + join-back: the corpus-wide
     // shingle explode (the expensive part) runs ONCE and the window's
     // gram-shuffle leaves the data partitioned exactly as the self-join
@@ -480,17 +494,24 @@ object TextDedup {
     * are narrow relational tables (ids, grams, counts — never text), so
     * they live as ordinary warehouse tables and every maintenance step
     * below is a hash-partitioned join/aggregate on them. */
+  /** `internals`: delta-run intermediates persisted by
+    * [[incrementalShingleState]] (empty for a full build) — released by
+    * [[ShingleState.release]] together with the state tables the caller
+    * persisted. */
   final case class ShingleState(grams: DataFrame, df: DataFrame,
-      pairs: DataFrame)
+      pairs: DataFrame, internals: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      internals.foreach(_.unpersist(blocking = false))
+      Seq(grams, df, pairs).foreach(_.unpersist(blocking = false))
+    }
+  }
 
   /** Full-run state construction — same pair semantics as
     * [[rareShingleCandidates]], but also returns the gram and df tables
     * that incremental maintenance needs. */
   def shingleState(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2): ShingleState = {
-    val grams = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
-        .as("gram"))
+    val grams = gramHashes(docs, idCol, textCol, shingleN)
     val dfTab = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val valid = dfTab.filter(col("df") >= 2 && col("df") <= maxDf)
       .select("gram")
@@ -527,11 +548,13 @@ object TextDedup {
   def incrementalShingleState(state: ShingleState, removedIds: DataFrame,
       addedDocs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2): ShingleState = {
+    // the removed-id set is O(delta) — broadcast it at the join sites
+    // so the stored gram table is SCANNED (filtered map-side), never
+    // shuffled, for both the departing-grams slice and the
+    // carried-forward remainder
     val rem = removedIds.select(col(idCol).as("doc_id"))
-    val gramsAdd = addedDocs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(shinglesOf(tokensOf(col(textCol)), shingleN)))
-        .as("gram"))
-    val gramsRem = state.grams.join(rem, Seq("doc_id"), "left_semi")
+    val gramsAdd = gramHashes(addedDocs, idCol, textCol, shingleN)
+    val gramsRem = state.grams.join(broadcast(rem), Seq("doc_id"), "left_semi")
     // persist the two RETURNED state tables: they are the next run's
     // inputs anyway, and everything below (dirty set, valid-gram
     // restriction, recompute join — several consumers each) derives
@@ -539,36 +562,68 @@ object TextDedup {
     // delta explode and the df merge from scratch (measured 4x the
     // whole maintenance cost at sf0.1). The caller owns the release,
     // exactly as with a full-run state build.
-    val gramsNew = state.grams.join(rem, Seq("doc_id"), "left_anti")
+    val gramsNew = state.grams.join(broadcast(rem), Seq("doc_id"), "left_anti")
       .union(gramsAdd)
       .persist()
 
-    // df merge: stored counts +/- the delta's per-gram counts
+    def valid(c: Column): Column = c >= 2 && c <= maxDf
+    // Every side set below (delta gram counts, flipped grams, dirty doc
+    // ids, dirty-owned gram keys) is O(delta)-bounded, never O(corpus):
+    // each restricts a big-state-table touch to the delta slice BEFORE
+    // any join, so the delta run's SHUFFLE volume is O(delta) — the big
+    // tables are only ever SCANNED with an AQE-broadcast semi/anti
+    // filter. The O(delta) sets with >1 consumer are persisted
+    // (returned via `internals` for release).
+
+    // df maintenance WITHOUT shuffling the stored df table: the
+    // untouched slice passes through as a broadcast-anti-filtered scan,
+    // and only the delta-touched slice (O(delta) grams) pays a join.
+    // (The earlier full-outer of state.df against the delta shuffled
+    // the ENTIRE df table every run — O(corpus), the opposite of the
+    // point. With the df table bucketed by gram at warehouse scale even
+    // the scan writes co-located.)
     val dfDelta = gramsAdd.groupBy("gram").agg(count(lit(1)).as("plus"))
       .join(gramsRem.groupBy("gram").agg(count(lit(1)).as("minus")),
         Seq("gram"), "full_outer")
-    val dfNew = state.df.join(dfDelta, Seq("gram"), "full_outer")
+      .persist()
+    // explicit broadcast hints, not AQE: these joins sit under
+    // persist(), and AQE's runtime broadcast conversion is disabled
+    // while building a cached plan (canChangeCachedPlanOutputPartitioning)
+    // — without the hints every semi/anti below planned as a sort-merge
+    // join that shuffled the FULL state table (six ~32 MB corpus-wide
+    // shuffles per delta run at sf0.1 x10, measured). The hinted sides
+    // are persisted and O(delta)-bounded.
+    val deltaGramKeys0 = broadcast(dfDelta.select("gram"))
+    val touchedOld = state.df.join(deltaGramKeys0, Seq("gram"), "left_semi")
+    val mergedTouched = touchedOld.join(dfDelta, Seq("gram"), "full_outer")
       .select(col("gram"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("plus"), lit(0L))
           - coalesce(col("minus"), lit(0L))).as("df"))
       .filter(col("df") > 0)
       .persist()
+    val dfNew = state.df.join(deltaGramKeys0, Seq("gram"), "left_anti")
+      .union(mergedTouched)
+      .persist()
 
-    def valid(c: Column): Column = c >= 2 && c <= maxDf
-    val flipped = state.df.select(col("gram"), valid(col("df")).as("vo"))
-      .join(dfNew.select(col("gram"), valid(col("df")).as("vn")),
+    // a gram's validity can only flip if its df changed, and only
+    // delta-touched grams change df — the flip check compares the two
+    // O(delta) touched slices, never the full tables
+    val flipped = touchedOld
+      .select(col("gram"), valid(col("df")).as("vo"))
+      .join(mergedTouched.select(col("gram"), valid(col("df")).as("vn")),
         Seq("gram"), "full_outer")
       .filter(coalesce(col("vo"), lit(false)) =!= coalesce(col("vn"), lit(false)))
       .select("gram")
 
     // dirty = delta docs + owners of any validity-flipped gram
-    val dirty = gramsNew.join(flipped, Seq("gram"), "left_semi")
+    val dirty = gramsNew.join(broadcast(flipped), Seq("gram"), "left_semi")
       .select("doc_id")
       .union(gramsAdd.select("doc_id"))
       .distinct()
+      .persist()
 
     // carry over pairs whose endpoints are both clean AND both survive
-    val dirtyOrGone = dirty.union(rem).distinct()
+    val dirtyOrGone = broadcast(dirty.union(rem).distinct())
     // explicit re-select: each USING-join moves its key column first,
     // and the union below is position-based
     val cleanPairs = state.pairs
@@ -579,22 +634,52 @@ object TextDedup {
       .select("id_a", "id_b", "n_shared")
 
     // recompute every pair with >= 1 dirty endpoint under the new df.
-    // distinct on (pair, gram) collapses the symmetric double-count when
-    // BOTH endpoints are dirty; grams are per-doc distinct already.
-    val validNew = dfNew.filter(valid(col("df"))).select("gram")
-    val rgNew = gramsNew.join(validNew, "gram").select("doc_id", "gram")
-    val dirtyGrams = rgNew.join(dirty, Seq("doc_id"), "left_semi")
-    val recomputed = dirtyGrams.as("x").join(rgNew.as("y"),
+    // The probe side is restricted to DIRTY-OWNED gram keys first: a
+    // recomputed pair's shared gram is owned by its dirty endpoint, so
+    // dropping grams no dirty doc owns loses nothing — and it shrinks
+    // the y side from the full corpus gram table to an O(delta) slice
+    // (the structural fix that keeps the delta run's shuffles O(delta),
+    // not O(corpus)). distinct on (pair, gram) collapses the symmetric
+    // double-count when BOTH endpoints are dirty; grams are per-doc
+    // distinct already.
+    val dirtyGramKeys = gramsNew.join(broadcast(dirty), Seq("doc_id"),
+        "left_semi")
+      .select("gram").distinct()
+      .persist()
+    val validTouched = mergedTouched.filter(valid(col("df")))
+      .join(broadcast(dirtyGramKeys), Seq("gram"), "left_semi")
+      .select("gram")
+      .union(state.df.filter(valid(col("df")))
+        .join(deltaGramKeys0, Seq("gram"), "left_anti")
+        .join(broadcast(dirtyGramKeys), Seq("gram"), "left_semi")
+        .select("gram"))
+    // every valid gram occurrence owned by a dirty gram key, flagged
+    // with whether its OWNER doc is dirty — the flag lets the pair join
+    // count each unordered pair exactly once with NO post-join distinct
+    // (a dirty-clean pair only ever forms from the dirty side; a
+    // dirty-dirty pair only in x < y order), where the previous
+    // dedup-by-distinct shuffled an (id_a, id_b, gram) triple per
+    // shared gram — the delta run's single biggest shuffle.
+    val rgFlagged = gramsNew
+      .join(broadcast(validTouched), "gram")
+      .join(broadcast(dirty.withColumn("is_dirty", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gram"),
+        coalesce(col("is_dirty"), lit(false)).as("is_dirty"))
+      .persist()
+    val recomputed = rgFlagged.filter(col("is_dirty")).as("x")
+      .join(rgFlagged.as("y"),
         col("x.gram") === col("y.gram") &&
-          col("x.doc_id") =!= col("y.doc_id"))
+          col("x.doc_id") =!= col("y.doc_id") &&
+          (!col("y.is_dirty") || col("x.doc_id") < col("y.doc_id")))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
-        col("x.gram").as("gram"))
-      .distinct()
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
-    ShingleState(gramsNew, dfNew, cleanPairs.union(recomputed))
+    ShingleState(gramsNew, dfNew, cleanPairs.union(recomputed),
+      internals = Seq(dfDelta, mergedTouched, dirty, dirtyGramKeys,
+        rgFlagged))
   }
 
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts

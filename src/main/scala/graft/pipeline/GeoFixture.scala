@@ -19,7 +19,14 @@ import graft.functions.GFunctions._
   */
 object GeoFixture {
 
-  def apply(spark: SparkSession, dir: String): DataFrame = {
+  /** `eastOffset`/`fidOffset` (both default 0 — every oracle-checked
+    * query uses the unshifted form) let a scale-curve harness union m
+    * DISJOINT replicas: each shifted replica covers its own 62 km
+    * east-west band at the SAME object density, so a fixed query
+    * polygon keeps constant selectivity while the index grows m-fold —
+    * the shape a real lake has (more area, not more overlap). */
+  def apply(spark: SparkSession, dir: String,
+      eastOffset: Long = 0L, fidOffset: Long = 0L): DataFrame = {
     val c = spark.read.parquet(s"$dir/customer.parquet")
     // 31 x 23 position grid (713 positions, coprime to the %3 type
     // split -> every position hosts all three geometry types): objects
@@ -28,7 +35,7 @@ object GeoFixture {
     // real multi-object groups instead of the degenerate all-counts-1
     // case (which is both unrealistic and the aggregation worst case:
     // one group per row defeats map-side combine).
-    val x0 = (col("c_custkey") % 31) * 2000 + 560000
+    val x0 = (col("c_custkey") % 31) * 2000 + 560000 + eastOffset
     val y0 = ((col("c_custkey") * 7) % 23) * 3000 + 6440000
     def s(c0: org.apache.spark.sql.Column) = c0.cast("long").cast("string")
     val wkt = when(col("c_custkey") % 3 === 0,
@@ -45,8 +52,8 @@ object GeoFixture {
           s(x0), lit(" "), s(y0), lit(", "),
           s(x0 + 1500), lit(" "), s(y0 + 900), lit(")")))
     c.select(
-      col("c_custkey").as("fid"),
-      col("c_custkey").cast("string").as("source_id"),
+      (col("c_custkey") + fidOffset).as("fid"),
+      (col("c_custkey") + fidOffset).cast("string").as("source_id"),
       col("c_mktsegment").as("klass_raw"),
       concat(lit("nation_"), col("c_nationkey").cast("string")).as("lev_raw"),
       col("c_name").as("name"),

@@ -705,8 +705,8 @@ object DedupQueries {
       val cc = TextDedup.connectedComponents(incPairs)
       Memos.track(s"dedup:inc:$dir", Set("q162_incremental_dedup")) { () =>
         cc.unpersist(); incPairs.unpersist()
-        inc.grams.unpersist(); inc.df.unpersist()
-        st.grams.unpersist(); st.df.unpersist(); st.pairs.unpersist()
+        inc.release() // grams/df + the delta-run internals
+        st.release()
       }
       newCorpus.select(col("doc_id"))
         .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

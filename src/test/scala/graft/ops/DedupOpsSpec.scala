@@ -277,9 +277,9 @@ class DedupOpsSpec extends AnyFunSuite {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def gramSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def dfSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val fullPairs = pairSet(full.pairs)
     assert(pairSet(inc.pairs) == fullPairs)
