@@ -187,7 +187,9 @@ object ProfileScale {
     val poly =
       "POLYGON ((574000 6450000, 576000 6450000, 576000 6452000, 574000 6452000, 574000 6450000))"
 
-    for (m <- Seq(1, 4, 16)) {
+    val mList = sys.env.get("SPARK_GRAFT_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    for (m <- mList) {
       // m disjoint 70 km east-west bands, same density each
       val fixture = (0 until m).map(i =>
         GeoFixture(spark, sfDir, eastOffset = i.toLong * 70000L,
@@ -217,28 +219,49 @@ object ProfileScale {
       // polygon-scoped paths — the flat-latency claim under test
       val tObjects = timed(H3Query.objects(spark, index, poly, res).collect())
       val tExact = timed(H3Query.objectsExact(spark, index, poly, res).collect())
-      val prepared = H3Query.objects(spark, index, poly, res)
-      prepared.collect() // plan + broadcast + JIT
-      val (aqe0, sp0) = (spark.conf.get("spark.sql.adaptive.enabled"),
-        spark.conf.get("spark.sql.shuffle.partitions"))
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val warmMs = medianMs(11)(() => { prepared.collect(); () })
-      val handle = PreparedPolygonQuery(index, res)
-      handle.objects(poly)
-      var i = 0
-      val freshMs = medianMs(7) { () =>
-        i += 1
-        val dx = 400 * i
-        handle.objects(
-          s"POLYGON ((${574000 + dx} 6450000, ${576000 + dx} 6450000, ${576000 + dx} 6452000, ${574000 + dx} 6452000, ${574000 + dx} 6450000))")
-        ()
+      def probeLatency(idx: org.apache.spark.sql.DataFrame)
+          : (Double, Double) = {
+        val prepared = H3Query.objects(spark, idx, poly, res)
+        prepared.collect(); prepared.collect() // plan + broadcast + JIT
+        val (aqe0, sp0) = (spark.conf.get("spark.sql.adaptive.enabled"),
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val warmMs = medianMs(11)(() => { prepared.collect(); () })
+        val handle = PreparedPolygonQuery(idx, res)
+        handle.objects(poly)
+        var i = 0
+        val freshMs = medianMs(7) { () =>
+          i += 1
+          val dx = 400 * i
+          handle.objects(
+            s"POLYGON ((${574000 + dx} 6450000, ${576000 + dx} 6450000, ${576000 + dx} 6452000, ${574000 + dx} 6452000, ${574000 + dx} 6450000))")
+          ()
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", sp0)
+        (warmMs, freshMs)
       }
-      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
-      spark.conf.set("spark.sql.shuffle.partitions", sp0)
 
-      println(f"""{"metric":"geo_scale_curve","m":$m,"index_rows":$nRows,"build_s":$tBuild%.2f,"stats_s":$tStats%.2f,"objects_s":$tObjects%.3f,"exact_s":$tExact%.3f,"warm_ms":$warmMs%.1f,"fresh_plan_ms":$freshMs%.1f}""")
+      val (warmMs, freshMs) = probeLatency(index)
+
+      // LAYOUT variant: the same index range-partitioned AND sorted by
+      // the query-res ancestor before caching. The prepared probe's
+      // sargable [min,max] range filter can then PRUNE cached batches
+      // by their min/max stats (and most partitions entirely) instead
+      // of scanning every batch — the in-memory analogue of parquet
+      // row-group skipping, and the layout a 100 TB warehouse would
+      // write anyway (cluster/Z-order by cell).
+      val sorted = index
+        .repartitionByRange(32, col(s"h3_parent_$res"))
+        .sortWithinPartitions(s"h3_parent_$res")
+        .persist()
+      sorted.count()
+      val (warmSortedMs, freshSortedMs) = probeLatency(sorted)
+
+      println(f"""{"metric":"geo_scale_curve","m":$m,"index_rows":$nRows,"build_s":$tBuild%.2f,"stats_s":$tStats%.2f,"objects_s":$tObjects%.3f,"exact_s":$tExact%.3f,"warm_ms":$warmMs%.1f,"fresh_plan_ms":$freshMs%.1f,"warm_sorted_ms":$warmSortedMs%.1f,"fresh_sorted_ms":$freshSortedMs%.1f}""")
       index.unpersist()
+      sorted.unpersist()
       System.gc()
     }
     spark.stop()

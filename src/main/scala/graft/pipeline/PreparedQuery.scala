@@ -63,6 +63,17 @@ case class ParamCellsContains(cell: Expression, holder: CellSetHolder)
   * arbitrary polygons per session the same way — one prepared DuckDB
   * relation, new parameters).
   *
+  * SCALE ENVELOPE (measured, ProfileScale r9): each execution SCANS
+  * the cached index — a runtime parameter cannot drive batch/row-group
+  * pruning, so per-probe latency is linear in index size with a small
+  * constant (~130M rows/s: 48 ms at 2.7M rows, 225 ms at 40M). This
+  * is the right tool for hot repeated probes on a warehouse slice; for
+  * arbitrary polygons over a BIG index, plan per query instead
+  * (H3Query.objects) — the literal cell range reaches the scan, where
+  * parquet row-group stats (or cached-batch stats) prune to the
+  * polygon, and total latency stays at the ~0.3-0.5 s planning floor
+  * at ANY index size.
+  *
   * Correct-by-construction re-execution: the prepared plan is a pure
   * scan+filter+project — no shuffle below the collect and no broadcast
   * of the parameter side — so nothing in Spark's stage/broadcast reuse
