@@ -32,7 +32,8 @@ object SparkEntry {
       ConsistencyQueries.queries ++
       ConsistencyQueries2.queries ++
       LiveSourceQueries.queries ++
-      SurfaceQueries.queries
+      SurfaceQueries.queries ++
+      CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       ConsistencyQueries.oracle ++
       ConsistencyQueries2.oracle ++
       LiveSourceQueries.oracle ++
-      SurfaceQueries.oracle
+      SurfaceQueries.oracle ++
+      CorpusQueries.oracle
 }

@@ -152,6 +152,73 @@ object TrainingOps {
         col("score"))
   }
 
+  // ------------------------------------------- n-gram LM quality score
+
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    * 2020, arXiv:1911.00359 §4.3 — there a KenLM 5-gram; here a bigram
+    * LM with add-alpha smoothing trained ON a deterministic split of
+    * the corpus itself): documents whose token transitions are
+    * improbable under a reference LM are low-quality (gibberish,
+    * boilerplate, wrong-language) and score low. The classic
+    * perplexity-filter pass between raw crawl and tokenizer.
+    *
+    * Model: P(w2|w1) = (c(w1 w2) + a) / (c(w1 ·) + a·V), V = distinct
+    * successor types in train. Score = mean log-prob over the doc's
+    * bigrams; ppl = exp(-score). Unseen contexts degrade smoothly to
+    * a/(a·V) = 1/V.
+    *
+    * Determinism across engines and partitionings: each bigram's
+    * log-prob is snapped to integer MICRO-log units
+    * (floor(ln(p)·1e6 + 0.5) as BIGINT) before the per-doc sum — an
+    * integer sum is order-independent, where a shuffled double sum is
+    * not. ln() of the same rational double agrees to 1 ulp across
+    * libm implementations; a micro-unit snap only misreads that at an
+    * exact .5 boundary (~1e-10 probability per evaluation).
+    *
+    * 100 TB shape: two map-side-combinable hash aggregations over
+    * train bigrams (counts), then the scoring pass is a map-only
+    * explode + two equi-joins on the gram/context key + one combinable
+    * per-doc sum. The count tables are df-bounded (vocabulary², but
+    * Zipf-truncated in practice) and the V/total stats travel as a
+    * broadcast 1-row cross join. Tokenization = [[TextDedup.tokensOf]]
+    * (the dedup battery's shingle space), SQL-replayable.
+    *
+    * Returns one row per `train`+`score` doc with >= 2 tokens:
+    * (idCol, n_bigrams, avg_logp, ppl). */
+  def lmScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = {
+      val toks = TextDedup.tokensOf(col(textCol))
+      df.select(col(idCol), toks.as("__toks"))
+        .filter(size(col("__toks")) >= 2)
+        .select(col(idCol),
+          explode(TextDedup.shinglesOf(col("__toks"), 2)).as("g"))
+    }
+    val trainBi = bigrams(train)
+    val c12 = trainBi.groupBy("g").agg(count(lit(1)).as("c12"))
+    val c1 = trainBi
+      .select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = c12
+      .select(substring_index(col("g"), " ", -1).as("w2"))
+      .agg(countDistinct(col("w2")).cast("double").as("V"))
+    bigrams(score)
+      .join(c12, Seq("g"), "left")
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor(log((coalesce(col("c12"), lit(0L)) + alpha) /
+            (coalesce(col("c1"), lit(0L)) + col("V") * alpha)) * 1e6 + 0.5)
+          .cast("long").as("micro"))
+      .groupBy(idCol)
+      .agg(sum(col("micro")).as("sum_micro"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sum_micro") / col("n_bigrams") / 1e6, 6).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 3))
+  }
+
   // -------------------------------------------------- train/val split
 
   /** Deterministic train/validation/test split — the assignment every

@@ -109,6 +109,62 @@ object VectorOps {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  // ------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus coarsely, then
+    * inside each cluster drop every vector that has a near-identical
+    * neighbor, keeping one representative. All-pairs work collapses to
+    * sum over clusters of n_c² — the same Σn² trick as the LSH bucket
+    * join — and the cluster key is the only shuffle.
+    *
+    * This variant is fully deterministic and cross-engine replayable
+    * (no RNG, no iterative KMeans): centroids are the `k` vectors with
+    * the smallest ids and clustering is one assignment step (argmax
+    * cosine, ties to the smaller seed id on the 6-decimal-rounded
+    * value); the keep rule is "drop iff a smaller-id vector in the same
+    * cluster has cosine >= tau" — greedy by id instead of the paper's
+    * distance-to-centroid order, so the result is independent of
+    * partitioning and provable in SQL. For production accuracy swap the
+    * seed step for [[ivfBuild]] centroids; the prune stage is unchanged.
+    *
+    * At 100 TB: seeds are a k-row broadcast; assignment is map-only;
+    * the prune self-join shuffles once on the cluster id. Choose k
+    * proportional to corpus size to bound n_c (the paper uses
+    * n_c ~ 10⁴ at 10⁸ vectors).
+    *
+    * Returns (idCol, cluster, kept) — one row per input vector. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double): DataFrame = {
+    val seeds = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__seed_id"), col(vecCol).as("__seed_vec"))
+    // One Lloyd assignment step from deterministic seeds: max over
+    // (rounded cosine, -seed_id) is argmax-with-min-id-tiebreak, as a
+    // map-side-combinable aggregate instead of a row_number window.
+    val best = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(seeds))
+      .select(col(idCol),
+        struct(round(cosine(col(vecCol), col("__seed_vec")), 6).as("c"),
+          (-col("__seed_id")).as("neg")).as("__cand"))
+      .groupBy(idCol)
+      .agg(max(col("__cand")).as("__best"))
+      .select(col(idCol), (-col("__best.neg")).as("cluster"))
+    val clustered = emb.select(col(idCol), col(vecCol))
+      .join(best, Seq(idCol))
+    val a = clustered.select(col("cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__vec_a"))
+    val b = clustered.select(col("cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vec_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b") &&
+        round(cosine(col("__vec_a"), col("__vec_b")), 6) >= tau)
+      .select(col("__id_b").as(idCol)).distinct()
+    clustered
+      .join(dropped.withColumn("__dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+
   /** IVF probe: search only the `nprobe` cells whose centroids are
     * closest to the query — partition pruning for vectors. */
   def ivfSearch(assigned: DataFrame, centroids: Array[Array[Double]],

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 corpus-curation battery: the training-data passes a 100 TB
+  * pipeline runs between raw crawl and tokenizer — semantic dedup over
+  * embeddings, n-gram LM quality scoring, exact duplicated-substring
+  * spans — each deterministic, partitioning-independent, and DuckDB
+  * hash-matched. */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SemDeDup (ops/VectorOps.semDedup): deterministic seeded
+    // clustering + within-cluster cosine prune. tau=0.4 matches the
+    // q55 near-dup threshold so the synthetic corpus actually has
+    // drops; k=16 coarse clusters over 500-5000 vectors.
+    "q170_semantic_dedup" -> ((s, dir) => {
+      graft.ops.VectorOps.semDedup(emb(s, dir), "vec_id", "embedding",
+          k = 16, tau = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // CCNet-style bigram-LM quality score (ops/TrainingOps.lmScore):
+    // the LM trains on a deterministic 75% hash split and scores the
+    // WHOLE corpus — held-out docs are scored by a model that never
+    // saw them, the real perplexity-filter deployment shape. Scores
+    // are integer micro-log units summed per doc, so the result is
+    // partitioning-independent and replays in SQL.
+    "q171_lm_quality_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sp = graft.ops.TrainingOps.hashSplit(d, "doc_id",
+        Seq("train" -> 0.75, "heldout" -> 0.25), salt = "lm")
+      val train = sp.filter(col("split") === "train")
+      graft.ops.TrainingOps.lmScore(train, d, "doc_id", "text")
+        .join(sp.select(col("doc_id"), col("split")), Seq("doc_id"))
+        .select(col("doc_id"), col("split"), col("n_bigrams"),
+          col("avg_logp"), col("ppl"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val sqlDot =
+    "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def sqlL2(a: String) = s"sqrt(${sqlDot.format(a, a)})"
+  private def sqlCos(a: String, b: String) =
+    s"ROUND(${sqlDot.format(a, b)} / (${sqlL2(a)} * ${sqlL2(b)}), 6)"
+
+  val oracle: Map[String, String] = Map(
+    "q170_semantic_dedup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), assign AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), best AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign)
+         |  WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM best b1
+         |  JOIN best b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+         |  JOIN embeddings e1 ON b1.vec_id = e1.vec_id
+         |  JOIN embeddings e2 ON b2.vec_id = e2.vec_id
+         |  WHERE ${sqlCos("e1.embedding", "e2.embedding")} >= 0.4
+         |)
+         |SELECT b.vec_id, b.cluster,
+         |  b.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         |FROM best b ORDER BY b.vec_id""".stripMargin,
+
+    "q171_lm_quality_score" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substring(md5(doc_id || '#lm'), 1, 8) < 'c0000000'
+        |         THEN 'train' ELSE 'heldout' END AS split
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, split,
+        |    string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS toks
+        |  FROM sp
+        |), bi AS (
+        |  SELECT doc_id, split, toks[i] || ' ' || toks[i+1] AS g
+        |  FROM (SELECT doc_id, split, toks,
+        |          unnest(list_transform(range(1, len(toks)), x -> CAST(x AS INT))) AS i
+        |        FROM d WHERE len(toks) >= 2)
+        |), c12 AS (
+        |  SELECT g, COUNT(*) AS c12 FROM bi WHERE split = 'train' GROUP BY g
+        |), c1 AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS c1
+        |  FROM bi WHERE split = 'train' GROUP BY 1
+        |), v AS (
+        |  SELECT CAST(COUNT(DISTINCT split_part(g, ' ', 2)) AS DOUBLE) AS V FROM c12
+        |), micro AS (
+        |  SELECT bi.doc_id,
+        |    CAST(FLOOR(ln((COALESCE(c12.c12, 0) + 0.5)
+        |                  / (COALESCE(c1.c1, 0) + 0.5 * v.V)) * 1e6 + 0.5)
+        |      AS BIGINT) AS m
+        |  FROM bi LEFT JOIN c12 USING (g)
+        |          LEFT JOIN c1 ON split_part(bi.g, ' ', 1) = c1.w1
+        |          CROSS JOIN v
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS sm, COUNT(*) AS n_bigrams
+        |  FROM micro GROUP BY doc_id
+        |)
+        |SELECT a.doc_id, sp.split, a.n_bigrams,
+        |  ROUND(a.sm / a.n_bigrams / 1e6, 6) AS avg_logp,
+        |  ROUND(EXP(-ROUND(a.sm / a.n_bigrams / 1e6, 6)), 3) AS ppl
+        |FROM agg a JOIN sp USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin
+  )
+}
