@@ -486,6 +486,78 @@ object TextDedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  // --------------------------------------------- duplicated char spans
+
+  /** Exact duplicated-substring SPANS per document — the
+    * character-level complement of [[repeatedPassages]], after the
+    * ExactSubstr dedup of Lee et al. 2021 (arXiv:2107.06499: a
+    * suffix-array pass marking every >= 50-char substring that recurs
+    * in the corpus). The suffix array is replaced by the equivalent
+    * relational construction: EVERY position contributes its `l`-char
+    * gram; a gram whose hash occurs >= 2 times anywhere in the corpus
+    * marks all its sites as duplicated, and per document the marked
+    * [p, p+l-1] intervals are merged (gaps-and-islands) into maximal
+    * spans. Exactness: a duplicated run of length >= l is found at all
+    * of its occurrences, wherever they sit (position-STRIDED
+    * subsampling cannot promise this — two copies of a run at offsets
+    * differing by a non-multiple of the stride anchor out of phase and
+    * never hash-collide; that is precisely why Lee et al. build suffix
+    * arrays, and why the subsampled variant in this library is the
+    * content-defined [[repeatedPassages]] instead). Positions and
+    * merges are pure integer arithmetic — bit-identical in any engine.
+    *
+    * Returns one row per document that HAS duplicated spans:
+    * (idCol, n_spans, n_dup_anchors, dup_chars, dup_frac) — anti-join
+    * or threshold on dup_frac to excise (the paper drops the span, not
+    * the document).
+    *
+    * 100 TB shape: the per-position explode is map-only (fan-out =
+    * doc length, the same row volume as any tokenizing pass) and the
+    * grams leave the scan as 16-byte digests, never text; the digest
+    * count is map-side combinable, so the count shuffle carries one
+    * (digest, partial) per distinct gram per partition — boilerplate,
+    * the very thing being hunted, collapses in the combiner. The
+    * semi-join back prunes to duplicated sites before the only
+    * doc-keyed shuffle (the island merge). Nothing quadratic, no
+    * driver state. When even the map-side fan-out is too much, run
+    * [[repeatedPassages]] (content-defined segments, ~1/8 the rows)
+    * and reserve this pass for its hits. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 40): DataFrame = {
+    require(l >= 2, "need l >= 2")
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__len"))
+    val anchors = base.filter(col("__len") >= l)
+      .select(col(idCol), col("__len"), col("__t"),
+        explode(sequence(lit(1L), col("__len") - (l - 1))).as("p"))
+      .withColumn("h", md5(expr(s"substring(__t, p, $l)").cast("binary")))
+      .drop("__t")
+    val dupHashes = anchors.groupBy("h").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select("h")
+    val dup = anchors.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("e", col("p") + (l - 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("p")
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val islanded = dup
+      .withColumn("__brk",
+        when(prevMax.isNull || col("p") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(w))
+    islanded
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("p")).as("s"), max(col("e")).as("e"),
+        count(lit(1)).as("__n_anchors"), max(col("__len")).as("__len"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__n_anchors")).as("n_dup_anchors"),
+        sum(col("e") - col("s") + 1).as("dup_chars"),
+        max(col("__len")).as("__len"))
+      .select(col(idCol), col("n_spans"), col("n_dup_anchors"),
+        col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("__len"), 6).as("dup_frac"))
+  }
+
   // ------------------------------------------------ incremental dedup
 
   /** The stored dedup state a periodic-crawl pipeline keeps between

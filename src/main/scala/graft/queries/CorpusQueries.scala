@@ -43,6 +43,18 @@ object CorpusQueries {
         .select(col("doc_id"), col("split"), col("n_bigrams"),
           col("avg_logp"), col("ppl"))
         .orderBy("doc_id")
+    }),
+
+    // Exact duplicated-substring spans (ops/TextDedup.duplicateSpans,
+    // Lee et al. ExactSubstr as a relational plan): every >= 40-char
+    // run that recurs anywhere in the corpus, merged to maximal
+    // per-document spans. The raw synthetic corpus genuinely contains
+    // such runs (shared boilerplate sentences), so the check is
+    // non-vacuous without planting.
+    "q172_duplicate_spans" -> ((s, dir) => {
+      graft.ops.TextDedup.duplicateSpans(docs(s, dir), "doc_id", "text",
+          l = 40)
+        .orderBy("doc_id")
     })
   )
 
@@ -118,6 +130,41 @@ object CorpusQueries {
         |  ROUND(a.sm / a.n_bigrams / 1e6, 6) AS avg_logp,
         |  ROUND(EXP(-ROUND(a.sm / a.n_bigrams / 1e6, 6)), 3) AS ppl
         |FROM agg a JOIN sp USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q172_duplicate_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+        |), an AS (
+        |  SELECT doc_id, len, CAST(p AS BIGINT) AS p,
+        |    md5(substring(text, p, 40)) AS h
+        |  FROM (SELECT doc_id, text, len,
+        |          unnest(list_transform(range(1, CAST(len AS INT) - 38),
+        |                                x -> CAST(x AS INT))) AS p
+        |        FROM base WHERE len >= 40)
+        |), dh AS (
+        |  SELECT h FROM an GROUP BY h HAVING COUNT(*) >= 2
+        |), dup AS (
+        |  SELECT an.doc_id, an.len, an.p, an.p + 39 AS e FROM an JOIN dh USING (h)
+        |), brk AS (
+        |  SELECT doc_id, len, p, e,
+        |    CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, len, p, e,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM brk
+        |), merged AS (
+        |  SELECT doc_id, MAX(len) AS len, island, MIN(p) AS s, MAX(e) AS e,
+        |    COUNT(*) AS na
+        |  FROM isl GROUP BY doc_id, island
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(na) AS BIGINT) AS n_dup_anchors,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+        |  ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(len), 6) AS dup_frac
+        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

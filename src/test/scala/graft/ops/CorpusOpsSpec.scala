@@ -34,6 +34,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) == (1L, true), "below-tau neighbor must survive")
   }
 
+  test("duplicateSpans: exact extents at arbitrary (non-aligned) offsets; self-duplication; clean docs absent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def noise(pool: Char, n: Int): String =
+      (0 until n).map(_ => (pool + rnd.nextInt(20)).toChar).mkString
+    val run = "R" * 60
+    // run at offset 10 in doc 1 and offset 37 in doc 2 — offsets differ
+    // by 27, not a multiple of any stride: the case strided anchoring
+    // provably misses and the exact construction must find.
+    val d1 = noise('a', 9) + run + noise('a', 40)
+    val d2 = noise('A', 36) + run + noise('A', 25)
+    val d3 = noise('0', 120) // clean
+    val d4 = noise('k', 5) + "Q" * 55 + noise('k', 12) + "Q" * 55 // self-dup
+    val out = TextDedup.duplicateSpans(
+        Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4).toDF("doc_id", "text"),
+        "doc_id", "text", l = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3))).toMap
+    assert(!out.contains(3L), "clean doc must be absent")
+    assert(out(1L) == (1L, 60L), s"doc1 span must be the exact 60-char run: ${out(1L)}")
+    assert(out(2L) == (1L, 60L), s"doc2 span must be the exact 60-char run: ${out(2L)}")
+    assert(out.contains(4L), "within-doc duplication must be flagged")
+  }
+
+  test("duplicateSpans: no spans shorter than l; dup_frac bounded by 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val shared = (0 until 200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (1L to 12L).map { i =>
+      def own = (0 until 80).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      i -> (if (i % 3 == 0) own + shared.substring(0, 90) + own else own + own)
+    }.toDF("doc_id", "text")
+    val rows = TextDedup.duplicateSpans(docs, "doc_id", "text", l = 40).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 40L, "every merged span covers at least l chars")
+      assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0)
+    }
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(3L, 6L, 9L, 12L),
+      "exactly the docs sharing the 90-char block are flagged")
+  }
+
   test("lmScore: hand-computed bigram log-probs, unseen-context floor, quality ordering") {
     import spark.implicits._
     val train = Seq(1L -> "a b a b", 2L -> "a c").toDF("doc_id", "text")
