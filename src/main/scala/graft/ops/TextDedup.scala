@@ -303,6 +303,64 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------- cross-engine-replayable MinHash LSH
+
+  /** MinHash + LSH banding with every hash replayable in any engine
+    * with md5 — the cross-engine PROOF variant of
+    * [[minHashCandidates]]. The production op hashes shingles with
+    * xxhash-class native expressions (fast, but nothing outside this
+    * JVM reproduces the bits); here "permutation" i is the
+    * lexicographic MIN over shingles of the 16-hex-digit prefix of
+    * md5(i || '#' || shingle) — fixed-width lowercase hex compares
+    * monotonically with its value, so the min IS the numeric min, and
+    * any SQL engine derives the identical signature, bands, candidate
+    * pairs and Jaccard estimates. Same algebra, auditable bits.
+    *
+    * Scale shape is unchanged from the production variant: signature =
+    * one combinable groupBy over exploded shingles (k mins travel as
+    * k×16-byte partials), banding is a map-only explode of `bands`
+    * digest rows, candidates come from the (band, bucket) equi-join —
+    * never all pairs. k md5 calls per shingle instead of one hash + k
+    * mixes is the price of replayability; pay it in audits, not in the
+    * hot path.
+    *
+    * Returns (id_a, id_b, n_equal, est_jaccard) for pairs sharing >= 1
+    * of `bands` buckets (id_a < id_b, deduped). */
+  def minHashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be a multiple of bands")
+    val rows = k / bands
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(shinglesOf(tokensOf(col(textCol)), shingleN)).as("g"))
+    val minCols = (0 until k).map(i =>
+      min(substring(md5(concat(lit(s"$i#"), col("g")).cast("binary")), 1, 16))
+        .as(s"m$i"))
+    val sig = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sigCols = (0 until k).map(i => col(s"m$i"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+          .cast("binary")).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id") +: sigCols :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(col("doc_id") +: sigCols :+ col("bb.band") :+ col("bb.bucket"): _*)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val nEqual = (0 until k)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        nEqual.cast("long").as("n_equal"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("n_equal")).as("n_equal"))
+      .withColumn("est_jaccard", round(col("n_equal") / k.toDouble, 6))
+  }
+
   // ------------------------------------------------- duplicate clusters
 
   /** SQL-replayable candidate pairs via rare-shingle co-occurrence:

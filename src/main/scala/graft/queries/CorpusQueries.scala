@@ -55,6 +55,23 @@ object CorpusQueries {
       graft.ops.TextDedup.duplicateSpans(docs(s, dir), "doc_id", "text",
           l = 40)
         .orderBy("doc_id")
+    }),
+
+    // MinHash+LSH with md5-replayable hashes
+    // (ops/TextDedup.minHashCandidatesMd5): the ALGORITHM itself —
+    // signature minima, banding, candidate pairs, Jaccard estimates —
+    // hash-matched bit-for-bit against a SQL replay (the fast
+    // xxhash-based q70 variant stays rows-only: its bits exist only in
+    // this JVM). Exact copies of every 10th doc are unioned in so full
+    // 16/16 collisions are guaranteed present alongside any natural
+    // near-dups.
+    "q173_minhash_replay" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      graft.ops.TextDedup.minHashCandidatesMd5(d.union(copies),
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -165,6 +182,51 @@ object CorpusQueries {
         |  CAST(SUM(na) AS BIGINT) AS n_dup_anchors,
         |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
         |  ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(len), 6) AS dup_frac
-        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q173_minhash_replay" -> {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substring(md5('$i#' || g), 1, 16)) AS m$i")
+        .mkString(",\n    ")
+      val bandDefs = (0 until 4).map { b =>
+        val parts = (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || '|' || ")
+        s"md5($parts) AS b$b"
+      }.mkString(",\n    ")
+      val eqSum = (0 until 16)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val bandOr = (0 until 4).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |), tok AS (
+         |  SELECT doc_id,
+         |    string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS toks
+         |  FROM corpus
+         |), gr AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(list_transform(range(1, CAST(len(toks) AS INT) - 1),
+         |                                x -> CAST(x AS INT))) AS i
+         |        FROM tok WHERE len(toks) >= 3)
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(toks, ' ') AS g FROM tok WHERE len(toks) < 3
+         |), sig AS (
+         |  SELECT doc_id,
+         |    $mins
+         |  FROM gr GROUP BY doc_id
+         |), bnd AS (
+         |  SELECT *,
+         |    $bandDefs
+         |  FROM sig
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST($eqSum AS BIGINT) AS n_equal,
+         |  ROUND(($eqSum) / 16.0, 6) AS est_jaccard
+         |FROM bnd a JOIN bnd b
+         |  ON a.doc_id < b.doc_id AND ($bandOr)
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }

@@ -75,6 +75,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       "exactly the docs sharing the 90-char block are flagged")
   }
 
+  test("minHashCandidatesMd5: exact copies collide 16/16 in every band; disjoint-vocab docs never pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 10).map { i =>
+      i.toLong -> (0 until 40).map(_ => s"w${i}_${rnd.nextInt(30)}").mkString(" ")
+    }
+    val copies = base.map { case (id, t) => (id + 1000) -> t }
+    val out = TextDedup.minHashCandidatesMd5(
+        (base ++ copies).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    (0 until 10).foreach { i =>
+      assert(out.get((i.toLong, i + 1000L)).contains((16L, 1.0)),
+        s"exact copy of $i must collide with full signature match")
+    }
+    out.keys.foreach { case (a, b) =>
+      assert(b - a == 1000L,
+        s"disjoint-vocabulary docs must never share a band: ($a,$b)")
+    }
+  }
+
   test("lmScore: hand-computed bigram log-probs, unseen-context floor, quality ordering") {
     import spark.implicits._
     val train = Seq(1L -> "a b a b", 2L -> "a c").toDF("doc_id", "text")
