@@ -581,6 +581,22 @@ object TextDedup {
     * [[repeatedPassages]] (content-defined segments, ~1/8 the rows)
     * and reserve this pass for its hits. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 40): DataFrame =
+    duplicateSpanList(docs, idCol, textCol, l)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_anchors")).as("n_dup_anchors"),
+        sum(col("e") - col("s") + 1).as("dup_chars"),
+        max(col("doc_len")).as("__len"))
+      .select(col(idCol), col("n_spans"), col("n_dup_anchors"),
+        col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("__len"), 6).as("dup_frac"))
+
+  /** The merged duplicated spans themselves — (idCol, s, e, n_anchors,
+    * doc_len), one row per maximal span (1-based inclusive [s, e]).
+    * [[duplicateSpans]] summarizes this; [[exciseDuplicateSpans]] cuts
+    * the spans back out of the text. */
+  def duplicateSpanList(docs: DataFrame, idCol: String, textCol: String,
       l: Int = 40): DataFrame = {
     require(l >= 2, "need l >= 2")
     val base = docs.select(col(idCol), col(textCol).as("__t"),
@@ -605,15 +621,56 @@ object TextDedup {
     islanded
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("p")).as("s"), max(col("e")).as("e"),
-        count(lit(1)).as("__n_anchors"), max(col("__len")).as("__len"))
+        count(lit(1)).as("n_anchors"), max(col("__len")).as("doc_len"))
+      .drop("__island")
+  }
+
+  /** Span EXCISION — the second half of the ExactSubstr dedup: cut
+    * every duplicated span out of every document and stitch the
+    * remainder back together (aggressive mode: all occurrences go,
+    * including the first — threshold on [[duplicateSpans]].dup_frac
+    * first if a keep-one policy is wanted). Each doc's keep-segments
+    * are the gaps between its merged spans (a lag window over span
+    * starts) plus the tail after the last span; reassembly is an
+    * ordered in-group concat. Documents with no duplicated spans pass
+    * through unchanged.
+    *
+    * Returns one row per input document:
+    * (idCol, clean_len, removed_chars, clean_md5).
+    *
+    * 100 TB shape: on top of [[duplicateSpanList]]'s cost this adds
+    * only doc-keyed window/aggregate work on the few docs that HAVE
+    * spans (a semi-join-sized population), one broadcast-friendly join
+    * back to the text, and a left join for the untouched majority. */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 40): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__len"))
+    val spans = duplicateSpanList(docs, idCol, textCol, l)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("s")
+    val gaps = spans
+      .withColumn("__prev_e", coalesce(lag(col("e"), 1).over(w), lit(0L)))
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("s").as("__ord"),
+        expr("substring(__t, __prev_e + 1, s - __prev_e - 1)").as("__seg"))
+    val tails = spans.groupBy(idCol).agg(max(col("e")).as("__max_e"))
+      .join(base, Seq(idCol))
+      .select(col(idCol), lit(Long.MaxValue).as("__ord"),
+        expr("substring(__t, __max_e + 1)").as("__seg"))
+    val cleaned = gaps.union(tails)
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("__n_anchors")).as("n_dup_anchors"),
-        sum(col("e") - col("s") + 1).as("dup_chars"),
-        max(col("__len")).as("__len"))
-      .select(col(idCol), col("n_spans"), col("n_dup_anchors"),
-        col("dup_chars"),
-        round(col("dup_chars").cast("double") / col("__len"), 6).as("dup_frac"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("__ord"), col("__seg")))),
+        x => x.getField("__seg"))).as("__clean"))
+    base.join(cleaned, Seq(idCol), "left")
+      .select(col(idCol),
+        length(coalesce(col("__clean"), col("__t"))).cast("long")
+          .as("clean_len"),
+        (col("__len") - length(coalesce(col("__clean"), col("__t"))))
+          .cast("long").as("removed_chars"),
+        md5(coalesce(col("__clean"), col("__t")).cast("binary"))
+          .as("clean_md5"))
   }
 
   // ------------------------------------------------ incremental dedup

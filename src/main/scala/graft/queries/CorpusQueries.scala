@@ -72,6 +72,17 @@ object CorpusQueries {
       graft.ops.TextDedup.minHashCandidatesMd5(d.union(copies),
           "doc_id", "text", shingleN = 3, k = 16, bands = 4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Span excision (ops/TextDedup.exciseDuplicateSpans): the second
+    // half of ExactSubstr — q172's duplicated spans cut back out of
+    // the text, remainder stitched by an ordered in-group concat.
+    // Cleaned text is compared by md5 (the driver hashes values
+    // anyway; this keeps the dumped result narrow).
+    "q174_span_excision" -> ((s, dir) => {
+      graft.ops.TextDedup.exciseDuplicateSpans(docs(s, dir), "doc_id",
+          "text", l = 40)
+        .orderBy("doc_id")
     })
   )
 
@@ -227,6 +238,57 @@ object CorpusQueries {
          |FROM bnd a JOIN bnd b
          |  ON a.doc_id < b.doc_id AND ($bandOr)
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    "q174_span_excision" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+        |), an AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p, md5(substring(text, p, 40)) AS h
+        |  FROM (SELECT doc_id, text,
+        |          unnest(list_transform(range(1, CAST(len AS INT) - 38),
+        |                                x -> CAST(x AS INT))) AS p
+        |        FROM base WHERE len >= 40)
+        |), dh AS (
+        |  SELECT h FROM an GROUP BY h HAVING COUNT(*) >= 2
+        |), dup AS (
+        |  SELECT an.doc_id, an.p, an.p + 39 AS e FROM an JOIN dh USING (h)
+        |), brk AS (
+        |  SELECT doc_id, p, e,
+        |    CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, p, e,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM brk
+        |), merged AS (
+        |  SELECT doc_id, island, MIN(p) AS s, MAX(e) AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), gaps AS (
+        |  SELECT m.doc_id, m.s AS ord,
+        |    substring(b.text, CAST(m.prev_e + 1 AS INT),
+        |              CAST(m.s - m.prev_e - 1 AS INT)) AS seg
+        |  FROM (SELECT doc_id, s,
+        |          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+        |        FROM merged) m
+        |  JOIN base b USING (doc_id)
+        |), tails AS (
+        |  SELECT t.doc_id, CAST(9223372036854775807 AS BIGINT) AS ord,
+        |    substring(b.text, CAST(t.max_e + 1 AS INT)) AS seg
+        |  FROM (SELECT doc_id, MAX(e) AS max_e FROM merged GROUP BY doc_id) t
+        |  JOIN base b USING (doc_id)
+        |), cleaned AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS ct
+        |  FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+        |  GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CAST(length(COALESCE(c.ct, b.text)) AS BIGINT) AS clean_len,
+        |  CAST(b.len - length(COALESCE(c.ct, b.text)) AS BIGINT) AS removed_chars,
+        |  md5(COALESCE(c.ct, b.text)) AS clean_md5
+        |FROM base b LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -75,6 +75,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       "exactly the docs sharing the 90-char block are flagged")
   }
 
+  test("exciseDuplicateSpans: removes exactly the planted run, leaves clean docs untouched, and is idempotent here") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    def noise(pool: Char, n: Int): String =
+      (0 until n).map(_ => (pool + rnd.nextInt(20)).toChar).mkString
+    val run = "Z" * 70
+    val pre1 = noise('a', 13); val post1 = noise('a', 50)
+    val pre2 = noise('A', 31); val post2 = noise('A', 44)
+    val clean = noise('0', 150)
+    val df = Seq(1L -> (pre1 + run + post1), 2L -> (pre2 + run + post2),
+      3L -> clean).toDF("doc_id", "text")
+    val out = TextDedup.exciseDuplicateSpans(df, "doc_id", "text", l = 40)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((pre1 + post1).length.toLong, 70L, md5hex(pre1 + post1)))
+    assert(out(2L) == ((pre2 + post2).length.toLong, 70L, md5hex(pre2 + post2)))
+    assert(out(3L) == (150L, 0L, md5hex(clean)))
+    // the excised corpus has no duplicated spans left (on this fixture)
+    val re = Seq(1L -> (pre1 + post1), 2L -> (pre2 + post2), 3L -> clean)
+      .toDF("doc_id", "text")
+    assert(TextDedup.duplicateSpans(re, "doc_id", "text", l = 40).count() == 0)
+  }
+
   test("minHashCandidatesMd5: exact copies collide 16/16 in every band; disjoint-vocab docs never pair") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
