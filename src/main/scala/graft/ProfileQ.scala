@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.TextDedup
+
+/** Scratch profiler for the round-9 heavy battery entries (q162 /
+  * q172 / q174): times each phase in isolation so optimization effort
+  * lands on the real hot spot. Not part of the driver contract.
+  */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-profile-q")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    d.count()
+
+    // ---- q172/q174 chain
+    time("spanList (full chain)")(noop(
+      TextDedup.duplicateSpanList(d, "doc_id", "text", 40)))
+    val base = d.select(col("doc_id"), col("text").as("__t"),
+      length(col("text")).cast("long").as("__len"))
+    val anchors = base.filter(col("__len") >= 40)
+      .select(col("doc_id"), col("__len"), col("__t"),
+        explode(sequence(lit(1L), col("__len") - 39)).as("p"))
+      .withColumn("h", md5(expr("substring(__t, p, 40)").cast("binary")))
+      .drop("__t")
+    time("anchors alone")(noop(anchors))
+    time("anchors count-agg")(noop(
+      anchors.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") >= 2)))
+    time("excise (full chain)")(noop(
+      TextDedup.exciseDuplicateSpans(d, "doc_id", "text", 40)))
+
+    // ---- q162 phases
+    val oldCorpus = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val newCorpus = d.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    var built: TextDedup.ShingleState = null
+    time("q162 shingleState(old)") {
+      built = TextDedup.shingleState(oldCorpus, "doc_id", "text", 5, 8, 3)
+      built.grams.persist().count(); built.df.persist().count()
+      built.pairs.persist().count()
+    }
+    val removedIds = oldCorpus
+      .filter(col("doc_id") % 13 === 0 || col("doc_id") % 5 === 0)
+      .select("doc_id")
+    val addedDocs = newCorpus
+      .filter(col("doc_id") % 11 === 0 || col("doc_id") % 5 === 0)
+    var inc: TextDedup.ShingleState = null
+    time("q162 incremental") {
+      inc = TextDedup.incrementalShingleState(built, removedIds, addedDocs,
+        "doc_id", "text", 5, 8, 3)
+      inc.pairs.persist().count()
+    }
+    var full: org.apache.spark.sql.DataFrame = null
+    time("q162 full recompute") {
+      full = TextDedup.rareShingleCandidates(newCorpus, "doc_id", "text", 5, 8, 3)
+      noop(full)
+    }
+    time("q162 equivalence join") {
+      inc.pairs.withColumnRenamed("n_shared", "n_inc")
+        .join(full.withColumnRenamed("n_shared", "n_full"),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(count(lit(1))).head()
+    }
+    time("q162 connectedComponents")(noop(
+      TextDedup.connectedComponents(inc.pairs)))
+    spark.stop()
+  }
+}

@@ -582,7 +582,12 @@ object TextDedup {
     * and reserve this pass for its hits. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       l: Int = 40): DataFrame =
-    duplicateSpanList(docs, idCol, textCol, l)
+    duplicateSpans(duplicateSpanList(docs, idCol, textCol, l), idCol)
+
+  /** Summary form over a precomputed [[duplicateSpanList]] (lets a
+    * caller that also excises pay for the span discovery once). */
+  def duplicateSpans(spans: DataFrame, idCol: String): DataFrame =
+    spans
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_spans"),
         sum(col("n_anchors")).as("n_dup_anchors"),
@@ -601,10 +606,15 @@ object TextDedup {
     require(l >= 2, "need l >= 2")
     val base = docs.select(col(idCol), col(textCol).as("__t"),
       length(col(textCol)).cast("long").as("__len"))
+    // 16-hex-digit md5 prefix: half the digest shuffle width, still
+    // replayable in any engine; a 64-bit collision (~n²/2^65) merges
+    // two distinct grams with probability far below the float-format
+    // noise floor of everything else in the battery.
     val anchors = base.filter(col("__len") >= l)
       .select(col(idCol), col("__len"), col("__t"),
         explode(sequence(lit(1L), col("__len") - (l - 1))).as("p"))
-      .withColumn("h", md5(expr(s"substring(__t, p, $l)").cast("binary")))
+      .withColumn("h",
+        substring(md5(expr(s"substring(__t, p, $l)").cast("binary")), 1, 16))
       .drop("__t")
     val dupHashes = anchors.groupBy("h").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2).select("h")
@@ -643,10 +653,15 @@ object TextDedup {
     * spans (a semi-join-sized population), one broadcast-friendly join
     * back to the text, and a left join for the untouched majority. */
   def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      l: Int = 40): DataFrame = {
+      l: Int = 40): DataFrame =
+    exciseDuplicateSpans(docs, idCol, textCol,
+      duplicateSpanList(docs, idCol, textCol, l))
+
+  /** Excision over a precomputed [[duplicateSpanList]]. */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("__t"),
       length(col(textCol)).cast("long").as("__len"))
-    val spans = duplicateSpanList(docs, idCol, textCol, l)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("s")
     val gaps = spans

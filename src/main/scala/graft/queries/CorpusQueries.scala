@@ -16,6 +16,23 @@ object CorpusQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  // q172 (summary) and q174 (excision) share the span discovery — the
+  // expensive per-position digest pass runs once per battery, released
+  // after the later of the two (Memos lifecycle).
+  private val spanMemo =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def spanList(s: SparkSession, dir: String): DataFrame =
+    spanMemo.getOrElseUpdate(dir, {
+      val sl = graft.ops.TextDedup
+        .duplicateSpanList(docs(s, dir), "doc_id", "text", l = 40)
+        .persist()
+      Memos.track(s"corpus:spans:$dir",
+        Set("q172_duplicate_spans", "q174_span_excision"), sl) { () =>
+        sl.unpersist(); spanMemo.remove(dir); ()
+      }
+      sl
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SemDeDup (ops/VectorOps.semDedup): deterministic seeded
     // clustering + within-cluster cosine prune. tau=0.4 matches the
@@ -52,8 +69,7 @@ object CorpusQueries {
     // such runs (shared boilerplate sentences), so the check is
     // non-vacuous without planting.
     "q172_duplicate_spans" -> ((s, dir) => {
-      graft.ops.TextDedup.duplicateSpans(docs(s, dir), "doc_id", "text",
-          l = 40)
+      graft.ops.TextDedup.duplicateSpans(spanList(s, dir), "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -81,7 +97,7 @@ object CorpusQueries {
     // anyway; this keeps the dumped result narrow).
     "q174_span_excision" -> ((s, dir) => {
       graft.ops.TextDedup.exciseDuplicateSpans(docs(s, dir), "doc_id",
-          "text", l = 40)
+          "text", spanList(s, dir))
         .orderBy("doc_id")
     })
   )
@@ -165,7 +181,7 @@ object CorpusQueries {
         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
         |), an AS (
         |  SELECT doc_id, len, CAST(p AS BIGINT) AS p,
-        |    md5(substring(text, p, 40)) AS h
+        |    substring(md5(substring(text, p, 40)), 1, 16) AS h
         |  FROM (SELECT doc_id, text, len,
         |          unnest(list_transform(range(1, CAST(len AS INT) - 38),
         |                                x -> CAST(x AS INT))) AS p
@@ -244,7 +260,7 @@ object CorpusQueries {
       """WITH base AS (
         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
         |), an AS (
-        |  SELECT doc_id, CAST(p AS BIGINT) AS p, md5(substring(text, p, 40)) AS h
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p, substring(md5(substring(text, p, 40)), 1, 16) AS h
         |  FROM (SELECT doc_id, text,
         |          unnest(list_transform(range(1, CAST(len AS INT) - 38),
         |                                x -> CAST(x AS INT))) AS p
