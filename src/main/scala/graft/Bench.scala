@@ -135,6 +135,8 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.queries.DedupQueries.prewarmShared(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.queries.CorpusQueries.prewarmShared(spark, sfDir)
+    catch { case _: Throwable => () }
     val setupS = (System.nanoTime() - setupT0) / 1e9
 
     // SPARK_GRAFT_SHUFFLE_ORDER=<seed>: run the battery in a seeded

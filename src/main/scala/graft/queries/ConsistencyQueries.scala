@@ -285,7 +285,15 @@ object ConsistencyQueries {
         .select("h3_cell", "klass", "dataset_id")
       val klasses = H3Wide.klassValuesOf(idx)
       val groups = H3Wide.defaultGroups(klasses, n = 2)
+      // each hybrid table is read by all three identities (assemble +
+      // both routed paths) — persist for the query's lifetime so the
+      // per-category hash-aggregate runs once, not 2-3x
       val tables = H3Wide.hybrid(idx, groups)
+        .map { case (k, df) => k -> df.persist() }
+      Memos.track(s"geo:hybrid:$dir", Set("q169_hybrid_identity"),
+        tables.values.head) { () =>
+        tables.values.foreach(_.unpersist()); ()
+      }
 
       def wideDiff(a: DataFrame, b: DataFrame): DataFrame = {
         require(a.columns.sameElements(b.columns),

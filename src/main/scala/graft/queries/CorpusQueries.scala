@@ -33,6 +33,14 @@ object CorpusQueries {
       sl
     })
 
+  /** Force-build the shared span memo (Bench setup phase — same
+    * attribution fix as GeoQueries.prewarmShared: the one-time build
+    * must land in setup_s, not on whichever of q172/q174 runs first,
+    * where the adaptive-retry min would silently discard it). */
+  def prewarmShared(s: SparkSession, dir: String): Unit = {
+    spanList(s, dir).count(); ()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SemDeDup (ops/VectorOps.semDedup): deterministic seeded
     // clustering + within-cluster cosine prune. tau=0.4 matches the
