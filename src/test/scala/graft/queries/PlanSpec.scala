@@ -171,6 +171,39 @@ class PlanSpec extends AnyFunSuite {
       !q155.contains("BroadcastNestedLoop"), q155.take(600))
   }
 
+  test("q170 semDedup: seed assignment broadcasts; no cartesian prune join") {
+    val plan = planOf("q170_semantic_dedup")
+    // the k-seed cross join must be a broadcast nested loop over a
+    // k-row side, and the within-cluster prune an equi-join on the
+    // cluster key — never a cartesian product of the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "seed assignment did not broadcast:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-side cartesian in semDedup:\n" + plan.take(800))
+  }
+
+  test("q171 lmScore: vocab stats broadcast; count aggregates are partial") {
+    val plan = planOf("q171_lm_quality_score")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "1-row vocab stats did not broadcast:\n" + plan.take(800))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      "bigram counts missing partial aggregation:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q172 spans: duplicated-digest filter is a semi-join, merge shuffles by doc") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.TextDedup.duplicateSpanList(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "dup-hash restriction is not a semi-join:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+    // the island merge must partition by the doc key (one doc-keyed shuffle)
+    assert(plan.contains("Window"), plan.take(800))
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the
