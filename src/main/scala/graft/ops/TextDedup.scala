@@ -361,6 +361,97 @@ object TextDedup {
       .withColumn("est_jaccard", round(col("n_equal") / k.toDouble, 6))
   }
 
+  /** SimHash with every bit replayable in any engine with md5 — the
+    * cross-engine PROOF variant of [[simhash64]], completing the trio
+    * with [[minHashCandidatesMd5]]. Token t's 64-bit hash is read
+    * DIGIT-WISE from md5(t): hex digit j contributes 4 bits, extracted
+    * by integer div/mod on the digit's value — the full 64-bit word is
+    * NEVER materialized (unsigned 2^63..2^64-1 values would wrap in a
+    * Spark long and ERROR in a DuckDB BIGINT; per-nibble arithmetic
+    * sidesteps both). Per-bit votes sum +1/-1 over tokens (weighted by
+    * multiplicity, like the production expression), and the signature
+    * re-assembles as 16 hex digits from the 4-bit majority nibbles.
+    * Banding falls out for free: band b IS substring(sig, 4b+1, 4)
+    * (16 bits), so near-dups within Hamming distance ~3 share a band.
+    *
+    * Scale shape: one explode + one (doc, digit-position) aggregate —
+    * combinable — then a map-only nibble assembly; the candidate join
+    * is the same (band, chunk) equi-join as the production variant.
+    *
+    * Returns (doc_id, sig) — join on 4-char substrings for candidates,
+    * or compare signatures digit-wise for Hamming distance. */
+  def simHashMd5Sig(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokensOf(col(textCol))).as("w"))
+      .withColumn("hx", md5(col("w").cast("binary")))
+    // one row per (doc, hex digit position 0..15): the digit's value
+    val digits = toks.select(col("doc_id"), col("hx"),
+      explode(sequence(lit(0), lit(15))).as("j"))
+      .select(col("doc_id"), col("j"),
+        (expr("instr('0123456789abcdef', substring(hx, j + 1, 1))") - 1)
+          .as("v"))
+    // vote for the 4 bits of this digit: bit k of v is (v div 2^k) % 2
+    val votes = digits.select(col("doc_id"), col("j"),
+      explode(array((3 to 0 by -1).map(k =>
+        struct(lit(3 - k).as("kk"),
+          (((col("v") / (1 << k)).cast("int") % 2) * 2 - 1).as("vote"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), (col("j") * 4 + col("bv.kk")).as("bit"),
+        col("bv.vote"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(col("vote")).as("tally"))
+    // majority bit then nibble re-assembly: digit j = sum over its 4
+    // bits of bit * 2^(3 - offset)
+    val nibbles = votes
+      .select(col("doc_id"), (col("bit") / 4).cast("int").as("j"),
+        (when(col("tally") > 0, 1).otherwise(0) *
+          pow(lit(2), lit(3) - col("bit") % 4).cast("int")).as("part"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("part")).cast("int").as("nv"))
+    nibbles
+      .select(col("doc_id"), col("j"),
+        expr("substring('0123456789abcdef', nv + 1, 1)").as("d"))
+      .groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("j"), col("d")))),
+        x => x.getField("d"))).as("sig"))
+  }
+
+  /** Candidate pairs from [[simHashMd5Sig]] signatures: 4 x 16-bit
+    * bands (4 hex chars each), Hamming distance computed digit-wise —
+    * same algebra as the production [[simHashCandidates]], fully
+    * SQL-replayable. */
+  def simHashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sig = simHashMd5Sig(df, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * 4 + 1, 4).as("chunk"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.chunk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    // digit-wise Hamming: per hex position, popcount of (va XOR vb)
+    val hamming = (0 until 16).map { j =>
+      val va = expr(
+        s"instr('0123456789abcdef', substring(a.sig, ${j + 1}, 1))") - 1
+      val vb = expr(
+        s"instr('0123456789abcdef', substring(b.sig, ${j + 1}, 1))") - 1
+      val x = va.bitwiseXOR(vb)
+      (x % 2) + ((x / 2).cast("int") % 2) + ((x / 4).cast("int") % 2) +
+        ((x / 8).cast("int") % 2)
+    }.reduce(_ + _)
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming.cast("long").as("hamming"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------- duplicate clusters
 
   /** SQL-replayable candidate pairs via rare-shingle co-occurrence:

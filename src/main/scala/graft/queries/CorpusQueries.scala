@@ -107,6 +107,25 @@ object CorpusQueries {
       graft.ops.TextDedup.exciseDuplicateSpans(docs(s, dir), "doc_id",
           "text", spanList(s, dir))
         .orderBy("doc_id")
+    }),
+
+    // SimHash with md5-replayable bits
+    // (ops/TextDedup.simHashCandidatesMd5): completes the
+    // cross-engine-auditable dedup trio (q173 minhash, q172/q174 exact
+    // substrings). Exact copies land at Hamming 0; tail-appended
+    // perturbed copies land at small nonzero Hamming; the whole pair
+    // set with digit-wise distances hash-matched against the SQL
+    // replay of the bit-vote pipeline.
+    "q175_simhash_replay" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val pert = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zz11 zz22 zz33")).as("text"))
+      graft.ops.TextDedup.simHashCandidatesMd5(
+          d.union(copies).union(pert), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -313,6 +332,61 @@ object CorpusQueries {
         |  CAST(b.len - length(COALESCE(c.ct, b.text)) AS BIGINT) AS removed_chars,
         |  md5(COALESCE(c.ct, b.text)) AS clean_md5
         |FROM base b LEFT JOIN cleaned c USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q175_simhash_replay" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text || ' zz11 zz22 zz33' AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS w
+        |  FROM corpus
+        |), dg AS (
+        |  SELECT doc_id, md5(w) AS hx FROM tok
+        |), digits AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    strpos('0123456789abcdef', substring(hx, CAST(j AS INT) + 1, 1)) - 1 AS v
+        |  FROM dg, (SELECT unnest(range(0, 16)) AS j)
+        |), votes AS (
+        |  SELECT doc_id, j * 4 + kk AS bit,
+        |    SUM(CASE WHEN (v // p) % 2 = 1 THEN 1 ELSE -1 END) AS tally
+        |  FROM digits, (VALUES (0, 8), (1, 4), (2, 2), (3, 1)) AS bp(kk, p)
+        |  GROUP BY doc_id, j * 4 + kk
+        |), nib AS (
+        |  SELECT doc_id, bit // 4 AS j,
+        |    SUM((CASE WHEN tally > 0 THEN 1 ELSE 0 END)
+        |        * CAST(power(2, 3 - (bit % 4)) AS INT)) AS nv
+        |  FROM votes GROUP BY doc_id, bit // 4
+        |), sig AS (
+        |  SELECT doc_id,
+        |    string_agg(substring('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+        |               '' ORDER BY j) AS sig
+        |  FROM nib GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sig, CAST(b AS INT) AS b,
+        |    substring(sig, CAST(b AS INT) * 4 + 1, 4) AS chunk
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT id_a, id_b,
+        |    CAST(SUM((x % 2) + (x // 2 % 2) + (x // 4 % 2) + (x // 8 % 2))
+        |      AS BIGINT) AS hamming
+        |  FROM (SELECT id_a, id_b,
+        |          xor(strpos('0123456789abcdef', substring(sa, CAST(j AS INT) + 1, 1)) - 1,
+        |              strpos('0123456789abcdef', substring(sb, CAST(j AS INT) + 1, 1)) - 1) AS x
+        |        FROM pairs, (SELECT unnest(range(0, 16)) AS j))
+        |  GROUP BY id_a, id_b
+        |)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -123,6 +123,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simHashMd5Sig: 16-hex signatures, copy-identity, perturbation locality, partition invariance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 12).map { i =>
+      i.toLong -> (0 until 60).map(_ => s"t${rnd.nextInt(25)}").mkString(" ")
+    }
+    val copies = base.map { case (id, t) => (id + 100) -> t }
+    val pert = base.map { case (id, t) => (id + 200) -> (t + " q1 q2 q3") }
+    val df = (base ++ copies ++ pert).toDF("doc_id", "text")
+    val sigs = TextDedup.simHashMd5Sig(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sigs.values.foreach(s =>
+      assert(s.length == 16 && s.forall("0123456789abcdef".contains(_)), s))
+    (0 until 12).foreach { i =>
+      assert(sigs(i.toLong) == sigs(i + 100L), "copy must hash identically")
+      val d = sigs(i.toLong).zip(sigs(i + 200L)).map { case (a, b) =>
+        Integer.bitCount("0123456789abcdef".indexOf(a) ^
+          "0123456789abcdef".indexOf(b))
+      }.sum
+      assert(d > 0 && d <= 16, s"perturbed copy at implausible hamming $d")
+    }
+    val again = TextDedup.simHashMd5Sig(df.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == sigs, "signature must be partitioning-independent")
+  }
+
+  test("simHashCandidatesMd5: copies pair at hamming 0; banding finds the perturbed pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val base = (0 until 10).map { i =>
+      i.toLong -> (0 until 80).map(_ => s"u${rnd.nextInt(20)}").mkString(" ")
+    }
+    val copies = base.map { case (id, t) => (id + 100) -> t }
+    val df = (base ++ copies).toDF("doc_id", "text")
+    val out = TextDedup.simHashCandidatesMd5(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 10).foreach { i =>
+      assert(out.get((i.toLong, i + 100L)).contains(0L),
+        s"exact copy of $i must pair at hamming 0")
+    }
+  }
+
   test("lmScore: hand-computed bigram log-probs, unseen-context floor, quality ordering") {
     import spark.implicits._
     val train = Seq(1L -> "a b a b", 2L -> "a c").toDF("doc_id", "text")
