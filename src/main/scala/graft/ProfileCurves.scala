@@ -267,3 +267,90 @@ object ProfileScale {
     spark.stop()
   }
 }
+
+/** Scale curves for the round-9 corpus operators: exact substring
+  * spans, production MinHash LSH, semantic dedup, bigram-LM scoring —
+  * wall time and shuffle volume at 1x/4x/16x disjoint blow-ups.
+  * Text replicas are letter-rotated ([[ProfileDelta]]'s trick) so
+  * per-replica duplicate statistics match the base corpus; embedding
+  * replicas sign-flip a replica-specific dimension mask (norms and
+  * intra-replica cosine structure preserved; cross-replica cosines
+  * decorrelate). semDedup's k scales with the corpus — the documented
+  * rule that keeps per-cluster pair work constant.
+  */
+object ProfileCorpus {
+  import ProfileCurves._
+
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def drain(): Long = bytes.getAndSet(0L)
+  }
+
+  private def blowupDocs(docs: DataFrame, times: Int): DataFrame = {
+    val letters = "etaoinsrhl"
+    (0 until times).map { i =>
+      val rot = letters.drop(i % letters.length) ++
+        letters.take(i % letters.length)
+      docs.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), letters, rot)).as("text"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def blowupEmb(emb: DataFrame, times: Int): DataFrame =
+    (0 until times).map { i =>
+      emb.select((col("vec_id") + i.toLong * 10000000L).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else zip_with(col("embedding"),
+           sequence(lit(0), size(col("embedding")) - 1),
+           (v, d) => when((d + i) % 5 === 0, -v).otherwise(v)))
+          .as("embedding"))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-corpus")
+    import graft.ops.{TextDedup, TrainingOps, VectorOps}
+
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val timesList = sys.env.get("SPARK_GRAFT_TIMES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    for (times <- timesList) {
+      val docs = blowupDocs(baseDocs, times).persist()
+      val nDocs = docs.count()
+      val emb = blowupEmb(baseEmb, times).persist()
+      val nVecs = emb.count()
+      meter.drain()
+
+      val tSpans = timed(noop(
+        TextDedup.duplicateSpans(docs, "doc_id", "text", 40)))
+      val bSpans = meter.drain()
+      val tMinhash = timed(noop(
+        TextDedup.minHashCandidates(docs, "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, maxBucket = 200)))
+      val bMinhash = meter.drain()
+      val tLm = timed(noop(
+        TrainingOps.lmScore(docs, docs, "doc_id", "text")))
+      val bLm = meter.drain()
+      val tSem = timed(noop(
+        VectorOps.semDedup(emb, "vec_id", "embedding",
+          k = 16 * times, tau = 0.4)))
+      val bSem = meter.drain()
+
+      println(f"""{"metric":"corpus_scale_curve","m":$times,"n_docs":$nDocs,"n_vecs":$nVecs,"spans_s":$tSpans%.2f,"spans_shuffle_mb":${bSpans / 1e6}%.1f,"minhash_s":$tMinhash%.2f,"minhash_shuffle_mb":${bMinhash / 1e6}%.1f,"lm_s":$tLm%.2f,"lm_shuffle_mb":${bLm / 1e6}%.1f,"semdedup_s":$tSem%.2f,"semdedup_shuffle_mb":${bSem / 1e6}%.1f}""")
+      docs.unpersist(); emb.unpersist(); System.gc()
+    }
+    spark.stop()
+  }
+}

