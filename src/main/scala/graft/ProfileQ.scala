@@ -86,3 +86,50 @@ object ProfileQ {
     spark.stop()
   }
 }
+
+import org.apache.spark.sql.functions._
+
+/** q175 phase profiler. */
+object ProfileSim {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val pert = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zz11 zz22 zz33")).as("text"))
+    val corpus = d.union(copies).union(pert)
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    time("warmup-50")(graft.ops.TextDedup
+      .simHashCandidatesMd5(corpus.limit(50), "doc_id", "text")
+      .write.format("noop").mode("overwrite").save())
+    time("full candidates A")(graft.ops.TextDedup
+      .simHashCandidatesMd5(corpus, "doc_id", "text", 8)
+      .write.format("noop").mode("overwrite").save())
+    val sig = graft.ops.TextDedup.simHashMd5Sig(corpus, "doc_id", "text")
+    time("sig")(sig.write.format("noop").mode("overwrite").save())
+    val sigP = sig.persist(); println("docs " + sigP.count())
+    val banded = sigP.select(col("doc_id"), col("sig"),
+      explode(org.apache.spark.sql.functions.array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * 4 + 1, 4).as("chunk"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.chunk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+    println("collision pair rows: " + pairs.count())
+    time("full candidates")(graft.ops.TextDedup
+      .simHashCandidatesMd5(corpus, "doc_id", "text", 8)
+      .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}
