@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized cross-checks of the round-9 corpus operators against
+  * independent brute-force references (plain Scala, O(n²) where the
+  * operator is smarter) — the distributed plan and the reference must
+  * agree exactly on every sampled corpus. Fewer samples than the
+  * spatial PropertySpec (each sample is a Spark job), fixed seeds.
+  */
+class CorpusPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Random corpus over a tiny alphabet (forces real duplicate grams)
+    * with planted cross-doc and within-doc repeats. */
+  private def randomCorpus(seed: Int, nDocs: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    def chunk(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val shared = chunk(10 + rnd.nextInt(15))
+    (1L to nDocs.toLong).map { i =>
+      val base = chunk(20 + rnd.nextInt(40))
+      val t =
+        if (i % 3 == 0) {
+          val at = rnd.nextInt(base.length)
+          base.substring(0, at) + shared + base.substring(at)
+        } else if (i % 5 == 0) base + base.substring(0, 12 + rnd.nextInt(8))
+        else base
+      i -> t
+    }
+  }
+
+  /** Brute-force reference for duplicateSpanList/duplicateSpans. */
+  private def refSpans(corpus: Seq[(Long, String)],
+      l: Int): Map[Long, (Long, Long, Long)] = {
+    val grams = corpus.flatMap { case (id, t) =>
+      (0 to t.length - l).map(p => (t.substring(p, p + l), id, p + 1L))
+    }
+    val dupKeys = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+    corpus.flatMap { case (id, t) =>
+      val anchors = (0 to t.length - l)
+        .filter(p => dupKeys(t.substring(p, p + l)))
+        .map(p => (p + 1L, p.toLong + l))
+      if (anchors.isEmpty) None
+      else {
+        var spans = List.empty[(Long, Long)]
+        anchors.foreach { case (s, e) =>
+          spans match {
+            case (s0, e0) :: rest if s <= e0 + 1 =>
+              spans = (s0, math.max(e0, e)) :: rest
+            case _ => spans = (s, e) :: spans
+          }
+        }
+        val merged = spans.reverse
+        Some(id -> (merged.size.toLong, anchors.size.toLong,
+          merged.map { case (s, e) => e - s + 1 }.sum))
+      }
+    }.toMap
+  }
+
+  test("property: duplicateSpans == brute-force reference on random corpora") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val corpus = randomCorpus(seed * 101 + 7, 18)
+      val got = TextDedup.duplicateSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", l = 6)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == refSpans(corpus, 6), s"seed $seed diverged")
+    }
+  }
+
+  test("property: exciseDuplicateSpans == reference cut-and-stitch") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to 6).foreach { seed =>
+      val corpus = randomCorpus(seed * 317 + 11, 15)
+      val l = 6
+      val grams = corpus.flatMap { case (_, t) =>
+        (0 to t.length - l).map(p => t.substring(p, p + l))
+      }
+      val dupKeys = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+      val expect = corpus.map { case (id, t) =>
+        val marked = Array.fill(t.length)(false)
+        (0 to t.length - l).foreach { p =>
+          if (dupKeys(t.substring(p, p + l)))
+            (p until p + l).foreach(marked(_) = true)
+        }
+        // NOTE the operator merges ADJACENT spans (gap 0 keeps chars
+        // between them): char-level marking equals interval-merge
+        // marking because merged intervals cover exactly the marked
+        // chars
+        val clean = t.zipWithIndex.collect {
+          case (c, i) if !marked(i) => c
+        }.mkString
+        id -> (clean.length.toLong, (t.length - clean.length).toLong,
+          md5hex(clean))
+      }.toMap
+      val got = TextDedup.exciseDuplicateSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", l)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
+
+  test("property: lmScore == brute-force bigram reference") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 53 + 3)
+      val corpus = (1L to 20L).map { i =>
+        i -> (0 until 10 + rnd.nextInt(30))
+          .map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+      }
+      val train = corpus.filter(_._1 % 2 == 0)
+      def bigrams(t: String) = {
+        val toks = t.split(" ").toSeq
+        toks.zip(toks.tail).map { case (a, b) => s"$a $b" }
+      }
+      val c12 = train.flatMap(d => bigrams(d._2)).groupBy(identity)
+        .map { case (g, o) => g -> o.size }
+      val c1 = train.flatMap(d => bigrams(d._2).map(_.split(" ")(0)))
+        .groupBy(identity).map { case (w, o) => w -> o.size }
+      val vocab = c12.keySet.map(_.split(" ")(1)).size.toDouble
+      val expect = corpus.map { case (id, t) =>
+        val bs = bigrams(t)
+        val micros = bs.map { g =>
+          val p = (c12.getOrElse(g, 0) + 0.5) /
+            (c1.getOrElse(g.split(" ")(0), 0) + 0.5 * vocab)
+          math.floor(math.log(p) * 1e6 + 0.5).toLong
+        }
+        val avg = BigDecimal(micros.sum.toDouble / bs.size / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> (bs.size.toLong, avg)
+      }.toMap
+      val got = TrainingOps.lmScore(train.toDF("doc_id", "text"),
+          corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
+
+  test("property: semDedup == brute-force seeded-assignment reference") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 211 + 5)
+      val vecs = (1L to 30L).map { i =>
+        // duplicates of earlier vectors planted every 4th id
+        if (i % 4 == 0 && i > 4)
+          i -> null // filled below from an earlier vector
+        else i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1)
+      }.toMap
+      val filled = (1L to 30L).map { i =>
+        i -> (if (vecs(i) == null) vecs(i - 3) else vecs(i))
+      }
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val r = d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+          math.sqrt(b.map(x => x.toDouble * x).sum))
+        BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val k = 4
+      val tau = 0.9
+      val seeds = filled.sortBy(_._1).take(k)
+      val cluster = filled.map { case (id, v) =>
+        id -> seeds.map { case (sid, sv) => (cos(v, sv), -sid) }
+          .zip(seeds.map(_._1)).maxBy(_._1)._2
+      }.toMap
+      val expect = filled.map { case (id, v) =>
+        val dropped = filled.exists { case (jd, jv) =>
+          jd < id && cluster(jd) == cluster(id) && cos(jv, v) >= tau
+        }
+        id -> (cluster(id), !dropped)
+      }.toMap
+      val got = VectorOps.semDedup(
+          filled.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k, tau)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
+}
