@@ -133,3 +133,40 @@ object ProfileSim {
     spark.stop()
   }
 }
+
+/** q169 phase profiler. */
+object ProfileHybrid {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    import graft.pipeline.H3Wide
+    import graft.queries.GeoQueries
+    time("sharedIndex build")(
+      GeoQueries.sharedIndex(spark, sfDir).count())
+    val idx = GeoQueries.sharedIndex(spark, sfDir)
+      .select("h3_cell", "klass", "dataset_id")
+    println("index rows " + idx.count())
+    val klasses = H3Wide.klassValuesOf(idx)
+    val groups = H3Wide.defaultGroups(klasses, n = 2)
+    val tables = H3Wide.hybrid(idx, groups).map { case (k, df) => k -> df.persist() }
+    time("hybrid materialize")(tables.values.foreach(_.count()))
+    time("build(long) full")(noop(H3Wide.build(idx, klasses)))
+    time("assemble")(noop(H3Wide.assemble(tables, groups)))
+    val cat = groups.keys.min
+    time("routed single")(noop(H3Wide.routed(idx, tables, groups, groups(cat))))
+    val span = groups.values.map(_.head).toSeq.sorted
+    time("routed span")(noop(H3Wide.routed(idx, tables, groups, span)))
+    time("q169 full")(noop(
+      graft.SparkEntry.queries("q169_hybrid_identity")(spark, sfDir)))
+    spark.stop()
+  }
+}
