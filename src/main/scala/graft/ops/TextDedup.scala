@@ -764,6 +764,20 @@ object TextDedup {
 
   /** Excision over a precomputed [[duplicateSpanList]]. */
   def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame =
+    excisedText(docs, idCol, textCol, spans)
+      .select(col(idCol),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        (col("__orig_len") - length(col("clean_text"))).cast("long")
+          .as("removed_chars"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+
+  /** The excised documents THEMSELVES — (idCol, clean_text,
+    * __orig_len) for every input doc (span-free docs pass through
+    * unchanged). The downstream form for composing excision with
+    * scoring/dedup passes; [[exciseDuplicateSpans]] is its digest
+    * summary. */
+  def excisedText(docs: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("__t"),
       length(col(textCol)).cast("long").as("__len"))
@@ -785,12 +799,8 @@ object TextDedup {
         x => x.getField("__seg"))).as("__clean"))
     base.join(cleaned, Seq(idCol), "left")
       .select(col(idCol),
-        length(coalesce(col("__clean"), col("__t"))).cast("long")
-          .as("clean_len"),
-        (col("__len") - length(coalesce(col("__clean"), col("__t"))))
-          .cast("long").as("removed_chars"),
-        md5(coalesce(col("__clean"), col("__t")).cast("binary"))
-          .as("clean_md5"))
+        coalesce(col("__clean"), col("__t")).as("clean_text"),
+        col("__len").as("__orig_len"))
   }
 
   // ------------------------------------------------ incremental dedup

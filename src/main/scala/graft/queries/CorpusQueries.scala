@@ -126,6 +126,41 @@ object CorpusQueries {
       graft.ops.TextDedup.simHashCandidatesMd5(
           d.union(copies).union(pert), "doc_id", "text", maxHamming = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Composed round-9 curation pipeline in ONE Catalyst lineage (the
+    // q160 pattern applied to this round's layer): excise duplicated
+    // spans -> train/score the bigram LM on the CLEANED text -> gate on
+    // span fraction + LM quality + semantic dedup (embeddings keyed by
+    // the same ids). The oracle replays the entire chain in a single
+    // SQL statement, so the cross-stage contracts (the LM sees excised
+    // text, the gates compose) are hash-checked, not just each stage.
+    "q176_curation_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val spans = spanList(s, dir)
+      val fracs = graft.ops.TextDedup.duplicateSpans(spans, "doc_id")
+        .select(col("doc_id"), col("dup_frac"))
+      val ct = graft.ops.TextDedup.excisedText(d, "doc_id", "text", spans)
+        .select(col("doc_id"), col("clean_text"))
+      val sp = graft.ops.TrainingOps.hashSplit(ct, "doc_id",
+        Seq("train" -> 0.75, "heldout" -> 0.25), salt = "lm")
+      val lm = graft.ops.TrainingOps.lmScore(
+          sp.filter(col("split") === "train"), ct, "doc_id", "clean_text")
+        .select(col("doc_id"), col("avg_logp"))
+      val sem = graft.ops.VectorOps.semDedup(emb(s, dir), "vec_id",
+          "embedding", k = 16, tau = 0.4)
+        .select(col("vec_id").as("doc_id"), col("kept").as("kept_sem"))
+      d.select(col("doc_id"))
+        .join(fracs, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
+          col("avg_logp"), col("kept_sem"),
+          (coalesce(col("dup_frac"), lit(0.0)) <= 0.2 &&
+            coalesce(col("avg_logp"), lit(-99.0)) >= -3.42 &&
+            coalesce(col("kept_sem"), lit(false))).as("selected"))
+        .orderBy("doc_id")
     })
   )
 
@@ -387,6 +422,130 @@ object CorpusQueries {
         |  GROUP BY id_a, id_b
         |)
         |SELECT id_a, id_b, hamming FROM ham
-        |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin
+        |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q176_curation_e2e" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents
+         |), an AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         |    substring(md5(substring(text, p, 40)), 1, 16) AS h
+         |  FROM (SELECT doc_id, text,
+         |          unnest(list_transform(range(1, CAST(len AS INT) - 38),
+         |                                x -> CAST(x AS INT))) AS p
+         |        FROM base WHERE len >= 40)
+         |), dh AS (
+         |  SELECT h FROM an GROUP BY h HAVING COUNT(*) >= 2
+         |), dup AS (
+         |  SELECT an.doc_id, an.p, an.p + 39 AS e FROM an JOIN dh USING (h)
+         |), brk AS (
+         |  SELECT doc_id, p, e,
+         |    CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM dup
+         |), isl AS (
+         |  SELECT doc_id, p, e,
+         |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |  FROM brk
+         |), merged AS (
+         |  SELECT doc_id, island, MIN(p) AS s, MAX(e) AS e
+         |  FROM isl GROUP BY doc_id, island
+         |), fracs AS (
+         |  SELECT m.doc_id,
+         |    ROUND(CAST(SUM(m.e - m.s + 1) AS DOUBLE) / MAX(b.len), 6) AS dup_frac
+         |  FROM merged m JOIN base b USING (doc_id) GROUP BY m.doc_id
+         |), gaps AS (
+         |  SELECT m.doc_id, m.s AS ord,
+         |    substring(b.text, CAST(m.prev_e + 1 AS INT),
+         |              CAST(m.s - m.prev_e - 1 AS INT)) AS seg
+         |  FROM (SELECT doc_id, s,
+         |          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+         |        FROM merged) m
+         |  JOIN base b USING (doc_id)
+         |), tails AS (
+         |  SELECT t.doc_id, CAST(9223372036854775807 AS BIGINT) AS ord,
+         |    substring(b.text, CAST(t.max_e + 1 AS INT)) AS seg
+         |  FROM (SELECT doc_id, MAX(e) AS max_e FROM merged GROUP BY doc_id) t
+         |  JOIN base b USING (doc_id)
+         |), cleaned AS (
+         |  SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS ctext
+         |  FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+         |  GROUP BY doc_id
+         |), ct AS (
+         |  SELECT b.doc_id, COALESCE(c.ctext, b.text) AS clean_text
+         |  FROM base b LEFT JOIN cleaned c USING (doc_id)
+         |), sp AS (
+         |  SELECT doc_id, clean_text,
+         |    CASE WHEN substring(md5(doc_id || '#lm'), 1, 8) < 'c0000000'
+         |         THEN 'train' ELSE 'heldout' END AS split
+         |  FROM ct
+         |), dtk AS (
+         |  SELECT doc_id, split,
+         |    string_split(lower(trim(regexp_replace(clean_text,'\\s+',' ','g'))),' ') AS toks
+         |  FROM sp
+         |), bi AS (
+         |  SELECT doc_id, split, toks[i] || ' ' || toks[i+1] AS g
+         |  FROM (SELECT doc_id, split, toks,
+         |          unnest(list_transform(range(1, len(toks)), x -> CAST(x AS INT))) AS i
+         |        FROM dtk WHERE len(toks) >= 2)
+         |), c12 AS (
+         |  SELECT g, COUNT(*) AS c12 FROM bi WHERE split = 'train' GROUP BY g
+         |), c1 AS (
+         |  SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS c1
+         |  FROM bi WHERE split = 'train' GROUP BY 1
+         |), v AS (
+         |  SELECT CAST(COUNT(DISTINCT split_part(g, ' ', 2)) AS DOUBLE) AS V FROM c12
+         |), micro AS (
+         |  SELECT bi.doc_id,
+         |    CAST(FLOOR(ln((COALESCE(c12.c12, 0) + 0.5)
+         |                  / (COALESCE(c1.c1, 0) + 0.5 * v.V)) * 1e6 + 0.5)
+         |      AS BIGINT) AS m
+         |  FROM bi LEFT JOIN c12 USING (g)
+         |          LEFT JOIN c1 ON split_part(bi.g, ' ', 1) = c1.w1
+         |          CROSS JOIN v
+         |), lmagg AS (
+         |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS sm, COUNT(*) AS n_bigrams
+         |  FROM micro GROUP BY doc_id
+         |), lm AS (
+         |  SELECT doc_id, ROUND(sm / n_bigrams / 1e6, 6) AS avg_logp FROM lmagg
+         |), seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), assign AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), best AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign)
+         |  WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM best b1
+         |  JOIN best b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+         |  JOIN embeddings e1 ON b1.vec_id = e1.vec_id
+         |  JOIN embeddings e2 ON b2.vec_id = e2.vec_id
+         |  WHERE ${sqlCos("e1.embedding", "e2.embedding")} >= 0.4
+         |), sem AS (
+         |  SELECT b.vec_id AS doc_id,
+         |    b.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         |  FROM best b
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(f.dup_frac, 0.0) AS dup_frac,
+         |  l.avg_logp,
+         |  s2.kept AS kept_sem,
+         |  (COALESCE(f.dup_frac, 0.0) <= 0.2
+         |    AND COALESCE(l.avg_logp, -99.0) >= -3.42
+         |    AND COALESCE(s2.kept, FALSE)) AS selected
+         |FROM documents d
+         |LEFT JOIN fracs f USING (doc_id)
+         |LEFT JOIN lm l USING (doc_id)
+         |LEFT JOIN sem s2 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }
