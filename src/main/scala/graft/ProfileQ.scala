@@ -170,3 +170,37 @@ object ProfileHybrid {
     spark.stop()
   }
 }
+
+/** q176 phase profiler. */
+object ProfileCuration {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    import graft.ops.{TextDedup, TrainingOps}
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val spans = TextDedup.duplicateSpanList(d, "doc_id", "text", 40).persist()
+    time("spans materialize")(spans.count())
+    time("fracs")(noop(TextDedup.duplicateSpans(spans, "doc_id")))
+    val ct = TextDedup.excisedText(d, "doc_id", "text", spans)
+      .select(col("doc_id"), col("clean_text")).persist()
+    time("ct materialize")(ct.count())
+    val sp = TrainingOps.hashSplit(ct, "doc_id",
+      Seq("train" -> 0.75, "heldout" -> 0.25), salt = "lm")
+    val lm = TrainingOps.lmScore(
+      sp.filter(col("split") === "train"), ct, "doc_id", "clean_text")
+    time("lm over cleaned")(noop(lm))
+    time("q176 full (2nd run)")(noop(
+      graft.SparkEntry.queries("q176_curation_e2e")(spark, sfDir)))
+    spark.stop()
+  }
+}

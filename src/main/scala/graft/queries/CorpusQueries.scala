@@ -27,7 +27,8 @@ object CorpusQueries {
         .duplicateSpanList(docs(s, dir), "doc_id", "text", l = 40)
         .persist()
       Memos.track(s"corpus:spans:$dir",
-        Set("q172_duplicate_spans", "q174_span_excision"), sl) { () =>
+        Set("q172_duplicate_spans", "q174_span_excision",
+          "q176_curation_e2e"), sl) { () =>
         sl.unpersist(); spanMemo.remove(dir); ()
       }
       sl
@@ -154,8 +155,15 @@ object CorpusQueries {
       val spans = spanList(s, dir)
       val fracs = graft.ops.TextDedup.duplicateSpans(spans, "doc_id")
         .select(col("doc_id"), col("dup_frac"))
+      // persisted: the excision chain (window + ordered concat) feeds
+      // the LM THREE times (split, train side, scored side) — without
+      // the cache it re-executes per reference (measured 11 s -> ~4 s)
       val ct = graft.ops.TextDedup.excisedText(d, "doc_id", "text", spans)
         .select(col("doc_id"), col("clean_text"))
+        .persist()
+      Memos.track(s"corpus:ct:$dir", Set("q176_curation_e2e"), ct) { () =>
+        ct.unpersist(); ()
+      }
       val sp = graft.ops.TrainingOps.hashSplit(ct, "doc_id",
         Seq("train" -> 0.75, "heldout" -> 0.25), salt = "lm")
       val lm = graft.ops.TrainingOps.lmScore(
