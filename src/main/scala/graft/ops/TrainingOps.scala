@@ -187,6 +187,8 @@ object TrainingOps {
     * (idCol, n_bigrams, avg_logp, ppl). */
   def lmScore(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0,
+      "add-alpha smoothing needs alpha > 0 (log of a zero probability)")
     def bigrams(df: DataFrame): DataFrame = {
       val toks = TextDedup.tokensOf(col(textCol))
       df.select(col(idCol), toks.as("__toks"))

@@ -136,6 +136,8 @@ object VectorOps {
     * Returns (idCol, cluster, kept) — one row per input vector. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, tau: Double): DataFrame = {
+    require(k >= 1, "semDedup needs k >= 1 seed clusters " +
+      "(k = 0 would silently assign nothing and drop every vector)")
     val seeds = emb.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("__seed_id"), col(vecCol).as("__seed_vec"))
     // One Lloyd assignment step from deterministic seeds: max over

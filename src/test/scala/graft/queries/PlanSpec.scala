@@ -204,6 +204,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(800))
   }
 
+  test("q176 composed curation: no cartesian products anywhere in the lineage") {
+    val plan = planOf("q176_curation_e2e")
+    assert(!plan.contains("CartesianProduct"), plan.take(1000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "expected broadcast joins for the 1-row stats / seed sides:\n" +
+        plan.take(1000))
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the
