@@ -348,28 +348,34 @@ object TextDedup {
       min(substring(md5(concat(lit(s"$i#"), col("g")).cast("binary")), 1, 16))
         .as(s"m$i"))
     val sig = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val sigCols = (0 until k).map(i => col(s"m$i"))
+    // same narrow-fan-out shape as the production variant: the banded
+    // frame ships (doc_id, band, bucket digest) only; the k minima
+    // re-attach to the candidate pairs afterwards
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
           .cast("binary")).as("bucket"))
     }
     val banded = sig
-      .select(col("doc_id") +: sigCols :+ explode(array(bandCols: _*)).as("bb"): _*)
-      .select(col("doc_id") +: sigCols :+ col("bb.band") :+ col("bb.bucket"): _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
-    val nEqual = (0 until k)
-      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    a.join(b,
+    val cand = a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        nEqual.cast("long").as("n_equal"))
-      .groupBy("id_a", "id_b")
-      .agg(max(col("n_equal")).as("n_equal"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("id_a") +:
+      (0 until k).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val sb = sig.select(col("doc_id").as("id_b") +:
+      (0 until k).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val nEqual = (0 until k)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), nEqual.cast("long").as("n_equal"))
       .withColumn("est_jaccard", round(col("n_equal") / k.toDouble, 6))
   }
 
