@@ -715,31 +715,42 @@ object TextDedup {
   def duplicateSpanList(docs: DataFrame, idCol: String, textCol: String,
       l: Int = 40): DataFrame = {
     require(l >= 2, "need l >= 2")
-    val base = docs.select(col(idCol), col(textCol).as("__t"),
-      length(col(textCol)).cast("long").as("__len"))
-    // 16-hex-digit md5 prefix: half the digest shuffle width, still
-    // replayable in any engine; a 64-bit collision (~n²/2^65) merges
-    // two distinct grams with probability far below the float-format
-    // noise floor of everything else in the battery.
-    val anchors = base.filter(col("__len") >= l)
+    val anchors = anchorsOf(docs, idCol, textCol, l)
+    val dupHashes = anchors.groupBy("h").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select("h")
+    islandMerge(anchors.join(dupHashes, Seq("h"), "left_semi"), idCol, l)
+  }
+
+  /** Every position's l-gram as (idCol, __len, p, h). The digest is a
+    * 16-hex-digit md5 prefix: half the shuffle width of full md5,
+    * still replayable in any engine; a 64-bit collision (~n²/2^65)
+    * merges two distinct grams with probability far below the
+    * float-format noise floor of everything else in the battery. */
+  private def anchorsOf(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame =
+    docs.select(col(idCol), col(textCol).as("__t"),
+        length(col(textCol)).cast("long").as("__len"))
+      .filter(col("__len") >= l)
       .select(col(idCol), col("__len"), col("__t"),
         explode(sequence(lit(1L), col("__len") - (l - 1))).as("p"))
       .withColumn("h",
         substring(md5(expr(s"substring(__t, p, $l)").cast("binary")), 1, 16))
       .drop("__t")
-    val dupHashes = anchors.groupBy("h").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2).select("h")
-    val dup = anchors.join(dupHashes, Seq("h"), "left_semi")
-      .withColumn("e", col("p") + (l - 1))
+
+  /** Gaps-and-islands merge of duplicated anchors into maximal spans
+    * — input (idCol, __len, p), output (idCol, s, e, n_anchors,
+    * doc_len). */
+  private def islandMerge(dupAnchors: DataFrame, idCol: String,
+      l: Int): DataFrame = {
+    val dup = dupAnchors.withColumn("e", col("p") + (l - 1))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("p")
     val prevMax = max(col("e")).over(
       w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    val islanded = dup
+    dup
       .withColumn("__brk",
         when(prevMax.isNull || col("p") > prevMax + 1, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__brk")).over(w))
-    islanded
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("p")).as("s"), max(col("e")).as("e"),
         count(lit(1)).as("n_anchors"), max(col("__len")).as("doc_len"))
@@ -807,6 +818,91 @@ object TextDedup {
       .select(col(idCol),
         coalesce(col("__clean"), col("__t")).as("clean_text"),
         col("__len").as("__orig_len"))
+  }
+
+  // ----------------------------------------- incremental span state
+
+  /** The stored ExactSubstr state a periodic-crawl pipeline keeps
+    * between runs: the per-position anchor table, the global gram
+    * counts, and the merged duplicated spans. The same O(delta)
+    * contract as [[ShingleState]]: maintenance re-anchors text ONLY
+    * for the delta, and every big-table touch is a broadcast-filtered
+    * scan. */
+  final case class SpanState(anchors: DataFrame, counts: DataFrame,
+      spans: DataFrame) {
+    def release(): Unit =
+      Seq(anchors, counts, spans).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Full-run state build — spans identical to
+    * [[duplicateSpanList]]. */
+  def spanState(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 40): SpanState = {
+    val anchors = anchorsOf(docs, idCol, textCol, l)
+    val counts = anchors.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val dup = anchors.join(counts.filter(col("cnt") >= 2).select("h"),
+      Seq("h"), "left_semi")
+    SpanState(anchors, counts, islandMerge(dup, idCol, l))
+  }
+
+  /** O(delta) maintenance of [[SpanState]] through removed / changed /
+    * added documents (a changed doc appears in BOTH removedIds and
+    * addedDocs, with its new text). Only the delta is re-anchored; the
+    * stored anchor table is scanned with broadcast semi/anti filters,
+    * never shuffled. Span recompute is restricted to DIRTY docs — the
+    * delta docs plus owners of any gram whose duplicated-validity
+    * (count >= 2) flipped — which is exactly the set whose spans can
+    * change: a clean doc's anchors are untouched and each of its
+    * grams kept its validity, so its merged spans are byte-identical.
+    * Every intermediate below is O(delta)-bounded. */
+  def incrementalSpanState(state: SpanState, removedIds: DataFrame,
+      addedDocs: DataFrame, idCol: String, textCol: String,
+      l: Int = 40): SpanState = {
+    val rem = removedIds.select(col(idCol))
+    val remAnchors = state.anchors.join(broadcast(rem), Seq(idCol), "left_semi")
+    val addAnchors = anchorsOf(addedDocs, idCol, textCol, l)
+    val anchorsNew = state.anchors.join(broadcast(rem), Seq(idCol), "left_anti")
+      .union(addAnchors)
+
+    val deltaCounts = addAnchors.groupBy("h").agg(count(lit(1)).as("__plus"))
+      .join(remAnchors.groupBy("h").agg(count(lit(1)).as("__minus")),
+        Seq("h"), "full_outer")
+    val deltaKeys = broadcast(deltaCounts.select("h"))
+    val touchedOld = state.counts.join(deltaKeys, Seq("h"), "left_semi")
+    val mergedTouched = touchedOld.join(deltaCounts, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__plus"), lit(0L))
+          - coalesce(col("__minus"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+    val countsNew = state.counts.join(deltaKeys, Seq("h"), "left_anti")
+      .union(mergedTouched)
+
+    val flipped = touchedOld.select(col("h"), (col("cnt") >= 2).as("__vo"))
+      .join(mergedTouched.select(col("h"), (col("cnt") >= 2).as("__vn")),
+        Seq("h"), "full_outer")
+      .filter(coalesce(col("__vo"), lit(false)) =!=
+        coalesce(col("__vn"), lit(false)))
+      .select("h")
+    val dirty = anchorsNew.join(broadcast(flipped), Seq("h"), "left_semi")
+      .select(col(idCol))
+      .union(addedDocs.select(col(idCol)))
+      .distinct()
+
+    val dirtyAnchors = anchorsNew.join(broadcast(dirty), Seq(idCol),
+      "left_semi")
+    val dirtyGramKeys = broadcast(dirtyAnchors.select("h").distinct())
+    val validDirty = mergedTouched.filter(col("cnt") >= 2).select("h")
+      .join(dirtyGramKeys, Seq("h"), "left_semi")
+      .union(state.counts.filter(col("cnt") >= 2)
+        .join(deltaKeys, Seq("h"), "left_anti").select("h")
+        .join(dirtyGramKeys, Seq("h"), "left_semi"))
+    val dirtySpans = islandMerge(
+      dirtyAnchors.join(broadcast(validDirty), Seq("h"), "left_semi"),
+      idCol, l)
+    val gone = broadcast(dirty.union(rem).distinct())
+    val spansNew = state.spans.join(gone, Seq(idCol), "left_anti")
+      .union(dirtySpans)
+    SpanState(anchorsNew, countsNew, spansNew)
   }
 
   // ------------------------------------------------ incremental dedup

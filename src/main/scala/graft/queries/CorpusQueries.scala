@@ -182,6 +182,64 @@ object CorpusQueries {
             coalesce(col("avg_logp"), lit(-99.0)) >= -3.42 &&
             coalesce(col("kept_sem"), lit(false))).as("selected"))
         .orderBy("doc_id")
+    }),
+
+    // Incremental ExactSubstr (ops/TextDedup.incrementalSpanState):
+    // the q162 O(delta) pattern applied to the span layer — the stored
+    // (anchors, counts, spans) state maintained through the same
+    // removed/changed/added crawl delta, with the delta-run span set
+    // require'd EQUAL to a from-scratch rebuild in one full-outer-join
+    // job, and the resulting summary hash-matched against DuckDB's
+    // full-run replay over the new corpus: delta-Spark vs full-SQL,
+    // two engines AND two algorithms.
+    "q177_incremental_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldCorpus = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newCorpus = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val built = graft.ops.TextDedup.spanState(oldCorpus, "doc_id", "text",
+        l = 40)
+      val st = graft.ops.TextDedup.SpanState(built.anchors.persist(),
+        built.counts.persist(), built.spans.persist())
+      val removedIds = oldCorpus
+        .filter(col("doc_id") % 13 === 0 || col("doc_id") % 5 === 0)
+        .select("doc_id")
+      val addedDocs = newCorpus
+        .filter(col("doc_id") % 11 === 0 || col("doc_id") % 5 === 0)
+      val inc = graft.ops.TextDedup.incrementalSpanState(st, removedIds,
+        addedDocs, "doc_id", "text", l = 40)
+      val incSpans = inc.spans.persist()
+      val full = graft.ops.TextDedup.duplicateSpanList(newCorpus, "doc_id",
+        "text", l = 40)
+      // one-job two-sided equivalence pin on the full span rows
+      val diff = incSpans
+        .withColumnRenamed("e", "e_i").withColumnRenamed("n_anchors", "na_i")
+        .withColumnRenamed("doc_len", "dl_i")
+        .join(full.withColumnRenamed("e", "e_f")
+            .withColumnRenamed("n_anchors", "na_f")
+            .withColumnRenamed("doc_len", "dl_f"),
+          Seq("doc_id", "s"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("e_f").isNull || col("e_i") =!= col("e_f") ||
+            col("na_i") =!= col("na_f") || col("dl_i") =!= col("dl_f"), 1L)
+            .otherwise(0L)), lit(0L)).as("extra"),
+          coalesce(sum(when(col("e_i").isNull || col("e_i") =!= col("e_f") ||
+            col("na_i") =!= col("na_f") || col("dl_i") =!= col("dl_f"), 1L)
+            .otherwise(0L)), lit(0L)).as("missing"))
+        .head()
+      require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
+        s"incremental spans diverged from full rebuild: " +
+          s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
+      Memos.track(s"corpus:incspans:$dir",
+        Set("q177_incremental_spans"), incSpans) { () =>
+        incSpans.unpersist(); inc.anchors.unpersist(); inc.counts.unpersist()
+        st.release(); ()
+      }
+      graft.ops.TextDedup.duplicateSpans(incSpans, "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -567,6 +625,45 @@ object CorpusQueries {
          |LEFT JOIN fracs f USING (doc_id)
          |LEFT JOIN lm l USING (doc_id)
          |LEFT JOIN sem s2 USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q177_incremental_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |), base AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM corpus
+        |), an AS (
+        |  SELECT doc_id, len, CAST(p AS BIGINT) AS p,
+        |    substring(md5(substring(text, p, 40)), 1, 16) AS h
+        |  FROM (SELECT doc_id, text, len,
+        |          unnest(list_transform(range(1, CAST(len AS INT) - 38),
+        |                                x -> CAST(x AS INT))) AS p
+        |        FROM base WHERE len >= 40)
+        |), dh AS (
+        |  SELECT h FROM an GROUP BY h HAVING COUNT(*) >= 2
+        |), dup AS (
+        |  SELECT an.doc_id, an.len, an.p, an.p + 39 AS e FROM an JOIN dh USING (h)
+        |), brk AS (
+        |  SELECT doc_id, len, p, e,
+        |    CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, len, p, e,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM brk
+        |), merged AS (
+        |  SELECT doc_id, MAX(len) AS len, island, MIN(p) AS s, MAX(e) AS e,
+        |    COUNT(*) AS na
+        |  FROM isl GROUP BY doc_id, island
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(na) AS BIGINT) AS n_dup_anchors,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+        |  ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(len), 6) AS dup_frac
+        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

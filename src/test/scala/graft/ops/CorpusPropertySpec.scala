@@ -118,6 +118,53 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: incrementalSpanState == full rebuild across random deltas") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 401 + 13)
+      val oldCorpus = randomCorpus(seed * 977 + 29, 16)
+      // random delta: drop some docs, rewrite some (which can both
+      // create and destroy duplications), add brand-new docs
+      val dropped = oldCorpus.map(_._1).filter(_ => rnd.nextInt(5) == 0).toSet
+      val changed = oldCorpus.map(_._1)
+        .filter(id => !dropped(id) && rnd.nextInt(4) == 0).toSet
+      val newDocs = (100L to 102L).map(i =>
+        i -> oldCorpus(rnd.nextInt(oldCorpus.size))._2.take(30))
+      val newCorpus = oldCorpus.filterNot(d => dropped(d._1))
+        .map { case (id, t) =>
+          id -> (if (changed(id)) t.reverse + "xx" else t)
+        } ++ newDocs
+      val oldDf = oldCorpus.toDF("doc_id", "text")
+      val newDf = newCorpus.toDF("doc_id", "text")
+      val l = 6
+      val built = TextDedup.spanState(oldDf, "doc_id", "text", l)
+      val st = TextDedup.SpanState(built.anchors.persist(),
+        built.counts.persist(), built.spans.persist())
+      val removedIds = (dropped ++ changed).toSeq.toDF("doc_id")
+      val addedDocs = newCorpus
+        .filter(d => changed(d._1) || d._1 >= 100L).toDF("doc_id", "text")
+      val inc = TextDedup.incrementalSpanState(st, removedIds, addedDocs,
+        "doc_id", "text", l)
+      def spanSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val got = spanSet(inc.spans)
+      val want = spanSet(TextDedup.duplicateSpanList(newDf, "doc_id", "text", l))
+      assert(got == want, s"seed $seed: delta-run spans diverged")
+      // the maintained counts must equal a fresh count over the new corpus
+      val gotCounts = inc.counts.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantCounts = newDf
+        .select(org.apache.spark.sql.functions.expr(
+          "explode(sequence(1, length(text) - 5)) AS p"), $"text")
+        .selectExpr("substring(md5(CAST(substring(text, p, 6) AS BINARY)), 1, 16) AS h")
+        .groupBy("h").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotCounts == wantCounts, s"seed $seed: counts diverged")
+      st.release()
+    }
+  }
+
   test("property: lmScore == brute-force bigram reference") {
     import spark.implicits._
     (1 to 5).foreach { seed =>
