@@ -176,7 +176,8 @@ object Bench {
       "q162_incremental_dedup" -> 5.5, "q125_runner_e2e" -> 5.1,
       "q169_hybrid_identity" -> 8.3, "q170_semantic_dedup" -> 3.5,
       "q173_minhash_replay" -> 2.5, "q131_smart_export" -> 2.4,
-      "q175_simhash_replay" -> 8.8,
+      "q175_simhash_replay" -> 8.8, "q177_incremental_spans" -> 21.9,
+      "q176_curation_e2e" -> 2.7,
       "q136_streaming_mart" -> 4.4, "q167_streaming_dedup" -> 3.9,
       "q56_exact_subset" -> 2.3, "q46_statstop_equiv" -> 2.2,
       "q45_stats_mass" -> 2.1, "q67_query_exact" -> 2.1,

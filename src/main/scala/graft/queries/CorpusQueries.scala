@@ -235,8 +235,7 @@ object CorpusQueries {
           s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
       Memos.track(s"corpus:incspans:$dir",
         Set("q177_incremental_spans"), incSpans) { () =>
-        incSpans.unpersist(); inc.anchors.unpersist(); inc.counts.unpersist()
-        st.release(); ()
+        incSpans.unpersist(); inc.release(); st.release(); ()
       }
       graft.ops.TextDedup.duplicateSpans(incSpans, "doc_id")
         .orderBy("doc_id")
