@@ -354,3 +354,70 @@ object ProfileCorpus {
     spark.stop()
   }
 }
+
+/** Incremental-span O(delta) payoff, the [[ProfileDelta]] counterpart
+  * for the char-level state: shuffle volume of maintaining SpanState
+  * through a ~10% delta vs rebuilding from scratch. */
+object ProfileSpanDelta {
+  import ProfileCurves._
+
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def drain(): Long = bytes.getAndSet(0L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-span-delta")
+    import graft.ops.TextDedup
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).persist()
+    base.count()
+    val removedPred = col("doc_id") % 25 === 0
+    val changedPred = col("doc_id") % 23 === 0 && col("doc_id") % 25 =!= 0
+    val newCorpus = base.filter(!removedPred)
+      .select(col("doc_id"),
+        when(changedPred, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .persist()
+    newCorpus.count()
+    meter.drain()
+
+    // stored state (persisted + materialized, as a warehouse would be)
+    val built = TextDedup.spanState(base, "doc_id", "text", 40)
+    val st = TextDedup.SpanState(built.anchors.persist(),
+      built.counts.persist(), built.spans.persist())
+    val tState = timed {
+      st.anchors.count(); st.counts.count(); st.spans.count()
+    }
+    val bState = meter.drain()
+
+    val removedIds = base.filter(removedPred || changedPred).select("doc_id")
+    val addedDocs = newCorpus.filter(changedPred)
+    val tDelta = timed {
+      val inc = TextDedup.incrementalSpanState(st, removedIds, addedDocs,
+        "doc_id", "text", 40)
+      inc.spans.persist().count()
+      inc.anchors.count(); inc.counts.count()
+    }
+    val bDelta = meter.drain()
+
+    val tFull = timed {
+      val f = TextDedup.spanState(newCorpus, "doc_id", "text", 40)
+      f.spans.persist().count()
+      f.anchors.persist().count(); f.counts.persist().count()
+    }
+    val bFull = meter.drain()
+
+    println(f"""{"metric":"span_delta","state_build_s":$tState%.2f,"state_shuffle_mb":${bState / 1e6}%.1f,"delta_s":$tDelta%.2f,"delta_shuffle_mb":${bDelta / 1e6}%.1f,"full_s":$tFull%.2f,"full_shuffle_mb":${bFull / 1e6}%.1f,"ratio":${bDelta.toDouble / bFull}%.3f}""")
+    spark.stop()
+  }
+}
