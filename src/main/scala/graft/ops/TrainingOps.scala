@@ -221,6 +221,43 @@ object TrainingOps {
       .withColumn("ppl", round(exp(-col("avg_logp")), 3))
   }
 
+  // --------------------------------------------- source overlap matrix
+
+  /** Cross-source contamination matrix — for every pair of corpus
+    * sources, how many distinct word shingles they share, with a
+    * containment ratio (shared / smaller side). The corpus-analytics
+    * report behind mixture decisions: a web source that contains most
+    * of a "books" source's shingles is re-crawled content, not new
+    * signal, and double-weighting both would duplicate training data.
+    *
+    * 100 TB shape: one combinable (source, digest) DISTINCT aggregate
+    * — shingles leave the scan as md5 digests, never text — then a
+    * digest-keyed self-join whose per-digest fan-out is bounded by the
+    * SOURCE count (dozens), never the corpus; totals broadcast back
+    * onto the pair rows. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String,
+      sourceCol: String, shingleN: Int = 3): DataFrame = {
+    val grams = docs.select(col(sourceCol).as("source"),
+        explode(TextDedup.shinglesOf(
+          TextDedup.tokensOf(col(textCol)), shingleN)).as("g"))
+      .select(col("source"), md5(col("g").cast("binary")).as("h"))
+      .distinct()
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .join(broadcast(totals.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_grams"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared_grams").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("containment"))
+  }
+
   // -------------------------------------------------- train/val split
 
   /** Deterministic train/validation/test split — the assignment every

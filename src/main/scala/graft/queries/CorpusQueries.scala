@@ -239,6 +239,17 @@ object CorpusQueries {
       }
       graft.ops.TextDedup.duplicateSpans(incSpans, "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Cross-source contamination matrix
+    // (ops/TrainingOps.sourceOverlapMatrix): distinct shared shingles
+    // + containment ratio for every source pair — the corpus report
+    // behind mixture weighting. Digest-only distinct aggregate, then a
+    // digest-keyed self-join bounded by the source count per digest.
+    "q178_source_overlap" -> ((s, dir) => {
+      graft.ops.TrainingOps.sourceOverlapMatrix(docs(s, dir), "text",
+          "source", shingleN = 3)
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -663,6 +674,37 @@ object CorpusQueries {
         |  CAST(SUM(na) AS BIGINT) AS n_dup_anchors,
         |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
         |  ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(len), 6) AS dup_frac
-        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q178_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS toks
+        |  FROM documents
+        |), gr AS (
+        |  SELECT DISTINCT source, md5(g) AS h FROM (
+        |    SELECT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        |    FROM (SELECT source, toks,
+        |            unnest(list_transform(range(1, CAST(len(toks) AS INT) - 1),
+        |                                  x -> CAST(x AS INT))) AS i
+        |          FROM tok WHERE len(toks) >= 3)
+        |    UNION ALL
+        |    SELECT source, array_to_string(toks, ' ') AS g
+        |    FROM tok WHERE len(toks) < 3)
+        |), tot AS (
+        |  SELECT source, COUNT(*) AS n FROM gr GROUP BY source
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |  FROM gr a JOIN gr b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.src_a, p.src_b,
+        |  CAST(p.n_shared AS BIGINT) AS n_shared_grams,
+        |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+        |  ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(ta.n, tb.n), 6) AS containment
+        |FROM pairs p
+        |JOIN tot ta ON p.src_a = ta.source
+        |JOIN tot tb ON p.src_b = tb.source
+        |ORDER BY p.src_a, p.src_b""".stripMargin
   )
 }

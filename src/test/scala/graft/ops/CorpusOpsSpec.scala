@@ -101,6 +101,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(TextDedup.duplicateSpans(re, "doc_id", "text", l = 40).count() == 0)
   }
 
+  test("sourceOverlapMatrix: planted overlap measured exactly, disjoint sources absent") {
+    import spark.implicits._
+    // srcA and srcB share one 5-token run (3 shared trigrams);
+    // srcC is vocabulary-disjoint from both.
+    val shared = "k1 k2 k3 k4 k5"
+    val df = Seq(
+      (1L, "a1 a2 a3 " + shared, "srcA"),
+      (2L, "b1 b2 " + shared + " b3", "srcB"),
+      (3L, "c1 c2 c3 c4 c5 c6", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val out = TrainingOps.sourceOverlapMatrix(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // srcA trigrams: 6 total; srcB: 7; shared trigrams = the 3 inside
+    // the k-run ("k1 k2 k3","k2 k3 k4","k3 k4 k5")
+    assert(out.keySet == Set(("srcA", "srcB")), out.keySet)
+    assert(out(("srcA", "srcB"))._1 == 3L)
+    assert(out(("srcA", "srcB"))._2 == 0.5,
+      "containment = 3 shared / min(6, 7)")
+  }
+
   test("minHashCandidatesMd5: exact copies collide 16/16 in every band; disjoint-vocab docs never pair") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
