@@ -304,11 +304,21 @@ object ProfileCorpus {
 
   private def blowupEmb(emb: DataFrame, times: Int): DataFrame =
     (0 until times).map { i =>
+      // replica i's sign mask flips dim d iff bit (d mod 5) of i is
+      // set — distinct masks for every i < 32 (an earlier (d+i)%5==0
+      // mask repeated every 5 replicas, making replicas i and i+5
+      // bit-identical and flooding the 16x curve point with exact
+      // cross-replica duplicates)
       emb.select((col("vec_id") + i.toLong * 10000000L).as("vec_id"),
         (if (i == 0) col("embedding")
          else zip_with(col("embedding"),
            sequence(lit(0), size(col("embedding")) - 1),
-           (v, d) => when((d + i) % 5 === 0, -v).otherwise(v)))
+           (v, d) => {
+             val flip = (0 until 5)
+               .map(b => d % 5 === b && lit(((i >> b) & 1) == 1))
+               .reduce(_ || _)
+             when(flip, -v).otherwise(v)
+           }))
           .as("embedding"))
     }.reduce(_.unionByName(_))
 

@@ -727,15 +727,28 @@ object TextDedup {
     * merges two distinct grams with probability far below the
     * float-format noise floor of everything else in the battery. */
   private def anchorsOf(docs: DataFrame, idCol: String, textCol: String,
-      l: Int): DataFrame =
+      l: Int): DataFrame = {
+    // two-level explode: a single sequence(1, len) would materialize
+    // an 8-bytes-per-character array PER ROW before exploding — a
+    // 100 MB document allocates ~800 MB for one row (and sequence
+    // hard-fails past 2^31 elements). Chunking bounds the per-row
+    // allocation at 64 Ki positions regardless of document size; the
+    // emitted (position, digest) rows are identical.
+    val chunk = 65536L
     docs.select(col(idCol), col(textCol).as("__t"),
         length(col(textCol)).cast("long").as("__len"))
       .filter(col("__len") >= l)
       .select(col(idCol), col("__len"), col("__t"),
-        explode(sequence(lit(1L), col("__len") - (l - 1))).as("p"))
+        explode(sequence(lit(0L),
+          floor((col("__len") - lit(l.toLong)) / chunk).cast("long")))
+          .as("__c"))
+      .select(col(idCol), col("__len"), col("__t"),
+        explode(sequence(col("__c") * chunk + 1,
+          least((col("__c") + 1) * chunk, col("__len") - (l - 1)))).as("p"))
       .withColumn("h",
         substring(md5(expr(s"substring(__t, p, $l)").cast("binary")), 1, 16))
-      .drop("__t")
+      .drop("__t", "__c")
+  }
 
   /** Gaps-and-islands merge of duplicated anchors into maximal spans
     * — input (idCol, __len, p), output (idCol, s, e, n_anchors,
@@ -859,7 +872,17 @@ object TextDedup {
     * Every intermediate below is O(delta)-bounded. */
   def incrementalSpanState(state: SpanState, removedIds: DataFrame,
       addedDocs: DataFrame, idCol: String, textCol: String,
-      l: Int = 40): SpanState = {
+      l: Int = 40, hintBroadcastDelta: Boolean = true): SpanState = {
+    // The explicit broadcast hints assume the DELTA-derived side sets
+    // (doc ids, touched gram digests) fit the broadcast ceiling — the
+    // daily-crawl regime these plans are built for, where AQE cannot
+    // convert (the joins sit under persist()). When the delta itself
+    // is warehouse-scale, pass hintBroadcastDelta = false and keep the
+    // state tables BUCKETED by their join keys: the same semi/anti
+    // joins then co-locate without any shuffle and without a driver
+    // collect.
+    def bc(df: DataFrame): DataFrame =
+      if (hintBroadcastDelta) broadcast(df) else df
     // every O(delta) frame with more than one consumer is persisted
     // (returned via `internals` for release) — without the caches each
     // reference replays the delta re-anchoring and the broadcast-
@@ -868,9 +891,9 @@ object TextDedup {
     // the q177 battery entry at sf0.1). The returned anchors/counts
     // come back persisted: they are the next run's state tables.
     val rem = removedIds.select(col(idCol))
-    val remAnchors = state.anchors.join(broadcast(rem), Seq(idCol), "left_semi")
+    val remAnchors = state.anchors.join(bc(rem), Seq(idCol), "left_semi")
     val addAnchors = anchorsOf(addedDocs, idCol, textCol, l).persist()
-    val anchorsNew = state.anchors.join(broadcast(rem), Seq(idCol), "left_anti")
+    val anchorsNew = state.anchors.join(bc(rem), Seq(idCol), "left_anti")
       .union(addAnchors)
       .persist()
 
@@ -878,7 +901,7 @@ object TextDedup {
       .join(remAnchors.groupBy("h").agg(count(lit(1)).as("__minus")),
         Seq("h"), "full_outer")
       .persist()
-    val deltaKeys = broadcast(deltaCounts.select("h"))
+    val deltaKeys = bc(deltaCounts.select("h"))
     val touchedOld = state.counts.join(deltaKeys, Seq("h"), "left_semi")
       .persist()
     val mergedTouched = touchedOld.join(deltaCounts, Seq("h"), "full_outer")
@@ -897,25 +920,25 @@ object TextDedup {
       .filter(coalesce(col("__vo"), lit(false)) =!=
         coalesce(col("__vn"), lit(false)))
       .select("h")
-    val dirty = anchorsNew.join(broadcast(flipped), Seq("h"), "left_semi")
+    val dirty = anchorsNew.join(bc(flipped), Seq("h"), "left_semi")
       .select(col(idCol))
       .union(addedDocs.select(col(idCol)))
       .distinct()
       .persist()
 
-    val dirtyAnchors = anchorsNew.join(broadcast(dirty), Seq(idCol),
+    val dirtyAnchors = anchorsNew.join(bc(dirty), Seq(idCol),
         "left_semi")
       .persist()
-    val dirtyGramKeys = broadcast(dirtyAnchors.select("h").distinct())
+    val dirtyGramKeys = bc(dirtyAnchors.select("h").distinct())
     val validDirty = mergedTouched.filter(col("cnt") >= 2).select("h")
       .join(dirtyGramKeys, Seq("h"), "left_semi")
       .union(state.counts.filter(col("cnt") >= 2)
         .join(deltaKeys, Seq("h"), "left_anti").select("h")
         .join(dirtyGramKeys, Seq("h"), "left_semi"))
     val dirtySpans = islandMerge(
-      dirtyAnchors.join(broadcast(validDirty), Seq("h"), "left_semi"),
+      dirtyAnchors.join(bc(validDirty), Seq("h"), "left_semi"),
       idCol, l)
-    val gone = broadcast(dirty.union(rem).distinct())
+    val gone = bc(dirty.union(rem).distinct())
     val spansNew = state.spans.join(gone, Seq(idCol), "left_anti")
       .union(dirtySpans)
     SpanState(anchorsNew, countsNew, spansNew,
@@ -984,14 +1007,22 @@ object TextDedup {
     * run, but only over grams owned by dirty documents. */
   def incrementalShingleState(state: ShingleState, removedIds: DataFrame,
       addedDocs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2): ShingleState = {
+      shingleN: Int = 5, maxDf: Int = 8, minShared: Int = 2,
+      hintBroadcastDelta: Boolean = true): ShingleState = {
+    // Same hint contract as incrementalSpanState: the delta-derived
+    // side sets are force-broadcast because AQE cannot convert joins
+    // under persist() — correct while the delta fits the broadcast
+    // ceiling (the daily-crawl regime). For warehouse-scale deltas
+    // pass false and bucket the state tables by their join keys.
+    def bc(df: DataFrame): DataFrame =
+      if (hintBroadcastDelta) broadcast(df) else df
     // the removed-id set is O(delta) — broadcast it at the join sites
     // so the stored gram table is SCANNED (filtered map-side), never
     // shuffled, for both the departing-grams slice and the
     // carried-forward remainder
     val rem = removedIds.select(col(idCol).as("doc_id"))
     val gramsAdd = gramHashes(addedDocs, idCol, textCol, shingleN)
-    val gramsRem = state.grams.join(broadcast(rem), Seq("doc_id"), "left_semi")
+    val gramsRem = state.grams.join(bc(rem), Seq("doc_id"), "left_semi")
     // persist the two RETURNED state tables: they are the next run's
     // inputs anyway, and everything below (dirty set, valid-gram
     // restriction, recompute join — several consumers each) derives
@@ -999,7 +1030,7 @@ object TextDedup {
     // delta explode and the df merge from scratch (measured 4x the
     // whole maintenance cost at sf0.1). The caller owns the release,
     // exactly as with a full-run state build.
-    val gramsNew = state.grams.join(broadcast(rem), Seq("doc_id"), "left_anti")
+    val gramsNew = state.grams.join(bc(rem), Seq("doc_id"), "left_anti")
       .union(gramsAdd)
       .persist()
 
@@ -1030,7 +1061,7 @@ object TextDedup {
     // join that shuffled the FULL state table (six ~32 MB corpus-wide
     // shuffles per delta run at sf0.1 x10, measured). The hinted sides
     // are persisted and O(delta)-bounded.
-    val deltaGramKeys0 = broadcast(dfDelta.select("gram"))
+    val deltaGramKeys0 = bc(dfDelta.select("gram"))
     val touchedOld = state.df.join(deltaGramKeys0, Seq("gram"), "left_semi")
     val mergedTouched = touchedOld.join(dfDelta, Seq("gram"), "full_outer")
       .select(col("gram"),
@@ -1053,14 +1084,14 @@ object TextDedup {
       .select("gram")
 
     // dirty = delta docs + owners of any validity-flipped gram
-    val dirty = gramsNew.join(broadcast(flipped), Seq("gram"), "left_semi")
+    val dirty = gramsNew.join(bc(flipped), Seq("gram"), "left_semi")
       .select("doc_id")
       .union(gramsAdd.select("doc_id"))
       .distinct()
       .persist()
 
     // carry over pairs whose endpoints are both clean AND both survive
-    val dirtyOrGone = broadcast(dirty.union(rem).distinct())
+    val dirtyOrGone = bc(dirty.union(rem).distinct())
     // explicit re-select: each USING-join moves its key column first,
     // and the union below is position-based
     val cleanPairs = state.pairs
@@ -1079,16 +1110,16 @@ object TextDedup {
     // not O(corpus)). distinct on (pair, gram) collapses the symmetric
     // double-count when BOTH endpoints are dirty; grams are per-doc
     // distinct already.
-    val dirtyGramKeys = gramsNew.join(broadcast(dirty), Seq("doc_id"),
+    val dirtyGramKeys = gramsNew.join(bc(dirty), Seq("doc_id"),
         "left_semi")
       .select("gram").distinct()
       .persist()
     val validTouched = mergedTouched.filter(valid(col("df")))
-      .join(broadcast(dirtyGramKeys), Seq("gram"), "left_semi")
+      .join(bc(dirtyGramKeys), Seq("gram"), "left_semi")
       .select("gram")
       .union(state.df.filter(valid(col("df")))
         .join(deltaGramKeys0, Seq("gram"), "left_anti")
-        .join(broadcast(dirtyGramKeys), Seq("gram"), "left_semi")
+        .join(bc(dirtyGramKeys), Seq("gram"), "left_semi")
         .select("gram"))
     // every valid gram occurrence owned by a dirty gram key, flagged
     // with whether its OWNER doc is dirty — the flag lets the pair join
@@ -1098,8 +1129,8 @@ object TextDedup {
     // dedup-by-distinct shuffled an (id_a, id_b, gram) triple per
     // shared gram — the delta run's single biggest shuffle.
     val rgFlagged = gramsNew
-      .join(broadcast(validTouched), "gram")
-      .join(broadcast(dirty.withColumn("is_dirty", lit(true))),
+      .join(bc(validTouched), "gram")
+      .join(bc(dirty.withColumn("is_dirty", lit(true))),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("gram"),
         coalesce(col("is_dirty"), lit(false)).as("is_dirty"))

@@ -125,7 +125,17 @@ object VectorOps {
     * value); the keep rule is "drop iff a smaller-id vector in the same
     * cluster has cosine >= tau" — greedy by id instead of the paper's
     * distance-to-centroid order, so the result is independent of
-    * partitioning and provable in SQL. For production accuracy swap the
+    * partitioning and provable in SQL. Note the rule tests against ALL
+    * smaller-id neighbors, dropped ones included, so a similarity
+    * CHAIN a~b~c (with a,c dissimilar) keeps only a — more aggressive
+    * than the paper's keep-set-greedy, which would retain c. That is a
+    * deliberate trade: keep-set-greedy is inherently sequential (kept
+    * is defined in terms of kept), while this rule is one
+    * self-join; at the paper's tau (~0.95+) near-dup chains are
+    * near-equivalence-classes and the two rules converge. Where chain
+    * semantics matter, form explicit clusters with
+    * [[TextDedup.connectedComponents]] over the >= tau pair list and
+    * apply any keep policy per component. For production accuracy swap the
     * seed step for [[ivfBuild]] centroids; the prune stage is unchanged.
     *
     * At 100 TB: seeds are a k-row broadcast; assignment is map-only;

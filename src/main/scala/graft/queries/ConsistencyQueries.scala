@@ -322,10 +322,11 @@ object ConsistencyQueries {
 
       d1.select(col("bad").as("diff_assemble"), col("n").as("n1"))
         .crossJoin(d2.select(col("bad").as("diff_single"), col("n").as("n2")))
-        .crossJoin(d3.select(col("bad").as("diff_span")))
+        .crossJoin(d3.select(col("bad").as("diff_span"), col("n").as("n3")))
         // non-vacuity: every identity must have compared actual cells
+        // (all THREE — a diff of two empty sides is vacuously zero)
         .select(col("diff_assemble"), col("diff_single"), col("diff_span"),
-          (col("n1") > 0 && col("n2") > 0).as("nonempty"))
+          (col("n1") > 0 && col("n2") > 0 && col("n3") > 0).as("nonempty"))
     })
   )
 

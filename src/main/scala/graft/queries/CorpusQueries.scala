@@ -107,7 +107,7 @@ object CorpusQueries {
     "q173_minhash_replay" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val copies = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       graft.ops.TextDedup.minHashCandidatesMd5(d.union(copies),
           "doc_id", "text", shingleN = 3, k = 16, bands = 4)
         .orderBy("id_a", "id_b")
@@ -134,9 +134,9 @@ object CorpusQueries {
     "q175_simhash_replay" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val copies = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val pert = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
+        .select((col("doc_id") + 20000000L).as("doc_id"),
           concat(col("text"), lit(" zz11 zz22 zz33")).as("text"))
       graft.ops.TextDedup.simHashCandidatesMd5(
           d.union(copies).union(pert), "doc_id", "text", maxHamming = 8)
@@ -377,7 +377,7 @@ object CorpusQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
          |), tok AS (
          |  SELECT doc_id,
          |    string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS toks
@@ -462,9 +462,9 @@ object CorpusQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id, text || ' zz11 zz22 zz33' AS text
+        |  SELECT doc_id + 20000000 AS doc_id, text || ' zz11 zz22 zz33' AS text
         |  FROM documents WHERE doc_id % 7 = 0
         |), tok AS (
         |  SELECT doc_id,
