@@ -202,6 +202,39 @@ class CorpusPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: sourceOverlapMatrix == brute-force set-intersection reference") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 131 + 19)
+      val docs = (1L to 30L).map { i =>
+        val src = s"s${rnd.nextInt(4)}"
+        val t = (0 until 8 + rnd.nextInt(20))
+          .map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+        (i, t, src)
+      }
+      def trigrams(t: String): Seq[String] = {
+        val toks = t.split(" ").toSeq
+        if (toks.size < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      val bySrc = docs.groupBy(_._3).map { case (s, ds) =>
+        s -> ds.flatMap(d => trigrams(d._2)).toSet
+      }
+      val expect = (for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+        shared = (bySrc(a) intersect bySrc(b)).size if shared > 0
+      } yield (a, b) -> (shared.toLong, bySrc(a).size.toLong,
+        bySrc(b).size.toLong)).toMap
+      val got = TrainingOps.sourceOverlapMatrix(
+          docs.toDF("doc_id", "text", "source"), "text", "source")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
+
   test("property: semDedup == brute-force seeded-assignment reference") {
     import spark.implicits._
     (1 to 5).foreach { seed =>
