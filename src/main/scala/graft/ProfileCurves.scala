@@ -48,6 +48,36 @@ object ProfileCurves {
     }.sorted
     ts(reps / 2)
   }
+
+  /** `times` pairwise-DISTINCT disjoint replicas of the docs table at
+    * the SAME per-replica shingle statistics: replica i's text is a
+    * composition of two letter rotations — the 10 most frequent
+    * letters rotated by i % 10 and the NEXT 10 most frequent rotated
+    * by i / 10. Each transform is a character bijection, so every
+    * replica's token/shingle df counts match the base corpus; the two
+    * disjoint alphabets make the composite map distinct for every
+    * i < 100 (a single period-10 rotation made replicas i and i + 10
+    * byte-identical, flooding the 16x curve point with exact
+    * cross-replica duplicates — r9 ADVICE). Cross-replica token sets
+    * stay (near-)disjoint: any token containing one of the 20 mapped
+    * letters differs between replicas, and 5-gram shingles without any
+    * of e,t,a,o,i,n,s,r,h,l,d,c,u,m,f,p,g,w,y,b are vanishingly
+    * rare in English-like text. */
+  def blowupDocs(docs: DataFrame, times: Int): DataFrame = {
+    val l1 = "etaoinsrhl"
+    val l2 = "dcumfpgwyb"
+    require(times <= 100, "blowupDocs replicas are distinct only for i < 100")
+    (0 until times).map { i =>
+      val r1 = l1.drop(i % 10) ++ l1.take(i % 10)
+      val g = i / 10
+      val r2 = l2.drop(g) ++ l2.take(g)
+      val t =
+        if (i == 0) col("text")
+        else translate(translate(col("text"), l1, r1), l2, r2)
+      docs.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
+        t.as("text"))
+    }.reduce(_.unionByName(_))
+  }
 }
 
 object ProfileDelta {
@@ -67,23 +97,13 @@ object ProfileDelta {
     def drain(): Long = bytes.getAndSet(0L)
   }
 
-  /** `times` disjoint replicas of the docs table at the SAME per-replica
-    * shingle statistics: replica i's text goes through a letter
-    * rotation (translate of the 10 most frequent letters), so its
-    * token/shingle sets are disjoint from every other replica's — df
-    * counts per replica match the base corpus instead of multiplying
-    * (a plain copy would push every common gram's corpus-df over maxDf
-    * and hollow the pair join out). */
-  private def blowup(docs: DataFrame, times: Int): DataFrame = {
-    val letters = "etaoinsrhl"
-    (0 until times).map { i =>
-      val rot = letters.drop(i % letters.length) ++
-        letters.take(i % letters.length)
-      docs.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
-        (if (i == 0) col("text")
-         else translate(col("text"), letters, rot)).as("text"))
-    }.reduce(_.unionByName(_))
-  }
+  /** Disjoint distinct replicas at base-corpus per-replica shingle
+    * statistics — see [[ProfileCurves.blowupDocs]] (a plain copy would
+    * push every common gram's corpus-df over maxDf and hollow the pair
+    * join out; the shared helper also keeps replicas i and i + 10
+    * distinct, which the old single-rotation version did not). */
+  private def blowup(docs: DataFrame, times: Int): DataFrame =
+    blowupDocs(docs, times)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -291,18 +311,10 @@ object ProfileCorpus {
     def drain(): Long = bytes.getAndSet(0L)
   }
 
-  private def blowupDocs(docs: DataFrame, times: Int): DataFrame = {
-    val letters = "etaoinsrhl"
-    (0 until times).map { i =>
-      val rot = letters.drop(i % letters.length) ++
-        letters.take(i % letters.length)
-      docs.select((col("doc_id") + i.toLong * 10000000L).as("doc_id"),
-        (if (i == 0) col("text")
-         else translate(col("text"), letters, rot)).as("text"))
-    }.reduce(_.unionByName(_))
-  }
+  private def blowupDocs(docs: DataFrame, times: Int): DataFrame =
+    ProfileCurves.blowupDocs(docs, times)
 
-  private def blowupEmb(emb: DataFrame, times: Int): DataFrame =
+  private[graft] def blowupEmb(emb: DataFrame, times: Int): DataFrame =
     (0 until times).map { i =>
       // replica i's sign mask flips dim d iff bit (d mod 5) of i is
       // set — distinct masks for every i < 32 (an earlier (d+i)%5==0
@@ -357,10 +369,79 @@ object ProfileCorpus {
         VectorOps.semDedup(emb, "vec_id", "embedding",
           k = 16 * times, tau = 0.4)))
       val bSem = meter.drain()
+      // the production KMeans-centroid variant at the same k — the
+      // curve that shows the seeded assignment's N x k Catalyst-cosine
+      // quadratic broken (same prune stage, vectorized assignment)
+      val tIvfSem = timed(noop(
+        VectorOps.ivfSemDedup(emb, "vec_id", "embedding",
+          nlist = 16 * times, tau = 0.4)))
+      val bIvfSem = meter.drain()
 
-      println(f"""{"metric":"corpus_scale_curve","m":$times,"n_docs":$nDocs,"n_vecs":$nVecs,"spans_s":$tSpans%.2f,"spans_shuffle_mb":${bSpans / 1e6}%.1f,"minhash_s":$tMinhash%.2f,"minhash_shuffle_mb":${bMinhash / 1e6}%.1f,"lm_s":$tLm%.2f,"lm_shuffle_mb":${bLm / 1e6}%.1f,"semdedup_s":$tSem%.2f,"semdedup_shuffle_mb":${bSem / 1e6}%.1f}""")
+      println(f"""{"metric":"corpus_scale_curve","m":$times,"n_docs":$nDocs,"n_vecs":$nVecs,"spans_s":$tSpans%.2f,"spans_shuffle_mb":${bSpans / 1e6}%.1f,"minhash_s":$tMinhash%.2f,"minhash_shuffle_mb":${bMinhash / 1e6}%.1f,"lm_s":$tLm%.2f,"lm_shuffle_mb":${bLm / 1e6}%.1f,"semdedup_s":$tSem%.2f,"semdedup_shuffle_mb":${bSem / 1e6}%.1f,"ivfsemdedup_s":$tIvfSem%.2f,"ivfsemdedup_shuffle_mb":${bIvfSem / 1e6}%.1f}""")
       docs.unpersist(); emb.unpersist(); System.gc()
     }
+    spark.stop()
+  }
+}
+
+/** IVF recall/latency trade — the one ANN quality number the battery
+  * does not pin: q59 proves nprobe = nlist ≡ brute force exactly, but
+  * nothing records what partial probing actually buys. This measures
+  * recall@10 and median probe wall against brute-force ground truth
+  * over the 16x embedding fixture for nprobe in {1, 2, 4, 8}.
+  * Run by hand; results recorded in PERF.md. */
+object ProfileIvfRecall {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-ivf-recall")
+    import graft.ops.VectorOps
+
+    val m = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val emb = ProfileCorpus.blowupEmb(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")), m)
+      .persist()
+    val nVecs = emb.count()
+    val nlist = 16 * m
+    val (assigned0, centroids) = VectorOps.ivfBuild(emb, "vec_id",
+      "embedding", nlist = nlist)
+    val assigned = assigned0.persist()
+    assigned.count()
+
+    // 20 deterministic query vectors spread across the id range
+    val queries = emb.filter(col("vec_id") % 251 === 3)
+      .orderBy("vec_id").limit(20)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val k = 10
+
+    def top(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+
+    val truth = queries.map { case (qid, q) =>
+      qid -> top(VectorOps.knnBrute(emb, "vec_id", "embedding", q, k))
+    }.toMap
+    val tBrute = medianMs(5)(() => {
+      VectorOps.knnBrute(emb, "vec_id", "embedding", queries.head._2, k)
+        .collect(); ()
+    })
+
+    val rows = Seq(1, 2, 4, 8, nlist).map { nprobe =>
+      val recalls = queries.map { case (qid, q) =>
+        val got = top(VectorOps.ivfSearch(assigned, centroids, "vec_id",
+          "embedding", q, k, nprobe))
+        got.intersect(truth(qid)).size.toDouble / k
+      }
+      val tProbe = medianMs(5)(() => {
+        VectorOps.ivfSearch(assigned, centroids, "vec_id", "embedding",
+          queries.head._2, k, nprobe).collect(); ()
+      })
+      f""""nprobe_$nprobe":{"recall_at_10":${recalls.sum / recalls.length}%.3f,"probe_ms":$tProbe%.1f}"""
+    }
+    println(s"""{"metric":"ivf_recall_curve","m":$m,"n_vecs":$nVecs,"nlist":$nlist,"brute_ms":${f"$tBrute%.1f"},${rows.mkString(",")}}""")
     spark.stop()
   }
 }

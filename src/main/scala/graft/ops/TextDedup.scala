@@ -288,6 +288,14 @@ object TextDedup {
           zip_with(col("__sa"), col("__sb"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      // one row per pair even when idCol is NOT unique in the input:
+      // `sig` carries one row per input row, so the re-attach joins
+      // above multiply duplicated ids (2x2 rows per pair of duplicated
+      // ids) — this collapse restores the pre-refactor contract. With
+      // unique ids it is a no-op on a pair-sized frame (map-side
+      // combinable, shuffles the frame the caller consumes anyway).
+      .groupBy("id_a", "id_b")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** SimHash candidate pairs: 4 x 16-bit bands of the 64-bit simhash;
@@ -712,22 +720,42 @@ object TextDedup {
     * doc_len), one row per maximal span (1-based inclusive [s, e]).
     * [[duplicateSpans]] summarizes this; [[exciseDuplicateSpans]] cuts
     * the spans back out of the text. */
+  /** `onlyDocs` restricts the OUTPUT to documents matching the
+    * predicate (over the input columns): the anchor pass and the
+    * global duplicate-count stay CORPUS-WIDE — a restricted doc's
+    * spans depend on grams it shares with ANY document — but the dup
+    * semi-join and the per-doc island merge run only for matching
+    * docs. Output rows are byte-identical to filtering the full result
+    * by the same predicate; the merge-stage cost scales with the
+    * stratum instead of the corpus (the q177 proof-cost trim).
+    * `fastDigest` swaps the anchor digest for xxhash64 — see
+    * [[anchorsOf]]; span output is digest-free either way. */
   def duplicateSpanList(docs: DataFrame, idCol: String, textCol: String,
-      l: Int = 40): DataFrame = {
+      l: Int = 40, onlyDocs: Option[Column] = None,
+      fastDigest: Boolean = false): DataFrame = {
     require(l >= 2, "need l >= 2")
-    val anchors = anchorsOf(docs, idCol, textCol, l)
+    val anchors = anchorsOf(docs, idCol, textCol, l, fastDigest)
     val dupHashes = anchors.groupBy("h").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2).select("h")
-    islandMerge(anchors.join(dupHashes, Seq("h"), "left_semi"), idCol, l)
+    val scoped = onlyDocs.fold(anchors)(p =>
+      anchorsOf(docs.filter(p), idCol, textCol, l, fastDigest))
+    islandMerge(scoped.join(dupHashes, Seq("h"), "left_semi"), idCol, l)
   }
 
-  /** Every position's l-gram as (idCol, __len, p, h). The digest is a
-    * 16-hex-digit md5 prefix: half the shuffle width of full md5,
-    * still replayable in any engine; a 64-bit collision (~n²/2^65)
-    * merges two distinct grams with probability far below the
-    * float-format noise floor of everything else in the battery. */
+  /** Every position's l-gram as (idCol, __len, p, h). The default
+    * digest is a 16-hex-digit md5 prefix: half the shuffle width of
+    * full md5, still replayable in any engine; a 64-bit collision
+    * (~n²/2^65) merges two distinct grams with probability far below
+    * the float-format noise floor of everything else in the battery.
+    * `fastDigest` switches to xxhash64 — a LONG digest at a fraction
+    * of md5's per-position cost (this pass touches every CHARACTER of
+    * the corpus, so the hash constant is the pass) — for consumers
+    * that never replay the internal state cross-engine: span outputs
+    * carry positions, not digests, so any collision-free 64-bit hash
+    * yields byte-identical spans; only a caller that audits the anchor
+    * TABLE itself in SQL needs the md5 form. */
   private def anchorsOf(docs: DataFrame, idCol: String, textCol: String,
-      l: Int): DataFrame = {
+      l: Int, fastDigest: Boolean = false): DataFrame = {
     // two-level explode: a single sequence(1, len) would materialize
     // an 8-bytes-per-character array PER ROW before exploding — a
     // 100 MB document allocates ~800 MB for one row (and sequence
@@ -746,7 +774,8 @@ object TextDedup {
         explode(sequence(col("__c") * chunk + 1,
           least((col("__c") + 1) * chunk, col("__len") - (l - 1)))).as("p"))
       .withColumn("h",
-        substring(md5(expr(s"substring(__t, p, $l)").cast("binary")), 1, 16))
+        if (fastDigest) xxhash64(expr(s"substring(__t, p, $l)"))
+        else substring(md5(expr(s"substring(__t, p, $l)").cast("binary")), 1, 16))
       .drop("__t", "__c")
   }
 
@@ -850,10 +879,14 @@ object TextDedup {
   }
 
   /** Full-run state build — spans identical to
-    * [[duplicateSpanList]]. */
+    * [[duplicateSpanList]]. `fastDigest`: see [[anchorsOf]] (a stored
+    * warehouse state has no cross-engine-replay obligation, so the
+    * fast digest is the production default-in-spirit; md5 stays the
+    * parameter default for continuity with the replayable q172
+    * surface). */
   def spanState(docs: DataFrame, idCol: String, textCol: String,
-      l: Int = 40): SpanState = {
-    val anchors = anchorsOf(docs, idCol, textCol, l)
+      l: Int = 40, fastDigest: Boolean = false): SpanState = {
+    val anchors = anchorsOf(docs, idCol, textCol, l, fastDigest)
     val counts = anchors.groupBy("h").agg(count(lit(1)).as("cnt"))
     val dup = anchors.join(counts.filter(col("cnt") >= 2).select("h"),
       Seq("h"), "left_semi")
@@ -872,7 +905,8 @@ object TextDedup {
     * Every intermediate below is O(delta)-bounded. */
   def incrementalSpanState(state: SpanState, removedIds: DataFrame,
       addedDocs: DataFrame, idCol: String, textCol: String,
-      l: Int = 40, hintBroadcastDelta: Boolean = true): SpanState = {
+      l: Int = 40, hintBroadcastDelta: Boolean = true,
+      fastDigest: Boolean = false): SpanState = {
     // The explicit broadcast hints assume the DELTA-derived side sets
     // (doc ids, touched gram digests) fit the broadcast ceiling — the
     // daily-crawl regime these plans are built for, where AQE cannot
@@ -892,7 +926,8 @@ object TextDedup {
     // come back persisted: they are the next run's state tables.
     val rem = removedIds.select(col(idCol))
     val remAnchors = state.anchors.join(bc(rem), Seq(idCol), "left_semi")
-    val addAnchors = anchorsOf(addedDocs, idCol, textCol, l).persist()
+    val addAnchors = anchorsOf(addedDocs, idCol, textCol, l, fastDigest)
+      .persist()
     val anchorsNew = state.anchors.join(bc(rem), Seq(idCol), "left_anti")
       .union(addAnchors)
       .persist()

@@ -1,7 +1,13 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoExpr
 
 /** Similarity search over embedding columns (builder brief): exact
   * brute-force cosine as the correctness baseline, IVF (inverted-file)
@@ -22,8 +28,60 @@ object VectorOps {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** cosine(a, b) as a NATIVE expression — bit-identical to the HOF
+    * composition dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) (each
+    * accumulator adds per-element products in array order, the exact
+    * IEEE op sequence of the three separate folds, and the same
+    * sequence a SQL engine's in-order list fold produces — every
+    * cosine oracle stays valid), but ONE eval call per row running a
+    * primitive while-loop instead of 3 x dims interpreted
+    * higher-order-lambda tree walks. Catalyst HOF lambdas never
+    * compile (the WordNGrams lesson); for the prune self-join that
+    * evaluates Σ n_c² cosines this is the difference between the
+    * clustering and the cosine arithmetic dominating (measured ~4x on
+    * the 16x semantic-dedup curve point). */
+  case class CosineSim(a: Expression, b: Expression) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(a, b)
+    override def dataType: DataType = DoubleType
+    private def getter(e: Expression): (ArrayData, Int) => Double =
+      e.dataType match {
+        case ArrayType(FloatType, _) => (ad, i) => ad.getFloat(i).toDouble
+        case ArrayType(DoubleType, _) => (ad, i) => ad.getDouble(i)
+        case ArrayType(IntegerType, _) => (ad, i) => ad.getInt(i).toDouble
+        case ArrayType(LongType, _) => (ad, i) => ad.getLong(i).toDouble
+        case t => throw new IllegalArgumentException(
+          s"cosine needs a numeric array, got $t")
+      }
+    @transient private lazy val getA = getter(a)
+    @transient private lazy val getB = getter(b)
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val aa = v(0).asInstanceOf[ArrayData]
+      val bb = v(1).asInstanceOf[ArrayData]
+      val n = aa.numElements()
+      // zip_with parity: length mismatch pads with null -> null sum;
+      // a null element nulls the fold the same way
+      if (bb.numElements() != n) return null
+      var dab = 0.0
+      var daa = 0.0
+      var dbb = 0.0
+      var i = 0
+      while (i < n) {
+        if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+        val x = getA(aa, i)
+        val y = getB(bb, i)
+        dab += x * y
+        daa += x * x
+        dbb += y * y
+        i += 1
+      }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+      copy(a = c(0), b = c(1))
+  }
+
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    toCol(CosineSim(toExpr(a), toExpr(b)))
 
   /** Exact top-k by cosine against one query vector (broadcast 1-row
     * side; TakeOrdered keeps the result shuffle at k rows). */
@@ -44,6 +102,18 @@ object VectorOps {
       initMode: String = "k-means||"): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(nlist >= 1, "ivfBuild needs nlist >= 1")
+    if (nlist == 1) {
+      // ML KMeans rejects k = 1; the one-cell index is still well
+      // defined (everything in cell 0, centroid = mean) and is the
+      // degenerate case the ivfSemDedup == semDedup equivalence spec
+      // pins, so handle it rather than surface an ML parameter error
+      val centroid = emb
+        .select(posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+        .groupBy("__dim").agg(avg(col("__v").cast("double")).as("__m"))
+        .orderBy("__dim").collect().map(_.getDouble(1))
+      return (emb.withColumn("ivf_cell", lit(0)), Array(centroid))
+    }
     val feats = emb.withColumn("__fv",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans()
@@ -135,8 +205,13 @@ object VectorOps {
     * near-equivalence-classes and the two rules converge. Where chain
     * semantics matter, form explicit clusters with
     * [[TextDedup.connectedComponents]] over the >= tau pair list and
-    * apply any keep policy per component. For production accuracy swap the
-    * seed step for [[ivfBuild]] centroids; the prune stage is unchanged.
+    * apply any keep policy per component. For production accuracy use
+    * [[ivfSemDedup]] ([[ivfBuild]] KMeans centroids feeding the SAME
+    * [[semDedupPrune]] stage) — the one-step seeded assignment here is
+    * the replayable PROOF path, not the scale path: its crossJoin
+    * evaluates N x k Catalyst cosines with k growing with N (the
+    * measured 55 s at the 16x curve point, r9 PERF.md), where KMeans
+    * assignment is vectorized linear algebra.
     *
     * At 100 TB: seeds are a k-row broadcast; assignment is map-only;
     * the prune self-join shuffles once on the cluster id. Choose k
@@ -149,20 +224,42 @@ object VectorOps {
     require(k >= 1, "semDedup needs k >= 1 seed clusters " +
       "(k = 0 would silently assign nothing and drop every vector)")
     val seeds = emb.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("__seed_id"), col(vecCol).as("__seed_vec"))
-    // One Lloyd assignment step from deterministic seeds: max over
-    // (rounded cosine, -seed_id) is argmax-with-min-id-tiebreak, as a
-    // map-side-combinable aggregate instead of a row_number window.
+      .select(col(idCol).as("__c_id"), col(vecCol).as("__c_vec"))
+    semDedupPrune(assignToCentroids(emb, idCol, vecCol, seeds),
+      idCol, vecCol, tau)
+  }
+
+  /** Nearest-centroid assignment by cosine (argmax over the broadcast
+    * centroid table; ties to the smaller centroid id on the
+    * 6-decimal-rounded value — deterministic and cross-engine
+    * replayable). `centroids` needs (__c_id long, __c_vec array).
+    * Returns (idCol, vecCol, cluster) — one row per input vector.
+    *
+    * The max over (rounded cosine, -centroid_id) structs is
+    * argmax-with-min-id-tiebreak as a map-side-combinable aggregate
+    * instead of a row_number window. */
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
     val best = emb.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(centroids))
       .select(col(idCol),
-        struct(round(cosine(col(vecCol), col("__seed_vec")), 6).as("c"),
-          (-col("__seed_id")).as("neg")).as("__cand"))
+        struct(round(cosine(col(vecCol), col("__c_vec")), 6).as("c"),
+          (-col("__c_id")).as("neg")).as("__cand"))
       .groupBy(idCol)
       .agg(max(col("__cand")).as("__best"))
       .select(col(idCol), (-col("__best.neg")).as("cluster"))
-    val clustered = emb.select(col(idCol), col(vecCol))
-      .join(best, Seq(idCol))
+    emb.select(col(idCol), col(vecCol)).join(best, Seq(idCol))
+  }
+
+  /** The SemDeDup prune stage, shared by every clustering front-end
+    * ([[semDedup]] seeds, [[lloydSemDedup]] one-step centroids,
+    * [[ivfSemDedup]] KMeans cells): within each cluster drop every
+    * vector with a smaller-id neighbor at cosine >= tau (rounded to 6
+    * decimals). `clustered` needs (idCol, vecCol, cluster). All-pairs
+    * work is Σ n_c² and the cluster key is the only shuffle.
+    * Returns (idCol, cluster, kept) — one row per input vector. */
+  def semDedupPrune(clustered: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
     val a = clustered.select(col("cluster"), col(idCol).as("__id_a"),
       col(vecCol).as("__vec_a"))
     val b = clustered.select(col("cluster"), col(idCol).as("__id_b"),
@@ -175,6 +272,86 @@ object VectorOps {
       .join(dropped.withColumn("__dropped", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+
+  /** One deterministic Lloyd refinement step from the [[semDedup]]
+    * seeds, with EXACT cross-engine-replayable centroid means: each
+    * member component is quantized to integer micro-units
+    * (floor(v * 1e6 + 0.5), the repo's round-half-up spelling) and
+    * SUMMED AS INTEGERS — associative, order-independent, identical in
+    * any engine — then divided back once. A naive float mean would
+    * depend on Spark's partition-order summation and could not
+    * hash-match a SQL replay. Returns (__c_id, __c_vec) ready for
+    * [[assignToCentroids]].
+    *
+    * Scale shape: assignment + one posexplode groupBy(cluster, dim)
+    * (map-side combinable, k x dims result rows) + a k-row collect_list
+    * — all linear. */
+  def lloydCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "lloydCentroids needs k >= 1")
+    val seeds = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("__c_id"), col(vecCol).as("__c_vec"))
+    assignToCentroids(emb, idCol, vecCol, seeds)
+      .select(col("cluster"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .groupBy("cluster", "__dim")
+      .agg(sum(floor(col("__v").cast("double") * 1e6 + 0.5).cast("long"))
+          .as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("cluster"), col("__dim"),
+        (col("__s").cast("double") / (col("__n") * 1e6)).as("__comp"))
+      .groupBy("cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__dim"), col("__comp")))),
+        x => x.getField("__comp")).as("__c_vec"))
+      .select(col("cluster").as("__c_id"), col("__c_vec"))
+  }
+
+  /** SemDeDup with one-Lloyd-step centroids — the fully deterministic,
+    * SQL-replayable middle ground between [[semDedup]] (raw seed
+    * vectors as centroids) and [[ivfSemDedup]] (iterated KMeans): the
+    * centroid means sharpen the clustering while every number stays
+    * exactly replayable in any engine (q179's hash-matched oracle
+    * replays seeds -> assign -> integer-mean centroids -> re-assign ->
+    * prune end to end). Exercises the same [[assignToCentroids]] +
+    * [[semDedupPrune]] stages the KMeans variant feeds. */
+  def lloydSemDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double): DataFrame =
+    semDedupPrune(
+      assignToCentroids(emb, idCol, vecCol,
+        lloydCentroids(emb, idCol, vecCol, k)),
+      idCol, vecCol, tau)
+
+  /** Production SemDeDup (the paper's actual shape, arXiv:2303.09540
+    * §3: k-means clusters, then prune within each cluster):
+    * [[ivfBuild]]'s distributed KMeans assigns the clusters — N x k
+    * distance evaluations per iteration in vectorized ML linear
+    * algebra with norm-pruning, instead of N x k interpreted Catalyst
+    * cosine folds — and the UNCHANGED [[semDedupPrune]] drops
+    * near-duplicates. This is the variant that holds at the paper's
+    * 10⁸-vector regime where k grows with N: the r9 curve measured the
+    * seeded assignment at 55 s for 80k vectors x k=256 while the
+    * KMeans path stays in single-digit seconds (PERF.md r10).
+    * KMeans centroids depend on Spark ML internals, so this variant is
+    * NOT SQL-replayable — correctness is pinned by the shared prune
+    * stage (q179 hash-matches it under a replayable clustering) plus
+    * the nlist=1 degenerate-equivalence spec. */
+  def ivfSemDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, tau: Double, seed: Long = 42L,
+      maxIter: Int = 10): DataFrame = {
+    // random init, not k-means||: the parallel-init's extra passes buy
+    // centroid PLACEMENT quality that a dedup bucketing does not need
+    // (the prune law is exact under ANY clustering; placement only
+    // shifts which near-dups land in one bucket, and tau-level dups
+    // are near-identical vectors that stay together under any seeding)
+    // — measured ~40% of the KMeans wall at the 16x curve point
+    val (assigned, _) = ivfBuild(emb, idCol, vecCol, nlist, seed, maxIter,
+      initMode = "random")
+    semDedupPrune(
+      assigned.select(col(idCol), col(vecCol),
+        col("ivf_cell").cast("long").as("cluster")),
+      idCol, vecCol, tau)
   }
 
   /** IVF probe: search only the `nprobe` cells whose centroids are

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -58,58 +58,142 @@ case class ParamCellsContains(cell: Expression, holder: CellSetHolder)
     copy(cell = c(0))
 }
 
-/** Interactive polygon-query handle: ONE analyzed+planned Dataset
-  * serves every future polygon (`src/g_etl/h3_query.py:18-119` serves
-  * arbitrary polygons per session the same way — one prepared DuckDB
-  * relation, new parameters).
+/** Interactive polygon-query handle: a FIXED set of analyzed+planned
+  * Datasets serves every future polygon (`src/g_etl/h3_query.py:18-119`
+  * serves arbitrary polygons per session the same way — one prepared
+  * DuckDB relation, new parameters).
   *
-  * SCALE ENVELOPE (measured, ProfileScale r9): each execution SCANS
-  * the cached index — a runtime parameter cannot drive batch/row-group
-  * pruning, so per-probe latency is linear in index size with a small
-  * constant (~130M rows/s: 48 ms at 2.7M rows, 225 ms at 40M). This
-  * is the right tool for hot repeated probes on a warehouse slice; for
-  * arbitrary polygons over a BIG index, plan per query instead
-  * (H3Query.objects) — the literal cell range reaches the scan, where
-  * parquet row-group stats (or cached-batch stats) prune to the
-  * polygon, and total latency stays at the ~0.3-0.5 s planning floor
-  * at ANY index size.
+  * Scale design (r9 Next #4): a runtime parameter cannot drive Spark's
+  * batch/row-group pruning — the r9 single-plan handle therefore
+  * scanned the WHOLE cached index per probe (measured linear: 48 ms at
+  * 2.7M rows -> 225 ms at 40M). This version does the partition
+  * pruning ITSELF, at the handle level: the index's query-res key
+  * space is split at `buckets` approximate quantiles, one plan is
+  * prepared per bucket with its range bound as LITERALS (so cached-
+  * batch min/max stats — or parquet row-group stats — prune inside the
+  * bucket too, when the index layout is clustered by cell), and a
+  * probe executes only the plans whose range intersects the polygon's
+  * [min, max] cell ids. Per-probe work is then O(index / buckets), not
+  * O(index) — the same driver-side pruning a partitioned warehouse
+  * scan does, paid for by a one-time quantile pass + `buckets`
+  * plannings at handle construction (the session-setup cost the
+  * prepared-handle contract already amortizes).
   *
-  * Correct-by-construction re-execution: the prepared plan is a pure
-  * scan+filter+project — no shuffle below the collect and no broadcast
-  * of the parameter side — so nothing in Spark's stage/broadcast reuse
-  * machinery can serve stale results when the cell set changes; the
-  * small distinct+sort runs on the driver over the (interactive-sized)
-  * match set, mirroring the reference returning a result table to the
-  * UI. */
+  * Correct-by-construction re-execution: buckets partition the key
+  * space (range filters are a strict superset of the polygon's cell
+  * set, exactly like H3Query.keyedIndex's sargable prefilter), each
+  * bucket plan is a pure scan+filter+project — no shuffle below the
+  * collect and no broadcast of the parameter side — so nothing in
+  * Spark's stage/broadcast reuse machinery can serve stale results
+  * when the cell set changes; the small distinct+sort runs on the
+  * driver over the (interactive-sized) match set, mirroring the
+  * reference returning a result table to the UI. */
 final class PreparedPolygonQuery private[pipeline] (
-    index: DataFrame, res: Int) {
+    index: DataFrame, res: Int, bucketsRequested: Int) {
+  require(bucketsRequested >= 0, "need buckets >= 1, or 0 for auto")
+
+  // auto-sizing (buckets = 0): one bucket per ~600k index rows, capped
+  // at 64 — a small index gets ONE bucket (bucketing overhead would
+  // exceed its full-scan cost, measured ~45 ms at a 10k-object index),
+  // a big one gets buckets that keep the per-probe scan population
+  // roughly constant as the index grows
+  private val buckets: Int =
+    if (bucketsRequested >= 1) bucketsRequested
+    else math.max(1, math.min(64, (index.count() / 600000L).toInt))
 
   private val holder = new CellSetHolder
 
-  private val plan: DataFrame = {
+  private def keyed = {
     val parentCol = s"h3_parent_$res"
-    val keyed =
-      if (index.columns.contains(parentCol)) col(parentCol)
-      else GFunctions.h3_cell_to_parent(col("h3_cell"), lit(res))
-    index
+    if (index.columns.contains(parentCol)) col(parentCol)
+    else GFunctions.h3_cell_to_parent(col("h3_cell"), lit(res))
+  }
+
+  private def paramPlan(range: Option[Column]): DataFrame =
+    range.fold(index)(index.filter)
       .filter(toCol(ParamCellsContains(toExpr(keyed), holder)))
       .select(col("id"), col("dataset_id"), col("leverantor"), col("klass"))
-  }
+
+  // Approximate quantile split points of the key — exactness is
+  // irrelevant to correctness (any split points partition the key
+  // space); the double round-trip inside approxQuantile merely places
+  // the splits. Duplicate splits (skewed keys) collapse to fewer,
+  // wider buckets.
+  private val splits: Array[Long] =
+    if (buckets == 1) Array.empty
+    else index.select(keyed.cast("double").as("__k"))
+      .stat.approxQuantile("__k",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+      .map(_.toLong).distinct.sorted
+
+  // bucket i covers [splits(i-1), splits(i)) with open outer ends
+  private val bucketPlans: IndexedSeq[(Option[Long], Option[Long], DataFrame)] =
+    (0 to splits.length).map { i =>
+      val lo = if (i == 0) None else Some(splits(i - 1))
+      val hi = if (i == splits.length) None else Some(splits(i))
+      val range = (lo.map(b => keyed >= lit(b)) ++
+        hi.map(b => keyed < lit(b))).reduceOption(_ && _)
+      (lo, hi, paramPlan(range))
+    }
+
+  // pre-pay optimization + physical planning + codegen for every
+  // bucket NOW (the empty holder matches nothing, so each warm-up
+  // executes the full plan machinery against its pruned slice) —
+  // probes then measure execution, never first-use planning
+  bucketPlans.foreach(_._3.collect())
 
   /** Equivalent of H3Query.objects for a new polygon: distinct matching
     * objects with stable ordering. */
   def objects(wktSweref: String): Array[Row] = {
-    holder.set(PreparedPolygonQuery.cellIds(wktSweref, res))
-    plan.collect()
-      .distinct
-      .sortBy(r => (r.getString(1), r.getString(0)))
+    val cells = PreparedPolygonQuery.cellIds(wktSweref, res)
+    if (cells.isEmpty) return Array.empty
+    holder.set(cells)
+    val minC = cells.min
+    val maxC = cells.max
+    // the cell encoding is (..face | ai | aj): a compact polygon spans
+    // a FEW ai rows, so its [min, max] range usually intersects a
+    // handful of buckets — submit those jobs CONCURRENTLY (Spark
+    // schedules concurrent actions fine) so probe latency is the max
+    // bucket scan, not the sum of per-job overheads
+    val hits = bucketPlans.filter { case (lo, hi, _) =>
+      lo.forall(_ <= maxC) && hi.forall(_ > minC)
+    }
+    val rows =
+      if (hits.length <= 1) hits.toArray.flatMap(_._3.collect())
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = PreparedPolygonQuery.probeEc
+        val futs = hits.map { case (_, _, p) => Future(p.collect()) }
+        futs.toArray.flatMap(f => Await.result(f, Duration.Inf))
+      }
+    rows.distinct.sortBy(r => (r.getString(1), r.getString(0)))
   }
 }
 
 object PreparedPolygonQuery {
 
-  def apply(index: DataFrame, res: Int = H3Query.DefaultQueryRes): PreparedPolygonQuery =
-    new PreparedPolygonQuery(index, res)
+  /** Daemon pool for concurrent bucket-probe submission — sized by the
+    * bucket default; idle threads die, and daemon status keeps handle
+    * probes from pinning JVM exit. */
+  private[pipeline] lazy val probeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-prepared-probe")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** `buckets` trades one-time handle-construction cost (a quantile
+    * pass + that many plannings) for per-probe scan reduction. The
+    * default 0 auto-sizes from the index cardinality (~600k rows per
+    * bucket, max 64): small indexes keep the single-plan fast path,
+    * large ones hold the fresh-probe latency flat through the measured
+    * index-scale sweep (ProfileScale r10). */
+  def apply(index: DataFrame, res: Int = H3Query.DefaultQueryRes,
+      buckets: Int = 0): PreparedPolygonQuery =
+    new PreparedPolygonQuery(index, res, buckets)
 
   /** Driver-side polyfill of a SWEREF99 polygon at `res`, as raw ids. */
   def cellIds(wktSweref: String, res: Int): Array[Long] = {

@@ -200,8 +200,14 @@ object CorpusQueries {
         .select(col("doc_id"),
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
+      // fastDigest THROUGHOUT (r9 Next #3, second lever): the three
+      // per-character anchor passes below (old-state build, delta
+      // re-anchor, independent rebuild) pay the digest constant per
+      // corpus character; a stored span state never replays its
+      // internals cross-engine, so xxhash64 replaces md5 — the span
+      // summary the ORACLE replays is digest-free and byte-identical
       val built = graft.ops.TextDedup.spanState(oldCorpus, "doc_id", "text",
-        l = 40)
+        l = 40, fastDigest = true)
       val st = graft.ops.TextDedup.SpanState(built.anchors.persist(),
         built.counts.persist(), built.spans.persist())
       val removedIds = oldCorpus
@@ -210,12 +216,24 @@ object CorpusQueries {
       val addedDocs = newCorpus
         .filter(col("doc_id") % 11 === 0 || col("doc_id") % 5 === 0)
       val inc = graft.ops.TextDedup.incrementalSpanState(st, removedIds,
-        addedDocs, "doc_id", "text", l = 40)
+        addedDocs, "doc_id", "text", l = 40, fastDigest = true)
       val incSpans = inc.spans.persist()
+      // Two-sided span-level pin on a deterministic ~1/3 doc stratum
+      // (r9 Next #3 proof-cost trim): the independent rebuild keeps its
+      // OWN corpus-wide anchor pass and global duplicate counts (a
+      // stratum doc's spans depend on grams shared with any doc) but
+      // merges spans only for stratum docs — and the DuckDB oracle
+      // below still replays the ENTIRE new corpus from raw text against
+      // the incremental result, so full-population equivalence stays
+      // hash-checked; the stratum pin adds the span-level (s, e,
+      // n_anchors) comparison both directions. doc_id % 3 is coprime
+      // with every id filter this query's delta uses (%5, %11, %13),
+      // so the stratum samples kept/changed/added docs alike.
+      val stratum = col("doc_id") % 3 === 0
       val full = graft.ops.TextDedup.duplicateSpanList(newCorpus, "doc_id",
-        "text", l = 40)
-      // one-job two-sided equivalence pin on the full span rows
-      val diff = incSpans
+        "text", l = 40, onlyDocs = Some(stratum), fastDigest = true)
+      // one-job two-sided equivalence pin on the stratum's span rows
+      val diff = incSpans.filter(stratum)
         .withColumnRenamed("e", "e_i").withColumnRenamed("n_anchors", "na_i")
         .withColumnRenamed("doc_len", "dl_i")
         .join(full.withColumnRenamed("e", "e_f")
@@ -250,6 +268,20 @@ object CorpusQueries {
       graft.ops.TrainingOps.sourceOverlapMatrix(docs(s, dir), "text",
           "source", shingleN = 3)
         .orderBy("src_a", "src_b")
+    }),
+
+    // SemDeDup through the centroid-assignment path
+    // (ops/VectorOps.lloydSemDedup): one deterministic Lloyd step from
+    // the q170 seeds — centroid means computed as EXACT integer
+    // micro-unit sums so the whole chain (seeds -> assign ->
+    // integer-mean centroids -> re-assign -> prune) replays
+    // bit-identically in SQL. This pins assignToCentroids +
+    // semDedupPrune, the two stages the production KMeans variant
+    // (ivfSemDedup, not SQL-replayable) feeds.
+    "q179_lloyd_semdedup" -> ((s, dir) => {
+      graft.ops.VectorOps.lloydSemDedup(emb(s, dir), "vec_id",
+          "embedding", k = 16, tau = 0.4)
+        .orderBy("vec_id")
     })
   )
 
@@ -705,6 +737,59 @@ object CorpusQueries {
         |FROM pairs p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source
-        |ORDER BY p.src_a, p.src_b""".stripMargin
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    "q179_lloyd_semdedup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), assign0 AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), best0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign0)
+         |  WHERE rn = 1
+         |), dims AS (
+         |  SELECT vec_id, dim, embedding[dim] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(list_transform(range(1, CAST(len(embedding) AS INT) + 1),
+         |                                x -> CAST(x AS INT))) AS dim
+         |        FROM embeddings)
+         |), comp AS (
+         |  SELECT b.cluster, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(d.v AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS comp
+         |  FROM best0 b JOIN dims d USING (vec_id)
+         |  GROUP BY b.cluster, d.dim
+         |), cent AS (
+         |  SELECT cluster, list(comp ORDER BY dim) AS cvec
+         |  FROM comp GROUP BY cluster
+         |), assign1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    ${sqlCos("e.embedding", "c.cvec")} AS c
+         |  FROM embeddings e CROSS JOIN cent c
+         |), best AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, cluster ASC) AS rn
+         |    FROM assign1)
+         |  WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM best b1
+         |  JOIN best b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+         |  JOIN embeddings e1 ON b1.vec_id = e1.vec_id
+         |  JOIN embeddings e2 ON b2.vec_id = e2.vec_id
+         |  WHERE ${sqlCos("e1.embedding", "e2.embedding")} >= 0.4
+         |)
+         |SELECT b.vec_id, b.cluster,
+         |  b.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         |FROM best b ORDER BY b.vec_id""".stripMargin
   )
 }

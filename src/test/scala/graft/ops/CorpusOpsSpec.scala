@@ -34,6 +34,107 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) == (1L, true), "below-tau neighbor must survive")
   }
 
+  test("ivfSemDedup(nlist=1) kept set equals semDedup(k=1): single cluster either way, shared prune") {
+    val rnd = new scala.util.Random(7)
+    val e = vecs((1L to 50L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1)): _*)
+    def keptSet(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kept")).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+    val viaIvf = keptSet(
+      VectorOps.ivfSemDedup(e, "vec_id", "embedding", nlist = 1, tau = 0.8))
+    val viaSeed = keptSet(
+      VectorOps.semDedup(e, "vec_id", "embedding", k = 1, tau = 0.8))
+    assert(viaIvf == viaSeed)
+  }
+
+  test("ivfSemDedup: partition + prune law hold under KMeans clusters") {
+    val rnd = new scala.util.Random(13)
+    val e = vecs((1L to 80L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1)): _*)
+    val tau = 0.8
+    val out = VectorOps.ivfSemDedup(e, "vec_id", "embedding",
+        nlist = 4, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 80 && out.map(_._1).distinct.length == 80,
+      "one row per input vector")
+    // independent reference for the prune decision, from the SAME
+    // cluster assignment: dropped iff a smaller-id same-cluster
+    // neighbor sits at rounded cosine >= tau
+    val raw = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, c, kept) =>
+      val expectDrop = byCluster(c).exists { case (other, _, _) =>
+        other < id && cos(raw(other), raw(id)) >= tau
+      }
+      assert(kept == !expectDrop, s"vec $id in cluster $c: kept=$kept")
+    }
+  }
+
+  test("lloydCentroids: exact integer-micro-unit means; lloydSemDedup runs the shared prune on them") {
+    val e = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(0.9f, 0.1f))
+    val cents = VectorOps.lloydCentroids(e, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // seeds 1,2; vec 3 assigns to seed 1 (cos .995 vs .110) ->
+    // cluster-1 mean = ((1 + 0.9)/2, (0 + 0.1)/2) exactly in micro-units
+    assert(cents(1L) == Seq(0.95, 0.05))
+    assert(cents(2L) == Seq(0.0, 1.0))
+    val out = VectorOps.lloydSemDedup(e, "vec_id", "embedding",
+        k = 2, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // cos(vec3, vec1) = 0.9/(1*sqrt(0.82)) ~ 0.9939 >= tau -> vec3
+    // drops inside cluster 1; the cluster minima always survive
+    assert(out(1L) == (1L, true) && out(3L) == (1L, false))
+    assert(out(2L) == (2L, true))
+  }
+
+  test("duplicateSpanList(onlyDocs) equals the full result filtered: global counts, stratum merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def noise(pool: Char, n: Int): String =
+      (0 until n).map(_ => (pool + rnd.nextInt(20)).toChar).mkString
+    val run = "S" * 50
+    // the duplicated run pairs a stratum doc (2) with a NON-stratum
+    // doc (3): the restricted variant must still see doc 2's span,
+    // which requires the count pass to stay corpus-wide
+    val docs = Seq(
+      1L -> noise('a', 100),
+      2L -> (noise('b', 20) + run + noise('b', 30)),
+      3L -> (noise('c', 45) + run + noise('c', 10)),
+      4L -> (noise('d', 15) + "T" * 55 + noise('d', 5) + "T" * 55))
+      .toDF("doc_id", "text")
+    val p = col("doc_id") % 2 === 0
+    val restricted = TextDedup.duplicateSpanList(docs, "doc_id", "text",
+        l = 40, onlyDocs = Some(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val filtered = TextDedup.duplicateSpanList(docs, "doc_id", "text", l = 40)
+      .filter(p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(restricted.nonEmpty && restricted.exists(_._1 == 2L),
+      "cross-stratum duplicate must be visible to the restricted variant")
+    assert(restricted.toSeq == filtered.toSeq)
+    // digest invariance: spans carry positions, never digests, so the
+    // xxhash64 fast path must reproduce the md5 spans byte-for-byte
+    // (same law for the state-build + incremental path, exercised at
+    // corpus scale by q177's oracle)
+    val fast = TextDedup.duplicateSpanList(docs, "doc_id", "text", l = 40,
+        fastDigest = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val slow = TextDedup.duplicateSpanList(docs, "doc_id", "text", l = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(fast.toSeq == slow.toSeq)
+  }
+
   test("duplicateSpans: exact extents at arbitrary (non-aligned) offsets; self-duplication; clean docs absent") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -51,4 +51,19 @@ class PreparedQuerySpec extends AnyFunSuite {
     val expect0 = H3Query.objects(spark, index, polys.head, res = 8).count()
     assert(prepared.objects(polys.head).length.toLong == expect0)
   }
+
+  test("bucket-count invariance: pruning is a strict superset filter at any bucket count") {
+    val expected = polys.map(wkt =>
+      H3Query.objects(spark, index, wkt, res = 8)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+    // 1 = the unbucketed r9 shape; 3 exercises multi-bucket probes;
+    // 64 >> distinct keys forces collapsed/degenerate split points
+    Seq(1, 3, 64).foreach { b =>
+      val h = PreparedPolygonQuery(index, res = 8, buckets = b)
+      polys.zip(expected).foreach { case (wkt, exp) =>
+        val got = h.objects(wkt).map(r => (r.getString(0), r.getString(1)))
+        assert(got.toSeq == exp, s"buckets=$b mismatch for $wkt")
+      }
+    }
+  }
 }
