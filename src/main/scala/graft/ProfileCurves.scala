@@ -279,9 +279,28 @@ object ProfileScale {
       sorted.count()
       val (warmSortedMs, freshSortedMs) = probeLatency(sorted)
 
-      println(f"""{"metric":"geo_scale_curve","m":$m,"index_rows":$nRows,"build_s":$tBuild%.2f,"stats_s":$tStats%.2f,"objects_s":$tObjects%.3f,"exact_s":$tExact%.3f,"warm_ms":$warmMs%.1f,"fresh_plan_ms":$freshMs%.1f,"warm_sorted_ms":$warmSortedMs%.1f,"fresh_sorted_ms":$freshSortedMs%.1f}""")
+      // PARQUET-backed variant — the warehouse layout this index
+      // actually lives in at deployment scale: clustered by the
+      // query-res key so the literal [min,max] prefilter (and every
+      // handle bucket's literal range) reaches the scan as a pushed
+      // predicate and row-group footer stats skip everything outside
+      // the polygon. This is where sub-linear probes really come from:
+      // ProfileCachePrune measured Spark's cached-batch stats pruning
+      // as a net NO-OP (disabling it is faster), so the cached-index
+      // probes above are linear-with-a-small-constant by construction,
+      // while this path stays flat as the index grows.
+      val pqDir = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_idx_$m").toString
+      index.repartitionByRange(64, col(s"h3_parent_$res"))
+        .sortWithinPartitions(s"h3_parent_$res")
+        .write.mode("overwrite").parquet(pqDir)
+      val pq = spark.read.parquet(pqDir)
+      val (warmPqMs, freshPqMs) = probeLatency(pq)
+
+      println(f"""{"metric":"geo_scale_curve","m":$m,"index_rows":$nRows,"build_s":$tBuild%.2f,"stats_s":$tStats%.2f,"objects_s":$tObjects%.3f,"exact_s":$tExact%.3f,"warm_ms":$warmMs%.1f,"fresh_plan_ms":$freshMs%.1f,"warm_sorted_ms":$warmSortedMs%.1f,"fresh_sorted_ms":$freshSortedMs%.1f,"warm_parquet_ms":$warmPqMs%.1f,"fresh_parquet_ms":$freshPqMs%.1f}""")
       index.unpersist()
       sorted.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pqDir))
       System.gc()
     }
     spark.stop()
@@ -408,8 +427,16 @@ object ProfileIvfRecall {
     val nlist = 16 * m
     val (assigned0, centroids) = VectorOps.ivfBuild(emb, "vec_id",
       "embedding", nlist = nlist)
-    val assigned = assigned0.persist()
-    assigned.count()
+    // the DEPLOYED index layout (VectorOps scaladoc): written
+    // partitioned by ivf_cell, so an nprobe-cell probe's isin filter
+    // prunes to nprobe/nlist of the files before any row is read —
+    // measuring the probe against the unpartitioned in-memory
+    // assignment would charge it a full scan the production layout
+    // never pays
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    assigned0.write.partitionBy("ivf_cell").mode("overwrite").parquet(idxDir)
+    val assigned = spark.read.parquet(idxDir)
 
     // 20 deterministic query vectors spread across the id range
     val queries = emb.filter(col("vec_id") % 251 === 3)
@@ -442,6 +469,56 @@ object ProfileIvfRecall {
       f""""nprobe_$nprobe":{"recall_at_10":${recalls.sum / recalls.length}%.3f,"probe_ms":$tProbe%.1f}"""
     }
     println(s"""{"metric":"ivf_recall_curve","m":$m,"n_vecs":$nVecs,"nlist":$nlist,"brute_ms":${f"$tBrute%.1f"},${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}
+
+/** Isolates WHERE a literal range filter over a big CACHED frame gets
+  * its speed: Spark's in-memory columnar cache keeps per-batch
+  * min/max stats and can skip batches whose range misses the
+  * predicate — but only when the cached layout CLUSTERS the key so
+  * batch ranges are tight. Measures a narrow between() probe over the
+  * same N-row long-keyed frame cached (a) unsorted and (b)
+  * range-partitioned + sorted, plus the full-scan baseline. Run by
+  * hand; informs the PreparedPolygonQuery bucket sizing and the
+  * PERF.md account of warm-probe behavior past ~100M cached rows. */
+object ProfileCachePrune {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val spark = session("graft-profile-cache-prune")
+    import spark.implicits._
+    // toggles for isolating which scan path prunes:
+    //   SPARK_GRAFT_VEC=false  -> row-based cache reader
+    //   SPARK_GRAFT_PRUNE=false -> disable stats-based batch pruning
+    sys.env.get("SPARK_GRAFT_VEC").foreach(v =>
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.enableVectorizedReader", v))
+    sys.env.get("SPARK_GRAFT_PRUNE").foreach(v =>
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.partitionPruning", v))
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "50000000").toLong
+    val base = spark.range(n)
+      .select(col("id"),
+        (col("id") * 2654435761L % n).as("k"),
+        (col("id") % 1000).as("v"))
+    val unsorted = base.persist(); unsorted.count()
+    val sorted = base.repartitionByRange(32, col("k"))
+      .sortWithinPartitions("k").persist()
+    sorted.count()
+    val lo = n / 2
+    val hi = lo + n / 1000 // 0.1% selectivity probe
+    def probe(df: org.apache.spark.sql.DataFrame): Double =
+      medianMs(9)(() => {
+        df.filter(col("k").between(lo, hi))
+          .agg(sum("v"), count(lit(1))).collect(); ()
+      })
+    def full(df: org.apache.spark.sql.DataFrame): Double =
+      medianMs(5)(() => { df.agg(sum("v"), count(lit(1))).collect(); () })
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      println(sorted.filter(col("k").between(lo, hi))
+        .queryExecution.executedPlan.toString.take(4000))
+    // warm both paths
+    probe(unsorted); probe(sorted); full(unsorted)
+    println(f"""{"metric":"cache_prune","n":$n,"probe_unsorted_ms":${probe(unsorted)}%.1f,"probe_sorted_ms":${probe(sorted)}%.1f,"full_scan_ms":${full(unsorted)}%.1f}""")
     spark.stop()
   }
 }
