@@ -469,6 +469,7 @@ object ProfileIvfRecall {
       f""""nprobe_$nprobe":{"recall_at_10":${recalls.sum / recalls.length}%.3f,"probe_ms":$tProbe%.1f}"""
     }
     println(s"""{"metric":"ivf_recall_curve","m":$m,"n_vecs":$nVecs,"nlist":$nlist,"brute_ms":${f"$tBrute%.1f"},${rows.mkString(",")}}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
     spark.stop()
   }
 }
@@ -519,6 +520,87 @@ object ProfileCachePrune {
     // warm both paths
     probe(unsorted); probe(sorted); full(unsorted)
     println(f"""{"metric":"cache_prune","n":$n,"probe_unsorted_ms":${probe(unsorted)}%.1f,"probe_sorted_ms":${probe(sorted)}%.1f,"full_scan_ms":${full(unsorted)}%.1f}""")
+    spark.stop()
+  }
+}
+
+/** O(delta) payoff for the round-10 VECTOR states ([[ProfileDelta]] /
+  * [[ProfileSpanDelta]]'s counterpart): shuffle volume + wall of
+  * maintaining the IVF assignment and the append-only SemDeDup state
+  * through a delta vs full rebuilds against the same frozen
+  * centroids. */
+object ProfileVecDelta {
+  import ProfileCurves._
+
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def drain(): Long = bytes.getAndSet(0L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-vec-delta")
+    import graft.ops.VectorOps
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val m = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val emb = ProfileCorpus.blowupEmb(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m)
+      .persist()
+    val nVecs = emb.count()
+    val maxOld = emb.agg(max("vec_id")).collect()(0).getLong(0)
+
+    // ~8% delta: removals spread across the id range, additions appended
+    val removedIds = emb.filter(col("vec_id") % 25 === 0).select("vec_id")
+    val added = emb.filter(col("vec_id") % 25 === 1)
+      .select((col("vec_id") + maxOld + 1L).as("vec_id"), col("embedding"))
+      .persist()
+    val nDelta = removedIds.count() + added.count()
+
+    val cents = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
+      k = 16 * m)
+    val centsP = cents.persist(); centsP.count()
+    meter.drain()
+
+    // IVF: stored state persisted (a warehouse would be)
+    val st = VectorOps.ivfState(emb, "vec_id", "embedding", centsP)
+    val stored = st.assigned.persist(); stored.count()
+    val bState = meter.drain()
+    val tInc = timed(noop(
+      VectorOps.incrementalIvf(
+        VectorOps.IvfState(stored, centsP), removedIds, added,
+        "vec_id", "embedding").assigned))
+    val bInc = meter.drain()
+    val newCorpus = emb.join(removedIds, Seq("vec_id"), "left_anti")
+      .unionByName(added)
+    val tFull = timed(noop(
+      VectorOps.assignToCentroids(newCorpus, "vec_id", "embedding",
+        centsP)))
+    val bFull = meter.drain()
+
+    // append-only SemDeDup: same construction, add-only delta
+    val sem = VectorOps.semState(emb, "vec_id", "embedding", centsP,
+      tau = 0.4)
+    val semStored = sem.members.persist(); semStored.count()
+    meter.drain()
+    val tSemInc = timed(noop(
+      VectorOps.incrementalSemDedup(
+        VectorOps.SemState(semStored, centsP), added, "vec_id",
+        "embedding", tau = 0.4).members))
+    val bSemInc = meter.drain()
+    val tSemFull = timed(noop(
+      VectorOps.semState(emb.unionByName(added), "vec_id", "embedding",
+        centsP, tau = 0.4).members))
+    val bSemFull = meter.drain()
+
+    println(f"""{"metric":"vec_delta","m":$m,"n_vecs":$nVecs,"n_delta":$nDelta,"ivf_state_shuffle_mb":${bState / 1e6}%.1f,"ivf_inc_s":$tInc%.2f,"ivf_inc_shuffle_mb":${bInc / 1e6}%.1f,"ivf_full_s":$tFull%.2f,"ivf_full_shuffle_mb":${bFull / 1e6}%.1f,"sem_inc_s":$tSemInc%.2f,"sem_inc_shuffle_mb":${bSemInc / 1e6}%.1f,"sem_full_s":$tSemFull%.2f,"sem_full_shuffle_mb":${bSemFull / 1e6}%.1f}""")
     spark.stop()
   }
 }

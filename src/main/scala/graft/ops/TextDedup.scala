@@ -291,9 +291,14 @@ object TextDedup {
       // one row per pair even when idCol is NOT unique in the input:
       // `sig` carries one row per input row, so the re-attach joins
       // above multiply duplicated ids (2x2 rows per pair of duplicated
-      // ids) — this collapse restores the pre-refactor contract. With
-      // unique ids it is a no-op on a pair-sized frame (map-side
-      // combinable, shuffles the frame the caller consumes anyway).
+      // ids) — this collapse restores the pre-refactor CARDINALITY
+      // contract. Estimate SEMANTICS for duplicated ids remain
+      // per-copy (max over copies), not the merged-shingle-set
+      // signature a groupBy-built signature would produce — unique
+      // ids are the documented precondition for exact parity with
+      // [[minHashCandidatesMd5]]. With unique ids this is a no-op on
+      // a pair-sized frame (map-side combinable, shuffles the frame
+      // the caller consumes anyway).
       .groupBy("id_a", "id_b")
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
@@ -905,8 +910,15 @@ object TextDedup {
     * Every intermediate below is O(delta)-bounded. */
   def incrementalSpanState(state: SpanState, removedIds: DataFrame,
       addedDocs: DataFrame, idCol: String, textCol: String,
-      l: Int = 40, hintBroadcastDelta: Boolean = true,
-      fastDigest: Boolean = false): SpanState = {
+      l: Int = 40, hintBroadcastDelta: Boolean = true): SpanState = {
+    // The digest family is a property of the STORED STATE, so it is
+    // derived from the state's anchor schema rather than trusted to a
+    // caller flag: a mismatched flag would union long and string
+    // digests (string-widened, never equal), silently treating every
+    // added anchor as a brand-new gram and corrupting the span state
+    // with no error.
+    val fastDigest =
+      state.anchors.schema("h").dataType == org.apache.spark.sql.types.LongType
     // The explicit broadcast hints assume the DELTA-derived side sets
     // (doc ids, touched gram digests) fit the broadcast ceiling — the
     // daily-crawl regime these plans are built for, where AQE cannot

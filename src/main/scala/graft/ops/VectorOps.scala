@@ -43,12 +43,35 @@ object VectorOps {
   case class CosineSim(a: Expression, b: Expression) extends GeoExpr {
     override def children: Seq[Expression] = Seq(a, b)
     override def dataType: DataType = DoubleType
+    private def supported(t: DataType): Boolean = t match {
+      case ArrayType(et, _) => et match {
+        case FloatType | DoubleType | IntegerType | LongType |
+            ShortType | ByteType | _: DecimalType => true
+        case _ => false
+      }
+      case _ => false
+    }
+    // LOUD at analysis time for non-numeric-array inputs — the GeoExpr
+    // malformed-input => NULL contract would otherwise turn a schema
+    // mistake into an all-NULL cosine column, which in semDedupPrune
+    // reads as "nothing is a duplicate" with no error anywhere.
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (supported(a.dataType) && supported(b.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine needs two numeric arrays, got ${a.dataType} and ${b.dataType}")
     private def getter(e: Expression): (ArrayData, Int) => Double =
       e.dataType match {
         case ArrayType(FloatType, _) => (ad, i) => ad.getFloat(i).toDouble
         case ArrayType(DoubleType, _) => (ad, i) => ad.getDouble(i)
         case ArrayType(IntegerType, _) => (ad, i) => ad.getInt(i).toDouble
         case ArrayType(LongType, _) => (ad, i) => ad.getLong(i).toDouble
+        case ArrayType(ShortType, _) => (ad, i) => ad.getShort(i).toDouble
+        case ArrayType(ByteType, _) => (ad, i) => ad.getByte(i).toDouble
+        case ArrayType(d: DecimalType, _) =>
+          (ad, i) => ad.getDecimal(i, d.precision, d.scale).toDouble
         case t => throw new IllegalArgumentException(
           s"cosine needs a numeric array, got $t")
       }
@@ -352,6 +375,126 @@ object VectorOps {
       assigned.select(col(idCol), col(vecCol),
         col("ivf_cell").cast("long").as("cluster")),
       idCol, vecCol, tau)
+  }
+
+  // ------------------------------- incremental semantic-dedup state
+
+  /** Stored semantic-dedup state: every vector with its cluster and
+    * keep/drop decision (vectors retained — future prune joins need
+    * them), plus the frozen centroid table. */
+  final case class SemState(members: DataFrame, centroids: DataFrame) {
+    def release(): Unit =
+      Seq(members, centroids).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Full build of [[SemState]] against explicit frozen centroids. */
+  def semState(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, tau: Double): SemState = {
+    val clustered = assignToCentroids(emb, idCol, vecCol, centroids)
+    SemState(
+      clustered.join(
+        semDedupPrune(clustered, idCol, vecCol, tau)
+          .select(col(idCol), col("kept")),
+        Seq(idCol)),
+      centroids)
+  }
+
+  /** APPEND-ONLY incremental SemDeDup: maintain [[SemState]] through a
+    * batch of new vectors whose ids all EXCEED every stored id (the
+    * crawl-append regime — ids are ingest-ordered). Under that
+    * precondition the maintained state is EXACTLY a full re-run over
+    * old ∪ added with the same frozen centroids: the drop rule tests
+    * only smaller-id same-cluster neighbors (dropped ones included),
+    * so (a) every stored decision is final — an appended vector can
+    * never flip it — and (b) an added vector's neighbor pool is the
+    * stored members plus earlier vectors of its own batch, both known
+    * here. The precondition is REQUIRED loudly (id interleaving would
+    * silently violate (a)); REMOVALS are out of scope by design — a
+    * removed vector can resurrect the neighbors it had suppressed,
+    * which needs a dirty-frontier recompute (the incrementalSpanState
+    * treatment) or a periodic full re-prune.
+    *
+    * Cost shape: stored members are scanned once (no shuffle of the
+    * state); only the delta pays assignment (delta x k) and the prune
+    * join (delta x cluster occupancy). */
+  def incrementalSemDedup(state: SemState, addedVecs: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      hintBroadcastDelta: Boolean = true): SemState = {
+    def bc(df: DataFrame): DataFrame =
+      if (hintBroadcastDelta) broadcast(df) else df
+    val bounds = state.members.agg(max(col(idCol)).as("mx")).collect()(0)
+    val addedMin = addedVecs.agg(min(col(idCol)).as("mn")).collect()(0)
+    if (!bounds.isNullAt(0) && !addedMin.isNullAt(0)) {
+      def lv(r: org.apache.spark.sql.Row): Long =
+        r.get(0).asInstanceOf[Number].longValue
+      require(lv(addedMin) > lv(bounds),
+        s"incrementalSemDedup is append-only: added ids must all exceed " +
+          s"stored ids (stored max ${lv(bounds)}, added min " +
+          s"${lv(addedMin)}); interleaved ids could flip stored " +
+          "keep decisions — re-run semState instead")
+    }
+    val addedAssigned = assignToCentroids(addedVecs, idCol, vecCol,
+      state.centroids)
+    val pool = state.members.select(col("cluster"),
+        col(idCol).as("__id_a"), col(vecCol).as("__vec_a"))
+      .unionByName(addedAssigned.select(col("cluster"),
+        col(idCol).as("__id_a"), col(vecCol).as("__vec_a")))
+    val addedB = bc(addedAssigned.select(col("cluster"),
+      col(idCol).as("__id_b"), col(vecCol).as("__vec_b")))
+    val dropped = pool.join(addedB, Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b") &&
+        round(cosine(col("__vec_a"), col("__vec_b")), 6) >= tau)
+      .select(col("__id_b").as(idCol)).distinct()
+    val addedMembers = addedAssigned
+      .join(bc(dropped.withColumn("__dropped", lit(true))), Seq(idCol),
+        "left")
+      .select(col(idCol), col(vecCol), col("cluster"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+    SemState(state.members.unionByName(addedMembers), state.centroids)
+  }
+
+  // ------------------------------------------ incremental IVF state
+
+  /** The stored ANN index a streaming-embedding pipeline keeps between
+    * runs: the cell-keyed assignment table plus its centroid table —
+    * the [[graft.ops.TextDedup.ShingleState]]/SpanState O(delta)
+    * pattern applied to the vector layer. Centroids are FROZEN
+    * between maintenance runs (the standard IVF discipline: retrain
+    * on a schedule when cell-size drift warrants it, never per
+    * ingest batch — per-batch retraining would reshuffle the whole
+    * index under partition-pruned readers). */
+  final case class IvfState(assigned: DataFrame, centroids: DataFrame) {
+    def release(): Unit =
+      Seq(assigned, centroids).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Full build of [[IvfState]] against an explicit centroid table
+    * ((__c_id, __c_vec) — [[lloydCentroids]] for a replayable index,
+    * [[ivfBuild]]'s KMeans centers for the production one). */
+  def ivfState(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): IvfState =
+    IvfState(assignToCentroids(emb, idCol, vecCol, centroids), centroids)
+
+  /** O(delta) maintenance of [[IvfState]] through removed / added
+    * vectors (a re-embedded document appears in both, new vector in
+    * `addedVecs`). Because assignment is PER-ROW deterministic given
+    * frozen centroids, the maintained index is EQUAL to re-assigning
+    * the whole new corpus — the equivalence q180 require's both
+    * directions and hash-matches against a SQL replay. Cost shape:
+    * the stored assignment is scanned once with a broadcast anti
+    * filter (never shuffled); only delta vectors pay the k-centroid
+    * assignment. `hintBroadcastDelta` as in incrementalShingleState:
+    * false + bucketed state tables for warehouse-scale deltas. */
+  def incrementalIvf(state: IvfState, removedIds: DataFrame,
+      addedVecs: DataFrame, idCol: String, vecCol: String,
+      hintBroadcastDelta: Boolean = true): IvfState = {
+    def bc(df: DataFrame): DataFrame =
+      if (hintBroadcastDelta) broadcast(df) else df
+    val kept = state.assigned
+      .join(bc(removedIds.select(col(idCol))), Seq(idCol), "left_anti")
+    val added = assignToCentroids(addedVecs, idCol, vecCol,
+      state.centroids)
+    IvfState(kept.unionByName(added), state.centroids)
   }
 
   /** IVF probe: search only the `nprobe` cells whose centroids are

@@ -136,11 +136,14 @@ final class PreparedPolygonQuery private[pipeline] (
       (lo, hi, paramPlan(range))
     }
 
-  // pre-pay optimization + physical planning + codegen for every
-  // bucket NOW (the empty holder matches nothing, so each warm-up
-  // executes the full plan machinery against its pruned slice) —
-  // probes then measure execution, never first-use planning
-  bucketPlans.foreach(_._3.collect())
+  // pre-pay analysis + optimization + physical planning for every
+  // bucket NOW; deliberately NOT executed here — an execution warm-up
+  // with the empty holder would scan every bucket once (~buckets x a
+  // full pass on an unclustered cached layout, where range predicates
+  // reject rows but skip no bytes). The first probe that touches a
+  // bucket pays its one-time codegen JIT (~tens of ms), which is the
+  // cheaper trade.
+  bucketPlans.foreach(_._3.queryExecution.executedPlan)
 
   /** Equivalent of H3Query.objects for a new polygon: distinct matching
     * objects with stable ordering. */

@@ -216,7 +216,7 @@ object CorpusQueries {
       val addedDocs = newCorpus
         .filter(col("doc_id") % 11 === 0 || col("doc_id") % 5 === 0)
       val inc = graft.ops.TextDedup.incrementalSpanState(st, removedIds,
-        addedDocs, "doc_id", "text", l = 40, fastDigest = true)
+        addedDocs, "doc_id", "text", l = 40)
       val incSpans = inc.spans.persist()
       // Two-sided span-level pin on a deterministic ~1/3 doc stratum
       // (r9 Next #3 proof-cost trim): the independent rebuild keeps its
@@ -281,6 +281,103 @@ object CorpusQueries {
     "q179_lloyd_semdedup" -> ((s, dir) => {
       graft.ops.VectorOps.lloydSemDedup(emb(s, dir), "vec_id",
           "embedding", k = 16, tau = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // Incremental ANN index maintenance (ops/VectorOps.IvfState /
+    // incrementalIvf): the q162/q177 O(delta) state pattern applied to
+    // the vector layer. Centroids train ONCE on the old corpus
+    // (replayable lloydCentroids — integer-mean, so the whole chain
+    // replays in SQL) and stay frozen; the index is maintained through
+    // a remove/add delta and require'd equal, both directions, to
+    // re-assigning the whole new corpus; per-cell occupancy comes
+    // along as a window count. Hash-matched end to end.
+    "q180_incremental_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val oldCorpus = e.filter(col("vec_id") % 7 =!= 0)
+      val cents = graft.ops.VectorOps.lloydCentroids(oldCorpus, "vec_id",
+        "embedding", k = 16)
+      val st = graft.ops.VectorOps.ivfState(oldCorpus, "vec_id",
+        "embedding", cents)
+      val removedIds = oldCorpus.filter(col("vec_id") % 5 === 0)
+        .select("vec_id")
+      val addedVecs = e.filter(col("vec_id") % 7 === 0)
+      val inc = graft.ops.VectorOps.incrementalIvf(st, removedIds,
+        addedVecs, "vec_id", "embedding")
+      val incAssigned = inc.assigned.persist()
+      // independent target: one-shot assignment of the whole new
+      // corpus against the SAME frozen centroids
+      val newCorpus = e.filter(col("vec_id") % 7 === 0 ||
+        col("vec_id") % 5 =!= 0)
+      val full = graft.ops.VectorOps.assignToCentroids(newCorpus,
+        "vec_id", "embedding", cents)
+      val diff = incAssigned.select(col("vec_id"), col("cluster").as("c_i"))
+        .join(full.select(col("vec_id"), col("cluster").as("c_f")),
+          Seq("vec_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("c_f").isNull ||
+            col("c_i") =!= col("c_f"), 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("c_i").isNull ||
+            col("c_i") =!= col("c_f"), 1L).otherwise(0L)), lit(0L)))
+        .head()
+      require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
+        s"incremental IVF diverged from full re-assignment: " +
+          s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
+      Memos.track(s"corpus:incivf:$dir",
+        Set("q180_incremental_ivf"), incAssigned) { () =>
+        incAssigned.unpersist(); ()
+      }
+      import org.apache.spark.sql.expressions.Window
+      incAssigned
+        .select(col("vec_id"), col("cluster"),
+          count(lit(1)).over(Window.partitionBy("cluster")).as("cell_n"))
+        .orderBy("vec_id")
+    }),
+
+    // Append-only incremental SemDeDup (ops/VectorOps.SemState /
+    // incrementalSemDedup): the crawl-append regime — a batch of
+    // re-embedded docs arrives under NEW ingest ids (old id +
+    // 10000000), centroids stay frozen from the original corpus, and
+    // only the delta pays assignment + prune. The drop rule's
+    // smaller-id direction makes stored decisions provably final, so
+    // the maintained state is require'd equal, both directions, to a
+    // full re-run over old ∪ added — and the whole chain (frozen
+    // integer-mean centroids included) hash-matches a SQL replay.
+    "q181_incremental_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val oldCorpus = e.filter(col("vec_id") % 4 =!= 3)
+      val added = e.filter(col("vec_id") % 4 === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val cents = graft.ops.VectorOps.lloydCentroids(oldCorpus, "vec_id",
+        "embedding", k = 16)
+      val st = graft.ops.VectorOps.semState(oldCorpus, "vec_id",
+        "embedding", cents, tau = 0.4)
+      val inc = graft.ops.VectorOps.incrementalSemDedup(st, added,
+        "vec_id", "embedding", tau = 0.4)
+      val incMembers = inc.members.persist()
+      val full = graft.ops.VectorOps.semState(oldCorpus.unionByName(added),
+        "vec_id", "embedding", cents, tau = 0.4).members
+      val diff = incMembers
+        .select(col("vec_id"), col("cluster").as("cl_i"),
+          col("kept").as("k_i"))
+        .join(full.select(col("vec_id"), col("cluster").as("cl_f"),
+          col("kept").as("k_f")), Seq("vec_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("cl_f").isNull ||
+            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+            .otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("cl_i").isNull ||
+            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+            .otherwise(0L)), lit(0L)))
+        .head()
+      require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
+        s"incremental semDedup diverged from full re-run: " +
+          s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
+      Memos.track(s"corpus:incsem:$dir",
+        Set("q181_incremental_semdedup"), incMembers) { () =>
+        incMembers.unpersist(); ()
+      }
+      incMembers.select(col("vec_id"), col("cluster"), col("kept"))
         .orderBy("vec_id")
     })
   )
@@ -786,6 +883,117 @@ object CorpusQueries {
          |  JOIN best b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
          |  JOIN embeddings e1 ON b1.vec_id = e1.vec_id
          |  JOIN embeddings e2 ON b2.vec_id = e2.vec_id
+         |  WHERE ${sqlCos("e1.embedding", "e2.embedding")} >= 0.4
+         |)
+         |SELECT b.vec_id, b.cluster,
+         |  b.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         |FROM best b ORDER BY b.vec_id""".stripMargin,
+
+    "q180_incremental_ivf" ->
+      s"""WITH oldc AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
+         |), seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM oldc ORDER BY vec_id LIMIT 16
+         |), assign0 AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM oldc e CROSS JOIN seeds s
+         |), best0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign0)
+         |  WHERE rn = 1
+         |), dims AS (
+         |  SELECT vec_id, dim, embedding[dim] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(list_transform(range(1, CAST(len(embedding) AS INT) + 1),
+         |                                x -> CAST(x AS INT))) AS dim
+         |        FROM oldc)
+         |), comp AS (
+         |  SELECT b.cluster, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(d.v AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS comp
+         |  FROM best0 b JOIN dims d USING (vec_id)
+         |  GROUP BY b.cluster, d.dim
+         |), cent AS (
+         |  SELECT cluster, list(comp ORDER BY dim) AS cvec
+         |  FROM comp GROUP BY cluster
+         |), newc AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 7 = 0 OR vec_id % 5 <> 0
+         |), assign1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    ${sqlCos("e.embedding", "c.cvec")} AS c
+         |  FROM newc e CROSS JOIN cent c
+         |), best AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, cluster ASC) AS rn
+         |    FROM assign1)
+         |  WHERE rn = 1
+         |)
+         |SELECT vec_id, cluster,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS cell_n
+         |FROM best ORDER BY vec_id""".stripMargin,
+
+    "q181_incremental_semdedup" ->
+      s"""WITH oldc AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 3
+         |), corpus AS (
+         |  SELECT vec_id, embedding FROM oldc
+         |  UNION ALL
+         |  SELECT vec_id + 10000000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 4 = 3
+         |), seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM oldc ORDER BY vec_id LIMIT 16
+         |), assign0 AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM oldc e CROSS JOIN seeds s
+         |), best0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign0)
+         |  WHERE rn = 1
+         |), dims AS (
+         |  SELECT vec_id, dim, embedding[dim] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(list_transform(range(1, CAST(len(embedding) AS INT) + 1),
+         |                                x -> CAST(x AS INT))) AS dim
+         |        FROM oldc)
+         |), comp AS (
+         |  SELECT b.cluster, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(d.v AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS comp
+         |  FROM best0 b JOIN dims d USING (vec_id)
+         |  GROUP BY b.cluster, d.dim
+         |), cent AS (
+         |  SELECT cluster, list(comp ORDER BY dim) AS cvec
+         |  FROM comp GROUP BY cluster
+         |), assign1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    ${sqlCos("e.embedding", "c.cvec")} AS c
+         |  FROM corpus e CROSS JOIN cent c
+         |), best AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, cluster ASC) AS rn
+         |    FROM assign1)
+         |  WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM best b1
+         |  JOIN best b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+         |  JOIN corpus e1 ON b1.vec_id = e1.vec_id
+         |  JOIN corpus e2 ON b2.vec_id = e2.vec_id
          |  WHERE ${sqlCos("e1.embedding", "e2.embedding")} >= 0.4
          |)
          |SELECT b.vec_id, b.cluster,

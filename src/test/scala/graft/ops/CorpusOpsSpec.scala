@@ -98,6 +98,57 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(2L) == (2L, true))
   }
 
+  test("incrementalIvf: maintained index equals one-shot re-assignment over random remove/add deltas") {
+    val rnd = new scala.util.Random(23)
+    val e = vecs((1L to 100L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1)): _*)
+    val old = e.filter(col("vec_id") <= 80)
+    val cents = VectorOps.lloydCentroids(old, "vec_id", "embedding", k = 5)
+    val st = VectorOps.ivfState(old, "vec_id", "embedding", cents)
+    val removed = old.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val added = e.filter(col("vec_id") > 80)
+    val inc = VectorOps.incrementalIvf(st, removed, added,
+      "vec_id", "embedding")
+    val newCorpus = e.filter(col("vec_id") > 80 ||
+      (col("vec_id") <= 80 && col("vec_id") % 3 =!= 0))
+    val full = VectorOps.assignToCentroids(newCorpus, "vec_id",
+      "embedding", cents)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = pairs(inc.assigned)
+    assert(got.nonEmpty && got == pairs(full))
+  }
+
+  test("incrementalSemDedup: append equals full re-run; interleaved ids refuse loudly") {
+    val rnd = new scala.util.Random(29)
+    val e = vecs((1L to 90L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1)): _*)
+    val old = e.filter(col("vec_id") <= 60)
+    val added = e.filter(col("vec_id") > 60)
+    val cents = VectorOps.lloydCentroids(old, "vec_id", "embedding", k = 4)
+    val st = VectorOps.semState(old, "vec_id", "embedding", cents,
+      tau = 0.6)
+    val inc = VectorOps.incrementalSemDedup(st, added, "vec_id",
+      "embedding", tau = 0.6)
+    val full = VectorOps.semState(e, "vec_id", "embedding", cents,
+      tau = 0.6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sorted.toSeq
+    val got = rows(inc.members)
+    assert(got.length == 90 && got == rows(full.members))
+    // interleaved ids (added id 30 < stored max 60) must refuse, not
+    // silently keep a stale decision
+    val bad = vecs(30L -> Seq.fill(6)(0.5f))
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.incrementalSemDedup(st, bad, "vec_id", "embedding",
+        tau = 0.6)
+    }
+    assert(err.getMessage.contains("append-only"))
+  }
+
   test("duplicateSpanList(onlyDocs) equals the full result filtered: global counts, stratum merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
