@@ -377,6 +377,25 @@ object VectorOps {
       idCol, vecCol, tau)
   }
 
+  /** Per-row nearest-centroid assignment as a PURE MAP expression over
+    * a driver-side centroid table — the streaming-safe form of
+    * [[assignToCentroids]]: no groupBy, no join (a blocking
+    * aggregation would force complete-mode on a readStream), just an
+    * array_max over k inline (rounded cosine, -centroid_id) struct
+    * candidates — the identical argmax-with-smaller-id-tiebreak by
+    * construction, which q182 requires stream ≡ batch. Use for
+    * streaming ingest; the DataFrame form remains the batch/warehouse
+    * path (centroids as a broadcast table, not plan literals). */
+  def assignExpr(vec: Column,
+      centroids: Array[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "assignExpr needs >= 1 centroid")
+    val cands = array(centroids.map { case (cid, cv) =>
+      struct(round(cosine(vec, typedLit(cv.toSeq)), 6).as("c"),
+        lit(-cid).as("neg"))
+    }.toIndexedSeq: _*)
+    -array_max(cands).getField("neg")
+  }
+
   // ------------------------------- incremental semantic-dedup state
 
   /** Stored semantic-dedup state: every vector with its cluster and
@@ -495,6 +514,58 @@ object VectorOps {
     val added = assignToCentroids(addedVecs, idCol, vecCol,
       state.centroids)
     IvfState(kept.unionByName(added), state.centroids)
+  }
+
+  /** Batch k-NN JOIN — top-k neighbors for EVERY query vector at once
+    * (the knn-graph builder semantic-dedup and curation pipelines
+    * need), celled through the IVF structure instead of all-pairs:
+    * each query probes its `nprobe` nearest cells and joins only that
+    * slice of the corpus, so total pair work is Σ (query-side cell
+    * fan-out x cell occupancy) instead of |Q| x |C|. With
+    * nprobe = nlist every cell is probed and the result is EXACTLY
+    * the brute-force top-k (the q183 hash-matched law — same
+    * rounded-cosine descending / id-ascending order contract as
+    * [[knnBrute]]); smaller nprobe trades recall for that pair-work
+    * bound, measured in ProfileIvfRecall.
+    *
+    * Self-pairs are excluded. Returns (query id as `q_id`, `rank`
+    * 1..k, neighbor idCol, `cos_sim`).
+    *
+    * 100 TB shape: centroids broadcast twice (corpus assignment +
+    * query probe ranking); the only big shuffles are the cell-keyed
+    * equi-join and the per-query top-k window, both keyed by
+    * high-cardinality ids. The probe-cell ranking window shuffles the
+    * QUERY side only (|Q| x nprobe rows). */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
+      .select(col("cluster"), col(idCol).as("__c_id2"),
+        col(vecCol).as("__c_vec2"))
+    // each query's nprobe nearest cells, same ordering contract as
+    // the assignment itself (rounded cosine desc, centroid id asc)
+    val probes = queries.select(col(idCol).as("__q_id"),
+        col(vecCol).as("__q_vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("__q_id"), col("__q_vec"),
+        col("__c_id").as("cluster"),
+        round(cosine(col("__q_vec"), col("__c_vec")), 6).as("__cc"))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("__q_id")
+          .orderBy(desc("__cc"), asc("cluster"))))
+      .filter(col("__pr") <= nprobe)
+      .drop("__cc", "__pr")
+    probes.join(assigned, Seq("cluster"))
+      .filter(col("__q_id") =!= col("__c_id2"))
+      .select(col("__q_id"), col("__c_id2"),
+        round(cosine(col("__q_vec"), col("__c_vec2")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__q_id")
+          .orderBy(desc("cos_sim"), asc("__c_id2"))))
+      .filter(col("rank") <= k)
+      .select(col("__q_id").as("q_id"), col("rank"),
+        col("__c_id2").as(idCol), col("cos_sim"))
   }
 
   /** IVF probe: search only the `nprobe` cells whose centroids are

@@ -379,6 +379,61 @@ object CorpusQueries {
       }
       incMembers.select(col("vec_id"), col("cluster"), col("kept"))
         .orderBy("vec_id")
+    }),
+
+    // Streaming embedding ingest (ops/VectorOps.assignExpr + Structured
+    // Streaming): vectors arrive as micro-batched files and are
+    // assigned to FROZEN centroids by a pure map expression (no
+    // blocking aggregation — the streaming-safe form of
+    // assignToCentroids, same rounded-cosine/smaller-id argmax by
+    // construction). Stream output is require'd identical to the batch
+    // assignment, and the whole chain hash-matches the SQL replay of
+    // the integer-mean centroid pipeline.
+    "q182_streaming_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
+        "embedding", k = 16)
+      val centArr = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q182")
+      val src = tmp.resolve("src").toString
+      for (r <- 0 to 2)
+        e.filter(col("vec_id") % 3 === r).coalesce(1)
+          .write.mode("append").parquet(src)
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream.select(col("vec_id"),
+          graft.ops.VectorOps.assignExpr(col("embedding"), centArr)
+            .as("cluster"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q182out").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.table("q182out").select("vec_id", "cluster")
+      val batch = graft.ops.VectorOps.assignToCentroids(e, "vec_id",
+          "embedding", cents)
+        .select(col("vec_id"), col("cluster"))
+      require(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming assignment diverged from batch assignToCentroids")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      streamed.orderBy("vec_id")
+    }),
+
+    // Batch k-NN JOIN / knn-graph (ops/VectorOps.knnJoin): top-5
+    // neighbors for EVERY vector through the IVF cell structure. At
+    // nprobe = nlist the cell fan-out provably covers every corpus
+    // vector exactly once, so the result IS the brute-force knn graph
+    // — hash-matched against DuckDB's all-pairs window replay. Partial
+    // probes are the Σ(fan-out x occupancy) scale path (recall/latency
+    // measured in ProfileIvfRecall).
+    "q183_knn_join" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
+        "embedding", k = 16)
+      graft.ops.VectorOps.knnJoin(e, e, "vec_id", "embedding", cents,
+          k = 5, nprobe = 16)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -998,6 +1053,58 @@ object CorpusQueries {
          |)
          |SELECT b.vec_id, b.cluster,
          |  b.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
-         |FROM best b ORDER BY b.vec_id""".stripMargin
+         |FROM best b ORDER BY b.vec_id""".stripMargin,
+
+    "q182_streaming_ivf" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), assign0 AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), best0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign0)
+         |  WHERE rn = 1
+         |), dims AS (
+         |  SELECT vec_id, dim, embedding[dim] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(list_transform(range(1, CAST(len(embedding) AS INT) + 1),
+         |                                x -> CAST(x AS INT))) AS dim
+         |        FROM embeddings)
+         |), comp AS (
+         |  SELECT b.cluster, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(d.v AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS comp
+         |  FROM best0 b JOIN dims d USING (vec_id)
+         |  GROUP BY b.cluster, d.dim
+         |), cent AS (
+         |  SELECT cluster, list(comp ORDER BY dim) AS cvec
+         |  FROM comp GROUP BY cluster
+         |), assign1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    ${sqlCos("e.embedding", "c.cvec")} AS c
+         |  FROM embeddings e CROSS JOIN cent c
+         |)
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, cluster ASC) AS rn
+         |  FROM assign1)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q183_knn_join" ->
+      s"""SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos_sim FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         |    ${sqlCos("a.embedding", "b.embedding")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${sqlCos("a.embedding", "b.embedding")} DESC,
+         |               b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }

@@ -213,6 +213,23 @@ class PlanSpec extends AnyFunSuite {
         plan.take(1000))
   }
 
+  test("q179/q180/q181 vector states: centroids broadcast, state scans anti-filtered, no cartesians") {
+    Seq("q179_lloyd_semdedup", "q180_incremental_ivf",
+        "q181_incremental_semdedup").foreach { q =>
+      val plan = planOf(q)
+      // the k-centroid side must arrive as a BROADCAST nested-loop
+      // (the intended k-row fan-out), never an unbroadcast cartesian
+      assert(!plan.contains("CartesianProduct"), s"$q:\n" + plan.take(1000))
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$q expected broadcast centroid/seed side:\n" + plan.take(1000))
+    }
+    // the incremental ops' stored-state scans are broadcast-filtered
+    // (anti for removals/appends), never a shuffled join of the state
+    val ivf = planOf("q180_incremental_ivf")
+    assert(ivf.contains("LeftAnti"), "q180 removal filter not an anti join")
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the
