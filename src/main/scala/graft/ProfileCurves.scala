@@ -291,9 +291,11 @@ object ProfileScale {
       // while this path stays flat as the index grows.
       val pqDir = java.nio.file.Files
         .createTempDirectory(s"graft_scale_idx_$m").toString
-      index.repartitionByRange(64, col(s"h3_parent_$res"))
-        .sortWithinPartitions(s"h3_parent_$res")
-        .write.mode("overwrite").parquet(pqDir)
+      // written through the SHIPPED layout path (H3Index.writeClustered
+      // — the same call Runner.run makes for every mart _h3 table), so
+      // this row measures the default runner-built layout, not a
+      // profiler-only construction
+      H3Index.writeClustered(index, pqDir, res)
       val pq = spark.read.parquet(pqDir)
       val (warmPqMs, freshPqMs) = probeLatency(pq)
 
@@ -600,7 +602,21 @@ object ProfileVecDelta {
         centsP, tau = 0.4).members))
     val bSemFull = meter.drain()
 
-    println(f"""{"metric":"vec_delta","m":$m,"n_vecs":$nVecs,"n_delta":$nDelta,"ivf_state_shuffle_mb":${bState / 1e6}%.1f,"ivf_inc_s":$tInc%.2f,"ivf_inc_shuffle_mb":${bInc / 1e6}%.1f,"ivf_full_s":$tFull%.2f,"ivf_full_shuffle_mb":${bFull / 1e6}%.1f,"sem_inc_s":$tSemInc%.2f,"sem_inc_shuffle_mb":${bSemInc / 1e6}%.1f,"sem_full_s":$tSemFull%.2f,"sem_full_shuffle_mb":${bSemFull / 1e6}%.1f}""")
+    // removal-capable SemDeDup (r10 Next #2): dirty-frontier cost of a
+    // removals+adds maintenance run vs the full re-prune over
+    // (old \ removed) ∪ added it provably equals (q184)
+    val tSemRm = timed(noop(
+      VectorOps.incrementalSemDedup(
+        VectorOps.SemState(semStored, centsP), removedIds, added,
+        "vec_id", "embedding", tau = 0.4,
+        hintBroadcastDelta = true).members))
+    val bSemRm = meter.drain()
+    val tSemRmFull = timed(noop(
+      VectorOps.semState(newCorpus, "vec_id", "embedding",
+        centsP, tau = 0.4).members))
+    val bSemRmFull = meter.drain()
+
+    println(f"""{"metric":"vec_delta","m":$m,"n_vecs":$nVecs,"n_delta":$nDelta,"ivf_state_shuffle_mb":${bState / 1e6}%.1f,"ivf_inc_s":$tInc%.2f,"ivf_inc_shuffle_mb":${bInc / 1e6}%.1f,"ivf_full_s":$tFull%.2f,"ivf_full_shuffle_mb":${bFull / 1e6}%.1f,"sem_inc_s":$tSemInc%.2f,"sem_inc_shuffle_mb":${bSemInc / 1e6}%.1f,"sem_full_s":$tSemFull%.2f,"sem_full_shuffle_mb":${bSemFull / 1e6}%.1f,"sem_rm_inc_s":$tSemRm%.2f,"sem_rm_inc_shuffle_mb":${bSemRm / 1e6}%.1f,"sem_rm_full_s":$tSemRmFull%.2f,"sem_rm_full_shuffle_mb":${bSemRmFull / 1e6}%.1f}""")
     spark.stop()
   }
 }

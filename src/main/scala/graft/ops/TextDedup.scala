@@ -742,8 +742,22 @@ object TextDedup {
     val anchors = anchorsOf(docs, idCol, textCol, l, fastDigest)
     val dupHashes = anchors.groupBy("h").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2).select("h")
-    val scoped = onlyDocs.fold(anchors)(p =>
-      anchorsOf(docs.filter(p), idCol, textCol, l, fastDigest))
+    // the per-character anchor pass dominates this operator's cost; a
+    // predicate over columns the anchor frame preserves (typically the
+    // id) filters the already-computed anchors instead of re-anchoring
+    // the filtered docs — same rows, one anchor pass instead of two.
+    // Predicates over dropped columns (e.g. the text) still re-anchor.
+    val anchorCols = Set(idCol, "__len", "p", "h")
+    val scoped = onlyDocs.fold(anchors) { p =>
+      val refs = org.apache.spark.sql.graftbridge.Bridge.expression(p).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }
+      if (refs.nonEmpty && refs.forall(anchorCols.contains)) anchors.filter(p)
+      else anchorsOf(docs.filter(p), idCol, textCol, l, fastDigest)
+    }
     islandMerge(scoped.join(dupHashes, Seq("h"), "left_semi"), idCol, l)
   }
 

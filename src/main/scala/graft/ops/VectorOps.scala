@@ -33,7 +33,10 @@ object VectorOps {
     * accumulator adds per-element products in array order, the exact
     * IEEE op sequence of the three separate folds, and the same
     * sequence a SQL engine's in-order list fold produces — every
-    * cosine oracle stays valid), but ONE eval call per row running a
+    * cosine oracle stays valid; a zero-norm input yields SQL NULL, the
+    * try_divide zero-divisor contract, never NaN — NaN would outrank
+    * every real cosine in Spark's ordering), but ONE eval call per row
+    * running a
     * primitive while-loop instead of 3 x dims interpreted
     * higher-order-lambda tree walks. Catalyst HOF lambdas never
     * compile (the WordNGrams lesson); for the prune self-join that
@@ -97,6 +100,14 @@ object VectorOps {
         dbb += y * y
         i += 1
       }
+      // Divide parity: the HOF composition routed through Spark's
+      // Divide, which yields SQL NULL on a 0.0 divisor. A zero-norm
+      // vector must therefore stay NULL here too — 0.0/0.0 = NaN
+      // would sort ABOVE every real cosine (Spark orders NaN last
+      // ascending / first descending), silently making a zero vector
+      // "duplicate of everything" in semDedupPrune and rank first in
+      // knnJoin where the old plan excluded it via the NULL filter.
+      if (daa == 0.0 || dbb == 0.0) return null
       dab / (math.sqrt(daa) * math.sqrt(dbb))
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -470,6 +481,65 @@ object VectorOps {
       .select(col(idCol), col(vecCol), col("cluster"),
         coalesce(!col("__dropped"), lit(true)).as("kept"))
     SemState(state.members.unionByName(addedMembers), state.centroids)
+  }
+
+  /** Dirty-frontier incremental SemDeDup WITH removals (the
+    * incrementalSpanState treatment at the vector layer, closing the
+    * append-only overload's documented gap): maintain [[SemState]]
+    * through removed ids AND an appended batch in one run, exactly —
+    * no periodic-re-prune staleness window.
+    *
+    * Why the frontier is small and exact: the drop rule is
+    * MEMBERSHIP-based, not kept-based — a vector is dropped iff SOME
+    * smaller-id vector shares its cluster at cosine >= tau, dropped
+    * neighbors counting too. Removing vectors therefore only shrinks
+    * drop pools: a stored KEPT decision can never flip (its pool lost
+    * members, and kept meant no pool member was close), and a stored
+    * DROPPED member can only be resurrected. The dirty frontier is
+    * exactly the currently-dropped members of clusters that lost a
+    * member, with id above the smallest removed id of their cluster —
+    * only those rows re-run the prune, against the surviving
+    * smaller-id members of their own cluster. Everything else carries
+    * over untouched (scanned once, never reshuffled), then the added
+    * batch runs through the append-only path.
+    *
+    * Cost shape: removal work is Σ over affected clusters of
+    * (dirty members × cluster occupancy) cosines — ProfileVecDelta
+    * measures it a small fraction of the full re-prune's Σ n_c². */
+  def incrementalSemDedup(state: SemState, removedIds: DataFrame,
+      addedVecs: DataFrame, idCol: String, vecCol: String, tau: Double,
+      hintBroadcastDelta: Boolean): SemState = {
+    def bc(df: DataFrame): DataFrame =
+      if (hintBroadcastDelta) broadcast(df) else df
+    val rem = removedIds.select(col(idCol))
+    val removedMembers = state.members.join(bc(rem), Seq(idCol), "left_semi")
+    val floors = removedMembers.groupBy("cluster")
+      .agg(min(col(idCol)).as("__rm_min"))
+    val surviving = state.members.join(bc(rem), Seq(idCol), "left_anti")
+    val withFloor = surviving.join(bc(floors), Seq("cluster"), "left")
+    val carried = withFloor
+      .filter(col("__rm_min").isNull || col("kept") ||
+        col(idCol) < col("__rm_min"))
+      .select(col(idCol), col(vecCol), col("cluster"), col("kept"))
+    val dirty = withFloor
+      .filter(col("__rm_min").isNotNull && !col("kept") &&
+        col(idCol) > col("__rm_min"))
+    val pool = surviving.select(col("cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__vec_a"))
+    val dirtyB = bc(dirty.select(col("cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vec_b")))
+    val stillDropped = pool.join(dirtyB, Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b") &&
+        round(cosine(col("__vec_a"), col("__vec_b")), 6) >= tau)
+      .select(col("__id_b").as(idCol)).distinct()
+    val revised = dirty
+      .join(bc(stillDropped.withColumn("__d", lit(true))), Seq(idCol),
+        "left")
+      .select(col(idCol), col(vecCol), col("cluster"),
+        coalesce(!col("__d"), lit(true)).as("kept"))
+    incrementalSemDedup(
+      SemState(carried.unionByName(revised), state.centroids),
+      addedVecs, idCol, vecCol, tau, hintBroadcastDelta)
   }
 
   // ------------------------------------------ incremental IVF state

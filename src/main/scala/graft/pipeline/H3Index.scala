@@ -31,16 +31,24 @@ object H3Index {
     StructField("geom", BinaryType)))
 
   /** Union every per-dataset mart (`{ds}_h3` shape from
-    * Stages.martH3Cells) into one index relation. */
+    * Stages.martH3Cells) into one index relation. Materialized
+    * `h3_parent_*` ancestor columns (the [[writeClustered]] layout)
+    * are preserved when EVERY mart carries them — H3Query then gets
+    * its sargable equi-join key straight off the parquet scan. */
   def build(spark: SparkSession, marts: Map[String, DataFrame]): DataFrame =
     if (marts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         indexSchema)
-    else
+    else {
+      val parentCols = marts.values
+        .map(_.columns.filter(_.startsWith("h3_parent_")).toSet)
+        .reduce(_ intersect _).toSeq.sorted
       marts.map { case (_, df) =>
-        df.select(col("id"), col("dataset").as("dataset_id"),
-          col("leverantor"), col("klass"), col("h3_cell"), col("geom"))
+        df.select(col("id") +: col("dataset").as("dataset_id") +:
+          col("leverantor") +: col("klass") +: col("h3_cell") +:
+          col("geom") +: parentCols.map(col): _*)
       }.reduce(_.unionByName(_))
+    }
 
   /** Materialize the coarse query-resolution ancestor as an index
     * column — the write-once/read-many trade the reference makes by
@@ -51,6 +59,31 @@ object H3Index {
   def withParentAt(index: DataFrame, res: Int): DataFrame =
     index.withColumn(s"h3_parent_$res",
       graft.functions.GFunctions.h3_cell_to_parent(col("h3_cell"), lit(res)))
+
+  /** The probe-optimal warehouse layout, as a WRITE: materialize the
+    * query-res ancestor and range-cluster + sort the rows by it, so
+    * every downstream polygon probe's literal [min, max] prefilter
+    * (H3Query.keyedIndex, PreparedPolygonQuery's bucket ranges)
+    * reaches the parquet scan as a pushed predicate and row-group
+    * footer stats skip everything outside the polygon.
+    *
+    * This is THE measured scale path (PERF.md r10): probes on this
+    * layout hold flat at ~20 ms through 116M index rows, while probes
+    * on a cached unclustered index go linear past ~40M rows
+    * (InMemoryTableScan stats pruning is a measured net no-op). The
+    * Runner writes every mart `_h3` table through here — the layout
+    * ships as the default, not as a profiler artifact. Partition
+    * count comes from spark.sql.shuffle.partitions (AQE coalesces
+    * small outputs), so the same call scales from a 150-row test
+    * fixture to a multi-TB mart. */
+  def writeClustered(df: DataFrame, path: String,
+      res: Int = H3Query.DefaultQueryRes): Unit = {
+    val parentCol = s"h3_parent_$res"
+    withParentAt(df, res)
+      .repartitionByRange(col(parentCol))
+      .sortWithinPartitions(parentCol)
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+  }
 
   /** mart.h3_stats (pipeline_runner.py:1144-1153): per-cell heatmap
     * pre-aggregate — the layout that makes heatmap queries

@@ -89,7 +89,9 @@ case class ParamCellsContains(cell: Expression, holder: CellSetHolder)
   * driver over the (interactive-sized) match set, mirroring the
   * reference returning a result table to the UI. */
 final class PreparedPolygonQuery private[pipeline] (
-    index: DataFrame, res: Int, bucketsRequested: Int) {
+    index: DataFrame, res: Int, bucketsRequested: Int,
+    // test seam: the measured production crossover stays the default
+    crossoverRows: Long = PreparedPolygonQuery.CacheCrossoverRows) {
   require(bucketsRequested >= 0, "need buckets >= 1, or 0 for auto")
 
   // auto-sizing (buckets = 0): one bucket per ~600k index rows, capped
@@ -97,20 +99,52 @@ final class PreparedPolygonQuery private[pipeline] (
   // exceed its full-scan cost, measured ~45 ms at a 10k-object index),
   // a big one gets buckets that keep the per-probe scan population
   // roughly constant as the index grows
+  private val isCached: Boolean =
+    index.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.isDefined
+
+  // counted when needed: bucket auto-sizing, or crossover detection on
+  // a cached index (the count is served by the cache being probed)
+  private val rowCount: Long =
+    if (bucketsRequested >= 1 && !isCached) -1L else index.count()
+
+  /** The frame probes actually run against. A CACHED index past the
+    * measured ~40M-row crossover is rewritten ONCE to the clustered-
+    * parquet layout and probed there instead: ProfileCachePrune (r10)
+    * measured InMemoryTableScan stats pruning as a net no-op, so
+    * cached probes scan every batch and go linear with index size
+    * (224 ms at 116M rows), while the clustered layout's row-group
+    * skipping holds probes flat (~20 ms at 116M). The one-time
+    * rewrite costs about as much as the cache materialization it
+    * replaces; disable with spark.graft.probe.autoLayout=false. */
+  private val probeIndex: DataFrame =
+    if (!isCached || rowCount < crossoverRows ||
+        !PreparedPolygonQuery.autoLayoutEnabled(index.sparkSession))
+      index
+    else {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_idx").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+      H3Index.writeClustered(index, dir, res)
+      index.sparkSession.read.parquet(dir)
+    }
+
   private val buckets: Int =
     if (bucketsRequested >= 1) bucketsRequested
-    else math.max(1, math.min(64, (index.count() / 600000L).toInt))
+    else math.max(1, math.min(64, (rowCount / 600000L).toInt))
 
   private val holder = new CellSetHolder
 
   private def keyed = {
     val parentCol = s"h3_parent_$res"
-    if (index.columns.contains(parentCol)) col(parentCol)
+    if (probeIndex.columns.contains(parentCol)) col(parentCol)
     else GFunctions.h3_cell_to_parent(col("h3_cell"), lit(res))
   }
 
   private def paramPlan(range: Option[Column]): DataFrame =
-    range.fold(index)(index.filter)
+    range.fold(probeIndex)(probeIndex.filter)
       .filter(toCol(ParamCellsContains(toExpr(keyed), holder)))
       .select(col("id"), col("dataset_id"), col("leverantor"), col("klass"))
 
@@ -121,7 +155,7 @@ final class PreparedPolygonQuery private[pipeline] (
   // wider buckets.
   private val splits: Array[Long] =
     if (buckets == 1) Array.empty
-    else index.select(keyed.cast("double").as("__k"))
+    else probeIndex.select(keyed.cast("double").as("__k"))
       .stat.approxQuantile("__k",
         (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
       .map(_.toLong).distinct.sorted
@@ -146,8 +180,16 @@ final class PreparedPolygonQuery private[pipeline] (
   bucketPlans.foreach(_._3.queryExecution.executedPlan)
 
   /** Equivalent of H3Query.objects for a new polygon: distinct matching
-    * objects with stable ordering. */
-  def objects(wktSweref: String): Array[Row] = {
+    * objects with stable ordering.
+    *
+    * Synchronized: the handle parameterizes ONE shared [[CellSetHolder]]
+    * per probe, so two concurrent `objects()` calls on the same handle
+    * would race (caller A's `holder.set` observable by caller B's
+    * in-flight bucket collects — easier to hit now that one probe runs
+    * several concurrent bucket jobs). Serializing probes per handle is
+    * the honest contract; concurrency WITHIN a probe (the bucket jobs)
+    * is unaffected, and independent handles never contend. */
+  def objects(wktSweref: String): Array[Row] = synchronized {
     val cells = PreparedPolygonQuery.cellIds(wktSweref, res)
     if (cells.isEmpty) return Array.empty
     holder.set(cells)
@@ -165,16 +207,31 @@ final class PreparedPolygonQuery private[pipeline] (
       if (hits.length <= 1) hits.toArray.flatMap(_._3.collect())
       else {
         import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
+        import scala.concurrent.duration._
         implicit val ec = PreparedPolygonQuery.probeEc
         val futs = hits.map { case (_, _, p) => Future(p.collect()) }
-        futs.toArray.flatMap(f => Await.result(f, Duration.Inf))
+        // finite deadline: a wedged bucket job must surface as an
+        // error, not hang the probe (and its lock) forever. 10 min is
+        // ~4 orders of magnitude over the measured worst probe.
+        futs.toArray.flatMap(f => Await.result(f, 10.minutes))
       }
     rows.distinct.sortBy(r => (r.getString(1), r.getString(0)))
   }
 }
 
 object PreparedPolygonQuery {
+
+  /** Measured cache-vs-clustered-parquet crossover (PERF.md r10,
+    * ProfileScale + ProfileCachePrune): below this row count a cached
+    * index probes fastest (predicate evaluation is cheap and the scan
+    * population small); past it, cached probes go linear (no byte
+    * skipping — InMemoryTableScan stats pruning is a measured no-op)
+    * while clustered parquet stays flat (~20 ms at 116M rows). */
+  val CacheCrossoverRows: Long = 40000000L
+
+  private[pipeline] def autoLayoutEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.probe.autoLayout")
+      .forall(_.toBoolean)
 
   /** Daemon pool for concurrent bucket-probe submission — sized by the
     * bucket default; idle threads die, and daemon status keeps handle

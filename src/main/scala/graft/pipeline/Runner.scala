@@ -78,8 +78,12 @@ object Runner {
       val normBack = spark.read.parquet(
         s"$outDir/staging_${cfg.pipeline}_001/${cfg.datasetId}.parquet")
       val mart = Stages.martH3Cells(normBack, cfg.datasetId)
-      mart.write.mode("overwrite")
-        .parquet(s"$outDir/mart/${cfg.datasetId}_h3.parquet")
+      // the measured probe-optimal layout IS the default (PERF.md r10:
+      // clustered parquet probes flat at 116M rows; a cached
+      // unclustered index goes linear past ~40M): materialized
+      // query-res ancestor + range-clustered rows
+      H3Index.writeClustered(mart,
+        s"$outDir/mart/${cfg.datasetId}_h3.parquet")
       Stages.martH3Compact(normBack).write.mode("overwrite")
         .parquet(s"$outDir/mart/${cfg.datasetId}_h3_compact.parquet")
       spark.read.parquet(s"$outDir/mart/${cfg.datasetId}_h3.parquet").count()

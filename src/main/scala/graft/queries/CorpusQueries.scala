@@ -218,22 +218,20 @@ object CorpusQueries {
       val inc = graft.ops.TextDedup.incrementalSpanState(st, removedIds,
         addedDocs, "doc_id", "text", l = 40)
       val incSpans = inc.spans.persist()
-      // Two-sided span-level pin on a deterministic ~1/3 doc stratum
-      // (r9 Next #3 proof-cost trim): the independent rebuild keeps its
-      // OWN corpus-wide anchor pass and global duplicate counts (a
-      // stratum doc's spans depend on grams shared with any doc) but
-      // merges spans only for stratum docs — and the DuckDB oracle
-      // below still replays the ENTIRE new corpus from raw text against
-      // the incremental result, so full-population equivalence stays
-      // hash-checked; the stratum pin adds the span-level (s, e,
-      // n_anchors) comparison both directions. doc_id % 3 is coprime
-      // with every id filter this query's delta uses (%5, %11, %13),
-      // so the stratum samples kept/changed/added docs alike.
-      val stratum = col("doc_id") % 3 === 0
+      // Two-sided span-level pin over the FULL population (restored
+      // from r10's ~1/3 doc stratum per r10 ADVICE: a divergence on
+      // non-stratum docs was only caught by the external oracle hash,
+      // without the in-query extra/missing diagnostics). What made the
+      // restore affordable is duplicateSpanList's onlyDocs fix this
+      // round — the rebuild no longer pays a second anchor pass —
+      // so full-population costs ~1.2 s over the stratum pin (14.6 vs
+      // 13.4 s at sf0.1) while the require now covers every doc. The
+      // DuckDB oracle below still replays the ENTIRE new corpus from
+      // raw text against the incremental result, as before.
       val full = graft.ops.TextDedup.duplicateSpanList(newCorpus, "doc_id",
-        "text", l = 40, onlyDocs = Some(stratum), fastDigest = true)
-      // one-job two-sided equivalence pin on the stratum's span rows
-      val diff = incSpans.filter(stratum)
+        "text", l = 40, fastDigest = true)
+      // one-job two-sided equivalence pin on all span rows
+      val diff = incSpans
         .withColumnRenamed("e", "e_i").withColumnRenamed("n_anchors", "na_i")
         .withColumnRenamed("doc_len", "dl_i")
         .join(full.withColumnRenamed("e", "e_f")
@@ -375,6 +373,56 @@ object CorpusQueries {
           s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
       Memos.track(s"corpus:incsem:$dir",
         Set("q181_incremental_semdedup"), incMembers) { () =>
+        incMembers.unpersist(); ()
+      }
+      incMembers.select(col("vec_id"), col("cluster"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // Dirty-frontier incremental SemDeDup WITH removals (r10 Next #2 —
+    // the vector layer's q177 treatment): one maintenance run carries
+    // removals AND an appended batch. Removals are exact, not a
+    // staleness-bounded re-prune: the membership-based drop rule means
+    // a removal can only resurrect larger-id dropped members of the
+    // removed vector's own cluster, and exactly those (the dirty
+    // frontier) re-run the prune. require'd equal, both directions, to
+    // a full re-run over (old \ removed) ∪ added with the same frozen
+    // centroids, and the whole chain hash-matches the SQL replay.
+    "q184_semdedup_removals" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
+        "embedding", k = 16)
+      val st = graft.ops.VectorOps.semState(e, "vec_id", "embedding",
+        cents, tau = 0.4)
+      val removed = e.filter(col("vec_id") % 6 === 1).select("vec_id")
+      val added = e.filter(col("vec_id") % 4 === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val inc = graft.ops.VectorOps.incrementalSemDedup(st, removed,
+        added, "vec_id", "embedding", tau = 0.4,
+        hintBroadcastDelta = true)
+      val incMembers = inc.members.persist()
+      val survivors = e.join(removed, Seq("vec_id"), "left_anti")
+        .unionByName(added)
+      val full = graft.ops.VectorOps.semState(survivors, "vec_id",
+        "embedding", cents, tau = 0.4).members
+      val diff = incMembers
+        .select(col("vec_id"), col("cluster").as("cl_i"),
+          col("kept").as("k_i"))
+        .join(full.select(col("vec_id"), col("cluster").as("cl_f"),
+          col("kept").as("k_f")), Seq("vec_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("cl_f").isNull ||
+            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+            .otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("cl_i").isNull ||
+            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+            .otherwise(0L)), lit(0L)))
+        .head()
+      require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
+        s"removal-capable incremental semDedup diverged from full " +
+          s"re-run: ${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
+      Memos.track(s"corpus:incsemrm:$dir",
+        Set("q184_semdedup_removals"), incMembers) { () =>
         incMembers.unpersist(); ()
       }
       incMembers.select(col("vec_id"), col("cluster"), col("kept"))
@@ -1032,6 +1080,67 @@ object CorpusQueries {
          |), cent AS (
          |  SELECT cluster, list(comp ORDER BY dim) AS cvec
          |  FROM comp GROUP BY cluster
+         |), assign1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    ${sqlCos("e.embedding", "c.cvec")} AS c
+         |  FROM corpus e CROSS JOIN cent c
+         |), best AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, cluster ASC) AS rn
+         |    FROM assign1)
+         |  WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM best b1
+         |  JOIN best b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+         |  JOIN corpus e1 ON b1.vec_id = e1.vec_id
+         |  JOIN corpus e2 ON b2.vec_id = e2.vec_id
+         |  WHERE ${sqlCos("e1.embedding", "e2.embedding")} >= 0.4
+         |)
+         |SELECT b.vec_id, b.cluster,
+         |  b.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+         |FROM best b ORDER BY b.vec_id""".stripMargin,
+
+    // q184: centroids frozen over the FULL old corpus (pre-removal),
+    // assignment + prune replayed over (old \ removed) ∪ added — the
+    // corpus the maintained state must equal.
+    "q184_semdedup_removals" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), assign0 AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), best0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign0)
+         |  WHERE rn = 1
+         |), dims AS (
+         |  SELECT vec_id, dim, embedding[dim] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(list_transform(range(1, CAST(len(embedding) AS INT) + 1),
+         |                                x -> CAST(x AS INT))) AS dim
+         |        FROM embeddings)
+         |), comp AS (
+         |  SELECT b.cluster, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(d.v AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS comp
+         |  FROM best0 b JOIN dims d USING (vec_id)
+         |  GROUP BY b.cluster, d.dim
+         |), cent AS (
+         |  SELECT cluster, list(comp ORDER BY dim) AS cvec
+         |  FROM comp GROUP BY cluster
+         |), corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 6 <> 1
+         |  UNION ALL
+         |  SELECT vec_id + 10000000 AS vec_id, embedding
+         |  FROM embeddings WHERE vec_id % 4 = 3
          |), assign1 AS (
          |  SELECT e.vec_id, c.cluster,
          |    ${sqlCos("e.embedding", "c.cvec")} AS c

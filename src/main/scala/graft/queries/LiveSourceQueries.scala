@@ -311,6 +311,27 @@ object LiveSourceQueries {
       require(r1.extracted("demo").get == r2.extracted("demo").get &&
         r1.indexRows == r2.indexRows,
         s"ledgered re-run diverged: $r1 vs $r2")
+      // layout assertions (r10 Next #1): the mart _h3 table the runner
+      // just wrote must ship the probe-optimal clustered layout — the
+      // materialized query-res ancestor, present all the way up the
+      // h3_index view, with file-level key ranges that don't overlap
+      // (repartitionByRange), so probe range predicates skip files and
+      // row groups instead of scanning the index
+      val martBack = s.read.parquet(s"$out/mart/demo_h3.parquet")
+      require(martBack.columns.contains("h3_parent_8"),
+        "runner mart lacks the materialized query-res ancestor")
+      require(s.table("h3_index").columns.contains("h3_parent_8"),
+        "h3_index view dropped the clustered layout's ancestor column")
+      val ranges = martBack
+        .groupBy(input_file_name().as("__f"))
+        .agg(min("h3_parent_8").as("lo"), max("h3_parent_8").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      ranges.toSeq.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) =>
+          require(lo2 >= hi1, s"mart files not range-clustered: " +
+            s"file range [$lo2,...] overlaps previous ending $hi1")
+        case _ => ()
+      }
       // the layered-schema view, resolved by NAME from the catalog
       s.table("staging_004_demo")
         .select(col("fid").cast("long").as("fid"), col("_geom_md5"),

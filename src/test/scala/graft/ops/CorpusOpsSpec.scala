@@ -21,6 +21,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     rows.toSeq.toDF("vec_id", "embedding")
   }
 
+  test("cosine: zero-norm vector yields SQL NULL (Divide parity), never NaN") {
+    import spark.implicits._
+    // A zero-norm vector has no direction, so its cosine must be SQL
+    // NULL (what try_divide / the pre-ANSI Divide give on a 0.0
+    // divisor; under Spark 4's default ANSI mode the raw `/` throws).
+    // A NaN here would sort above every real cosine and turn a zero
+    // vector into a "duplicate of everything" in semDedupPrune.
+    val df = Seq(
+      (1L, Seq(0f, 0f), Seq(1f, 2f)),   // zero left
+      (2L, Seq(1f, 2f), Seq(0f, 0f)),   // zero right
+      (3L, Seq(0f, 0f), Seq(0f, 0f)),   // both zero
+      (4L, Seq(1f, 0f), Seq(1f, 0f))    // sane pair
+    ).toDF("id", "a", "b")
+    val hof = try_divide(VectorOps.dot(col("a"), col("b")),
+      VectorOps.l2norm(col("a")) * VectorOps.l2norm(col("b")))
+    val rows = df.select(col("id"), VectorOps.cosine(col("a"), col("b")).as("nat"),
+        hof.as("hof")).orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"null parity broken at id=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), "bit identity")
+    }
+    assert(rows.take(3).forall(_.isNullAt(1)), "zero-norm must be NULL")
+    assert(rows(3).getDouble(1) == 1.0)
+    // and a zero vector must never be pruned as a duplicate: it has no
+    // defined direction, so semDedup keeps it (NULL >= tau is false)
+    val e = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 0f), 3L -> Seq(1f, 0f))
+    val kept = VectorOps.semDedup(e, "vec_id", "embedding", k = 1, tau = 0.9)
+      .where(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(2L), "zero vector silently dropped as duplicate")
+  }
+
   test("semDedup: duplicates drop, near-but-below-tau survives") {
     // seeds (k=2) are ids 1,2; id3 duplicates seed1, id5 duplicates
     // seed2, id4 is near seed1 but under tau=0.95 (cos 3/sqrt(10)).
@@ -149,6 +183,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("append-only"))
   }
 
+  test("incrementalSemDedup with removals: dirty-frontier resurrection equals full re-run") {
+    // hand-built geometry first: cluster with 1 -> suppresses 3 and 5
+    // (all parallel); removing 1 must resurrect 3 (new cluster min)
+    // while 5 stays dropped (still has smaller-id neighbor 3)
+    val e = vecs(
+      1L -> Seq(1f, 0f), 3L -> Seq(1f, 0f), 5L -> Seq(1f, 0f),
+      2L -> Seq(0f, 1f))
+    val cents = VectorOps.lloydCentroids(e, "vec_id", "embedding", k = 2)
+    val st = VectorOps.semState(e, "vec_id", "embedding", cents, tau = 0.9)
+    import spark.implicits._
+    val removed = Seq(1L).toDF("vec_id")
+    val emptyAdd = vecs()
+    val inc = VectorOps.incrementalSemDedup(st, removed, emptyAdd,
+      "vec_id", "embedding", tau = 0.9, hintBroadcastDelta = true)
+    val got = inc.members.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got.keySet == Set(2L, 3L, 5L))
+    assert(got(3L), "removal of the suppressor must resurrect 3")
+    assert(!got(5L), "5 still has smaller-id neighbor 3 — stays dropped")
+    assert(got(2L))
+
+    // randomized equivalence: removals + appended batch in one run
+    // must equal a full re-run over (old \ removed) ∪ added with the
+    // same frozen centroids
+    val rnd = new scala.util.Random(31)
+    val all = vecs((1L to 90L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1)): _*)
+    val old = all.filter(col("vec_id") <= 60)
+    val added = all.filter(col("vec_id") > 60)
+    val cents2 = VectorOps.lloydCentroids(old, "vec_id", "embedding", k = 4)
+    val st2 = VectorOps.semState(old, "vec_id", "embedding", cents2,
+      tau = 0.6)
+    val rem2 = old.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val inc2 = VectorOps.incrementalSemDedup(st2, rem2, added, "vec_id",
+      "embedding", tau = 0.6, hintBroadcastDelta = true)
+    val survivors = old.join(rem2, Seq("vec_id"), "left_anti")
+      .unionByName(added)
+    val full2 = VectorOps.semState(survivors, "vec_id", "embedding",
+      cents2, tau = 0.6)
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cluster", "kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sorted.toSeq
+    assert(rws(inc2.members) == rws(full2.members))
+  }
+
   test("duplicateSpanList(onlyDocs) equals the full result filtered: global counts, stratum merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
@@ -184,6 +264,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     val slow = TextDedup.duplicateSpanList(docs, "doc_id", "text", l = 40)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(fast.toSeq == slow.toSeq)
+    // a predicate over the TEXT column (dropped from the anchor frame)
+    // must take the re-anchor fallback and still match filter-the-full
+    val pt = col("text").contains("S" * 50)
+    val restrText = TextDedup.duplicateSpanList(docs, "doc_id", "text",
+        l = 40, onlyDocs = Some(pt))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val fullIds = TextDedup.duplicateSpanList(docs, "doc_id", "text", l = 40)
+      .join(docs.filter(pt).select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(restrText.toSeq == fullIds.toSeq && restrText.exists(_._1 == 2L))
   }
 
   test("duplicateSpans: exact extents at arbitrary (non-aligned) offsets; self-duplication; clean docs absent") {

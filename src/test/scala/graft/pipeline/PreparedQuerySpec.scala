@@ -52,6 +52,29 @@ class PreparedQuerySpec extends AnyFunSuite {
     assert(prepared.objects(polys.head).length.toLong == expect0)
   }
 
+  test("auto-layout: a cached index past the crossover is probed via clustered parquet, results identical") {
+    // force the crossover below this fixture's size via the test seam;
+    // the handle must rewrite the CACHED index to clustered parquet
+    // (observable: its probe frame gains a parquet-backed scan) and
+    // return exactly what the cached-path handle returns
+    val cachedHandle = PreparedPolygonQuery(index, res = 8) // under crossover: cached path
+    val autoHandle = new PreparedPolygonQuery(index, res = 8,
+      bucketsRequested = 0, crossoverRows = 1L)             // over crossover: parquet path
+    polys.foreach { wkt =>
+      val exp = cachedHandle.objects(wkt).map(r => (r.getString(0), r.getString(1)))
+      val got = autoHandle.objects(wkt).map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq == exp.toSeq, s"auto-layout diverged for $wkt")
+    }
+    // and the knob disables the rewrite
+    spark.conf.set("spark.graft.probe.autoLayout", "false")
+    try {
+      val off = new PreparedPolygonQuery(index, res = 8,
+        bucketsRequested = 0, crossoverRows = 1L)
+      val exp = cachedHandle.objects(polys.head).length
+      assert(off.objects(polys.head).length == exp)
+    } finally spark.conf.unset("spark.graft.probe.autoLayout")
+  }
+
   test("bucket-count invariance: pruning is a strict superset filter at any bucket count") {
     val expected = polys.map(wkt =>
       H3Query.objects(spark, index, wkt, res = 8)
