@@ -456,7 +456,16 @@ object TextDedup {
     * SQL-replayable. */
   def simHashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
-    val sig = simHashMd5Sig(df, idCol, textCol)
+    // lazy local checkpoint: the banded self-join references the
+    // signature table on BOTH sides, and Spark plans the small side as
+    // a broadcast — a broadcast exchange and a shuffle exchange never
+    // unify under exchange reuse, so without this the full
+    // explode + md5 + 64-sum signature pass executed twice per run
+    // (measured: the pass is ~half the operator's wall). The lazy
+    // checkpoint materializes the one-row-per-doc sig table on first
+    // use and both sides read the stored blocks; lineage truncation is
+    // a bonus for the long battery plans.
+    val sig = simHashMd5Sig(df, idCol, textCol).localCheckpoint(false)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

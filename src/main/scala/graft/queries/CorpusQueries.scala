@@ -132,7 +132,13 @@ object CorpusQueries {
     // set with digit-wise distances hash-matched against the SQL
     // replay of the bit-vote pipeline.
     "q175_simhash_replay" -> ((s, dir) => {
+      // the fixture parquet is one file -> 1-2 input partitions; the
+      // per-token md5 + hex-digit vote pass is compute-bound, so
+      // spread it across the session width (the GeoQueries.staged
+      // pattern). At warehouse scale the input is already wide — this
+      // shuffle is the 1.5 MB fixture, not a design shape.
       val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
       val copies = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val pert = d.filter(col("doc_id") % 7 === 0)
