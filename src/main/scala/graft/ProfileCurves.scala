@@ -335,25 +335,27 @@ object ProfileCorpus {
   private def blowupDocs(docs: DataFrame, times: Int): DataFrame =
     ProfileCurves.blowupDocs(docs, times)
 
-  private[graft] def blowupEmb(emb: DataFrame, times: Int): DataFrame =
+  private[graft] def blowupEmb(emb: DataFrame, times: Int): DataFrame = {
+    require(times <= 64, "blowupEmb sign masks are distinct only for i < 64")
     (0 until times).map { i =>
-      // replica i's sign mask flips dim d iff bit (d mod 5) of i is
-      // set — distinct masks for every i < 32 (an earlier (d+i)%5==0
-      // mask repeated every 5 replicas, making replicas i and i+5
-      // bit-identical and flooding the 16x curve point with exact
-      // cross-replica duplicates)
+      // replica i's sign mask flips dim d iff bit (d mod 6) of i is
+      // set — distinct masks for every i < 64, covering the m=64
+      // curve point (the r10 5-bit spelling repeated masks past i=32,
+      // which would flood an m=64 run with exact cross-replica
+      // duplicates the way the original (d+i)%5==0 mask did at m=16)
       emb.select((col("vec_id") + i.toLong * 10000000L).as("vec_id"),
         (if (i == 0) col("embedding")
          else zip_with(col("embedding"),
            sequence(lit(0), size(col("embedding")) - 1),
            (v, d) => {
-             val flip = (0 until 5)
-               .map(b => d % 5 === b && lit(((i >> b) & 1) == 1))
+             val flip = (0 until 6)
+               .map(b => d % 6 === b && lit(((i >> b) & 1) == 1))
                .reduce(_ || _)
              when(flip, -v).otherwise(v)
            }))
           .as("embedding"))
     }.reduce(_.unionByName(_))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -684,6 +686,83 @@ object ProfileSpanDelta {
     val bFull = meter.drain()
 
     println(f"""{"metric":"span_delta","state_build_s":$tState%.2f,"state_shuffle_mb":${bState / 1e6}%.1f,"delta_s":$tDelta%.2f,"delta_shuffle_mb":${bDelta / 1e6}%.1f,"full_s":$tFull%.2f,"full_shuffle_mb":${bFull / 1e6}%.1f,"ratio":${bDelta.toDouble / bFull}%.3f}""")
+    spark.stop()
+  }
+}
+
+/** knnJoin partial-probe trade-off (r10 Next #3): the q183 law pins
+  * only nprobe = nlist (provably exact). This measures what the knob
+  * actually buys for the batch knn-graph builder — recall@5 of the
+  * partial-probe graph against the exact graph plus wall and shuffle
+  * volume per nprobe — over a 2000-query slice of the blown-up
+  * fixture (SPARK_GRAFT_SCALE replicas, centroids from the production
+  * KMeans ivfBuild). Recall is computed IN Spark (a rank<=5 inner
+  * join on (q_id, vec_id)), never by collecting the graph. */
+object ProfileKnnJoin {
+  import ProfileCurves._
+
+  private final class ShuffleMeter
+      extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def drain(): Long = bytes.getAndSet(0L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-knn-join")
+    import graft.ops.VectorOps
+    import spark.implicits._
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val m = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val emb = ProfileCorpus.blowupEmb(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), m)
+      .persist()
+    val nVecs = emb.count()
+    val nlist = 16 * m
+    val (_, centArr) = VectorOps.ivfBuild(emb, "vec_id", "embedding",
+      nlist = nlist)
+    val cents = centArr.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("__c_id", "__c_vec").persist()
+    cents.count()
+
+    // 2000 deterministic queries spread across replicas and ids
+    val queries = emb.filter(pmod(xxhash64(col("vec_id")), lit(1000)) <
+        (2000.0 * 1000 / nVecs).toLong.max(1L))
+      .persist()
+    val nQ = queries.count()
+    val k = 5
+
+    val truth = VectorOps.knnJoin(queries, emb, "vec_id", "embedding",
+      cents, k = k, nprobe = nlist).persist()
+    meter.drain()
+    val tExact = timed(noop(VectorOps.knnJoin(queries, emb, "vec_id",
+      "embedding", cents, k = k, nprobe = nlist)))
+    val bExact = meter.drain()
+    val truthN = truth.count()
+    meter.drain()
+
+    val rows = Seq(1, 2, 4, 8, 16).map { nprobe =>
+      val g = VectorOps.knnJoin(queries, emb, "vec_id", "embedding",
+        cents, k = k, nprobe = nprobe).persist()
+      meter.drain()
+      val t = timed(noop(VectorOps.knnJoin(queries, emb, "vec_id",
+        "embedding", cents, k = k, nprobe = nprobe)))
+      val b = meter.drain()
+      val hits = g.select("q_id", "vec_id")
+        .join(truth.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+        .count()
+      g.unpersist()
+      f""""nprobe_$nprobe":{"recall_at_5":${hits.toDouble / truthN}%.3f,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.1f}"""
+    }
+    println(s"""{"metric":"knn_join_curve","m":$m,"n_vecs":$nVecs,"n_queries":$nQ,"nlist":$nlist,"exact_wall_s":${f"$tExact%.2f"},"exact_shuffle_mb":${f"${bExact / 1e6}%.1f"},${rows.mkString(",")}}""")
     spark.stop()
   }
 }

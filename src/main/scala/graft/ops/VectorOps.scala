@@ -409,12 +409,47 @@ object VectorOps {
 
   // ------------------------------- incremental semantic-dedup state
 
-  /** Stored semantic-dedup state: every vector with its cluster and
-    * keep/drop decision (vectors retained — future prune joins need
-    * them), plus the frozen centroid table. */
+  /** Stored semantic-dedup state: every vector with its cluster,
+    * keep/drop decision, and — for dropped members — the id of ONE
+    * surviving smaller-id tau-neighbor that suppresses it (the
+    * `suppressor` evidence column; the minimum such id at the time the
+    * member was last checked). Vectors are retained (future prune
+    * joins need them), plus the frozen centroid table.
+    *
+    * The evidence column is what makes REMOVALS O(dirty) instead of
+    * O(affected clusters): a dropped member needs re-checking only if
+    * its recorded suppressor is among the removed ids — a surviving
+    * suppressor is standing proof the member stays dropped. And the
+    * column is exactly reproducible by a full re-run: the recorded
+    * value is min(smaller-id tau-neighbor) over the CURRENT membership
+    * (appends can never become a min — larger ids; a removal either
+    * leaves the min in place or triggers the re-check that recomputes
+    * it), so q184 pins it like any other state column. */
   final case class SemState(members: DataFrame, centroids: DataFrame) {
     def release(): Unit =
       Seq(members, centroids).foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[semDedupPrune]] with the evidence column: (idCol, cluster,
+    * kept, suppressor) — `suppressor` is the minimum smaller-id
+    * same-cluster neighbor at rounded cosine >= tau, NULL iff kept.
+    * Same pair work as the plain prune (the distinct becomes a
+    * min-aggregate over the same join). */
+  def semDedupPruneEvidence(clustered: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    val a = clustered.select(col("cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__vec_a"))
+    val b = clustered.select(col("cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vec_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__id_a") < col("__id_b") &&
+        round(cosine(col("__vec_a"), col("__vec_b")), 6) >= tau)
+      .groupBy(col("__id_b").as(idCol))
+      .agg(min(col("__id_a")).as("suppressor"))
+    clustered
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        col("suppressor").isNull.as("kept"), col("suppressor"))
   }
 
   /** Full build of [[SemState]] against explicit frozen centroids. */
@@ -423,8 +458,8 @@ object VectorOps {
     val clustered = assignToCentroids(emb, idCol, vecCol, centroids)
     SemState(
       clustered.join(
-        semDedupPrune(clustered, idCol, vecCol, tau)
-          .select(col(idCol), col("kept")),
+        semDedupPruneEvidence(clustered, idCol, vecCol, tau)
+          .select(col(idCol), col("kept"), col("suppressor")),
         Seq(idCol)),
       centroids)
   }
@@ -474,12 +509,12 @@ object VectorOps {
     val dropped = pool.join(addedB, Seq("cluster"))
       .filter(col("__id_a") < col("__id_b") &&
         round(cosine(col("__vec_a"), col("__vec_b")), 6) >= tau)
-      .select(col("__id_b").as(idCol)).distinct()
+      .groupBy(col("__id_b").as(idCol))
+      .agg(min(col("__id_a")).as("suppressor"))
     val addedMembers = addedAssigned
-      .join(bc(dropped.withColumn("__dropped", lit(true))), Seq(idCol),
-        "left")
+      .join(bc(dropped), Seq(idCol), "left")
       .select(col(idCol), col(vecCol), col("cluster"),
-        coalesce(!col("__dropped"), lit(true)).as("kept"))
+        col("suppressor").isNull.as("kept"), col("suppressor"))
     SemState(state.members.unionByName(addedMembers), state.centroids)
   }
 
@@ -493,18 +528,22 @@ object VectorOps {
     * MEMBERSHIP-based, not kept-based — a vector is dropped iff SOME
     * smaller-id vector shares its cluster at cosine >= tau, dropped
     * neighbors counting too. Removing vectors therefore only shrinks
-    * drop pools: a stored KEPT decision can never flip (its pool lost
-    * members, and kept meant no pool member was close), and a stored
+    * drop pools: a stored KEPT decision can never flip, and a stored
     * DROPPED member can only be resurrected. The dirty frontier is
-    * exactly the currently-dropped members of clusters that lost a
-    * member, with id above the smallest removed id of their cluster —
-    * only those rows re-run the prune, against the surviving
-    * smaller-id members of their own cluster. Everything else carries
+    * the dropped members whose recorded `suppressor` is itself among
+    * the removed ids — a SURVIVING suppressor is standing proof the
+    * member stays dropped, no re-check needed (a floor-based frontier
+    * without the evidence column re-ran most dropped members whenever
+    * removals were spread across clusters: measured SLOWER than the
+    * full re-prune on an every-cluster-touched 4% removal fixture).
+    * Only dirty members re-run the prune, against the surviving
+    * smaller-id members of their own cluster; everything else carries
     * over untouched (scanned once, never reshuffled), then the added
     * batch runs through the append-only path.
     *
-    * Cost shape: removal work is Σ over affected clusters of
-    * (dirty members × cluster occupancy) cosines — ProfileVecDelta
+    * Cost shape: removal work is Σ over dirty members of their
+    * cluster occupancy in cosines, with |dirty| <= the number of
+    * removed ids that were recorded as suppressors — ProfileVecDelta
     * measures it a small fraction of the full re-prune's Σ n_c². */
   def incrementalSemDedup(state: SemState, removedIds: DataFrame,
       addedVecs: DataFrame, idCol: String, vecCol: String, tau: Double,
@@ -512,31 +551,27 @@ object VectorOps {
     def bc(df: DataFrame): DataFrame =
       if (hintBroadcastDelta) broadcast(df) else df
     val rem = removedIds.select(col(idCol))
-    val removedMembers = state.members.join(bc(rem), Seq(idCol), "left_semi")
-    val floors = removedMembers.groupBy("cluster")
-      .agg(min(col(idCol)).as("__rm_min"))
     val surviving = state.members.join(bc(rem), Seq(idCol), "left_anti")
-    val withFloor = surviving.join(bc(floors), Seq("cluster"), "left")
-    val carried = withFloor
-      .filter(col("__rm_min").isNull || col("kept") ||
-        col(idCol) < col("__rm_min"))
-      .select(col(idCol), col(vecCol), col("cluster"), col("kept"))
-    val dirty = withFloor
-      .filter(col("__rm_min").isNotNull && !col("kept") &&
-        col(idCol) > col("__rm_min"))
+    val dirty = surviving.filter(!col("kept"))
+      .join(bc(rem.select(col(idCol).as("suppressor"))),
+        Seq("suppressor"), "left_semi")
+    val carried = surviving
+      .join(bc(dirty.select(col(idCol))), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol), col("cluster"), col("kept"),
+        col("suppressor"))
     val pool = surviving.select(col("cluster"), col(idCol).as("__id_a"),
       col(vecCol).as("__vec_a"))
     val dirtyB = bc(dirty.select(col("cluster"), col(idCol).as("__id_b"),
       col(vecCol).as("__vec_b")))
-    val stillDropped = pool.join(dirtyB, Seq("cluster"))
+    val reDropped = pool.join(dirtyB, Seq("cluster"))
       .filter(col("__id_a") < col("__id_b") &&
         round(cosine(col("__vec_a"), col("__vec_b")), 6) >= tau)
-      .select(col("__id_b").as(idCol)).distinct()
-    val revised = dirty
-      .join(bc(stillDropped.withColumn("__d", lit(true))), Seq(idCol),
-        "left")
+      .groupBy(col("__id_b").as(idCol))
+      .agg(min(col("__id_a")).as("suppressor"))
+    val revised = dirty.drop("suppressor", "kept")
+      .join(bc(reDropped), Seq(idCol), "left")
       .select(col(idCol), col(vecCol), col("cluster"),
-        coalesce(!col("__d"), lit(true)).as("kept"))
+        col("suppressor").isNull.as("kept"), col("suppressor"))
     incrementalSemDedup(
       SemState(carried.unionByName(revised), state.centroids),
       addedVecs, idCol, vecCol, tau, hintBroadcastDelta)

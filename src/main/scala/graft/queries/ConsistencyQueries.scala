@@ -295,16 +295,30 @@ object ConsistencyQueries {
         tables.values.foreach(_.unpersist()); ()
       }
 
+      // digest-narrowed diff (r10 Next #6, pure cost trim — coverage
+      // unchanged): both layouts' rows are null-free by construction
+      // (build's aggregates, the zero-coalesce assemble/routed paths),
+      // so a row compares equal iff its xxhash64 over all non-key
+      // columns matches — the q177 state-digest pattern (64-bit
+      // collision ~2^-64, far below every other noise floor). The
+      // full-outer join then shuffles (h3_cell, digest) instead of the
+      // full 2 x klass-column width; an in-row NULL (would-be contract
+      // break) is counted bad explicitly rather than digest-skipped.
       def wideDiff(a: DataFrame, b: DataFrame): DataFrame = {
         require(a.columns.sameElements(b.columns),
           s"schema drift: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
         val cols = a.columns.filterNot(_ == "h3_cell").toSeq
-        val bb = cols.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + "__r"))
-        val rowBad = cols.map(c =>
-          when(col(c).isNotNull && col(c + "__r").isNotNull &&
-            col(c) === col(c + "__r"), 0).otherwise(1))
-          .reduce(greatest(_, _))
-        a.join(bb, Seq("h3_cell"), "full_outer")
+        def dig(df: DataFrame) = df.select(col("h3_cell"),
+          xxhash64(cols.map(col): _*).as("__h"),
+          cols.map(c => when(col(c).isNull, 1).otherwise(0))
+            .reduce(_ + _).as("__nulls"))
+        val rowBad = when(col("__h").isNull || col("__h_r").isNull ||
+          col("__h") =!= col("__h_r") ||
+          col("__nulls") > 0 || col("__nulls_r") > 0, 1).otherwise(0)
+        dig(a).join(
+            dig(b).withColumnRenamed("__h", "__h_r")
+              .withColumnRenamed("__nulls", "__nulls_r"),
+            Seq("h3_cell"), "full_outer")
           .agg(coalesce(sum(rowBad), lit(0)).cast("long").as("bad"),
             count(lit(1)).as("n"))
       }

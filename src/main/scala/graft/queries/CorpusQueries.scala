@@ -411,17 +411,24 @@ object CorpusQueries {
         .unionByName(added)
       val full = graft.ops.VectorOps.semState(survivors, "vec_id",
         "embedding", cents, tau = 0.4).members
+      // the pin covers the suppressor EVIDENCE column too (null-safe):
+      // the maintained value must equal the full re-run's min
+      // smaller-id tau-neighbor — the invariant the O(dirty) removal
+      // frontier rests on
       val diff = incMembers
         .select(col("vec_id"), col("cluster").as("cl_i"),
-          col("kept").as("k_i"))
+          col("kept").as("k_i"), col("suppressor").as("s_i"))
         .join(full.select(col("vec_id"), col("cluster").as("cl_f"),
-          col("kept").as("k_f")), Seq("vec_id"), "full_outer")
+          col("kept").as("k_f"), col("suppressor").as("s_f")),
+          Seq("vec_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("cl_f").isNull ||
-            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f") ||
+            !(col("s_i") <=> col("s_f")), 1L)
             .otherwise(0L)), lit(0L)),
           coalesce(sum(when(col("cl_i").isNull ||
-            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f") ||
+            !(col("s_i") <=> col("s_f")), 1L)
             .otherwise(0L)), lit(0L)))
         .head()
       require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
@@ -485,7 +492,15 @@ object CorpusQueries {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
         "embedding", k = 16)
-      graft.ops.VectorOps.knnJoin(e, e, "vec_id", "embedding", cents,
+      // query side restricted to a deterministic 1/3 stratum (r10 Next
+      // #6 proof-cost trim): the law under test — nprobe = nlist is
+      // EXACTLY the brute-force top-k — is a PER-QUERY property
+      // against the corpus, and the corpus side here stays complete,
+      // so each retained query's row set is identical to its row set
+      // in the unrestricted graph (the oracle replays the same
+      // stratum against the full corpus). Pair work drops 3x.
+      val q = e.filter(col("vec_id") % 3 === 0)
+      graft.ops.VectorOps.knnJoin(q, e, "vec_id", "embedding", cents,
           k = 5, nprobe = 16)
         .orderBy("q_id", "rank")
     })
@@ -1219,7 +1234,8 @@ object CorpusQueries {
          |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
          |      ORDER BY ${sqlCos("a.embedding", "b.embedding")} DESC,
          |               b.vec_id ASC) AS rank
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 3 = 0)
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   )
 }

@@ -198,11 +198,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val inc = VectorOps.incrementalSemDedup(st, removed, emptyAdd,
       "vec_id", "embedding", tau = 0.9, hintBroadcastDelta = true)
     val got = inc.members.collect()
-      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      .map(r => r.getLong(0) -> ((r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
     assert(got.keySet == Set(2L, 3L, 5L))
-    assert(got(3L), "removal of the suppressor must resurrect 3")
-    assert(!got(5L), "5 still has smaller-id neighbor 3 — stays dropped")
-    assert(got(2L))
+    assert(got(3L)._1, "removal of the suppressor must resurrect 3")
+    assert(!got(5L)._1, "5 still has smaller-id neighbor 3 — stays dropped")
+    assert(got(2L)._1)
+    // evidence column maintained exactly: 5's suppressor re-points to
+    // the surviving min neighbor (3); kept members carry NULL
+    assert(got(5L)._2 == Some(3L) && got(3L)._2.isEmpty && got(2L)._2.isEmpty)
 
     // randomized equivalence: removals + appended batch in one run
     // must equal a full re-run over (old \ removed) ∪ added with the
