@@ -572,8 +572,15 @@ object VectorOps {
       .join(bc(reDropped), Seq(idCol), "left")
       .select(col(idCol), col(vecCol), col("cluster"),
         col("suppressor").isNull.as("kept"), col("suppressor"))
+    // lazy checkpoint at the removal/append seam: the append path runs
+    // driver actions (its id-bound requires) against this state and
+    // then materializes it again inside the final member plan — without
+    // the checkpoint the whole removal lineage (anti-join, dirty
+    // semi-join, re-prune) executes once per action. One row per
+    // vector, the same table the caller stores anyway.
     incrementalSemDedup(
-      SemState(carried.unionByName(revised), state.centroids),
+      SemState(carried.unionByName(revised).localCheckpoint(false),
+        state.centroids),
       addedVecs, idCol, vecCol, tau, hintBroadcastDelta)
   }
 
@@ -643,16 +650,30 @@ object VectorOps {
     * QUERY side only (|Q| x nprobe rows). */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    knnJoinIndexed(queries, ivfState(corpus, idCol, vecCol, centroids),
+      idCol, vecCol, k, nprobe)
+
+  /** [[knnJoin]] against a STORED [[IvfState]] — the deployment shape:
+    * the corpus assignment is the warehouse's maintained index table
+    * (written `partitionBy("cluster"/"ivf_cell")`, kept current by
+    * [[incrementalIvf]]), so a graph build pays ZERO corpus
+    * re-assignment — only the query-side probe ranking and the
+    * cell-keyed join against the stored slices. [[knnJoin]] is this
+    * function over a just-built state, so the q183 exactness law and
+    * the recall curve transfer verbatim; q186 pins the parquet
+    * round-trip (stored index read back ≡ in-memory build). */
+  def knnJoinIndexed(queries: DataFrame, state: IvfState, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
+    val assigned = state.assigned
       .select(col("cluster"), col(idCol).as("__c_id2"),
         col(vecCol).as("__c_vec2"))
     // each query's nprobe nearest cells, same ordering contract as
     // the assignment itself (rounded cosine desc, centroid id asc)
     val probes = queries.select(col(idCol).as("__q_id"),
         col(vecCol).as("__q_vec"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(state.centroids))
       .select(col("__q_id"), col("__q_vec"),
         col("__c_id").as("cluster"),
         round(cosine(col("__q_vec"), col("__c_vec")), 6).as("__cc"))
@@ -661,16 +682,26 @@ object VectorOps {
           .orderBy(desc("__cc"), asc("cluster"))))
       .filter(col("__pr") <= nprobe)
       .drop("__cc", "__pr")
+    // bounded top-k aggregate instead of a row_number window: the
+    // window form shuffles EVERY (query, candidate) pair to the
+    // query's reducer before discarding; the k-bounded heap combines
+    // map-side, so the rank shuffle carries at most k entries per
+    // (query, partition) — the difference between shuffling the full
+    // Σ(fan-out x occupancy) pair set and shuffling k rows per query.
+    // Identical ordering contract (score desc, id asc, NULLs last),
+    // pinned by spec against the window spelling and by q183's
+    // DuckDB window replay.
     probes.join(assigned, Seq("cluster"))
       .filter(col("__q_id") =!= col("__c_id2"))
       .select(col("__q_id"), col("__c_id2"),
         round(cosine(col("__q_vec"), col("__c_vec2")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("__q_id")
-          .orderBy(desc("cos_sim"), asc("__c_id2"))))
-      .filter(col("rank") <= k)
-      .select(col("__q_id").as("q_id"), col("rank"),
-        col("__c_id2").as(idCol), col("cos_sim"))
+      .groupBy("__q_id")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        col("cos_sim"), col("__c_id2"), k).as("__top"))
+      .select(col("__q_id").as("q_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), col("__e.score").as("cos_sim"))
   }
 
   /** IVF probe: search only the `nprobe` cells whose centroids are

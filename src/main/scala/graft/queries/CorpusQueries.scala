@@ -503,6 +503,93 @@ object CorpusQueries {
       graft.ops.VectorOps.knnJoin(q, e, "vec_id", "embedding", cents,
           k = 5, nprobe = 16)
         .orderBy("q_id", "rank")
+    }),
+
+    // knnJoin against the STORED index (ops/VectorOps.knnJoinIndexed —
+    // the deployment shape): the corpus assignment is a maintained
+    // warehouse table written partitionBy(cluster); a graph build pays
+    // zero corpus re-assignment, only the query-side probe ranking and
+    // the cell-keyed join against the stored slices. The stored index
+    // is round-tripped through parquet here, the graph is require'd
+    // identical to the in-memory build both directions, and the whole
+    // chain hash-matches the same all-pairs window replay as q183 (on
+    // the complementary %3=1 query stratum, so between them the two
+    // queries cover 2/3 of the corpus as queries).
+    "q186_knn_indexed" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
+        "embedding", k = 16)
+      val st = graft.ops.VectorOps.ivfState(e, "vec_id", "embedding",
+        cents)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q186")
+      val idxDir = tmp.resolve("ivf_idx").toString
+      st.assigned.write.partitionBy("cluster").mode("overwrite")
+        .parquet(idxDir)
+      val stored = graft.ops.VectorOps.IvfState(
+        s.read.parquet(idxDir), cents)
+      val q = e.filter(col("vec_id") % 3 === 1)
+      val g = graft.ops.VectorOps.knnJoinIndexed(q, stored, "vec_id",
+        "embedding", k = 5, nprobe = 16).persist()
+      val mem = graft.ops.VectorOps.knnJoin(q, e, "vec_id", "embedding",
+        cents, k = 5, nprobe = 16)
+      require(g.exceptAll(mem).isEmpty && mem.exceptAll(g).isEmpty,
+        "stored-index knn graph diverged from the in-memory build")
+      Memos.track(s"corpus:knnidx:$dir",
+        Set("q186_knn_indexed"), g) { () =>
+        g.unpersist()
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
+      }
+      g.orderBy("q_id", "rank")
+    }),
+
+    // STREAMING SemDeDup (streaming/StreamingOps.streamingSemDedup):
+    // the full vector ingest gate as a stream — q182 proved the
+    // assignment map; this adds the per-cluster keyed STATE
+    // (flatMapGroupsWithState) that carries every member seen and
+    // decides kept/dropped + suppressor evidence with the batch
+    // prune's exact arithmetic. Vectors arrive in three id-ordered
+    // micro-batches (range-sliced — the append-only contract the state
+    // enforces per cluster); the stream's complete output is require'd
+    // equal, both directions, to the batch semState over the same
+    // corpus INCLUDING the suppressor column, and the whole chain
+    // hash-matches the SQL replay.
+    "q187_streaming_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
+        "embedding", k = 16)
+      val centArr = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val bounds = e.agg(min("vec_id"), max("vec_id")).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q187")
+      val src = tmp.resolve("src").toString
+      // id-ORDERED micro-batches: file r's ids all precede file r+1's
+      Seq(col("vec_id") <= t1,
+          col("vec_id") > t1 && col("vec_id") <= t2,
+          col("vec_id") > t2)
+        .foreach(p => e.filter(p).coalesce(1)
+          .write.mode("append").parquet(src))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.StreamingOps
+        .streamingSemDedup(s, stream, centArr, tau = 0.4)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q187out").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.table("q187out")
+        .select(col("vec_id"), col("cluster"), col("kept"),
+          col("suppressor"))
+      val batch = graft.ops.VectorOps.semState(e, "vec_id", "embedding",
+          cents, tau = 0.4)
+        .members.select(col("vec_id"), col("cluster"), col("kept"),
+          col("suppressor"))
+      require(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming semDedup diverged from the batch prune")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      streamed.orderBy("vec_id")
     })
   )
 
@@ -1236,6 +1323,72 @@ object CorpusQueries {
          |               b.vec_id ASC) AS rank
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |  WHERE a.vec_id % 3 = 0)
-         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q186_knn_indexed" ->
+      s"""SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos_sim FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         |    ${sqlCos("a.embedding", "b.embedding")} AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${sqlCos("a.embedding", "b.embedding")} DESC,
+         |               b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 3 = 1)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q187_streaming_semdedup" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), assign0 AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), best0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign0)
+         |  WHERE rn = 1
+         |), dims AS (
+         |  SELECT vec_id, dim, embedding[dim] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(list_transform(range(1, CAST(len(embedding) AS INT) + 1),
+         |                                x -> CAST(x AS INT))) AS dim
+         |        FROM embeddings)
+         |), comp AS (
+         |  SELECT b.cluster, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(d.v AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS comp
+         |  FROM best0 b JOIN dims d USING (vec_id)
+         |  GROUP BY b.cluster, d.dim
+         |), cent AS (
+         |  SELECT cluster, list(comp ORDER BY dim) AS cvec
+         |  FROM comp GROUP BY cluster
+         |), assign1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    ${sqlCos("e.embedding", "c.cvec")} AS c
+         |  FROM embeddings e CROSS JOIN cent c
+         |), best AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, cluster ASC) AS rn
+         |    FROM assign1)
+         |  WHERE rn = 1
+         |), dropped AS (
+         |  SELECT b2.vec_id, CAST(MIN(b1.vec_id) AS BIGINT) AS suppressor
+         |  FROM best b1
+         |  JOIN best b2 ON b1.cluster = b2.cluster AND b1.vec_id < b2.vec_id
+         |  JOIN embeddings e1 ON b1.vec_id = e1.vec_id
+         |  JOIN embeddings e2 ON b2.vec_id = e2.vec_id
+         |  WHERE ${sqlCos("e1.embedding", "e2.embedding")} >= 0.4
+         |  GROUP BY b2.vec_id
+         |)
+         |SELECT b.vec_id, b.cluster, d.vec_id IS NULL AS kept,
+         |  d.suppressor
+         |FROM best b LEFT JOIN dropped d USING (vec_id)
+         |ORDER BY b.vec_id""".stripMargin
   )
 }

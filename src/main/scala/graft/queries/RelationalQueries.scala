@@ -228,6 +228,29 @@ object RelationalQueries {
         .orderBy("c_mktsegment", "rn")
     }),
 
+    // Bounded top-k AGGREGATE (functions/TopKAgg) — q17's semantics
+    // through the map-side-combinable k-heap instead of a row_number
+    // window: the shuffle carries at most k entries per (group,
+    // partition) instead of every candidate row, the shape a per-group
+    // top-k needs at warehouse scale. Ordering contract identical
+    // (score desc, id asc), hash-matched against the window replay.
+    "q185_topk_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopKAgg.topKByScore(
+          col("o_totalprice"), col("o_orderkey"), 5).as("__top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("o_orderpriority"),
+          (col("__pos") + 1).cast("long").as("rn"),
+          col("__e.id").as("o_orderkey"),
+          col("__e.score").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     // §2.7 pivot-style wide table (docs/tasks.md:28-141 wide design:
     // MAX(CASE WHEN klass='x' THEN 1 END)).
     "q18_pivot" -> ((s, dir) => {
@@ -392,6 +415,15 @@ object RelationalQueries {
         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
         |  FROM customer
         |) WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q185_topk_agg" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey ASC)
+        |      AS BIGINT) AS rn
+        |  FROM orders
+        |) WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
     "q18_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -96,4 +96,87 @@ object StreamingOps {
       }
       .toDF()
   }
+
+  final case class VecIn(vec_id: Long, embedding: Seq[Float], cluster: Long)
+  final case class SemMember(id: Long, vec: Array[Float])
+  final case class SemDecision(vec_id: Long, cluster: Long, kept: Boolean,
+      suppressor: Option[Long])
+
+  /** STREAMING SemDeDup — the vector layer's full ingest gate (q182
+    * covered assignment only): vectors stream in, map-assign to FROZEN
+    * centroids via [[graft.ops.VectorOps.assignExpr]], then a
+    * per-cluster keyed state carries every member seen so far and
+    * decides kept/dropped + the suppressor evidence EXACTLY as the
+    * batch prune would — same in-order-fold cosine arithmetic, same
+    * 6-decimal HALF_UP rounding, same smaller-id membership rule — so
+    * the stream's complete output equals `semState(all, cents, tau)
+    * .members` including the suppressor column (q187 requires it).
+    *
+    * Append-only contract (the incrementalSemDedup precondition, here
+    * enforced per cluster inside the state function): a batch's ids
+    * must exceed everything the cluster has seen — out-of-order ids
+    * could flip emitted decisions, so they REFUSE loudly.
+    *
+    * State shape: one (id, vec) list per cluster — SemDeDup sizes k so
+    * cluster occupancy n_c stays bounded (~10⁴ at 10⁸ vectors in the
+    * paper's regime), which bounds state per key; the unbounded-corpus
+    * path remains the batch/warehouse [[graft.ops.VectorOps
+    * .incrementalSemDedup]]. */
+  def streamingSemDedup(spark: SparkSession, vecs: DataFrame,
+      centroids: Array[(Long, Array[Double])], tau: Double): DataFrame = {
+    import spark.implicits._
+    val assigned = vecs
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        graft.ops.VectorOps.assignExpr(col("embedding"), centroids)
+          .as("cluster"))
+      .as[VecIn]
+    assigned
+      .groupByKey(_.cluster)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (cluster: Long, rows: Iterator[VecIn], state: GroupState[Vector[SemMember]]) =>
+          var members = state.getOption.getOrElse(Vector.empty[SemMember])
+          val out = Vector.newBuilder[SemDecision]
+          rows.toSeq.sortBy(_.vec_id).foreach { r =>
+            members.lastOption.foreach(m => require(r.vec_id > m.id,
+              s"streamingSemDedup is append-only per cluster: id " +
+                s"${r.vec_id} <= stored max ${m.id} in cluster $cluster"))
+            val v = r.embedding.toArray
+            // min smaller-id tau-neighbor over everything this cluster
+            // has seen (dropped members vote too — membership rule)
+            var suppressor: Option[Long] = None
+            val it = members.iterator
+            while (it.hasNext && suppressor.isEmpty) {
+              val m = it.next()
+              val c = cosineRounded6(m.vec, v)
+              if (c != null && c.doubleValue >= tau) suppressor = Some(m.id)
+            }
+            out += SemDecision(r.vec_id, cluster, suppressor.isEmpty,
+              suppressor)
+            members = members :+ SemMember(r.vec_id, v)
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** The batch prune's exact cosine: in-order fold accumulating
+    * dot/normA/normB as doubles (the [[graft.ops.VectorOps.CosineSim]]
+    * IEEE op sequence), SQL-NULL on zero norms, then Spark Round's
+    * HALF_UP at 6 decimals. Members are iterated in id order, so the
+    * first tau-hit IS the min suppressor. */
+  private def cosineRounded6(a: Array[Float], b: Array[Float]): java.lang.Double = {
+    if (a.length != b.length) return null
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dab += x * y; daa += x * x; dbb += y * y; i += 1
+    }
+    if (daa == 0.0 || dbb == 0.0) return null
+    val c = dab / (math.sqrt(daa) * math.sqrt(dbb))
+    java.math.BigDecimal.valueOf(c)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+  }
 }

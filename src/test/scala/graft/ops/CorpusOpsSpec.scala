@@ -233,6 +233,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rws(inc2.members) == rws(full2.members))
   }
 
+  test("topKByScore: bounded-heap aggregate equals the row_number window, ties and NULL scores included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial fixture: duplicate scores (id tiebreak), NULL scores
+    // (must rank last), groups smaller and larger than k, and enough
+    // partitions that map-side combine actually merges partial heaps
+    val rnd = new scala.util.Random(47)
+    val rows = (1L to 4000L).map { i =>
+      val g = i % 13
+      val score: Option[Double] =
+        if (i % 29 == 0) None else Some((rnd.nextInt(40)).toDouble / 10.0)
+      (g, i, score)
+    }
+    val df = rows.toDF("g", "id", "score").repartition(16)
+    val k = 5
+    val win = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(desc("score"), asc("id"))))
+      .filter(col("rank") <= k)
+      .select("g", "rank", "id", "score")
+    val agg = df.groupBy("g")
+      .agg(graft.functions.TopKAgg.topKByScore(col("score"), col("id"), k)
+        .as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("p", "e")))
+      .select(col("g"), (col("p") + 1).cast("int").as("rank"),
+        col("e.id").as("id"), col("e.score").as("score"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sorted.toSeq
+    assert(canon(agg) == canon(win))
+    // and a group with fewer members than k emits them all
+    val small = Seq((1L, 10L, Some(0.5)), (1L, 11L, None)).toDF("g", "id", "score")
+    val out = small.groupBy("g")
+      .agg(graft.functions.TopKAgg.topKByScore(col("score"), col("id"), 5).as("t"))
+      .select(size(col("t"))).head().getInt(0)
+    assert(out == 2)
+  }
+
   test("duplicateSpanList(onlyDocs) equals the full result filtered: global counts, stratum merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
