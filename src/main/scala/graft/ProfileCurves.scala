@@ -80,22 +80,25 @@ object ProfileCurves {
   }
 }
 
+/** Sums shuffle bytes written across stages — wall-clock on a 32-core
+  * single box is stage-overhead-bound at test scale, but shuffle
+  * VOLUME is what a 1000-executor cluster pays for; this is every
+  * profiler's measurable form of its O(...) claims. One shared class
+  * (replaces five identical per-object copies, so a metric tweak
+  * cannot land in only some of them). */
+private[graft] final class ShuffleMeter
+    extends org.apache.spark.scheduler.SparkListener {
+  val bytes = new java.util.concurrent.atomic.AtomicLong()
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+    bytes.addAndGet(
+      sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  def drain(): Long = bytes.getAndSet(0L)
+}
+
 object ProfileDelta {
   import ProfileCurves._
 
-  /** Sums shuffle bytes written across stages — wall-clock on a 32-core
-    * single box is stage-overhead-bound at test scale, but shuffle
-    * VOLUME is what a 1000-executor cluster pays for; this is the
-    * O(delta) claim's measurable form. */
-  private final class ShuffleMeter
-      extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(
-        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def drain(): Long = bytes.getAndSet(0L)
-  }
 
   /** Disjoint distinct replicas at base-corpus per-replica shingle
     * statistics — see [[ProfileCurves.blowupDocs]] (a plain copy would
@@ -322,15 +325,6 @@ object ProfileScale {
 object ProfileCorpus {
   import ProfileCurves._
 
-  private final class ShuffleMeter
-      extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(
-        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def drain(): Long = bytes.getAndSet(0L)
-  }
 
   private def blowupDocs(docs: DataFrame, times: Int): DataFrame =
     ProfileCurves.blowupDocs(docs, times)
@@ -536,15 +530,6 @@ object ProfileCachePrune {
 object ProfileVecDelta {
   import ProfileCurves._
 
-  private final class ShuffleMeter
-      extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(
-        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def drain(): Long = bytes.getAndSet(0L)
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -629,15 +614,6 @@ object ProfileVecDelta {
 object ProfileSpanDelta {
   import ProfileCurves._
 
-  private final class ShuffleMeter
-      extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(
-        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def drain(): Long = bytes.getAndSet(0L)
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -701,15 +677,6 @@ object ProfileSpanDelta {
 object ProfileKnnJoin {
   import ProfileCurves._
 
-  private final class ShuffleMeter
-      extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong()
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(
-        sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def drain(): Long = bytes.getAndSet(0L)
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

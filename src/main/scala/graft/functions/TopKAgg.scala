@@ -18,21 +18,37 @@ import org.apache.spark.sql.types._
   * per query per partition.
   *
   * Ordering contract (identical to the knnJoin/knnBrute window):
-  * score DESC, id ASC on ties, SQL-NULL scores after every real score
-  * (Spark's desc null-last), null-score ties by id ASC. eval returns
-  * the survivors as array<struct<id, score>> already in rank order —
-  * posexplode's position is the 0-based rank. */
+  * score DESC with Spark's double sort semantics (NaN greatest,
+  * -0.0 == 0.0), id ASC on ties, SQL-NULL scores after every real
+  * score (Spark's desc null-last), null-score ties by id ASC. Rows
+  * with a NULL id are ignored (a window would rank them; knnJoin's
+  * candidate ids are never NULL — callers needing NULL-id rows must
+  * coalesce first). eval returns the survivors as
+  * array<struct<id, score>> already in rank order — posexplode's
+  * position is the 0-based rank. */
 object TopKAgg {
 
   /** One buffered candidate; `hasScore = false` encodes a SQL NULL
     * score (ranked below every real score). */
   private final case class Cand(hasScore: Boolean, score: Double, id: Long)
 
-  /** true iff a ranks strictly better than b. */
+  /** Spark's double sort semantics as a TOTAL order: NaN greater than
+    * every real value (and equal to itself), -0.0 == 0.0 (Catalyst
+    * normalizes both in sort keys). `a.score > b.score` alone is NOT a
+    * strict weak ordering under NaN — NaN would compare "equal" to
+    * everything and could silently evict real top-k candidates. */
+  private def cmpScore(x: Double, y: Double): Int = {
+    def norm(v: Double) = if (v == 0.0) 0.0 else v // collapse -0.0
+    java.lang.Double.compare(norm(x), norm(y))     // NaN ranks greatest
+  }
+
+  /** true iff a ranks strictly better than b (score desc, id asc). */
   private def better(a: Cand, b: Cand): Boolean =
     if (a.hasScore != b.hasScore) a.hasScore
-    else if (a.hasScore && a.score != b.score) a.score > b.score
-    else a.id < b.id
+    else {
+      val c = if (a.hasScore) cmpScore(a.score, b.score) else 0
+      if (c != 0) c > 0 else a.id < b.id
+    }
 
   /** Worst-first heap of at most k candidates. */
   final class Buf(val k: Int) {
@@ -52,6 +68,17 @@ object TopKAgg {
     require(k >= 1, "topK needs k >= 1")
     override def children: Seq[Expression] = Seq(score, id)
     override def nullable: Boolean = false
+    // LOUD at analysis time: update() casts directly, so a decimal
+    // score or int id would otherwise die mid-stage with a
+    // ClassCastException after doing real work
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (score.dataType == DoubleType && id.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_k_by_score needs (double score, bigint id), got " +
+            s"(${score.dataType}, ${id.dataType}) — cast explicitly")
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("id", LongType), StructField("score", DoubleType))))
 

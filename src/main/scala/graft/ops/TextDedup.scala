@@ -464,7 +464,12 @@ object TextDedup {
     // (measured: the pass is ~half the operator's wall). The lazy
     // checkpoint materializes the one-row-per-doc sig table on first
     // use and both sides read the stored blocks; lineage truncation is
-    // a bonus for the long battery plans.
+    // a bonus for the long battery plans. Lifecycle: the blocks free
+    // when the driver GCs the checkpointed RDD (no unpersist seam
+    // exists in a lazy operator); the table is one narrow row per doc,
+    // and a service looping over many corpora in one session should
+    // trigger periodic GC (the Bench loop's pattern) or persist sig
+    // tables it wants to manage explicitly.
     val sig = simHashMd5Sig(df, idCol, textCol).localCheckpoint(false)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
@@ -752,11 +757,15 @@ object TextDedup {
     val dupHashes = anchors.groupBy("h").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2).select("h")
     // the per-character anchor pass dominates this operator's cost; a
-    // predicate over columns the anchor frame preserves (typically the
-    // id) filters the already-computed anchors instead of re-anchoring
-    // the filtered docs — same rows, one anchor pass instead of two.
-    // Predicates over dropped columns (e.g. the text) still re-anchor.
-    val anchorCols = Set(idCol, "__len", "p", "h")
+    // predicate over PER-DOCUMENT-constant columns (the id; __len)
+    // filters the already-computed anchors instead of re-anchoring the
+    // filtered docs — same rows, one anchor pass instead of two.
+    // ONLY per-doc-constant columns are safe to shortcut: "p"/"h" vary
+    // per anchor, and filtering anchors by them would silently drop
+    // anchor ROWS instead of documents. Predicates over anything else
+    // (dropped text columns included) take the re-anchor fallback,
+    // where a bogus column still fails loudly at analysis.
+    val anchorCols = Set(idCol, "__len")
     val scoped = onlyDocs.fold(anchors) { p =>
       val refs = org.apache.spark.sql.graftbridge.Bridge.expression(p).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>

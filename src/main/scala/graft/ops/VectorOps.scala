@@ -426,6 +426,15 @@ object VectorOps {
     * leaves the min in place or triggers the re-check that recomputes
     * it), so q184 pins it like any other state column. */
   final case class SemState(members: DataFrame, centroids: DataFrame) {
+    /** Releases CacheManager entries. Honest limit: the removal path's
+      * internal localCheckpoint blocks are NOT CacheManager entries —
+      * they free when the driver GCs the checkpointed RDD (standard
+      * localCheckpoint semantics). A long-running maintenance service
+      * should persist its state tables to the warehouse (parquet, the
+      * incrementalIvf pattern) rather than chaining in-memory states,
+      * which also restores fault tolerance (a checkpoint truncates
+      * lineage, so losing an executor's blocks fails the run instead
+      * of recomputing). */
     def release(): Unit =
       Seq(members, centroids).foreach(_.unpersist(blocking = false))
   }

@@ -99,15 +99,22 @@ final class PreparedPolygonQuery private[pipeline] (
   // exceed its full-scan cost, measured ~45 ms at a 10k-object index),
   // a big one gets buckets that keep the per-probe scan population
   // roughly constant as the index grows
-  private val isCached: Boolean =
+  private val autoLayoutOn: Boolean =
+    PreparedPolygonQuery.autoLayoutEnabled(index.sparkSession)
+
+  private lazy val isCached: Boolean =
     index.queryExecution.optimizedPlan.collectFirst {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
     }.isDefined
 
-  // counted when needed: bucket auto-sizing, or crossover detection on
-  // a cached index (the count is served by the cache being probed)
+  // counted only when something needs it: bucket auto-sizing, or
+  // crossover detection on a cached index with auto-layout ON (with
+  // the knob off or buckets explicit, a cached index is NOT counted —
+  // the count would materialize the cache purely to evaluate a
+  // crossover that can no longer trigger)
   private val rowCount: Long =
-    if (bucketsRequested >= 1 && !isCached) -1L else index.count()
+    if (bucketsRequested >= 1 && !(autoLayoutOn && isCached)) -1L
+    else index.count()
 
   /** The frame probes actually run against. A CACHED index past the
     * measured ~40M-row crossover is rewritten ONCE to the clustered-
@@ -115,19 +122,25 @@ final class PreparedPolygonQuery private[pipeline] (
     * measured InMemoryTableScan stats pruning as a net no-op, so
     * cached probes scan every batch and go linear with index size
     * (224 ms at 116M rows), while the clustered layout's row-group
-    * skipping holds probes flat (~20 ms at 116M). The one-time
-    * rewrite costs about as much as the cache materialization it
-    * replaces; disable with spark.graft.probe.autoLayout=false. */
+    * skipping holds probes flat (~20 ms at 116M).
+    *
+    * The rewrite is a PROBE PROJECTION, not a full index copy: only
+    * the columns probes read (the output quadruple + h3_cell + the
+    * cluster key) are written — the wide payload (geom WKB etc.) stays
+    * behind, keeping the copy ~100 B/row. It lands under
+    * spark.local.dir (NOT java.io.tmpdir, which is commonly a
+    * RAM-backed tmpfs sized at half of memory), is deleted at JVM
+    * exit, and the caller's cache is left untouched (the caller owns
+    * it — unpersist it after handle construction to reclaim the
+    * memory). Disable with spark.graft.probe.autoLayout=false. */
   private val probeIndex: DataFrame =
-    if (!isCached || rowCount < crossoverRows ||
-        !PreparedPolygonQuery.autoLayoutEnabled(index.sparkSession))
+    if (!autoLayoutOn || !isCached || rowCount < crossoverRows)
       index
     else {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_probe_idx").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
-      H3Index.writeClustered(index, dir, res)
+      val dir = PreparedPolygonQuery.layoutDir(index.sparkSession)
+      H3Index.writeClustered(
+        index.select("id", "dataset_id", "leverantor", "klass", "h3_cell"),
+        dir, res)
       index.sparkSession.read.parquet(dir)
     }
 
@@ -232,6 +245,27 @@ object PreparedPolygonQuery {
   private[pipeline] def autoLayoutEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.probe.autoLayout")
       .forall(_.toBoolean)
+
+  // auto-layout copies live under spark.local.dir (java.io.tmpdir is
+  // commonly a half-of-RAM tmpfs — the wrong place for a multi-GB
+  // probe projection); ONE shutdown hook reaps every copy, however
+  // many handles a session constructs
+  private val layoutDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val layoutReaper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      layoutDirs.forEach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))))
+  private[pipeline] def layoutDir(spark: SparkSession): String = {
+    val base = spark.sparkContext.getConf
+      .getOption("spark.local.dir").map(_.split(",")(0))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "graft_probe_idx").toString
+    layoutReaper
+    layoutDirs.add(dir)
+    dir
+  }
 
   /** Daemon pool for concurrent bucket-probe submission — sized by the
     * bucket default; idle threads die, and daemon status keeps handle

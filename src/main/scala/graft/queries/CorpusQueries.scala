@@ -565,12 +565,26 @@ object CorpusQueries {
       val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q187")
       val src = tmp.resolve("src").toString
-      // id-ORDERED micro-batches: file r's ids all precede file r+1's
+      // id-ORDERED micro-batches: file r's ids all precede file r+1's.
+      // FileStreamSource orders new files by MODIFICATION TIME, and
+      // three local writes can land within one ms (ties then resolve
+      // by arbitrary listing order of the UUID part names — a
+      // nondeterministic batch flip the append-only state would
+      // refuse), so each slice's files are stamped with an explicit
+      // strictly-increasing mtime after writing.
+      val stamped = scala.collection.mutable.Set[java.io.File]()
       Seq(col("vec_id") <= t1,
           col("vec_id") > t1 && col("vec_id") <= t2,
           col("vec_id") > t2)
-        .foreach(p => e.filter(p).coalesce(1)
-          .write.mode("append").parquet(src))
+        .zipWithIndex.foreach { case (p, r) =>
+          e.filter(p).coalesce(1).write.mode("append").parquet(src)
+          new java.io.File(src).listFiles().foreach { f =>
+            if (!stamped.contains(f)) {
+              f.setLastModified(1700000000000L + r * 60000L)
+              stamped += f
+            }
+          }
+        }
       val stream = s.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = graft.streaming.StreamingOps

@@ -242,8 +242,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(47)
     val rows = (1L to 4000L).map { i =>
       val g = i % 13
+      // NaN scores included: Spark sorts NaN GREATEST (desc -> first),
+      // and a naive `>` heap comparator would treat NaN as equal to
+      // everything and evict real candidates — the ordering must be
+      // the total order, not raw double comparison
       val score: Option[Double] =
-        if (i % 29 == 0) None else Some((rnd.nextInt(40)).toDouble / 10.0)
+        if (i % 29 == 0) None
+        else if (i % 31 == 0) Some(Double.NaN)
+        else Some((rnd.nextInt(40)).toDouble / 10.0)
       (g, i, score)
     }
     val df = rows.toDF("g", "id", "score").repartition(16)
@@ -259,9 +265,13 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select(col("g"), posexplode(col("t")).as(Seq("p", "e")))
       .select(col("g"), (col("p") + 1).cast("int").as("rank"),
         col("e.id").as("id"), col("e.score").as("score"))
+    // scores canonicalized to IEEE bits: Scala's numeric == makes
+    // NaN != NaN, which would fail the comparison on IDENTICAL rows
     def canon(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
-        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sorted.toSeq
+        if (r.isNullAt(3)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(3)))))
+        .sorted.toSeq
     assert(canon(agg) == canon(win))
     // and a group with fewer members than k emits them all
     val small = Seq((1L, 10L, Some(0.5)), (1L, 11L, None)).toDF("g", "id", "score")
@@ -316,6 +326,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       .join(docs.filter(pt).select("doc_id"), Seq("doc_id"), "left_semi")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(restrText.toSeq == fullIds.toSeq && restrText.exists(_._1 == 2L))
+    // a predicate over a PER-ANCHOR column ("p") must NOT take the
+    // anchor-filter shortcut (it would drop anchor rows, not docs) —
+    // it falls back to re-anchoring, where the bogus column fails
+    // loudly at analysis instead of silently truncating spans
+    intercept[org.apache.spark.sql.AnalysisException] {
+      TextDedup.duplicateSpanList(docs, "doc_id", "text", l = 40,
+        onlyDocs = Some(col("p") > 100)).collect()
+    }
   }
 
   test("duplicateSpans: exact extents at arbitrary (non-aligned) offsets; self-duplication; clean docs absent") {

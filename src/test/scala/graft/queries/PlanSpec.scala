@@ -102,6 +102,34 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("writeClustered layout: probe uses the MATERIALIZED ancestor and pushes its range to the scan") {
+    import org.apache.spark.sql.functions.col
+    // the shipped warehouse layout (H3Index.writeClustered — the call
+    // Runner.run makes for every mart _h3 table): the query-res
+    // ancestor is a stored column, so the probe must (a) push its
+    // [min,max] range into the parquet scan over that column and
+    // (b) do NO per-row cell->parent math on the index side
+    val dir = java.nio.file.Files.createTempDirectory("idxclus").toString
+    graft.pipeline.H3Index.writeClustered(
+      GeoQueries.sharedIndex(spark, sfDir)
+        .select("id", "dataset_id", "leverantor", "klass", "h3_cell", "geom")
+        .withColumnRenamed("dataset_id", "dataset"), dir, res = 8)
+    val back = spark.read.parquet(dir)
+      .withColumnRenamed("dataset", "dataset_id")
+    val df = graft.pipeline.H3Query.objects(spark, back,
+      graft.pipeline.GeoFixture.queryPolygonWkt, res = 8)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(h3_parent_8") &&
+      pushed.contains("LessThanOrEqual(h3_parent_8"),
+      "clustered layout's range prefilter not pushed: " + pushed)
+    assert(!plan.contains("h3_cell_to_parent"),
+      "probe recomputed the ancestor instead of using the stored column")
+    assert(df.count() > 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("q67: exact-refine st_intersects stays ABOVE the broadcast join") {
     // the refine predicate must run on post-join candidates only; if
     // Catalyst pushes it below the join (it can when the predicate
