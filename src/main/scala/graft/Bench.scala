@@ -195,8 +195,8 @@ object Bench {
     // ~0.7 s carries a reference — an unlisted query above the 0.8 s
     // floor would otherwise pay the extra rep on EVERY capture, a
     // permanent 2x for that entry rather than noise arbitration.
-    // Values = min over the r9 quiet-host numbers and the r10 battery
-    // capture (adaptive mins). New queries: add a ref once their
+    // Values = min over the r9-r11 quiet-host numbers and battery
+    // captures (adaptive mins). New queries: add a ref once their
     // first battery capture lands, or they self-identify by tripping
     // the floor each round.
     val quietRefS = Map(
@@ -212,15 +212,21 @@ object Bench {
       "q140_mp4_frames" -> 0.73, "q141_mp4_frag_frames" -> 0.79,
       "q143_webm_media" -> 0.81, "q146_tar_webdataset" -> 0.71,
       "q150_dup_clusters" -> 1.5, "q151_pii_redact" -> 0.84,
-      "q160_pipeline_e2e" -> 1.42, "q162_incremental_dedup" -> 5.5,
+      // q162's 5.5 ref was a cache-assisted best-of-3 artifact (rep 2
+      // reuses rep 1's persisted state via CacheManager plan matching);
+      // the honest fresh-JVM single-shot cost is ~9.7 s post-prewarm
+      "q160_pipeline_e2e" -> 1.42, "q162_incremental_dedup" -> 9.7,
       "q165_tfidf_top_terms" -> 0.83, "q167_streaming_dedup" -> 3.9,
       "q168_repeated_passages" -> 0.79, "q169_hybrid_identity" -> 7.49,
-      "q170_semantic_dedup" -> 3.5, "q171_lm_quality_score" -> 0.83,
+      "q170_semantic_dedup" -> 0.48, "q171_lm_quality_score" -> 0.83,
       "q173_minhash_replay" -> 2.5, "q174_span_excision" -> 0.74,
-      "q175_simhash_replay" -> 8.8, "q176_curation_e2e" -> 2.66,
-      "q177_incremental_spans" -> 13.16, "q178_source_overlap" -> 1.39,
+      "q175_simhash_replay" -> 5.97, "q176_curation_e2e" -> 2.66,
+      "q177_incremental_spans" -> 13.88, "q178_source_overlap" -> 1.39,
       "q179_lloyd_semdedup" -> 0.89, "q180_incremental_ivf" -> 1.68,
-      "q181_incremental_semdedup" -> 4.79, "q20_count_distinct" -> 1.16,
+      "q181_incremental_semdedup" -> 4.65, "q182_streaming_ivf" -> 3.10,
+      "q183_knn_join" -> 2.25, "q184_semdedup_removals" -> 5.69,
+      "q186_knn_indexed" -> 6.66, "q187_streaming_semdedup" -> 6.66,
+      "q189_bpe_merges" -> 1.61, "q20_count_distinct" -> 1.16,
       "q29_rollup" -> 0.75, "q45_stats_mass" -> 1.91,
       "q46_statstop_equiv" -> 2.2, "q55_embedding_neardup" -> 0.81,
       "q56_exact_subset" -> 2.3, "q57_heatmap_mass" -> 1.6,

@@ -355,6 +355,117 @@ object TrainingOps {
       .drop("__w")
   }
 
+  // ------------------------------------------- weighted sampling
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res): item i gets the exponential-race key
+    * k_i = -ln(u_i) / w_i and the n SMALLEST keys win — the standard
+    * distributed one-pass draw where inclusion odds are proportional
+    * to weight (quality-weighted corpus subsetting; q81/q109 are the
+    * uniform/stratified members of this family).
+    *
+    * u_i is DETERMINISTIC: the first 52 md5 bits of (id, salt) mapped
+    * to the exact dyadic (bits + 0.5) / 2^52 ∈ (0,1) — 52 bits fit a
+    * double exactly, so u replays bit-identically in any engine with
+    * md5, and the draw is reproducible across runs, partitionings and
+    * engines (different salt = a fresh independent draw). ln() is the
+    * one non-exact step: engines may differ by an ulp, which could in
+    * principle swap two near-tied RANKS — keys of distinct documents
+    * are continuous-random, so ties at 1e-15 relative are vanishingly
+    * rare (and the driver gate would catch one loudly).
+    *
+    * NULL and non-positive weights are excluded (their inclusion
+    * probability is 0 in the limit; excluding is the well-defined
+    * contract — callers wanting a floor should clamp first).
+    *
+    * 100 TB shape: map-only key computation, then orderBy(key).limit(n)
+    * plans as TakeOrderedAndProject — per-partition bounded top-n and
+    * one n-sized driver merge, NO global sort shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, salt: String = "graft"): DataFrame = {
+    require(n >= 1, "weightedSample needs n >= 1")
+    val bits = conv(substring(
+        md5(concat_ws("|", col(idCol), lit(salt))), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val u = (bits + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("samp_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("samp_key"), col(idCol))
+      .limit(n)
+  }
+
+  // ------------------------------------------- BPE vocabulary induction
+
+  /** BPE merge-rule induction (Sennrich et al. 2016, arXiv:1508.07909):
+    * learn `numMerges` merge rules by repeatedly fusing the corpus's
+    * most frequent adjacent symbol pair — the vocabulary-training step
+    * of a tokenizer pipeline (q39 is the APPLICATION side: tokenize
+    * with a fixed rule set; this learns the rules).
+    *
+    * Trains on WORD TYPES with counts, not running tokens — the corpus
+    * collapses to its vocabulary in ONE aggregation, and every merge
+    * iteration is a pair-count aggregation over that type table. That
+    * is what makes the op tractable at 100 TB: a trillion-token corpus
+    * has tens of millions of word types, so the per-merge work is a
+    * small-table explode + groupBy + TakeOrdered(1), independent of
+    * corpus size after the first pass.
+    *
+    * Symbols are kept as a per-symbol-wrapped string ("low" ->
+    * "_l__o__w_"): a merge (a, b) is then the literal replace of
+    * "_a__b_" with "_ab_", which (i) cannot match across symbol
+    * boundaries (a symbol's wrapper chars are its own) and (ii)
+    * fuses left-to-right non-overlapping occurrences — exactly
+    * reference BPE's greedy application. Words are lowercased and
+    * split on non-[a-z] first, so '_' never collides with a symbol.
+    * Ties on count break lexicographically (a, b) for a fully
+    * deterministic, engine-replayable rule sequence.
+    *
+    * Driver holds one (a, b, count) row per merge — k-sized, like
+    * ivfBuild's centroids. The evolving type table accumulates one
+    * replace per learned rule; at real vocab sizes (30k+ merges)
+    * checkpoint the type table every few hundred rules to bound
+    * lineage — numMerges here is interactive-scale. */
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, "bpeMerges needs numMerges >= 1")
+    val spark = docs.sparkSession
+    val types = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", "_$1_").as("sym"), col("cnt"))
+      .persist()
+    try {
+      var cur = types
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var it = 1
+      var exhausted = false
+      while (it <= numMerges && !exhausted) {
+        val top = cur
+          .select(split(expr("substring(sym, 2, length(sym) - 2)"), "__").as("s"),
+            col("cnt"))
+          .filter(size(col("s")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(s) - 2), i -> struct(s[i] as a, s[i + 1] as b))"))
+            .as("p"), col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((it, a, b, c))
+          // a, b are [a-z]+ by construction — literal-safe in the expr
+          cur = cur.withColumn("sym",
+            expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
+          it += 1
+        }
+      }
+      import spark.implicits._
+      merges.result().toDF("merge_idx", "a", "b", "cnt")
+    } finally types.unpersist(blocking = false)
+  }
+
   // ---------------------------------------------------- snapshot diff
 
   /** Snapshot diff — the incremental-processing primitive for periodic

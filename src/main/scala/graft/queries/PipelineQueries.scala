@@ -60,6 +60,34 @@ object PipelineQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Weighted sample (ops/TrainingOps.weightedSample): inclusion odds
+    // proportional to document length via Efraimidis–Spirakis
+    // exponential-race keys with deterministic md5-derived u — the
+    // quality-weighted draw of a mixture pipeline (q81 uniform, q109
+    // stratified, this one weighted). Plans as TakeOrderedAndProject:
+    // per-partition top-n, no global sort shuffle.
+    "q188_weighted_sample" -> ((s, dir) => {
+      val picked = graft.ops.TrainingOps.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 100, salt = "graftw")
+      picked
+        .withColumn("smp_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("samp_key"), col("doc_id"))))
+        .select(col("doc_id"), col("n_chars"), col("smp_rank"))
+        .orderBy("smp_rank")
+    }),
+
+    // BPE merge-rule induction (ops/TrainingOps.bpeMerges): the 8
+    // highest-count adjacent-symbol fusions over the corpus vocabulary
+    // — tokenizer TRAINING (q39 applies a fixed rule set; this learns
+    // one). Oracle replays all 8 Lloyd-style iterations as a DuckDB
+    // CTE chain, so the full learn loop is cross-engine pinned.
+    "q189_bpe_merges" -> ((s, dir) => {
+      graft.ops.TrainingOps.bpeMerges(docs(s, dir), "text", numMerges = 8)
+        .orderBy("merge_idx")
+    }),
+
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
     // of distinct word 3-grams each corpus doc shares with a held-out
     // "benchmark" slice — the train-test overlap check a pretraining
@@ -545,6 +573,51 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, lang, rn FROM r WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin,
+    // The full 8-iteration BPE learn loop as one generated CTE chain:
+    // p_i = weighted adjacent-pair counts over type table w_{i-1},
+    // b_i = argmax (count desc, pair asc), w_i = b_i applied via the
+    // boundary-safe wrapped replace. chr(1) is the pair separator (a
+    // symbol is [a-z]+ by construction, so it cannot collide).
+    "q189_bpe_merges" -> {
+      val base =
+        """w0 AS (
+          |  SELECT regexp_replace(w, '(.)', '_\1_', 'g') AS sym,
+          |    CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+          |        FROM documents)
+          |  WHERE w <> '' GROUP BY 1)""".stripMargin
+      val iters = (1 to 8).map { i =>
+        s"""p$i AS (
+           |  SELECT string_split(pr, chr(1))[1] AS a,
+           |    string_split(pr, chr(1))[2] AS b,
+           |    CAST(SUM(cnt) AS BIGINT) AS c
+           |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+           |          j -> s[j] || chr(1) || s[j + 1])) AS pr, cnt
+           |        FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), '__') AS s,
+           |                cnt
+           |              FROM w${i - 1}))
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+           |w$i AS (SELECT replace(sym, '_' || a || '__' || b || '_',
+           |          '_' || a || b || '_') AS sym, cnt
+           |        FROM w${i - 1}, b$i)""".stripMargin
+      }
+      val unions = (1 to 8)
+        .map(i => s"SELECT $i AS merge_idx, a, b, c AS cnt FROM b$i")
+        .mkString("\nUNION ALL\n")
+      s"WITH $base,\n${iters.mkString(",\n")}\n$unions\nORDER BY merge_idx"
+    },
+    // u replays exactly: 13 hex md5 chars = 52 bits, (bits + 0.5)/2^52
+    // is a dyadic rational a double holds exactly in both engines.
+    "q188_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((CAST(concat('0x', substring(md5(concat_ws('|', doc_id, 'graftw')), 1, 13)) AS BIGINT) + 0.5)
+        |        / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS samp_key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY samp_key, doc_id) AS INTEGER) AS smp_rank
+        |FROM k ORDER BY samp_key, doc_id LIMIT 100""".stripMargin,
     // Same shingle construction as q73's oracle (3-gram word shingles
     // over whitespace-normalized lowercase text), split into benchmark
     // (doc_id % 37 = 0) and corpus slices.

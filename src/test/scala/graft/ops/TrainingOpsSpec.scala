@@ -241,4 +241,67 @@ class TrainingOpsSpec extends AnyFunSuite {
       .select(WebArchive.urlDomain(col("u"))).head.getString(0)
     assert(dom == "site.co")
   }
+
+  test("weightedSample: deterministic, weight-monotone inclusion, non-positive weights excluded, TakeOrdered plan") {
+    import spark.implicits._
+    val pop = (1L to 400L).map { i =>
+      // ids 1-200 light (w=1), 201-400 heavy (w=50); a few degenerate
+      val w: java.lang.Double =
+        if (i % 97 == 0) null
+        else if (i % 89 == 0) 0.0
+        else if (i % 83 == 0) -2.0
+        else if (i <= 200) 1.0 else 50.0
+      (i, w)
+    }.toDF("doc_id", "w")
+    val s1 = TrainingOps.weightedSample(pop, "doc_id", "w", n = 60, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    // same draw replays exactly
+    val s2 = TrainingOps.weightedSample(pop, "doc_id", "w", n = 60, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 60)
+    // degenerate weights can never be drawn, even with n > population
+    val all = TrainingOps.weightedSample(pop, "doc_id", "w", n = 1000)
+      .select("doc_id").as[Long].collect()
+    assert(all.forall(i => i % 97 != 0 && i % 89 != 0 && i % 83 != 0))
+    // 50x weight must dominate the draw (binomial: P(heavy < 40 of 60)
+    // is astronomically small at this weight ratio)
+    val heavy = s1.count(_ > 200L)
+    assert(heavy > 40, s"heavy-weight inclusion too low: $heavy of 60")
+    // and an independent salt gives a different (still heavy-skewed) draw
+    val s3 = TrainingOps.weightedSample(pop, "doc_id", "w", n = 60, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1)
+    // scale shape: top-n via TakeOrdered (per-partition bounded heap +
+    // driver merge), not a global sort shuffle
+    val plan = TrainingOps.weightedSample(pop, "doc_id", "w", n = 60)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan.take(400))
+  }
+
+  test("bpeMerges: the Sennrich worked example, merge by merge") {
+    import spark.implicits._
+    // the arXiv:1508.07909 §3.2 vocabulary: low x5, lower x2,
+    // newest x6, widest x3 — every merge below is hand-derived
+    // (count desc, pair lexicographic on ties)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("Lower!") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TrainingOps.bpeMerges(docs, "text", numMerges = 8)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L),      // e-s 9 ties s-t 9, e < s
+      (2, "es", "t", 9L),     // newest/widest now end in "est"
+      (3, "l", "o", 7L),      // l-o 7 ties o-w 7
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L),      // three 6-count pairs, e < ew < n
+      (6, "ew", "est", 6L),
+      (7, "n", "ewest", 6L),  // newest is now ONE symbol
+      (8, "d", "est", 3L)))
+    // exhaustion: a vocab with one fusible pair stops early, no error
+    val tiny = Seq((1L, "ab ab c")).toDF("doc_id", "text")
+    val t = TrainingOps.bpeMerges(tiny, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(t.toSeq == Seq((1, "a", "b", 2L)))
+  }
 }
