@@ -733,3 +733,43 @@ object ProfileKnnJoin {
     spark.stop()
   }
 }
+
+/** BPE merge induction at 1x/4x/16x the corpus — the type-table claim
+  * measured. blowupDocs is the WORST case for a tokenizer trainer:
+  * replica alphabets are disjoint, so the vocabulary grows ~linearly
+  * with the corpus instead of Heaps-law sublinearly — if the per-merge
+  * cost stays proportional to TYPES here, a natural corpus (vocab
+  * nearly flat in corpus size) does strictly better. */
+object ProfileBpe {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-bpe")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    val rows = Seq(1, 4, 16).map { m =>
+      val docs = blowupDocs(base, m).persist()
+      val nDocs = docs.count()
+      val occurrences = docs.select(
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) > 0).count()
+      val types = docs.select(
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) > 0).distinct().count()
+      meter.drain()
+      val t = timed {
+        val merges = graft.ops.TrainingOps.bpeMerges(docs, "text", 8)
+        assert(merges.count() == 8)
+      }
+      val b = meter.drain()
+      docs.unpersist()
+      f""""m_$m":{"docs":$nDocs,"word_occurrences":$occurrences,"word_types":$types,"learn8_wall_s":$t%.2f,"learn8_shuffle_mb":${b / 1e6}%.1f}"""
+    }
+    println(s"""{"metric":"bpe_scale_curve",${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -466,6 +466,38 @@ object TrainingOps {
     } finally types.unpersist(blocking = false)
   }
 
+  /** Apply learned BPE merge rules: per-document token counts under
+    * the `bpeMerges` vocabulary — the "how many tokens is this corpus
+    * under MY tokenizer" pass that budgets a training run.
+    *
+    * Efficient shape (the reason training on types pays off twice):
+    * rules are applied to the WORD TYPE table once — |vocab| rows, not
+    * |corpus| — and documents join word -> token_count by type, so
+    * the per-doc pass is an explode + broadcast-sized equi-join +
+    * sum, with zero per-doc string rewriting. Words are lowercased
+    * [a-z]+ exactly as in training; out-of-alphabet spans separate
+    * words and contribute no tokens. */
+  def applyBpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val types = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .withColumn("sym", regexp_replace(col("w"), "(.)", "_$1_"))
+    val fused = merges.foldLeft(types) { case (t, (a, b)) =>
+      t.withColumn("sym", expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
+    }
+    // k symbols <=> k wrapped '_x_' units: tokens = underscores / 2
+    val lexicon = fused.select(col("w"),
+      ((length(col("sym")) -
+        length(regexp_replace(col("sym"), "_", ""))) / 2)
+        .cast("long").as("word_tokens"))
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(lexicon), "w")
+      .groupBy(idCol).agg(sum(col("word_tokens")).as("n_tokens"))
+  }
+
   // ---------------------------------------------------- snapshot diff
 
   /** Snapshot diff — the incremental-processing primitive for periodic

@@ -18,6 +18,51 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // q189 learns the rules, q190 applies them — the collected merge
+  // table is 8 driver-side rows, memoized so the learn loop runs once
+  // (cost lands on q189, which runs first in battery order)
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap[String, Seq[(Int, String, String, Long)]]()
+  private def bpeRules(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeMemo.getOrElseUpdate(dir,
+      graft.ops.TrainingOps.bpeMerges(docs(s, dir), "text", numMerges = 8)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
+  /** The shared 8-iteration BPE learn chain as DuckDB CTEs: w0 = word
+    * types with counts and wrapped symbol strings (the word column is
+    * carried so appliers can join back), p_i = weighted adjacent-pair
+    * counts over w_{i-1}, b_i = argmax (count desc, pair asc), w_i =
+    * b_i applied via the boundary-safe wrapped replace. chr(1) is the
+    * pair separator (symbols are [a-z]+, so it cannot collide). */
+  private def bpeChainSql(n: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT w, regexp_replace(w, '(.)', '_\1_', 'g') AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (
+         |  SELECT string_split(pr, chr(1))[1] AS a,
+         |    string_split(pr, chr(1))[2] AS b,
+         |    CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+         |          j -> s[j] || chr(1) || s[j + 1])) AS pr, cnt
+         |        FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), '__') AS s,
+         |                cnt
+         |              FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT w, replace(sym, '_' || a || '__' || b || '_',
+         |          '_' || a || b || '_') AS sym, cnt
+         |        FROM w${i - 1}, b$i)""".stripMargin
+    }
+    s"WITH $base,\n${iters.mkString(",\n")}"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Keep-one-version dedup: row_number over the content fingerprint,
     // earliest doc_id wins — the canonical "dedup exact copies, keep
@@ -84,8 +129,21 @@ object PipelineQueries {
     // one). Oracle replays all 8 Lloyd-style iterations as a DuckDB
     // CTE chain, so the full learn loop is cross-engine pinned.
     "q189_bpe_merges" -> ((s, dir) => {
-      graft.ops.TrainingOps.bpeMerges(docs(s, dir), "text", numMerges = 8)
-        .orderBy("merge_idx")
+      val r = bpeRules(s, dir)
+      val sess = s
+      import sess.implicits._
+      r.toDF("merge_idx", "a", "b", "cnt").orderBy("merge_idx")
+    }),
+
+    // Tokenizer APPLICATION under the q189-learned rules
+    // (ops/TrainingOps.applyBpeMerges): per-document token counts via
+    // the type-table lexicon join — rules rewrite |vocab| rows once,
+    // documents pay an explode + broadcast join + sum, zero per-doc
+    // string work. The learn -> apply loop, closed.
+    "q190_bpe_tokenize" -> ((s, dir) => {
+      graft.ops.TrainingOps.applyBpeMerges(docs(s, dir), "doc_id", "text",
+          bpeRules(s, dir).map(m => (m._2, m._3)))
+        .orderBy("doc_id")
     }),
 
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
@@ -573,39 +631,28 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, lang, rn FROM r WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin,
-    // The full 8-iteration BPE learn loop as one generated CTE chain:
-    // p_i = weighted adjacent-pair counts over type table w_{i-1},
-    // b_i = argmax (count desc, pair asc), w_i = b_i applied via the
-    // boundary-safe wrapped replace. chr(1) is the pair separator (a
-    // symbol is [a-z]+ by construction, so it cannot collide).
+    // The full 8-iteration BPE learn loop replayed via the shared
+    // bpeChainSql CTE chain — one SELECT per learned rule.
     "q189_bpe_merges" -> {
-      val base =
-        """w0 AS (
-          |  SELECT regexp_replace(w, '(.)', '_\1_', 'g') AS sym,
-          |    CAST(COUNT(*) AS BIGINT) AS cnt
-          |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-          |        FROM documents)
-          |  WHERE w <> '' GROUP BY 1)""".stripMargin
-      val iters = (1 to 8).map { i =>
-        s"""p$i AS (
-           |  SELECT string_split(pr, chr(1))[1] AS a,
-           |    string_split(pr, chr(1))[2] AS b,
-           |    CAST(SUM(cnt) AS BIGINT) AS c
-           |  FROM (SELECT unnest(list_transform(range(1, len(s)),
-           |          j -> s[j] || chr(1) || s[j + 1])) AS pr, cnt
-           |        FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), '__') AS s,
-           |                cnt
-           |              FROM w${i - 1}))
-           |  GROUP BY 1, 2),
-           |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-           |w$i AS (SELECT replace(sym, '_' || a || '__' || b || '_',
-           |          '_' || a || b || '_') AS sym, cnt
-           |        FROM w${i - 1}, b$i)""".stripMargin
-      }
       val unions = (1 to 8)
         .map(i => s"SELECT $i AS merge_idx, a, b, c AS cnt FROM b$i")
         .mkString("\nUNION ALL\n")
-      s"WITH $base,\n${iters.mkString(",\n")}\n$unions\nORDER BY merge_idx"
+      s"${bpeChainSql(8)}\n$unions\nORDER BY merge_idx"
+    },
+    // Tokenize under the learned vocabulary: token count of a wrapped
+    // symbol string is underscores/2 (k symbols <=> 2k wrappers), the
+    // lexicon join replays applyBpeMerges' type-table design exactly.
+    "q190_bpe_tokenize" -> {
+      s"""${bpeChainSql(8)},
+         |lex AS (SELECT w,
+         |  CAST((len(sym) - len(replace(sym, '_', ''))) // 2 AS BIGINT)
+         |    AS word_tokens FROM w8),
+         |d AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |  FROM documents) WHERE w <> '')
+         |SELECT doc_id, CAST(SUM(word_tokens) AS BIGINT) AS n_tokens
+         |FROM d JOIN lex USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // u replays exactly: 13 hex md5 chars = 52 bits, (bits + 0.5)/2^52
     // is a dyadic rational a double holds exactly in both engines.

@@ -304,4 +304,21 @@ class TrainingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(t.toSeq == Seq((1, "a", "b", 2L)))
   }
+
+  test("applyBpeMerges: per-doc token counts under the learned rules") {
+    import spark.implicits._
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val rules = TrainingOps
+      .bpeMerges(Seq((1L, corpus)).toDF("doc_id", "text"), "text", 8)
+      .orderBy("merge_idx").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // after the 8 merges: low=1 symbol, lower=low+e+r=3,
+    // newest=1, widest=w+i+dest=3; doc 3 has no [a-z] words -> absent
+    val docs = Seq(
+      (1L, "Low, lower!"), (2L, "newest widest NEWEST"), (3L, "123 !!")
+    ).toDF("doc_id", "text")
+    val got = TrainingOps.applyBpeMerges(docs, "doc_id", "text", rules)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 4L), (2L, 5L)))
+  }
 }

@@ -199,6 +199,17 @@ class PlanSpec extends AnyFunSuite {
       !q155.contains("BroadcastNestedLoop"), q155.take(600))
   }
 
+  test("q190 tokenize: lexicon joins BROADCAST (documents never shuffle); q188 plans TakeOrdered") {
+    // the applyBpeMerges contract: the corpus side pays an explode +
+    // broadcast probe + partial agg — a shuffle of exploded words
+    // would be the 100 TB mistake the type-table design exists to avoid
+    val p190 = planOf("q190_bpe_tokenize")
+    assert(p190.contains("BroadcastHashJoin"), p190.take(500))
+    assert(!p190.contains("SortMergeJoin"), "lexicon join shuffled the corpus")
+    val p188 = planOf("q188_weighted_sample")
+    assert(p188.contains("TakeOrdered"), p188.take(500))
+  }
+
   test("q170 semDedup: seed assignment broadcasts; no cartesian prune join") {
     val plan = planOf("q170_semantic_dedup")
     // the k-seed cross join must be a broadcast nested loop over a
