@@ -278,6 +278,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrdered"), plan.take(400))
   }
 
+  test("weightedSample: inclusion proportional to weight (3:1 over a 2.5% draw)") {
+    import spark.implicits._
+    // 20k items, half weight 3, half weight 1; a 500-item draw (2.5%,
+    // depletion negligible) should hold E[heavy] ~ 500 * 3/4 = 375,
+    // sd ~ 9.7 — the 325..425 window is a ~5-sigma band, so a pass is
+    // evidence the exponential-race keys actually encode the weights
+    // (a uniform sampler would land at 250, 13 sigma out)
+    val pop = (1L to 20000L).map(i => (i, if (i % 2 == 0) 3.0 else 1.0))
+      .toDF("doc_id", "w").repartition(8)
+    val heavy = TrainingOps.weightedSample(pop, "doc_id", "w", n = 500)
+      .select("doc_id").as[Long].collect().count(_ % 2 == 0)
+    assert(heavy > 325 && heavy < 425, s"heavy count $heavy outside 5-sigma band")
+  }
+
   test("bpeMerges: the Sennrich worked example, merge by merge") {
     import spark.implicits._
     // the arXiv:1508.07909 §3.2 vocabulary: low x5, lower x2,

@@ -75,6 +75,35 @@ class PreparedQuerySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.probe.autoLayout")
   }
 
+  test("concurrent objects() on ONE handle: serialized probes, no cross-parameter bleed") {
+    // the handle parameterizes a single shared CellSetHolder, so
+    // objects() is synchronized — N threads hammering one handle with
+    // DIFFERENT polygons must each get exactly their own polygon's
+    // answer (before the fix, thread A's holder.set could be observed
+    // by thread B's in-flight bucket collects)
+    val h = PreparedPolygonQuery(index, res = 8, buckets = 3)
+    val expected = polys.map(wkt =>
+      H3Query.objects(spark, index, wkt, res = 8)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val runs = scala.util.Random.shuffle(
+        (0 until 6).flatMap(_ => polys.indices))
+      val futs = runs.map { i =>
+        Future(i -> h.objects(polys(i))
+          .map(r => (r.getString(0), r.getString(1))).toSeq)
+      }
+      Await.result(Future.sequence(futs), 5.minutes).foreach {
+        case (i, got) =>
+          assert(got == expected(i), s"concurrent probe bled for poly $i")
+      }
+    } finally pool.shutdown()
+  }
+
   test("bucket-count invariance: pruning is a strict superset filter at any bucket count") {
     val expected = polys.map(wkt =>
       H3Query.objects(spark, index, wkt, res = 8)
