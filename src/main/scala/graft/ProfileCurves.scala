@@ -773,3 +773,39 @@ object ProfileBpe {
     spark.stop()
   }
 }
+
+/** Exact COUNT(DISTINCT) vs the replayable HLL sketch at 16x events —
+  * the shuffle-volume claim behind q191: the sketch pre-agg carries
+  * max-combinable (group, bucket, rho) rows bounded by m=256 per
+  * group per partition, while exact distinct shuffles every distinct
+  * (group, value) pair. */
+object ProfileHll {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-hll")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("event_id"))
+    val m = 16
+    // replica i derives a UNIQUE user per row (event_id x 16 + i):
+    // distinct cardinality = row count, the regime where exact
+    // distinct's map-side partial dedup stops compressing anything
+    // and the shuffle carries every value — the case sketches exist for
+    val ev = (0 until m).map(i => base.select(col("event_type"),
+        (col("event_id") * 16L + lit(i.toLong)).as("user_id")))
+      .reduce(_.unionByName(_)).persist()
+    val nRows = ev.count()
+    meter.drain()
+    val tExact = timed(noop(ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))))
+    val bExact = meter.drain()
+    val tHll = timed(noop(
+      graft.ops.Sketches.hllDistinct(ev, Seq("event_type"), "user_id")))
+    val bHll = meter.drain()
+    println(f"""{"metric":"hll_vs_exact","rows":$nRows,"exact_wall_s":$tExact%.2f,"exact_shuffle_mb":${bExact / 1e6}%.2f,"hll_wall_s":$tHll%.2f,"hll_shuffle_mb":${bHll / 1e6}%.3f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-replayable cardinality sketches.
+  *
+  * Spark's `approx_count_distinct` and DuckDB's are both HLL but hash
+  * differently, so their answers can only be compared by tolerance.
+  * This HLL derives every register from md5 — the one hash both
+  * engines share bit-for-bit — and does all register/accumulator math
+  * in EXACT integers, so the sketch (and its estimate, modulo the
+  * final documented float steps) replays identically in any engine:
+  * the same auditable-randomness move as minHashCandidatesMd5 and
+  * simHashMd5 (TextDedup.scala), applied to COUNT(DISTINCT).
+  *
+  * 100 TB shape: the pre-aggregation carries one (group, bucket, max
+  * rho) row per group x 256 — the shuffle is m rows per group
+  * regardless of input size, vs the full value shuffle of an exact
+  * distinct (q63's exact heatmap member sets are the documented
+  * anti-scale case). Registers combine by MAX, so partial aggregation
+  * is exact and re-aggregation over shards/days is free — the
+  * property that makes sketches the right daily-rollup primitive.
+  */
+object Sketches {
+
+  /** Flajolet et al. 2007 bias constant alpha_m * m^2 for m = 256.
+    * Public so oracle SQL can embed the EXACT double via Scala's
+    * shortest-round-trip toString (17-significant-digit literals parse
+    * back to the identical IEEE double in any engine). */
+  val AlphaMm: Double = (0.7213 / (1 + 1.079 / 256)) * 65536.0
+
+  private val Pow53 = 9007199254740992.0 // 2^53, exact in double
+
+  /** Per-group HLL(b=8, m=256) distinct estimate of `valueCol`.
+    *
+    * Register derivation (all exact): md5 hex chars 1-2 = bucket
+    * (8 bits); chars 3-15 = a 52-bit word w; rho = leading-zero count
+    * of w within 52 bits + 1 = 53 - bitlength(w) (53 when w = 0).
+    * Registers are max(rho) per (group, bucket); absent buckets are 0.
+    *
+    * Estimate: E_raw = alpha_m * m^2 / sum(2^-M_j), with the
+    * denominator accumulated as EXACT scaled integers
+    * sum(2^(53 - M_j)) — order-independent, cross-engine identical —
+    * and the small-range linear-counting correction m * ln(m / V)
+    * applied when E_raw <= 2.5m and empty buckets remain. The only
+    * inexact steps are the final double multiply/divide (IEEE,
+    * deterministic, written in the same order as the SQL replay) and
+    * ln (engines may differ by an ulp — callers rounding output to
+    * fixed decimals, the repo's double convention, are unaffected).
+    * The 64-bit large-range correction is irrelevant at any real
+    * cardinality and omitted.
+    *
+    * Returns one row per group: (groupCols..., n_hll double,
+    * hll_v long = empty buckets, hll_reg_sum long = sum over present
+    * registers of bucket * 64 + M — an exact order-independent
+    * register digest that pins the whole sketch, not just the
+    * estimate). */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "hllDistinct needs at least one group column")
+    val hex = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(hex, 1, 2), 16, 10).cast("long")
+    val whex = substring(hex, 3, 13)
+    val w = conv(whex, 16, 10).cast("long")
+    // conv(_, 16, 2) drops leading zeros, so its length IS bitlength
+    val rho = when(w === 0L, lit(53))
+      .otherwise(lit(53) - length(conv(whex, 16, 2)))
+    val gcols = groupCols.map(col)
+    val regs = df
+      .filter(col(valueCol).isNotNull)
+      .select(gcols :+ bucket.as("__bucket") :+ rho.as("__rho"): _*)
+      .groupBy(gcols :+ col("__bucket"): _*)
+      .agg(max(col("__rho")).as("__m"))
+    regs
+      .groupBy(gcols: _*)
+      .agg(
+        // exact scaled harmonic sum: present buckets contribute
+        // 2^(53-M) (M >= 1 so <= 2^52), absent ones 2^53 each;
+        // <= 256 * 2^53 = 2^61, no overflow
+        (sum(expr("shiftleft(1L, 53 - __m)")) +
+          (lit(256L) - count(lit(1))) * lit(9007199254740992L))
+          .as("__s_scaled"),
+        (lit(256L) - count(lit(1))).as("hll_v"),
+        sum(col("__bucket") * 64L + col("__m")).as("hll_reg_sum"))
+      .withColumn("__e_raw",
+        lit(AlphaMm) * lit(Pow53) / col("__s_scaled").cast("double"))
+      .withColumn("n_hll",
+        when(col("__e_raw") <= 640.0 && col("hll_v") > 0L,
+          lit(256.0) * log(lit(256.0) / col("hll_v").cast("double")))
+          .otherwise(col("__e_raw")))
+      .drop("__s_scaled", "__e_raw")
+  }
+}

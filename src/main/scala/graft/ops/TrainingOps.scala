@@ -422,9 +422,9 @@ object TrainingOps {
     *
     * Driver holds one (a, b, count) row per merge — k-sized, like
     * ivfBuild's centroids. The evolving type table accumulates one
-    * replace per learned rule; at real vocab sizes (30k+ merges)
-    * checkpoint the type table every few hundred rules to bound
-    * lineage — numMerges here is interactive-scale. */
+    * replace per learned rule, with a lazy localCheckpoint every 32
+    * rules so plan size stays bounded at real vocab scales (30k+
+    * merges). */
   def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     require(numMerges >= 1, "bpeMerges needs numMerges >= 1")
     val spark = docs.sparkSession
@@ -458,6 +458,11 @@ object TrainingOps {
           // a, b are [a-z]+ by construction — literal-safe in the expr
           cur = cur.withColumn("sym",
             expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
+          // real vocab training runs thousands of merges: truncate the
+          // accumulated replace lineage periodically so plan size and
+          // per-iteration analysis cost stay bounded (lazy — the block
+          // materializes inside the next iteration's pair count)
+          if (it % 32 == 0) cur = cur.localCheckpoint(false)
           it += 1
         }
       }

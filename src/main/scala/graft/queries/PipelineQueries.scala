@@ -146,6 +146,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-engine-replayable HLL (ops/Sketches.hllDistinct): distinct
+    // users per event type from 256 md5-derived registers — the
+    // m-rows-per-group shuffle that replaces a full distinct at scale.
+    // Unlike approx_count_distinct (engine-specific hashing, tolerance
+    // compare only), the whole sketch hash-matches DuckDB: registers
+    // via the exact digest column, the estimate via identical IEEE
+    // math. The HLL accuracy law (sigma = 1.04/sqrt(256) = 6.5%)
+    // rides in a 3-sigma require against the exact count.
+    "q191_hll_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val sk = graft.ops.Sketches.hllDistinct(ev, Seq("event_type"), "user_id")
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val joined = sk.join(exact, "event_type")
+      joined.select("event_type", "n_hll", "n_exact").collect().foreach { r =>
+        val (est, ex) = (r.getDouble(1), r.getLong(2))
+        require(math.abs(est - ex) / ex.toDouble <= 0.20,
+          s"HLL outside 3-sigma for ${r.getString(0)}: est=$est exact=$ex")
+      }
+      joined.select(col("event_type"), col("n_exact"),
+          round(col("n_hll"), 2).as("n_hll"),
+          col("hll_v"), col("hll_reg_sum"))
+        .orderBy("event_type")
+    }),
+
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
     // of distinct word 3-grams each corpus doc shares with a held-out
     // "benchmark" slice — the train-test overlap check a pretraining
@@ -654,6 +680,43 @@ object PipelineQueries {
          |FROM d JOIN lex USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // The full sketch replayed: same md5 bucket/word split, same exact
+    // integer register math (bin() length = bitlength, exactly Spark's
+    // conv-to-binary length), the alpha*m^2 constant embedded as
+    // Scala's shortest-round-trip double literal so both engines
+    // multiply the identical IEEE value.
+    "q191_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+         |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 3, 13)) AS BIGINT) AS w
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - len(bin(w)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+         |      + (256 - COUNT(*)) * (1::BIGINT << 53) AS s_scaled,
+         |    256 - COUNT(*) AS hll_v,
+         |    CAST(SUM(bucket * 64 + m) AS BIGINT) AS hll_reg_sum
+         |  FROM r GROUP BY 1),
+         |e AS (
+         |  SELECT event_type, hll_v, hll_reg_sum,
+         |    ${graft.ops.Sketches.AlphaMm}::DOUBLE * 9007199254740992::DOUBLE
+         |      / CAST(s_scaled AS DOUBLE) AS e_raw
+         |  FROM s),
+         |x AS (
+         |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT event_type, n_exact,
+         |  ROUND(CASE WHEN e_raw <= 640 AND hll_v > 0
+         |    THEN 256::DOUBLE * ln(256::DOUBLE / CAST(hll_v AS DOUBLE))
+         |    ELSE e_raw END, 2) AS n_hll,
+         |  hll_v, hll_reg_sum
+         |FROM e JOIN x USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     // u replays exactly: 13 hex md5 chars = 52 bits, (bits + 0.5)/2^52
     // is a dyadic rational a double holds exactly in both engines.
     "q188_weighted_sample" ->

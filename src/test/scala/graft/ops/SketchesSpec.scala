@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def est(rows: Seq[(String, Long)]): Map[String, (Double, Long, Long)] = {
+    import spark.implicits._
+    Sketches.hllDistinct(rows.toDF("g", "v").repartition(4), Seq("g"), "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("hllDistinct: accuracy at small (linear-counting) and large cardinalities") {
+    // 3 distinct values: linear counting gives 256*ln(256/253) = 3.018
+    val small = est((1L to 3L).map(i => ("s", i)))("s")._1
+    assert(small > 2.8 && small < 3.3, s"small-range estimate $small")
+    // 10k distinct: HLL-256 sigma is 6.5%; 3 sigma = 19.5%
+    val big = est((1L to 10000L).map(i => ("b", i)))("b")._1
+    assert(math.abs(big - 10000) / 10000.0 < 0.195, s"large estimate $big")
+  }
+
+  test("hllDistinct: a sketch sees VALUES, not rows — duplication-invariant, partitioning-invariant") {
+    import spark.implicits._
+    val base = (1L to 5000L).map(i => ("g", i % 997))
+    val once = est(base)
+    // every row duplicated 3x: identical registers, identical estimate
+    val thrice = est(base ++ base ++ base)
+    assert(once == thrice)
+    // different partitioning: max-combining registers is exact, so the
+    // result is bit-identical regardless of layout
+    val repart = Sketches.hllDistinct(
+        base.toDF("g", "v").repartition(13, col("v")), Seq("g"), "v")
+      .collect().map(r => (r.getDouble(3), r.getLong(1), r.getLong(2))).head
+    assert(repart == once("g"))
+  }
+
+  test("hllDistinct: null values ignored; multiple groups independent") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long)](
+      ("a", 1L), ("a", 2L), ("a", null), ("b", 7L)).toDF("g", "v")
+    val got = Sketches.hllDistinct(df, Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("a") > 1.8 && got("a") < 2.2)
+    assert(got("b") > 0.8 && got("b") < 1.2)
+  }
+}
