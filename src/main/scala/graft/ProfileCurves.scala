@@ -754,12 +754,12 @@ object ProfileBpe {
     val rows = Seq(1, 4, 16).map { m =>
       val docs = blowupDocs(base, m).persist()
       val nDocs = docs.count()
-      val occurrences = docs.select(
+      // one pass for both corpus statistics
+      val stats = docs.select(
           explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) > 0).count()
-      val types = docs.select(
-          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) > 0).distinct().count()
+        .filter(length(col("w")) > 0)
+        .agg(count(col("w")), countDistinct(col("w"))).head()
+      val (occurrences, types) = (stats.getLong(0), stats.getLong(1))
       meter.drain()
       val t = timed {
         val merges = graft.ops.TrainingOps.bpeMerges(docs, "text", 8)

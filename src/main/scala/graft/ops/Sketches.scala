@@ -51,11 +51,14 @@ object Sketches {
     * The 64-bit large-range correction is irrelevant at any real
     * cardinality and omitted.
     *
-    * Returns one row per group: (groupCols..., n_hll double,
-    * hll_v long = empty buckets, hll_reg_sum long = sum over present
-    * registers of bucket * 64 + M — an exact order-independent
-    * register digest that pins the whole sketch, not just the
-    * estimate). */
+    * Returns one row per group, in column order (groupCols...,
+    * hll_v long = empty-bucket count, hll_reg_digest long, n_hll
+    * double). hll_reg_digest is the XOR over present registers of a
+    * 52-bit md5 hash of "bucket:M" — order-independent, exact, and
+    * collision-resistant (unlike a plain sum of bucket*64+M, which is
+    * blind to cross-bucket swaps of register values), so a replay
+    * divergence that preserves the rho multiset but misassigns
+    * buckets still changes the digest. */
   def hllDistinct(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "hllDistinct needs at least one group column")
@@ -82,7 +85,9 @@ object Sketches {
           (lit(256L) - count(lit(1))) * lit(9007199254740992L))
           .as("__s_scaled"),
         (lit(256L) - count(lit(1))).as("hll_v"),
-        sum(col("__bucket") * 64L + col("__m")).as("hll_reg_sum"))
+        expr("bit_xor(cast(conv(substring(md5(concat(" +
+          "cast(__bucket as string), ':', cast(__m as string))), 1, 13)" +
+          ", 16, 10) as bigint))").as("hll_reg_digest"))
       .withColumn("__e_raw",
         lit(AlphaMm) * lit(Pow53) / col("__s_scaled").cast("double"))
       .withColumn("n_hll",

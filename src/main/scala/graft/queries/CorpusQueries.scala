@@ -580,7 +580,12 @@ object CorpusQueries {
           e.filter(p).coalesce(1).write.mode("append").parquet(src)
           new java.io.File(src).listFiles().foreach { f =>
             if (!stamped.contains(f)) {
-              f.setLastModified(1700000000000L + r * 60000L)
+              // setLastModified FAILS BY RETURNING FALSE (overlay/
+              // network filesystems) — and the whole batch-order
+              // determinism of this fixture hangs on the stamp landing
+              require(f.setLastModified(1700000000000L + r * 60000L),
+                s"could not stamp mtime on $f — batch order would be " +
+                  "nondeterministic on this filesystem")
               stamped += f
             }
           }

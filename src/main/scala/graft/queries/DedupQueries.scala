@@ -79,7 +79,13 @@ object DedupQueries {
       // order: before q162) compiles those stage shapes anyway, and
       // its iterative jobs were most of the warm-up's cost
       inc.release(); st0.release()
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only (an OOM here means a corrupted JVM — let it
+      // propagate); a swallowed warm failure would otherwise surface
+      // as a mysterious ~1 s q162 'regression' with no trail
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] q162 prewarm skipped: ${e.getMessage}")
+    }
   }
 
   private def ivf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {

@@ -19,16 +19,24 @@ object PipelineQueries {
     s.read.parquet(s"$dir/$name.parquet")
 
   // q189 learns the rules, q190 applies them — the collected merge
-  // table is 8 driver-side rows, memoized so the learn loop runs once
-  // (cost lands on q189, which runs first in battery order)
+  // table is 8 driver-side rows. q189 RECOMPUTES on every execution
+  // (its timing must be the learn loop's honest cost under bench
+  // reps — the q162 cache-assisted-best-of-N lesson) and re-stores;
+  // q190 reads the memo (rules are its INPUT, attributed to q189,
+  // which runs first in battery order) but still pays its own
+  // explode + join + agg per execution.
   private val bpeMemo =
     scala.collection.concurrent.TrieMap[String, Seq[(Int, String, String, Long)]]()
+  private def learnBpeRules(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val r = graft.ops.TrainingOps.bpeMerges(docs(s, dir), "text", numMerges = 8)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    bpeMemo.put(dir, r)
+    r
+  }
   private def bpeRules(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
-    bpeMemo.getOrElseUpdate(dir,
-      graft.ops.TrainingOps.bpeMerges(docs(s, dir), "text", numMerges = 8)
-        .orderBy("merge_idx").collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq)
+    bpeMemo.getOrElse(dir, learnBpeRules(s, dir))
 
   /** The shared 8-iteration BPE learn chain as DuckDB CTEs: w0 = word
     * types with counts and wrapped symbol strings (the word column is
@@ -129,7 +137,7 @@ object PipelineQueries {
     // one). Oracle replays all 8 Lloyd-style iterations as a DuckDB
     // CTE chain, so the full learn loop is cross-engine pinned.
     "q189_bpe_merges" -> ((s, dir) => {
-      val r = bpeRules(s, dir)
+      val r = learnBpeRules(s, dir) // always the full learn loop
       val sess = s
       import sess.implicits._
       r.toDF("merge_idx", "a", "b", "cnt").orderBy("merge_idx")
@@ -168,7 +176,7 @@ object PipelineQueries {
       }
       joined.select(col("event_type"), col("n_exact"),
           round(col("n_hll"), 2).as("n_hll"),
-          col("hll_v"), col("hll_reg_sum"))
+          col("hll_v"), col("hll_reg_digest"))
         .orderBy("event_type")
     }),
 
@@ -700,10 +708,12 @@ object PipelineQueries {
          |    CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
          |      + (256 - COUNT(*)) * (1::BIGINT << 53) AS s_scaled,
          |    256 - COUNT(*) AS hll_v,
-         |    CAST(SUM(bucket * 64 + m) AS BIGINT) AS hll_reg_sum
+         |    bit_xor(CAST(concat('0x', substring(md5(concat(
+         |      CAST(bucket AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 13))
+         |      AS BIGINT)) AS hll_reg_digest
          |  FROM r GROUP BY 1),
          |e AS (
-         |  SELECT event_type, hll_v, hll_reg_sum,
+         |  SELECT event_type, hll_v, hll_reg_digest,
          |    ${graft.ops.Sketches.AlphaMm}::DOUBLE * 9007199254740992::DOUBLE
          |      / CAST(s_scaled AS DOUBLE) AS e_raw
          |  FROM s),
@@ -714,7 +724,7 @@ object PipelineQueries {
          |  ROUND(CASE WHEN e_raw <= 640 AND hll_v > 0
          |    THEN 256::DOUBLE * ln(256::DOUBLE / CAST(hll_v AS DOUBLE))
          |    ELSE e_raw END, 2) AS n_hll,
-         |  hll_v, hll_reg_sum
+         |  hll_v, hll_reg_digest
          |FROM e JOIN x USING (event_type)
          |ORDER BY event_type""".stripMargin,
     // u replays exactly: 13 hex md5 chars = 52 bits, (bits + 0.5)/2^52
