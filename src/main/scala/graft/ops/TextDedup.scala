@@ -351,27 +351,41 @@ object TextDedup {
     *
     * Returns (id_a, id_b, n_equal, est_jaccard) for pairs sharing >= 1
     * of `bands` buckets (id_a < id_b, deduped). */
-  def minHashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    require(k % bands == 0, "k must be a multiple of bands")
-    val rows = k / bands
+  /** The md5-replayable minhash signature table: (doc_id, m0..m{k-1}),
+    * permutation i = md5("i#" || gram) truncated to 16 hex chars.
+    * Shared by the self-join candidates (q173) and the cross-corpus
+    * decontamination (q192) — both corpora MUST hash through the same
+    * permutations for signature agreement to estimate Jaccard. */
+  private def minHashMd5SigTable(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"),
       explode(shinglesOf(tokensOf(col(textCol)), shingleN)).as("g"))
     val minCols = (0 until k).map(i =>
       min(substring(md5(concat(lit(s"$i#"), col("g")).cast("binary")), 1, 16))
         .as(s"m$i"))
-    val sig = grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // same narrow-fan-out shape as the production variant: the banded
-    // frame ships (doc_id, band, bucket digest) only; the k minima
-    // re-attach to the candidate pairs afterwards
+    grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** (doc_id, band, bucket digest) — the narrow banded frame. */
+  private def md5Banded(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
           .cast("binary")).as("bucket"))
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minHashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be a multiple of bands")
+    val sig = minHashMd5SigTable(df, idCol, textCol, shingleN, k)
+    // same narrow-fan-out shape as the production variant: the banded
+    // frame ships (doc_id, band, bucket digest) only; the k minima
+    // re-attach to the candidate pairs afterwards
+    val banded = md5Banded(sig, k, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,
@@ -389,6 +403,57 @@ object TextDedup {
       .reduce(_ + _)
     cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), nEqual.cast("long").as("n_equal"))
+      .withColumn("est_jaccard", round(col("n_equal") / k.toDouble, 6))
+  }
+
+  /** Cross-corpus FUZZY decontamination: for every corpus document,
+    * its best minhash match in a reference corpus (held-out benchmark,
+    * eval set, a previous training run) — the near-duplicate
+    * complement of exact n-gram decontamination
+    * (TrainingOps.ngramOverlap): a paraphrased or lightly-perturbed
+    * test item shares most shingles, lands in a common LSH band, and
+    * surfaces here; an exact 3-gram containment check can miss it.
+    * Both sides hash through the SAME md5 permutations (the q173
+    * replayable trio), so the whole decision frame replays in SQL.
+    *
+    * Output: one row per corpus doc — (doc_id, ref_id, n_equal,
+    * est_jaccard), where ref_id is the banded candidate with the most
+    * signature agreement (ties by smallest ref id) or NULL with
+    * n_equal = 0 when no band collides. Callers drop rows with
+    * est_jaccard >= their threshold.
+    *
+    * 100 TB shape: the reference side is benchmark-sized — its banded
+    * frame and signature table broadcast, so the corpus pays one
+    * shingle aggregation and map-side joins; nothing corpus-sized
+    * shuffles. The per-doc argmax window runs over banded CANDIDATES
+    * only (a few rows per contaminated doc, none for clean docs). */
+  def crossMinHashContamination(corpus: DataFrame, idCol: String,
+      textCol: String, ref: DataFrame, refIdCol: String, refTextCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be a multiple of bands")
+    val csig = minHashMd5SigTable(corpus, idCol, textCol, shingleN, k)
+    val rsig = minHashMd5SigTable(ref, refIdCol, refTextCol, shingleN, k)
+    val cand = md5Banded(csig, k, bands).as("c")
+      .join(broadcast(md5Banded(rsig, k, bands).as("r")),
+        col("c.band") === col("r.band") && col("c.bucket") === col("r.bucket"))
+      .select(col("c.doc_id").as("doc_id"), col("r.doc_id").as("ref_id"))
+      .distinct()
+    val rs = rsig.select(col("doc_id").as("ref_id") +:
+      (0 until k).map(i => col(s"m$i").as(s"r_m$i")): _*)
+    val nEqual = (0 until k)
+      .map(i => when(col(s"m$i") === col(s"r_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("n_equal").desc, col("ref_id"))
+    val best = cand.join(broadcast(rs), Seq("ref_id")).join(csig, Seq("doc_id"))
+      .select(col("doc_id"), col("ref_id"), nEqual.cast("long").as("n_equal"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    corpus.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ref_id"),
+        coalesce(col("n_equal"), lit(0L)).as("n_equal"))
       .withColumn("est_jaccard", round(col("n_equal") / k.toDouble, 6))
   }
 

@@ -113,6 +113,36 @@ object CorpusQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Cross-corpus FUZZY decontamination
+    // (ops/TextDedup.crossMinHashContamination): every corpus doc's
+    // best minhash match against a held-out benchmark — the near-dup
+    // complement of q111's exact n-gram check. Fixture: the benchmark
+    // is the %37 slice; the corpus is everything else PLUS perturbed
+    // copies of the benchmark (two junk tokens appended) that an
+    // exact check can miss but a banded signature must flag.
+    "q192_cross_decontam" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 37 === 0)
+      val corpus = d.filter(col("doc_id") % 37 =!= 0)
+        .union(bench.select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" qq77 qq88")).as("text")))
+      // persisted because the law below and the returned frame both
+      // execute it — Memos releases after this query's turn
+      val res = graft.ops.TextDedup.crossMinHashContamination(
+          corpus, "doc_id", "text", bench, "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4)
+        .persist()
+      Memos.track(s"corpus:xdecon:$dir",
+        Set("q192_cross_decontam"), res) { () => res.unpersist(); () }
+      // the fixture's law: every perturbed benchmark copy MUST flag
+      // with high signature agreement (>= 8 of 16 minima shared)
+      val weak = res.filter(col("doc_id") >= 30000000L)
+        .filter(col("n_equal") < 8).count()
+      require(weak == 0,
+        s"$weak perturbed benchmark copies escaped cross-decontamination")
+      res.orderBy("doc_id")
+    }),
+
     // Span excision (ops/TextDedup.exciseDuplicateSpans): the second
     // half of ExactSubstr — q172's duplicated spans cut back out of
     // the text, remainder stitched by an ordered in-group concat.
@@ -764,6 +794,65 @@ object CorpusQueries {
          |FROM bnd a JOIN bnd b
          |  ON a.doc_id < b.doc_id AND ($bandOr)
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q192_cross_decontam" -> {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substring(md5('$i#' || g), 1, 16)) AS m$i")
+        .mkString(",\n      ")
+      // the same tok -> 3-gram shingle -> 16-permutation sig pipeline
+      // as q173's oracle, instantiated once per corpus
+      def sigChain(src: String, p: String) =
+        s"""${p}tok AS (
+           |  SELECT doc_id,
+           |    string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS toks
+           |  FROM $src
+           |), ${p}gr AS (
+           |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(list_transform(range(1, CAST(len(toks) AS INT) - 1),
+           |                                x -> CAST(x AS INT))) AS i
+           |        FROM ${p}tok WHERE len(toks) >= 3)
+           |  UNION ALL
+           |  SELECT doc_id, array_to_string(toks, ' ') AS g FROM ${p}tok WHERE len(toks) < 3
+           |), ${p}sig AS (
+           |  SELECT doc_id,
+           |      $mins
+           |  FROM ${p}gr GROUP BY doc_id
+           |), ${p}bnd AS (
+           |  SELECT *,
+           |    ${(0 until 4).map { b =>
+                  val parts = (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || '|' || ")
+                  s"md5($parts) AS b$b"
+                }.mkString(",\n    ")}
+           |  FROM ${p}sig
+           |)""".stripMargin
+      val eqSum = (0 until 16)
+        .map(i => s"(CASE WHEN c.m$i = r.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val bandOr = (0 until 4).map(b => s"c.b$b = r.b$b").mkString(" OR ")
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+         |), corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000000 AS doc_id, text || ' qq77 qq88' AS text
+         |  FROM documents WHERE doc_id % 37 = 0
+         |), ${sigChain("corpus", "c")},
+         |${sigChain("bench", "r")},
+         |cand AS (
+         |  SELECT c.doc_id, r.doc_id AS ref_id,
+         |    CAST($eqSum AS BIGINT) AS n_equal,
+         |    row_number() OVER (PARTITION BY c.doc_id
+         |      ORDER BY ($eqSum) DESC, r.doc_id) AS rn
+         |  FROM cbnd c JOIN rbnd r ON ($bandOr)
+         |)
+         |SELECT d.doc_id, cand.ref_id,
+         |  COALESCE(cand.n_equal, 0) AS n_equal,
+         |  ROUND(COALESCE(cand.n_equal, 0) / 16.0, 6) AS est_jaccard
+         |FROM (SELECT doc_id FROM corpus) d
+         |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) cand USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q174_span_excision" ->

@@ -318,4 +318,31 @@ class DedupOpsSpec extends AnyFunSuite {
     val cross = edges.filter { case (a, b) => !(a < 4 && b < 4) }
     assert(cross.isEmpty, s"boilerplate-only edges leaked: $cross")
   }
+
+  test("crossMinHashContamination: exact copy scores 1.0, perturbed copy flags, clean doc NULL, ties break by ref id") {
+    import spark.implicits._
+    val benchText = "the cat sat on the mat while the dog ran around the yard chasing birds all afternoon long"
+    val bench = Seq(
+      (100L, benchText),
+      (101L, benchText), // duplicate benchmark entry: tie-break target
+      (102L, "completely unrelated benchmark question about quantum flux capacitors and temporal mechanics today")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, benchText),                       // verbatim leak
+      (2L, benchText + " zz99"),             // perturbed leak
+      (3L, "independent training document discussing cooking recipes and garden maintenance through seasons")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.crossMinHashContamination(
+        corpus, "doc_id", "text", bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getDouble(3)))
+    // verbatim: all 16 minima agree; tie between refs 100/101 breaks low
+    assert(got(0) == ((1L, Some(100L), 16L, 1.0)))
+    // perturbed: still banded, most minima shared
+    assert(got(1)._2.contains(100L) && got(1)._3 >= 8L)
+    // clean: no band collision -> NULL ref, zero agreement
+    assert(got(2) == ((3L, None, 0L, 0.0)))
+  }
 }
