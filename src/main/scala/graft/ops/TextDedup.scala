@@ -351,19 +351,88 @@ object TextDedup {
     *
     * Returns (id_a, id_b, n_equal, est_jaccard) for pairs sharing >= 1
     * of `bands` buckets (id_a < id_b, deduped). */
+  /** All k md5-permutation minhash minima of a shingle array, in ONE
+    * native pass — permutation i of gram g is md5("i#" || g), and the
+    * minimum is taken over the first 8 digest bytes compared unsigned
+    * (identical to comparing the 16-hex-char prefix lexicographically,
+    * which is what every SQL replay does). A single reused
+    * MessageDigest serves all (gram, permutation) hashes; HOF
+    * lambda spellings of the same computation evaluate interpreted
+    * and measured ~2x slower, and the explode+groupBy spelling pays a
+    * shuffle — this is the [[WordNGrams]] treatment for the signature
+    * hot path. Returns array<string> of k 16-hex-char minima. */
+  case class MinHashMd5Minima(grams: Expression, k: Int)
+      extends graft.functions.GeoExpr {
+    require(k >= 1, "minhash needs k >= 1")
+    override def children: Seq[Expression] = Seq(grams)
+    override def dataType: DataType = ArrayType(StringType)
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null // mirrors explode-of-empty: no signature
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.ofDim[Byte](k, 8)
+      var first = true // first gram populates every slot unconditionally
+      val prefixes = (0 until k).map(i => s"$i#".getBytes("UTF-8")).toArray
+      var g = 0
+      while (g < n) {
+        val gb = arr.getUTF8String(g).getBytes
+        var i = 0
+        while (i < k) {
+          md.reset()
+          md.update(prefixes(i))
+          md.update(gb)
+          val d = md.digest()
+          // unsigned compare of the first 8 digest bytes == lexicographic
+          // compare of the 16-hex-char prefix
+          if (first || unsignedLess(d, mins(i))) {
+            System.arraycopy(d, 0, mins(i), 0, 8)
+          }
+          i += 1
+        }
+        first = false
+        g += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        mins.map(m => UTF8String.fromString(
+          m.map(b => f"${b & 0xFF}%02x").mkString): Any))
+    }
+    private def unsignedLess(d: Array[Byte], m: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < 8) {
+        val a = d(i) & 0xFF
+        val b = m(i) & 0xFF
+        if (a != b) return a < b
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(grams = c(0))
+  }
+
   /** The md5-replayable minhash signature table: (doc_id, m0..m{k-1}),
     * permutation i = md5("i#" || gram) truncated to 16 hex chars.
     * Shared by the self-join candidates (q173) and the cross-corpus
     * decontamination (q192) — both corpora MUST hash through the same
-    * permutations for signature agreement to estimate Jaccard. */
+    * permutations for signature agreement to estimate Jaccard.
+    *
+    * MAP-ONLY: a signature is a pure function of its own document
+    * ([[MinHashMd5Minima]] computes all k minima in one native pass),
+    * so there is NO (doc, gram) explode and NO shuffle — which is
+    * also what makes the op streaming-safe: a stateless select works
+    * on any stream. Minima are byte-identical to the explode+groupBy
+    * spelling, so every SQL replay is unchanged. */
   private def minHashMd5SigTable(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, k: Int): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"),
-      explode(shinglesOf(tokensOf(col(textCol)), shingleN)).as("g"))
-    val minCols = (0 until k).map(i =>
-      min(substring(md5(concat(lit(s"$i#"), col("g")).cast("binary")), 1, 16))
-        .as(s"m$i"))
-    grams.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = toCol(MinHashMd5Minima(
+      toExpr(shinglesOf(tokensOf(col(textCol)), shingleN)), k))
+    // NULL text/minima rows dropped — the explode spelling's contract
+    df.select(col(idCol).as("doc_id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until k).map(i => col("__sig")(i).as(s"m$i")): _*)
   }
 
   /** (doc_id, band, bucket digest) — the narrow banded frame. */
@@ -381,7 +450,12 @@ object TextDedup {
   def minHashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be a multiple of bands")
+    // the map-only sig has no shuffle exchange for Spark to reuse, so
+    // without materialization the banded self-join's four references
+    // would recompute the md5 pass 4x — the same single-pass fix as
+    // simHashCandidatesMd5's checkpoint (lazy; blocks free on driver GC)
     val sig = minHashMd5SigTable(df, idCol, textCol, shingleN, k)
+      .localCheckpoint(false)
     // same narrow-fan-out shape as the production variant: the banded
     // frame ships (doc_id, band, bucket digest) only; the k minima
     // re-attach to the candidate pairs afterwards
@@ -431,8 +505,12 @@ object TextDedup {
       textCol: String, ref: DataFrame, refIdCol: String, refTextCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be a multiple of bands")
+    // both sig tables feed two consumers each (banded frame + minima
+    // re-attach): checkpoint so the map-only md5 pass runs once per side
     val csig = minHashMd5SigTable(corpus, idCol, textCol, shingleN, k)
+      .localCheckpoint(false)
     val rsig = minHashMd5SigTable(ref, refIdCol, refTextCol, shingleN, k)
+      .localCheckpoint(false)
     val cand = md5Banded(csig, k, bands).as("c")
       .join(broadcast(md5Banded(rsig, k, bands).as("r")),
         col("c.band") === col("r.band") && col("c.bucket") === col("r.bucket"))
