@@ -535,6 +535,86 @@ object TextDedup {
       .withColumn("est_jaccard", round(col("n_equal") / k.toDouble, 6))
   }
 
+  /** Per-row best-benchmark-match: given a document's k minhash
+    * minima, find the banded benchmark candidate with the most
+    * signature agreement (ties by smallest ref id) — the ENTIRE
+    * cross-decontamination decision as one stateless scalar
+    * expression. The benchmark's banded index rides inside the
+    * expression (benchmark-sized by contract — the same
+    * serialize-with-the-task pattern as the polygon handle's
+    * CellSetHolder), so evaluation is a pure map: no join, no
+    * aggregation, no shuffle — and therefore APPEND-MODE STREAMING
+    * SAFE with no state or watermark. Returns
+    * struct(ref_id, n_equal), or NULL when no band collides. */
+  case class BestBandMatch(sig: Expression,
+      refSigs: Array[(Long, Array[String])], bands: Int)
+      extends graft.functions.GeoExpr {
+    override def children: Seq[Expression] = Seq(sig)
+    override def dataType: DataType = StructType(Seq(
+      StructField("ref_id", LongType), StructField("n_equal", LongType)))
+    // (band, joined band minima) -> ref indices, built once per
+    // expression instance (re-serialized per task like any literal)
+    @transient private lazy val bandIndex: java.util.HashMap[String, java.util.ArrayList[Int]] = {
+      val m = new java.util.HashMap[String, java.util.ArrayList[Int]]()
+      val rows = refSigs.headOption.map(_._2.length / bands).getOrElse(0)
+      refSigs.zipWithIndex.foreach { case ((_, s), idx) =>
+        (0 until bands).foreach { b =>
+          val key = b + "#" + s.slice(b * rows, (b + 1) * rows).mkString("|")
+          m.computeIfAbsent(key, _ => new java.util.ArrayList[Int]()).add(idx)
+        }
+      }
+      m
+    }
+    override protected def evalNotNull(a: Array[Any]): Any = {
+      val arr = a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val k = arr.numElements()
+      val rows = k / bands
+      val s = Array.tabulate(k)(i => arr.getUTF8String(i).toString)
+      val cands = new java.util.TreeSet[Int]()
+      var b = 0
+      while (b < bands) {
+        val key = b + "#" + s.slice(b * rows, (b + 1) * rows).mkString("|")
+        val hit = bandIndex.get(key)
+        if (hit != null) hit.forEach(i => { cands.add(i); () })
+        b += 1
+      }
+      if (cands.isEmpty) return null
+      var bestId = Long.MaxValue
+      var bestEq = -1
+      cands.forEach { idx =>
+        val (rid, rs) = refSigs(idx)
+        var eq = 0
+        var i = 0
+        while (i < k) { if (s(i) == rs(i)) eq += 1; i += 1 }
+        if (eq > bestEq || (eq == bestEq && rid < bestId)) {
+          bestEq = eq; bestId = rid
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(bestId, bestEq.toLong)
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(sig = c(0))
+  }
+
+  /** Factory for the streaming decontamination probe: collects the
+    * reference corpus's signatures ONCE (benchmark-sized), returns a
+    * text -> struct(ref_id, n_equal) Column function evaluating
+    * [[BestBandMatch]] over [[MinHashMd5Minima]] — semantics
+    * identical to [[crossMinHashContamination]]'s banded argmax, as a
+    * pure map usable in any streaming select. */
+  def contaminationProbe(ref: DataFrame, refIdCol: String,
+      refTextCol: String, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4): Column => Column = {
+    require(k % bands == 0, "k must be a multiple of bands")
+    val refSigs = minHashMd5SigTable(ref, refIdCol, refTextCol, shingleN, k)
+      .collect()
+      .map(r => (r.getLong(0), Array.tabulate(k)(i => r.getString(i + 1))))
+    text => toCol(BestBandMatch(
+      toExpr(toCol(MinHashMd5Minima(
+        toExpr(shinglesOf(tokensOf(text), shingleN)), k))),
+      refSigs, bands))
+  }
+
   /** SimHash with every bit replayable in any engine with md5 — the
     * cross-engine PROOF variant of [[simhash64]], completing the trio
     * with [[minHashCandidatesMd5]]. Token t's 64-bit hash is read

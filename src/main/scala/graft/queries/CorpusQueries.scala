@@ -143,6 +143,61 @@ object CorpusQueries {
       res.orderBy("doc_id")
     }),
 
+    // STREAMING decontamination (ops/TextDedup.contaminationProbe):
+    // the q192 decision as a stateless per-row expression — the
+    // benchmark's banded signature index rides inside the expression
+    // (benchmark-sized), so the stream pays a pure map: no state, no
+    // watermark, no shuffle. Three id-ordered micro-batches; output
+    // require'd ≡ the batch operator both directions; oracle = the
+    // q192 replay (same fixture, same decision frame).
+    "q193_streaming_decontam" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 37 === 0)
+      val corpus = d.filter(col("doc_id") % 37 =!= 0)
+        .union(bench.select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" qq77 qq88")).as("text")))
+      val probe = graft.ops.TextDedup.contaminationProbe(
+        bench, "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+      val bounds = corpus.agg(min("doc_id"), max("doc_id")).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q193")
+      val src = tmp.resolve("src").toString
+      val stamped = scala.collection.mutable.Set[java.io.File]()
+      Seq(col("doc_id") <= t1,
+          col("doc_id") > t1 && col("doc_id") <= t2,
+          col("doc_id") > t2)
+        .zipWithIndex.foreach { case (p, r) =>
+          corpus.filter(p).coalesce(1).write.mode("append").parquet(src)
+          new java.io.File(src).listFiles().foreach { f =>
+            if (!stamped.contains(f)) {
+              require(f.setLastModified(1700000000000L + r * 60000L),
+                s"could not stamp mtime on $f")
+              stamped += f
+            }
+          }
+        }
+      val stream = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = stream
+        .select(col("doc_id"), probe(col("text")).as("bm"))
+        .select(col("doc_id"), col("bm.ref_id").as("ref_id"),
+          coalesce(col("bm.n_equal"), lit(0L)).as("n_equal"))
+        .withColumn("est_jaccard", round(col("n_equal") / 16.0, 6))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q193out").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = s.table("q193out")
+      val batch = graft.ops.TextDedup.crossMinHashContamination(
+        corpus, "doc_id", "text", bench, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4)
+      require(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "streaming decontamination diverged from the batch operator")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      streamed.orderBy("doc_id")
+    }),
+
     // Span excision (ops/TextDedup.exciseDuplicateSpans): the second
     // half of ExactSubstr — q172's duplicated spans cut back out of
     // the text, remainder stitched by an ordered in-group concat.
@@ -648,6 +703,68 @@ object CorpusQueries {
   private def sqlCos(a: String, b: String) =
     s"ROUND(${sqlDot.format(a, b)} / (${sqlL2(a)} * ${sqlL2(b)}), 6)"
 
+  // q192 and q193 share one fixture and one decision frame - one
+  // replay serves both (q193 additionally proves stream == batch
+  // in-query).
+  private lazy val crossDecontamSql: String = {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substring(md5('$i#' || g), 1, 16)) AS m$i")
+        .mkString(",\n      ")
+      // the same tok -> 3-gram shingle -> 16-permutation sig pipeline
+      // as q173's oracle, instantiated once per corpus
+      def sigChain(src: String, p: String) =
+        s"""${p}tok AS (
+           |  SELECT doc_id,
+           |    string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS toks
+           |  FROM $src
+           |), ${p}gr AS (
+           |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(list_transform(range(1, CAST(len(toks) AS INT) - 1),
+           |                                x -> CAST(x AS INT))) AS i
+           |        FROM ${p}tok WHERE len(toks) >= 3)
+           |  UNION ALL
+           |  SELECT doc_id, array_to_string(toks, ' ') AS g FROM ${p}tok WHERE len(toks) < 3
+           |), ${p}sig AS (
+           |  SELECT doc_id,
+           |      $mins
+           |  FROM ${p}gr GROUP BY doc_id
+           |), ${p}bnd AS (
+           |  SELECT *,
+           |    ${(0 until 4).map { b =>
+                  val parts = (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || '|' || ")
+                  s"md5($parts) AS b$b"
+                }.mkString(",\n    ")}
+           |  FROM ${p}sig
+           |)""".stripMargin
+      val eqSum = (0 until 16)
+        .map(i => s"(CASE WHEN c.m$i = r.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val bandOr = (0 until 4).map(b => s"c.b$b = r.b$b").mkString(" OR ")
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+         |), corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 30000000 AS doc_id, text || ' qq77 qq88' AS text
+         |  FROM documents WHERE doc_id % 37 = 0
+         |), ${sigChain("corpus", "c")},
+         |${sigChain("bench", "r")},
+         |cand AS (
+         |  SELECT c.doc_id, r.doc_id AS ref_id,
+         |    CAST($eqSum AS BIGINT) AS n_equal,
+         |    row_number() OVER (PARTITION BY c.doc_id
+         |      ORDER BY ($eqSum) DESC, r.doc_id) AS rn
+         |  FROM cbnd c JOIN rbnd r ON ($bandOr)
+         |)
+         |SELECT d.doc_id, cand.ref_id,
+         |  COALESCE(cand.n_equal, 0) AS n_equal,
+         |  ROUND(COALESCE(cand.n_equal, 0) / 16.0, 6) AS est_jaccard
+         |FROM (SELECT doc_id FROM corpus) d
+         |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) cand USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
+
   val oracle: Map[String, String] = Map(
     "q170_semantic_dedup" ->
       s"""WITH seeds AS (
@@ -796,64 +913,8 @@ object CorpusQueries {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
-    "q192_cross_decontam" -> {
-      val mins = (0 until 16)
-        .map(i => s"MIN(substring(md5('$i#' || g), 1, 16)) AS m$i")
-        .mkString(",\n      ")
-      // the same tok -> 3-gram shingle -> 16-permutation sig pipeline
-      // as q173's oracle, instantiated once per corpus
-      def sigChain(src: String, p: String) =
-        s"""${p}tok AS (
-           |  SELECT doc_id,
-           |    string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))),' ') AS toks
-           |  FROM $src
-           |), ${p}gr AS (
-           |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-           |  FROM (SELECT doc_id, toks,
-           |          unnest(list_transform(range(1, CAST(len(toks) AS INT) - 1),
-           |                                x -> CAST(x AS INT))) AS i
-           |        FROM ${p}tok WHERE len(toks) >= 3)
-           |  UNION ALL
-           |  SELECT doc_id, array_to_string(toks, ' ') AS g FROM ${p}tok WHERE len(toks) < 3
-           |), ${p}sig AS (
-           |  SELECT doc_id,
-           |      $mins
-           |  FROM ${p}gr GROUP BY doc_id
-           |), ${p}bnd AS (
-           |  SELECT *,
-           |    ${(0 until 4).map { b =>
-                  val parts = (0 until 4).map(i => s"m${b * 4 + i}").mkString(" || '|' || ")
-                  s"md5($parts) AS b$b"
-                }.mkString(",\n    ")}
-           |  FROM ${p}sig
-           |)""".stripMargin
-      val eqSum = (0 until 16)
-        .map(i => s"(CASE WHEN c.m$i = r.m$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      val bandOr = (0 until 4).map(b => s"c.b$b = r.b$b").mkString(" OR ")
-      s"""WITH bench AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
-         |), corpus AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 30000000 AS doc_id, text || ' qq77 qq88' AS text
-         |  FROM documents WHERE doc_id % 37 = 0
-         |), ${sigChain("corpus", "c")},
-         |${sigChain("bench", "r")},
-         |cand AS (
-         |  SELECT c.doc_id, r.doc_id AS ref_id,
-         |    CAST($eqSum AS BIGINT) AS n_equal,
-         |    row_number() OVER (PARTITION BY c.doc_id
-         |      ORDER BY ($eqSum) DESC, r.doc_id) AS rn
-         |  FROM cbnd c JOIN rbnd r ON ($bandOr)
-         |)
-         |SELECT d.doc_id, cand.ref_id,
-         |  COALESCE(cand.n_equal, 0) AS n_equal,
-         |  ROUND(COALESCE(cand.n_equal, 0) / 16.0, 6) AS est_jaccard
-         |FROM (SELECT doc_id FROM corpus) d
-         |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) cand USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q192_cross_decontam" -> crossDecontamSql,
+    "q193_streaming_decontam" -> crossDecontamSql,
 
     "q174_span_excision" ->
       """WITH base AS (
