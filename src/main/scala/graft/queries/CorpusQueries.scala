@@ -188,6 +188,10 @@ object CorpusQueries {
         .format("memory").queryName("q193out").start()
       try q.processAllAvailable() finally q.stop()
       val streamed = s.table("q193out")
+      // NOT persisted: the pin executes the batch side twice (once
+      // per exceptAll), but the operator's internal sig checkpoints
+      // make the second execution nearly free — measured 4.99 s
+      // unpersisted vs 6.0-6.9 s with an explicit persist barrier
       val batch = graft.ops.TextDedup.crossMinHashContamination(
         corpus, "doc_id", "text", bench, "doc_id", "text",
         shingleN = 3, k = 16, bands = 4)
