@@ -228,7 +228,7 @@ object Bench {
       "q186_knn_indexed" -> 6.66, "q187_streaming_semdedup" -> 6.66,
       "q189_bpe_merges" -> 1.61, "q190_bpe_tokenize" -> 0.73,
       "q191_hll_distinct" -> 0.80, "q192_cross_decontam" -> 2.60,
-      "q193_streaming_decontam" -> 4.99,
+      "q193_streaming_decontam" -> 4.99, "q194_countmin_sketch" -> 2.09,
       "q20_count_distinct" -> 1.16,
       "q29_rollup" -> 0.75, "q45_stats_mass" -> 1.91,
       "q46_statstop_equiv" -> 2.2, "q55_embedding_neardup" -> 0.81,

@@ -32,6 +32,49 @@ object Sketches {
 
   private val Pow53 = 9007199254740992.0 // 2^53, exact in double
 
+  /** Count-min sketch of `keyCol` occurrence frequencies (Cormode &
+    * Muthukrishnan 2005): `depth` independent md5-derived hash rows of
+    * `width` counters. ALL-INTEGER — build, probe and estimate
+    * hash-match any engine with md5, with no float caveats at all.
+    * The sketch is mergeable by cell-wise SUM (shards/days combine
+    * exactly), and its fixed depth x width footprint is what replaces
+    * a full token-frequency shuffle for heavy-hitter prefiltering at
+    * scale. Returns (r, bucket, cnt) — depth x width rows max. */
+  def countMinBuild(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, "countMin needs depth >= 1, width >= 2")
+    val cells = (0 until depth).map { d =>
+      struct(lit(d).as("r"),
+        (conv(substring(md5(concat(lit(s"$d#"), col(keyCol)).cast("binary")),
+          1, 13), 16, 10).cast("long") % width).as("bucket"))
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate frequencies for `probes` against a built sketch:
+    * min over the depth rows of each probe's counter. The count-min
+    * LAW — estimate >= true count, always, deterministically (hash
+    * collisions only ever ADD) — is the require every consumer gets
+    * for free. Unseen keys estimate 0 via the empty-cell coalesce.
+    * Returns (keyCol, cm_est). */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+      keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = (0 until depth).map { d =>
+      struct(lit(d).as("r"),
+        (conv(substring(md5(concat(lit(s"$d#"), col(keyCol)).cast("binary")),
+          1, 13), 16, 10).cast("long") % width).as("bucket"))
+    }
+    probes
+      .select(col(keyCol), explode(array(cells: _*)).as("c"))
+      .select(col(keyCol), col("c.r").as("r"), col("c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
   /** Per-group HLL(b=8, m=256) distinct estimate of `valueCol`.
     *
     * Register derivation (all exact): md5 hex chars 1-2 = bucket

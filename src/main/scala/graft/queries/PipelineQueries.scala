@@ -180,6 +180,32 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // Count-min frequency sketch (ops/Sketches.countMinBuild/
+    // Estimate): the top-20 corpus tokens' estimated vs exact counts.
+    // ALL-INTEGER md5 hashing — build, probe and estimate hash-match
+    // DuckDB with no float caveats — and the count-min LAW (estimate
+    // >= truth, always: collisions only add) rides in a require over
+    // every probe. The 4x1024-cell table is the mergeable fixed-size
+    // shuffle that replaces a full token-frequency pass for
+    // heavy-hitter prefiltering at scale.
+    "q194_countmin_sketch" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val sketch = graft.ops.Sketches.countMinBuild(toks, "tok")
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      val est = graft.ops.Sketches.countMinEstimate(
+        sketch, exact.select("tok"), "tok")
+      val joined = exact.join(est, "tok")
+      joined.collect().foreach { r =>
+        require(r.getLong(2) >= r.getLong(1),
+          s"count-min under-estimated '${r.getString(0)}': " +
+            s"${r.getLong(2)} < ${r.getLong(1)} — impossible unless broken")
+      }
+      joined.orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
     // of distinct word 3-grams each corpus doc shares with a held-out
     // "benchmark" slice — the train-test overlap check a pretraining
@@ -688,6 +714,33 @@ object PipelineQueries {
          |FROM d JOIN lex USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // The count-min build + probe replayed cell for cell — every step
+    // is md5 + integer arithmetic, so the whole frame hash-matches.
+    "q194_countmin_sketch" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS tok
+        |  FROM documents
+        |), tf AS (SELECT tok FROM tok WHERE tok <> ''),
+        |sk AS (
+        |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT d.r AS r,
+        |      CAST(concat('0x', substring(md5(d.r || '#' || tok), 1, 13)) AS BIGINT) % 1024 AS bucket
+        |    FROM tf, (VALUES (0),(1),(2),(3)) d(r))
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tf
+        |  GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |pr AS (
+        |  SELECT ex.tok, d.r AS r,
+        |    CAST(concat('0x', substring(md5(d.r || '#' || ex.tok), 1, 13)) AS BIGINT) % 1024 AS bucket
+        |  FROM ex, (VALUES (0),(1),(2),(3)) d(r)),
+        |est AS (
+        |  SELECT pr.tok, MIN(COALESCE(sk.cnt, 0)) AS cm_est
+        |  FROM pr LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+        |SELECT ex.tok, ex.exact_cnt, est.cm_est
+        |FROM ex JOIN est USING (tok)
+        |ORDER BY exact_cnt DESC, tok""".stripMargin,
     // The full sketch replayed: same md5 bucket/word split, same exact
     // integer register math (bin() length = bitlength, exactly Spark's
     // conv-to-binary length), the alpha*m^2 constant embedded as

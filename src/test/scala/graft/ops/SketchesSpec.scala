@@ -49,6 +49,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(repart == once("g"))
   }
 
+  test("countMin: overestimate law, exact on heavy hitters, unseen keys 0, shard-mergeable") {
+    import spark.implicits._
+    val occurrences = (
+      Seq.fill(500)("alpha") ++ Seq.fill(100)("beta") ++
+        (1 to 800).map(i => s"tail$i")).map(Tuple1(_))
+      .toDF("tok").repartition(8)
+    val sk = Sketches.countMinBuild(occurrences, "tok").persist()
+    val probes = Seq("alpha", "beta", "tail7", "never-seen").toDF("tok")
+    val est = Sketches.countMinEstimate(sk, probes, "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // count-min can only overestimate
+    assert(est("alpha") >= 500 && est("beta") >= 100 && est("tail7") >= 1)
+    // with 1400 items in 4x1024 cells, heavy hitters are near-exact
+    // (expected collision mass per cell ~1.4)
+    assert(est("alpha") <= 520 && est("beta") <= 120)
+    assert(est("never-seen") <= 20) // collision mass only
+    // MERGEABILITY (the shard/day rollup law): cell-wise SUM of two
+    // shard sketches equals the sketch of the union, exactly
+    val (a, b) = (occurrences.filter(length(col("tok")) <= 4),
+      occurrences.filter(length(col("tok")) > 4))
+    val merged = Sketches.countMinBuild(a, "tok")
+      .unionByName(Sketches.countMinBuild(b, "tok"))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty)
+    sk.unpersist()
+  }
+
   test("hllDistinct: null values ignored; multiple groups independent") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Long)](
