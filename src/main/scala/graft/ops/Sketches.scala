@@ -40,19 +40,28 @@ object Sketches {
     * exactly), and its fixed depth x width footprint is what replaces
     * a full token-frequency shuffle for heavy-hitter prefiltering at
     * scale. Returns (r, bucket, cnt) — depth x width rows max. */
-  def countMinBuild(df: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+  /** The (row, bucket) cell coordinates of a key — ONE derivation
+    * shared by build and probe, so the two sides cannot drift. The
+    * caller MUST probe with the same (depth, width) it built with:
+    * mismatched widths hash to unrelated cells and can UNDER-estimate,
+    * silently breaking the overestimate law (the sketch table itself
+    * carries no parameters — persist them alongside it, as any
+    * warehouse sketch rollup does). */
+  private def cmCells(keyCol: String, depth: Int, width: Int) = {
     require(depth >= 1 && width >= 2, "countMin needs depth >= 1, width >= 2")
-    val cells = (0 until depth).map { d =>
+    (0 until depth).map { d =>
       struct(lit(d).as("r"),
         (conv(substring(md5(concat(lit(s"$d#"), col(keyCol)).cast("binary")),
           1, 13), 16, 10).cast("long") % width).as("bucket"))
     }
+  }
+
+  def countMinBuild(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
     df.filter(col(keyCol).isNotNull)
-      .select(explode(array(cells: _*)).as("c"))
+      .select(explode(array(cmCells(keyCol, depth, width): _*)).as("c"))
       .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Point-estimate frequencies for `probes` against a built sketch:
     * min over the depth rows of each probe's counter. The count-min
@@ -62,13 +71,12 @@ object Sketches {
     * Returns (keyCol, cm_est). */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame,
       keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
-    val cells = (0 until depth).map { d =>
-      struct(lit(d).as("r"),
-        (conv(substring(md5(concat(lit(s"$d#"), col(keyCol)).cast("binary")),
-          1, 13), 16, 10).cast("long") % width).as("bucket"))
-    }
     probes
-      .select(col(keyCol), explode(array(cells: _*)).as("c"))
+      // NULL probes mirror the build side's exclusion (otherwise a
+      // phantom (null, 0) row appears for a key no sketch can hold)
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol),
+        explode(array(cmCells(keyCol, depth, width): _*)).as("c"))
       .select(col(keyCol), col("c.r").as("r"), col("c.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(keyCol)

@@ -16,6 +16,42 @@ object CorpusQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Shared streaming-fixture scaffolding (q187/q193): writes `df` as
+    * three id-ordered parquet micro-batches under a temp dir and
+    * returns (tmpDir, srcPath). Split points are EXACT terciles of the
+    * row population (a plain (min+max)/3 range split leaves the middle
+    * batch empty under bimodal id ranges — e.g. planted copies at
+    * id + 30M). FileStreamSource orders new files by MODIFICATION
+    * TIME, and local writes can land within one ms (ties then resolve
+    * by arbitrary listing order), so each slice's files get an
+    * explicit strictly-increasing mtime; setLastModified FAILS BY
+    * RETURNING FALSE on some filesystems, hence the require. Callers
+    * must deleteQuietly(tmpDir) in a finally — a require failure must
+    * not leak a corpus copy per run. */
+  private def writeIdOrderedMicroBatches(df: DataFrame, idCol: String,
+      tag: String): (java.nio.file.Path, String) = {
+    val Array(t1, t2) =
+      df.stat.approxQuantile(idCol, Array(1.0 / 3, 2.0 / 3), 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    val src = tmp.resolve("src").toString
+    val stamped = scala.collection.mutable.Set[java.io.File]()
+    Seq(col(idCol) <= t1,
+        col(idCol) > t1 && col(idCol) <= t2,
+        col(idCol) > t2)
+      .zipWithIndex.foreach { case (p, r) =>
+        df.filter(p).coalesce(1).write.mode("append").parquet(src)
+        new java.io.File(src).listFiles().foreach { f =>
+          if (!stamped.contains(f)) {
+            require(f.setLastModified(1700000000000L + r * 60000L),
+              s"could not stamp mtime on $f — batch order would be " +
+                "nondeterministic on this filesystem")
+            stamped += f
+          }
+        }
+      }
+    (tmp, src)
+  }
+
   // q172 (summary) and q174 (excision) share the span discovery — the
   // expensive per-position digest pass runs once per battery, released
   // after the later of the two (Memos lifecycle).
@@ -158,48 +194,33 @@ object CorpusQueries {
           concat(col("text"), lit(" qq77 qq88")).as("text")))
       val probe = graft.ops.TextDedup.contaminationProbe(
         bench, "doc_id", "text", shingleN = 3, k = 16, bands = 4)
-      val bounds = corpus.agg(min("doc_id"), max("doc_id")).head()
-      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-      val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q193")
-      val src = tmp.resolve("src").toString
-      val stamped = scala.collection.mutable.Set[java.io.File]()
-      Seq(col("doc_id") <= t1,
-          col("doc_id") > t1 && col("doc_id") <= t2,
-          col("doc_id") > t2)
-        .zipWithIndex.foreach { case (p, r) =>
-          corpus.filter(p).coalesce(1).write.mode("append").parquet(src)
-          new java.io.File(src).listFiles().foreach { f =>
-            if (!stamped.contains(f)) {
-              require(f.setLastModified(1700000000000L + r * 60000L),
-                s"could not stamp mtime on $f")
-              stamped += f
-            }
-          }
-        }
-      val stream = s.readStream.schema(corpus.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
-      val q = stream
-        .select(col("doc_id"), probe(col("text")).as("bm"))
-        .select(col("doc_id"), col("bm.ref_id").as("ref_id"),
-          coalesce(col("bm.n_equal"), lit(0L)).as("n_equal"))
-        .withColumn("est_jaccard", round(col("n_equal") / 16.0, 6))
-        .writeStream.outputMode("append")
-        .format("memory").queryName("q193out").start()
-      try q.processAllAvailable() finally q.stop()
-      val streamed = s.table("q193out")
-      // NOT persisted: the pin executes the batch side twice (once
-      // per exceptAll), but the operator's internal sig checkpoints
-      // make the second execution nearly free — measured 4.99 s
-      // unpersisted vs 6.0-6.9 s with an explicit persist barrier
-      val batch = graft.ops.TextDedup.crossMinHashContamination(
-        corpus, "doc_id", "text", bench, "doc_id", "text",
-        shingleN = 3, k = 16, bands = 4)
-      require(streamed.exceptAll(batch).isEmpty &&
-        batch.exceptAll(streamed).isEmpty,
-        "streaming decontamination diverged from the batch operator")
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-      streamed.orderBy("doc_id")
+      val (tmp, src) = writeIdOrderedMicroBatches(corpus, "doc_id", "q193")
+      try {
+        val stream = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream
+          .select(col("doc_id"), probe(col("text")).as("bm"))
+          .select(col("doc_id"), col("bm.ref_id").as("ref_id"),
+            coalesce(col("bm.n_equal"), lit(0L)).as("n_equal"))
+          .withColumn("est_jaccard", round(col("n_equal") / 16.0, 6))
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q193out").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = s.table("q193out")
+        // NOT persisted: the pin executes the batch side twice (once
+        // per exceptAll), but the operator's internal sig checkpoints
+        // make the second execution nearly free — measured 4.99 s
+        // unpersisted vs 6.0-6.9 s with an explicit persist barrier
+        val batch = graft.ops.TextDedup.crossMinHashContamination(
+          corpus, "doc_id", "text", bench, "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4)
+        require(streamed.exceptAll(batch).isEmpty &&
+          batch.exceptAll(streamed).isEmpty,
+          "streaming decontamination diverged from the batch operator")
+        // the memory sink holds the rows — deleting the source files
+        // in the finally below cannot invalidate the returned frame
+        streamed.orderBy("doc_id")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }),
 
     // Span excision (ops/TextDedup.exciseDuplicateSpans): the second
@@ -649,55 +670,30 @@ object CorpusQueries {
       val centArr = cents.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
-      val bounds = e.agg(min("vec_id"), max("vec_id")).head()
-      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-      val (t1, t2) = (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q187")
-      val src = tmp.resolve("src").toString
-      // id-ORDERED micro-batches: file r's ids all precede file r+1's.
-      // FileStreamSource orders new files by MODIFICATION TIME, and
-      // three local writes can land within one ms (ties then resolve
-      // by arbitrary listing order of the UUID part names — a
-      // nondeterministic batch flip the append-only state would
-      // refuse), so each slice's files are stamped with an explicit
-      // strictly-increasing mtime after writing.
-      val stamped = scala.collection.mutable.Set[java.io.File]()
-      Seq(col("vec_id") <= t1,
-          col("vec_id") > t1 && col("vec_id") <= t2,
-          col("vec_id") > t2)
-        .zipWithIndex.foreach { case (p, r) =>
-          e.filter(p).coalesce(1).write.mode("append").parquet(src)
-          new java.io.File(src).listFiles().foreach { f =>
-            if (!stamped.contains(f)) {
-              // setLastModified FAILS BY RETURNING FALSE (overlay/
-              // network filesystems) — and the whole batch-order
-              // determinism of this fixture hangs on the stamp landing
-              require(f.setLastModified(1700000000000L + r * 60000L),
-                s"could not stamp mtime on $f — batch order would be " +
-                  "nondeterministic on this filesystem")
-              stamped += f
-            }
-          }
-        }
-      val stream = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
-      val q = graft.streaming.StreamingOps
-        .streamingSemDedup(s, stream, centArr, tau = 0.4)
-        .writeStream.outputMode("append")
-        .format("memory").queryName("q187out").start()
-      try q.processAllAvailable() finally q.stop()
-      val streamed = s.table("q187out")
-        .select(col("vec_id"), col("cluster"), col("kept"),
-          col("suppressor"))
-      val batch = graft.ops.VectorOps.semState(e, "vec_id", "embedding",
-          cents, tau = 0.4)
-        .members.select(col("vec_id"), col("cluster"), col("kept"),
-          col("suppressor"))
-      require(streamed.exceptAll(batch).isEmpty &&
-        batch.exceptAll(streamed).isEmpty,
-        "streaming semDedup diverged from the batch prune")
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-      streamed.orderBy("vec_id")
+      // id-ORDERED micro-batches (required: the per-cluster state is
+      // append-only, so a batch-order flip would refuse) — see
+      // writeIdOrderedMicroBatches for the tercile + mtime contract
+      val (tmp, src) = writeIdOrderedMicroBatches(e, "vec_id", "q187")
+      try {
+        val stream = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.StreamingOps
+          .streamingSemDedup(s, stream, centArr, tau = 0.4)
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q187out").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = s.table("q187out")
+          .select(col("vec_id"), col("cluster"), col("kept"),
+            col("suppressor"))
+        val batch = graft.ops.VectorOps.semState(e, "vec_id", "embedding",
+            cents, tau = 0.4)
+          .members.select(col("vec_id"), col("cluster"), col("kept"),
+            col("suppressor"))
+        require(streamed.exceptAll(batch).isEmpty &&
+          batch.exceptAll(streamed).isEmpty,
+          "streaming semDedup diverged from the batch prune")
+        streamed.orderBy("vec_id")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     })
   )
 

@@ -197,13 +197,19 @@ object PipelineQueries {
         .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
       val est = graft.ops.Sketches.countMinEstimate(
         sketch, exact.select("tok"), "tok")
-      val joined = exact.join(est, "tok")
-      joined.collect().foreach { r =>
-        require(r.getLong(2) >= r.getLong(1),
-          s"count-min under-estimated '${r.getString(0)}': " +
-            s"${r.getLong(2)} < ${r.getLong(1)} — impossible unless broken")
+      // ONE execution: the law checks the collected 20 rows and the
+      // same rows become the result (re-executing the join plan would
+      // re-run the whole sketch+exact pipeline for the harness's read)
+      val rows = exact.join(est, "tok").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      rows.foreach { case (tok, ex, cm) =>
+        require(cm >= ex,
+          s"count-min under-estimated '$tok': $cm < $ex — impossible unless broken")
       }
-      joined.orderBy(col("exact_cnt").desc, col("tok"))
+      val sess = s
+      import sess.implicits._
+      rows.toSeq.toDF("tok", "exact_cnt", "cm_est")
+        .orderBy(col("exact_cnt").desc, col("tok"))
     }),
 
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
