@@ -60,7 +60,14 @@ object Bench {
       graft.ops.TextDedup.simHashCandidatesMd5(d50, "doc_id", "text",
           maxHamming = 8)
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only (matching DedupQueries.prewarmShared): an OOM or
+      // fatal JVM error must propagate, and a skipped warm must leave a
+      // trail — otherwise it surfaces later as an unexplained q175
+      // timing regression
+      case scala.util.control.NonFatal(e) =>
+        println(s"[bench] q175 simhash prewarm skipped: ${e.getMessage}")
+    }
 
     // BASELINE.md headline micro-bench: polygon query over a ~10k-object
     // H3 index with a 2x2 km query polygon (docs/H3_POLYGON_ANALYSIS.md:

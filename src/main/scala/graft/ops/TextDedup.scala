@@ -453,9 +453,11 @@ object TextDedup {
     // the map-only sig has no shuffle exchange for Spark to reuse, so
     // without materialization the banded self-join's four references
     // would recompute the md5 pass 4x — the same single-pass fix as
-    // simHashCandidatesMd5's checkpoint (lazy; blocks free on driver GC)
-    val sig = minHashMd5SigTable(df, idCol, textCol, shingleN, k)
-      .localCheckpoint(false)
+    // simHashCandidatesMd5's checkpoint. Materialize.stage: lazy
+    // localCheckpoint by default; spark.graft.stage.mode lets services
+    // opt into persist/reliable-checkpoint lifecycles.
+    val sig = Materialize.stage(
+      minHashMd5SigTable(df, idCol, textCol, shingleN, k))
     // same narrow-fan-out shape as the production variant: the banded
     // frame ships (doc_id, band, bucket digest) only; the k minima
     // re-attach to the candidate pairs afterwards
@@ -506,11 +508,12 @@ object TextDedup {
       shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be a multiple of bands")
     // both sig tables feed two consumers each (banded frame + minima
-    // re-attach): checkpoint so the map-only md5 pass runs once per side
-    val csig = minHashMd5SigTable(corpus, idCol, textCol, shingleN, k)
-      .localCheckpoint(false)
-    val rsig = minHashMd5SigTable(ref, refIdCol, refTextCol, shingleN, k)
-      .localCheckpoint(false)
+    // re-attach): materialize so the map-only md5 pass runs once per
+    // side (Materialize.stage — spark.graft.stage.mode for lifecycle)
+    val csig = Materialize.stage(
+      minHashMd5SigTable(corpus, idCol, textCol, shingleN, k))
+    val rsig = Materialize.stage(
+      minHashMd5SigTable(ref, refIdCol, refTextCol, shingleN, k))
     val cand = md5Banded(csig, k, bands).as("c")
       .join(broadcast(md5Banded(rsig, k, bands).as("r")),
         col("c.band") === col("r.band") && col("c.bucket") === col("r.bucket"))
@@ -604,8 +607,17 @@ object TextDedup {
     * pure map usable in any streaming select. */
   def contaminationProbe(ref: DataFrame, refIdCol: String,
       refTextCol: String, shingleN: Int = 3, k: Int = 16,
-      bands: Int = 4): Column => Column = {
+      bands: Int = 4, maxRefDocs: Long = 1000000L): Column => Column = {
     require(k % bands == 0, "k must be a multiple of bands")
+    // loud contract failure BEFORE the collect: the reference rides
+    // inside the expression (benchmark-sized by design); a corpus-sized
+    // reference would otherwise surface as a driver OOM / giant task
+    // binary. The count is a cheap row-count scan of the input.
+    val nRef = ref.count()
+    require(nRef <= maxRefDocs,
+      s"contaminationProbe embeds the reference in the expression and " +
+        s"needs a benchmark-sized one: got $nRef docs > maxRefDocs=" +
+        s"$maxRefDocs — use crossMinHashContamination for large references")
     val refSigs = minHashMd5SigTable(ref, refIdCol, refTextCol, shingleN, k)
       .collect()
       .map(r => (r.getLong(0), Array.tabulate(k)(i => r.getString(i + 1))))
@@ -687,13 +699,12 @@ object TextDedup {
     // (measured: the pass is ~half the operator's wall). The lazy
     // checkpoint materializes the one-row-per-doc sig table on first
     // use and both sides read the stored blocks; lineage truncation is
-    // a bonus for the long battery plans. Lifecycle: the blocks free
-    // when the driver GCs the checkpointed RDD (no unpersist seam
-    // exists in a lazy operator); the table is one narrow row per doc,
-    // and a service looping over many corpora in one session should
-    // trigger periodic GC (the Bench loop's pattern) or persist sig
-    // tables it wants to manage explicitly.
-    val sig = simHashMd5Sig(df, idCol, textCol).localCheckpoint(false)
+    // a bonus for the long battery plans. Lifecycle: the default lazy
+    // localCheckpoint frees on driver GC (the Bench loop GCs
+    // periodically); a service looping over many corpora can set
+    // spark.graft.stage.mode=persist|checkpoint for explicit /
+    // fault-tolerant lifecycles (Materialize.stage).
+    val sig = Materialize.stage(simHashMd5Sig(df, idCol, textCol))
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

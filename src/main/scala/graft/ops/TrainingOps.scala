@@ -481,9 +481,17 @@ object TrainingOps {
     * the per-doc pass is an explode + broadcast-sized equi-join +
     * sum, with zero per-doc string rewriting. Words are lowercased
     * [a-z]+ exactly as in training; out-of-alphabet spans separate
-    * words and contribute no tokens. */
+    * words and contribute no tokens.
+    *
+    * `hintBroadcastLexicon` (default true) broadcasts the word-type
+    * lexicon — right while the vocabulary fits the broadcast budget.
+    * A warehouse-scale corpus can carry tens of millions of word
+    * types (past Spark's 8 GB broadcast cap and the driver's memory):
+    * pass false there and the join degrades gracefully to a shuffle
+    * hash join on the word key instead of failing. */
   def applyBpeMerges(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      hintBroadcastLexicon: Boolean = true): DataFrame = {
     val types = docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .filter(length(col("w")) > 0).distinct()
@@ -499,7 +507,7 @@ object TrainingOps {
     docs.select(col(idCol),
         explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .filter(length(col("w")) > 0)
-      .join(broadcast(lexicon), "w")
+      .join(if (hintBroadcastLexicon) broadcast(lexicon) else lexicon, "w")
       .groupBy(idCol).agg(sum(col("word_tokens")).as("n_tokens"))
   }
 

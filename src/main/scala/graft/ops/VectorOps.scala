@@ -581,14 +581,16 @@ object VectorOps {
       .join(bc(reDropped), Seq(idCol), "left")
       .select(col(idCol), col(vecCol), col("cluster"),
         col("suppressor").isNull.as("kept"), col("suppressor"))
-    // lazy checkpoint at the removal/append seam: the append path runs
+    // materialize at the removal/append seam: the append path runs
     // driver actions (its id-bound requires) against this state and
     // then materializes it again inside the final member plan — without
-    // the checkpoint the whole removal lineage (anti-join, dirty
-    // semi-join, re-prune) executes once per action. One row per
-    // vector, the same table the caller stores anyway.
+    // it the whole removal lineage (anti-join, dirty semi-join,
+    // re-prune) executes once per action. One row per vector, the same
+    // table the caller stores anyway. Materialize.stage: lazy
+    // localCheckpoint by default, spark.graft.stage.mode for services
+    // that need fault-tolerant / explicitly-released lifecycles.
     incrementalSemDedup(
-      SemState(carried.unionByName(revised).localCheckpoint(false),
+      SemState(Materialize.stage(carried.unionByName(revised)),
         state.centroids),
       addedVecs, idCol, vecCol, tau, hintBroadcastDelta)
   }

@@ -183,6 +183,11 @@ final class PreparedPolygonQuery private[pipeline] (
       (lo, hi, paramPlan(range))
     }
 
+  // per-bucket probe-job deadline, read once at handle construction
+  private val probeTimeoutSec: Long =
+    index.sparkSession.conf.getOption("spark.graft.probe.timeoutSec")
+      .map(_.toLong).getOrElse(30L)
+
   // pre-pay analysis + optimization + physical planning for every
   // bucket NOW; deliberately NOT executed here — an execution warm-up
   // with the empty holder would scan every bucket once (~buckets x a
@@ -224,9 +229,14 @@ final class PreparedPolygonQuery private[pipeline] (
         implicit val ec = PreparedPolygonQuery.probeEc
         val futs = hits.map { case (_, _, p) => Future(p.collect()) }
         // finite deadline: a wedged bucket job must surface as an
-        // error, not hang the probe (and its lock) forever. 10 min is
-        // ~4 orders of magnitude over the measured worst probe.
-        futs.toArray.flatMap(f => Await.result(f, 10.minutes))
+        // error, not hang the probe (and its lock) forever. objects()
+        // holds the handle's monitor for the whole probe, so the
+        // deadline bounds how long ONE wedged job can stall every
+        // other caller on this handle: default 30 s (still >1000x the
+        // measured worst probe), per-session tunable via
+        // spark.graft.probe.timeoutSec for genuinely slow clusters.
+        futs.toArray.flatMap(f =>
+          Await.result(f, probeTimeoutSec.seconds))
       }
     rows.distinct.sortBy(r => (r.getString(1), r.getString(0)))
   }

@@ -345,4 +345,39 @@ class DedupOpsSpec extends AnyFunSuite {
     // clean: no band collision -> NULL ref, zero agreement
     assert(got(2) == ((3L, None, 0L, 0.0)))
   }
+
+  test("contaminationProbe refuses a reference past maxRefDocs, loudly") {
+    import spark.implicits._
+    val ref = (1L to 10L).map(i => (i, s"benchmark item number $i text"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.contaminationProbe(ref, "doc_id", "text", maxRefDocs = 5L)
+    }
+    assert(e.getMessage.contains("crossMinHashContamination"),
+      s"guard message must point to the large-reference path: ${e.getMessage}")
+    // at/under the cap it constructs fine
+    TextDedup.contaminationProbe(ref, "doc_id", "text", maxRefDocs = 10L)
+  }
+
+  test("Materialize.stage modes: persist and none give the same result as the default localCheckpoint") {
+    import spark.implicits._
+    val docs = ((1L to 20L).map(i => (i, s"some document body ${i % 7} with shared tokens across docs")) :+
+      (21L, "some document body 1 with shared tokens across docs"))
+      .toDF("doc_id", "text")
+    def run(): Set[(Long, Long)] =
+      TextDedup.minHashCandidatesMd5(docs, "doc_id", "text")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run()
+    for (mode <- Seq("persist", "none")) {
+      spark.conf.set(graft.ops.Materialize.ConfKey, mode)
+      try assert(run() == base, s"stage mode $mode diverged")
+      finally spark.conf.unset(graft.ops.Materialize.ConfKey)
+    }
+    spark.sqlContext.clearCache()
+    // unknown mode fails loudly, not silently-default
+    spark.conf.set(graft.ops.Materialize.ConfKey, "bogus")
+    try intercept[IllegalArgumentException] { run() }
+    finally spark.conf.unset(graft.ops.Materialize.ConfKey)
+  }
 }
