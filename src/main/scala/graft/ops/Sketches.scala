@@ -44,9 +44,10 @@ object Sketches {
     * shared by build and probe, so the two sides cannot drift. The
     * caller MUST probe with the same (depth, width) it built with:
     * mismatched widths hash to unrelated cells and can UNDER-estimate,
-    * silently breaking the overestimate law (the sketch table itself
-    * carries no parameters — persist them alongside it, as any
-    * warehouse sketch rollup does). */
+    * silently breaking the overestimate law. countMinBuild therefore
+    * emits (depth, width) as columns and countMinEstimate
+    * require-checks them; only parameter-stripped external sketches
+    * fall back to caller-owned discipline. */
   private def cmCells(keyCol: String, depth: Int, width: Int) = {
     require(depth >= 1 && width >= 2, "countMin needs depth >= 1, width >= 2")
     (0 until depth).map { d =>
@@ -56,21 +57,67 @@ object Sketches {
     }
   }
 
+  /** The (depth, width) parameters travel WITH the sketch as constant
+    * columns — `countMinEstimate` require-checks them, so a probe with
+    * mismatched parameters fails loudly instead of hashing to
+    * unrelated cells and silently under-estimating. Constant columns
+    * cost nothing at the fixed depth x width row count, survive any
+    * store/merge round-trip (parquet, cell-SUM rollups group by them),
+    * and replay trivially in SQL. */
+  /** `shardCols` (day, file, source...) build one sketch PER SHARD in
+    * a single pass — the warehouse form: shard sketches roll up to the
+    * union's sketch by cell-wise SUM grouped on (r, bucket, depth,
+    * width), exactly (q197 pins merged == single-pass cell for
+    * cell). */
   def countMinBuild(df: DataFrame, keyCol: String,
-      depth: Int = 4, width: Int = 1024): DataFrame =
+      depth: Int = 4, width: Int = 1024,
+      shardCols: Seq[String] = Nil): DataFrame = {
+    val shard = shardCols.map(col)
     df.filter(col(keyCol).isNotNull)
-      .select(explode(array(cmCells(keyCol, depth, width): _*)).as("c"))
-      .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
+      .select(shard :+
+        explode(array(cmCells(keyCol, depth, width): _*)).as("c"): _*)
+      .groupBy(shard ++ Seq(col("c.r").as("r"),
+        col("c.bucket").as("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
+      .select(shard ++ Seq(col("r"), col("bucket"), col("cnt"),
+        lit(depth).as("depth"), lit(width).as("width")): _*)
+  }
 
   /** Point-estimate frequencies for `probes` against a built sketch:
     * min over the depth rows of each probe's counter. The count-min
     * LAW — estimate >= true count, always, deterministically (hash
     * collisions only ever ADD) — is the require every consumer gets
     * for free. Unseen keys estimate 0 via the empty-cell coalesce.
-    * Returns (keyCol, cm_est). */
+    * Returns (keyCol, cm_est).
+    *
+    * The probe's (depth, width) MUST match the build's: a mismatched
+    * width hashes probes to unrelated cells and can under-estimate,
+    * breaking the overestimate law with no error anywhere. The build
+    * carries its parameters as columns, and this checks them
+    * structurally (one bounded driver aggregate over the sketch)
+    * before probing — mismatches fail loudly. Sketches from sources
+    * without the parameter columns (external tables) are accepted
+    * as-is: the caller owns the contract there, as the scaladoc on
+    * cmCells records. */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame,
       keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cols = sketch.columns.toSet
+    val carried =
+      if (cols.contains("depth") && cols.contains("width")) {
+        // bounded: (min, max) over two constant columns of a
+        // depth x width-bounded table
+        val r = sketch.agg(min(col("depth")), max(col("depth")),
+          min(col("width")), max(col("width"))).head()
+        if (!r.isNullAt(0)) {
+          require(r.getInt(0) == depth && r.getInt(1) == depth &&
+            r.getInt(2) == width && r.getInt(3) == width,
+            s"count-min parameter mismatch: sketch built with depth=" +
+              s"${r.getInt(0)}..${r.getInt(1)} width=${r.getInt(2)}.." +
+              s"${r.getInt(3)}, probed with depth=$depth width=$width — " +
+              "mismatched cells silently under-estimate")
+        }
+        sketch.select("r", "bucket", "cnt")
+      } else sketch
     probes
       // NULL probes mirror the build side's exclusion (otherwise a
       // phantom (null, 0) row appears for a key no sketch can hold)
@@ -78,7 +125,7 @@ object Sketches {
       .select(col(keyCol),
         explode(array(cmCells(keyCol, depth, width): _*)).as("c"))
       .select(col(keyCol), col("c.r").as("r"), col("c.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .join(broadcast(carried), Seq("r", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
@@ -111,8 +158,18 @@ object Sketches {
     * divergence that preserves the rho multiset but misassigns
     * buckets still changes the digest. */
   def hllDistinct(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  /** The register table alone: one (groupCols..., hll_bucket, hll_m)
+    * row per present bucket — the STORED/SHIPPED form of the sketch.
+    * Registers combine by MAX over any further grouping (days, shards,
+    * files), exactly — re-aggregating register tables and then
+    * estimating via [[hllFromRegisters]] equals the single-pass
+    * estimate over the union, the daily-rollup property q196 pins. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
-    require(groupCols.nonEmpty, "hllDistinct needs at least one group column")
+    require(groupCols.nonEmpty, "hllRegisters needs at least one group column")
     val hex = md5(col(valueCol).cast("string"))
     val bucket = conv(substring(hex, 1, 2), 16, 10).cast("long")
     val whex = substring(hex, 3, 13)
@@ -121,12 +178,21 @@ object Sketches {
     val rho = when(w === 0L, lit(53))
       .otherwise(lit(53) - length(conv(whex, 16, 2)))
     val gcols = groupCols.map(col)
-    val regs = df
-      .filter(col(valueCol).isNotNull)
-      .select(gcols :+ bucket.as("__bucket") :+ rho.as("__rho"): _*)
-      .groupBy(gcols :+ col("__bucket"): _*)
-      .agg(max(col("__rho")).as("__m"))
+    df.filter(col(valueCol).isNotNull)
+      .select(gcols :+ bucket.as("hll_bucket") :+ rho.as("__rho"): _*)
+      .groupBy(gcols :+ col("hll_bucket"): _*)
+      .agg(max(col("__rho")).as("hll_m"))
+  }
+
+  /** Estimate + digest from a register table ((groupCols...,
+    * hll_bucket, hll_m) — [[hllRegisters]] output, or any MAX-merge of
+    * such tables over extra shard keys). */
+  def hllFromRegisters(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "hllFromRegisters needs a group column")
+    val gcols = groupCols.map(col)
     regs
+      .select(gcols :+ col("hll_bucket").as("__bucket") :+
+        col("hll_m").as("__m"): _*)
       .groupBy(gcols: _*)
       .agg(
         // exact scaled harmonic sum: present buckets contribute

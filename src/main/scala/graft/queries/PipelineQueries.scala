@@ -212,6 +212,109 @@ object PipelineQueries {
         .orderBy(col("exact_cnt").desc, col("tok"))
     }),
 
+    // HLL SHARD ROLLUP (ops/Sketches.hllRegisters/hllFromRegisters):
+    // the daily-rollup pattern that is the whole point of a mergeable
+    // sketch at 100 TB — per-shard register tables (shard standing in
+    // for day/file partitions), MAX-merged per event type, estimated
+    // from the merged registers. The rollup law — merged sketch ==
+    // single-pass sketch over the union, estimate AND digest — is
+    // require'd both directions in-query, and the whole sharded
+    // build + merge + estimate replays in DuckDB.
+    "q196_hll_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          (col("event_id") % 4).as("shard"))
+      val mergedRegs = graft.ops.Sketches
+        .hllRegisters(ev, Seq("shard", "event_type"), "user_id")
+        .groupBy("event_type", "hll_bucket")
+        .agg(max(col("hll_m")).as("hll_m"))
+      val merged = graft.ops.Sketches
+        .hllFromRegisters(mergedRegs, Seq("event_type"))
+      val single = graft.ops.Sketches
+        .hllDistinct(ev.select("event_type", "user_id"),
+          Seq("event_type"), "user_id")
+      require(merged.exceptAll(single).isEmpty &&
+        single.exceptAll(merged).isEmpty,
+        "HLL shard rollup diverged from the single-pass sketch")
+      val shards = ev.filter(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct(col("shard")).as("n_shards"))
+      merged.join(shards, "event_type")
+        .select(col("event_type"), col("n_shards"),
+          round(col("n_hll"), 2).as("n_hll"),
+          col("hll_v"), col("hll_reg_digest"))
+        .orderBy("event_type")
+    }),
+
+    // Count-min SHARD ROLLUP: per-shard sketches built in ONE pass
+    // (shardCols), cell-wise SUM-merged, require'd equal cell for
+    // cell to the single-pass sketch, and the top-20 probes estimated
+    // from the MERGED sketch — with the overestimate law on every
+    // probe, same as q194. Shard = doc_id % 3 stands in for the
+    // day/file partition key of a warehouse token-frequency rollup.
+    "q197_countmin_rollup" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select((col("doc_id") % 3).as("shard"),
+          explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .persist()
+      try {
+        val merged = graft.ops.Sketches
+          .countMinBuild(toks, "tok", shardCols = Seq("shard"))
+          .groupBy("r", "bucket", "depth", "width")
+          .agg(sum(col("cnt")).as("cnt"))
+          .select("r", "bucket", "cnt", "depth", "width")
+        val single = graft.ops.Sketches.countMinBuild(toks, "tok")
+        require(merged.exceptAll(single).isEmpty &&
+          single.exceptAll(merged).isEmpty,
+          "count-min shard rollup diverged cell-wise from single-pass")
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        val rows = exact
+          .join(graft.ops.Sketches.countMinEstimate(
+            merged, exact.select("tok"), "tok"), "tok")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        rows.foreach { case (tok, ex, cm) =>
+          require(cm >= ex, s"merged sketch under-estimated '$tok': $cm < $ex")
+        }
+        val sess = s
+        import sess.implicits._
+        rows.toSeq.toDF("tok", "exact_cnt", "cm_est")
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      } finally toks.unpersist(blocking = false)
+    }),
+
+    // Heavy-hitter PREFILTER (the composition the sketch exists for):
+    // estimate every token TYPE against the sketch, keep candidates
+    // with cm_est >= tau, exact-count ONLY those, final filter on the
+    // exact count. The overestimate law makes the candidate set a
+    // provable superset of the true heavy hitters, so the output is
+    // EXACTLY the direct HAVING count >= tau result (the oracle
+    // computes it sketch-free) — while the expensive exact aggregation
+    // shuffles only heavy-hitter occurrences, not the corpus's full
+    // token stream. tau = max(1, occurrences/1000).
+    "q198_cm_heavyhitters" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .persist()
+      try {
+        val tau = math.max(1L, toks.count() / 1000L)
+        val sketch = graft.ops.Sketches.countMinBuild(toks, "tok")
+        val cands = graft.ops.Sketches
+          .countMinEstimate(sketch, toks.distinct(), "tok")
+          .filter(col("cm_est") >= tau).select("tok")
+        val rows = toks.join(broadcast(cands), "tok")
+          .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .filter(col("exact_cnt") >= tau)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val sess = s
+        import sess.implicits._
+        rows.toSeq.toDF("tok", "exact_cnt")
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      } finally toks.unpersist(blocking = false)
+    }),
+
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
     // of distinct word 3-grams each corpus doc shares with a held-out
     // "benchmark" slice — the train-test overlap check a pretraining
@@ -746,6 +849,88 @@ object PipelineQueries {
         |  FROM pr LEFT JOIN sk USING (r, bucket) GROUP BY 1)
         |SELECT ex.tok, ex.exact_cnt, est.cm_est
         |FROM ex JOIN est USING (tok)
+        |ORDER BY exact_cnt DESC, tok""".stripMargin,
+    // The SHARDED build + MAX-merge + estimate, replayed end to end:
+    // per-(shard, event_type) registers first, max-merged per type —
+    // structurally the rollup, not a re-statement of q191's single
+    // pass.
+    "q196_hll_rollup" ->
+      s"""WITH h AS (
+         |  SELECT event_id % 4 AS shard, event_type,
+         |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+         |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 3, 13)) AS BIGINT) AS w
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r0 AS (
+         |  SELECT shard, event_type, bucket,
+         |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - len(bin(w)) END) AS m
+         |  FROM h GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT event_type, bucket, MAX(m) AS m FROM r0 GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+         |      + (256 - COUNT(*)) * (1::BIGINT << 53) AS s_scaled,
+         |    256 - COUNT(*) AS hll_v,
+         |    bit_xor(CAST(concat('0x', substring(md5(concat(
+         |      CAST(bucket AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 13))
+         |      AS BIGINT)) AS hll_reg_digest
+         |  FROM r GROUP BY 1),
+         |e AS (
+         |  SELECT event_type, hll_v, hll_reg_digest,
+         |    ${graft.ops.Sketches.AlphaMm}::DOUBLE * 9007199254740992::DOUBLE
+         |      / CAST(s_scaled AS DOUBLE) AS e_raw
+         |  FROM s),
+         |ns AS (
+         |  SELECT event_type, CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+         |  FROM h GROUP BY 1)
+         |SELECT event_type, n_shards,
+         |  ROUND(CASE WHEN e_raw <= 640 AND hll_v > 0
+         |    THEN 256::DOUBLE * ln(256::DOUBLE / CAST(hll_v AS DOUBLE))
+         |    ELSE e_raw END, 2) AS n_hll,
+         |  hll_v, hll_reg_digest
+         |FROM e JOIN ns USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+    // The sharded count-min: per-shard cell counts, cell-wise SUM
+    // merge, probes estimated against the MERGED cells.
+    "q197_countmin_rollup" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 3 AS shard,
+        |    unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS tok
+        |  FROM documents
+        |), tf AS (SELECT shard, tok FROM tok WHERE tok <> ''),
+        |sk0 AS (
+        |  SELECT shard, r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT shard, d.r AS r,
+        |      CAST(concat('0x', substring(md5(d.r || '#' || tok), 1, 13)) AS BIGINT) % 1024 AS bucket
+        |    FROM tf, (VALUES (0),(1),(2),(3)) d(r))
+        |  GROUP BY 1, 2, 3),
+        |sk AS (
+        |  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM sk0 GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tf
+        |  GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |pr AS (
+        |  SELECT ex.tok, d.r AS r,
+        |    CAST(concat('0x', substring(md5(d.r || '#' || ex.tok), 1, 13)) AS BIGINT) % 1024 AS bucket
+        |  FROM ex, (VALUES (0),(1),(2),(3)) d(r)),
+        |est AS (
+        |  SELECT pr.tok, MIN(COALESCE(sk.cnt, 0)) AS cm_est
+        |  FROM pr LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+        |SELECT ex.tok, ex.exact_cnt, est.cm_est
+        |FROM ex JOIN est USING (tok)
+        |ORDER BY exact_cnt DESC, tok""".stripMargin,
+    // Sketch-free: the direct HAVING-threshold heavy hitters — the
+    // frame the sketch-prefiltered composition must reproduce exactly.
+    "q198_cm_heavyhitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ')) AS tok
+        |  FROM documents
+        |), tf AS (SELECT tok FROM tok WHERE tok <> '')
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |FROM tf GROUP BY tok
+        |HAVING COUNT(*) >= (SELECT GREATEST(1, COUNT(*) // 1000) FROM tf)
         |ORDER BY exact_cnt DESC, tok""".stripMargin,
     // The full sketch replayed: same md5 bucket/word split, same exact
     // integer register math (bin() length = bitlength, exactly Spark's

@@ -71,9 +71,43 @@ class SketchesSpec extends AnyFunSuite {
       occurrences.filter(length(col("tok")) > 4))
     val merged = Sketches.countMinBuild(a, "tok")
       .unionByName(Sketches.countMinBuild(b, "tok"))
-      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+      // rollup groups by the carried parameter columns too — shards
+      // of differing geometry then refuse to collapse into one cell
+      .groupBy("r", "bucket", "depth", "width").agg(sum("cnt").as("cnt"))
+      .select("r", "bucket", "cnt", "depth", "width")
     assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty)
     sk.unpersist()
+  }
+
+  test("countMin: probing with mismatched (depth, width) fails loudly, not silently under") {
+    import spark.implicits._
+    val sk = Sketches.countMinBuild(
+      Seq.fill(50)("alpha").map(Tuple1(_)).toDF("tok"), "tok",
+      depth = 4, width = 1024)
+    val probes = Seq("alpha").toDF("tok")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(sk, probes, "tok", depth = 4, width = 512)
+        .collect()
+    }
+    assert(e.getMessage.contains("parameter mismatch"), e.getMessage)
+    // parameter-stripped external sketches stay accepted (caller-owned
+    // contract): same probe, columns dropped, no require possible
+    val stripped = Sketches.countMinEstimate(
+        sk.select("r", "bucket", "cnt"), probes, "tok")
+      .collect().map(r => r.getLong(1))
+    assert(stripped.head >= 50L)
+  }
+
+  test("hll rollup law: MAX-merged shard registers == the single-pass sketch, estimate and digest") {
+    import spark.implicits._
+    val rows = (1L to 4000L).map(i => ("g", i % 13, i % 1500))
+      .toDF("g", "shard", "v")
+    val merged = Sketches.hllFromRegisters(
+      Sketches.hllRegisters(rows, Seq("shard", "g"), "v")
+        .groupBy("g", "hll_bucket").agg(max(col("hll_m")).as("hll_m")),
+      Seq("g"))
+    val single = Sketches.hllDistinct(rows.select("g", "v"), Seq("g"), "v")
+    assert(merged.exceptAll(single).isEmpty && single.exceptAll(merged).isEmpty)
   }
 
   test("hllDistinct: null values ignored; multiple groups independent") {
