@@ -312,11 +312,50 @@ class TrainingOpsSpec extends AnyFunSuite {
       (6, "ew", "est", 6L),
       (7, "n", "ewest", 6L),  // newest is now ONE symbol
       (8, "d", "est", 3L)))
-    // exhaustion: a vocab with one fusible pair stops early, no error
+    // the DISTRIBUTED engine (forced via budget 0) learns the
+    // identical sequence — the two learn paths are interchangeable
+    val dist = TrainingOps.bpeMerges(docs, "text", numMerges = 8,
+        localLearnMaxTypes = 0L)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(dist.toSeq == got.toSeq)
+    // exhaustion: a vocab with one fusible pair stops early, no error —
+    // on BOTH engines
     val tiny = Seq((1L, "ab ab c")).toDF("doc_id", "text")
-    val t = TrainingOps.bpeMerges(tiny, "text", numMerges = 5)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(t.toSeq == Seq((1, "a", "b", 2L)))
+    for (budget <- Seq(0L, 100L)) {
+      val t = TrainingOps.bpeMerges(tiny, "text", numMerges = 5,
+          localLearnMaxTypes = budget)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(t.toSeq == Seq((1, "a", "b", 2L)), s"budget $budget")
+    }
+  }
+
+  test("bpeMerges: driver-local == distributed, deep run over a messy corpus") {
+    import spark.implicits._
+    // adversarial shapes: repeated-letter runs (overlapping pair
+    // counts + non-overlapping left-to-right fusion), count ties
+    // (lexicographic break), shared prefixes/suffixes
+    val rnd = new scala.util.Random(7)
+    val vocabulary = Seq("banana", "bananas", "aaaa", "aaab", "abab",
+      "mississippi", "success", "assess", "lesson", "lessee",
+      "footloose", "bootstrap", "zzzyzzz") ++
+      (0 until 40).map(_ => (0 until (2 + rnd.nextInt(8)))
+        .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    val text = rnd.shuffle(vocabulary.flatMap(w =>
+      Seq.fill(1 + rnd.nextInt(5))(w))).mkString(" ")
+    val docs = Seq((1L, text), (2L, text.toUpperCase),
+      (3L, "aaaa aaab; abab!")).toDF("doc_id", "text")
+    def run(budget: Long) =
+      TrainingOps.bpeMerges(docs, "text", numMerges = 40,
+          localLearnMaxTypes = budget)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val local = run(1000000L)
+    val dist = run(0L)
+    assert(local == dist,
+      s"learn engines diverged:\n local=$local\n dist=$dist")
+    assert(local.size == 40, s"expected a full 40-rule run, got ${local.size}")
   }
 
   test("applyBpeMerges: per-doc token counts under the learned rules") {
