@@ -674,17 +674,19 @@ object VectorOps {
     * function over a just-built state, so the q183 exactness law and
     * the recall curve transfer verbatim; q186 pins the parquet
     * round-trip (stored index read back ≡ in-memory build). */
-  def knnJoinIndexed(queries: DataFrame, state: IvfState, idCol: String,
-      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+  /** Each query's `nprobe` nearest cells — the probe-cell ranking that
+    * drives partial-probe search, public so callers can reason about
+    * the candidate scope (q195's containment law joins against it).
+    * Same ordering contract as the assignment itself (rounded cosine
+    * desc, centroid id asc). Returns (idCol, cluster), nprobe rows per
+    * query; `keepVec` additionally carries the query vector as
+    * `__q_vec` for the join path. */
+  def probeCells(queries: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int, keepVec: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = state.assigned
-      .select(col("cluster"), col(idCol).as("__c_id2"),
-        col(vecCol).as("__c_vec2"))
-    // each query's nprobe nearest cells, same ordering contract as
-    // the assignment itself (rounded cosine desc, centroid id asc)
-    val probes = queries.select(col(idCol).as("__q_id"),
+    val ranked = queries.select(col(idCol).as("__q_id"),
         col(vecCol).as("__q_vec"))
-      .crossJoin(broadcast(state.centroids))
+      .crossJoin(broadcast(centroids))
       .select(col("__q_id"), col("__q_vec"),
         col("__c_id").as("cluster"),
         round(cosine(col("__q_vec"), col("__c_vec")), 6).as("__cc"))
@@ -693,6 +695,17 @@ object VectorOps {
           .orderBy(desc("__cc"), asc("cluster"))))
       .filter(col("__pr") <= nprobe)
       .drop("__cc", "__pr")
+    if (keepVec) ranked
+    else ranked.select(col("__q_id").as(idCol), col("cluster"))
+  }
+
+  def knnJoinIndexed(queries: DataFrame, state: IvfState, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val assigned = state.assigned
+      .select(col("cluster"), col(idCol).as("__c_id2"),
+        col(vecCol).as("__c_vec2"))
+    val probes = probeCells(queries, state.centroids, idCol, vecCol,
+      nprobe, keepVec = true)
     // bounded top-k aggregate instead of a row_number window: the
     // window form shuffles EVERY (query, candidate) pair to the
     // query's reducer before discarding; the k-bounded heap combines

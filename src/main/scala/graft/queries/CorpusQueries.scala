@@ -70,13 +70,55 @@ object CorpusQueries {
       sl
     })
 
-  /** Force-build the shared span memo (Bench setup phase — same
+  // q182/q183/q184/q186/q187/q195 all cluster the SAME full corpus
+  // with the SAME k=16 integer-mean lloyd centroids — a shared input,
+  // built once per battery (Memos lifecycle; Bench setup attribution)
+  private val centsMemo =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def fullCentroids(s: SparkSession, dir: String): DataFrame =
+    centsMemo.getOrElseUpdate(dir, {
+      val c = graft.ops.VectorOps.lloydCentroids(
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 16).persist()
+      c.count()
+      Memos.track(s"corpus:cents:$dir", Set("q182_streaming_ivf",
+        "q183_knn_join", "q184_semdedup_removals", "q186_knn_indexed",
+        "q187_streaming_semdedup", "q195_knn_containment"), c) { () =>
+        c.unpersist(); centsMemo.remove(dir); ()
+      }
+      c
+    })
+
+  // the full-corpus SemState under those frozen centroids (tau = 0.4):
+  // q184's initial maintained state and q187's batch-truth side are
+  // the SAME computation — one evidence prune per battery
+  private val semStateMemo = scala.collection.concurrent.TrieMap[
+    String, graft.ops.VectorOps.SemState]()
+  private def fullSemState(s: SparkSession,
+      dir: String): graft.ops.VectorOps.SemState =
+    semStateMemo.getOrElseUpdate(dir, {
+      val cents = fullCentroids(s, dir)
+      val st = graft.ops.VectorOps.semState(
+        emb(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents, tau = 0.4)
+      val members = st.members.persist()
+      members.count()
+      Memos.track(s"corpus:semstate:$dir",
+        Set("q184_semdedup_removals", "q187_streaming_semdedup"),
+        members) { () =>
+        members.unpersist(); semStateMemo.remove(dir); ()
+      }
+      graft.ops.VectorOps.SemState(members, cents)
+    })
+
+  /** Force-build the shared memos (Bench setup phase — same
     * attribution fix as GeoQueries.prewarmShared: the one-time build
-    * must land in setup_s, not on whichever of q172/q174 runs first,
+    * must land in setup_s, not on whichever consumer runs first,
     * where the adaptive-retry min would silently discard it). */
   def prewarmShared(s: SparkSession, dir: String): Unit = {
     spanList(s, dir).count()
-    semKept(s, dir).count(); ()
+    semKept(s, dir).count()
+    fullSemState(s, dir).members.count(); ()
   }
 
   // q170 and q176 share the semantic-dedup result the same way
@@ -506,10 +548,8 @@ object CorpusQueries {
     // centroids, and the whole chain hash-matches the SQL replay.
     "q184_semdedup_removals" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
-        "embedding", k = 16)
-      val st = graft.ops.VectorOps.semState(e, "vec_id", "embedding",
-        cents, tau = 0.4)
+      val st = fullSemState(s, dir) // shared initial state (memo)
+      val cents = st.centroids
       val removed = e.filter(col("vec_id") % 6 === 1).select("vec_id")
       val added = e.filter(col("vec_id") % 4 === 3)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
@@ -519,16 +559,38 @@ object CorpusQueries {
       val incMembers = inc.members.persist()
       val survivors = e.join(removed, Seq("vec_id"), "left_anti")
         .unionByName(added)
-      val full = graft.ops.VectorOps.semState(survivors, "vec_id",
-        "embedding", cents, tau = 0.4).members
-      // the pin covers the suppressor EVIDENCE column too (null-safe):
-      // the maintained value must equal the full re-run's min
-      // smaller-id tau-neighbor — the invariant the O(dirty) removal
-      // frontier rests on
-      val diff = incMembers
+      // TWO-SIDED pin at proof cost O(corpus map + stratum prune), not
+      // a second full prune (the q183 stratum treatment, r11 Next #2):
+      //  (i) ASSIGNMENT equality over the FULL corpus, both directions
+      //      — the map-only half of the full re-run, so id coverage
+      //      and cluster placement are pinned everywhere;
+      //  (ii) the expensive prune re-run restricted to the cluster
+      //      stratum (cluster % 3 = 0, ~1/3 of the pair work), kept
+      //      AND suppressor pinned null-safe both directions. The
+      //      prune is per-cluster by construction (its only join key
+      //      is the cluster id) — the decomposition lemma is
+      //      spec-pinned in CorpusOpsSpec ("prune decomposes by
+      //      cluster"). The driver oracle still replays the FULL
+      //      corpus against the output.
+      val clustered = graft.ops.VectorOps.assignToCentroids(survivors,
+        "vec_id", "embedding", cents)
+      val aDiff = incMembers.select(col("vec_id"),
+          col("cluster").as("cl_i"))
+        .join(clustered.select(col("vec_id"), col("cluster").as("cl_f")),
+          Seq("vec_id"), "full_outer")
+        .filter(col("cl_i").isNull || col("cl_f").isNull ||
+          col("cl_i") =!= col("cl_f"))
+        .count()
+      require(aDiff == 0L,
+        s"incremental state's id/cluster coverage diverged from the " +
+          s"full re-assignment: $aDiff rows differ")
+      val strat = clustered.filter(col("cluster") % 3 === 0)
+      val fullStrat = graft.ops.VectorOps.semDedupPruneEvidence(strat,
+        "vec_id", "embedding", tau = 0.4)
+      val diff = incMembers.filter(col("cluster") % 3 === 0)
         .select(col("vec_id"), col("cluster").as("cl_i"),
           col("kept").as("k_i"), col("suppressor").as("s_i"))
-        .join(full.select(col("vec_id"), col("cluster").as("cl_f"),
+        .join(fullStrat.select(col("vec_id"), col("cluster").as("cl_f"),
           col("kept").as("k_f"), col("suppressor").as("s_f")),
           Seq("vec_id"), "full_outer")
         .agg(
@@ -542,8 +604,9 @@ object CorpusQueries {
             .otherwise(0L)), lit(0L)))
         .head()
       require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
-        s"removal-capable incremental semDedup diverged from full " +
-          s"re-run: ${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
+        s"removal-capable incremental semDedup diverged from the " +
+          s"stratum re-prune: ${diff.getLong(0)} extra, " +
+          s"${diff.getLong(1)} missing")
       Memos.track(s"corpus:incsemrm:$dir",
         Set("q184_semdedup_removals"), incMembers) { () =>
         incMembers.unpersist(); ()
@@ -562,8 +625,7 @@ object CorpusQueries {
     // the integer-mean centroid pipeline.
     "q182_streaming_ivf" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
-        "embedding", k = 16)
+      val cents = fullCentroids(s, dir)
       val centArr = cents.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
@@ -600,8 +662,7 @@ object CorpusQueries {
     // measured in ProfileIvfRecall).
     "q183_knn_join" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
-        "embedding", k = 16)
+      val cents = fullCentroids(s, dir)
       // query side restricted to a deterministic 1/3 stratum (r10 Next
       // #6 proof-cost trim): the law under test — nprobe = nlist is
       // EXACTLY the brute-force top-k — is a PER-QUERY property
@@ -627,8 +688,7 @@ object CorpusQueries {
     // queries cover 2/3 of the corpus as queries).
     "q186_knn_indexed" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
-        "embedding", k = 16)
+      val cents = fullCentroids(s, dir)
       val st = graft.ops.VectorOps.ivfState(e, "vec_id", "embedding",
         cents)
       val tmp = java.nio.file.Files.createTempDirectory("graft_q186")
@@ -640,10 +700,33 @@ object CorpusQueries {
       val q = e.filter(col("vec_id") % 3 === 1)
       val g = graft.ops.VectorOps.knnJoinIndexed(q, stored, "vec_id",
         "embedding", k = 5, nprobe = 16).persist()
-      val mem = graft.ops.VectorOps.knnJoin(q, e, "vec_id", "embedding",
-        cents, k = 5, nprobe = 16)
-      require(g.exceptAll(mem).isEmpty && mem.exceptAll(g).isEmpty,
-        "stored-index knn graph diverged from the in-memory build")
+      // round-trip pin at proof cost O(index compare + sub-stratum
+      // graph), not a second full graph (r11 Next #2):
+      //  (i) the stored index read back equals the in-memory
+      //      assignment row for row, both directions — the narrow
+      //      (vec_id, cluster) frame, cheap at any scale;
+      //  (ii) the in-memory graph duplicated only on the % 9 = 1
+      //      query sub-stratum and require'd equal to the stored-index
+      //      graph there, both directions. knnJoinIndexed decomposes
+      //      per query row (groupBy q_id; no cross-query term) — the
+      //      lemma is spec-pinned in CorpusOpsSpec ("knn graph
+      //      decomposes by query"). The driver oracle still replays
+      //      the FULL %3=1 stratum against the output.
+      val aDiff = stored.assigned.select(col("vec_id"), col("cluster"))
+        .exceptAll(st.assigned.select(col("vec_id"), col("cluster")))
+        .unionAll(st.assigned.select(col("vec_id"), col("cluster"))
+          .exceptAll(stored.assigned.select(col("vec_id"), col("cluster"))))
+        .count()
+      require(aDiff == 0L,
+        s"stored IVF index diverged from the in-memory assignment: " +
+          s"$aDiff rows differ after the parquet round-trip")
+      val q9 = q.filter(col("vec_id") % 9 === 1)
+      val mem9 = graft.ops.VectorOps.knnJoinIndexed(q9, st, "vec_id",
+        "embedding", k = 5, nprobe = 16)
+      val g9 = g.filter(col("q_id") % 9 === 1)
+      require(g9.exceptAll(mem9).isEmpty && mem9.exceptAll(g9).isEmpty,
+        "stored-index knn graph diverged from the in-memory build " +
+          "on the sub-stratum")
       Memos.track(s"corpus:knnidx:$dir",
         Set("q186_knn_indexed"), g) { () =>
         g.unpersist()
@@ -665,15 +748,29 @@ object CorpusQueries {
     // hash-matches the SQL replay.
     "q187_streaming_semdedup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val cents = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
-        "embedding", k = 16)
-      val centArr = cents.collect()
+      val st = fullSemState(s, dir)
+      val centArr = st.centroids.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
+      val batch = st.members.select(col("vec_id"), col("cluster"),
+        col("kept"), col("suppressor"))
+      // the STREAM runs on the cluster % 3 = 1 stratum (r11 Next #2):
+      // the keyed state is per-cluster with no cross-cluster term, so
+      // stream == batch on a cluster stratum plus the spec-pinned
+      // decomposition lemma covers the gate; the full-corpus OUTPUT
+      // (and the driver's full-corpus oracle) comes from the batch
+      // members, themselves pinned against the stream here and
+      // replayed in SQL. Stratum membership derives from the batch
+      // assignment — per-row deterministic under frozen centroids, so
+      // the stream re-derives identical clusters.
+      val streamVecs = e.join(
+        st.members.filter(col("cluster") % 3 === 1).select("vec_id"),
+        Seq("vec_id"), "left_semi")
       // id-ORDERED micro-batches (required: the per-cluster state is
       // append-only, so a batch-order flip would refuse) — see
       // writeIdOrderedMicroBatches for the tercile + mtime contract
-      val (tmp, src) = writeIdOrderedMicroBatches(e, "vec_id", "q187")
+      val (tmp, src) = writeIdOrderedMicroBatches(streamVecs, "vec_id",
+        "q187")
       try {
         val stream = s.readStream.schema(e.schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
@@ -685,15 +782,95 @@ object CorpusQueries {
         val streamed = s.table("q187out")
           .select(col("vec_id"), col("cluster"), col("kept"),
             col("suppressor"))
-        val batch = graft.ops.VectorOps.semState(e, "vec_id", "embedding",
-            cents, tau = 0.4)
-          .members.select(col("vec_id"), col("cluster"), col("kept"),
-            col("suppressor"))
-        require(streamed.exceptAll(batch).isEmpty &&
-          batch.exceptAll(streamed).isEmpty,
-          "streaming semDedup diverged from the batch prune")
-        streamed.orderBy("vec_id")
+        val batchStrat = batch.filter(col("cluster") % 3 === 1)
+        require(streamed.exceptAll(batchStrat).isEmpty &&
+          batchStrat.exceptAll(streamed).isEmpty,
+          "streaming semDedup diverged from the batch prune on the " +
+            "cluster stratum")
+        batch.orderBy("vec_id")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }),
+
+    // PARTIAL-PROBE CONTAINMENT (r11 Next #5): the q183/q186 laws pin
+    // nprobe = nlist; this pins the laws partial probes actually obey,
+    // on the remaining %3 = 2 query stratum (q183 covers %3 = 0, q186
+    // %3 = 1 — between the three, every corpus vector serves as a
+    // query somewhere). Output: the nprobe ∈ {2, 8} neighbor lists,
+    // hash-matched against a DuckDB replay of centroids -> assignment
+    // -> probe ranking -> candidate-restricted window top-k. In-query
+    // requires (each a THEOREM of restricting a top-k to a candidate
+    // subset, so a violation means the implementation is broken):
+    //  (i) probe monotonicity: every 8-probe neighbor that lies in
+    //      the query's 2 probed cells appears in the 2-probe list,
+    //      with rank_2 <= rank_8 (removing candidates only moves
+    //      survivors UP);
+    //  (ii) vs exact: every exact (nprobe = nlist) neighbor lying in
+    //      the 8 probed cells appears in the 8-probe list with
+    //      rank_8 <= rank_exact — exact computed on the % 9 = 2
+    //      sub-stratum (the q183 proof-cost discount; the oracle
+    //      already pins both FULL partial lists).
+    "q195_knn_containment" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = fullCentroids(s, dir)
+      val st = graft.ops.VectorOps.ivfState(e, "vec_id", "embedding",
+        cents)
+      val q = e.filter(col("vec_id") % 3 === 2)
+      def graph(qs: DataFrame, nprobe: Int): DataFrame =
+        graft.ops.VectorOps.knnJoinIndexed(qs, st, "vec_id",
+          "embedding", k = 5, nprobe = nprobe)
+      val l2 = graph(q, 2).persist()
+      val l8 = graph(q, 8).persist()
+      try {
+        val assign = st.assigned
+          .select(col("vec_id"), col("cluster").as("__n_cl"))
+        val pc2 = graft.ops.VectorOps.probeCells(q, cents, "vec_id",
+          "embedding", nprobe = 2)
+          .select(col("vec_id").as("q_id"), col("cluster").as("__n_cl"))
+        // (i): l8 rows inside the 2-probe candidate scope...
+        val l8in2 = l8.join(assign, Seq("vec_id"))
+          .join(pc2, Seq("q_id", "__n_cl"), "left_semi")
+          .select(col("q_id"), col("vec_id"), col("rank").as("rank_8"))
+        // ...must ALL appear in l2, ranked at or above their l8 rank
+        val viol1 = l8in2.join(
+            l2.select(col("q_id"), col("vec_id"), col("rank").as("rank_2")),
+            Seq("q_id", "vec_id"), "left")
+          .filter(col("rank_2").isNull || col("rank_2") > col("rank_8"))
+          .count()
+        require(viol1 == 0L,
+          s"probe-monotonicity violated: $viol1 8-probe neighbors in " +
+            "2-probe cells missing or demoted in the 2-probe list")
+        // (ii): exact on the sub-stratum vs l8
+        val q9 = q.filter(col("vec_id") % 9 === 2)
+        val exact9 = graph(q9, 16)
+        val pc8 = graft.ops.VectorOps.probeCells(q9, cents, "vec_id",
+          "embedding", nprobe = 8)
+          .select(col("vec_id").as("q_id"), col("cluster").as("__n_cl"))
+        val exIn8 = exact9.join(assign, Seq("vec_id"))
+          .join(pc8, Seq("q_id", "__n_cl"), "left_semi")
+          .select(col("q_id"), col("vec_id"), col("rank").as("rank_x"))
+        val viol2 = exIn8.join(
+            l8.select(col("q_id"), col("vec_id"), col("rank").as("rank_8")),
+            Seq("q_id", "vec_id"), "left")
+          .filter(col("rank_8").isNull || col("rank_8") > col("rank_x"))
+          .count()
+        require(viol2 == 0L,
+          s"exact-containment violated: $viol2 exact neighbors in the " +
+            "8 probed cells missing or demoted in the 8-probe list")
+        Memos.track(s"corpus:knncont:$dir",
+          Set("q195_knn_containment"), l2) { () =>
+          l2.unpersist(blocking = false)
+          l8.unpersist(blocking = false); ()
+        }
+        l2.withColumn("nprobe", lit(2))
+          .unionByName(l8.withColumn("nprobe", lit(8)))
+          .select(col("nprobe"), col("q_id"), col("rank"), col("vec_id"),
+            col("cos_sim"))
+          .orderBy("nprobe", "q_id", "rank")
+      } catch { case e: Throwable =>
+        l2.unpersist(blocking = false)
+        l8.unpersist(blocking = false)
+        throw e
+      }
     })
   )
 
@@ -1558,6 +1735,78 @@ object CorpusQueries {
          |SELECT b.vec_id, b.cluster, d.vec_id IS NULL AS kept,
          |  d.suppressor
          |FROM best b LEFT JOIN dropped d USING (vec_id)
-         |ORDER BY b.vec_id""".stripMargin
+         |ORDER BY b.vec_id""".stripMargin,
+
+    // q195: centroids -> corpus assignment -> per-query probe-cell
+    // ranking -> candidate-restricted window top-5 for BOTH partial
+    // probe depths — the full partial-probe search replayed, not just
+    // the nprobe = nlist degenerate case.
+    "q195_knn_containment" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS se
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), assign0 AS (
+         |  SELECT e.vec_id, s.seed_id,
+         |    ${sqlCos("e.embedding", "s.se")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), best0 AS (
+         |  SELECT vec_id, seed_id AS cluster FROM (
+         |    SELECT vec_id, seed_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, seed_id ASC) AS rn
+         |    FROM assign0)
+         |  WHERE rn = 1
+         |), dims AS (
+         |  SELECT vec_id, dim, embedding[dim] AS v
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(list_transform(range(1, CAST(len(embedding) AS INT) + 1),
+         |                                x -> CAST(x AS INT))) AS dim
+         |        FROM embeddings)
+         |), comp AS (
+         |  SELECT b.cluster, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(d.v AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS comp
+         |  FROM best0 b JOIN dims d USING (vec_id)
+         |  GROUP BY b.cluster, d.dim
+         |), cent AS (
+         |  SELECT cluster, list(comp ORDER BY dim) AS cvec
+         |  FROM comp GROUP BY cluster
+         |), assign1 AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    ${sqlCos("e.embedding", "c.cvec")} AS c
+         |  FROM embeddings e CROSS JOIN cent c
+         |), best AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, cluster ASC) AS rn
+         |    FROM assign1)
+         |  WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 2
+         |), probe AS (
+         |  SELECT q.vec_id AS q_id, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "c.cvec")} DESC,
+         |               c.cluster ASC) AS pr
+         |  FROM q CROSS JOIN cent c
+         |), cand AS (
+         |  SELECT np.np, p.q_id, b.vec_id,
+         |    ${sqlCos("qe.embedding", "ne.embedding")} AS cos_sim
+         |  FROM (VALUES (2), (8)) np(np)
+         |  JOIN probe p ON p.pr <= np.np
+         |  JOIN best b ON b.cluster = p.cluster
+         |  JOIN embeddings qe ON qe.vec_id = p.q_id
+         |  JOIN embeddings ne ON ne.vec_id = b.vec_id
+         |  WHERE b.vec_id <> p.q_id
+         |), ranked AS (
+         |  SELECT np, q_id, vec_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY np, q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM cand)
+         |SELECT CAST(np AS INT) AS nprobe, q_id, CAST(rank AS INT) AS rank,
+         |  vec_id, cos_sim
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY nprobe, q_id, rank""".stripMargin
   )
 }

@@ -548,4 +548,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(onlyMin.toSet == expectedKept,
       "tau=-1 must keep exactly the smallest id of each cluster")
   }
+
+  // the stratum lemma q184's trimmed pin rests on: the prune's only
+  // join key is the cluster id, so pruning a cluster subset equals the
+  // full prune restricted to that subset — kept AND suppressor
+  test("prune decomposes by cluster: subset prune == full prune restricted") {
+    val rnd = new scala.util.Random(23)
+    val e = vecs((1L to 80L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val cents = VectorOps.lloydCentroids(e, "vec_id", "embedding", k = 6)
+    val clustered = VectorOps.assignToCentroids(e, "vec_id", "embedding",
+      cents)
+    val full = VectorOps.semDedupPruneEvidence(clustered, "vec_id",
+      "embedding", tau = 0.2)
+    for (r <- 0 until 3) {
+      val sub = VectorOps.semDedupPruneEvidence(
+        clustered.filter(col("cluster") % 3 === r), "vec_id",
+        "embedding", tau = 0.2)
+      val fullR = full.filter(col("cluster") % 3 === r)
+      assert(sub.exceptAll(fullR).isEmpty && fullR.exceptAll(sub).isEmpty,
+        s"cluster stratum $r prune diverged from the restricted full prune")
+    }
+  }
+
+  // the sub-stratum lemma q186's trimmed pin rests on: the knn graph
+  // has no cross-query term (groupBy q_id), so the graph of a query
+  // subset equals the full graph restricted to it
+  test("knn graph decomposes by query: subset graph == full graph restricted") {
+    val rnd = new scala.util.Random(29)
+    val e = vecs((1L to 90L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val cents = VectorOps.lloydCentroids(e, "vec_id", "embedding", k = 5)
+    val st = VectorOps.ivfState(e, "vec_id", "embedding", cents)
+    val full = VectorOps.knnJoinIndexed(e, st, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    val sub = VectorOps.knnJoinIndexed(e.filter(col("vec_id") % 4 === 1),
+      st, "vec_id", "embedding", k = 3, nprobe = 2)
+    val fullR = full.filter(col("q_id") % 4 === 1)
+    assert(sub.exceptAll(fullR).isEmpty && fullR.exceptAll(sub).isEmpty,
+      "query-subset knn graph diverged from the restricted full graph")
+  }
+
+  // the cluster-stratum lemma q187's trimmed streaming pin rests on is
+  // the same per-cluster independence as the prune lemma above, at the
+  // streaming layer: feeding only a cluster stratum through the keyed
+  // state produces exactly the batch decisions for those clusters
+  // (exercised end-to-end by q187's require; the batch-side algebra is
+  // the "prune decomposes by cluster" law)
 }
