@@ -269,6 +269,7 @@ object Bench {
       sinceGc += 1
       if (sinceGc >= 25) { System.gc(); sinceGc = 0 }
       var best = Double.MaxValue
+      var first = -1.0
       var ok = true
       var rep = 0
       // adaptive: a slow-looking first rep earns exactly one retry
@@ -281,42 +282,52 @@ object Bench {
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
           ok = false
         }
-        best = best.min((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (rep == 0) first = dt
+        best = best.min(dt)
         rep += 1
         if (ok && rep == budget && budget == reps && best > adaptiveBar(name)) {
           budget += 1; adaptiveReps += 1
         }
       }
-      val dt = best
       // GC right after a memo release so the ContextCleaner also drops
       // the broadcasts/shuffles the released lineage was pinning
       if (graft.queries.Memos.afterQuery(name)) { System.gc(); sinceGc = 0 }
-      name -> (if (ok) dt else -1.0)
+      // (name, min-arbitrated, raw first rep, reps the min is over) —
+      // the raw/min pair is what lets a judge arbitrate a hot host
+      // from ONE capture (a co-tenant spike shows raw >> min; a real
+      // regression is slow in both)
+      (name, if (ok) best else -1.0, first, rep)
     }
     graft.queries.Memos.endAll()
 
     // keys printed sorted regardless of run order, so shuffled-order
     // output diffs cleanly against a sorted-order run
-    val qs = results.sortBy(_._1).map { case (k, v) => "\"" + k + f"""":$v%.4f""" }
+    val qs = results.sortBy(_._1).map { case (k, v, _, _) =>
+      "\"" + k + f"""":$v%.4f""" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    // raw_total = sum of FIRST reps: the un-arbitrated capture. The
+    // raw/min ratio is the hot-host flag (≈1 on a quiet host)
+    val rawTotal = results.collect { case (_, v, f, _) if v >= 0 => f }.sum
     val summary =
-      f""""n_queries":${results.size},"n_failed":${errors.size},"setup_s":$setupS%.4f,"reps":$reps,"adaptive_reps":$adaptiveReps,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_warm_p25":$h3QueryWarmP25Ms,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"h3_polygon_query_ms_10k_fresh_plan_p25":$h3QueryFreshP25Ms,"sf":"$sfDir""""
+      f""""n_queries":${results.size},"n_failed":${errors.size},"setup_s":$setupS%.4f,"reps":$reps,"adaptive_reps":$adaptiveReps,"raw_total_s":$rawTotal%.1f,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_warm_p25":$h3QueryWarmP25Ms,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"h3_polygon_query_ms_10k_fresh_plan_p25":$h3QueryFreshP25Ms,"sf":"$sfDir""""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,$summary}""")
     // COMPACT tail-safe lines: harnesses that keep only a bounded tail
     // of stdout truncate the full line mid-JSON (every BENCH_r0x.json
     // records parsed:null for exactly this reason). The last two lines
     // together stay well under the ~2000-char tail:
-    //  - "top": the 10 slowest entries by short name (qNN prefix) — the
-    //    multi-second scoreboard the full line's sorted emission pushes
-    //    out of the tail window (r08: 110 of 168 per-query times were
-    //    invisible to the driver file)
+    //  - "top": the 10 slowest entries by short name (qNN prefix) as
+    //    [name, min_s, raw_first_s, min_of] — the multi-second
+    //    scoreboard WITH its own noise arbitration (r11 Next #8: the
+    //    judge reads min and raw side by side, no rerun needed)
     //  - "total": the summary with the headline metrics, kept LAST
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => "[\"" + k.takeWhile(_ != '_') + f"""",$v%.2f]""" }
+      .map { case (k, v, f, n) =>
+        "[\"" + k.takeWhile(_ != '_') + f"""",$v%.2f,$f%.2f,$n]""" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"top10","unit":"sec","v":$top}""")
     println(

@@ -770,6 +770,96 @@ object ProfileBpe {
       f""""m_$m":{"docs":$nDocs,"word_occurrences":$occurrences,"word_types":$types,"learn8_wall_s":$t%.2f,"learn8_shuffle_mb":${b / 1e6}%.1f}"""
     }
     println(s"""{"metric":"bpe_scale_curve",${rows.mkString(",")}}""")
+
+    // REAL merge counts (the deployment shape): the driver-local learn
+    // engine over the collected type table — one distributed collapse,
+    // then the whole rule sequence in memory. The distributed loop's
+    // ~0.3 s/merge scheduler floor is what this removes: at 30k merges
+    // that floor alone is ~2.5 h, while the local engine's per-rule
+    // cost is an argmax scan + the merged pair's occurrences. The
+    // blowup corpus exhausts after a few hundred rules (its base vocab
+    // is tiny), so deep rows use a synthetic 200k-type vocabulary
+    // (md5-derived 12-letter words, Zipf-ish 1..8 repeats) — the shape
+    // of a real tokenizer-training type table.
+    val deepWords = spark.range(200000).select(
+      translate(substring(md5(concat(lit("bpe#"), col("id"))), 1, 12),
+        "0123456789abcdef", "ghijklmnopqrstuv").as("w"),
+      (col("id") % 8 + 1).cast("int").as("reps"))
+    val deep = deepWords
+      .select(explode(expr("array_repeat(w, reps)")).as("text"))
+      .persist()
+    deep.count()
+    for (merges <- Seq(1024, 8192, 30000)) {
+      meter.drain()
+      val t = timed {
+        val got = graft.ops.TrainingOps.bpeMerges(deep, "text", merges)
+        assert(got.count() == merges)
+      }
+      val b = meter.drain()
+      println(f"""{"metric":"bpe_deep_learn","word_types":200000,"merges":$merges,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.1f}""")
+    }
+    deep.unpersist()
+    spark.stop()
+  }
+}
+
+/** Streaming SemDeDup state, MEASURED (r11 Next #4): the per-cluster
+  * keyed state holds every member seen — this reports Spark's own
+  * state-store numbers (numRowsTotal = live clusters,
+  * memoryUsedBytes) plus the max/mean cluster occupancy, at three
+  * micro-batch granularities over the same corpus. The state total is
+  * corpus-bound by design (full membership, no eviction — see
+  * streamingSemDedup's cap contract); what the batch-size sweep shows
+  * is that state is a function of the CORPUS, not of how it arrives. */
+object ProfileStream {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-stream")
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).persist()
+    val nVecs = e.count()
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val centArr = graft.ops.VectorOps.lloydCentroids(e, "vec_id",
+        "embedding", k = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val rows = Seq(1, 3, 9).map { nBatches =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pstream")
+      val src = tmp.resolve("src").toString
+      val ids = e.stat.approxQuantile("vec_id",
+        (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
+      val bounds = (Double.NegativeInfinity +: ids.toSeq) :+
+        Double.PositiveInfinity
+      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        e.filter(col("vec_id") > lo && col("vec_id") <= hi)
+          .coalesce(1).write.mode("append").parquet(src)
+        new java.io.File(src).listFiles()
+          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+      }
+      val stream = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val qname = s"pstream_$nBatches"
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingOps
+        .streamingSemDedup(spark, stream, centArr, tau = 0.4)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val st = q.lastProgress.stateOperators
+      val (stateRows, stateBytes) =
+        if (st.nonEmpty) (st.map(_.numRowsTotal).sum,
+          st.map(_.memoryUsedBytes).sum)
+        else (-1L, -1L)
+      val occ = spark.table(qname).groupBy("cluster").count()
+        .agg(max("count"), avg("count")).head()
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      f""""batches_$nBatches":{"wall_s":$wall%.2f,"state_clusters":$stateRows,"state_store_bytes":$stateBytes,"max_cluster_members":${occ.getLong(0)},"mean_cluster_members":${occ.getDouble(1)}%.1f,"est_member_bytes":${8 + 4 * dims}}"""
+    }
+    println(s"""{"metric":"streaming_semdedup_state","n_vecs":$nVecs,"dims":$dims,"k":16,${rows.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -121,9 +121,21 @@ object StreamingOps {
     * cluster occupancy n_c stays bounded (~10⁴ at 10⁸ vectors in the
     * paper's regime), which bounds state per key; the unbounded-corpus
     * path remains the batch/warehouse [[graft.ops.VectorOps
-    * .incrementalSemDedup]]. */
+    * .incrementalSemDedup]].
+    *
+    * `maxMembersPerCluster` makes that occupancy contract ENFORCED,
+    * not aspirational: a cluster exceeding the cap REFUSES loudly
+    * (fails the stream) instead of growing state without bound. There
+    * is deliberately no eviction policy — every stored member, dropped
+    * ones included, votes in future decisions (the membership rule),
+    * so evicting would silently change results; the correct response
+    * to a tripped cap is re-clustering with a larger k (more, smaller
+    * cells) or moving the corpus to the batch maintenance path. State
+    * bytes per cluster ≈ members x (8 + 4 x dims + overhead) — the
+    * measured figures at three batch sizes are in ProfileStream. */
   def streamingSemDedup(spark: SparkSession, vecs: DataFrame,
-      centroids: Array[(Long, Array[Double])], tau: Double): DataFrame = {
+      centroids: Array[(Long, Array[Double])], tau: Double,
+      maxMembersPerCluster: Int = 1000000): DataFrame = {
     import spark.implicits._
     val assigned = vecs
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
@@ -154,6 +166,12 @@ object StreamingOps {
             out += SemDecision(r.vec_id, cluster, suppressor.isEmpty,
               suppressor)
             members = members :+ SemMember(r.vec_id, v)
+            require(members.length <= maxMembersPerCluster,
+              s"streamingSemDedup cluster $cluster exceeded " +
+                s"maxMembersPerCluster=$maxMembersPerCluster — state is " +
+                "full-membership by design (no eviction: dropped members " +
+                "vote); re-cluster with larger k or use the batch " +
+                "incrementalSemDedup path")
           }
           state.update(members)
           out.result().iterator

@@ -134,4 +134,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.select("fingerprint").distinct().count() == 20)
     } finally q.stop()
   }
+
+  test("streamingSemDedup: member cap refuses loudly; under the cap, output matches batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // one centroid -> every vector lands in one cluster (worst case)
+    val cents = Array((0L, Array.fill(4)(1.0)))
+    val vecs = (1L to 8L).map(i =>
+      (i, Seq.fill(4)(rnd.nextFloat() + 0.5f))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("semcap").toString
+    vecs.coalesce(1).write.mode("overwrite").parquet(dir)
+    def run(cap: Int, name: String) = {
+      val stream = spark.readStream.schema(vecs.schema).parquet(dir)
+      val q = StreamingOps.streamingSemDedup(spark, stream, cents,
+          tau = 0.999, maxMembersPerCluster = cap)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // 8 members into a cap of 5: the stream FAILS with the contract
+    // message — state never balloons silently
+    val e = intercept[Exception] { run(5, "semcap_fail") }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxMembersPerCluster")),
+      s"expected the cap contract in the failure chain: ${messages(e)}")
+    // at the cap boundary (8 == cap) the stream completes and matches
+    // the batch prune
+    run(8, "semcap_ok")
+    val streamed = spark.table("semcap_ok")
+      .select("vec_id", "cluster", "kept")
+    val centsDf = Seq((0L, Seq.fill(4)(1.0))).toDF("__c_id", "__c_vec")
+    val batch = graft.ops.VectorOps.semState(vecs, "vec_id", "embedding",
+        centsDf, tau = 0.999)
+      .members.select("vec_id", "cluster", "kept")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
