@@ -829,15 +829,27 @@ object ProfileStream {
     val rows = Seq(1, 3, 9).map { nBatches =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_pstream")
       val src = tmp.resolve("src").toString
-      val ids = e.stat.approxQuantile("vec_id",
-        (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
+      // id-ordered batches (the operator's append-only contract);
+      // stamp each file ONCE — restamping would flatten the mtime
+      // order the FileStreamSource delivers by (same discipline as
+      // CorpusQueries.writeIdOrderedMicroBatches)
+      val ids =
+        if (nBatches == 1) Array.empty[Double]
+        else e.stat.approxQuantile("vec_id",
+          (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
       val bounds = (Double.NegativeInfinity +: ids.toSeq) :+
         Double.PositiveInfinity
+      val stamped = scala.collection.mutable.Set[java.io.File]()
       bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
         e.filter(col("vec_id") > lo && col("vec_id") <= hi)
           .coalesce(1).write.mode("append").parquet(src)
-        new java.io.File(src).listFiles()
-          .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+        new java.io.File(src).listFiles().foreach { f =>
+          if (!stamped.contains(f)) {
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"could not stamp mtime on $f")
+            stamped += f
+          }
+        }
       }
       val stream = spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -860,6 +872,90 @@ object ProfileStream {
       f""""batches_$nBatches":{"wall_s":$wall%.2f,"state_clusters":$stateRows,"state_store_bytes":$stateBytes,"max_cluster_members":${occ.getLong(0)},"mean_cluster_members":${occ.getDouble(1)}%.1f,"est_member_bytes":${8 + 4 * dims}}"""
     }
     println(s"""{"metric":"streaming_semdedup_state","n_vecs":$nVecs,"dims":$dims,"k":16,${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}
+
+/** Product quantization, measured (ops/VectorOps.pqCodebooks/pqEncode/
+  * pqAdcKnn/pqAdcKnnIndexed): the stored-footprint cut of replacing
+  * float vectors with m-int code words, and the ADC scan's wall/recall
+  * against the exact cosine graph — at the blowup corpus, both for the
+  * full scan and the IVFADC probe-pruned composition (the q199/q200
+  * operators at profile scale). */
+object ProfilePq {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-pq")
+    import org.apache.spark.sql.functions._
+    import graft.ops.VectorOps
+    val mx = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val emb = ProfileCorpus.blowupEmb(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")), mx)
+      .persist()
+    val nVecs = emb.count()
+    val meter = new ShuffleMeter
+    meter.drain()
+    var books: org.apache.spark.sql.DataFrame = null
+    val tLearn = timed {
+      books = VectorOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, ksub = 32).persist()
+      books.count(); ()
+    }
+    var enc: org.apache.spark.sql.DataFrame = null
+    val tEnc = timed {
+      enc = VectorOps.pqEncode(emb, "vec_id", "embedding", books)
+        .persist()
+      enc.count(); ()
+    }
+    val bBuild = meter.drain()
+    // stored footprint: the raw float vectors vs the code words, both
+    // as ZSTD parquet (the warehouse's actual at-rest delta)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_prof")
+    emb.write.mode("overwrite").parquet(s"$tmp/raw")
+    enc.write.mode("overwrite").parquet(s"$tmp/codes")
+    def dirMb(p: String): Double = org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(p)) / 1e6
+    val (rawMb, codeMb) = (dirMb(s"$tmp/raw"), dirMb(s"$tmp/codes"))
+    // 20 deterministic queries; exact graph via the full cosine scan
+    val queries = emb.filter(col("vec_id") % 251 === 3)
+      .orderBy("vec_id").limit(20).persist()
+    queries.count()
+    val cents = VectorOps.lloydCentroids(emb, "vec_id", "embedding",
+      k = 16)
+    val k = 5
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    meter.drain()
+    var exact: Map[Long, Set[Long]] = null
+    val tExact = timed {
+      exact = sets(VectorOps.knnJoin(queries, emb, "vec_id",
+        "embedding", cents, k = k, nprobe = 16)); ()
+    }
+    val bExact = meter.drain()
+    var adc: Map[Long, Set[Long]] = null
+    val tAdc = timed {
+      adc = sets(VectorOps.pqAdcKnn(queries, enc, books, "vec_id",
+        "embedding", k = k)); ()
+    }
+    val bAdc = meter.drain()
+    val st = VectorOps.ivfState(emb, "vec_id", "embedding", cents)
+    var ivfadc: Map[Long, Set[Long]] = null
+    val tIvfAdc = timed {
+      ivfadc = sets(VectorOps.pqAdcKnnIndexed(queries, st, enc, books,
+        "vec_id", "embedding", k = k, nprobe = 4)); ()
+    }
+    val bIvfAdc = meter.drain()
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    println(f"""{"metric":"pq_adc","n_vecs":$nVecs,"m":8,"ksub":32,"learn_s":$tLearn%.2f,"encode_s":$tEnc%.2f,"build_shuffle_mb":${bBuild / 1e6}%.1f,"raw_parquet_mb":$rawMb%.1f,"codes_parquet_mb":$codeMb%.2f,"footprint_ratio":${rawMb / codeMb}%.1f,"exact_scan_s":$tExact%.2f,"exact_shuffle_mb":${bExact / 1e6}%.2f,"adc_scan_s":$tAdc%.2f,"adc_shuffle_mb":${bAdc / 1e6}%.2f,"ivfadc_np4_s":$tIvfAdc%.2f,"ivfadc_np4_shuffle_mb":${bIvfAdc / 1e6}%.2f,"recall_adc_at5":${recall(adc)}%.3f,"recall_ivfadc_np4_at5":${recall(ivfadc)}%.3f}""")
     spark.stop()
   }
 }

@@ -750,4 +750,237 @@ object VectorOps {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------- product quantization
+
+  /** A collected PQ codebook: (subspace, code, centroid subvector),
+    * grouped by subspace with codes sorted ascending. Tiny (m x ksub
+    * rows of subDim doubles) — always a broadcast/literal, never a
+    * shuffle side. */
+  private type PqBook = Map[Int, Seq[(Int, Seq[Double])]]
+
+  private def collectBook(codebooks: DataFrame): PqBook =
+    codebooks.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq
+      }
+
+  /** The per-row code assignment as a pure expression: for each
+    * subspace, argmax over the (literal) codebook by ROUNDED cosine
+    * desc, code asc — the [[assignToCentroids]] ordering contract per
+    * subspace, so the whole encode replays as SQL window ranking. A
+    * zero-norm subvector (cosine NULL) coalesces to -2, below any real
+    * cosine, making its assignment deterministic (lowest code wins the
+    * tie). Map-only: encoding 100 TB is a scan, no shuffle, no
+    * driver involvement past the m x ksub literal. */
+  private def pqAssignCol(vec: Column, book: PqBook, m: Int,
+      subDim: Int): Column =
+    array((0 until m).map { s =>
+      val sub = slice(vec, s * subDim + 1, subDim)
+      val cands = book(s).map { case (code, cv) =>
+        struct(
+          coalesce(round(cosine(sub, typedLit(cv)), 6), lit(-2.0)).as("c"),
+          lit(-code).as("neg"))
+      }
+      (-array_max(array(cands: _*)).getField("neg")).cast("int")
+    }: _*)
+
+  /** Learn PQ codebooks: split each vector into `m` contiguous
+    * subvectors (dims % m == 0), seed each subspace's `ksub` codes
+    * with the first `ksub` vectors by id (code = id rank), then ONE
+    * integer-mean refinement — the [[lloydCentroids]] discipline
+    * (micro-unit longs summed associatively, divided once), so every
+    * centroid component is bit-replayable in any engine. A code whose
+    * seed attracts no members after assignment drops out (the SQL
+    * replay drops it identically). Returns (subspace, code, cvec).
+    *
+    * Scale shape: one map-only seed assignment + one narrow
+    * (subspace, code, dim) aggregation — the same cost as ONE Lloyd
+    * step, regardless of m/ksub. Reference: Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+    * 2011 (the IVFADC system this layer re-expresses on Spark). */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): DataFrame = {
+    require(m >= 1 && ksub >= 1, "pqCodebooks needs m >= 1, ksub >= 1")
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    val subDim = dims / m
+    val seedBook: PqBook = {
+      // cast before collect: the embedding column may be float-typed;
+      // float -> double widening is exact and both engines spell it
+      val seeds = emb.orderBy(col(idCol)).limit(ksub)
+        .select(col(vecCol).cast("array<double>")).collect()
+        .map(_.getSeq[Double](0))
+      (0 until m).map { s =>
+        s -> seeds.zipWithIndex.map { case (v, code) =>
+          (code, v.slice(s * subDim, (s + 1) * subDim))
+        }.toSeq
+      }.toMap
+    }
+    emb
+      // codes computed ONCE per row (separate projection: the m
+      // element_at references keep CollapseProject from inlining the
+      // argmax m times over)
+      .select(col(vecCol).as("__v"),
+        pqAssignCol(col(vecCol), seedBook, m, subDim).as("__codes"))
+      .select(posexplode(array((0 until m).map(s => struct(
+          lit(s).as("s"),
+          element_at(col("__codes"), s + 1).as("code"),
+          slice(col("__v"), s * subDim + 1, subDim).as("sv"))): _*))
+        .as(Seq("__i", "__e")))
+      .select(col("__e.s").as("subspace"), col("__e.code").as("code"),
+        posexplode(col("__e.sv")).as(Seq("__dim", "__v")))
+      .groupBy("subspace", "code", "__dim")
+      .agg(sum(floor(col("__v").cast("double") * 1e6 + 0.5).cast("long"))
+          .as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("subspace"), col("code"),  col("__dim"),
+        (col("__s").cast("double") / (col("__n") * 1e6)).as("__comp"))
+      .groupBy("subspace", "code")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__dim"), col("__comp")))),
+        x => x.getField("__comp")).as("cvec"))
+  }
+
+  /** Encode every vector to its m-byte PQ code word — THE stored form
+    * of a 100 TB vector corpus: m ints (m bytes on disk after parquet
+    * bit-packing) instead of 4 x dims float bytes, a 16-64x footprint
+    * cut, decodable against the tiny codebook forever after. Pure map
+    * over a literal codebook. Returns (idCol, pq_codes). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame): DataFrame = {
+    val book = collectBook(codebooks)
+    val m = book.size
+    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims vs codebook subspaces m=$m")
+    pqEncodeWith(emb, idCol, vecCol, book, m, dims / m)
+  }
+
+  private def pqEncodeWith(emb: DataFrame, idCol: String, vecCol: String,
+      book: PqBook, m: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol),
+      pqAssignCol(col(vecCol), book, m, subDim).as("pq_codes"))
+
+  /** Asymmetric-distance top-k over PQ codes (Jégou et al.'s ADC):
+    * each query precomputes one lookup table of dot(q_s, c_(s,j)) for
+    * every (subspace, code) — m x ksub doubles — and every corpus
+    * row's approximate similarity is then m table lookups summed in
+    * subspace order plus the code word's reconstruction norm (a
+    * query-independent table). No per-pair float-vector arithmetic at
+    * all: the corpus side touches ONLY the m-int code column, so a
+    * 100 TB scan reads the narrow code parquet, broadcasts the
+    * (queries x 32-entry LUT) frame, and shuffles k rows per (query,
+    * partition) through the bounded top-k aggregate.
+    *
+    * adc_cos = Σ_s LUT[s][code_s] / (|q| * sqrt(Σ_s |c_(s,code_s)|²)),
+    * rounded to 6 — exactly cosine(q, reconstruction) up to float
+    * summation grouping, and bit-exactly the subspace-ordered fold a
+    * SQL replay produces (q199 hash-matches the whole chain). Both
+    * Σ_s folds run in subspace order; every LUT entry is the same
+    * in-order [[dot]] fold the oracle's list_sum spells. Ordering:
+    * adc_cos desc, id asc; self-pairs excluded. */
+  /** Shared ADC machinery: the LUT/norm² tables over a literal
+    * codebook, the subspace-ordered fold, and the bounded top-k
+    * finish. `stride` is a FIXED ksub-slot stride so (subspace, code)
+    * indexes one flat array; absent codes hold 0 and are never
+    * referenced (encode cannot emit a code the codebook lacks). The
+    * driver-side norm² fold is the same in-order IEEE sequence as the
+    * engine's [[dot]] fold on the same doubles. */
+  private final case class AdcTables(book: PqBook, m: Int, stride: Int,
+      subDim: Int, n2: Seq[Double]) {
+    def lutFor(vec: Column): Column =
+      array((0 until m * stride).map { i =>
+        book(i / stride).find(_._1 == i % stride)
+          .fold(lit(0.0)) { case (_, cv) =>
+            dot(slice(vec, (i / stride) * subDim + 1, subDim),
+              typedLit(cv))
+          }
+      }: _*)
+    def score(codes: Column, lut: Column, qL2: Column): Column = {
+      def fold(entry: (Column, Column) => Column) =
+        aggregate(
+          zip_with(codes, typedLit((0 until m).toList), entry),
+          lit(0.0), (acc, v) => acc + v)
+      round(
+        fold((c, s) => element_at(lut, s * stride + c + 1)) /
+          (qL2 * sqrt(
+            fold((c, s) => element_at(typedLit(n2), s * stride + c + 1)))),
+        6)
+    }
+  }
+
+  private def adcTables(codebooks: DataFrame, dims: Int): AdcTables = {
+    val book = collectBook(codebooks)
+    val m = book.size
+    require(dims % m == 0, s"dims=$dims vs codebook subspaces m=$m")
+    val stride = book.valuesIterator.map(_.map(_._1).max).max + 1
+    val n2 = (0 until m * stride).map { i =>
+      book(i / stride).find(_._1 == i % stride).fold(0.0) { case (_, cv) =>
+        var acc = 0.0
+        var j = 0
+        while (j < cv.length) { acc += cv(j) * cv(j); j += 1 }
+        acc
+      }
+    }
+    AdcTables(book, m, stride, dims / m, n2)
+  }
+
+  private def adcTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy("__q_id")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        col("adc_cos"), col(idCol), k).as("__top"))
+      .select(col("__q_id").as("q_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as(idCol), col("__e.score").as("adc_cos"))
+
+  def pqAdcKnn(queries: DataFrame, encoded: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val dims = queries.select(size(col(vecCol))).head().getInt(0)
+    val t = adcTables(codebooks, dims)
+    val qSide = queries.select(col(idCol).as("__q_id"),
+      l2norm(col(vecCol)).as("__q_l2"),
+      t.lutFor(col(vecCol)).as("__lut"))
+    adcTopK(
+      encoded.crossJoin(broadcast(qSide))
+        .filter(col("__q_id") =!= col(idCol))
+        .select(col("__q_id"), col(idCol),
+          t.score(col("pq_codes"), col("__lut"), col("__q_l2"))
+            .as("adc_cos")),
+      idCol, k)
+  }
+
+  /** IVFADC — the deployment composition: IVF probe pruning picks the
+    * `nprobe` candidate cells per query, ADC scores ONLY those cells'
+    * code words. The corpus side of the join carries (cluster,
+    * pq_codes): at 100 TB that is the cell-partitioned code parquet,
+    * read nprobe/nlist of it per query batch, floats touched never.
+    * nprobe = nlist degenerates to [[pqAdcKnn]] exactly (same scores,
+    * same ordering — q200 reuses q199's full-scan oracle on that
+    * identity), and partial probes obey the q195 containment laws
+    * with adc_cos as the score. */
+  def pqAdcKnnIndexed(queries: DataFrame, state: IvfState,
+      encoded: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val dims = queries.select(size(col(vecCol))).head().getInt(0)
+    val t = adcTables(codebooks, dims)
+    val probes = probeCells(queries, state.centroids, idCol, vecCol,
+        nprobe, keepVec = true)
+      .select(col("__q_id"), col("cluster"),
+        l2norm(col("__q_vec")).as("__q_l2"),
+        t.lutFor(col("__q_vec")).as("__lut"))
+    val codesByCell = state.assigned.select(col(idCol), col("cluster"))
+      .join(encoded, Seq(idCol))
+    adcTopK(
+      probes.join(codesByCell, Seq("cluster"))
+        .filter(col("__q_id") =!= col(idCol))
+        .select(col("__q_id"), col(idCol),
+          t.score(col("pq_codes"), col("__lut"), col("__q_l2"))
+            .as("adc_cos")),
+      idCol, k)
+  }
 }

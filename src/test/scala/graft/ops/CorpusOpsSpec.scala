@@ -595,4 +595,139 @@ class CorpusOpsSpec extends AnyFunSuite {
   // state produces exactly the batch decisions for those clusters
   // (exercised end-to-end by q187's require; the batch-side algebra is
   // the "prune decomposes by cluster" law)
+
+  // ---------------------------------------- product quantization
+
+  // quarter-valued components: v * 1e6 is an exact integer and the
+  // micro-round division is exact in binary, so a single-member
+  // code's refined centroid IS its seed vector bit for bit — the
+  // degenerate law below is then exact, not approximate
+  private def quarterVecs(n: Int, dims: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    vecs((1L to n.toLong).map(i =>
+      i -> Seq.fill(dims)((rnd.nextInt(9) - 4) * 0.25f)): _*)
+  }
+
+  test("pq degenerate law: m=1, ksub=n reproduces the exact cosine ranking") {
+    val e = quarterVecs(14, 8, seed = 43)
+    // fixture guard: no two vectors may be same-direction (rounded
+    // cosine 1.0) or the self-assignment argument breaks
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("vec_id").as("id2"),
+        col("embedding").as("e2")))
+      .filter(col("vec_id") < col("id2"))
+      .select(round(VectorOps.cosine(col("embedding"), col("e2")), 6)
+        .as("c"))
+      .filter(col("c") >= 1.0).count()
+    assert(pairs == 0L, "fixture has same-direction vectors; reseed")
+    val books = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      m = 1, ksub = 14)
+    val enc = VectorOps.pqEncode(e, "vec_id", "embedding", books)
+    val adc = VectorOps.pqAdcKnn(e, enc, books, "vec_id", "embedding",
+      k = 3)
+    // exact graph over the raw vectors, same ordering contract
+    val exact = e.select(col("vec_id").as("__q_id"),
+        col("embedding").as("__q_vec"))
+      .crossJoin(e.select(col("vec_id").as("__c_id"),
+        col("embedding").as("__c_vec")))
+      .filter(col("__q_id") =!= col("__c_id"))
+      .select(col("__q_id"), col("__c_id"),
+        round(VectorOps.cosine(col("__q_vec"), col("__c_vec")), 6)
+          .as("cs"))
+      .groupBy("__q_id")
+      .agg(graft.functions.TopKAgg.topKByScore(col("cs"), col("__c_id"), 3)
+        .as("__top"))
+      .select(col("__q_id").as("q_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("vec_id"), col("__e.score").as("adc_cos"))
+    assert(adc.exceptAll(exact).isEmpty && exact.exceptAll(adc).isEmpty,
+      "degenerate PQ (every vector its own code) diverged from the " +
+        "exact cosine ranking")
+  }
+
+  test("pq: codes are m ints in [0, ksub); a dead code is never emitted") {
+    import spark.implicits._
+    // vector 2 = 2 x vector 1 (same direction): both seeds' members
+    // collapse onto code 0 by the tie-break, so code 1 dies in the
+    // refined book and the encoder can never emit it
+    val base = Seq.fill(8)(0.25f)
+    val e = vecs(
+      1L -> base, 2L -> base.map(_ * 2),
+      3L -> Seq.fill(8)(-0.5f), 4L -> (Seq.fill(4)(0.75f) ++ Seq.fill(4)(-0.25f)))
+    val books = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      m = 2, ksub = 2)
+    val codes = books.select("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(!codes.contains((0, 1)) && !codes.contains((1, 1)),
+      s"expected seed 2's code to die into seed 1's: $codes")
+    val enc = VectorOps.pqEncode(e, "vec_id", "embedding", books)
+      .select("pq_codes").collect().map(_.getSeq[Int](0))
+    assert(enc.forall(c => c.length == 2 && c.forall(_ == 0)), enc.toSeq)
+  }
+
+  test("pq ADC score: LUT lookup == independent driver re-derivation") {
+    val e = quarterVecs(20, 8, seed = 47)
+    val books = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      m = 2, ksub = 3)
+    val enc = VectorOps.pqEncode(e, "vec_id", "embedding", books)
+    val adc = VectorOps.pqAdcKnn(e, enc, books, "vec_id", "embedding",
+      k = 19)  // k >= n-1: every pair's score surfaces
+    val book = books.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .toMap
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecsById = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def dotF(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def half6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = adc.collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((qId, xId), score) =>
+      val qv = vecsById(qId)
+      val terms = codes(xId).zipWithIndex.map { case (c, s) =>
+        dotF(qv.slice(s * 4, (s + 1) * 4), book((s, c)))
+      }
+      val n2 = codes(xId).zipWithIndex.map { case (c, s) =>
+        dotF(book((s, c)), book((s, c)))
+      }
+      val expect = half6(
+        terms.foldLeft(0.0)(_ + _) /
+          (math.sqrt(dotF(qv, qv)) * math.sqrt(n2.foldLeft(0.0)(_ + _))))
+      assert(score == expect,
+        s"ADC($qId, $xId): lut=$score re-derived=$expect")
+    }
+  }
+
+  test("pq IVFADC: nprobe = nlist equals the full ADC scan exactly") {
+    val e = quarterVecs(30, 8, seed = 53)
+    val books = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      m = 2, ksub = 4)
+    val enc = VectorOps.pqEncode(e, "vec_id", "embedding", books)
+    val cents = VectorOps.lloydCentroids(e, "vec_id", "embedding", k = 3)
+    val st = VectorOps.ivfState(e, "vec_id", "embedding", cents)
+    val q = e.filter(col("vec_id") % 3 === 1)
+    val full = VectorOps.pqAdcKnn(q, enc, books, "vec_id", "embedding",
+      k = 4)
+    val ivf = VectorOps.pqAdcKnnIndexed(q, st, enc, books, "vec_id",
+      "embedding", k = 4, nprobe = 3)
+    assert(ivf.exceptAll(full).isEmpty && full.exceptAll(ivf).isEmpty,
+      "IVFADC at nprobe = nlist diverged from the full ADC scan")
+  }
+
+  test("pq: indivisible dims refuse loudly") {
+    val e = quarterVecs(6, 8, seed = 59)
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.pqCodebooks(e, "vec_id", "embedding", m = 3, ksub = 2)
+    }
+    assert(err.getMessage.contains("not divisible"), err.getMessage)
+  }
 }
