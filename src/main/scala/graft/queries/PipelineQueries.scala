@@ -315,6 +315,49 @@ object PipelineQueries {
       } finally toks.unpersist(blocking = false)
     }),
 
+    // Bloom MEMBERSHIP prefilter (ops/Sketches.bloomBuild/
+    // bloomMightContain — the runtime-filter pattern at the operator
+    // level, completing the sketch family: HLL counts distinct,
+    // count-min counts frequency, bloom answers membership): build a
+    // fixed-size bloom over the benchmark's distinct word 4-grams,
+    // probe every corpus gram TYPE, and run the exact overlap join
+    // only over admitted grams. The bloom LAW — no false negatives —
+    // makes the admitted set a provable superset of the true overlap,
+    // so the per-doc shared-gram counts are EXACTLY the direct join's
+    // (the oracle computes them bloom-free), while the exact join's
+    // probe side shrinks to the admitted gram types. At 100 TB the
+    // sketch is <= m_bits rows built once per benchmark and broadcast;
+    // the corpus-side explode feeds a semi-join against it instead of
+    // the full benchmark gram set. In-query require: EVERY benchmark
+    // gram probes true — the no-false-negative law, exhaustively.
+    "q201_bloom_prefilter" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val benchGrams = d.filter(col("doc_id") % 41 === 0)
+        .select(explode(graft.ops.TextDedup.shinglesOf(
+          graft.ops.TextDedup.tokensOf(col("text")), 4)).as("gram"))
+        .distinct().persist()
+      try {
+        val sketch = graft.ops.Sketches.bloomBuild(benchGrams, "gram")
+        val misses = graft.ops.Sketches.bloomMightContain(sketch,
+            benchGrams, "gram")
+          .filter(!col("bloom_hit")).count()
+        require(misses == 0L,
+          s"bloom no-false-negative law violated: $misses benchmark " +
+            "grams probed false")
+        val corpusGrams = d.filter(col("doc_id") % 41 =!= 0)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.ops.TextDedup.shinglesOf(
+              graft.ops.TextDedup.tokensOf(col("text")), 4))).as("gram"))
+        val admitted = graft.ops.Sketches.bloomMightContain(sketch,
+            corpusGrams.select("gram").distinct(), "gram")
+          .filter(col("bloom_hit")).select("gram")
+        corpusGrams.join(broadcast(admitted), "gram")
+          .join(broadcast(benchGrams), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+          .orderBy("doc_id")
+      } finally benchGrams.unpersist(blocking = false)
+    }),
+
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
     // of distinct word 3-grams each corpus doc shares with a held-out
     // "benchmark" slice — the train-test overlap check a pretraining
@@ -932,6 +975,26 @@ object PipelineQueries {
         |FROM tf GROUP BY tok
         |HAVING COUNT(*) >= (SELECT GREATEST(1, COUNT(*) // 1000) FROM tf)
         |ORDER BY exact_cnt DESC, tok""".stripMargin,
+    // Bloom-free: the direct exact 4-gram overlap — the frame the
+    // bloom-prefiltered composition must reproduce exactly (no false
+    // negatives = the admitted set is a superset of the join keys).
+    "q201_bloom_prefilter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 4 THEN [array_to_string(t,' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3],' ')))
+        |  END AS s
+        |  FROM tok
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 41 = 0
+        |), corpus AS (
+        |  SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 41 <> 0
+        |)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM corpus c JOIN bench b USING (gram)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
     // The full sketch replayed: same md5 bucket/word split, same exact
     // integer register math (bin() length = bitlength, exactly Spark's
     // conv-to-binary length), the alpha*m^2 constant embedded as

@@ -380,4 +380,38 @@ class DedupOpsSpec extends AnyFunSuite {
     try intercept[IllegalArgumentException] { run() }
     finally spark.conf.unset(graft.ops.Materialize.ConfKey)
   }
+
+  // the endpoint lemma q162's trimmed pin rests on: with the corpus
+  // df table FIXED, a pair's n_shared depends only on its two
+  // endpoints' gram sets, so the pair self-join over a doc subset
+  // (validity still from the full-corpus df) equals the full pair
+  // frame restricted to pairs with both endpoints in the subset
+  test("rare-shingle pairs decompose by endpoint restriction under the corpus df table") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (1L to 12L).map { i =>
+      // overlapping shared block + per-doc filler: plenty of rare
+      // shingles crossing the subset boundary
+      (i, s"$shared pad${i}a pad${i}b $shared tail${(i % 4)}x tail${(i % 4)}y")
+    }.toDF("doc_id", "text")
+    val st = TextDedup.shingleState(docs, "doc_id", "text",
+      shingleN = 3, maxDf = 8, minShared = 2)
+    val valid = st.df.filter(col("df") >= 2 && col("df") <= 8)
+      .select("gram")
+    for (r <- 0 until 3) {
+      val rgS = st.grams.filter(col("doc_id") % 3 === r)
+        .join(valid, "gram").select("doc_id", "gram")
+      val pairsS = rgS.as("a").join(rgS.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      val fullR = st.pairs
+        .filter(col("id_a") % 3 === r && col("id_b") % 3 === r)
+      assert(pairsS.exceptAll(fullR).isEmpty &&
+        fullR.exceptAll(pairsS).isEmpty,
+        s"doc stratum $r pair frame diverged from the restricted full frame")
+    }
+  }
 }

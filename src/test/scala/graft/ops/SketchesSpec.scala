@@ -119,4 +119,50 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("a") > 1.8 && got("a") < 2.2)
     assert(got("b") > 0.8 && got("b") < 1.2)
   }
+
+  test("bloom: no false negatives ever; false positives exist at tiny m; a miss is definitive") {
+    import spark.implicits._
+    val present = (1 to 200).map(i => s"key$i").toDF("k")
+    val sk = Sketches.bloomBuild(present, "k", mBits = 256, kHashes = 3)
+    // every inserted key probes true — the law, exhaustively
+    val neg = Sketches.bloomMightContain(sk, present, "k",
+      mBits = 256, kHashes = 3).filter(!col("bloom_hit")).count()
+    assert(neg == 0L, s"$neg false negatives")
+    // 200 keys into 256 bits: the filter is saturated, so absent keys
+    // MUST mostly collide — false positives are real, and any absent
+    // key that does miss is definitively absent
+    val absent = (1 to 200).map(i => s"other$i").toDF("k")
+    val hits = Sketches.bloomMightContain(sk, absent, "k",
+        mBits = 256, kHashes = 3)
+      .filter(col("bloom_hit")).count()
+    assert(hits > 0L, "expected false positives at saturation")
+  }
+
+  test("bloom: shard sketches OR-merge to the single-pass sketch exactly") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i % 7, s"tok${i % 90}"))
+      .toDF("shard", "k")
+    val merged = Sketches.bloomBuild(rows, "k", mBits = 1024,
+        kHashes = 4, shardCols = Seq("shard"))
+      .select("bit", "m_bits", "k_hashes").distinct()
+    val single = Sketches.bloomBuild(rows, "k", mBits = 1024, kHashes = 4)
+    assert(merged.exceptAll(single).isEmpty &&
+      single.exceptAll(merged).isEmpty)
+  }
+
+  test("bloom: probing with mismatched (mBits, kHashes) fails loudly") {
+    import spark.implicits._
+    val sk = Sketches.bloomBuild(Seq("a", "b").toDF("k"), "k",
+      mBits = 1024, kHashes = 4)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(sk, Seq("a").toDF("k"), "k",
+        mBits = 512, kHashes = 4).collect()
+    }
+    assert(e.getMessage.contains("parameter mismatch"), e.getMessage)
+    // parameter-stripped external sketches stay accepted (caller-owned)
+    val hit = Sketches.bloomMightContain(sk.select("bit"),
+        Seq("a").toDF("k"), "k", mBits = 1024, kHashes = 4)
+      .head().getBoolean(1)
+    assert(hit)
+  }
 }

@@ -117,6 +117,32 @@ class SkewWideSpec extends AnyFunSuite {
     assert(back.exceptAll(direct).isEmpty && direct.exceptAll(back).isEmpty)
   }
 
+  // the cell lemma q169's trimmed identity rests on: every H3Wide
+  // stage (build, hybrid, assemble, routed) is keyed by h3_cell with
+  // no cross-cell term, so running the whole identity on a cell
+  // stratum equals restricting the full results to that stratum
+  test("wide/hybrid layouts decompose by h3_cell stratum") {
+    val klasses = H3Wide.klassValuesOf(index)
+    val groups = H3Wide.defaultGroups(klasses, n = 2)
+    val strat = pmod(xxhash64(col("h3_cell")), lit(3)) === 0
+    val idxS = index.filter(strat)
+    val b = H3Wide.build(index, klasses).filter(strat)
+    val bS = H3Wide.build(idxS, klasses)
+    assert(bS.exceptAll(b).isEmpty && b.exceptAll(bS).isEmpty,
+      "build diverged on the cell stratum")
+    val back = H3Wide.assemble(H3Wide.hybrid(idxS, groups), groups)
+    val backF = H3Wide.assemble(H3Wide.hybrid(index, groups), groups)
+      .filter(strat)
+    assert(back.exceptAll(backF).isEmpty && backF.exceptAll(back).isEmpty,
+      "hybrid + assemble diverged on the cell stratum")
+    val span = groups.values.map(_.head).toSeq.sorted
+    val r = H3Wide.routed(idxS, H3Wide.hybrid(idxS, groups), groups, span)
+    val rF = H3Wide.routed(index, H3Wide.hybrid(index, groups), groups,
+      span).filter(strat)
+    assert(r.exceptAll(rF).isEmpty && rF.exceptAll(r).isEmpty,
+      "routed diverged on the cell stratum")
+  }
+
   test("hybrid router: single scan, spanning join, long fallback") {
     val klasses = H3Wide.klassValuesOf(index)
     val groups = H3Wide.defaultGroups(klasses, n = 2)
