@@ -286,4 +286,117 @@ object Sketches {
       .agg((count(lit(1)) === sum(coalesce(col("__set"), lit(0))))
         .as("bloom_hit"))
   }
+
+  // ------------------------------------------- hdr quantile histogram
+
+  /** Log-scale histogram bin of a non-negative long — the HDR
+    * Histogram binning (Tene's HdrHistogram, the production-standard
+    * latency-quantile structure): values whose bit length fits
+    * `p + 1` bits get EXACT bins (bin = v); larger values keep their
+    * top `p + 1` bits, so every bin's width/low ratio is <= 2^-p and
+    * a midpoint estimate is within 2^-(p+1) relative error of any
+    * member. All-integer — bit length via `conv(v, 10, 2)` string
+    * length (== DuckDB's `length(bin(v))`, the HLL rho identity), the
+    * dynamic shifts via the SQL shiftright/shiftleft (expression
+    * arguments, unlike the literal-only Scala helpers) — so the whole
+    * sketch replays in any engine with integer shifts. Completes the
+    * sketch quartet: HLL "how many distinct", count-min "how often",
+    * bloom "possibly present", hdr "how is it distributed".
+    *
+    * bin = b * 2^p + (v >> b) where b = max(0, bitlen(v) - (p + 1)).
+    * Monotone non-decreasing in v, contiguous across the exact/coarse
+    * boundary (spec-pinned at the 2^k +- 1 seams). */
+  private def hdrBin(v: Column, p: Int): Column = {
+    require(p >= 1 && p <= 20, "hdr precision must be in [1, 20]")
+    val blen = length(conv(v, 10, 2))
+    val b = greatest(blen - (p + 1), lit(0))
+    (b.cast("long") * (1L << p) +
+      call_function("shiftright", v, b)).as("bin")
+  }
+
+  /** Inclusive [low, high] bounds of a bin index (the build's exact
+    * inverse: low <= every member <= high, spec-pinned). */
+  private def hdrBounds(bin: Column, p: Int): (Column, Column) = {
+    val b = greatest(call_function("shiftright", bin, lit(p)).cast("int") - 1,
+      lit(0))
+    val low = when(bin < (2L << p), bin)
+      .otherwise(call_function("shiftleft", bin - b.cast("long") * (1L << p), b))
+    val high = when(bin < (2L << p), bin)
+      .otherwise(low + call_function("shiftleft", lit(1L), b) - 1L)
+    (low, high)
+  }
+
+  /** Build the histogram: (shardCols..., bin, cnt, hdr_p) — at most
+    * ~64 * 2^p bins regardless of input cardinality, `p` carried as a
+    * column (the count-min structural contract — [[hdrQuantiles]]
+    * require-checks it; a mismatched precision would decode bins to
+    * the wrong value ranges silently). Shard sketches SUM-merge to the
+    * union's sketch cell for cell, exactly (counts decompose over any
+    * partition of the rows). Negative values fail LOUDLY at execution
+    * (raise_error), not by silent misbinning: `conv` would format them
+    * as 64-bit two's-complement magnitudes. */
+  def hdrBuild(df: DataFrame, valueCol: String, precision: Int = 7,
+      shardCols: Seq[String] = Nil): DataFrame = {
+    val shard = shardCols.map(col)
+    val v = col(valueCol).cast("long")
+    val checked = when(v < 0L,
+      raise_error(concat(lit(s"hdrBuild: negative $valueCol value "),
+        v.cast("string"), lit(" — hdr bins are defined on [0, 2^63)")))
+        .cast("long"))
+      .otherwise(v)
+    df.filter(col(valueCol).isNotNull)
+      .select(shard :+ hdrBin(checked, precision): _*)
+      .groupBy(shard :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(shard ++ Seq(col("bin"), col("cnt"),
+        lit(precision).as("hdr_p")): _*)
+  }
+
+  /** Quantile estimates from a (merged) histogram: for each q in
+    * `qs`, the value at rank max(ceil(q * n), 1) in the sorted
+    * population, estimated as the MIDPOINT of the bin holding that
+    * rank — the bin's cumulative count brackets the true rank-value
+    * exactly, so |est - true| <= half the bin width and the relative
+    * error is <= 2^-(p+1) (the in-query law q202 requires). Per-group
+    * with `groupCols`; returns (groupCols..., q, n, hdr_est), one row
+    * per (group, q). The ceil/multiply runs on the same IEEE doubles
+    * in any engine — the replay is bit-stable. */
+  def hdrQuantiles(sketch: DataFrame, qs: Seq[Double], precision: Int = 7,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val cols = sketch.columns.toSet
+    val base =
+      if (cols.contains("hdr_p")) {
+        val r = sketch.agg(min(col("hdr_p")), max(col("hdr_p"))).head()
+        if (!r.isNullAt(0)) {
+          require(r.getInt(0) == precision && r.getInt(1) == precision,
+            s"hdr precision mismatch: sketch built with p=" +
+              s"${r.getInt(0)}..${r.getInt(1)}, queried with p=$precision" +
+              " — bins would decode to wrong value ranges")
+        }
+        sketch
+      } else sketch
+    val gcols = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy("bin")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+    val (low, high) = hdrBounds(col("bin"), precision)
+    base
+      .select(gcols ++ Seq(col("bin"), col("cnt")): _*)
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(gcols ++ Seq(col("bin"), col("__cum"), col("n"),
+        explode(typedLit(qs)).as("q")): _*)
+      .filter(col("__cum") >=
+        greatest(ceil(col("q") * col("n").cast("double")), lit(1L)))
+      .groupBy(gcols ++ Seq(col("q"), col("n")): _*)
+      .agg(min(col("bin")).as("bin"))
+      // midpoint as low + (width >> 1): `/` would be double division
+      // and low + high can overflow a long near the top of the domain
+      .select(gcols ++ Seq(col("q"), col("n"),
+        (low + call_function("shiftright", high - low, lit(1)))
+          .as("hdr_est")): _*)
+  }
 }

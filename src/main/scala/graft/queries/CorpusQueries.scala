@@ -992,9 +992,21 @@ object CorpusQueries {
           .select(col("q_id"), (col("__pos") + 1).cast("int").as("rank"),
             col("__e.id").as("vec_id"), col("__e.score").as("adc_cos"))
         val g9 = g.filter(col("q_id") % 21 === 3)
-        require(g9.exceptAll(g9dec).isEmpty && g9dec.exceptAll(g9).isEmpty,
-          "LUT-based ADC diverged from the decode-then-score " +
-            "re-derivation on the sub-stratum")
+        // one-job two-sided pin: (q_id, rank) is unique on both sides
+        // (bounded top-k output), so a full-outer join classifies every
+        // divergence — the exceptAll form executed the unpersisted
+        // decode-re-derivation TWICE (measured ~5 s of the entry)
+        val diff = g9.select(col("q_id"), col("rank"),
+            col("vec_id").as("__v_l"), col("adc_cos").as("__c_l"))
+          .join(g9dec.select(col("q_id"), col("rank"),
+            col("vec_id").as("__v_d"), col("adc_cos").as("__c_d")),
+            Seq("q_id", "rank"), "full_outer")
+          .filter(col("__v_l").isNull || col("__v_d").isNull ||
+            col("__v_l") =!= col("__v_d") || col("__c_l") =!= col("__c_d"))
+          .count()
+        require(diff == 0L,
+          s"LUT-based ADC diverged from the decode-then-score " +
+            s"re-derivation on the sub-stratum: $diff rows differ")
         Memos.track(s"corpus:pqadc:$dir", Set("q199_pq_adc"), g) { () =>
           g.unpersist(blocking = false); ()
         }

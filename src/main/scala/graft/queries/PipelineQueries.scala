@@ -358,6 +358,73 @@ object PipelineQueries {
       } finally benchGrams.unpersist(blocking = false)
     }),
 
+    // HDR QUANTILE histogram (ops/Sketches.hdrBuild/hdrQuantiles —
+    // the fourth sketch: HLL counts distinct, count-min frequency,
+    // bloom membership, hdr DISTRIBUTION): log-scale all-integer
+    // bins over price cents, built PER SHARD in one pass, SUM-merged
+    // cell for cell (require'd == the single-pass sketch), quantiles
+    // {p50, p90, p99, p999} estimated from the merged sketch. The hdr
+    // LAW — the true rank value lies in the picked bin, so the
+    // midpoint is within 2^-(p+1) relative — is require'd in-query
+    // against the EXACT rank values (one distinct-value cum-sum job).
+    // At 100 TB each shard's sketch is <= ~64*2^p rows regardless of
+    // cardinality and the merge is a cell SUM — the daily latency/
+    // size-percentile rollup runs on sketch tables, never re-reading
+    // the corpus. The oracle replays the ENTIRE sharded chain — bit
+    // length via DuckDB's bin() == Spark's conv(v,10,2) (the HLL rho
+    // identity), integer shifts, same IEEE ceil — and hash-matches.
+    "q202_hdr_quantiles" -> ((s, dir) => {
+      val p = 7
+      val qs = Seq(0.5, 0.9, 0.99, 0.999)
+      val cents = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 4).as("shard"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      // persisted: the sketch is <= ~64 * 2^p rows and feeds the cell
+      // diff, the quantile estimate and the returned frame
+      val merged = graft.ops.Sketches
+        .hdrBuild(cents, "v", precision = p, shardCols = Seq("shard"))
+        .groupBy("bin", "hdr_p").agg(sum(col("cnt")).as("cnt"))
+        .select("bin", "cnt", "hdr_p")
+        .persist()
+      val single = graft.ops.Sketches.hdrBuild(cents, "v", precision = p)
+      // one-job two-sided cell diff (bin unique per side): the
+      // exceptAll form would execute both sketch builds twice
+      val cellDiff = merged.withColumnRenamed("cnt", "cnt_m")
+        .join(single.withColumnRenamed("cnt", "cnt_s"),
+          Seq("bin", "hdr_p"), "full_outer")
+        .filter(col("cnt_m").isNull || col("cnt_s").isNull ||
+          col("cnt_m") =!= col("cnt_s")).count()
+      require(cellDiff == 0L,
+        s"hdr shard rollup diverged cell-wise from the single-pass " +
+          s"sketch: $cellDiff cells differ")
+      val est = graft.ops.Sketches.hdrQuantiles(merged, qs, precision = p)
+      val estRows = est.collect()
+      merged.unpersist(blocking = false)
+      val n = estRows.head.getLong(1)
+      val ranks = qs.map(q => (q, math.max(math.ceil(q * n).toLong, 1L)))
+      // exact rank values in one job: distinct-value cumulative counts
+      // (~|distinct prices| rows, a bounded single-partition window)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val exact = cents.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("__c", sum(col("cnt")).over(w))
+        .select(col("v"), col("__c"), explode(typedLit(ranks)).as("__p"))
+        .filter(col("__c") >= col("__p._2"))
+        .groupBy(col("__p._1").as("q")).agg(min(col("v")).as("exact"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      estRows.foreach { r =>
+        val (q, e) = (r.getDouble(0), r.getLong(2))
+        val x = exact(q)
+        require(math.abs(e - x).toDouble / x <= 1.0 / (1L << (p + 1)),
+          s"hdr estimate out of the 2^-(p+1) bound at q=$q: " +
+            s"est=$e exact=$x")
+      }
+      val sess = s
+      import sess.implicits._
+      estRows.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("q", "n", "hdr_est").orderBy("q")
+    }),
+
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count
     // of distinct word 3-grams each corpus doc shares with a held-out
     // "benchmark" slice — the train-test overlap check a pretraining
@@ -995,6 +1062,44 @@ object PipelineQueries {
         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
         |FROM corpus c JOIN bench b USING (gram)
         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    // The WHOLE sharded hdr chain replayed: same cents rounding, bit
+    // length via bin() (== Spark's conv-to-binary length, the HLL rho
+    // identity), the same integer bin/shift math, per-shard GROUP BY
+    // then cell SUM, the same ceil-rank pick and low + (width >> 1)
+    // midpoint decode. p = 7: exact region bin < 256, coarse
+    // b = (bin >> 7) - 1.
+    "q202_hdr_quantiles" ->
+      """WITH c AS (
+        |  SELECT l_orderkey % 4 AS shard,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |), i AS (
+        |  SELECT shard, CASE WHEN length(bin(v)) <= 8 THEN v
+        |    ELSE (length(bin(v)) - 8) * 128 + (v >> (length(bin(v)) - 8))
+        |  END AS bin FROM c
+        |), sh AS (
+        |  SELECT shard, bin, COUNT(*) AS cnt FROM i GROUP BY shard, bin
+        |), m AS (
+        |  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sh GROUP BY bin
+        |), cum AS (
+        |  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cu,
+        |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |  FROM m
+        |), qs AS (
+        |  -- DOUBLE, not DuckDB's DECIMAL literal type: the rank pick
+        |  -- must run the same IEEE q * n the Spark side runs
+        |  SELECT CAST(unnest([0.5, 0.9, 0.99, 0.999]) AS DOUBLE) AS q
+        |), pick AS (
+        |  SELECT q, n, MIN(bin) AS bin
+        |  FROM cum, qs
+        |  WHERE cu >= GREATEST(CAST(CEIL(q * n) AS BIGINT), 1)
+        |  GROUP BY q, n
+        |)
+        |SELECT q, n, CASE WHEN bin < 256 THEN bin
+        |  ELSE ((bin - ((bin >> 7) - 1) * 128) << ((bin >> 7) - 1))
+        |     + (((CAST(1 AS BIGINT) << ((bin >> 7) - 1)) - 1) >> 1)
+        |END AS hdr_est
+        |FROM pick ORDER BY q""".stripMargin,
     // The full sketch replayed: same md5 bucket/word split, same exact
     // integer register math (bin() length = bitlength, exactly Spark's
     // conv-to-binary length), the alpha*m^2 constant embedded as

@@ -165,4 +165,83 @@ class SketchesSpec extends AnyFunSuite {
       .head().getBoolean(1)
     assert(hit)
   }
+
+  test("hdr: bins are monotone and contiguous across the 2^k seams; exact region is exact") {
+    import spark.implicits._
+    val p = 3
+    // every boundary-adjacent value around each power of two up to
+    // 2^40, plus the exact region [0, 2^(p+1))
+    val vals = ((0L until (2L << p)) ++
+      (4 to 40).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1)))
+      .distinct.sorted
+    val bins = Sketches.hdrBuild(vals.toDF("v"), "v", precision = p)
+      .select("bin").as[Long].collect().sorted
+    val byVal = vals.map { v =>
+      Sketches.hdrBuild(Seq(v).toDF("v"), "v", precision = p)
+        .head().getLong(0)
+    }
+    // monotone non-decreasing in v
+    assert(byVal.zip(byVal.tail).forall { case (a, b) => a <= b },
+      "bin function not monotone")
+    // exact region: bin == value
+    assert((0L until (2L << p)).forall(v => byVal(v.toInt) == v))
+    // every bin's quantile decode brackets its member: q=1.0 over a
+    // single-value sketch estimates within 2^-(p+1) relative
+    for (v <- Seq(100L, 12345L, (1L << 30) + 7, (1L << 40) - 1)) {
+      val e = Sketches.hdrQuantiles(
+        Sketches.hdrBuild(Seq(v).toDF("v"), "v", precision = p),
+        Seq(1.0), precision = p).head().getLong(2)
+      assert(math.abs(e - v).toDouble / v <= 1.0 / (1L << (p + 1)),
+        s"v=$v est=$e out of bound")
+    }
+    assert(bins.nonEmpty)
+  }
+
+  test("hdr: quantile estimates within 2^-(p+1) relative error of exact ranks") {
+    import spark.implicits._
+    val p = 7
+    // deterministic skewed values spanning 5 decades
+    val vals = (1 to 20000).map { i =>
+      val u = ((i * 2654435761L) & 0xffffffffL).toDouble / 4294967296.0
+      (math.exp(u * 11.5) * 10).toLong + 1
+    }
+    val sk = Sketches.hdrBuild(vals.toDF("v"), "v", precision = p)
+    val qs = Seq(0.5, 0.9, 0.99, 0.999)
+    val sorted = vals.sorted
+    val got = Sketches.hdrQuantiles(sk, qs, precision = p)
+      .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    for (q <- qs) {
+      val exact = sorted(math.max(math.ceil(q * vals.size).toLong, 1L).toInt - 1)
+      val rel = math.abs(got(q) - exact).toDouble / exact
+      assert(rel <= 1.0 / (1L << (p + 1)),
+        s"q=$q exact=$exact est=${got(q)} rel=$rel")
+    }
+  }
+
+  test("hdr: shard sketches SUM-merge to the single-pass sketch cell for cell") {
+    import spark.implicits._
+    val rows = (1L to 5000L).map(i => (i % 7, i * i % 100000))
+      .toDF("shard", "v")
+    val merged = Sketches.hdrBuild(rows, "v", precision = 6,
+        shardCols = Seq("shard"))
+      .groupBy("bin", "hdr_p").agg(sum("cnt").as("cnt"))
+      .select("bin", "cnt", "hdr_p")
+    val single = Sketches.hdrBuild(rows, "v", precision = 6)
+    assert(merged.exceptAll(single).isEmpty &&
+      single.exceptAll(merged).isEmpty)
+  }
+
+  test("hdr: mismatched precision and negative values fail loudly") {
+    import spark.implicits._
+    val sk = Sketches.hdrBuild(Seq(10L, 20L).toDF("v"), "v", precision = 7)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hdrQuantiles(sk, Seq(0.5), precision = 6).collect()
+    }
+    assert(e.getMessage.contains("precision mismatch"), e.getMessage)
+    val neg = intercept[Exception] {
+      Sketches.hdrBuild(Seq(-5L).toDF("v"), "v", precision = 7).collect()
+    }
+    assert(neg.getMessage != null && neg.getMessage.contains("negative"),
+      s"expected loud negative-value failure, got: ${neg.getMessage}")
+  }
 }
