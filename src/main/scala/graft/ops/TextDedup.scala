@@ -1157,7 +1157,25 @@ object TextDedup {
     * surface). */
   def spanState(docs: DataFrame, idCol: String, textCol: String,
       l: Int = 40, fastDigest: Boolean = false): SpanState = {
-    val anchors = anchorsOf(docs, idCol, textCol, l, fastDigest)
+    spanStateFromAnchors(anchorsOf(docs, idCol, textCol, l, fastDigest),
+      idCol, l)
+  }
+
+  /** Rebuild the derived state tables (counts, spans) from a stored
+    * anchor table — (idCol, __len, p, h), the [[SpanState]].anchors
+    * schema. Two production uses: (a) the recovery path — the anchor
+    * table is the expensive per-character artifact, and counts/spans
+    * re-derive from it without touching text; (b) corpus SLICES —
+    * anchors are strictly per-document (no cross-document term in
+    * [[anchorsOf]]), so `anchorsOf(docs.filter(p)) ==
+    * anchorsOf(docs).filter(p)` for any per-document predicate
+    * (spec-pinned: "anchors decompose per document"), and several
+    * corpus views can share ONE anchor pass, each rebuilding its own
+    * global counts from its filtered rows. The COUNTS must come from
+    * the slice, never be reused across slices — duplicate validity is
+    * the one corpus-global ingredient. */
+  def spanStateFromAnchors(anchors: DataFrame, idCol: String,
+      l: Int = 40): SpanState = {
     val counts = anchors.groupBy("h").agg(count(lit(1)).as("cnt"))
     val dup = anchors.join(counts.filter(col("cnt") >= 2).select("h"),
       Seq("h"), "left_semi")

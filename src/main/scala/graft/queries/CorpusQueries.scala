@@ -399,15 +399,34 @@ object CorpusQueries {
         .select(col("doc_id"),
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
-      // fastDigest THROUGHOUT (r9 Next #3, second lever): the three
-      // per-character anchor passes below (old-state build, delta
-      // re-anchor, independent rebuild) pay the digest constant per
+      // fastDigest THROUGHOUT (r9 Next #3, second lever): the
+      // per-character anchor passes below pay the digest constant per
       // corpus character; a stored span state never replays its
       // internals cross-engine, so xxhash64 replaces md5 — the span
-      // summary the ORACLE replays is digest-free and byte-identical
-      val built = graft.ops.TextDedup.spanState(oldCorpus, "doc_id", "text",
-        l = 40, fastDigest = true)
-      val st = graft.ops.TextDedup.SpanState(built.anchors.persist(),
+      // summary the ORACLE replays is digest-free and byte-identical.
+      // ONE anchor pass serves both the old-state build and the
+      // independent rebuild (r11 Next #2 treatment, proof-COST only —
+      // the full-population two-sided pin below is untouched):
+      // anchors are strictly per-document, so each side is a FILTER
+      // of the (doc, version)-keyed table plus a slice-local count
+      // rebuild (spanStateFromAnchors; the lemma "anchors decompose
+      // per document" is spec-pinned in DedupOpsSpec). vid = 2*doc+ver
+      // keys the two text versions of a %5 doc apart.
+      val vdocs = d.select((col("doc_id") * 2).as("vid"), col("text"))
+        .union(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") * 2 + 1).as("vid"),
+            concat(col("text"), lit(" v2")).as("text")))
+      val vAnchors = graft.ops.TextDedup.spanState(vdocs, "vid", "text",
+          l = 40, fastDigest = true)
+        .anchors // counts/spans of the version union are never executed
+        .persist()
+      def slice(cond: org.apache.spark.sql.Column) = vAnchors.filter(cond)
+        .select(expr("vid div 2").as("doc_id"), col("__len"), col("p"),
+          col("h"))
+      val built = graft.ops.TextDedup.spanStateFromAnchors(
+        slice(col("vid") % 2 === 0 && expr("vid div 2") % 11 =!= 0),
+        "doc_id", l = 40)
+      val st = graft.ops.TextDedup.SpanState(built.anchors,
         built.counts.persist(), built.spans.persist())
       val removedIds = oldCorpus
         .filter(col("doc_id") % 13 === 0 || col("doc_id") % 5 === 0)
@@ -420,15 +439,17 @@ object CorpusQueries {
       // Two-sided span-level pin over the FULL population (restored
       // from r10's ~1/3 doc stratum per r10 ADVICE: a divergence on
       // non-stratum docs was only caught by the external oracle hash,
-      // without the in-query extra/missing diagnostics). What made the
-      // restore affordable is duplicateSpanList's onlyDocs fix this
-      // round — the rebuild no longer pays a second anchor pass —
-      // so full-population costs ~1.2 s over the stratum pin (14.6 vs
-      // 13.4 s at sf0.1) while the require now covers every doc. The
-      // DuckDB oracle below still replays the ENTIRE new corpus from
-      // raw text against the incremental result, as before.
-      val full = graft.ops.TextDedup.duplicateSpanList(newCorpus, "doc_id",
-        "text", l = 40, fastDigest = true)
+      // without the in-query extra/missing diagnostics). The rebuild
+      // side is the same shared anchor table sliced to the new
+      // corpus's (doc, version) rows — its counts/spans re-derive
+      // from the slice (duplicate validity is slice-global, never
+      // shared), byte-identical to duplicateSpanList over newCorpus.
+      // The DuckDB oracle below still replays the ENTIRE new corpus
+      // from raw text against the incremental result, as before.
+      val full = graft.ops.TextDedup.spanStateFromAnchors(
+        slice(expr("vid div 2") % 13 =!= 0 &&
+          (col("vid") % 2 === 1) === (expr("vid div 2") % 5 === 0)),
+        "doc_id", l = 40).spans
       // one-job two-sided equivalence pin on all span rows
       val diff = incSpans
         .withColumnRenamed("e", "e_i").withColumnRenamed("n_anchors", "na_i")
@@ -450,7 +471,8 @@ object CorpusQueries {
           s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
       Memos.track(s"corpus:incspans:$dir",
         Set("q177_incremental_spans"), incSpans) { () =>
-        incSpans.unpersist(); inc.release(); st.release(); ()
+        incSpans.unpersist(); inc.release(); st.release()
+        vAnchors.unpersist(blocking = false); ()
       }
       graft.ops.TextDedup.duplicateSpans(incSpans, "doc_id")
         .orderBy("doc_id")

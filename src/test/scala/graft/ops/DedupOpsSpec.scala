@@ -414,4 +414,32 @@ class DedupOpsSpec extends AnyFunSuite {
         s"doc stratum $r pair frame diverged from the restricted full frame")
     }
   }
+
+  // the lemma q177's shared anchor pass rests on: the anchor pass has
+  // no cross-document term, so anchors over a doc subset equal the
+  // full anchor table filtered to that subset — and a state rebuilt
+  // from the sliced table (spanStateFromAnchors, with its own
+  // slice-global counts) equals the direct build over the subset
+  test("span anchors decompose per document; state rebuilds from a sliced anchor table") {
+    import spark.implicits._
+    val block = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1L to 9L).map(i =>
+      (i, s"prefix$i $block middle${i % 3} $block suffix$i tail tail"))
+      .toDF("doc_id", "text")
+    val full = TextDedup.spanState(docs, "doc_id", "text", l = 20)
+    val p = col("doc_id") % 3 === 1
+    val direct = TextDedup.spanState(docs.filter(p), "doc_id", "text",
+      l = 20)
+    val sliced = full.anchors.filter(p)
+    assert(sliced.exceptAll(direct.anchors).isEmpty &&
+      direct.anchors.exceptAll(sliced).isEmpty,
+      "anchor pass not per-document")
+    val rebuilt = TextDedup.spanStateFromAnchors(sliced, "doc_id", l = 20)
+    assert(rebuilt.counts.exceptAll(direct.counts).isEmpty &&
+      direct.counts.exceptAll(rebuilt.counts).isEmpty,
+      "rebuilt counts diverged from the direct slice build")
+    assert(rebuilt.spans.exceptAll(direct.spans).isEmpty &&
+      direct.spans.exceptAll(rebuilt.spans).isEmpty,
+      "rebuilt spans diverged from the direct slice build")
+  }
 }
