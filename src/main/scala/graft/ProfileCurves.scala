@@ -954,8 +954,22 @@ object ProfilePq {
         got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size }
       hits.sum / hits.size
     }
+    // deeper codebook training: 4 Lloyd steps instead of 1 — the
+    // recall lever that does NOT change the stored footprint or the
+    // scan cost (same m x ksub book, same m-int codes)
+    var books4: org.apache.spark.sql.DataFrame = null
+    val tLearn4 = timed {
+      books4 = VectorOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, ksub = 32, steps = 4).persist()
+      books4.count(); ()
+    }
+    val enc4 = VectorOps.pqEncode(emb, "vec_id", "embedding", books4)
+      .persist()
+    enc4.count()
+    val adc4 = sets(VectorOps.pqAdcKnn(queries, enc4, books4, "vec_id",
+      "embedding", k = k))
     org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-    println(f"""{"metric":"pq_adc","n_vecs":$nVecs,"m":8,"ksub":32,"learn_s":$tLearn%.2f,"encode_s":$tEnc%.2f,"build_shuffle_mb":${bBuild / 1e6}%.1f,"raw_parquet_mb":$rawMb%.1f,"codes_parquet_mb":$codeMb%.2f,"footprint_ratio":${rawMb / codeMb}%.1f,"exact_scan_s":$tExact%.2f,"exact_shuffle_mb":${bExact / 1e6}%.2f,"adc_scan_s":$tAdc%.2f,"adc_shuffle_mb":${bAdc / 1e6}%.2f,"ivfadc_np4_s":$tIvfAdc%.2f,"ivfadc_np4_shuffle_mb":${bIvfAdc / 1e6}%.2f,"recall_adc_at5":${recall(adc)}%.3f,"recall_ivfadc_np4_at5":${recall(ivfadc)}%.3f}""")
+    println(f"""{"metric":"pq_adc","n_vecs":$nVecs,"m":8,"ksub":32,"learn_s":$tLearn%.2f,"encode_s":$tEnc%.2f,"build_shuffle_mb":${bBuild / 1e6}%.1f,"raw_parquet_mb":$rawMb%.1f,"codes_parquet_mb":$codeMb%.2f,"footprint_ratio":${rawMb / codeMb}%.1f,"exact_scan_s":$tExact%.2f,"exact_shuffle_mb":${bExact / 1e6}%.2f,"adc_scan_s":$tAdc%.2f,"adc_shuffle_mb":${bAdc / 1e6}%.2f,"ivfadc_np4_s":$tIvfAdc%.2f,"ivfadc_np4_shuffle_mb":${bIvfAdc / 1e6}%.2f,"recall_adc_at5":${recall(adc)}%.3f,"recall_ivfadc_np4_at5":${recall(ivfadc)}%.3f,"learn4_s":$tLearn4%.2f,"recall_adc_steps4_at5":${recall(adc4)}%.3f}""")
     spark.stop()
   }
 }

@@ -802,8 +802,9 @@ object VectorOps {
     * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
     * 2011 (the IVFADC system this layer re-expresses on Spark). */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int): DataFrame = {
+      m: Int, ksub: Int, steps: Int = 1): DataFrame = {
     require(m >= 1 && ksub >= 1, "pqCodebooks needs m >= 1, ksub >= 1")
+    require(steps >= 1, "pqCodebooks needs steps >= 1")
     val dims = emb.select(size(col(vecCol))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
     val subDim = dims / m
@@ -819,12 +820,35 @@ object VectorOps {
         }.toSeq
       }.toMap
     }
+    // `steps` full Lloyd iterations, each the same replayable
+    // assign + integer-mean aggregation; intermediate books collect
+    // (m x ksub rows) between steps, the LAST frame returns lazy —
+    // steps = 1 is plan-identical to the original single refinement
+    // (the q199 oracle chain). Recall vs steps is measured in
+    // ProfilePq; the per-step cost is one aggregation regardless of
+    // m/ksub, so deeper codebook training scales with step count
+    // only, never with corpus width.
+    var book = seedBook
+    var out = pqRefineOnce(emb, vecCol, book, m, subDim)
+    for (_ <- 2 to steps) {
+      book = collectBook(out)
+      out = pqRefineOnce(emb, vecCol, book, m, subDim)
+    }
+    out
+  }
+
+  /** One Lloyd step over a literal codebook: assign every subvector
+    * to its rounded-cosine argmax code, then integer-mean each
+    * (subspace, code) — the [[lloydCentroids]] micro-unit discipline,
+    * so every step (not just the first) replays exactly. */
+  private def pqRefineOnce(emb: DataFrame, vecCol: String, book: PqBook,
+      m: Int, subDim: Int): DataFrame =
     emb
       // codes computed ONCE per row (separate projection: the m
       // element_at references keep CollapseProject from inlining the
       // argmax m times over)
       .select(col(vecCol).as("__v"),
-        pqAssignCol(col(vecCol), seedBook, m, subDim).as("__codes"))
+        pqAssignCol(col(vecCol), book, m, subDim).as("__codes"))
       .select(posexplode(array((0 until m).map(s => struct(
           lit(s).as("s"),
           element_at(col("__codes"), s + 1).as("code"),
@@ -842,7 +866,6 @@ object VectorOps {
       .agg(transform(
         array_sort(collect_list(struct(col("__dim"), col("__comp")))),
         x => x.getField("__comp")).as("cvec"))
-  }
 
   /** Encode every vector to its m-byte PQ code word — THE stored form
     * of a 100 TB vector corpus: m ints (m bytes on disk after parquet

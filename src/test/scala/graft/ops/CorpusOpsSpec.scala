@@ -646,6 +646,56 @@ class CorpusOpsSpec extends AnyFunSuite {
         "exact cosine ranking")
   }
 
+  test("pq multi-step refinement: the degenerate configuration is a bit-exact fixed point") {
+    // m=1, ksub=n: every vector is its own code, so each step's
+    // assignment is the identity and each integer-mean is the single
+    // member itself (micro-unit exact) — steps > 1 must change NOTHING
+    val e = quarterVecs(14, 8, seed = 43)
+    val b1 = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      m = 1, ksub = 14, steps = 1)
+    val b3 = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      m = 1, ksub = 14, steps = 3)
+    assert(b1.exceptAll(b3).isEmpty && b3.exceptAll(b1).isEmpty,
+      "degenerate PQ codebook is not a refinement fixed point")
+  }
+
+  test("pq multi-step refinement recovers clustered structure from degenerate seeds") {
+    // two orthogonal-direction clusters; ids ordered so BOTH seeds
+    // land in cluster A — the pathological seeding a single
+    // refinement step cannot fully repair
+    val rnd = new scala.util.Random(7)
+    def noisy(base: Seq[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextInt(3) - 1) * 0.25f)
+    val a = Seq.fill(4)(1.0f) ++ Seq.fill(4)(0.0f)
+    val b = Seq.fill(4)(0.0f) ++ Seq.fill(4)(1.0f)
+    val e = vecs((1L to 40L).map { i =>
+      i -> (if (i <= 2 || i % 2 == 1) noisy(a) else noisy(b))
+    }: _*)
+    def quality(steps: Int): Double = {
+      val books = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+        m = 2, ksub = 2, steps = steps)
+      val enc = VectorOps.pqEncode(e, "vec_id", "embedding", books)
+      // mean cosine between each vector and its reconstruction
+      val recon = enc
+        .select(col("vec_id"), posexplode(col("pq_codes"))
+          .as(Seq("subspace", "code")))
+        .join(books, Seq("subspace", "code"))
+        .groupBy("vec_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("subspace"), col("cvec")))),
+          x => x.getField("cvec"))).as("__recon"))
+      e.join(recon, "vec_id")
+        .agg(avg(VectorOps.cosine(col("embedding"), col("__recon"))))
+        .head().getDouble(0)
+    }
+    val (q1, q4) = (quality(1), quality(4))
+    assert(q4 >= q1 - 1e-9,
+      s"refinement degraded quantization: steps=1 $q1 -> steps=4 $q4")
+    assert(q4 > q1 + 1e-4,
+      s"expected a material gain from extra steps on the pathological " +
+        s"seeding: steps=1 $q1 -> steps=4 $q4")
+  }
+
   test("pq: codes are m ints in [0, ksub); a dead code is never emitted") {
     import spark.implicits._
     // vector 2 = 2 x vector 1 (same direction): both seeds' members
