@@ -1086,6 +1086,50 @@ object CorpusQueries {
         full.unpersist(blocking = false)
         throw t
       }
+    }),
+
+    // STREAMING sketch rollup (Sketches.hllRegisters under a
+    // complete-mode streaming aggregation): HLL registers are a
+    // monotone MAX aggregate, so the sketch family is streaming-safe
+    // BY CONSTRUCTION — the same mergeability q196 pins across shards
+    // holds across arrival time, with no custom state function at
+    // all (contrast q187's flatMapGroupsWithState, which exists
+    // because semantic dedup is NOT order-free; cardinality is).
+    // Stream leg on the event_id % 3 = 1 stratum (the register agg
+    // commutes with any row partition — q196's shard law IS the
+    // decomposition lemma); require: streamed registers == batch
+    // registers on the stratum, both directions, after three
+    // micro-batches. Output and oracle: the full-corpus q191-shape
+    // estimate frame (registers -> exact-integer harmonic sum ->
+    // estimate + collision-resistant digest), hash-matched in DuckDB.
+    "q203_streaming_hll" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val strat = ev.filter(col("event_id") % 3 === 1)
+      val (tmp, src) = writeIdOrderedMicroBatches(strat, "event_id",
+        "q203")
+      try {
+        val stream = s.readStream.schema(strat.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.ops.Sketches
+          .hllRegisters(stream, Seq("event_type"), "user_id")
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("q203regs").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = s.table("q203regs")
+        val batchStrat = graft.ops.Sketches
+          .hllRegisters(strat, Seq("event_type"), "user_id")
+        require(streamed.exceptAll(batchStrat).isEmpty &&
+          batchStrat.exceptAll(streamed).isEmpty,
+          "streaming HLL registers diverged from the batch registers " +
+            "on the event stratum")
+        graft.ops.Sketches
+          .hllDistinct(ev.select("event_type", "user_id"),
+            Seq("event_type"), "user_id")
+          .select(col("event_type"), round(col("n_hll"), 2).as("n_hll"),
+            col("hll_v"), col("hll_reg_digest"))
+          .orderBy("event_type")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     })
   )
 
@@ -2034,7 +2078,41 @@ object CorpusQueries {
     // nprobe = nlist is exactly this full scan, so both keys share
     // the replay.
     "q199_pq_adc" -> pqAdcSql,
-    "q200_pq_ivf" -> pqAdcSql
+    "q200_pq_ivf" -> pqAdcSql,
+    // The q191 register/estimate replay, estimate-only shape (the
+    // streaming leg is pinned in-query; what the oracle checks is the
+    // full-corpus sketch the query returns).
+    "q203_streaming_hll" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+         |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 3, 13)) AS BIGINT) AS w
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - len(bin(w)) END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT)
+         |      + (256 - COUNT(*)) * (1::BIGINT << 53) AS s_scaled,
+         |    256 - COUNT(*) AS hll_v,
+         |    bit_xor(CAST(concat('0x', substring(md5(concat(
+         |      CAST(bucket AS VARCHAR), ':', CAST(m AS VARCHAR))), 1, 13))
+         |      AS BIGINT)) AS hll_reg_digest
+         |  FROM r GROUP BY 1),
+         |e AS (
+         |  SELECT event_type, hll_v, hll_reg_digest,
+         |    ${graft.ops.Sketches.AlphaMm}::DOUBLE * 9007199254740992::DOUBLE
+         |      / CAST(s_scaled AS DOUBLE) AS e_raw
+         |  FROM s)
+         |SELECT event_type,
+         |  ROUND(CASE WHEN e_raw <= 640 AND hll_v > 0
+         |    THEN 256::DOUBLE * ln(256::DOUBLE / CAST(hll_v AS DOUBLE))
+         |    ELSE e_raw END, 2) AS n_hll,
+         |  hll_v, hll_reg_digest
+         |FROM e
+         |ORDER BY event_type""".stripMargin
   )
 
   private lazy val pqAdcSql: String =
