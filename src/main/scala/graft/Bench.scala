@@ -228,7 +228,7 @@ object Bench {
       "q170_semantic_dedup" -> 0.48, "q171_lm_quality_score" -> 0.83,
       "q173_minhash_replay" -> 2.5, "q174_span_excision" -> 0.74,
       "q175_simhash_replay" -> 5.97, "q176_curation_e2e" -> 2.66,
-      "q177_incremental_spans" -> 13.88, "q178_source_overlap" -> 1.39,
+      "q177_incremental_spans" -> 13.59, "q178_source_overlap" -> 1.39,
       "q179_lloyd_semdedup" -> 0.89, "q180_incremental_ivf" -> 1.68,
       "q181_incremental_semdedup" -> 4.65, "q182_streaming_ivf" -> 3.10,
       "q183_knn_join" -> 2.25, "q184_semdedup_removals" -> 5.69,
@@ -236,6 +236,13 @@ object Bench {
       "q189_bpe_merges" -> 1.61, "q190_bpe_tokenize" -> 0.73,
       "q191_hll_distinct" -> 0.80, "q192_cross_decontam" -> 2.60,
       "q193_streaming_decontam" -> 4.99, "q194_countmin_sketch" -> 2.09,
+      // r12 entries, from the round's first battery capture + the
+      // post-trim solo arbitration runs (q199 after the one-job pin)
+      "q195_knn_containment" -> 3.99, "q196_hll_rollup" -> 1.95,
+      "q197_countmin_rollup" -> 4.37, "q198_cm_heavyhitters" -> 2.30,
+      "q199_pq_adc" -> 7.56, "q200_pq_ivf" -> 6.15,
+      "q201_bloom_prefilter" -> 3.05, "q202_hdr_quantiles" -> 2.55,
+      "q203_streaming_hll" -> 5.23,
       "q20_count_distinct" -> 1.16,
       "q29_rollup" -> 0.75, "q45_stats_mass" -> 1.91,
       "q46_statstop_equiv" -> 2.2, "q55_embedding_neardup" -> 0.81,

@@ -233,9 +233,20 @@ object PipelineQueries {
       val single = graft.ops.Sketches
         .hllDistinct(ev.select("event_type", "user_id"),
           Seq("event_type"), "user_id")
-      require(merged.exceptAll(single).isEmpty &&
-        single.exceptAll(merged).isEmpty,
-        "HLL shard rollup diverged from the single-pass sketch")
+      // one-job two-sided pin (event_type unique per side): the
+      // exceptAll form executed both register builds twice
+      val diff = merged.select(col("event_type"), col("hll_v").as("__v_m"),
+          col("hll_reg_digest").as("__d_m"), col("n_hll").as("__n_m"))
+        .join(single.select(col("event_type"), col("hll_v").as("__v_s"),
+          col("hll_reg_digest").as("__d_s"), col("n_hll").as("__n_s")),
+          Seq("event_type"), "full_outer")
+        .filter(col("__v_m").isNull || col("__v_s").isNull ||
+          col("__v_m") =!= col("__v_s") || col("__d_m") =!= col("__d_s") ||
+          col("__n_m") =!= col("__n_s"))
+        .count()
+      require(diff == 0L,
+        s"HLL shard rollup diverged from the single-pass sketch: " +
+          s"$diff groups differ")
       val shards = ev.filter(col("user_id").isNotNull)
         .groupBy("event_type")
         .agg(countDistinct(col("shard")).as("n_shards"))
@@ -265,9 +276,17 @@ object PipelineQueries {
           .agg(sum(col("cnt")).as("cnt"))
           .select("r", "bucket", "cnt", "depth", "width")
         val single = graft.ops.Sketches.countMinBuild(toks, "tok")
-        require(merged.exceptAll(single).isEmpty &&
-          single.exceptAll(merged).isEmpty,
-          "count-min shard rollup diverged cell-wise from single-pass")
+        // one-job two-sided cell diff ((r, bucket) unique per side):
+        // the exceptAll form executed both sketch builds twice
+        val cellDiff = merged.withColumnRenamed("cnt", "__c_m")
+          .join(single.withColumnRenamed("cnt", "__c_s"),
+            Seq("r", "bucket", "depth", "width"), "full_outer")
+          .filter(col("__c_m").isNull || col("__c_s").isNull ||
+            col("__c_m") =!= col("__c_s"))
+          .count()
+        require(cellDiff == 0L,
+          s"count-min shard rollup diverged cell-wise from " +
+            s"single-pass: $cellDiff cells differ")
         val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
         val rows = exact

@@ -231,6 +231,29 @@ class SketchesSpec extends AnyFunSuite {
       single.exceptAll(merged).isEmpty)
   }
 
+  test("hdr: per-group quantiles respect the error law group by group") {
+    import spark.implicits._
+    val p = 6
+    val rows = (1 to 6000).map { i =>
+      val g = s"g${i % 3}"
+      // distinct scale per group so cross-group mixing would be loud
+      (g, ((i * 2654435761L) & 0xffffL) * (1L << (2 * (i % 3))) + 1)
+    }
+    val sk = Sketches.hdrBuild(rows.toDF("g", "v"), "v", precision = p,
+      shardCols = Seq("g"))
+    val got = Sketches.hdrQuantiles(sk, Seq(0.5, 0.99), precision = p,
+        groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(3))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2"); q <- Seq(0.5, 0.99)) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      val exact = vs(math.max(math.ceil(q * vs.size).toLong, 1L).toInt - 1)
+      val rel = math.abs(got((g, q)) - exact).toDouble / exact
+      assert(rel <= 1.0 / (1L << (p + 1)),
+        s"group $g q=$q exact=$exact est=${got((g, q))} rel=$rel")
+    }
+  }
+
   test("hdr: mismatched precision and negative values fail loudly") {
     import spark.implicits._
     val sk = Sketches.hdrBuild(Seq(10L, 20L).toDF("v"), "v", precision = 7)
