@@ -1009,3 +1009,49 @@ object ProfileHll {
     spark.stop()
   }
 }
+
+/** Exact percentiles vs the hdr histogram at 16x lineitem — the
+  * shuffle-volume claim behind q202: exact rank selection shuffles
+  * every distinct (value, count) pair (and a sort-based median every
+  * VALUE), while the hdr pre-agg is map-side combinable into at most
+  * ~64 * 2^p bins per partition, a fixed footprint at any
+  * cardinality. Accuracy is not sampled here — it is the 2^-(p+1)
+  * LAW q202 requires in-query. */
+object ProfileHdr {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-hdr")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val m = 16
+    // replica i perturbs the cents value so distinct cardinality
+    // grows with the blowup — the regime where a distinct-value
+    // cum-sum stops compressing
+    val cents = (0 until m).map(i => base.select(
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") * 16L +
+          lit(i.toLong)).as("v")))
+      .reduce(_.unionByName(_)).persist()
+    val nRows = cents.count()
+    meter.drain()
+    // exact p99: distinct-value counts + ordered cum-sum + rank pick
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rank = math.max(math.ceil(0.99 * nRows).toLong, 1L)
+    val tExact = timed(noop(
+      cents.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("__c", sum(col("cnt")).over(w))
+        .filter(col("__c") >= rank)
+        .agg(min(col("v")).as("p99"))))
+    val bExact = meter.drain()
+    val tHdr = timed(noop(graft.ops.Sketches.hdrQuantiles(
+      graft.ops.Sketches.hdrBuild(cents, "v", precision = 7),
+      Seq(0.5, 0.9, 0.99, 0.999), precision = 7)))
+    val bHdr = meter.drain()
+    println(f"""{"metric":"hdr_vs_exact","rows":$nRows,"exact_p99_wall_s":$tExact%.2f,"exact_shuffle_mb":${bExact / 1e6}%.2f,"hdr_4q_wall_s":$tHdr%.2f,"hdr_shuffle_mb":${bHdr / 1e6}%.3f}""")
+    spark.stop()
+  }
+}
