@@ -274,7 +274,10 @@ object CorpusQueries {
       // the STREAM runs on the doc_id % 3 = 1 stratum (r11 Next #2
       // treatment): the probe decision is a STATELESS per-row
       // expression — no state, no watermark, no cross-row term at
-      // all — so stream == batch on any row subset by construction;
+      // all — so stream == batch on any row subset by construction
+      // (the per-row probe == batch-operator lemma is spec-pinned in
+      // DedupOpsSpec "contaminationProbe == crossMinHashContamination
+      // row for row");
       // what the stream leg adds beyond the batch pin is the
       // micro-batch plumbing itself, which three batches over a
       // stratum exercise fully. The batch side is the q192-shared
@@ -436,6 +439,7 @@ object CorpusQueries {
       val inc = graft.ops.TextDedup.incrementalSpanState(st, removedIds,
         addedDocs, "doc_id", "text", l = 40)
       val incSpans = inc.spans.persist()
+      try {
       // Two-sided span-level pin over the FULL population (restored
       // from r10's ~1/3 doc stratum per r10 ADVICE: a divergence on
       // non-stratum docs was only caught by the external oracle hash,
@@ -476,6 +480,14 @@ object CorpusQueries {
       }
       graft.ops.TextDedup.duplicateSpans(incSpans, "doc_id")
         .orderBy("doc_id")
+      // pin failure must not leak the corpus-scale caches into the
+      // rest of the battery (the q200 discipline): the harness
+      // catches the throw and keeps running
+      } catch { case t: Throwable =>
+        incSpans.unpersist(blocking = false); inc.release(); st.release()
+        vAnchors.unpersist(blocking = false)
+        throw t
+      }
     }),
 
     // Cross-source contamination matrix
@@ -584,43 +596,52 @@ object CorpusQueries {
       //      spec-pinned in CorpusOpsSpec "prune decomposes by
       //      cluster"). The driver oracle still replays the FULL
       //      corpus against the output.
+      // persisted: the assignment feeds BOTH the coverage count and
+      // the stratum prune — unpersisted it would pay the corpus map
+      // twice, exactly what the trim's cost claim excludes
       val clusteredU = graft.ops.VectorOps.assignToCentroids(
         oldCorpus.unionByName(added), "vec_id", "embedding", cents)
-      val aDiff = incMembers.select(col("vec_id"),
-          col("cluster").as("cl_i"))
-        .join(clusteredU.select(col("vec_id"), col("cluster").as("cl_f")),
-          Seq("vec_id"), "full_outer")
-        .filter(col("cl_i").isNull || col("cl_f").isNull ||
-          col("cl_i") =!= col("cl_f"))
-        .count()
-      require(aDiff == 0L,
-        s"incremental state's id/cluster coverage diverged from the " +
-          s"full re-assignment: $aDiff rows differ")
-      val fullStrat = graft.ops.VectorOps.semDedupPrune(
-        clusteredU.filter(col("cluster") % 3 === 2), "vec_id",
-        "embedding", tau = 0.4)
-      val diff = incMembers.filter(col("cluster") % 3 === 2)
-        .select(col("vec_id"), col("cluster").as("cl_i"),
-          col("kept").as("k_i"))
-        .join(fullStrat.select(col("vec_id"), col("cluster").as("cl_f"),
-          col("kept").as("k_f")), Seq("vec_id"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("cl_f").isNull ||
-            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
-            .otherwise(0L)), lit(0L)),
-          coalesce(sum(when(col("cl_i").isNull ||
-            col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
-            .otherwise(0L)), lit(0L)))
-        .head()
-      require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
-        s"incremental semDedup diverged from the stratum re-prune: " +
-          s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
-      Memos.track(s"corpus:incsem:$dir",
-        Set("q181_incremental_semdedup"), incMembers) { () =>
-        incMembers.unpersist(); ()
-      }
-      incMembers.select(col("vec_id"), col("cluster"), col("kept"))
-        .orderBy("vec_id")
+        .persist()
+      try {
+        val aDiff = incMembers.select(col("vec_id"),
+            col("cluster").as("cl_i"))
+          .join(clusteredU.select(col("vec_id"), col("cluster").as("cl_f")),
+            Seq("vec_id"), "full_outer")
+          .filter(col("cl_i").isNull || col("cl_f").isNull ||
+            col("cl_i") =!= col("cl_f"))
+          .count()
+        require(aDiff == 0L,
+          s"incremental state's id/cluster coverage diverged from the " +
+            s"full re-assignment: $aDiff rows differ")
+        val fullStrat = graft.ops.VectorOps.semDedupPrune(
+          clusteredU.filter(col("cluster") % 3 === 2), "vec_id",
+          "embedding", tau = 0.4)
+        val diff = incMembers.filter(col("cluster") % 3 === 2)
+          .select(col("vec_id"), col("cluster").as("cl_i"),
+            col("kept").as("k_i"))
+          .join(fullStrat.select(col("vec_id"), col("cluster").as("cl_f"),
+            col("kept").as("k_f")), Seq("vec_id"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("cl_f").isNull ||
+              col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+              .otherwise(0L)), lit(0L)),
+            coalesce(sum(when(col("cl_i").isNull ||
+              col("cl_i") =!= col("cl_f") || col("k_i") =!= col("k_f"), 1L)
+              .otherwise(0L)), lit(0L)))
+          .head()
+        require(diff.getLong(0) == 0 && diff.getLong(1) == 0,
+          s"incremental semDedup diverged from the stratum re-prune: " +
+            s"${diff.getLong(0)} extra, ${diff.getLong(1)} missing")
+        Memos.track(s"corpus:incsem:$dir",
+          Set("q181_incremental_semdedup"), incMembers) { () =>
+          incMembers.unpersist(); ()
+        }
+        incMembers.select(col("vec_id"), col("cluster"), col("kept"))
+          .orderBy("vec_id")
+      } catch { case t: Throwable =>
+        incMembers.unpersist(blocking = false)
+        throw t
+      } finally clusteredU.unpersist(blocking = false)
     }),
 
     // Dirty-frontier incremental SemDeDup WITH removals (r10 Next #2 —
@@ -1119,10 +1140,18 @@ object CorpusQueries {
         val streamed = s.table("q203regs")
         val batchStrat = graft.ops.Sketches
           .hllRegisters(strat, Seq("event_type"), "user_id")
-        require(streamed.exceptAll(batchStrat).isEmpty &&
-          batchStrat.exceptAll(streamed).isEmpty,
-          "streaming HLL registers diverged from the batch registers " +
-            "on the event stratum")
+        // one-job two-sided pin ((event_type, hll_bucket) unique per
+        // side): exceptAll would execute the unpersisted batch
+        // register aggregation twice
+        val diff = streamed.withColumnRenamed("hll_m", "__m_s")
+          .join(batchStrat.withColumnRenamed("hll_m", "__m_b"),
+            Seq("event_type", "hll_bucket"), "full_outer")
+          .filter(col("__m_s").isNull || col("__m_b").isNull ||
+            col("__m_s") =!= col("__m_b"))
+          .count()
+        require(diff == 0L,
+          s"streaming HLL registers diverged from the batch registers " +
+            s"on the event stratum: $diff register cells differ")
         graft.ops.Sketches
           .hllDistinct(ev.select("event_type", "user_id"),
             Seq("event_type"), "user_id")

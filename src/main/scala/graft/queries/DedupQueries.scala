@@ -736,6 +736,7 @@ object DedupQueries {
       // one explode feeds all three consumers (gram pin, df pin,
       // stratum pair re-run); released before the output builds
       val freshGrams = fresh0.grams.persist()
+      try {
       val fresh = TextDedup.ShingleState(freshGrams,
         freshGrams.groupBy("gram").agg(count(lit(1)).as("df")),
         fresh0.pairs)
@@ -781,7 +782,9 @@ object DedupQueries {
       require(extra == 0 && missing == 0,
         s"incremental dedup diverged from the stratum pair re-run: " +
           s"$extra extra pairs, $missing missing")
-      freshGrams.unpersist(blocking = false)
+      // finally, not success-path only: a firing pin must not leak the
+      // corpus-wide gram cache into the rest of the battery
+      } finally freshGrams.unpersist(blocking = false)
 
       val cc = TextDedup.connectedComponents(incPairs)
       Memos.track(s"dedup:inc:$dir", Set("q162_incremental_dedup")) { () =>

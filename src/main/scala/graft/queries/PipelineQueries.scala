@@ -395,9 +395,14 @@ object PipelineQueries {
     "q202_hdr_quantiles" -> ((s, dir) => {
       val p = 7
       val qs = Seq(0.5, 0.9, 0.99, 0.999)
+      // persisted: cents feeds three actions (cell diff, quantile
+      // estimate, exact-rank job) — unpersisted each would re-scan
+      // lineitem
       val cents = t(s, dir, "lineitem")
         .select((col("l_orderkey") % 4).as("shard"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+        .persist()
+      try {
       // persisted: the sketch is <= ~64 * 2^p rows and feeds the cell
       // diff, the quantile estimate and the returned frame
       val merged = graft.ops.Sketches
@@ -442,6 +447,7 @@ object PipelineQueries {
       import sess.implicits._
       estRows.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
         .toSeq.toDF("q", "n", "hdr_est").orderBy("q")
+      } finally cents.unpersist(blocking = false)
     }),
 
     // Benchmark decontamination (ops/TrainingOps.ngramOverlap): count

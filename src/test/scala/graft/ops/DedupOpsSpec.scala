@@ -346,6 +346,39 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, None, 0L, 0.0)))
   }
 
+  // the per-row lemma q193's stream-stratum trim rests on: the probe
+  // expression IS the batch operator row for row (stateless, no
+  // cross-corpus-row term), so stream == batch holds on any corpus
+  // subset once the micro-batch plumbing itself is exercised
+  test("contaminationProbe == crossMinHashContamination row for row") {
+    import spark.implicits._
+    val benchText = "the cat sat on the mat while the dog ran around the yard chasing birds all afternoon long"
+    val bench = Seq(
+      (100L, benchText),
+      (101L, benchText),
+      (102L, "completely unrelated benchmark question about quantum flux capacitors and temporal mechanics today")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, benchText),                          // verbatim leak
+      (2L, benchText + " zz99"),                // perturbed leak
+      (3L, "independent training document discussing cooking recipes and garden maintenance through seasons"),
+      (4L, "the cat sat on the mat while the dog ran around"), // partial
+      (5L, "temporal mechanics today are completely unrelated benchmark question about quantum flux capacitors")
+    ).toDF("doc_id", "text")
+    val probe = TextDedup.contaminationProbe(bench, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4)
+    val viaProbe = corpus
+      .select(col("doc_id"), probe(col("text")).as("bm"))
+      .select(col("doc_id"), col("bm.ref_id").as("ref_id"),
+        coalesce(col("bm.n_equal"), lit(0L)).as("n_equal"))
+      .withColumn("est_jaccard", round(col("n_equal") / 16.0, 6))
+    val batch = TextDedup.crossMinHashContamination(corpus, "doc_id",
+      "text", bench, "doc_id", "text", shingleN = 3, k = 16, bands = 4)
+    assert(viaProbe.exceptAll(batch).isEmpty &&
+      batch.exceptAll(viaProbe).isEmpty,
+      "probe expression diverged from the batch operator")
+  }
+
   test("contaminationProbe refuses a reference past maxRefDocs, loudly") {
     import spark.implicits._
     val ref = (1L to 10L).map(i => (i, s"benchmark item number $i text"))
