@@ -827,30 +827,10 @@ object ProfileStream {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val rows = Seq(1, 3, 9).map { nBatches =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_pstream")
-      val src = tmp.resolve("src").toString
-      // id-ordered batches (the operator's append-only contract);
-      // stamp each file ONCE — restamping would flatten the mtime
-      // order the FileStreamSource delivers by (same discipline as
-      // CorpusQueries.writeIdOrderedMicroBatches)
-      val ids =
-        if (nBatches == 1) Array.empty[Double]
-        else e.stat.approxQuantile("vec_id",
-          (1 until nBatches).map(_.toDouble / nBatches).toArray, 0.0)
-      val bounds = (Double.NegativeInfinity +: ids.toSeq) :+
-        Double.PositiveInfinity
-      val stamped = scala.collection.mutable.Set[java.io.File]()
-      bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-        e.filter(col("vec_id") > lo && col("vec_id") <= hi)
-          .coalesce(1).write.mode("append").parquet(src)
-        new java.io.File(src).listFiles().foreach { f =>
-          if (!stamped.contains(f)) {
-            require(f.setLastModified(1700000000000L + i * 60000L),
-              s"could not stamp mtime on $f")
-            stamped += f
-          }
-        }
-      }
+      // id-ordered batches (the operator's append-only contract) via
+      // the shared quantile-split + mtime-stamp writer
+      val (tmp, src) = graft.queries.StreamFixtures
+        .writeIdOrderedMicroBatches(e, "vec_id", "pstream", nBatches)
       val stream = spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val qname = s"pstream_$nBatches"

@@ -104,8 +104,22 @@ object Sketches {
     val cols = sketch.columns.toSet
     val carried =
       if (cols.contains("depth") && cols.contains("width")) {
+        // an UNMERGED sharded sketch would be just as silent a trap
+        // as mismatched parameters: min() across a cell's shard rows
+        // returns one shard's count, UNDER the true total — the exact
+        // law violation this contract exists to prevent. Extra
+        // columns beyond the canonical five are therefore rejected
+        // loudly (SUM-merge on (r, bucket, depth, width) first).
+        val extra = cols -- Set("r", "bucket", "cnt", "depth", "width")
+        require(extra.isEmpty,
+          s"count-min sketch carries extra columns ${extra.mkString(",")}" +
+            " — an unmerged sharded sketch under-estimates silently;" +
+            " SUM-merge cells on (r, bucket, depth, width) before probing")
         // bounded: (min, max) over two constant columns of a
-        // depth x width-bounded table
+        // depth x width-bounded table. NOTE this is an ACTION — an
+        // unmaterialized sketch plan executes here and again under
+        // the probe join; persist the sketch first (q194/q197/q198
+        // do) when the build is expensive.
         val r = sketch.agg(min(col("depth")), max(col("depth")),
           min(col("width")), max(col("width"))).head()
         if (!r.isNullAt(0)) {

@@ -435,15 +435,23 @@ object TrainingOps {
     *    the distributed loop pays one driver round-trip (~0.3 s
     *    job-submission floor) PER RULE, which at a 30k-merge
     *    vocabulary is hours of pure scheduling latency independent of
-    *    corpus size. A trillion-token corpus has tens of millions of
-    *    word types (hundreds of MB as (word, count) pairs) — the
-    *    collapse is the distributed part; the learn fits the driver.
+    *    corpus size. The collapse is the distributed part; the learn
+    *    fits the driver. SIZING IS THE INDEX, NOT THE PAIRS: beyond
+    *    the raw (word, count) rows, the learn holds a symbol array
+    *    per word plus a pair -> containing-words occurrence index —
+    *    roughly one boxed entry per (pair, word) occurrence, ~10x
+    *    the raw text bytes in JVM overhead. The 2M-type default
+    *    budgets a few GB of driver heap (the ProfileBpe 200k-type /
+    *    30k-merge row ran well inside 1 GB); a trillion-token
+    *    corpus's tens of millions of types need
+    *    `localLearnMaxTypes` raised on a driver sized for
+    *    ~10x-the-type-table, or the distributed fallback.
     *  - DISTRIBUTED (type table above the budget, or budget 0): the
     *    per-merge pair-count aggregation loop over the evolving type
     *    table, one replace per learned rule, with a lazy
     *    localCheckpoint every 32 rules so plan size stays bounded. */
   def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      localLearnMaxTypes: Long = 10000000L): DataFrame = {
+      localLearnMaxTypes: Long = 2000000L): DataFrame = {
     require(numMerges >= 1, "bpeMerges needs numMerges >= 1")
     val spark = docs.sparkSession
     val wordTypes = docs

@@ -991,11 +991,17 @@ object VectorOps {
       vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val dims = queries.select(size(col(vecCol))).head().getInt(0)
     val t = adcTables(codebooks, dims)
+    // LUT + query norm computed ONCE PER QUERY (the pqAdcKnn qSide
+    // shape), then joined onto the slim (query, cluster) probe
+    // ranking — computing them on the probe frame would redo the
+    // m x stride subvector dot folds nprobe times per query
+    val qSide = queries.select(col(idCol).as("__q_id"),
+      l2norm(col(vecCol)).as("__q_l2"),
+      t.lutFor(col(vecCol)).as("__lut"))
     val probes = probeCells(queries, state.centroids, idCol, vecCol,
-        nprobe, keepVec = true)
-      .select(col("__q_id"), col("cluster"),
-        l2norm(col("__q_vec")).as("__q_l2"),
-        t.lutFor(col("__q_vec")).as("__lut"))
+        nprobe)
+      .select(col(idCol).as("__q_id"), col("cluster"))
+      .join(broadcast(qSide), Seq("__q_id"))
     val codesByCell = state.assigned.select(col(idCol), col("cluster"))
       .join(encoded, Seq(idCol))
     adcTopK(

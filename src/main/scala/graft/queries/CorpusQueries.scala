@@ -16,41 +16,12 @@ object CorpusQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Shared streaming-fixture scaffolding (q187/q193): writes `df` as
-    * three id-ordered parquet micro-batches under a temp dir and
-    * returns (tmpDir, srcPath). Split points are EXACT terciles of the
-    * row population (a plain (min+max)/3 range split leaves the middle
-    * batch empty under bimodal id ranges — e.g. planted copies at
-    * id + 30M). FileStreamSource orders new files by MODIFICATION
-    * TIME, and local writes can land within one ms (ties then resolve
-    * by arbitrary listing order), so each slice's files get an
-    * explicit strictly-increasing mtime; setLastModified FAILS BY
-    * RETURNING FALSE on some filesystems, hence the require. Callers
-    * must deleteQuietly(tmpDir) in a finally — a require failure must
-    * not leak a corpus copy per run. */
+  /** Three id-ordered micro-batches — see [[StreamFixtures]] for the
+    * quantile-split + mtime-stamping contract (shared with
+    * ProfileStream). Callers deleteQuietly(tmpDir) in a finally. */
   private def writeIdOrderedMicroBatches(df: DataFrame, idCol: String,
-      tag: String): (java.nio.file.Path, String) = {
-    val Array(t1, t2) =
-      df.stat.approxQuantile(idCol, Array(1.0 / 3, 2.0 / 3), 0.0)
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-    val src = tmp.resolve("src").toString
-    val stamped = scala.collection.mutable.Set[java.io.File]()
-    Seq(col(idCol) <= t1,
-        col(idCol) > t1 && col(idCol) <= t2,
-        col(idCol) > t2)
-      .zipWithIndex.foreach { case (p, r) =>
-        df.filter(p).coalesce(1).write.mode("append").parquet(src)
-        new java.io.File(src).listFiles().foreach { f =>
-          if (!stamped.contains(f)) {
-            require(f.setLastModified(1700000000000L + r * 60000L),
-              s"could not stamp mtime on $f — batch order would be " +
-                "nondeterministic on this filesystem")
-            stamped += f
-          }
-        }
-      }
-    (tmp, src)
-  }
+      tag: String): (java.nio.file.Path, String) =
+    StreamFixtures.writeIdOrderedMicroBatches(df, idCol, tag)
 
   // q172 (summary) and q174 (excision) share the span discovery — the
   // expensive per-position digest pass runs once per battery, released
@@ -83,7 +54,8 @@ object CorpusQueries {
       c.count()
       Memos.track(s"corpus:cents:$dir", Set("q182_streaming_ivf",
         "q183_knn_join", "q184_semdedup_removals", "q186_knn_indexed",
-        "q187_streaming_semdedup", "q195_knn_containment"), c) { () =>
+        "q187_streaming_semdedup", "q195_knn_containment",
+        "q200_pq_ivf"), c) { () =>
         c.unpersist(); centsMemo.remove(dir); ()
       }
       c

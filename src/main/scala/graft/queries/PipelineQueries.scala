@@ -192,24 +192,33 @@ object PipelineQueries {
       val toks = docs(s, dir)
         .select(explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
-      val sketch = graft.ops.Sketches.countMinBuild(toks, "tok")
-      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-      val est = graft.ops.Sketches.countMinEstimate(
-        sketch, exact.select("tok"), "tok")
-      // ONE execution: the law checks the collected 20 rows and the
-      // same rows become the result (re-executing the join plan would
-      // re-run the whole sketch+exact pipeline for the harness's read)
-      val rows = exact.join(est, "tok").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      rows.foreach { case (tok, ex, cm) =>
-        require(cm >= ex,
-          s"count-min under-estimated '$tok': $cm < $ex — impossible unless broken")
+        .persist()
+      // persisted (<= depth x width rows): countMinEstimate's
+      // structural parameter check is an action, so an unmaterialized
+      // sketch would execute its build twice (check + probe join)
+      val sketch = graft.ops.Sketches.countMinBuild(toks, "tok").persist()
+      try {
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        val est = graft.ops.Sketches.countMinEstimate(
+          sketch, exact.select("tok"), "tok")
+        // ONE execution: the law checks the collected 20 rows and the
+        // same rows become the result (re-executing the join plan would
+        // re-run the whole sketch+exact pipeline for the harness's read)
+        val rows = exact.join(est, "tok").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        rows.foreach { case (tok, ex, cm) =>
+          require(cm >= ex,
+            s"count-min under-estimated '$tok': $cm < $ex — impossible unless broken")
+        }
+        val sess = s
+        import sess.implicits._
+        rows.toSeq.toDF("tok", "exact_cnt", "cm_est")
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      } finally {
+        sketch.unpersist(blocking = false)
+        toks.unpersist(blocking = false)
       }
-      val sess = s
-      import sess.implicits._
-      rows.toSeq.toDF("tok", "exact_cnt", "cm_est")
-        .orderBy(col("exact_cnt").desc, col("tok"))
     }),
 
     // HLL SHARD ROLLUP (ops/Sketches.hllRegisters/hllFromRegisters):
@@ -270,11 +279,14 @@ object PipelineQueries {
         .filter(length(col("tok")) > 0)
         .persist()
       try {
+        // persisted (<= depth x width rows): feeds the cell diff, the
+        // estimate's structural check AND its probe join
         val merged = graft.ops.Sketches
           .countMinBuild(toks, "tok", shardCols = Seq("shard"))
           .groupBy("r", "bucket", "depth", "width")
           .agg(sum(col("cnt")).as("cnt"))
           .select("r", "bucket", "cnt", "depth", "width")
+          .persist()
         val single = graft.ops.Sketches.countMinBuild(toks, "tok")
         // one-job two-sided cell diff ((r, bucket) unique per side):
         // the exceptAll form executed both sketch builds twice
@@ -298,6 +310,7 @@ object PipelineQueries {
         }
         val sess = s
         import sess.implicits._
+        merged.unpersist(blocking = false)
         rows.toSeq.toDF("tok", "exact_cnt", "cm_est")
           .orderBy(col("exact_cnt").desc, col("tok"))
       } finally toks.unpersist(blocking = false)
@@ -319,7 +332,10 @@ object PipelineQueries {
         .persist()
       try {
         val tau = math.max(1L, toks.count() / 1000L)
+        // persisted: the estimate's structural check is an action
+        // ahead of the probe join (see countMinEstimate scaladoc)
         val sketch = graft.ops.Sketches.countMinBuild(toks, "tok")
+          .persist()
         val cands = graft.ops.Sketches
           .countMinEstimate(sketch, toks.distinct(), "tok")
           .filter(col("cm_est") >= tau).select("tok")
@@ -329,6 +345,7 @@ object PipelineQueries {
           .collect().map(r => (r.getString(0), r.getLong(1)))
         val sess = s
         import sess.implicits._
+        sketch.unpersist(blocking = false)
         rows.toSeq.toDF("tok", "exact_cnt")
           .orderBy(col("exact_cnt").desc, col("tok"))
       } finally toks.unpersist(blocking = false)

@@ -120,6 +120,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("b") > 0.8 && got("b") < 1.2)
   }
 
+  test("countMinEstimate rejects an unmerged sharded sketch loudly") {
+    import spark.implicits._
+    // 4 shards x 25 occurrences: probing the UNMERGED sketch would
+    // min() across shard rows and report <= 25 for a key with true
+    // count 100 — a silent overestimate-law violation, so the extra
+    // column must fail loudly instead
+    val rows = (1L to 100L).map(i => (i % 4, "k")).toDF("day", "k")
+    val sharded = Sketches.countMinBuild(rows, "k",
+      shardCols = Seq("day"))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(sharded, Seq("k").toDF("k"), "k")
+        .collect()
+    }
+    assert(e.getMessage.contains("SUM-merge"), e.getMessage)
+    // the merged form estimates correctly
+    val merged = sharded.groupBy("r", "bucket", "depth", "width")
+      .agg(sum(col("cnt")).as("cnt"))
+      .select("r", "bucket", "cnt", "depth", "width")
+    val est = Sketches.countMinEstimate(merged, Seq("k").toDF("k"), "k")
+      .head().getLong(1)
+    assert(est >= 100L, s"merged estimate $est under the true count")
+  }
+
   test("bloom: no false negatives ever; false positives exist at tiny m; a miss is definitive") {
     import spark.implicits._
     val present = (1 to 200).map(i => s"key$i").toDF("k")
