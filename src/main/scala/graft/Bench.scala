@@ -27,9 +27,16 @@ object Bench {
 
     // Warm the JVM/codegen paths once so per-query times measure the
     // query, not first-use classloading.
+    // NonFatal only, with a stderr trail (all three prewarm blocks):
+    // an OOM/fatal JVM error must propagate, and a silently skipped
+    // warm surfaces later as an unexplained timing regression. stderr,
+    // not stdout — stdout carries the machine-parsed metric lines.
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] first-query prewarm skipped: ${e.getMessage}")
+      }
     }
     // Warm the geometry/H3 JIT paths. 2000 rows (~650 polygon polyfills
     // plus line corridors and point cells) is enough invocations to get
@@ -46,7 +53,10 @@ object Bench {
         graft.pipeline.Stages.normalizeExtRestr(st, graft.pipeline.FieldMapping(
           Map("source_id" -> "$source_id")), "warm"))
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] geo/H3 prewarm skipped: ${e.getMessage}")
+    }
     // Warm the SimHash bit-vote codegen: the 64-sum signature
     // projection compiles one large generated class (Janino + C2,
     // ~5-6 s) that q175 otherwise pays inside its own measurement
@@ -61,12 +71,8 @@ object Bench {
           maxHamming = 8)
         .write.format("noop").mode("overwrite").save()
     } catch {
-      // NonFatal only (matching DedupQueries.prewarmShared): an OOM or
-      // fatal JVM error must propagate, and a skipped warm must leave a
-      // trail — otherwise it surfaces later as an unexplained q175
-      // timing regression
       case scala.util.control.NonFatal(e) =>
-        println(s"[bench] q175 simhash prewarm skipped: ${e.getMessage}")
+        System.err.println(s"[bench] q175 simhash prewarm skipped: ${e.getMessage}")
     }
 
     // BASELINE.md headline micro-bench: polygon query over a ~10k-object

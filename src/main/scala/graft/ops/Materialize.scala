@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Mid-operator materialization seam, shared by the operators that must
   * evaluate a map-only stage once while feeding it to several plan
@@ -17,27 +17,85 @@ import org.apache.spark.sql.DataFrame
   *
   *  - `localCheckpoint` (default): lazy executor-local blocks, GC-freed.
   *  - `persist`: MEMORY_AND_DISK cache — lineage kept (fault-tolerant:
-  *    lost blocks recompute), evictable under memory pressure, and
-  *    releasable explicitly (`spark.catalog.clearCache()` or holding
-  *    the returned frame and calling `unpersist`).
+  *    lost blocks recompute), evictable under memory pressure. The
+  *    staged frames are INTERNAL to the operators (callers never hold
+  *    them), so this module tracks them per session: a service calls
+  *    [[releaseStaged]] between corpora to free them without
+  *    `spark.catalog.clearCache()`'s collateral damage to its own
+  *    unrelated caches.
   *  - `checkpoint`: reliable checkpoint to `spark.checkpoint.dir`
   *    (must be set) — fault-tolerant across executor loss, freed by
-  *    deleting the checkpoint dir.
+  *    deleting the checkpoint dir. Runs EAGERLY through a transient
+  *    cache: a bare RDD checkpoint recomputes its full lineage in the
+  *    checkpoint-write job, doubling the staged pass.
   *  - `none`: no materialization; consumers recompute the stage
   *    (correct, possibly slower — the measurement knob).
+  *
+  * ITERATIVE STATE SEAMS are the exception to the knob: a maintenance
+  * loop (incrementalSemDedup's removal/append seam) nests each run's
+  * plan inside the next state's, so without PLAN truncation the
+  * logical plan grows without bound across runs — analysis time
+  * balloons and eventually overflows the stack, under ANY mode that
+  * keeps lineage. Seams that feed their own next iteration therefore
+  * pass `requireTruncation = true`, which escalates `persist`/`none`
+  * to a truncating mode (reliable checkpoint when a checkpoint dir is
+  * set — the service-safe combination — else localCheckpoint).
   */
 object Materialize {
 
   val ConfKey = "spark.graft.stage.mode"
 
-  private[graft] def stage(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
+  // persist-mode staged frames per session (weakly keyed: a stopped
+  // session's entry vanishes with the session)
+  private val staged =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+
+  /** Unpersist every persist-mode staged frame this module created in
+    * `spark`'s session — the between-corpora release hook for
+    * long-running services on `spark.graft.stage.mode=persist`. */
+  def releaseStaged(spark: SparkSession): Unit = staged.synchronized {
+    Option(staged.remove(spark))
+      .foreach(_.forEach(f => f.unpersist(false)))
+  }
+
+  private def track(df: DataFrame): DataFrame = {
+    staged.synchronized {
+      staged.computeIfAbsent(df.sparkSession,
+        _ => new java.util.ArrayList[DataFrame]()).add(df)
+    }
+    df
+  }
+
+  private[graft] def stage(df: DataFrame,
+      requireTruncation: Boolean = false): DataFrame = {
+    val mode = df.sparkSession.conf.getOption(ConfKey)
+      .getOrElse("localCheckpoint")
+    val effective =
+      if (requireTruncation && (mode == "persist" || mode == "none")) {
+        // iterative-state seam: honor the spirit of the opt-out
+        // (no GC-lifetime executor-pinned blocks) where possible,
+        // but never skip plan truncation — see scaladoc
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          "checkpoint"
+        else "localCheckpoint"
+      } else mode
+    effective match {
       case "localCheckpoint" => df.localCheckpoint(false)
       case "persist" =>
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case "checkpoint" => df.checkpoint(false)
+        track(df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case "checkpoint" =>
+        // persist -> EAGER checkpoint -> drop the transient cache:
+        // a bare checkpoint's write job recomputes the whole staged
+        // lineage from scratch (ReliableRDDCheckpointData reads the
+        // RDD, not the result of the action that triggered it)
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try p.checkpoint()
+        finally p.unpersist(blocking = false)
       case "none" => df
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be localCheckpoint|persist|checkpoint|none, got '$other'")
     }
+  }
 }

@@ -607,17 +607,24 @@ object TextDedup {
     * pure map usable in any streaming select. */
   def contaminationProbe(ref: DataFrame, refIdCol: String,
       refTextCol: String, shingleN: Int = 3, k: Int = 16,
-      bands: Int = 4, maxRefDocs: Long = 1000000L): Column => Column = {
+      bands: Int = 4, maxRefDocs: Long = 100000L): Column => Column = {
     require(k % bands == 0, "k must be a multiple of bands")
     // loud contract failure BEFORE the collect: the reference rides
     // inside the expression (benchmark-sized by design); a corpus-sized
     // reference would otherwise surface as a driver OOM / giant task
-    // binary. The count is a cheap row-count scan of the input.
-    val nRef = ref.count()
+    // binary. The guard is LIMIT-bounded — counting a corpus-sized
+    // reference in full would itself be the warehouse-scale scan this
+    // guard exists to refuse. Payload math behind the default: each
+    // doc ships id + k 16-hex minima (~1.3 KB of JVM strings at
+    // k=16), so 100k docs ~ 130 MB of task closure — already at the
+    // edge of comfortable; raise deliberately, never casually.
+    val cap = math.min(maxRefDocs, (Int.MaxValue - 1).toLong)
+    val nRef = ref.limit(cap.toInt + 1).count()
     require(nRef <= maxRefDocs,
       s"contaminationProbe embeds the reference in the expression and " +
-        s"needs a benchmark-sized one: got $nRef docs > maxRefDocs=" +
-        s"$maxRefDocs — use crossMinHashContamination for large references")
+        s"needs a benchmark-sized one: got > maxRefDocs=" +
+        s"$maxRefDocs docs — use crossMinHashContamination for large " +
+        "references")
     val refSigs = minHashMd5SigTable(ref, refIdCol, refTextCol, shingleN, k)
       .collect()
       .map(r => (r.getLong(0), Array.tabulate(k)(i => r.getString(i + 1))))

@@ -586,11 +586,14 @@ object VectorOps {
     // then materializes it again inside the final member plan — without
     // it the whole removal lineage (anti-join, dirty semi-join,
     // re-prune) executes once per action. One row per vector, the same
-    // table the caller stores anyway. Materialize.stage: lazy
-    // localCheckpoint by default, spark.graft.stage.mode for services
-    // that need fault-tolerant / explicitly-released lifecycles.
+    // table the caller stores anyway. requireTruncation: this state
+    // feeds the NEXT maintenance run's plan, so plan truncation is
+    // mandatory here regardless of the session stage mode — without
+    // it the removal/append lineage nests without bound across runs
+    // (Materialize scaladoc, iterative-state seams).
     incrementalSemDedup(
-      SemState(Materialize.stage(carried.unionByName(revised)),
+      SemState(Materialize.stage(carried.unionByName(revised),
+        requireTruncation = true),
         state.centroids),
       addedVecs, idCol, vecCol, tau, hintBroadcastDelta)
   }

@@ -183,10 +183,26 @@ final class PreparedPolygonQuery private[pipeline] (
       (lo, hi, paramPlan(range))
     }
 
-  // per-bucket probe-job deadline, read once at handle construction
-  private val probeTimeoutSec: Long =
-    index.sparkSession.conf.getOption("spark.graft.probe.timeoutSec")
-      .map(_.toLong).getOrElse(30L)
+  // per-bucket probe-job deadline, re-read per probe so the conf is
+  // genuinely per-session tunable on a LIVE handle (a slow cluster
+  // raises it without re-preparing). Default 150 s: above Spark's
+  // executor-loss detection window (spark.network.timeout, 120 s), so
+  // a transient executor death RECOVERS via task resubmission instead
+  // of surfacing as a probe timeout — still bounded, a wedged job
+  // cannot hold the handle's monitor forever. Parse fails loudly with
+  // the key name; non-positive values are refused (they would fail
+  // every multi-bucket probe instantly).
+  private def probeTimeoutSec: Long = {
+    val key = "spark.graft.probe.timeoutSec"
+    index.sparkSession.conf.getOption(key).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a positive integer of seconds, got '$v'")
+      }
+      require(n > 0, s"$key must be > 0, got $n")
+      n
+    }.getOrElse(150L)
+  }
 
   // pre-pay analysis + optimization + physical planning for every
   // bucket NOW; deliberately NOT executed here — an execution warm-up
@@ -232,11 +248,10 @@ final class PreparedPolygonQuery private[pipeline] (
         // error, not hang the probe (and its lock) forever. objects()
         // holds the handle's monitor for the whole probe, so the
         // deadline bounds how long ONE wedged job can stall every
-        // other caller on this handle: default 30 s (still >1000x the
-        // measured worst probe), per-session tunable via
-        // spark.graft.probe.timeoutSec for genuinely slow clusters.
-        futs.toArray.flatMap(f =>
-          Await.result(f, probeTimeoutSec.seconds))
+        // other caller on this handle (see probeTimeoutSec for the
+        // default's rationale and the tuning knob).
+        val deadline = probeTimeoutSec.seconds
+        futs.toArray.flatMap(f => Await.result(f, deadline))
       }
     rows.distinct.sortBy(r => (r.getString(1), r.getString(0)))
   }

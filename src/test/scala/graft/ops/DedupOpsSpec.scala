@@ -407,7 +407,19 @@ class DedupOpsSpec extends AnyFunSuite {
       try assert(run() == base, s"stage mode $mode diverged")
       finally spark.conf.unset(graft.ops.Materialize.ConfKey)
     }
-    spark.sqlContext.clearCache()
+    // persist-mode staged frames are internal to the operators —
+    // the dedicated release hook frees them without clearCache
+    graft.ops.Materialize.releaseStaged(spark)
+    // checkpoint mode (reliable, through the transient cache)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck")
+    try {
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      spark.conf.set(graft.ops.Materialize.ConfKey, "checkpoint")
+      assert(run() == base, "stage mode checkpoint diverged")
+    } finally {
+      spark.conf.unset(graft.ops.Materialize.ConfKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
+    }
     // unknown mode fails loudly, not silently-default
     spark.conf.set(graft.ops.Materialize.ConfKey, "bogus")
     try intercept[IllegalArgumentException] { run() }
