@@ -83,6 +83,17 @@ object Sketches {
         lit(depth).as("depth"), lit(width).as("width")): _*)
   }
 
+  /** Cell-wise SUM merge of shard sketches ([[countMinBuild]] with
+    * `shardCols`, a union of per-day sketch tables, ...) into the
+    * union's sketch — exact (q197 pins merged == single-pass cell for
+    * cell). The ONE blessed merge idiom: [[countMinEstimate]] refuses
+    * both extra columns and duplicate cells, so every rollup path
+    * should go through here rather than hand-writing the groupBy. */
+  def countMinMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("r", "bucket", "depth", "width")
+      .agg(sum(col("cnt")).as("cnt"))
+      .select("r", "bucket", "cnt", "depth", "width")
+
   /** Point-estimate frequencies for `probes` against a built sketch:
     * min over the depth rows of each probe's counter. The count-min
     * LAW — estimate >= true count, always, deterministically (hash
@@ -108,20 +119,23 @@ object Sketches {
         // as mismatched parameters: min() across a cell's shard rows
         // returns one shard's count, UNDER the true total — the exact
         // law violation this contract exists to prevent. Extra
-        // columns beyond the canonical five are therefore rejected
-        // loudly (SUM-merge on (r, bucket, depth, width) first).
+        // columns beyond the canonical five are rejected loudly, and
+        // duplicate (r, bucket) rows — a canonical-columned union of
+        // shard sketches whose [[countMinMerge]] was forgotten — are
+        // caught by the uniqueness fold in the SAME bounded action.
         val extra = cols -- Set("r", "bucket", "cnt", "depth", "width")
         require(extra.isEmpty,
           s"count-min sketch carries extra columns ${extra.mkString(",")}" +
             " — an unmerged sharded sketch under-estimates silently;" +
-            " SUM-merge cells on (r, bucket, depth, width) before probing")
-        // bounded: (min, max) over two constant columns of a
-        // depth x width-bounded table. NOTE this is an ACTION — an
+            " countMinMerge it before probing")
+        // bounded: constants + cell uniqueness over a depth x
+        // width-bounded table. NOTE this is an ACTION — an
         // unmaterialized sketch plan executes here and again under
         // the probe join; persist the sketch first (q194/q197/q198
         // do) when the build is expensive.
         val r = sketch.agg(min(col("depth")), max(col("depth")),
-          min(col("width")), max(col("width"))).head()
+          min(col("width")), max(col("width")), count(lit(1)),
+          countDistinct(col("r"), col("bucket"))).head()
         if (!r.isNullAt(0)) {
           require(r.getInt(0) == depth && r.getInt(1) == depth &&
             r.getInt(2) == width && r.getInt(3) == width,
@@ -129,9 +143,14 @@ object Sketches {
               s"${r.getInt(0)}..${r.getInt(1)} width=${r.getInt(2)}.." +
               s"${r.getInt(3)}, probed with depth=$depth width=$width — " +
               "mismatched cells silently under-estimate")
+          require(r.getLong(4) == r.getLong(5),
+            s"count-min sketch has duplicate (r, bucket) cells " +
+              s"(${r.getLong(4)} rows, ${r.getLong(5)} distinct) — an " +
+              "unmerged union of shard sketches under-estimates " +
+              "silently; countMinMerge it before probing")
         }
         sketch.select("r", "bucket", "cnt")
-      } else sketch
+      } else sketch.select("r", "bucket", "cnt")
     probes
       // NULL probes mirror the build side's exclusion (otherwise a
       // phantom (null, 0) row appears for a key no sketch can hold)

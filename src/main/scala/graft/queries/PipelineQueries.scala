@@ -278,15 +278,14 @@ object PipelineQueries {
           explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .persist()
+      // persisted (<= depth x width rows): feeds the cell diff, the
+      // estimate's structural check AND its probe join; declared
+      // outside try so the finally releases it on pin failure too
+      val merged = graft.ops.Sketches.countMinMerge(
+        graft.ops.Sketches.countMinBuild(toks, "tok",
+          shardCols = Seq("shard")))
+        .persist()
       try {
-        // persisted (<= depth x width rows): feeds the cell diff, the
-        // estimate's structural check AND its probe join
-        val merged = graft.ops.Sketches
-          .countMinBuild(toks, "tok", shardCols = Seq("shard"))
-          .groupBy("r", "bucket", "depth", "width")
-          .agg(sum(col("cnt")).as("cnt"))
-          .select("r", "bucket", "cnt", "depth", "width")
-          .persist()
         val single = graft.ops.Sketches.countMinBuild(toks, "tok")
         // one-job two-sided cell diff ((r, bucket) unique per side):
         // the exceptAll form executed both sketch builds twice
@@ -310,10 +309,12 @@ object PipelineQueries {
         }
         val sess = s
         import sess.implicits._
-        merged.unpersist(blocking = false)
         rows.toSeq.toDF("tok", "exact_cnt", "cm_est")
           .orderBy(col("exact_cnt").desc, col("tok"))
-      } finally toks.unpersist(blocking = false)
+      } finally {
+        merged.unpersist(blocking = false)
+        toks.unpersist(blocking = false)
+      }
     }),
 
     // Heavy-hitter PREFILTER (the composition the sketch exists for):
@@ -330,12 +331,13 @@ object PipelineQueries {
         .select(explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .persist()
+      // persisted: the estimate's structural check is an action ahead
+      // of the probe join (see countMinEstimate scaladoc); outside try
+      // so the finally releases it on any failure
+      val sketch = graft.ops.Sketches.countMinBuild(toks, "tok")
+        .persist()
       try {
         val tau = math.max(1L, toks.count() / 1000L)
-        // persisted: the estimate's structural check is an action
-        // ahead of the probe join (see countMinEstimate scaladoc)
-        val sketch = graft.ops.Sketches.countMinBuild(toks, "tok")
-          .persist()
         val cands = graft.ops.Sketches
           .countMinEstimate(sketch, toks.distinct(), "tok")
           .filter(col("cm_est") >= tau).select("tok")
@@ -345,10 +347,12 @@ object PipelineQueries {
           .collect().map(r => (r.getString(0), r.getLong(1)))
         val sess = s
         import sess.implicits._
-        sketch.unpersist(blocking = false)
         rows.toSeq.toDF("tok", "exact_cnt")
           .orderBy(col("exact_cnt").desc, col("tok"))
-      } finally toks.unpersist(blocking = false)
+      } finally {
+        sketch.unpersist(blocking = false)
+        toks.unpersist(blocking = false)
+      }
     }),
 
     // Bloom MEMBERSHIP prefilter (ops/Sketches.bloomBuild/

@@ -69,12 +69,8 @@ class SketchesSpec extends AnyFunSuite {
     // shard sketches equals the sketch of the union, exactly
     val (a, b) = (occurrences.filter(length(col("tok")) <= 4),
       occurrences.filter(length(col("tok")) > 4))
-    val merged = Sketches.countMinBuild(a, "tok")
-      .unionByName(Sketches.countMinBuild(b, "tok"))
-      // rollup groups by the carried parameter columns too — shards
-      // of differing geometry then refuse to collapse into one cell
-      .groupBy("r", "bucket", "depth", "width").agg(sum("cnt").as("cnt"))
-      .select("r", "bucket", "cnt", "depth", "width")
+    val merged = Sketches.countMinMerge(Sketches.countMinBuild(a, "tok")
+      .unionByName(Sketches.countMinBuild(b, "tok")))
     assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty)
     sk.unpersist()
   }
@@ -133,11 +129,21 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.countMinEstimate(sharded, Seq("k").toDF("k"), "k")
         .collect()
     }
-    assert(e.getMessage.contains("SUM-merge"), e.getMessage)
+    assert(e.getMessage.contains("countMinMerge"), e.getMessage)
+    // a canonical-columned union whose merge was forgotten is the
+    // same trap with no extra columns — the duplicate-cell fold
+    // catches it in the same bounded action
+    val a = Sketches.countMinBuild(rows.filter(col("day") < 2)
+      .select("k"), "k")
+    val b = Sketches.countMinBuild(rows.filter(col("day") >= 2)
+      .select("k"), "k")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(a.unionByName(b), Seq("k").toDF("k"), "k")
+        .collect()
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
     // the merged form estimates correctly
-    val merged = sharded.groupBy("r", "bucket", "depth", "width")
-      .agg(sum(col("cnt")).as("cnt"))
-      .select("r", "bucket", "cnt", "depth", "width")
+    val merged = Sketches.countMinMerge(sharded)
     val est = Sketches.countMinEstimate(merged, Seq("k").toDF("k"), "k")
       .head().getLong(1)
     assert(est >= 100L, s"merged estimate $est under the true count")
