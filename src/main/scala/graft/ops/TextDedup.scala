@@ -120,7 +120,15 @@ object TextDedup {
       val nTok = arr.numElements()
       val toks = new Array[Array[Byte]](nTok)
       var i = 0
-      while (i < nTok) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+      while (i < nTok) {
+        // null elements stay null here and are SKIPPED in joined() —
+        // concat_ws's skip-null semantics, the bit-parity contract
+        // with MinHashSig(WordNGrams(...)) (tokensOf never emits
+        // nulls, but caller-supplied token arrays can)
+        val u = arr.getUTF8String(i)
+        toks(i) = if (u == null) null else u.getBytes
+        i += 1
+      }
       val out = Array.fill(kk)(Long.MaxValue)
       def consume(bytes: Array[Byte]): Unit = {
         val base = hash64(bytes, sd)
@@ -133,15 +141,23 @@ object TextDedup {
       }
       def joined(from: Int, until: Int): Array[Byte] = {
         var len = 0
+        var cnt = 0
         var t = from
-        while (t < until) { len += toks(t).length + 1; t += 1 }
-        val buf = new Array[Byte](math.max(len - 1, 0))
+        while (t < until) {
+          if (toks(t) != null) { len += toks(t).length; cnt += 1 }
+          t += 1
+        }
+        val buf = new Array[Byte](if (cnt == 0) 0 else len + cnt - 1)
         var off = 0
+        var emitted = 0
         t = from
         while (t < until) {
-          System.arraycopy(toks(t), 0, buf, off, toks(t).length)
-          off += toks(t).length
-          if (t + 1 < until) { buf(off) = ' '.toByte; off += 1 }
+          if (toks(t) != null) {
+            if (emitted > 0) { buf(off) = ' '.toByte; off += 1 }
+            System.arraycopy(toks(t), 0, buf, off, toks(t).length)
+            off += toks(t).length
+            emitted += 1
+          }
           t += 1
         }
         buf
@@ -245,10 +261,20 @@ object TextDedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // truncated banding would silently read only bands * (k/bands)
+    // minima — same guard as the md5 variant
+    require(k % bands == 0, "k must be a multiple of bands")
     val rows = k / bands
     val sig = df.select(
-      col(idCol).as("doc_id"),
-      minhash_shingle_signature(tokensOf(col(textCol)), shingleN, k).as("sig"))
+        col(idCol).as("doc_id"),
+        minhash_shingle_signature(tokensOf(col(textCol)), shingleN, k)
+          .as("sig"))
+      // null signatures (null text) must not band: Spark's hash()
+      // SKIPS null inputs, so every null-sig doc would land in the
+      // same per-band bucket — an O(n_null^2) all-pairs blowup of
+      // garbage candidates on crawl data where null text is routine
+      // (the md5 variant filters identically)
+      .filter(col("sig").isNotNull)
     // the k-long signature is DROPPED before the band fan-out: the
     // bucket exchange ships (doc_id, band, bucket) only — k x 8 bytes
     // x bands narrower than carrying the signature through (measured
@@ -303,8 +329,16 @@ object TextDedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
-  /** SimHash candidate pairs: 4 x 16-bit bands of the 64-bit simhash;
-    * any pair within Hamming distance <= small k shares >= 1 band. */
+  /** SimHash candidate pairs: 4 x 16-bit bands of the 64-bit simhash.
+    * The pigeonhole GUARANTEE covers Hamming distance <= 3 (4 bands:
+    * at most 3 differing bits cannot touch all four); pairs at
+    * distance 4..maxHamming are found only when their differing bits
+    * leave some band intact — overwhelmingly likely for near-dups
+    * (differing bits cluster on few token votes) but NOT certain, the
+    * standard LSH recall trade. The output is the candidate pairs
+    * within maxHamming, not a proof of completeness beyond distance
+    * 3; use [[simHashCandidatesMd5]]'s replayable twin plus the q103
+    * recall-law fixture when measured recall matters. */
   def simHashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
@@ -366,6 +400,10 @@ object TextDedup {
     require(k >= 1, "minhash needs k >= 1")
     override def children: Seq[Expression] = Seq(grams)
     override def dataType: DataType = ArrayType(StringType)
+    // per-expression, not per-row: this is the signature hot path, and
+    // rebuilding k small byte arrays per document was pure GC churn
+    @transient private lazy val prefixes: Array[Array[Byte]] =
+      (0 until k).map(i => s"$i#".getBytes("UTF-8")).toArray
     override protected def evalNotNull(a: Array[Any]): Any = {
       import org.apache.spark.unsafe.types.UTF8String
       val arr = a(0).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -374,7 +412,6 @@ object TextDedup {
       val md = java.security.MessageDigest.getInstance("MD5")
       val mins = Array.ofDim[Byte](k, 8)
       var first = true // first gram populates every slot unconditionally
-      val prefixes = (0 until k).map(i => s"$i#".getBytes("UTF-8")).toArray
       var g = 0
       while (g < n) {
         val gb = arr.getUTF8String(g).getBytes
@@ -609,6 +646,16 @@ object TextDedup {
       refTextCol: String, shingleN: Int = 3, k: Int = 16,
       bands: Int = 4, maxRefDocs: Long = 100000L): Column => Column = {
     require(k % bands == 0, "k must be a multiple of bands")
+    // the embedded-signature expression carries LONG ref ids
+    // (BestBandMatch's output struct is typed) — a non-long id column
+    // would otherwise surface as a ClassCastException deep in the
+    // collect, where the batch operator (id-type agnostic) succeeds
+    require(ref.schema(refIdCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"contaminationProbe needs a LONG $refIdCol (BestBandMatch " +
+        "carries typed long ref ids); cast string/int benchmark ids " +
+        "first, or use crossMinHashContamination, which is id-type " +
+        "agnostic")
     // loud contract failure BEFORE the collect: the reference rides
     // inside the expression (benchmark-sized by design); a corpus-sized
     // reference would otherwise surface as a driver OOM / giant task
@@ -847,29 +894,59 @@ object TextDedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), "dst")
         .groupBy("src").agg(min("nc").as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
+      // POINTER JUMP (label := label(label)): plain neighbor-min moves
+      // a label ONE hop per round, so a diameter-d component needs d
+      // rounds — a 40-vertex path would silently exhaust maxIter with
+      // wrong labels. Jumping compresses through the current label's
+      // own label each round, so remaining depth HALVES: log2(diameter)
+      // rounds, and maxIter = 30 covers diameter 2^30. Every label is
+      // a vertex id present in `stepped` (labels start as ids and move
+      // by min over them), so the self-join always matches; the
+      // coalesce is belt-and-braces.
+      val next = stepped
+        .join(stepped.select(col("id").as("component"),
+          col("component").as("__cc2")), Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("__cc2"), col("component")).as("component"))
         .localCheckpoint()
       val nextSum = labelSum(next)
       // free the superseded round's checkpoint blocks NOW: they are
-      // persist-backed and otherwise live until the driver GCs the
-      // dataframe and ContextCleaner runs — long iterative runs (or
-      // many CC calls in one JVM) would accumulate executor storage.
-      // `next` no longer references them (localCheckpoint truncated
-      // its plan to its own blocks), so this is safe.
+      // RDD-level persisted and otherwise live until the driver GCs
+      // the dataframe and ContextCleaner runs — long iterative runs
+      // (or many CC calls in one JVM) would accumulate executor
+      // storage. Dataset.unpersist is a NO-OP here (it clears
+      // cache-manager entries only; localCheckpoint never registers
+      // one), so the release goes through the underlying LogicalRDD.
+      // `next` no longer references the old blocks (localCheckpoint
+      // truncated its plan to its own), so this is safe.
       val superseded = labels
       labels = next
-      superseded.unpersist(blocking = false)
+      freeLocalCheckpoint(superseded)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    freeLocalCheckpoint(sym)
+    // unreachable below diameter 2^maxIter thanks to the pointer jump
+    // — but silently returning PARTIAL components would poison every
+    // downstream dedup decision, so the cap is loud, never quiet
+    require(converged,
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        "rounds — raise maxIter")
     labels
   }
+
+  /** Eagerly release a `localCheckpoint()`ed frame's RDD blocks —
+    * `Dataset.unpersist` cannot (cache-manager entries only). Callers
+    * must not execute the frame again afterwards. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(df)
+      .foreach(_.unpersist(blocking = false))
 
   // ------------------------------------------------ repeated passages
 

@@ -15,6 +15,19 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The RDD behind a `localCheckpoint()`ed frame, if that is what
+    * `df` is. `Dataset.unpersist` only clears cache-manager entries,
+    * but localCheckpoint persists at the RDD level — so freeing a
+    * superseded iteration's checkpoint blocks EAGERLY (instead of
+    * waiting for driver GC + ContextCleaner) needs the LogicalRDD,
+    * which is private[sql]. */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** The catalog's own default location for a (possibly db-qualified)
     * managed table name — current database and `<db>.db/<t>` layout
     * resolved by the same rule `saveAsTable` uses. `sessionState` is

@@ -346,6 +346,68 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, None, 0L, 0.0)))
   }
 
+  test("minHashCandidates: null-text docs neither pair up nor blow up; k % bands guarded") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq[(Long, String)](
+      (1L, base), (2L, base + " tail"),
+      (3L, null), (4L, null), (5L, null)
+    ).toDF("doc_id", "text")
+    // Spark's hash() skips null inputs, so unfiltered null signatures
+    // would all share one bucket per band — docs 3/4/5 must simply
+    // vanish from the candidate set instead
+    val pairs = TextDedup.minHashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "real near-dup pair missed")
+    assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 },
+      s"null-text docs produced candidate pairs: $pairs")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.minHashCandidates(docs, "doc_id", "text", k = 60,
+        bands = 16)
+    }
+    assert(e.getMessage.contains("multiple of bands"), e.getMessage)
+  }
+
+  test("minhash_shingle_signature: null token elements follow concat_ws skip-null parity") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("alpha", null, "beta", "gamma", "delta")))
+      .toDF("toks")
+    val fused = df.select(TextDedup.minhash_shingle_signature(
+      col("toks"), 3, 16).as("s")).head.getSeq[Long](0)
+    val composed = df.select(TextDedup.minhash_signature(
+      TextDedup.shinglesOf(col("toks"), 3), 16).as("s")).head.getSeq[Long](0)
+    assert(fused == composed,
+      "fused shingle signature diverged from the composed path on a " +
+        "null token element")
+  }
+
+  test("contaminationProbe refuses a non-long reference id, loudly") {
+    import spark.implicits._
+    val ref = Seq(("mmlu-1", "some benchmark question text here today"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.contaminationProbe(ref, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("LONG"), e.getMessage)
+  }
+
+  test("connectedComponents frees superseded round checkpoints eagerly") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a 40-vertex path graph forces many label-propagation rounds —
+    // each round's localCheckpoint blocks must be freed as soon as
+    // the next supersedes it (Dataset.unpersist cannot do this; the
+    // release goes through the LogicalRDD)
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = TextDedup.connectedComponents(edges)
+    assert(cc.select(countDistinct(col("component"))).head.getLong(0) == 1L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the RETURNED frame's own checkpoint may remain
+    assert(after <= before + 1,
+      s"superseded checkpoint blocks leaked: $before -> $after persistent RDDs")
+  }
+
   // the per-row lemma q193's stream-stratum trim rests on: the probe
   // expression IS the batch operator row for row (stateless, no
   // cross-corpus-row term), so stream == batch holds on any corpus
