@@ -21,7 +21,12 @@ import graft.functions.GeoExpr
   */
 object VectorOps {
 
-  /** In-order fold dot product (deterministic, codegen'd built-ins). */
+  /** In-order fold dot product — deterministic and SQL-replayable
+    * (the same left fold a DuckDB list_sum(list_transform) spells),
+    * but NOT codegen'd: aggregate/zip_with are higher-order functions
+    * Catalyst always interprets. Hot paths use the native [[CosineSim]]
+    * expression instead (measured 4x — its scaladoc has the story);
+    * this form is for replay-parity plumbing and cold paths. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -180,9 +185,23 @@ object VectorOps {
     * everywhere). 4x memory/shuffle reduction for a 100 TB embedding
     * corpus; map-only, codegen'd built-ins. */
   def sqQuantize(vec: Column, scales: Array[Double]): Column =
-    zip_with(vec, typedLit(scales.toSeq), (v, s) =>
-      greatest(lit(-127), least(lit(127),
-        floor(v.cast("double") * 127.0 / s + 0.5).cast("int"))))
+    zip_with(vec, typedLit(scales.toSeq), (v, s) => {
+      // clamp as DOUBLE, before the int cast, null passed through:
+      //  - greatest/least SKIP null arguments, so clamping a null
+      //    product (null element, or zip_with's null padding on a
+      //    length-mismatched vector) would FABRICATE code 127 where
+      //    cosine() on the same input returns NULL — nulls must stay
+      //    null;
+      //  - clamping after .cast("int") saturates floor's huge-value
+      //    double to Long.MaxValue and then WRAPS on the int cast
+      //    (frozen stale scales + a grown value -> code -1), while
+      //    the driver-side sqKnn clamps before toInt and yields 127 —
+      //    corpus and query must land in one codebook.
+      val raw = floor(v.cast("double") * 127.0 / s + 0.5)
+      when(raw.isNull, lit(null))
+        .otherwise(greatest(lit(-127.0), least(lit(127.0), raw)))
+        .cast("int")
+    })
 
   /** Cosine on quantized vectors, dequantized on the fly (the scales
     * fold back in; the 127 denominators cancel in cosine but are kept
@@ -274,6 +293,14 @@ object VectorOps {
     * instead of a row_number window. */
   def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
+    // an empty centroid table would make the inner join below emit
+    // ZERO rows — every input vector silently dropped, an empty
+    // "index"/"dedup state" with no error anywhere (assignExpr and
+    // semDedup guard their equivalents loudly; the centroid table is
+    // broadcast-tiny by contract, so the isEmpty action is bounded)
+    require(!centroids.isEmpty,
+      "assignToCentroids got an EMPTY centroid table — every vector " +
+        "would silently drop; check the centroid build/read")
     val best = emb.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
       .select(col(idCol),
@@ -293,20 +320,14 @@ object VectorOps {
     * work is Σ n_c² and the cluster key is the only shuffle.
     * Returns (idCol, cluster, kept) — one row per input vector. */
   def semDedupPrune(clustered: DataFrame, idCol: String, vecCol: String,
-      tau: Double): DataFrame = {
-    val a = clustered.select(col("cluster"), col(idCol).as("__id_a"),
-      col(vecCol).as("__vec_a"))
-    val b = clustered.select(col("cluster"), col(idCol).as("__id_b"),
-      col(vecCol).as("__vec_b"))
-    val dropped = a.join(b, Seq("cluster"))
-      .filter(col("__id_a") < col("__id_b") &&
-        round(cosine(col("__vec_a"), col("__vec_b")), 6) >= tau)
-      .select(col("__id_b").as(idCol)).distinct()
-    clustered
-      .join(dropped.withColumn("__dropped", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col("cluster"),
-        coalesce(!col("__dropped"), lit(true)).as("kept"))
-  }
+      tau: Double): DataFrame =
+    // exactly the evidence variant minus its suppressor column — ONE
+    // spelling of the drop rule, so a future tie/rounding change
+    // cannot drift between the two (the q179/q184 cross-variant
+    // equivalences depend on them agreeing; the min-suppressor
+    // aggregate and the old distinct produce the same dropped set)
+    semDedupPruneEvidence(clustered, idCol, vecCol, tau)
+      .drop("suppressor")
 
   /** One deterministic Lloyd refinement step from the [[semDedup]]
     * seeds, with EXACT cross-engine-replayable centroid means: each
@@ -524,7 +545,14 @@ object VectorOps {
       .join(bc(dropped), Seq(idCol), "left")
       .select(col(idCol), col(vecCol), col("cluster"),
         col("suppressor").isNull.as("kept"), col("suppressor"))
-    SemState(state.members.unionByName(addedMembers), state.centroids)
+    // staged with mandatory plan truncation (the removal overload's
+    // seam discipline): the returned members ARE the next append's
+    // input, and this function itself runs driver actions (the
+    // id-bound aggregates above) against them — unstaged, N chained
+    // appends would re-execute the full accumulated prune lineage
+    // per call (O(N²) prune work) and nest N plan layers.
+    SemState(Materialize.stage(state.members.unionByName(addedMembers),
+      requireTruncation = true), state.centroids)
   }
 
   /** Dirty-frontier incremental SemDeDup WITH removals (the
@@ -649,10 +677,13 @@ object VectorOps {
     * slice of the corpus, so total pair work is Σ (query-side cell
     * fan-out x cell occupancy) instead of |Q| x |C|. With
     * nprobe = nlist every cell is probed and the result is EXACTLY
-    * the brute-force top-k (the q183 hash-matched law — same
-    * rounded-cosine descending / id-ascending order contract as
-    * [[knnBrute]]); smaller nprobe trades recall for that pair-work
-    * bound, measured in ProfileIvfRecall.
+    * the all-pairs top-k under THIS function's ordering contract —
+    * ROUNDED cosine (6 decimals) descending, id ascending, the q183
+    * hash-matched law. NOTE [[knnBrute]] orders by the RAW cosine
+    * (its own q51/q59 oracles replay that), so the two "exact" paths
+    * can legitimately disagree at rounding-tie boundaries; smaller
+    * nprobe trades recall for the pair-work bound, measured in
+    * ProfileIvfRecall.
     *
     * Self-pairs are excluded. Returns (query id as `q_id`, `rank`
     * 1..k, neighbor idCol, `cos_sim`).
@@ -668,15 +699,6 @@ object VectorOps {
     knnJoinIndexed(queries, ivfState(corpus, idCol, vecCol, centroids),
       idCol, vecCol, k, nprobe)
 
-  /** [[knnJoin]] against a STORED [[IvfState]] — the deployment shape:
-    * the corpus assignment is the warehouse's maintained index table
-    * (written `partitionBy("cluster"/"ivf_cell")`, kept current by
-    * [[incrementalIvf]]), so a graph build pays ZERO corpus
-    * re-assignment — only the query-side probe ranking and the
-    * cell-keyed join against the stored slices. [[knnJoin]] is this
-    * function over a just-built state, so the q183 exactness law and
-    * the recall curve transfer verbatim; q186 pins the parquet
-    * round-trip (stored index read back ≡ in-memory build). */
   /** Each query's `nprobe` nearest cells — the probe-cell ranking that
     * drives partial-probe search, public so callers can reason about
     * the candidate scope (q195's containment law joins against it).
@@ -702,6 +724,15 @@ object VectorOps {
     else ranked.select(col("__q_id").as(idCol), col("cluster"))
   }
 
+  /** [[knnJoin]] against a STORED [[IvfState]] — the deployment shape:
+    * the corpus assignment is the warehouse's maintained index table
+    * (written `partitionBy("cluster"/"ivf_cell")`, kept current by
+    * [[incrementalIvf]]), so a graph build pays ZERO corpus
+    * re-assignment — only the query-side probe ranking and the
+    * cell-keyed join against the stored slices. [[knnJoin]] is this
+    * function over a just-built state, so the q183 exactness law and
+    * the recall curve transfer verbatim; q186 pins the parquet
+    * round-trip (stored index read back ≡ in-memory build). */
   def knnJoinIndexed(queries: DataFrame, state: IvfState, idCol: String,
       vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val assigned = state.assigned
@@ -732,10 +763,19 @@ object VectorOps {
   }
 
   /** IVF probe: search only the `nprobe` cells whose centroids are
-    * closest to the query — partition pruning for vectors. */
+    * closest to the query — partition pruning for vectors. Cells rank
+    * by EUCLIDEAN distance deliberately: this is the Spark-ML KMeans
+    * index ([[ivfIndex]]), whose `transform` assigns members by L2 —
+    * the probe metric must match the index's own assignment metric
+    * (the cosine-assigned IvfState path probes by cosine in
+    * [[probeCells]] for the same reason). */
   def ivfSearch(assigned: DataFrame, centroids: Array[Array[Double]],
       idCol: String, vecCol: String, query: Array[Float], k: Int,
       nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfSearch needs at least one centroid")
+    require(centroids.head.length == query.length,
+      s"query dims ${query.length} != centroid dims " +
+        s"${centroids.head.length}")
     val q = query.map(_.toDouble)
     def dist2(c: Array[Double]): Double = {
       var s = 0.0
@@ -982,9 +1022,15 @@ object VectorOps {
 
   /** IVFADC — the deployment composition: IVF probe pruning picks the
     * `nprobe` candidate cells per query, ADC scores ONLY those cells'
-    * code words. The corpus side of the join carries (cluster,
-    * pq_codes): at 100 TB that is the cell-partitioned code parquet,
-    * read nprobe/nlist of it per query batch, floats touched never.
+    * code words. DEPLOYMENT NOTE on the corpus side: THIS form takes
+    * the assignment table and the code table separately and pays one
+    * id-keyed join to combine them per call — fine for a session that
+    * calls it once, but a deployed warehouse materializes the joined
+    * (cluster, id, pq_codes) table ONCE, written
+    * `partitionBy("cluster")` (the q186 storage discipline), and at
+    * that point a query batch reads nprobe/nlist of the cell-
+    * partitioned code parquet, floats touched never, no per-call
+    * id-join.
     * nprobe = nlist degenerates to [[pqAdcKnn]] exactly (same scores,
     * same ordering — q200 reuses q199's full-scan oracle on that
     * identity), and partial probes obey the q195 containment laws

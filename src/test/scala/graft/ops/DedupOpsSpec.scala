@@ -84,6 +84,33 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sqQuantize: null elements stay null; out-of-range saturates like the driver-side clamp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val scales = Array(1.0, 1.0, 1e-30)
+    val df = Seq(Tuple1(Seq[java.lang.Float](0.5f, null, 0.5f)))
+      .toDF("v")
+    val q = df.select(VectorOps.sqQuantize(col("v"), scales).as("q"))
+      .head().getSeq[Any](0)
+    // greatest/least SKIP nulls — an unguarded clamp fabricates 127
+    assert(q(0) == 64 && q(1) == null,
+      s"null element must stay null, got $q")
+    // stale tiny scale + real value: floor saturates then an int cast
+    // would WRAP to -1; the clamp must run before the cast and yield
+    // +127, matching sqKnn's driver-side quantization of the same value
+    assert(q(2) == 127, s"expected saturation to 127, got ${q(2)}")
+  }
+
+  test("assignToCentroids refuses an empty centroid table loudly") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("__c_id", "__c_vec")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.assignToCentroids(emb, "vec_id", "embedding", empty)
+    }
+    assert(e.getMessage.contains("EMPTY centroid"), e.getMessage)
+  }
+
   test("int8 scalar quantization: recall@10 >= 0.8 vs float brute force, bounded error") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
