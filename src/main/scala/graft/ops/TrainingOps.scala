@@ -69,10 +69,17 @@ object TrainingOps {
   def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
       capacity: Int, shardCol: Option[String] = None): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = shardCol match {
+    val w0 = shardCol match {
       case Some(sc) => Window.partitionBy(col(sc)).orderBy(col(idCol))
       case None => Window.orderBy(col(idCol))
     }
+    // ROWS frame, not the default RANGE: under RANGE, rows sharing an
+    // id are PEERS and each one's cumulative sum includes the other —
+    // tokens_before then double-counts and bins skip. With ROWS,
+    // duplicate ids still pack (their relative order is the engine's,
+    // so the determinism contract additionally needs unique ids per
+    // shard — the documented precondition).
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col(nTokensCol)).over(w)
     docs
       .withColumn("cum_tokens", cum.cast("long"))
@@ -100,6 +107,10 @@ object TrainingOps {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
     docs
+      // NULL text would otherwise emit one phantom chunk row
+      // (size(NULL) = -1/NULL, greatest SKIPS the null bound, slice
+      // of NULL, md5 of the empty concat) — no text, no chunks
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), TextDedup.tokensOf(col(textCol)).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("chunk_idx", explode(sequence(lit(0L),
@@ -204,6 +215,15 @@ object TrainingOps {
     val vocab = c12
       .select(substring_index(col("g"), " ", -1).as("w2"))
       .agg(countDistinct(col("w2")).cast("double").as("V"))
+      // V = 0 (train empty / no doc with >= 2 tokens) would make the
+      // smoothing denominator 0 -> NULL division -> NULL avg_logp/ppl
+      // for EVERY scored doc, and a NULL-compared perplexity gate
+      // silently keeps or drops everything — fail loudly in-plan
+      // instead (zero cost on the healthy path)
+      .select(when(col("V") === 0.0, raise_error(lit(
+        "lmScore: train side produced an EMPTY bigram table (no doc " +
+          "with >= 2 tokens) — every score would be NULL")).cast("double"))
+        .otherwise(col("V")).as("V"))
     bigrams(score)
       .join(c12, Seq("g"), "left")
       .withColumn("w1", substring_index(col("g"), " ", 1))
@@ -295,7 +315,13 @@ object TrainingOps {
       val v = (f * 4294967296.0).toLong.min(4294967295L)
       f"$v%08x"
     }
-    val assigned = splits.map(_._1).zip(cumulative)
+    // the LAST split's branch is UNCONDITIONAL (fold over init only):
+    // at full coverage its threshold is 1.0 -> "ffffffff", and the
+    // strict < would push a doc whose prefix is exactly ffffffff
+    // (expected >= 1 per few-billion docs) past every split into the
+    // declaration-order fallback — a zero-fraction eval split gaining
+    // a doc is precisely the contamination this op exists to prevent
+    val assigned = splits.init.map(_._1).zip(cumulative.init)
       .foldRight(lit(splits.last._1): Column) { case ((name, cum), acc) =>
         when(prefix < lit(hexThreshold(cum)), name).otherwise(acc)
       }
@@ -388,13 +414,53 @@ object TrainingOps {
         md5(concat_ws("|", col(idCol), lit(salt))), 1, 13), 16, 10)
       .cast("long").cast("double")
     val u = (bits + lit(0.5)) / lit(4503599627370496.0) // 2^52
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df
+      // NULL ids are excluded like degenerate weights: concat_ws SKIPS
+      // nulls, so every null-id row would share ONE sampling key and
+      // the cut among them would be partition-order luck — the exact
+      // nondeterminism this op's md5 derivation exists to rule out
+      .filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("samp_key", -log(u) / col(weightCol).cast("double"))
       .orderBy(col("samp_key"), col(idCol))
       .limit(n)
   }
 
   // ------------------------------------------- BPE vocabulary induction
+
+  /** The BPE alphabet split — lowercased maximal [a-z]+ runs. ONE
+    * spelling shared by the learn and apply sides: their
+    * word-for-word correspondence is the whole correctness story
+    * (applyBpeMerges' token counts are only meaningful if words split
+    * exactly as in training). */
+  private def bpeWords(text: Column): Column =
+    split(lower(text), "[^a-z]+")
+
+  /** Bounded-lineage chain truncation for iterative column rewrites:
+    * localCheckpoint every caller-chosen period, MATERIALIZING the new
+    * checkpoint before eagerly freeing the superseded one (the lazy
+    * checkpoint's lineage still reads the predecessor's blocks until
+    * it materializes; and Dataset.unpersist is a no-op on
+    * localCheckpoint'd frames — the release goes through the
+    * LogicalRDD). Without the free, a 30k-merge run pins ~1k copies
+    * of the type table until driver GC. */
+  private final class ChainTruncator {
+    private var last: Option[DataFrame] = None
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(false)
+      ck.count() // materialize BEFORE freeing what it is built from
+      release()
+      last = Some(ck)
+      ck
+    }
+    /** Free the most recent checkpoint too — only when the caller no
+      * longer executes anything derived from it. */
+    def release(): Unit = {
+      last.foreach(p => org.apache.spark.sql.graftbridge.Bridge
+        .checkpointedRdd(p).foreach(_.unpersist(blocking = false)))
+      last = None
+    }
+  }
 
   /** BPE merge-rule induction (Sennrich et al. 2016, arXiv:1508.07909):
     * learn `numMerges` merge rules by repeatedly fusing the corpus's
@@ -455,7 +521,7 @@ object TrainingOps {
     require(numMerges >= 1, "bpeMerges needs numMerges >= 1")
     val spark = docs.sparkSession
     val wordTypes = docs
-      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .select(explode(bpeWords(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .persist()
@@ -608,6 +674,7 @@ object TrainingOps {
     val types = wordTypes
       .select(regexp_replace(col("w"), "(.)", "_$1_").as("sym"), col("cnt"))
       .persist()
+    val truncator = new ChainTruncator
     try {
       var cur = types
       val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -634,15 +701,21 @@ object TrainingOps {
             expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
           // real vocab training runs thousands of merges: truncate the
           // accumulated replace lineage periodically so plan size and
-          // per-iteration analysis cost stay bounded (lazy — the block
-          // materializes inside the next iteration's pair count)
-          if (it % 32 == 0) cur = cur.localCheckpoint(false)
+          // per-iteration analysis cost stay bounded — and FREE each
+          // superseded checkpoint (a 30k-merge run would otherwise pin
+          // ~1k copies of the type table; ChainTruncator scaladoc)
+          if (it % 32 == 0) cur = truncator.truncate(cur)
           it += 1
         }
       }
       import spark.implicits._
       merges.result().toDF("merge_idx", "a", "b", "cnt")
-    } finally types.unpersist(blocking = false)
+    } finally {
+      // the rule list is already collected driver-side — the final
+      // checkpoint is releasable too
+      truncator.release()
+      types.unpersist(blocking = false)
+    }
   }
 
   /** Apply learned BPE merge rules: per-document token counts under
@@ -666,12 +739,34 @@ object TrainingOps {
   def applyBpeMerges(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)],
       hintBroadcastLexicon: Boolean = true): DataFrame = {
+    // the learn side guarantees [a-z]+ rules by construction; THIS is
+    // the external surface — a quote would escape the replace string
+    // literal below (parsed as SQL), and an uppercase or
+    // underscore-bearing rule would silently never match the
+    // lowercased wrapped symbols, yielding wrong token counts with no
+    // error anywhere
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty &&
+        (a + b).forall(ch => ch >= 'a' && ch <= 'z'),
+        s"BPE merge rules must be non-empty [a-z]+ pairs, got ('$a', '$b')")
+    }
     val types = docs
-      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .select(explode(bpeWords(col(textCol))).as("w"))
       .filter(length(col("w")) > 0).distinct()
       .withColumn("sym", regexp_replace(col("w"), "(.)", "_$1_"))
-    val fused = merges.foldLeft(types) { case (t, (a, b)) =>
-      t.withColumn("sym", expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
+    // lineage truncation every 32 rules, like the learn loop: a real
+    // 30k-rule vocabulary would otherwise nest one replace expression
+    // 30k deep (analyzer stack overflow / O(n²) analysis). The FINAL
+    // checkpoint stays live — the returned frame reads it; superseded
+    // ones free eagerly.
+    val truncator = new ChainTruncator
+    val fused = merges.zipWithIndex.foldLeft(types) {
+      case (t, ((a, b), i)) =>
+        val applied = t.withColumn("sym",
+          expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
+        if ((i + 1) % 32 == 0 && i + 1 < merges.length)
+          truncator.truncate(applied)
+        else applied
     }
     // k symbols <=> k wrapped '_x_' units: tokens = underscores / 2
     val lexicon = fused.select(col("w"),
@@ -679,7 +774,7 @@ object TrainingOps {
         length(regexp_replace(col("sym"), "_", ""))) / 2)
         .cast("long").as("word_tokens"))
     docs.select(col(idCol),
-        explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+        explode(bpeWords(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .join(if (hintBroadcastLexicon) broadcast(lexicon) else lexicon, "w")
       .groupBy(idCol).agg(sum(col("word_tokens")).as("n_tokens"))
@@ -700,13 +795,26 @@ object TrainingOps {
     * payloads, so the shuffle carries (id, digest) pairs. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
       fpCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_old"))
-    val n = newSnap.select(col(idCol).as("__id"), col(fpCol).as("__fp_new"))
+    // presence flags, not fingerprint nullness: a row present in a
+    // snapshot with a NULL fingerprint (fetch-failed/unfingerprinted)
+    // must NOT read as absent — fp-null-in-old classified 'added' and
+    // NULL === NULL fell through to 'changed'. The null-safe <=>
+    // treats two NULL fps as equal (unchanged: nothing re-enters the
+    // pipeline on a doc neither snapshot could fingerprint). NULL ids
+    // are refused upstream by the join semantics themselves (they
+    // never match) — filter them, loudly absent rather than
+    // double-counted as added+removed.
+    val o = oldSnap.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), col(fpCol).as("__fp_old"),
+        lit(true).as("__in_old"))
+    val n = newSnap.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), col(fpCol).as("__fp_new"),
+        lit(true).as("__in_new"))
     o.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

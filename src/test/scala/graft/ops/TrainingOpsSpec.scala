@@ -380,4 +380,65 @@ class TrainingOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(shuffled.toSeq == got.toSeq)
   }
+
+  test("applyBpeMerges refuses non-[a-z]+ rules loudly (external surface)") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    for (bad <- Seq(("a", "b'||'x"), ("A", "b"), ("a_", "b"), ("", "b"))) {
+      val e = intercept[IllegalArgumentException] {
+        TrainingOps.applyBpeMerges(docs, "doc_id", "text", Seq(bad))
+      }
+      assert(e.getMessage.contains("[a-z]+"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("packSequences: duplicate ids do not double-count (ROWS frame, not RANGE)") {
+    import spark.implicits._
+    // two peers with the same id, 5 tokens each, capacity 5: under the
+    // default RANGE frame both saw cum=10 and landed in bin 1, leaving
+    // bin 0 EMPTY; the ROWS frame packs them into bins {0, 1}
+    val docs = Seq((1L, 5L), (1L, 5L)).toDF("doc_id", "n_tokens")
+    val bins = TrainingOps.packSequences(docs, "doc_id", "n_tokens",
+      capacity = 5).select("bin").collect().map(_.getLong(0)).sorted
+    assert(bins.toSeq == Seq(0L, 1L), s"got bins ${bins.toSeq}")
+  }
+
+  test("chunkTokens: null-text docs yield no phantom chunk rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val rows = TrainingOps.chunkTokens(docs, "doc_id", "text",
+      chunkSize = 2, stride = 2).collect()
+    assert(rows.forall(_.getLong(0) == 1L),
+      s"null-text doc emitted chunks: ${rows.mkString(",")}")
+    assert(rows.length == 2)
+  }
+
+  test("weightedSample excludes null ids (one shared key would be partition luck)") {
+    import spark.implicits._
+    val df = Seq((java.lang.Long.valueOf(1L), 5.0),
+      (null.asInstanceOf[java.lang.Long], 100.0),
+      (null.asInstanceOf[java.lang.Long], 100.0))
+      .toDF("doc_id", "w")
+    val got = TrainingOps.weightedSample(df, "doc_id", "w", n = 3)
+      .select("doc_id").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L,
+      s"null-id rows sampled: ${got.mkString(",")}")
+  }
+
+  test("snapshotDiff: null fingerprints classify by PRESENCE, null-safely") {
+    import spark.implicits._
+    val old = Seq((1L, "aa"), (2L, null: String), (3L, null: String),
+      (4L, "dd")).toDF("doc_id", "fp")
+    val neu = Seq((1L, "aa"), (2L, "bb"), (3L, null: String),
+      (5L, "ee")).toDF("doc_id", "fp")
+    val got = TrainingOps.snapshotDiff(old, neu, "doc_id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "unchanged")
+    // present in both, old fp NULL: fp changed — NOT 'added'
+    assert(got(2L) == "changed", s"got ${got(2L)}")
+    // present in both, both fps NULL: nothing to reprocess
+    assert(got(3L) == "unchanged", s"got ${got(3L)}")
+    assert(got(4L) == "removed" && got(5L) == "added")
+  }
 }
