@@ -46,6 +46,14 @@ object AsofJoin {
       require(!prefixed(c),
         s"left column '$c' collides with output column '$c' (prefix '$prefix')")
     }
+    // the right side's SELECTED columns are just as capable of
+    // colliding: a key/ts/value column named like the side tag would
+    // be silently overwritten by the withColumn below (data replaced
+    // by the constant 0) instead of failing
+    (keys ++ (ts +: valueCols)).foreach { c =>
+      require(!reserved(c),
+        s"right column name '$c' is reserved by asofBackward")
+    }
     val l = left.withColumn(side, lit(1))
     // NULL-ts / NULL-key right rows can never match under the DuckDB
     // convention (`l.ts >= r.ts` is never true for NULL; equi-keys drop
@@ -57,9 +65,17 @@ object AsofJoin {
       .na.drop("any", keys :+ ts)
       .withColumn(side, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // right (0) sorts before left (1) at the same ts -> inclusive match
+    // right (0) sorts before left (1) at the same ts -> inclusive
+    // match. The carried-struct third key makes DUPLICATE right
+    // (keys, ts) rows deterministic: last() then always picks the MAX
+    // (ts, values) struct among the tied rows instead of whichever
+    // task order delivered — the bit-exact-replay convention (left
+    // rows carry a NULL third key; their relative order is irrelevant
+    // since the carry reads right rows only).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc)
+      .orderBy(col(ts).asc, col(side).asc,
+        when(col(side) === 0,
+          struct((ts +: valueCols).map(col): _*)).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn(carry,
       last(when(col(side) === 0,

@@ -41,6 +41,10 @@ object RangeJoin {
         "before the join")
     // integer `div`, not `/`: SQL division is double, and floor of a
     // ~1e15 epoch divided as double can misbucket at boundaries
+    (left.columns ++ right.columns).foreach(c =>
+      require(c != "_rj_bucket",
+        "column name '_rj_bucket' is reserved by rangeJoin (a " +
+          "pre-existing one would be silently overwritten and dropped)"))
     val l = left.withColumn("_rj_bucket",
       explode(sequence(expr(s"($lts - ${beforeUs}L) div ${bucketUs}L"),
         expr(s"($lts + ${afterUs}L) div ${bucketUs}L"))))

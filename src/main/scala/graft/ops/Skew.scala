@@ -41,6 +41,10 @@ object Skew {
     * `right` is too big to broadcast but small enough to replicate. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
+    // saltFactor = 0 would be SILENT data loss, not an error: pmod by
+    // zero is NULL under non-ANSI SQL, sequence(0, -1) descends, and
+    // the equi-join on (key, NULL) matches nothing
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = left.withColumn("__salt", rowSalt(left, key, saltFactor))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))

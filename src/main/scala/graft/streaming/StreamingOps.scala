@@ -35,7 +35,18 @@ object StreamingOps {
   /** Incremental mart maintenance: each micro-batch of raw features is
     * staged/normalized/exploded with the batch transforms and appended
     * to the mart parquet dir — the mart stays a plain table the batch
-    * H3Index/H3Query layer reads as-is. */
+    * H3Index/H3Query layer reads as-is.
+    *
+    * DELIVERY CONTRACT — at-least-once, stated plainly: foreachBatch
+    * replays a micro-batch whose append landed but whose checkpoint
+    * commit did not (a crash in that window duplicates the batch's
+    * rows). A plain parquet append cannot be made exactly-once without
+    * either a transactional table format or a batch-id partition
+    * column in the mart schema (which would change what the batch
+    * layer reads). Recovery discipline: after an unclean stop, either
+    * clear martPath + checkpoint and re-run (AvailableNow makes the
+    * re-run complete), or dedup the mart on its id columns — both are
+    * one-liners; silent duplicates are the thing to know about. */
   def incrementalMart(rawStream: DataFrame, fm: FieldMapping, datasetId: String,
       martPath: String, checkpoint: String,
       h3: H3Config = H3Config()): StreamingQuery =
@@ -66,33 +77,43 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("fingerprint")
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
-  final case class SessionState(lastTs: Long, sessions: Int)
+  final case class SessionState(lastTs: Long, sessions: Int, events: Long)
   final case class SessionUpdate(user_id: Long, n_sessions: Int, n_events: Long)
 
   /** Gap-based sessionization with keyed state (> gapSeconds of silence
-    * starts a new session). State is one (lastTs, count) pair per user —
-    * bounded, spill-free at any scale. */
+    * starts a new session). State is one (lastTs, counts) tuple per
+    * user — bounded, spill-free at any scale. Both output counters are
+    * CUMULATIVE across micro-batches (take the latest row per user —
+    * the q43 batch shape). Contracts:
+    *  - lastTs is MONOTONE: a late cross-batch event inside the gap
+    *    joins the current session without rewinding the frontier (the
+    *    old unconditional assignment let one late event rewind lastTs
+    *    and a subsequent on-time event then opened a PHANTOM session).
+    *    A late event that should retroactively split an already-closed
+    *    session cannot (append-mode state has no retraction) — bound
+    *    disorder upstream with a watermarked sort if that matters.
+    *  - NULL timestamps are excluded (no ordering information, and the
+    *    sort would NPE). */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapSeconds: Long = 1800): DataFrame = {
     import spark.implicits._
     val typed = events.select(col("user_id").cast("long"),
-      col("ts").cast("timestamp")).as[SessionEvent]
+        col("ts").cast("timestamp")).as[SessionEvent]
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
-          var n = 0L
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0L))
+          rows.toSeq.filter(_.ts != null).sortBy(_.ts.getTime).foreach { e =>
             val t = e.ts.getTime / 1000
-            if (st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds)
-              st = SessionState(t, st.sessions + 1)
-            else st = SessionState(t, st.sessions)
-            n += 1
+            val newSession =
+              st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds
+            st = SessionState(math.max(t, st.lastTs),
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
           }
           state.update(st)
-          Iterator(SessionUpdate(user, st.sessions, n))
+          Iterator(SessionUpdate(user, st.sessions, st.events))
       }
       .toDF()
   }
@@ -153,6 +174,14 @@ object StreamingOps {
             members.lastOption.foreach(m => require(r.vec_id > m.id,
               s"streamingSemDedup is append-only per cluster: id " +
                 s"${r.vec_id} <= stored max ${m.id} in cluster $cluster"))
+            // NULL embedding: batch parity, not an anonymous NPE — the
+            // batch prune keeps such a row (every cosine with it is
+            // NULL, never >= tau) and its votes never suppress anyone,
+            // so it is emitted kept and NOT added to the member state
+            // (an all-NULL voter changes no future decision)
+            if (r.embedding == null) {
+              out += SemDecision(r.vec_id, cluster, kept = true, None)
+            } else {
             val v = r.embedding.toArray
             // min smaller-id tau-neighbor over everything this cluster
             // has seen (dropped members vote too — membership rule)
@@ -172,6 +201,7 @@ object StreamingOps {
                 "full-membership by design (no eviction: dropped members " +
                 "vote); re-cluster with larger k or use the batch " +
                 "incrementalSemDedup path")
+            }
           }
           state.update(members)
           out.result().iterator
