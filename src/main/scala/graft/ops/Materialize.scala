@@ -45,21 +45,41 @@ object Materialize {
 
   val ConfKey = "spark.graft.stage.mode"
 
-  // persist-mode staged frames per session (weakly keyed: a stopped
-  // session's entry vanishes with the session)
+  // Persist-mode staged frames per session. NOT weakly keyed: each
+  // tracked DataFrame strongly references its SparkSession, so with a
+  // WeakHashMap the value would pin the key and no entry could ever be
+  // reclaimed (the classic value->key WeakHashMap trap). Instead every
+  // track/release SWEEPS entries whose underlying SparkContext has
+  // stopped — a session discarded without releaseStaged() is dropped
+  // at the next staging anywhere in the JVM (its cached blocks died
+  // with the context, so dropping the bookkeeping is all that's
+  // needed). Cloned sessions (newSession) on a LIVE context are not
+  // sweepable this way; releaseStaged remains the hook for those.
   private val staged =
-    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+    new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+
+  private def sweepStopped(): Unit =
+    staged.keySet().removeIf(s => s.sparkContext.isStopped)
+
+  /** Frames tracked for `spark` after a sweep — test/diagnostic hook. */
+  private[graft] def stagedFrames(spark: SparkSession): Int =
+    staged.synchronized {
+      sweepStopped()
+      Option(staged.get(spark)).fold(0)(_.size())
+    }
 
   /** Unpersist every persist-mode staged frame this module created in
     * `spark`'s session — the between-corpora release hook for
     * long-running services on `spark.graft.stage.mode=persist`. */
   def releaseStaged(spark: SparkSession): Unit = staged.synchronized {
+    sweepStopped()
     Option(staged.remove(spark))
       .foreach(_.forEach(f => f.unpersist(false)))
   }
 
   private def track(df: DataFrame): DataFrame = {
     staged.synchronized {
+      sweepStopped()
       staged.computeIfAbsent(df.sparkSession,
         _ => new java.util.ArrayList[DataFrame]()).add(df)
     }

@@ -94,6 +94,24 @@ object Sketches {
       .agg(sum(col("cnt")).as("cnt"))
       .select("r", "bucket", "cnt", "depth", "width")
 
+  /** The structural contract as a LAZY in-plan gate: a one-row
+    * aggregate over the sketch whose failure `raise_error`s at
+    * EXECUTION time, cross-joined (broadcast, 1 row) into the probe
+    * plan with the gate value folded into the output expression so
+    * column pruning cannot drop the check. Probe builders therefore
+    * stay LAZY transformations — no driver action at call time, and
+    * the whole probe (gate included) reads a persisted sketch from
+    * cache instead of executing the build once for the check and
+    * again under the join. (An UNPERSISTED expensive sketch still
+    * evaluates twice — gate subtree + probe subtree — exactly as the
+    * old eager check did; persisting the sketch remains the advice,
+    * q194/q197/q198 do.) `passIf` must be TRUE on the all-NULL row an
+    * empty sketch aggregates to. */
+  private def gateOf(agged: DataFrame, passIf: Column, msg: Column) =
+    broadcast(agged.select(
+      when(passIf, lit(1L)).otherwise(raise_error(msg).cast("long"))
+        .as("__gate")))
+
   /** Point-estimate frequencies for `probes` against a built sketch:
     * min over the depth rows of each probe's counter. The count-min
     * LAW — estimate >= true count, always, deterministically (hash
@@ -105,62 +123,62 @@ object Sketches {
     * width hashes probes to unrelated cells and can under-estimate,
     * breaking the overestimate law with no error anywhere. The build
     * carries its parameters as columns, and this checks them
-    * structurally (one bounded driver aggregate over the sketch)
-    * before probing — mismatches fail loudly. Sketches from sources
-    * without the parameter columns (external tables) are accepted
-    * as-is: the caller owns the contract there, as the scaladoc on
-    * cmCells records. */
+    * structurally via the lazy [[gateOf]] plan gate — a mismatch (or
+    * an unmerged sharded union's duplicate cells) fails the probe JOB
+    * loudly; nothing executes at call time, so this stays a lazy
+    * transformation builder. Sketches from sources without the
+    * parameter columns (external tables) are accepted as-is: the
+    * caller owns the contract there, as the scaladoc on cmCells
+    * records. */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame,
       keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
     val cols = sketch.columns.toSet
-    val carried =
-      if (cols.contains("depth") && cols.contains("width")) {
-        // an UNMERGED sharded sketch would be just as silent a trap
-        // as mismatched parameters: min() across a cell's shard rows
-        // returns one shard's count, UNDER the true total — the exact
-        // law violation this contract exists to prevent. Extra
-        // columns beyond the canonical five are rejected loudly, and
-        // duplicate (r, bucket) rows — a canonical-columned union of
-        // shard sketches whose [[countMinMerge]] was forgotten — are
-        // caught by the uniqueness fold in the SAME bounded action.
-        val extra = cols -- Set("r", "bucket", "cnt", "depth", "width")
-        require(extra.isEmpty,
-          s"count-min sketch carries extra columns ${extra.mkString(",")}" +
-            " — an unmerged sharded sketch under-estimates silently;" +
-            " countMinMerge it before probing")
-        // bounded: constants + cell uniqueness over a depth x
-        // width-bounded table. NOTE this is an ACTION — an
-        // unmaterialized sketch plan executes here and again under
-        // the probe join; persist the sketch first (q194/q197/q198
-        // do) when the build is expensive.
-        val r = sketch.agg(min(col("depth")), max(col("depth")),
-          min(col("width")), max(col("width")), count(lit(1)),
-          countDistinct(col("r"), col("bucket"))).head()
-        if (!r.isNullAt(0)) {
-          require(r.getInt(0) == depth && r.getInt(1) == depth &&
-            r.getInt(2) == width && r.getInt(3) == width,
-            s"count-min parameter mismatch: sketch built with depth=" +
-              s"${r.getInt(0)}..${r.getInt(1)} width=${r.getInt(2)}.." +
-              s"${r.getInt(3)}, probed with depth=$depth width=$width — " +
-              "mismatched cells silently under-estimate")
-          require(r.getLong(4) == r.getLong(5),
-            s"count-min sketch has duplicate (r, bucket) cells " +
-              s"(${r.getLong(4)} rows, ${r.getLong(5)} distinct) — an " +
-              "unmerged union of shard sketches under-estimates " +
-              "silently; countMinMerge it before probing")
-        }
-        sketch.select("r", "bucket", "cnt")
-      } else sketch.select("r", "bucket", "cnt")
-    probes
+    val est = probes
       // NULL probes mirror the build side's exclusion (otherwise a
       // phantom (null, 0) row appears for a key no sketch can hold)
       .filter(col(keyCol).isNotNull)
       .select(col(keyCol),
         explode(array(cmCells(keyCol, depth, width): _*)).as("c"))
       .select(col(keyCol), col("c.r").as("r"), col("c.bucket").as("bucket"))
-      .join(broadcast(carried), Seq("r", "bucket"), "left")
+      .join(broadcast(sketch.select("r", "bucket", "cnt")),
+        Seq("r", "bucket"), "left")
       .groupBy(keyCol)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("__est"))
+    if (cols.contains("depth") && cols.contains("width")) {
+      // an UNMERGED sharded sketch would be just as silent a trap
+      // as mismatched parameters: min() across a cell's shard rows
+      // returns one shard's count, UNDER the true total — the exact
+      // law violation this contract exists to prevent. Extra
+      // columns beyond the canonical five are rejected loudly
+      // (schema-only, no action), and duplicate (r, bucket) rows — a
+      // canonical-columned union of shard sketches whose
+      // [[countMinMerge]] was forgotten — are caught by the
+      // uniqueness fold inside the SAME lazy gate.
+      val extra = cols -- Set("r", "bucket", "cnt", "depth", "width")
+      require(extra.isEmpty,
+        s"count-min sketch carries extra columns ${extra.mkString(",")}" +
+          " — an unmerged sharded sketch under-estimates silently;" +
+          " countMinMerge it before probing")
+      val gate = gateOf(
+        sketch.agg(min(col("depth")).as("__d0"), max(col("depth")).as("__d1"),
+          min(col("width")).as("__w0"), max(col("width")).as("__w1"),
+          count(lit(1)).as("__n"),
+          countDistinct(col("r"), col("bucket")).as("__u")),
+        col("__d0").isNull ||
+          (col("__d0") === depth && col("__d1") === depth &&
+            col("__w0") === width && col("__w1") === width &&
+            col("__n") === col("__u")),
+        concat(lit("count-min structural check failed: sketch built " +
+            "with depth="), col("__d0"), lit(".."), col("__d1"),
+          lit(" width="), col("__w0"), lit(".."), col("__w1"),
+          lit(s" probed with depth=$depth width=$width; cells "),
+          col("__n"), lit(" rows / "), col("__u"),
+          lit(" distinct — mismatched parameters or an unmerged " +
+            "shard union under-estimate silently; countMinMerge " +
+            "and/or match the build parameters")))
+      est.crossJoin(gate)
+        .select(col(keyCol), (col("__est") * col("__gate")).as("cm_est"))
+    } else est.select(col(keyCol), col("__est").as("cm_est"))
   }
 
   /** Per-group HLL(b=8, m=256) distinct estimate of `valueCol`.
@@ -290,34 +308,40 @@ object Sketches {
     * The bloom LAW — NO false negatives: every key that went into the
     * build probes true, deterministically (its own insertion set
     * exactly these bits); false positives are the tunable cost
-    * (~(1-e^{-kn/m})^k). Parameter columns are require-checked against
-    * the probe's (mBits, kHashes) when present — the count-min
-    * structural contract. Returns (keyCol, bloom_hit). */
+    * (~(1-e^{-kn/m})^k). Parameter columns are checked against the
+    * probe's (mBits, kHashes) when present — the count-min structural
+    * contract, as a lazy [[gateOf]] plan gate (no call-time action).
+    * Returns (keyCol, bloom_hit). */
   def bloomMightContain(sketch: DataFrame, probes: DataFrame,
       keyCol: String, mBits: Int = 65536, kHashes: Int = 4): DataFrame = {
     val cols = sketch.columns.toSet
-    val bits =
-      if (cols.contains("m_bits") && cols.contains("k_hashes")) {
-        val r = sketch.agg(min(col("m_bits")), max(col("m_bits")),
-          min(col("k_hashes")), max(col("k_hashes"))).head()
-        if (!r.isNullAt(0)) {
-          require(r.getInt(0) == mBits && r.getInt(1) == mBits &&
-            r.getInt(2) == kHashes && r.getInt(3) == kHashes,
-            s"bloom parameter mismatch: sketch built with m_bits=" +
-              s"${r.getInt(0)}..${r.getInt(1)} k_hashes=${r.getInt(2)}.." +
-              s"${r.getInt(3)}, probed with m_bits=$mBits " +
-              s"k_hashes=$kHashes — mismatched bits silently miss")
-        }
-        sketch.select("bit")
-      } else sketch.select("bit")
-    probes
+    val hit = probes
       .filter(col(keyCol).isNotNull)
       .select(col(keyCol),
         explode(array(bloomBits(keyCol, mBits, kHashes): _*)).as("bit"))
-      .join(broadcast(bits.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .join(broadcast(sketch.select("bit").withColumn("__set", lit(1))),
+        Seq("bit"), "left")
       .groupBy(keyCol)
       .agg((count(lit(1)) === sum(coalesce(col("__set"), lit(0))))
-        .as("bloom_hit"))
+        .as("__hit"))
+    if (cols.contains("m_bits") && cols.contains("k_hashes")) {
+      val gate = gateOf(
+        sketch.agg(min(col("m_bits")).as("__m0"), max(col("m_bits")).as("__m1"),
+          min(col("k_hashes")).as("__k0"), max(col("k_hashes")).as("__k1")),
+        col("__m0").isNull ||
+          (col("__m0") === mBits && col("__m1") === mBits &&
+            col("__k0") === kHashes && col("__k1") === kHashes),
+        concat(lit("bloom parameter mismatch: sketch built with m_bits="),
+          col("__m0"), lit(".."), col("__m1"), lit(" k_hashes="),
+          col("__k0"), lit(".."), col("__k1"),
+          lit(s", probed with m_bits=$mBits k_hashes=$kHashes — " +
+            "mismatched bits silently miss")))
+      // the gate reference keeps the raise_error subtree alive under
+      // column pruning; __gate is always 1 when the job survives
+      hit.crossJoin(gate)
+        .select(col(keyCol),
+          (col("__hit") && col("__gate") === 1L).as("bloom_hit"))
+    } else hit.select(col(keyCol), col("__hit").as("bloom_hit"))
   }
 
   // ------------------------------------------- hdr quantile histogram
@@ -399,24 +423,28 @@ object Sketches {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
     val cols = sketch.columns.toSet
-    val base =
-      if (cols.contains("hdr_p")) {
-        val r = sketch.agg(min(col("hdr_p")), max(col("hdr_p"))).head()
-        if (!r.isNullAt(0)) {
-          require(r.getInt(0) == precision && r.getInt(1) == precision,
-            s"hdr precision mismatch: sketch built with p=" +
-              s"${r.getInt(0)}..${r.getInt(1)}, queried with p=$precision" +
-              " — bins would decode to wrong value ranges")
-        }
-        sketch
-      } else sketch
+    // precision contract as a lazy gate (the count-min discipline):
+    // checked inside the query job, not by a call-time action
+    val gate =
+      if (cols.contains("hdr_p"))
+        Some(gateOf(
+          sketch.agg(min(col("hdr_p")).as("__p0"),
+            max(col("hdr_p")).as("__p1")),
+          col("__p0").isNull ||
+            (col("__p0") === precision && col("__p1") === precision),
+          concat(lit("hdr precision mismatch: sketch built with p="),
+            col("__p0"), lit(".."), col("__p1"),
+            lit(s", queried with p=$precision — bins would decode to " +
+              "wrong value ranges"))))
+      else None
+    val base = sketch
     val gcols = groupCols.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(gcols: _*).orderBy("bin")
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(gcols: _*)
     val (low, high) = hdrBounds(col("bin"), precision)
-    base
+    val est = base
       .select(gcols ++ Seq(col("bin"), col("cnt")): _*)
       .withColumn("__cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(wAll))
@@ -430,6 +458,13 @@ object Sketches {
       // and low + high can overflow a long near the top of the domain
       .select(gcols ++ Seq(col("q"), col("n"),
         (low + call_function("shiftright", high - low, lit(1)))
-          .as("hdr_est")): _*)
+          .as("__e")): _*)
+    gate.fold(est.select(gcols ++ Seq(col("q"), col("n"),
+        col("__e").as("hdr_est")): _*)) { g =>
+      // the __gate reference keeps the raise_error subtree alive under
+      // column pruning; it is always 1 when the job survives
+      est.crossJoin(g).select(gcols ++ Seq(col("q"), col("n"),
+        (col("__e") + (col("__gate") - 1L)).as("hdr_est")): _*)
+    }
   }
 }

@@ -308,6 +308,20 @@ object TrainingOps {
     }, "fractions must be binary fractions with <= 32 bits (k / 2^32) " +
       "for bit-identical cross-engine replay")
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    // The last DECLARED split's branch is unconditional (see below), so
+    // at full coverage it receives the prefix-exactly-ffffffff doc that
+    // the strict < pushes past every threshold. At partial coverage
+    // that is the documented remainder contract (the last split IS the
+    // remainder sink, zero fraction or not) — but at full coverage a
+    // zero-fraction last split would silently gain a doc it was
+    // promised never to hold: eval contamination. Refuse loudly.
+    require(cumulative.last < 1.0 - 1e-12 || splits.last._2 > 0,
+      s"the last declared split '${splits.last._1}' has fraction 0 at " +
+        "full coverage: it is the unconditional fallback branch and " +
+        "would receive any doc whose md5 prefix is exactly ffffffff — " +
+        "declare a positive-fraction split last (or leave coverage " +
+        "partial, which makes the last split the documented remainder " +
+        "sink)")
     val prefix = substring(
       md5(concat(col(idCol).cast("string"), lit("#"), lit(salt))
         .cast("binary")), 1, 8)
@@ -318,9 +332,10 @@ object TrainingOps {
     // the LAST split's branch is UNCONDITIONAL (fold over init only):
     // at full coverage its threshold is 1.0 -> "ffffffff", and the
     // strict < would push a doc whose prefix is exactly ffffffff
-    // (expected >= 1 per few-billion docs) past every split into the
-    // declaration-order fallback — a zero-fraction eval split gaining
-    // a doc is precisely the contamination this op exists to prevent
+    // (expected >= 1 per few-billion docs) past every split into this
+    // fallback — which the full-coverage require above guarantees is a
+    // positive-fraction split, so no zero-fraction eval split can gain
+    // a doc (the contamination this op exists to prevent)
     val assigned = splits.init.map(_._1).zip(cumulative.init)
       .foldRight(lit(splits.last._1): Column) { case ((name, cum), acc) =>
         when(prefix < lit(hexThreshold(cum)), name).otherwise(acc)

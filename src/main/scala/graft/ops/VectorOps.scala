@@ -802,6 +802,18 @@ object VectorOps {
     * shuffle side. */
   private type PqBook = Map[Int, Seq[(Int, Seq[Double])]]
 
+  /** `vecCol` dimensionality read from the first row — loud on an
+    * empty frame, where a bare head() would throw a contextless
+    * NoSuchElementException (the assignToCentroids loud-contract
+    * convention). Bounded: one-row action. */
+  private def dimsOf(df: DataFrame, vecCol: String, who: String): Int = {
+    val first = df.select(size(col(vecCol))).head(1)
+    require(first.nonEmpty,
+      s"$who got an EMPTY frame — cannot read $vecCol dimensionality;" +
+        " check the upstream build/read")
+    first(0).getInt(0)
+  }
+
   private def collectBook(codebooks: DataFrame): PqBook =
     codebooks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
@@ -848,7 +860,7 @@ object VectorOps {
       m: Int, ksub: Int, steps: Int = 1): DataFrame = {
     require(m >= 1 && ksub >= 1, "pqCodebooks needs m >= 1, ksub >= 1")
     require(steps >= 1, "pqCodebooks needs steps >= 1")
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val dims = dimsOf(emb, vecCol, "pqCodebooks")
     require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
     val subDim = dims / m
     val seedBook: PqBook = {
@@ -857,6 +869,13 @@ object VectorOps {
       val seeds = emb.orderBy(col(idCol)).limit(ksub)
         .select(col(vecCol).cast("array<double>")).collect()
         .map(_.getSeq[Double](0))
+      // fewer rows than ksub would SILENTLY train a smaller codebook
+      // than requested — downstream encode/ADC would run against an
+      // unexpectedly coarse quantizer with no error anywhere
+      require(seeds.length == ksub,
+        s"pqCodebooks: corpus has only ${seeds.length} rows but " +
+          s"ksub=$ksub seed codes were requested — lower ksub or grow " +
+          "the corpus")
       (0 until m).map { s =>
         s -> seeds.zipWithIndex.map { case (v, code) =>
           (code, v.slice(s * subDim, (s + 1) * subDim))
@@ -919,7 +938,7 @@ object VectorOps {
       codebooks: DataFrame): DataFrame = {
     val book = collectBook(codebooks)
     val m = book.size
-    val dims = emb.select(size(col(vecCol))).head().getInt(0)
+    val dims = dimsOf(emb, vecCol, "pqEncode")
     require(dims % m == 0, s"dims=$dims vs codebook subspaces m=$m")
     pqEncodeWith(emb, idCol, vecCol, book, m, dims / m)
   }
@@ -1006,7 +1025,7 @@ object VectorOps {
   def pqAdcKnn(queries: DataFrame, encoded: DataFrame,
       codebooks: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val dims = queries.select(size(col(vecCol))).head().getInt(0)
+    val dims = dimsOf(queries, vecCol, "pqAdcKnn")
     val t = adcTables(codebooks, dims)
     val qSide = queries.select(col(idCol).as("__q_id"),
       l2norm(col(vecCol)).as("__q_l2"),
@@ -1038,24 +1057,27 @@ object VectorOps {
   def pqAdcKnnIndexed(queries: DataFrame, state: IvfState,
       encoded: DataFrame, codebooks: DataFrame, idCol: String,
       vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val dims = queries.select(size(col(vecCol))).head().getInt(0)
+    val dims = dimsOf(queries, vecCol, "pqAdcKnnIndexed")
     val t = adcTables(codebooks, dims)
     // LUT + query norm computed ONCE PER QUERY (the pqAdcKnn qSide
-    // shape), then joined onto the slim (query, cluster) probe
-    // ranking — computing them on the probe frame would redo the
-    // m x stride subvector dot folds nprobe times per query
+    // shape) and attached via BROADCAST only AFTER the cell
+    // restriction: the cluster join ships the slim (q_id, cluster)
+    // probe ranking, never the m x stride LUT arrays — attaching the
+    // LUT before that join would duplicate every query's LUT nprobe
+    // times through the cluster shuffle, which at larger ksub/m or
+    // query batches dominates the very shuffle ADC exists to avoid.
     val qSide = queries.select(col(idCol).as("__q_id"),
       l2norm(col(vecCol)).as("__q_l2"),
       t.lutFor(col(vecCol)).as("__lut"))
     val probes = probeCells(queries, state.centroids, idCol, vecCol,
         nprobe)
       .select(col(idCol).as("__q_id"), col("cluster"))
-      .join(broadcast(qSide), Seq("__q_id"))
     val codesByCell = state.assigned.select(col(idCol), col("cluster"))
       .join(encoded, Seq(idCol))
     adcTopK(
-      probes.join(codesByCell, Seq("cluster"))
+      codesByCell.join(broadcast(probes), Seq("cluster"))
         .filter(col("__q_id") =!= col(idCol))
+        .join(broadcast(qSide), Seq("__q_id"))
         .select(col("__q_id"), col(idCol),
           t.score(col("pq_codes"), col("__lut"), col("__q_l2"))
             .as("adc_cos")),

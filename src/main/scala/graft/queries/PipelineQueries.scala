@@ -193,9 +193,9 @@ object PipelineQueries {
         .select(explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .persist()
-      // persisted (<= depth x width rows): countMinEstimate's
-      // structural parameter check is an action, so an unmaterialized
-      // sketch would execute its build twice (check + probe join)
+      // persisted (<= depth x width rows): countMinEstimate's lazy
+      // structural gate and probe join are two plan subtrees over the
+      // sketch — unmaterialized, the build would execute twice
       val sketch = graft.ops.Sketches.countMinBuild(toks, "tok").persist()
       try {
         val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
@@ -331,9 +331,9 @@ object PipelineQueries {
         .select(explode(graft.ops.TextDedup.tokensOf(col("text"))).as("tok"))
         .filter(length(col("tok")) > 0)
         .persist()
-      // persisted: the estimate's structural check is an action ahead
-      // of the probe join (see countMinEstimate scaladoc); outside try
-      // so the finally releases it on any failure
+      // persisted: the estimate's lazy structural gate and the probe
+      // join are two subtrees over the sketch (see countMinEstimate
+      // scaladoc); outside try so the finally releases it on failure
       val sketch = graft.ops.Sketches.countMinBuild(toks, "tok")
         .persist()
       try {

@@ -780,4 +780,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("not divisible"), err.getMessage)
   }
+
+  test("pq loud contracts: empty frames and corpus < ksub refuse with context (r12 ADVICE)") {
+    val e = quarterVecs(6, 8, seed = 61)
+    val empty = e.filter(col("vec_id") < 0)
+    // every dims read guards the empty frame — a bare head() would
+    // throw a contextless NoSuchElementException
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.pqCodebooks(empty, "vec_id", "embedding", m = 2, ksub = 2)
+    }
+    assert(e1.getMessage.contains("EMPTY"), e1.getMessage)
+    val books = VectorOps.pqCodebooks(e, "vec_id", "embedding",
+      m = 2, ksub = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.pqEncode(empty, "vec_id", "embedding", books)
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+    val enc = VectorOps.pqEncode(e, "vec_id", "embedding", books)
+    val e3 = intercept[IllegalArgumentException] {
+      VectorOps.pqAdcKnn(empty, enc, books, "vec_id", "embedding", k = 2)
+    }
+    assert(e3.getMessage.contains("EMPTY"), e3.getMessage)
+    // a corpus smaller than ksub would SILENTLY train fewer codes than
+    // requested — refused loudly instead
+    val e4 = intercept[IllegalArgumentException] {
+      VectorOps.pqCodebooks(e, "vec_id", "embedding", m = 2, ksub = 7)
+    }
+    assert(e4.getMessage.contains("ksub=7"), e4.getMessage)
+  }
 }

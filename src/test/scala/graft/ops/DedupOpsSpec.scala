@@ -496,9 +496,18 @@ class DedupOpsSpec extends AnyFunSuite {
       try assert(run() == base, s"stage mode $mode diverged")
       finally spark.conf.unset(graft.ops.Materialize.ConfKey)
     }
-    // persist-mode staged frames are internal to the operators —
-    // the dedicated release hook frees them without clearCache
+    // persist-mode staged frames are internal to the operators — the
+    // dedicated release hook frees them without clearCache, and the
+    // tracking map drops this session's entry (r12 ADVICE: the old
+    // WeakHashMap could never reclaim entries because each tracked
+    // DataFrame strongly references its session — now release/sweep
+    // does the bookkeeping explicitly). The persist run above staged
+    // at least one frame for THIS session; after release, none.
+    assert(graft.ops.Materialize.stagedFrames(spark) > 0,
+      "the persist-mode run above must have staged at least one frame")
     graft.ops.Materialize.releaseStaged(spark)
+    assert(graft.ops.Materialize.stagedFrames(spark) == 0,
+      "releaseStaged must drop the session's tracking entry")
     // checkpoint mode (reliable, through the transient cache)
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck")
     try {

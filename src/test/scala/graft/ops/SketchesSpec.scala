@@ -75,17 +75,27 @@ class SketchesSpec extends AnyFunSuite {
     sk.unpersist()
   }
 
+  /** Root-chain message search: the lazy in-plan gates raise at
+    * EXECUTION time, so the raise_error text may sit one or more
+    * cause levels under the SparkException an action surfaces. */
+  private def chainMessage(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
   test("countMin: probing with mismatched (depth, width) fails loudly, not silently under") {
     import spark.implicits._
     val sk = Sketches.countMinBuild(
       Seq.fill(50)("alpha").map(Tuple1(_)).toDF("tok"), "tok",
       depth = 4, width = 1024)
     val probes = Seq("alpha").toDF("tok")
-    val e = intercept[IllegalArgumentException] {
+    // the structural check is a LAZY plan gate (r12 ADVICE): building
+    // the probe frame runs NO job and throws nothing...
+    val lazyFrame =
       Sketches.countMinEstimate(sk, probes, "tok", depth = 4, width = 512)
-        .collect()
-    }
-    assert(e.getMessage.contains("parameter mismatch"), e.getMessage)
+    // ...the mismatch fails the ACTION, loudly
+    val e = intercept[Exception] { lazyFrame.collect() }
+    assert(chainMessage(e).contains("structural check failed"),
+      chainMessage(e))
     // parameter-stripped external sketches stay accepted (caller-owned
     // contract): same probe, columns dropped, no require possible
     val stripped = Sketches.countMinEstimate(
@@ -132,16 +142,16 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("countMinMerge"), e.getMessage)
     // a canonical-columned union whose merge was forgotten is the
     // same trap with no extra columns — the duplicate-cell fold
-    // catches it in the same bounded action
+    // catches it inside the same lazy gate, at action time
     val a = Sketches.countMinBuild(rows.filter(col("day") < 2)
       .select("k"), "k")
     val b = Sketches.countMinBuild(rows.filter(col("day") >= 2)
       .select("k"), "k")
-    val e2 = intercept[IllegalArgumentException] {
+    val e2 = intercept[Exception] {
       Sketches.countMinEstimate(a.unionByName(b), Seq("k").toDF("k"), "k")
         .collect()
     }
-    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+    assert(chainMessage(e2).contains("countMinMerge"), chainMessage(e2))
     // the merged form estimates correctly
     val merged = Sketches.countMinMerge(sharded)
     val est = Sketches.countMinEstimate(merged, Seq("k").toDF("k"), "k")
@@ -183,11 +193,11 @@ class SketchesSpec extends AnyFunSuite {
     import spark.implicits._
     val sk = Sketches.bloomBuild(Seq("a", "b").toDF("k"), "k",
       mBits = 1024, kHashes = 4)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Sketches.bloomMightContain(sk, Seq("a").toDF("k"), "k",
         mBits = 512, kHashes = 4).collect()
     }
-    assert(e.getMessage.contains("parameter mismatch"), e.getMessage)
+    assert(chainMessage(e).contains("parameter mismatch"), chainMessage(e))
     // parameter-stripped external sketches stay accepted (caller-owned)
     val hit = Sketches.bloomMightContain(sk.select("bit"),
         Seq("a").toDF("k"), "k", mBits = 1024, kHashes = 4)
@@ -286,10 +296,10 @@ class SketchesSpec extends AnyFunSuite {
   test("hdr: mismatched precision and negative values fail loudly") {
     import spark.implicits._
     val sk = Sketches.hdrBuild(Seq(10L, 20L).toDF("v"), "v", precision = 7)
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Sketches.hdrQuantiles(sk, Seq(0.5), precision = 6).collect()
     }
-    assert(e.getMessage.contains("precision mismatch"), e.getMessage)
+    assert(chainMessage(e).contains("precision mismatch"), chainMessage(e))
     val neg = intercept[Exception] {
       Sketches.hdrBuild(Seq(-5L).toDF("v"), "v", precision = 7).collect()
     }

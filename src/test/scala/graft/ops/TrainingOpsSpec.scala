@@ -157,6 +157,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TrainingOps.hashSplit(d, "doc_id", Seq("a" -> 0.75, "b" -> 0.5))
     }
+    // contract: a zero-fraction LAST split at FULL coverage is refused
+    // loudly — the last branch is the unconditional fallback, and the
+    // md5-prefix-ffffffff doc would leak into it (eval contamination)
+    val exZero = intercept[IllegalArgumentException] {
+      TrainingOps.hashSplit(d, "doc_id", Seq("train" -> 1.0, "eval" -> 0.0))
+    }
+    assert(exZero.getMessage.contains("fraction 0 at full coverage"))
+    // ...but at PARTIAL coverage the last split is the documented
+    // remainder sink, zero declared fraction or not: accepted, and it
+    // receives exactly the docs past the declared thresholds
+    val rest = TrainingOps.hashSplit(d, "doc_id",
+        Seq("train" -> 0.75, "rest" -> 0.0), salt = "s1")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rest.getOrElse("rest", 0L) > 0L)
+    // a zero-fraction NON-last split can never receive a doc: its
+    // threshold equals its predecessor's, so the strict < that guards
+    // it is unsatisfiable once the predecessor's branch has passed
+    val mid = TrainingOps.hashSplit(d, "doc_id",
+        Seq("train" -> 0.875, "eval" -> 0.0, "test" -> 0.125), salt = "s1")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mid.getOrElse("eval", 0L) == 0L)
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {
