@@ -241,6 +241,121 @@ object TrainingOps {
       .withColumn("ppl", round(exp(-col("avg_logp")), 3))
   }
 
+  // ------------------------------- DSIR importance-resampling selection
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023,
+    * arXiv:2302.03169): score every raw document by how TARGET-like
+    * its hashed n-gram profile is — the published method for selecting
+    * web-scale pretraining data that matches a small high-quality
+    * target corpus (the selection layer ABOVE this repo's quality/
+    * dedup gates; [[lmScore]] ranks by fluency under one LM, this
+    * ranks by the likelihood RATIO between two).
+    *
+    * Features: word unigrams + bigrams ([[TextDedup.tokensOf]] /
+    * [[TextDedup.shinglesOf]] — the battery's one tokenization) hashed
+    * into `buckets` buckets by the repo's 52-bit md5 derivation. Both
+    * corpora reduce to bucket-count vectors; a document's log
+    * importance weight is
+    *
+    *   log w(x) = Σ_occurrences [ ln p_T(b) − ln p_R(b) ]
+    *
+    * with add-half smoothing p(b) = (2c_b + 1) / (2n + B) spelled
+    * all-integer, so each bucket's log-ratio is ONE double whose
+    * micro-unit rounding (the [[lmScore]] discipline) makes the
+    * per-document SUM an exact long — order-independent, partition-
+    * independent, engine-replayable. Returns (idCol, n_grams,
+    * dsir_logw), one row per raw doc with at least one gram.
+    *
+    * 100 TB shape: the bucket table is B rows REGARDLESS of corpus
+    * size (the whole point of hashed features) and broadcasts; the
+    * target side is benchmark-small; the raw side pays one map-only
+    * explode + broadcast join + combinable per-doc long sum — no
+    * shuffle wider than (id, partial sum). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "dsirWeights needs buckets >= 2")
+    def grams(df: DataFrame) = {
+      val toks = TextDedup.tokensOf(col(textCol))
+      df.select(col(idCol), toks.as("__toks"))
+        .select(col(idCol), explode(concat(
+          filter(col("__toks"), t => length(t) > 0),
+          when(size(col("__toks")) >= 2,
+            TextDedup.shinglesOf(col("__toks"), 2))
+            .otherwise(array().cast("array<string>")))).as("g"))
+    }
+    val bucket = (conv(substring(md5(col("g")), 1, 13), 16, 10)
+      .cast("long") % buckets).as("bucket")
+    def bucketCounts(df: DataFrame, cName: String) =
+      grams(df).select(bucket)
+        .groupBy("bucket").agg(count(lit(1)).as(cName))
+    // DENSE B-row ratio table (sequence explode): absent buckets carry
+    // the smoothing floor instead of needing a per-probe fallback
+    val dense = raw.sparkSession.range(buckets.toLong)
+      .select(col("id").as("bucket"))
+    // each corpus is SCANNED ONCE for its B-row count table — the
+    // totals and the ratio join both read the staged result instead of
+    // re-running the gram explode (Materialize.stage: the exchange-
+    // reuse seam the banded self-joins use)
+    val cT = Materialize.stage(bucketCounts(target, "c_t"))
+    val cR = Materialize.stage(bucketCounts(raw, "c_r"))
+    val totals = cT
+      .agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
+      .crossJoin(cR
+        .agg(coalesce(sum(col("c_r")), lit(0L)).as("n_r")))
+      // an empty target would give every doc the SAME constant weight
+      // — selection silently degenerates to uniform; fail in-plan
+      .select(when(col("n_t") === 0L, raise_error(lit(
+          "dsirWeights: target side produced ZERO grams — every raw " +
+            "doc would score identically")).cast("long"))
+          .otherwise(col("n_t")).as("n_t"),
+        col("n_r"))
+    val ratio = dense
+      .join(cT, Seq("bucket"), "left")
+      .join(cR, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((log((coalesce(col("c_t"), lit(0L)) * 2 + 1)
+              .cast("double")) -
+            log((col("n_t") * 2 + buckets).cast("double")) -
+            log((coalesce(col("c_r"), lit(0L)) * 2 + 1).cast("double")) +
+            log((col("n_r") * 2 + buckets).cast("double"))) * 1e6 + 0.5)
+          .cast("long").as("__r_micro"))
+    grams(raw)
+      .select(col(idCol), bucket)
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("__r_micro")).as("__sum_micro"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__sum_micro") / 1e6, 6).as("dsir_logw"))
+  }
+
+  /** The DSIR resampling step: draw `n` documents WITHOUT replacement
+    * with inclusion odds proportional to exp(logwCol) — the Gumbel
+    * top-k trick (key = log w + Gumbel noise, largest keys win), which
+    * is [[weightedSample]]'s exponential race rewritten in log space
+    * so astronomically large/small importance ratios never overflow a
+    * double. Noise is deterministic: g = −ln(−ln u) with the same
+    * md5-dyadic u as weightedSample — reproducible across runs,
+    * partitionings and engines; a different salt draws an independent
+    * sample. NULL ids/weights are excluded (the weightedSample
+    * contract). Plans as TakeOrderedAndProject: per-partition top-n,
+    * no global sort. Returns the winners with their `samp_key`. */
+  def dsirResample(weighted: DataFrame, idCol: String, logwCol: String,
+      n: Int, salt: String = "graft"): DataFrame = {
+    require(n >= 1, "dsirResample needs n >= 1")
+    val bits = conv(substring(
+        md5(concat_ws("|", col(idCol), lit(salt))), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val u = (bits + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    weighted
+      .filter(col(idCol).isNotNull && col(logwCol).isNotNull)
+      .withColumn("samp_key", col(logwCol).cast("double") - log(-log(u)))
+      .orderBy(col("samp_key").desc, col(idCol))
+      .limit(n)
+  }
+
   // --------------------------------------------- source overlap matrix
 
   /** Cross-source contamination matrix — for every pair of corpus
@@ -439,6 +554,47 @@ object TrainingOps {
       .withColumn("samp_key", -log(u) / col(weightCol).cast("double"))
       .orderBy(col("samp_key"), col(idCol))
       .limit(n)
+  }
+
+  /** [[weightedSample]] PER GROUP — the stratified curation draw ("n
+    * docs per source, inclusion odds by quality weight") a mixture
+    * pipeline runs per shard/language/source: the same deterministic
+    * Efraimidis–Spirakis exponential-race keys (md5-dyadic u, see
+    * weightedSample for the replay contract), the n SMALLEST keys per
+    * group win.
+    *
+    * 100 TB shape: the per-group top-n runs through the bounded
+    * [[graft.functions.TopKAgg]] heap aggregate — k rows per (group,
+    * partition) through the one shuffle, map-side combined — NOT a
+    * row_number window (full sort + full shuffle of every candidate;
+    * the q185 measurement is 3.1x on exactly this swap). Returns
+    * (groupCols..., smp_rank 1-based by key asc, idCol, samp_key). */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String,
+      weightCol: String, groupCols: Seq[String], nPerGroup: Int,
+      salt: String = "graft"): DataFrame = {
+    require(nPerGroup >= 1, "weightedSamplePerGroup needs nPerGroup >= 1")
+    require(groupCols.nonEmpty,
+      "weightedSamplePerGroup needs at least one group column — use " +
+        "weightedSample for the global draw")
+    val bits = conv(substring(
+        md5(concat_ws("|", col(idCol), lit(salt))), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    val u = (bits + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val gcols = groupCols.map(col)
+    df
+      .filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(gcols :+ col(idCol) :+
+        (-log(u) / col(weightCol).cast("double")).as("samp_key"): _*)
+      .groupBy(gcols: _*)
+      // smallest keys win the race: negate for the desc-ordered heap
+      // (ties break id ASC inside the aggregate, matching the global
+      // form's orderBy(samp_key, id))
+      .agg(graft.functions.TopKAgg.topKByScore(
+        -col("samp_key"), col(idCol), nPerGroup).as("__top"))
+      .select(gcols :+ posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(gcols ++ Seq((col("__pos") + 1).cast("int").as("smp_rank"),
+        col("__e.id").as(idCol), (-col("__e.score")).as("samp_key")): _*)
   }
 
   // ------------------------------------------- BPE vocabulary induction
@@ -760,6 +916,31 @@ object TrainingOps {
     // underscore-bearing rule would silently never match the
     // lowercased wrapped symbols, yielding wrong token counts with no
     // error anywhere
+    val lexicon = bpeFusedLexicon(docs, textCol, merges)
+      .select(col("w"),
+        // k symbols <=> k wrapped '_x_' units: tokens = underscores / 2
+        ((length(col("sym")) -
+          length(regexp_replace(col("sym"), "_", ""))) / 2)
+          .cast("long").as("word_tokens"))
+    docs.select(col(idCol),
+        explode(bpeWords(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(if (hintBroadcastLexicon) broadcast(lexicon) else lexicon, "w")
+      .groupBy(idCol).agg(sum(col("word_tokens")).as("n_tokens"))
+  }
+
+  /** The fused type-table lexicon shared by [[applyBpeMerges]] and
+    * [[bpeTokenSpans]]: every distinct corpus word rewritten through
+    * the full rule sequence in wrapped-symbol form. Returns
+    * (w, sym). */
+  private def bpeFusedLexicon(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    // the learn side guarantees [a-z]+ rules by construction; THIS is
+    // the external surface — a quote would escape the replace string
+    // literal below (parsed as SQL), and an uppercase or
+    // underscore-bearing rule would silently never match the
+    // lowercased wrapped symbols, yielding wrong token counts with no
+    // error anywhere
     merges.foreach { case (a, b) =>
       require(a.nonEmpty && b.nonEmpty &&
         (a + b).forall(ch => ch >= 'a' && ch <= 'z'),
@@ -775,7 +956,7 @@ object TrainingOps {
     // checkpoint stays live — the returned frame reads it; superseded
     // ones free eagerly.
     val truncator = new ChainTruncator
-    val fused = merges.zipWithIndex.foldLeft(types) {
+    merges.zipWithIndex.foldLeft(types) {
       case (t, ((a, b), i)) =>
         val applied = t.withColumn("sym",
           expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
@@ -783,16 +964,43 @@ object TrainingOps {
           truncator.truncate(applied)
         else applied
     }
-    // k symbols <=> k wrapped '_x_' units: tokens = underscores / 2
-    val lexicon = fused.select(col("w"),
-      ((length(col("sym")) -
-        length(regexp_replace(col("sym"), "_", ""))) / 2)
-        .cast("long").as("word_tokens"))
+  }
+
+  /** Tokenize into SUBWORD SEQUENCES under a learned rule set — the
+    * materialized form of [[applyBpeMerges]], which returns counts
+    * only: one row per (doc, word, subword token), positions 1-based.
+    * This is the table a training pipeline actually feeds the model
+    * builder (token ids come from a vocabulary join on `token`), and
+    * it satisfies the DECODE law that makes tokenization safe:
+    * concatenating a word's tokens in order reproduces the word
+    * exactly, for every word type in the corpus — nothing lost,
+    * nothing invented (spec-pinned; the q204 battery entry requires
+    * it in-query over the full lexicon).
+    *
+    * Same type-table scale shape as the count form: the rules rewrite
+    * |vocab| lexicon rows once; documents pay an explode + broadcast
+    * join + posexplode — zero per-doc string work, no shuffle beyond
+    * the final ordering a caller asks for. `word_pos` preserves the
+    * splitter's positions (gaps where [[bpeWords]] produced empties),
+    * so the token table keeps the word-order structure of the source
+    * text. Returns (idCol, word_pos, w, tok_pos, token). */
+  def bpeTokenSpans(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      hintBroadcastLexicon: Boolean = true): DataFrame = {
+    val lexicon = bpeFusedLexicon(docs, textCol, merges)
+      .select(col("w"),
+        // "_ab__c_" -> ["ab", "c"]: strip the outer wrappers, split on
+        // the inter-symbol "__" seam (tokens are [a-z]+, so neither
+        // pattern can occur inside a token)
+        split(regexp_replace(col("sym"), "^_|_$", ""), "__").as("toks"))
     docs.select(col(idCol),
-        explode(bpeWords(col(textCol))).as("w"))
+        posexplode(bpeWords(col(textCol))).as(Seq("__p0", "w")))
       .filter(length(col("w")) > 0)
       .join(if (hintBroadcastLexicon) broadcast(lexicon) else lexicon, "w")
-      .groupBy(idCol).agg(sum(col("word_tokens")).as("n_tokens"))
+      .select(col(idCol), (col("__p0") + 1).as("word_pos"), col("w"),
+        posexplode(col("toks")).as(Seq("__t0", "token")))
+      .select(col(idCol), col("word_pos"), col("w"),
+        (col("__t0") + 1).as("tok_pos"), col("token"))
   }
 
   // ---------------------------------------------------- snapshot diff

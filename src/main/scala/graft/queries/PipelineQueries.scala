@@ -934,6 +934,80 @@ object PipelineQueries {
         .filter(col("rn") === 1)
         .select(col("source"), col("doc_id"), col("n_chars"))
         .orderBy("source")
+    }),
+
+    // Tokenizer APPLICATION to sequences (ops/TrainingOps.
+    // bpeTokenSpans): the materialized (doc, word, subword) token
+    // table under the q189-learned rules — what a training pipeline
+    // actually feeds the model builder, where q190 returns counts
+    // only. The DECODE law — concatenating a word's tokens in order
+    // reproduces the word, for EVERY word type in the corpus — is
+    // require'd in-query (tokenization loses and invents nothing);
+    // the emitted table is a doc_id % 13 slice (the full table is
+    // every token of every doc — output discipline, not a compute
+    // trim; the law runs on the full lexicon).
+    "q204_bpe_detok" -> ((s, dir) => {
+      val spans = graft.ops.TrainingOps.bpeTokenSpans(
+        docs(s, dir), "doc_id", "text",
+        bpeRules(s, dir).map(m => (m._2, m._3)))
+      val badDecodes = spans.select("w", "tok_pos", "token").distinct()
+        .groupBy("w")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("tok_pos"), col("token")))),
+          x => x.getField("token"))).as("decoded"))
+        .filter(col("decoded") =!= col("w")).count()
+      require(badDecodes == 0L,
+        s"BPE decode law violated for $badDecodes word types — " +
+          "tokenization must reproduce every word exactly")
+      spans.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("word_pos"), col("w"),
+          col("tok_pos"), col("token"))
+        .orderBy("doc_id", "word_pos", "tok_pos")
+    }),
+
+    // DSIR data selection (ops/TrainingOps.dsirWeights/dsirResample,
+    // Xie et al. NeurIPS 2023): importance weights from hashed
+    // unigram+bigram bucket profiles of a small target corpus
+    // (doc_id % 37, the q111 benchmark convention) vs the raw rest,
+    // then a deterministic Gumbel top-k resample — the published
+    // select-web-data-like-the-target method as one engine pass. The
+    // B-row ratio table replays bucket for bucket in DuckDB (md5
+    // hashing, all-integer smoothing, micro-unit log-ratio rounding),
+    // so weights AND the resampled ranking hash-match end to end. At
+    // 100 TB the ratio table is 4096 rows regardless of corpus size,
+    // broadcast; the raw side pays one map-only explode + combinable
+    // long-sum shuffle of (id, partial) pairs.
+    "q205_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val w = graft.ops.TrainingOps.dsirWeights(
+        d.filter(col("doc_id") % 37 =!= 0),
+        d.filter(col("doc_id") % 37 === 0), "doc_id", "text")
+      graft.ops.TrainingOps
+        .dsirResample(w, "doc_id", "dsir_logw", n = 50, salt = "dsir")
+        .withColumn("smp_rank", row_number().over(
+          Window.orderBy(col("samp_key").desc, col("doc_id"))))
+        .select(col("doc_id"), col("n_grams"), col("dsir_logw"),
+          round(col("samp_key"), 6).as("samp_key"), col("smp_rank"))
+        .orderBy("smp_rank")
+    }),
+
+    // Per-group weighted sampling (ops/TrainingOps.
+    // weightedSamplePerGroup): n docs PER LANGUAGE with inclusion
+    // odds by length — the stratified curation draw of a mixture
+    // pipeline (q81 uniform global, q109 uniform stratified, q188
+    // weighted global; this completes the grid). The per-group top-n
+    // runs through the bounded TopKAgg heap (k rows per group per
+    // partition through the one shuffle), NOT a row_number window —
+    // the oracle IS that window, so the plan swap is verified
+    // equivalent on every run.
+    "q206_group_weighted_sample" -> ((s, dir) => {
+      graft.ops.TrainingOps.weightedSamplePerGroup(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", Seq("lang"), nPerGroup = 20,
+          salt = "graftw")
+        .select(col("lang"), col("smp_rank"), col("doc_id"),
+          round(col("samp_key"), 6).as("samp_key"))
+        .orderBy("lang", "smp_rank")
     })
   )
 
@@ -1667,6 +1741,84 @@ object PipelineQueries {
         |  SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents)
-        |SELECT source, doc_id, n_chars FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+        |SELECT source, doc_id, n_chars FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+    // Token-sequence replay: the w8 lexicon split back into subword
+    // lists ("_ab__c_" -> [ab, c]); DuckDB's parallel unnests zip
+    // positionally, giving 1-based word/token positions that match the
+    // engine's posexplode+1.
+    "q204_bpe_detok" -> {
+      s"""${bpeChainSql(8)},
+         |lex AS (SELECT w,
+         |  string_split(substr(sym, 2, len(sym) - 2), '__') AS toks
+         |  FROM w8),
+         |raw AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '[^a-z]+') AS ws
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |d0 AS (SELECT doc_id, unnest(ws) AS w,
+         |    unnest(range(1, len(ws) + 1)) AS word_pos FROM raw),
+         |d AS (SELECT * FROM d0 WHERE w <> ''),
+         |x AS (SELECT d.doc_id, d.word_pos, d.w,
+         |    unnest(range(1, len(toks) + 1)) AS tp, unnest(toks) AS token
+         |  FROM d JOIN lex USING (w))
+         |SELECT doc_id, CAST(word_pos AS INTEGER) AS word_pos, w,
+         |  CAST(tp AS INTEGER) AS tok_pos, token
+         |FROM x ORDER BY doc_id, word_pos, tok_pos""".stripMargin
+    },
+    // The DSIR chain replayed end to end: hashed unigram+bigram bucket
+    // counts, all-integer add-half smoothing, micro-unit log-ratio
+    // rounding (the lmScore discipline), per-doc long sums, Gumbel
+    // top-k keys from the same md5-dyadic u as q188.
+    "q205_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    list_filter(t, x -> len(x) > 0),
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |      ELSE [] END)) AS g
+        |  FROM tok
+        |), tg AS (
+        |  SELECT CAST(concat('0x', substring(md5(g), 1, 13)) AS BIGINT) % 4096 AS bucket
+        |  FROM grams WHERE doc_id % 37 = 0
+        |), rg AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(g), 1, 13)) AS BIGINT) % 4096 AS bucket
+        |  FROM grams WHERE doc_id % 37 <> 0
+        |), ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_t FROM tg GROUP BY 1),
+        |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r FROM rg GROUP BY 1),
+        |tot AS (SELECT (SELECT COALESCE(SUM(c_t), 0) FROM ct) AS n_t,
+        |               (SELECT COALESCE(SUM(c_r), 0) FROM cr) AS n_r),
+        |ratio AS (
+        |  SELECT b.bucket,
+        |    CAST(floor((ln(COALESCE(c_t, 0) * 2 + 1) - ln(n_t * 2 + 4096)
+        |      - ln(COALESCE(c_r, 0) * 2 + 1) + ln(n_r * 2 + 4096)) * 1e6 + 0.5) AS BIGINT) AS r_micro
+        |  FROM (SELECT bucket FROM range(4096) t(bucket)) b
+        |  LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), tot
+        |), w AS (
+        |  SELECT rg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    round(CAST(SUM(r_micro) AS DOUBLE) / 1e6, 6) AS dsir_logw
+        |  FROM rg JOIN ratio USING (bucket) GROUP BY 1
+        |), k AS (
+        |  SELECT doc_id, n_grams, dsir_logw,
+        |    dsir_logw - ln(-ln((CAST(concat('0x', substring(md5(concat_ws('|', doc_id, 'dsir')), 1, 13)) AS BIGINT) + 0.5)
+        |      / 4503599627370496.0)) AS samp_key
+        |  FROM w)
+        |SELECT doc_id, n_grams, dsir_logw, round(samp_key, 6) AS samp_key,
+        |  CAST(row_number() OVER (ORDER BY samp_key DESC, doc_id) AS INTEGER) AS smp_rank
+        |FROM k ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin,
+    "q206_group_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id,
+        |    -ln((CAST(concat('0x', substring(md5(concat_ws('|', doc_id, 'graftw')), 1, 13)) AS BIGINT) + 0.5)
+        |        / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS samp_key
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+        |), r AS (
+        |  SELECT lang, doc_id, samp_key,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY samp_key, doc_id) AS INTEGER) AS smp_rank
+        |  FROM k)
+        |SELECT lang, smp_rank, doc_id, round(samp_key, 6) AS samp_key
+        |FROM r WHERE smp_rank <= 20 ORDER BY lang, smp_rank""".stripMargin
   )
 }

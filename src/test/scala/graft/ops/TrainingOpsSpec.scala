@@ -464,4 +464,118 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(3L) == "unchanged", s"got ${got(3L)}")
     assert(got(4L) == "removed" && got(5L) == "added")
   }
+
+  test("bpeTokenSpans: decode law, count agreement with applyBpeMerges, splitter positions kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "newest widest low"),
+      // leading punctuation: bpeWords emits a leading empty token, so
+      // real words start at word_pos 2 — positions must keep the gap
+      (3L, "!low new")).toDF("doc_id", "text")
+    val rules = TrainingOps.bpeMerges(docs, "text", numMerges = 4)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val spans = TrainingOps.bpeTokenSpans(docs, "doc_id", "text", rules)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getString(4)))
+    // DECODE law: per (doc, word_pos), tokens concatenated in tok_pos
+    // order reproduce the word exactly — nothing lost, nothing invented
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((d, wp), ts) =>
+      val w = ts.head._3
+      val decoded = ts.sortBy(_._4).map(_._5).mkString
+      assert(decoded == w, s"doc $d word_pos $wp: '$decoded' != '$w'")
+    }
+    // count agreement: token count per doc == applyBpeMerges
+    val counts = TrainingOps.applyBpeMerges(docs, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spanCounts = spans.groupBy(_._1).view.mapValues(_.length).toMap
+    counts.foreach { case (d, n) =>
+      assert(spanCounts(d).toLong == n, s"doc $d: spans ${spanCounts(d)} vs counts $n")
+    }
+    // splitter positions: doc 3's first real word sits at word_pos 2
+    val d3Positions = spans.filter(_._1 == 3L).map(_._2).distinct.sorted.toSeq
+    assert(d3Positions == Seq(2, 3), s"doc 3 positions $d3Positions")
+    // a merged rule actually produced a multi-char token somewhere
+    assert(spans.exists(_._5.length > 1), "no merge ever applied")
+    // contract: invalid rules refuse loudly (shared with applyBpeMerges)
+    intercept[IllegalArgumentException] {
+      TrainingOps.bpeTokenSpans(docs, "doc_id", "text", Seq(("A", "b")))
+    }
+  }
+
+  test("weightedSamplePerGroup == weightedSample per group; partitioning-invariant") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, s"g${i % 3}", (i % 17 + 1).toDouble))
+      .toDF("doc_id", "grp", "w")
+    val got = TrainingOps.weightedSamplePerGroup(d, "doc_id", "w",
+        Seq("grp"), nPerGroup = 5, salt = "s")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    // the per-group draw IS the global op restricted to the group —
+    // same keys, same winners, same order
+    val expected = (0 to 2).flatMap { g =>
+      TrainingOps.weightedSample(d.filter(col("grp") === s"g$g"),
+          "doc_id", "w", n = 5, salt = "s")
+        .collect().zipWithIndex.map { case (r, i) =>
+          (s"g$g", i + 1, r.getLong(0),
+            BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+        }
+    }.toSet
+    assert(got == expected)
+    // partitioning-invariant (the bounded-heap aggregate must not
+    // depend on which partition saw a candidate first)
+    val re = TrainingOps.weightedSamplePerGroup(d.repartition(13), "doc_id",
+        "w", Seq("grp"), nPerGroup = 5, salt = "s")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(re == got.map(t => (t._1, t._2, t._3)))
+    // contracts
+    intercept[IllegalArgumentException] {
+      TrainingOps.weightedSamplePerGroup(d, "doc_id", "w", Nil, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOps.weightedSamplePerGroup(d, "doc_id", "w", Seq("grp"), 0)
+    }
+  }
+
+  test("dsirWeights: target-like docs outscore off-target docs; partitioning-invariant; empty target loud") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha"),     // pure target vocabulary
+      (2L, "alpha beta zorp quux"),       // half target
+      (3L, "zorp quux flem blarg")        // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val got = TrainingOps.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L),
+      s"importance ordering violated: $got")
+    // per-gram micro-unit longs sum order-independently
+    val re = TrainingOps.dsirWeights(raw.repartition(7), target, "doc_id",
+        "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == got, "dsir_logw depends on partitioning")
+    // empty target fails in-plan, loudly
+    val e = intercept[Exception] {
+      TrainingOps.dsirWeights(raw, target.filter(col("doc_id") < 0L),
+        "doc_id", "text").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("ZERO grams"), chain)
+    // resample: deterministic Gumbel top-k, largest keys win, salt
+    // draws an independent sample
+    val w = TrainingOps.dsirWeights(raw, target, "doc_id", "text")
+    val s1 = TrainingOps.dsirResample(w, "doc_id", "dsir_logw", n = 2,
+      salt = "a").collect().map(_.getLong(0)).toSeq
+    val s1b = TrainingOps.dsirResample(w, "doc_id", "dsir_logw", n = 2,
+      salt = "a").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s1b, "resample not deterministic")
+    assert(s1.toSet.subsetOf(Set(1L, 2L, 3L)) && s1.size == 2)
+  }
 }
