@@ -842,6 +842,106 @@ object VectorOps {
       (-array_max(array(cands: _*)).getField("neg")).cast("int")
     }: _*)
 
+  // ------------------- signed random projection (JL / SRP-LSH layer)
+
+  /** Deterministic ±1 sign matrix for signed random projection:
+    * s(i, j) = +1 iff the first hex digit of md5("rp#i#j") is even —
+    * the repo's auditable-randomness move (cf. minHashCandidatesMd5)
+    * applied to the projection matrix, so the SAME signs derive on
+    * the driver (here) and in any SQL engine with md5, and the whole
+    * projection replays bit for bit. Dense ±1 entries are the
+    * Achlioptas (JCSS 2003) database-friendly JL construction. */
+  private[graft] def rpSigns(outDims: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims, dims) { (i, j) =>
+      val h = md.digest(s"rp#$i#$j".getBytes("UTF-8"))
+      md.reset()
+      // first hex digit = high nibble of byte 0; even -> +1, odd -> -1
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Signed random projection: out[i] = Σ_j s(i, j) · v_j over the
+    * [[rpSigns]] matrix — the Johnson–Lindenstrauss dimensionality
+    * reduction for embedding columns (Achlioptas 2003: ±1 entries
+    * preserve pairwise geometry like Gaussians do, at integer-matrix
+    * cost). Each component is the repo's in-order [[dot]] fold, so
+    * the projected vectors are bit-replayable in any engine with md5.
+    * Returns (idCol, rp_vec array<double>). NULL vectors are excluded
+    * (their projection is undefined; mirroring the [[srpBands]]
+    * contract keeps the two layers consistent).
+    *
+    * 100 TB shape: a pure map over a literal outDims x dims matrix —
+    * no shuffle, no driver involvement past the sign literals; at
+    * dims=1024 -> 64 this is a 16x at-rest cut that composes with
+    * [[sqQuantize]]/[[pqEncode]] downstream. */
+  def rpProject(emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int): DataFrame = {
+    require(outDims >= 1, "rpProject needs outDims >= 1")
+    val dims = dimsOf(emb, vecCol, "rpProject")
+    val signs = rpSigns(outDims, dims)
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), array((0 until outDims).map(i =>
+        dot(col(vecCol), typedLit(signs(i).toSeq))): _*).as("rp_vec"))
+  }
+
+  /** SRP-LSH band buckets (Charikar, STOC 2002: the sign pattern of
+    * random projections is a locality-sensitive hash for COSINE —
+    * P[sign equal] = 1 − θ/π): `bands` buckets of `bandBits` sign
+    * bits each, packed little-endian into a long. Two properties a
+    * spec pins: exact copies share every band (P = 1), and the
+    * signature is invariant under POSITIVE scaling (signs don't see
+    * magnitude) — the cosine-geometry analogue of minhash's
+    * set-semantics. Returns (idCol, band, bucket). Map-only. */
+  def srpBands(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 4, bandBits: Int = 16): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
+      "srpBands needs bands >= 1 and 1 <= bandBits <= 62")
+    rpProject(emb, idCol, vecCol, bands * bandBits)
+      .select(col(idCol), posexplode(array((0 until bands).map { b =>
+        (0 until bandBits).map { k =>
+          // STRICTLY positive -> 1: a zero projection (zero vector,
+          // or exact cancellation) reads 0 in both engines
+          when(element_at(col("rp_vec"), b * bandBits + k + 1) > 0,
+            lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** SRP-LSH near-duplicate candidates over an embedding column,
+    * verified: banded-bucket self-join (the minHashCandidates shape —
+    * narrow (id, band, bucket) fan-out, never all-pairs), then the
+    * exact cosine refine keeps pairs at `tau` or above. A zero-norm
+    * vector's cosine is SQL NULL (the CosineSim contract) and never
+    * passes the refine. Returns (id_a, id_b, cos_sim rounded 6),
+    * id_a < id_b.
+    *
+    * This is the third embedding near-dup family: IVF/SemDeDup prune
+    * by cluster geometry, SQ/PQ compress then score — SRP hashes
+    * DIRECTLY on cosine geometry, needs no training pass at all, and
+    * its bucket table is streaming-safe (pure map). */
+  def srpCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, bands: Int = 4, bandBits: Int = 16): DataFrame = {
+    // one banding pass feeds both self-join sides (broadcast and
+    // shuffle exchanges never unify — the Materialize seam)
+    val banded = Materialize.stage(
+      srpBands(emb, idCol, vecCol, bands, bandBits))
+    val pairs = banded.select(col("band"), col("bucket"),
+        col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("bucket"),
+        col(idCol).as("id_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("__va")),
+        "id_a")
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   /** Learn PQ codebooks: split each vector into `m` contiguous
     * subvectors (dims % m == 0), seed each subspace's `ksub` codes
     * with the first `ksub` vectors by id (code = id rank), then ONE

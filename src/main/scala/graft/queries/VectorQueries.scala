@@ -137,6 +137,56 @@ object VectorQueries {
           round(sum(col("l2_norm").cast("decimal(18,6)")).cast("double") /
             count(lit(1)), 4).as("avg_norm"))
         .orderBy("label")
+    }),
+
+    // Signed random projection (ops/VectorOps.rpProject — Achlioptas
+    // ±1 JL): 64 -> 16 dims through the md5-derived sign matrix, each
+    // component an in-order fold — the data-independent embedding
+    // compressor that needs NO training pass (vs sqQuantize's scales
+    // and pqCodebooks' Lloyd). Pure map over a literal matrix; the
+    // vec_id % 7 slice is output discipline (the op is map-only, the
+    // projection replays bucket for bucket in DuckDB either way).
+    "q207_random_projection" -> ((s, dir) => {
+      graft.ops.VectorOps.rpProject(
+          emb(s, dir).filter(col("vec_id") % 7 === 0),
+          "vec_id", "embedding", outDims = 16)
+        .select(col("vec_id"), posexplode(col("rp_vec")).as(Seq("__i", "__c")))
+        .select(col("vec_id"), (col("__i") + 1).cast("int").as("dim"),
+          round(col("__c"), 6).as("comp"))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // SRP-LSH near-dup candidates (ops/VectorOps.srpCandidates —
+    // Charikar sign-LSH): 4 bands x 16 projection-sign bits, banded
+    // bucket self-join, exact cosine refine — the THIRD embedding
+    // near-dup family (IVF/SemDeDup cluster, SQ/PQ compress-then-
+    // score, SRP hashes cosine geometry directly, training-free and
+    // streaming-safe). Exact copies collide in EVERY band (P = 1 —
+    // signs are scale-blind), so the planted-copy law is require'd
+    // in-query: every vec_id % 19 clone must surface at cosine 1.0.
+    // The whole chain — sign matrix, in-order folds, bit packing,
+    // banding, refine — replays in DuckDB.
+    "q208_srp_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 19 === 0)
+      val corpus = e.unionByName(planted
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val cands = graft.ops.VectorOps.srpCandidates(
+        corpus, "vec_id", "embedding", tau = 0.6).persist()
+      try {
+        val nPlanted = planted.count()
+        val found = cands.filter(col("id_b") - col("id_a") === 100000L &&
+          col("id_a") % 19 === 0 && col("cos_sim") === 1.0).count()
+        require(found == nPlanted,
+          s"SRP all-bands copy law violated: $found of $nPlanted " +
+            "planted copies surfaced at cosine 1.0")
+        val sess = s
+        import sess.implicits._
+        cands.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          .toDF("id_a", "id_b", "cos_sim")
+          .orderBy("id_a", "id_b")
+      } finally cands.unpersist(blocking = false)
     })
   )
 
@@ -199,6 +249,56 @@ object VectorQueries {
     "q54_label_stats" ->
       s"""SELECT label, COUNT(*) AS n_vecs,
          |  ROUND(CAST(SUM(CAST(${sqlL2("embedding")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
-         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    // The sign matrix replayed from the same md5 parity (even first
+    // hex digit -> +1), each component the same in-order list fold.
+    "q207_random_projection" ->
+      s"""WITH sgn AS (
+         |  SELECT i, list(CASE WHEN substring(md5('rp#' || i || '#' || j), 1, 1)
+         |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+         |    ORDER BY j) AS s
+         |  FROM range(16) t1(i), range(64) t2(j) GROUP BY i)
+         |SELECT e.vec_id, CAST(i + 1 AS INTEGER) AS dim,
+         |  ROUND(list_sum(list_transform(range(1, 65), j ->
+         |    s[CAST(j AS INT)] * CAST(embedding[CAST(j AS INT)] AS DOUBLE))), 6) AS comp
+         |FROM embeddings e, sgn
+         |WHERE vec_id % 7 = 0 AND embedding IS NOT NULL
+         |ORDER BY vec_id, dim""".stripMargin,
+    // Full SRP-LSH chain: planted copies, 64 projections, strictly-
+    // positive sign bits packed little-endian per 16-bit band, banded
+    // self-join, exact cosine refine (NULLIF = the CosineSim zero-norm
+    // NULL contract).
+    "q208_srp_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 19 = 0
+         |), sgn AS (
+         |  SELECT i, list(CASE WHEN substring(md5('rp#' || i || '#' || j), 1, 1)
+         |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+         |    ORDER BY j) AS s
+         |  FROM range(64) t1(i), range(64) t2(j) GROUP BY i
+         |), proj AS (
+         |  SELECT vec_id, i,
+         |    list_sum(list_transform(range(1, 65), j ->
+         |      s[CAST(j AS INT)] * CAST(embedding[CAST(j AS INT)] AS DOUBLE))) AS p
+         |  FROM corpus, sgn WHERE embedding IS NOT NULL
+         |), bands AS (
+         |  SELECT vec_id, CAST(i // 16 AS INTEGER) AS band,
+         |    CAST(SUM(CASE WHEN p > 0 THEN 1 << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |), cand AS (
+         |  SELECT id_a, id_b,
+         |    ROUND(${sqlDot.format("ea.embedding", "eb.embedding")} /
+         |      NULLIF(${sqlL2("ea.embedding")} * ${sqlL2("eb.embedding")}, 0), 6) AS cos_sim
+         |  FROM pairs
+         |  JOIN corpus ea ON ea.vec_id = pairs.id_a
+         |  JOIN corpus eb ON eb.vec_id = pairs.id_b)
+         |SELECT id_a, id_b, cos_sim FROM cand
+         |WHERE cos_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin
   )
 }

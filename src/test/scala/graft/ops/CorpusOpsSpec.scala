@@ -781,6 +781,81 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not divisible"), err.getMessage)
   }
 
+  test("rpProject: components equal the driver-side sign-fold re-derivation; NULL vectors excluded") {
+    import spark.implicits._
+    val e = quarterVecs(10, 8, seed = 67)
+    val got = VectorOps.rpProject(e, "vec_id", "embedding", outDims = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // independent re-derivation: same md5 sign matrix, same in-order
+    // fold, on the collected raw vectors
+    val raw = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val signs = VectorOps.rpSigns(5, 8)
+    raw.foreach { case (id, v) =>
+      val expect = (0 until 5).map { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < 8) { acc += v(j).toDouble * signs(i)(j); j += 1 }
+        acc
+      }
+      assert(got(id) == expect, s"vec $id: ${got(id)} != $expect")
+    }
+    // a NULL vector is excluded, not projected to garbage
+    val withNull = e.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    assert(!VectorOps.rpProject(withNull, "vec_id", "embedding", 5)
+      .collect().exists(_.getLong(0) == 99L))
+  }
+
+  test("srpBands: copies share every band; buckets invariant under positive scaling, flipped by negation") {
+    import spark.implicits._
+    val e = quarterVecs(12, 8, seed = 71)
+    val base = VectorOps.srpBands(e, "vec_id", "embedding",
+        bands = 4, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // positive scaling cannot change a sign bit (SRP hashes direction)
+    val scaled = VectorOps.srpBands(
+        e.select(col("vec_id"), transform(col("embedding"),
+          x => x * lit(2.5f)).as("embedding")),
+        "vec_id", "embedding", bands = 4, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(scaled == base, "SRP buckets changed under positive scaling")
+    // negation flips every strictly-nonzero sign: at least one bucket
+    // must differ for any vector with a nonzero projection
+    val negated = VectorOps.srpBands(
+        e.select(col("vec_id"), transform(col("embedding"),
+          x => -x).as("embedding")),
+        "vec_id", "embedding", bands = 4, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(negated != base, "negation left every SRP bucket unchanged")
+    intercept[IllegalArgumentException] {
+      VectorOps.srpBands(e, "vec_id", "embedding", bands = 0)
+    }
+  }
+
+  test("srpCandidates: planted copies found in all bands at cosine 1.0; zero vectors never pass") {
+    import spark.implicits._
+    val e = quarterVecs(30, 8, seed = 73)
+    // plant exact copies of vecs 3, 7, 11 plus one all-zero vector
+    val copies = e.filter(col("vec_id").isin(3L, 7L, 11L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val zero = Seq((2000L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val corpus = e.unionByName(copies).unionByName(zero)
+    val got = VectorOps.srpCandidates(corpus, "vec_id", "embedding",
+        tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    for (id <- Seq(3L, 7L, 11L))
+      assert(pairs.contains((id, id + 1000L)),
+        s"planted copy pair ($id, ${id + 1000L}) not found: $pairs")
+    assert(got.filter(t => t._2 - t._1 == 1000L).forall(_._3 == 1.0))
+    // the zero vector's cosine is NULL (CosineSim contract) — it can
+    // never survive the tau refine, even though its all-zero-bit
+    // buckets collide with other non-positive projections
+    assert(!got.exists(t => t._1 == 2000L || t._2 == 2000L))
+    // ordering contract
+    assert(got.forall(t => t._1 < t._2))
+  }
+
   test("pq loud contracts: empty frames and corpus < ksub refuse with context (r12 ADVICE)") {
     val e = quarterVecs(6, 8, seed = 61)
     val empty = e.filter(col("vec_id") < 0)
