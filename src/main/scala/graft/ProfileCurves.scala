@@ -1035,3 +1035,80 @@ object ProfileHdr {
     spark.stop()
   }
 }
+
+/** DSIR + SRP scale curves (round 13): the two new selection layers'
+  * measurable claims.
+  *
+  *  - DSIR: the ratio table is B rows at ANY corpus size (the hashed-
+  *    feature point) and the scoring shuffle carries (id, partial-sum)
+  *    longs, not grams — wall + shuffle at 1x/4x/16x corpus blowup.
+  *  - SRP: banded candidates vs the all-pairs cosine baseline — the
+  *    pruning ratio and its cost, embeddings replicated with element
+  *    rotations (norm-preserving bijections, so replicas stay
+  *    distinct and bucket statistics stay realistic).
+  */
+object ProfileSelect {
+  import ProfileCurves._
+  def main(args: Array[String]): Unit = {
+    val spark = session("profile_select")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") % 37 === 0).persist()
+    target.count()
+    for (m <- Seq(1, 4, 16)) {
+      val raw = blowupDocs(docs.filter(col("doc_id") % 37 =!= 0), m)
+        .persist()
+      val n = raw.count()
+      meter.drain()
+      val t = timed(noop(graft.ops.TrainingOps.dsirWeights(
+        raw, target, "doc_id", "text")))
+      val b = meter.drain()
+      println(f"""{"metric":"dsir","blowup":$m,"raw_docs":$n,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.2f}""")
+      raw.unpersist(blocking = false)
+    }
+    // SRP vs all-pairs: embeddings replicated by element rotation
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def blowVecs(times: Int): DataFrame =
+      (0 until times).map { i =>
+        val rot =
+          if (i == 0) col("embedding")
+          else concat(slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i))
+        emb.select((col("vec_id") + i.toLong * 1000000L).as("vec_id"),
+          rot.as("embedding"))
+      }.reduce(_.unionByName(_))
+    for (m <- Seq(1, 4, 16)) {
+      val vecs = blowVecs(m).persist()
+      val n = vecs.count()
+      meter.drain()
+      val tSrp = timed(noop(graft.ops.VectorOps.srpCandidates(
+        vecs, "vec_id", "embedding", tau = 0.6)))
+      val bSrp = meter.drain()
+      val nCand = graft.ops.VectorOps.srpCandidates(
+        vecs, "vec_id", "embedding", tau = -1.0).count()
+      meter.drain()
+      // all-pairs baseline only while quadratic cost is affordable
+      val (tBrute, bBrute) =
+        if (m <= 4) {
+          val t = timed(noop(
+            vecs.select(col("vec_id").as("id_a"), col("embedding").as("__a"))
+              .crossJoin(vecs.select(col("vec_id").as("id_b"),
+                col("embedding").as("__b")))
+              .filter(col("id_a") < col("id_b"))
+              .select(col("id_a"), col("id_b"),
+                round(graft.ops.VectorOps.cosine(col("__a"), col("__b")), 6)
+                  .as("cos_sim"))
+              .filter(col("cos_sim") >= 0.6)))
+          (t, meter.drain())
+        } else (-1.0, -1L)
+      val totalPairs = n * (n - 1) / 2
+      println(f"""{"metric":"srp","blowup":$m,"vecs":$n,"cand_pairs":$nCand,"total_pairs":$totalPairs,"srp_wall_s":$tSrp%.2f,"srp_shuffle_mb":${bSrp / 1e6}%.2f,"brute_wall_s":$tBrute%.2f,"brute_shuffle_mb":${bBrute / 1e6}%.2f}""")
+      vecs.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}

@@ -47,4 +47,44 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar, "Using name-based mappings to increase hit rates"
+    * (IEEE/ACM ToN 1998): key k lands on argmax over shards of
+    * md5(shard # key). The property a mod-N hash cannot give and an
+    * incremental warehouse needs: adding (or removing) one shard
+    * moves ONLY the keys whose argmax is the new shard — expected
+    * 1/(n+1) of them — while EVERY key's shard survives under mod-N
+    * growth only if n divides the new count. So a pipeline that
+    * shards state by rendezvous re-processes O(1/n) of the corpus on
+    * scale-out, not all of it (the q210 battery entry require's the
+    * minimal-disruption law in-query).
+    *
+    * The weight is the md5 HEX STRING compared lexicographically —
+    * fixed-width lowercase hex compares monotonically in the value
+    * (the hashSplit/mixCorpus convention), so the argmax replays in
+    * any engine with md5; ties are impossible short of an md5
+    * collision, and the shard name breaks them deterministically
+    * anyway (it is part of the compared struct). Pure map over a
+    * shard-count-sized literal: no shuffle, no state, streaming-safe.
+    * NULL keys get NULL shards (no silent bucket-0 pileup). */
+  def rendezvousShard(key: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty, "rendezvousShard needs at least one shard")
+    require(shards.distinct.size == shards.size,
+      s"duplicate shard names: ${shards.mkString(",")}")
+    val cands = shards.map { sh =>
+      struct(
+        md5(concat(lit(sh), lit("#"), key.cast("string")).cast("binary"))
+          .as("w"),
+        lit(sh).as("s"))
+    }
+    when(key.isNotNull,
+      array_max(array(cands: _*)).getField("s"))
+  }
+
+  /** [[rendezvousShard]] over a frame: returns `df` with a `shard`
+    * column. */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+      shards: Seq[String]): DataFrame =
+    df.withColumn("shard", rendezvousShard(col(keyCol), shards))
 }

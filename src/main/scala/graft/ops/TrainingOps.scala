@@ -272,31 +272,33 @@ object TrainingOps {
     * target side is benchmark-small; the raw side pays one map-only
     * explode + broadcast join + combinable per-doc long sum — no
     * shuffle wider than (id, partial sum). */
-  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 4096): DataFrame = {
-    require(buckets >= 2, "dsirWeights needs buckets >= 2")
-    def grams(df: DataFrame) = {
-      val toks = TextDedup.tokensOf(col(textCol))
-      df.select(col(idCol), toks.as("__toks"))
-        .select(col(idCol), explode(concat(
-          filter(col("__toks"), t => length(t) > 0),
-          when(size(col("__toks")) >= 2,
-            TextDedup.shinglesOf(col("__toks"), 2))
-            .otherwise(array().cast("array<string>")))).as("g"))
-    }
-    val bucket = (conv(substring(md5(col("g")), 1, 13), 16, 10)
-      .cast("long") % buckets).as("bucket")
+  /** The ONE gram spelling shared by the batch scorer and the
+    * streaming probe (their row-for-row equality rests on it): word
+    * unigrams (empties dropped) ++ word bigrams (docs with >= 2
+    * tokens only). */
+  private def dsirGramsOf(text: Column): Column = {
+    val toks = TextDedup.tokensOf(text)
+    concat(
+      filter(toks, t => length(t) > 0),
+      when(size(toks) >= 2, TextDedup.shinglesOf(toks, 2))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  private def dsirBucketOf(g: Column, buckets: Int): Column =
+    conv(substring(md5(g), 1, 13), 16, 10).cast("long") % buckets
+
+  /** The DENSE B-row micro-unit log-ratio table (bucket, __r_micro) —
+    * the learned artifact of DSIR, shared by [[dsirWeights]] (joins
+    * it) and [[dsirScoreProbe]] (embeds it). Each corpus is scanned
+    * once for its count table (Materialize.stage, the exchange-reuse
+    * seam); an empty target fails in-plan, loudly. */
+  private[graft] def dsirRatioTable(raw: DataFrame, target: DataFrame,
+      textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, "dsir needs buckets >= 2")
     def bucketCounts(df: DataFrame, cName: String) =
-      grams(df).select(bucket)
+      df.select(explode(dsirGramsOf(col(textCol))).as("g"))
+        .select(dsirBucketOf(col("g"), buckets).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(cName))
-    // DENSE B-row ratio table (sequence explode): absent buckets carry
-    // the smoothing floor instead of needing a per-probe fallback
-    val dense = raw.sparkSession.range(buckets.toLong)
-      .select(col("id").as("bucket"))
-    // each corpus is SCANNED ONCE for its B-row count table — the
-    // totals and the ratio join both read the staged result instead of
-    // re-running the gram explode (Materialize.stage: the exchange-
-    // reuse seam the banded self-joins use)
     val cT = Materialize.stage(bucketCounts(target, "c_t"))
     val cR = Materialize.stage(bucketCounts(raw, "c_r"))
     val totals = cT
@@ -310,7 +312,10 @@ object TrainingOps {
             "doc would score identically")).cast("long"))
           .otherwise(col("n_t")).as("n_t"),
         col("n_r"))
-    val ratio = dense
+    // DENSE (sequence range): absent buckets carry the smoothing
+    // floor instead of needing a per-probe fallback
+    raw.sparkSession.range(buckets.toLong)
+      .select(col("id").as("bucket"))
       .join(cT, Seq("bucket"), "left")
       .join(cR, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
@@ -321,14 +326,49 @@ object TrainingOps {
             log((coalesce(col("c_r"), lit(0L)) * 2 + 1).cast("double")) +
             log((col("n_r") * 2 + buckets).cast("double"))) * 1e6 + 0.5)
           .cast("long").as("__r_micro"))
-    grams(raw)
-      .select(col(idCol), bucket)
+  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    val ratio = dsirRatioTable(raw, target, textCol, buckets)
+    raw.select(col(idCol), explode(dsirGramsOf(col(textCol))).as("g"))
+      .select(col(idCol), dsirBucketOf(col("g"), buckets).as("bucket"))
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(col("__r_micro")).as("__sum_micro"))
       .select(col(idCol), col("n_grams"),
         round(col("__sum_micro") / 1e6, 6).as("dsir_logw"))
+  }
+
+  /** The DSIR score as a STATELESS per-row expression — the streaming
+    * form (the contaminationProbe pattern): the B-entry micro-ratio
+    * table is collected ONCE (bounded by `buckets`, 4096 longs by
+    * default — task-closure-trivial) and rides inside the returned
+    * Column function as an array literal, so an ingest stream scores
+    * documents with a pure map: no state, no watermark, no shuffle,
+    * append-mode safe by construction. Per row the gram micro-ratios
+    * fold as LONGS (order-independent), so probe == batch
+    * [[dsirWeights]] EXACTLY for every doc with >= 1 gram; a gramless
+    * doc probes (0, 0.0) where the batch operator omits the row
+    * (documented asymmetry — a stream cannot drop rows it must
+    * acknowledge). Returns text => struct(n_grams, dsir_logw). */
+  def dsirScoreProbe(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = 4096): Column => Column = {
+    val lut = new Array[Long](buckets)
+    dsirRatioTable(raw, target, textCol, buckets).collect()
+      .foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+    val lutLit = typedLit(lut.toSeq)
+    text => {
+      val grams = dsirGramsOf(text)
+      struct(
+        size(grams).cast("long").as("n_grams"),
+        round(
+          aggregate(grams, lit(0L), (acc, g) =>
+            acc + element_at(lutLit,
+              (dsirBucketOf(g, buckets) + 1).cast("int"))) / 1e6,
+          6).as("dsir_logw"))
+    }
   }
 
   /** The DSIR resampling step: draw `n` documents WITHOUT replacement

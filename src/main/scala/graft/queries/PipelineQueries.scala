@@ -1008,6 +1008,83 @@ object PipelineQueries {
         .select(col("lang"), col("smp_rank"), col("doc_id"),
           round(col("samp_key"), 6).as("samp_key"))
         .orderBy("lang", "smp_rank")
+    }),
+
+    // STREAMING DSIR scoring (ops/TrainingOps.dsirScoreProbe): the
+    // q205 importance weight as a stateless per-row expression — the
+    // B-entry micro-ratio table rides inside the expression (4096
+    // longs), so an ingest stream scores with a pure map: no state,
+    // no watermark, no shuffle. Three id-ordered micro-batches on the
+    // doc_id % 3 = 1 stratum (the q193 treatment — the probe is
+    // per-row stateless, probe == batch is spec-pinned, so stream ==
+    // batch on any row subset by construction; the stream leg
+    // exercises the micro-batch plumbing); output require'd == the
+    // batch scorer both directions. Oracle = the q205 weight chain
+    // for the full raw corpus.
+    "q209_streaming_dsir" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val target = d.filter(col("doc_id") % 37 === 0)
+      val raw = d.filter(col("doc_id") % 37 =!= 0)
+      val probe = graft.ops.TrainingOps.dsirScoreProbe(raw, target, "text")
+      val streamDocs = raw.filter(col("doc_id") % 3 === 1)
+      val (tmp, src) = StreamFixtures.writeIdOrderedMicroBatches(
+        streamDocs, "doc_id", "q209")
+      try {
+        val stream = s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream.select(col("doc_id"), probe(col("text")).as("p"))
+          .select(col("doc_id"), col("p.n_grams").as("n_grams"),
+            col("p.dsir_logw").as("dsir_logw"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q209out").start()
+        try q.processAllAvailable() finally q.stop()
+        // gramless docs probe (0, 0.0) where the batch op omits the
+        // row — the documented asymmetry; align before comparing
+        val streamed = s.table("q209out").filter(col("n_grams") > 0)
+        val batch = graft.ops.TrainingOps.dsirWeights(
+          raw, target, "doc_id", "text").persist()
+        try {
+          val batchStrat = batch.filter(col("doc_id") % 3 === 1)
+          require(streamed.exceptAll(batchStrat).isEmpty &&
+            batchStrat.exceptAll(streamed).isEmpty,
+            "streaming DSIR diverged from the batch scorer on the " +
+              "doc stratum")
+          val rows = batch.orderBy("doc_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          val sess = s
+          import sess.implicits._
+          rows.toSeq.toDF("doc_id", "n_grams", "dsir_logw")
+            .orderBy("doc_id")
+        } finally batch.unpersist(blocking = false)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }),
+
+    // Rendezvous (HRW) shard assignment (ops/Layout.rendezvousShard —
+    // Thaler & Ravishankar 1998): argmax over shards of
+    // md5(shard#key), hex compared lexicographically (monotone — the
+    // hashSplit convention). THE law an incremental warehouse needs
+    // and mod-N cannot give, require'd in-query: scaling 5 -> 6
+    // shards relocates keys ONLY onto the new shard (expected 1/6 of
+    // them), every other assignment is untouched — so shard-state
+    // rebuilds are O(1/n) of the corpus on scale-out. Pure map over
+    // a shard-count literal: no shuffle, streaming-safe; both
+    // assignments replay in DuckDB as md5 rank-1 windows.
+    "q210_rendezvous_shards" -> ((s, dir) => {
+      val shards = (0 until 5).map(i => s"s$i")
+      val d = docs(s, dir).select(col("doc_id"))
+      val both = d.select(col("doc_id"),
+        graft.ops.Layout.rendezvousShard(col("doc_id"), shards)
+          .as("shard5"),
+        graft.ops.Layout.rendezvousShard(col("doc_id"), shards :+ "s5")
+          .as("shard6"))
+      val moved = both.filter(col("shard5") =!= col("shard6"))
+        .filter(col("shard6") =!= "s5").count()
+      require(moved == 0L,
+        s"rendezvous minimal-disruption law violated: $moved keys " +
+          "relocated between surviving shards on scale-out")
+      both.select(col("doc_id"), col("shard5"), col("shard6"),
+          (col("shard5") =!= col("shard6")).as("moved"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1807,6 +1884,60 @@ object PipelineQueries {
         |SELECT doc_id, n_grams, dsir_logw, round(samp_key, 6) AS samp_key,
         |  CAST(row_number() OVER (ORDER BY samp_key DESC, doc_id) AS INTEGER) AS smp_rank
         |FROM k ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin,
+    // The q205 weight chain (buckets, smoothing, micro-rounding)
+    // truncated at the per-doc weights — q209's output is the full
+    // batch weight frame (the stream leg's equality is require'd
+    // in-query).
+    "q209_streaming_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    list_filter(t, x -> len(x) > 0),
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |      ELSE [] END)) AS g
+        |  FROM tok
+        |), tg AS (
+        |  SELECT CAST(concat('0x', substring(md5(g), 1, 13)) AS BIGINT) % 4096 AS bucket
+        |  FROM grams WHERE doc_id % 37 = 0
+        |), rg AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(g), 1, 13)) AS BIGINT) % 4096 AS bucket
+        |  FROM grams WHERE doc_id % 37 <> 0
+        |), ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_t FROM tg GROUP BY 1),
+        |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r FROM rg GROUP BY 1),
+        |tot AS (SELECT (SELECT COALESCE(SUM(c_t), 0) FROM ct) AS n_t,
+        |               (SELECT COALESCE(SUM(c_r), 0) FROM cr) AS n_r),
+        |ratio AS (
+        |  SELECT b.bucket,
+        |    CAST(floor((ln(COALESCE(c_t, 0) * 2 + 1) - ln(n_t * 2 + 4096)
+        |      - ln(COALESCE(c_r, 0) * 2 + 1) + ln(n_r * 2 + 4096)) * 1e6 + 0.5) AS BIGINT) AS r_micro
+        |  FROM (SELECT bucket FROM range(4096) t(bucket)) b
+        |  LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), tot)
+        |SELECT rg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  round(CAST(SUM(r_micro) AS DOUBLE) / 1e6, 6) AS dsir_logw
+        |FROM rg JOIN ratio USING (bucket) GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+    // Both shard maps replayed as md5 rank-1 windows; the DESC, sh
+    // DESC tie-break mirrors the engine's struct-max (ties cannot
+    // occur short of an md5 collision, but the spellings agree
+    // anyway).
+    "q210_rendezvous_shards" ->
+      """WITH s5 AS (SELECT unnest(['s0','s1','s2','s3','s4']) AS sh),
+        |s6 AS (SELECT unnest(['s0','s1','s2','s3','s4','s5']) AS sh),
+        |a5 AS (
+        |  SELECT doc_id, sh AS shard5 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY md5(sh || '#' || doc_id) DESC, sh DESC) AS rn
+        |    FROM documents, s5) WHERE rn = 1),
+        |a6 AS (
+        |  SELECT doc_id, sh AS shard6 FROM (
+        |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY md5(sh || '#' || doc_id) DESC, sh DESC) AS rn
+        |    FROM documents, s6) WHERE rn = 1)
+        |SELECT a5.doc_id, shard5, shard6, shard5 <> shard6 AS moved
+        |FROM a5 JOIN a6 USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q206_group_weighted_sample" ->
       """WITH k AS (
         |  SELECT lang, doc_id,

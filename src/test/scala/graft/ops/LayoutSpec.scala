@@ -88,4 +88,43 @@ class LayoutSpec extends AnyFunSuite {
       assert(naive >= 8L, s"expected naive layout to scatter, got $naive")
     } finally laid.unpersist()
   }
+
+  test("rendezvousShard: minimal disruption on add AND remove; balanced; null keys null") {
+    import spark.implicits._
+    val keys = (1L to 2000L).toDF("k")
+    val s5 = Seq("s0", "s1", "s2", "s3", "s4")
+    val a5 = Layout.rendezvousAssign(keys, "k", s5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every shard gets a plausible share (uniform-ish: 2000/5 = 400)
+    val shares = a5.values.groupBy(identity).view.mapValues(_.size)
+    s5.foreach(sh => assert(shares(sh) > 250 && shares(sh) < 550,
+      s"$sh got ${shares.toMap}"))
+    // ADD law: growing to 6 shards moves ONLY keys that land on the
+    // new shard — nobody relocates between surviving shards
+    val a6 = Layout.rendezvousAssign(keys, "k", s5 :+ "s5")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val movedElsewhere = a5.count { case (k, sh) =>
+      a6(k) != sh && a6(k) != "s5" }
+    assert(movedElsewhere == 0, s"$movedElsewhere keys relocated " +
+      "between surviving shards on scale-out")
+    val movedToNew = a5.count { case (k, _) => a6(k) == "s5" }
+    assert(movedToNew > 200 && movedToNew < 500, // ~1/6 of 2000 = 333
+      s"expected ~1/6 of keys on the new shard, got $movedToNew")
+    // REMOVE law: dropping a shard reassigns ONLY its keys
+    val a4 = Layout.rendezvousAssign(keys, "k", s5.filterNot(_ == "s2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a5.forall { case (k, sh) => sh == "s2" || a4(k) == sh },
+      "a surviving shard lost keys on shard removal")
+    // NULL keys get NULL shards, loud contracts
+    val withNull = Seq[java.lang.Long](7L, null).toDF("k")
+    val got = Layout.rendezvousAssign(withNull, "k", s5).collect()
+      .map(r => Option(r.get(0)) -> Option(r.getString(1))).toMap
+    assert(got(None).isEmpty && got(Some(7L)).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousShard(col("k"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousShard(col("k"), Seq("a", "a"))
+    }
+  }
 }

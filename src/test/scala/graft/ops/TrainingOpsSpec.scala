@@ -578,4 +578,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(s1 == s1b, "resample not deterministic")
     assert(s1.toSet.subsetOf(Set(1L, 2L, 3L)) && s1.size == 2)
   }
+
+  test("dsirScoreProbe == dsirWeights row for row; gramless docs probe (0, 0.0)") {
+    import spark.implicits._
+    val target = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta zorp quux"),
+      (3L, "zorp quux flem blarg"),
+      (4L, "single"),
+      (5L, "")).toDF("doc_id", "text")
+    val probe = TrainingOps.dsirScoreProbe(raw, target, "text")
+    val probed = raw.select(col("doc_id"), probe(col("text")).as("p"))
+      .select(col("doc_id"), col("p.n_grams"), col("p.dsir_logw"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val batch = TrainingOps.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // every batch-scored doc probes EXACTLY equal (long micro folds)
+    batch.foreach { case (id, v) =>
+      assert(probed(id) == v, s"doc $id: probe ${probed(id)} != batch $v")
+    }
+    // the documented asymmetry: a gramless doc probes (0, 0.0) where
+    // the batch operator omits the row
+    assert(!batch.contains(5L) && probed(5L) == ((0L, 0.0)))
+    // single-token doc: unigram only, no bigram fallback
+    assert(probed(4L)._1 == 1L && batch(4L)._1 == 1L)
+  }
 }
