@@ -67,7 +67,12 @@ object Layout {
     * collision, and the shard name breaks them deterministically
     * anyway (it is part of the compared struct). Pure map over a
     * shard-count-sized literal: no shuffle, no state, streaming-safe.
-    * NULL keys get NULL shards (no silent bucket-0 pileup). */
+    * NULL keys get NULL shards (no silent bucket-0 pileup).
+    *
+    * Cross-engine note: the key is hashed through its STRING form, so
+    * replay parity holds for string/integer keys (every engine
+    * formats those identically); float keys would need a caller-fixed
+    * text form first (formatting differs across engines). */
   def rendezvousShard(key: Column, shards: Seq[String]): Column = {
     require(shards.nonEmpty, "rendezvousShard needs at least one shard")
     require(shards.distinct.size == shards.size,

@@ -807,10 +807,15 @@ object VectorOps {
     * NoSuchElementException (the assignToCentroids loud-contract
     * convention). Bounded: one-row action. */
   private def dimsOf(df: DataFrame, vecCol: String, who: String): Int = {
-    val first = df.select(size(col(vecCol))).head(1)
+    // NULL vectors are skipped for the read — size(NULL) is NULL and
+    // a bare getInt on it would NPE with no context (found in the
+    // round-13 self-review; the all-NULL case reads as empty, which
+    // is the same loud failure)
+    val first = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
     require(first.nonEmpty,
-      s"$who got an EMPTY frame — cannot read $vecCol dimensionality;" +
-        " check the upstream build/read")
+      s"$who got an EMPTY frame (or all-NULL $vecCol) — cannot read " +
+        s"$vecCol dimensionality; check the upstream build/read")
     first(0).getInt(0)
   }
 

@@ -804,6 +804,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
     assert(!VectorOps.rpProject(withNull, "vec_id", "embedding", 5)
       .collect().exists(_.getLong(0) == 99L))
+    // dims read survives a NULL vector in the FIRST row (size(NULL)
+    // is NULL — a bare head().getInt would NPE; r13 self-review)
+    val nullFirst = Seq((0L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding").unionByName(e)
+    assert(VectorOps.rpProject(nullFirst, "vec_id", "embedding", 5)
+      .count() == 10L)
   }
 
   test("srpBands: copies share every band; buckets invariant under positive scaling, flipped by negation") {
