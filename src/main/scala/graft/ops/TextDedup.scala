@@ -1565,6 +1565,80 @@ object TextDedup {
         rgFlagged))
   }
 
+  /** EXACT Jaccard-threshold similarity self-join via prefix
+    * filtering (the SSJoin/PPJoin prefix principle — Chaudhuri, Ganti
+    * & Kaushik, ICDE 2006; Xiao, Wang, Lin & Yu, WWW 2008): every
+    * pair of documents whose token-SET Jaccard reaches `tau`, with NO
+    * false negatives — the exact complement of [[minHashCandidates]]'
+    * probabilistic recall, for pipelines where a missed duplicate is
+    * unacceptable (contract/compliance dedup, benchmark isolation).
+    *
+    * Method: order each doc's distinct tokens by global rarity
+    * (document frequency asc, token asc — one canonical total order);
+    * keep the PREFIX of length |d| − α(d) + 1 where α(d) = the
+    * smallest integer ≥ tau·|d|. The prefix-filter lemma: for a pair
+    * with J ≥ tau, the smallest-ranked common token must sit in BOTH
+    * prefixes (if every common token sat past x's prefix, |x ∩ y| ≤
+    * α(x) − 1 < tau·|x| ≤ tau·|x ∪ y| ≤ |x ∩ y| — contradiction; and
+    * symmetrically for y). Candidates are therefore the prefix-token
+    * equi-join plus the size filter (J ≥ tau bounds |y| within
+    * [tau·|x|, |x|/tau]); the exact refine only removes false
+    * positives. α is computed as ceil(tau·|d| − 1e-9): the epsilon
+    * absorbs IEEE noise that could push tau·|d| just ABOVE an integer
+    * boundary and silently shorten the prefix below the lemma's bound
+    * (a false-negative hole); erring longer is always safe. The
+    * verify compares the UNROUNDED division i / (|x| + |y| − i) ≥ tau
+    * — identical IEEE ops in any engine — and rounds only the output.
+    * Returns (id_a, id_b, jaccard rounded 6), id_a < id_b.
+    *
+    * 100 TB shape: rarity-first prefixes make the candidate join's
+    * fan-out Σ df² over PREFIX tokens — the rarest ~(1−tau)·|d|
+    * tokens of each doc, exactly the small-df tail on a real Zipfian
+    * vocabulary; the verify join touches candidates only, and both
+    * token passes read one staged tokens table. On a degenerate DENSE
+    * vocabulary (every token in most docs) prefix filtering cannot
+    * prune — no exact method can — and LSH + maxBucket is the
+    * documented fallback. */
+  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "jaccardJoin needs tau in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = Materialize.stage(
+      docs.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("__id"), explode(array_distinct(
+          filter(tokensOf(col(textCol)), t => length(t) > 0))).as("tok")))
+    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("__id")
+    def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
+    val ranked = toks.join(dfCounts, "tok")
+      .withColumn("__rnk", row_number().over(
+        wDoc.orderBy(col("__df"), col("tok"))))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+    val prefix = Materialize.stage(ranked
+      .filter(col("__rnk") <= col("__sz") - alpha(col("__sz")) + 1)
+      .select("tok", "__id", "__sz"))
+    val cands = prefix
+      .select(col("tok"), col("__id").as("id_a"), col("__sz").as("__na"))
+      .join(prefix.select(col("tok"), col("__id").as("id_b"),
+        col("__sz").as("__nb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__nb") >= alpha(col("__na")) &&
+        col("__na") >= alpha(col("__nb")))
+      .select("id_a", "id_b").distinct()
+    val sz = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
+    cands
+      .join(toks.select(col("__id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("__id").as("id_b"), col("tok")),
+        Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+      .join(sz.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sz.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("__j", col("__i").cast("double") /
+        (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("__j") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts
     * back (broadcast the small candidate set at interactive scale;
     * shuffle-join on id at batch scale) and compute exact overlap.

@@ -133,6 +133,25 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // EXACT Jaccard-threshold similarity join via prefix filtering
+    // (ops/TextDedup.jaccardJoin — the SSJoin/PPJoin prefix
+    // principle): every token-set pair at J >= 0.95 with NO false
+    // negatives — the exact complement of the LSH families (q70/q72
+    // trade recall for scale; this one proves recall = 1). THE gate:
+    // the oracle is the algorithm-free BRUTE-FORCE join, so the hash
+    // match certifies the no-false-negative lemma end to end on the
+    // corpus stratum. doc_id % 3 bounds the candidate join on this
+    // deliberately-degenerate dense-vocab fixture (31 tokens corpus-
+    // wide — prefix filtering cannot prune here by construction; on a
+    // Zipfian vocabulary the prefixes are the rare tail, which is the
+    // production shape, see the op scaladoc).
+    "q211_jaccard_join" -> ((s, dir) => {
+      TextDedup.jaccardJoin(
+          docs(s, dir).filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", tau = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact n-gram Jaccard refinement of the MinHash candidates.
     "q73_jaccard_refine" -> ((s, dir) => {
       val cands = candidates(s, dir)
@@ -849,6 +868,29 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Algorithm-free ground truth: the full brute-force token-set
+    // join. The engine's prefix-filtered plan hash-matching THIS is
+    // the no-false-negative certificate.
+    "q211_jaccard_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+        |    x -> len(x) > 0))) AS tok
+        |  FROM d WHERE doc_id IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(o AS DOUBLE) / CAST(x.n + y.n - o AS DOUBLE) AS jac
+        |  FROM i JOIN sz x ON x.doc_id = i.id_a
+        |         JOIN sz y ON y.doc_id = i.id_b)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.95 ORDER BY id_a, id_b""".stripMargin,
     // Exact all-pairs 3-gram Jaccard — feasible for DuckDB at oracle
     // scale. The LSH candidate path must find every pair the exhaustive
     // scan finds (the corpus's true pairs all sit far above the banding

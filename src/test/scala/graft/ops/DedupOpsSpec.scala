@@ -585,4 +585,62 @@ class DedupOpsSpec extends AnyFunSuite {
       direct.spans.exceptAll(rebuilt.spans).isEmpty,
       "rebuilt spans diverged from the direct slice build")
   }
+
+  test("jaccardJoin == brute force (no false negatives), boundary pair included, tau=1 is set equality") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps"),
+      (2L, "eps delta gamma beta alpha"),          // J(1,2) = 1 (set equality, order-blind)
+      (3L, "alpha beta gamma delta zeta"),         // J(1,3) = 4/6
+      (4L, "alpha beta gamma delta eps f g h i j"),// J(1,4) = 5/10 = 0.5 exactly
+      (5L, "q r s t u v w"),                       // disjoint
+      (6L, "alpha alpha beta beta gamma")          // multiset-blind: {alpha,beta,gamma}
+    ).toDF("doc_id", "text")
+    def brute(tau: Double): Set[(Long, Long)] = {
+      val sets = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys; if a < b
+        i = (sets(a) & sets(b)).size
+        u = (sets(a) | sets(b)).size
+        if i.toDouble / u >= tau
+      } yield (a, b)).toSet
+    }
+    for (tau <- Seq(0.5, 0.66, 0.9, 1.0)) {
+      val got = TextDedup.jaccardJoin(docs, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(tau), s"tau=$tau: got $got expected ${brute(tau)}")
+    }
+    // the exact-boundary pair (J(1,4) = 0.5) is INCLUDED at tau = 0.5
+    assert(TextDedup.jaccardJoin(docs, "doc_id", "text", 0.5)
+      .collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
+    // tau = 1 finds exactly the set-equal pairs, multiplicity-blind
+    val exact = TextDedup.jaccardJoin(docs, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextDedup.jaccardJoin(docs, "doc_id", "text", 0.0)
+    }
+  }
+
+  test("jaccardJoin is partitioning-invariant and null-id/null-text safe") {
+    import spark.implicits._
+    val base = (1L to 60L).map(i =>
+      (i, (0 to (i % 7).toInt).map(j => s"tok${(i + j) % 11}").mkString(" ")))
+    val docs = (base :+ (0L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], "tok1 tok2"))
+        .toDF("doc_id", "text"))
+    val a = TextDedup.jaccardJoin(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val b = TextDedup.jaccardJoin(docs.repartition(13), "doc_id", "text",
+        0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(a == b, "jaccardJoin depends on partitioning")
+    assert(a.nonEmpty, "fixture produced no pairs — law has no mass")
+    assert(!a.exists(t => t._1 == 0L || t._2 == 0L),
+      "a null-text doc paired with something")
+  }
 }
