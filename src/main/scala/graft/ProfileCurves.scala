@@ -1112,3 +1112,43 @@ object ProfileSelect {
     spark.stop()
   }
 }
+
+/** RangeJoinRewrite payoff: the SAME bare interval join executed as
+  * Spark's default BroadcastNestedLoopJoin vs under the optimizer
+  * rule (points x intervals comparisons vs bucketed equi-join). */
+object ProfileRule {
+  import ProfileCurves._
+  def main(args: Array[String]): Unit = {
+    val spark = session("profile_rule")
+    import spark.implicits._
+    val nPts = 500000L
+    val pts = spark.range(nPts)
+      .select(col("id").as("p_id"),
+        (col("id") * 7919L % 100000L).cast("double").as("pt"))
+      .persist()
+    pts.count()
+    val rule = graft.plans.RangeJoinRewrite(spark)
+    for (nIvs <- Seq(20000L, 40000L, 80000L)) {
+      val ivs = spark.range(nIvs)
+        .select(col("id").as("i_id"),
+          (col("id") * 104729L % 100000L).cast("double").as("lo"))
+        .withColumn("hi", col("lo") + 4.0)
+        .persist()
+      ivs.count()
+      def q = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .groupBy("i_id").agg(count(lit(1)).as("n"))
+      val tBnlj = timed(noop(q))
+      spark.experimental.extraOptimizations = Seq(rule)
+      spark.conf.set(rule.ConfKey, "8.0")
+      val plan = q.queryExecution.executedPlan.toString
+      require(!plan.contains("NestedLoop") && plan.contains("Generate"),
+        "rule did not fire in ProfileRule")
+      val tRule = timed(noop(q))
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(rule.ConfKey)
+      println(f"""{"metric":"rangejoin_rule","pts":$nPts,"ivs":$nIvs,"bnlj_wall_s":$tBnlj%.2f,"rule_wall_s":$tRule%.2f}""")
+      ivs.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}

@@ -137,18 +137,20 @@ object GFunctions {
 
   // ------------------------------------------------------- registration
 
-  /** Register the full surface for spark.sql, mirroring the reference's
-    * macro names plus their unprefixed back-compat aliases (003:157-166).
-    */
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-
+  /** The full SQL-function surface as (name, builder) pairs — ONE list
+    * feeding both [[registerAll]] (temp functions on a live session)
+    * and [[graft.GraftExtensions]] (`spark.sql.extensions` wiring, so
+    * a spark-submit user gets the surface with zero driver code). */
+  private[graft] lazy val sqlBuilders
+      : Seq[(String, Seq[Expression] => Expression)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Expression] => Expression)]
     def reg1(name: String, f: Expression => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es.head), "built-in")
+      out += (name -> ((es: Seq[Expression]) => f(es.head)))
     def reg2(name: String, f: (Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1)), "built-in")
+      out += (name -> ((es: Seq[Expression]) => f(es(0), es(1))))
     def reg3(name: String, f: (Expression, Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1), es(2)), "built-in")
+      out += (name -> ((es: Seq[Expression]) => f(es(0), es(1), es(2))))
 
     reg3("g_h3_center", H3Center(_, _, _))
     reg1("h3_cell_to_latlng", H3CellToLatLng(_))
@@ -219,9 +221,20 @@ object GFunctions {
     // SQL functions, so the LLM-pipeline passes are spark.sql-reachable)
     def reg4(name: String,
         f: (Expression, Expression, Expression, Expression) => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1), es(2), es(3)), "built-in")
+      out += (name -> ((es: Seq[Expression]) => f(es(0), es(1), es(2), es(3))))
     reg3("minhash_signature", graft.ops.TextDedup.MinHashSig(_, _, _))
     reg4("minhash_shingle_signature", graft.ops.TextDedup.MinHashShingleSig(_, _, _, _))
     reg1("simhash64", graft.ops.TextDedup.SimHash64(_))
+    out.toSeq
+  }
+
+  /** Register the full surface for spark.sql, mirroring the reference's
+    * macro names plus their unprefixed back-compat aliases (003:157-166).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -134,10 +134,64 @@ object EventQueries {
         .groupBy("err_id")
         .agg(count(lit(1)).as("n_prior"))
         .orderBy("err_id")
+    }),
+
+    // The RangeJoinRewrite OPTIMIZER RULE (plans/RangeJoinRewrite,
+    // wired in production via spark.sql.extensions=graft.
+    // GraftExtensions; here via the runtime extraOptimizations hook):
+    // a bare interval join — which Spark plans as
+    // BroadcastNestedLoopJoin, O(n·m) comparisons — replans into the
+    // bucketized equi-join TRANSPARENTLY, no operator call. The
+    // require asserts the rule actually fired (nested-loop gone,
+    // bucket explode present); the oracle is the plain declarative
+    // range join, so the hash match proves the rewrite returns
+    // byte-identical rows. q108 is the explicit-operator spelling of
+    // the same shape.
+    "q212_rangejoin_rule" -> ((s, dir) => {
+      val rule = graft.plans.RangeJoinRewrite(s)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ rule
+      s.conf.set(rule.ConfKey, "2.0")
+      try {
+        val e = ev(s, dir)
+        val pts = e.select(col("event_id").as("p_id"),
+          col("value").as("pt"))
+        val ivs = e.filter(col("event_id") % 101 === 0)
+          .select(col("event_id").as("i_id"),
+            (col("value") - 1.0).as("lo"), (col("value") + 1.0).as("hi"))
+        val joined = pts.join(ivs,
+          col("pt") >= col("lo") && col("pt") <= col("hi"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("NestedLoop") && !plan.contains("Cartesian")
+            && plan.contains("Generate"),
+          "RangeJoinRewrite did not fire on the battery session — the " +
+            "interval join would run as a nested-loop product")
+        // materialize WHILE the rule is installed: the returned frame
+        // is re-optimized at the driver's write action, which runs
+        // after the finally restores the session (interval-count rows,
+        // bounded by the % 101 stratum)
+        val rows = joined.groupBy("i_id").agg(count(lit(1)).as("n_in_range"))
+          .orderBy("i_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val sess = s
+        import sess.implicits._
+        rows.toSeq.toDF("i_id", "n_in_range").orderBy("i_id")
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.unset(rule.ConfKey)
+      }
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // The declarative range join, no rewrite: the engine's optimizer
+    // rule must return byte-identical rows to this.
+    "q212_rangejoin_rule" ->
+      """WITH p AS (SELECT event_id AS p_id, value AS pt FROM events),
+        |i AS (SELECT event_id AS i_id, value - 1.0 AS lo, value + 1.0 AS hi
+        |      FROM events WHERE event_id % 101 = 0)
+        |SELECT i_id, CAST(COUNT(*) AS BIGINT) AS n_in_range
+        |FROM p JOIN i ON pt >= lo AND pt <= hi
+        |GROUP BY 1 ORDER BY i_id""".stripMargin,
     "q40_time_buckets" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  COUNT(*) AS n,
