@@ -1152,3 +1152,68 @@ object ProfileRule {
     spark.stop()
   }
 }
+
+/** jaccardJoin's prefix-pruning claim, measured on a ZIPFIAN
+  * vocabulary (the battery fixture's 31-token dense vocab is the
+  * documented degenerate case where NO exact method can prune):
+  * md5-derived log-uniform token ranks (pmf ~ 1/rank over 20k types),
+  * planted near-dup copies, candidate mass + wall vs the brute-force
+  * token join at growing corpus size. */
+object ProfileJaccard {
+  import ProfileCurves._
+  def main(args: Array[String]): Unit = {
+    val spark = session("profile_jaccard")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val V = 20000.0
+    def corpus(n: Long): DataFrame = {
+      val toks = (0 until 30).map { j =>
+        val bits = conv(substring(
+            md5(concat(col("id").cast("string"), lit(s"#$j"))), 1, 13),
+          16, 10).cast("long").cast("double")
+        val u = (bits + lit(0.5)) / lit(4503599627370496.0)
+        concat(lit("t"), floor(exp(u * math.log(V))).cast("long"))
+      }
+      val base = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", toks: _*).as("text"))
+      // planted near-dups: every 17th doc cloned with one token changed
+      base.unionByName(base.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+    }
+    for (n <- Seq(4000L, 16000L)) {
+      val d = corpus(n).persist()
+      val nd = d.count()
+      meter.drain()
+      val t = timed(noop(
+        graft.ops.TextDedup.jaccardJoin(d, "doc_id", "text", tau = 0.8)))
+      val b = meter.drain()
+      val pairs = graft.ops.TextDedup
+        .jaccardJoin(d, "doc_id", "text", tau = 0.8).count()
+      meter.drain()
+      // brute force only while affordable: the full token equi-join's
+      // fan-out is sum(df^2), dominated by the zipf head
+      val (tBrute, bruteRows) =
+        if (n <= 4000L) {
+          import org.apache.spark.sql.functions.{explode, array_distinct}
+          val tk = d.select(col("doc_id"), explode(array_distinct(
+            graft.ops.TextDedup.tokensOf(col("text")))).as("tok"))
+          val rows = tk.select(col("doc_id").as("a"), col("tok"))
+            .join(tk.select(col("doc_id").as("b"), col("tok")), "tok")
+            .filter(col("a") < col("b")).count()
+          val tB = timed {
+            val i = tk.select(col("doc_id").as("id_a"), col("tok"))
+              .join(tk.select(col("doc_id").as("id_b"), col("tok")),
+                Seq("tok"))
+              .filter(col("id_a") < col("id_b"))
+              .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+            noop(i.filter(col("i") >= 20))
+          }
+          (tB, rows)
+        } else (-1.0, -1L)
+      println(f"""{"metric":"jaccard_join","docs":$nd,"pairs_ge_tau":$pairs,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.2f,"brute_join_rows":$bruteRows,"brute_wall_s":$tBrute%.2f}""")
+      d.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}
