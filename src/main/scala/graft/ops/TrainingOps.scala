@@ -607,7 +607,9 @@ object TrainingOps {
     * [[graft.functions.TopKAgg]] heap aggregate — k rows per (group,
     * partition) through the one shuffle, map-side combined — NOT a
     * row_number window (full sort + full shuffle of every candidate;
-    * the q185 measurement is 3.1x on exactly this swap). Returns
+    * the q185 measurement is 3.1x on exactly this swap). The id must
+    * be LONG (the TopKAgg analysis-time contract — other id types
+    * fail loudly at planning; cast or dense-rank ids first). Returns
     * (groupCols..., smp_rank 1-based by key asc, idCol, samp_key). */
   def weightedSamplePerGroup(df: DataFrame, idCol: String,
       weightCol: String, groupCols: Seq[String], nPerGroup: Int,
