@@ -1069,6 +1069,46 @@ object PipelineQueries {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }),
 
+    // The SELECTION PIPELINE end to end, one declarative pass — the
+    // round-13 capstone composition: exact dedup (md5 keep-first) ->
+    // quality gate (length floor) -> DSIR importance weights vs the
+    // %37 benchmark target -> per-LANGUAGE Gumbel top-10 (the without-
+    // replacement draw in log space, stratified through the bounded
+    // TopKAgg heap). Every stage is an existing proven operator; this
+    // entry pins their COMPOSITION against a single DuckDB replay of
+    // the whole chain. At 100 TB: dedup shuffles digests, the gate is
+    // a map, the ratio table broadcasts at 4096 rows, the draw
+    // shuffles k rows per (lang, partition).
+    "q213_selection_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy("doc_id")
+      val deduped = d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val kept = deduped.filter(col("n_chars") >= 100)
+      val target = kept.filter(col("doc_id") % 37 === 0)
+      val raw = kept.filter(col("doc_id") % 37 =!= 0)
+      val weights = graft.ops.TrainingOps.dsirWeights(
+        raw, target, "doc_id", "text")
+      val bits = conv(substring(
+          md5(concat_ws("|", col("doc_id"), lit("sel"))), 1, 13), 16, 10)
+        .cast("long").cast("double")
+      val u = (bits + lit(0.5)) / lit(4503599627370496.0)
+      weights
+        .join(raw.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("__key", col("dsir_logw") - log(-log(u)))
+        .groupBy("lang")
+        .agg(graft.functions.TopKAgg.topKByScore(
+          col("__key"), col("doc_id"), 10).as("__top"))
+        .select(col("lang"),
+          posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("lang"), (col("__pos") + 1).cast("int").as("smp_rank"),
+          col("__e.id").as("doc_id"),
+          round(col("__e.score"), 6).as("samp_key"))
+        .orderBy("lang", "smp_rank")
+    }),
+
     // Rendezvous (HRW) shard assignment (ops/Layout.rendezvousShard —
     // Thaler & Ravishankar 1998): argmax over shards of
     // md5(shard#key), hex compared lexicographically (monotone — the
@@ -1929,6 +1969,57 @@ object PipelineQueries {
         |  round(CAST(SUM(r_micro) AS DOUBLE) / 1e6, 6) AS dsir_logw
         |FROM rg JOIN ratio USING (bucket) GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
+    // The whole selection chain replayed: dedup window, length gate,
+    // the q205 weight CTEs over the GATED corpus, Gumbel keys,
+    // per-lang rank.
+    "q213_selection_e2e" ->
+      """WITH dd AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), kept AS (
+        |  SELECT doc_id, lang, text FROM dd WHERE rn = 1 AND n_chars >= 100
+        |), tok AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+        |  FROM kept
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    list_filter(t, x -> len(x) > 0),
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |      ELSE [] END)) AS g
+        |  FROM tok
+        |), tg AS (
+        |  SELECT CAST(concat('0x', substring(md5(g), 1, 13)) AS BIGINT) % 4096 AS bucket
+        |  FROM grams WHERE doc_id % 37 = 0
+        |), rg AS (
+        |  SELECT doc_id, CAST(concat('0x', substring(md5(g), 1, 13)) AS BIGINT) % 4096 AS bucket
+        |  FROM grams WHERE doc_id % 37 <> 0
+        |), ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_t FROM tg GROUP BY 1),
+        |cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r FROM rg GROUP BY 1),
+        |tot AS (SELECT (SELECT COALESCE(SUM(c_t), 0) FROM ct) AS n_t,
+        |               (SELECT COALESCE(SUM(c_r), 0) FROM cr) AS n_r),
+        |ratio AS (
+        |  SELECT b.bucket,
+        |    CAST(floor((ln(COALESCE(c_t, 0) * 2 + 1) - ln(n_t * 2 + 4096)
+        |      - ln(COALESCE(c_r, 0) * 2 + 1) + ln(n_r * 2 + 4096)) * 1e6 + 0.5) AS BIGINT) AS r_micro
+        |  FROM (SELECT bucket FROM range(4096) t(bucket)) b
+        |  LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), tot
+        |), wts AS (
+        |  SELECT rg.doc_id,
+        |    round(CAST(SUM(r_micro) AS DOUBLE) / 1e6, 6) AS dsir_logw
+        |  FROM rg JOIN ratio USING (bucket) GROUP BY 1
+        |), k AS (
+        |  SELECT kept.lang, wts.doc_id,
+        |    wts.dsir_logw - ln(-ln((CAST(concat('0x', substring(md5(concat_ws('|', wts.doc_id, 'sel')), 1, 13)) AS BIGINT) + 0.5)
+        |      / 4503599627370496.0)) AS key
+        |  FROM wts JOIN kept ON kept.doc_id = wts.doc_id
+        |), r AS (
+        |  SELECT lang, doc_id, key,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS INTEGER) AS smp_rank
+        |  FROM k)
+        |SELECT lang, smp_rank, doc_id, round(key, 6) AS samp_key
+        |FROM r WHERE smp_rank <= 10 ORDER BY lang, smp_rank""".stripMargin,
     // Both shard maps replayed as md5 rank-1 windows; the DESC, sh
     // DESC tie-break mirrors the engine's struct-max (ties cannot
     // occur short of an md5 collision, but the spellings agree
