@@ -84,6 +84,21 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed numeric types (int point, double bounds) rewrite and stay exact") {
+    import spark.implicits._
+    val pts = (1 to 500).map(i => (i.toLong, i % 97)).toDF("p_id", "pt")
+    val ivs = Seq((1L, 10.5, 20.5), (2L, 90.0, 96.0), (3L, 96.5, 3.0))
+      .toDF("i_id", "lo", "hi") // third interval is empty (lo > hi)
+    def q = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .groupBy("i_id").agg(count(lit(1)).as("n"))
+    val baseline = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule(Some("7")) {
+      assert(planString(q).contains("Generate"), "mixed types not rewritten")
+      assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        == baseline)
+    }
+  }
+
   test("rule is inert without the conf, and leaves equi-keyed joins alone") {
     val (pts, ivs) = fixture
     def rangeOnly = pts.join(ivs,
