@@ -898,19 +898,37 @@ object VectorOps {
     * signature is invariant under POSITIVE scaling (signs don't see
     * magnitude) — the cosine-geometry analogue of minhash's
     * set-semantics. Returns (idCol, band, bucket). Map-only. */
+  /** The band buckets as a PURE COLUMN FUNCTION over a caller-known
+    * dims — the STREAMING form: [[srpBands]] reads dims with a
+    * one-row action, which a streaming frame cannot run, while this
+    * is a stateless per-row expression (no state, no watermark, no
+    * shuffle — ingest-time near-dup bucketing for free; q214 pins
+    * stream == batch). Returns array<long> of `bands` buckets. */
+  def srpBandBuckets(vec: Column, dims: Int, bands: Int = 4,
+      bandBits: Int = 16): Column = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
+      "srpBands needs bands >= 1 and 1 <= bandBits <= 62")
+    require(dims >= 1, "srpBandBuckets needs the vector dims")
+    val signs = rpSigns(bands * bandBits, dims)
+    array((0 until bands).map { b =>
+      (0 until bandBits).map { k =>
+        // STRICTLY positive -> 1: a zero projection (zero vector,
+        // or exact cancellation) reads 0 in both engines
+        when(dot(vec, typedLit(signs(b * bandBits + k).toSeq)) > 0,
+          lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   def srpBands(emb: DataFrame, idCol: String, vecCol: String,
       bands: Int = 4, bandBits: Int = 16): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
       "srpBands needs bands >= 1 and 1 <= bandBits <= 62")
-    rpProject(emb, idCol, vecCol, bands * bandBits)
-      .select(col(idCol), posexplode(array((0 until bands).map { b =>
-        (0 until bandBits).map { k =>
-          // STRICTLY positive -> 1: a zero projection (zero vector,
-          // or exact cancellation) reads 0 in both engines
-          when(element_at(col("rp_vec"), b * bandBits + k + 1) > 0,
-            lit(1L << k)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }: _*)).as(Seq("band", "bucket")))
+    val dims = dimsOf(emb, vecCol, "srpBands")
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        posexplode(srpBandBuckets(col(vecCol), dims, bands, bandBits))
+          .as(Seq("band", "bucket")))
   }
 
   /** SRP-LSH near-duplicate candidates over an embedding column,

@@ -187,6 +187,41 @@ object VectorQueries {
           .toDF("id_a", "id_b", "cos_sim")
           .orderBy("id_a", "id_b")
       } finally cands.unpersist(blocking = false)
+    }),
+
+    // STREAMING SRP bucketing (ops/VectorOps.srpBandBuckets): the
+    // q208 band assignment as a stateless per-row expression — an
+    // ingest stream buckets new embeddings for near-dup lookup with
+    // no state, no watermark, no shuffle (the sign matrix is a
+    // literal). Three id-ordered micro-batches on the vec_id % 3 = 1
+    // stratum (the q193 treatment — per-row statelessness makes
+    // stream == batch on any subset by construction; the stream leg
+    // exercises the plumbing); output require'd == the batch srpBands
+    // both directions; oracle replays the FULL corpus's bands.
+    "q214_streaming_srp" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val streamVecs = e.filter(col("vec_id") % 3 === 1)
+      val (tmp, src) = StreamFixtures.writeIdOrderedMicroBatches(
+        streamVecs, "vec_id", "q214")
+      try {
+        val stream = s.readStream.schema(streamVecs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), posexplode(
+            graft.ops.VectorOps.srpBandBuckets(col("embedding"), dims = 64))
+            .as(Seq("band", "bucket")))
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q214out").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = s.table("q214out")
+        val batch = graft.ops.VectorOps.srpBands(e, "vec_id", "embedding")
+        val batchStrat = batch.filter(col("vec_id") % 3 === 1)
+        require(streamed.exceptAll(batchStrat).isEmpty &&
+          batchStrat.exceptAll(streamed).isEmpty,
+          "streaming SRP bucketing diverged from the batch operator " +
+            "on the vec stratum")
+        batch.orderBy("vec_id", "band")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     })
   )
 
@@ -299,6 +334,23 @@ object VectorQueries {
          |  JOIN corpus ea ON ea.vec_id = pairs.id_a
          |  JOIN corpus eb ON eb.vec_id = pairs.id_b)
          |SELECT id_a, id_b, cos_sim FROM cand
-         |WHERE cos_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin
+         |WHERE cos_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    // The full corpus's band buckets replayed (same sign matrix, same
+    // in-order folds, same little-endian bit packing as q208's chain).
+    "q214_streaming_srp" ->
+      s"""WITH sgn AS (
+         |  SELECT i, list(CASE WHEN substring(md5('rp#' || i || '#' || j), 1, 1)
+         |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+         |    ORDER BY j) AS s
+         |  FROM range(64) t1(i), range(64) t2(j) GROUP BY i
+         |), proj AS (
+         |  SELECT vec_id, i,
+         |    list_sum(list_transform(range(1, 65), j ->
+         |      s[CAST(j AS INT)] * CAST(embedding[CAST(j AS INT)] AS DOUBLE))) AS p
+         |  FROM embeddings, sgn WHERE embedding IS NOT NULL)
+         |SELECT vec_id, CAST(i // 16 AS INTEGER) AS band,
+         |  CAST(SUM(CASE WHEN p > 0 THEN 1 << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM proj GROUP BY 1, 2
+         |ORDER BY vec_id, band""".stripMargin
   )
 }
