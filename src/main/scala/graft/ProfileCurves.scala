@@ -1069,6 +1069,19 @@ object ProfileSelect {
       println(f"""{"metric":"dsir","blowup":$m,"raw_docs":$n,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.2f}""")
       raw.unpersist(blocking = false)
     }
+    // the STREAMING probe's per-row cost (the scoring expression over
+    // the 16x corpus, one map — no shuffle at all)
+    {
+      val raw = blowupDocs(docs.filter(col("doc_id") % 37 =!= 0), 16)
+        .persist()
+      raw.count()
+      val probe = graft.ops.TrainingOps.dsirScoreProbe(raw, target, "text")
+      meter.drain()
+      val t = timed(noop(raw.select(col("doc_id"),
+        probe(col("text")).as("p"))))
+      println(f"""{"metric":"dsir_probe","raw_docs":${raw.count()},"wall_s":$t%.2f}""")
+      raw.unpersist(blocking = false)
+    }
     // SRP vs all-pairs: embeddings replicated by element rotation
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
