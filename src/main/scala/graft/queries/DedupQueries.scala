@@ -693,6 +693,34 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Canonical representative PER DUPLICATE CLUSTER — the
+    // keep-the-most-complete-duplicate policy (argmax n_chars, id
+    // tiebreak) composed from q150's cluster formation: real pipelines
+    // keep the BEST version of a near-dup cluster, not the
+    // smallest-id one. The argmax runs as a max-struct aggregate
+    // (map-side combinable), not a window. Oracle replays clusters
+    // via the shared recursive CTE plus a rank-1 window.
+    "q215_canonical_per_cluster" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = TextDedup.rareShingleCandidates(d, "doc_id", "text",
+        shingleN = 5, maxDf = 8, minShared = 3)
+      val cc = TextDedup.connectedComponents(edges)
+      Memos.track(s"dedup:cc215:$dir",
+        Set("q215_canonical_per_cluster"), cc) { () => cc.unpersist() }
+      val withComp = d.select(col("doc_id"), col("n_chars"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val best = withComp.groupBy("component")
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg")))
+          .as("b"))
+        .select(col("component"), (-col("b.neg")).as("canonical_id"))
+      withComp.join(best, "component")
+        .select(col("doc_id"), col("component"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental dedup — the O(delta) loop closed: snapshot-diff
     // classification (q158's old/new construction) feeds
     // TextDedup.incrementalShingleState, which maintains the stored
@@ -867,7 +895,56 @@ object DedupQueries {
     })
   )
 
+  /** The q150 duplicate-cluster formation as a reusable CTE prefix
+    * (rare shingles -> edges -> recursive reachability -> comp) —
+    * shared by the q150 and q215 oracles so the cluster replay cannot
+    * drift between them. */
+  private val dupClusterCte: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t,' ')]
+      |    ELSE list_distinct(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4],' ')))
+      |  END AS s
+      |  FROM tok
+      |), g AS (
+      |  SELECT doc_id, unnest(s) AS gram FROM sh
+      |), rare AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 8
+      |), rg AS (
+      |  SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)
+      |), e AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM e
+      |  UNION SELECT id_b, id_a FROM e
+      |), reach(id, lab) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
+      |), comp AS (
+      |  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // clusters + the keep-best policy: rank-1 window per component
+    "q215_canonical_per_cluster" ->
+      s"""$dupClusterCte,
+         |wc AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    COALESCE(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |), best AS (
+         |  SELECT component, doc_id AS canonical_id FROM (
+         |    SELECT component, doc_id, row_number() OVER (
+         |      PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM wc) WHERE rn = 1)
+         |SELECT wc.doc_id, wc.component, best.canonical_id,
+         |  (wc.doc_id = best.canonical_id) AS keep
+         |FROM wc JOIN best USING (component) ORDER BY wc.doc_id""".stripMargin,
     // Algorithm-free ground truth: the full brute-force token-set
     // join. The engine's prefix-filtered plan hash-matching THIS is
     // the no-false-negative certificate.
@@ -920,39 +997,12 @@ object DedupQueries {
     // same component; MIN over an undirected closure = min member id,
     // exactly the engine's min-label-propagation fixpoint).
     "q150_dup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t,' ')]
-        |    ELSE list_distinct(list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4],' ')))
-        |  END AS s
-        |  FROM tok
-        |), g AS (
-        |  SELECT doc_id, unnest(s) AS gram FROM sh
-        |), rare AS (
-        |  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 8
-        |), rg AS (
-        |  SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)
-        |), e AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |), sym AS (
-        |  SELECT id_a AS src, id_b AS dst FROM e
-        |  UNION SELECT id_b, id_a FROM e
-        |), reach(id, lab) AS (
-        |  SELECT src, src FROM sym
-        |  UNION
-        |  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.id
-        |), comp AS (
-        |  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
-        |)
-        |SELECT d.doc_id,
-        |  COALESCE(c.component, d.doc_id) AS component,
-        |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
-        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""$dupClusterCte
+         |SELECT d.doc_id,
+         |  COALESCE(c.component, d.doc_id) AS component,
+         |  (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Same augmentation, same 1-in-8 md5 boundary rule, same per-doc
     // ordered window cumsum, same segment aggregation.
     "q168_repeated_passages" ->

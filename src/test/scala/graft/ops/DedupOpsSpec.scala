@@ -623,6 +623,37 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardJoin == brute force over randomized corpora (5 seeds, varied vocab/length/tau)") {
+    import spark.implicits._
+    // the recall-1 claim on ADVERSARIALLY varied shapes: tiny dense
+    // vocabularies (nothing prunes), large sparse ones (everything
+    // prunes), short docs (prefix length 1-2), taus from loose to
+    // near-exact — engine output must equal in-memory brute force
+    // EXACTLY in every draw
+    for ((seed, vocab, docLen, tau) <- Seq(
+        (1, 8, 12, 0.5), (2, 30, 20, 0.7), (3, 120, 25, 0.8),
+        (4, 5, 6, 0.9), (5, 50, 15, 0.95))) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 120L).map(i =>
+        (i, (0 until (3 + rnd.nextInt(docLen)))
+          .map(_ => s"w${rnd.nextInt(vocab)}").mkString(" ")))
+        .toDF("doc_id", "text")
+      val sets = docs.collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys; if a < b
+        i = (sets(a) & sets(b)).size
+        u = (sets(a) | sets(b)).size
+        if i.toDouble / u >= tau
+      } yield (a, b)).toSet
+      val got = TextDedup.jaccardJoin(docs, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"seed=$seed vocab=$vocab tau=$tau: missing=${brute -- got} " +
+          s"extra=${got -- brute}")
+    }
+  }
+
   test("jaccardJoin is partitioning-invariant and null-id/null-text safe") {
     import spark.implicits._
     val base = (1L to 60L).map(i =>
