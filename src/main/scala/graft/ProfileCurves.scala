@@ -1162,6 +1162,45 @@ object ProfileRule {
       println(f"""{"metric":"rangejoin_rule","pts":$nPts,"ivs":$nIvs,"bnlj_wall_s":$tBnlj%.2f,"rule_wall_s":$tRule%.2f}""")
       ivs.unpersist(blocking = false)
     }
+    pts.unpersist(blocking = false)
+    // COMPOSITE (keyed) form: Spark hash-joins `pk = ik AND pt
+    // BETWEEN lo AND hi` unaided, but the interval is a POST-JOIN
+    // filter — a hot key pairs quadratically before filtering. The
+    // rule appends the bucket to the equi keys, so the hot key's
+    // pairing is bounded by time-locality. Fixture: 1/3 of both
+    // sides on one hot key, the rest uniform over 50 keys.
+    def keyOf(c: org.apache.spark.sql.Column) =
+      when(c % 3 === 0, lit("hot"))
+        .otherwise(concat(lit("k"), (c % 50).cast("string")))
+    for ((nKp, nKi) <- Seq((150000L, 15000L), (600000L, 60000L))) {
+      val kpts = spark.range(nKp)
+        .select(col("id").as("p_id"), keyOf(col("id")).as("pk"),
+          (col("id") * 7919L % 100000L).cast("double").as("pt"))
+        .persist()
+      kpts.count()
+      val kivs = spark.range(nKi)
+        .select(col("id").as("i_id"), keyOf(col("id") + 1L).as("ik"),
+          (col("id") * 104729L % 100000L).cast("double").as("lo"))
+        .withColumn("hi", col("lo") + 4.0)
+        .persist()
+      kivs.count()
+      def kq = kpts.join(kivs,
+          col("pk") === col("ik") &&
+            col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .groupBy("i_id").agg(count(lit(1)).as("n"))
+      val tKeyed = timed(noop(kq))
+      spark.experimental.extraOptimizations = Seq(rule)
+      spark.conf.set(rule.ConfKey, "8.0")
+      val kplan = kq.queryExecution.executedPlan.toString
+      require(kplan.contains("Generate") && kplan.contains("__g_rj_b_"),
+        "composite rewrite did not fire in ProfileRule")
+      val tKeyedRule = timed(noop(kq))
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(rule.ConfKey)
+      println(f"""{"metric":"rangejoin_rule_keyed","pts":$nKp,"ivs":$nKi,"postfilter_wall_s":$tKeyed%.2f,"rule_wall_s":$tKeyedRule%.2f}""")
+      kpts.unpersist(blocking = false)
+      kivs.unpersist(blocking = false)
+    }
     spark.stop()
   }
 }

@@ -54,12 +54,26 @@ object Materialize {
   // at the next staging anywhere in the JVM (its cached blocks died
   // with the context, so dropping the bookkeeping is all that's
   // needed). Cloned sessions (newSession) on a LIVE context are not
-  // sweepable this way; releaseStaged remains the hook for those.
+  // sweepable this way — a caller who drops such a session without
+  // releaseStaged() would leak its entry AND its persisted blocks
+  // forever — so the map is additionally BOUNDED: insertion-ordered,
+  // and past MaxTrackedSessions the eldest session's frames are
+  // unpersisted and its entry evicted. Unpersisting is
+  // correctness-neutral in persist mode (lineage is kept; consumers
+  // recompute), so the bound converts an unbounded leak into a
+  // bounded cache with LRU-by-session eviction.
+  private[graft] val MaxTrackedSessions = 64
   private val staged =
-    new java.util.HashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+    new java.util.LinkedHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
-  private def sweepStopped(): Unit =
-    staged.keySet().removeIf(s => s.sparkContext.isStopped)
+  private def sweepStopped(): Unit = {
+    staged.keySet().removeIf((s: SparkSession) => s.sparkContext.isStopped)
+    while (staged.size() > MaxTrackedSessions) {
+      val eldest = staged.entrySet().iterator().next()
+      eldest.getValue.forEach(f => f.unpersist(false))
+      staged.remove(eldest.getKey)
+    }
+  }
 
   /** Frames tracked for `spark` after a sweep — test/diagnostic hook. */
   private[graft] def stagedFrames(spark: SparkSession): Int =
@@ -86,6 +100,15 @@ object Materialize {
     df
   }
 
+  /** Materialize `df` per the session's `spark.graft.stage.mode` (see
+    * object scaladoc). Persist-mode frames are tracked per session for
+    * [[releaseStaged]]; a session discarded WITHOUT that call keeps
+    * its entry (and cache blocks, on a live context) until either its
+    * SparkContext stops or the tracked-session bound
+    * ([[MaxTrackedSessions]]) evicts it eldest-first — so a service
+    * churning short-lived `newSession()` clones should still call
+    * [[releaseStaged]] to free blocks promptly rather than waiting
+    * for eviction. */
   private[graft] def stage(df: DataFrame,
       requireTruncation: Boolean = false): DataFrame = {
     val mode = df.sparkSession.conf.getOption(ConfKey)

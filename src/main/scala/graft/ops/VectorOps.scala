@@ -907,7 +907,7 @@ object VectorOps {
   def srpBandBuckets(vec: Column, dims: Int, bands: Int = 4,
       bandBits: Int = 16): Column = {
     require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
-      "srpBands needs bands >= 1 and 1 <= bandBits <= 62")
+      "srpBandBuckets needs bands >= 1 and 1 <= bandBits <= 62")
     require(dims >= 1, "srpBandBuckets needs the vector dims")
     val signs = rpSigns(bands * bandBits, dims)
     array((0 until bands).map { b =>
@@ -931,6 +931,17 @@ object VectorOps {
           .as(Seq("band", "bucket")))
   }
 
+  /** Per-(band, bucket) group sizes of the SRP banding — the drop
+    * accounting companion to [[srpCandidates]]' `maxBucket` cap: run
+    * it with the same parameters and `filter(bsz > cap)` to see
+    * exactly which groups the cap removes and how many rows each
+    * held (zero-vector pileups surface as bucket 0 in every band).
+    * Same map-side-combinable aggregation the cap itself uses. */
+  def srpBucketStats(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 4, bandBits: Int = 16): DataFrame =
+    srpBands(emb, idCol, vecCol, bands, bandBits)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+
   /** SRP-LSH near-duplicate candidates over an embedding column,
     * verified: banded-bucket self-join (the minHashCandidates shape —
     * narrow (id, band, bucket) fan-out, never all-pairs), then the
@@ -942,13 +953,47 @@ object VectorOps {
     * This is the third embedding near-dup family: IVF/SemDeDup prune
     * by cluster geometry, SQ/PQ compress then score — SRP hashes
     * DIRECTLY on cosine geometry, needs no training pass at all, and
-    * its bucket table is streaming-safe (pure map). */
+    * its bucket table is streaming-safe (pure map).
+    *
+    * `maxBucket` drops (band, bucket) groups larger than the cap
+    * before the self-join — [[graft.ops.TextDedup.minHashCandidates]]'
+    * skew guard, and SRP needs it for a reason minhash doesn't: sign
+    * hashing has two DEGENERATE pileups that real crawl corpora
+    * produce in bulk. A ZERO vector (failed embedding, padded row)
+    * projects to 0 on every hyperplane — strictly-positive bit rule →
+    * bucket 0 in EVERY band — so all zero vectors land in one group;
+    * and exact-duplicate embeddings (the dup-heavy crawl case this
+    * operator exists for) share every band bucket by construction
+    * (P[collide] = 1). Either mass sends the banded self-join
+    * quadratic in the pileup size. Capped groups drop LOUDLY in the
+    * accounting sense: [[srpBucketStats]] returns the per-group sizes
+    * so a pipeline can count and log exactly which (band, bucket)
+    * groups the cap removed. Recall: a zero vector's cosine is NULL,
+    * so its pairs could never pass the refine — capping its pileup
+    * removes only join work; near-dups OUTSIDE a pileup still meet in
+    * their own small buckets; pairs INTERNAL to an exact-duplicate
+    * mass are intentionally skipped (they share every band, so no
+    * other band rescues them) — byte-identical duplicates belong to
+    * the exact hash-groupBy dedup pass that precedes any LSH stage in
+    * the standard pipeline order. The
+    * size aggregation is map-side combinable and shuffles on the same
+    * (band, bucket) key the join needs anyway. */
   def srpCandidates(emb: DataFrame, idCol: String, vecCol: String,
-      tau: Double, bands: Int = 4, bandBits: Int = 16): DataFrame = {
+      tau: Double, bands: Int = 4, bandBits: Int = 16,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket >= 1, "srpCandidates needs maxBucket >= 1")
     // one banding pass feeds both self-join sides (broadcast and
     // shuffle exchanges never unify — the Materialize seam)
-    val banded = Materialize.stage(
+    val banded0 = Materialize.stage(
       srpBands(emb, idCol, vecCol, bands, bandBits))
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val sizes = banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= maxBucket)
+        banded0.join(sizes, Seq("band", "bucket")).drop("bsz")
+      }
     val pairs = banded.select(col("band"), col("bucket"),
         col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("bucket"),

@@ -35,10 +35,34 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
   * OPT-IN: active only when `spark.graft.rangeJoin.bucketWidth` is a
   * positive number — width is a data-dependent choice (pick it near
   * the typical interval width: per-row fan-out is interval/width + 2,
-  * the [[graft.ops.RangeJoin]] guidance). Joins that already carry an
-  * equi predicate are left alone (Spark hash-joins those fine, and
-  * this also makes the rule idempotent at the optimizer's fixed
-  * point: the rewritten join contains the bucket equality).
+  * the [[graft.ops.RangeJoin]] guidance). A width far below the data's
+  * interval span makes the per-row bucket fan-out explode — in the
+  * extreme past Spark's max array length, where Sequence dies with an
+  * opaque allocation error deep inside a query the user never asked
+  * to rewrite. `spark.graft.rangeJoin.maxFanout` (default 1,000,000
+  * buckets per row) guards that cliff: a row whose interval covers
+  * more buckets fails FAST with an actionable message naming both
+  * conf keys, instead of an executor OOM/negative-array throw.
+  *
+  * COMPOSITE joins rewrite too: `key_a = key_b AND ts BETWEEN lo AND
+  * hi` — the as-of/sessionization shape, the commonest real interval
+  * join — keeps its equi predicates verbatim and gains the bucket
+  * equality as one MORE hash key. Spark does hash-join a keyed
+  * interval join without help, but evaluates the interval as a
+  * POST-JOIN filter: every same-key pair materializes first, so one
+  * hot key (one chatty device, one boilerplate user) degrades the
+  * join to quadratic-in-the-key. With the bucket appended, pairing
+  * happens per (key, bucket) — time-locality bounds the blowup
+  * exactly like the unkeyed case. Idempotency is STRUCTURAL: the
+  * rule skips any join whose CONDITION already references a
+  * `__g_rj_b_` bucket attribute — its own rewritten output at the
+  * optimizer's fixed point. The prefix is reserved in that narrow
+  * sense only: a user column named `__g_rj_b_*` appearing cross-side
+  * in a join condition conservatively disables that join's rewrite
+  * (single-side predicates are pushed below the join before this
+  * rule sees it and don't trigger the skip); actual name capture
+  * cannot occur either way, since Catalyst binds attributes by
+  * exprId, not name.
   *
   * Wire it via `spark.sql.extensions=graft.GraftExtensions`, or on a
   * live session via
@@ -48,6 +72,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
   val ConfKey = "spark.graft.rangeJoin.bucketWidth"
+  val FanoutKey = "spark.graft.rangeJoin.maxFanout"
 
   private def width: Option[Double] =
     spark.conf.getOption(ConfKey).map { s =>
@@ -56,6 +81,13 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         s"$ConfKey must be a positive finite number, got '$s'")
       w
     }
+
+  private def maxFanout: Long =
+    spark.conf.getOption(FanoutKey).map { s =>
+      val c = java.lang.Long.parseLong(s)
+      require(c >= 1, s"$FanoutKey must be >= 1, got '$s'")
+      c
+    }.getOrElse(1000000L)
 
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
@@ -79,20 +111,11 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       else if (r.subsetOf(right.outputSet)) Some(false)
       else None
     }
-    val hasEqui = conjuncts.exists {
-      case EqualTo(a, b) =>
-        (sided(a), sided(b)) match {
-          case (Some(x), Some(y)) => x != y
-          case _ => false
-        }
-      case EqualNullSafe(a, b) =>
-        (sided(a), sided(b)) match {
-          case (Some(x), Some(y)) => x != y
-          case _ => false
-        }
-      case _ => false
-    }
-    if (hasEqui) return None
+    // structural idempotency: a join this rule already rewrote (this
+    // pass or a previous fixed-point iteration) carries the reserved
+    // __g_rj_b_ bucket attributes in its condition — never re-bucket
+    if (cond.references.exists(_.name.startsWith("__g_rj_b_")))
+      return None
 
     def numeric(e: Expression) = e.dataType.isInstanceOf[NumericType]
     // normalize each comparison to (pt, bound, isLower)
@@ -141,10 +164,24 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       val ptSide = Project(ptPlan.output :+ ptBucket, ptPlan)
       val bLo = bucketOf(lo)
       val bHi = bucketOf(hi)
+      // fan-out cliff guard: a row covering more than maxFanout
+      // buckets raises an ACTIONABLE error (naming both conf keys)
+      // instead of Sequence's opaque max-array-length / allocation
+      // failure. RaiseError is non-foldable, so constant folding
+      // cannot fire it at plan time; the Cast aligns the If branch
+      // types (NullType casts to any array type).
+      val cap = maxFanout
+      val overCap = Cast(new RaiseError(Literal(
+        s"graft RangeJoinRewrite: a row's interval spans more than " +
+          s"$cap buckets at $ConfKey=$w — raise bucketWidth toward " +
+          s"the typical interval width, or raise $FanoutKey")),
+        ArrayType(LongType, false), tz)
       // guarded sequence: an empty interval yields an empty array
       // (Sequence would ERROR on start > stop with a +1 step)
       val seq = If(LessThanOrEqual(bLo, bHi),
-        Sequence(bLo, bHi, Some(Literal(1L)), tz),
+        If(GreaterThanOrEqual(Subtract(bHi, bLo), Literal(cap)),
+          overCap,
+          Sequence(bLo, bHi, Some(Literal(1L)), tz)),
         Literal.create(Seq.empty[Long], ArrayType(LongType, false)))
       val bucketAttr =
         AttributeReference("__g_rj_b_rng", LongType, nullable = false)()

@@ -150,9 +150,16 @@ object EventQueries {
     "q212_rangejoin_rule" -> ((s, dir) => {
       val rule = graft.plans.RangeJoinRewrite(s)
       val prev = s.experimental.extraOptimizations
-      s.experimental.extraOptimizations = prev :+ rule
-      s.conf.set(rule.ConfKey, "2.0")
+      // the session mutation lives INSIDE the try so the finally
+      // always mirrors exactly what was set (a throw between set and
+      // try would otherwise skip restoration). While installed, the
+      // rewrite applies to ANY query planned on this session — the
+      // battery runs queries single-threaded, so nothing else plans
+      // concurrently; the production spelling is the session-scoped
+      // spark.sql.extensions wiring, not this runtime hook.
       try {
+        s.experimental.extraOptimizations = prev :+ rule
+        s.conf.set(rule.ConfKey, "2.0")
         val e = ev(s, dir)
         val pts = e.select(col("event_id").as("p_id"),
           col("value").as("pt"))
@@ -179,12 +186,66 @@ object EventQueries {
         s.experimental.extraOptimizations = prev
         s.conf.unset(rule.ConfKey)
       }
+    }),
+
+    // COMPOSITE form of the rule (r13 ADVICE follow-on): `user_id
+    // equality AND value BETWEEN lo AND hi` — the as-of shape. Spark
+    // hash-joins the keyed join unaided but evaluates the interval as
+    // a post-join FILTER (every same-key pair materializes first; one
+    // hot key goes quadratic) — the rule APPENDS the bucket to the
+    // equi keys so pairing happens per (key, bucket). The require
+    // asserts the composite rewrite fired (bucket explode + bucket
+    // key present, the join still a hash join); the oracle is the
+    // declarative keyed interval join, so the hash match proves
+    // row-identity.
+    "q216_rangejoin_rule_keyed" -> ((s, dir) => {
+      val rule = graft.plans.RangeJoinRewrite(s)
+      val prev = s.experimental.extraOptimizations
+      try {
+        s.experimental.extraOptimizations = prev :+ rule
+        s.conf.set(rule.ConfKey, "2.0")
+        val e = ev(s, dir)
+        val pts = e.select(col("event_id").as("p_id"),
+          col("user_id").as("pk"), col("value").as("pt"))
+        val ivs = e.filter(col("event_id") % 101 === 0)
+          .select(col("event_id").as("i_id"), col("user_id").as("ik"),
+            (col("value") - 1.0).as("lo"), (col("value") + 1.0).as("hi"))
+        val joined = pts.join(ivs,
+          col("pk") === col("ik") &&
+            col("pt") >= col("lo") && col("pt") <= col("hi"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("Generate") && plan.contains("__g_rj_b_")
+            && !plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          "RangeJoinRewrite did not rewrite the composite keyed " +
+            "interval join — the interval would run as a post-join " +
+            "filter over every same-key pair")
+        // materialize WHILE the rule is installed (q212's discipline)
+        val rows = joined.groupBy("i_id").agg(count(lit(1)).as("n_in_range"))
+          .orderBy("i_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val sess = s
+        import sess.implicits._
+        rows.toSeq.toDF("i_id", "n_in_range").orderBy("i_id")
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.unset(rule.ConfKey)
+      }
     })
   )
 
   val oracle: Map[String, String] = Map(
     // The declarative range join, no rewrite: the engine's optimizer
     // rule must return byte-identical rows to this.
+    // The declarative KEYED interval join: the composite rewrite must
+    // return byte-identical rows to the equi-key + post-filter plan.
+    "q216_rangejoin_rule_keyed" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS pk, value AS pt
+        |           FROM events),
+        |i AS (SELECT event_id AS i_id, user_id AS ik,
+        |             value - 1.0 AS lo, value + 1.0 AS hi
+        |      FROM events WHERE event_id % 101 = 0)
+        |SELECT i_id, CAST(COUNT(*) AS BIGINT) AS n_in_range
+        |FROM p JOIN i ON pk = ik AND pt >= lo AND pt <= hi
+        |GROUP BY 1 ORDER BY i_id""".stripMargin,
     "q212_rangejoin_rule" ->
       """WITH p AS (SELECT event_id AS p_id, value AS pt FROM events),
         |i AS (SELECT event_id AS i_id, value - 1.0 AS lo, value + 1.0 AS hi

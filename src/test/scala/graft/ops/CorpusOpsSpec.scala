@@ -862,6 +862,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(t => t._1 < t._2))
   }
 
+  test("srpCandidates maxBucket: degenerate pileups (zero vectors, " +
+      "exact-duplicate mass) go quadratic uncapped; the cap drops them " +
+      "with visible accounting and keeps discriminative pairs") {
+    import spark.implicits._
+    // the two pileups a dup-heavy crawl feeds SRP: 500 zero vectors
+    // (every projection 0 -> bucket 0 in EVERY band) and 500 exact
+    // copies of one embedding (P[band collide] = 1), plus one planted
+    // near-pair OUTSIDE the pileups that the cap must preserve
+    val base = quarterVecs(40, 8, seed = 77)
+    val dupVec = base.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Float](0).toList
+    val dups = spark.range(500)
+      .select((col("id") + 20000L).as("vec_id"),
+        typedLit(dupVec).as("embedding"))
+    val zeros = spark.range(500)
+      .select((col("id") + 10000L).as("vec_id"),
+        typedLit(List.fill(8)(0.0f)).as("embedding"))
+    val near = base.filter(col("vec_id") === 5L)
+      .select(lit(999L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(zeros).unionByName(dups)
+      .unionByName(near)
+
+    // degenerate geometry pinned: the zero pileup is bucket 0 in
+    // every band (strictly-positive bit rule), the dup mass shares
+    // one >= 500 group per band
+    val stats = VectorOps.srpBucketStats(corpus, "vec_id", "embedding",
+        bands = 4, bandBits = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    for (b <- 0 until 4) {
+      assert(stats.exists(t => t._1 == b && t._2 == 0L && t._3 >= 500L),
+        s"band $b: zero-vector bucket-0 pileup missing")
+      assert(stats.count(t => t._1 == b && t._3 >= 500L) >= 2,
+        s"band $b: expected both pileup groups at >= 500")
+    }
+
+    // blowup without the cap: the copy mass alone emits ALL
+    // 500*499/2 quadratic pairs (each at cosine 1.0; the zero
+    // pileup's equally-quadratic join work dies only at the refine,
+    // where its cosine is NULL)
+    val uncapped = VectorOps.srpCandidates(corpus, "vec_id",
+      "embedding", tau = 0.999)
+    assert(uncapped.filter(col("id_a") >= 20000L &&
+      col("id_b") >= 20000L).count() === 500L * 499L / 2L)
+
+    // capped at 100: every pileup group drops before the join; the
+    // accounting query names exactly the dropped groups
+    val dropped = stats.filter(_._3 > 100L)
+    assert(dropped.length == 8,
+      s"expected 4 bands x 2 pileup groups over the cap, got " +
+        s"${dropped.toSeq}")
+    val capped = VectorOps.srpCandidates(corpus, "vec_id", "embedding",
+        tau = 0.999, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists(t => t._1 >= 10000L || t._2 >= 10000L),
+      "capped run still emitted pileup pairs")
+    // the discriminative planted pair survives: its buckets hold only
+    // the pair itself (its bands are nowhere near the pileups)
+    assert(capped.contains((5L, 999L)),
+      s"cap dropped the non-pileup near pair: ${capped.toSeq}")
+    intercept[IllegalArgumentException] {
+      VectorOps.srpCandidates(corpus, "vec_id", "embedding",
+        tau = 0.9, maxBucket = 0)
+    }
+  }
+
   test("pq loud contracts: empty frames and corpus < ksub refuse with context (r12 ADVICE)") {
     val e = quarterVecs(6, 8, seed = 61)
     val empty = e.filter(col("vec_id") < 0)

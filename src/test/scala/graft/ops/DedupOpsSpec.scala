@@ -524,6 +524,30 @@ class DedupOpsSpec extends AnyFunSuite {
     finally spark.conf.unset(graft.ops.Materialize.ConfKey)
   }
 
+  test("Materialize tracked-session bound: discarded cloned sessions " +
+      "evict eldest-first instead of leaking forever (r13 ADVICE)") {
+    import graft.ops.Materialize
+    def stageIn(s: org.apache.spark.sql.SparkSession): Unit = {
+      s.conf.set(Materialize.ConfKey, "persist")
+      try Materialize.stage(s.range(3).toDF())
+      finally s.conf.unset(Materialize.ConfKey)
+    }
+    // a clone staged then DISCARDED without releaseStaged: on a live
+    // context the stopped-sweep can't reclaim it — the session bound
+    // must, once enough newer sessions churn past it
+    val abandoned = spark.newSession()
+    stageIn(abandoned)
+    assert(Materialize.stagedFrames(abandoned) == 1)
+    val recent = (1 to Materialize.MaxTrackedSessions)
+      .map { _ => val s = spark.newSession(); stageIn(s); s }
+    assert(Materialize.stagedFrames(abandoned) == 0,
+      "eldest discarded session survived the tracked-session bound")
+    assert(Materialize.stagedFrames(recent.last) == 1,
+      "a fresh session's entry must not be evicted")
+    // clean up the clones' entries (unpersists their frames)
+    recent.foreach(Materialize.releaseStaged)
+  }
+
   // the endpoint lemma q162's trimmed pin rests on: with the corpus
   // df table FIXED, a pair's n_shared depends only on its two
   // endpoints' gram sets, so the pair self-join over a doc subset

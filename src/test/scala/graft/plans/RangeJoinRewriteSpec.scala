@@ -99,7 +99,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("rule is inert without the conf, and leaves equi-keyed joins alone") {
+  test("rule is inert without the conf; invalid width fails loudly") {
     val (pts, ivs) = fixture
     def rangeOnly = pts.join(ivs,
       col("pt") >= col("lo") && col("pt") <= col("hi"))
@@ -108,14 +108,6 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         planString(rangeOnly).contains("Cartesian"),
         "rule fired without its conf")
     }
-    // an equi predicate means Spark already hash-joins: leave it be
-    def keyed = pts.join(ivs,
-      col("p_id") === col("i_id") &&
-        col("pt") >= col("lo") && col("pt") <= col("hi"))
-    withRule(Some("256")) {
-      assert(!planString(keyed).contains("Generate"),
-        "rule rewrote a join that already had an equi key")
-    }
     // invalid width fails loudly at plan time
     withRule(Some("-5")) {
       val e = intercept[Exception] { rangeOnly.collect() }
@@ -123,6 +115,93 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         .takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
       assert(msg.contains("positive finite"), msg)
+    }
+  }
+
+  test("composite join: equi keys keep hash-joining, the bucket is " +
+      "APPENDED as one more key; rows identical; reserved prefix skips") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // keyed interval fixture: (key, t) points vs (key, lo, hi)
+    // intervals — only same-key, in-interval pairs qualify
+    val pts = (1L to 600L).map { i =>
+      (i, s"k${i % 7}", rnd.nextInt(1000).toLong)
+    }.toDF("p_id", "pk", "pt")
+    val ivs = (1L to 200L).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i, s"k${i % 7}", lo, lo + rnd.nextInt(60).toLong)
+    }.toDF("i_id", "ik", "lo", "hi")
+    def keyed = pts.join(ivs,
+      col("pk") === col("ik") &&
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("p_id", "i_id")
+    val baseline = keyed.collect().map(_.toSeq).toSet
+    withRule(Some("64")) {
+      val plan = planString(keyed)
+      assert(plan.contains("Generate"),
+        s"composite join was not rewritten:\n$plan")
+      assert(plan.contains("__g_rj_b_"),
+        "bucket key missing from the rewritten composite join")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+      assert(keyed.collect().map(_.toSeq).toSet == baseline,
+        "composite rewrite changed the result")
+      // structural idempotency marker: a CROSS-SIDE predicate over a
+      // reserved-prefix column stays in the join condition and
+      // conservatively disables the rewrite (a single-side predicate
+      // is pushed below the join before the rule sees it — the skip
+      // exists to stop the rule re-bucketing its own output at the
+      // optimizer's fixed point, and attribute binding is by exprId,
+      // so a user name can't be captured either way)
+      val marked = pts.withColumn("__g_rj_b_user", lit(1L))
+      val q2 = marked.join(ivs,
+        col("pk") === col("ik") && col("__g_rj_b_user") <= col("i_id") &&
+          col("pt") >= col("lo") && col("pt") <= col("hi"))
+      assert(!planString(q2).contains("Generate"),
+        "reserved-prefix join-condition column did not disable the rewrite")
+    }
+  }
+
+  test("fan-out cliff guard: a row spanning more buckets than maxFanout " +
+      "fails fast with both conf keys named; under-cap rows still join") {
+    import spark.implicits._
+    val rule = RangeJoinRewrite(spark)
+    val pts = Seq((1L, 3.0), (2L, 42.0)).toDF("p_id", "pt")
+    def err(body: => Unit): String = {
+      val e = intercept[Exception] { body }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    // DEFAULT cap (1e6): a micro bucket width over a width-5 interval
+    // implies 5e6 buckets/row — the actionable raise, not Sequence's
+    // opaque allocation error
+    withRule(Some("0.000001")) {
+      val ivs = Seq((10L, 0.0, 5.0)).toDF("i_id", "lo", "hi")
+      val m = err(pts.join(ivs,
+        col("pt") >= col("lo") && col("pt") <= col("hi")).collect())
+      assert(m.contains(rule.FanoutKey) && m.contains("bucketWidth"), m)
+    }
+    withRule(Some("1")) {
+      val ivs = Seq((10L, 0.0, 5.0), (11L, 40.0, 90.0))
+        .toDF("i_id", "lo", "hi")
+      def q = pts.join(ivs,
+        col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("p_id", "i_id")
+      // custom cap honored: the width-50 interval (51 buckets) trips
+      // a cap of 10
+      spark.conf.set(rule.FanoutKey, "10")
+      try assert(err(q.collect()).contains(rule.FanoutKey))
+      finally spark.conf.unset(rule.FanoutKey)
+      // generous cap: same query runs, rewritten, exact rows
+      spark.conf.set(rule.FanoutKey, "100")
+      try {
+        assert(planString(q).contains("Generate"))
+        assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          == Set((1L, 10L), (2L, 11L)))
+      } finally spark.conf.unset(rule.FanoutKey)
+      // invalid cap refuses loudly at plan time
+      spark.conf.set(rule.FanoutKey, "0")
+      try assert(err(q.collect()).contains(">= 1"))
+      finally spark.conf.unset(rule.FanoutKey)
     }
   }
 
