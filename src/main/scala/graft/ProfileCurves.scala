@@ -1243,6 +1243,13 @@ object ProfileJaccard {
       val pairs = graft.ops.TextDedup
         .jaccardJoin(d, "doc_id", "text", tau = 0.8).count()
       meter.drain()
+      // the PPJoin positional filter's candidate cut, measured: same
+      // prefix join, with and without the first-shared-token bound
+      val toksC = graft.ops.TextDedup.jaccardTokens(d, "doc_id", "text")
+      val candPos = graft.ops.TextDedup
+        .jaccardCandidates(toksC, 0.8, positional = true).count()
+      val candPrefixOnly = graft.ops.TextDedup
+        .jaccardCandidates(toksC, 0.8, positional = false).count()
       // brute force only while affordable: the full token equi-join's
       // fan-out is sum(df^2), dominated by the zipf head
       val (tBrute, bruteRows) =
@@ -1263,7 +1270,7 @@ object ProfileJaccard {
           }
           (tB, rows)
         } else (-1.0, -1L)
-      println(f"""{"metric":"jaccard_join","docs":$nd,"pairs_ge_tau":$pairs,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.2f,"brute_join_rows":$bruteRows,"brute_wall_s":$tBrute%.2f}""")
+      println(f"""{"metric":"jaccard_join","docs":$nd,"pairs_ge_tau":$pairs,"cand_prefix_only":$candPrefixOnly,"cand_positional":$candPos,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.2f,"brute_join_rows":$bruteRows,"brute_wall_s":$tBrute%.2f}""")
       d.unpersist(blocking = false)
     }
     spark.stop()

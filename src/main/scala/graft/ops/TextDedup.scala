@@ -1582,8 +1582,18 @@ object TextDedup {
     * α(x) − 1 < tau·|x| ≤ tau·|x ∪ y| ≤ |x ∩ y| — contradiction; and
     * symmetrically for y). Candidates are therefore the prefix-token
     * equi-join plus the size filter (J ≥ tau bounds |y| within
-    * [tau·|x|, |x|/tau]); the exact refine only removes false
-    * positives. α is computed as ceil(tau·|d| − 1e-9): the epsilon
+    * [tau·|x|, |x|/tau]) plus PPJoin's POSITIONAL filter (Xiao,
+    * Wang, Lin & Yu, WWW 2008): at the pair's FIRST shared prefix
+    * token — positions p_x, p_y in the canonical order — the overlap
+    * can never exceed 1 + min(|x| − p_x, |y| − p_y) (no
+    * earlier-ranked token is shared: a shared token ranked before it
+    * would sit inside BOTH prefixes, contradicting firstness), so a
+    * pair whose bound falls below the required overlap
+    * ceil(tau/(1+tau)·(|x|+|y|)) drops BEFORE the verify join —
+    * typically another 2-5x candidate cut on Zipfian data, at the
+    * cost of carrying two int positions through the prefix join. The
+    * exact refine removes the remaining false positives. α is
+    * computed as ceil(tau·|d| − 1e-9): the epsilon
     * absorbs IEEE noise that could push tau·|d| just ABOVE an integer
     * boundary and silently shorten the prefix below the lemma's bound
     * (a false-negative hole); erring longer is always safe. The
@@ -1602,29 +1612,8 @@ object TextDedup {
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "jaccardJoin needs tau in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    val toks = Materialize.stage(
-      docs.filter(col(idCol).isNotNull)
-        .select(col(idCol).as("__id"), explode(array_distinct(
-          filter(tokensOf(col(textCol)), t => length(t) > 0))).as("tok")))
-    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
-    val wDoc = Window.partitionBy("__id")
-    def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
-    val ranked = toks.join(dfCounts, "tok")
-      .withColumn("__rnk", row_number().over(
-        wDoc.orderBy(col("__df"), col("tok"))))
-      .withColumn("__sz", count(lit(1)).over(wDoc))
-    val prefix = Materialize.stage(ranked
-      .filter(col("__rnk") <= col("__sz") - alpha(col("__sz")) + 1)
-      .select("tok", "__id", "__sz"))
-    val cands = prefix
-      .select(col("tok"), col("__id").as("id_a"), col("__sz").as("__na"))
-      .join(prefix.select(col("tok"), col("__id").as("id_b"),
-        col("__sz").as("__nb")), Seq("tok"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("__nb") >= alpha(col("__na")) &&
-        col("__na") >= alpha(col("__nb")))
-      .select("id_a", "id_b").distinct()
+    val toks = jaccardTokens(docs, idCol, textCol)
+    val cands = jaccardCandidates(toks, tau, positional = true)
     val sz = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     cands
       .join(toks.select(col("__id").as("id_a"), col("tok")), "id_a")
@@ -1637,6 +1626,65 @@ object TextDedup {
         (col("__na") + col("__nb") - col("__i")).cast("double"))
       .filter(col("__j") >= tau)
       .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /** The staged distinct-token table [[jaccardJoin]] builds:
+    * (__id, tok), null ids and empty tokens excluded. */
+  private[graft] def jaccardTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = Materialize.stage(
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), explode(array_distinct(
+        filter(tokensOf(col(textCol)), t => length(t) > 0))).as("tok")))
+
+  /** [[jaccardJoin]]'s candidate stage, exposed for measurement:
+    * prefix-token equi-join + size filter, and (when `positional`)
+    * the PPJoin positional filter — see [[jaccardJoin]]'s scaladoc
+    * for the lemmas. Returns distinct (id_a, id_b), id_a < id_b,
+    * a SUPERSET of the true tau-pairs either way (both filters are
+    * upper-bound arguments: they only remove pairs that cannot reach
+    * tau, never true pairs — the recall-1 spec pins this). */
+  private[graft] def jaccardCandidates(toks: DataFrame, tau: Double,
+      positional: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy("__id")
+    def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
+    val ranked = toks.join(dfCounts, "tok")
+      .withColumn("__rnk", row_number().over(
+        wDoc.orderBy(col("__df"), col("tok"))))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+    val prefix = Materialize.stage(ranked
+      .filter(col("__rnk") <= col("__sz") - alpha(col("__sz")) + 1)
+      .select("tok", "__id", "__sz", "__rnk"))
+    val sized = prefix
+      .select(col("tok"), col("__id").as("id_a"),
+        col("__sz").as("__na"), col("__rnk").as("__pa"))
+      .join(prefix.select(col("tok"), col("__id").as("id_b"),
+        col("__sz").as("__nb"), col("__rnk").as("__pb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__nb") >= alpha(col("__na")) &&
+        col("__na") >= alpha(col("__nb")))
+    if (!positional) sized.select("id_a", "id_b").distinct()
+    else {
+      // the pair's FIRST shared prefix token is the row with minimal
+      // __pa (positions follow ONE global token order, so minimal in
+      // a is minimal in b too; min(struct) picks it without a second
+      // shuffle — the groupBy replaces the .distinct() the
+      // positional-off path needs anyway). Required overlap o from
+      // J >= tau  <=>  i >= tau/(1+tau) * (na+nb); the -1e-9 errs o
+      // SMALLER at IEEE boundaries, keeping candidates — only ever
+      // safe-direction noise, same discipline as alpha.
+      val o = ceil(lit(tau / (1.0 + tau)) *
+        (col("__na") + col("__nb")) - lit(1e-9))
+      sized
+        .groupBy("id_a", "id_b")
+        .agg(min(struct(col("__pa"), col("__pb"))).as("__m"),
+          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+        .filter(lit(1) +
+          least(col("__na") - col("__m.__pa"),
+            col("__nb") - col("__m.__pb")) >= o)
+        .select("id_a", "id_b")
+    }
   }
 
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts

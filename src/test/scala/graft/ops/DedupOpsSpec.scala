@@ -678,6 +678,41 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PPJoin positional filter: candidates are a subset of " +
+      "prefix-only candidates, still a superset of every true pair, " +
+      "and strictly fewer on a partial-overlap corpus") {
+    import spark.implicits._
+    // many docs sharing a rare token but with positions deep enough
+    // that the first-shared-token bound kills the pair: long docs
+    // pairwise sharing only low-rank tokens
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 150L).map(i =>
+      (i, (0 until 18).map(_ => s"w${rnd.nextInt(60)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tau = 0.8
+    val toks = TextDedup.jaccardTokens(docs, "doc_id", "text")
+    val pos = TextDedup.jaccardCandidates(toks, tau, positional = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = TextDedup.jaccardCandidates(toks, tau, positional = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos.subsetOf(pre),
+      s"positional filter ADDED candidates: ${pos -- pre}")
+    assert(pos.size < pre.size,
+      s"positional filter pruned nothing on the partial-overlap " +
+        s"corpus (${pre.size} candidates) — fixture has no mass")
+    // recall-1: every true tau-pair survives the positional filter
+    val sets = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys; if a < b
+      i = (sets(a) & sets(b)).size
+      u = (sets(a) | sets(b)).size
+      if i.toDouble / u >= tau
+    } yield (a, b)).toSet
+    assert(brute.subsetOf(pos),
+      s"positional filter dropped true pairs: ${brute -- pos}")
+  }
+
   test("jaccardJoin is partitioning-invariant and null-id/null-text safe") {
     import spark.implicits._
     val base = (1L to 60L).map(i =>
