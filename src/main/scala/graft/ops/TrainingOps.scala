@@ -1,8 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Training-data pipeline operators beyond the reference's own surface
   * (builder brief: the operations a large-scale LLM data pipeline
@@ -1266,4 +1270,219 @@ object TrainingOps {
       .agg(count(lit(1)).as("c"))
       .groupBy(idCol)
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+
+  // ------------------------------------- byte-level BPE (GPT-2 convention)
+
+  /** Byte-level pre-tokenization regex — the GPT-2 convention
+    * (contractions, space-prefixed letter/digit/punctuation runs,
+    * whitespace runs) with ONE deliberate deviation: the trailing-
+    * whitespace lookahead `\s+(?!\S)` is dropped, because RE2-family
+    * engines (DuckDB, Go, BigQuery) don't support lookarounds and
+    * cross-engine replayability is this repo's spine. Effect: a
+    * multi-space run before a word keeps ALL its spaces in one
+    * whitespace pre-token instead of donating the last one to the
+    * word. The pattern still TILES every string (each char belongs to
+    * exactly one match, spec-pinned), so the byte decode law is
+    * unaffected. Alternation is ordered identically under java.util
+    * .regex and RE2 (both leftmost-first). */
+  private[graft] val bytePretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** The pre-token array of `text` — every char of the input appears
+    * in exactly one element, in order (the tiling law). */
+  def bytePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(bytePretokenPattern), lit(0))
+
+  /** Byte <-> display-unit bijection (the GPT-2 byte-to-unicode
+    * table): every one of the 256 byte values maps to ONE printable
+    * BMP char, so a pre-token's UTF-8 bytes become a string the merge
+    * engine's char-level machinery handles untouched — NO text is
+    * out-of-vocabulary, ever (the byte-fallback property production
+    * pretraining tokenizers rely on). "Nice" bytes (printable ASCII
+    * and most of Latin-1) map to themselves; the rest shift to
+    * U+0100.. in byte order. ONE deviation from GPT-2's table: '_'
+    * (0x5F) joins the remapped set (-> U+0121), because '_' is the
+    * fused lexicon's symbol-wrapper char and must never be a symbol.
+    * All units are < U+0200: single UTF-16 code units, and UTF-16
+    * order == UTF-8 byte order == codepoint order on this range, so
+    * the learn loop's tie-breaks replay identically in any engine. */
+  private[graft] object ByteUnitsMap {
+    val byteToChar: Array[Char] = {
+      val identity = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++
+        (0xae to 0xff)).toSet - 0x5f
+      val out = new Array[Char](256)
+      var next = 0x100
+      var b = 0
+      while (b < 256) {
+        if (identity(b)) out(b) = b.toChar
+        else { out(b) = next.toChar; next += 1 }
+        b += 1
+      }
+      out
+    }
+    // inverse; -1 = not a unit char
+    val charToByte: Array[Int] = {
+      val inv = Array.fill(0x200)(-1)
+      var b = 0
+      while (b < 256) { inv(byteToChar(b).toInt) = b; b += 1 }
+      inv
+    }
+    def isUnit(ch: Char): Boolean = ch < 0x200 && charToByte(ch.toInt) >= 0
+    def encode(s: String): String = {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        sb.append(byteToChar(bytes(i) & 0xff)); i += 1
+      }
+      sb.toString
+    }
+    /** Inverse of [[encode]]; a char outside the unit alphabet raises
+      * (-> SQL NULL through the expression's contract). */
+    def decode(units: String): String = {
+      val out = new Array[Byte](units.length)
+      var i = 0
+      while (i < units.length) {
+        val ch = units.charAt(i)
+        require(ch < 0x200 && charToByte(ch.toInt) >= 0,
+          s"byte_units_decode: char U+${ch.toInt.toHexString} is not a byte unit")
+        out(i) = charToByte(ch.toInt).toByte
+        i += 1
+      }
+      new String(out, java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
+  /** byte_units(text): the pre-token's UTF-8 bytes as display units —
+    * native expression (per-row hot path of every corpus pass; the
+    * boxed-call codegen contract of [[graft.functions.GeoExpr]]). */
+  case class ByteUnitsEnc(text: Expression) extends graft.functions.GeoExpr {
+    override def children: Seq[Expression] = Seq(text)
+    override def dataType: DataType = StringType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      UTF8String.fromString(
+        ByteUnitsMap.encode(a(0).asInstanceOf[UTF8String].toString))
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(text = c(0))
+  }
+
+  /** byte_units_decode(units): exact inverse — the decoded BYTES as a
+    * string. A non-unit char yields SQL NULL (GeoExpr contract). */
+  case class ByteUnitsDec(units: Expression) extends graft.functions.GeoExpr {
+    override def children: Seq[Expression] = Seq(units)
+    override def dataType: DataType = StringType
+    override protected def evalNotNull(a: Array[Any]): Any =
+      UTF8String.fromString(
+        ByteUnitsMap.decode(a(0).asInstanceOf[UTF8String].toString))
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(units = c(0))
+  }
+
+  def byte_units(text: Column): Column = toCol(ByteUnitsEnc(toExpr(text)))
+  def byte_units_decode(units: Column): Column =
+    toCol(ByteUnitsDec(toExpr(units)))
+
+  /** Byte-level BPE merge-rule induction: [[bytePretokens]] +
+    * [[ByteUnitsMap]] feeding the SAME driver-local learn loop as the
+    * word engine ([[bpeLearnLocal]] — char-level and alphabet-
+    * agnostic, so the byte units ride through untouched). Unlike
+    * [[bpeMerges]]' lowercased [a-z] word types, NOTHING is dropped:
+    * punctuation, digits, whitespace, case, and arbitrary Unicode all
+    * tokenize (as their UTF-8 bytes), which is the production
+    * pretraining convention (Radford et al. 2019, GPT-2; Sennrich
+    * 2016 for the merge procedure itself).
+    *
+    * Returns (merge_idx, a, b, cnt) with a/b in unit space. 100 TB
+    * shape: the corpus collapses to its pre-token type table in ONE
+    * aggregation (tens of millions of types for a trillion-token
+    * corpus); the learn is driver-local over that table. The byte
+    * engine ships ONLY the local learn — over-budget type tables
+    * refuse loudly (the word engine's distributed fallback replays
+    * wrapped-symbol SQL that assumes its [a-z] alphabet; sizing
+    * guidance on [[bpeMerges]] applies here unchanged). */
+  def byteBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      localLearnMaxTypes: Long = 2000000L): DataFrame = {
+    require(numMerges >= 1, "byteBpeMerges needs numMerges >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val types = docs
+      .select(explode(bytePretokens(col(textCol))).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(byte_units(col("w0")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val n = types.count()
+      require(n <= localLearnMaxTypes,
+        s"byteBpeMerges: $n pre-token types exceed localLearnMaxTypes=" +
+          s"$localLearnMaxTypes — the byte engine ships the driver-local " +
+          "learn only; raise the budget on a driver sized for ~10x the " +
+          "type table (see bpeMerges' sizing note)")
+      val local = types.collect().map(r => (r.getString(0), r.getLong(1)))
+      bpeLearnLocal(local, numMerges).toDF("merge_idx", "a", "b", "cnt")
+    } finally types.unpersist(blocking = false)
+  }
+
+  /** The byte-level fused lexicon: every distinct pre-token rewritten
+    * through the rule sequence in wrapped-symbol form — the word
+    * engine's design with two byte-alphabet adjustments: the replace
+    * goes through `call_function("replace", ...)` with literal
+    * Columns (symbols may contain quotes/backslashes — no SQL-string
+    * parsing anywhere), and rule validation checks unit-alphabet
+    * membership instead of [a-z] (the wrapper '_' is unmapped BY
+    * CONSTRUCTION, so no rule can ever collide with it). Returns
+    * (w0 original pre-token, w units, sym wrapped). */
+  private def byteBpeFusedLexicon(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty &&
+        (a + b).forall(ByteUnitsMap.isUnit),
+        s"byte-level BPE merge rules must be non-empty strings over " +
+          s"the byte-unit alphabet, got ('$a', '$b')")
+    }
+    val types = docs
+      .select(explode(bytePretokens(col(textCol))).as("w0"))
+      .filter(length(col("w0")) > 0).distinct()
+      .select(col("w0"), byte_units(col("w0")).as("w"))
+      // (?s): remapped control bytes are ordinary BMP chars, but "."
+      // must still never skip anything the alphabet could ever hold
+      .withColumn("sym", regexp_replace(col("w"), "(?s)(.)", "_$1_"))
+    val truncator = new ChainTruncator
+    merges.zipWithIndex.foldLeft(types) {
+      case (t, ((a, b), i)) =>
+        val applied = t.withColumn("sym",
+          call_function("replace", col("sym"),
+            lit(s"_${a}__${b}_"), lit(s"_${a}${b}_")))
+        if ((i + 1) % 32 == 0 && i + 1 < merges.length)
+          truncator.truncate(applied)
+        else applied
+    }
+  }
+
+  /** Byte-level tokenization into subword sequences — the
+    * [[bpeTokenSpans]] shape over the byte alphabet. Returns (idCol,
+    * pretok_pos, w0, w, tok_pos, token): `w0` is the original
+    * pre-token, `w`/`token` are in unit space (an individual token
+    * may split a multi-byte codepoint and is NOT decodable alone —
+    * only the concatenation is, which is exactly the byte-level
+    * decode law: `byte_units_decode(concat(tokens)) == w0`, require'd
+    * in-query by the battery entry over the FULL lexicon). Same scale
+    * shape as the word engine: rules rewrite |vocab| lexicon rows
+    * once, documents pay an explode + broadcast join + posexplode. */
+  def byteBpeTokenSpans(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      hintBroadcastLexicon: Boolean = true): DataFrame = {
+    val lexicon = byteBpeFusedLexicon(docs, textCol, merges)
+      .select(col("w0"), col("w"),
+        split(regexp_replace(col("sym"), "^_|_$", ""), "__").as("toks"))
+    docs.select(col(idCol),
+        posexplode(bytePretokens(col(textCol))).as(Seq("__p0", "w0")))
+      .filter(length(col("w0")) > 0)
+      .join(if (hintBroadcastLexicon) broadcast(lexicon) else lexicon, "w0")
+      .select(col(idCol), (col("__p0") + 1).as("pretok_pos"),
+        col("w0"), col("w"),
+        posexplode(col("toks")).as(Seq("__t0", "token")))
+      .select(col(idCol), col("pretok_pos"), col("w0"), col("w"),
+        (col("__t0") + 1).as("tok_pos"), col("token"))
+  }
 }

@@ -38,6 +38,21 @@ object PipelineQueries {
   private def bpeRules(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     bpeMemo.getOrElse(dir, learnBpeRules(s, dir))
 
+  // q217's byte-level rules: the single byte entry pays its own learn
+  // on every execution (q189's honest-timing discipline) — no reader
+  // entry shares them yet, the memo is future-proofing only.
+  private val byteBpeMemo =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
+  private def learnByteBpeRules(s: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val r = graft.ops.TrainingOps
+      .byteBpeMerges(docs(s, dir), "text", numMerges = 8)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    byteBpeMemo.put(dir, r)
+    r
+  }
+
   // q205 (selection) and q209 (streaming pin) score the SAME fixture
   // with the SAME batch weights — one build, Memos lifecycle (cost
   // attributed to whichever runs first; the streaming PROBE side of
@@ -67,6 +82,44 @@ object PipelineQueries {
     * counts over w_{i-1}, b_i = argmax (count desc, pair asc), w_i =
     * b_i applied via the boundary-safe wrapped replace. chr(1) is the
     * pair separator (symbols are [a-z]+, so it cannot collide). */
+  /** The BYTE-LEVEL learn chain: same iteration structure as
+    * [[bpeChainSql]], over [[graft.ops.TrainingOps.bytePretokens]]'
+    * RE2-safe pre-tokens mapped to display units. The corpus is
+    * `[a-z ]` text, so the unit map reduces to `space -> chr(288)`
+    * (U+0120, the byte map's 0x20 slot) — the oracle replays the map
+    * for the bytes that OCCUR; the Scala side computes the full
+    * 256-way table and would hash-mismatch here if the fixture ever
+    * grew bytes this replay doesn't cover. Each w_i carries the
+    * original pre-token w0 alongside the evolving wrapped sym. */
+  private def byteChainSql(n: Int): String = {
+    val pat = graft.ops.TrainingOps.bytePretokenPattern.replace("'", "''")
+    val base =
+      s"""w0 AS (
+         |  SELECT w0, w, regexp_replace(w, '(.)', '_\\1_', 'g') AS sym,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT w0, replace(w0, ' ', chr(288)) AS w
+         |        FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS w0
+         |              FROM documents))
+         |  WHERE w0 <> '' GROUP BY 1, 2, 3)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (
+         |  SELECT string_split(pr, chr(1))[1] AS a,
+         |    string_split(pr, chr(1))[2] AS b,
+         |    CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_transform(range(1, len(s)),
+         |          j -> s[j] || chr(1) || s[j + 1])) AS pr, cnt
+         |        FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), '__') AS s,
+         |                cnt
+         |              FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT w0, w, replace(sym, '_' || a || '__' || b || '_',
+         |          '_' || a || b || '_') AS sym, cnt
+         |        FROM w${i - 1}, b$i)""".stripMargin
+    }
+    s"WITH $base,\n${iters.mkString(",\n")}"
+  }
+
   private def bpeChainSql(n: Int): String = {
     val base =
       """w0 AS (
@@ -988,6 +1041,48 @@ object PipelineQueries {
         .orderBy("doc_id", "word_pos", "tok_pos")
     }),
 
+    // BYTE-LEVEL BPE (ops/TrainingOps.byteBpeMerges/byteBpeTokenSpans;
+    // Radford et al. 2019's GPT-2 convention, RE2-safe pre-tokenizer
+    // variant): NOTHING is out-of-vocabulary — pre-tokens are hashed
+    // to their UTF-8 bytes as display units and the q189 merge engine
+    // runs over that 256-way alphabet. TWO laws are require'd
+    // in-query over the FULL corpus/lexicon before the output slice:
+    // the pre-tokenizer TILES (concatenating a doc's pre-tokens
+    // reproduces its text exactly), and the BYTE DECODE law
+    // (concatenating a pre-token's tokens and inverting the unit map
+    // reproduces the pre-token's exact bytes — tokens may split
+    // multi-byte codepoints; only the concatenation must decode).
+    // The oracle replays learn + tokenize chain-for-chain in DuckDB.
+    "q217_byte_bpe" -> ((s, dir) => {
+      val rules = learnByteBpeRules(s, dir) // full learn each execution
+      val d = docs(s, dir)
+      val badTile = d.select(col("text"), concat_ws("",
+          graft.ops.TrainingOps.bytePretokens(col("text"))).as("r"))
+        .filter(col("r") =!= col("text")).count()
+      require(badTile == 0L,
+        s"byte pre-tokenizer failed to tile $badTile documents — " +
+          "the byte decode law has no foundation")
+      val spans = graft.ops.TrainingOps.byteBpeTokenSpans(
+        d, "doc_id", "text", rules)
+      val badDecodes = spans
+        .select("w0", "tok_pos", "token").distinct()
+        .groupBy("w0")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("tok_pos"), col("token")))),
+          x => x.getField("token"))).as("dec_units"))
+        .filter(graft.ops.TrainingOps.byte_units_decode(col("dec_units"))
+          =!= col("w0") ||
+          graft.ops.TrainingOps.byte_units_decode(col("dec_units")).isNull)
+        .count()
+      require(badDecodes == 0L,
+        s"byte-level BPE decode law violated for $badDecodes pre-token " +
+          "types — tokens must concatenate back to the exact bytes")
+      spans.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("pretok_pos"), col("w0"), col("w"),
+          col("tok_pos"), col("token"))
+        .orderBy("doc_id", "pretok_pos", "tok_pos")
+    }),
+
     // DSIR data selection (ops/TrainingOps.dsirWeights/dsirResample,
     // Xie et al. NeurIPS 2023): importance weights from hashed
     // unigram+bigram bucket profiles of a small target corpus
@@ -1179,6 +1274,27 @@ object PipelineQueries {
          |SELECT doc_id, CAST(SUM(word_tokens) AS BIGINT) AS n_tokens
          |FROM d JOIN lex USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // Byte-level learn + tokenize replayed end to end: the 8-merge
+    // chain over unit-mapped pre-tokens, then the lexicon join and
+    // positional double-unnest — tokens, positions and pre-tokens all
+    // hash-match the Spark spans table.
+    "q217_byte_bpe" -> {
+      val pat = graft.ops.TrainingOps.bytePretokenPattern.replace("'", "''")
+      s"""${byteChainSql(8)},
+         |lex AS (SELECT w0, w,
+         |  string_split(regexp_replace(sym, '^_|_${"$"}', '', 'g'), '__') AS toks
+         |  FROM w8),
+         |pt AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$pat')) AS w0,
+         |    unnest(range(1, len(regexp_extract_all(text, '$pat')) + 1))
+         |      AS pretok_pos
+         |  FROM documents WHERE doc_id % 13 = 0)
+         |SELECT doc_id, CAST(pretok_pos AS INT) AS pretok_pos, w0, w,
+         |  CAST(unnest(range(1, len(toks) + 1)) AS INT) AS tok_pos,
+         |  unnest(toks) AS token
+         |FROM pt JOIN lex USING (w0)
+         |ORDER BY doc_id, pretok_pos, tok_pos""".stripMargin
     },
     // The count-min build + probe replayed cell for cell — every step
     // is md5 + integer arithmetic, so the whole frame hash-matches.

