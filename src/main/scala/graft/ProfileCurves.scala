@@ -1126,6 +1126,61 @@ object ProfileSelect {
   }
 }
 
+/** SRP operating-point guidance (r13 VERDICT #4): recall vs the EXACT
+  * cosine join at tau in {0.85, 0.95}, across (bands, bandBits)
+  * points at a fixed 64-bit signature budget, plus the banded
+  * candidate mass each point pays. Fixture: the embeddings table plus
+  * noised copies at three graded noise levels (scaled element
+  * rotation added at 0.15/0.35/0.6 — cosines ~0.99/0.96/0.87), so
+  * both taus have planted true-pair mass; base-corpus coincidental
+  * pairs count too (the brute join is the truth, not the plant). */
+object ProfileSrpRecall {
+  import ProfileCurves._
+  def main(args: Array[String]): Unit = {
+    val spark = session("profile_srp_recall")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def noised(block: Int, eps: Double): DataFrame =
+      emb.select((col("vec_id") + block.toLong * 1000000L).as("vec_id"),
+        zip_with(col("embedding"),
+          concat(slice(col("embedding"), 2, 63),
+            slice(col("embedding"), 1, 1)),
+          (a, b) => a + lit(eps) * b).as("embedding"))
+    val corpus = emb.unionByName(noised(1, 0.15))
+      .unionByName(noised(2, 0.35)).unionByName(noised(3, 0.6))
+      .persist()
+    val n = corpus.count()
+    val exact = corpus
+      .select(col("vec_id").as("id_a"), col("embedding").as("__a"))
+      .crossJoin(corpus.select(col("vec_id").as("id_b"),
+        col("embedding").as("__b")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.ops.VectorOps.cosine(col("__a"), col("__b")).as("c"))
+      .filter(col("c") >= 0.85)
+      .persist()
+    exact.count()
+    for ((bands, bits) <- Seq((4, 16), (8, 8), (16, 4))) {
+      val cand = graft.ops.VectorOps.srpCandidates(corpus, "vec_id",
+        "embedding", tau = -1.0, bands = bands, bandBits = bits).count()
+      for (tau <- Seq(0.85, 0.95)) {
+        val truePairs = exact.filter(col("c") >= tau)
+          .select("id_a", "id_b")
+        val nTrue = truePairs.count()
+        val got = graft.ops.VectorOps.srpCandidates(corpus, "vec_id",
+            "embedding", tau = tau, bands = bands, bandBits = bits)
+          .select("id_a", "id_b")
+        val hit = got.join(truePairs, Seq("id_a", "id_b")).count()
+        println(f"""{"metric":"srp_recall","vecs":$n,"bands":$bands,"bits":$bits,"tau":$tau,"true_pairs":$nTrue,"found":$hit,"recall":${hit.toDouble / math.max(nTrue, 1)}%.4f,"cand_pairs":$cand}""")
+      }
+    }
+    corpus.unpersist(blocking = false)
+    exact.unpersist(blocking = false)
+    spark.stop()
+  }
+}
+
 /** RangeJoinRewrite payoff: the SAME bare interval join executed as
   * Spark's default BroadcastNestedLoopJoin vs under the optimizer
   * rule (points x intervals comparisons vs bucketed equi-join). */

@@ -955,6 +955,17 @@ object VectorOps {
     * DIRECTLY on cosine geometry, needs no training pass at all, and
     * its bucket table is streaming-safe (pure map).
     *
+    * OPERATING POINT (measured, ProfileSrpRecall in PERF.md):
+    * P[pair collides in >= 1 band] = 1 − (1 − (1 − θ/π)^bandBits)^
+    * bands — more bands buys recall, more bits buys precision, the
+    * product is the signature budget. At a 64-bit budget over the
+    * embeddings fixture: the default 4x16 is the high-precision point
+    * for exact-duplicate hunting (recall 0.84 even at tau 0.95 —
+    * fine when every true dup collides in ALL bands); 8x8 is the
+    * semantic near-dup point (recall 0.975/0.999 at tau 0.85/0.95
+    * for ~4% candidate mass); 16x4 reaches recall 1.0 but stops
+    * pruning (~2/3 of all pairs become candidates).
+    *
     * `maxBucket` drops (band, bucket) groups larger than the cap
     * before the self-join — [[graft.ops.TextDedup.minHashCandidates]]'
     * skew guard, and SRP needs it for a reason minhash doesn't: sign
