@@ -72,7 +72,16 @@ object Layout {
     * Cross-engine note: the key is hashed through its STRING form, so
     * replay parity holds for string/integer keys (every engine
     * formats those identically); float keys would need a caller-fixed
-    * text form first (formatting differs across engines). */
+    * text form first (formatting differs across engines).
+    *
+    * COST/INTENDED RANGE: the argmax computes `shards.size` md5s per
+    * row — right for the dozens-to-low-hundreds of shards a state
+    * warehouse actually runs (at 100 shards that is ~100 16-byte
+    * hashes per row, noise next to any I/O), and linear pain past
+    * that. For fleet-scale shard counts (thousands+), use
+    * [[rendezvousShard2]]: the two-level composition computes
+    * O(groups + members) hashes per row — O(2·sqrt(n)) at a balanced
+    * layout — and confines member churn to one group. */
   def rendezvousShard(key: Column, shards: Seq[String]): Column = {
     require(shards.nonEmpty, "rendezvousShard needs at least one shard")
     require(shards.distinct.size == shards.size,
@@ -92,4 +101,49 @@ object Layout {
   def rendezvousAssign(df: DataFrame, keyCol: String,
       shards: Seq[String]): DataFrame =
     df.withColumn("shard", rendezvousShard(col(keyCol), shards))
+
+  /** TWO-LEVEL rendezvous sharding for fleet-scale shard counts: HRW
+    * over group names picks the group, HRW over that group's member
+    * names picks the member — returned as `"group/member"`. Per-row
+    * cost drops from n md5s (flat) to groups + chosen-group-members
+    * (the CaseWhen evaluates only the selected branch), O(2·sqrt(n))
+    * balanced; with 64 groups x 64 members that is 128 hashes for
+    * 4,096 shards where flat HRW pays 4,096.
+    *
+    * Distribution: the group pick is uniform over groups and each
+    * member pick uniform within its group (independent md5 argmaxes),
+    * so a balanced layout is uniform over all n shards — same as flat
+    * HRW (spec-pinned against the flat assignment's distribution on
+    * the same 16 shards). Disruption is LEVEL-WISE minimal, and
+    * strictly better-contained than flat on member churn: adding a
+    * member to group X relocates ~1/(m+1) of X's OWN keys and — by
+    * construction, not just in expectation — zero keys of any other
+    * group (flat HRW moves an expected 1/(n+1) sliver of EVERY
+    * shard); adding a whole group relocates ~1/(g+1) of all keys,
+    * drawn evenly from everywhere, exactly like flat growth. The
+    * trade: a group-level change redraws its keys' member assignment
+    * (the member pick is conditioned on the group), which flat HRW
+    * would not — so grow by members for routine scale-out and add
+    * groups only at fleet-expansion granularity. NULL keys get NULL
+    * shards, like the flat form. */
+  def rendezvousShard2(key: Column,
+      groups: Seq[(String, Seq[String])]): Column = {
+    require(groups.nonEmpty, "rendezvousShard2 needs at least one group")
+    require(groups.map(_._1).distinct.size == groups.size,
+      s"duplicate group names: ${groups.map(_._1).mkString(",")}")
+    groups.foreach { case (g, ms) =>
+      require(ms.nonEmpty, s"group '$g' has no members")
+      require(ms.distinct.size == ms.size,
+        s"group '$g' has duplicate members: ${ms.mkString(",")}")
+      require(!g.contains("/"),
+        s"group name '$g' contains the '/' separator")
+    }
+    val groupPick = rendezvousShard(key, groups.map(_._1))
+    groups.foldLeft(lit(null).cast("string")) {
+      case (acc, (g, ms)) =>
+        when(groupPick === g,
+          concat(lit(g), lit("/"), rendezvousShard(key, ms)))
+          .otherwise(acc)
+    }
+  }
 }

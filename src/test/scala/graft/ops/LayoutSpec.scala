@@ -127,4 +127,73 @@ class LayoutSpec extends AnyFunSuite {
       Layout.rendezvousShard(col("k"), Seq("a", "a"))
     }
   }
+
+  test("rendezvousShard2: flat-HRW distribution properties at " +
+      "O(sqrt(n)) hashes; member churn confined to its group") {
+    import spark.implicits._
+    val keys = (1L to 4000L).toDF("k")
+    val groups = (0 until 4).map(g =>
+      s"g$g" -> (0 until 4).map(m => s"m$m"))
+    def assign(gs: Seq[(String, Seq[String])]): Map[Long, String] =
+      keys.select(col("k"),
+          Layout.rendezvousShard2(col("k"), gs).as("shard"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(groups)
+    // balanced over all 16 leaf shards, like flat HRW over 16 names
+    // (4000/16 = 250; the same tolerance band the flat spec uses,
+    // scaled): uniformity is per-level independence of md5 argmaxes
+    val shares = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(shares.size == 16, s"only ${shares.size} shards used")
+    shares.foreach { case (sh, n) =>
+      assert(n > 150 && n < 360, s"$sh got $n of 4000 (want ~250)")
+    }
+    // MEMBER-ADD law, stronger than flat HRW: growing g1 to 5 members
+    // relocates ~1/5 of g1's OWN keys and — by construction — zero
+    // keys of any other group
+    val grown = groups.map { case (g, ms) =>
+      g -> (if (g == "g1") ms :+ "m4" else ms) }
+    val b = assign(grown)
+    val outsideMoved = a.count { case (k, sh) =>
+      !sh.startsWith("g1/") && b(k) != sh }
+    assert(outsideMoved == 0,
+      s"$outsideMoved keys outside g1 relocated on a g1 member add")
+    val g1Keys = a.collect { case (k, sh) if sh.startsWith("g1/") => k }.toSeq
+    val g1Moved = g1Keys.count(k => b(k) != a(k))
+    assert(b.values.forall(sh => !sh.startsWith("g1/") ||
+      grown.toMap.apply("g1").contains(sh.stripPrefix("g1/"))))
+    // ~1/5 of g1's ~1000 keys = ~200; wide band, law not a point est.
+    assert(g1Moved > 100 && g1Moved < 350,
+      s"expected ~1/5 of g1's ${g1Keys.length} keys to move, got $g1Moved")
+    assert(g1Keys.count(k => b(k) == "g1/m4") == g1Moved,
+      "a g1 key moved somewhere other than the new member")
+    // GROUP-ADD law: a new group drains ~1/5 from everywhere; keys
+    // not drawn to it keep their exact shard (group pick is HRW)
+    val plus = groups :+ ("g4" -> Seq("m0", "m1"))
+    val c = assign(plus)
+    val movedNotToNew = a.count { case (k, sh) =>
+      c(k) != sh && !c(k).startsWith("g4/") }
+    assert(movedNotToNew == 0,
+      s"$movedNotToNew keys relocated between surviving groups")
+    val drained = a.keys.count(k => c(k).startsWith("g4/"))
+    assert(drained > 500 && drained < 1100, // ~1/5 of 4000 = 800
+      s"expected ~1/5 drained to the new group, got $drained")
+    // NULL keys, loud contracts
+    val withNull = Seq[java.lang.Long](7L, null).toDF("k")
+    val got = withNull.select(col("k"),
+        Layout.rendezvousShard2(col("k"), groups).as("s"))
+      .collect().map(r => Option(r.get(0)) -> Option(r.getString(1))).toMap
+    assert(got(None).isEmpty && got(Some(7L)).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousShard2(col("k"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousShard2(col("k"), Seq("a" -> Nil))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousShard2(col("k"), Seq("a/b" -> Seq("m")))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousShard2(col("k"), Seq("a" -> Seq("m", "m")))
+    }
+  }
 }
