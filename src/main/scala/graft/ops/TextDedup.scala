@@ -1643,8 +1643,14 @@ object TextDedup {
     * a SUPERSET of the true tau-pairs either way (both filters are
     * upper-bound arguments: they only remove pairs that cannot reach
     * tau, never true pairs — the recall-1 spec pins this). */
-  private[graft] def jaccardCandidates(toks: DataFrame, tau: Double,
-      positional: Boolean): DataFrame = {
+  /** The ranked prefix table [[jaccardCandidates]] joins on: for each
+    * doc, its distinct tokens ranked by global rarity (__df asc, tok
+    * asc), kept up to the prefix-lemma length |d| − α(d) + 1. Returns
+    * (tok, __id, __sz, __rnk). [[jaccardPrefixProbe]] is the
+    * stateless streaming spelling of the same table — the battery
+    * pins them equal on a stratum. */
+  private[graft] def jaccardPrefixFrame(toks: DataFrame,
+      tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy("__id")
@@ -1653,9 +1659,64 @@ object TextDedup {
       .withColumn("__rnk", row_number().over(
         wDoc.orderBy(col("__df"), col("tok"))))
       .withColumn("__sz", count(lit(1)).over(wDoc))
-    val prefix = Materialize.stage(ranked
-      .filter(col("__rnk") <= col("__sz") - alpha(col("__sz")) + 1)
-      .select("tok", "__id", "__sz", "__rnk"))
+    ranked.filter(col("__rnk") <= col("__sz") - alpha(col("__sz")) + 1)
+      .select("tok", "__id", "__sz", "__rnk")
+  }
+
+  /** STREAMING prefix-bucket probe — the stateless per-row spelling
+    * of [[jaccardPrefixFrame]], for ingest-time pre-bucketing: an
+    * arriving document's prefix tokens (returned in rank order) are
+    * the ONLY equi-join keys under which it can pair with an existing
+    * document at Jaccard >= tau (the prefix-filter lemma), so a
+    * stream can route each new doc to its prefix-token buckets and
+    * the exact dedup downstream touches only those groups. Built from
+    * a REFERENCE corpus snapshot: the token document frequencies
+    * collect into a literal map (the dsirScoreProbe treatment — the
+    * vocabulary IS the broadcast-sized state; for a web-scale open
+    * vocabulary keep the batch join, this probe is for the
+    * bounded-vocabulary reference-corpus regime). The returned
+    * closure is a pure Column function: no state, no watermark, no
+    * shuffle — safe in `readStream` map stages.
+    *
+    * Tokens UNSEEN in the reference rank df = 0 — ahead of every
+    * reference token. That is the correct dedup semantics: an unseen
+    * token is maximally discriminative (no existing doc shares it),
+    * and ranking it into the prefix can only ADD candidate buckets,
+    * never lose a true pair (the lemma needs the prefix to contain
+    * the rarest |d| − α + 1 tokens under SOME total order shared by
+    * both sides of a future comparison; per-snapshot consistency is
+    * the caller's versioning contract, same as any LSH band table).
+    *
+    * Ranking parity with the batch frame is exact: array_sort on
+    * (df, tok) structs orders by fields left-to-right ascending —
+    * the window's (__df asc, tok asc) — and both sides compute the
+    * same prefix length with the same IEEE-guarded α. */
+  def jaccardPrefixProbe(ref: DataFrame, idCol: String, textCol: String,
+      tau: Double): Column => Column = {
+    require(tau > 0.0 && tau <= 1.0, "jaccardPrefixProbe needs tau in (0, 1]")
+    val dfRows = ref.filter(col(idCol).isNotNull)
+      .select(explode(array_distinct(
+        filter(tokensOf(col(textCol)), t => length(t) > 0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val dfMap = map_from_arrays(
+      typedLit(dfRows.map(_._1).toSeq), typedLit(dfRows.map(_._2).toSeq))
+    (text: Column) => {
+      val t = array_distinct(filter(tokensOf(text), x => length(x) > 0))
+      val scored = transform(t, tok => struct(
+        coalesce(element_at(dfMap, tok), lit(0L)).as("df"),
+        tok.as("tok")))
+      val n = size(t)
+      val plen = n - ceil(lit(tau) * n - lit(1e-9)).cast("int") + 1
+      transform(slice(array_sort(scored), lit(1), plen),
+        s => s.getField("tok"))
+    }
+  }
+
+  private[graft] def jaccardCandidates(toks: DataFrame, tau: Double,
+      positional: Boolean): DataFrame = {
+    def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
+    val prefix = Materialize.stage(jaccardPrefixFrame(toks, tau))
     val sized = prefix
       .select(col("tok"), col("__id").as("id_a"),
         col("__sz").as("__na"), col("__rnk").as("__pa"))

@@ -152,6 +152,50 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // STREAMING Jaccard prefix-bucket probe (ops/TextDedup.
+    // jaccardPrefixProbe): q211's prefix table as a STATELESS per-row
+    // expression over a reference-snapshot df map — an ingest stream
+    // routes each arriving doc to the only equi-join buckets under
+    // which it can pair at J >= tau (the prefix lemma), so the exact
+    // dedup downstream touches those groups only. Three id-ordered
+    // micro-batches on the doc_id % 3 = 1 stratum (the q214
+    // treatment); stream require'd == the batch window-rank prefix
+    // frame both directions (two genuinely different plans: literal
+    // map + array_sort vs groupBy-df + row_number window); the oracle
+    // replays the ranked prefix in DuckDB for the stratum.
+    "q218_streaming_jaccard_prefix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probe = TextDedup.jaccardPrefixProbe(d, "doc_id", "text",
+        tau = 0.95)
+      val strat = d.filter(col("doc_id") % 3 === 1)
+        .select("doc_id", "text")
+      val (tmp, src) = StreamFixtures.writeIdOrderedMicroBatches(
+        strat, "doc_id", "q218")
+      try {
+        val stream = s.readStream.schema(strat.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream
+          .select(col("doc_id"), posexplode(probe(col("text")))
+            .as(Seq("__i", "tok")))
+          .select(col("doc_id"), (col("__i") + 1).as("prefix_rank"),
+            col("tok"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q218out").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = s.table("q218out")
+        val toks = TextDedup.jaccardTokens(d, "doc_id", "text")
+        val batch = TextDedup.jaccardPrefixFrame(toks, tau = 0.95)
+          .select(col("__id").as("doc_id"),
+            col("__rnk").as("prefix_rank"), col("tok"))
+        val batchStrat = batch.filter(col("doc_id") % 3 === 1)
+        require(streamed.exceptAll(batchStrat).isEmpty &&
+          batchStrat.exceptAll(streamed).isEmpty,
+          "streaming jaccard prefix probe diverged from the batch " +
+            "prefix frame on the doc stratum")
+        batchStrat.orderBy("doc_id", "prefix_rank")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }),
+
     // Exact n-gram Jaccard refinement of the MinHash candidates.
     "q73_jaccard_refine" -> ((s, dir) => {
       val cands = candidates(s, dir)
@@ -945,6 +989,27 @@ object DedupQueries {
          |SELECT wc.doc_id, wc.component, best.canonical_id,
          |  (wc.doc_id = best.canonical_id) AS keep
          |FROM wc JOIN best USING (component) ORDER BY wc.doc_id""".stripMargin,
+    // The ranked rarity prefix replayed in SQL: df over the FULL
+    // corpus, (df, tok) window rank per doc, the same IEEE-guarded
+    // prefix length, stratum slice.
+    "q218_streaming_jaccard_prefix" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+        |      x -> len(x) > 0)) AS tok
+        |    FROM documents WHERE doc_id IS NOT NULL)
+        |), df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS d FROM tk GROUP BY 1),
+        |rk AS (
+        |  SELECT doc_id, tok,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY d, tok) AS INT)
+        |      AS prefix_rank,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
+        |  FROM tk JOIN df USING (tok))
+        |SELECT doc_id, prefix_rank, tok FROM rk
+        |WHERE prefix_rank <= sz - CAST(ceil(CAST(0.95 AS DOUBLE) * sz - 1e-9) AS BIGINT) + 1
+        |  AND doc_id % 3 = 1
+        |ORDER BY doc_id, prefix_rank""".stripMargin,
     // Algorithm-free ground truth: the full brute-force token-set
     // join. The engine's prefix-filtered plan hash-matching THIS is
     // the no-false-negative certificate.

@@ -713,6 +713,45 @@ class DedupOpsSpec extends AnyFunSuite {
       s"positional filter dropped true pairs: ${brute -- pos}")
   }
 
+  test("jaccardPrefixProbe == batch prefix frame; unseen tokens rank " +
+      "first; empty/short docs safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = ((1L to 80L).map(i =>
+      (i, (0 until 3 + rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(40)}")
+        .mkString(" "))) ++ Seq((81L, ""), (82L, "solo")))
+      .toDF("doc_id", "text")
+    val tau = 0.8
+    val probe = TextDedup.jaccardPrefixProbe(docs, "doc_id", "text", tau)
+    val viaProbe = docs
+      .select(col("doc_id"), posexplode(probe(col("text")))
+        .as(Seq("__i", "tok")))
+      .select(col("doc_id"), (col("__i") + 1).as("rnk"), col("tok"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val viaBatch = TextDedup.jaccardPrefixFrame(
+        TextDedup.jaccardTokens(docs, "doc_id", "text"), tau)
+      .select(col("__id"), col("__rnk"), col("tok"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(viaProbe == viaBatch,
+      s"probe != batch: onlyProbe=${viaProbe -- viaBatch} " +
+        s"onlyBatch=${viaBatch -- viaProbe}")
+    assert(viaProbe.nonEmpty)
+    // an arriving doc with tokens UNSEEN in the reference ranks them
+    // FIRST (df 0 beats every reference df >= 1): maximally
+    // discriminative, candidate-adding only — never recall-losing
+    val arriving = Seq((1000L, "zzz-new w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val pfx = arriving.select(probe(col("text"))).head().getSeq[String](0)
+    assert(pfx.head == "zzz-new", s"unseen token not ranked first: $pfx")
+    // prefix length law: 9 distinct tokens at tau 0.8 -> 9 - 8 + 1 = 2
+    assert(pfx.length == 2, s"prefix length ${pfx.length}, want 2")
+    intercept[IllegalArgumentException] {
+      TextDedup.jaccardPrefixProbe(docs, "doc_id", "text", 0.0)
+    }
+  }
+
   test("jaccardJoin is partitioning-invariant and null-id/null-text safe") {
     import spark.implicits._
     val base = (1L to 60L).map(i =>
