@@ -28,6 +28,35 @@ object LiveSourceQueries {
     GeoFixture(s, dir).filter(col("fid") <= 300)
       .select(col("fid").as("src_fid"), col("name"), col("geom"))
 
+  // q125 builds the Runner warehouse (one full pipeline pass) and
+  // stores the handle; q219 reads it for the re-run + layout laws
+  // (battery order runs q125 first; a q219-only run rebuilds).
+  private final case class RunnerBuild(cfg: DatasetConfig,
+      registry: Map[String, graft.sources.SourceConnector],
+      src: String, ledgerPath: String, out: String, r1: Runner.RunResult)
+  private val runnerMemo =
+    scala.collection.concurrent.TrieMap[String, RunnerBuild]()
+  private def runnerE2EBuild(s: SparkSession, dir: String): RunnerBuild = {
+    val tmp = Files.createTempDirectory("graft_q125")
+    val src = tmp.resolve("src.parquet").toString
+    GeoFixture(s, dir).filter(col("fid") <= 150)
+      .write.mode("overwrite").parquet(src)
+    val cfg = DatasetConfig(
+      datasetId = "demo", pipeline = "ext_restr", plugin = "parquet",
+      url = src, sourceIdColumn = "$source_id", klass = "$klass_raw",
+      grupp = "fixture", typField = "synthetic", leverantor = "$lev_raw",
+      dataMappings = Map("name" -> "$name"))
+    val registry = Map[String, graft.sources.SourceConnector](
+      "parquet" -> Sources.ParquetSource)
+    val ledgerPath = tmp.resolve("ledger").toString
+    val out = tmp.resolve("wh").toString
+    val r1 = Runner.run(s, Seq(cfg), registry, out,
+      ledger = Some(Ledger.at(ledgerPath)))
+    val b = RunnerBuild(cfg, registry, src, ledgerPath, out, r1)
+    runnerMemo.put(dir, b)
+    b
+  }
+
   private def digest(df: DataFrame): DataFrame =
     df.select(col("src_fid").cast("long").as("fid"),
       col("name"),
@@ -286,38 +315,43 @@ object LiveSourceQueries {
     // FULL Runner E2E, queried back through the runner's OWN layered
     // catalog views: registry dispatch by plugin name -> extract (ZSTD
     // parquet) -> stage004 -> normalize -> mart -> per-layer temp views
-    // -> h3_index/h3_stats. Run TWICE with the same migration ledger:
-    // the second run must take the isApplied short-circuit and leave
-    // results identical (require'd below), then the staging_004 view is
-    // read back through the session catalog by NAME.
+    // -> h3_index/h3_stats, then the staging_004 view read back through
+    // the session catalog by NAME. SPLIT in r14 (VERDICT #6): the
+    // ledgered RE-RUN short-circuit and the clustered-layout
+    // assertions moved to q219, which reads this build through the
+    // runnerMemo — q125's battery slot is the one-pass pipeline again
+    // (it had silently grown toward the #1 slot: ~40% of its r13 wall
+    // was the second Runner.run + the input_file_name range collect).
+    // q125 RECOMPUTES the build per execution (honest bench timing,
+    // the q189 discipline) and re-stores the memo.
     "q125_runner_e2e" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft_q125")
-      val src = tmp.resolve("src.parquet").toString
-      GeoFixture(s, dir).filter(col("fid") <= 150)
-        .write.mode("overwrite").parquet(src)
-      val cfg = DatasetConfig(
-        datasetId = "demo", pipeline = "ext_restr", plugin = "parquet",
-        url = src, sourceIdColumn = "$source_id", klass = "$klass_raw",
-        grupp = "fixture", typField = "synthetic", leverantor = "$lev_raw",
-        dataMappings = Map("name" -> "$name"))
-      val registry = Map[String, graft.sources.SourceConnector](
-        "parquet" -> Sources.ParquetSource)
-      val ledger = Ledger.at(tmp.resolve("ledger").toString)
-      val out = tmp.resolve("wh").toString
-      val r1 = Runner.run(s, Seq(cfg), registry, out, ledger = Some(ledger))
-      require(ledger.isApplied("extract:demo", s"parquet|$src"),
-        "ledger did not record the extract")
-      val r2 = Runner.run(s, Seq(cfg), registry, out, ledger = Some(ledger))
-      require(r1.extracted("demo").get == r2.extracted("demo").get &&
-        r1.indexRows == r2.indexRows,
-        s"ledgered re-run diverged: $r1 vs $r2")
-      // layout assertions (r10 Next #1): the mart _h3 table the runner
-      // just wrote must ship the probe-optimal clustered layout — the
-      // materialized query-res ancestor, present all the way up the
-      // h3_index view, with file-level key ranges that don't overlap
-      // (repartitionByRange), so probe range predicates skip files and
-      // row groups instead of scanning the index
-      val martBack = s.read.parquet(s"$out/mart/demo_h3.parquet")
+      val b = runnerE2EBuild(s, dir)
+      require(Ledger.at(b.ledgerPath).isApplied("extract:demo",
+        s"parquet|${b.src}"), "ledger did not record the extract")
+      // the layered-schema view, resolved by NAME from the catalog
+      s.table("staging_004_demo")
+        .select(col("fid").cast("long").as("fid"), col("_geom_md5"),
+          st_geometrytype(col("geom")).as("gtype"))
+        .orderBy("fid")
+    }),
+
+    // The Runner gate's LAW half (split from q125): re-run with the
+    // same migration ledger takes the isApplied short-circuit and
+    // returns identical results, and the mart _h3 table ships the
+    // probe-optimal clustered layout (r10 Next #1) — materialized
+    // query-res ancestor present through the h3_index view, file-level
+    // key ranges non-overlapping (repartitionByRange) so probe range
+    // predicates skip files and row groups instead of scanning the
+    // index. Every law is require'd, then emitted as a static-truth
+    // row (the q126 oracle convention).
+    "q219_runner_rerun_layout" -> ((s, dir) => {
+      val b = runnerMemo.getOrElse(dir, runnerE2EBuild(s, dir))
+      val r2 = Runner.run(s, Seq(b.cfg), b.registry, b.out,
+        ledger = Some(Ledger.at(b.ledgerPath)))
+      require(b.r1.extracted("demo").get == r2.extracted("demo").get &&
+        b.r1.indexRows == r2.indexRows,
+        s"ledgered re-run diverged: ${b.r1} vs $r2")
+      val martBack = s.read.parquet(s"${b.out}/mart/demo_h3.parquet")
       require(martBack.columns.contains("h3_parent_8"),
         "runner mart lacks the materialized query-res ancestor")
       require(s.table("h3_index").columns.contains("h3_parent_8"),
@@ -332,11 +366,12 @@ object LiveSourceQueries {
             s"file range [$lo2,...] overlaps previous ending $hi1")
         case _ => ()
       }
-      // the layered-schema view, resolved by NAME from the catalog
-      s.table("staging_004_demo")
-        .select(col("fid").cast("long").as("fid"), col("_geom_md5"),
-          st_geometrytype(col("geom")).as("gtype"))
-        .orderBy("fid")
+      import s.implicits._
+      Seq(("files_range_clustered", true),
+        ("mart_has_query_ancestor", true),
+        ("rerun_short_circuit_identical", true),
+        ("view_keeps_ancestor", true))
+        .toDF("law", "holds").orderBy("law")
     }),
 
     // Arrow IPC wire, distributed page fan-out: the layer served as
@@ -399,6 +434,15 @@ object LiveSourceQueries {
          |       WHEN c_custkey % 3 = 1 THEN 'POLYGON'
          |       ELSE 'LINESTRING' END AS gtype
          |FROM customer WHERE c_custkey <= 150 ORDER BY fid""".stripMargin,
+    // static truth: every law is require'd in-query before emission
+    // (the q126 convention — the oracle pins the emitted shape, the
+    // requires pin the laws)
+    "q219_runner_rerun_layout" ->
+      """SELECT 'files_range_clustered' AS law, true AS holds
+        |UNION ALL SELECT 'mart_has_query_ancestor', true
+        |UNION ALL SELECT 'rerun_short_circuit_identical', true
+        |UNION ALL SELECT 'view_keeps_ancestor', true
+        |ORDER BY law""".stripMargin,
     // applied = version recorded AND checksum matches; a content change
     // therefore flips applied->false and stale->true simultaneously
     "q126_ledger_laws" ->
