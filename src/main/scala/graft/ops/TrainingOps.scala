@@ -884,12 +884,22 @@ object TrainingOps {
   /** The distributed learn loop (scale fallback past
     * `localLearnMaxTypes`): one pair-count aggregation +
     * TakeOrdered(1) round-trip per rule over the evolving wrapped-
-    * symbol type table. */
+    * symbol type table. ALPHABET-AGNOSTIC since r14: the per-rule
+    * replace goes through `call_function("replace", ...)` with
+    * literal Columns (never SQL-string parsing) and the wrap regex
+    * runs in DOTALL, so the same loop serves the [a-z] word engine
+    * and [[byteBpeMerges]]' 256-char unit alphabet — the only
+    * alphabet requirement is the structural one, that '_' is not a
+    * symbol (true for both by construction). Cross-engine tie-break
+    * parity: Spark orders strings by UTF-8 bytes, the driver-local
+    * learn by UTF-16 code units — order-equivalent below U+0800,
+    * which bounds both alphabets. */
   private def bpeMergesDistributed(wordTypes: DataFrame,
       numMerges: Int): DataFrame = {
     val spark = wordTypes.sparkSession
     val types = wordTypes
-      .select(regexp_replace(col("w"), "(.)", "_$1_").as("sym"), col("cnt"))
+      .select(regexp_replace(col("w"), "(?s)(.)", "_$1_").as("sym"),
+        col("cnt"))
       .persist()
     val truncator = new ChainTruncator
     try {
@@ -913,9 +923,11 @@ object TrainingOps {
         else {
           val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((it, a, b, c))
-          // a, b are [a-z]+ by construction — literal-safe in the expr
+          // literal Columns, not an expr string: byte-alphabet symbols
+          // may contain quotes/backslashes that SQL parsing would eat
           cur = cur.withColumn("sym",
-            expr(s"replace(sym, '_${a}__${b}_', '_${a}${b}_')"))
+            call_function("replace", col("sym"),
+              lit(s"_${a}__${b}_"), lit(s"_${a}${b}_")))
           // real vocab training runs thousands of merges: truncate the
           // accumulated replace lineage periodically so plan size and
           // per-iteration analysis cost stay bounded — and FREE each
@@ -1395,11 +1407,13 @@ object TrainingOps {
     * Returns (merge_idx, a, b, cnt) with a/b in unit space. 100 TB
     * shape: the corpus collapses to its pre-token type table in ONE
     * aggregation (tens of millions of types for a trillion-token
-    * corpus); the learn is driver-local over that table. The byte
-    * engine ships ONLY the local learn — over-budget type tables
-    * refuse loudly (the word engine's distributed fallback replays
-    * wrapped-symbol SQL that assumes its [a-z] alphabet; sizing
-    * guidance on [[bpeMerges]] applies here unchanged). */
+    * corpus); within `localLearnMaxTypes` the learn is driver-local
+    * over that table ([[bpeMerges]]' sizing guidance applies
+    * unchanged); past the budget it falls back to the SAME
+    * distributed per-rule aggregation loop as the word engine —
+    * alphabet-agnostic since its replace goes through literal
+    * Columns (spec-pinned local == distributed on a multibyte
+    * corpus). */
   def byteBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
       localLearnMaxTypes: Long = 2000000L): DataFrame = {
     require(numMerges >= 1, "byteBpeMerges needs numMerges >= 1")
@@ -1413,13 +1427,12 @@ object TrainingOps {
       .persist()
     try {
       val n = types.count()
-      require(n <= localLearnMaxTypes,
-        s"byteBpeMerges: $n pre-token types exceed localLearnMaxTypes=" +
-          s"$localLearnMaxTypes — the byte engine ships the driver-local " +
-          "learn only; raise the budget on a driver sized for ~10x the " +
-          "type table (see bpeMerges' sizing note)")
-      val local = types.collect().map(r => (r.getString(0), r.getLong(1)))
-      bpeLearnLocal(local, numMerges).toDF("merge_idx", "a", "b", "cnt")
+      if (n <= localLearnMaxTypes) {
+        val local = types.collect().map(r => (r.getString(0), r.getLong(1)))
+        return bpeLearnLocal(local, numMerges)
+          .toDF("merge_idx", "a", "b", "cnt")
+      }
+      bpeMergesDistributed(types, numMerges)
     } finally types.unpersist(blocking = false)
   }
 
@@ -1484,5 +1497,51 @@ object TrainingOps {
         posexplode(col("toks")).as(Seq("__t0", "token")))
       .select(col(idCol), col("pretok_pos"), col("w0"), col("w"),
         (col("__t0") + 1).as("tok_pos"), col("token"))
+  }
+
+  /** The (token, id) VOCABULARY a byte-level rule set induces — the
+    * GPT-2 construction: ids 0..255 are the byte units in byte-value
+    * order, then one id per merge in rule order (merge i, 1-based,
+    * mints token a+b at id 255 + i). Every token [[byteBpeTokenSpans]]
+    * can emit is covered: single-unit tokens are base ids, and every
+    * multi-unit symbol was minted by exactly the merge whose fusion
+    * it is. If a later merge re-mints an existing string (possible
+    * when two different segmentations fuse to the same text — e.g.
+    * (a, bc) then (ab, c)), the FIRST id wins: the two symbols are
+    * indistinguishable as strings, so one id is the only consistent
+    * encoding. Driver-side k+256 rows, like the merge table itself. */
+  def byteBpeVocab(merges: Seq[(String, String)]): Seq[(String, Long)] = {
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty &&
+        (a + b).forall(ByteUnitsMap.isUnit),
+        s"byte-level BPE merge rules must be non-empty strings over " +
+          s"the byte-unit alphabet, got ('$a', '$b')")
+    }
+    val base = (0 until 256).map(b =>
+      ByteUnitsMap.byteToChar(b).toString -> b.toLong)
+    val fused = merges.zipWithIndex.map { case ((a, b), i) =>
+      (a + b) -> (256L + i) }
+    val seen = scala.collection.mutable.LinkedHashMap[String, Long]()
+    (base ++ fused).foreach { case (t, id) =>
+      if (!seen.contains(t)) seen.put(t, id) }
+    seen.toSeq
+  }
+
+  /** Tokenize to TOKEN IDS — [[byteBpeTokenSpans]] joined through the
+    * [[byteBpeVocab]] literal map: (idCol, pretok_pos, tok_pos,
+    * token, token_id). The lookup can never miss (vocab covers every
+    * emittable token by construction), so a NULL id is a broken rule
+    * set — surface it, don't drop it: callers require'ing
+    * `token_id IS NOT NULL` get the loud version of that contract
+    * (the q220 battery entry does). Same scale shape as the spans. */
+  def byteBpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      hintBroadcastLexicon: Boolean = true): DataFrame = {
+    val vocab = byteBpeVocab(merges)
+    val idMap = map_from_arrays(
+      typedLit(vocab.map(_._1)), typedLit(vocab.map(_._2)))
+    byteBpeTokenSpans(docs, idCol, textCol, merges, hintBroadcastLexicon)
+      .select(col(idCol), col("pretok_pos"), col("tok_pos"),
+        col("token"), element_at(idMap, col("token")).as("token_id"))
   }
 }

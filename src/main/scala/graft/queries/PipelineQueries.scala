@@ -1083,6 +1083,29 @@ object PipelineQueries {
         .orderBy("doc_id", "pretok_pos", "tok_pos")
     }),
 
+    // Byte-level token IDS (ops/TrainingOps.byteBpeVocab/
+    // byteBpeEncodeIds) — the vocabulary artifact a training pipeline
+    // actually feeds the model builder: ids 0..255 = byte units in
+    // byte order, then one id per merge in rule order (GPT-2's
+    // construction). The coverage law — the vocab lookup can NEVER
+    // miss, because every emittable token is a base unit or some
+    // merge's fusion — is require'd in-query over the FULL corpus;
+    // the oracle reconstructs every id from the replayed merge chain
+    // (fused: 255 + merge index; base: the unit's byte value).
+    "q220_byte_bpe_ids" -> ((s, dir) => {
+      val rules = byteBpeMemo.getOrElse(dir, learnByteBpeRules(s, dir))
+      val ids = graft.ops.TrainingOps.byteBpeEncodeIds(
+        docs(s, dir), "doc_id", "text", rules)
+      val misses = ids.filter(col("token_id").isNull).count()
+      require(misses == 0L,
+        s"byte-BPE vocabulary lookup missed $misses tokens — the " +
+          "vocab must cover every emittable token by construction")
+      ids.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("pretok_pos"), col("tok_pos"),
+          col("token"), col("token_id"))
+        .orderBy("doc_id", "pretok_pos", "tok_pos")
+    }),
+
     // DSIR data selection (ops/TrainingOps.dsirWeights/dsirResample,
     // Xie et al. NeurIPS 2023): importance weights from hashed
     // unigram+bigram bucket profiles of a small target corpus
@@ -1294,6 +1317,37 @@ object PipelineQueries {
          |  CAST(unnest(range(1, len(toks) + 1)) AS INT) AS tok_pos,
          |  unnest(toks) AS token
          |FROM pt JOIN lex USING (w0)
+         |ORDER BY doc_id, pretok_pos, tok_pos""".stripMargin
+    },
+    // Ids from the replayed chain: fused tokens via 255 + merge index
+    // (first mint wins), base units via the byte value (this corpus's
+    // units are a-z at their codepoints plus chr(288) = the space
+    // byte 32).
+    "q220_byte_bpe_ids" -> {
+      val pat = graft.ops.TrainingOps.bytePretokenPattern.replace("'", "''")
+      val fusedUnion = (1 to 8)
+        .map(i => s"SELECT $i AS i, a || b AS token FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""${byteChainSql(8)},
+         |fused AS (SELECT token, CAST(255 + MIN(i) AS BIGINT) AS fid
+         |  FROM ($fusedUnion) GROUP BY token),
+         |lex AS (SELECT w0,
+         |  string_split(regexp_replace(sym, '^_|_${"$"}', '', 'g'), '__') AS toks
+         |  FROM w8),
+         |pt AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$pat')) AS w0,
+         |    unnest(range(1, len(regexp_extract_all(text, '$pat')) + 1))
+         |      AS pretok_pos
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |sp AS (SELECT doc_id, CAST(pretok_pos AS INT) AS pretok_pos,
+         |    CAST(unnest(range(1, len(toks) + 1)) AS INT) AS tok_pos,
+         |    unnest(toks) AS token
+         |  FROM pt JOIN lex USING (w0))
+         |SELECT doc_id, pretok_pos, tok_pos, token,
+         |  COALESCE(fused.fid,
+         |    CASE WHEN unicode(token) = 288 THEN 32
+         |         ELSE CAST(unicode(token) AS BIGINT) END) AS token_id
+         |FROM sp LEFT JOIN fused USING (token)
          |ORDER BY doc_id, pretok_pos, tok_pos""".stripMargin
     },
     // The count-min build + probe replayed cell for cell — every step

@@ -623,6 +623,58 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte BPE: distributed learn == driver-local on multibyte text; " +
+      "vocab ids cover every token and round-trip") {
+    import spark.implicits._
+    import TrainingOps.ByteUnitsMap
+    val docs = Seq(
+      (1L, "the quick brown fox. The quick brown fox!"),
+      (2L, "Größenwahn, naïveté, 日本語 — the quick test"),
+      (3L, "numbers 12345 12345 and emoji 😀😀😀"),
+      (4L, "the the the quick quick brown")).toDF("doc_id", "text")
+    val local = TrainingOps.byteBpeMerges(docs, "text", numMerges = 10)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // the distributed fallback (forced via budget 0) learns the
+    // IDENTICAL rule sequence over the byte-unit alphabet — the
+    // call_function(replace) path never SQL-parses a symbol
+    val dist = TrainingOps.byteBpeMerges(docs, "text", numMerges = 10,
+        localLearnMaxTypes = 0L)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(dist.toSeq == local.toSeq,
+      s"distributed byte learn diverged:\n${dist.toSeq}\n${local.toSeq}")
+    // vocab: 256 base ids in byte order, then one per merge
+    val rules = local.map(t => (t._2, t._3)).toSeq
+    val vocab = TrainingOps.byteBpeVocab(rules)
+    assert(vocab.size == 266, s"${vocab.size} entries, want 256 + 10")
+    val vmap = vocab.toMap
+    assert(vmap(ByteUnitsMap.byteToChar(0x20).toString) == 32L)
+    assert(vmap(ByteUnitsMap.byteToChar(0).toString) == 0L)
+    assert(vmap("t") == 't'.toLong)
+    assert(vmap(rules.head._1 + rules.head._2) == 256L)
+    assert(vmap(rules.last._1 + rules.last._2) == 265L)
+    // encode ids: no misses, and ids round-trip to tokens through the
+    // reverse vocab (bijective on the emitted set)
+    val ids = TrainingOps.byteBpeEncodeIds(docs, "doc_id", "text", rules)
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(ids.nonEmpty && ids.exists(_._2 >= 256L),
+      "no fused token ever emitted — fixture has no merge mass")
+    val rev = vocab.map(_.swap).toMap
+    ids.foreach { case (tok, id) =>
+      assert(rev(id) == tok, s"id $id decoded to ${rev(id)}, not $tok")
+    }
+    // duplicate mint: two segmentations fusing to the same string —
+    // the FIRST id wins and the vocab stays one-row-per-token
+    val dup = Seq(("a", "b"), ("ab", "c"), ("a", "bc"))
+    val v2 = TrainingOps.byteBpeVocab(dup)
+    assert(v2.count(_._1 == "abc") == 1)
+    assert(v2.toMap.apply("abc") == 257L)
+    intercept[IllegalArgumentException] {
+      TrainingOps.byteBpeVocab(Seq(("a", "_")))
+    }
+  }
+
   test("weightedSamplePerGroup == weightedSample per group; partitioning-invariant") {
     import spark.implicits._
     val d = (1L to 400L).map(i => (i, s"g${i % 3}", (i % 17 + 1).toDouble))
