@@ -1636,13 +1636,6 @@ object TextDedup {
       .select(col(idCol).as("__id"), explode(array_distinct(
         filter(tokensOf(col(textCol)), t => length(t) > 0))).as("tok")))
 
-  /** [[jaccardJoin]]'s candidate stage, exposed for measurement:
-    * prefix-token equi-join + size filter, and (when `positional`)
-    * the PPJoin positional filter — see [[jaccardJoin]]'s scaladoc
-    * for the lemmas. Returns distinct (id_a, id_b), id_a < id_b,
-    * a SUPERSET of the true tau-pairs either way (both filters are
-    * upper-bound arguments: they only remove pairs that cannot reach
-    * tau, never true pairs — the recall-1 spec pins this). */
   /** The ranked prefix table [[jaccardCandidates]] joins on: for each
     * doc, its distinct tokens ranked by global rarity (__df asc, tok
     * asc), kept up to the prefix-lemma length |d| − α(d) + 1. Returns
@@ -1713,6 +1706,13 @@ object TextDedup {
     }
   }
 
+  /** [[jaccardJoin]]'s candidate stage, exposed for measurement:
+    * prefix-token equi-join + size filter, and (when `positional`)
+    * the PPJoin positional filter — see [[jaccardJoin]]'s scaladoc
+    * for the lemmas. Returns distinct (id_a, id_b), id_a < id_b,
+    * a SUPERSET of the true tau-pairs either way (both filters are
+    * upper-bound arguments: they only remove pairs that cannot reach
+    * tau, never true pairs — the recall-1 spec pins this). */
   private[graft] def jaccardCandidates(toks: DataFrame, tau: Double,
       positional: Boolean): DataFrame = {
     def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
