@@ -798,6 +798,41 @@ object ProfileBpe {
       val b = meter.drain()
       println(f"""{"metric":"bpe_deep_learn","word_types":200000,"merges":$merges,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.1f}""")
     }
+    // BYTE-LEVEL engine (r14): same learn loop underneath, but the
+    // type table is pre-tokens in unit space (case, digits,
+    // punctuation, whitespace all kept — nothing dropped, nothing
+    // OOV). Corpus curve + a deep run over the same synthetic
+    // vocabulary: the byte alphabet costs nothing extra per rule
+    // (per-rule work is the merged pair's occurrences, not the
+    // alphabet size); what changes is the type-table width (' word'
+    // and 'word' are distinct pre-token types).
+    val rowsB = Seq(1, 4, 16).map { m =>
+      val docs = blowupDocs(base, m).persist()
+      val nDocs = docs.count()
+      val nTypes = docs.select(explode(
+          graft.ops.TrainingOps.bytePretokens(col("text"))).as("w0"))
+        .filter(length(col("w0")) > 0)
+        .select(graft.ops.TrainingOps.byte_units(col("w0")))
+        .distinct().count()
+      meter.drain()
+      val t = timed {
+        assert(graft.ops.TrainingOps
+          .byteBpeMerges(docs, "text", 8).count() == 8)
+      }
+      val b = meter.drain()
+      docs.unpersist()
+      f""""m_$m":{"docs":$nDocs,"pretoken_types":$nTypes,"learn8_wall_s":$t%.2f,"learn8_shuffle_mb":${b / 1e6}%.1f}"""
+    }
+    println(s"""{"metric":"byte_bpe_scale_curve",${rowsB.mkString(",")}}""")
+    for (merges <- Seq(8192)) {
+      meter.drain()
+      val t = timed {
+        assert(graft.ops.TrainingOps
+          .byteBpeMerges(deep, "text", merges).count() == merges)
+      }
+      val b = meter.drain()
+      println(f"""{"metric":"byte_bpe_deep_learn","word_types":200000,"merges":$merges,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.1f}""")
+    }
     deep.unpersist()
     spark.stop()
   }

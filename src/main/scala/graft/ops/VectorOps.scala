@@ -993,18 +993,26 @@ object VectorOps {
       tau: Double, bands: Int = 4, bandBits: Int = 16,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket >= 1, "srpCandidates needs maxBucket >= 1")
-    // one banding pass feeds both self-join sides (broadcast and
-    // shuffle exchanges never unify — the Materialize seam)
-    val banded0 = Materialize.stage(
-      srpBands(emb, idCol, vecCol, bands, bandBits))
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
+    // ONE (band, bucket) repartition up front, staged AFTER the cap:
+    // the size aggregation and the cap join are co-partitioned with
+    // it (zero further exchanges — ReusedExchange unifies the two
+    // reads of the banding subtree), and the self-join sides read the
+    // staged frame's preserved partitioning, so the banded table
+    // crosses the wire ONCE however it is consumed. Staging the
+    // pre-cap frame instead (the r14 first cut) re-executed the
+    // un-materialized cap join on both self-join sides — 8 exchanges
+    // where this plan has 2 (PlanSpec pins the bound).
+    val banded = Materialize.stage {
+      val b0 = srpBands(emb, idCol, vecCol, bands, bandBits)
+        .repartition(col("band"), col("bucket"))
+      if (maxBucket == Int.MaxValue) b0
       else {
-        val sizes = banded0.groupBy("band", "bucket")
+        val sizes = b0.groupBy("band", "bucket")
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= maxBucket)
-        banded0.join(sizes, Seq("band", "bucket")).drop("bsz")
+        b0.join(sizes, Seq("band", "bucket")).drop("bsz")
       }
+    }
     val pairs = banded.select(col("band"), col("bucket"),
         col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("bucket"),

@@ -280,6 +280,44 @@ class PlanSpec extends AnyFunSuite {
     assert(ivf.contains("LeftAnti"), "q180 removal filter not an anti join")
   }
 
+  test("r14 plans: byte-BPE lexicon broadcasts; jaccard positional " +
+      "keeps one exchange per stage; srp cap reuses the bucket shuffle") {
+    import org.apache.spark.sql.functions.col
+    // byteBpeTokenSpans/byteBpeEncodeIds: the corpus side must pay an
+    // explode + BROADCAST probe — a shuffle of exploded pre-tokens is
+    // the 100 TB mistake the type-table design exists to avoid
+    val p217 = planOf("q217_byte_bpe")
+    assert(p217.contains("BroadcastHashJoin"), p217.take(600))
+    assert(!p217.contains("SortMergeJoin"),
+      "byte lexicon join shuffled the corpus:\n" + p217.take(600))
+    // jaccardCandidates(positional): the first-match groupBy replaced
+    // .distinct() — there must be no EXTRA exchange vs the prefix-only
+    // path (one for df counts, one for the doc window, one for the
+    // tok join, one for the pair groupBy; the count is identical)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = graft.ops.TextDedup.jaccardTokens(docs, "doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    val nPos = exchanges(graft.ops.TextDedup
+      .jaccardCandidates(toks, 0.8, positional = true))
+    val nOff = exchanges(graft.ops.TextDedup
+      .jaccardCandidates(toks, 0.8, positional = false))
+    assert(nPos <= nOff,
+      s"positional filter added exchanges: $nPos vs $nOff")
+    // srpCandidates' maxBucket sizes aggregation shuffles on the SAME
+    // (band, bucket) key the self-join needs — the capped plan must
+    // not gain more than the one aggregation exchange
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nCap = exchanges(graft.ops.VectorOps.srpCandidates(
+      emb, "vec_id", "embedding", tau = 0.9, maxBucket = 100))
+    val nNoCap = exchanges(graft.ops.VectorOps.srpCandidates(
+      emb, "vec_id", "embedding", tau = 0.9))
+    assert(nCap <= nNoCap + 1,
+      s"maxBucket cap added more than one exchange: $nCap vs $nNoCap")
+  }
+
   test("geo expressions do not break whole-stage codegen (not CodegenFallback)") {
     // the index build's hottest stage: parquet scan -> fixture geometry
     // -> polyfill projection. With CodegenFallback H3 expressions the
