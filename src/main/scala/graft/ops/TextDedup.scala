@@ -288,14 +288,22 @@ object TextDedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b)))
         .as(Seq("band", "bucket")))
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
+    // ONE (band, bucket) repartition, staged after the cap (the r14
+    // srpCandidates treatment): the size agg and cap join are
+    // co-partitioned with it, and the self-join sides read the staged
+    // frame's preserved partitioning — the narrow banded table
+    // crosses the wire once however it is consumed, instead of once
+    // per consumer.
+    val banded = Materialize.stage {
+      val b0 = banded0.repartition(col("band"), col("bucket"))
+      if (maxBucket == Int.MaxValue) b0
       else {
-        val sizes = banded0.groupBy("band", "bucket")
+        val sizes = b0.groupBy("band", "bucket")
           .agg(count(lit(1)).as("bsz"))
           .filter(col("bsz") <= maxBucket)
-        banded0.join(sizes, Seq("band", "bucket")).drop("bsz")
+        b0.join(sizes, Seq("band", "bucket")).drop("bsz")
       }
+    }
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,
@@ -343,12 +351,15 @@ object TextDedup {
       maxHamming: Int = 8): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
       simhash64(tokensOf(col(textCol))).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*))
-        .as("bb"))
+    // repartitioned by the join key and staged: one simhash pass, one
+    // exchange, both self-join sides read it (srpCandidates treatment)
+    val banded = Materialize.stage(sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*))
+          .as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.chunk"))
+      .repartition(col("band"), col("chunk")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -497,8 +508,11 @@ object TextDedup {
       minHashMd5SigTable(df, idCol, textCol, shingleN, k))
     // same narrow-fan-out shape as the production variant: the banded
     // frame ships (doc_id, band, bucket digest) only; the k minima
-    // re-attach to the candidate pairs afterwards
-    val banded = md5Banded(sig, k, bands)
+    // re-attach to the candidate pairs afterwards. Repartitioned by
+    // the join key and staged, so both self-join sides read ONE
+    // exchange's worth of it (the srpCandidates r14 treatment).
+    val banded = Materialize.stage(
+      md5Banded(sig, k, bands).repartition(col("band"), col("bucket")))
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,
@@ -759,11 +773,14 @@ object TextDedup {
     // spark.graft.stage.mode=persist|checkpoint for explicit /
     // fault-tolerant lifecycles (Materialize.stage).
     val sig = Materialize.stage(simHashMd5Sig(df, idCol, textCol))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("sig"), b * 4 + 1, 4).as("chunk"))): _*)).as("bb"))
+    // one (band, chunk) exchange serves both self-join sides (the
+    // srpCandidates r14 treatment)
+    val banded = Materialize.stage(sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("sig"), b * 4 + 1, 4).as("chunk"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.chunk"))
+      .repartition(col("band"), col("chunk")))
     val a = banded.as("a")
     val b = banded.as("b")
     // digit-wise Hamming: per hex position, popcount of (va XOR vb)
@@ -1716,6 +1733,12 @@ object TextDedup {
   private[graft] def jaccardCandidates(toks: DataFrame, tau: Double,
       positional: Boolean): DataFrame = {
     def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
+    // NOT pre-partitioned by tok (unlike the srpCandidates r14
+    // treatment): the prefix table is cand-join-sized, AQE broadcasts
+    // it at interactive scale, and forcing a repartition measured
+    // STRICTLY worse (ProfileJaccard 13.9 -> 15.7 shuffle MB, 3.95 ->
+    // 4.29 s at 17k docs) — the banded LSH tables are the ones whose
+    // self-joins genuinely re-exchange
     val prefix = Materialize.stage(jaccardPrefixFrame(toks, tau))
     val sized = prefix
       .select(col("tok"), col("__id").as("id_a"),
