@@ -1196,19 +1196,33 @@ object ProfileSrpRecall {
       .filter(col("c") >= 0.85)
       .persist()
     exact.count()
-    for ((bands, bits) <- Seq((4, 16), (8, 8), (16, 4))) {
-      val cand = graft.ops.VectorOps.srpCandidates(corpus, "vec_id",
-        "embedding", tau = -1.0, bands = bands, bandBits = bits).count()
+    def report(label: String, bands: Int, bits: Int, probes: Int,
+        cand: Long, pairsAt: Double => DataFrame): Unit =
       for (tau <- Seq(0.85, 0.95)) {
         val truePairs = exact.filter(col("c") >= tau)
           .select("id_a", "id_b")
         val nTrue = truePairs.count()
-        val got = graft.ops.VectorOps.srpCandidates(corpus, "vec_id",
-            "embedding", tau = tau, bands = bands, bandBits = bits)
-          .select("id_a", "id_b")
-        val hit = got.join(truePairs, Seq("id_a", "id_b")).count()
-        println(f"""{"metric":"srp_recall","vecs":$n,"bands":$bands,"bits":$bits,"tau":$tau,"true_pairs":$nTrue,"found":$hit,"recall":${hit.toDouble / math.max(nTrue, 1)}%.4f,"cand_pairs":$cand}""")
+        val hit = pairsAt(tau).select("id_a", "id_b")
+          .join(truePairs, Seq("id_a", "id_b")).count()
+        println(f"""{"metric":"$label%s","vecs":$n,"bands":$bands,"bits":$bits,"probes":$probes,"tau":$tau,"true_pairs":$nTrue,"found":$hit,"recall":${hit.toDouble / math.max(nTrue, 1)}%.4f,"cand_pairs":$cand}""")
       }
+    for ((bands, bits) <- Seq((4, 16), (8, 8), (16, 4))) {
+      val cand = graft.ops.VectorOps.srpCandidates(corpus, "vec_id",
+        "embedding", tau = -1.0, bands = bands, bandBits = bits).count()
+      report("srp_recall", bands, bits, 0, cand,
+        t => graft.ops.VectorOps.srpCandidates(corpus, "vec_id",
+          "embedding", tau = t, bands = bands, bandBits = bits))
+    }
+    // multi-probe at the precision point: recall recovered WITHOUT
+    // more bands (the candidate mass stays a fraction of 8x8's)
+    for (probes <- Seq(1, 2, 4)) {
+      val cand = graft.ops.VectorOps.srpMultiProbeCandidates(corpus,
+        "vec_id", "embedding", tau = -1.0, bands = 4, bandBits = 16,
+        probes = probes).count()
+      report("srp_multiprobe_recall", 4, 16, probes, cand,
+        t => graft.ops.VectorOps.srpMultiProbeCandidates(corpus,
+          "vec_id", "embedding", tau = t, bands = 4, bandBits = 16,
+          probes = probes))
     }
     corpus.unpersist(blocking = false)
     exact.unpersist(blocking = false)

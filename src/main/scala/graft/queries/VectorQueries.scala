@@ -189,6 +189,52 @@ object VectorQueries {
       } finally cands.unpersist(blocking = false)
     }),
 
+    // MULTI-PROBE SRP (ops/VectorOps.srpMultiProbeCandidates — Lv et
+    // al. VLDB'07): probe r flips the r-th lowest-|projection| bit,
+    // buying back the 4x16 precision point's recall without more
+    // bands (measured: tau-0.95 recall 0.84 -> 0.99 at probes=2 for
+    // ~2.7x the base candidates, vs 8x8's 100x). Fixture plants
+    // noised copies whose signatures MAY drift a bit; two laws
+    // require'd in-query: superset of the unprobed candidates, and a
+    // strict gain on the noised mass. The full chain — projections,
+    // margins, flip ranks, probe join, refine — replays in DuckDB.
+    "q221_srp_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val noised = e.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          zip_with(col("embedding"),
+            concat(slice(col("embedding"), 2, 63),
+              slice(col("embedding"), 1, 1)),
+            (a, b) => a + lit(0.35) * b).as("embedding"))
+      val corpus = e.unionByName(noised)
+      val withP = graft.ops.VectorOps.srpMultiProbeCandidates(
+        corpus, "vec_id", "embedding", tau = 0.8, probes = 2).persist()
+      val base = graft.ops.VectorOps.srpCandidates(
+        corpus, "vec_id", "embedding", tau = 0.8).persist()
+      try {
+        val lost = base.select("id_a", "id_b")
+          .exceptAll(withP.select("id_a", "id_b")).count()
+        require(lost == 0L,
+          s"multi-probe LOST $lost base candidate pairs — probe 0 " +
+            "must reproduce the base banding")
+        val gained = withP.select("id_a", "id_b")
+          .exceptAll(base.select("id_a", "id_b")).count()
+        require(gained > 0L,
+          "probing found nothing the base banding missed — the " +
+            "noised fixture has no drifted-signature mass")
+        val sess = s
+        import sess.implicits._
+        withP.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          .toDF("id_a", "id_b", "cos_sim")
+          .orderBy("id_a", "id_b")
+      } finally {
+        withP.unpersist(blocking = false)
+        base.unpersist(blocking = false)
+      }
+    }),
+
     // STREAMING SRP bucketing (ops/VectorOps.srpBandBuckets): the
     // q208 band assignment as a stateless per-row expression — an
     // ingest stream buckets new embeddings for near-dup lookup with
@@ -336,6 +382,65 @@ object VectorQueries {
          |SELECT id_a, id_b, cos_sim FROM cand
          |WHERE cos_sim >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     // The full corpus's band buckets replayed (same sign matrix, same
+    // The q208 chain + margins: flip rank r = r-th smallest (|p|,
+    // bit) per (vec, band); probes are xor(bucket, 1 << bit); the
+    // probe side joins the base side, pairs normalize via
+    // LEAST/GREATEST. Noised fixture in exact double arithmetic.
+    "q221_srp_multiprobe" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 200000,
+         |    list_transform(range(1, 65), j ->
+         |      CAST(embedding[CAST(j AS INT)] AS DOUBLE) +
+         |      CAST(0.35 AS DOUBLE) *
+         |        CAST(embedding[CAST(j % 64 + 1 AS INT)] AS DOUBLE))
+         |  FROM embeddings WHERE vec_id % 7 = 0
+         |), sgn AS (
+         |  SELECT i, list(CASE WHEN substring(md5('rp#' || i || '#' || j), 1, 1)
+         |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+         |    ORDER BY j) AS s
+         |  FROM range(64) t1(i), range(64) t2(j) GROUP BY i
+         |), proj AS (
+         |  SELECT vec_id, i,
+         |    list_sum(list_transform(range(1, 65), j ->
+         |      s[CAST(j AS INT)] * embedding[CAST(j AS INT)])) AS p
+         |  FROM corpus, sgn WHERE embedding IS NOT NULL
+         |), bands AS (
+         |  SELECT vec_id, CAST(i // 16 AS INTEGER) AS band,
+         |    CAST(SUM(CASE WHEN p > 0 THEN 1 << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), flips AS (
+         |  SELECT vec_id, CAST(i // 16 AS INTEGER) AS band,
+         |    CAST(i % 16 AS INTEGER) AS bit_i,
+         |    row_number() OVER (PARTITION BY vec_id, i // 16
+         |                       ORDER BY ABS(p), i % 16) AS rnk
+         |  FROM proj
+         |), probes AS (
+         |  SELECT vec_id, band, bucket FROM bands
+         |  UNION ALL
+         |  SELECT f.vec_id, f.band,
+         |    CAST(xor(b.bucket, CAST(1 AS BIGINT) << f.bit_i) AS BIGINT)
+         |  FROM flips f JOIN bands b
+         |    ON b.vec_id = f.vec_id AND b.band = f.band
+         |  WHERE f.rnk <= 2
+         |), pairs AS (
+         |  SELECT DISTINCT LEAST(p.vec_id, b.vec_id) AS id_a,
+         |    GREATEST(p.vec_id, b.vec_id) AS id_b
+         |  FROM probes p JOIN bands b
+         |    ON p.band = b.band AND p.bucket = b.bucket
+         |      AND p.vec_id <> b.vec_id
+         |), cand AS (
+         |  SELECT id_a, id_b,
+         |    ROUND(${sqlDot.format("ea.embedding", "eb.embedding")} /
+         |      NULLIF(${sqlL2("ea.embedding")} * ${sqlL2("eb.embedding")}, 0), 6) AS cos_sim
+         |  FROM pairs
+         |  JOIN corpus ea ON ea.vec_id = pairs.id_a
+         |  JOIN corpus eb ON eb.vec_id = pairs.id_b)
+         |SELECT id_a, id_b, cos_sim FROM cand
+         |WHERE cos_sim >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     // in-order folds, same little-endian bit packing as q208's chain).
     "q214_streaming_srp" ->
       s"""WITH sgn AS (

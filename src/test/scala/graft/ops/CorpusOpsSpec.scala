@@ -927,6 +927,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("srpMultiProbeCandidates: probe 0 == base bands; each probe " +
+      "flips exactly one bit; candidates grow monotonically and " +
+      "strictly beat the base on a noised corpus") {
+    import spark.implicits._
+    val e = quarterVecs(60, 8, seed = 79)
+    // noised copies: cosine high but signatures allowed to drift a bit
+    val noised = e.select((col("vec_id") + 5000L).as("vec_id"),
+      zip_with(col("embedding"),
+        concat(slice(col("embedding"), 2, 7), slice(col("embedding"), 1, 1)),
+        (a, b) => a + lit(0.25f) * b).as("embedding"))
+    val corpus = e.unionByName(noised)
+    // probe 0 of the probe table IS the base banding
+    val baseBands = VectorOps.srpBands(corpus, "vec_id", "embedding",
+        bands = 4, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val probeTable = VectorOps.srpProbeBands(corpus, "vec_id", "embedding",
+        bands = 4, bandBits = 16, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3)))
+    val p0 = probeTable.filter(_._3 == 0)
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(p0 == baseBands, "probe 0 diverged from the base banding")
+    // every probe r >= 1 differs from its base bucket in EXACTLY one
+    // bit, and the flipped bits are distinct across probes of a band
+    probeTable.filter(_._3 > 0).groupBy(t => (t._1, t._2)).foreach {
+      case ((id, band), rows) =>
+        val flips = rows.map(t =>
+          java.lang.Long.bitCount(t._4 ^ baseBands((id, band))))
+        assert(flips.forall(_ == 1),
+          s"vec $id band $band: non-single-bit probes ${flips.toSeq}")
+        val bits = rows.map(t => t._4 ^ baseBands((id, band))).toSet
+        assert(bits.size == rows.length,
+          s"vec $id band $band: duplicate probe flips")
+    }
+    // monotone candidate growth; probes=0 == srpCandidates exactly
+    def pairsAt(p: Int): Set[(Long, Long)] =
+      VectorOps.srpMultiProbeCandidates(corpus, "vec_id", "embedding",
+          tau = 0.7, bands = 4, bandBits = 16, probes = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base0 = VectorOps.srpCandidates(corpus, "vec_id", "embedding",
+        tau = 0.7, bands = 4, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (s0, s1, s3) = (pairsAt(0), pairsAt(1), pairsAt(3))
+    assert(s0 == base0, "probes=0 diverged from srpCandidates")
+    assert(s0.subsetOf(s1) && s1.subsetOf(s3),
+      "candidates not monotone in probes")
+    assert(s3.size > s0.size,
+      s"probing found nothing new on the noised corpus (${s0.size})")
+    intercept[IllegalArgumentException] {
+      VectorOps.srpProbeBands(e, "vec_id", "embedding", probes = 17)
+    }
+  }
+
   test("pq loud contracts: empty frames and corpus < ksub refuse with context (r12 ADVICE)") {
     val e = quarterVecs(6, 8, seed = 61)
     val empty = e.filter(col("vec_id") < 0)
