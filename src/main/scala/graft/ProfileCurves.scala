@@ -1377,6 +1377,31 @@ object ProfileJaccard {
       println(f"""{"metric":"jaccard_join","docs":$nd,"pairs_ge_tau":$pairs,"cand_prefix_only":$candPrefixOnly,"cand_positional":$candPos,"wall_s":$t%.2f,"shuffle_mb":${b / 1e6}%.2f,"brute_join_rows":$bruteRows,"brute_wall_s":$tBrute%.2f}""")
       d.unpersist(blocking = false)
     }
+    // INCREMENTAL state: append a ~6% delta to the 17k corpus vs a
+    // full rebuild over the union — the O(delta) claim, measured
+    {
+      val all = corpus(16000L).persist(); all.count()
+      val init = all.filter(col("doc_id") % 17 =!= 3).persist()
+      val delta = all.filter(col("doc_id") % 17 === 3).persist()
+      val (nInit, nDelta) = (init.count(), delta.count())
+      val s0 = graft.ops.TextDedup.jaccardJoinState(
+        init, "doc_id", "text", tau = 0.8)
+      s0.pairs.count() // materialize the stored state
+      meter.drain()
+      val tInc = timed {
+        val s1 = graft.ops.TextDedup.jaccardJoinAppend(
+          s0, delta, "doc_id", "text")
+        s1.pairs.count()
+        s1.release()
+      }
+      val bInc = meter.drain()
+      val tFull = timed(noop(
+        graft.ops.TextDedup.jaccardJoin(all, "doc_id", "text", tau = 0.8)))
+      val bFull = meter.drain()
+      println(f"""{"metric":"jaccard_incremental","docs":$nInit,"delta_docs":$nDelta,"append_wall_s":$tInc%.2f,"append_shuffle_mb":${bInc / 1e6}%.2f,"rebuild_wall_s":$tFull%.2f,"rebuild_shuffle_mb":${bFull / 1e6}%.2f}""")
+      s0.release()
+      Seq(all, init, delta).foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }

@@ -1631,6 +1631,14 @@ object TextDedup {
     require(tau > 0.0 && tau <= 1.0, "jaccardJoin needs tau in (0, 1]")
     val toks = jaccardTokens(docs, idCol, textCol)
     val cands = jaccardCandidates(toks, tau, positional = true)
+    jaccardVerifyPairs(cands, toks, tau)
+  }
+
+  /** The exact verify: candidate (id_a, id_b) pairs against the token
+    * table — intersection count, UNROUNDED division compared to tau
+    * (identical IEEE ops in any engine), rounded only on output. */
+  private def jaccardVerifyPairs(cands: DataFrame, toks: DataFrame,
+      tau: Double): DataFrame = {
     val sz = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
     cands
       .join(toks.select(col("__id").as("id_a"), col("tok")), "id_a")
@@ -1647,11 +1655,15 @@ object TextDedup {
 
   /** The staged distinct-token table [[jaccardJoin]] builds:
     * (__id, tok), null ids and empty tokens excluded. */
-  private[graft] def jaccardTokens(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = Materialize.stage(
+  private def rawJaccardTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("__id"), explode(array_distinct(
-        filter(tokensOf(col(textCol)), t => length(t) > 0))).as("tok")))
+        filter(tokensOf(col(textCol)), t => length(t) > 0))).as("tok"))
+
+  private[graft] def jaccardTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Materialize.stage(rawJaccardTokens(docs, idCol, textCol))
 
   /** The ranked prefix table [[jaccardCandidates]] joins on: for each
     * doc, its distinct tokens ranked by global rarity (__df asc, tok
@@ -1769,6 +1781,170 @@ object TextDedup {
             col("__nb") - col("__m.__pb")) >= o)
         .select("id_a", "id_b")
     }
+  }
+
+  // ---------------------------- incremental exact-Jaccard state
+
+  /** Stored state for O(delta) maintenance of the EXACT Jaccard join
+    * across appends — the [[ShingleState]]/SemState pattern at the
+    * recall-1 endpoint. `toks` (__id, tok) and `prefix` (tok, __id,
+    * __sz, __rnk) cover the whole corpus; `dfFrozen` is the rarity
+    * order FROZEN at build/reindex time (the IVF frozen-centroid
+    * discipline: refresh on a schedule, never per batch); `pairs` is
+    * the exact output so far. All four are truncation-staged
+    * (they feed the next maintenance run's plan). */
+  final case class JaccardState(toks: DataFrame, dfFrozen: DataFrame,
+      prefix: DataFrame, pairs: DataFrame, tau: Double,
+      internals: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      internals.foreach(_.unpersist(blocking = false))
+      Seq(toks, dfFrozen, prefix, pairs)
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Prefixes of `toks` docs under the FROZEN (df, tok) order of
+    * `dfTab` — tokens absent from the frozen table read df 0 (rank
+    * FIRST, like [[jaccardPrefixProbe]]'s unseen-token rule:
+    * candidate-adding only, never recall-losing, since the lemma
+    * holds under ANY total order both sides share). */
+  private def frozenPrefix(toks: DataFrame, dfTab: DataFrame,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
+    val wDoc = Window.partitionBy("__id")
+    toks.join(dfTab, Seq("tok"), "left")
+      .withColumn("__df0", coalesce(col("__df"), lit(0L)))
+      .withColumn("__rnk", row_number().over(
+        wDoc.orderBy(col("__df0"), col("tok"))))
+      .withColumn("__sz", count(lit(1)).over(wDoc))
+      .filter(col("__rnk") <= col("__sz") - alpha(col("__sz")) + 1)
+      .select("tok", "__id", "__sz", "__rnk")
+  }
+
+  /** Candidates between a QUERY prefix frame and an INDEX prefix
+    * frame (both under ONE frozen order — the lemma's only
+    * requirement): prefix-token equi-join + size filter + the
+    * positional filter, pair keys normalized via least/greatest so
+    * both orientations of a pair collapse (positions re-keyed to the
+    * normalized endpoints first — the first-shared-token bound needs
+    * a consistent per-pair orientation). */
+  private def deltaJaccardCandidates(prefixQ: DataFrame,
+      prefixI: DataFrame, tau: Double): DataFrame = {
+    def alpha(sz: Column): Column = ceil(lit(tau) * sz - lit(1e-9))
+    val q = prefixQ.select(col("tok"), col("__id").as("__qa"),
+      col("__sz").as("__na"), col("__rnk").as("__pa"))
+    val i = prefixI.select(col("tok"), col("__id").as("__qb"),
+      col("__sz").as("__nb"), col("__rnk").as("__pb"))
+    val fwd = col("__qa") < col("__qb")
+    q.join(i, Seq("tok"))
+      .filter(col("__qa") =!= col("__qb"))
+      .filter(col("__nb") >= alpha(col("__na")) &&
+        col("__na") >= alpha(col("__nb")))
+      .select(least(col("__qa"), col("__qb")).as("id_a"),
+        greatest(col("__qa"), col("__qb")).as("id_b"),
+        when(fwd, col("__pa")).otherwise(col("__pb")).as("__p1"),
+        when(fwd, col("__pb")).otherwise(col("__pa")).as("__p2"),
+        when(fwd, col("__na")).otherwise(col("__nb")).as("__n1"),
+        when(fwd, col("__nb")).otherwise(col("__na")).as("__n2"))
+      .groupBy("id_a", "id_b")
+      .agg(min(struct(col("__p1"), col("__p2"))).as("__m"),
+        first(col("__n1")).as("__n1"), first(col("__n2")).as("__n2"))
+      .filter(lit(1) +
+        least(col("__n1") - col("__m.__p1"),
+          col("__n2") - col("__m.__p2")) >=
+        ceil(lit(tau / (1.0 + tau)) *
+          (col("__n1") + col("__n2")) - lit(1e-9)))
+      .select("id_a", "id_b")
+  }
+
+  /** Build the stored exact-Jaccard state: one full [[jaccardJoin]]
+    * pass whose intermediates (tokens, frozen rarity order, prefixes)
+    * are kept for O(delta) appends. `pairs` equals `jaccardJoin(docs)`
+    * exactly (spec-pinned). */
+  def jaccardJoinState(docs: DataFrame, idCol: String, textCol: String,
+      tau: Double): JaccardState = {
+    require(tau > 0.0 && tau <= 1.0, "jaccardJoinState needs tau in (0, 1]")
+    val toks = Materialize.stage(rawJaccardTokens(docs, idCol, textCol),
+      requireTruncation = true)
+    val dfFrozen = Materialize.stage(
+      toks.groupBy("tok").agg(count(lit(1)).as("__df")),
+      requireTruncation = true)
+    val prefix = Materialize.stage(frozenPrefix(toks, dfFrozen, tau),
+      requireTruncation = true)
+    val pairs = Materialize.stage(
+      jaccardVerifyPairs(deltaJaccardCandidates(prefix, prefix, tau),
+        toks, tau),
+      requireTruncation = true)
+    JaccardState(toks, dfFrozen, prefix, pairs, tau)
+  }
+
+  /** O(delta) APPEND maintenance of [[JaccardState]]: the new exact
+    * pair set is provably the old one plus the pairs touching a
+    * delta doc — the OUTPUT of an exact join is a pure function of
+    * the document sets (pruning order affects efficiency, never
+    * results), and a pair of two untouched docs has an unchanged
+    * Jaccard. So the delta pays: its own tokens (O(delta) text work),
+    * prefixes under the STORED frozen order (unseen tokens rank
+    * first — candidate-adding only), the candidate join delta-prefix
+    * x full-prefix, and the exact verify of those candidates. The
+    * stored prefix table is SCANNED, never re-ranked: df drift only
+    * costs pruning efficiency, which [[jaccardJoinReindex]] refreshes
+    * on the caller's schedule (pairs carry over verbatim even then —
+    * they are order-independent facts).
+    *
+    * APPEND-ONLY by contract: a delta id already present in the
+    * state refuses loudly (count mismatches silently corrupt sizes
+    * and intersections). Re-crawl updates (changed/removed docs) are
+    * a rebuild — the exactness families that support removal
+    * ([[incrementalShingleState]], spans) maintain count-based
+    * invariants; an exact-ratio join's removal frontier is the full
+    * pair set of the removed docs, which IS the rebuild. */
+  def jaccardJoinAppend(state: JaccardState, addedDocs: DataFrame,
+      idCol: String, textCol: String,
+      hintBroadcastDelta: Boolean = true): JaccardState = {
+    def bc(df: DataFrame): DataFrame =
+      if (hintBroadcastDelta) broadcast(df) else df
+    val toksAdd = rawJaccardTokens(addedDocs, idCol, textCol).persist()
+    val deltaIds = toksAdd.select("__id").distinct()
+    // state.toks is SCANNED with a broadcast semi filter — only
+    // delta-colliding rows reach the distinct — so the contract check
+    // shuffles O(delta), not O(corpus)
+    val dup = state.toks.join(bc(deltaIds), Seq("__id"), "left_semi")
+      .select("__id").distinct().count()
+    require(dup == 0L,
+      s"jaccardJoinAppend: $dup delta ids already exist in the state " +
+        "— the state is append-only (re-crawl updates are a rebuild; " +
+        "see scaladoc)")
+    val prefixAdd = frozenPrefix(toksAdd, state.dfFrozen, state.tau)
+      .persist()
+    val toksNew = Materialize.stage(state.toks.union(toksAdd),
+      requireTruncation = true)
+    val cands = deltaJaccardCandidates(prefixAdd,
+      state.prefix.union(prefixAdd), state.tau)
+    val verified = jaccardVerifyPairs(cands, toksNew, state.tau)
+    val pairsNew = Materialize.stage(state.pairs.union(verified),
+      requireTruncation = true)
+    val prefixNew = Materialize.stage(state.prefix.union(prefixAdd),
+      requireTruncation = true)
+    JaccardState(toksNew, state.dfFrozen, prefixNew, pairsNew, state.tau,
+      internals = Seq(toksAdd, prefixAdd))
+  }
+
+  /** Refresh the frozen rarity order from the CURRENT token table —
+    * the compaction hook for long append chains: pruning efficiency
+    * drifts as real df diverges from the frozen snapshot, but the
+    * PAIRS are order-independent facts and carry over verbatim, so a
+    * reindex costs one df aggregation + one prefix re-rank and NO
+    * pair recomputation. */
+  def jaccardJoinReindex(state: JaccardState): JaccardState = {
+    val dfNew = Materialize.stage(
+      state.toks.groupBy("tok").agg(count(lit(1)).as("__df")),
+      requireTruncation = true)
+    val prefixNew = Materialize.stage(
+      frozenPrefix(state.toks, dfNew, state.tau),
+      requireTruncation = true)
+    JaccardState(state.toks, dfNew, prefixNew, state.pairs, state.tau)
   }
 
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts

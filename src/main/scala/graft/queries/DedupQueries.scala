@@ -152,6 +152,44 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL exact-Jaccard state (ops/TextDedup.jaccardJoinState/
+    // Append): the recall-1 join maintained O(delta) across an append
+    // — the exactness endpoint joins the incremental family
+    // (q162 shingles, q177 spans, q181/q187 semdedup). The delta pays
+    // its own tokens, prefixes under the STORED frozen rarity order
+    // (unseen tokens rank first — candidate-adding only), the
+    // delta x full candidate join, and the exact verify; pairs of two
+    // untouched docs are order-independent facts and carry verbatim.
+    // Two-sided pin in ONE full-outer diff job vs the full rebuild;
+    // the oracle is the algorithm-free brute-force join over the
+    // union stratum — the incremental recall-1 certificate.
+    "q222_incremental_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val s0 = TextDedup.jaccardJoinState(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text", tau = 0.95)
+      val s1 = TextDedup.jaccardJoinAppend(s0,
+        d.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      try {
+        val full = TextDedup.jaccardJoin(
+          d.filter(col("doc_id") % 3 <= 1), "doc_id", "text", tau = 0.95)
+        val diff = s1.pairs.withColumnRenamed("jaccard", "__ji")
+          .join(full.withColumnRenamed("jaccard", "__jf"),
+            Seq("id_a", "id_b"), "full_outer")
+          .filter(col("__ji").isNull || col("__jf").isNull ||
+            col("__ji") =!= col("__jf"))
+          .count()
+        require(diff == 0L,
+          s"incremental exact-Jaccard diverged from the full rebuild " +
+            s"on $diff pairs")
+        val sess = s
+        import sess.implicits._
+        s1.pairs.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          .toDF("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      } finally { s1.release(); s0.release() }
+    }),
+
     // STREAMING Jaccard prefix-bucket probe (ops/TextDedup.
     // jaccardPrefixProbe): q211's prefix table as a STATELESS per-row
     // expression over a reference-snapshot df map — an ingest stream
@@ -989,6 +1027,29 @@ object DedupQueries {
          |SELECT wc.doc_id, wc.component, best.canonical_id,
          |  (wc.doc_id = best.canonical_id) AS keep
          |FROM wc JOIN best USING (component) ORDER BY wc.doc_id""".stripMargin,
+    // Algorithm-free ground truth over the UNION stratum: the
+    // incremental state's pairs must equal what a from-scratch brute
+    // force computes — the incremental recall-1 certificate.
+    "q222_incremental_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <= 1
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+        |    x -> len(x) > 0))) AS tok
+        |  FROM d WHERE doc_id IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(o AS DOUBLE) / CAST(x.n + y.n - o AS DOUBLE) AS jac
+        |  FROM i JOIN sz x ON x.doc_id = i.id_a
+        |         JOIN sz y ON y.doc_id = i.id_b)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.95 ORDER BY id_a, id_b""".stripMargin,
     // The ranked rarity prefix replayed in SQL: df over the FULL
     // corpus, (df, tok) window rank per doc, the same IEEE-guarded
     // prefix length, stratum slice.

@@ -752,6 +752,61 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JaccardState: init == jaccardJoin; appends == full rebuild " +
+      "over randomized splits; reindex keeps pairs; append-only is loud") {
+    import spark.implicits._
+    def corpus(seed: Int, n: Int, vocab: Int, len: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (1L to n.toLong).map(i =>
+        (i, (0 until (3 + rnd.nextInt(len))).map(_ =>
+          s"w${rnd.nextInt(vocab)}").mkString(" ")))
+    }
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for ((seed, vocab, len, tau) <- Seq(
+        (11, 12, 10, 0.6), (12, 40, 18, 0.8), (13, 6, 6, 0.9))) {
+      val all = corpus(seed, 150, vocab, len)
+      val (a, b) = all.partition(_._1 % 3 != 1)
+      val (b1, b2) = b.partition(_._1 % 2 == 0)
+      val dfA = a.toDF("doc_id", "text")
+      val full = pairsOf(TextDedup.jaccardJoin(
+        all.toDF("doc_id", "text"), "doc_id", "text", tau))
+      // init == the one-shot operator
+      val s0 = TextDedup.jaccardJoinState(dfA, "doc_id", "text", tau)
+      assert(pairsOf(s0.pairs) == pairsOf(
+        TextDedup.jaccardJoin(dfA, "doc_id", "text", tau)),
+        s"seed=$seed: init diverged from jaccardJoin")
+      // two chained appends == full rebuild over the union
+      val s1 = TextDedup.jaccardJoinAppend(s0,
+        b1.toDF("doc_id", "text"), "doc_id", "text")
+      val s2 = TextDedup.jaccardJoinAppend(s1,
+        b2.toDF("doc_id", "text"), "doc_id", "text")
+      assert(pairsOf(s2.pairs) == full,
+        s"seed=$seed tau=$tau: incremental != rebuild; " +
+          s"missing=${full -- pairsOf(s2.pairs)} " +
+          s"extra=${pairsOf(s2.pairs) -- full}")
+      // reindex refreshes the order, keeps the pairs bit for bit
+      val s3 = TextDedup.jaccardJoinReindex(s2)
+      assert(pairsOf(s3.pairs) == full, s"seed=$seed: reindex changed pairs")
+      // a third append AFTER reindex still equals the rebuild
+      val extra = Seq((9001L, "w1 w2 w3"), (9002L, "w1 w2 w3 w4"))
+      val s4 = TextDedup.jaccardJoinAppend(s3,
+        extra.toDF("doc_id", "text"), "doc_id", "text")
+      val full2 = pairsOf(TextDedup.jaccardJoin(
+        (all ++ extra).toDF("doc_id", "text"), "doc_id", "text", tau))
+      assert(pairsOf(s4.pairs) == full2,
+        s"seed=$seed: post-reindex append diverged")
+      // append-only contract: an existing id refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        TextDedup.jaccardJoinAppend(s4,
+          Seq((1L, "w1 w2")).toDF("doc_id", "text"), "doc_id", "text")
+      }
+      assert(e.getMessage.contains("append-only"), e.getMessage)
+      Seq(s0, s1, s2, s3, s4).foreach(_.release())
+    }
+  }
+
   test("jaccardJoin is partitioning-invariant and null-id/null-text safe") {
     import spark.implicits._
     val base = (1L to 60L).map(i =>
