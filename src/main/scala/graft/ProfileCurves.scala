@@ -1402,6 +1402,45 @@ object ProfileJaccard {
       s0.release()
       Seq(all, init, delta).foreach(_.unpersist(blocking = false))
     }
+    // The per-append STAGING floor, measured across a 5-append chain:
+    // the PAIR work is O(delta), but each append re-materializes
+    // toks/prefix/pairs as full-table unions (jaccardJoinAppend
+    // scaladoc) — so per-append staged bytes should stay ~flat at
+    // O(corpus) while the delta stays small, and releasing the
+    // superseded state each step keeps the RESIDENT total flat too
+    // (the service discipline; Materialize.release frees the
+    // localCheckpoint blocks Dataset.unpersist cannot).
+    {
+      val all = corpus(16000L).persist(); all.count()
+      val init = all.filter(col("doc_id") % 23 > 4).persist(); init.count()
+      def storageBytes: Long = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      var st = graft.ops.TextDedup.jaccardJoinState(
+        init, "doc_id", "text", tau = 0.8)
+      Seq(st.toks, st.prefix, st.sizes, st.pairs).foreach(_.count())
+      for (k <- 0 until 5) {
+        val delta = all.filter(col("doc_id") % 23 === k).persist()
+        val nd = delta.count()
+        val before = storageBytes
+        meter.drain()
+        var nxt: graft.ops.TextDedup.JaccardState = null
+        val t = timed {
+          nxt = graft.ops.TextDedup.jaccardJoinAppend(
+            st, delta, "doc_id", "text")
+          // materialize every state table — what a service stores
+          Seq(nxt.toks, nxt.prefix, nxt.sizes, nxt.pairs)
+            .foreach(_.count())
+        }
+        val stagedNew = storageBytes - before
+        val sh = meter.drain()
+        st.release() // AFTER the new state materialized
+        st = nxt
+        println(f"""{"metric":"jaccard_append_chain","append_idx":${k + 1},"delta_docs":$nd,"wall_s":$t%.2f,"staged_new_mb":${stagedNew / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"resident_after_release_mb":${storageBytes / 1e6}%.2f}""")
+        delta.unpersist(blocking = false)
+      }
+      st.release()
+      Seq(all, init).foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
   }
 }

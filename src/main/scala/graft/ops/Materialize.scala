@@ -56,12 +56,14 @@ object Materialize {
   // needed). Cloned sessions (newSession) on a LIVE context are not
   // sweepable this way — a caller who drops such a session without
   // releaseStaged() would leak its entry AND its persisted blocks
-  // forever — so the map is additionally BOUNDED: insertion-ordered,
-  // and past MaxTrackedSessions the eldest session's frames are
-  // unpersisted and its entry evicted. Unpersisting is
-  // correctness-neutral in persist mode (lineage is kept; consumers
-  // recompute), so the bound converts an unbounded leak into a
-  // bounded cache with LRU-by-session eviction.
+  // forever — so the map is additionally BOUNDED: ordered by LAST
+  // STAGING time (track() re-positions a session to the tail on every
+  // stage), and past MaxTrackedSessions the least-recently-STAGING
+  // session's frames are unpersisted and its entry evicted — an
+  // actively-staging long-lived session is never the victim.
+  // Unpersisting is correctness-neutral in persist mode (lineage is
+  // kept; consumers recompute), so the bound converts an unbounded
+  // leak into a bounded cache with LRU-by-session eviction.
   private[graft] val MaxTrackedSessions = 64
   private val staged =
     new java.util.LinkedHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
@@ -94,8 +96,15 @@ object Materialize {
   private def track(df: DataFrame): DataFrame = {
     staged.synchronized {
       sweepStopped()
-      staged.computeIfAbsent(df.sparkSession,
-        _ => new java.util.ArrayList[DataFrame]()).add(df)
+      // remove+reinsert so the insertion-ordered map becomes
+      // LRU-by-last-STAGING: an actively-staging long-lived session
+      // (the service's primary, typically) is re-positioned to the
+      // tail on every stage and is never the eviction victim; only
+      // sessions that stopped staging age toward the head.
+      val lst = Option(staged.remove(df.sparkSession))
+        .getOrElse(new java.util.ArrayList[DataFrame]())
+      lst.add(df)
+      staged.put(df.sparkSession, lst)
     }
     df
   }
@@ -140,5 +149,21 @@ object Materialize {
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be localCheckpoint|persist|checkpoint|none, got '$other'")
     }
+  }
+
+  /** Eagerly free a staged/persisted frame under ANY stage mode.
+    * `Dataset.unpersist` alone is a NO-OP for `localCheckpoint()`ed
+    * frames — the default stage mode — because localCheckpoint
+    * persists at the RDD level, below the cache manager; those blocks
+    * otherwise free only when the driver GCs the checkpointed RDD
+    * (exactly the residual-pressure failure mode a battery of
+    * state-heavy queries exhibits). So: free the checkpointed RDD via
+    * the Bridge when the frame is one, then unpersist the cache-
+    * manager entry for the persist-mode case. The frame must not be
+    * executed again afterwards. */
+  def release(df: DataFrame): Unit = {
+    org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(df)
+      .foreach(_.unpersist(blocking = false))
+    df.unpersist(blocking = false)
   }
 }

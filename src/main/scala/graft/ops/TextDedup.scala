@@ -1246,7 +1246,7 @@ object TextDedup {
       spans: DataFrame, internals: Seq[DataFrame] = Nil) {
     def release(): Unit = {
       internals.foreach(_.unpersist(blocking = false))
-      Seq(anchors, counts, spans).foreach(_.unpersist(blocking = false))
+      Seq(anchors, counts, spans).foreach(Materialize.release)
     }
   }
 
@@ -1394,7 +1394,7 @@ object TextDedup {
       pairs: DataFrame, internals: Seq[DataFrame] = Nil) {
     def release(): Unit = {
       internals.foreach(_.unpersist(blocking = false))
-      Seq(grams, df, pairs).foreach(_.unpersist(blocking = false))
+      Seq(grams, df, pairs).foreach(Materialize.release)
     }
   }
 
@@ -1638,8 +1638,17 @@ object TextDedup {
     * table — intersection count, UNROUNDED division compared to tau
     * (identical IEEE ops in any engine), rounded only on output. */
   private def jaccardVerifyPairs(cands: DataFrame, toks: DataFrame,
-      tau: Double): DataFrame = {
-    val sz = toks.groupBy("__id").agg(count(lit(1)).as("__n"))
+      tau: Double): DataFrame =
+    jaccardVerifyPairsSized(cands, toks,
+      toks.groupBy("__id").agg(count(lit(1)).as("__n")), tau)
+
+  /** [[jaccardVerifyPairs]] with a PRECOMPUTED (__id, __n) size table
+    * — the incremental-state path: sizes are append-only facts, so
+    * [[JaccardState]] stores them and an append unions in O(delta)
+    * instead of re-aggregating the full token table per maintenance
+    * run. */
+  private def jaccardVerifyPairsSized(cands: DataFrame, toks: DataFrame,
+      sz: DataFrame, tau: Double): DataFrame = {
     cands
       .join(toks.select(col("__id").as("id_a"), col("tok")), "id_a")
       .join(toks.select(col("__id").as("id_b"), col("tok")),
@@ -1790,16 +1799,18 @@ object TextDedup {
     * recall-1 endpoint. `toks` (__id, tok) and `prefix` (tok, __id,
     * __sz, __rnk) cover the whole corpus; `dfFrozen` is the rarity
     * order FROZEN at build/reindex time (the IVF frozen-centroid
-    * discipline: refresh on a schedule, never per batch); `pairs` is
-    * the exact output so far. All four are truncation-staged
-    * (they feed the next maintenance run's plan). */
+    * discipline: refresh on a schedule, never per batch); `sizes`
+    * (__id, __n) is the per-doc distinct-token count — append-only
+    * facts, stored so the verify never re-aggregates the full token
+    * table; `pairs` is the exact output so far. All five are
+    * truncation-staged (they feed the next maintenance run's plan). */
   final case class JaccardState(toks: DataFrame, dfFrozen: DataFrame,
-      prefix: DataFrame, pairs: DataFrame, tau: Double,
+      prefix: DataFrame, sizes: DataFrame, pairs: DataFrame, tau: Double,
       internals: Seq[DataFrame] = Nil) {
     def release(): Unit = {
       internals.foreach(_.unpersist(blocking = false))
-      Seq(toks, dfFrozen, prefix, pairs)
-        .foreach(_.unpersist(blocking = false))
+      Seq(toks, dfFrozen, prefix, sizes, pairs)
+        .foreach(Materialize.release)
     }
   }
 
@@ -1872,11 +1883,14 @@ object TextDedup {
       requireTruncation = true)
     val prefix = Materialize.stage(frozenPrefix(toks, dfFrozen, tau),
       requireTruncation = true)
-    val pairs = Materialize.stage(
-      jaccardVerifyPairs(deltaJaccardCandidates(prefix, prefix, tau),
-        toks, tau),
+    val sizes = Materialize.stage(
+      toks.groupBy("__id").agg(count(lit(1)).as("__n")),
       requireTruncation = true)
-    JaccardState(toks, dfFrozen, prefix, pairs, tau)
+    val pairs = Materialize.stage(
+      jaccardVerifyPairsSized(deltaJaccardCandidates(prefix, prefix, tau),
+        toks, sizes, tau),
+      requireTruncation = true)
+    JaccardState(toks, dfFrozen, prefix, sizes, pairs, tau)
   }
 
   /** O(delta) APPEND maintenance of [[JaccardState]]: the new exact
@@ -1887,19 +1901,27 @@ object TextDedup {
     * Jaccard. So the delta pays: its own tokens (O(delta) text work),
     * prefixes under the STORED frozen order (unseen tokens rank
     * first — candidate-adding only), the candidate join delta-prefix
-    * x full-prefix, and the exact verify of those candidates. The
-    * stored prefix table is SCANNED, never re-ranked: df drift only
-    * costs pruning efficiency, which [[jaccardJoinReindex]] refreshes
-    * on the caller's schedule (pairs carry over verbatim even then —
-    * they are order-independent facts).
+    * x full-prefix, the exact verify of those candidates (which
+    * joins the STORED size table — sizes are append-only facts that
+    * union in O(delta); intersections still scan the full token
+    * table once, restricted to candidate ids by the equi-join), and
+    * staging: `toks`/`prefix`/`pairs` re-MATERIALIZE as full-table
+    * unions per append (O(corpus) staged bytes each time, though the
+    * shuffled pair work stays O(delta) — ProfileJaccard measures the
+    * flat-per-append staging floor), so batch appends at warehouse
+    * cadence rather than row-at-a-time, and fold a
+    * [[jaccardJoinReindex]] into the same pass when df drift has
+    * eroded pruning. The stored prefix table is SCANNED, never
+    * re-ranked: df drift only costs pruning efficiency, which
+    * [[jaccardJoinReindex]] refreshes on the caller's schedule
+    * (pairs carry over verbatim even then — they are
+    * order-independent facts).
     *
     * APPEND-ONLY by contract: a delta id already present in the
     * state refuses loudly (count mismatches silently corrupt sizes
-    * and intersections). Re-crawl updates (changed/removed docs) are
-    * a rebuild — the exactness families that support removal
-    * ([[incrementalShingleState]], spans) maintain count-based
-    * invariants; an exact-ratio join's removal frontier is the full
-    * pair set of the removed docs, which IS the rebuild. */
+    * and intersections). Re-crawl updates are remove + append:
+    * [[jaccardJoinRemove]] retires ids in O(state scan), then the
+    * changed docs re-enter here. */
   def jaccardJoinAppend(state: JaccardState, addedDocs: DataFrame,
       idCol: String, textCol: String,
       hintBroadcastDelta: Boolean = true): JaccardState = {
@@ -1920,15 +1942,74 @@ object TextDedup {
       .persist()
     val toksNew = Materialize.stage(state.toks.union(toksAdd),
       requireTruncation = true)
+    val sizesNew = Materialize.stage(
+      state.sizes.union(
+        toksAdd.groupBy("__id").agg(count(lit(1)).as("__n"))),
+      requireTruncation = true)
     val cands = deltaJaccardCandidates(prefixAdd,
       state.prefix.union(prefixAdd), state.tau)
-    val verified = jaccardVerifyPairs(cands, toksNew, state.tau)
+    val verified = jaccardVerifyPairsSized(cands, toksNew, sizesNew,
+      state.tau)
     val pairsNew = Materialize.stage(state.pairs.union(verified),
       requireTruncation = true)
     val prefixNew = Materialize.stage(state.prefix.union(prefixAdd),
       requireTruncation = true)
-    JaccardState(toksNew, state.dfFrozen, prefixNew, pairsNew, state.tau,
-      internals = Seq(toksAdd, prefixAdd))
+    JaccardState(toksNew, state.dfFrozen, prefixNew, sizesNew, pairsNew,
+      state.tau, internals = Seq(toksAdd, prefixAdd))
+  }
+
+  /** O(state scan) REMOVE maintenance of [[JaccardState]]: by the
+    * same purity argument as the append — the exact output is a pure
+    * function of the document set — removal can never CREATE a pair,
+    * and a pair of two surviving docs has an unchanged Jaccard
+    * (neither doc's tokens moved). So the new state is pure
+    * filtering: `pairs` keeps rows where NEITHER endpoint is removed;
+    * `toks`/`prefix`/`sizes` keep surviving ids (a survivor's prefix
+    * rows stay exact — prefix length depends only on the doc's OWN
+    * size and the FROZEN order, both untouched). No candidate join,
+    * no re-verify. `dfFrozen` carries verbatim: stale df after
+    * removal costs pruning efficiency only (the lemma holds under
+    * any shared total order), refreshed by [[jaccardJoinReindex]] on
+    * the caller's schedule. Shuffle is O(removed) (the broadcast
+    * anti/semi checks); the survivor tables re-stage O(corpus) bytes,
+    * the same per-maintenance staging floor as the append.
+    *
+    * `removedIds` must each exist in the state — an unknown id
+    * refuses loudly (a silent no-op id in a removal batch usually
+    * means the caller's id space diverged from the state's). A
+    * removed id may be re-appended later: it is no longer in the
+    * state, so the append contract sees it as new — remove + append
+    * IS the re-crawl update path. */
+  def jaccardJoinRemove(state: JaccardState, removedIds: DataFrame,
+      idCol: String, hintBroadcastDelta: Boolean = true): JaccardState = {
+    def bc(df: DataFrame): DataFrame =
+      if (hintBroadcastDelta) broadcast(df) else df
+    val ids = removedIds.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id")).distinct().persist()
+    val unknown = ids.join(state.sizes, Seq("__id"), "left_anti").count()
+    require(unknown == 0L,
+      s"jaccardJoinRemove: $unknown ids are not in the state — " +
+        "removal ids must name existing documents (id-space drift is " +
+        "the usual cause; see scaladoc)")
+    // re-select the ORIGINAL column order: a using-column join moves
+    // __id first, and the state tables feed later POSITIONAL unions
+    // (jaccardJoinAppend) — a reordered prefix table would union tok
+    // under __id
+    def keep(df: DataFrame): DataFrame =
+      Materialize.stage(
+        df.join(bc(ids), Seq("__id"), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*),
+        requireTruncation = true)
+    val pairsNew = Materialize.stage(
+      state.pairs
+        .join(bc(ids.select(col("__id").as("id_a"))), Seq("id_a"),
+          "left_anti")
+        .join(bc(ids.select(col("__id").as("id_b"))), Seq("id_b"),
+          "left_anti")
+        .select("id_a", "id_b", "jaccard"),
+      requireTruncation = true)
+    JaccardState(keep(state.toks), state.dfFrozen, keep(state.prefix),
+      keep(state.sizes), pairsNew, state.tau, internals = Seq(ids))
   }
 
   /** Refresh the frozen rarity order from the CURRENT token table —
@@ -1936,7 +2017,11 @@ object TextDedup {
     * drifts as real df diverges from the frozen snapshot, but the
     * PAIRS are order-independent facts and carry over verbatim, so a
     * reindex costs one df aggregation + one prefix re-rank and NO
-    * pair recomputation. */
+    * pair recomputation. (What a reindex does NOT change: the
+    * per-append O(corpus) staging floor — each append re-materializes
+    * the full `toks`/`prefix`/`pairs` unions, see
+    * [[jaccardJoinAppend]] — so its cadence should follow df DRIFT,
+    * not staging cost.) */
   def jaccardJoinReindex(state: JaccardState): JaccardState = {
     val dfNew = Materialize.stage(
       state.toks.groupBy("tok").agg(count(lit(1)).as("__df")),
@@ -1944,7 +2029,8 @@ object TextDedup {
     val prefixNew = Materialize.stage(
       frozenPrefix(state.toks, dfNew, state.tau),
       requireTruncation = true)
-    JaccardState(state.toks, dfNew, prefixNew, state.pairs, state.tau)
+    JaccardState(state.toks, dfNew, prefixNew, state.sizes, state.pairs,
+      state.tau)
   }
 
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts

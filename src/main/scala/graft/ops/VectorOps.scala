@@ -447,17 +447,16 @@ object VectorOps {
     * leaves the min in place or triggers the re-check that recomputes
     * it), so q184 pins it like any other state column. */
   final case class SemState(members: DataFrame, centroids: DataFrame) {
-    /** Releases CacheManager entries. Honest limit: the removal path's
-      * internal localCheckpoint blocks are NOT CacheManager entries —
-      * they free when the driver GCs the checkpointed RDD (standard
-      * localCheckpoint semantics). A long-running maintenance service
-      * should persist its state tables to the warehouse (parquet, the
-      * incrementalIvf pattern) rather than chaining in-memory states,
-      * which also restores fault tolerance (a checkpoint truncates
-      * lineage, so losing an executor's blocks fails the run instead
-      * of recomputing). */
+    /** Eagerly frees the state frames under any stage mode
+      * ([[graft.ops.Materialize.release]] handles the localCheckpoint
+      * RDD blocks Dataset.unpersist cannot). A long-running
+      * maintenance service should still persist its state tables to
+      * the warehouse (parquet, the incrementalIvf pattern) rather
+      * than chaining in-memory states, which also restores fault
+      * tolerance (a checkpoint truncates lineage, so losing an
+      * executor's blocks fails the run instead of recomputing). */
     def release(): Unit =
-      Seq(members, centroids).foreach(_.unpersist(blocking = false))
+      Seq(members, centroids).foreach(graft.ops.Materialize.release)
   }
 
   /** [[semDedupPrune]] with the evidence column: (idCol, cluster,
@@ -638,7 +637,7 @@ object VectorOps {
     * index under partition-pruned readers). */
   final case class IvfState(assigned: DataFrame, centroids: DataFrame) {
     def release(): Unit =
-      Seq(assigned, centroids).foreach(_.unpersist(blocking = false))
+      Seq(assigned, centroids).foreach(graft.ops.Materialize.release)
   }
 
   /** Full build of [[IvfState]] against an explicit centroid table
@@ -999,9 +998,12 @@ object VectorOps {
     * to `probes` 1-bit-flipped buckets per band) joins the BASE side
     * (staged pre-partitioned, the one-exchange treatment; `maxBucket`
     * caps base groups exactly as [[srpCandidates]]). A pair whose
-    * band signatures differ by <= 1 bit anywhere meets — one
-    * direction suffices, since a 1-bit difference is symmetric —
-    * then the exact cosine refine keeps pairs at `tau`. STRICT
+    * band signatures differ by one bit meets WHEN that bit is within
+    * either side's probe budget — the `probes` lowest-|margin| bits,
+    * the likeliest to differ for true neighbors — so multi-probe is
+    * a heuristic recall boost, not a deterministic 1-bit-recall
+    * guarantee (a 1-bit difference outside both probe sets still
+    * misses). The exact cosine refine keeps pairs at `tau`. STRICT
     * SUPERSET of [[srpCandidates]] at the same (bands, bandBits)
     * (probe 0 is the base bucket; spec-pinned), converging toward
     * the brute-force join as probes grows. Measured on the recall

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, LongType, NumericType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite a pure range join — an INNER join
   * whose only join predicates are `pt >= lo AND pt <= hi` with the
@@ -117,7 +117,15 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (cond.references.exists(_.name.startsWith("__g_rj_b_")))
       return None
 
-    def numeric(e: Expression) = e.dataType.isInstanceOf[NumericType]
+    // numeric AND temporal points/bounds bucketize: timestamps
+    // normalize to epoch MICROS, dates to epoch DAYS (see bucketOf) —
+    // post-analysis comparison operands share a type, so a conjunct's
+    // pt and bound always land in the same bucket space
+    def numeric(e: Expression) = e.dataType match {
+      case _: NumericType => true
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
     // normalize each comparison to (pt, bound, isLower)
     def asBound(c: Expression): Option[(Expression, Expression, Boolean)] =
       c match {
@@ -158,8 +166,24 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // rule constructs POST-analysis nodes — without an explicit zone
       // they report unresolved and plan validation rejects the rewrite
       val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
-      def bucketOf(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType, tz), wLit))
+      // temporal normalization BEFORE the double divide: timestamps
+      // to epoch micros (UnixMicros reads the internal value — no
+      // zone), dates to epoch days; TIMESTAMP_NTZ goes through a
+      // session-zone Cast to timestamp (explicit timeZoneId — the
+      // post-analysis-node lesson). bucketWidth is therefore in the
+      // point's bucket units: the numeric value itself, MICROSECONDS
+      // for timestamps, DAYS for dates. long -> double is monotone
+      // non-decreasing even where it rounds (ties only ever COLLAPSE
+      // buckets), so the no-false-negative argument is unchanged.
+      def bucketOf(e: Expression): Expression = {
+        val norm = e.dataType match {
+          case TimestampType => UnixMicros(e)
+          case TimestampNTZType => UnixMicros(Cast(e, TimestampType, tz))
+          case DateType => UnixDate(e)
+          case _ => e
+        }
+        Floor(Divide(Cast(norm, DoubleType, tz), wLit))
+      }
       val ptBucket = Alias(bucketOf(pt), "__g_rj_b_pt")()
       val ptSide = Project(ptPlan.output :+ ptBucket, ptPlan)
       val bLo = bucketOf(lo)
@@ -177,9 +201,16 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           s"the typical interval width, or raise $FanoutKey")),
         ArrayType(LongType, false), tz)
       // guarded sequence: an empty interval yields an empty array
-      // (Sequence would ERROR on start > stop with a +1 step)
+      // (Sequence would ERROR on start > stop with a +1 step).
+      // Inside the bLo <= bHi branch the true difference is >= 0, so
+      // a NEGATIVE Subtract(bHi, bLo) means the long arithmetic
+      // wrapped (bLo hugely negative, bHi hugely positive) — by
+      // definition over any sane cap; raise rather than skip the
+      // guard and hit Sequence's opaque failure.
+      val diff = Subtract(bHi, bLo)
       val seq = If(LessThanOrEqual(bLo, bHi),
-        If(GreaterThanOrEqual(Subtract(bHi, bLo), Literal(cap)),
+        If(Or(GreaterThanOrEqual(diff, Literal(cap)),
+            LessThan(diff, Literal(0L))),
           overCap,
           Sequence(bLo, bHi, Some(Literal(1L)), tz)),
         Literal.create(Seq.empty[Long], ArrayType(LongType, false)))

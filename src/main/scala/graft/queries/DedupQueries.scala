@@ -190,6 +190,49 @@ object DedupQueries {
       } finally { s1.release(); s0.release() }
     }),
 
+    // REMOVE maintenance of the exact-Jaccard state (ops/TextDedup.
+    // jaccardJoinRemove): q222's inverse — by the same purity
+    // argument (the exact output is a pure function of the document
+    // set), removal is pure filtering: pairs keep rows where neither
+    // endpoint is removed, toks/prefix/sizes keep surviving ids, the
+    // frozen rarity order carries verbatim (stale df costs pruning
+    // efficiency only). No candidate join, no re-verify — O(state
+    // scan) with O(removed) shuffle. Build on strata 0∪1, remove the
+    // even half of stratum 1; two-sided pin in ONE full-outer diff
+    // job vs the full rebuild over the survivors; the oracle is the
+    // algorithm-free brute-force join over the surviving set — the
+    // removal-exactness certificate.
+    "q224_jaccard_remove" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val s0 = TextDedup.jaccardJoinState(
+        d.filter(col("doc_id") % 3 <= 1), "doc_id", "text", tau = 0.95)
+      val s1 = TextDedup.jaccardJoinRemove(s0,
+        d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)
+          .select("doc_id"),
+        "doc_id")
+      try {
+        val survivors = d.filter(col("doc_id") % 3 <= 1 &&
+          !(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0))
+        val full = TextDedup.jaccardJoin(survivors, "doc_id", "text",
+          tau = 0.95)
+        val diff = s1.pairs.withColumnRenamed("jaccard", "__ji")
+          .join(full.withColumnRenamed("jaccard", "__jf"),
+            Seq("id_a", "id_b"), "full_outer")
+          .filter(col("__ji").isNull || col("__jf").isNull ||
+            col("__ji") =!= col("__jf"))
+          .count()
+        require(diff == 0L,
+          s"remove-maintained exact-Jaccard diverged from the full " +
+            s"rebuild over the survivors on $diff pairs")
+        val sess = s
+        import sess.implicits._
+        s1.pairs.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+          .toDF("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      } finally { s1.release(); s0.release() }
+    }),
+
     // STREAMING Jaccard prefix-bucket probe (ops/TextDedup.
     // jaccardPrefixProbe): q211's prefix table as a STATELESS per-row
     // expression over a reference-snapshot df map — an ingest stream
@@ -222,15 +265,24 @@ object DedupQueries {
         try q.processAllAvailable() finally q.stop()
         val streamed = s.table("q218out")
         val toks = TextDedup.jaccardTokens(d, "doc_id", "text")
-        val batch = TextDedup.jaccardPrefixFrame(toks, tau = 0.95)
-          .select(col("__id").as("doc_id"),
-            col("__rnk").as("prefix_rank"), col("tok"))
-        val batchStrat = batch.filter(col("doc_id") % 3 === 1)
-        require(streamed.exceptAll(batchStrat).isEmpty &&
-          batchStrat.exceptAll(streamed).isEmpty,
-          "streaming jaccard prefix probe diverged from the batch " +
-            "prefix frame on the doc stratum")
-        batchStrat.orderBy("doc_id", "prefix_rank")
+        try {
+          val batch = TextDedup.jaccardPrefixFrame(toks, tau = 0.95)
+            .select(col("__id").as("doc_id"),
+              col("__rnk").as("prefix_rank"), col("tok"))
+          val batchStrat = batch.filter(col("doc_id") % 3 === 1)
+          require(streamed.exceptAll(batchStrat).isEmpty &&
+            batchStrat.exceptAll(streamed).isEmpty,
+            "streaming jaccard prefix probe diverged from the batch " +
+              "prefix frame on the doc stratum")
+          // materialize the result BEFORE releasing the staged token
+          // frame it derives from (freed localCheckpoint blocks do
+          // not recompute) — the q222 release discipline
+          val sess = s
+          import sess.implicits._
+          batchStrat.orderBy("doc_id", "prefix_rank")
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+            .toSeq.toDF("doc_id", "prefix_rank", "tok")
+        } finally graft.ops.Materialize.release(toks)
       } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }),
 
@@ -1033,6 +1085,31 @@ object DedupQueries {
     "q222_incremental_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <= 1
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),
+        |    x -> len(x) > 0))) AS tok
+        |  FROM d WHERE doc_id IS NOT NULL
+        |), sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(o AS DOUBLE) / CAST(x.n + y.n - o AS DOUBLE) AS jac
+        |  FROM i JOIN sz x ON x.doc_id = i.id_a
+        |         JOIN sz y ON y.doc_id = i.id_b)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+    // Algorithm-free ground truth over the SURVIVING document set
+    // (build strata 0∪1 minus the removed even half of stratum 1):
+    // the engine's remove-maintained state hash-matching THIS is the
+    // removal-exactness certificate.
+    "q224_jaccard_remove" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 <= 1 AND NOT (doc_id % 3 = 1 AND doc_id % 2 = 0)
         |), tok AS (
         |  SELECT doc_id, unnest(list_distinct(list_filter(
         |    string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' '),

@@ -803,7 +803,37 @@ class DedupOpsSpec extends AnyFunSuite {
           Seq((1L, "w1 w2")).toDF("doc_id", "text"), "doc_id", "text")
       }
       assert(e.getMessage.contains("append-only"), e.getMessage)
-      Seq(s0, s1, s2, s3, s4).foreach(_.release())
+      // REMOVE: drop a slice spanning original AND delta ids — pure
+      // filtering must equal the rebuild over the survivors
+      val corpus4 = all ++ extra
+      val victims = corpus4.map(_._1).filter(_ % 5 == 2)
+      assert(victims.nonEmpty)
+      val s5 = TextDedup.jaccardJoinRemove(s4,
+        victims.toDF("doc_id"), "doc_id")
+      val survivors4 = corpus4.filterNot(_._1 % 5 == 2)
+      val fullR = pairsOf(TextDedup.jaccardJoin(
+        survivors4.toDF("doc_id", "text"), "doc_id", "text", tau))
+      assert(pairsOf(s5.pairs) == fullR,
+        s"seed=$seed: remove != rebuild over survivors; " +
+          s"missing=${fullR -- pairsOf(s5.pairs)} " +
+          s"extra=${pairsOf(s5.pairs) -- fullR}")
+      // remove∘append: a removed id is NEW again — the re-crawl path
+      val reAdd = corpus4.filter(_._1 % 5 == 2).take(3)
+        .map { case (i, t) => (i, t + " w0") }
+      val s6 = TextDedup.jaccardJoinAppend(s5,
+        reAdd.toDF("doc_id", "text"), "doc_id", "text")
+      val full3 = pairsOf(TextDedup.jaccardJoin(
+        (survivors4 ++ reAdd).toDF("doc_id", "text"),
+        "doc_id", "text", tau))
+      assert(pairsOf(s6.pairs) == full3,
+        s"seed=$seed: remove-then-append diverged from rebuild")
+      // unknown removal id refuses loudly
+      val e2 = intercept[IllegalArgumentException] {
+        TextDedup.jaccardJoinRemove(s6,
+          Seq(99999999L).toDF("doc_id"), "doc_id")
+      }
+      assert(e2.getMessage.contains("not in the state"), e2.getMessage)
+      Seq(s0, s1, s2, s3, s4, s5, s6).foreach(_.release())
     }
   }
 

@@ -608,11 +608,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     val emojiToks = spans.filter(t => t._1 == 3L && t._3.contains("😀"))
       .map(_._6)
     assert(emojiToks.nonEmpty)
-    // loud contracts: over-budget type table, foreign rule chars
-    intercept[IllegalArgumentException] {
-      TrainingOps.byteBpeMerges(docs, "text", numMerges = 2,
-        localLearnMaxTypes = 1L)
-    }
+    // over-budget type table: no longer a refusal — it falls back to
+    // the distributed learn and must return the IDENTICAL rule
+    // sequence as the local path (the next test forces the fallback
+    // on multibyte text; this pins the over-budget trigger itself)
+    val overBudget = TrainingOps.byteBpeMerges(docs, "text",
+        numMerges = 2, localLearnMaxTypes = 1L)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val localTwo = TrainingOps.byteBpeMerges(docs, "text", numMerges = 2)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(overBudget.toSeq == localTwo.toSeq,
+      s"over-budget fallback diverged from local learn:\n" +
+        s"${overBudget.toSeq}\n${localTwo.toSeq}")
+    // loud contracts: foreign rule chars
     intercept[IllegalArgumentException] {
       TrainingOps.byteBpeTokenSpans(docs, "doc_id", "text",
         Seq(("a", "_b")))
