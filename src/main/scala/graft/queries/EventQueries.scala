@@ -229,6 +229,51 @@ object EventQueries {
         s.experimental.extraOptimizations = prev
         s.conf.unset(rule.ConfKey)
       }
+    }),
+
+    // TEMPORAL form of the rule (r14 Next #3): `user_id equality AND
+    // ts BETWEEN lo AND hi` on real TIMESTAMPs — the commonest
+    // interval join in the wild (as-of enrichment, sessionization),
+    // which the numeric-only rule could never rewrite and users had
+    // to pre-cast by hand. The rule normalizes timestamps to epoch
+    // MICROS inside the bucket expression (dates to epoch days;
+    // explicit timeZoneId on every post-analysis cast — the q212
+    // lesson), so bucketWidth is 60 s = 6e7 micros here. The require
+    // asserts the composite temporal rewrite fired; the oracle is
+    // DuckDB's declarative keyed interval join over the same
+    // timestamps — byte-identical rows across engines.
+    "q223_rangejoin_rule_temporal" -> ((s, dir) => {
+      val rule = graft.plans.RangeJoinRewrite(s)
+      val prev = s.experimental.extraOptimizations
+      try {
+        s.experimental.extraOptimizations = prev :+ rule
+        s.conf.set(rule.ConfKey, "60000000") // 60 s in micros
+        val e = ev(s, dir)
+        val pts = e.select(col("event_id").as("p_id"),
+          col("user_id").as("pk"), col("ts").as("pt"))
+        val ivs = e.filter(col("event_id") % 101 === 0)
+          .select(col("event_id").as("i_id"), col("user_id").as("ik"),
+            (col("ts") - expr("INTERVAL 60 SECONDS")).as("lo"),
+            (col("ts") + expr("INTERVAL 60 SECONDS")).as("hi"))
+        val joined = pts.join(ivs,
+          col("pk") === col("ik") &&
+            col("pt") >= col("lo") && col("pt") <= col("hi"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("Generate") && plan.contains("__g_rj_b_")
+            && !plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          "RangeJoinRewrite did not rewrite the TIMESTAMP interval " +
+            "join — temporal points/bounds must bucketize via epoch " +
+            "micros")
+        // materialize WHILE the rule is installed (q212's discipline)
+        val rows = joined.groupBy("i_id").agg(count(lit(1)).as("n_in_range"))
+          .orderBy("i_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val sess = s
+        import sess.implicits._
+        rows.toSeq.toDF("i_id", "n_in_range").orderBy("i_id")
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.unset(rule.ConfKey)
+      }
     })
   )
 
@@ -242,6 +287,18 @@ object EventQueries {
         |           FROM events),
         |i AS (SELECT event_id AS i_id, user_id AS ik,
         |             value - 1.0 AS lo, value + 1.0 AS hi
+        |      FROM events WHERE event_id % 101 = 0)
+        |SELECT i_id, CAST(COUNT(*) AS BIGINT) AS n_in_range
+        |FROM p JOIN i ON pk = ik AND pt >= lo AND pt <= hi
+        |GROUP BY 1 ORDER BY i_id""".stripMargin,
+    // The declarative keyed TIMESTAMP interval join: the temporal
+    // rewrite must return byte-identical rows to this.
+    "q223_rangejoin_rule_temporal" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS pk, ts AS pt
+        |           FROM events),
+        |i AS (SELECT event_id AS i_id, user_id AS ik,
+        |             ts - INTERVAL 60 SECOND AS lo,
+        |             ts + INTERVAL 60 SECOND AS hi
         |      FROM events WHERE event_id % 101 = 0)
         |SELECT i_id, CAST(COUNT(*) AS BIGINT) AS n_in_range
         |FROM p JOIN i ON pk = ik AND pt >= lo AND pt <= hi
