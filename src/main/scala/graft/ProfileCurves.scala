@@ -1134,10 +1134,12 @@ object ProfileSelect {
       val n = vecs.count()
       meter.drain()
       val tSrp = timed(noop(graft.ops.VectorOps.srpCandidates(
-        vecs, "vec_id", "embedding", tau = 0.6)))
+        vecs, "vec_id", "embedding", tau = 0.6, bands = 4,
+        bandBits = 16)))
       val bSrp = meter.drain()
       val nCand = graft.ops.VectorOps.srpCandidates(
-        vecs, "vec_id", "embedding", tau = -1.0).count()
+        vecs, "vec_id", "embedding", tau = -1.0, bands = 4,
+        bandBits = 16).count()
       meter.drain()
       // all-pairs baseline only while quadratic cost is affordable
       val (tBrute, bBrute) =

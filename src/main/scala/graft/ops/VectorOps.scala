@@ -1012,7 +1012,7 @@ object VectorOps {
     * probes=4 — at tau 0.95 that is 8x8's recall at ~1/38th of its
     * 1.23M-candidate mass. */
   def srpMultiProbeCandidates(emb: DataFrame, idCol: String,
-      vecCol: String, tau: Double, bands: Int = 4, bandBits: Int = 16,
+      vecCol: String, tau: Double, bands: Int, bandBits: Int,
       probes: Int = 2, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket >= 1, "srpMultiProbeCandidates needs maxBucket >= 1")
     val base = Materialize.stage {
@@ -1058,16 +1058,20 @@ object VectorOps {
     * DIRECTLY on cosine geometry, needs no training pass at all, and
     * its bucket table is streaming-safe (pure map).
     *
-    * OPERATING POINT (measured, ProfileSrpRecall in PERF.md):
-    * P[pair collides in >= 1 band] = 1 − (1 − (1 − θ/π)^bandBits)^
-    * bands — more bands buys recall, more bits buys precision, the
-    * product is the signature budget. At a 64-bit budget over the
-    * embeddings fixture: the default 4x16 is the high-precision point
+    * OPERATING POINT — the caller MUST pick one (no default: a
+    * default 4x16 silently under-recalled semantic near-dup use at
+    * 0.64 recall for tau 0.85, r14 finding): P[pair collides in >= 1
+    * band] = 1 − (1 − (1 − θ/π)^bandBits)^bands — more bands buys
+    * recall, more bits buys precision, the product is the signature
+    * budget. Measured at a 64-bit budget over the embeddings fixture
+    * (ProfileSrpRecall in PERF.md): 4x16 is the high-precision point
     * for exact-duplicate hunting (recall 0.84 even at tau 0.95 —
     * fine when every true dup collides in ALL bands); 8x8 is the
     * semantic near-dup point (recall 0.975/0.999 at tau 0.85/0.95
     * for ~4% candidate mass); 16x4 reaches recall 1.0 but stops
-    * pruning (~2/3 of all pairs become candidates).
+    * pruning (~2/3 of all pairs become candidates). Multi-probe
+    * ([[srpMultiProbeCandidates]]) buys 4x16 most of 8x8's recall at
+    * a fraction of its candidate mass.
     *
     * `maxBucket` drops (band, bucket) groups larger than the cap
     * before the self-join — [[graft.ops.TextDedup.minHashCandidates]]'
@@ -1093,7 +1097,7 @@ object VectorOps {
     * size aggregation is map-side combinable and shuffles on the same
     * (band, bucket) key the join needs anyway. */
   def srpCandidates(emb: DataFrame, idCol: String, vecCol: String,
-      tau: Double, bands: Int = 4, bandBits: Int = 16,
+      tau: Double, bands: Int, bandBits: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket >= 1, "srpCandidates needs maxBucket >= 1")
     // ONE (band, bucket) repartition up front, staged AFTER the cap:

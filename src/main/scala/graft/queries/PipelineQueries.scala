@@ -38,9 +38,10 @@ object PipelineQueries {
   private def bpeRules(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
     bpeMemo.getOrElse(dir, learnBpeRules(s, dir))
 
-  // q217's byte-level rules: the single byte entry pays its own learn
-  // on every execution (q189's honest-timing discipline) — no reader
-  // entry shares them yet, the memo is future-proofing only.
+  // q217's byte-level rules: the learn entry pays its own learn on
+  // every execution (q189's honest-timing discipline) and re-stores;
+  // q220 (ids) and q225 (packing) read the memo — rules are their
+  // INPUT, attributed to q217, which sorts first in battery order.
   private val byteBpeMemo =
     scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
   private def learnByteBpeRules(s: SparkSession,
@@ -1106,6 +1107,28 @@ object PipelineQueries {
         .orderBy("doc_id", "pretok_pos", "tok_pos")
     }),
 
+    // BYTE-level token counts feeding the packing stage (r14 Next #8):
+    // the q112 sequence-packing composition with the PRODUCTION
+    // tokenizer — per-doc counts from byteBpeTokenSpans under the
+    // q217 rule set, packed into 512-token bins per hash shard. The
+    // oracle replays the full byte chain (learn + lexicon + per-doc
+    // token sums) and the window packing in DuckDB, so the byte
+    // tokenizer's counts are pinned INSIDE a downstream composition,
+    // not just standalone. Scale shape: the spans explode + broadcast
+    // lexicon join is map-only; the pack is one shuffle on the shard
+    // key (q112's parallel-window layout).
+    "q225_byte_pack_e2e" -> ((s, dir) => {
+      val rules = byteBpeMemo.getOrElse(dir, learnByteBpeRules(s, dir))
+      val counts = graft.ops.TrainingOps.byteBpeTokenSpans(
+          docs(s, dir), "doc_id", "text", rules)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+      graft.ops.TrainingOps.packSequences(counts, "doc_id", "n_tokens",
+          capacity = 512, shardCol = Some("shard"))
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin")
+        .orderBy("doc_id")
+    }),
+
     // DSIR data selection (ops/TrainingOps.dsirWeights/dsirResample,
     // Xie et al. NeurIPS 2023): importance weights from hashed
     // unigram+bigram bucket profiles of a small target corpus
@@ -1349,6 +1372,30 @@ object PipelineQueries {
          |         ELSE CAST(unicode(token) AS BIGINT) END) AS token_id
          |FROM sp LEFT JOIN fused USING (token)
          |ORDER BY doc_id, pretok_pos, tok_pos""".stripMargin
+    },
+    // Byte-level counts into the q112 packing window, replayed: the
+    // learn chain + lexicon token counts + per-shard prefix-sum bins.
+    "q225_byte_pack_e2e" -> {
+      val pat = graft.ops.TrainingOps.bytePretokenPattern.replace("'", "''")
+      s"""${byteChainSql(8)},
+         |lex AS (SELECT w0, CAST(len(string_split(
+         |    regexp_replace(sym, '^_|_${"$"}', '', 'g'), '__')) AS BIGINT)
+         |    AS ntok
+         |  FROM w8),
+         |pt AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$pat')) AS w0
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         |  FROM pt JOIN lex USING (w0) GROUP BY 1),
+         |packed AS (SELECT doc_id,
+         |    CAST(doc_id % 8 AS INT) AS shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM cnt)
+         |SELECT doc_id, shard, n_tokens, cum_tokens,
+         |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin
+         |FROM packed ORDER BY doc_id""".stripMargin
     },
     // The count-min build + probe replayed cell for cell — every step
     // is md5 + integer arithmetic, so the whole frame hash-matches.

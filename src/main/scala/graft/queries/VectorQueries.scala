@@ -172,7 +172,8 @@ object VectorQueries {
       val corpus = e.unionByName(planted
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
       val cands = graft.ops.VectorOps.srpCandidates(
-        corpus, "vec_id", "embedding", tau = 0.6).persist()
+        corpus, "vec_id", "embedding", tau = 0.6,
+        bands = 4, bandBits = 16).persist()
       try {
         val nPlanted = planted.count()
         val found = cands.filter(col("id_b") - col("id_a") === 100000L &&
@@ -209,9 +210,11 @@ object VectorQueries {
             (a, b) => a + lit(0.35) * b).as("embedding"))
       val corpus = e.unionByName(noised)
       val withP = graft.ops.VectorOps.srpMultiProbeCandidates(
-        corpus, "vec_id", "embedding", tau = 0.8, probes = 2).persist()
+        corpus, "vec_id", "embedding", tau = 0.8,
+        bands = 4, bandBits = 16, probes = 2).persist()
       val base = graft.ops.VectorOps.srpCandidates(
-        corpus, "vec_id", "embedding", tau = 0.8).persist()
+        corpus, "vec_id", "embedding", tau = 0.8,
+        bands = 4, bandBits = 16).persist()
       try {
         val lost = base.select("id_a", "id_b")
           .exceptAll(withP.select("id_a", "id_b")).count()

@@ -847,7 +847,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val zero = Seq((2000L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
     val corpus = e.unionByName(copies).unionByName(zero)
     val got = VectorOps.srpCandidates(corpus, "vec_id", "embedding",
-        tau = 0.999)
+        tau = 0.999, bands = 4, bandBits = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val pairs = got.map(t => (t._1, t._2)).toSet
     for (id <- Seq(3L, 7L, 11L))
@@ -902,7 +902,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     // pileup's equally-quadratic join work dies only at the refine,
     // where its cosine is NULL)
     val uncapped = VectorOps.srpCandidates(corpus, "vec_id",
-      "embedding", tau = 0.999)
+      "embedding", tau = 0.999, bands = 4, bandBits = 16)
     assert(uncapped.filter(col("id_a") >= 20000L &&
       col("id_b") >= 20000L).count() === 500L * 499L / 2L)
 
@@ -913,7 +913,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"expected 4 bands x 2 pileup groups over the cap, got " +
         s"${dropped.toSeq}")
     val capped = VectorOps.srpCandidates(corpus, "vec_id", "embedding",
-        tau = 0.999, maxBucket = 100)
+        tau = 0.999, bands = 4, bandBits = 16, maxBucket = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(!capped.exists(t => t._1 >= 10000L || t._2 >= 10000L),
       "capped run still emitted pileup pairs")
@@ -923,7 +923,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"cap dropped the non-pileup near pair: ${capped.toSeq}")
     intercept[IllegalArgumentException] {
       VectorOps.srpCandidates(corpus, "vec_id", "embedding",
-        tau = 0.9, maxBucket = 0)
+        tau = 0.9, bands = 4, bandBits = 16, maxBucket = 0)
     }
   }
 

@@ -311,9 +311,11 @@ class PlanSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val nCap = exchanges(graft.ops.VectorOps.srpCandidates(
-      emb, "vec_id", "embedding", tau = 0.9, maxBucket = 100))
+      emb, "vec_id", "embedding", tau = 0.9, bands = 4,
+      bandBits = 16, maxBucket = 100))
     val nNoCap = exchanges(graft.ops.VectorOps.srpCandidates(
-      emb, "vec_id", "embedding", tau = 0.9))
+      emb, "vec_id", "embedding", tau = 0.9, bands = 4,
+      bandBits = 16))
     assert(nCap <= nNoCap + 1,
       s"maxBucket cap added more than one exchange: $nCap vs $nNoCap")
   }
