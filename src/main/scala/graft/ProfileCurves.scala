@@ -1435,7 +1435,9 @@ object ProfileJaccard {
         }
         val stagedNew = storageBytes - before
         val sh = meter.drain()
-        st.release() // AFTER the new state materialized
+        // the chain release: frees the superseded state's own frames,
+        // never the dfFrozen the next state carries by reference
+        st.releaseSuperseded(nxt)
         st = nxt
         println(f"""{"metric":"jaccard_append_chain","append_idx":${k + 1},"delta_docs":$nd,"wall_s":$t%.2f,"staged_new_mb":${stagedNew / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"resident_after_release_mb":${storageBytes / 1e6}%.2f}""")
         delta.unpersist(blocking = false)

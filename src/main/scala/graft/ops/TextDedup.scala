@@ -1807,9 +1807,31 @@ object TextDedup {
   final case class JaccardState(toks: DataFrame, dfFrozen: DataFrame,
       prefix: DataFrame, sizes: DataFrame, pairs: DataFrame, tau: Double,
       internals: Seq[DataFrame] = Nil) {
+    /** Free EVERY frame of this state — including ones carried BY
+      * REFERENCE into successor states (`dfFrozen` across
+      * appends/removes; `toks`/`sizes`/`pairs` across a reindex). Only
+      * for ending a whole chain; between chain links use
+      * [[releaseSuperseded]], or the next maintenance run reads a
+      * freed checkpoint block and dies
+      * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). */
     def release(): Unit = {
       internals.foreach(_.unpersist(blocking = false))
       Seq(toks, dfFrozen, prefix, sizes, pairs)
+        .foreach(Materialize.release)
+    }
+
+    /** The service-chain release: free this SUPERSEDED state's frames
+      * EXCEPT those `next` shares by reference (a maintenance step
+      * carries some tables verbatim rather than copying them). Call
+      * after `next`'s tables have been materialized — a lazy
+      * successor checkpoint still reads its predecessor's blocks
+      * until its first execution. */
+    def releaseSuperseded(next: JaccardState): Unit = {
+      val kept = Seq(next.toks, next.dfFrozen, next.prefix, next.sizes,
+        next.pairs)
+      internals.foreach(_.unpersist(blocking = false))
+      Seq(toks, dfFrozen, prefix, sizes, pairs)
+        .filterNot(f => kept.exists(_ eq f))
         .foreach(Materialize.release)
     }
   }

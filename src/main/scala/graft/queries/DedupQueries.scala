@@ -169,9 +169,14 @@ object DedupQueries {
         d.filter(col("doc_id") % 3 === 0), "doc_id", "text", tau = 0.95)
       val s1 = TextDedup.jaccardJoinAppend(s0,
         d.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+      // the rebuild side goes through jaccardJoinState too (init ==
+      // jaccardJoin, spec-pinned) so its staged frames are RELEASABLE
+      // — a bare jaccardJoin's internal staged token table would
+      // otherwise linger until driver GC (the r14 q63 lesson)
+      val sR = TextDedup.jaccardJoinState(
+        d.filter(col("doc_id") % 3 <= 1), "doc_id", "text", tau = 0.95)
       try {
-        val full = TextDedup.jaccardJoin(
-          d.filter(col("doc_id") % 3 <= 1), "doc_id", "text", tau = 0.95)
+        val full = sR.pairs
         val diff = s1.pairs.withColumnRenamed("jaccard", "__ji")
           .join(full.withColumnRenamed("jaccard", "__jf"),
             Seq("id_a", "id_b"), "full_outer")
@@ -187,7 +192,7 @@ object DedupQueries {
             (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
           .toDF("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
-      } finally { s1.release(); s0.release() }
+      } finally { sR.release(); s1.release(); s0.release() }
     }),
 
     // REMOVE maintenance of the exact-Jaccard state (ops/TextDedup.
@@ -210,11 +215,13 @@ object DedupQueries {
         d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)
           .select("doc_id"),
         "doc_id")
+      // releasable rebuild, same as q222
+      val sR = TextDedup.jaccardJoinState(
+        d.filter(col("doc_id") % 3 <= 1 &&
+          !(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)),
+        "doc_id", "text", tau = 0.95)
       try {
-        val survivors = d.filter(col("doc_id") % 3 <= 1 &&
-          !(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0))
-        val full = TextDedup.jaccardJoin(survivors, "doc_id", "text",
-          tau = 0.95)
+        val full = sR.pairs
         val diff = s1.pairs.withColumnRenamed("jaccard", "__ji")
           .join(full.withColumnRenamed("jaccard", "__jf"),
             Seq("id_a", "id_b"), "full_outer")
@@ -230,7 +237,7 @@ object DedupQueries {
             (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
           .toDF("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
-      } finally { s1.release(); s0.release() }
+      } finally { sR.release(); s1.release(); s0.release() }
     }),
 
     // STREAMING Jaccard prefix-bucket probe (ops/TextDedup.

@@ -786,6 +786,14 @@ class DedupOpsSpec extends AnyFunSuite {
         s"seed=$seed tau=$tau: incremental != rebuild; " +
           s"missing=${full -- pairsOf(s2.pairs)} " +
           s"extra=${pairsOf(s2.pairs) -- full}")
+      // mid-chain release, the service pattern: materialize the live
+      // state's tables, then free the SUPERSEDED states' frames —
+      // releaseSuperseded must keep the shared frozen order alive
+      // (plain release() here frees dfFrozen and the next maintenance
+      // step dies on a missing checkpoint block)
+      Seq(s2.toks, s2.prefix, s2.sizes, s2.pairs).foreach(_.count())
+      s0.releaseSuperseded(s1)
+      s1.releaseSuperseded(s2)
       // reindex refreshes the order, keeps the pairs bit for bit
       val s3 = TextDedup.jaccardJoinReindex(s2)
       assert(pairsOf(s3.pairs) == full, s"seed=$seed: reindex changed pairs")
@@ -833,7 +841,7 @@ class DedupOpsSpec extends AnyFunSuite {
           Seq(99999999L).toDF("doc_id"), "doc_id")
       }
       assert(e2.getMessage.contains("not in the state"), e2.getMessage)
-      Seq(s0, s1, s2, s3, s4, s5, s6).foreach(_.release())
+      Seq(s2, s3, s4, s5, s6).foreach(_.release())
     }
   }
 
