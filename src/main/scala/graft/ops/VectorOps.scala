@@ -449,14 +449,27 @@ object VectorOps {
   final case class SemState(members: DataFrame, centroids: DataFrame) {
     /** Eagerly frees the state frames under any stage mode
       * ([[graft.ops.Materialize.release]] handles the localCheckpoint
-      * RDD blocks Dataset.unpersist cannot). A long-running
-      * maintenance service should still persist its state tables to
-      * the warehouse (parquet, the incrementalIvf pattern) rather
-      * than chaining in-memory states, which also restores fault
-      * tolerance (a checkpoint truncates lineage, so losing an
-      * executor's blocks fails the run instead of recomputing). */
+      * RDD blocks Dataset.unpersist cannot). END-OF-CHAIN only: a
+      * maintenance run carries `centroids` into the successor BY
+      * REFERENCE (the frozen-centroid discipline), so releasing a
+      * superseded state mid-chain frees blocks the next run still
+      * reads — use [[releaseSuperseded]] between links. A
+      * long-running maintenance service should still persist its
+      * state tables to the warehouse (parquet, the incrementalIvf
+      * pattern) rather than chaining in-memory states, which also
+      * restores fault tolerance (a checkpoint truncates lineage, so
+      * losing an executor's blocks fails the run instead of
+      * recomputing). */
     def release(): Unit =
       Seq(members, centroids).foreach(graft.ops.Materialize.release)
+
+    /** Free this SUPERSEDED state's frames except those `next` shares
+      * by reference (centroids, across every maintenance run). Call
+      * after `next.members` has been materialized. */
+    def releaseSuperseded(next: SemState): Unit =
+      Seq(members, centroids)
+        .filterNot(f => (f eq next.members) || (f eq next.centroids))
+        .foreach(graft.ops.Materialize.release)
   }
 
   /** [[semDedupPrune]] with the evidence column: (idCol, cluster,
@@ -636,8 +649,18 @@ object VectorOps {
     * ingest batch — per-batch retraining would reshuffle the whole
     * index under partition-pruned readers). */
   final case class IvfState(assigned: DataFrame, centroids: DataFrame) {
+    /** END-OF-CHAIN only — maintenance carries `centroids` into the
+      * successor by reference; between links use
+      * [[releaseSuperseded]]. */
     def release(): Unit =
       Seq(assigned, centroids).foreach(graft.ops.Materialize.release)
+
+    /** Free this superseded state's frames except those `next` shares
+      * by reference (centroids, across every maintenance run). */
+    def releaseSuperseded(next: IvfState): Unit =
+      Seq(assigned, centroids)
+        .filterNot(f => (f eq next.assigned) || (f eq next.centroids))
+        .foreach(graft.ops.Materialize.release)
   }
 
   /** Full build of [[IvfState]] against an explicit centroid table
