@@ -181,6 +181,22 @@ class CorpusOpsSpec extends AnyFunSuite {
         tau = 0.6)
     }
     assert(err.getMessage.contains("append-only"))
+    // chain release (the service pattern): materialize the live
+    // state's members, free the SUPERSEDED state's own frames via
+    // releaseSuperseded — the shared frozen centroids must survive —
+    // then a SECOND append still equals the full re-run
+    inc.members.count()
+    st.releaseSuperseded(inc)
+    val e2 = (91L to 110L).map(i =>
+      i -> Seq.fill(6)(rnd.nextFloat() * 2 - 1))
+    val inc2 = VectorOps.incrementalSemDedup(inc, vecs(e2: _*),
+      "vec_id", "embedding", tau = 0.6)
+    val full2 = VectorOps.semState(e.unionByName(vecs(e2: _*)),
+      "vec_id", "embedding", cents, tau = 0.6)
+    assert(rows(inc2.members) == rows(full2.members),
+      "post-release chained append diverged from the full re-run")
+    inc.releaseSuperseded(inc2)
+    Seq(inc2, full, full2).foreach(_.release())
   }
 
   test("incrementalSemDedup with removals: dirty-frontier resurrection equals full re-run") {
