@@ -336,7 +336,11 @@ object Bench {
     // proven by the shuffle-order mode). Shared memos are released by
     // now, so a retry may pay a memo rebuild — that only makes the
     // retry SLOWER, and the kept value is the min, so the deferred
-    // pass can never fabricate a fast time, only clear a spike.
+    // pass can never fabricate a fast time, only clear a spike. Known
+    // limit: for memo-backed entries (geo/LSH/IVF consumers) the
+    // rebuild usually exceeds a moderate spike, so their deferred rep
+    // rarely wins — those entries keep the r14-style raw/min pair as
+    // their arbitration evidence instead.
     var deferredReps = 0
     val arbitrated = results.map { case r @ (name, v, f, n) =>
       if (v < 0 || v <= adaptiveBar(name)) r
