@@ -25,6 +25,29 @@ object DedupQueries {
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, Array[Array[Double]])]()
 
+  // The strata-0∪1 exact-Jaccard state at tau 0.95 is BOTH q222's
+  // rebuild pin AND q224's removal base — one build, Memos lifecycle
+  // (cost attributed to whichever runs first; each entry's own
+  // maintenance work — the append, the remove, their pins — stays
+  // per-entry). Consumers must NOT release it (the thunk does) and
+  // must releaseSuperseded() their derived states so the shared
+  // frozen order survives for the other consumer.
+  private val jacStateMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, TextDedup.JaccardState]()
+  private def jacState01(s: SparkSession, dir: String): TextDedup.JaccardState = {
+    val st = jacStateMemo.computeIfAbsent(dir, _ =>
+      TextDedup.jaccardJoinState(
+        docs(s, dir).filter(col("doc_id") % 3 <= 1),
+        "doc_id", "text", tau = 0.95))
+    Memos.track(s"dedup:jacstate01:$dir",
+      Set("q222_incremental_jaccard", "q224_jaccard_remove"),
+      token = st) { () =>
+      jacStateMemo.remove(dir)
+      st.release()
+    }
+    st
+  }
+
   // maxBucket=64: the synthetic corpus shares a tiny vocabulary, so a
   // few boilerplate buckets hold hundreds of docs and would dominate
   // the self-join quadratically — the cap is the same guard a web-scale
@@ -169,12 +192,10 @@ object DedupQueries {
         d.filter(col("doc_id") % 3 === 0), "doc_id", "text", tau = 0.95)
       val s1 = TextDedup.jaccardJoinAppend(s0,
         d.filter(col("doc_id") % 3 === 1), "doc_id", "text")
-      // the rebuild side goes through jaccardJoinState too (init ==
-      // jaccardJoin, spec-pinned) so its staged frames are RELEASABLE
-      // — a bare jaccardJoin's internal staged token table would
-      // otherwise linger until driver GC (the r14 q63 lesson)
-      val sR = TextDedup.jaccardJoinState(
-        d.filter(col("doc_id") % 3 <= 1), "doc_id", "text", tau = 0.95)
+      // the rebuild pin is the MEMOIZED strata-0∪1 state (init ==
+      // jaccardJoin, spec-pinned; releasable frames, shared with
+      // q224's base — one build serves both entries)
+      val sR = jacState01(s, dir)
       try {
         val full = sR.pairs
         val diff = s1.pairs.withColumnRenamed("jaccard", "__ji")
@@ -192,7 +213,8 @@ object DedupQueries {
             (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
           .toDF("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
-      } finally { sR.release(); s1.release(); s0.release() }
+        // sR is Memos-owned: its thunk releases it after q224 too
+      } finally { s1.release(); s0.release() }
     }),
 
     // REMOVE maintenance of the exact-Jaccard state (ops/TextDedup.
@@ -209,8 +231,9 @@ object DedupQueries {
     // removal-exactness certificate.
     "q224_jaccard_remove" -> ((s, dir) => {
       val d = docs(s, dir)
-      val s0 = TextDedup.jaccardJoinState(
-        d.filter(col("doc_id") % 3 <= 1), "doc_id", "text", tau = 0.95)
+      // the removal base is the MEMOIZED strata-0∪1 state q222 pins
+      // against — built once for both entries
+      val s0 = jacState01(s, dir)
       val s1 = TextDedup.jaccardJoinRemove(s0,
         d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)
           .select("doc_id"),
@@ -237,7 +260,9 @@ object DedupQueries {
             (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
           .toDF("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
-      } finally { sR.release(); s1.release(); s0.release() }
+        // s0 is Memos-owned; s1 shares its dfFrozen by reference, so
+        // the chain-safe release keeps the memo intact for q222
+      } finally { sR.release(); s1.releaseSuperseded(s0) }
     }),
 
     // STREAMING Jaccard prefix-bucket probe (ops/TextDedup.
