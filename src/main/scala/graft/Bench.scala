@@ -258,9 +258,12 @@ object Bench {
       "q216_rangejoin_rule_keyed" -> 0.73,
       "q217_byte_bpe" -> 4.45, "q218_streaming_jaccard_prefix" -> 3.41,
       "q219_runner_rerun_layout" -> 2.71, "q220_byte_bpe_ids" -> 4.42,
-      "q221_srp_multiprobe" -> 5.32, "q222_incremental_jaccard" -> 10.99,
+      "q221_srp_multiprobe" -> 5.32,
+      // q222 carries the SHARED strata-0∪1 state build (q224 reads
+      // the memo — its r15 post-share cost is the remove + pins)
+      "q222_incremental_jaccard" -> 12.5,
       "q223_rangejoin_rule_temporal" -> 0.63,
-      "q224_jaccard_remove" -> 10.65, "q225_byte_pack_e2e" -> 2.85,
+      "q224_jaccard_remove" -> 5.3, "q225_byte_pack_e2e" -> 2.85,
       "q20_count_distinct" -> 1.16,
       "q29_rollup" -> 0.75, "q45_stats_mass" -> 1.91,
       "q46_statstop_equiv" -> 2.2, "q55_embedding_neardup" -> 0.81,
