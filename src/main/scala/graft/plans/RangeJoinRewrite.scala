@@ -2,22 +2,28 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, LongType, NumericType, TimestampNTZType, TimestampType}
 
-/** Catalyst optimizer rule: rewrite a pure range join — an INNER join
-  * whose only join predicates are `pt >= lo AND pt <= hi` with the
-  * point expression from one side and both bounds from the other —
-  * into the bucketized equi-join [[graft.ops.RangeJoin]] spells by
-  * hand. Spark plans the bare inequality join as
-  * BroadcastNestedLoopJoin or a cartesian product (O(n·m)
-  * comparisons); after the rewrite it hash-partitions on a bucket
-  * key: the bound side explodes to the buckets its interval covers,
-  * the point side keys by its single bucket, and the ORIGINAL
-  * predicates filter the survivors — identical rows, shuffle-join
-  * cost.
+/** Catalyst optimizer rule: rewrite a pure range join — a join whose
+  * predicates include `pt >= lo AND pt <= hi` with the point
+  * expression from one side and both bounds from the other — into
+  * the bucketized equi-join [[graft.ops.RangeJoin]] spells by hand.
+  * Spark plans the bare inequality join as BroadcastNestedLoopJoin
+  * or a cartesian product (O(n·m) comparisons); after the rewrite it
+  * hash-partitions on a bucket key: the bound side explodes to the
+  * buckets its interval covers, the point side keys by its single
+  * bucket, and the ORIGINAL predicates filter the survivors —
+  * identical rows, shuffle-join cost.
+  *
+  * JOIN TYPES: INNER in either orientation; LEFT OUTER / LEFT SEMI /
+  * LEFT ANTI when the point is on the LEFT; RIGHT OUTER when the
+  * point is on the RIGHT — i.e. whenever the exploded bound side is
+  * NON-preserved (see [[orientationOk]] for why preserved-side
+  * explosion is unsound). The left-outer form is the as-of
+  * enrichment shape: every point row survives, matched or not.
   *
   * Soundness: bucketing B(x) = floor(cast(x as double) / w) is
   * MONOTONE non-decreasing (division by a positive constant and
@@ -92,10 +98,31 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
     case Some(w) => plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), _) =>
+      case j @ Join(left, right,
+          Inner | LeftOuter | LeftSemi | LeftAnti | RightOuter,
+          Some(cond), _) =>
         rewrite(j, left, right, cond, w).getOrElse(j)
     }
   }
+
+  /** Non-inner joins rewrite only when the EXPLODED (bound) side is
+    * the join's NON-PRESERVED side: the bound side fans out to one
+    * row per covered bucket, which is invisible to matched pairs
+    * (each original pair matches exactly the one copy whose bucket
+    * equals the point's) but would multiply UNMATCHED preserved rows
+    * (an unmatched outer row must surface exactly once; an exploded
+    * anti-side copy matching in one bucket but not another would leak
+    * through the anti). So: LEFT outer/semi/anti need the point on
+    * the LEFT (bounds explode on the right), RIGHT outer needs the
+    * point on the RIGHT. FullOuter preserves both sides — never
+    * rewritten. */
+  private def orientationOk(jt: JoinType, ptOnLeft: Boolean): Boolean =
+    jt match {
+      case Inner => true
+      case LeftOuter | LeftSemi | LeftAnti => ptOnLeft
+      case RightOuter => !ptOnLeft
+      case _ => false
+    }
 
   /** (point, lower, upper, lowerInclusive?, upperInclusive?) — not
     * needed beyond sides/types: the original comparisons are kept
@@ -157,7 +184,9 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           if bounds.exists(u => !u._3 && u._1.semanticEquals(pt)) =>
         (pt, lower._2, bounds.find(u => !u._3 && u._1.semanticEquals(pt)).get._2)
     }
-    pair.flatMap { case (pt, lo, hi) =>
+    pair.filter { case (pt, _, _) =>
+      orientationOk(j.joinType, sided(pt).get)
+    }.flatMap { case (pt, lo, hi) =>
       val ptOnLeft = sided(pt).get
       val (ptPlan, boundPlan) = if (ptOnLeft) (left, right) else (right, left)
       val wLit = Literal(w, DoubleType)
@@ -221,7 +250,7 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       val newCond = (EqualTo(ptBucket.toAttribute, bucketAttr) +: conjuncts)
         .reduce(And)
       val (nl, nr) = if (ptOnLeft) (ptSide, boundSide) else (boundSide, ptSide)
-      Some(Project(j.output, Join(nl, nr, Inner, Some(newCond), j.hint)))
+      Some(Project(j.output, Join(nl, nr, j.joinType, Some(newCond), j.hint)))
     }
   }
 }

@@ -274,6 +274,56 @@ object EventQueries {
         s.experimental.extraOptimizations = prev
         s.conf.unset(rule.ConfKey)
       }
+    }),
+
+    // LEFT-OUTER form of the rule (r15): `points LEFT JOIN intervals
+    // ON key AND ts BETWEEN lo AND hi` — the as-of ENRICHMENT shape,
+    // where every point row must survive matched or not. Sound
+    // because the exploded bound side is the NON-preserved side (a
+    // matched pair meets exactly the one bucket copy equal to the
+    // point's bucket; unmatched point rows null-extend once, exactly
+    // as the nested-loop plan). The interval window is shifted
+    // [+30 s, +90 s] so a large unmatched mass exercises the
+    // null-extension path; the oracle replays the declarative LEFT
+    // interval join with per-point match counts (COUNT(i_id) counts
+    // only non-null matches).
+    "q226_rangejoin_rule_left" -> ((s, dir) => {
+      val rule = graft.plans.RangeJoinRewrite(s)
+      val prev = s.experimental.extraOptimizations
+      try {
+        s.experimental.extraOptimizations = prev :+ rule
+        s.conf.set(rule.ConfKey, "60000000") // 60 s in micros
+        val e = ev(s, dir)
+        val pts = e.filter(col("event_id") % 7 === 0)
+          .select(col("event_id").as("p_id"),
+            col("user_id").as("pk"), col("ts").as("pt"))
+        val ivs = e.filter(col("event_id") % 101 === 0)
+          .select(col("event_id").as("i_id"), col("user_id").as("ik"),
+            (col("ts") + expr("INTERVAL 30 SECONDS")).as("lo"),
+            (col("ts") + expr("INTERVAL 90 SECONDS")).as("hi"))
+        val joined = pts.join(ivs,
+          col("pk") === col("ik") &&
+            col("pt") >= col("lo") && col("pt") <= col("hi"),
+          "left_outer")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("Generate") && plan.contains("__g_rj_b_")
+            && !plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          "RangeJoinRewrite did not rewrite the LEFT OUTER temporal " +
+            "interval join — the enrichment shape must bucketize too")
+        val rows = joined.groupBy("p_id")
+          .agg(count(col("i_id")).as("n_matched"))
+          .orderBy("p_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        require(rows.exists(_._2 == 0L),
+          "no unmatched point rows — the left-outer null-extension " +
+            "path was not exercised")
+        val sess = s
+        import sess.implicits._
+        rows.toSeq.toDF("p_id", "n_matched").orderBy("p_id")
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.unset(rule.ConfKey)
+      }
     })
   )
 
@@ -291,6 +341,19 @@ object EventQueries {
         |SELECT i_id, CAST(COUNT(*) AS BIGINT) AS n_in_range
         |FROM p JOIN i ON pk = ik AND pt >= lo AND pt <= hi
         |GROUP BY 1 ORDER BY i_id""".stripMargin,
+    // The declarative LEFT keyed TIMESTAMP interval join: the
+    // left-outer rewrite must return byte-identical per-point match
+    // counts, unmatched points included at 0.
+    "q226_rangejoin_rule_left" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS pk, ts AS pt
+        |           FROM events WHERE event_id % 7 = 0),
+        |i AS (SELECT event_id AS i_id, user_id AS ik,
+        |             ts + INTERVAL 30 SECOND AS lo,
+        |             ts + INTERVAL 90 SECOND AS hi
+        |      FROM events WHERE event_id % 101 = 0)
+        |SELECT p_id, CAST(COUNT(i_id) AS BIGINT) AS n_matched
+        |FROM p LEFT JOIN i ON pk = ik AND pt >= lo AND pt <= hi
+        |GROUP BY 1 ORDER BY p_id""".stripMargin,
     // The declarative keyed TIMESTAMP interval join: the temporal
     // rewrite must return byte-identical rows to this.
     "q223_rangejoin_rule_temporal" ->

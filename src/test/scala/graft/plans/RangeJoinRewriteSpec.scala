@@ -277,6 +277,53 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("non-inner joins rewrite when the bound side is non-preserved: " +
+      "left outer/semi/anti with point on the left, right outer " +
+      "mirrored; preserved-side-explosion orientations stay inert") {
+    val (pts, ivs) = fixture
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    val condLR = col("pt") >= col("lo") && col("pt") <= col("hi")
+    def check(name: String, q: => DataFrame, expectRewrite: Boolean): Unit = {
+      val baseline = rows(q)
+      withRule(Some("128")) {
+        val plan = planString(q)
+        if (expectRewrite) {
+          assert(plan.contains("Generate") && !plan.contains("NestedLoop")
+              && !plan.contains("Cartesian"),
+            s"$name was not rewritten:\n$plan")
+        } else {
+          assert(!plan.contains("__g_rj_b_"),
+            s"$name was rewritten despite a preserved exploded side:\n$plan")
+        }
+        assert(rows(q) == baseline, s"$name changed rows under the rule")
+      }
+    }
+    // point on the LEFT: outer/semi/anti all rewrite, rows identical
+    check("left outer (pt left)",
+      pts.join(ivs, condLR, "left_outer"), expectRewrite = true)
+    check("left semi (pt left)",
+      pts.join(ivs, condLR, "left_semi"), expectRewrite = true)
+    check("left anti (pt left)",
+      pts.join(ivs, condLR, "left_anti"), expectRewrite = true)
+    // point on the RIGHT: right outer rewrites (preserved side = the
+    // point side), left outer must NOT (the exploded bound side would
+    // be preserved and unmatched intervals would multiply)
+    check("right outer (pt right)",
+      ivs.join(pts, condLR, "right_outer"), expectRewrite = true)
+    check("left outer (pt right)",
+      ivs.join(pts, condLR, "left_outer"), expectRewrite = false)
+    check("full outer",
+      pts.join(ivs, condLR, "full_outer"), expectRewrite = false)
+    // the left-outer unmatched mass is real in this fixture — the
+    // null-extension semantics are exercised, not vacuous
+    withRule(Some("128")) {
+      val unmatched = pts.join(ivs, condLR, "left_outer")
+        .filter(col("i_id").isNull).count()
+      assert(unmatched > 0, "no unmatched point rows — fixture vacuous")
+    }
+  }
+
   test("GraftExtensions wires the SQL surface and the rule into a fresh session") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
