@@ -982,19 +982,38 @@ object VectorOps {
     * column and the bucket/flip arithmetic indexes it (two Projects
     * that CollapseProject keeps apart — the fold per bit is not
     * cheap-to-inline). */
-  def srpProbeBands(emb: DataFrame, idCol: String, vecCol: String,
-      bands: Int = 4, bandBits: Int = 16, probes: Int = 2): DataFrame = {
+  /** The probe table's PROJECTION stage as a pure Column over
+    * caller-known dims: out[i] = dot(vec, sign row i) over the
+    * [[rpSigns]] matrix. Kept as its OWN projection step (batch and
+    * streaming alike): the downstream bucket/flip arithmetic indexes
+    * this array many times, and inlining the 64-fold dot products at
+    * every reference would balloon the expression tree. */
+  def srpProjections(vec: Column, dims: Int, bands: Int,
+      bandBits: Int): Column = {
     require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
-      "srpProbeBands needs bands >= 1 and 1 <= bandBits <= 62")
-    require(probes >= 0 && probes <= bandBits,
-      "srpProbeBands needs 0 <= probes <= bandBits")
-    val dims = dimsOf(emb, vecCol, "srpProbeBands")
+      "srpProjections needs bands >= 1 and 1 <= bandBits <= 62")
+    require(dims >= 1, "srpProjections needs the vector dims")
     val signs = rpSigns(bands * bandBits, dims)
-    val projected = emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol), array((0 until bands * bandBits).map(i =>
-        dot(col(vecCol), typedLit(signs(i).toSeq))): _*).as("__pj"))
+    array((0 until bands * bandBits).map(i =>
+      dot(vec, typedLit(signs(i).toSeq))): _*)
+  }
+
+  /** Probe structs from a precomputed [[srpProjections]] array —
+    * together they are the STREAMING form of [[srpProbeBands]]
+    * ([[srpBandBuckets]]' relationship to [[srpBands]]): two
+    * stateless per-row expressions, no action, no state, no
+    * shuffle — an ingest stream probes a stored SRP index with the
+    * same recall boost the batch side measured (q227 pins
+    * stream == batch). Returns array<struct<band, probe, bucket>>;
+    * the caller filters NULL vectors first (the DataFrame forms do). */
+  def srpProbeStructs(pj: Column, bands: Int, bandBits: Int,
+      probes: Int): Column = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
+      "srpProbeStructs needs bands >= 1 and 1 <= bandBits <= 62")
+    require(probes >= 0 && probes <= bandBits,
+      "srpProbeStructs needs 0 <= probes <= bandBits")
     val perBand = (0 until bands).map { b =>
-      def proj(k: Int) = col("__pj")(b * bandBits + k)
+      def proj(k: Int) = pj(b * bandBits + k)
       val base = (0 until bandBits).map(k =>
         when(proj(k) > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
       // flip ranks: (|proj| asc, bit asc) — array_sort on the struct
@@ -1011,8 +1030,18 @@ object VectorOps {
           base.bitwiseXOR(flip).as("bucket"))
       }: _*)
     }
+    flatten(array(perBand: _*))
+  }
+
+  def srpProbeBands(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 4, bandBits: Int = 16, probes: Int = 2): DataFrame = {
+    val dims = dimsOf(emb, vecCol, "srpProbeBands")
+    val projected = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        srpProjections(col(vecCol), dims, bands, bandBits).as("__pj"))
     projected
-      .select(col(idCol), explode(flatten(array(perBand: _*))).as("__e"))
+      .select(col(idCol), explode(
+        srpProbeStructs(col("__pj"), bands, bandBits, probes)).as("__e"))
       .select(col(idCol), col("__e.band").as("band"),
         col("__e.probe").as("probe"), col("__e.bucket").as("bucket"))
   }

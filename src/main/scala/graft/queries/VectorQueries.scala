@@ -271,6 +271,57 @@ object VectorQueries {
             "on the vec stratum")
         batch.orderBy("vec_id", "band")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }),
+
+    // STREAMING multi-probe bucketing (ops/VectorOps.srpProjections +
+    // srpProbeStructs): q221's probe table as two stateless per-row
+    // expressions — an ingest stream probes a stored SRP index with
+    // the SAME recall boost the batch side measured (probe r flips
+    // the r-th lowest-|projection| bit), still with no state, no
+    // watermark, no shuffle. Three id-ordered micro-batches on the
+    // vec_id % 3 = 1 stratum (the q214 treatment); stream require'd
+    // == the batch srpProbeBands both directions; the oracle replays
+    // the full probe table — projections, flip ranks, XORs — in
+    // DuckDB.
+    "q227_streaming_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val streamVecs = e.filter(col("vec_id") % 3 === 1)
+      val (tmp, src) = StreamFixtures.writeIdOrderedMicroBatches(
+        streamVecs, "vec_id", "q227")
+      try {
+        val stream = s.readStream.schema(streamVecs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), graft.ops.VectorOps.srpProjections(
+            col("embedding"), dims = 64, bands = 4, bandBits = 16)
+            .as("__pj"))
+          .select(col("vec_id"), explode(graft.ops.VectorOps
+            .srpProbeStructs(col("__pj"), bands = 4, bandBits = 16,
+              probes = 2)).as("__e"))
+          .select(col("vec_id"), col("__e.band").as("band"),
+            col("__e.probe").as("probe"), col("__e.bucket").as("bucket"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName("q227out").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = s.table("q227out")
+        val batch = graft.ops.VectorOps.srpProbeBands(
+          e, "vec_id", "embedding", bands = 4, bandBits = 16, probes = 2)
+        val batchStrat = batch.filter(col("vec_id") % 3 === 1)
+        // (vec_id, band, probe) is a unique key of the probe table, so
+        // the two-sided pin is ONE full-outer diff job, not two
+        // exceptAll passes (each re-executes both sides — the q199
+        // lesson)
+        val diff = streamed.withColumnRenamed("bucket", "__bs")
+          .join(batchStrat.withColumnRenamed("bucket", "__bb"),
+            Seq("vec_id", "band", "probe"), "full_outer")
+          .filter(col("__bs").isNull || col("__bb").isNull ||
+            col("__bs") =!= col("__bb"))
+          .count()
+        require(diff == 0L,
+          s"streaming multi-probe bucketing diverged from the batch " +
+            s"probe table on $diff stratum rows")
+        batch.orderBy("vec_id", "band", "probe")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     })
   )
 
@@ -445,6 +496,38 @@ object VectorQueries {
          |SELECT id_a, id_b, cos_sim FROM cand
          |WHERE cos_sim >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     // in-order folds, same little-endian bit packing as q208's chain).
+    // The full multi-probe table replayed: projections, little-endian
+    // base buckets, (|proj| asc, bit asc) flip ranks, XOR probes.
+    "q227_streaming_multiprobe" ->
+      s"""WITH sgn AS (
+         |  SELECT i, list(CASE WHEN substring(md5('rp#' || i || '#' || j), 1, 1)
+         |      IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+         |    ORDER BY j) AS s
+         |  FROM range(64) t1(i), range(64) t2(j) GROUP BY i
+         |), proj AS (
+         |  SELECT vec_id, i,
+         |    list_sum(list_transform(range(1, 65), j ->
+         |      s[CAST(j AS INT)] * CAST(embedding[CAST(j AS INT)] AS DOUBLE))) AS p
+         |  FROM embeddings, sgn WHERE embedding IS NOT NULL
+         |), bands AS (
+         |  SELECT vec_id, CAST(i // 16 AS INTEGER) AS band,
+         |    CAST(SUM(CASE WHEN p > 0 THEN 1 << CAST(i % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1, 2
+         |), flips AS (
+         |  SELECT vec_id, CAST(i // 16 AS INTEGER) AS band,
+         |    CAST(i % 16 AS INTEGER) AS bit_i,
+         |    row_number() OVER (PARTITION BY vec_id, i // 16
+         |                       ORDER BY ABS(p), i % 16) AS rnk
+         |  FROM proj)
+         |SELECT vec_id, band, CAST(0 AS INTEGER) AS probe, bucket FROM bands
+         |UNION ALL
+         |SELECT f.vec_id, f.band, CAST(f.rnk AS INTEGER) AS probe,
+         |  CAST(xor(b.bucket, CAST(1 AS BIGINT) << f.bit_i) AS BIGINT)
+         |    AS bucket
+         |FROM flips f JOIN bands b
+         |  ON b.vec_id = f.vec_id AND b.band = f.band
+         |WHERE f.rnk <= 2
+         |ORDER BY vec_id, band, probe""".stripMargin,
     "q214_streaming_srp" ->
       s"""WITH sgn AS (
          |  SELECT i, list(CASE WHEN substring(md5('rp#' || i || '#' || j), 1, 1)
