@@ -265,7 +265,7 @@ object Bench {
       "q223_rangejoin_rule_temporal" -> 0.63,
       "q224_jaccard_remove" -> 5.3, "q225_byte_pack_e2e" -> 2.85,
       "q226_rangejoin_rule_left" -> 0.62,
-      "q227_streaming_multiprobe" -> 5.84,
+      "q227_streaming_multiprobe" -> 5.84, "q228_kmv_overlap" -> 9.5,
       "q20_count_distinct" -> 1.16,
       "q29_rollup" -> 0.75, "q45_stats_mass" -> 1.91,
       "q46_statstop_equiv" -> 2.2, "q55_embedding_neardup" -> 0.81,

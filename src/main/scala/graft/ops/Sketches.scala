@@ -467,4 +467,153 @@ object Sketches {
         (col("__e") + (col("__gate") - 1L)).as("hdr_est")): _*)
     }
   }
+
+  // ------------------------------- KMV / Theta distinct sketch
+
+  private val Pow52 = 4503599627370496.0 // 2^52, exact in double
+  private val Theta1 = 4503599627370496L // 2^52: "nothing discarded"
+
+  /** The bounded top-k stage shared by [[kmvSketch]] and [[kmvMerge]]:
+    * k smallest distinct hashes per group through the
+    * [[graft.functions.TopKAgg]] heap (k rows per group per partition
+    * cross the shuffle, never the full distinct set — a 52-bit hash
+    * is exact in the heap's double score). */
+  private def kmvTop(hashed: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    hashed
+      .groupBy(gcols: _*)
+      .agg(graft.functions.TopKAgg.topKByScore(
+        -col("__h").cast("double"), col("__h"), k).as("__top"))
+      .select(gcols :+ explode(col("__top")).as("__e"): _*)
+      .select(gcols :+ col("__e.id").as("kmv_h") :+
+        lit(k).as("kmv_k"): _*)
+  }
+
+  /** k-minimum-values (Theta) distinct sketch (Bar-Yossef et al.,
+    * RANDOM 2002; Beyer et al., SIGMOD 2007; the set algebra is
+    * Apache DataSketches' theta framework): per group, the k SMALLEST
+    * distinct 52-bit md5 hash values of `valueCol`. Everything stays
+    * exact integers until the final estimate division, so build,
+    * merge, estimate AND the set operations replay bit for bit in any
+    * engine with md5 — and the reason this joins the
+    * HLL/count-min/bloom/HDR quartet at all: a distinct sketch whose
+    * INTERSECTION is well-defined ([[kmvOverlap]] — overlap sizing
+    * for decontamination/version reporting), which HLL registers
+    * fundamentally cannot give (max-merge destroys the set identity).
+    *
+    * Stored form: (groupCols..., kmv_h long, kmv_k int) — at most k
+    * rows per group, k carried as a constant column and
+    * require-checked wherever two sketches meet (the module's
+    * parameter-contract convention). Mergeable: [[kmvMerge]] over a
+    * UNION of stored tables equals the sketch of the unioned data,
+    * exactly (spec-pinned as row equality). Hash collisions inside
+    * 52 bits shadow values identically in every engine — the standard
+    * KMV idealization, immaterial below ~2^26 distincts. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "kmvSketch needs at least one group column")
+    require(k >= 2 && k <= 65536, s"kmvSketch needs 2 <= k <= 65536, got $k")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 13),
+      16, 10).cast("long")
+    val gcols = groupCols.map(col)
+    kmvTop(
+      df.filter(col(valueCol).isNotNull)
+        .select(gcols :+ h.as("__h"): _*)
+        .distinct(),
+      groupCols, k)
+  }
+
+  /** Roll up a UNION of stored KMV tables (same k — require-checked):
+    * dedup hashes, keep the k smallest per group. Exactly the sketch
+    * of the unioned underlying data, so shards/days/files combine
+    * with no loss beyond each input's own. */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val ks = sketches.select(col("kmv_k")).distinct().collect()
+    require(ks.length == 1,
+      s"kmvMerge needs sketches built with ONE k, found ${ks.length} " +
+        "distinct kmv_k values — mixed-k sketches have different " +
+        "retention thresholds and must not be merged")
+    val gcols = groupCols.map(col)
+    kmvTop(
+      sketches.select(gcols :+ col("kmv_h").as("__h"): _*).distinct(),
+      groupCols, ks(0).getInt(0))
+  }
+
+  /** Per-group distinct estimate: exact count while the group holds
+    * fewer than k hashes (the sketch IS the distinct hash set); else
+    * the unbiased KMV estimator (k − 1) / u_(k) with u_(k) =
+    * (kth + 0.5) / 2^52, kth = the LARGEST retained hash (the k-th
+    * smallest overall; +0.5 is the repo's mid-bucket convention for
+    * integer hashes as uniform (0,1) draws). One double multiply and
+    * divide at the end, written in the same order as the SQL replay. */
+  def kmvDistinct(sketch: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    sketch.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__n"), max(col("kmv_h")).as("__kth"),
+        max(col("kmv_k")).as("__k"))
+      .select(gcols :+
+        when(col("__n") < col("__k"), col("__n").cast("double"))
+          .otherwise((col("__k") - 1).cast("double") * lit(Pow52) /
+            (col("__kth").cast("double") + lit(0.5)))
+          .as("n_kmv"): _*)
+  }
+
+  /** Theta-framework set estimates between two stored sketches over
+    * the same `groupCols` and k: per group, θ_X = 2^52 when side X
+    * holds fewer than k hashes (nothing was discarded) else its
+    * largest retained hash (the exclusive retention threshold — the
+    * k-th smallest itself is the first DISCARDED point of the
+    * θ-sample); θ = min(θ_A, θ_B). Hashes below θ from both sides are
+    * an unbiased θ-sample of each side's distinct set, so
+    * |sample_A ∩ sample_B| / (θ / 2^52) estimates |A ∩ B| and the
+    * sample Jaccard |∩| / |∪| estimates the true Jaccard. All counts
+    * and thresholds are exact integers; the two final divisions are
+    * IEEE doubles in replay order. Returns (groupCols..., n_a, n_b,
+    * n_inter, jaccard_kmv) for groups present on BOTH sides (an
+    * absent side has no sketch, not an empty set — union the inputs
+    * into [[kmvMerge]] first if empty-vs-absent matters). */
+  def kmvOverlap(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    def agged(sk: DataFrame, sfx: String): DataFrame =
+      sk.groupBy(gcols: _*)
+        .agg(count(lit(1)).as(s"__n$sfx"), max(col("kmv_h")).as(s"__kth$sfx"),
+          max(col("kmv_k")).as(s"__k$sfx"))
+        .withColumn(s"__theta$sfx",
+          when(col(s"__n$sfx") < col(s"__k$sfx"), lit(Theta1))
+            .otherwise(col(s"__kth$sfx")))
+    val th = agged(a, "a").join(agged(b, "b"), groupCols)
+      .withColumn("__theta", least(col("__thetaa"), col("__thetab")))
+    val kMismatch = th.filter(col("__ka") =!= col("__kb")).count()
+    require(kMismatch == 0L,
+      s"kmvOverlap: $kMismatch groups have different k on the two " +
+        "sides — sketches must be built with one k to share a theta")
+    val thSlim = th.select(gcols :+ col("__theta"): _*)
+    def below(sk: DataFrame): DataFrame =
+      sk.select(gcols :+ col("kmv_h").as("__h"): _*)
+        .join(thSlim, groupCols)
+        .filter(col("__h") < col("__theta"))
+        .select(gcols :+ col("__h"): _*)
+    val sa = below(a)
+    val sb = below(b)
+    val inter = sa.join(sb, groupCols :+ "__h")
+      .groupBy(gcols: _*).agg(count(lit(1)).as("__i"))
+    val uni = sa.union(sb).distinct()
+      .groupBy(gcols: _*).agg(count(lit(1)).as("__u"))
+    def kmvEst(sfx: String): Column =
+      when(col(s"__n$sfx") < col(s"__k$sfx"), col(s"__n$sfx").cast("double"))
+        .otherwise((col(s"__k$sfx") - 1).cast("double") * lit(Pow52) /
+          (col(s"__kth$sfx").cast("double") + lit(0.5)))
+    th.join(uni, groupCols.toSeq, "left")
+      .join(inter, groupCols.toSeq, "left")
+      .select(gcols ++ Seq(
+        kmvEst("a").as("n_a"),
+        kmvEst("b").as("n_b"),
+        (coalesce(col("__i"), lit(0L)).cast("double") * lit(Pow52) /
+          col("__theta").cast("double")).as("n_inter"),
+        when(coalesce(col("__u"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("__i"), lit(0L)).cast("double") /
+            col("__u").cast("double")).as("jaccard_kmv")): _*)
+  }
 }

@@ -1129,6 +1129,74 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // KMV/Theta overlap sizing (ops/Sketches.kmvSketch/kmvOverlap —
+    // Bar-Yossef et al. 2002, Beyer et al. SIGMOD'07, the theta set
+    // algebra): per-language token-BIGRAM overlap between the two
+    // doc_id % 2 corpus halves, estimated from two k=256 sketches —
+    // the sketch-level answer to "how contaminated is corpus B by
+    // corpus A" that HLL cannot give (max-merged registers have no
+    // intersection). Bigram vocabulary is 700-900 per (lang, half)
+    // at sf0.01, so the theta estimator path (k-th-smallest
+    // threshold, not the exact under-k regime) is exercised on every
+    // group. In-query sanity law: estimates within the 3-4 sigma
+    // band of the EXACT overlap, computed alongside; the oracle
+    // replays the ENTIRE pipeline — md5 hashes, rank-k retention,
+    // theta min, sample counts, the two final divisions — in DuckDB.
+    "q228_kmv_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // ONE scan/explode/distinct builds both halves (side is just a
+      // column); the staged table feeds six consumers (two sketches,
+      // two exact counts, the exact intersection twice) and releases
+      // after the output is collected
+      val ts = filter(graft.ops.TextDedup.tokensOf(col("text")),
+        t => length(t) > 0)
+      val bg = graft.ops.Materialize.stage(
+        d.filter(col("doc_id").isNotNull)
+          .select(col("lang"), (col("doc_id") % 2).as("side"),
+            explode(when(size(ts) >= 2,
+              transform(sequence(lit(1), size(ts) - 1), i =>
+                concat(element_at(ts, i), lit(" "),
+                  element_at(ts, i + 1))))
+              .otherwise(array().cast("array<string>"))).as("bg"))
+          .distinct())
+      val exA = bg.filter(col("side") === 0).select("lang", "bg")
+      val exB = bg.filter(col("side") === 1).select("lang", "bg")
+      try {
+        val ov = graft.ops.Sketches.kmvOverlap(
+          graft.ops.Sketches.kmvSketch(exA, Seq("lang"), "bg", k = 256),
+          graft.ops.Sketches.kmvSketch(exB, Seq("lang"), "bg", k = 256),
+          Seq("lang"))
+        val exact = exA.groupBy("lang").agg(count(lit(1)).as("__exa"))
+          .join(exB.groupBy("lang").agg(count(lit(1)).as("__exb")), "lang")
+          .join(exA.join(exB, Seq("lang", "bg"))
+            .groupBy("lang").agg(count(lit(1)).as("__exi")), "lang")
+        val rows = ov.join(exact, "lang")
+          .orderBy("lang").collect()
+        rows.foreach { r =>
+          val lang = r.getString(0)
+          val (na, nb, ni) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+          val (exa, exb, exi) = (r.getLong(5), r.getLong(6), r.getLong(7))
+          require(math.abs(na - exa) / exa <= 0.30 &&
+              math.abs(nb - exb) / exb <= 0.30,
+            s"KMV distinct estimate outside 3-4 sigma for $lang: " +
+              s"n_a=$na/$exa n_b=$nb/$exb")
+          require(math.abs(ni - exi) / math.max(exi, 1L) <= 0.60,
+            s"theta intersection estimate outside band for $lang: " +
+              s"n_inter=$ni exact=$exi")
+        }
+        val sess = s
+        import sess.implicits._
+        rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4))).toSeq
+          .toDF("lang", "__na", "__nb", "__ni", "__j")
+          .select(col("lang"), round(col("__na"), 4).as("n_a"),
+            round(col("__nb"), 4).as("n_b"),
+            round(col("__ni"), 4).as("n_inter"),
+            round(col("__j"), 6).as("jaccard_kmv"))
+          .orderBy("lang")
+      } finally graft.ops.Materialize.release(bg)
+    }),
+
     // DSIR data selection (ops/TrainingOps.dsirWeights/dsirResample,
     // Xie et al. NeurIPS 2023): importance weights from hashed
     // unigram+bigram bucket profiles of a small target corpus
@@ -1373,6 +1441,60 @@ object PipelineQueries {
          |FROM sp LEFT JOIN fused USING (token)
          |ORDER BY doc_id, pretok_pos, tok_pos""".stripMargin
     },
+    // The whole KMV/theta pipeline replayed: md5 hashes, rank-256
+    // retention per (lang, half), the under-k 2^52 threshold rule,
+    // theta = least of the two, sample intersection/union counts,
+    // and the two final double divisions in the same order.
+    "q228_kmv_overlap" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id % 2 AS side,
+        |    list_filter(string_split(lower(trim(
+        |      regexp_replace(text,'\s+',' ','g'))),' '),
+        |      x -> len(x) > 0) AS ts
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |bg AS (SELECT DISTINCT lang, side,
+        |    unnest(list_transform(range(1, len(ts)), i ->
+        |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)])) AS bg
+        |  FROM t),
+        |hsh AS (SELECT DISTINCT lang, side,
+        |    CAST(concat('0x', substring(md5(bg), 1, 13)) AS BIGINT) AS h
+        |  FROM bg),
+        |rk AS (SELECT lang, side, h,
+        |    row_number() OVER (PARTITION BY lang, side ORDER BY h) AS rn
+        |  FROM hsh),
+        |sk AS (SELECT lang, side, h FROM rk WHERE rn <= 256),
+        |th AS (SELECT lang, side, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MAX(h) AS kth,
+        |    CASE WHEN COUNT(*) < 256 THEN CAST(4503599627370496 AS BIGINT)
+        |         ELSE MAX(h) END AS theta
+        |  FROM sk GROUP BY 1, 2),
+        |pair AS (SELECT a.lang, a.n AS na, a.kth AS ktha,
+        |    b.n AS nb, b.kth AS kthb, LEAST(a.theta, b.theta) AS theta
+        |  FROM th a JOIN th b ON a.lang = b.lang
+        |  WHERE a.side = 0 AND b.side = 1),
+        |sa AS (SELECT s.lang, s.h FROM sk s JOIN pair p ON s.lang = p.lang
+        |  WHERE s.side = 0 AND s.h < p.theta),
+        |sb AS (SELECT s.lang, s.h FROM sk s JOIN pair p ON s.lang = p.lang
+        |  WHERE s.side = 1 AND s.h < p.theta),
+        |i AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ic
+        |  FROM (SELECT * FROM sa INTERSECT SELECT * FROM sb) GROUP BY 1),
+        |u AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS uc
+        |  FROM (SELECT * FROM sa UNION SELECT * FROM sb) GROUP BY 1)
+        |SELECT p.lang,
+        |  round(CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * 4503599627370496.0 /
+        |      (CAST(ktha AS DOUBLE) + 0.5) END, 4) AS n_a,
+        |  round(CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+        |    ELSE CAST(255 AS DOUBLE) * 4503599627370496.0 /
+        |      (CAST(kthb AS DOUBLE) + 0.5) END, 4) AS n_b,
+        |  round(CAST(COALESCE(ic, 0) AS DOUBLE) * 4503599627370496.0 /
+        |    CAST(theta AS DOUBLE), 4) AS n_inter,
+        |  round(CASE WHEN COALESCE(uc, 0) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(ic, 0) AS DOUBLE) / CAST(uc AS DOUBLE)
+        |    END, 6) AS jaccard_kmv
+        |FROM pair p LEFT JOIN i ON i.lang = p.lang
+        |  LEFT JOIN u ON u.lang = p.lang
+        |ORDER BY p.lang""".stripMargin,
     // Byte-level counts into the q112 packing window, replayed: the
     // learn chain + lexicon token counts + per-shard prefix-sum bins.
     "q225_byte_pack_e2e" -> {

@@ -306,4 +306,92 @@ class SketchesSpec extends AnyFunSuite {
     assert(neg.getMessage != null && neg.getMessage.contains("negative"),
       s"expected loud negative-value failure, got: ${neg.getMessage}")
   }
+
+  test("kmv: exact under k; unbiased estimator within 3-sigma above k; " +
+      "duplication/partitioning-invariant") {
+    import spark.implicits._
+    def sketch(rows: Seq[(String, Long)], k: Int) =
+      Sketches.kmvSketch(rows.toDF("g", "v").repartition(4), Seq("g"), "v", k)
+    def nOf(rows: Seq[(String, Long)], k: Int): Map[String, Double] =
+      Sketches.kmvDistinct(sketch(rows, k), Seq("g")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // under k: the sketch IS the distinct set — exact, duplication-blind
+    val small = (1L to 40L).map(i => ("s", i % 17)) // 17 distinct, dup'd
+    assert(nOf(small, 64)("s") == 17.0)
+    // above k: KMV sigma ~ 1/sqrt(k-1); k=128 -> 8.9%, 3 sigma = 26.6%
+    val big = (1L to 9000L).map(i => ("b", i))
+    val e = nOf(big, 128)("b")
+    assert(math.abs(e - 9000) / 9000.0 < 0.266, s"kmv estimate $e")
+    // partitioning-invariant: same rows, different layout, same sketch
+    val a = sketch(big, 128).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet
+    val b = Sketches.kmvSketch(big.toDF("g", "v").repartition(13),
+      Seq("g"), "v", 128).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "kmv sketch depends on partitioning")
+  }
+
+  test("kmv: shard sketches merge to the single-pass sketch exactly; " +
+      "mixed k refuses loudly") {
+    import spark.implicits._
+    val rows = (1L to 6000L).map(i => (s"g${i % 3}", i))
+    val all = Sketches.kmvSketch(rows.toDF("g", "v"), Seq("g"), "v", 64)
+    val shards = (0 until 4).map(p =>
+      Sketches.kmvSketch(rows.filter(_._2 % 4 == p).toDF("g", "v"),
+        Seq("g"), "v", 64))
+    val merged = Sketches.kmvMerge(
+      shards.reduce((x, y) => x.unionByName(y)), Seq("g"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rowsOf(merged) == rowsOf(all),
+      "merged shard sketches != single-pass sketch")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvMerge(all.unionByName(
+        Sketches.kmvSketch(rows.toDF("g", "v"), Seq("g"), "v", 32)),
+        Seq("g"))
+    }
+    assert(e.getMessage.contains("ONE k"), e.getMessage)
+  }
+
+  test("kmv overlap: exact under k; theta estimates track true " +
+      "intersection and jaccard above k; mismatched k refuses") {
+    import spark.implicits._
+    // planted overlap: A = [1, 3000], B = [2001, 6000] -> inter 1000,
+    // union 6000, jaccard 1/6
+    val aRows = (1L to 3000L).map(i => ("g", i)).toDF("g", "v")
+    val bRows = (2001L to 6000L).map(i => ("g", i)).toDF("g", "v")
+    val ov = Sketches.kmvOverlap(
+        Sketches.kmvSketch(aRows, Seq("g"), "v", 256),
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 256),
+        Seq("g"))
+      .collect().head
+    val (na, nb, ni, j) = (ov.getDouble(1), ov.getDouble(2),
+      ov.getDouble(3), ov.getDouble(4))
+    assert(math.abs(na - 3000) / 3000.0 < 0.27, s"n_a $na")
+    assert(math.abs(nb - 4000) / 4000.0 < 0.27, s"n_b $nb")
+    // intersection error scales with union/theta-sample size: allow 3x
+    // the single-side band
+    assert(math.abs(ni - 1000) / 1000.0 < 0.8, s"n_inter $ni")
+    assert(j > 0.05 && j < 0.4, s"jaccard_kmv $j")
+    // exact regime: both sides under k
+    val ovx = Sketches.kmvOverlap(
+        Sketches.kmvSketch(aRows.filter(col("v") <= 30), Seq("g"), "v", 64),
+        Sketches.kmvSketch(bRows.filter(col("v") <= 2040), Seq("g"), "v", 64),
+        Seq("g"))
+      .collect().head
+    assert(ovx.getDouble(1) == 30.0 && ovx.getDouble(2) == 40.0 &&
+      ovx.getDouble(3) == 0.0 && ovx.getDouble(4) == 0.0,
+      s"exact-regime overlap wrong: $ovx")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(
+        Sketches.kmvSketch(aRows, Seq("g"), "v", 64),
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 128), Seq("g"))
+    }
+    assert(e.getMessage.contains("different k"), e.getMessage)
+    // invalid k refuses at build time
+    intercept[IllegalArgumentException] {
+      Sketches.kmvSketch(aRows, Seq("g"), "v", 1)
+    }
+  }
+
 }
