@@ -530,6 +530,11 @@ object Sketches {
     * with no loss beyond each input's own. */
   def kmvMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
     val ks = sketches.select(col("kmv_k")).distinct().collect()
+    require(ks.nonEmpty,
+      "kmvMerge got an EMPTY sketch table — there is nothing to merge " +
+        "and k is unknowable; guard the rollup against empty shards " +
+        "(an empty sketch is the natural output of kmvSketch on no " +
+        "rows, so skipping empty inputs is always sound)")
     require(ks.length == 1,
       s"kmvMerge needs sketches built with ONE k, found ${ks.length} " +
         "distinct kmv_k values — mixed-k sketches have different " +
@@ -576,6 +581,14 @@ object Sketches {
   def kmvOverlap(a: DataFrame, b: DataFrame,
       groupCols: Seq[String]): DataFrame = {
     val gcols = groupCols.map(col)
+    // stage the inputs once: the caller usually passes UNMATERIALIZED
+    // kmvSketch plans (a distinct over raw data + the top-k heap),
+    // and this function references each side several times (the k
+    // contract count, the threshold aggregate, the theta sample) —
+    // unstaged, the whole sketch pipeline would re-execute per
+    // reference. Staged size is bounded by k rows per group.
+    val sa0 = Materialize.stage(a)
+    val sb0 = Materialize.stage(b)
     def agged(sk: DataFrame, sfx: String): DataFrame =
       sk.groupBy(gcols: _*)
         .agg(count(lit(1)).as(s"__n$sfx"), max(col("kmv_h")).as(s"__kth$sfx"),
@@ -583,7 +596,7 @@ object Sketches {
         .withColumn(s"__theta$sfx",
           when(col(s"__n$sfx") < col(s"__k$sfx"), lit(Theta1))
             .otherwise(col(s"__kth$sfx")))
-    val th = agged(a, "a").join(agged(b, "b"), groupCols)
+    val th = agged(sa0, "a").join(agged(sb0, "b"), groupCols)
       .withColumn("__theta", least(col("__thetaa"), col("__thetab")))
     val kMismatch = th.filter(col("__ka") =!= col("__kb")).count()
     require(kMismatch == 0L,
@@ -595,8 +608,8 @@ object Sketches {
         .join(thSlim, groupCols)
         .filter(col("__h") < col("__theta"))
         .select(gcols :+ col("__h"): _*)
-    val sa = below(a)
-    val sb = below(b)
+    val sa = below(sa0)
+    val sb = below(sb0)
     val inter = sa.join(sb, groupCols :+ "__h")
       .groupBy(gcols: _*).agg(count(lit(1)).as("__i"))
     val uni = sa.union(sb).distinct()

@@ -1941,9 +1941,15 @@ object TextDedup {
     *
     * APPEND-ONLY by contract: a delta id already present in the
     * state refuses loudly (count mismatches silently corrupt sizes
-    * and intersections). Re-crawl updates are remove + append:
-    * [[jaccardJoinRemove]] retires ids in O(state scan), then the
-    * changed docs re-enter here. */
+    * and intersections). The state's MEMBERSHIP DOMAIN is docs with
+    * at least one token: a zero-token doc leaves no trace in any
+    * state table (it cannot pair), so it would be appendable twice
+    * and never removable — the append therefore refuses zero-token
+    * delta docs up front (filter empty docs before the state layer;
+    * the full BUILD tolerates them for bulk-corpus convenience, but
+    * they are not members and not removable). Re-crawl updates are
+    * remove + append: [[jaccardJoinRemove]] retires ids in O(state
+    * scan), then the changed docs re-enter here. */
   def jaccardJoinAppend(state: JaccardState, addedDocs: DataFrame,
       idCol: String, textCol: String,
       hintBroadcastDelta: Boolean = true): JaccardState = {
@@ -1951,6 +1957,17 @@ object TextDedup {
       if (hintBroadcastDelta) broadcast(df) else df
     val toksAdd = rawJaccardTokens(addedDocs, idCol, textCol).persist()
     val deltaIds = toksAdd.select("__id").distinct()
+    // membership-domain contract: every delta doc must tokenize to
+    // something, or it would be invisible to the state (appendable
+    // again, never removable — the zero-token asymmetry)
+    val nDocsAdd = addedDocs.filter(col(idCol).isNotNull)
+      .select(col(idCol)).distinct().count()
+    val nTokDocs = deltaIds.count()
+    require(nTokDocs == nDocsAdd,
+      s"jaccardJoinAppend: ${nDocsAdd - nTokDocs} delta docs tokenize " +
+        "to nothing — zero-token docs cannot enter the state (they " +
+        "cannot pair) and would break the removal contract; filter " +
+        "them out before the state layer")
     // state.toks is SCANNED with a broadcast semi filter — only
     // delta-colliding rows reach the distinct — so the contract check
     // shuffles O(delta), not O(corpus)
@@ -1998,8 +2015,11 @@ object TextDedup {
     *
     * `removedIds` must each exist in the state — an unknown id
     * refuses loudly (a silent no-op id in a removal batch usually
-    * means the caller's id space diverged from the state's). A
-    * removed id may be re-appended later: it is no longer in the
+    * means the caller's id space diverged from the state's; note the
+    * membership domain is docs with >= 1 token — zero-token docs a
+    * bulk BUILD admitted are not members and not removable, and the
+    * append path refuses them up front, see [[jaccardJoinAppend]]).
+    * A removed id may be re-appended later: it is no longer in the
     * state, so the append contract sees it as new — remove + append
     * IS the re-crawl update path. */
   def jaccardJoinRemove(state: JaccardState, removedIds: DataFrame,

@@ -179,14 +179,18 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         }
       }
     }
+    // orientation is part of CANDIDATE SELECTION, not a post-filter: a
+    // condition can carry range constraints in BOTH orientations
+    // (a.x in b's interval AND b.y in a's interval) — picking the
+    // first triple and then rejecting it would abandon a join whose
+    // other triple rewrites soundly
     val pair = bounds.collectFirst {
       case lower @ (pt, _, true)
-          if bounds.exists(u => !u._3 && u._1.semanticEquals(pt)) =>
+          if orientationOk(j.joinType, sided(pt).get) &&
+            bounds.exists(u => !u._3 && u._1.semanticEquals(pt)) =>
         (pt, lower._2, bounds.find(u => !u._3 && u._1.semanticEquals(pt)).get._2)
     }
-    pair.filter { case (pt, _, _) =>
-      orientationOk(j.joinType, sided(pt).get)
-    }.flatMap { case (pt, lo, hi) =>
+    pair.flatMap { case (pt, lo, hi) =>
       val ptOnLeft = sided(pt).get
       val (ptPlan, boundPlan) = if (ptOnLeft) (left, right) else (right, left)
       val wLit = Literal(w, DoubleType)

@@ -75,6 +75,13 @@ object DedupQueries {
   def prewarmShared(s: SparkSession, dir: String): Unit = {
     candidates(s, dir).write.format("noop").mode("overwrite").save()
     ivf(s, dir)._1.write.format("noop").mode("overwrite").save()
+    // the q222/q224 shared Jaccard state: build in setup_s (the memo
+    // convention — an adaptive/shuffled rep paying the build would
+    // otherwise discard it via min() and the cost would appear in NO
+    // entry); materialize every table a consumer reads
+    val st01 = jacState01(s, dir)
+    Seq(st01.toks, st01.dfFrozen, st01.prefix, st01.sizes, st01.pairs)
+      .foreach(_.write.format("noop").mode("overwrite").save())
     // Warm the incremental-shingle codegen: q162's pipeline (state
     // build -> delta maintenance -> from-scratch replay -> full-outer
     // equivalence agg -> connected components) compiles a set of large
@@ -188,15 +195,20 @@ object DedupQueries {
     // union stratum — the incremental recall-1 certificate.
     "q222_incremental_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-      val s0 = TextDedup.jaccardJoinState(
-        d.filter(col("doc_id") % 3 === 0), "doc_id", "text", tau = 0.95)
-      val s1 = TextDedup.jaccardJoinAppend(s0,
-        d.filter(col("doc_id") % 3 === 1), "doc_id", "text")
-      // the rebuild pin is the MEMOIZED strata-0∪1 state (init ==
-      // jaccardJoin, spec-pinned; releasable frames, shared with
-      // q224's base — one build serves both entries)
-      val sR = jacState01(s, dir)
+      // every build INSIDE the try: a failure in a later build must
+      // still release the earlier states' staged frames (null-guarded
+      // finally — the pre-try-leak review finding)
+      var s0: TextDedup.JaccardState = null
+      var s1: TextDedup.JaccardState = null
       try {
+        s0 = TextDedup.jaccardJoinState(
+          d.filter(col("doc_id") % 3 === 0), "doc_id", "text", tau = 0.95)
+        s1 = TextDedup.jaccardJoinAppend(s0,
+          d.filter(col("doc_id") % 3 === 1), "doc_id", "text")
+        // the rebuild pin is the MEMOIZED strata-0∪1 state (init ==
+        // jaccardJoin, spec-pinned; releasable frames, shared with
+        // q224's base — one build serves both entries)
+        val sR = jacState01(s, dir)
         val full = sR.pairs
         val diff = s1.pairs.withColumnRenamed("jaccard", "__ji")
           .join(full.withColumnRenamed("jaccard", "__jf"),
@@ -214,7 +226,10 @@ object DedupQueries {
           .toDF("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
         // sR is Memos-owned: its thunk releases it after q224 too
-      } finally { s1.release(); s0.release() }
+      } finally {
+        if (s1 != null) s1.release()
+        if (s0 != null) s0.release()
+      }
     }),
 
     // REMOVE maintenance of the exact-Jaccard state (ops/TextDedup.
@@ -234,16 +249,20 @@ object DedupQueries {
       // the removal base is the MEMOIZED strata-0∪1 state q222 pins
       // against — built once for both entries
       val s0 = jacState01(s, dir)
-      val s1 = TextDedup.jaccardJoinRemove(s0,
-        d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)
-          .select("doc_id"),
-        "doc_id")
-      // releasable rebuild, same as q222
-      val sR = TextDedup.jaccardJoinState(
-        d.filter(col("doc_id") % 3 <= 1 &&
-          !(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)),
-        "doc_id", "text", tau = 0.95)
+      // both derived builds INSIDE the try (null-guarded finally):
+      // a failure mid-build must not leak the earlier state's frames
+      var s1: TextDedup.JaccardState = null
+      var sR: TextDedup.JaccardState = null
       try {
+        s1 = TextDedup.jaccardJoinRemove(s0,
+          d.filter(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)
+            .select("doc_id"),
+          "doc_id")
+        // releasable rebuild, same as q222
+        sR = TextDedup.jaccardJoinState(
+          d.filter(col("doc_id") % 3 <= 1 &&
+            !(col("doc_id") % 3 === 1 && col("doc_id") % 2 === 0)),
+          "doc_id", "text", tau = 0.95)
         val full = sR.pairs
         val diff = s1.pairs.withColumnRenamed("jaccard", "__ji")
           .join(full.withColumnRenamed("jaccard", "__jf"),
@@ -262,7 +281,10 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
         // s0 is Memos-owned; s1 shares its dfFrozen by reference, so
         // the chain-safe release keeps the memo intact for q222
-      } finally { sR.release(); s1.releaseSuperseded(s0) }
+      } finally {
+        if (sR != null) sR.release()
+        if (s1 != null) s1.releaseSuperseded(s0)
+      }
     }),
 
     // STREAMING Jaccard prefix-bucket probe (ops/TextDedup.

@@ -811,6 +811,14 @@ class DedupOpsSpec extends AnyFunSuite {
           Seq((1L, "w1 w2")).toDF("doc_id", "text"), "doc_id", "text")
       }
       assert(e.getMessage.contains("append-only"), e.getMessage)
+      // membership domain: a zero-token delta doc refuses up front
+      // (it would leave no trace in the state — appendable twice,
+      // never removable)
+      val e0 = intercept[IllegalArgumentException] {
+        TextDedup.jaccardJoinAppend(s4,
+          Seq((77777L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+      }
+      assert(e0.getMessage.contains("tokenize to nothing"), e0.getMessage)
       // REMOVE: drop a slice spanning original AND delta ids — pure
       // filtering must equal the rebuild over the survivors
       val corpus4 = all ++ extra

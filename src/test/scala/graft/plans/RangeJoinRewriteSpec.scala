@@ -324,6 +324,39 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("dual-orientation condition: the rule selects the REWRITABLE " +
+      "triple, not merely the first (left outer, right-sided range " +
+      "listed first)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val pts = (1L to 300L).map { i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong,
+        50L + rnd.nextInt(50).toLong)
+    }.toDF("p_id", "pt", "plo", "phi")
+    val ivs = (1L to 100L).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i, lo, lo + rnd.nextInt(80).toLong, rnd.nextInt(120).toLong)
+    }.toDF("i_id", "lo", "hi", "iy")
+    // the FIRST range constraint has its point on the RIGHT (iy) —
+    // unsound to explode for a left outer join — the second has it on
+    // the LEFT (pt): the rule must pick the second, not give up
+    def q = pts.join(ivs,
+      col("iy") >= col("plo") && col("iy") <= col("phi") &&
+        col("pt") >= col("lo") && col("pt") <= col("hi"),
+      "left_outer")
+      .select("p_id", "i_id")
+    val baseline = q.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    withRule(Some("64")) {
+      val plan = planString(q)
+      assert(plan.contains("Generate") && !plan.contains("NestedLoop")
+          && !plan.contains("Cartesian"),
+        s"dual-orientation left outer did not rewrite via the " +
+          s"left-sided triple:\n$plan")
+      assert(q.collect().map(_.toSeq.toVector: Seq[Any]).toSet == baseline,
+        "dual-orientation rewrite changed the result")
+    }
+  }
+
   test("GraftExtensions wires the SQL surface and the rule into a fresh session") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
