@@ -24,6 +24,13 @@ object RangeJoin {
     * are epoch-microsecond long columns; `beforeUs`/`afterUs` bound the
     * window relative to the left timestamp.
     *
+    * INNER semantics only: the LEFT side is the exploded side here,
+    * so a left-outer spelling cannot be bolted on (unmatched exploded
+    * copies would multiply). For left-outer enrichment write the
+    * declarative join and let [[graft.plans.RangeJoinRewrite]] replan
+    * it — the rule supports left outer/semi/anti (and TIMESTAMP/DATE
+    * points) whenever the exploded bound side is non-preserved.
+    *
     * The per-left-row fan-out is `window/bucketUs + 2` exploded rows; a
     * bucket far smaller than the window silently multiplies the left
     * side (bucketUs = window/1000 -> 1000x row blowup before the join —
