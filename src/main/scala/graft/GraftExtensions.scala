@@ -20,7 +20,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - the [[graft.plans.RangeJoinRewrite]] optimizer rule (opt-in via
   *    `spark.graft.rangeJoin.bucketWidth`): pure interval joins
   *    replan from BroadcastNestedLoopJoin / cartesian product to the
-  *    bucketized equi-join.
+  *    bucketized equi-join, and
+  *  - the [[graft.plans.H3IntersectsRewrite]] optimizer rule (opt-in
+  *    via `spark.graft.h3Filter.res`): full-scan
+  *    `st_intersects(geom, <literal polygon>)` filters over an
+  *    H3-keyed relation replan to the broadcast cell prefilter +
+  *    exact refine (the reference's measured ~100× two-step).
   *
   * On a session that already exists, `GFunctions.registerAll(spark)`
   * and `spark.experimental.extraOptimizations` remain the equivalent
@@ -34,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(session =>
       graft.plans.RangeJoinRewrite(session))
+    ext.injectOptimizerRule(session =>
+      graft.plans.H3IntersectsRewrite(session))
   }
 }

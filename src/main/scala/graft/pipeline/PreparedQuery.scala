@@ -8,7 +8,7 @@ import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => t
 
 import graft.functions.{GeoExpr, GFunctions}
 import graft.h3.H3Core
-import graft.spatial.{Crs, Geometry, Pt}
+import graft.spatial.{Crs, Geom, Geometry, MultiPoly, Poly, Pt}
 
 /** Mutable driver-side parameter for a prepared plan. Plain Java
   * serialization snapshots `current` at task-serialization time, and
@@ -326,4 +326,46 @@ object PreparedPolygonQuery {
   /** Hex form of [[cellIds]] — the export/SQL-surface representation. */
   def cellStrings(wktSweref: String, res: Int): Array[String] =
     cellIds(wktSweref, res).map(H3Core.toHexString)
+
+  /** COVERING cell set at `res` for a SWEREF polygon: a superset of
+    * every res-`res` cell that is the `res`-ancestor of ANY cell (at
+    * res or finer) whose H3 boundary geometry intersects the polygon.
+    * [[cellIds]] alone is CENTER-in-polygon (the libh3 polyfill
+    * convention): a boundary-straddling cell whose center lies just
+    * outside the polygon is missed — acceptable for the reference's
+    * candidate semantics (docs/H3_POLYGON_ANALYSIS.md:337-355), fatal
+    * for [[graft.plans.H3IntersectsRewrite]], which must keep every
+    * row the plain `st_intersects` filter keeps.
+    *
+    * Construction: center polyfill ∪ cells whose center is within
+    * 2.5 mean center spacings of ANY boundary ring (lineToCells over
+    * each ring — holes included, since a center inside a hole is near
+    * the HOLE's ring, not the outer one). Soundness: a cell (res' >=
+    * res) intersecting the polygon has a point p inside it with
+    * p ∈ poly; its res-ancestor's center is within
+    * drift(< 0.61·circum) + circum of p, i.e. within ~1.0 circum
+    * (< 0.6 center spacings) of the polygon — so the ancestor's
+    * center is either IN the polygon (center polyfill) or within the
+    * ring corridor. 2.5 spacings absorbs per-cell circumradius
+    * variation and the corridor's equirectangular metric. Strictly an
+    * OVER-approximation: extra cells only ever fail the exact refine. */
+  def coveringCellIds(polySweref: Geom, res: Int): Array[Long] = {
+    val wgs = Geometry.mapCoords(polySweref, p => {
+      val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
+      Pt(lng, lat)
+    })
+    val rings: Array[Array[Pt]] = wgs match {
+      case Poly(rs) => rs
+      case MultiPoly(ps) => ps.flatMap(_.rings)
+      case other => throw new IllegalArgumentException(
+        s"coveringCellIds needs POLYGON/MULTIPOLYGON, got ${other.typeName}")
+    }
+    val inside = H3Core.polygonToCells(wgs, res)
+    val bufferM = 2.5 * H3Core.cellAngularSize(res) * 6371008.8
+    val ringCells = rings.flatMap { r =>
+      val pts = r.map(p => s"${p.x} ${p.y}").mkString(", ")
+      H3Core.lineToCells(s"LINESTRING ($pts)", bufferM, res)
+    }
+    (inside ++ ringCells).distinct.sorted
+  }
 }

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BinaryType, BooleanType, LongType}
+
+import graft.functions.{H3CellToParent, StIntersects}
+import graft.pipeline.{H3Query, PreparedPolygonQuery}
+import graft.spatial.{Geom, Geometry, MultiPoly, Poly}
+
+/** Catalyst optimizer rule: rewrite a full-scan spatial filter
+  * `Filter(st_intersects(geom, <literal polygon>))` over a relation
+  * carrying an H3 cell key into the H3 equi-join prefilter + exact
+  * refine — the reference's documented two-step
+  * (docs/H3_POLYGON_ANALYSIS.md:337-355, measured there at ~100×:
+  * ~50 ms vs ~5000 ms) made transparent to declarative SQL/DataFrame
+  * users, who no longer need to know the index exists or call
+  * [[graft.pipeline.H3Query.objectsExact]] by hand.
+  *
+  * Rewrite shape (mirrors H3Query.objectsExact, H3Query.scala:165):
+  *
+  *  1. driver-side, at optimization time: decode the literal polygon,
+  *     compute the COVERING cell set at the configured query res
+  *     ([[PreparedPolygonQuery.coveringCellIds]] — center polyfill ∪
+  *     boundary-ring corridor, a strict superset of every cell whose
+  *     geometry can touch the polygon) and per-cell `needs_refine`
+  *     flags ([[H3Query.needsRefineFlags]] — false only where a cell
+  *     is PROVABLY interior, so the area-dominant majority of
+  *     candidates skip the exact test entirely);
+  *  2. key the relation by its query-res ancestor — a materialized
+  *     `h3_parent_<res>` column when present (zero per-row math, and
+  *     the added sargable `BETWEEN min(cover) AND max(cover)` range
+  *     prefilter reaches a parquet scan as a pushed row-group
+  *     predicate), else `h3_cell_to_parent(h3_cell, res)`;
+  *  3. broadcast-hash-join against the (cell, needs_refine) local
+  *     relation (each row has ONE ancestor and the cover set is
+  *     distinct, so the inner join never duplicates rows);
+  *  4. keep the ORIGINAL st_intersects conjunct verbatim, guarded:
+  *     `NOT needs_refine OR st_intersects(...)` — referencing both
+  *     join sides, so pushdown can never migrate it back below the
+  *     join into the full scan it replaces (the objectsExact defense).
+  *
+  * EXACTNESS CONTRACT (why this is lossless, and when): the rewrite
+  * returns byte-identical rows to the unrewritten filter when the
+  * filtered geometry column is the row's own H3 CELL GEOMETRY — the
+  * mart h3_index layout, where `geom = g_h3_cell_to_geom(h3_cell)`
+  * (Stages.martH3Derived; the reference's mart.h3_index carries cell
+  * geometry the same way, src/g_etl/services/pipeline_runner.py:
+  * 1118-1137). Both directions:
+  *
+  *  - no false negatives: cellGeom(h3_cell) ∩ P ≠ ∅ implies the
+  *    cell's res-ancestor is in the covering set (coveringCellIds
+  *    soundness) — the join keeps the row, and the verbatim original
+  *    predicate decides it exactly;
+  *  - no false positives from the interior skip: needs_refine=false
+  *    proves every descendant cell of that query cell lies ENTIRELY
+  *    inside P (needsRefineFlags' 2.5×circumradius disk proof), so
+  *    st_intersects(cellGeom, P) is provably true unevaluated.
+  *
+  * For relations keyed by ORIGINAL geometry (not cell geometry) the
+  * same plan is exact per DISTINCT OBJECT when each object's exploded
+  * cell set covers its geometry and each cell intersects its geometry
+  * (true for the polygon-polyfill and point-cell invariants; NOT for
+  * line-corridor cells, whose buffer admits cells the line never
+  * touches) — per-row equality is only guaranteed in the cell-geometry
+  * layout, so the conf documents that as THE contract.
+  *
+  * NULL semantics are unchanged: a NULL geom makes st_intersects NULL
+  * (row dropped) in both plans; a NULL/too-coarse h3_cell yields a
+  * NULL join key (row dropped) exactly where the cell-geometry
+  * invariant would have made geom NULL too.
+  *
+  * OPT-IN: active only when `spark.graft.h3Filter.res` is set to the
+  * query resolution (0..15) — which res to prefilter at is an index
+  * layout choice (the relation's cells must be AT or FINER than it,
+  * the same contract as H3Query), not something the rule can infer.
+  * Non-matching shapes stay untouched: no LongType `h3_cell` /
+  * `h3_parent_<res>` column, a non-foldable polygon argument, a
+  * non-polygon literal, or a malformed literal (left for execution to
+  * surface as the same runtime error the unrewritten plan gives).
+  * Idempotency is structural, the RangeJoinRewrite discipline: the
+  * rewritten refine Filter references `__g_h3f_` attributes, which
+  * this rule never re-rewrites at the optimizer's fixed point.
+  *
+  * Wire it via `spark.sql.extensions=graft.GraftExtensions`, or on a
+  * live session via
+  * `spark.experimental.extraOptimizations ++= Seq(H3IntersectsRewrite(spark))`.
+  */
+case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  val ConfKey = "spark.graft.h3Filter.res"
+
+  private def res: Option[Int] =
+    spark.conf.getOption(ConfKey).map { s =>
+      val r = try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$ConfKey must be an H3 resolution 0..15, got '$s'")
+      }
+      require(r >= 0 && r <= 15,
+        s"$ConfKey must be an H3 resolution 0..15, got '$s'")
+      r
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = res match {
+    case None => plan
+    case Some(r) => plan.transformUp {
+      case f @ Filter(cond, child) =>
+        rewrite(f, cond, child, r).getOrElse(f)
+    }
+  }
+
+  /** The literal polygon, when `e` is a plan-time-constant WKB
+    * expression — deterministic with no column references (NOT
+    * `foldable`: GeoExpr nodes like `st_geomfromtext(<literal>)` keep
+    * the default foldable=false, yet evaluate fine over the empty
+    * row) — whose value parses as POLYGON/MULTIPOLYGON. A malformed
+    * or non-polygon literal returns None (rule inert — the
+    * unrewritten plan surfaces the same runtime behavior). */
+  private def polyOf(e: Expression): Option[Geom] =
+    if (!e.deterministic || e.references.nonEmpty || e.dataType != BinaryType)
+      None
+    else try {
+      Option(e.eval(null)).flatMap { v =>
+        Geometry.fromWkb(v.asInstanceOf[Array[Byte]]) match {
+          case p: Poly => Some(p)
+          case mp: MultiPoly => Some(mp)
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def rewrite(f: Filter, cond: Expression, child: LogicalPlan,
+      r: Int): Option[LogicalPlan] = {
+    // structural idempotency: the refine Filter this rule emits
+    // references the reserved __g_h3f_ attributes — never re-rewrite
+    if (cond.references.exists(_.name.startsWith("__g_h3f_")))
+      return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    // the H3 key: prefer a materialized query-res ancestor column
+    // (H3Index.withParentAt) over per-row parent math — same
+    // preference order as H3Query.keyedIndex
+    val key: Option[Expression] =
+      child.output.collectFirst {
+        case a if a.name == s"h3_parent_$r" && a.dataType == LongType =>
+          a: Expression
+      }.orElse(child.output.collectFirst {
+        case a if a.name == "h3_cell" && a.dataType == LongType =>
+          H3CellToParent(a, Literal(r)): Expression
+      })
+    // the st_intersects conjunct: one side a foldable polygon literal,
+    // the other a deterministic geometry over this relation only
+    val hit: Option[(Expression, Geom)] = conjuncts.collectFirst(
+      Function.unlift {
+        case si @ StIntersects(a, b) =>
+          Seq((a, b), (b, a)).collectFirst(Function.unlift {
+            case (g, l) =>
+              if (g.deterministic && g.references.nonEmpty &&
+                  g.references.subsetOf(child.outputSet))
+                polyOf(l).map(p => (si: Expression, p))
+              else None
+          })
+        case _ => None
+      })
+    for (k <- key; (si, poly) <- hit) yield {
+      val cover = PreparedPolygonQuery.coveringCellIds(poly, r)
+      val flags = H3Query.needsRefineFlags(cover, poly)
+      val qAttr =
+        AttributeReference("__g_h3f_cell", LongType, nullable = false)()
+      val refAttr =
+        AttributeReference("__g_h3f_refine", BooleanType, nullable = false)()
+      val rel = LocalRelation(Seq(qAttr, refAttr),
+        flags.map { case (c, nr) => InternalRow(c, nr) })
+      // sargable range prefilter below the join: single-side long
+      // comparisons, pushable to a parquet scan's row-group stats
+      // (strict superset of the equi-join — results unchanged)
+      val pre =
+        if (cover.isEmpty) child
+        else Filter(And(GreaterThanOrEqual(k, Literal(cover.min)),
+          LessThanOrEqual(k, Literal(cover.max))), child)
+      val keyAlias = Alias(k, "__g_h3f_key")()
+      val keyed = Project(child.output :+ keyAlias, pre)
+      val join = Join(keyed, rel, Inner,
+        Some(EqualTo(keyAlias.toAttribute, qAttr)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      // the refine predicate references BOTH sides, so pushdown can
+      // never migrate it below the join (the objectsExact defense);
+      // every other original conjunct is kept verbatim for the
+      // optimizer to place as it would have
+      val newCond = (Or(Not(refAttr), si) +:
+        conjuncts.filterNot(_ eq si)).reduce(And)
+      Project(f.output, Filter(newCond, join))
+    }
+  }
+}

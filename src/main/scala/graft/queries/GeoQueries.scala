@@ -44,7 +44,8 @@ object GeoQueries {
       "q57_heatmap_mass", "q63_h3_stats", "q64_query_objects",
       "q65_query_stats", "q66_query_heatmap", "q67_query_exact",
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
-      "q135_query_table_macro", "q169_hybrid_identity")
+      "q135_query_table_macro", "q169_hybrid_identity",
+      "q229_h3filter_rule")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -206,6 +207,55 @@ object GeoQueries {
     "q67_query_exact" -> ((s, dir) =>
       H3Query.objectsExact(s, index(s, dir), GeoFixture.queryPolygonWkt, res = 8)),
 
+    // The H3IntersectsRewrite OPTIMIZER RULE (plans/H3IntersectsRewrite,
+    // wired in production via spark.sql.extensions=graft.GraftExtensions;
+    // here via the runtime extraOptimizations hook, the q212 pattern):
+    // a DECLARATIVE full-scan spatial filter —
+    // st_intersects(geom, <literal polygon>), which evaluates per-row
+    // cell->geometry math plus the exact test over the ENTIRE index —
+    // replans transparently into the broadcast H3 covering-cell
+    // prefilter + guarded exact refine (the reference's documented
+    // two-step, docs/H3_POLYGON_ANALYSIS.md:337-355, measured there at
+    // ~100x). The require asserts the rule fired (prefilter join +
+    // guarded refine in-plan, so the bare full-scan filter is GONE);
+    // the result pins the SYMMETRIC DIFF against the same query run
+    // UNREWRITTEN on the same session at zero — the unrewritten
+    // declarative query is its own perfect oracle (same engine, same
+    // rows), the q46/q169 identity pattern. q67 is the explicit-
+    // operator spelling of the same shape (H3Query.objectsExact).
+    "q229_h3filter_rule" -> ((s, dir) => {
+      import s.implicits._
+      val rule = graft.plans.H3IntersectsRewrite(s)
+      val queryWkb = graft.spatial.Geometry.toWkb(
+        graft.spatial.Geometry.fromWkt(GeoFixture.queryPolygonWkt))
+      val idx = sharedIndex(s, dir)
+      def q = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+        .select("id", "dataset_id", "leverantor", "klass").distinct()
+      // UNREWRITTEN side first, rule not yet installed: the full
+      // spatial scan (cell->geom + exact test on every index row)
+      val baseSet = q.collect().map(_.toSeq).toSet
+      val prev = s.experimental.extraOptimizations
+      try {
+        s.experimental.extraOptimizations = prev :+ rule
+        s.conf.set(rule.ConfKey, "8")
+        val rew = q
+        val plan = rew.queryExecution.executedPlan.toString
+        require(plan.contains("__g_h3f_key") &&
+            plan.contains("__g_h3f_refine") &&
+            plan.contains("BroadcastHashJoin"),
+          "H3IntersectsRewrite did not fire on the battery session — " +
+            "the spatial filter would run as a full index scan")
+        // materialize WHILE the rule is installed (q212's discipline)
+        val rewSet = rew.collect().map(_.toSeq).toSet
+        val diff = (baseSet.diff(rewSet).size + rewSet.diff(baseSet).size).toLong
+        Seq((diff, baseSet.nonEmpty))
+          .toDF("diff", "nonempty")
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.unset(rule.ConfKey)
+      }
+    }),
+
     // Per-object compacted hierarchy (aab_ext_restr/003:10-16).
     "q68_compact" -> ((s, dir) => {
       val normalized = Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust")
@@ -217,6 +267,8 @@ object GeoQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q229_h3filter_rule" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q60_geom_roundtrip" ->
       s"""SELECT c_custkey AS fid, md5(${GeoFixture.wktSql}) AS wkt_md5,
          |  CASE WHEN c_custkey % 3 = 0 THEN 'POINT'

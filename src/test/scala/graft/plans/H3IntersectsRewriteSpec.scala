@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GFunctions._
+import graft.h3.H3Core
+import graft.pipeline.PreparedPolygonQuery
+import graft.spatial.{Crs, Geometry, Poly, Pt}
+
+class H3IntersectsRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def withRule[T](res: Option[String])(f: => T): T = {
+    val rule = H3IntersectsRewrite(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ rule
+    res.foreach(r => spark.conf.set(rule.ConfKey, r))
+    try f
+    finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset(rule.ConfKey)
+    }
+  }
+
+  // a mart-h3_index-shaped relation: SWEREF rectangles polyfilled at
+  // res 9, exploded, geom = the CELL's geometry (Stages.martH3Derived)
+  private def cellIndex: DataFrame = {
+    import spark.implicits._
+    val objs = (1L to 80L).map { i =>
+      val x0 = (i % 12) * 1500 + 560000
+      val y0 = (i / 12) * 1500 + 6448000
+      (i, s"POLYGON (($x0 $y0, ${x0 + 1200} $y0, ${x0 + 1200} ${y0 + 1200}, " +
+        s"$x0 ${y0 + 1200}, $x0 $y0))")
+    }.toDF("id", "wkt")
+    objs
+      .withColumn("h3_cell",
+        explode(g_h3_polygon_cells_l(st_geomfromtext(col("wkt")), lit(9))))
+      .select(col("id"), col("h3_cell"),
+        g_h3_cell_to_geom(col("h3_cell")).as("geom"))
+  }
+
+  // a query rectangle whose boundary cuts through the object field
+  private val queryWkt =
+    "POLYGON ((561000 6449000, 570700 6449000, 570700 6455300, " +
+      "561000 6455300, 561000 6449000))"
+  private val queryWkb = Geometry.toWkb(Geometry.fromWkt(queryWkt))
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("covering cell set catches every intersecting cell, incl. finer-res ancestors") {
+    val poly = Geometry.fromWkt(queryWkt)
+    val cover = PreparedPolygonQuery.coveringCellIds(poly, 8).toSet
+    // candidate enumeration: center polyfill of the query bbox expanded
+    // well past any intersecting cell's center (3 km >> res-8 reach)
+    val bbox = "POLYGON ((558000 6446000, 573700 6446000, 573700 6458300, " +
+      "558000 6458300, 558000 6446000))"
+    def cellPolySweref(c: Long): Poly = {
+      val b = H3Core.cellToBoundary(c).map { case (lat, lng) =>
+        val (e, n) = Crs.wgs84ToSweref(lat, lng)
+        Pt(e, n)
+      }
+      Poly(Array(b :+ b(0)))
+    }
+    var checkedDirect = 0
+    PreparedPolygonQuery.cellIds(bbox, 8).foreach { c =>
+      if (Geometry.intersects(cellPolySweref(c), poly)) {
+        checkedDirect += 1
+        assert(cover.contains(c), s"res-8 cell $c intersects but not covered")
+      }
+    }
+    assert(checkedDirect > 50, "bbox sweep found too few intersecting cells")
+    // boundary-straddling evidence: the covering is strictly more than
+    // the center polyfill (otherwise the whole construction is vacuous)
+    val centers = PreparedPolygonQuery.cellIds(queryWkt, 8).toSet
+    assert((cover -- centers).nonEmpty, "covering == center polyfill — vacuous")
+    var checkedChild = 0
+    PreparedPolygonQuery.cellIds(bbox, 9).foreach { c =>
+      if (Geometry.intersects(cellPolySweref(c), poly)) {
+        checkedChild += 1
+        assert(cover.contains(H3Core.cellToParent(c, 8)),
+          s"res-9 cell $c intersects but its parent is not covered")
+      }
+    }
+    assert(checkedChild > 100, "bbox sweep found too few res-9 cells")
+  }
+
+  test("rewrite fires and returns byte-identical rows to the full-scan filter") {
+    val idx = cellIndex.cache()
+    try {
+      def query = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+        .select("id", "h3_cell")
+      val baseline = query.collect().map(_.toSeq).toSet
+      assert(baseline.nonEmpty, "fixture selects nothing — vacuous")
+      // non-vacuity of the covering: some kept rows have a parent the
+      // CENTER polyfill misses (boundary-straddling cells) — a naive
+      // polyfill prefilter would drop them and the equality would fail
+      val centers = PreparedPolygonQuery.cellIds(queryWkt, 8).toSet
+      val straddlers = query.select("h3_cell").collect().map(_.getLong(0))
+        .count(c => !centers.contains(H3Core.cellToParent(c, 8)))
+      assert(straddlers > 0,
+        "no boundary-straddling matches — the lossless claim is untested")
+      withRule(Some("8")) {
+        val plan = planString(query)
+        assert(plan.contains("__g_h3f_key"), s"rule did not fire:\n$plan")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"prefilter join is not a broadcast hash join:\n$plan")
+        assert(query.collect().map(_.toSeq).toSet === baseline)
+      }
+    } finally idx.unpersist()
+  }
+
+  test("plan-time-constant polygon (st_geomfromtext of a literal) rewrites too") {
+    val idx = cellIndex
+    def query = idx.filter(
+      st_intersects(col("geom"), st_geomfromtext(lit(queryWkt))))
+      .select("id", "h3_cell")
+    val baseline = query.collect().map(_.toSeq).toSet
+    withRule(Some("8")) {
+      assert(planString(query).contains("__g_h3f_key"))
+      assert(query.collect().map(_.toSeq).toSet === baseline)
+    }
+  }
+
+  test("composite condition keeps the residual conjunct; rows identical") {
+    val idx = cellIndex
+    def query = idx.filter(
+      st_intersects(col("geom"), lit(queryWkb)) && col("id") % 3 === 0)
+      .select("id", "h3_cell")
+    val baseline = query.collect().map(_.toSeq).toSet
+    assert(baseline.nonEmpty)
+    withRule(Some("8")) {
+      assert(planString(query).contains("__g_h3f_key"))
+      assert(query.collect().map(_.toSeq).toSet === baseline)
+    }
+  }
+
+  test("inert without the conf, without an H3 column, and on non-rewritable polygons") {
+    import spark.implicits._
+    val idx = cellIndex
+    val q1 = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+    withRule(None) {
+      assert(!planString(q1).contains("__g_h3f_"),
+        "rule fired without its opt-in conf")
+    }
+    withRule(Some("8")) {
+      // no h3 cell column anywhere in the lineage (a rename above the
+      // index does NOT hide the column — pushdown re-exposes it, which
+      // is correct; only a relation truly lacking the key is inert)
+      val noKey = Seq((1L, Geometry.toWkb(Geometry.fromWkt(
+        "POLYGON ((561000 6449000, 561400 6449000, 561400 6449400, " +
+          "561000 6449400, 561000 6449000))"))))
+        .toDF("id", "geom")
+        .filter(st_intersects(col("geom"), lit(queryWkb)))
+      assert(!planString(noKey).contains("__g_h3f_"))
+      // hex-string cell key is not the long-keyed contract
+      val hexKey = cellIndex
+        .select(col("id"), h3_hex(col("h3_cell")).as("h3_cell"), col("geom"))
+        .localCheckpoint(true)
+        .filter(st_intersects(col("geom"), lit(queryWkb)))
+      assert(!planString(hexKey).contains("__g_h3f_"))
+      // both st_intersects sides reference the relation — no literal
+      val nonLit = idx.withColumn("geom2", col("geom"))
+        .filter(st_intersects(col("geom"), col("geom2")))
+      assert(!planString(nonLit).contains("__g_h3f_"))
+      // a non-polygon literal stays untouched
+      val pointLit = idx.filter(st_intersects(col("geom"),
+        lit(Geometry.toWkb(Pt(561000, 6449000)))))
+      assert(!planString(pointLit).contains("__g_h3f_"))
+    }
+  }
+
+  test("materialized h3_parent_8 relation column is preferred and range-prefiltered") {
+    // cache so the parent column is part of the RELATION the pushed
+    // filter lands on (a bare withColumn is a Project the filter is
+    // pushed beneath, correctly falling back to per-row parent math)
+    val idx = cellIndex
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .cache()
+    try {
+      def query = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+        .select("id", "h3_cell")
+      val baseline = query.collect().map(_.toSeq).toSet
+      withRule(Some("8")) {
+        val plan = planString(query)
+        assert(plan.contains("__g_h3f_key"))
+        // the join key aliases the STORED parent column (no per-row
+        // parent math on the probe side; "h3celltoparent" may still
+        // print inside the cached relation's displayed build lineage)
+        assert("h3_parent_8#\\d+L AS __g_h3f_key".r.findFirstIn(plan).isDefined,
+          s"stored parent key unused:\n$plan")
+        // and the sargable range prefilter reaches the cached scan
+        assert(plan.contains("InMemoryTableScan") &&
+          "InMemoryTableScan [^\\n]*h3_parent_8#\\d+L >=".r
+            .findFirstIn(plan.replaceAll("\\n\\s+", " ")).isDefined ||
+          "\\[\\(h3_parent_8#\\d+L >=".r.findFirstIn(plan).isDefined,
+          s"range prefilter did not reach the scan:\n$plan")
+        assert(query.collect().map(_.toSeq).toSet === baseline)
+      }
+    } finally idx.unpersist()
+  }
+}
