@@ -1131,6 +1131,52 @@ object CorpusQueries {
             col("hll_v"), col("hll_reg_digest"))
           .orderBy("event_type")
       } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }),
+
+    // Streaming KMV build (q203's sibling for the distinct sketch):
+    // the KMV register is an order-free MIN-like fold — k smallest
+    // distinct hashes — so the SAME kmvSketch plan runs unchanged as a
+    // complete-mode streaming aggregation, giving a live distinct
+    // sketch over a stream whose snapshots kmvMerge/kmvOverlap/
+    // kmvDifference consume exactly like batch sketches. Require:
+    // streamed sketch rows == batch sketch rows on the event_id % 3
+    // stratum, pinned in ONE full-outer diff on (event_type, kmv_h)
+    // after three micro-batches. Output and oracle: the full-corpus
+    // kmvDistinct estimate frame, hashes + rank-k retention + the
+    // estimator division replayed in DuckDB.
+    "q231_streaming_kmv" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val strat = ev.filter(col("event_id") % 3 === 1)
+      val (tmp, src) = writeIdOrderedMicroBatches(strat, "event_id",
+        "q231")
+      try {
+        val stream = s.readStream.schema(strat.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.ops.Sketches
+          .kmvSketch(stream, Seq("event_type"), "user_id", k = 64)
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("q231kmv").start()
+        try q.processAllAvailable() finally q.stop()
+        val streamed = s.table("q231kmv")
+        val batchStrat = graft.ops.Sketches
+          .kmvSketch(strat, Seq("event_type"), "user_id", k = 64)
+        // one-job two-sided pin ((event_type, kmv_h) unique per side)
+        val diff = streamed.withColumnRenamed("kmv_k", "__k_s")
+          .join(batchStrat.withColumnRenamed("kmv_k", "__k_b"),
+            Seq("event_type", "kmv_h"), "full_outer")
+          .filter(col("__k_s").isNull || col("__k_b").isNull)
+          .count()
+        require(diff == 0L,
+          s"streaming KMV sketch diverged from the batch sketch on " +
+            s"the event stratum: $diff register rows differ")
+        graft.ops.Sketches.kmvDistinct(
+            graft.ops.Sketches.kmvSketch(ev, Seq("event_type"),
+              "user_id", k = 64),
+            Seq("event_type"))
+          .select(col("event_type"), round(col("n_kmv"), 4).as("n_kmv"))
+          .orderBy("event_type")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     })
   )
 
@@ -2113,7 +2159,29 @@ object CorpusQueries {
          |    ELSE e_raw END, 2) AS n_hll,
          |  hll_v, hll_reg_digest
          |FROM e
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+    // The KMV estimate pipeline replayed over the full events table
+    // (the streaming ≡ batch law is pinned in-query; the oracle checks
+    // the full-corpus sketch estimate the query returns): md5 52-bit
+    // hashes, rank-64 retention, exact-under-k vs the (k-1)/u_(k)
+    // estimator with the +0.5 mid-bucket convention.
+    "q231_streaming_kmv" ->
+      """WITH hsh AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hsh),
+        |sk AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MAX(h) AS kth
+        |  FROM sk GROUP BY 1)
+        |SELECT event_type,
+        |  round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE) * 4503599627370496.0 /
+        |      (CAST(kth AS DOUBLE) + 0.5) END, 4) AS n_kmv
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 
   private lazy val pqAdcSql: String =

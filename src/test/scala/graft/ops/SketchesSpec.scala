@@ -394,4 +394,79 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv: k-bounded build equals the distinct-then-select spelling " +
+      "row for row, on duplicate-heavy input, with ONE exchange") {
+    import spark.implicits._
+    // heavy duplication (9000 rows, 2500 distinct per 3 groups mixed)
+    val rows = (1L to 9000L).map(i => (s"g${i % 3}", i % 2500))
+    val df = rows.toDF("g", "v").repartition(7)
+    val k = 128
+    val now = Sketches.kmvSketch(df, Seq("g"), "v", k)
+    // the pre-fix spelling: full distinct first, then the k smallest
+    val h = conv(substring(md5(col("v").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("__h")
+    val old = df.filter(col("v").isNotNull)
+      .select(col("g"), h.as("__h")).distinct()
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("g"), col("__h").as("kmv_h"), lit(k).as("kmv_k"))
+    assert(now.collect().map(_.toSeq).toSet ===
+      old.collect().map(_.toSeq).toSet,
+      "k-bounded build diverged from the distinct+select spelling")
+    // the 100 TB claim in-plan: ONE exchange (the register aggregate's
+    // partial->final shuffle), no upstream distinct exchange — checked
+    // on an UN-executed, un-repartitioned build (one plan section, no
+    // AQE final/initial duplication, no test-fixture repartition)
+    val planOnly = Sketches.kmvSketch(rows.toDF("g", "v"), Seq("g"), "v", k)
+    val exchanges = planOnly.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange in the KMV build, " +
+      s"got $exchanges:\n${planOnly.queryExecution.executedPlan}")
+  }
+
+  test("kmv difference: exact under k; theta estimates track the true " +
+      "set differences above k; k contract shared with overlap") {
+    import spark.implicits._
+    // A = [1, 3000], B = [2001, 6000]: A\B = 2000, B\A = 3000, inter 1000
+    val aRows = (1L to 3000L).map(i => ("g", i)).toDF("g", "v")
+    val bRows = (2001L to 6000L).map(i => ("g", i)).toDF("g", "v")
+    val d = Sketches.kmvDifference(
+        Sketches.kmvSketch(aRows, Seq("g"), "v", 256),
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 256),
+        Seq("g"))
+      .collect().head
+    val (ao, bo, ni) = (d.getDouble(1), d.getDouble(2), d.getDouble(3))
+    assert(math.abs(ao - 2000) / 2000.0 < 0.5, s"n_a_only $ao")
+    assert(math.abs(bo - 3000) / 3000.0 < 0.5, s"n_b_only $bo")
+    assert(math.abs(ni - 1000) / 1000.0 < 0.8, s"n_inter $ni")
+    // the three estimates decompose the sides: a_only + inter ~ |A|
+    assert(math.abs((ao + ni) - 3000) / 3000.0 < 0.5, s"a decomp ${ao + ni}")
+    // exact regime: both sides under k -> theta = 2^52, counts exact
+    val dx = Sketches.kmvDifference(
+        Sketches.kmvSketch(aRows.filter(col("v") <= 30), Seq("g"), "v", 64),
+        Sketches.kmvSketch(bRows.filter(col("v") <= 2040), Seq("g"), "v", 64),
+        Seq("g"))
+      .collect().head
+    assert(dx.getDouble(1) == 30.0 && dx.getDouble(2) == 40.0 &&
+      dx.getDouble(3) == 0.0, s"exact-regime difference wrong: $dx")
+    // mixed-k WITHIN one side refuses loudly (the r15 ADVICE gap: a
+    // per-group max-k check passed this silently)
+    val mixed = Sketches.kmvSketch(aRows, Seq("g"), "v", 64).unionByName(
+      Sketches.kmvSketch(aRows, Seq("g"), "v", 128))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvDifference(mixed,
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 64), Seq("g"))
+    }
+    assert(e.getMessage.contains("mixes"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(
+        Sketches.kmvSketch(aRows, Seq("g"), "v", 64).unionByName(
+          Sketches.kmvSketch(aRows, Seq("g"), "v", 128)),
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 64), Seq("g"))
+    }
+    assert(e2.getMessage.contains("mixes"), e2.getMessage)
+  }
+
 }
