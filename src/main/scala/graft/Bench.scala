@@ -357,6 +357,10 @@ object Bench {
     // frames would stay persisted for the rest of the pass, stacking
     // residual pressure onto every later deferred rep)
     if (deferredNames.nonEmpty) graft.queries.Memos.begin(deferredNames)
+    // a FAILED deferred rep keeps the inline timing but must not be
+    // invisible (r15 ADVICE): a query that only passed its first run
+    // via now-released memo state would otherwise fail silently here
+    val deferredErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val arbitrated = results.map { case r @ (name, v, f, n) =>
       if (v < 0 || v <= adaptiveBar(name)) r
       else {
@@ -367,7 +371,15 @@ object Bench {
           try {
             SparkEntry.queries(name)(spark, sfDir)
               .write.format("noop").mode("overwrite").save(); true
-          } catch { case scala.util.control.NonFatal(_) => false }
+          } catch { case scala.util.control.NonFatal(e) =>
+            deferredErrors(name) = Option(e.getMessage)
+              .getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+            System.err.println(
+              s"[bench] deferred rep of $name FAILED (inline timing " +
+                s"kept): ${deferredErrors(name)}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         if (graft.queries.Memos.afterQuery(name)) System.gc()
         if (ok) (name, v.min(dt), f, n + 1) else r
@@ -386,8 +398,11 @@ object Bench {
     // raw_total = sum of FIRST reps: the un-arbitrated capture. The
     // raw/min ratio is the hot-host flag (≈1 on a quiet host)
     val rawTotal = arbitrated.collect { case (_, v, f, _) if v >= 0 => f }.sum
+    val des = deferredErrors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val summary =
-      f""""n_queries":${arbitrated.size},"n_failed":${errors.size},"setup_s":$setupS%.4f,"reps":$reps,"adaptive_reps":$adaptiveReps,"deferred_reps":$deferredReps,"raw_total_s":$rawTotal%.1f,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_warm_p25":$h3QueryWarmP25Ms,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"h3_polygon_query_ms_10k_fresh_plan_p25":$h3QueryFreshP25Ms,"sf":"$sfDir""""
+      f""""n_queries":${arbitrated.size},"n_failed":${errors.size},"setup_s":$setupS%.4f,"reps":$reps,"adaptive_reps":$adaptiveReps,"deferred_reps":$deferredReps,"deferred_errors":$des,"raw_total_s":$rawTotal%.1f,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_warm_p25":$h3QueryWarmP25Ms,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"h3_polygon_query_ms_10k_fresh_plan_p25":$h3QueryFreshP25Ms,"sf":"$sfDir""""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,$summary}""")
     // COMPACT tail-safe lines: harnesses that keep only a bounded tail

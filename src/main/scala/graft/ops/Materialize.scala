@@ -151,7 +151,10 @@ object Materialize {
     }
   }
 
-  /** Eagerly free a staged/persisted frame under ANY stage mode.
+  /** Eagerly free a staged/persisted frame under the localCheckpoint
+    * and persist stage modes (under `checkpoint` the reliable files
+    * are NOT deleted here — they free with the checkpoint dir, which
+    * the session owner manages; under `none` this is a no-op).
     * `Dataset.unpersist` alone is a NO-OP for `localCheckpoint()`ed
     * frames — the default stage mode — because localCheckpoint
     * persists at the RDD level, below the cache manager; those blocks
@@ -159,11 +162,21 @@ object Materialize {
     * (exactly the residual-pressure failure mode a battery of
     * state-heavy queries exhibits). So: free the checkpointed RDD via
     * the Bridge when the frame is one, then unpersist the cache-
-    * manager entry for the persist-mode case. The frame must not be
-    * executed again afterwards. */
+    * manager entry for the persist-mode case — and drop the frame
+    * from the per-session staged tracker, so a long-lived persist-mode
+    * session that releases its frames promptly does not accumulate
+    * stale references in its tracker entry until eviction (r15
+    * ADVICE). The frame must not be executed again afterwards. */
   def release(df: DataFrame): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(df)
       .foreach(_.unpersist(blocking = false))
     df.unpersist(blocking = false)
+    staged.synchronized {
+      val lst = staged.get(df.sparkSession)
+      if (lst ne null) {
+        lst.removeIf(f => f eq df)
+        if (lst.isEmpty) staged.remove(df.sparkSession)
+      }
+    }
   }
 }

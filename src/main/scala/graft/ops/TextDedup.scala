@@ -1674,6 +1674,22 @@ object TextDedup {
       textCol: String): DataFrame =
     Materialize.stage(rawJaccardTokens(docs, idCol, textCol))
 
+  /** Pre-filter for the [[JaccardState]] membership domain: keep only
+    * docs with a non-null id that tokenize to at least one token —
+    * the SAME tokenization the state layer uses, so what survives
+    * this filter is exactly what [[jaccardJoinAppend]] accepts.
+    * MIGRATION (r15): appends previously tolerated zero-token docs
+    * silently (they cannot pair, so they were harmless); the removal
+    * contract made them a hard error, because a doc with no trace in
+    * any state table would be appendable twice and never removable.
+    * Callers appending raw crawl batches (whitespace-only or empty
+    * documents included) should route the delta through this helper
+    * first. */
+  def filterEmptyDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(idCol).isNotNull &&
+      exists(tokensOf(col(textCol)), t => length(t) > 0))
+
   /** The ranked prefix table [[jaccardCandidates]] joins on: for each
     * doc, its distinct tokens ranked by global rarity (__df asc, tok
     * asc), kept up to the prefix-lemma length |d| − α(d) + 1. Returns
@@ -1802,36 +1818,57 @@ object TextDedup {
     * discipline: refresh on a schedule, never per batch); `sizes`
     * (__id, __n) is the per-doc distinct-token count — append-only
     * facts, stored so the verify never re-aggregates the full token
-    * table; `pairs` is the exact output so far. All five are
-    * truncation-staged (they feed the next maintenance run's plan). */
-  final case class JaccardState(toks: DataFrame, dfFrozen: DataFrame,
-      prefix: DataFrame, sizes: DataFrame, pairs: DataFrame, tau: Double,
+    * table; `pairs` is the exact output so far.
+    *
+    * SEGMENTED storage (r15 Next #3): each logical table is a Seq of
+    * truncation-staged SEGMENTS (base + one delta per append) and the
+    * public accessors expose their lazy union. An append therefore
+    * stages only its O(delta) segment — the previous form re-staged
+    * `toks`/`prefix`/`pairs` as full-table unions, an O(corpus)
+    * staged-bytes floor per append (measured 45-54 MB/append,
+    * PERF r15; ProfileJaccard's chain row now shows staged-new ~=
+    * delta size). The cost moved, not hidden: each append widens the
+    * union plan by one branch per table, and consumers still READ all
+    * segments — [[jaccardJoinReindex]] is the compaction hook that
+    * consolidates segment lists back to one frame each, on the same
+    * schedule as its df refresh. */
+  final case class JaccardState(toksSegs: Seq[DataFrame], dfFrozen: DataFrame,
+      prefixSegs: Seq[DataFrame], sizesSegs: Seq[DataFrame],
+      pairsSegs: Seq[DataFrame], tau: Double,
       internals: Seq[DataFrame] = Nil) {
+    // positional unions: every segment is produced by the maintenance
+    // functions with the table's canonical column order (remove
+    // re-selects it explicitly for exactly this reason)
+    private def u(segs: Seq[DataFrame]): DataFrame = segs.reduce(_.union(_))
+    def toks: DataFrame = u(toksSegs)
+    def prefix: DataFrame = u(prefixSegs)
+    def sizes: DataFrame = u(sizesSegs)
+    def pairs: DataFrame = u(pairsSegs)
+    private def allFrames: Seq[DataFrame] =
+      (toksSegs ++ prefixSegs ++ sizesSegs ++ pairsSegs) :+ dfFrozen
+
     /** Free EVERY frame of this state — including ones carried BY
       * REFERENCE into successor states (`dfFrozen` across
-      * appends/removes; `toks`/`sizes`/`pairs` across a reindex). Only
-      * for ending a whole chain; between chain links use
-      * [[releaseSuperseded]], or the next maintenance run reads a
-      * freed checkpoint block and dies
+      * appends/removes; base segments across appends; consolidated
+      * tables across a reindex). Only for ending a whole chain;
+      * between chain links use [[releaseSuperseded]], or the next
+      * maintenance run reads a freed checkpoint block and dies
       * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). */
     def release(): Unit = {
       internals.foreach(_.unpersist(blocking = false))
-      Seq(toks, dfFrozen, prefix, sizes, pairs)
-        .foreach(Materialize.release)
+      allFrames.foreach(Materialize.release)
     }
 
     /** The service-chain release: free this SUPERSEDED state's frames
-      * EXCEPT those `next` shares by reference (a maintenance step
-      * carries some tables verbatim rather than copying them). Call
-      * after `next`'s tables have been materialized — a lazy
-      * successor checkpoint still reads its predecessor's blocks
+      * EXCEPT those `next` shares by reference (an append carries
+      * every prior segment verbatim; a reindex carries single-segment
+      * tables). Call after `next`'s tables have been materialized — a
+      * lazy successor checkpoint still reads its predecessor's blocks
       * until its first execution. */
     def releaseSuperseded(next: JaccardState): Unit = {
-      val kept = Seq(next.toks, next.dfFrozen, next.prefix, next.sizes,
-        next.pairs)
+      val kept = next.allFrames
       internals.foreach(_.unpersist(blocking = false))
-      Seq(toks, dfFrozen, prefix, sizes, pairs)
-        .filterNot(f => kept.exists(_ eq f))
+      allFrames.filterNot(f => kept.exists(_ eq f))
         .foreach(Materialize.release)
     }
   }
@@ -1912,7 +1949,8 @@ object TextDedup {
       jaccardVerifyPairsSized(deltaJaccardCandidates(prefix, prefix, tau),
         toks, sizes, tau),
       requireTruncation = true)
-    JaccardState(toks, dfFrozen, prefix, sizes, pairs, tau)
+    JaccardState(Seq(toks), dfFrozen, Seq(prefix), Seq(sizes), Seq(pairs),
+      tau)
   }
 
   /** O(delta) APPEND maintenance of [[JaccardState]]: the new exact
@@ -1927,14 +1965,18 @@ object TextDedup {
     * joins the STORED size table — sizes are append-only facts that
     * union in O(delta); intersections still scan the full token
     * table once, restricted to candidate ids by the equi-join), and
-    * staging: `toks`/`prefix`/`pairs` re-MATERIALIZE as full-table
-    * unions per append (O(corpus) staged bytes each time, though the
-    * shuffled pair work stays O(delta) — ProfileJaccard measures the
-    * flat-per-append staging floor), so batch appends at warehouse
-    * cadence rather than row-at-a-time, and fold a
+    * staging: O(delta) — each table gains one truncation-staged
+    * SEGMENT and the prior segments carry by reference (the r15
+    * O(corpus)-staged-bytes-per-append floor is gone; ProfileJaccard's
+    * chain row now measures staged-new ~= delta size). What an append
+    * does NOT shrink: consumers still READ every segment (the
+    * candidate join scans the full prefix union once), and the union
+    * plan widens by one branch per table per append — batch appends
+    * at warehouse cadence rather than row-at-a-time, and fold a
     * [[jaccardJoinReindex]] into the same pass when df drift has
-    * eroded pruning. The stored prefix table is SCANNED, never
-    * re-ranked: df drift only costs pruning efficiency, which
+    * eroded pruning or the segment list has grown long (it compacts
+    * both). The stored prefix table is SCANNED, never re-ranked: df
+    * drift only costs pruning efficiency, which
     * [[jaccardJoinReindex]] refreshes on the caller's schedule
     * (pairs carry over verbatim even then — they are
     * order-independent facts).
@@ -1966,8 +2008,8 @@ object TextDedup {
     require(nTokDocs == nDocsAdd,
       s"jaccardJoinAppend: ${nDocsAdd - nTokDocs} delta docs tokenize " +
         "to nothing — zero-token docs cannot enter the state (they " +
-        "cannot pair) and would break the removal contract; filter " +
-        "them out before the state layer")
+        "cannot pair) and would break the removal contract; route the " +
+        "delta through TextDedup.filterEmptyDocs first")
     // state.toks is SCANNED with a broadcast semi filter — only
     // delta-colliding rows reach the distinct — so the contract check
     // shuffles O(delta), not O(corpus)
@@ -1979,22 +2021,22 @@ object TextDedup {
         "see scaladoc)")
     val prefixAdd = frozenPrefix(toksAdd, state.dfFrozen, state.tau)
       .persist()
-    val toksNew = Materialize.stage(state.toks.union(toksAdd),
+    // stage ONLY the delta segments — the full tables are the lazy
+    // segment unions (JaccardState scaladoc, r15 Next #3)
+    val toksSeg = Materialize.stage(toksAdd, requireTruncation = true)
+    val sizesSeg = Materialize.stage(
+      toksAdd.groupBy("__id").agg(count(lit(1)).as("__n")),
       requireTruncation = true)
-    val sizesNew = Materialize.stage(
-      state.sizes.union(
-        toksAdd.groupBy("__id").agg(count(lit(1)).as("__n"))),
-      requireTruncation = true)
+    val prefixSeg = Materialize.stage(prefixAdd, requireTruncation = true)
     val cands = deltaJaccardCandidates(prefixAdd,
       state.prefix.union(prefixAdd), state.tau)
-    val verified = jaccardVerifyPairsSized(cands, toksNew, sizesNew,
-      state.tau)
-    val pairsNew = Materialize.stage(state.pairs.union(verified),
-      requireTruncation = true)
-    val prefixNew = Materialize.stage(state.prefix.union(prefixAdd),
-      requireTruncation = true)
-    JaccardState(toksNew, state.dfFrozen, prefixNew, sizesNew, pairsNew,
-      state.tau, internals = Seq(toksAdd, prefixAdd))
+    val verified = jaccardVerifyPairsSized(cands,
+      state.toks.union(toksAdd), state.sizes.union(sizesSeg), state.tau)
+    val pairsSeg = Materialize.stage(verified, requireTruncation = true)
+    JaccardState(state.toksSegs :+ toksSeg, state.dfFrozen,
+      state.prefixSegs :+ prefixSeg, state.sizesSegs :+ sizesSeg,
+      state.pairsSegs :+ pairsSeg, state.tau,
+      internals = Seq(toksAdd, prefixAdd))
   }
 
   /** O(state scan) REMOVE maintenance of [[JaccardState]]: by the
@@ -2050,29 +2092,39 @@ object TextDedup {
           "left_anti")
         .select("id_a", "id_b", "jaccard"),
       requireTruncation = true)
-    JaccardState(keep(state.toks), state.dfFrozen, keep(state.prefix),
-      keep(state.sizes), pairsNew, state.tau, internals = Seq(ids))
+    // a remove filters the full segment UNIONS once, so it doubles as
+    // a compaction: the result is single-segment on every table
+    JaccardState(Seq(keep(state.toks)), state.dfFrozen,
+      Seq(keep(state.prefix)), Seq(keep(state.sizes)), Seq(pairsNew),
+      state.tau, internals = Seq(ids))
   }
 
   /** Refresh the frozen rarity order from the CURRENT token table —
-    * the compaction hook for long append chains: pruning efficiency
-    * drifts as real df diverges from the frozen snapshot, but the
+    * the compaction hook for long append chains, in BOTH senses:
+    * pruning efficiency drifts as real df diverges from the frozen
+    * snapshot (the df aggregation + prefix re-rank fix that; the
     * PAIRS are order-independent facts and carry over verbatim, so a
-    * reindex costs one df aggregation + one prefix re-rank and NO
-    * pair recomputation. (What a reindex does NOT change: the
-    * per-append O(corpus) staging floor — each append re-materializes
-    * the full `toks`/`prefix`/`pairs` unions, see
-    * [[jaccardJoinAppend]] — so its cadence should follow df DRIFT,
-    * not staging cost.) */
+    * reindex costs NO pair recomputation), and the segment lists the
+    * appends grew — one truncation-staged delta per append,
+    * [[jaccardJoinAppend]] — consolidate back to one frame per table
+    * (a single-segment table carries by reference, nothing re-staged).
+    * Cadence should follow df drift OR segment-list length, whichever
+    * bites first. */
   def jaccardJoinReindex(state: JaccardState): JaccardState = {
+    def compact(segs: Seq[DataFrame]): Seq[DataFrame] =
+      if (segs.lengthCompare(1) == 0) segs
+      else Seq(Materialize.stage(segs.reduce(_.union(_)),
+        requireTruncation = true))
+    val toksC = compact(state.toksSegs)
+    val sizesC = compact(state.sizesSegs)
+    val pairsC = compact(state.pairsSegs)
     val dfNew = Materialize.stage(
-      state.toks.groupBy("tok").agg(count(lit(1)).as("__df")),
+      toksC.head.groupBy("tok").agg(count(lit(1)).as("__df")),
       requireTruncation = true)
     val prefixNew = Materialize.stage(
-      frozenPrefix(state.toks, dfNew, state.tau),
+      frozenPrefix(toksC.head, dfNew, state.tau),
       requireTruncation = true)
-    JaccardState(state.toks, dfNew, prefixNew, state.sizes, state.pairs,
-      state.tau)
+    JaccardState(toksC, dfNew, Seq(prefixNew), sizesC, pairsC, state.tau)
   }
 
   /** Exact n-gram Jaccard refinement of candidate pairs: join texts

@@ -50,6 +50,21 @@ import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, LongType, Nu
   * more buckets fails FAST with an actionable message naming both
   * conf keys, instead of an executor OOM/negative-array throw.
   *
+  * MULTI-INTERVAL conditions rewrite exactly ONE interval: the first
+  * lower-bound comparison, in the condition's conjunct order, whose
+  * point expression also has a matching upper bound and a sound
+  * orientation wins the bucket key; every other comparison — the
+  * second interval included — is kept VERBATIM in the new join
+  * condition, where it acts as a post-join filter on the bucketized
+  * join. Rows are identical either way (the kept predicates decide
+  * membership; the bucket only routes pairing), the second interval
+  * just contributes no second bucket key — spec-pinned both for two
+  * same-side intervals and for one interval per orientation. A second
+  * Generate fan-out would multiply per-row copies (fanout_1 x
+  * fanout_2) for pruning that the first interval's time-locality
+  * usually already provides, so one bucket key is the deliberate
+  * choice, not a limitation of the matcher.
+  *
   * COMPOSITE joins rewrite too: `key_a = key_b AND ts BETWEEN lo AND
   * hi` — the as-of/sessionization shape, the commonest real interval
   * join — keeps its equi predicates verbatim and gains the bucket

@@ -1237,15 +1237,29 @@ object PipelineQueries {
         val lang = r.getString(0)
         val (ao, bo, ni) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
         val (exao, exbo, exi) = (r.getLong(4), r.getLong(5), r.getLong(6))
-        require(math.abs(ao - exao) / math.max(exao, 1L) <= 0.60 &&
-            math.abs(bo - exbo) / math.max(exbo, 1L) <= 0.60,
-          s"theta difference estimate outside band for $lang: " +
-            s"a_only=$ao/$exao b_only=$bo/$exbo")
-        require(math.abs(ni - exi) / math.max(exi, 1L) <= 0.60,
-          s"theta intersection estimate outside band for $lang: " +
-            s"n_inter=$ni exact=$exi")
-        // the estimates decompose: a_only + inter tracks |A|
-        require(exao + exi > 0, s"vacuous difference law for $lang")
+        // ABSOLUTE sigma band, not relative: a theta-sampled count's
+        // std is ~sqrt(true/scale), so the SCALED estimate's std is
+        // ~sqrt(true x scale) with scale = 2^52/θ ≈ max(|side|)/k —
+        // for a tiny true difference (the halves of one language
+        // share almost all bigrams) the relative error is dominated
+        // by the one-sample quantization unit `scale`, which a
+        // relative band mislabels as failure (r16: de at sf0.1 has
+        // |A∖B| = 7 with scale ≈ 11). scale derives exactly from the
+        // exact counts: A = (A∖B) ∪ (A∩B) partitions A.
+        val va = exao + exi
+        val vb = exbo + exi
+        val s256 = math.max(1.0, math.max(va, vb) / 256.0)
+        def band(ex: Long): Double =
+          4.0 * math.sqrt(math.max(ex, 1L) * s256) + s256
+        require(math.abs(ao - exao) <= band(exao) &&
+            math.abs(bo - exbo) <= band(exbo),
+          s"theta difference estimate outside the 4-sigma band for " +
+            s"$lang: a_only=$ao/$exao b_only=$bo/$exbo scale=$s256")
+        require(math.abs(ni - exi) <= band(exi),
+          s"theta intersection estimate outside the 4-sigma band for " +
+            s"$lang: n_inter=$ni exact=$exi scale=$s256")
+        // non-vacuity: the law must have compared a real side
+        require(va > 0, s"vacuous difference law for $lang")
       }
       val sess = s
       import sess.implicits._

@@ -81,4 +81,25 @@ class MaterializeSpec extends AnyFunSuite {
     // cleanup: free the persist-mode frames this test created
     (churn :+ active).foreach(Materialize.releaseStaged)
   }
+
+  test("release drops a persist-mode frame from the staged tracker " +
+      "(a promptly-releasing service must not accumulate stale refs)") {
+    import spark.implicits._
+    val sess = spark.newSession()
+    sess.conf.set(Materialize.ConfKey, "persist")
+    try {
+      val a = Materialize.stage(sess.range(10).toDF())
+      val b = Materialize.stage(sess.range(20).toDF())
+      assert(Materialize.stagedFrames(sess) == 2)
+      Materialize.release(a)
+      assert(Materialize.stagedFrames(sess) == 1,
+        "release left the freed frame tracked")
+      Materialize.release(b)
+      assert(Materialize.stagedFrames(sess) == 0,
+        "the session's tracker entry should be gone once empty")
+    } finally {
+      Materialize.releaseStaged(sess)
+      sess.conf.unset(Materialize.ConfKey)
+    }
+  }
 }

@@ -357,6 +357,68 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("dual-INTERVAL condition: exactly one interval earns the bucket " +
+      "key, the other stays a verbatim post-join predicate; rows " +
+      "identical in both shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // two same-side intervals: both points on the LEFT, both bound
+    // pairs on the RIGHT
+    val pts = (1L to 300L).map { i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
+    }.toDF("p_id", "x1", "x2")
+    val ivs = (1L to 100L).map { i =>
+      val lo1 = rnd.nextInt(1000).toLong
+      val lo2 = rnd.nextInt(1000).toLong
+      (i, lo1, lo1 + rnd.nextInt(120).toLong,
+        lo2, lo2 + rnd.nextInt(400).toLong)
+    }.toDF("i_id", "lo1", "hi1", "lo2", "hi2")
+    def q = pts.join(ivs,
+      col("x1") >= col("lo1") && col("x1") <= col("hi1") &&
+        col("x2") >= col("lo2") && col("x2") <= col("hi2"))
+      .select("p_id", "i_id")
+    val baseline = q.collect().map(_.toSeq).toSet
+    assert(baseline.nonEmpty, "dual-interval fixture selects nothing")
+    withRule(Some("64")) {
+      val plan = planString(q)
+      assert(plan.contains("Generate") && !plan.contains("NestedLoop")
+          && !plan.contains("Cartesian"),
+        s"dual-interval join did not rewrite:\n$plan")
+      // exactly ONE bucket fan-out: the second interval must NOT add
+      // a second Generate (fanout would multiply), it survives as a
+      // plain predicate in the join condition
+      assert(plan.linesIterator.count(_.contains("Generate")) == 1,
+        s"expected exactly one bucket Generate:\n$plan")
+      assert(q.collect().map(_.toSeq).toSet == baseline,
+        "dual-interval rewrite changed the result")
+    }
+    // one interval per orientation on an INNER join: either triple is
+    // sound; one wins the bucket, the other filters post-join
+    val pts2 = (1L to 300L).map { i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong,
+        100L + rnd.nextInt(100).toLong)
+    }.toDF("p_id", "pt", "plo", "phi")
+    val ivs2 = (1L to 100L).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i, lo, lo + rnd.nextInt(120).toLong, rnd.nextInt(250).toLong)
+    }.toDF("i_id", "lo", "hi", "iy")
+    def q2 = pts2.join(ivs2,
+      col("pt") >= col("lo") && col("pt") <= col("hi") &&
+        col("iy") >= col("plo") && col("iy") <= col("phi"))
+      .select("p_id", "i_id")
+    val baseline2 = q2.collect().map(_.toSeq).toSet
+    assert(baseline2.nonEmpty, "dual-orientation fixture selects nothing")
+    withRule(Some("64")) {
+      val plan = planString(q2)
+      assert(plan.contains("Generate") &&
+        plan.linesIterator.count(_.contains("Generate")) == 1 &&
+        !plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"dual-orientation inner join did not single-bucket rewrite:\n$plan")
+      assert(q2.collect().map(_.toSeq).toSet == baseline2,
+        "dual-orientation inner rewrite changed the result")
+    }
+  }
+
   test("GraftExtensions wires the SQL surface and the rule into a fresh session") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
@@ -385,6 +447,26 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
           "extension-injected rule did not fire")
         assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
       } finally s2.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      // the injected H3 filter rule fires under ITS conf
+      s2.conf.set("spark.graft.h3Filter.res", "8")
+      try {
+        import graft.functions.GFunctions._
+        val wkb = graft.spatial.Geometry.toWkb(graft.spatial.Geometry
+          .fromWkt("POLYGON ((561000 6449000, 565000 6449000, " +
+            "565000 6453000, 561000 6453000, 561000 6449000))"))
+        val idx = Seq((1L, "POLYGON ((562000 6450000, 562400 6450000, " +
+            "562400 6450400, 562000 6450400, 562000 6450000))"))
+          .toDF("id", "wkt")
+          .withColumn("h3_cell",
+            explode(g_h3_polygon_cells_l(st_geomfromtext(col("wkt")), lit(9))))
+          .select(col("id"), col("h3_cell"),
+            g_h3_cell_to_geom(col("h3_cell")).as("geom"))
+        val q2 = idx.filter(st_intersects(col("geom"), lit(wkb)))
+          .select("id").distinct()
+        assert(q2.queryExecution.executedPlan.toString.contains("__g_h3f_"),
+          "extension-injected H3 filter rule did not fire")
+        assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      } finally s2.conf.unset("spark.graft.h3Filter.res")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
