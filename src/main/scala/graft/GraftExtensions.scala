@@ -25,7 +25,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    via `spark.graft.h3Filter.res`): full-scan
   *    `st_intersects(geom, <literal polygon>)` filters over an
   *    H3-keyed relation replan to the broadcast cell prefilter +
-  *    exact refine (the reference's measured ~100× two-step).
+  *    exact refine (the reference's measured ~100× two-step), and
+  *  - the [[graft.plans.H3JoinRewrite]] optimizer rule (opt-in via
+  *    `spark.graft.h3Join.res`): spatial JOINs on `st_intersects`
+  *    replan from BroadcastNestedLoopJoin (O(n·m) geometry tests) to
+  *    a covering-cell equi-join with the exact predicate kept as the
+  *    refine.
   *
   * On a session that already exists, `GFunctions.registerAll(spark)`
   * and `spark.experimental.extraOptimizations` remain the equivalent
@@ -41,5 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.RangeJoinRewrite(session))
     ext.injectOptimizerRule(session =>
       graft.plans.H3IntersectsRewrite(session))
+    ext.injectOptimizerRule(session =>
+      graft.plans.H3JoinRewrite(session))
   }
 }

@@ -1599,3 +1599,52 @@ object ProfileH3Filter {
     spark.stop()
   }
 }
+
+/** The H3JoinRewrite speedup, measured at FULL index scale: the
+  * declarative spatial join (2.67 M index rows x 40 mixed geometries
+  * = ~107 M exact geometry pair-tests under Spark's
+  * BroadcastNestedLoopJoin) vs the covering-cell equi-join the rule
+  * plans (exact math only on cell-colocated candidates). Identical
+  * per-geometry aggregates require-checked. The nested-loop side runs
+  * ONCE (it is the measurement's denominator, minutes not needed to
+  * establish the order); the rule side is a median of 5. */
+object ProfileH3Join {
+  import ProfileCurves._
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-profile-h3join")
+    import graft.functions.GFunctions._
+    val idx = graft.queries.GeoQueries.sharedIndex(spark, sfDir)
+    idx.drop("geom").write.format("noop").mode("overwrite").save()
+    val nIdx = idx.count()
+    val rule = graft.plans.H3JoinRewrite(spark)
+    // geometry-count sweep: the nested loop is O(index x geometries)
+    // while the rule side grows only with candidates — the speedup is
+    // the geometry count, which is the point of a JOIN vs repeating
+    // the single-polygon query
+    Seq(40L, 400L).foreach { m =>
+      val gs = graft.pipeline.GeoFixture(spark, sfDir)
+        .filter(col("fid") <= m)
+        .select(col("fid").cast("long").as("gid"), col("geom").as("qgeom"))
+        .persist()
+      val nGeom = gs.count()
+      def q = idx.join(gs, st_intersects(col("geom"), col("qgeom")))
+        .groupBy("gid").agg(count(lit(1)).as("n_pairs"))
+      spark.conf.unset(rule.ConfKey)
+      val tFull = timed(noop(q))
+      val baseline = q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+      spark.conf.set(rule.ConfKey, "8")
+      require(q.queryExecution.executedPlan.toString.contains("__g_h3j_"),
+        "rule did not fire in the profile session")
+      require(q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+        baseline, "rewrite changed the join result")
+      val tRule = medianMs(5)(() => noop(q)) / 1000.0
+      println(f"""{"metric":"h3join_rule","index_rows":$nIdx,"geometries":$nGeom,"nested_loop_s":$tFull%.2f,"rule_s":$tRule%.3f,"speedup":${tFull / tRule}%.1f}""")
+      gs.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}

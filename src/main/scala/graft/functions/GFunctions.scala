@@ -45,6 +45,9 @@ object GFunctions {
   def g_h3_point_cells(geom: Column, res: Column): Column =
     toCol(H3PointCells(toExpr(geom), toExpr(res)))
 
+  def g_h3_covering_cells(geom: Column, res: Column): Column =
+    toCol(H3CoveringCells(toExpr(geom), toExpr(res)))
+
   def h3_compact_cells(cells: Column): Column =
     toCol(H3CompactCells(toExpr(cells)))
 
@@ -69,6 +72,9 @@ object GFunctions {
 
   def g_h3_polygon_cells_l(geom: Column, res: Column): Column =
     toCol(H3PolygonCells(toExpr(geom), toExpr(res), asLong = true))
+
+  def g_h3_covering_cells_l(geom: Column, res: Column): Column =
+    toCol(H3CoveringCells(toExpr(geom), toExpr(res), asLong = true))
 
   def g_h3_line_cells_l(geom: Column, bufferM: Column, res: Column): Column =
     toCol(H3LineCells(toExpr(geom), toExpr(bufferM), toExpr(res), asLong = true))
@@ -160,6 +166,7 @@ object GFunctions {
     reg2("g_h3_polygon_cells", H3PolygonCells(_, _))
     reg3("g_h3_line_cells", H3LineCells(_, _, _))
     reg2("g_h3_point_cells", H3PointCells(_, _))
+    reg2("g_h3_covering_cells", H3CoveringCells(_, _))
     reg1("h3_compact_cells", H3CompactCells(_))
     reg2("h3_uncompact_cells", H3UncompactCells(_, _))
     reg1("h3_resolution", H3Resolution(_))

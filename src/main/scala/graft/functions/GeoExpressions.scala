@@ -231,6 +231,25 @@ case class H3PolygonCells(geom: Expression, res: Expression,
     copy(geom = c(0), res = c(1))
 }
 
+/** g_h3_covering_cells(geom, res): SWEREF99 WKB geometry (any type) ->
+  * COVERING cell set at `res` — a superset of every res-`res` cell
+  * that is the ancestor of any cell whose own H3 geometry intersects
+  * the input ([[graft.h3.H3Cover]]; the center polyfill plus a
+  * 2.5-spacing boundary corridor). The per-row primitive behind the
+  * lossless [[graft.plans.H3JoinRewrite]] spatial-join rewrite; also
+  * useful to build recall-complete indexes where the reference's
+  * center-polyfill convention is not wanted. */
+case class H3CoveringCells(geom: Expression, res: Expression,
+    asLong: Boolean = false) extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom, res)
+  override def dataType: DataType =
+    ArrayType(if (asLong) LongType else StringType)
+  override protected def evalNotNull(a: Array[Any]): Any =
+    cellsOut(graft.h3.H3Cover.coveringCellIds(wkb(a(0)), int(a(1))), asLong)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(geom = c(0), res = c(1))
+}
+
 /** g_h3_line_cells(geom, buffer_m, res) (003_db_makros.sql:71). */
 case class H3LineCells(geom: Expression, bufferM: Expression, res: Expression,
     asLong: Boolean = false) extends GeoExpr {

@@ -1,0 +1,73 @@
+package graft.h3
+
+import graft.spatial.{Crs, Geom, GeomColl, Geometry, Line, MultiLine, MultiPoly, MultiPt, Poly, Pt}
+
+/** COVERING cell sets: for a SWEREF geometry g and a resolution R, a
+  * SUPERSET of every res-R cell that is the R-ancestor of ANY cell (at
+  * R or finer) whose own H3 boundary geometry intersects g. The plain
+  * polyfill ([[H3Core.polygonToCells]]) is CENTER-in-polygon — the
+  * libh3 convention, correct for the reference's candidate semantics —
+  * but a boundary-straddling cell whose center lies just outside is
+  * missed, which is fatal for the LOSSLESS optimizer rewrites
+  * ([[graft.plans.H3IntersectsRewrite]], [[graft.plans.H3JoinRewrite]]):
+  * they must keep every row the plain `st_intersects` keeps.
+  *
+  * Soundness bound (shared by every branch): a cell at res' >= R
+  * intersecting g has a point p of g inside it; its R-ancestor's
+  * center is within drift(< 0.61·circum(R)) + circum(res') <=
+  * ~1.0·circum(R) (< 0.6 mean center spacings) of p, hence of g. So
+  * every such ancestor's center is within BUFFER = 2.5 center
+  * spacings of g — the extra margin absorbs per-cell circumradius
+  * variation and the corridor's equirectangular metric. Per geometry
+  * type:
+  *
+  *  - POLYGON/MULTIPOLYGON: center polyfill ∪ a BUFFER corridor
+  *    around every boundary ring (holes included — a center inside a
+  *    hole is near the HOLE's own ring, not the outer one);
+  *  - LINESTRING/MULTILINESTRING: the BUFFER corridor around the
+  *    line ([[H3Core.lineToCells]] — buffer membership IS the
+  *    distance predicate);
+  *  - POINT/MULTIPOINT: the corridor around a degenerate
+  *    single-vertex segment (distance-to-point);
+  *  - GEOMETRYCOLLECTION: the union over members.
+  *
+  * Strictly an OVER-approximation everywhere: extra cells only ever
+  * fail the exact refine the rewrites keep verbatim. */
+object H3Cover {
+
+  /** Covering cells of a SWEREF99 TM geometry at `res`, distinct and
+    * sorted. Empty geometries cover nothing. */
+  def coveringCellIds(geomSweref: Geom, res: Int): Array[Long] = {
+    val wgs = Geometry.mapCoords(geomSweref, p => {
+      val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
+      Pt(lng, lat)
+    })
+    val bufferM = 2.5 * H3Core.cellAngularSize(res) * 6371008.8
+    coveringWgs(wgs, res, bufferM).distinct.sorted
+  }
+
+  private def corridor(pts: Array[Pt], bufferM: Double,
+      res: Int): Array[Long] = {
+    // lineToCells needs >= 2 vertices; a repeated vertex makes a
+    // zero-length segment whose distance predicate IS the point's
+    val ps = if (pts.length == 1) Array(pts(0), pts(0)) else pts
+    val wkt = ps.map(p => s"${p.x} ${p.y}").mkString("LINESTRING (", ", ", ")")
+    H3Core.lineToCells(wkt, bufferM, res)
+  }
+
+  private def coveringWgs(wgs: Geom, res: Int,
+      bufferM: Double): Array[Long] = wgs match {
+    case g if g.isEmpty => Array.empty
+    case p: Pt => corridor(Array(p), bufferM, res)
+    case MultiPt(ps) => ps.flatMap(p => corridor(Array(p), bufferM, res))
+    case Line(pts) => corridor(pts, bufferM, res)
+    case MultiLine(ls) => ls.flatMap(l => corridor(l.pts, bufferM, res))
+    case p: Poly =>
+      H3Core.polygonToCells(p, res) ++
+        p.rings.flatMap(r => corridor(r, bufferM, res))
+    case mp: MultiPoly =>
+      H3Core.polygonToCells(mp, res) ++
+        mp.polys.flatMap(_.rings.flatMap(r => corridor(r, bufferM, res)))
+    case GeomColl(gs) => gs.flatMap(g => coveringWgs(g, res, bufferM))
+  }
+}

@@ -348,24 +348,9 @@ object PreparedPolygonQuery {
     * center is either IN the polygon (center polyfill) or within the
     * ring corridor. 2.5 spacings absorbs per-cell circumradius
     * variation and the corridor's equirectangular metric. Strictly an
-    * OVER-approximation: extra cells only ever fail the exact refine. */
-  def coveringCellIds(polySweref: Geom, res: Int): Array[Long] = {
-    val wgs = Geometry.mapCoords(polySweref, p => {
-      val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
-      Pt(lng, lat)
-    })
-    val rings: Array[Array[Pt]] = wgs match {
-      case Poly(rs) => rs
-      case MultiPoly(ps) => ps.flatMap(_.rings)
-      case other => throw new IllegalArgumentException(
-        s"coveringCellIds needs POLYGON/MULTIPOLYGON, got ${other.typeName}")
-    }
-    val inside = H3Core.polygonToCells(wgs, res)
-    val bufferM = 2.5 * H3Core.cellAngularSize(res) * 6371008.8
-    val ringCells = rings.flatMap { r =>
-      val pts = r.map(p => s"${p.x} ${p.y}").mkString(", ")
-      H3Core.lineToCells(s"LINESTRING ($pts)", bufferM, res)
-    }
-    (inside ++ ringCells).distinct.sorted
-  }
+    * OVER-approximation: extra cells only ever fail the exact refine.
+    * (Implementation lives in [[graft.h3.H3Cover]], which also covers
+    * point/line/collection geometries for the JOIN rewrite.) */
+  def coveringCellIds(polySweref: Geom, res: Int): Array[Long] =
+    graft.h3.H3Cover.coveringCellIds(polySweref, res)
 }

@@ -1,0 +1,203 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{H3CoveringCells, StIntersects}
+
+/** Catalyst optimizer rule: rewrite a SPATIAL JOIN —
+  * `indexSide JOIN geomSide ON st_intersects(indexSide.geom,
+  * geomSide.geom)` where one side carries an H3 cell key — into a
+  * cell EQUI-join. Spark plans the bare geometry-predicate join as
+  * BroadcastNestedLoopJoin or a cartesian product: O(n·m) exact
+  * geometry tests, the shape that cannot survive any scale-up. After
+  * the rewrite, the geometry side EXPLODES to the covering cells of
+  * its per-row geometry ([[graft.functions.H3CoveringCells]] — any
+  * geometry type), the index side keys by its query-res ancestor, and
+  * they hash/sort-merge join on the cell with the ORIGINAL
+  * st_intersects kept verbatim as the refine — exact geometry math
+  * runs only on cell-colocated candidate pairs. This is the
+  * distributed spatial join the reference's H3 design implies but
+  * never ships ("a spatial join reduced to an H3 equi-join",
+  * docs/H3_POLYGON_ANALYSIS.md:301-321, realized there only for ONE
+  * literal polygon at a time); [[H3IntersectsRewrite]] is the
+  * literal-polygon special case of the same idea.
+  *
+  * NO DUPLICATION, structurally: the index side contributes exactly
+  * ONE key per row (its single cell's ancestor), and the covering
+  * array is DISTINCT per geometry row — so an original qualifying
+  * pair meets in exactly one exploded copy (the one whose cell equals
+  * the index row's ancestor), and row multiplicity is preserved
+  * without any dedup step.
+  *
+  * EXACTNESS CONTRACT (the [[H3IntersectsRewrite]] contract, join
+  * form): byte-identical rows to the unrewritten join when the index
+  * side's filtered geometry is its row's own H3 CELL GEOMETRY (the
+  * mart h3_index layout, `geom = g_h3_cell_to_geom(h3_cell)`):
+  * st_intersects(cellGeom(c), g) implies ancestor(c) ∈ covering(g)
+  * ([[graft.h3.H3Cover]]'s drift+circumradius bound), so the
+  * equi-join keeps every qualifying pair and the verbatim original
+  * predicate decides each candidate exactly. NULL/empty geometries
+  * drop on both plans (NULL st_intersects vs an empty covering array
+  * under a non-outer Generate).
+  *
+  * JOIN TYPES: INNER in either orientation; LEFT OUTER / LEFT SEMI /
+  * LEFT ANTI when the GEOMETRY side is on the RIGHT; RIGHT OUTER when
+  * it is on the LEFT — i.e. whenever the EXPLODED side is the join's
+  * non-preserved side (matched pairs meet exactly once either way,
+  * but an unmatched PRESERVED row must surface exactly once, which an
+  * exploded side cannot guarantee — the RangeJoinRewrite orientation
+  * argument verbatim). FULL OUTER never rewrites. A geometry-side row
+  * whose covering is EMPTY (empty geometry) vanishes under the inner
+  * Generate — for non-preserved geometry sides that equals the
+  * original semantics (an empty geometry intersects nothing).
+  *
+  * SIDE SELECTION: the index side is the one carrying a LongType
+  * `h3_parent_<res>` column (preferred — zero per-row math) or a
+  * LongType `h3_cell` column; when BOTH sides qualify, the
+  * materialized-ancestor side wins, then the LEFT side (documented
+  * tiebreak — either choice is correct, they differ only in which
+  * side fans out).
+  *
+  * OPT-IN via `spark.graft.h3Join.res` (0..15): the prefilter
+  * resolution is an index-layout choice (cells must be AT or FINER
+  * than it — the H3Query contract; a too-coarse row's NULL ancestor
+  * drops exactly where the cell-geometry invariant would have made
+  * its geom NULL too). Idempotency is structural: the rewritten join
+  * condition references `__g_h3j_` attributes, never re-matched.
+  *
+  * Wire via `spark.sql.extensions=graft.GraftExtensions`, or
+  * `spark.experimental.extraOptimizations ++= Seq(H3JoinRewrite(spark))`.
+  */
+case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  val ConfKey = "spark.graft.h3Join.res"
+
+  private def res: Option[Int] =
+    spark.conf.getOption(ConfKey).map { s =>
+      val r = try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$ConfKey must be an H3 resolution 0..15, got '$s'")
+      }
+      require(r >= 0 && r <= 15,
+        s"$ConfKey must be an H3 resolution 0..15, got '$s'")
+      r
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = res match {
+    case None => plan
+    case Some(r) => plan.transformUp {
+      case j @ Join(_, _,
+          Inner | LeftOuter | LeftSemi | LeftAnti | RightOuter,
+          Some(_), _) =>
+        rewrite(j, r).getOrElse(j)
+    }
+  }
+
+  /** The exploded (geometry) side must be NON-preserved. */
+  private def orientationOk(jt: JoinType, geomOnLeft: Boolean): Boolean =
+    jt match {
+      case Inner => true
+      case LeftOuter | LeftSemi | LeftAnti => !geomOnLeft
+      case RightOuter => geomOnLeft
+      case _ => false
+    }
+
+  /** The H3 key expression over `plan`'s own output, with a
+    * preference rank: Some((expr, 0)) for a stored ancestor column,
+    * Some((expr, 1)) for per-row parent math over h3_cell. */
+  private def keyOf(plan: LogicalPlan, r: Int): Option[(Expression, Int)] =
+    plan.output.collectFirst {
+      case a if a.name == s"h3_parent_$r" && a.dataType == LongType =>
+        (a: Expression, 0)
+    }.orElse(plan.output.collectFirst {
+      case a if a.name == "h3_cell" && a.dataType == LongType =>
+        (graft.functions.H3CellToParent(a, Literal(r)): Expression, 1)
+    })
+
+  /** `side` rewritten to expose the H3 key as a `__g_h3j_key`
+    * attribute, with its preference rank. By the time an optimizer
+    * rule sees the join, COLUMN PRUNING has usually stripped the cell
+    * column from any Project the user's select produced — so when the
+    * side's own output lacks a key, thread it UP through
+    * Project/Filter chains from wherever below still carries it (the
+    * relation itself always does; only pruned projections hide it). */
+  private def keyedPlan(side: LogicalPlan,
+      r: Int): Option[(LogicalPlan, Attribute, Int)] =
+    keyOf(side, r) match {
+      case Some((expr, rank)) =>
+        val al = Alias(expr, "__g_h3j_key")()
+        Some((Project(side.output :+ al, side), al.toAttribute, rank))
+      case None => side match {
+        case Project(list, ch) =>
+          keyedPlan(ch, r).map { case (newCh, attr, rank) =>
+            (Project(list :+ attr, newCh), attr, rank)
+          }
+        case Filter(c, ch) =>
+          keyedPlan(ch, r).map { case (newCh, attr, rank) =>
+            (Filter(c, newCh), attr, rank)
+          }
+        case _ => None
+      }
+    }
+
+  private def rewrite(j: Join, r: Int): Option[LogicalPlan] = {
+    val cond = j.condition.get
+    if (cond.references.exists(_.name.startsWith("__g_h3j_")))
+      return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    def sided(e: Expression): Option[Boolean] = {
+      val refs = e.references
+      if (refs.isEmpty || !e.deterministic) None
+      else if (refs.subsetOf(j.left.outputSet)) Some(true)
+      else if (refs.subsetOf(j.right.outputSet)) Some(false)
+      else None
+    }
+    // the spatial conjunct: st_intersects with one argument per side
+    val hit = conjuncts.collectFirst(Function.unlift {
+      case si @ StIntersects(a, b) =>
+        (sided(a), sided(b)) match {
+          case (Some(sa), Some(sb)) if sa != sb =>
+            // (conjunct, left-side arg, right-side arg)
+            Some((si: Expression, if (sa) a else b, if (sa) b else a))
+          case _ => None
+        }
+      case _ => None
+    })
+    hit.flatMap { case (si, leftGeom, rightGeom) =>
+      val (kl, kr) = (keyedPlan(j.left, r), keyedPlan(j.right, r))
+      // index side: best key rank wins; ties break LEFT (documented)
+      val indexOnLeft: Option[Boolean] = (kl, kr) match {
+        case (Some((_, _, rl)), Some((_, _, rr))) => Some(rl <= rr)
+        case (Some(_), None) => Some(true)
+        case (None, Some(_)) => Some(false)
+        case (None, None) => None
+      }
+      indexOnLeft.flatMap { idxLeft =>
+        if (!orientationOk(j.joinType, geomOnLeft = !idxLeft)) None
+        else {
+          val (idxKeyed, keyAttr, _) = (if (idxLeft) kl else kr).get
+          val geomPlan = if (idxLeft) j.right else j.left
+          val geomExpr = if (idxLeft) rightGeom else leftGeom
+          val cellAttr =
+            AttributeReference("__g_h3j_cell", LongType, nullable = false)()
+          val geomExploded = Generate(
+            Explode(H3CoveringCells(geomExpr, Literal(r), asLong = true)),
+            Nil, outer = false, None, Seq(cellAttr), geomPlan)
+          val newCond = (EqualTo(keyAttr, cellAttr) +: conjuncts)
+            .reduce(And)
+          val (nl, nr) =
+            if (idxLeft) (idxKeyed, geomExploded)
+            else (geomExploded, idxKeyed)
+          Some(Project(j.output,
+            Join(nl, nr, j.joinType, Some(newCond), j.hint)))
+        }
+      }
+    }
+  }
+}

@@ -45,7 +45,7 @@ object GeoQueries {
       "q65_query_stats", "q66_query_heatmap", "q67_query_exact",
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
       "q135_query_table_macro", "q169_hybrid_identity",
-      "q229_h3filter_rule")
+      "q229_h3filter_rule", "q232_h3join_rule")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -256,6 +256,59 @@ object GeoQueries {
       }
     }),
 
+    // The H3JoinRewrite OPTIMIZER RULE (plans/H3JoinRewrite): a
+    // declarative SPATIAL JOIN — index JOIN geometries ON
+    // st_intersects(geom, qgeom), which Spark plans as
+    // BroadcastNestedLoopJoin evaluating exact geometry per PAIR —
+    // replans into the covering-cell equi-join (the geometry side
+    // explodes to g_h3_covering_cells of its per-row geometry, the
+    // index keys by its stored ancestor, exact math only on
+    // cell-colocated candidates). This is the reference's "spatial
+    // join reduced to an H3 equi-join" (docs/H3_POLYGON_ANALYSIS.md:
+    // 301-321) generalized from one literal polygon to a TABLE of
+    // mixed polygon/line/point geometries. Same identity pattern as
+    // q229: the require asserts the nested loop is GONE, the result
+    // pins the rewritten per-geometry match counts equal to the
+    // unrewritten join's on the same session (zero symmetric diff).
+    "q232_h3join_rule" -> ((s, dir) => {
+      import s.implicits._
+      val rule = graft.plans.H3JoinRewrite(s)
+      // 1-in-8 index stratum keeps the UNREWRITTEN nested-loop
+      // baseline affordable while exercising every join-side shape
+      val idx = sharedIndex(s, dir)
+        .filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
+      val gs = GeoFixture(s, dir).filter(col("fid") <= 40)
+        .select(col("fid").cast("long").as("gid"),
+          col("geom").as("qgeom"))
+      def q = idx.join(gs, st_intersects(col("geom"), col("qgeom")))
+        .groupBy("gid")
+        .agg(countDistinct(col("id")).as("n_objects"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("gid")
+      val baseRows = q.collect().map(_.toSeq)
+      val prev = s.experimental.extraOptimizations
+      try {
+        s.experimental.extraOptimizations = prev :+ rule
+        s.conf.set(rule.ConfKey, "8")
+        val rew = q
+        val plan = rew.queryExecution.executedPlan.toString
+        require(plan.contains("__g_h3j_") && !plan.contains("NestedLoop")
+            && !plan.contains("Cartesian"),
+          "H3JoinRewrite did not fire — the spatial join would run " +
+            "as a nested-loop product")
+        // materialize WHILE the rule is installed (q212's discipline)
+        val rewRows = rew.collect().map(_.toSeq)
+        val baseSet = baseRows.toSet
+        val rewSet = rewRows.toSet
+        val diff = (baseSet.diff(rewSet).size + rewSet.diff(baseSet).size
+          + math.abs(baseRows.length - rewRows.length)).toLong
+        Seq((diff, baseRows.nonEmpty)).toDF("diff", "nonempty")
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.unset(rule.ConfKey)
+      }
+    }),
+
     // Per-object compacted hierarchy (aab_ext_restr/003:10-16).
     "q68_compact" -> ((s, dir) => {
       val normalized = Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust")
@@ -268,6 +321,8 @@ object GeoQueries {
 
   val oracle: Map[String, String] = Map(
     "q229_h3filter_rule" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q232_h3join_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q60_geom_roundtrip" ->
       s"""SELECT c_custkey AS fid, md5(${GeoFixture.wktSql}) AS wkt_md5,

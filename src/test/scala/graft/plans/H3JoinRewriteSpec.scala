@@ -1,0 +1,234 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GFunctions._
+import graft.h3.{H3Core, H3Cover}
+import graft.spatial.{Crs, Geometry, Line, Poly, Pt}
+
+class H3JoinRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def withRule[T](res: Option[String])(f: => T): T = {
+    val rule = H3JoinRewrite(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ rule
+    res.foreach(r => spark.conf.set(rule.ConfKey, r))
+    try f
+    finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset(rule.ConfKey)
+    }
+  }
+
+  // mart-shaped index: rectangles polyfilled at res 9, exploded,
+  // geom = the CELL's geometry (the exactness contract's layout)
+  private def cellIndex: DataFrame = {
+    import spark.implicits._
+    val objs = (1L to 60L).map { i =>
+      val x0 = (i % 10) * 1800 + 560000
+      val y0 = (i / 10) * 1800 + 6448000
+      (i, s"POLYGON (($x0 $y0, ${x0 + 1300} $y0, ${x0 + 1300} ${y0 + 1300}, " +
+        s"$x0 ${y0 + 1300}, $x0 $y0))")
+    }.toDF("id", "wkt")
+    objs
+      .withColumn("h3_cell",
+        explode(g_h3_polygon_cells_l(st_geomfromtext(col("wkt")), lit(9))))
+      .select(col("id"), col("h3_cell"),
+        g_h3_cell_to_geom(col("h3_cell")).as("geom"))
+  }
+
+  // mixed-type geometry side: polygons, lines, points — some empty
+  // coverage, some straddling the index field's edges, some NULL
+  private def geomSide: DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(Long, String)] = (1L to 25L).map { k =>
+      val x0 = (k % 7) * 2500 + 559000
+      val y0 = (k % 5) * 2600 + 6447500
+      val wkt = (k % 3) match {
+        case 0 => s"POLYGON (($x0 $y0, ${x0 + 900} $y0, ${x0 + 900} " +
+          s"${y0 + 900}, $x0 ${y0 + 900}, $x0 $y0))"
+        case 1 => s"LINESTRING ($x0 $y0, ${x0 + 2400} ${y0 + 1100})"
+        case _ => s"POINT ($x0 $y0)"
+      }
+      (k, wkt)
+    }
+    rows.toDF("gid", "gwkt")
+      .withColumn("ggeom",
+        when(col("gid") % 11 === 0, lit(null).cast("binary"))
+          .otherwise(st_geomfromtext(col("gwkt"))))
+      .select("gid", "ggeom")
+  }
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("covering catches every intersecting cell for LINE and POINT geometries too") {
+    def cellPolySweref(c: Long): Poly = {
+      val b = H3Core.cellToBoundary(c).map { case (lat, lng) =>
+        val (e, n) = Crs.wgs84ToSweref(lat, lng)
+        Pt(e, n)
+      }
+      Poly(Array(b :+ b(0)))
+    }
+    val bbox = "POLYGON ((558000 6446000, 570000 6446000, 570000 6456000, " +
+      "558000 6456000, 558000 6446000))"
+    val geoms: Seq[graft.spatial.Geom] = Seq(
+      Line(Array(Pt(560000, 6448000), Pt(566400, 6450100))),
+      Pt(561234, 6449321),
+      Geometry.fromWkt("POLYGON ((561000 6449000, 563700 6449000, " +
+        "563700 6451300, 561000 6451300, 561000 6449000))"))
+    geoms.foreach { g =>
+      val cover = H3Cover.coveringCellIds(g, 8).toSet
+      var hits = 0
+      graft.pipeline.PreparedPolygonQuery.cellIds(bbox, 9).foreach { c =>
+        if (Geometry.intersects(cellPolySweref(c), g)) {
+          hits += 1
+          assert(cover.contains(H3Core.cellToParent(c, 8)),
+            s"res-9 cell $c intersects ${g.typeName} but ancestor not covered")
+        }
+      }
+      assert(hits > 0, s"no intersecting cells for ${g.typeName} — vacuous")
+    }
+  }
+
+  test("spatial join replans from nested-loop to a cell equi-join; " +
+      "rows and multiplicity identical across mixed geometry types") {
+    val idx = cellIndex.cache()
+    val gs = geomSide.cache()
+    try {
+      def q = idx.join(gs, st_intersects(col("geom"), col("ggeom")))
+        .select("id", "h3_cell", "gid")
+      val basePlan = planString(q)
+      assert(basePlan.contains("NestedLoop") || basePlan.contains("Cartesian"),
+        s"fixture no longer plans as a nested-loop join — vacuous:\n$basePlan")
+      // toSeq (not toSet): multiplicity must be preserved too
+      val baseline = q.collect().map(_.toSeq)
+        .sortBy(_.mkString(","))
+      assert(baseline.nonEmpty, "join selects nothing — vacuous")
+      withRule(Some("8")) {
+        val plan = planString(q)
+        assert(plan.contains("__g_h3j_"), s"rule did not fire:\n$plan")
+        assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+          s"nested loop survived:\n$plan")
+        val got = q.collect().map(_.toSeq).sortBy(_.mkString(","))
+        assert(got.length == baseline.length,
+          s"row count changed: ${got.length} vs ${baseline.length}")
+        assert(got.sameElements(baseline), "rows changed")
+      }
+    } finally { idx.unpersist(); gs.unpersist() }
+  }
+
+  test("non-inner joins rewrite only when the exploded geometry side is " +
+      "non-preserved; full outer stays inert") {
+    val idx = cellIndex
+    val gs = geomSide
+    withRule(Some("8")) {
+      // left outer, index on the LEFT: geometry side non-preserved ✓
+      val lo = idx.join(gs, st_intersects(col("geom"), col("ggeom")),
+        "left_outer").select("id", "gid")
+      assert(planString(lo).contains("__g_h3j_"))
+      // left outer, geometry side on the LEFT: preserved — inert
+      val loBad = gs.join(idx, st_intersects(col("geom"), col("ggeom")),
+        "left_outer").select("id", "gid")
+      assert(!planString(loBad).contains("__g_h3j_"))
+      // right outer mirrored
+      val ro = gs.join(idx, st_intersects(col("geom"), col("ggeom")),
+        "right_outer").select("id", "gid")
+      assert(planString(ro).contains("__g_h3j_"))
+      // full outer never
+      val fo = idx.join(gs, st_intersects(col("geom"), col("ggeom")),
+        "full_outer").select("id", "gid")
+      assert(!planString(fo).contains("__g_h3j_"))
+      // semi/anti with the index preserved rewrite and match rows
+      val semi = idx.join(gs, st_intersects(col("geom"), col("ggeom")),
+        "left_semi").select("id")
+      assert(planString(semi).contains("__g_h3j_"))
+      val anti = idx.join(gs, st_intersects(col("geom"), col("ggeom")),
+        "left_anti").select("id")
+      assert(planString(anti).contains("__g_h3j_"))
+      val semiRows = semi.collect().map(_.getLong(0)).sorted
+      val antiRows = anti.collect().map(_.getLong(0)).sorted
+      val all = idx.select("id").collect().map(_.getLong(0)).sorted
+      assert((semiRows ++ antiRows).sorted.sameElements(all),
+        "semi + anti must partition the index side")
+    }
+  }
+
+  test("left-outer rewrite preserves unmatched index rows exactly once") {
+    val idx = cellIndex
+    // geometry far away: every index row unmatched
+    val far = geomSide.filter(col("gid") === 1)
+      .withColumn("ggeom", st_geomfromtext(
+        lit("POLYGON ((900000 7400000, 900100 7400000, 900100 7400100, " +
+          "900000 7400100, 900000 7400000))")))
+    def q = idx.join(far, st_intersects(col("geom"), col("ggeom")),
+      "left_outer").select("id", "h3_cell", "gid")
+    val baseline = q.collect().map(_.toSeq).sortBy(_.mkString(","))
+    withRule(Some("8")) {
+      assert(planString(q).contains("__g_h3j_"))
+      val got = q.collect().map(_.toSeq).sortBy(_.mkString(","))
+      assert(got.sameElements(baseline),
+        "left-outer null-extension changed under the rewrite")
+      assert(got.forall(r => r(2) == null), "far polygon matched something")
+    }
+  }
+
+  test("inert without the conf, without an H3 key on either side, and " +
+      "on single-sided predicates") {
+    import spark.implicits._
+    val idx = cellIndex
+    val gs = geomSide
+    val q = idx.join(gs, st_intersects(col("geom"), col("ggeom")))
+    withRule(None) {
+      assert(!planString(q).contains("__g_h3j_"))
+    }
+    withRule(Some("8")) {
+      // neither side has an H3 key
+      val noKey = Seq((1L, Geometry.toWkb(Pt(561000, 6449000))))
+        .toDF("id", "geom")
+        .join(gs, st_intersects(col("geom"), col("ggeom")))
+      assert(!planString(noKey).contains("__g_h3j_"))
+      // st_intersects referencing one side only is not a join predicate
+      val oneSided = idx.crossJoin(gs.select(col("gid")))
+        .filter(st_intersects(col("geom"), col("geom")))
+      assert(!planString(oneSided).contains("__g_h3j_"))
+    }
+  }
+
+  test("both sides H3-keyed: the materialized-ancestor side is the index side") {
+    val a = cellIndex // h3_cell only -> per-row parent math (rank 1)
+    val b = cellIndex
+      .withColumnRenamed("id", "id_b")
+      .withColumnRenamed("geom", "geom_b")
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .withColumnRenamed("h3_cell", "h3_cell_b")
+      .cache()
+    try {
+      def q = a.join(b, st_intersects(col("geom"), col("geom_b")))
+        .select("id", "id_b")
+      val baseline = q.collect().map(_.toSeq).sortBy(_.mkString(","))
+      withRule(Some("8")) {
+        val plan = planString(q)
+        assert(plan.contains("__g_h3j_"))
+        // the stored ancestor column keys the join; the OTHER side
+        // (a) fans out through the covering expression
+        assert("h3_parent_8#\\d+L AS __g_h3j_key".r.findFirstIn(plan).isDefined,
+          s"stored ancestor side did not win the key:\n$plan")
+        assert(q.collect().map(_.toSeq).sortBy(_.mkString(","))
+          .sameElements(baseline))
+      }
+    } finally b.unpersist()
+  }
+}
