@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -240,14 +240,16 @@ case class H3PolygonCells(geom: Expression, res: Expression,
   * useful to build recall-complete indexes where the reference's
   * center-polyfill convention is not wanted. */
 case class H3CoveringCells(geom: Expression, res: Expression,
-    asLong: Boolean = false) extends GeoExpr {
-  override def children: Seq[Expression] = Seq(geom, res)
+    bufferM: Expression = Literal(0.0), asLong: Boolean = false)
+    extends GeoExpr {
+  override def children: Seq[Expression] = Seq(geom, res, bufferM)
   override def dataType: DataType =
     ArrayType(if (asLong) LongType else StringType)
   override protected def evalNotNull(a: Array[Any]): Any =
-    cellsOut(graft.h3.H3Cover.coveringCellIds(wkb(a(0)), int(a(1))), asLong)
+    cellsOut(graft.h3.H3Cover.coveringCellIds(wkb(a(0)), int(a(1)),
+      dbl(a(2))), asLong)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(geom = c(0), res = c(1))
+    copy(geom = c(0), res = c(1), bufferM = c(2))
 }
 
 /** g_h3_line_cells(geom, buffer_m, res) (003_db_makros.sql:71). */

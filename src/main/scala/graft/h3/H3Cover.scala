@@ -36,13 +36,20 @@ import graft.spatial.{Crs, Geom, GeomColl, Geometry, Line, MultiLine, MultiPoly,
 object H3Cover {
 
   /** Covering cells of a SWEREF99 TM geometry at `res`, distinct and
-    * sorted. Empty geometries cover nothing. */
-  def coveringCellIds(geomSweref: Geom, res: Int): Array[Long] = {
+    * sorted. Empty geometries cover nothing. `extraBufferM` widens the
+    * covering to every cell whose geometry can come within that many
+    * meters of g — the ST_DWithin / distance-join form: the same
+    * drift+circumradius bound applies with the distance added, so the
+    * corridor is (extra + 2.5 spacings) wide and a center inside g is
+    * still caught by the polyfill. */
+  def coveringCellIds(geomSweref: Geom, res: Int,
+      extraBufferM: Double = 0.0): Array[Long] = {
     val wgs = Geometry.mapCoords(geomSweref, p => {
       val (lat, lng) = Crs.swerefToWgs84(p.x, p.y)
       Pt(lng, lat)
     })
-    val bufferM = 2.5 * H3Core.cellAngularSize(res) * 6371008.8
+    val bufferM = math.max(extraBufferM, 0.0) +
+      2.5 * H3Core.cellAngularSize(res) * 6371008.8
     coveringWgs(wgs, res, bufferM).distinct.sorted
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{H3CoveringCells, StIntersects}
+import graft.functions.{H3CoveringCells, StDistance, StIntersects}
 
 /** Catalyst optimizer rule: rewrite a SPATIAL JOIN —
   * `indexSide JOIN geomSide ON st_intersects(indexSide.geom,
@@ -158,18 +158,44 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       else if (refs.subsetOf(j.right.outputSet)) Some(false)
       else None
     }
-    // the spatial conjunct: st_intersects with one argument per side
-    val hit = conjuncts.collectFirst(Function.unlift {
-      case si @ StIntersects(a, b) =>
+    // the spatial conjunct: st_intersects (buffer 0), or a
+    // distance-threshold comparison — `st_distance(a, b) <= d` in any
+    // operand order, the ST_DWithin shape — whose threshold is a
+    // plan-time numeric constant (the distance widens the covering;
+    // soundness: a pair within d has a geometry point within d of the
+    // other side, so the ancestor-center bound gains exactly d)
+    def constDouble(e: Expression): Option[Double] =
+      if (e.deterministic && e.references.isEmpty &&
+          e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        try Option(e.eval(null)).map {
+          case n: java.lang.Number => n.doubleValue
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        } catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    def spatial(c: Expression): Option[(Expression, Expression, Double)] =
+      c match {
+        case StIntersects(a, b) => Some((a, b, 0.0))
+        case LessThanOrEqual(StDistance(a, b), lim) =>
+          constDouble(lim).map(d => (a, b, math.max(d, 0.0)))
+        case LessThan(StDistance(a, b), lim) =>
+          constDouble(lim).map(d => (a, b, math.max(d, 0.0)))
+        case GreaterThanOrEqual(lim, StDistance(a, b)) =>
+          constDouble(lim).map(d => (a, b, math.max(d, 0.0)))
+        case GreaterThan(lim, StDistance(a, b)) =>
+          constDouble(lim).map(d => (a, b, math.max(d, 0.0)))
+        case _ => None
+      }
+    val hit = conjuncts.collectFirst(Function.unlift { c =>
+      spatial(c).flatMap { case (a, b, buf) =>
         (sided(a), sided(b)) match {
           case (Some(sa), Some(sb)) if sa != sb =>
-            // (conjunct, left-side arg, right-side arg)
-            Some((si: Expression, if (sa) a else b, if (sa) b else a))
+            // (conjunct, left-side arg, right-side arg, buffer meters)
+            Some((c, if (sa) a else b, if (sa) b else a, buf))
           case _ => None
         }
-      case _ => None
+      }
     })
-    hit.flatMap { case (si, leftGeom, rightGeom) =>
+    hit.flatMap { case (si, leftGeom, rightGeom, bufferM) =>
       val (kl, kr) = (keyedPlan(j.left, r), keyedPlan(j.right, r))
       // index side: best key rank wins; ties break LEFT (documented)
       val indexOnLeft: Option[Boolean] = (kl, kr) match {
@@ -187,7 +213,8 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           val cellAttr =
             AttributeReference("__g_h3j_cell", LongType, nullable = false)()
           val geomExploded = Generate(
-            Explode(H3CoveringCells(geomExpr, Literal(r), asLong = true)),
+            Explode(H3CoveringCells(geomExpr, Literal(r),
+              Literal(bufferM), asLong = true)),
             Nil, outer = false, None, Seq(cellAttr), geomPlan)
           val newCond = (EqualTo(keyAttr, cellAttr) +: conjuncts)
             .reduce(And)

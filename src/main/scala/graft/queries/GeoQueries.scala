@@ -45,7 +45,7 @@ object GeoQueries {
       "q65_query_stats", "q66_query_heatmap", "q67_query_exact",
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
       "q135_query_table_macro", "q169_hybrid_identity",
-      "q229_h3filter_rule", "q232_h3join_rule")
+      "q229_h3filter_rule", "q232_h3join_rule", "q233_h3join_dwithin")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -309,6 +309,47 @@ object GeoQueries {
       }
     }),
 
+    // DISTANCE-join form of the rule (the ST_DWithin shape): the
+    // threshold is a plan-time constant, so it widens the covering —
+    // the rewrite must keep pairs whose geometries are WITHIN 900 m
+    // but do NOT intersect (the load-bearing buffer; a
+    // pure-intersects covering would drop them). Same zero-diff
+    // identity as q232 against the unrewritten nested-loop join.
+    "q233_h3join_dwithin" -> ((s, dir) => {
+      import s.implicits._
+      val rule = graft.plans.H3JoinRewrite(s)
+      val idx = sharedIndex(s, dir)
+        .filter(pmod(xxhash64(col("h3_cell")), lit(16)) === 0)
+      val gs = GeoFixture(s, dir).filter(col("fid") <= 30)
+        .select(col("fid").cast("long").as("gid"),
+          col("geom").as("qgeom"))
+      def q = idx.join(gs,
+          st_distance(col("geom"), col("qgeom")) <= 900.0)
+        .groupBy("gid")
+        .agg(countDistinct(col("id")).as("n_objects"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("gid")
+      val baseRows = q.collect().map(_.toSeq)
+      val prev = s.experimental.extraOptimizations
+      try {
+        s.experimental.extraOptimizations = prev :+ rule
+        s.conf.set(rule.ConfKey, "8")
+        val rew = q
+        val plan = rew.queryExecution.executedPlan.toString
+        require(plan.contains("__g_h3j_") && !plan.contains("NestedLoop")
+            && !plan.contains("Cartesian"),
+          "H3JoinRewrite did not rewrite the distance join")
+        val rewRows = rew.collect().map(_.toSeq)
+        val diff = (baseRows.toSet.diff(rewRows.toSet).size +
+          rewRows.toSet.diff(baseRows.toSet).size +
+          math.abs(baseRows.length - rewRows.length)).toLong
+        Seq((diff, baseRows.nonEmpty)).toDF("diff", "nonempty")
+      } finally {
+        s.experimental.extraOptimizations = prev
+        s.conf.unset(rule.ConfKey)
+      }
+    }),
+
     // Per-object compacted hierarchy (aab_ext_restr/003:10-16).
     "q68_compact" -> ((s, dir) => {
       val normalized = Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust")
@@ -323,6 +364,8 @@ object GeoQueries {
     "q229_h3filter_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q232_h3join_rule" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q233_h3join_dwithin" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q60_geom_roundtrip" ->
       s"""SELECT c_custkey AS fid, md5(${GeoFixture.wktSql}) AS wkt_md5,

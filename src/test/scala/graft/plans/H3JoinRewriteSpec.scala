@@ -207,6 +207,55 @@ class H3JoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("distance joins (st_distance <= d, the ST_DWithin shape) rewrite " +
+      "with the threshold widening the covering; rows identical") {
+    val idx = cellIndex.cache()
+    val gs = geomSide.cache()
+    try {
+      // both operand orders, strict and non-strict
+      val preds = Seq(
+        st_distance(col("geom"), col("ggeom")) <= 900.0,
+        st_distance(col("geom"), col("ggeom")) < 900.0,
+        lit(900.0) >= st_distance(col("geom"), col("ggeom")))
+      preds.foreach { p =>
+        def q = idx.join(gs, p).select("id", "h3_cell", "gid")
+        val baseline = q.collect().map(_.toSeq).sortBy(_.mkString(","))
+        assert(baseline.nonEmpty, "distance join selects nothing — vacuous")
+        withRule(Some("8")) {
+          val plan = planString(q)
+          assert(plan.contains("__g_h3j_"),
+            s"distance join did not rewrite:\n$plan")
+          assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+          val got = q.collect().map(_.toSeq).sortBy(_.mkString(","))
+          assert(got.sameElements(baseline), "distance-join rows changed")
+        }
+      }
+      // the widened covering is LOAD-BEARING: the distance join must
+      // find pairs whose geometries do NOT intersect (pure-intersects
+      // covering would drop them if the buffer were ignored)
+      def dj = idx.join(gs,
+        st_distance(col("geom"), col("ggeom")) <= 900.0 &&
+          !st_intersects(col("geom"), col("ggeom")))
+        .select("id", "gid")
+      val nonTouching = dj.collect().length
+      assert(nonTouching > 0,
+        "no within-distance non-intersecting pairs — buffer untested")
+      withRule(Some("8")) {
+        assert(dj.collect().length == nonTouching,
+          "buffered covering dropped within-distance pairs")
+      }
+      // a non-constant threshold stays inert
+      withRule(Some("8")) {
+        val varT = idx.join(gs,
+          st_distance(col("geom"), col("ggeom")) <=
+            col("gid").cast("double") * 10.0)
+          .select("id", "gid")
+        assert(!planString(varT).contains("__g_h3j_"),
+          "non-constant distance threshold must not rewrite")
+      }
+    } finally { idx.unpersist(); gs.unpersist() }
+  }
+
   test("both sides H3-keyed: the materialized-ancestor side is the index side") {
     val a = cellIndex // h3_cell only -> per-row parent math (rank 1)
     val b = cellIndex
