@@ -1488,15 +1488,19 @@ object ProfileKmv {
       val tNew = timed(noop(
         graft.ops.Sketches.kmvSketch(ev, Seq("event_type"), "user_id", k)))
       val bNew = meter.drain()
-      // the pre-fix spelling: full distinct, then the bounded heap
+      // the pre-fix r15 spelling VERBATIM: full distinct, then the
+      // bounded TopKAgg heap (not the new register — the point is to
+      // measure the code path that shipped)
       val h = conv(substring(md5(col("user_id").cast("string")), 1, 13),
         16, 10).cast("long")
       val tOld = timed(noop(
         ev.filter(col("user_id").isNotNull)
           .select(col("event_type"), h.as("__h")).distinct()
           .groupBy("event_type")
-          .agg(graft.functions.KmvAgg.kmvMinK(col("__h"), k).as("__top"))
-          .select(col("event_type"), explode(col("__top")).as("kmv_h"))))
+          .agg(graft.functions.TopKAgg.topKByScore(
+            -col("__h").cast("double"), col("__h"), k).as("__top"))
+          .select(col("event_type"), explode(col("__top")).as("__e"))
+          .select(col("event_type"), col("__e.id").as("kmv_h"))))
       val bOld = meter.drain()
       ev.unpersist(blocking = false)
       println(f"""{"metric":"kmv_build","m":$m,"rows":$nRows,"k":$k,"new_wall_s":$tNew%.2f,"new_shuffle_mb":${bNew / 1e6}%.3f,"old_wall_s":$tOld%.2f,"old_shuffle_mb":${bOld / 1e6}%.2f}""")
@@ -1619,6 +1623,11 @@ object ProfileH3Join {
     idx.drop("geom").write.format("noop").mode("overwrite").save()
     val nIdx = idx.count()
     val rule = graft.plans.H3JoinRewrite(spark)
+    // install ONCE, outside the sweep (appending per iteration would
+    // stack duplicate rule instances); the unrewritten arm is taken
+    // by unsetting the conf, which makes the rule inert
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
     // geometry-count sweep: the nested loop is O(index x geometries)
     // while the rule side grows only with candidates — the speedup is
     // the geometry count, which is the point of a JOIN vs repeating
@@ -1634,8 +1643,6 @@ object ProfileH3Join {
       spark.conf.unset(rule.ConfKey)
       val tFull = timed(noop(q))
       val baseline = q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ rule
       spark.conf.set(rule.ConfKey, "8")
       require(q.queryExecution.executedPlan.toString.contains("__g_h3j_"),
         "rule did not fire in the profile session")

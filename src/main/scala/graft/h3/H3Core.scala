@@ -622,8 +622,18 @@ object H3Core {
           val lat = pts(i).y + t * (pts(i + 1).y - pts(i).y)
           var dLat = -distDeg - stepDeg
           while (dLat <= distDeg + stepDeg) {
-            var dLng = -distDeg - stepDeg
-            while (dLng <= distDeg + stepDeg) {
+            // the membership predicate measures longitude SCALED by
+            // cos(lat), so a raw-longitude window of ±distDeg misses
+            // in-buffer cells east/west by a factor 1/cos(lat) — at
+            // Nordic latitudes half the corridor. Scan the window in
+            // RAW degrees wide enough that its scaled extent still
+            // covers distDeg (clamped like the predicate's own
+            // cosLat guard).
+            val cosL = math.max(
+              math.cos(math.toRadians(lat + dLat)), 0.01)
+            val lngHalf = distDeg / cosL + stepDeg
+            var dLng = -lngHalf
+            while (dLng <= lngHalf) {
               consider(latLngToCell(lat + dLat, lng + dLng, res))
               dLng += stepDeg
             }
@@ -668,10 +678,20 @@ object H3Core {
       arr
     }
     // corridor half-width in cell units + rounding slop + gnomonic
-    // sagitta of the longest lat/lng-straight segment
-    val corridor = math.toRadians(distDeg) / cellAngularSize(res)
-    val win = corridor + 2.0 +
-      (maxEdgeRad * maxEdgeRad / 8.0) / cellAngularSize(res)
+    // sagitta of the longest lat/lng-straight segment. The corridor
+    // and sagitta are ANGULAR sizes divided by the MEAN cell spacing,
+    // but candidates are enumerated in HEX-PLANE units, where the
+    // gnomonic projection's radial magnification reaches sec^2(theta)
+    // ~ 1.59 at the icosahedron face boundary (theta_max ~ 37.4 deg):
+    // a K-mean-spacing corridor can span up to ~1.59*K hex units, so
+    // a few-cell slop alone under-enumerates LARGE corridors (the
+    // distance-join buffers) — candidates near the window edge were
+    // silently skipped while the exact predicate would have kept
+    // them. Enumerate under the worst-case factor; only candidate
+    // VOLUME grows, the exact predicate still decides membership.
+    val gnomonicMag = 1.59
+    val win = gnomonicMag * (math.toRadians(distDeg) / cellAngularSize(res) +
+      (maxEdgeRad * maxEdgeRad / 8.0) / cellAngularSize(res)) + 2.0
     if (win > 64) return None // huge buffer vs cell size -> sampling
     val cand = mutable.LongMap[Boolean]()
     proj.foreach { pts =>

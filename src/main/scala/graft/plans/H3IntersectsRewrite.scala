@@ -62,12 +62,16 @@ import graft.spatial.{Geom, Geometry, MultiPoly, Poly}
   *    st_intersects(cellGeom, P) is provably true unevaluated.
   *
   * For relations keyed by ORIGINAL geometry (not cell geometry) the
-  * same plan is exact per DISTINCT OBJECT when each object's exploded
-  * cell set covers its geometry and each cell intersects its geometry
-  * (true for the polygon-polyfill and point-cell invariants; NOT for
-  * line-corridor cells, whose buffer admits cells the line never
-  * touches) — per-row equality is only guaranteed in the cell-geometry
-  * layout, so the conf documents that as THE contract.
+  * same plan is exact per DISTINCT OBJECT only when each object's
+  * exploded cell set COVERS its geometry and each cell INTERSECTS its
+  * geometry. Neither holds for the reference's stock conventions:
+  * center polyfill does NOT cover a polygon (a boundary sliver lying
+  * in cells whose centers are outside gets no cell at all), point
+  * cells satisfy both, and line-corridor cells fail the intersects
+  * half (the buffer admits cells the line never touches). An index
+  * built with `g_h3_covering_cells` satisfies the covers half by
+  * construction. Per-row equality is only guaranteed in the
+  * cell-geometry layout, so the conf documents that as THE contract.
   *
   * NULL semantics are unchanged: a NULL geom makes st_intersects NULL
   * (row dropped) in both plans; a NULL/too-coarse h3_cell yields a
@@ -95,16 +99,7 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   val ConfKey = "spark.graft.h3Filter.res"
 
-  private def res: Option[Int] =
-    spark.conf.getOption(ConfKey).map { s =>
-      val r = try s.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$ConfKey must be an H3 resolution 0..15, got '$s'")
-      }
-      require(r >= 0 && r <= 15,
-        s"$ConfKey must be an H3 resolution 0..15, got '$s'")
-      r
-    }
+  private def res: Option[Int] = H3RuleSupport.resConf(spark, ConfKey)
 
   override def apply(plan: LogicalPlan): LogicalPlan = res match {
     case None => plan
@@ -143,15 +138,9 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val conjuncts = splitConjunctivePredicates(cond)
     // the H3 key: prefer a materialized query-res ancestor column
     // (H3Index.withParentAt) over per-row parent math — same
-    // preference order as H3Query.keyedIndex
+    // preference order as H3Query.keyedIndex (shared: H3RuleSupport)
     val key: Option[Expression] =
-      child.output.collectFirst {
-        case a if a.name == s"h3_parent_$r" && a.dataType == LongType =>
-          a: Expression
-      }.orElse(child.output.collectFirst {
-        case a if a.name == "h3_cell" && a.dataType == LongType =>
-          H3CellToParent(a, Literal(r)): Expression
-      })
+      H3RuleSupport.keyOf(child.output, r).map(_._1)
     // the st_intersects conjunct: one side a foldable polygon literal,
     // the other a deterministic geometry over this relation only
     val hit: Option[(Expression, Geom)] = conjuncts.collectFirst(

@@ -61,7 +61,10 @@ import graft.functions.{H3CoveringCells, StDistance, StIntersects}
   * LongType `h3_cell` column; when BOTH sides qualify, the
   * materialized-ancestor side wins, then the LEFT side (documented
   * tiebreak — either choice is correct, they differ only in which
-  * side fans out).
+  * side fans out). Orientation participates in candidate selection:
+  * when the preferred side would put the exploded geometry side on
+  * the preserved side of an outer join, the OTHER side's key (if
+  * present) is used instead of giving up.
   *
   * OPT-IN via `spark.graft.h3Join.res` (0..15): the prefilter
   * resolution is an index-layout choice (cells must be AT or FINER
@@ -78,16 +81,7 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   val ConfKey = "spark.graft.h3Join.res"
 
-  private def res: Option[Int] =
-    spark.conf.getOption(ConfKey).map { s =>
-      val r = try s.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$ConfKey must be an H3 resolution 0..15, got '$s'")
-      }
-      require(r >= 0 && r <= 15,
-        s"$ConfKey must be an H3 resolution 0..15, got '$s'")
-      r
-    }
+  private def res: Option[Int] = H3RuleSupport.resConf(spark, ConfKey)
 
   override def apply(plan: LogicalPlan): LogicalPlan = res match {
     case None => plan
@@ -108,17 +102,8 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
-  /** The H3 key expression over `plan`'s own output, with a
-    * preference rank: Some((expr, 0)) for a stored ancestor column,
-    * Some((expr, 1)) for per-row parent math over h3_cell. */
   private def keyOf(plan: LogicalPlan, r: Int): Option[(Expression, Int)] =
-    plan.output.collectFirst {
-      case a if a.name == s"h3_parent_$r" && a.dataType == LongType =>
-        (a: Expression, 0)
-    }.orElse(plan.output.collectFirst {
-      case a if a.name == "h3_cell" && a.dataType == LongType =>
-        (graft.functions.H3CellToParent(a, Literal(r)): Expression, 1)
-    })
+    H3RuleSupport.keyOf(plan.output, r)
 
   /** `side` rewritten to expose the H3 key as a `__g_h3j_key`
     * attribute, with its preference rank. By the time an optimizer
@@ -197,16 +182,22 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     })
     hit.flatMap { case (si, leftGeom, rightGeom, bufferM) =>
       val (kl, kr) = (keyedPlan(j.left, r), keyedPlan(j.right, r))
-      // index side: best key rank wins; ties break LEFT (documented)
-      val indexOnLeft: Option[Boolean] = (kl, kr) match {
-        case (Some((_, _, rl)), Some((_, _, rr))) => Some(rl <= rr)
-        case (Some(_), None) => Some(true)
-        case (None, Some(_)) => Some(false)
-        case (None, None) => None
+      // index side: best key rank first, ties break LEFT (documented),
+      // but orientation is part of CANDIDATE SELECTION, not a
+      // post-filter — when the better-ranked key sits on the
+      // orientation-incompatible side, the other side's key (if any)
+      // still rewrites soundly (the RangeJoinRewrite lesson)
+      val preference: Seq[Boolean] = (kl, kr) match {
+        case (Some((_, _, rl)), Some((_, _, rr))) =>
+          if (rl <= rr) Seq(true, false) else Seq(false, true)
+        case (Some(_), None) => Seq(true)
+        case (None, Some(_)) => Seq(false)
+        case (None, None) => Seq.empty
       }
+      val indexOnLeft = preference.find(idxLeft =>
+        orientationOk(j.joinType, geomOnLeft = !idxLeft))
       indexOnLeft.flatMap { idxLeft =>
-        if (!orientationOk(j.joinType, geomOnLeft = !idxLeft)) None
-        else {
+        {
           val (idxKeyed, keyAttr, _) = (if (idxLeft) kl else kr).get
           val geomPlan = if (idxLeft) j.right else j.left
           val geomExpr = if (idxLeft) rightGeom else leftGeom

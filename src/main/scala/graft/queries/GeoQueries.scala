@@ -136,6 +136,39 @@ object GeoQueries {
     core.withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
   }
 
+
+  /** Shared scaffold for the optimizer-rule identity entries
+    * (q229/q232/q233): collect `q` UNREWRITTEN (its own perfect
+    * oracle — same engine, same rows), install the rule + conf,
+    * require `planOk` of the executed plan (the rewrite actually
+    * fired), collect again WHILE installed (q212's discipline), and
+    * pin the symmetric diff at zero. Multiplicity counts: the diff
+    * adds the row-count delta so duplicated/dropped copies of equal
+    * rows cannot cancel out. */
+  private def ruleIdentity(s: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      confKey: String, res: String, planOk: String => Boolean,
+      failMsg: String)(q: => DataFrame): DataFrame = {
+    import s.implicits._
+    val baseRows = q.collect().map(_.toSeq)
+    val prev = s.experimental.extraOptimizations
+    try {
+      s.experimental.extraOptimizations = prev :+ rule
+      s.conf.set(confKey, res)
+      val rew = q
+      require(planOk(rew.queryExecution.executedPlan.toString), failMsg)
+      val rewRows = rew.collect().map(_.toSeq)
+      val diff = (baseRows.toSet.diff(rewRows.toSet).size +
+        rewRows.toSet.diff(baseRows.toSet).size +
+        math.abs(baseRows.length - rewRows.length)).toLong
+      Seq((diff, baseRows.nonEmpty)).toDF("diff", "nonempty")
+    } finally {
+      s.experimental.extraOptimizations = prev
+      s.conf.unset(confKey)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // WKB<->WKT round-trip + type dispatch, oracle-checked at string
     // level (the only spatial check DuckDB can replay without its
@@ -223,36 +256,32 @@ object GeoQueries {
     // declarative query is its own perfect oracle (same engine, same
     // rows), the q46/q169 identity pattern. q67 is the explicit-
     // operator spelling of the same shape (H3Query.objectsExact).
+    // The H3IntersectsRewrite OPTIMIZER RULE (plans/H3IntersectsRewrite,
+    // wired in production via spark.sql.extensions=graft.GraftExtensions;
+    // here via the runtime extraOptimizations hook, the q212 pattern):
+    // a DECLARATIVE full-scan spatial filter —
+    // st_intersects(geom, <literal polygon>), per-row cell->geometry
+    // math plus the exact test over the ENTIRE index — replans
+    // transparently into the broadcast H3 covering-cell prefilter +
+    // guarded exact refine (the reference's documented two-step,
+    // docs/H3_POLYGON_ANALYSIS.md:337-355, measured there at ~100x).
+    // The ruleIdentity scaffold requires the rule fired (prefilter
+    // join + guarded refine in-plan, so the bare full-scan filter is
+    // GONE) and pins the symmetric diff against the same query run
+    // UNREWRITTEN at zero. q67 is the explicit-operator spelling of
+    // the same shape (H3Query.objectsExact).
     "q229_h3filter_rule" -> ((s, dir) => {
-      import s.implicits._
       val rule = graft.plans.H3IntersectsRewrite(s)
       val queryWkb = graft.spatial.Geometry.toWkb(
         graft.spatial.Geometry.fromWkt(GeoFixture.queryPolygonWkt))
       val idx = sharedIndex(s, dir)
-      def q = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
-        .select("id", "dataset_id", "leverantor", "klass").distinct()
-      // UNREWRITTEN side first, rule not yet installed: the full
-      // spatial scan (cell->geom + exact test on every index row)
-      val baseSet = q.collect().map(_.toSeq).toSet
-      val prev = s.experimental.extraOptimizations
-      try {
-        s.experimental.extraOptimizations = prev :+ rule
-        s.conf.set(rule.ConfKey, "8")
-        val rew = q
-        val plan = rew.queryExecution.executedPlan.toString
-        require(plan.contains("__g_h3f_key") &&
-            plan.contains("__g_h3f_refine") &&
-            plan.contains("BroadcastHashJoin"),
-          "H3IntersectsRewrite did not fire on the battery session — " +
-            "the spatial filter would run as a full index scan")
-        // materialize WHILE the rule is installed (q212's discipline)
-        val rewSet = rew.collect().map(_.toSeq).toSet
-        val diff = (baseSet.diff(rewSet).size + rewSet.diff(baseSet).size).toLong
-        Seq((diff, baseSet.nonEmpty))
-          .toDF("diff", "nonempty")
-      } finally {
-        s.experimental.extraOptimizations = prev
-        s.conf.unset(rule.ConfKey)
+      ruleIdentity(s, rule, rule.ConfKey, "8",
+        p => p.contains("__g_h3f_key") && p.contains("__g_h3f_refine") &&
+          p.contains("BroadcastHashJoin"),
+        "H3IntersectsRewrite did not fire on the battery session — " +
+          "the spatial filter would run as a full index scan") {
+        idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+          .select("id", "dataset_id", "leverantor", "klass").distinct()
       }
     }),
 
@@ -263,90 +292,54 @@ object GeoQueries {
     // replans into the covering-cell equi-join (the geometry side
     // explodes to g_h3_covering_cells of its per-row geometry, the
     // index keys by its stored ancestor, exact math only on
-    // cell-colocated candidates). This is the reference's "spatial
-    // join reduced to an H3 equi-join" (docs/H3_POLYGON_ANALYSIS.md:
+    // cell-colocated candidates). The reference's "spatial join
+    // reduced to an H3 equi-join" (docs/H3_POLYGON_ANALYSIS.md:
     // 301-321) generalized from one literal polygon to a TABLE of
-    // mixed polygon/line/point geometries. Same identity pattern as
-    // q229: the require asserts the nested loop is GONE, the result
-    // pins the rewritten per-geometry match counts equal to the
-    // unrewritten join's on the same session (zero symmetric diff).
+    // mixed polygon/line/point geometries; 1-in-8 index stratum keeps
+    // the unrewritten nested-loop baseline affordable.
     "q232_h3join_rule" -> ((s, dir) => {
-      import s.implicits._
       val rule = graft.plans.H3JoinRewrite(s)
-      // 1-in-8 index stratum keeps the UNREWRITTEN nested-loop
-      // baseline affordable while exercising every join-side shape
       val idx = sharedIndex(s, dir)
         .filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
       val gs = GeoFixture(s, dir).filter(col("fid") <= 40)
         .select(col("fid").cast("long").as("gid"),
           col("geom").as("qgeom"))
-      def q = idx.join(gs, st_intersects(col("geom"), col("qgeom")))
-        .groupBy("gid")
-        .agg(countDistinct(col("id")).as("n_objects"),
-          count(lit(1)).as("n_pairs"))
-        .orderBy("gid")
-      val baseRows = q.collect().map(_.toSeq)
-      val prev = s.experimental.extraOptimizations
-      try {
-        s.experimental.extraOptimizations = prev :+ rule
-        s.conf.set(rule.ConfKey, "8")
-        val rew = q
-        val plan = rew.queryExecution.executedPlan.toString
-        require(plan.contains("__g_h3j_") && !plan.contains("NestedLoop")
-            && !plan.contains("Cartesian"),
-          "H3JoinRewrite did not fire — the spatial join would run " +
-            "as a nested-loop product")
-        // materialize WHILE the rule is installed (q212's discipline)
-        val rewRows = rew.collect().map(_.toSeq)
-        val baseSet = baseRows.toSet
-        val rewSet = rewRows.toSet
-        val diff = (baseSet.diff(rewSet).size + rewSet.diff(baseSet).size
-          + math.abs(baseRows.length - rewRows.length)).toLong
-        Seq((diff, baseRows.nonEmpty)).toDF("diff", "nonempty")
-      } finally {
-        s.experimental.extraOptimizations = prev
-        s.conf.unset(rule.ConfKey)
+      ruleIdentity(s, rule, rule.ConfKey, "8",
+        p => p.contains("__g_h3j_") && !p.contains("NestedLoop") &&
+          !p.contains("Cartesian"),
+        "H3JoinRewrite did not fire — the spatial join would run " +
+          "as a nested-loop product") {
+        idx.join(gs, st_intersects(col("geom"), col("qgeom")))
+          .groupBy("gid")
+          .agg(countDistinct(col("id")).as("n_objects"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("gid")
       }
     }),
 
     // DISTANCE-join form of the rule (the ST_DWithin shape): the
-    // threshold is a plan-time constant, so it widens the covering —
-    // the rewrite must keep pairs whose geometries are WITHIN 900 m
-    // but do NOT intersect (the load-bearing buffer; a
-    // pure-intersects covering would drop them). Same zero-diff
-    // identity as q232 against the unrewritten nested-loop join.
+    // constant threshold widens the covering — the rewrite must keep
+    // pairs whose geometries are WITHIN 900 m but do NOT intersect
+    // (the load-bearing buffer; a pure-intersects covering would drop
+    // them). Same zero-diff identity against the unrewritten
+    // nested-loop join.
     "q233_h3join_dwithin" -> ((s, dir) => {
-      import s.implicits._
       val rule = graft.plans.H3JoinRewrite(s)
       val idx = sharedIndex(s, dir)
         .filter(pmod(xxhash64(col("h3_cell")), lit(16)) === 0)
       val gs = GeoFixture(s, dir).filter(col("fid") <= 30)
         .select(col("fid").cast("long").as("gid"),
           col("geom").as("qgeom"))
-      def q = idx.join(gs,
-          st_distance(col("geom"), col("qgeom")) <= 900.0)
-        .groupBy("gid")
-        .agg(countDistinct(col("id")).as("n_objects"),
-          count(lit(1)).as("n_pairs"))
-        .orderBy("gid")
-      val baseRows = q.collect().map(_.toSeq)
-      val prev = s.experimental.extraOptimizations
-      try {
-        s.experimental.extraOptimizations = prev :+ rule
-        s.conf.set(rule.ConfKey, "8")
-        val rew = q
-        val plan = rew.queryExecution.executedPlan.toString
-        require(plan.contains("__g_h3j_") && !plan.contains("NestedLoop")
-            && !plan.contains("Cartesian"),
-          "H3JoinRewrite did not rewrite the distance join")
-        val rewRows = rew.collect().map(_.toSeq)
-        val diff = (baseRows.toSet.diff(rewRows.toSet).size +
-          rewRows.toSet.diff(baseRows.toSet).size +
-          math.abs(baseRows.length - rewRows.length)).toLong
-        Seq((diff, baseRows.nonEmpty)).toDF("diff", "nonempty")
-      } finally {
-        s.experimental.extraOptimizations = prev
-        s.conf.unset(rule.ConfKey)
+      ruleIdentity(s, rule, rule.ConfKey, "8",
+        p => p.contains("__g_h3j_") && !p.contains("NestedLoop") &&
+          !p.contains("Cartesian"),
+        "H3JoinRewrite did not rewrite the distance join") {
+        idx.join(gs,
+            st_distance(col("geom"), col("qgeom")) <= 900.0)
+          .groupBy("gid")
+          .agg(countDistinct(col("id")).as("n_objects"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("gid")
       }
     }),
 

@@ -103,6 +103,51 @@ class H3JoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("large-buffer coverings stay coverings on BOTH lineToCells paths " +
+      "(fast path: gnomonic window magnification; sampling fallback: " +
+      "cos(lat)-scaled longitude window)") {
+    // res-10 spacing is ~145 m. d = 5000 m (corridor ~37 spacings)
+    // stays on the single-face FAST path, where the hex-plane
+    // candidate window must absorb gnomonic magnification (~950 edge
+    // cells were silently dropped before the sec^2 factor); d =
+    // 12000 m (corridor ~83, win > 64) forces the SAMPLING fallback,
+    // where the raw-longitude window must be cos(lat)-scaled (~2x at
+    // Nordic latitudes) or east/west in-buffer cells are skipped.
+    val p = Pt(562000, 6450000)
+    def cellPoly(c: Long): Poly = {
+      val b = H3Core.cellToBoundary(c).map { case (lat, lng) =>
+        val (e, n) = Crs.wgs84ToSweref(lat, lng)
+        Pt(e, n)
+      }
+      Poly(Array(b :+ b(0)))
+    }
+    val (pl, _) = { val (la, lo) = Crs.swerefToWgs84(p.x, p.y); (lo, la) }
+    Seq(5000.0, 12000.0).foreach { d =>
+      val cover = H3Cover.coveringCellIds(p, 10, d).toSet
+      assert(cover.size > 3000, s"d=$d covering too small: ${cover.size}")
+      val m = (d + 2000).toLong
+      val bbox = s"POLYGON ((${562000 - m} ${6450000 - m}, " +
+        s"${562000 + m} ${6450000 - m}, ${562000 + m} ${6450000 + m}, " +
+        s"${562000 - m} ${6450000 + m}, ${562000 - m} ${6450000 - m}))"
+      var hits = 0
+      var eastWest = 0
+      graft.pipeline.PreparedPolygonQuery.cellIds(bbox, 10).foreach { c =>
+        if (Geometry.distance(cellPoly(c), p) <= d) {
+          hits += 1
+          val (_, lng) = H3Core.cellToLatLng(c)
+          // count far-east/west in-buffer cells: the direction both
+          // regressions under-covered
+          if (math.abs(lng - pl) > 0.6 * d / 111320.0 / 0.53) eastWest += 1
+          assert(cover.contains(c), s"cell $c within $d m but not covered")
+        }
+      }
+      assert(hits > 2000, s"d=$d sweep found too few in-buffer cells: $hits")
+      assert(eastWest > 100,
+        s"d=$d: no far-east/west in-buffer cells swept — the window " +
+          s"regressions would not be caught: $eastWest")
+    }
+  }
+
   test("spatial join replans from nested-loop to a cell equi-join; " +
       "rows and multiplicity identical across mixed geometry types") {
     val idx = cellIndex.cache()
