@@ -181,6 +181,43 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("the rewrite applies to STREAMING plans: a readStream spatial " +
+      "filter becomes the stream-static broadcast prefilter, rows == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("h3f_stream").toString
+    try {
+      val batchIdx = cellIndex
+      batchIdx.repartition(3).write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val expected = stored
+        .filter(st_intersects(col("geom"), lit(queryWkb)))
+        .select("id", "h3_cell")
+        .collect().map(_.toSeq).toSet
+      assert(expected.nonEmpty)
+      withRule(Some("8")) {
+        val stream = spark.readStream.schema(stored.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(st_intersects(col("geom"), lit(queryWkb)))
+          .select("id", "h3_cell")
+        val q = stream.writeStream.outputMode("append").format("memory")
+          .queryName("h3f_stream").start()
+        try q.processAllAvailable() finally q.stop()
+        // the micro-batch plans went through the same optimizer: the
+        // rewrite fired (explain of the last executed batch) and the
+        // appended rows equal the batch filter's
+        val explained = {
+          val bos = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(bos))(q.explain())
+          bos.toString
+        }
+        assert(explained.contains("__g_h3f_"),
+          s"rule did not fire inside the streaming micro-batch:\n$explained")
+        val got = spark.table("h3f_stream").collect().map(_.toSeq).toSet
+        assert(got === expected, "streamed spatial filter != batch filter")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("materialized h3_parent_8 relation column is preferred and range-prefiltered") {
     // cache so the parent column is part of the RELATION the pushed
     // filter lands on (a bare withColumn is a Project the filter is

@@ -466,6 +466,18 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
         assert(q2.queryExecution.executedPlan.toString.contains("__g_h3f_"),
           "extension-injected H3 filter rule did not fire")
         assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+        // pure SQL-STRING users get the same rewrite: the injected
+        // function surface parses st_intersects/st_geomfromtext and
+        // the injected rule replans the resulting filter
+        idx.createOrReplaceTempView("g_idx_wiring")
+        val sqlQ = s2.sql(
+          "SELECT DISTINCT id FROM g_idx_wiring WHERE st_intersects(" +
+            "geom, st_geomfromtext('POLYGON ((561000 6449000, " +
+            "565000 6449000, 565000 6453000, 561000 6453000, " +
+            "561000 6449000))'))")
+        assert(sqlQ.queryExecution.executedPlan.toString.contains("__g_h3f_"),
+          "H3 filter rule did not fire on a SQL-string query")
+        assert(sqlQ.collect().map(_.getLong(0)).toSeq == Seq(1L))
       } finally s2.conf.unset("spark.graft.h3Filter.res")
     } finally {
       SparkSession.clearDefaultSession()
