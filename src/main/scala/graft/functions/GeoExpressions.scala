@@ -240,14 +240,29 @@ case class H3PolygonCells(geom: Expression, res: Expression,
   * useful to build recall-complete indexes where the reference's
   * center-polyfill convention is not wanted. */
 case class H3CoveringCells(geom: Expression, res: Expression,
-    bufferM: Expression = Literal(0.0), asLong: Boolean = false)
+    bufferM: Expression = Literal(0.0), asLong: Boolean = false,
+    maxCells: Int = Int.MaxValue)
     extends GeoExpr {
   override def children: Seq[Expression] = Seq(geom, res, bufferM)
   override def dataType: DataType =
     ArrayType(if (asLong) LongType else StringType)
-  override protected def evalNotNull(a: Array[Any]): Any =
-    cellsOut(graft.h3.H3Cover.coveringCellIds(wkb(a(0)), int(a(1)),
-      dbl(a(2))), asLong)
+  override protected def evalNotNull(a: Array[Any]): Any = {
+    val cells = graft.h3.H3Cover.coveringCellIds(wkb(a(0)), int(a(1)),
+      dbl(a(2)))
+    // the fan-out cliff guard (H3JoinRewrite passes its conf cap): a
+    // country-sized geometry at a fine res covers millions of cells
+    // PER ROW — fail FAST with an actionable message. NOT an
+    // IllegalArgumentException: GeoExpr.evalBoxed converts that to
+    // SQL NULL, which here would SILENTLY DROP the row from a
+    // rewritten join — an unsound rewrite, far worse than an error.
+    if (cells.length > maxCells)
+      throw new org.apache.spark.SparkException(
+        s"graft H3JoinRewrite: one geometry's covering spans " +
+          s"${cells.length} cells at res ${int(a(1))} (cap $maxCells) " +
+          "— use a coarser spark.graft.h3Join.res, raise " +
+          "spark.graft.h3Join.maxFanout, or pre-split giant geometries")
+    cellsOut(cells, asLong)
+  }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(geom = c(0), res = c(1), bufferM = c(2))
 }

@@ -98,8 +98,24 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
   val ConfKey = "spark.graft.h3Filter.res"
+  val MaxCellsKey = "spark.graft.h3Filter.maxCells"
 
   private def res: Option[Int] = H3RuleSupport.resConf(spark, ConfKey)
+
+  /** Broadcast-size guard: a literal polygon whose covering exceeds
+    * this many cells leaves the filter UNREWRITTEN (inert is sound —
+    * the full scan the user wrote still runs; a multi-million-cell
+    * local relation would bloat every task's broadcast instead).
+    * Tune per cluster, or pick a coarser res for giant polygons. */
+  private def maxCells: Int =
+    spark.conf.getOption(MaxCellsKey).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxCellsKey must be a positive integer, got '$v'")
+      }
+      require(n >= 1, s"$MaxCellsKey must be >= 1, got '$v'")
+      n
+    }.getOrElse(2000000)
 
   override def apply(plan: LogicalPlan): LogicalPlan = res match {
     case None => plan
@@ -155,8 +171,16 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           })
         case _ => None
       })
-    for (k <- key; (si, poly) <- hit) yield {
-      val cover = PreparedPolygonQuery.coveringCellIds(poly, r)
+    for {
+      k <- key
+      (si, poly) <- hit
+      cover = PreparedPolygonQuery.coveringCellIds(poly, r)
+      // broadcast-size guard: beyond the cap the rule stays INERT
+      // (sound — the full scan the user wrote still runs) rather
+      // than shipping a multi-million-row local relation to every
+      // task; see MaxCellsKey
+      if cover.length <= maxCells
+    } yield {
       val flags = H3Query.needsRefineFlags(cover, poly)
       val qAttr =
         AttributeReference("__g_h3f_cell", LongType, nullable = false)()

@@ -80,8 +80,24 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
   val ConfKey = "spark.graft.h3Join.res"
+  val FanoutKey = "spark.graft.h3Join.maxFanout"
 
   private def res: Option[Int] = H3RuleSupport.resConf(spark, ConfKey)
+
+  /** Fan-out cliff guard (the RangeJoinRewrite maxFanout precedent):
+    * a geometry whose covering spans more cells than this fails FAST
+    * inside [[graft.functions.H3CoveringCells]] with a message naming
+    * both conf keys, instead of building multi-MB per-row arrays deep
+    * inside a query the user never asked to rewrite. */
+  private def maxFanout: Int =
+    spark.conf.getOption(FanoutKey).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$FanoutKey must be a positive integer, got '$v'")
+      }
+      require(n >= 1, s"$FanoutKey must be >= 1, got '$v'")
+      n
+    }.getOrElse(1000000)
 
   override def apply(plan: LogicalPlan): LogicalPlan = res match {
     case None => plan
@@ -205,7 +221,7 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             AttributeReference("__g_h3j_cell", LongType, nullable = false)()
           val geomExploded = Generate(
             Explode(H3CoveringCells(geomExpr, Literal(r),
-              Literal(bufferM), asLong = true)),
+              Literal(bufferM), asLong = true, maxCells = maxFanout)),
             Nil, outer = false, None, Seq(cellAttr), geomPlan)
           val newCond = (EqualTo(keyAttr, cellAttr) +: conjuncts)
             .reduce(And)

@@ -181,6 +181,22 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast-size guard: over-cap coverings leave the filter " +
+      "UNREWRITTEN (sound inert), back under the cap it fires again") {
+    val idx = cellIndex
+    def query = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+      .select("id", "h3_cell")
+    withRule(Some("8")) {
+      spark.conf.set("spark.graft.h3Filter.maxCells", "10")
+      try {
+        assert(!planString(query).contains("__g_h3f_"),
+          "rule rewrote past the maxCells broadcast guard")
+      } finally spark.conf.unset("spark.graft.h3Filter.maxCells")
+      assert(planString(query).contains("__g_h3f_"),
+        "rule did not fire after the cap was lifted")
+    }
+  }
+
   test("the rewrite applies to STREAMING plans: a readStream spatial " +
       "filter becomes the stream-static broadcast prefilter, rows == batch") {
     val dir = java.nio.file.Files.createTempDirectory("h3f_stream").toString

@@ -301,6 +301,31 @@ class H3JoinRewriteSpec extends AnyFunSuite {
     } finally { idx.unpersist(); gs.unpersist() }
   }
 
+  test("fan-out cliff guard: an over-cap geometry covering fails FAST " +
+      "with both conf keys named — never a silent row drop") {
+    val idx = cellIndex
+    val gs = geomSide.filter(col("ggeom").isNotNull)
+    withRule(Some("8")) {
+      spark.conf.set("spark.graft.h3Join.maxFanout", "2")
+      try {
+        val q = idx.join(gs, st_intersects(col("geom"), col("ggeom")))
+          .select("id", "gid")
+        assert(planString(q).contains("__g_h3j_"),
+          "rule should still rewrite; the guard fires at EXECUTION")
+        val e = intercept[Exception] { q.collect() }
+        def chain(t: Throwable): String =
+          if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+        val msg = chain(e)
+        assert(msg.contains("maxFanout") && msg.contains("h3Join.res"),
+          s"guard error must name both conf keys, got: $msg")
+      } finally spark.conf.unset("spark.graft.h3Join.maxFanout")
+      // under the cap everything still joins
+      val ok = idx.join(gs, st_intersects(col("geom"), col("ggeom")))
+        .select("id", "gid")
+      assert(ok.collect().nonEmpty)
+    }
+  }
+
   test("both sides H3-keyed: the materialized-ancestor side is the index side") {
     val a = cellIndex // h3_cell only -> per-row parent math (rank 1)
     val b = cellIndex
