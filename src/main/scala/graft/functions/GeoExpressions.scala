@@ -244,8 +244,12 @@ case class H3CoveringCells(geom: Expression, res: Expression,
     maxCells: Int = Int.MaxValue)
     extends GeoExpr {
   override def children: Seq[Expression] = Seq(geom, res, bufferM)
+  // containsNull = false: the covering array never holds null elements
+  // (H3Cover returns cell ids only), and H3JoinRewrite's generator
+  // output attribute declares nullable=false — the element schema must
+  // agree with that optimizer-constructed attribute (r16 ADVICE)
   override def dataType: DataType =
-    ArrayType(if (asLong) LongType else StringType)
+    ArrayType(if (asLong) LongType else StringType, containsNull = false)
   override protected def evalNotNull(a: Array[Any]): Any = {
     val cells = graft.h3.H3Cover.coveringCellIds(wkb(a(0)), int(a(1)),
       dbl(a(2)))

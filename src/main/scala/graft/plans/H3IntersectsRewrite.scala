@@ -78,14 +78,25 @@ import graft.spatial.{Geom, Geometry, MultiPoly, Poly}
   * NULL join key (row dropped) exactly where the cell-geometry
   * invariant would have made geom NULL too.
   *
-  * OPT-IN: active only when `spark.graft.h3Filter.res` is set to the
-  * query resolution (0..15) — which res to prefilter at is an index
-  * layout choice (the relation's cells must be AT or FINER than it,
-  * the same contract as H3Query), not something the rule can infer.
-  * Non-matching shapes stay untouched: no LongType `h3_cell` /
-  * `h3_parent_<res>` column, a non-foldable polygon argument, a
-  * non-polygon literal, or a malformed literal (left for execution to
-  * surface as the same runtime error the unrewritten plan gives).
+  * OPT-IN: active only when `spark.graft.h3Filter.res` is set — to
+  * the query resolution (0..15), or to `auto`, which infers the res
+  * per site from the relation's stored `h3_parent_<res>` column when
+  * exactly ONE such column exists in the scanned subtree (ambiguous =
+  * inert with a warning; a bare `h3_cell` with no parent column gives
+  * auto nothing to infer from — cells may be stored at any res at or
+  * finer than the query res, so the cell column itself does not name
+  * one). A pinned res that keys nothing while OTHER `h3_parent_*`
+  * columns exist warns loudly instead of silently never firing (the
+  * wrong-res-conf footgun). Non-matching shapes stay untouched: no
+  * LongType `h3_cell` / `h3_parent_<res>` column, a non-foldable
+  * polygon argument, a non-polygon literal, or a malformed literal
+  * (left for execution to surface as the same runtime error the
+  * unrewritten plan gives). SAME-RELATION guard: the key attribute
+  * and the filtered geometry's references must trace (through
+  * Project/Aggregate/Generate lineage) to one side of every
+  * join/union below the Filter — a filter above a join pairing table
+  * A's geometry with table B's cell column stays unrewritten rather
+  * than prefiltering by unrelated cells.
   * Idempotency is structural, the RangeJoinRewrite discipline: the
   * rewritten refine Filter references `__g_h3f_` attributes, which
   * this rule never re-rewrites at the optimizer's fixed point.
@@ -100,7 +111,11 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   val ConfKey = "spark.graft.h3Filter.res"
   val MaxCellsKey = "spark.graft.h3Filter.maxCells"
 
-  private def res: Option[Int] = H3RuleSupport.resConf(spark, ConfKey)
+  /** None = conf absent (inert); Some(None) = `auto` (infer per site
+    * from the single stored `h3_parent_<res>` column); Some(Some(r)) =
+    * pinned res. */
+  private def res: Option[Option[Int]] =
+    H3RuleSupport.resConfOrAuto(spark, ConfKey)
 
   /** Broadcast-size guard: a literal polygon whose covering exceeds
     * this many cells leaves the filter UNREWRITTEN (inert is sound —
@@ -119,9 +134,9 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = res match {
     case None => plan
-    case Some(r) => plan.transformUp {
+    case Some(resOrAuto) => plan.transformUp {
       case f @ Filter(cond, child) =>
-        rewrite(f, cond, child, r).getOrElse(f)
+        rewrite(f, cond, child, resOrAuto).getOrElse(f)
     }
   }
 
@@ -146,17 +161,12 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def rewrite(f: Filter, cond: Expression, child: LogicalPlan,
-      r: Int): Option[LogicalPlan] = {
+      resOrAuto: Option[Int]): Option[LogicalPlan] = {
     // structural idempotency: the refine Filter this rule emits
     // references the reserved __g_h3f_ attributes — never re-rewrite
     if (cond.references.exists(_.name.startsWith("__g_h3f_")))
       return None
     val conjuncts = splitConjunctivePredicates(cond)
-    // the H3 key: prefer a materialized query-res ancestor column
-    // (H3Index.withParentAt) over per-row parent math — same
-    // preference order as H3Query.keyedIndex (shared: H3RuleSupport)
-    val key: Option[Expression] =
-      H3RuleSupport.keyOf(child.output, r).map(_._1)
     // the st_intersects conjunct: one side a foldable polygon literal,
     // the other a deterministic geometry over this relation only
     val hit: Option[(Expression, Geom)] = conjuncts.collectFirst(
@@ -171,9 +181,47 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           })
         case _ => None
       })
+    if (hit.isEmpty) return None
+    // res: pinned by the conf, or (auto) inferred from the ONE stored
+    // h3_parent_<res> column in the site's subtree — ambiguity and the
+    // wrong-res-conf footgun each warn instead of silently skipping
+    val r: Int = resOrAuto match {
+      case Some(pinned) =>
+        if (H3RuleSupport.keyOf(child.output, pinned).isEmpty) {
+          val stored = H3RuleSupport.parentResolutions(child)
+          if (stored.nonEmpty && !stored.contains(pinned)) logWarning(
+            s"$ConfKey=$pinned matches no h3_parent_$pinned/h3_cell " +
+              s"column on a spatial filter's relation, which DOES carry " +
+              s"h3_parent_{${stored.mkString(",")}} — the rewrite stays " +
+              "inert; fix the conf (or set it to 'auto')")
+        }
+        pinned
+      case None => H3RuleSupport.parentResolutions(child) match {
+        case Seq(one) => one
+        case Seq() => return None // no stored parent column: nothing to infer
+        case many =>
+          logWarning(s"$ConfKey=auto found h3_parent columns at " +
+            s"${many.size} resolutions {${many.mkString(",")}} on a " +
+            "spatial filter's relation — ambiguous, staying inert; pin " +
+            s"$ConfKey to one of them")
+          return None
+      }
+    }
+    // the H3 key: prefer a materialized query-res ancestor column
+    // (H3Index.withParentAt) over per-row parent math — same
+    // preference order as H3Query.keyedIndex (shared: H3RuleSupport)
+    val key: Option[Expression] =
+      H3RuleSupport.keyOf(child.output, r).map(_._1)
     for {
       k <- key
       (si, poly) <- hit
+      // SAME-RELATION guard (r16 ADVICE, medium): the key is picked by
+      // NAME from the Filter child's output — above a join, a key from
+      // table B paired with a geometry from table A would prefilter by
+      // unrelated cells and silently drop rows. Key and geometry must
+      // trace to one side of every multi-child node below.
+      if H3RuleSupport.sameRelationLineage(child,
+        k.references ++ si.references)
       cover = PreparedPolygonQuery.coveringCellIds(poly, r)
       // broadcast-size guard: beyond the cap the rule stays INERT
       // (sound — the full scan the user wrote still runs) rather

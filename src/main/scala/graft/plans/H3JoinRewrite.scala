@@ -66,12 +66,40 @@ import graft.functions.{H3CoveringCells, StDistance, StIntersects}
   * the preserved side of an outer join, the OTHER side's key (if
   * present) is used instead of giving up.
   *
-  * OPT-IN via `spark.graft.h3Join.res` (0..15): the prefilter
-  * resolution is an index-layout choice (cells must be AT or FINER
-  * than it — the H3Query contract; a too-coarse row's NULL ancestor
-  * drops exactly where the cell-geometry invariant would have made
-  * its geom NULL too). Idempotency is structural: the rewritten join
-  * condition references `__g_h3j_` attributes, never re-matched.
+  * OPT-IN via `spark.graft.h3Join.res` (0..15, or `auto` to infer
+  * from the single stored `h3_parent_<res>` column across both
+  * sides' subtrees; ambiguous = inert with a warning, and a pinned
+  * res that keys neither side while other parent columns exist warns
+  * about the wrong-res-conf footgun): the prefilter resolution is an
+  * index-layout choice (cells must be AT or FINER than it — the
+  * H3Query contract; a too-coarse row's NULL ancestor drops exactly
+  * where the cell-geometry invariant would have made its geom NULL
+  * too). SAME-RELATION guard: the chosen index side's key must trace
+  * to the same relation as that side's own geometry argument (a side
+  * that is itself a join could carry them on different sub-sides);
+  * lineage participates in candidate selection like orientation, so
+  * an incompatible preferred side falls back to the other key.
+  * Idempotency is structural: the rewritten join condition references
+  * `__g_h3j_` attributes, never re-matched.
+  *
+  * CELL SKEW at scale (r16 Next #1): the covering-cell equi-join
+  * inherits the index's cell distribution — a dense urban cell whose
+  * ancestor matches a large fraction of the index is a straggler
+  * partition under a shuffled (sort-merge / shuffled-hash) join. The
+  * rewrite itself stays agnostic: at interactive geometry counts the
+  * exploded side broadcasts (no shuffle by cell, so no straggler);
+  * when the exploded side outgrows the broadcast threshold Spark
+  * plans a sort-merge join, and AQE's skew-join
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default) splits the
+  * hot cell's partition at runtime — ProfileH3Join's skewed arm
+  * (>=50% of index rows under ONE covering cell) measures the split
+  * firing (`skew=true` in-plan) and the rewrite still beating the
+  * nested loop. For the residual shape AQE cannot split (a broadcast
+  * the user forces, or a hot cell inside one task for OTHER reasons),
+  * [[graft.ops.Skew.saltedJoin]] composes manually: salt the index
+  * side, replicate the exploded side — at the cost of giving up this
+  * rule's transparency (a salted join is an explicit operator
+  * choice).
   *
   * Wire via `spark.sql.extensions=graft.GraftExtensions`, or
   * `spark.experimental.extraOptimizations ++= Seq(H3JoinRewrite(spark))`.
@@ -82,7 +110,11 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   val ConfKey = "spark.graft.h3Join.res"
   val FanoutKey = "spark.graft.h3Join.maxFanout"
 
-  private def res: Option[Int] = H3RuleSupport.resConf(spark, ConfKey)
+  /** None = conf absent (inert); Some(None) = `auto` (infer per join
+    * from the single stored `h3_parent_<res>` column across both
+    * sides); Some(Some(r)) = pinned res. */
+  private def res: Option[Option[Int]] =
+    H3RuleSupport.resConfOrAuto(spark, ConfKey)
 
   /** Fan-out cliff guard (the RangeJoinRewrite maxFanout precedent):
     * a geometry whose covering spans more cells than this fails FAST
@@ -101,11 +133,11 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = res match {
     case None => plan
-    case Some(r) => plan.transformUp {
+    case Some(resOrAuto) => plan.transformUp {
       case j @ Join(_, _,
           Inner | LeftOuter | LeftSemi | LeftAnti | RightOuter,
           Some(_), _) =>
-        rewrite(j, r).getOrElse(j)
+        rewrite(j, resOrAuto).getOrElse(j)
     }
   }
 
@@ -122,32 +154,34 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     H3RuleSupport.keyOf(plan.output, r)
 
   /** `side` rewritten to expose the H3 key as a `__g_h3j_key`
-    * attribute, with its preference rank. By the time an optimizer
-    * rule sees the join, COLUMN PRUNING has usually stripped the cell
-    * column from any Project the user's select produced — so when the
-    * side's own output lacks a key, thread it UP through
+    * attribute, with its preference rank and the key expression's RAW
+    * references (for the same-relation lineage check). By the time an
+    * optimizer rule sees the join, COLUMN PRUNING has usually stripped
+    * the cell column from any Project the user's select produced — so
+    * when the side's own output lacks a key, thread it UP through
     * Project/Filter chains from wherever below still carries it (the
     * relation itself always does; only pruned projections hide it). */
   private def keyedPlan(side: LogicalPlan,
-      r: Int): Option[(LogicalPlan, Attribute, Int)] =
+      r: Int): Option[(LogicalPlan, Attribute, Int, AttributeSet)] =
     keyOf(side, r) match {
       case Some((expr, rank)) =>
         val al = Alias(expr, "__g_h3j_key")()
-        Some((Project(side.output :+ al, side), al.toAttribute, rank))
+        Some((Project(side.output :+ al, side), al.toAttribute, rank,
+          expr.references))
       case None => side match {
         case Project(list, ch) =>
-          keyedPlan(ch, r).map { case (newCh, attr, rank) =>
-            (Project(list :+ attr, newCh), attr, rank)
+          keyedPlan(ch, r).map { case (newCh, attr, rank, refs) =>
+            (Project(list :+ attr, newCh), attr, rank, refs)
           }
         case Filter(c, ch) =>
-          keyedPlan(ch, r).map { case (newCh, attr, rank) =>
-            (Filter(c, newCh), attr, rank)
+          keyedPlan(ch, r).map { case (newCh, attr, rank, refs) =>
+            (Filter(c, newCh), attr, rank, refs)
           }
         case _ => None
       }
     }
 
-  private def rewrite(j: Join, r: Int): Option[LogicalPlan] = {
+  private def rewrite(j: Join, resOrAuto: Option[Int]): Option[LogicalPlan] = {
     val cond = j.condition.get
     if (cond.references.exists(_.name.startsWith("__g_h3j_")))
       return None
@@ -197,24 +231,66 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
     })
     hit.flatMap { case (si, leftGeom, rightGeom, bufferM) =>
+      // res: pinned by the conf, or (auto) inferred from the ONE
+      // stored h3_parent_<res> column across both sides' subtrees
+      val rOpt: Option[Int] = resOrAuto match {
+        case Some(pinned) => Some(pinned)
+        case None =>
+          (H3RuleSupport.parentResolutions(j.left) ++
+            H3RuleSupport.parentResolutions(j.right)).distinct match {
+            case Seq(one) => Some(one)
+            case Seq() => None
+            case many =>
+              logWarning(s"$ConfKey=auto found h3_parent columns at " +
+                s"${many.size} resolutions {${many.mkString(",")}} " +
+                "across a spatial join's sides — ambiguous, staying " +
+                s"inert; pin $ConfKey to one of them")
+              None
+          }
+      }
+      rOpt.flatMap { r =>
       val (kl, kr) = (keyedPlan(j.left, r), keyedPlan(j.right, r))
+      // wrong-res-conf footgun (r16 Next #6): a pinned res that keys
+      // NEITHER side of a spatial-shaped join is silently inert —
+      // warn when stored parents at other resolutions exist
+      if (kl.isEmpty && kr.isEmpty && resOrAuto.isDefined) {
+        val stored = (H3RuleSupport.parentResolutions(j.left) ++
+          H3RuleSupport.parentResolutions(j.right)).distinct
+        if (stored.nonEmpty && !stored.contains(r)) logWarning(
+          s"$ConfKey=$r matches no h3_parent_$r/h3_cell column on " +
+            s"either side of a spatial join, which DOES carry " +
+            s"h3_parent_{${stored.mkString(",")}} — the rewrite stays " +
+            "inert; fix the conf (or set it to 'auto')")
+      }
+      // SAME-RELATION guard (r16 ADVICE, medium): the chosen side's
+      // key must trace to the same relation as that side's own
+      // geometry argument — a side that is itself a join could carry
+      // the key on one sub-side and the geometry on the other, and
+      // prefiltering by the unrelated key would silently drop rows
+      def lineageOk(idxLeft: Boolean): Boolean = {
+        val refs = (if (idxLeft) kl else kr).get._4 ++
+          (if (idxLeft) leftGeom else rightGeom).references
+        H3RuleSupport.sameRelationLineage(if (idxLeft) j.left else j.right,
+          refs)
+      }
       // index side: best key rank first, ties break LEFT (documented),
-      // but orientation is part of CANDIDATE SELECTION, not a
-      // post-filter — when the better-ranked key sits on the
-      // orientation-incompatible side, the other side's key (if any)
-      // still rewrites soundly (the RangeJoinRewrite lesson)
+      // but orientation AND lineage are part of CANDIDATE SELECTION,
+      // not a post-filter — when the better-ranked key sits on an
+      // incompatible side, the other side's key (if any) still
+      // rewrites soundly (the RangeJoinRewrite lesson)
       val preference: Seq[Boolean] = (kl, kr) match {
-        case (Some((_, _, rl)), Some((_, _, rr))) =>
+        case (Some((_, _, rl, _)), Some((_, _, rr, _))) =>
           if (rl <= rr) Seq(true, false) else Seq(false, true)
         case (Some(_), None) => Seq(true)
         case (None, Some(_)) => Seq(false)
         case (None, None) => Seq.empty
       }
       val indexOnLeft = preference.find(idxLeft =>
-        orientationOk(j.joinType, geomOnLeft = !idxLeft))
+        orientationOk(j.joinType, geomOnLeft = !idxLeft) &&
+          lineageOk(idxLeft))
       indexOnLeft.flatMap { idxLeft =>
         {
-          val (idxKeyed, keyAttr, _) = (if (idxLeft) kl else kr).get
+          val (idxKeyed, keyAttr, _, _) = (if (idxLeft) kl else kr).get
           val geomPlan = if (idxLeft) j.right else j.left
           val geomExpr = if (idxLeft) rightGeom else leftGeom
           val cellAttr =
@@ -231,6 +307,7 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           Some(Project(j.output,
             Join(nl, nr, j.joinType, Some(newCond), j.hint)))
         }
+      }
       }
     }
   }

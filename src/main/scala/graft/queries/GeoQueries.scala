@@ -142,15 +142,19 @@ object GeoQueries {
     * oracle — same engine, same rows), install the rule + conf,
     * require `planOk` of the executed plan (the rewrite actually
     * fired), collect again WHILE installed (q212's discipline), and
-    * pin the symmetric diff at zero. Multiplicity counts: the diff
-    * adds the row-count delta so duplicated/dropped copies of equal
-    * rows cannot cancel out. */
+    * pin the symmetric diff at zero. MULTISET semantics (r16 ADVICE):
+    * the diff is over per-row-value COUNTS — a full-outer merge of the
+    * two (row, count) maps — so a duplication of one row paired with a
+    * drop of another equal-cardinality row cannot cancel the way a
+    * set-diff plus a total length delta could. */
   private def ruleIdentity(s: SparkSession,
       rule: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
       confKey: String, res: String, planOk: String => Boolean,
       failMsg: String)(q: => DataFrame): DataFrame = {
     import s.implicits._
+    def counted(rows: Array[Seq[Any]]): Map[Seq[Any], Int] =
+      rows.groupBy(identity).map { case (k, v) => (k, v.length) }
     val baseRows = q.collect().map(_.toSeq)
     val prev = s.experimental.extraOptimizations
     try {
@@ -159,9 +163,10 @@ object GeoQueries {
       val rew = q
       require(planOk(rew.queryExecution.executedPlan.toString), failMsg)
       val rewRows = rew.collect().map(_.toSeq)
-      val diff = (baseRows.toSet.diff(rewRows.toSet).size +
-        rewRows.toSet.diff(baseRows.toSet).size +
-        math.abs(baseRows.length - rewRows.length)).toLong
+      val (bc, rc) = (counted(baseRows), counted(rewRows))
+      val diff = (bc.keySet ++ rc.keySet).iterator
+        .map(k => math.abs(bc.getOrElse(k, 0) - rc.getOrElse(k, 0)).toLong)
+        .sum
       Seq((diff, baseRows.nonEmpty)).toDF("diff", "nonempty")
     } finally {
       s.experimental.extraOptimizations = prev
@@ -240,22 +245,6 @@ object GeoQueries {
     "q67_query_exact" -> ((s, dir) =>
       H3Query.objectsExact(s, index(s, dir), GeoFixture.queryPolygonWkt, res = 8)),
 
-    // The H3IntersectsRewrite OPTIMIZER RULE (plans/H3IntersectsRewrite,
-    // wired in production via spark.sql.extensions=graft.GraftExtensions;
-    // here via the runtime extraOptimizations hook, the q212 pattern):
-    // a DECLARATIVE full-scan spatial filter —
-    // st_intersects(geom, <literal polygon>), which evaluates per-row
-    // cell->geometry math plus the exact test over the ENTIRE index —
-    // replans transparently into the broadcast H3 covering-cell
-    // prefilter + guarded exact refine (the reference's documented
-    // two-step, docs/H3_POLYGON_ANALYSIS.md:337-355, measured there at
-    // ~100x). The require asserts the rule fired (prefilter join +
-    // guarded refine in-plan, so the bare full-scan filter is GONE);
-    // the result pins the SYMMETRIC DIFF against the same query run
-    // UNREWRITTEN on the same session at zero — the unrewritten
-    // declarative query is its own perfect oracle (same engine, same
-    // rows), the q46/q169 identity pattern. q67 is the explicit-
-    // operator spelling of the same shape (H3Query.objectsExact).
     // The H3IntersectsRewrite OPTIMIZER RULE (plans/H3IntersectsRewrite,
     // wired in production via spark.sql.extensions=graft.GraftExtensions;
     // here via the runtime extraOptimizations hook, the q212 pattern):

@@ -1225,12 +1225,24 @@ object PipelineQueries {
         graft.ops.Sketches.kmvSketch(exA, Seq("lang"), "bg", k = 256),
         graft.ops.Sketches.kmvSketch(exB, Seq("lang"), "bg", k = 256),
         Seq("lang"))
-      val exact = exA.join(exB, Seq("lang", "bg"), "left_anti")
-        .groupBy("lang").agg(count(lit(1)).as("__exao"))
+      // LEFT joins from the theta frame + COALESCE to 0 (r16 ADVICE):
+      // a language whose halves share ALL bigrams has an EMPTY A∖B —
+      // its left-anti aggregate produces no row at all, and an inner
+      // join here would silently drop the language from Spark's output
+      // while the DuckDB oracle's LEFT JOIN keeps it with zeros
+      val exact = d.select("lang")
+        .join(exA.join(exB, Seq("lang", "bg"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("__exao")), Seq("lang"),
+          "left")
         .join(exB.join(exA, Seq("lang", "bg"), "left_anti")
-          .groupBy("lang").agg(count(lit(1)).as("__exbo")), "lang")
+          .groupBy("lang").agg(count(lit(1)).as("__exbo")), Seq("lang"),
+          "left")
         .join(exA.join(exB, Seq("lang", "bg"))
-          .groupBy("lang").agg(count(lit(1)).as("__exi")), "lang")
+          .groupBy("lang").agg(count(lit(1)).as("__exi")), Seq("lang"),
+          "left")
+        .select(col("lang"), coalesce(col("__exao"), lit(0L)).as("__exao"),
+          coalesce(col("__exbo"), lit(0L)).as("__exbo"),
+          coalesce(col("__exi"), lit(0L)).as("__exi"))
       val rows = d.join(exact, "lang").orderBy("lang").collect()
       require(rows.nonEmpty, "no languages on both corpus halves")
       rows.foreach { r =>

@@ -234,6 +234,73 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
       new java.io.File(dir))
   }
 
+  test("SAME-RELATION guard: a filter above a join pairing table A's " +
+      "geometry with table B's cell key stays UNREWRITTEN; a key and " +
+      "geometry from ONE side still rewrite") {
+    import spark.implicits._
+    // the reported gap shape (r16 ADVICE, medium): geom from A,
+    // h3_cell from B — the rule applied directly to the analyzed plan
+    // (pushdown would move a one-sided filter below the join before
+    // the rule runs in a full optimizer pass; the guard must hold
+    // wherever the shape reaches it)
+    val a = cellIndex.select(col("id"), col("geom"))
+    val b = cellIndex.select(col("id").as("bid"), col("h3_cell"))
+    val rule = H3IntersectsRewrite(spark)
+    spark.conf.set(rule.ConfKey, "8")
+    try {
+      val cross = a.join(b, col("id") === col("bid"))
+        .filter(st_intersects(col("geom"), lit(queryWkb)))
+      val out = rule.apply(cross.queryExecution.analyzed)
+      assert(!out.toString.contains("__g_h3f_"),
+        s"rule paired table B's key with table A's geometry:\n$out")
+      // positive control: key AND geometry both from the RIGHT side of
+      // a join — lineage traces to one side, the rewrite still fires
+      val meta = Seq((1L, "x")).toDF("mid", "tag")
+      val sameSide = meta.join(cellIndex, col("mid") <= col("id"))
+        .filter(st_intersects(col("geom"), lit(queryWkb)))
+      val out2 = rule.apply(sameSide.queryExecution.analyzed)
+      assert(out2.toString.contains("__g_h3f_"),
+        s"guard over-blocked a same-relation filter above a join:\n$out2")
+    } finally spark.conf.unset(rule.ConfKey)
+  }
+
+  test("res=auto infers from the single stored h3_parent_<res> column; " +
+      "ambiguous or absent stays inert; a pinned res still overrides") {
+    // cached so the parent columns are RELATION columns — auto infers
+    // from the index's STORED layout; a derived withColumn alias is
+    // (correctly) pruned away when unused and names nothing
+    val idx1 = cellIndex
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .cache()
+    val idx2 = idx1.withColumn("h3_parent_7",
+      h3_cell_to_parent(col("h3_cell"), lit(7))).cache()
+    try {
+      def q1 = idx1.filter(st_intersects(col("geom"), lit(queryWkb)))
+        .select("id", "h3_cell")
+      val baseline = q1.collect().map(_.toSeq).toSet
+      withRule(Some("auto")) {
+        val plan = planString(q1)
+        assert(plan.contains("__g_h3f_key"),
+          s"auto did not infer res 8 from the stored parent column:\n$plan")
+        assert(q1.collect().map(_.toSeq).toSet === baseline)
+        // ambiguous: parent columns at TWO resolutions — inert
+        val q2 = idx2.filter(st_intersects(col("geom"), lit(queryWkb)))
+        assert(!planString(q2).contains("__g_h3f_"),
+          "auto rewrote despite ambiguous stored resolutions")
+        // absent: bare h3_cell names no resolution — auto has nothing
+        // to infer from (cells may be stored finer than the query res)
+        val q3 = cellIndex.filter(st_intersects(col("geom"), lit(queryWkb)))
+        assert(!planString(q3).contains("__g_h3f_"),
+          "auto rewrote with no stored parent column to infer from")
+      }
+      // pinned res on the bare-cell index: the original contract
+      withRule(Some("8")) {
+        val q3 = cellIndex.filter(st_intersects(col("geom"), lit(queryWkb)))
+        assert(planString(q3).contains("__g_h3f_"))
+      }
+    } finally { idx2.unpersist(); idx1.unpersist() }
+  }
+
   test("materialized h3_parent_8 relation column is preferred and range-prefiltered") {
     // cache so the parent column is part of the RELATION the pushed
     // filter lands on (a bare withColumn is a Project the filter is

@@ -350,4 +350,64 @@ class H3JoinRewriteSpec extends AnyFunSuite {
       }
     } finally b.unpersist()
   }
+
+  test("SAME-RELATION guard: an index side that is itself a join — key " +
+      "from one sub-side, geometry from the other — stays UNREWRITTEN") {
+    // left side = A (geometry, no key) ⋈ B (h3_cell, no geometry):
+    // keyOf would pick B's cell by name while the spatial predicate
+    // tests A's geometry — prefiltering A's rows by B's unrelated
+    // cells would silently drop pairs; the lineage guard refuses
+    val a = cellIndex.select(col("id"), col("geom"))
+    val b = cellIndex.select(col("id").as("bid"), col("h3_cell"))
+    val gs = geomSide
+    val rule = H3JoinRewrite(spark)
+    spark.conf.set(rule.ConfKey, "8")
+    try {
+      val q = a.join(b, col("id") === col("bid"))
+        .join(gs, st_intersects(col("geom"), col("ggeom")))
+      val out = rule.apply(q.queryExecution.analyzed)
+      assert(!out.toString.contains("__g_h3j_"),
+        s"rule paired sub-side B's key with sub-side A's geometry:\n$out")
+      // positive control: key and geometry together on one sub-side
+      // of the composite index side — lineage passes, the rule fires
+      import spark.implicits._
+      val meta = Seq((0L, "x")).toDF("mid", "tag")
+      val q2 = meta.join(cellIndex, col("mid") <= col("id"))
+        .join(gs, st_intersects(col("geom"), col("ggeom")))
+      val out2 = rule.apply(q2.queryExecution.analyzed)
+      assert(out2.toString.contains("__g_h3j_"),
+        s"guard over-blocked a same-relation composite side:\n$out2")
+    } finally spark.conf.unset(rule.ConfKey)
+  }
+
+  test("res=auto infers from the single stored parent column across " +
+      "the join's sides; ambiguous or absent stays inert") {
+    val idx = cellIndex
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .cache()
+    val gs = geomSide.cache()
+    try {
+      def q = idx.join(gs, st_intersects(col("geom"), col("ggeom")))
+        .select("id", "h3_cell", "gid")
+      val baseline = q.collect().map(_.toSeq).sortBy(_.mkString(","))
+      withRule(Some("auto")) {
+        val plan = planString(q)
+        assert(plan.contains("__g_h3j_"),
+          s"auto did not infer res 8 from the stored parent column:\n$plan")
+        assert(q.collect().map(_.toSeq).sortBy(_.mkString(","))
+          .sameElements(baseline))
+        // ambiguous: a second stored resolution anywhere across the
+        // sides — inert
+        val idx2 = idx.withColumn("h3_parent_7",
+          h3_cell_to_parent(col("h3_cell"), lit(7)))
+        val q2 = idx2.join(gs, st_intersects(col("geom"), col("ggeom")))
+        assert(!planString(q2).contains("__g_h3j_"),
+          "auto rewrote despite ambiguous stored resolutions")
+        // absent: bare h3_cell names no res — nothing to infer
+        val q3 = cellIndex.join(gs, st_intersects(col("geom"), col("ggeom")))
+        assert(!planString(q3).contains("__g_h3j_"),
+          "auto rewrote with no stored parent column to infer from")
+      }
+    } finally { idx.unpersist(); gs.unpersist() }
+  }
 }
