@@ -12,6 +12,98 @@ import org.apache.spark.sql.SparkSession
   * as a -1 time, never silently folded into the total.
   */
 object Bench {
+
+  /** Outcome of the end-of-battery deferred retry pass. */
+  private[graft] final case class Deferred(
+      arbitrated: Seq[(String, Double, Double, Int)],
+      reps: Int, memoRebuilds: Int, memoRebuildS: Double,
+      errors: scala.collection.mutable.LinkedHashMap[String, String])
+
+  /** Deferred END-OF-BATTERY retry (r14 What's-wrong #3): the inline
+    * back-to-back retry cannot clear a SUSTAINED host spike — r14's
+    * q67 ran BOTH adaptive reps inside the same ~50 s interference
+    * window and recorded 25.9 s against a 1.5 s quiet reference.
+    * Entries still over their bar after inline arbitration re-run
+    * exactly once here, minutes of battery later (a different host
+    * window; position-independence of the queries themselves is
+    * proven by the shuffle-order mode).
+    *
+    * BOUNDED MEMO REBUILD (r16 Next #2 — the "memo-rebuild limit"
+    * fix): shared memos are released by the time this pass runs, so a
+    * memo-backed entry's retry used to pay the whole rebuild inside
+    * its own timing and could never beat a moderate spike (the r16
+    * driver's q222 stayed at 24.8 s for exactly this reason). Now,
+    * when any deferred entry is a consumer of a module's shared memos
+    * (per `memoPrewarms` — (consumer set, prewarm) pairs), that
+    * module's prewarm runs ONCE before the timed retries, its cost
+    * charged to setup (`memoRebuildS`, reported in setup_s) and its
+    * count reported as `deferred_memo_rebuilds` in the JSON — so a
+    * memo-sensitive entry gets the same fair retry as everything
+    * else. The pass still can never fabricate a fast time: the kept
+    * value is the min, and the rebuild happens OUTSIDE any timed
+    * window, exactly like the main loop's setup phase.
+    *
+    * A FAILED deferred rep keeps the inline timing but must not be
+    * invisible (r15 ADVICE): it lands in `errors` and on stderr. */
+  private[graft] def deferredPass(
+      run: String => Unit,
+      results: Seq[(String, Double, Double, Int)],
+      bar: String => Double,
+      memoPrewarms: Seq[(Set[String], () => Unit)]): Deferred = {
+    var deferredReps = 0
+    val deferredNames = results.collect {
+      case (name, v, _, _) if v >= 0 && v > bar(name) => name
+    }
+    // re-open the memo registry for exactly the deferred names: a
+    // rebuild must register into a LIVE registry (post-endAll it would
+    // be inert and the rebuilt frames would stay persisted for the
+    // rest of the pass, stacking residual pressure onto every later
+    // deferred rep)
+    if (deferredNames.nonEmpty) graft.queries.Memos.begin(deferredNames)
+    var memoRebuilds = 0
+    var memoRebuildS = 0.0
+    if (deferredNames.nonEmpty) {
+      val t0 = System.nanoTime()
+      memoPrewarms.foreach { case (consumers, prewarm) =>
+        if (deferredNames.exists(consumers)) {
+          try { prewarm(); memoRebuilds += 1 }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] deferred memo rebuild failed (retries will pay " +
+                s"the rebuild inline, as before): ${e.getMessage}")
+          }
+        }
+      }
+      memoRebuildS = (System.nanoTime() - t0) / 1e9
+    }
+    val deferredErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val arbitrated = results.map { case r @ (name, v, f, n) =>
+      if (v < 0 || v <= bar(name)) r
+      else {
+        System.gc() // drain residual broadcast/shuffle refs first
+        deferredReps += 1
+        val t0 = System.nanoTime()
+        val ok =
+          try { run(name); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            deferredErrors(name) = Option(e.getMessage)
+              .getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+            System.err.println(
+              s"[bench] deferred rep of $name FAILED (inline timing " +
+                s"kept): ${deferredErrors(name)}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (graft.queries.Memos.afterQuery(name)) System.gc()
+        if (ok) (name, v.min(dt), f, n + 1) else r
+      }
+    }
+    if (deferredNames.nonEmpty) graft.queries.Memos.endAll()
+    Deferred(arbitrated, deferredReps, memoRebuilds, memoRebuildS,
+      deferredErrors)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -332,60 +424,25 @@ object Bench {
     }
     graft.queries.Memos.endAll()
 
-    // Deferred END-OF-BATTERY retry (r14 What's-wrong #3): the inline
-    // back-to-back retry cannot clear a SUSTAINED host spike — r14's
-    // q67 ran BOTH adaptive reps inside the same ~50 s interference
-    // window and recorded 25.9 s against a 1.5 s quiet reference.
-    // Entries still over their bar after inline arbitration re-run
-    // exactly once here, minutes of battery later (a different host
-    // window; position-independence of the queries themselves is
-    // proven by the shuffle-order mode). Shared memos are released by
-    // now, so a retry may pay a memo rebuild — that only makes the
-    // retry SLOWER, and the kept value is the min, so the deferred
-    // pass can never fabricate a fast time, only clear a spike. Known
-    // limit: for memo-backed entries (geo/LSH/IVF consumers) the
-    // rebuild usually exceeds a moderate spike, so their deferred rep
-    // rarely wins — those entries keep the r14-style raw/min pair as
-    // their arbitration evidence instead.
-    var deferredReps = 0
-    val deferredNames = results.collect {
-      case (name, v, _, _) if v >= 0 && v > adaptiveBar(name) => name
-    }
-    // re-open the memo registry for exactly the deferred names: a
-    // deferred rep that rebuilds a shared memo must register into a
-    // LIVE registry (post-endAll it would be inert and the rebuilt
-    // frames would stay persisted for the rest of the pass, stacking
-    // residual pressure onto every later deferred rep)
-    if (deferredNames.nonEmpty) graft.queries.Memos.begin(deferredNames)
-    // a FAILED deferred rep keeps the inline timing but must not be
-    // invisible (r15 ADVICE): a query that only passed its first run
-    // via now-released memo state would otherwise fail silently here
-    val deferredErrors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val arbitrated = results.map { case r @ (name, v, f, n) =>
-      if (v < 0 || v <= adaptiveBar(name)) r
-      else {
-        System.gc() // drain residual broadcast/shuffle refs first
-        deferredReps += 1
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            SparkEntry.queries(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save(); true
-          } catch { case scala.util.control.NonFatal(e) =>
-            deferredErrors(name) = Option(e.getMessage)
-              .getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
-            System.err.println(
-              s"[bench] deferred rep of $name FAILED (inline timing " +
-                s"kept): ${deferredErrors(name)}")
-            false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (graft.queries.Memos.afterQuery(name)) System.gc()
-        if (ok) (name, v.min(dt), f, n + 1) else r
-      }
-    }
-    if (deferredNames.nonEmpty) graft.queries.Memos.endAll()
+    // Deferred END-OF-BATTERY retry — see [[deferredPass]]. The memo
+    // prewarms are matched to deferred entries via the consumer sets
+    // Memos recorded during the main loop (zero-drift: the same sets
+    // the memos themselves declared).
+    val memoPrewarms: Seq[(Set[String], () => Unit)] = Seq(
+      "geo:" -> (() => graft.queries.GeoQueries.prewarmShared(spark, sfDir)),
+      "dedup:" -> (() => graft.queries.DedupQueries.prewarmShared(spark, sfDir)),
+      "corpus:" -> (() => graft.queries.CorpusQueries.prewarmShared(spark, sfDir))
+    ).map { case (p, f) => (graft.queries.Memos.consumersSeen(p), f) }
+    val deferred = deferredPass(
+      name => SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save(),
+      results, adaptiveBar, memoPrewarms)
+    val arbitrated = deferred.arbitrated
+    val deferredReps = deferred.reps
+    val deferredErrors = deferred.errors
+    // the bounded rebuild is one-time setup work, charged where
+    // one-time costs belong (the prewarm convention)
+    val setupSTotal = setupS + deferred.memoRebuildS
 
     // keys printed sorted regardless of run order, so shuffled-order
     // output diffs cleanly against a sorted-order run
@@ -402,7 +459,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val summary =
-      f""""n_queries":${arbitrated.size},"n_failed":${errors.size},"setup_s":$setupS%.4f,"reps":$reps,"adaptive_reps":$adaptiveReps,"deferred_reps":$deferredReps,"deferred_errors":$des,"raw_total_s":$rawTotal%.1f,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_warm_p25":$h3QueryWarmP25Ms,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"h3_polygon_query_ms_10k_fresh_plan_p25":$h3QueryFreshP25Ms,"sf":"$sfDir""""
+      f""""n_queries":${arbitrated.size},"n_failed":${errors.size},"setup_s":$setupSTotal%.4f,"reps":$reps,"adaptive_reps":$adaptiveReps,"deferred_reps":$deferredReps,"deferred_memo_rebuilds":${deferred.memoRebuilds},"deferred_errors":$des,"raw_total_s":$rawTotal%.1f,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_warm_p25":$h3QueryWarmP25Ms,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"h3_polygon_query_ms_10k_fresh_plan_p25":$h3QueryFreshP25Ms,"sf":"$sfDir""""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,$summary}""")
     // COMPACT tail-safe lines: harnesses that keep only a bounded tail

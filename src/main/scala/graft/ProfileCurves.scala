@@ -1404,25 +1404,30 @@ object ProfileJaccard {
       s0.release()
       Seq(all, init, delta).foreach(_.unpersist(blocking = false))
     }
-    // Per-append STAGED bytes, measured across a 5-append chain: with
-    // the segmented state (r15 Next #3) each append stages only its
-    // O(delta) segments — staged_new_mb should track the DELTA size
-    // (the r15 pre-segmentation capture measured a ~45-54 MB O(corpus)
-    // re-staging floor here), and releasing the superseded state each
-    // step keeps the RESIDENT total bounded too (the service
-    // discipline; Materialize.release frees the localCheckpoint
-    // blocks Dataset.unpersist cannot; base segments carry by
-    // reference so resident grows only by the deltas until a reindex
-    // or remove compacts).
+    // Per-append STAGED bytes + READ cost, measured across a
+    // 10-append chain: with the segmented state (r15 Next #3) each
+    // append stages only its O(delta) segments — staged_new_mb should
+    // track the DELTA size (the r15 pre-segmentation capture measured
+    // a ~45-54 MB O(corpus) re-staging floor here) — and with
+    // AUTO-COMPACTION (r16 Next #3, default threshold 8) the segment
+    // count and therefore the per-read union cost stay BOUNDED across
+    // an unattended chain: read_s should stay flat instead of growing
+    // one union branch per append (r16 measured the un-compacted
+    // append wall drifting 3.1 -> 5.6 s over five appends), at the
+    // price of one O(corpus) re-staging on the compacting append
+    // (visible as that row's staged_new_mb spike). Releasing the
+    // superseded state each step keeps the RESIDENT total bounded too
+    // (the service discipline; Materialize.release frees the
+    // localCheckpoint blocks Dataset.unpersist cannot).
     {
       val all = corpus(16000L).persist(); all.count()
-      val init = all.filter(col("doc_id") % 23 > 4).persist(); init.count()
+      val init = all.filter(col("doc_id") % 23 > 9).persist(); init.count()
       def storageBytes: Long = spark.sparkContext.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum
       var st = graft.ops.TextDedup.jaccardJoinState(
         init, "doc_id", "text", tau = 0.8)
       Seq(st.toks, st.prefix, st.sizes, st.pairs).foreach(_.count())
-      for (k <- 0 until 5) {
+      for (k <- 0 until 10) {
         val delta = all.filter(col("doc_id") % 23 === k).persist()
         val nd = delta.count()
         val before = storageBytes
@@ -1441,7 +1446,13 @@ object ProfileJaccard {
         // never the dfFrozen the next state carries by reference
         st.releaseSuperseded(nxt)
         st = nxt
-        println(f"""{"metric":"jaccard_append_chain","append_idx":${k + 1},"delta_docs":$nd,"wall_s":$t%.2f,"staged_new_mb":${stagedNew / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"resident_after_release_mb":${storageBytes / 1e6}%.2f}""")
+        // READ cost over the stored state: what every consumer
+        // (candidate join, verify, export) pays to scan the segment
+        // unions — the quantity auto-compaction bounds
+        val tRead = timed {
+          Seq(st.toks, st.prefix, st.sizes, st.pairs).foreach(_.count())
+        }
+        println(f"""{"metric":"jaccard_append_chain","append_idx":${k + 1},"delta_docs":$nd,"segments":${st.toksSegs.length},"wall_s":$t%.2f,"read_s":$tRead%.3f,"staged_new_mb":${stagedNew / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"resident_after_release_mb":${storageBytes / 1e6}%.2f}""")
         delta.unpersist(blocking = false)
       }
       st.release()
@@ -1651,6 +1662,90 @@ object ProfileH3Join {
       val tRule = medianMs(5)(() => noop(q)) / 1000.0
       println(f"""{"metric":"h3join_rule","index_rows":$nIdx,"geometries":$nGeom,"nested_loop_s":$tFull%.2f,"rule_s":$tRule%.3f,"speedup":${tFull / tRule}%.1f}""")
       gs.unpersist(blocking = false)
+    }
+
+    // CELL-SKEW arm (r16 Next #1): the one 100x-scale shape the rule
+    // itself cannot fix — a hot covering cell (dense urban region)
+    // whose ancestor matches a large fraction of the index makes the
+    // rewritten equi-join a single-partition straggler under a
+    // shuffled join. Fixture: a 1-in-8 index stratum with its hottest
+    // res-8 cell's rows REPLICATED until that ONE cell holds >= 50%
+    // of all rows (honest skew — many distinct objects in one cell;
+    // the key contract stays intact so the rewrite is still exact and
+    // the nested-loop identity still holds). The broadcast path is
+    // disabled (autoBroadcastJoinThreshold=-1) to force the
+    // sort-merge shape a too-big-to-broadcast geometry side would
+    // take at scale; AQE's skew-join must then SPLIT the hot
+    // partition (assert skew=true in the final adaptive plan) and
+    // the rewrite must still beat the nested loop.
+    {
+      val stratum = idx
+        .filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
+        .persist()
+      val top = stratum.groupBy("h3_parent_8")
+        .agg(count(lit(1)).as("__n")).orderBy(desc("__n")).head()
+      val hotCell = top.getLong(0)
+      val hot = stratum.filter(col("h3_parent_8") === hotCell).persist()
+      val (nAll, nHot) = (stratum.count(), hot.count())
+      val m = math.max(1L, math.ceil((nAll - nHot).toDouble / nHot).toLong)
+      val rep = hot
+        .crossJoin(spark.range(m).select(col("id").as("__rep")))
+        .withColumn("id", concat(col("id"), lit("#"), col("__rep")))
+        .drop("__rep")
+        .select(stratum.columns.map(col).toIndexedSeq: _*)
+      val skewIdx = stratum.unionByName(rep).persist()
+      val nSkew = skewIdx.count()
+      val hotFrac = (nHot * (m + 1)).toDouble / nSkew
+      require(hotFrac >= 0.5,
+        f"skew fixture under-skewed: hot cell holds $hotFrac%.2f")
+      val gsk = graft.pipeline.GeoFixture(spark, sfDir)
+        .filter(col("fid") <= 200)
+        .select(col("fid").cast("long").as("gid"), col("geom").as("qgeom"))
+        .persist()
+      gsk.count()
+      def qs = skewIdx.join(gsk, st_intersects(col("geom"), col("qgeom")))
+        .groupBy("gid").agg(count(lit(1)).as("n_pairs"))
+      val prevConf = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // profile-scale skew thresholds: the defaults (256 MB) are
+        // sized for production partitions; the SKEW SHAPE here is
+        // real (one partition >> factor x median), only smaller
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "4m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "2m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "2")
+        spark.conf.unset(rule.ConfKey)
+        val tFullSkew = timed(noop(qs))
+        val baseline = qs.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toMap
+        spark.conf.set(rule.ConfKey, "8")
+        val ran = qs
+        noop(ran)
+        val plan = ran.queryExecution.executedPlan.toString
+        require(plan.contains("__g_h3j_"),
+          "rule did not fire on the skewed fixture")
+        require(plan.contains("skew=true"),
+          s"AQE did not split the hot-cell partition:\n$plan")
+        require(qs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          == baseline, "rewrite changed the skewed join result")
+        val tRuleSkew = medianMs(3)(() => noop(qs)) / 1000.0
+        println(f"""{"metric":"h3join_rule_skew","index_rows":$nSkew,"hot_cell_frac":$hotFrac%.2f,"geometries":200,"aqe_skew_split":true,"nested_loop_s":$tFullSkew%.2f,"rule_s":$tRuleSkew%.3f,"speedup":${tFullSkew / tRuleSkew}%.1f}""")
+      } finally {
+        prevConf.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        spark.conf.unset(rule.ConfKey)
+      }
+      Seq(stratum, hot, skewIdx, gsk).foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

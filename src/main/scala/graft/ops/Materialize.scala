@@ -151,6 +151,21 @@ object Materialize {
     }
   }
 
+  /** Persist-based staging for SMALL frames where CALL-TIME LAZINESS
+    * is part of the caller's contract (kmvOverlap/kmvDifference must
+    * be job-free transformation builders — r16 What's-wrong #2):
+    * MEMORY_AND_DISK cache, tracked per session exactly like persist
+    * mode. The localCheckpoint default is unsuitable there because
+    * `Dataset.localCheckpoint(eager = false)` still SUBMITS its
+    * shuffle stages as a Spark job at call time (measured; the
+    * SketchesSpec job-count test pins the distinction). Lineage is
+    * kept, so eviction recomputes instead of failing; free via
+    * [[release]]/[[releaseStaged]] as usual. Not for iterative state
+    * seams — no plan truncation happens here. */
+  private[graft] def stageLazy(df: DataFrame): DataFrame =
+    track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Eagerly free a staged/persisted frame under the localCheckpoint
     * and persist stage modes (under `checkpoint` the reliable files
     * are NOT deleted here — they free with the checkpoint dir, which

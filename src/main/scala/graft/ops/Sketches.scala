@@ -657,28 +657,43 @@ object Sketches {
     * k contract, the kmvMerge way (r15 ADVICE): each SIDE must be
     * internally k-uniform — a per-group max() would let a side that
     * unions mixed-k sketch tables within one group pass undetected
-    * with wrong thresholds — and the cross-side check is then a cheap
-    * driver-side comparison of two constants. Each distinct() runs
-    * over a staged, <= k-rows-per-group sketch. */
+    * with wrong thresholds — and the two sides must share one k. Both
+    * halves run as ONE lazy [[gateOf]] plan gate folded into __theta
+    * (r16 What's-wrong #2): construction stays a pure transformation
+    * builder — no eager `.distinct().collect()` job per call — and a
+    * violation raise_errors the consumer's own job loudly. Every
+    * downstream estimate ([[kmvOverlap]]'s n_inter, jaccard;
+    * [[kmvDifference]]'s three scaled counts) divides by __theta, so
+    * column pruning can never drop the check. */
   private def thetaFrames(a: DataFrame, b: DataFrame,
       groupCols: Seq[String], caller: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val gcols = groupCols.map(col)
-    val sa0 = Materialize.stage(a)
-    val sb0 = Materialize.stage(b)
-    def sideK(sk: DataFrame, side: String): Option[Int] = {
-      val ks = sk.select(col("kmv_k")).distinct().collect()
-      require(ks.length <= 1,
-        s"$caller: side $side mixes ${ks.length} distinct kmv_k " +
-          "values — mixed-k sketch tables have different retention " +
-          "thresholds; roll them up through kmvMerge first")
-      ks.headOption.map(_.getInt(0))
-    }
-    val ka = sideK(sa0, "A")
-    val kb = sideK(sb0, "B")
-    for (x <- ka; y <- kb) require(x == y,
-      s"$caller: the two sides were built with different k " +
-        s"($x vs $y) — sketches must share one k to share a theta")
+    // stageLazy, not stage: localCheckpoint staging submits its
+    // shuffle stages at CALL time even when lazy — a persist cache
+    // gives the same one-execution sharing across the k gate, the
+    // threshold aggregate and the theta samples with zero call-time
+    // jobs (and these frames are <= k rows per group)
+    val sa0 = Materialize.stageLazy(a)
+    val sb0 = Materialize.stageLazy(b)
+    // the k contract as a one-row lazy gate over both staged sides:
+    // side-internal uniformity (min == max within each side, the
+    // kmvMerge rule) and cross-side equality; NULL bounds (an empty
+    // side) pass — an empty side simply yields no joined group rows
+    val gate = gateOf(
+      sa0.agg(min(col("kmv_k")).as("__ka0"), max(col("kmv_k")).as("__ka1"))
+        .crossJoin(sb0.agg(min(col("kmv_k")).as("__kb0"),
+          max(col("kmv_k")).as("__kb1"))),
+      (col("__ka0").isNull || col("__ka0") === col("__ka1")) &&
+        (col("__kb0").isNull || col("__kb0") === col("__kb1")) &&
+        (col("__ka0").isNull || col("__kb0").isNull ||
+          col("__ka0") === col("__kb0")),
+      concat(lit(s"$caller: k contract failed — side A kmv_k in ["),
+        col("__ka0"), lit(","), col("__ka1"), lit("], side B in ["),
+        col("__kb0"), lit(","), col("__kb1"),
+        lit("]; sketches must be internally k-uniform (mixed-k tables " +
+          "have different retention thresholds — roll them up through " +
+          "kmvMerge first) and both sides must share one k")))
     def agged(sk: DataFrame, sfx: String): DataFrame =
       sk.groupBy(gcols: _*)
         .agg(count(lit(1)).as(s"__n$sfx"), max(col("kmv_h")).as(s"__kth$sfx"),
@@ -687,7 +702,13 @@ object Sketches {
           when(col(s"__n$sfx") < col(s"__k$sfx"), lit(Theta1))
             .otherwise(col(s"__kth$sfx")))
     val th = agged(sa0, "a").join(agged(sb0, "b"), groupCols)
-      .withColumn("__theta", least(col("__thetaa"), col("__thetab")))
+      .crossJoin(gate)
+      // __gate is 1 when the contract holds; folding it into __theta
+      // keeps the raise_error subtree alive under column pruning (the
+      // hdrQuantiles convention)
+      .withColumn("__theta",
+        least(col("__thetaa"), col("__thetab")) + (col("__gate") - 1L))
+      .drop("__gate")
     val thSlim = th.select(gcols :+ col("__theta"): _*)
     def below(sk: DataFrame): DataFrame =
       sk.select(gcols :+ col("kmv_h").as("__h"): _*)

@@ -1972,10 +1972,16 @@ object TextDedup {
     * does NOT shrink: consumers still READ every segment (the
     * candidate join scans the full prefix union once), and the union
     * plan widens by one branch per table per append — batch appends
-    * at warehouse cadence rather than row-at-a-time, and fold a
-    * [[jaccardJoinReindex]] into the same pass when df drift has
-    * eroded pruning or the segment list has grown long (it compacts
-    * both). The stored prefix table is SCANNED, never re-ranked: df
+    * at warehouse cadence rather than row-at-a-time. The segment list
+    * is AUTO-COMPACTED when it reaches `autoCompactSegments` (default
+    * 8; <= 0 disables): the append consolidates each table back to one
+    * staged frame — a loud stderr line names the trigger — bounding
+    * read cost at N branches for an amortized O(corpus/N) re-staging
+    * per append (r16 Next #3: an unattended chain previously degraded
+    * linearly until a manual [[jaccardJoinReindex]]). df-order
+    * REFRESH remains the caller's scheduled decision: fold a
+    * [[jaccardJoinReindex]] in when drift has eroded pruning (it also
+    * compacts). The stored prefix table is SCANNED, never re-ranked: df
     * drift only costs pruning efficiency, which
     * [[jaccardJoinReindex]] refreshes on the caller's schedule
     * (pairs carry over verbatim even then — they are
@@ -1994,7 +2000,8 @@ object TextDedup {
     * scan), then the changed docs re-enter here. */
   def jaccardJoinAppend(state: JaccardState, addedDocs: DataFrame,
       idCol: String, textCol: String,
-      hintBroadcastDelta: Boolean = true): JaccardState = {
+      hintBroadcastDelta: Boolean = true,
+      autoCompactSegments: Int = 8): JaccardState = {
     def bc(df: DataFrame): DataFrame =
       if (hintBroadcastDelta) broadcast(df) else df
     val toksAdd = rawJaccardTokens(addedDocs, idCol, textCol).persist()
@@ -2033,10 +2040,49 @@ object TextDedup {
     val verified = jaccardVerifyPairsSized(cands,
       state.toks.union(toksAdd), state.sizes.union(sizesSeg), state.tau)
     val pairsSeg = Materialize.stage(verified, requireTruncation = true)
-    JaccardState(state.toksSegs :+ toksSeg, state.dfFrozen,
+    val grown = JaccardState(state.toksSegs :+ toksSeg, state.dfFrozen,
       state.prefixSegs :+ prefixSeg, state.sizesSegs :+ sizesSeg,
       state.pairsSegs :+ pairsSeg, state.tau,
       internals = Seq(toksAdd, prefixAdd))
+    // AUTO-COMPACTION (r16 Next #3): an unattended append chain grows
+    // one union branch per table per append, so reads degrade linearly
+    // until something consolidates. When the segment count reaches
+    // `autoCompactSegments` (default 8; <= 0 disables), compact the
+    // segment lists right here — the [[jaccardJoinReindex]] segment
+    // half WITHOUT the df refresh (pruning freshness stays the
+    // caller's scheduled decision; compaction is a pure plan-shape
+    // no-op on results). Cost: one O(corpus) re-staging every
+    // `autoCompactSegments` appends — amortized O(corpus/N) per
+    // append, in exchange for segment-list reads bounded at N (the
+    // scaladoc'd "batch appends, fold a reindex in" guidance, now
+    // enforced by default instead of relied on). The compacted tables
+    // are materialized eagerly so this call's own delta segments can
+    // be released immediately (the caller never saw them; the PRIOR
+    // state's segments stay untouched for the caller's
+    // releaseSuperseded protocol).
+    if (autoCompactSegments > 0 &&
+        grown.toksSegs.lengthCompare(autoCompactSegments) >= 0) {
+      System.err.println(
+        s"[graft] jaccardJoinAppend: segment list reached " +
+          s"${grown.toksSegs.length} — auto-compacting (one union " +
+          "branch per append degrades reads; jaccardJoinReindex also " +
+          "refreshes the frozen df order when pruning has drifted)")
+      def compact(segs: Seq[DataFrame]): DataFrame = {
+        val c = Materialize.stage(segs.reduce(_.union(_)),
+          requireTruncation = true)
+        c.count() // materialize before the input segments are released
+        c
+      }
+      val out = JaccardState(Seq(compact(grown.toksSegs)), state.dfFrozen,
+        Seq(compact(grown.prefixSegs)), Seq(compact(grown.sizesSegs)),
+        Seq(compact(grown.pairsSegs)), state.tau,
+        internals = Seq(toksAdd, prefixAdd))
+      // free THIS call's staged delta segments (consumed by the
+      // compaction; owned by nobody else)
+      Seq(toksSeg, prefixSeg, sizesSeg, pairsSeg)
+        .foreach(Materialize.release)
+      out
+    } else grown
   }
 
   /** O(state scan) REMOVE maintenance of [[JaccardState]]: by the

@@ -332,6 +332,95 @@ object GeoQueries {
       }
     }),
 
+    // SQL-STRING end-to-end for BOTH H3 rules (r16 Next #7): the
+    // production path the rules exist for — a spark.sql text query on
+    // a session built with spark.sql.extensions=graft.GraftExtensions
+    // (no registerAll, no extraOptimizations, no DataFrame API). The
+    // extensions inject the st_*/g_* parser surface AND the two
+    // optimizer rules; with the confs set, the SQL filter replans to
+    // the broadcast covering prefilter (__g_h3f_) and the SQL join to
+    // the covering-cell equi-join (__g_h3j_). Both pinned by the
+    // q229-style zero multiset-diff against the same SQL text run
+    // UNREWRITTEN on the same session. The entry builds its own small
+    // cell index (g_h3_covering_cells at res 9 over ~360 mixed
+    // geometries — covering, so the cell-geometry layout contract
+    // holds for every type) on the extensions session: the battery's
+    // shared memos belong to the driver session and cannot cross.
+    "q234_h3_sql_rules" -> ((s, dir) => {
+      import org.apache.spark.sql.SparkSession
+      import s.implicits._
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      try {
+        val s2 = SparkSession.builder()
+          .master("local[4]")
+          .config("spark.ui.enabled", "false")
+          .withExtensions(new graft.GraftExtensions)
+          .getOrCreate()
+        require(s2 ne s, "extensions session was not freshly built")
+        val fixture = GeoFixture(s2, dir).filter(col("fid") <= 360)
+        val idx = fixture
+          .withColumn("h3_cell",
+            explode(g_h3_covering_cells_l(col("geom"), lit(9))))
+          .select(col("fid").as("id"), col("h3_cell"),
+            g_h3_cell_to_geom(col("h3_cell")).as("geom"))
+          .localCheckpoint()
+        idx.createOrReplaceTempView("g_q234_idx")
+        GeoFixture(s2, dir).filter(col("fid") <= 25)
+          .select(col("fid").as("gid"), col("geom").as("qgeom"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_q234_geoms")
+        val sqlFilter =
+          "SELECT DISTINCT id FROM g_q234_idx WHERE st_intersects(geom, " +
+            "st_geomfromtext('" + GeoFixture.queryPolygonWkt + "'))"
+        val sqlJoin =
+          "SELECT g.gid, COUNT(*) AS n_pairs, COUNT(DISTINCT i.id) AS " +
+            "n_objects FROM g_q234_idx i JOIN g_q234_geoms g ON " +
+            "st_intersects(i.geom, g.qgeom) GROUP BY g.gid"
+        def counted(rows: Array[Seq[Any]]): Map[Seq[Any], Int] =
+          rows.groupBy(identity).map { case (k, v) => (k, v.length) }
+        def multisetDiff(a: Array[Seq[Any]], b: Array[Seq[Any]]): Long = {
+          val (ca, cb) = (counted(a), counted(b))
+          (ca.keySet ++ cb.keySet).iterator
+            .map(k => math.abs(ca.getOrElse(k, 0) - cb.getOrElse(k, 0))
+              .toLong).sum
+        }
+        // UNREWRITTEN baselines: same SQL text, confs unset
+        val baseF = s2.sql(sqlFilter).collect().map(_.toSeq)
+        val baseJ = s2.sql(sqlJoin).collect().map(_.toSeq)
+        require(baseF.nonEmpty && baseJ.nonEmpty,
+          "q234 fixture selects nothing — vacuous")
+        s2.conf.set("spark.graft.h3Filter.res", "9")
+        s2.conf.set("spark.graft.h3Join.res", "9")
+        try {
+          val rf = s2.sql(sqlFilter)
+          val pf = rf.queryExecution.executedPlan.toString
+          require(pf.contains("__g_h3f_"),
+            "H3IntersectsRewrite did not fire on the SQL string " +
+              s"through GraftExtensions:\n$pf")
+          val rj = s2.sql(sqlJoin)
+          val pj = rj.queryExecution.executedPlan.toString
+          require(pj.contains("__g_h3j_") && !pj.contains("NestedLoop") &&
+            !pj.contains("Cartesian"),
+            "H3JoinRewrite did not fire on the SQL string through " +
+              s"GraftExtensions:\n$pj")
+          val diff = multisetDiff(baseF, rf.collect().map(_.toSeq)) +
+            multisetDiff(baseJ, rj.collect().map(_.toSeq))
+          Seq((diff, true)).toDF("diff", "nonempty")
+        } finally {
+          s2.conf.unset("spark.graft.h3Filter.res")
+          s2.conf.unset("spark.graft.h3Join.res")
+        }
+      } finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }),
+
     // Per-object compacted hierarchy (aab_ext_restr/003:10-16).
     "q68_compact" -> ((s, dir) => {
       val normalized = Stages.normalizeExtRestr(staged(s, dir), fm, "geo_cust")
@@ -344,6 +433,8 @@ object GeoQueries {
 
   val oracle: Map[String, String] = Map(
     "q229_h3filter_rule" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q234_h3_sql_rules" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q232_h3join_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",

@@ -37,6 +37,20 @@ object Memos {
   // still to run in this battery.
   @volatile private var remaining: Option[Set[String]] = None
 
+  // Consumer sets of every memo key EVER tracked this JVM — kept
+  // across release/endAll (release clears `entries`, never this).
+  // The bench's deferred retry pass reads it to decide which deferred
+  // entries are memo-backed and which module's prewarm rebuilds their
+  // memos (r16 Next #2). Keys are namespaced "<module>:<layer>:<dir>".
+  private val history = TrieMap[String, Set[String]]()
+
+  /** Union of consumer query names across all memo keys starting with
+    * `prefix` that were tracked at any point this JVM. */
+  def consumersSeen(prefix: String): Set[String] =
+    history.iterator.collect {
+      case (k, c) if k.startsWith(prefix) => c
+    }.flatten.toSet
+
   /** Register (or re-register, after a rebuild) a live memo. `consumers`
     * are query names as they appear in SparkEntry.queries. The release
     * thunk must make the owner rebuild on next access (unpersist AND
@@ -54,6 +68,7 @@ object Memos {
   def track(key: String, consumers: Set[String], token: AnyRef = null)(
       release: () => Unit): Unit =
     synchronized {
+      history.put(key, consumers)
       entries.get(key).foreach { old =>
         val same = (token ne null) && (old.token ne null) && (old.token eq token)
         if (!same) { try old.release() catch { case _: Throwable => () } }

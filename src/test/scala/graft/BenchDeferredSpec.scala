@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deferred end-of-battery retry pass, synthetically (r16 Next #2):
+  * a memo-backed entry whose shared memo was released at endAll used to
+  * pay the whole rebuild inside its timed retry and could never clear a
+  * host spike (the r16 driver's q222 at 24.8 s). The pass now rebuilds
+  * the matching module memos ONCE, outside any timed window, and
+  * reports the count. No SparkSession needed — the pass is a pure
+  * timing/control-flow harness over injected run/prewarm thunks.
+  */
+class BenchDeferredSpec extends AnyFunSuite {
+
+  test("memo-backed deferred entry: the prewarm rebuilds ONCE outside " +
+      "the timed retry, and the retry wins against the spiky inline time") {
+    // fake memo: run() is slow while it is absent (the pre-fix
+    // behavior: the retry itself paid the rebuild), fast when present
+    @volatile var memoBuilt = false
+    def run(name: String): Unit = {
+      assert(name == "q_slow", s"unexpected retry of $name")
+      if (!memoBuilt) Thread.sleep(400) else Thread.sleep(10)
+    }
+    val prewarm = () => { memoBuilt = true; Thread.sleep(30) }
+    // q_slow's inline min (5.0 s) is a simulated host spike over its
+    // 1.0 s bar; q_fast is under bar and must not be retried
+    val results = Seq(("q_slow", 5.0, 6.0, 2), ("q_fast", 0.1, 0.1, 1))
+    val out = Bench.deferredPass(run, results, _ => 1.0,
+      Seq((Set("q_slow", "q_other"), prewarm),
+        (Set("q_unrelated"), () => fail("unrelated prewarm ran"))))
+    assert(out.memoRebuilds == 1, s"expected 1 memo rebuild, got $out")
+    assert(out.reps == 1)
+    assert(out.memoRebuildS >= 0.02,
+      "rebuild time was not measured (prewarm did not run before timing)")
+    val bySlow = out.arbitrated.find(_._1 == "q_slow").get
+    // the retry ran WITH the memo present: ~10 ms, not ~400 ms (the
+    // rebuild-inside-timing failure mode) and far under the 5.0 spike
+    assert(bySlow._2 < 0.2,
+      s"retry did not benefit from the rebuilt memo: ${bySlow._2} s")
+    assert(bySlow._4 == 3, "min-of count was not incremented")
+    assert(out.arbitrated.find(_._1 == "q_fast").get ==
+      ("q_fast", 0.1, 0.1, 1), "under-bar entry was touched")
+    assert(out.errors.isEmpty)
+  }
+
+  test("no memo-backed deferred entries: zero rebuilds; a FAILED retry " +
+      "keeps the inline timing and is recorded loudly") {
+    var ran = 0
+    def run(name: String): Unit = {
+      ran += 1
+      throw new RuntimeException(s"boom in $name")
+    }
+    val results = Seq(("q_bad", 3.0, 3.0, 1))
+    val out = Bench.deferredPass(run, results, _ => 1.0,
+      Seq((Set("q_unrelated"), () => fail("prewarm must not run"))))
+    assert(out.memoRebuilds == 0 && ran == 1)
+    // the inline timing survives a failed retry, visibly
+    assert(out.arbitrated.head == ("q_bad", 3.0, 3.0, 1))
+    assert(out.errors.get("q_bad").exists(_.contains("boom")))
+  }
+
+  test("nothing deferred: the pass is a no-op (no prewarms, no retries)") {
+    val results = Seq(("q_ok", 0.5, 0.5, 1))
+    val out = Bench.deferredPass(
+      _ => fail("no entry should be retried"), results, _ => 1.0,
+      Seq((Set("q_ok"), () => fail("prewarm must not run"))))
+    assert(out.reps == 0 && out.memoRebuilds == 0 &&
+      out.arbitrated == results)
+  }
+}

@@ -853,6 +853,69 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JaccardState auto-compaction: a 10-append chain keeps the " +
+      "segment list bounded at the threshold, pairs stay equal to the " +
+      "full rebuild, and threshold <= 0 disables (r16 Next #3)") {
+    import spark.implicits._
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = (1L to 330L).map(i =>
+      (i, (0 until (3 + (i % 7)).toInt).map(j =>
+        s"w${(i * 7 + j) % 25}").mkString(" ")))
+    val init = all.filter(_._1 % 12 == 0)
+    var st = TextDedup.jaccardJoinState(
+      init.toDF("doc_id", "text"), "doc_id", "text", tau = 0.7)
+    var added = init
+    var maxSegs = st.toksSegs.length
+    var compactions = 0
+    for (k <- 0 until 10) {
+      val delta = all.filter(_._1 % 12 == k + 1)
+      val nxt = TextDedup.jaccardJoinAppend(st,
+        delta.toDF("doc_id", "text"), "doc_id", "text",
+        autoCompactSegments = 4)
+      Seq(nxt.toks, nxt.prefix, nxt.sizes, nxt.pairs).foreach(_.count())
+      st.releaseSuperseded(nxt)
+      if (nxt.toksSegs.length < st.toksSegs.length + 1) compactions += 1
+      st = nxt
+      added ++= delta
+      maxSegs = math.max(maxSegs, st.toksSegs.length)
+      // every table's segment list stays bounded BELOW the threshold
+      // (a compaction resets to 1 exactly when the grown list would
+      // have reached 4)
+      assert(st.toksSegs.length < 4 && st.prefixSegs.length < 4 &&
+        st.sizesSegs.length < 4 && st.pairsSegs.length < 4,
+        s"append ${k + 1}: segment list not bounded — " +
+          s"${st.toksSegs.length} segments")
+    }
+    assert(compactions >= 3,
+      s"a 10-append chain at threshold 4 should have compacted >= 3 " +
+        s"times, saw $compactions")
+    // results are untouched by compaction: the chain's pairs equal
+    // the one-shot rebuild over everything appended (the q222 oracle
+    // law, held across every consolidation)
+    val full = pairsOf(TextDedup.jaccardJoin(
+      added.toDF("doc_id", "text"), "doc_id", "text", tau = 0.7))
+    assert(pairsOf(st.pairs) == full,
+      s"auto-compacted chain != rebuild; missing=" +
+        s"${full -- pairsOf(st.pairs)} extra=${pairsOf(st.pairs) -- full}")
+    st.release()
+    // disabled: <= 0 keeps the pre-r17 grow-forever behavior
+    var st2 = TextDedup.jaccardJoinState(
+      init.toDF("doc_id", "text"), "doc_id", "text", tau = 0.7)
+    for (k <- 0 until 5) {
+      val nxt = TextDedup.jaccardJoinAppend(st2,
+        all.filter(_._1 % 12 == k + 1).toDF("doc_id", "text"),
+        "doc_id", "text", autoCompactSegments = 0)
+      nxt.pairs.count()
+      st2.releaseSuperseded(nxt)
+      st2 = nxt
+    }
+    assert(st2.toksSegs.length == 6,
+      s"disabled auto-compaction still compacted: ${st2.toksSegs.length}")
+    st2.release()
+  }
+
   test("jaccardJoin is partitioning-invariant and null-id/null-text safe") {
     import spark.implicits._
     val base = (1L to 60L).map(i =>

@@ -382,12 +382,14 @@ class SketchesSpec extends AnyFunSuite {
     assert(ovx.getDouble(1) == 30.0 && ovx.getDouble(2) == 40.0 &&
       ovx.getDouble(3) == 0.0 && ovx.getDouble(4) == 0.0,
       s"exact-regime overlap wrong: $ovx")
-    val e = intercept[IllegalArgumentException] {
+    // k mismatch surfaces at EXECUTION (the lazy in-plan gate — r16
+    // What's-wrong #2: construction is job-free), loudly
+    val e = intercept[Throwable] {
       Sketches.kmvOverlap(
         Sketches.kmvSketch(aRows, Seq("g"), "v", 64),
-        Sketches.kmvSketch(bRows, Seq("g"), "v", 128), Seq("g"))
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 128), Seq("g")).collect()
     }
-    assert(e.getMessage.contains("different k"), e.getMessage)
+    assert(causeChain(e).contains("k contract failed"), causeChain(e))
     // invalid k refuses at build time
     intercept[IllegalArgumentException] {
       Sketches.kmvSketch(aRows, Seq("g"), "v", 1)
@@ -452,21 +454,56 @@ class SketchesSpec extends AnyFunSuite {
     assert(dx.getDouble(1) == 30.0 && dx.getDouble(2) == 40.0 &&
       dx.getDouble(3) == 0.0, s"exact-regime difference wrong: $dx")
     // mixed-k WITHIN one side refuses loudly (the r15 ADVICE gap: a
-    // per-group max-k check passed this silently)
+    // per-group max-k check passed this silently) — at EXECUTION,
+    // through the lazy in-plan gate (r16 What's-wrong #2)
     val mixed = Sketches.kmvSketch(aRows, Seq("g"), "v", 64).unionByName(
       Sketches.kmvSketch(aRows, Seq("g"), "v", 128))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Sketches.kmvDifference(mixed,
-        Sketches.kmvSketch(bRows, Seq("g"), "v", 64), Seq("g"))
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 64), Seq("g")).collect()
     }
-    assert(e.getMessage.contains("mixes"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
+    assert(causeChain(e).contains("k contract failed"), causeChain(e))
+    val e2 = intercept[Throwable] {
       Sketches.kmvOverlap(
         Sketches.kmvSketch(aRows, Seq("g"), "v", 64).unionByName(
           Sketches.kmvSketch(aRows, Seq("g"), "v", 128)),
-        Sketches.kmvSketch(bRows, Seq("g"), "v", 64), Seq("g"))
+        Sketches.kmvSketch(bRows, Seq("g"), "v", 64), Seq("g")).collect()
     }
-    assert(e2.getMessage.contains("mixes"), e2.getMessage)
+    assert(causeChain(e2).contains("k contract failed"), causeChain(e2))
   }
+
+  test("kmv overlap/difference construction is JOB-FREE: the k contract " +
+      "is a lazy in-plan gate, not an eager per-call collect (r16 #4)") {
+    import spark.implicits._
+    val aRows = (1L to 3000L).map(i => ("g", i)).toDF("g", "v")
+    val bRows = (2001L to 6000L).map(i => ("g", i)).toDF("g", "v")
+    val ska = Sketches.kmvSketch(aRows, Seq("g"), "v", 256)
+    val skb = Sketches.kmvSketch(bRows, Seq("g"), "v", 256)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val ov = Sketches.kmvOverlap(ska, skb, Seq("g"))
+      val di = Sketches.kmvDifference(ska, skb, Seq("g"))
+      // runJob is synchronous (an eager collect would have blocked
+      // here); the listener bus is async, so give it a beat to drain
+      Thread.sleep(1200)
+      assert(jobs.get() == 0,
+        s"overlap/difference construction ran ${jobs.get()} eager jobs")
+      // the frames still execute and agree with their eager-era rows
+      assert(ov.collect().nonEmpty && di.collect().nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** All messages down a failure's cause chain — execution-time
+    * raise_error gates surface wrapped in SparkException layers. */
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ ne null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
 
 }

@@ -380,6 +380,51 @@ class H3JoinRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset(rule.ConfKey)
   }
 
+  test("the JOIN rewrite applies to STREAMING plans: a readStream index " +
+      "stratum joining a static geometry table becomes the covering-cell " +
+      "equi-join per micro-batch, rows == the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("h3j_stream").toString
+    val gs = geomSide.cache()
+    try {
+      cellIndex.repartition(3).write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val expected = stored
+        .join(gs, st_intersects(col("geom"), col("ggeom")))
+        .select("id", "h3_cell", "gid")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(expected.nonEmpty, "stream fixture joins nothing — vacuous")
+      withRule(Some("8")) {
+        val stream = spark.readStream.schema(stored.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .join(gs, st_intersects(col("geom"), col("ggeom")))
+          .select("id", "h3_cell", "gid")
+        val q = stream.writeStream.outputMode("append").format("memory")
+          .queryName("h3j_stream").start()
+        try q.processAllAvailable() finally q.stop()
+        // the micro-batch plans went through the same optimizer: the
+        // join rule fired (explain of the last executed batch shows
+        // the reserved attributes, no nested loop) and the appended
+        // rows equal the batch join's, multiset-exactly
+        val explained = {
+          val bos = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(bos))(q.explain())
+          bos.toString
+        }
+        assert(explained.contains("__g_h3j_"),
+          s"join rule did not fire inside the streaming micro-batch:\n$explained")
+        assert(!explained.contains("NestedLoop") &&
+          !explained.contains("Cartesian"),
+          s"micro-batch still plans a nested loop:\n$explained")
+        val got = spark.table("h3j_stream")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(got == expected, "streamed spatial join != batch join")
+      }
+    } finally {
+      gs.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("res=auto infers from the single stored parent column across " +
       "the join's sides; ambiguous or absent stays inert") {
     val idx = cellIndex
