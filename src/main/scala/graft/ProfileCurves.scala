@@ -1703,8 +1703,15 @@ object ProfileH3Join {
         .select(col("fid").cast("long").as("gid"), col("geom").as("qgeom"))
         .persist()
       gsk.count()
+      // countDistinct(id) keeps the high-entropy id column IN the join
+      // shuffle: with only (geom, key) surviving pruning, the hot
+      // partition's m geometry replicas LZ4 away to a few KB and the
+      // byte-based skew detector (correctly) sees nothing — real dense
+      // cells carry distinct per-object payloads, so the honest
+      // fixture must too
       def qs = skewIdx.join(gsk, st_intersects(col("geom"), col("qgeom")))
-        .groupBy("gid").agg(count(lit(1)).as("n_pairs"))
+        .groupBy("gid").agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id")).as("n_objects"))
       val prevConf = Seq("spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -1717,25 +1724,28 @@ object ProfileH3Join {
         // real (one partition >> factor x median), only smaller
         spark.conf.set(
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-          "4m")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
           "2m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "1m")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
           "2")
         spark.conf.unset(rule.ConfKey)
         val tFullSkew = timed(noop(qs))
-        val baseline = qs.collect().map(r => (r.getLong(0), r.getLong(1)))
-          .toMap
+        val baseline = qs.collect().map(_.toSeq).sortBy(_.mkString(","))
         spark.conf.set(rule.ConfKey, "8")
         val ran = qs
-        noop(ran)
+        // execute through ran's OWN QueryExecution (a .write would
+        // plan a separate one and leave this AdaptiveSparkPlan
+        // un-finalized — no skew markers to inspect)
+        val ranRows = ran.collect()
         val plan = ran.queryExecution.executedPlan.toString
         require(plan.contains("__g_h3j_"),
           "rule did not fire on the skewed fixture")
         require(plan.contains("skew=true"),
           s"AQE did not split the hot-cell partition:\n$plan")
-        require(qs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-          == baseline, "rewrite changed the skewed join result")
+        require(ranRows.map(_.toSeq).sortBy(_.mkString(","))
+          .sameElements(baseline),
+          "rewrite changed the skewed join result")
         val tRuleSkew = medianMs(3)(() => noop(qs)) / 1000.0
         println(f"""{"metric":"h3join_rule_skew","index_rows":$nSkew,"hot_cell_frac":$hotFrac%.2f,"geometries":200,"aqe_skew_split":true,"nested_loop_s":$tFullSkew%.2f,"rule_s":$tRuleSkew%.3f,"speedup":${tFullSkew / tRuleSkew}%.1f}""")
       } finally {
