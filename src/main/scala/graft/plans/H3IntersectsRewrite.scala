@@ -8,18 +8,27 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, BooleanType, LongType}
 
-import graft.functions.{H3CellToParent, StIntersects}
+import graft.functions.{H3CellToParent, StDistance, StIntersects}
 import graft.pipeline.{H3Query, PreparedPolygonQuery}
 import graft.spatial.{Geom, Geometry, MultiPoly, Poly}
 
-/** Catalyst optimizer rule: rewrite a full-scan spatial filter
-  * `Filter(st_intersects(geom, <literal polygon>))` over a relation
-  * carrying an H3 cell key into the H3 equi-join prefilter + exact
-  * refine — the reference's documented two-step
+/** Catalyst optimizer rule: rewrite a full-scan spatial filter —
+  * `Filter(st_intersects(geom, <literal geometry>))`, or the
+  * ST_DWithin shape `st_distance(geom, <literal>) <= d` with a
+  * plan-time numeric threshold (any operand order; the filter twin of
+  * [[H3JoinRewrite]]'s q233 distance join) — over a relation carrying
+  * an H3 cell key into the H3 equi-join prefilter + exact refine —
+  * the reference's documented two-step
   * (docs/H3_POLYGON_ANALYSIS.md:337-355, measured there at ~100×:
   * ~50 ms vs ~5000 ms) made transparent to declarative SQL/DataFrame
   * users, who no longer need to know the index exists or call
-  * [[graft.pipeline.H3Query.objectsExact]] by hand.
+  * [[graft.pipeline.H3Query.objectsExact]] by hand. Literal geometry
+  * of ANY type rewrites: the zero-buffer POLYGON literal keeps the
+  * interior-proof fast path (needs_refine=false where provably
+  * inside); points/lines/multis and every distance form go through
+  * [[graft.h3.H3Cover]]'s any-geometry covering (widened by exactly
+  * the distance) with every candidate refined by the verbatim
+  * predicate.
   *
   * Rewrite shape (mirrors H3Query.objectsExact, H3Query.scala:165):
   *
@@ -140,24 +149,22 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** The literal polygon, when `e` is a plan-time-constant WKB
-    * expression — deterministic with no column references (NOT
-    * `foldable`: GeoExpr nodes like `st_geomfromtext(<literal>)` keep
-    * the default foldable=false, yet evaluate fine over the empty
-    * row) — whose value parses as POLYGON/MULTIPOLYGON. A malformed
-    * or non-polygon literal returns None (rule inert — the
-    * unrewritten plan surfaces the same runtime behavior). */
-  private def polyOf(e: Expression): Option[Geom] =
+  /** The literal geometry (ANY type — point/line/polygon/multi),
+    * when `e` is a plan-time-constant WKB expression — deterministic
+    * with no column references (NOT `foldable`: GeoExpr nodes like
+    * `st_geomfromtext(<literal>)` keep the default foldable=false,
+    * yet evaluate fine over the empty row). A malformed literal
+    * returns None (rule inert — the unrewritten plan surfaces the
+    * same runtime behavior); an EMPTY geometry too (its covering is
+    * the empty set, but the unrewritten predicate semantics on empty
+    * geometries are not worth re-deriving here — inert is sound). */
+  private def geomOf(e: Expression): Option[Geom] =
     if (!e.deterministic || e.references.nonEmpty || e.dataType != BinaryType)
       None
     else try {
-      Option(e.eval(null)).flatMap { v =>
-        Geometry.fromWkb(v.asInstanceOf[Array[Byte]]) match {
-          case p: Poly => Some(p)
-          case mp: MultiPoly => Some(mp)
-          case _ => None
-        }
-      }
+      Option(e.eval(null))
+        .map(v => Geometry.fromWkb(v.asInstanceOf[Array[Byte]]))
+        .filter(!_.isEmpty)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def rewrite(f: Filter, cond: Expression, child: LogicalPlan,
@@ -167,20 +174,41 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (cond.references.exists(_.name.startsWith("__g_h3f_")))
       return None
     val conjuncts = splitConjunctivePredicates(cond)
-    // the st_intersects conjunct: one side a foldable polygon literal,
-    // the other a deterministic geometry over this relation only
-    val hit: Option[(Expression, Geom)] = conjuncts.collectFirst(
-      Function.unlift {
-        case si @ StIntersects(a, b) =>
-          Seq((a, b), (b, a)).collectFirst(Function.unlift {
-            case (g, l) =>
-              if (g.deterministic && g.references.nonEmpty &&
-                  g.references.subsetOf(child.outputSet))
-                polyOf(l).map(p => (si: Expression, p))
-              else None
-          })
-        case _ => None
+    // the spatial conjunct: st_intersects against a plan-time-constant
+    // geometry literal (buffer 0), or the ST_DWithin FILTER shape —
+    // `st_distance(geom, <literal>) <= d` in any operand order with a
+    // plan-time numeric threshold (the q233 join shape's filter twin:
+    // the distance widens the covering by exactly d; the verbatim
+    // predicate refines). One side the literal, the other a
+    // deterministic geometry over this relation only.
+    def sides(si: Expression, a: Expression, b: Expression,
+        buf: Double): Option[(Expression, Geom, Double)] =
+      Seq((a, b), (b, a)).collectFirst(Function.unlift {
+        case (g, l) =>
+          if (g.deterministic && g.references.nonEmpty &&
+              g.references.subsetOf(child.outputSet))
+            geomOf(l).map(p => (si, p, buf))
+          else None
       })
+    def spatial(c: Expression): Option[(Expression, Geom, Double)] =
+      c match {
+        case si @ StIntersects(a, b) => sides(si, a, b, 0.0)
+        case si @ LessThanOrEqual(StDistance(a, b), lim) =>
+          H3RuleSupport.constDouble(lim)
+            .flatMap(d => sides(si, a, b, math.max(d, 0.0)))
+        case si @ LessThan(StDistance(a, b), lim) =>
+          H3RuleSupport.constDouble(lim)
+            .flatMap(d => sides(si, a, b, math.max(d, 0.0)))
+        case si @ GreaterThanOrEqual(lim, StDistance(a, b)) =>
+          H3RuleSupport.constDouble(lim)
+            .flatMap(d => sides(si, a, b, math.max(d, 0.0)))
+        case si @ GreaterThan(lim, StDistance(a, b)) =>
+          H3RuleSupport.constDouble(lim)
+            .flatMap(d => sides(si, a, b, math.max(d, 0.0)))
+        case _ => None
+      }
+    val hit: Option[(Expression, Geom, Double)] =
+      conjuncts.collectFirst(Function.unlift(spatial))
     if (hit.isEmpty) return None
     // res: pinned by the conf, or (auto) inferred from the ONE stored
     // h3_parent_<res> column in the site's subtree — ambiguity and the
@@ -214,7 +242,7 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       H3RuleSupport.keyOf(child.output, r).map(_._1)
     for {
       k <- key
-      (si, poly) <- hit
+      (si, poly, buffer) <- hit
       // SAME-RELATION guard (r16 ADVICE, medium): the key is picked by
       // NAME from the Filter child's output — above a join, a key from
       // table B paired with a geometry from table A would prefilter by
@@ -222,14 +250,26 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // trace to one side of every multi-child node below.
       if H3RuleSupport.sameRelationLineage(child,
         k.references ++ si.references)
-      cover = PreparedPolygonQuery.coveringCellIds(poly, r)
+      // covering cells: the interior-proof path (needs_refine=false
+      // where provably inside — the area-dominant fast path) exists
+      // for the zero-buffer POLYGON literal; any other literal type
+      // or a distance buffer goes through H3Cover's any-geometry
+      // covering (widened by exactly the buffer) with every candidate
+      // refined by the verbatim predicate — soundness is H3Cover's
+      // corridor bound either way
+      isProvedPoly = buffer == 0.0 &&
+        (poly.isInstanceOf[Poly] || poly.isInstanceOf[MultiPoly])
+      cover = if (isProvedPoly) PreparedPolygonQuery.coveringCellIds(poly, r)
+              else graft.h3.H3Cover.coveringCellIds(poly, r, buffer)
       // broadcast-size guard: beyond the cap the rule stays INERT
       // (sound — the full scan the user wrote still runs) rather
       // than shipping a multi-million-row local relation to every
       // task; see MaxCellsKey
       if cover.length <= maxCells
     } yield {
-      val flags = H3Query.needsRefineFlags(cover, poly)
+      val flags: Seq[(Long, Boolean)] =
+        if (isProvedPoly) H3Query.needsRefineFlags(cover, poly)
+        else cover.toSeq.map(c => (c, true))
       val qAttr =
         AttributeReference("__g_h3f_cell", LongType, nullable = false)()
       val refAttr =

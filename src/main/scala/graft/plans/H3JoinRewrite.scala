@@ -200,13 +200,7 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // soundness: a pair within d has a geometry point within d of the
     // other side, so the ancestor-center bound gains exactly d)
     def constDouble(e: Expression): Option[Double] =
-      if (e.deterministic && e.references.isEmpty &&
-          e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-        try Option(e.eval(null)).map {
-          case n: java.lang.Number => n.doubleValue
-          case d: org.apache.spark.sql.types.Decimal => d.toDouble
-        } catch { case scala.util.control.NonFatal(_) => None }
-      else None
+      H3RuleSupport.constDouble(e)
     def spatial(c: Expression): Option[(Expression, Expression, Double)] =
       c match {
         case StIntersects(a, b) => Some((a, b, 0.0))

@@ -47,6 +47,19 @@ private[plans] object H3RuleSupport {
         Some(r)
     }
 
+  /** A plan-time numeric constant's double value — the threshold
+    * contract shared by both rules' ST_DWithin shapes (deterministic,
+    * no column references, numeric type; None otherwise or on eval
+    * failure, leaving the site inert). */
+  def constDouble(e: Expression): Option[Double] =
+    if (e.deterministic && e.references.isEmpty &&
+        e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      try Option(e.eval(null)).map {
+        case n: java.lang.Number => n.doubleValue
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      } catch { case scala.util.control.NonFatal(_) => None }
+    else None
+
   /** Distinct resolutions of stored LongType `h3_parent_<r>` columns
     * anywhere in `plan`'s subtree — subtree-wide, not output-only,
     * because column pruning routinely strips the key from the visible

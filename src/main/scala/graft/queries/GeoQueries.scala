@@ -45,7 +45,8 @@ object GeoQueries {
       "q65_query_stats", "q66_query_heatmap", "q67_query_exact",
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
       "q135_query_table_macro", "q169_hybrid_identity",
-      "q229_h3filter_rule", "q232_h3join_rule", "q233_h3join_dwithin")
+      "q229_h3filter_rule", "q232_h3join_rule", "q233_h3join_dwithin",
+      "q235_h3filter_dwithin")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -332,6 +333,29 @@ object GeoQueries {
       }
     }),
 
+    // ST_DWithin FILTER form of the rewrite (r17: the filter twin of
+    // q233's distance JOIN): a declarative `st_distance(geom,
+    // <literal point>) <= 1500` radius query — per-row cell->geometry
+    // math plus an exact distance over the ENTIRE index unrewritten —
+    // replans into the broadcast covering prefilter widened by
+    // exactly the threshold (H3Cover any-geometry corridor), verbatim
+    // predicate refining every candidate. Zero multiset-diff against
+    // the unrewritten scan; the literal is a POINT, so this also pins
+    // the any-type-literal generalization.
+    "q235_h3filter_dwithin" -> ((s, dir) => {
+      val rule = graft.plans.H3IntersectsRewrite(s)
+      val ptWkb = graft.spatial.Geometry.toWkb(
+        graft.spatial.Pt(570000, 6452000))
+      val idx = sharedIndex(s, dir)
+      ruleIdentity(s, rule, rule.ConfKey, "8",
+        p => p.contains("__g_h3f_key") && p.contains("BroadcastHashJoin"),
+        "H3IntersectsRewrite did not fire on the ST_DWithin filter — " +
+          "the radius query would run as a full index scan") {
+        idx.filter(st_distance(col("geom"), lit(ptWkb)) <= 1500.0)
+          .select("id", "dataset_id", "leverantor", "klass").distinct()
+      }
+    }),
+
     // SQL-STRING end-to-end for BOTH H3 rules (r16 Next #7): the
     // production path the rules exist for — a spark.sql text query on
     // a session built with spark.sql.extensions=graft.GraftExtensions
@@ -435,6 +459,8 @@ object GeoQueries {
     "q229_h3filter_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q234_h3_sql_rules" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q235_h3filter_dwithin" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q232_h3join_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",

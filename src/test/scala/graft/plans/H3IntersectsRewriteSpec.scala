@@ -174,11 +174,60 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
       val nonLit = idx.withColumn("geom2", col("geom"))
         .filter(st_intersects(col("geom"), col("geom2")))
       assert(!planString(nonLit).contains("__g_h3f_"))
-      // a non-polygon literal stays untouched
-      val pointLit = idx.filter(st_intersects(col("geom"),
-        lit(Geometry.toWkb(Pt(561000, 6449000)))))
-      assert(!planString(pointLit).contains("__g_h3f_"))
+      // a POINT literal rewrites too (r17: any-type literals through
+      // H3Cover's covering; all candidates refined) — rows identical
+      def pointLit = idx.filter(st_intersects(col("geom"),
+        lit(Geometry.toWkb(Pt(562000, 6448500)))))
+        .select("id", "h3_cell")
+      val basePt = pointLit.collect().map(_.toSeq).toSet
+      assert(basePt.nonEmpty, "point-literal fixture selects nothing")
+      assert(planString(pointLit).contains("__g_h3f_"),
+        "point-literal st_intersects did not rewrite")
+      assert(pointLit.collect().map(_.toSeq).toSet === basePt)
     }
+  }
+
+  test("ST_DWithin FILTER shape (st_distance <= d, any operand order) " +
+      "rewrites with the buffer widening the covering; rows identical; " +
+      "non-constant thresholds stay inert") {
+    val idx = cellIndex.cache()
+    try {
+      val pt = Geometry.toWkb(Pt(565500, 6451500))
+      def q(d: Double) = idx
+        .filter(st_distance(col("geom"), lit(pt)) <= d)
+        .select("id", "h3_cell")
+      val base = q(900.0).collect().map(_.toSeq).toSet
+      assert(base.nonEmpty, "distance fixture selects nothing — vacuous")
+      // the buffer is LOAD-BEARING: within-900m rows that do NOT
+      // contain the point exist (a pure point-intersects covering
+      // would drop them)
+      val touching = idx.filter(st_intersects(col("geom"), lit(pt)))
+        .select("id", "h3_cell").collect().map(_.toSeq).toSet
+      assert((base -- touching).nonEmpty,
+        "no within-distance non-intersecting rows — buffer untested")
+      withRule(Some("8")) {
+        val plan = planString(q(900.0))
+        assert(plan.contains("__g_h3f_key"),
+          s"distance filter did not rewrite:\n$plan")
+        assert(q(900.0).collect().map(_.toSeq).toSet === base)
+        // reversed operand order (d >= st_distance) and strict <
+        val rev = idx
+          .filter(lit(900.0) >= st_distance(col("geom"), lit(pt)))
+          .select("id", "h3_cell")
+        assert(planString(rev).contains("__g_h3f_key"))
+        assert(rev.collect().map(_.toSeq).toSet === base)
+        val strict = idx
+          .filter(st_distance(col("geom"), lit(pt)) < 900.0)
+          .select("id", "h3_cell")
+        assert(planString(strict).contains("__g_h3f_key"))
+        // a NON-CONSTANT threshold stays inert (the covering cannot
+        // be sized at plan time)
+        val varThresh = idx.filter(
+          st_distance(col("geom"), lit(pt)) <= col("id").cast("double"))
+        assert(!planString(varThresh).contains("__g_h3f_"),
+          "variable-threshold distance filter must not rewrite")
+      }
+    } finally idx.unpersist()
   }
 
   test("broadcast-size guard: over-cap coverings leave the filter " +
