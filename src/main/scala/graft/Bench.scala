@@ -359,6 +359,12 @@ object Bench {
       "q224_jaccard_remove" -> 5.3, "q225_byte_pack_e2e" -> 2.85,
       "q226_rangejoin_rule_left" -> 0.62,
       "q227_streaming_multiprobe" -> 5.84, "q228_kmv_overlap" -> 9.5,
+      // r16-r17 entries, from the r17 builder's clean 235-query
+      // capture (373.9 s total, benchdiff 0 regressions vs r16)
+      "q229_h3filter_rule" -> 1.63, "q230_kmv_difference" -> 2.66,
+      "q231_streaming_kmv" -> 3.02, "q232_h3join_rule" -> 1.77,
+      "q233_h3join_dwithin" -> 1.74, "q234_h3_sql_rules" -> 2.16,
+      "q235_h3filter_dwithin" -> 1.61,
       "q20_count_distinct" -> 1.16,
       "q29_rollup" -> 0.75, "q45_stats_mass" -> 1.91,
       "q46_statstop_equiv" -> 2.2, "q55_embedding_neardup" -> 0.81,
