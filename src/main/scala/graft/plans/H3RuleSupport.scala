@@ -47,17 +47,23 @@ private[plans] object H3RuleSupport {
         Some(r)
     }
 
-  /** A plan-time numeric constant's double value — the threshold
-    * contract shared by both rules' ST_DWithin shapes (deterministic,
-    * no column references, numeric type; None otherwise or on eval
-    * failure, leaving the site inert). */
+  /** A plan-time numeric constant's FINITE double value — the
+    * threshold contract shared by both rules' ST_DWithin shapes
+    * (deterministic, no column references, numeric type; None
+    * otherwise or on eval failure, leaving the site inert). NaN and
+    * the infinities are rejected here rather than downstream: a
+    * non-finite buffer reaching the covering enumeration would hang
+    * or explode the cell corridor, where the UNREWRITTEN predicate
+    * would simply evaluate to a constant — inert is the only sound
+    * answer. */
   def constDouble(e: Expression): Option[Double] =
     if (e.deterministic && e.references.isEmpty &&
         e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       try Option(e.eval(null)).map {
         case n: java.lang.Number => n.doubleValue
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      } catch { case scala.util.control.NonFatal(_) => None }
+      }.filter(d => !d.isNaN && !d.isInfinite)
+      catch { case scala.util.control.NonFatal(_) => None }
     else None
 
   /** Distinct resolutions of stored LongType `h3_parent_<r>` columns

@@ -226,6 +226,14 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
           st_distance(col("geom"), lit(pt)) <= col("id").cast("double"))
         assert(!planString(varThresh).contains("__g_h3f_"),
           "variable-threshold distance filter must not rewrite")
+        // NON-FINITE thresholds stay inert too — a NaN/Infinity buffer
+        // reaching the covering enumeration would hang/explode where
+        // the unrewritten predicate is just a constant
+        Seq(Double.NaN, Double.PositiveInfinity).foreach { d =>
+          val bad = idx.filter(st_distance(col("geom"), lit(pt)) <= d)
+          assert(!planString(bad).contains("__g_h3f_"),
+            s"non-finite threshold $d must not rewrite")
+        }
       }
     } finally idx.unpersist()
   }
