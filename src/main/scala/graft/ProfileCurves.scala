@@ -1562,6 +1562,26 @@ object ProfileH3Filter {
     }
     println(f"""{"metric":"h3filter_rule","index_rows":$nRows,"match_rows":$fullRows,"full_scan_ms":$tFull%.1f,"rule_ms":$tRule%.1f,"speedup":${tFull / tRule}%.1f,"driver_cover_ms":$tCover%.1f}""")
 
+    // the r17 ST_DWithin FILTER shape: a 1.5 km radius query around a
+    // point — unrewritten it evaluates per-row cell->geometry math
+    // plus an exact distance over EVERY index row; rewritten, the
+    // covering (widened by exactly the radius) prefilters and the
+    // verbatim distance decides candidates only
+    {
+      val pt = graft.spatial.Geometry.toWkb(graft.spatial.Pt(570000, 6452000))
+      def qd = idx.filter(st_distance(col("geom"), lit(pt)) <= 1500.0)
+        .select("id", "dataset_id", "leverantor", "klass").distinct()
+      spark.conf.unset(rule.ConfKey)
+      val dRows = qd.count()
+      val tFullD = medianMs(5)(() => noop(qd))
+      spark.conf.set(rule.ConfKey, "8")
+      require(qd.queryExecution.executedPlan.toString.contains("__g_h3f_"),
+        "distance-filter rewrite did not fire in the profile session")
+      require(qd.count() == dRows, "distance rewrite changed the result")
+      val tRuleD = medianMs(5)(() => noop(qd))
+      println(f"""{"metric":"h3filter_rule_dwithin","index_rows":$nRows,"match_rows":$dRows,"radius_m":1500,"full_scan_ms":$tFullD%.1f,"rule_ms":$tRuleD%.1f,"speedup":${tFullD / tRuleD}%.1f}""")
+    }
+
     // production layout: the cell-CLUSTERED parquet index (the
     // PreparedPolygonQuery crossover layout) — here the rule's
     // sargable BETWEEN prefilter reaches row-group stats and the scan
