@@ -137,6 +137,17 @@ private[plans] object H3RuleSupport {
             else Seq(at)
           })
           walk(g.child, mapped)
+        case ex: Expand =>
+          // Expand (grouping sets / count-distinct plans) re-mints
+          // EVERY output exprId; stopping here would bless whatever
+          // sits below — map each attr to the union of its column's
+          // source references across the projections instead
+          val mapped = AttributeSet(attrs.flatMap { at =>
+            val i = ex.output.indexWhere(_.exprId == at.exprId)
+            if (i >= 0) ex.projections.flatMap(p => p(i).references)
+            else Seq(at)
+          })
+          walk(ex.child, mapped)
         case _: LeafNode => true
         case u: UnaryNode if attrs.subsetOf(u.child.outputSet) =>
           walk(u.child, attrs)
