@@ -93,6 +93,16 @@ object Materialize {
       .foreach(_.forEach(f => f.unpersist(false)))
   }
 
+  // Per-session cap on TRACKED persist-mode frames: a long-lived
+  // service looping a persist-staging operator (kmvOverlap per
+  // corpus-pair, for instance) would otherwise accumulate cache
+  // entries without bound inside ONE session, which the session-level
+  // LRU above cannot see. Evicting the ELDEST frame is correctness-
+  // neutral (persist keeps lineage — consumers recompute) and in
+  // practice frees long-consumed intermediates; releaseStaged remains
+  // the precise hygiene hook.
+  private[graft] val MaxTrackedFramesPerSession = 512
+
   private def track(df: DataFrame): DataFrame = {
     staged.synchronized {
       sweepStopped()
@@ -104,6 +114,9 @@ object Materialize {
       val lst = Option(staged.remove(df.sparkSession))
         .getOrElse(new java.util.ArrayList[DataFrame]())
       lst.add(df)
+      while (lst.size() > MaxTrackedFramesPerSession) {
+        lst.remove(0).unpersist(false)
+      }
       staged.put(df.sparkSession, lst)
     }
     df

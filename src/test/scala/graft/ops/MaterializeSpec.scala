@@ -50,6 +50,27 @@ class MaterializeSpec extends AnyFunSuite {
       "Materialize.release did not free the checkpointed RDD blocks")
   }
 
+  test("per-session tracked-frame bound: a loop of stageLazy calls " +
+      "keeps at most MaxTrackedFramesPerSession frames cached, evicting " +
+      "the eldest (correctness-neutral — lineage kept)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Materialize.releaseStaged(spark) // clean slate for the count
+    val cap = Materialize.MaxTrackedFramesPerSession
+    val frames = (0 until cap + 20).map { i =>
+      val f = Materialize.stageLazy(
+        Seq((i.toLong, i * 2L)).toDF("a", "b").filter(col("a") >= 0))
+      f.count() // materialize the cache entry
+      f
+    }
+    assert(Materialize.stagedFrames(spark) <= cap,
+      s"tracked list exceeded the cap: ${Materialize.stagedFrames(spark)}")
+    // the eldest frames were unpersisted; they still COMPUTE correctly
+    // (persist keeps lineage)
+    assert(frames.head.count() == 1L)
+    Materialize.releaseStaged(spark)
+  }
+
   test("persist-mode session bound evicts by last STAGING time: an " +
       "actively-staging session survives churn past the bound") {
     import spark.implicits._
