@@ -1629,6 +1629,29 @@ object ProfileH3Filter {
         val tFullPq = medianMs(5)(() => noop(q2))
         println(f"""{"metric":"h3filter_rule_parquet","polygon":"$tag","index_rows":$nRows,"match_rows":$mRows,"full_scan_ms":$tFullPq%.1f,"rule_fresh_ms":$tRulePq%.1f,"rule_warm_ms":$tWarmPq%.1f,"speedup_fresh":${tFullPq / tRulePq}%.1f,"speedup_warm":${tFullPq / tWarmPq}%.1f}""")
       }
+
+      // the DWithin filter on the SAME clustered layout: a small
+      // radius's covering is a tight cell band, so the rule's
+      // sargable BETWEEN prefilter prunes row groups exactly like the
+      // 2x2 km intersects probe — the 100 TB radius-query story
+      {
+        val pt2 = graft.spatial.Geometry.toWkb(
+          graft.spatial.Pt(570000, 6452000))
+        def qd2 = pq.filter(st_distance(col("geom"), lit(pt2)) <= 1500.0)
+          .select("id", "dataset_id", "leverantor", "klass").distinct()
+        spark.conf.set(rule.ConfKey, "8")
+        val dRows = qd2.count()
+        require(qd2.queryExecution.executedPlan.toString
+          .contains("__g_h3f_"), "parquet DWithin rewrite did not fire")
+        val tRuleDq = medianMs(5)(() => noop(qd2))
+        val qd2w = qd2
+        qd2w.write.format("noop").mode("overwrite").save()
+        val tWarmDq = medianMs(5)(() => noop(qd2w))
+        spark.conf.unset(rule.ConfKey)
+        require(qd2.count() == dRows, "parquet DWithin rewrite changed rows")
+        val tFullDq = medianMs(5)(() => noop(qd2))
+        println(f"""{"metric":"h3filter_rule_parquet","polygon":"dwithin_1500m","index_rows":$nRows,"match_rows":$dRows,"full_scan_ms":$tFullDq%.1f,"rule_fresh_ms":$tRuleDq%.1f,"rule_warm_ms":$tWarmDq%.1f,"speedup_fresh":${tFullDq / tRuleDq}%.1f,"speedup_warm":${tFullDq / tWarmDq}%.1f}""")
+      }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
