@@ -534,9 +534,17 @@ object Sketches {
   /** Roll up a UNION of stored KMV tables (same k — require-checked):
     * dedup hashes, keep the k smallest per group. Exactly the sketch
     * of the unioned underlying data, so shards/days/files combine
-    * with no loss beyond each input's own. */
+    * with no loss beyond each input's own.
+    *
+    * Unlike [[kmvOverlap]]/[[kmvDifference]], the k check here stays a
+    * CALL-TIME job by necessity — k is a structural parameter of the
+    * register aggregate, not a value a plan gate could defer — but the
+    * input is staged first so an UNMATERIALIZED sketch plan executes
+    * once (the discovery collect warms the cache the merge then
+    * reads), not twice. */
   def kmvMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val ks = sketches.select(col("kmv_k")).distinct().collect()
+    val staged = Materialize.stageLazy(sketches)
+    val ks = staged.select(col("kmv_k")).distinct().collect()
     require(ks.nonEmpty,
       "kmvMerge got an EMPTY sketch table — there is nothing to merge " +
         "and k is unknowable; guard the rollup against empty shards " +
@@ -548,7 +556,7 @@ object Sketches {
         "retention thresholds and must not be merged")
     val gcols = groupCols.map(col)
     kmvTop(
-      sketches.select(gcols :+ col("kmv_h").as("__h"): _*),
+      staged.select(gcols :+ col("kmv_h").as("__h"): _*),
       groupCols, ks(0).getInt(0))
   }
 
