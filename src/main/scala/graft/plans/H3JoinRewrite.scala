@@ -157,18 +157,26 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * attribute, with its preference rank and the key expression's RAW
     * references (for the same-relation lineage check). By the time an
     * optimizer rule sees the join, COLUMN PRUNING has usually stripped
-    * the cell column from any Project the user's select produced — so
-    * when the side's own output lacks a key, thread it UP through
-    * Project/Filter chains from wherever below still carries it (the
-    * relation itself always does; only pruned projections hide it). */
+    * the STORED `h3_parent_<res>` column (and sometimes the cell
+    * column too) from any Project the user's select produced — so the
+    * search threads through Project/Filter chains and prefers a
+    * DEEPER rank-0 stored-ancestor column over a shallower rank-1
+    * per-row-math key: the stored column costs zero per-row math AND
+    * keeps the key a bare relation attribute, which lets alias-aware
+    * partitioning propagation reuse a `bucketBy(h3_parent_<res>)`
+    * layout's bucketing instead of re-shuffling the index side (the
+    * repeated-spatial-join layout story). Threading an attribute past
+    * a pruned Project only ADDS a column to it — never changes rows. */
   private def keyedPlan(side: LogicalPlan,
-      r: Int): Option[(LogicalPlan, Attribute, Int, AttributeSet)] =
-    keyOf(side, r) match {
-      case Some((expr, rank)) =>
-        val al = Alias(expr, "__g_h3j_key")()
-        Some((Project(side.output :+ al, side), al.toAttribute, rank,
-          expr.references))
-      case None => side match {
+      r: Int): Option[(LogicalPlan, Attribute, Int, AttributeSet)] = {
+    val local = keyOf(side, r).map { case (expr, rank) =>
+      val al = Alias(expr, "__g_h3j_key")()
+      (Project(side.output :+ al, side), al.toAttribute, rank,
+        expr.references)
+    }
+    if (local.exists(_._3 == 0)) local
+    else {
+      val below = side match {
         case Project(list, ch) =>
           keyedPlan(ch, r).map { case (newCh, attr, rank, refs) =>
             (Project(list :+ attr, newCh), attr, rank, refs)
@@ -179,7 +187,11 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           }
         case _ => None
       }
+      // deeper stored column beats local per-row math; local per-row
+      // math beats deeper per-row math (fewer plan nodes touched)
+      below.filter(_._3 == 0).orElse(local).orElse(below)
     }
+  }
 
   private def rewrite(j: Join, resOrAuto: Option[Int]): Option[LogicalPlan] = {
     val cond = j.condition.get

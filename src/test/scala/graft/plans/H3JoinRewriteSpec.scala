@@ -425,6 +425,53 @@ class H3JoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a bucketBy(h3_parent_8) index joins under the rewrite with NO " +
+      "index-side exchange: the threaded STORED key stays a bare " +
+      "relation attribute, so alias-aware partitioning propagation " +
+      "reuses the bucketing (the repeated-spatial-join layout story)") {
+    import graft.functions.GFunctions.h3_cell_to_parent
+    spark.sql("DROP TABLE IF EXISTS h3j_bucketed_spec")
+    cellIndex
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .write.bucketBy(4, "h3_parent_8").sortBy("h3_parent_8")
+      .mode("overwrite").saveAsTable("h3j_bucketed_spec")
+    val gs = geomSide.cache()
+    try {
+      val t = spark.table("h3j_bucketed_spec")
+      // the pruned-projection shape: neither h3_parent_8 nor the
+      // bucketing survive the user's select — the rule must thread
+      // the STORED column up, not settle for per-row parent math
+      def q = t.join(gs, st_intersects(col("geom"), col("ggeom")))
+        .select("id", "h3_cell", "gid")
+      val base = q.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(base.nonEmpty, "bucketed fixture joins nothing — vacuous")
+      withRule(Some("8")) {
+        val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val ran = q
+          val rows = ran.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+          val plan = ran.queryExecution.executedPlan.toString
+          assert(plan.contains("__g_h3j_"), s"rule did not fire:\n$plan")
+          // final adaptive section: bucketed scan in place, and the
+          // ONLY exchange keys the exploded geometry side
+          val finalSec = plan.split("== Final Plan ==").last
+            .split("== Initial Plan ==").head
+          assert(finalSec.contains("Bucketed: true"),
+            s"bucketed scan unused (per-row key math?):\n$finalSec")
+          assert(!finalSec.linesIterator.exists(
+            _.contains("Exchange hashpartitioning(__g_h3j_key")),
+            s"index side re-shuffled despite the bucketed layout:\n$finalSec")
+          assert(rows == base, "bucketed rewrite changed the join rows")
+        } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+      }
+    } finally {
+      gs.unpersist()
+      spark.sql("DROP TABLE IF EXISTS h3j_bucketed_spec")
+    }
+  }
+
   test("res=auto infers from the single stored parent column across " +
       "the join's sides; ambiguous or absent stays inert") {
     val idx = cellIndex
