@@ -1707,6 +1707,72 @@ object ProfileH3Join {
       gs.unpersist(blocking = false)
     }
 
+    // BUCKETED-LAYOUT arm (r17): the repeated-spatial-join story — a
+    // bucketBy(h3_parent_8) index joins under the rewrite with ZERO
+    // index-side exchange (the threaded stored key stays a bare
+    // relation attribute, so alias-aware partitioning propagation
+    // reuses the bucketing), vs the same data as plain parquet paying
+    // a full index shuffle per query. Shuffle BYTES are the
+    // 1000-executor claim; wall on one box mostly shows the skipped
+    // exchange's serialization.
+    {
+      val meter = new ShuffleMeter
+      spark.sparkContext.addSparkListener(meter)
+      val stratum = idx.filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
+      spark.sql("DROP TABLE IF EXISTS h3j_profile_bucketed")
+      stratum.write.bucketBy(16, "h3_parent_8").sortBy("h3_parent_8")
+        .mode("overwrite").saveAsTable("h3j_profile_bucketed")
+      val flatDir = java.nio.file.Files
+        .createTempDirectory("graft_h3j_flat").toString
+      stratum.write.mode("overwrite").parquet(flatDir)
+      val gsb = graft.pipeline.GeoFixture(spark, sfDir)
+        .filter(col("fid") <= 200)
+        .select(col("fid").cast("long").as("gid"), col("geom").as("qgeom"))
+        .persist()
+      gsb.count()
+      def joined(t: org.apache.spark.sql.DataFrame) =
+        t.join(gsb, st_intersects(col("geom"), col("qgeom")))
+          .groupBy("gid").agg(count(lit(1)).as("n_pairs"))
+      val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        spark.conf.set(rule.ConfKey, "8")
+        val qFlat = joined(spark.read.parquet(flatDir))
+        val flatRows = qFlat.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .toMap
+        meter.drain()
+        val tFlat = medianMs(3)(() => noop(joined(
+          spark.read.parquet(flatDir)))) / 1000.0
+        val bFlat = meter.drain() / 3
+        val qB = joined(spark.table("h3j_profile_bucketed"))
+        require(qB.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          == flatRows, "bucketed join diverged from the flat layout")
+        val planB = qB.queryExecution.executedPlan.toString
+        require(!planB.linesIterator.exists(
+          _.contains("Exchange hashpartitioning(__g_h3j_key")),
+          s"bucketed index still re-shuffled:\n$planB")
+        meter.drain()
+        val tBuck = medianMs(3)(() => noop(joined(
+          spark.table("h3j_profile_bucketed")))) / 1000.0
+        val bBuck = meter.drain() / 3
+        println(f"""{"metric":"h3join_rule_bucketed","index_rows":${stratum.count()},"geometries":200,"flat_wall_s":$tFlat%.2f,"flat_shuffle_mb":${bFlat / 1e6}%.1f,"bucketed_wall_s":$tBuck%.2f,"bucketed_shuffle_mb":${bBuck / 1e6}%.1f}""")
+      } finally {
+        prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        spark.conf.unset(rule.ConfKey)
+        spark.sql("DROP TABLE IF EXISTS h3j_profile_bucketed")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(flatDir))
+        gsb.unpersist(blocking = false)
+      }
+    }
+
     // CELL-SKEW arm (r16 Next #1): the one 100x-scale shape the rule
     // itself cannot fix — a hot covering cell (dense urban region)
     // whose ancestor matches a large fraction of the index makes the
