@@ -673,6 +673,27 @@ object Sketches {
     * downstream estimate ([[kmvOverlap]]'s n_inter, jaccard;
     * [[kmvDifference]]'s three scaled counts) divides by __theta, so
     * column pruning can never drop the check. */
+  /** The k-contract gate's diagnostic over the __ka0/__ka1/__kb0/__kb1
+    * bounds. Each bound survives a NULL (an empty side) via coalesce:
+    * concat is null-in-null-out, and a violation coinciding with one
+    * empty side would otherwise raise_error with a NULL message — loud,
+    * but stripped of the k values it exists to name (r17 ADVICE low).
+    * Package-visible so SketchesSpec can pin the null-surviving shape
+    * directly: end-to-end, an empty side usually short-circuits the
+    * whole join (empty output — sound) before the lazy gate broadcast
+    * ever materializes, so the message path is not deterministically
+    * reachable from the public API. */
+  private[ops] def kGateMessage(caller: String): Column =
+    concat(lit(s"$caller: k contract failed — side A kmv_k in ["),
+      coalesce(col("__ka0").cast("string"), lit("null")), lit(","),
+      coalesce(col("__ka1").cast("string"), lit("null")),
+      lit("], side B in ["),
+      coalesce(col("__kb0").cast("string"), lit("null")), lit(","),
+      coalesce(col("__kb1").cast("string"), lit("null")),
+      lit("]; sketches must be internally k-uniform (mixed-k tables " +
+        "have different retention thresholds — roll them up through " +
+        "kmvMerge first) and both sides must share one k"))
+
   private def thetaFrames(a: DataFrame, b: DataFrame,
       groupCols: Seq[String], caller: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -696,12 +717,7 @@ object Sketches {
         (col("__kb0").isNull || col("__kb0") === col("__kb1")) &&
         (col("__ka0").isNull || col("__kb0").isNull ||
           col("__ka0") === col("__kb0")),
-      concat(lit(s"$caller: k contract failed — side A kmv_k in ["),
-        col("__ka0"), lit(","), col("__ka1"), lit("], side B in ["),
-        col("__kb0"), lit(","), col("__kb1"),
-        lit("]; sketches must be internally k-uniform (mixed-k tables " +
-          "have different retention thresholds — roll them up through " +
-          "kmvMerge first) and both sides must share one k")))
+      kGateMessage(caller))
     def agged(sk: DataFrame, sfx: String): DataFrame =
       sk.groupBy(gcols: _*)
         .agg(count(lit(1)).as(s"__n$sfx"), max(col("kmv_h")).as(s"__kth$sfx"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, BooleanType, LongType}
 
-import graft.functions.{H3CellToParent, StDistance, StIntersects}
+import graft.functions.{StDistance, StIntersects}
 import graft.pipeline.{H3Query, PreparedPolygonQuery}
 import graft.spatial.{Geom, Geometry, MultiPoly, Poly}
 
@@ -215,49 +215,62 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // wrong-res-conf footgun each warn instead of silently skipping
     val r: Int = resOrAuto match {
       case Some(pinned) =>
-        if (H3RuleSupport.keyOf(child.output, pinned).isEmpty) {
+        if (H3RuleSupport.keyedPlan(child, pinned, "__g_h3f_key").isEmpty) {
           val stored = H3RuleSupport.parentResolutions(child)
-          if (stored.nonEmpty && !stored.contains(pinned)) logWarning(
-            s"$ConfKey=$pinned matches no h3_parent_$pinned/h3_cell " +
-              s"column on a spatial filter's relation, which DOES carry " +
-              s"h3_parent_{${stored.mkString(",")}} — the rewrite stays " +
-              "inert; fix the conf (or set it to 'auto')")
+          if (stored.nonEmpty && !stored.contains(pinned))
+            H3RuleSupport.warnOnce(spark,
+              s"$ConfKey-wrongres-$pinned-${stored.mkString(",")}") {
+              logWarning(
+                s"$ConfKey=$pinned matches no h3_parent_$pinned/h3_cell " +
+                  s"column on a spatial filter's relation, which DOES carry " +
+                  s"h3_parent_{${stored.mkString(",")}} — the rewrite stays " +
+                  "inert; fix the conf (or set it to 'auto')")
+            }
         }
         pinned
       case None => H3RuleSupport.parentResolutions(child) match {
         case Seq(one) => one
         case Seq() => return None // no stored parent column: nothing to infer
         case many =>
-          logWarning(s"$ConfKey=auto found h3_parent columns at " +
-            s"${many.size} resolutions {${many.mkString(",")}} on a " +
-            "spatial filter's relation — ambiguous, staying inert; pin " +
-            s"$ConfKey to one of them")
+          H3RuleSupport.warnOnce(spark,
+            s"$ConfKey-ambiguous-${many.mkString(",")}") {
+            logWarning(s"$ConfKey=auto found h3_parent columns at " +
+              s"${many.size} resolutions {${many.mkString(",")}} on a " +
+              "spatial filter's relation — ambiguous, staying inert; pin " +
+              s"$ConfKey to one of them")
+          }
           return None
       }
     }
     // the H3 key: prefer a materialized query-res ancestor column
-    // (H3Index.withParentAt) over per-row parent math — same
-    // preference order as H3Query.keyedIndex (shared: H3RuleSupport)
-    val key: Option[Expression] =
-      H3RuleSupport.keyOf(child.output, r).map(_._1)
+    // (H3Index.withParentAt) over per-row parent math, THREADED up
+    // through column-pruned Project/Filter chains exactly like the
+    // join rule (shared: H3RuleSupport.keyedPlan — r17 ADVICE low:
+    // reading only child.output made res=auto infer a resolution from
+    // the subtree and then silently fail to key it when pruning had
+    // stripped the stored column from the visible Project)
     for {
-      k <- key
+      (keyedChild, keyAttr, _, keyRefs) <-
+        H3RuleSupport.keyedPlan(child, r, "__g_h3f_key")
       (si, poly, buffer) <- hit
       // SAME-RELATION guard (r16 ADVICE, medium): the key is picked by
-      // NAME from the Filter child's output — above a join, a key from
+      // NAME from the Filter child's subtree — above a join, a key from
       // table B paired with a geometry from table A would prefilter by
       // unrelated cells and silently drop rows. Key and geometry must
       // trace to one side of every multi-child node below.
-      if H3RuleSupport.sameRelationLineage(child,
-        k.references ++ si.references)
+      if H3RuleSupport.sameRelationLineage(child, keyRefs ++ si.references)
       // covering cells: the interior-proof path (needs_refine=false
       // where provably inside — the area-dominant fast path) exists
-      // for the zero-buffer POLYGON literal; any other literal type
-      // or a distance buffer goes through H3Cover's any-geometry
-      // covering (widened by exactly the buffer) with every candidate
-      // refined by the verbatim predicate — soundness is H3Cover's
-      // corridor bound either way
-      isProvedPoly = buffer == 0.0 &&
+      // ONLY for the st_intersects conjunct against a POLYGON literal.
+      // A distance conjunct NEVER takes it (r17 ADVICE, medium): a
+      // non-positive threshold clamps to buffer 0.0, and skipping the
+      // verbatim predicate there would RETURN interior rows where
+      // `st_distance(g, P) < 0` is constant-false — silent wrong
+      // results. Distance shapes (and non-polygon literals) go through
+      // H3Cover's any-geometry covering (widened by exactly the
+      // buffer) with every candidate refined by the verbatim
+      // predicate — soundness is H3Cover's corridor bound either way
+      isProvedPoly = si.isInstanceOf[StIntersects] &&
         (poly.isInstanceOf[Poly] || poly.isInstanceOf[MultiPoly])
       cover = if (isProvedPoly) PreparedPolygonQuery.coveringCellIds(poly, r)
               else graft.h3.H3Cover.coveringCellIds(poly, r, buffer)
@@ -277,16 +290,16 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       val rel = LocalRelation(Seq(qAttr, refAttr),
         flags.map { case (c, nr) => InternalRow(c, nr) })
       // sargable range prefilter below the join: single-side long
-      // comparisons, pushable to a parquet scan's row-group stats
-      // (strict superset of the equi-join — results unchanged)
+      // comparisons over the key attribute — PhysicalOperation's
+      // alias-substituting Project/Filter collection carries them to a
+      // parquet scan's row-group stats (strict superset of the
+      // equi-join — results unchanged)
       val pre =
-        if (cover.isEmpty) child
-        else Filter(And(GreaterThanOrEqual(k, Literal(cover.min)),
-          LessThanOrEqual(k, Literal(cover.max))), child)
-      val keyAlias = Alias(k, "__g_h3f_key")()
-      val keyed = Project(child.output :+ keyAlias, pre)
-      val join = Join(keyed, rel, Inner,
-        Some(EqualTo(keyAlias.toAttribute, qAttr)),
+        if (cover.isEmpty) keyedChild
+        else Filter(And(GreaterThanOrEqual(keyAttr, Literal(cover.min)),
+          LessThanOrEqual(keyAttr, Literal(cover.max))), keyedChild)
+      val join = Join(pre, rel, Inner,
+        Some(EqualTo(keyAttr, qAttr)),
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
       // the refine predicate references BOTH sides, so pushdown can
       // never migrate it below the join (the objectsExact defense);

@@ -82,6 +82,22 @@ import graft.functions.{H3CoveringCells, StDistance, StIntersects}
   * Idempotency is structural: the rewritten join condition references
   * `__g_h3j_` attributes, never re-matched.
   *
+  * BUCKETED LAYOUT at scale (the repeated-spatial-join story): store
+  * the index `bucketBy(N, h3_parent_<res>)` and the rewritten
+  * equi-join reuses the layout's bucketing — ZERO index-side
+  * exchanges, measured 31.3 → 0.2 MB shuffled (156×) at sf0.1
+  * (PERF.md r17); only the small exploded geometry side shuffles. The
+  * rule threads the stored ancestor up through pruned projections
+  * precisely so the key stays a bare relation attribute the
+  * partitioning propagation can match. CAVEAT, warned once per
+  * session at rewrite time:
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled` must be
+  * FALSE for this — the default-true heuristic looks for the bucket
+  * column among the original join keys, cannot see through the
+  * rewrite's `__g_h3j_key` alias, and silently disables bucketed
+  * scanning (the index side re-shuffles with nothing telling the user
+  * why). See README's configuration table.
+  *
   * CELL SKEW at scale (r16 Next #1): the covering-cell equi-join
   * inherits the index's cell distribution — a dense urban cell whose
   * ancestor matches a large fraction of the index is a straggler
@@ -150,46 +166,55 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => false
     }
 
-  private def keyOf(plan: LogicalPlan, r: Int): Option[(Expression, Int)] =
-    H3RuleSupport.keyOf(plan.output, r)
-
-  /** `side` rewritten to expose the H3 key as a `__g_h3j_key`
-    * attribute, with its preference rank and the key expression's RAW
-    * references (for the same-relation lineage check). By the time an
-    * optimizer rule sees the join, COLUMN PRUNING has usually stripped
-    * the STORED `h3_parent_<res>` column (and sometimes the cell
-    * column too) from any Project the user's select produced — so the
-    * search threads through Project/Filter chains and prefers a
-    * DEEPER rank-0 stored-ancestor column over a shallower rank-1
-    * per-row-math key: the stored column costs zero per-row math AND
-    * keeps the key a bare relation attribute, which lets alias-aware
-    * partitioning propagation reuse a `bucketBy(h3_parent_<res>)`
-    * layout's bucketing instead of re-shuffling the index side (the
-    * repeated-spatial-join layout story). Threading an attribute past
-    * a pruned Project only ADDS a column to it — never changes rows. */
+  /** Shared with the filter rule: [[H3RuleSupport.keyedPlan]] —
+    * threads a column-pruned stored `h3_parent_<res>` ancestor up
+    * through Project/Filter chains so the join key stays a bare
+    * relation attribute (the bucketed-layout story). */
   private def keyedPlan(side: LogicalPlan,
-      r: Int): Option[(LogicalPlan, Attribute, Int, AttributeSet)] = {
-    val local = keyOf(side, r).map { case (expr, rank) =>
-      val al = Alias(expr, "__g_h3j_key")()
-      (Project(side.output :+ al, side), al.toAttribute, rank,
-        expr.references)
+      r: Int): Option[(LogicalPlan, Attribute, Int, AttributeSet)] =
+    H3RuleSupport.keyedPlan(side, r, "__g_h3j_key")
+
+  /** The autoBucketedScan SILENT-LOSS footgun (r17 Next #1): when the
+    * chosen rank-0 key is a BUCKET column of a scanned bucketed table,
+    * the rewritten equi-join can reuse the layout's bucketing and run
+    * with ZERO index-side exchanges (PERF.md r17: 31.3 → 0.2 MB
+    * shuffled, 156×) — but Spark's
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled` heuristic
+    * (default TRUE) looks for the bucket column among the ORIGINAL
+    * join keys and cannot see through this rule's `__g_h3j_key` alias,
+    * so it silently disables bucketing on the scan and the index side
+    * re-shuffles with nothing telling the user why. The rule knows at
+    * rewrite time that it is keying on a stored bucket column — warn
+    * once per session naming the conf to set. */
+  private def warnAutoBucketedScanFootgun(side: LogicalPlan,
+      keyRefs: AttributeSet, rank: Int): Unit = {
+    if (rank != 0) return
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoOn =
+      try spark.conf.get(confKey, "true").toBoolean
+      catch { case scala.util.control.NonFatal(_) => true }
+    if (!autoOn) return
+    val keyNames = keyRefs.map(_.name).toSet
+    val bucketedOnKey = side.exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.bucketSpec.exists(_.bucketColumnNames.exists(keyNames))
+          case _ => false
+        }
+      case _ => false
     }
-    if (local.exists(_._3 == 0)) local
-    else {
-      val below = side match {
-        case Project(list, ch) =>
-          keyedPlan(ch, r).map { case (newCh, attr, rank, refs) =>
-            (Project(list :+ attr, newCh), attr, rank, refs)
-          }
-        case Filter(c, ch) =>
-          keyedPlan(ch, r).map { case (newCh, attr, rank, refs) =>
-            (Filter(c, newCh), attr, rank, refs)
-          }
-        case _ => None
-      }
-      // deeper stored column beats local per-row math; local per-row
-      // math beats deeper per-row math (fewer plan nodes touched)
-      below.filter(_._3 == 0).orElse(local).orElse(below)
+    if (bucketedOnKey) H3RuleSupport.warnOnce(spark,
+      s"$ConfKey-autobucketedscan") {
+      logWarning(
+        s"H3JoinRewrite is keying a spatial join on a stored BUCKET " +
+          s"column (${keyNames.mkString(",")}) of a bucketed table, but " +
+          s"$confKey=true (the default) will disable bucketed scanning — " +
+          "the heuristic looks for the bucket column among the original " +
+          "join keys and cannot see through the rewrite's __g_h3j_key " +
+          s"alias, so the index side re-shuffles. Set $confKey=false to " +
+          "keep the shuffle-free bucketed join (see README's " +
+          "configuration table)")
     }
   }
 
@@ -247,10 +272,13 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             case Seq(one) => Some(one)
             case Seq() => None
             case many =>
-              logWarning(s"$ConfKey=auto found h3_parent columns at " +
-                s"${many.size} resolutions {${many.mkString(",")}} " +
-                "across a spatial join's sides — ambiguous, staying " +
-                s"inert; pin $ConfKey to one of them")
+              H3RuleSupport.warnOnce(spark,
+                s"$ConfKey-ambiguous-${many.mkString(",")}") {
+                logWarning(s"$ConfKey=auto found h3_parent columns at " +
+                  s"${many.size} resolutions {${many.mkString(",")}} " +
+                  "across a spatial join's sides — ambiguous, staying " +
+                  s"inert; pin $ConfKey to one of them")
+              }
               None
           }
       }
@@ -262,11 +290,15 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if (kl.isEmpty && kr.isEmpty && resOrAuto.isDefined) {
         val stored = (H3RuleSupport.parentResolutions(j.left) ++
           H3RuleSupport.parentResolutions(j.right)).distinct
-        if (stored.nonEmpty && !stored.contains(r)) logWarning(
-          s"$ConfKey=$r matches no h3_parent_$r/h3_cell column on " +
-            s"either side of a spatial join, which DOES carry " +
-            s"h3_parent_{${stored.mkString(",")}} — the rewrite stays " +
-            "inert; fix the conf (or set it to 'auto')")
+        if (stored.nonEmpty && !stored.contains(r))
+          H3RuleSupport.warnOnce(spark,
+            s"$ConfKey-wrongres-$r-${stored.mkString(",")}") {
+            logWarning(
+              s"$ConfKey=$r matches no h3_parent_$r/h3_cell column on " +
+                s"either side of a spatial join, which DOES carry " +
+                s"h3_parent_{${stored.mkString(",")}} — the rewrite stays " +
+                "inert; fix the conf (or set it to 'auto')")
+          }
       }
       // SAME-RELATION guard (r16 ADVICE, medium): the chosen side's
       // key must trace to the same relation as that side's own
@@ -296,7 +328,10 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           lineageOk(idxLeft))
       indexOnLeft.flatMap { idxLeft =>
         {
-          val (idxKeyed, keyAttr, _, _) = (if (idxLeft) kl else kr).get
+          val (idxKeyed, keyAttr, keyRank, keyRefs0) =
+            (if (idxLeft) kl else kr).get
+          warnAutoBucketedScanFootgun(if (idxLeft) j.left else j.right,
+            keyRefs0, keyRank)
           val geomPlan = if (idxLeft) j.right else j.left
           val geomExpr = if (idxLeft) rightGeom else leftGeom
           val cellAttr =

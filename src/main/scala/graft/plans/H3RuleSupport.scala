@@ -95,6 +95,85 @@ private[plans] object H3RuleSupport {
         (graft.functions.H3CellToParent(a, Literal(r)): Expression, 1)
     })
 
+  /** `side` rewritten to expose the H3 key as an `aliasName` attribute
+    * appended to its output, with its preference rank and the key
+    * expression's RAW references (for the same-relation lineage
+    * check). Shared by BOTH rules (r17 ADVICE low: the filter rule
+    * read only the Filter child's output, so a column-pruned Project
+    * made `res=auto` infer a resolution and then silently fail to key
+    * it). By the time an optimizer rule sees the site, COLUMN PRUNING
+    * has usually stripped the STORED `h3_parent_<res>` column (and
+    * sometimes the cell column too) from any Project the user's select
+    * produced — so the search threads through Project/Filter chains
+    * and prefers a DEEPER rank-0 stored-ancestor column over a
+    * shallower rank-1 per-row-math key: the stored column costs zero
+    * per-row math AND keeps the key a bare relation attribute, which
+    * lets alias-aware partitioning propagation reuse a
+    * `bucketBy(h3_parent_<res>)` layout's bucketing instead of
+    * re-shuffling the index side (the repeated-spatial-join layout
+    * story). Threading an attribute past a pruned Project only ADDS a
+    * column to it — never changes rows. */
+  def keyedPlan(side: LogicalPlan, r: Int, aliasName: String)
+      : Option[(LogicalPlan, Attribute, Int, AttributeSet)] = {
+    val local = keyOf(side.output, r).map { case (expr, rank) =>
+      val al = Alias(expr, aliasName)()
+      (Project(side.output :+ al, side): LogicalPlan, al.toAttribute, rank,
+        expr.references)
+    }
+    if (local.exists(_._3 == 0)) local
+    else {
+      val below = side match {
+        case Project(list, ch) =>
+          keyedPlan(ch, r, aliasName).map { case (newCh, attr, rank, refs) =>
+            (Project(list :+ attr, newCh): LogicalPlan, attr, rank, refs)
+          }
+        case Filter(c, ch) =>
+          keyedPlan(ch, r, aliasName).map { case (newCh, attr, rank, refs) =>
+            (Filter(c, newCh): LogicalPlan, attr, rank, refs)
+          }
+        case _ => None
+      }
+      // deeper stored column beats local per-row math; local per-row
+      // math beats deeper per-row math (fewer plan nodes touched)
+      below.filter(_._3 == 0).orElse(local).orElse(below)
+    }
+  }
+
+  /** Once-per-session warning gate (r17 Next #4): the rules' advisory
+    * logWarning paths (ambiguous `auto`, wrong-res conf, the
+    * autoBucketedScan footgun) fire inside the optimizer, i.e. on
+    * EVERY analyzed query — a BI dashboard issuing thousands of short
+    * queries would get a log storm from a conf problem worth saying
+    * once. `emit` runs only the first time (session, key) is seen;
+    * returns whether it ran (specs pin single emission). Sessions key
+    * a WeakHashMap, so a closed session's entries are collectable and
+    * the per-session key sets are bounded by the handful of distinct
+    * warning shapes a rule can emit. */
+  private val warnedOnce = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap.KeySetView[String,
+        java.lang.Boolean]]())
+
+  def warnOnce(spark: SparkSession, key: String)(emit: => Unit): Boolean = {
+    val keys = warnedOnce.synchronized {
+      var s = warnedOnce.get(spark)
+      if (s == null) {
+        s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        warnedOnce.put(spark, s)
+      }
+      s
+    }
+    val added = keys.add(key)
+    if (added) emit
+    added
+  }
+
+  /** Test hook: whether `warnOnce(spark, key)` has already emitted. */
+  private[graft] def hasWarned(spark: SparkSession, key: String): Boolean = {
+    val s = warnedOnce.get(spark)
+    s != null && s.contains(key)
+  }
+
   /** True when every attribute in `attrs` provably originates from ONE
     * side at every multi-child node (Join, Union, ...) under `plan` —
     * the SAME-RELATION guard both H3 rules need before pairing an H3

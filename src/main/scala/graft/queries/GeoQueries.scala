@@ -46,7 +46,7 @@ object GeoQueries {
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
       "q135_query_table_macro", "q169_hybrid_identity",
       "q229_h3filter_rule", "q232_h3join_rule", "q233_h3join_dwithin",
-      "q235_h3filter_dwithin")
+      "q235_h3filter_dwithin", "q236_h3filter_auto")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -137,6 +137,54 @@ object GeoQueries {
     core.withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
   }
 
+
+  /** q234's GraftExtensions session + its covering-cell fixture views,
+    * memoized per JVM (r17 ADVICE low / Next #6): the entry previously
+    * rebuilt a SparkSession, two localCheckpointed frames and their
+    * temp views on EVERY execution — under the bench's multi-rep and
+    * deferred runs those accumulated (orphaned session state, RDD
+    * checkpoint blocks) and ~2-3 s of each rep's wall was session
+    * setup. One extensions session per (JVM, dir) now owns the views
+    * and checkpoint blocks for the process lifetime; the identity work
+    * (unrewritten baselines, plan asserts, rewritten collects) still
+    * runs — and is what the entry times — on every execution. The
+    * battery's shared memos still cannot cross sessions: the fixture
+    * index is built ON this session, once. */
+  private val q234Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+  private def q234Session(s: SparkSession, dir: String): SparkSession =
+    q234Memo.computeIfAbsent(dir, _ => {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      try {
+        val s2 = SparkSession.builder()
+          .master("local[4]")
+          .config("spark.ui.enabled", "false")
+          .withExtensions(new graft.GraftExtensions)
+          .getOrCreate()
+        require(s2 ne s, "extensions session was not freshly built")
+        val fixture = GeoFixture(s2, dir).filter(col("fid") <= 360)
+        val idx = fixture
+          .withColumn("h3_cell",
+            explode(g_h3_covering_cells_l(col("geom"), lit(9))))
+          .select(col("fid").as("id"), col("h3_cell"),
+            g_h3_cell_to_geom(col("h3_cell")).as("geom"))
+          .localCheckpoint()
+        idx.createOrReplaceTempView("g_q234_idx")
+        GeoFixture(s2, dir).filter(col("fid") <= 25)
+          .select(col("fid").as("gid"), col("geom").as("qgeom"))
+          .localCheckpoint()
+          .createOrReplaceTempView("g_q234_geoms")
+        s2
+      } finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    })
 
   /** Shared scaffold for the optimizer-rule identity entries
     * (q229/q232/q233): collect `q` UNREWRITTEN (its own perfect
@@ -356,6 +404,32 @@ object GeoQueries {
       }
     }),
 
+    // res=auto end-to-end (r17 Next #3): the SAME identity as q229 but
+    // with the conf at `auto` — the rule must INFER the resolution from
+    // the index's single stored h3_parent_8 column — and with a select
+    // narrow enough that column pruning strips the stored parent from
+    // the Filter child's Project: the r18 key THREADING
+    // (H3RuleSupport.keyedPlan, shared with the join rule) must carry
+    // the pruned stored column back up, or the rewrite goes silently
+    // inert (the r17 ADVICE gap). planOk pins all three: the rewrite
+    // fired, the prefilter broadcasts, and the join key aliases the
+    // STORED parent column (rank 0 — no per-row parent math).
+    "q236_h3filter_auto" -> ((s, dir) => {
+      val rule = graft.plans.H3IntersectsRewrite(s)
+      val queryWkb = graft.spatial.Geometry.toWkb(
+        graft.spatial.Geometry.fromWkt(GeoFixture.queryPolygonWkt))
+      val idx = sharedIndex(s, dir)
+      ruleIdentity(s, rule, rule.ConfKey, "auto",
+        p => p.contains("__g_h3f_key") && p.contains("BroadcastHashJoin") &&
+          "h3_parent_8#\\d+L AS __g_h3f_key".r.findFirstIn(p).isDefined,
+        "H3IntersectsRewrite res=auto did not infer the stored-parent " +
+          "resolution and thread the pruned key — the spatial filter " +
+          "would run as a full index scan") {
+        idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+          .select("id", "dataset_id").distinct()
+      }
+    }),
+
     // SQL-STRING end-to-end for BOTH H3 rules (r16 Next #7): the
     // production path the rules exist for — a spark.sql text query on
     // a session built with spark.sql.extensions=graft.GraftExtensions
@@ -365,37 +439,17 @@ object GeoQueries {
     // the broadcast covering prefilter (__g_h3f_) and the SQL join to
     // the covering-cell equi-join (__g_h3j_). Both pinned by the
     // q229-style zero multiset-diff against the same SQL text run
-    // UNREWRITTEN on the same session. The entry builds its own small
-    // cell index (g_h3_covering_cells at res 9 over ~360 mixed
+    // UNREWRITTEN on the same session. The extensions session and its
+    // small cell index (g_h3_covering_cells at res 9 over ~360 mixed
     // geometries — covering, so the cell-geometry layout contract
-    // holds for every type) on the extensions session: the battery's
-    // shared memos belong to the driver session and cannot cross.
+    // holds for every type) are built ONCE per JVM ([[q234Session]],
+    // r17 Next #6): the battery's shared memos belong to the driver
+    // session and cannot cross, but reps of THIS entry share its
+    // session instead of leaking one per execution.
     "q234_h3_sql_rules" -> ((s, dir) => {
-      import org.apache.spark.sql.SparkSession
       import s.implicits._
-      val prevDefault = SparkSession.getDefaultSession
-      val prevActive = SparkSession.getActiveSession
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      try {
-        val s2 = SparkSession.builder()
-          .master("local[4]")
-          .config("spark.ui.enabled", "false")
-          .withExtensions(new graft.GraftExtensions)
-          .getOrCreate()
-        require(s2 ne s, "extensions session was not freshly built")
-        val fixture = GeoFixture(s2, dir).filter(col("fid") <= 360)
-        val idx = fixture
-          .withColumn("h3_cell",
-            explode(g_h3_covering_cells_l(col("geom"), lit(9))))
-          .select(col("fid").as("id"), col("h3_cell"),
-            g_h3_cell_to_geom(col("h3_cell")).as("geom"))
-          .localCheckpoint()
-        idx.createOrReplaceTempView("g_q234_idx")
-        GeoFixture(s2, dir).filter(col("fid") <= 25)
-          .select(col("fid").as("gid"), col("geom").as("qgeom"))
-          .localCheckpoint()
-          .createOrReplaceTempView("g_q234_geoms")
+      val s2 = q234Session(s, dir);
+      {
         val sqlFilter =
           "SELECT DISTINCT id FROM g_q234_idx WHERE st_intersects(geom, " +
             "st_geomfromtext('" + GeoFixture.queryPolygonWkt + "'))"
@@ -437,11 +491,6 @@ object GeoQueries {
           s2.conf.unset("spark.graft.h3Filter.res")
           s2.conf.unset("spark.graft.h3Join.res")
         }
-      } finally {
-        SparkSession.clearDefaultSession()
-        SparkSession.clearActiveSession()
-        prevDefault.foreach(SparkSession.setDefaultSession)
-        prevActive.foreach(SparkSession.setActiveSession)
       }
     }),
 
@@ -461,6 +510,8 @@ object GeoQueries {
     "q234_h3_sql_rules" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q235_h3filter_dwithin" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q236_h3filter_auto" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q232_h3join_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",

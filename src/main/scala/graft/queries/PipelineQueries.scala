@@ -18,6 +18,20 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Force-build this module's shared memos (the staged bigram table
+    * behind q228/q230, the DSIR weights behind q205/q209) so a bench
+    * harness can charge the build to an explicit setup phase. Used by
+    * the deferred retry pass's memoPrewarms (r17 ADVICE low: the
+    * pipeline: namespaces were the one memo family whose deferred
+    * retries still paid the full rebuild inside their timed window).
+    * NOT called from the main-loop setup phase: there the build cost
+    * stays attributed to the first consumer by design (q228's quiet
+    * reference was captured under that attribution). */
+  def prewarmShared(s: SparkSession, dir: String): Unit = {
+    sharedBigrams(s, dir).write.format("noop").mode("overwrite").save()
+    dsirWeightsMemo(s, dir).write.format("noop").mode("overwrite").save()
+  }
+
   // q228 (overlap) and q230 (difference) share the staged distinct
   // bigram table: ONE scan/explode/distinct builds both corpus halves
   // (side is just a column), feeding the sketches AND the exact

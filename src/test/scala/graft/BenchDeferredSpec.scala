@@ -43,6 +43,37 @@ class BenchDeferredSpec extends AnyFunSuite {
     assert(out.errors.isEmpty)
   }
 
+  test("parseQuietRefs extracts the queries object from a bench capture " +
+      "line, drops failed (-1) entries, and is empty-safe on junk " +
+      "(r17 Next #2: artifact-derived refs)") {
+    val line = """{"metric":"total","value":357.4,"unit":"sec",""" +
+      """"queries":{"q01_pricing_summary":0.9812,"q222_incremental_jaccard":8.0834,""" +
+      """"q_failed":-1.0000},"errors":{},"n_queries":3,"setup_s":42.6}"""
+    val refs = Bench.parseQuietRefs(line)
+    assert(refs == Map("q01_pricing_summary" -> 0.9812,
+      "q222_incremental_jaccard" -> 8.0834),
+      s"parsed $refs")
+    // empty/junk inputs: no refs, never a throw (the bar then falls
+    // back to the hardcoded constants per name)
+    assert(Bench.parseQuietRefs("") == Map.empty[String, Double])
+    assert(Bench.parseQuietRefs("{\"metric\":\"total\"}") ==
+      Map.empty[String, Double])
+    assert(Bench.parseQuietRefs("{\"queries\":{garbage}}") ==
+      Map.empty[String, Double])
+    assert(Bench.parseQuietRefs("{\"queries\":{") ==
+      Map.empty[String, Double])
+    // a missing artifact file loads as empty (fallback pinned)
+    assert(Bench.loadQuietRefs("/nonexistent/BENCH_ref.json") ==
+      Map.empty[String, Double])
+    // a real file round-trips
+    val tmp = java.io.File.createTempFile("bench_ref", ".json")
+    try {
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try w.print(line) finally w.close()
+      assert(Bench.loadQuietRefs(tmp.getPath).size == 2)
+    } finally tmp.delete()
+  }
+
   test("no memo-backed deferred entries: zero rebuilds; a FAILED retry " +
       "keeps the inline timing and is recorded loudly") {
     var ran = 0

@@ -470,6 +470,25 @@ class SketchesSpec extends AnyFunSuite {
         Sketches.kmvSketch(bRows, Seq("g"), "v", 64), Seq("g")).collect()
     }
     assert(causeChain(e2).contains("k contract failed"), causeChain(e2))
+    // a violation COINCIDING with an EMPTY other side keeps its
+    // diagnostic (r17 ADVICE low: concat is null-in-null-out, so the
+    // empty side's NULL __kb0/__kb1 bounds used to null out the whole
+    // raise_error message — loud, but stripped of the k values it
+    // names). Pinned at the message-expression level: end-to-end, an
+    // empty side short-circuits the whole join to an empty result
+    // (sound) before the lazy gate broadcast ever materializes, so the
+    // shape is not deterministically reachable from the public API.
+    val m3 = Seq((64, 128)).toDF("__ka0", "__ka1")
+      .withColumn("__kb0", lit(null).cast("int"))
+      .withColumn("__kb1", lit(null).cast("int"))
+      .select(Sketches.kGateMessage("kmvDifference").as("m"))
+      .collect().head.getString(0)
+    assert(m3 != null && m3.contains("k contract failed"),
+      s"mixed-k + empty-side message nulled out: $m3")
+    assert(m3.contains("side A kmv_k in [64,128]"),
+      s"the violating side's k values are missing from the message: $m3")
+    assert(m3.contains("side B in [null,null]"),
+      s"empty side's bounds did not survive as 'null' in the message: $m3")
   }
 
   test("kmv overlap/difference construction is JOB-FREE: the k contract " +

@@ -238,6 +238,147 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("non-positive distance thresholds NEVER take the interior-proof " +
+      "fast path: st_distance(g, polyLit) < 0 returns EMPTY under the " +
+      "rule exactly like the unrewritten constant-false filter, and " +
+      "<= 0.0 stays row-identical (r17 ADVICE, medium)") {
+    import org.apache.spark.sql.Column
+    val idx = cellIndex.cache()
+    try {
+      val polyLit = lit(queryWkb)
+      def q(cond: Column) = idx.filter(cond).select("id", "h3_cell")
+      // unrewritten truths: st_distance >= 0 always, so strict-<0 and
+      // negative thresholds select NOTHING; <= 0.0 selects exactly the
+      // intersecting rows (distance 0)
+      val negShapes: Seq[Column] = Seq(
+        st_distance(col("geom"), polyLit) < 0.0,
+        st_distance(col("geom"), polyLit) <= -5.0,
+        lit(-1.0) >= st_distance(col("geom"), polyLit))
+      negShapes.foreach(c =>
+        assert(q(c).collect().isEmpty, "unrewritten negative-threshold " +
+          "filter selected rows — fixture broken"))
+      val baseZero = q(st_distance(col("geom"), polyLit) <= 0.0)
+        .collect().map(_.toSeq).toSet
+      assert(baseZero.nonEmpty, "<= 0.0 fixture selects nothing — vacuous")
+      withRule(Some("8")) {
+        negShapes.foreach { c =>
+          val r = q(c)
+          // the shape still rewrites (the buffer clamps to 0) — but the
+          // interior-proof skip must NOT apply: before the r17 fix,
+          // provably-interior cells bypassed the constant-false verbatim
+          // predicate and the rewrite RETURNED rows here
+          assert(planString(r).contains("__g_h3f_key"),
+            s"negative-threshold distance filter did not rewrite")
+          assert(r.collect().isEmpty,
+            "rewritten negative-threshold filter returned rows — the " +
+              "interior-proof fast path leaked past the constant-false " +
+              "predicate")
+        }
+        val z = q(st_distance(col("geom"), polyLit) <= 0.0)
+        assert(planString(z).contains("__g_h3f_key"))
+        assert(z.collect().map(_.toSeq).toSet === baseZero,
+          "<= 0.0 distance filter diverged from the unrewritten rows")
+      }
+    } finally idx.unpersist()
+  }
+
+  test("res=auto + column pruning: a select that strips BOTH the stored " +
+      "parent and the cell column still rewrites — the key threads up " +
+      "through the pruned Project to the relation's h3_parent_8, and " +
+      "the sargable range prefilter reaches the parquet scan " +
+      "(r17 ADVICE low)") {
+    val dir = java.nio.file.Files.createTempDirectory("h3f_thread").toString
+    try {
+      cellIndex
+        .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+        .write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      // the select keeps NEITHER h3_parent_8 nor h3_cell: column
+      // pruning strips both from the Filter child's Project, which
+      // made the pre-r18 rule infer res=8 and then silently fail to
+      // key it (rewrite inert, no warning — a missed optimization)
+      def q = stored.filter(st_intersects(col("geom"), lit(queryWkb)))
+        .select("id")
+      val base = q.collect().map(_.toSeq).toSet
+      assert(base.nonEmpty, "pruned fixture selects nothing — vacuous")
+      Seq("auto", "8").foreach { conf =>
+        withRule(Some(conf)) {
+          val plan = planString(q)
+          assert(plan.contains("__g_h3f_key"),
+            s"res=$conf did not rewrite the pruned-projection filter:\n$plan")
+          assert("h3_parent_8#\\d+L AS __g_h3f_key".r
+            .findFirstIn(plan).isDefined,
+            s"res=$conf did not thread the STORED parent column:\n$plan")
+          assert("GreaterThanOrEqual\\(h3_parent_8".r
+            .findFirstIn(plan).isDefined,
+            s"range prefilter did not reach the parquet scan as a " +
+              s"pushed filter:\n$plan")
+          assert(q.collect().map(_.toSeq).toSet === base,
+            s"res=$conf threaded rewrite changed the rows")
+        }
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
+  test("the ST_DWithin FILTER shape applies to STREAMING plans too: a " +
+      "readStream radius filter becomes the stream-static broadcast " +
+      "prefilter widened by the threshold, rows == batch (r17 Next #3)") {
+    val dir = java.nio.file.Files.createTempDirectory("h3f_dw_stream").toString
+    try {
+      val pt = Geometry.toWkb(Pt(565500, 6451500))
+      cellIndex.repartition(3).write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      def cond = st_distance(col("geom"), lit(pt)) <= 1200.0
+      val expected = stored.filter(cond).select("id", "h3_cell")
+        .collect().map(_.toSeq).toSet
+      assert(expected.nonEmpty, "streaming DWithin fixture selects nothing")
+      // the buffer is load-bearing in the streaming arm too
+      val touching = stored.filter(st_intersects(col("geom"), lit(pt)))
+        .select("id", "h3_cell").collect().map(_.toSeq).toSet
+      assert((expected -- touching).nonEmpty,
+        "no within-distance non-intersecting rows — buffer untested")
+      withRule(Some("8")) {
+        val stream = spark.readStream.schema(stored.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(cond)
+          .select("id", "h3_cell")
+        val q = stream.writeStream.outputMode("append").format("memory")
+          .queryName("h3f_dw_stream").start()
+        try q.processAllAvailable() finally q.stop()
+        val explained = {
+          val bos = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(bos))(q.explain())
+          bos.toString
+        }
+        assert(explained.contains("__g_h3f_"),
+          s"DWithin filter did not rewrite inside the streaming " +
+            s"micro-batch:\n$explained")
+        val got = spark.table("h3f_dw_stream").collect().map(_.toSeq).toSet
+        assert(got === expected, "streamed DWithin filter != batch filter")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
+  test("warnOnce: one emission per (session, key); a new key or a new " +
+      "session re-warns (r17 Next #4 — the rules' advisory warnings " +
+      "fire per optimization pass without it)") {
+    var emissions = 0
+    val key = s"spec-warnonce-${System.nanoTime()}"
+    assert(H3RuleSupport.warnOnce(spark, key) { emissions += 1 })
+    assert(!H3RuleSupport.warnOnce(spark, key) { emissions += 1 })
+    assert(!H3RuleSupport.warnOnce(spark, key) { emissions += 1 })
+    assert(emissions == 1, s"warnOnce emitted $emissions times for one key")
+    assert(H3RuleSupport.hasWarned(spark, key))
+    assert(H3RuleSupport.warnOnce(spark, key + "-other") { emissions += 1 })
+    assert(emissions == 2)
+    val s2 = spark.newSession()
+    assert(!H3RuleSupport.hasWarned(s2, key))
+    assert(H3RuleSupport.warnOnce(s2, key) { emissions += 1 })
+    assert(emissions == 3, "a fresh session must be allowed to re-warn")
+  }
+
   test("broadcast-size guard: over-cap coverings leave the filter " +
       "UNREWRITTEN (sound inert), back under the cap it fires again") {
     val idx = cellIndex

@@ -446,6 +446,22 @@ class H3JoinRewriteSpec extends AnyFunSuite {
       val base = q.collect().map(_.toSeq.mkString("|")).sorted.toSeq
       assert(base.nonEmpty, "bucketed fixture joins nothing — vacuous")
       withRule(Some("8")) {
+        // the autoBucketedScan SILENT-LOSS footgun (r17 Next #1): with
+        // the conf at its DEFAULT (true), the heuristic cannot see the
+        // bucket column through the rule's alias and the 156x
+        // shuffle-free layout is silently lost — the rule must warn,
+        // once per session, naming the conf
+        val rule = H3JoinRewrite(spark)
+        val warnKey = s"${rule.ConfKey}-autobucketedscan"
+        assert(spark.conf.get(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true",
+          "precondition: the footgun conf is no longer default-true")
+        assert(!H3RuleSupport.hasWarned(spark, warnKey),
+          "warn key already set — another test triggered it first")
+        planString(q) // analyze under the DEFAULT conf: rewrite fires
+        assert(H3RuleSupport.hasWarned(spark, warnKey),
+          "the rule keyed a bucketed scan under default " +
+            "autoBucketedScan without warning about the silent loss")
         val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
           "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
