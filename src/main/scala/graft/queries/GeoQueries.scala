@@ -46,7 +46,7 @@ object GeoQueries {
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
       "q135_query_table_macro", "q169_hybrid_identity",
       "q229_h3filter_rule", "q232_h3join_rule", "q233_h3join_dwithin",
-      "q235_h3filter_dwithin", "q236_h3filter_auto")
+      "q235_h3filter_dwithin", "q236_h3filter_auto", "q237_h3join_auto")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -430,6 +430,35 @@ object GeoQueries {
       }
     }),
 
+    // res=auto end-to-end for the JOIN rule (the q236 twin): the q232
+    // spatial-join identity with the conf at `auto` — the rule infers
+    // the res from the index side's stored h3_parent_8 (the geometry
+    // side carries no parent columns, so the inference is unambiguous)
+    // and must thread the pruned stored column up as the equi-join key
+    // (rank 0 — planOk pins the stored-parent alias, so per-row parent
+    // math would fail the entry, not just slow it down).
+    "q237_h3join_auto" -> ((s, dir) => {
+      val rule = graft.plans.H3JoinRewrite(s)
+      val idx = sharedIndex(s, dir)
+        .filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
+      val gs = GeoFixture(s, dir).filter(col("fid") <= 40)
+        .select(col("fid").cast("long").as("gid"),
+          col("geom").as("qgeom"))
+      ruleIdentity(s, rule, rule.ConfKey, "auto",
+        p => p.contains("__g_h3j_") && !p.contains("NestedLoop") &&
+          !p.contains("Cartesian") &&
+          "h3_parent_8#\\d+L AS __g_h3j_key".r.findFirstIn(p).isDefined,
+        "H3JoinRewrite res=auto did not infer the stored-parent " +
+          "resolution and thread the key — the spatial join would run " +
+          "as a nested-loop product") {
+        idx.join(gs, st_intersects(col("geom"), col("qgeom")))
+          .groupBy("gid")
+          .agg(countDistinct(col("id")).as("n_objects"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("gid")
+      }
+    }),
+
     // SQL-STRING end-to-end for BOTH H3 rules (r16 Next #7): the
     // production path the rules exist for — a spark.sql text query on
     // a session built with spark.sql.extensions=graft.GraftExtensions
@@ -512,6 +541,8 @@ object GeoQueries {
     "q235_h3filter_dwithin" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q236_h3filter_auto" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q237_h3join_auto" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q232_h3join_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
