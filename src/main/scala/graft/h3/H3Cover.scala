@@ -53,6 +53,40 @@ object H3Cover {
     coveringWgs(wgs, res, bufferM).distinct.sorted
   }
 
+  /** Cheap driver-side size estimate of `coveringCellIds(g, res,
+    * extra).length` WITHOUT enumerating: the geometry's SWEREF bbox,
+    * expanded on every side by the corridor width (extra + 2.5 center
+    * spacings) plus one spacing of discretization slack, divided by
+    * the hex cell area at that spacing (area = (√3/2)·d² for center
+    * spacing d). A bbox over-approximates any polyfill and the
+    * expansion over-approximates the boundary corridor, so for
+    * compact geometries this leans HIGH — the caller
+    * ([[graft.plans.H3IntersectsRewrite]]'s size-capped res selection)
+    * uses it only to pick a starting resolution cheaply; the
+    * post-enumeration length check decides. The point is cost: the
+    * real enumeration is O(area/cellArea) driver-side sampling, which
+    * is exactly what must not be paid at a res whose covering cannot
+    * fit the caller's cap anyway. */
+  def estimatedCoveringCells(geomSweref: Geom, res: Int,
+      extraBufferM: Double = 0.0): Double = {
+    if (geomSweref.isEmpty) return 0.0
+    var (minX, minY) = (Double.MaxValue, Double.MaxValue)
+    var (maxX, maxY) = (-Double.MaxValue, -Double.MaxValue)
+    Geometry.mapCoords(geomSweref, p => {
+      if (p.x < minX) minX = p.x
+      if (p.x > maxX) maxX = p.x
+      if (p.y < minY) minY = p.y
+      if (p.y > maxY) maxY = p.y
+      p
+    })
+    if (minX > maxX) return 0.0
+    val s = H3Core.cellAngularSize(res) * 6371008.8 // center spacing, m
+    val w = math.max(extraBufferM, 0.0) + 2.5 * s + s
+    val ww = (maxX - minX) + 2 * w
+    val hh = (maxY - minY) + 2 * w
+    (ww * hh) / (0.8660254037844386 * s * s)
+  }
+
   private def corridor(pts: Array[Pt], bufferM: Double,
       res: Int): Array[Long] = {
     // lineToCells needs >= 2 vertices; a repeated vertex makes a

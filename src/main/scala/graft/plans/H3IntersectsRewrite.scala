@@ -126,11 +126,15 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   private def res: Option[Option[Int]] =
     H3RuleSupport.resConfOrAuto(spark, ConfKey)
 
-  /** Broadcast-size guard: a literal polygon whose covering exceeds
-    * this many cells leaves the filter UNREWRITTEN (inert is sound —
-    * the full scan the user wrote still runs; a multi-million-cell
-    * local relation would bloat every task's broadcast instead).
-    * Tune per cluster, or pick a coarser res for giant polygons. */
+  /** Broadcast-size guard: a literal geometry whose covering exceeds
+    * this many cells at the configured res PREFILTERS AT A COARSER RES
+    * instead (r18 — see [[sizedCover]]: the finest res whose covering
+    * fits; a coarser covering is still a covering, the verbatim
+    * predicate refines more candidates, and a warning names the
+    * degradation once per session). Only when even the res-0 covering
+    * exceeds the cap does the filter stay UNREWRITTEN (inert is sound —
+    * the full scan the user wrote still runs), so the cap bounds the
+    * broadcast absolutely. Tune per cluster. */
   private def maxCells: Int =
     spark.conf.getOption(MaxCellsKey).map { v =>
       val n = try v.toInt catch {
@@ -166,6 +170,49 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         .map(v => Geometry.fromWkb(v.asInstanceOf[Array[Byte]]))
         .filter(!_.isEmpty)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The covering at the finest res <= `r` that fits `maxCells`, with
+    * the res it landed on. The cheap bbox estimate
+    * ([[graft.h3.H3Cover.estimatedCoveringCells]]) gates which
+    * resolutions are worth ENUMERATING — enumeration is
+    * O(area/cellArea) driver-side sampling, so probing a res the
+    * estimate already rules out would cost the very blow-up the cap
+    * exists to avoid — with a 20× fudge so the decision stays with
+    * the actual count for shapes the bbox over-approximates badly
+    * (a thin diagonal's bbox can be orders over its corridor; the
+    * fudge keeps such shapes rewriting at the configured res instead
+    * of coarsening on a phantom size, while still bounding any single
+    * enumeration attempt at ~O(20·cap) samples). The attempts step
+    * coarser until the enumerated covering fits; None when no res
+    * fits: the guard still bounds the broadcast absolutely. */
+  private def sizedCover(poly: Geom, buffer: Double, r: Int,
+      isProvedPoly: Boolean): Option[(Int, Array[Long])] = {
+    val cap = maxCells
+    def enumerate(q: Int): Array[Long] =
+      if (isProvedPoly) PreparedPolygonQuery.coveringCellIds(poly, q)
+      else graft.h3.H3Cover.coveringCellIds(poly, q, buffer)
+    var rrOpt = (0 to r).reverse
+      .find(q => graft.h3.H3Cover.estimatedCoveringCells(poly, q, buffer)
+        <= 20.0 * cap)
+    while (rrOpt.isDefined) {
+      val rr = rrOpt.get
+      val cover = enumerate(rr)
+      if (cover.length <= cap) {
+        if (rr < r) H3RuleSupport.warnOnce(spark,
+          s"$ConfKey-coarsened-$r-$rr") {
+          logWarning(s"H3IntersectsRewrite: a literal geometry's covering " +
+            s"exceeds $MaxCellsKey=$cap at the configured res $r — " +
+            s"prefiltering at the coarser res $rr instead (sound: a " +
+            "coarser covering is still a covering; the verbatim predicate " +
+            "refines more candidates). Raise the cap or pick a coarser " +
+            s"$ConfKey to tune this tradeoff")
+        }
+        return Some((rr, cover))
+      }
+      rrOpt = if (rr == 0) None else Some(rr - 1)
+    }
+    None
+  }
 
   private def rewrite(f: Filter, cond: Expression, child: LogicalPlan,
       resOrAuto: Option[Int]): Option[LogicalPlan] = {
@@ -250,15 +297,7 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // the subtree and then silently fail to key it when pruning had
     // stripped the stored column from the visible Project)
     for {
-      (keyedChild, keyAttr, _, keyRefs) <-
-        H3RuleSupport.keyedPlan(child, r, "__g_h3f_key")
       (si, poly, buffer) <- hit
-      // SAME-RELATION guard (r16 ADVICE, medium): the key is picked by
-      // NAME from the Filter child's subtree — above a join, a key from
-      // table B paired with a geometry from table A would prefilter by
-      // unrelated cells and silently drop rows. Key and geometry must
-      // trace to one side of every multi-child node below.
-      if H3RuleSupport.sameRelationLineage(child, keyRefs ++ si.references)
       // covering cells: the interior-proof path (needs_refine=false
       // where provably inside — the area-dominant fast path) exists
       // ONLY for the st_intersects conjunct against a POLYGON literal.
@@ -272,13 +311,27 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // predicate — soundness is H3Cover's corridor bound either way
       isProvedPoly = si.isInstanceOf[StIntersects] &&
         (poly.isInstanceOf[Poly] || poly.isInstanceOf[MultiPoly])
-      cover = if (isProvedPoly) PreparedPolygonQuery.coveringCellIds(poly, r)
-              else graft.h3.H3Cover.coveringCellIds(poly, r, buffer)
-      // broadcast-size guard: beyond the cap the rule stays INERT
-      // (sound — the full scan the user wrote still runs) rather
-      // than shipping a multi-million-row local relation to every
-      // task; see MaxCellsKey
-      if cover.length <= maxCells
+      // broadcast-size guard with GRACEFUL COARSENING (r18): a literal
+      // whose covering would exceed maxCells at the configured res no
+      // longer abandons the site to the full scan it was written to
+      // avoid — the prefilter drops to the finest COARSER res whose
+      // covering fits (a coarser covering is still a covering: every
+      // rr-ancestor of a qualifying cell is inside it — the identical
+      // soundness argument at rr, just a looser prefilter with more
+      // candidates for the verbatim refine). Only when even res 0
+      // exceeds the cap does the site stay inert, so the cap still
+      // bounds the broadcast absolutely; and the cheap bbox ESTIMATE
+      // picks the starting res so the O(area/cellArea) driver-side
+      // enumeration is never paid at a res that cannot fit.
+      (rr, cover) <- sizedCover(poly, buffer, r, isProvedPoly)
+      (keyedChild, keyAttr, _, keyRefs) <-
+        H3RuleSupport.keyedPlan(child, rr, "__g_h3f_key")
+      // SAME-RELATION guard (r16 ADVICE, medium): the key is picked by
+      // NAME from the Filter child's subtree — above a join, a key from
+      // table B paired with a geometry from table A would prefilter by
+      // unrelated cells and silently drop rows. Key and geometry must
+      // trace to one side of every multi-child node below.
+      if H3RuleSupport.sameRelationLineage(child, keyRefs ++ si.references)
     } yield {
       val flags: Seq[(Long, Boolean)] =
         if (isProvedPoly) H3Query.needsRefineFlags(cover, poly)

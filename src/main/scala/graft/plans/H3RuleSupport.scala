@@ -85,7 +85,18 @@ private[plans] object H3RuleSupport {
     * Some((expr, 0)) for a stored `h3_parent_<res>` ancestor column
     * (zero per-row math; its sargable range prefilter reaches scans),
     * Some((expr, 1)) for per-row parent math over a long-keyed
-    * `h3_cell`. */
+    * `h3_cell`, or (r18, the coarsened-prefilter enabler) over the
+    * COARSEST stored `h3_parent_<q>` with q > r — a stored ancestor is
+    * itself a cell, so its ancestor at a coarser r is the row's
+    * ancestor at r (relations that store only a parent column, no
+    * `h3_cell`, previously could not key any coarser res at all).
+    * Contract note for the fallback: it assumes the rows' cells are
+    * at-or-finer than the USED stored column's res q (a NULL
+    * h3_parent_q drops the row) — picking the coarsest qualifying q
+    * minimizes that exposure, and the primary consumer (the filter
+    * rule's size-capped res coarsening, which derives rr < r from the
+    * SAME stored column its res was pinned/inferred to) satisfies it
+    * by the existing at-or-finer layout contract. */
   def keyOf(output: Seq[Attribute], r: Int): Option[(Expression, Int)] =
     output.collectFirst {
       case a if a.name == s"h3_parent_$r" && a.dataType == LongType =>
@@ -93,7 +104,17 @@ private[plans] object H3RuleSupport {
     }.orElse(output.collectFirst {
       case a if a.name == "h3_cell" && a.dataType == LongType =>
         (graft.functions.H3CellToParent(a, Literal(r)): Expression, 1)
-    })
+    }).orElse {
+      val finer = output.flatMap { a =>
+        if (a.dataType == LongType && a.name.startsWith("h3_parent_"))
+          scala.util.Try(a.name.stripPrefix("h3_parent_").toInt).toOption
+            .filter(q => q > r && q <= 15).map(q => (a, q))
+        else None
+      }
+      finer.sortBy(_._2).headOption.map { case (a, _) =>
+        (graft.functions.H3CellToParent(a, Literal(r)): Expression, 1)
+      }
+    }
 
   /** `side` rewritten to expose the H3 key as an `aliasName` attribute
     * appended to its output, with its preference rank and the key

@@ -46,7 +46,8 @@ object GeoQueries {
       "q69_heatmap_empty", "q77_query_mass", "q101_heatmap_empty_mass",
       "q135_query_table_macro", "q169_hybrid_identity",
       "q229_h3filter_rule", "q232_h3join_rule", "q233_h3join_dwithin",
-      "q235_h3filter_dwithin", "q236_h3filter_auto", "q237_h3join_auto")
+      "q235_h3filter_dwithin", "q236_h3filter_auto", "q237_h3join_auto",
+      "q238_h3filter_coarse")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -430,6 +431,32 @@ object GeoQueries {
       }
     }),
 
+    // COARSENED prefilter end-to-end (r18): the q229 identity with
+    // maxCells pinned just UNDER the res-8 covering size — the res-8
+    // prefilter cannot fit the cap, so the rule can only fire by
+    // dropping to a coarser res (pre-r18 it went inert here and the
+    // full scan ran). planOk(fired) therefore PROVES the coarsening
+    // path, and the zero multiset-diff proves the coarser covering is
+    // still lossless (more candidates, same verbatim refine).
+    "q238_h3filter_coarse" -> ((s, dir) => {
+      val rule = graft.plans.H3IntersectsRewrite(s)
+      val poly = graft.spatial.Geometry.fromWkt(GeoFixture.queryPolygonWkt)
+      val queryWkb = graft.spatial.Geometry.toWkb(poly)
+      val cover8 = PreparedPolygonQuery.coveringCellIds(poly, 8)
+      require(cover8.length > 200,
+        s"q238 fixture covering too small (${cover8.length}) — the " +
+          "coarsening path would be vacuous")
+      val idx = sharedIndex(s, dir)
+      s.conf.set(rule.MaxCellsKey, (cover8.length - 1).toString)
+      try ruleIdentity(s, rule, rule.ConfKey, "8",
+        p => p.contains("__g_h3f_key") && p.contains("BroadcastHashJoin"),
+        "H3IntersectsRewrite went INERT on an over-cap covering — the " +
+          "r18 coarsening should have prefiltered at a coarser res") {
+        idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+          .select("id", "dataset_id", "leverantor", "klass").distinct()
+      } finally s.conf.unset(rule.MaxCellsKey)
+    }),
+
     // res=auto end-to-end for the JOIN rule (the q236 twin): the q232
     // spatial-join identity with the conf at `auto` — the rule infers
     // the res from the index side's stored h3_parent_8 (the geometry
@@ -543,6 +570,8 @@ object GeoQueries {
     "q236_h3filter_auto" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q237_h3join_auto" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q238_h3filter_coarse" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q232_h3join_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",

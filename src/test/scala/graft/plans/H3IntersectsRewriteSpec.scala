@@ -379,20 +379,55 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
     assert(emissions == 3, "a fresh session must be allowed to re-warn")
   }
 
-  test("broadcast-size guard: over-cap coverings leave the filter " +
-      "UNREWRITTEN (sound inert), back under the cap it fires again") {
-    val idx = cellIndex
-    def query = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
-      .select("id", "h3_cell")
-    withRule(Some("8")) {
-      spark.conf.set("spark.graft.h3Filter.maxCells", "10")
-      try {
-        assert(!planString(query).contains("__g_h3f_"),
-          "rule rewrote past the maxCells broadcast guard")
-      } finally spark.conf.unset("spark.graft.h3Filter.maxCells")
-      assert(planString(query).contains("__g_h3f_"),
-        "rule did not fire after the cap was lifted")
-    }
+  test("broadcast-size guard COARSENS instead of going inert (r18): an " +
+      "over-cap covering prefilters at the finest coarser res that " +
+      "fits — rows identical, broadcast bounded — and only a cap below " +
+      "even the res-0 covering leaves the filter unrewritten") {
+    val idx = cellIndex.cache()
+    try {
+      def query = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+        .select("id", "h3_cell")
+      val baseline = query.collect().map(_.toSeq).toSet
+      assert(baseline.nonEmpty)
+      // fixture sanity: the res-8 covering of queryWkt is well over
+      // 100 cells (the pre-r18 guard went inert here and the full
+      // scan ran), and SOME coarser res fits 100 — the guard has
+      // somewhere sound to land
+      assert(PreparedPolygonQuery.coveringCellIds(
+        Geometry.fromWkt(queryWkt), 8).length > 100,
+        "fixture covering too small — the coarsening path is untested")
+      assert((0 until 8).exists(q => PreparedPolygonQuery
+        .coveringCellIds(Geometry.fromWkt(queryWkt), q).length <= 100),
+        "no coarser res fits the cap — fixture broken")
+      withRule(Some("8")) {
+        spark.conf.set("spark.graft.h3Filter.maxCells", "100")
+        try {
+          val plan = planString(query)
+          assert(plan.contains("__g_h3f_"),
+            s"over-cap covering went inert instead of coarsening:\n$plan")
+          assert(query.collect().map(_.toSeq).toSet === baseline,
+            "coarsened prefilter changed the rows")
+          // the degradation warned (once per session), naming the res
+          // it landed on — the landing res depends on the bbox
+          // estimate, so accept any coarser res in the key
+          val rule = H3IntersectsRewrite(spark)
+          assert((0 until 8).exists(q => H3RuleSupport.hasWarned(spark,
+            s"${rule.ConfKey}-coarsened-8-$q")),
+            "coarsening did not warn")
+        } finally spark.conf.unset("spark.graft.h3Filter.maxCells")
+        // a cap below the ~20-cell corridor FLOOR (the 2.5-spacing
+        // boundary corridor bounds every covering from below at any
+        // res) is unreachable at every res — the guard stays inert,
+        // bounding the broadcast absolutely
+        spark.conf.set("spark.graft.h3Filter.maxCells", "10")
+        try assert(!planString(query).contains("__g_h3f_"),
+          "a cap below the corridor floor must leave the filter " +
+            "unrewritten at every res")
+        finally spark.conf.unset("spark.graft.h3Filter.maxCells")
+        assert(planString(query).contains("__g_h3f_"),
+          "rule did not fire after the cap was lifted")
+      }
+    } finally idx.unpersist()
   }
 
   test("the rewrite applies to STREAMING plans: a readStream spatial " +
