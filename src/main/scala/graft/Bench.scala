@@ -423,11 +423,18 @@ object Bench {
       "q69_heatmap_empty" -> 1.48, "q72_simhash_pairs" -> 0.95,
       "q73_jaccard_refine" -> 0.9, "q77_query_mass" -> 0.83,
       "q79_exact_closed" -> 0.7)
-    val artifactRefs =
-      loadQuietRefs(sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_ref.json"))
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_ref.json")
+    val artifactRefs = loadQuietRefs(refPath)
     if (artifactRefs.nonEmpty)
       System.err.println(s"[bench] quiet refs: ${artifactRefs.size} from " +
         "the BENCH_ref.json artifact (hardcoded fallback for the rest)")
+    else
+      // the default path is CWD-relative: launched from outside the
+      // repo root the artifact silently vanishes and the stale
+      // hardcoded table takes over — say so instead of hiding it
+      System.err.println("[bench] no quiet-ref artifact at " +
+        new java.io.File(refPath).getAbsolutePath +
+        " — hardcoded fallback refs only (set SPARK_GRAFT_BENCH_REF)")
     def adaptiveBar(name: String): Double = {
       val ref = artifactRefs.getOrElse(name, quietRefS.getOrElse(name, 0.0))
       val mult = if (ref > 0.0 && ref < 1.0) 3.0 else 2.0

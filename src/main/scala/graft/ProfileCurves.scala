@@ -1652,6 +1652,37 @@ object ProfileH3Filter {
         val tFullDq = medianMs(5)(() => noop(qd2))
         println(f"""{"metric":"h3filter_rule_parquet","polygon":"dwithin_1500m","index_rows":$nRows,"match_rows":$dRows,"full_scan_ms":$tFullDq%.1f,"rule_fresh_ms":$tRuleDq%.1f,"rule_warm_ms":$tWarmDq%.1f,"speedup_fresh":${tFullDq / tRuleDq}%.1f,"speedup_warm":${tFullDq / tWarmDq}%.1f}""")
       }
+      // the r18 COARSENED guard on the same clustered layout: a
+      // 20x20 km query polygon whose res-8 covering (~800 cells) is
+      // capped at 200, so the prefilter can only land at a coarser
+      // res — the measured claim is "degrades, not disables": the
+      // coarsened query must beat the full scan (pre-r18 the cap sent
+      // it there) while the uncapped res-8 rewrite bounds it from
+      // below (tighter band, fewer refine candidates)
+      {
+        val midWkt = "POLYGON ((570000 6455000, 590000 6455000, " +
+          "590000 6475000, 570000 6475000, 570000 6455000))"
+        val midPoly = graft.spatial.Geometry.fromWkt(midWkt)
+        val midWkb = graft.spatial.Geometry.toWkb(midPoly)
+        val cover8n = graft.pipeline.PreparedPolygonQuery
+          .coveringCellIds(midPoly, 8).length
+        require(cover8n > 200, s"mid polygon covering too small: $cover8n")
+        def qc = pq.filter(st_intersects(col("geom"), lit(midWkb)))
+          .select("id", "dataset_id", "leverantor", "klass").distinct()
+        spark.conf.set(rule.ConfKey, "8")
+        spark.conf.set(rule.MaxCellsKey, "200")
+        val cRows = qc.count()
+        require(qc.queryExecution.executedPlan.toString.contains("__g_h3f_"),
+          "coarsened rewrite did not fire in the profile session")
+        val tCoarse = medianMs(5)(() => noop(qc))
+        spark.conf.unset(rule.MaxCellsKey)
+        require(qc.count() == cRows, "res-8 rewrite changed the rows")
+        val tRes8 = medianMs(5)(() => noop(qc))
+        spark.conf.unset(rule.ConfKey)
+        require(qc.count() == cRows, "unrewritten scan changed the rows")
+        val tFullC = medianMs(5)(() => noop(qc))
+        println(f"""{"metric":"h3filter_rule_coarse","index_rows":$nRows,"match_rows":$cRows,"cover_res8_cells":$cover8n,"cap":200,"full_scan_ms":$tFullC%.1f,"rule_res8_ms":$tRes8%.1f,"rule_coarse_ms":$tCoarse%.1f,"speedup_coarse":${tFullC / tCoarse}%.1f,"coarse_vs_res8":${tCoarse / tRes8}%.1f}""")
+      }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()

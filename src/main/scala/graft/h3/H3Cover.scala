@@ -68,8 +68,18 @@ object H3Cover {
     * is exactly what must not be paid at a res whose covering cannot
     * fit the caller's cap anyway. */
   def estimatedCoveringCells(geomSweref: Geom, res: Int,
-      extraBufferM: Double = 0.0): Double = {
-    if (geomSweref.isEmpty) return 0.0
+      extraBufferM: Double = 0.0): Double =
+    bboxOf(geomSweref)
+      .map(b => estimatedCoveringCells(b, res, extraBufferM))
+      .getOrElse(0.0)
+
+  /** (minX, minY, maxX, maxY) of a geometry's coordinates, or None
+    * when empty. Callers probing MANY resolutions (the filter rule's
+    * size-capped res selection) compute this once — the bbox is
+    * resolution-independent, and a giant literal's coordinate scan
+    * should not repeat per probed res. */
+  def bboxOf(geomSweref: Geom): Option[(Double, Double, Double, Double)] = {
+    if (geomSweref.isEmpty) return None
     var (minX, minY) = (Double.MaxValue, Double.MaxValue)
     var (maxX, maxY) = (-Double.MaxValue, -Double.MaxValue)
     Geometry.mapCoords(geomSweref, p => {
@@ -79,7 +89,13 @@ object H3Cover {
       if (p.y > maxY) maxY = p.y
       p
     })
-    if (minX > maxX) return 0.0
+    if (minX > maxX) None else Some((minX, minY, maxX, maxY))
+  }
+
+  /** The estimate over a precomputed bbox (see [[bboxOf]]). */
+  def estimatedCoveringCells(bbox: (Double, Double, Double, Double),
+      res: Int, extraBufferM: Double): Double = {
+    val (minX, minY, maxX, maxY) = bbox
     val s = H3Core.cellAngularSize(res) * 6371008.8 // center spacing, m
     val w = math.max(extraBufferM, 0.0) + 2.5 * s + s
     val ww = (maxX - minX) + 2 * w

@@ -191,8 +191,11 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     def enumerate(q: Int): Array[Long] =
       if (isProvedPoly) PreparedPolygonQuery.coveringCellIds(poly, q)
       else graft.h3.H3Cover.coveringCellIds(poly, q, buffer)
+    // bbox once — it is resolution-independent, and a giant literal's
+    // coordinate scan should not repeat per probed res
+    val bbox = graft.h3.H3Cover.bboxOf(poly).getOrElse(return None)
     var rrOpt = (0 to r).reverse
-      .find(q => graft.h3.H3Cover.estimatedCoveringCells(poly, q, buffer)
+      .find(q => graft.h3.H3Cover.estimatedCoveringCells(bbox, q, buffer)
         <= 20.0 * cap)
     while (rrOpt.isDefined) {
       val rr = rrOpt.get
@@ -261,20 +264,7 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // h3_parent_<res> column in the site's subtree — ambiguity and the
     // wrong-res-conf footgun each warn instead of silently skipping
     val r: Int = resOrAuto match {
-      case Some(pinned) =>
-        if (H3RuleSupport.keyedPlan(child, pinned, "__g_h3f_key").isEmpty) {
-          val stored = H3RuleSupport.parentResolutions(child)
-          if (stored.nonEmpty && !stored.contains(pinned))
-            H3RuleSupport.warnOnce(spark,
-              s"$ConfKey-wrongres-$pinned-${stored.mkString(",")}") {
-              logWarning(
-                s"$ConfKey=$pinned matches no h3_parent_$pinned/h3_cell " +
-                  s"column on a spatial filter's relation, which DOES carry " +
-                  s"h3_parent_{${stored.mkString(",")}} — the rewrite stays " +
-                  "inert; fix the conf (or set it to 'auto')")
-            }
-        }
-        pinned
+      case Some(pinned) => pinned
       case None => H3RuleSupport.parentResolutions(child) match {
         case Seq(one) => one
         case Seq() => return None // no stored parent column: nothing to infer
@@ -289,13 +279,34 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           return None
       }
     }
-    // the H3 key: prefer a materialized query-res ancestor column
-    // (H3Index.withParentAt) over per-row parent math, THREADED up
-    // through column-pruned Project/Filter chains exactly like the
-    // join rule (shared: H3RuleSupport.keyedPlan — r17 ADVICE low:
-    // reading only child.output made res=auto infer a resolution from
-    // the subtree and then silently fail to key it when pruning had
-    // stripped the stored column from the visible Project)
+    // the H3 key at the CONFIGURED res, computed ONCE: prefer a
+    // materialized query-res ancestor column (H3Index.withParentAt)
+    // over per-row parent math, THREADED up through column-pruned
+    // Project/Filter chains exactly like the join rule (shared:
+    // H3RuleSupport.keyedPlan — r17 ADVICE low: reading only
+    // child.output made res=auto infer a resolution from the subtree
+    // and then silently fail to key it when pruning had stripped the
+    // stored column from the visible Project). Reused for the
+    // wrong-res warning AND (in the common rr == r case) the rewrite
+    // itself — no duplicate plan walks per compile.
+    val keyedAtR = H3RuleSupport.keyedPlan(child, r, "__g_h3f_key")
+    val storedParents = H3RuleSupport.parentResolutions(child)
+    if (keyedAtR.isEmpty && resOrAuto.isDefined &&
+        storedParents.nonEmpty && !storedParents.contains(r))
+      H3RuleSupport.warnOnce(spark,
+        s"$ConfKey-wrongres-$r-${storedParents.mkString(",")}") {
+        logWarning(
+          s"$ConfKey=$r matches no h3_parent_$r/h3_cell " +
+            s"column on a spatial filter's relation, which DOES carry " +
+            s"h3_parent_{${storedParents.mkString(",")}} — the rewrite " +
+            "stays inert at this res; fix the conf (or set it to 'auto')")
+      }
+    // keyability gate BEFORE any covering enumeration (r18 review):
+    // a site keyable at NO res — neither at r nor via a stored parent
+    // column a coarser res could fall back to — must not pay the
+    // O(area/cellArea) driver-side polyfill on every compile for a
+    // rewrite that can never fire
+    if (keyedAtR.isEmpty && storedParents.isEmpty) return None
     for {
       (si, poly, buffer) <- hit
       // covering cells: the interior-proof path (needs_refine=false
@@ -324,8 +335,21 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // picks the starting res so the O(area/cellArea) driver-side
       // enumeration is never paid at a res that cannot fit.
       (rr, cover) <- sizedCover(poly, buffer, r, isProvedPoly)
-      (keyedChild, keyAttr, _, keyRefs) <-
-        H3RuleSupport.keyedPlan(child, rr, "__g_h3f_key")
+      (keyedChild, keyAttr, keyRank, keyRefs) <-
+        if (rr == r) keyedAtR
+        else H3RuleSupport.keyedPlan(child, rr, "__g_h3f_key")
+      // the rank-2 finer-parent fallback rides on the stored column's
+      // at-or-finer layout contract (a violating row's NULL parent
+      // would be silently dropped) — give such layouts a signal
+      _ = if (keyRank == 2) H3RuleSupport.warnOnce(spark,
+        s"$ConfKey-finerparent-$rr") {
+        logWarning(s"H3IntersectsRewrite keys res $rr from a FINER " +
+          "stored h3_parent column (no h3_cell/h3_parent_" + rr +
+          " reachable): exact only while every row's cell is at-or-" +
+          "finer than that stored column's res — its own layout " +
+          "contract; a violating row has a NULL stored parent and " +
+          "would be dropped")
+      }
       // SAME-RELATION guard (r16 ADVICE, medium): the key is picked by
       // NAME from the Filter child's subtree — above a join, a key from
       // table B paired with a geometry from table A would prefilter by

@@ -332,6 +332,17 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             (if (idxLeft) kl else kr).get
           warnAutoBucketedScanFootgun(if (idxLeft) j.left else j.right,
             keyRefs0, keyRank)
+          // rank-2 finer-parent fallback: exact only under the stored
+          // column's own at-or-finer layout contract — signal it
+          if (keyRank == 2) H3RuleSupport.warnOnce(spark,
+            s"$ConfKey-finerparent-$r") {
+            logWarning(s"H3JoinRewrite keys res $r from a FINER stored " +
+              "h3_parent column (no h3_cell/h3_parent_" + r +
+              " reachable): exact only while every row's cell is at-or-" +
+              "finer than that stored column's res — its own layout " +
+              "contract; a violating row has a NULL stored parent and " +
+              "would be dropped")
+          }
           val geomPlan = if (idxLeft) j.right else j.left
           val geomExpr = if (idxLeft) rightGeom else leftGeom
           val cellAttr =

@@ -85,18 +85,21 @@ private[plans] object H3RuleSupport {
     * Some((expr, 0)) for a stored `h3_parent_<res>` ancestor column
     * (zero per-row math; its sargable range prefilter reaches scans),
     * Some((expr, 1)) for per-row parent math over a long-keyed
-    * `h3_cell`, or (r18, the coarsened-prefilter enabler) over the
-    * COARSEST stored `h3_parent_<q>` with q > r — a stored ancestor is
-    * itself a cell, so its ancestor at a coarser r is the row's
-    * ancestor at r (relations that store only a parent column, no
-    * `h3_cell`, previously could not key any coarser res at all).
-    * Contract note for the fallback: it assumes the rows' cells are
-    * at-or-finer than the USED stored column's res q (a NULL
-    * h3_parent_q drops the row) — picking the coarsest qualifying q
-    * minimizes that exposure, and the primary consumer (the filter
-    * rule's size-capped res coarsening, which derives rr < r from the
-    * SAME stored column its res was pinned/inferred to) satisfies it
-    * by the existing at-or-finer layout contract. */
+    * `h3_cell`, or Some((expr, 2)) (r18, the coarsened-prefilter
+    * enabler) over the COARSEST stored `h3_parent_<q>` with q > r — a
+    * stored ancestor is itself a cell, so its ancestor at a coarser r
+    * is the row's ancestor at r (relations that store only a parent
+    * column, no `h3_cell`, previously could not key any coarser res
+    * at all). Contract note for the rank-2 fallback: it assumes the
+    * rows' cells are at-or-finer than the USED stored column's res q
+    * (a row whose cell is COARSER than q has h3_parent_q NULL and the
+    * equi-join would drop it where the unrewritten predicate keeps
+    * it) — that is the stored column's own layout contract
+    * (H3Index.withParentAt builds at-or-finer by construction), the
+    * coarsest qualifying q minimizes the exposure, rank 2 means ANY
+    * reachable exact `h3_cell` key wins over it, and the rules warn
+    * once per session when it is actually used so a
+    * contract-violating layout at least gets a signal. */
   def keyOf(output: Seq[Attribute], r: Int): Option[(Expression, Int)] =
     output.collectFirst {
       case a if a.name == s"h3_parent_$r" && a.dataType == LongType =>
@@ -112,7 +115,7 @@ private[plans] object H3RuleSupport {
         else None
       }
       finer.sortBy(_._2).headOption.map { case (a, _) =>
-        (graft.functions.H3CellToParent(a, Literal(r)): Expression, 1)
+        (graft.functions.H3CellToParent(a, Literal(r)): Expression, 2)
       }
     }
 
@@ -154,11 +157,15 @@ private[plans] object H3RuleSupport {
           }
         case _ => None
       }
-      // deeper stored column beats local per-row math; local per-row
-      // math beats deeper per-row math (fewer plan nodes touched)
-      below.filter(_._3 == 0).orElse(local).orElse(below)
+      // lowest rank wins wherever it sits (deeper stored column beats
+      // local per-row math; ANY exact h3_cell key beats the rank-2
+      // finer-parent fallback); at equal rank the LOCAL key wins
+      // (fewer plan nodes touched) — sortBy is stable and local sorts
+      // first
+      (local.toSeq ++ below.toSeq).sortBy(_._3).headOption
     }
   }
+
 
   /** Once-per-session warning gate (r17 Next #4): the rules' advisory
     * logWarning paths (ambiguous `auto`, wrong-res conf, the

@@ -153,7 +153,16 @@ object GeoQueries {
     * index is built ON this session, once. */
   private val q234Memo =
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
-  private def q234Session(s: SparkSession, dir: String): SparkSession =
+  private def q234Session(s: SparkSession, dir: String): SparkSession = {
+    // a memoized session bound to a STOPPED context (the embedding app
+    // restarted Spark in this JVM) would fail every q234 run forever —
+    // invalidate and rebuild against the live context instead
+    val cached = q234Memo.get(dir)
+    if (cached != null && cached.sparkContext.isStopped)
+      q234Memo.remove(dir, cached)
+    q234SessionBuild(s, dir)
+  }
+  private def q234SessionBuild(s: SparkSession, dir: String): SparkSession =
     q234Memo.computeIfAbsent(dir, _ => {
       val prevDefault = SparkSession.getDefaultSession
       val prevActive = SparkSession.getActiveSession

@@ -430,6 +430,55 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("keyOf rank ordering (r18): an exact h3_cell key beats the " +
+      "finer-parent fallback; the fallback keys a coarser res from the " +
+      "COARSEST stored finer parent and never keys a finer res") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    val cell = AttributeReference("h3_cell", LongType)()
+    val p9 = AttributeReference("h3_parent_9", LongType)()
+    val p10 = AttributeReference("h3_parent_10", LongType)()
+    // both present at res 7: exact h3_cell math (rank 1) wins over the
+    // finer-parent fallback (rank 2, lossy on contract-violating rows)
+    val k1 = H3RuleSupport.keyOf(Seq(cell, p9), 7)
+    assert(k1.exists(_._2 == 1) &&
+      k1.exists(_._1.references.head.name == "h3_cell"))
+    // only a finer parent: rank-2 fallback keys res 7 from h3_parent_9
+    val k2 = H3RuleSupport.keyOf(Seq(p9), 7)
+    assert(k2.exists(_._2 == 2))
+    // multiple finer parents: the COARSEST q wins (fewest NULL rows on
+    // a mixed-res layout)
+    val k3 = H3RuleSupport.keyOf(Seq(p10, p9), 7)
+    assert(k3.exists(_._1.references.head.name == "h3_parent_9"))
+    // a stored parent never keys a FINER res (no descendant math exists)
+    assert(H3RuleSupport.keyOf(Seq(p9), 10).isEmpty)
+    // exact stored match still rank 0
+    assert(H3RuleSupport.keyOf(Seq(p9, cell), 9).exists(_._2 == 0))
+  }
+
+  test("a parent-only relation (no h3_cell) keys a COARSER pinned res " +
+      "via the finer-parent fallback: rewrite fires, rows identical, " +
+      "and the layout-contract warning is emitted (r18)") {
+    val idx = cellIndex
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .drop("h3_cell")
+      .localCheckpoint(true)
+    def query = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+      .select("id")
+    val base = query.collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    withRule(Some("6")) {
+      val plan = planString(query)
+      assert(plan.contains("__g_h3f_key"),
+        s"parent-only relation did not key the coarser pinned res:\n$plan")
+      assert(query.collect().map(_.toSeq).toSet === base,
+        "finer-parent-keyed rewrite changed the rows")
+      val rule = H3IntersectsRewrite(spark)
+      assert(H3RuleSupport.hasWarned(spark, s"${rule.ConfKey}-finerparent-6"),
+        "rank-2 fallback did not emit the layout-contract warning")
+    }
+  }
+
   test("the rewrite applies to STREAMING plans: a readStream spatial " +
       "filter becomes the stream-static broadcast prefilter, rows == batch") {
     val dir = java.nio.file.Files.createTempDirectory("h3f_stream").toString
