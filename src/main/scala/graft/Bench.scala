@@ -412,6 +412,10 @@ object Bench {
       "q231_streaming_kmv" -> 3.02, "q232_h3join_rule" -> 1.77,
       "q233_h3join_dwithin" -> 1.74, "q234_h3_sql_rules" -> 2.16,
       "q235_h3filter_dwithin" -> 1.61,
+      // r18: q238 postdates the checked-in BENCH_ref.json capture —
+      // fallback ref from the round's quiet-host solo arbitration run
+      // (2.64 s) until the artifact's next refresh picks it up
+      "q238_h3filter_coarse" -> 2.64,
       "q20_count_distinct" -> 1.16,
       "q29_rollup" -> 0.75, "q45_stats_mass" -> 1.91,
       "q46_statstop_equiv" -> 2.2, "q55_embedding_neardup" -> 0.81,
