@@ -54,13 +54,8 @@ object H3Cover {
   }
 
   /** Cheap driver-side size estimate of `coveringCellIds(g, res,
-    * extra).length` WITHOUT enumerating: the geometry's SWEREF bbox,
-    * expanded on every side by the corridor width (extra + 2.5 center
-    * spacings) plus one spacing of discretization slack, divided by
-    * the hex cell area at that spacing (area = (√3/2)·d² for center
-    * spacing d). A bbox over-approximates any polyfill and the
-    * expansion over-approximates the boundary corridor, so for
-    * compact geometries this leans HIGH — the caller
+    * extra).length` WITHOUT enumerating — see [[areaPerimeterOf]] and
+    * the shape-aware overload below. The caller
     * ([[graft.plans.H3IntersectsRewrite]]'s size-capped res selection)
     * uses it only to pick a starting resolution cheaply; the
     * post-enumeration length check decides. The point is cost: the
@@ -69,9 +64,70 @@ object H3Cover {
     * fit the caller's cap anyway. */
   def estimatedCoveringCells(geomSweref: Geom, res: Int,
       extraBufferM: Double = 0.0): Double =
-    bboxOf(geomSweref)
-      .map(b => estimatedCoveringCells(b, res, extraBufferM))
-      .getOrElse(0.0)
+    estimatedCoveringCells(areaPerimeterOf(geomSweref), res, extraBufferM)
+
+  /** (ring AREA in m², boundary/line PERIMETER in m, part count) of a
+    * SWEREF geometry — the resolution-independent inputs to the
+    * covering estimate. Area is the outer-ring shoelace sum (holes not
+    * subtracted: their rings still get corridors, and the estimate
+    * only leans high); perimeter sums every ring and line; each
+    * point, line and ring counts one part (corridor end/round caps). */
+  def areaPerimeterOf(geomSweref: Geom): (Double, Double, Int) = {
+    def length(pts: Array[Pt]): Double = {
+      var l = 0.0; var i = 0
+      while (i < pts.length - 1) {
+        l += math.hypot(pts(i + 1).x - pts(i).x, pts(i + 1).y - pts(i).y)
+        i += 1
+      }
+      l
+    }
+    def ringArea(pts: Array[Pt]): Double = {
+      var a = 0.0; var i = 0
+      while (i < pts.length - 1) {
+        a += pts(i).x * pts(i + 1).y - pts(i + 1).x * pts(i).y
+        i += 1
+      }
+      math.abs(a) / 2.0
+    }
+    def walk(g: Geom): (Double, Double, Int) = g match {
+      case g if g.isEmpty => (0.0, 0.0, 0)
+      case _: Pt => (0.0, 0.0, 1)
+      case MultiPt(ps) => (0.0, 0.0, ps.length)
+      case Line(pts) => (0.0, length(pts), 1)
+      case MultiLine(ls) =>
+        (0.0, ls.iterator.map(l => length(l.pts)).sum, ls.length)
+      case p: Poly =>
+        (ringArea(p.rings.head), p.rings.iterator.map(length).sum,
+          p.rings.length)
+      case mp: MultiPoly =>
+        mp.polys.foldLeft((0.0, 0.0, 0)) { case ((a, l, n), p) =>
+          val (pa, pl, pn) = walk(p); (a + pa, l + pl, n + pn)
+        }
+      case GeomColl(gs) =>
+        gs.foldLeft((0.0, 0.0, 0)) { case ((a, l, n), g) =>
+          val (ga, gl, gn) = walk(g); (a + ga, l + gl, n + gn)
+        }
+    }
+    walk(geomSweref)
+  }
+
+  /** The estimate over precomputed [[areaPerimeterOf]] inputs:
+    * interior polyfill ≈ area/hexArea, boundary/line corridors ≈
+    * perimeter·2w (width w = extra + 2.5 spacings + one spacing of
+    * discretization slack, both sides), plus a cap disk per part.
+    * Unlike the r18 BBOX estimate this tracks THIN shapes — a
+    * diagonal's bbox is orders of magnitude over its corridor, and the
+    * overshoot made the size-capped res selection skip the configured
+    * res on a phantom size (r18 ADVICE low) — while still leaning
+    * high for compact shapes. */
+  def estimatedCoveringCells(areaPerim: (Double, Double, Int), res: Int,
+      extraBufferM: Double): Double = {
+    val (area, perim, parts) = areaPerim
+    val s = H3Core.cellAngularSize(res) * 6371008.8 // center spacing, m
+    val w = math.max(extraBufferM, 0.0) + 2.5 * s + s
+    (area + perim * 2.0 * w + parts * math.Pi * w * w) /
+      (0.8660254037844386 * s * s)
+  }
 
   /** (minX, minY, maxX, maxY) of a geometry's coordinates, or None
     * when empty. Callers probing MANY resolutions (the filter rule's

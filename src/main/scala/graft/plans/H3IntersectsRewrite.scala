@@ -89,14 +89,17 @@ import graft.spatial.{Geom, Geometry, MultiPoly, Poly}
   *
   * OPT-IN: active only when `spark.graft.h3Filter.res` is set — to
   * the query resolution (0..15), or to `auto`, which infers the res
-  * per site from the relation's stored `h3_parent_<res>` column when
-  * exactly ONE such column exists in the scanned subtree (ambiguous =
-  * inert with a warning; a bare `h3_cell` with no parent column gives
-  * auto nothing to infer from — cells may be stored at any res at or
-  * finer than the query res, so the cell column itself does not name
-  * one). A pinned res that keys nothing while OTHER `h3_parent_*`
-  * columns exist warns loudly instead of silently never firing (the
-  * wrong-res-conf footgun). Non-matching shapes stay untouched: no
+  * per site from the relation's reachable stored `h3_parent_<res>`
+  * columns: one column names the res; MULTIPLE (the recommended
+  * coarse-ancestor layout, r19) key the FINEST — always the tightest
+  * sound prefilter — with a once-per-session warning naming the
+  * choice (a bare `h3_cell` with no parent column gives auto nothing
+  * to infer from — cells may be stored at any res at or finer than
+  * the query res, so the cell column itself does not name one). A
+  * pinned res FINER than every reachable key lands on the finest
+  * keyable res instead of going inert (r19), and a pinned res that
+  * keys nothing while OTHER `h3_parent_*` columns exist warns loudly
+  * (the wrong-res-conf footgun). Non-matching shapes stay untouched: no
   * LongType `h3_cell` / `h3_parent_<res>` column, a non-foldable
   * polygon argument, a non-polygon literal, or a malformed literal
   * (left for execution to surface as the same runtime error the
@@ -171,48 +174,64 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         .filter(!_.isEmpty)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** The covering at the finest res <= `r` that fits `maxCells`, with
-    * the res it landed on. The cheap bbox estimate
-    * ([[graft.h3.H3Cover.estimatedCoveringCells]]) gates which
-    * resolutions are worth ENUMERATING — enumeration is
-    * O(area/cellArea) driver-side sampling, so probing a res the
-    * estimate already rules out would cost the very blow-up the cap
-    * exists to avoid — with a 20× fudge so the decision stays with
-    * the actual count for shapes the bbox over-approximates badly
-    * (a thin diagonal's bbox can be orders over its corridor; the
-    * fudge keeps such shapes rewriting at the configured res instead
-    * of coarsening on a phantom size, while still bounding any single
-    * enumeration attempt at ~O(20·cap) samples). The attempts step
-    * coarser until the enumerated covering fits; None when no res
-    * fits: the guard still bounds the broadcast absolutely. */
+  /** The covering at the finest KEYABLE res <= `r` that fits
+    * `maxCells`, with the res it landed on. Only resolutions the
+    * site can actually key are probed (r18 ADVICE low: a res
+    * [[H3RuleSupport.keyedPlan]] cannot reach would pay the
+    * O(area/cellArea) driver-side enumeration for a rewrite that can
+    * never fire — and a pinned res FINER than every reachable key now
+    * lands on the finest keyable res instead of going inert). The
+    * cheap shape-aware estimate
+    * ([[graft.h3.H3Cover.estimatedCoveringCells]] over
+    * area+perimeter — not the r18 bbox, whose thin-shape overshoot
+    * coarsened unnecessarily) gates which resolutions are worth
+    * ENUMERATING, with a 20× fudge so the decision stays with the
+    * actual count (40× at the configured res itself: one bounded
+    * extra probe so a borderline estimate cannot skip a covering that
+    * actually fits). The attempts step coarser until the enumerated
+    * covering fits; None when no keyable res fits: the guard still
+    * bounds the broadcast absolutely. The coarsening warning says
+    * whether the configured res was MEASURED over the cap or skipped
+    * on the estimate (r18 ADVICE low: the old text claimed
+    * "exceeds" either way). */
   private def sizedCover(poly: Geom, buffer: Double, r: Int,
-      isProvedPoly: Boolean): Option[(Int, Array[Long])] = {
+      isProvedPoly: Boolean, keyable: Int => Boolean)
+      : Option[(Int, Array[Long])] = {
     val cap = maxCells
     def enumerate(q: Int): Array[Long] =
       if (isProvedPoly) PreparedPolygonQuery.coveringCellIds(poly, q)
       else graft.h3.H3Cover.coveringCellIds(poly, q, buffer)
-    // bbox once — it is resolution-independent, and a giant literal's
-    // coordinate scan should not repeat per probed res
-    val bbox = graft.h3.H3Cover.bboxOf(poly).getOrElse(return None)
-    var rrOpt = (0 to r).reverse
-      .find(q => graft.h3.H3Cover.estimatedCoveringCells(bbox, q, buffer)
-        <= 20.0 * cap)
-    while (rrOpt.isDefined) {
-      val rr = rrOpt.get
-      val cover = enumerate(rr)
-      if (cover.length <= cap) {
-        if (rr < r) H3RuleSupport.warnOnce(spark,
-          s"$ConfKey-coarsened-$r-$rr") {
-          logWarning(s"H3IntersectsRewrite: a literal geometry's covering " +
-            s"exceeds $MaxCellsKey=$cap at the configured res $r — " +
-            s"prefiltering at the coarser res $rr instead (sound: a " +
-            "coarser covering is still a covering; the verbatim predicate " +
-            "refines more candidates). Raise the cap or pick a coarser " +
-            s"$ConfKey to tune this tradeoff")
+    // area/perimeter once — resolution-independent, and a giant
+    // literal's coordinate scan should not repeat per probed res
+    val ap = graft.h3.H3Cover.areaPerimeterOf(poly)
+    var rMeasuredOver = false
+    var q = r
+    while (q >= 0) {
+      if (keyable(q)) {
+        val est = graft.h3.H3Cover.estimatedCoveringCells(ap, q, buffer)
+        val gate = if (q == r) 40.0 * cap else 20.0 * cap
+        if (est <= gate) {
+          val cover = enumerate(q)
+          if (cover.length <= cap) {
+            if (q < r && keyable(r)) {
+              val why =
+                if (rMeasuredOver) s"covering exceeds $MaxCellsKey=$cap"
+                else "covering is ESTIMATED (area+perimeter bound) to " +
+                  s"exceed $MaxCellsKey=$cap"
+              H3RuleSupport.warnOnce(spark, s"$ConfKey-coarsened-$r-$q") {
+                logWarning("H3IntersectsRewrite: a literal geometry's " +
+                  s"$why at the configured res $r — prefiltering at the " +
+                  s"coarser res $q instead (sound: a coarser covering is " +
+                  "still a covering; the verbatim predicate refines more " +
+                  "candidates). Raise the cap or pick a coarser " +
+                  s"$ConfKey to tune this tradeoff")
+              }
+            }
+            return Some((q, cover))
+          } else if (q == r) rMeasuredOver = true
         }
-        return Some((rr, cover))
       }
-      rrOpt = if (rr == 0) None else Some(rr - 1)
+      q -= 1
     }
     None
   }
@@ -260,23 +279,34 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val hit: Option[(Expression, Geom, Double)] =
       conjuncts.collectFirst(Function.unlift(spatial))
     if (hit.isEmpty) return None
-    // res: pinned by the conf, or (auto) inferred from the ONE stored
-    // h3_parent_<res> column in the site's subtree — ambiguity and the
-    // wrong-res-conf footgun each warn instead of silently skipping
+    // what the key threading can actually REACH (r18 ADVICE low: the
+    // subtree-wide parent scan admits columns below Aggregate/Generate/
+    // Join that keyedPlan can never surface — a gate built on it let a
+    // never-rewritable site pay the covering enumeration per compile)
+    val (cellReachable, reachableParents) = H3RuleSupport.reachableKeys(child)
+    def keyable(q: Int): Boolean =
+      cellReachable || reachableParents.exists(_ >= q)
+    // res: pinned by the conf, or (auto) inferred from the REACHABLE
+    // stored h3_parent_<res> columns — multiple stored parents (the
+    // recommended coarse-ancestor layout, r19) key the FINEST: it is
+    // always the tightest sound prefilter, and refusing the layout the
+    // engine itself recommends would turn it rule-disabling. The
+    // choice warns once; pin the conf to override it.
     val r: Int = resOrAuto match {
       case Some(pinned) => pinned
-      case None => H3RuleSupport.parentResolutions(child) match {
+      case None => reachableParents.sorted(Ordering[Int].reverse) match {
         case Seq(one) => one
         case Seq() => return None // no stored parent column: nothing to infer
         case many =>
+          val finest = many.head
           H3RuleSupport.warnOnce(spark,
-            s"$ConfKey-ambiguous-${many.mkString(",")}") {
-            logWarning(s"$ConfKey=auto found h3_parent columns at " +
-              s"${many.size} resolutions {${many.mkString(",")}} on a " +
-              "spatial filter's relation — ambiguous, staying inert; pin " +
-              s"$ConfKey to one of them")
+            s"$ConfKey-multiparent-${many.mkString(",")}") {
+            logWarning(s"$ConfKey=auto found stored h3_parent columns at " +
+              s"resolutions {${many.sorted.mkString(",")}} on a spatial " +
+              s"filter's relation — keying the FINEST ($finest), the " +
+              s"tightest sound prefilter; pin $ConfKey to choose another")
           }
-          return None
+          finest
       }
     }
     // the H3 key at the CONFIGURED res, computed ONCE: prefer a
@@ -299,14 +329,16 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           s"$ConfKey=$r matches no h3_parent_$r/h3_cell " +
             s"column on a spatial filter's relation, which DOES carry " +
             s"h3_parent_{${storedParents.mkString(",")}} — the rewrite " +
-            "stays inert at this res; fix the conf (or set it to 'auto')")
+            "keys the finest REACHABLE stored resolution below the conf " +
+            "instead (none reachable = inert); fix the conf (or set it " +
+            "to 'auto')")
       }
-    // keyability gate BEFORE any covering enumeration (r18 review):
-    // a site keyable at NO res — neither at r nor via a stored parent
-    // column a coarser res could fall back to — must not pay the
-    // O(area/cellArea) driver-side polyfill on every compile for a
-    // rewrite that can never fire
-    if (keyedAtR.isEmpty && storedParents.isEmpty) return None
+    // keyability gate BEFORE any covering enumeration (r18 review,
+    // tightened r19 to REACHABLE keys): a site keyable at NO res —
+    // neither at r nor via a stored parent column a coarser res could
+    // fall back to — must not pay the O(area/cellArea) driver-side
+    // polyfill on every compile for a rewrite that can never fire
+    if (!cellReachable && reachableParents.isEmpty) return None
     for {
       (si, poly, buffer) <- hit
       // covering cells: the interior-proof path (needs_refine=false
@@ -334,21 +366,25 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // bounds the broadcast absolutely; and the cheap bbox ESTIMATE
       // picks the starting res so the O(area/cellArea) driver-side
       // enumeration is never paid at a res that cannot fit.
-      (rr, cover) <- sizedCover(poly, buffer, r, isProvedPoly)
+      (rr, cover) <- sizedCover(poly, buffer, r, isProvedPoly, keyable)
       (keyedChild, keyAttr, keyRank, keyRefs) <-
         if (rr == r) keyedAtR
         else H3RuleSupport.keyedPlan(child, rr, "__g_h3f_key")
-      // the rank-2 finer-parent fallback rides on the stored column's
-      // at-or-finer layout contract (a violating row's NULL parent
-      // would be silently dropped) — give such layouts a signal
+      // the rank-2 finer-parent fallback computes its key from a
+      // stored column whose at-or-finer layout contract a FOREIGN
+      // table may violate — such rows have a NULL key, and since r19
+      // they route through the sentinel into the verbatim refine
+      // (lossless for every layout); the once-per-session warning is
+      // advisory perf guidance: the violating slice pays the exact
+      // predicate instead of the prefilter
       _ = if (keyRank == 2) H3RuleSupport.warnOnce(spark,
         s"$ConfKey-finerparent-$rr") {
         logWarning(s"H3IntersectsRewrite keys res $rr from a FINER " +
           "stored h3_parent column (no h3_cell/h3_parent_" + rr +
-          " reachable): exact only while every row's cell is at-or-" +
-          "finer than that stored column's res — its own layout " +
-          "contract; a violating row has a NULL stored parent and " +
-          "would be dropped")
+          " reachable): rows whose cell is COARSER than that stored " +
+          "column's res have a NULL key and take the verbatim exact " +
+          "predicate instead of the prefilter — lossless, but store " +
+          "the query-res ancestor for full prefilter coverage")
       }
       // SAME-RELATION guard (r16 ADVICE, medium): the key is picked by
       // NAME from the Filter child's subtree — above a join, a key from
@@ -357,9 +393,25 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // trace to one side of every multi-child node below.
       if H3RuleSupport.sameRelationLineage(child, keyRefs ++ si.references)
     } yield {
-      val flags: Seq[(Long, Boolean)] =
+      val flags0: Seq[(Long, Boolean)] =
         if (isProvedPoly) H3Query.needsRefineFlags(cover, poly)
         else cover.toSeq.map(c => (c, true))
+      // LOSSLESS rank-2 routing (r19): a finer-parent-keyed row whose
+      // cell is coarser than the stored column's res has a NULL key —
+      // the at-or-finer layout-contract violation. Such rows coalesce
+      // to the impossible-cell-id sentinel and meet a matching
+      // (sentinel, needs_refine=true) entry in the broadcast relation,
+      // so the VERBATIM predicate decides them exactly where the
+      // pre-r19 equi-join silently dropped them. Rank 0/1 keys keep
+      // the r18 plan byte-identical: their NULL key means a NULL/
+      // too-coarse h3_cell, where the cell-geometry invariant makes
+      // geom NULL too (the documented contract).
+      val sentinel = H3RuleSupport.NullKeySentinel
+      val flags =
+        if (keyRank == 2) flags0 :+ ((sentinel, true)) else flags0
+      val joinKey: Expression =
+        if (keyRank == 2) Coalesce(Seq(keyAttr, Literal(sentinel)))
+        else keyAttr
       val qAttr =
         AttributeReference("__g_h3f_cell", LongType, nullable = false)()
       val refAttr =
@@ -370,13 +422,20 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       // comparisons over the key attribute — PhysicalOperation's
       // alias-substituting Project/Filter collection carries them to a
       // parquet scan's row-group stats (strict superset of the
-      // equi-join — results unchanged)
+      // equi-join — results unchanged). The rank-2 variant keeps its
+      // NULL-keyed slice: IS NULL is equally pushable, and row-group
+      // null counts prune it the same way.
       val pre =
         if (cover.isEmpty) keyedChild
-        else Filter(And(GreaterThanOrEqual(keyAttr, Literal(cover.min)),
-          LessThanOrEqual(keyAttr, Literal(cover.max))), keyedChild)
+        else {
+          val between = And(GreaterThanOrEqual(keyAttr, Literal(cover.min)),
+            LessThanOrEqual(keyAttr, Literal(cover.max)))
+          val cond =
+            if (keyRank == 2) Or(IsNull(keyAttr), between) else between
+          Filter(cond, keyedChild)
+        }
       val join = Join(pre, rel, Inner,
-        Some(EqualTo(keyAttr, qAttr)),
+        Some(EqualTo(joinKey, qAttr)),
         JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
       // the refine predicate references BOTH sides, so pushdown can
       // never migrate it below the join (the objectsExact defense);

@@ -67,14 +67,18 @@ import graft.functions.{H3CoveringCells, StDistance, StIntersects}
   * present) is used instead of giving up.
   *
   * OPT-IN via `spark.graft.h3Join.res` (0..15, or `auto` to infer
-  * from the single stored `h3_parent_<res>` column across both
-  * sides' subtrees; ambiguous = inert with a warning, and a pinned
-  * res that keys neither side while other parent columns exist warns
-  * about the wrong-res-conf footgun): the prefilter resolution is an
+  * from the reachable stored `h3_parent_<res>` columns across both
+  * sides: one column names the res; multiple key the FINEST with a
+  * once-per-session warning, r19 — the recommended coarse-ancestor
+  * layout must not be rule-disabling. A pinned res that keys neither
+  * side while other parent columns exist warns about the
+  * wrong-res-conf footgun): the prefilter resolution is an
   * index-layout choice (cells must be AT or FINER than it — the
   * H3Query contract; a too-coarse row's NULL ancestor drops exactly
   * where the cell-geometry invariant would have made its geom NULL
-  * too). SAME-RELATION guard: the chosen index side's key must trace
+  * too; the rank-2 finer-parent fallback instead routes its NULL
+  * keys through the sentinel into the verbatim predicate — lossless
+  * on every layout, r19). SAME-RELATION guard: the chosen index side's key must trace
   * to the same relation as that side's own geometry argument (a side
   * that is itself a join could carry them on different sub-sides);
   * lineage participates in candidate selection like orientation, so
@@ -262,24 +266,31 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
     })
     hit.flatMap { case (si, leftGeom, rightGeom, bufferM) =>
-      // res: pinned by the conf, or (auto) inferred from the ONE
-      // stored h3_parent_<res> column across both sides' subtrees
+      // res: pinned by the conf, or (auto) inferred from the REACHABLE
+      // stored h3_parent_<res> columns across both sides — multiple
+      // stored parents (the recommended coarse-ancestor layout, r19)
+      // key the FINEST: always the tightest sound prefilter, and
+      // refusing the layout the engine itself recommends would turn it
+      // rule-disabling. The choice warns once; pin to override.
       val rOpt: Option[Int] = resOrAuto match {
         case Some(pinned) => Some(pinned)
         case None =>
-          (H3RuleSupport.parentResolutions(j.left) ++
-            H3RuleSupport.parentResolutions(j.right)).distinct match {
+          (H3RuleSupport.reachableKeys(j.left)._2 ++
+            H3RuleSupport.reachableKeys(j.right)._2)
+            .distinct.sorted(Ordering[Int].reverse) match {
             case Seq(one) => Some(one)
             case Seq() => None
             case many =>
+              val finest = many.head
               H3RuleSupport.warnOnce(spark,
-                s"$ConfKey-ambiguous-${many.mkString(",")}") {
-                logWarning(s"$ConfKey=auto found h3_parent columns at " +
-                  s"${many.size} resolutions {${many.mkString(",")}} " +
-                  "across a spatial join's sides — ambiguous, staying " +
-                  s"inert; pin $ConfKey to one of them")
+                s"$ConfKey-multiparent-${many.mkString(",")}") {
+                logWarning(s"$ConfKey=auto found stored h3_parent " +
+                  s"columns at resolutions {${many.sorted.mkString(",")}} " +
+                  s"across a spatial join's sides — keying the FINEST " +
+                  s"($finest), the tightest sound prefilter; pin " +
+                  s"$ConfKey to choose another")
               }
-              None
+              Some(finest)
           }
       }
       rOpt.flatMap { r =>
@@ -332,26 +343,52 @@ case class H3JoinRewrite(spark: SparkSession) extends Rule[LogicalPlan]
             (if (idxLeft) kl else kr).get
           warnAutoBucketedScanFootgun(if (idxLeft) j.left else j.right,
             keyRefs0, keyRank)
-          // rank-2 finer-parent fallback: exact only under the stored
-          // column's own at-or-finer layout contract — signal it
+          // rank-2 finer-parent fallback: a row whose cell is COARSER
+          // than the stored column's res (the at-or-finer layout
+          // contract a foreign table may violate) has a NULL key —
+          // since r19 it routes through the sentinel into the verbatim
+          // predicate (lossless); the warning is advisory perf guidance
           if (keyRank == 2) H3RuleSupport.warnOnce(spark,
             s"$ConfKey-finerparent-$r") {
             logWarning(s"H3JoinRewrite keys res $r from a FINER stored " +
               "h3_parent column (no h3_cell/h3_parent_" + r +
-              " reachable): exact only while every row's cell is at-or-" +
-              "finer than that stored column's res — its own layout " +
-              "contract; a violating row has a NULL stored parent and " +
-              "would be dropped")
+              " reachable): rows whose cell is COARSER than that stored " +
+              "column's res have a NULL key and pair through the exact " +
+              "predicate against EVERY geometry row instead of the " +
+              "cell prefilter — lossless, but store the query-res " +
+              "ancestor for full prefilter coverage")
           }
           val geomPlan = if (idxLeft) j.right else j.left
           val geomExpr = if (idxLeft) rightGeom else leftGeom
           val cellAttr =
             AttributeReference("__g_h3j_cell", LongType, nullable = false)()
+          // LOSSLESS rank-2 routing (r19): every geometry row's
+          // covering array gains the impossible-cell-id sentinel, and
+          // a NULL-keyed index row coalesces to it — so each
+          // contract-violating index row meets each geometry row
+          // exactly once (the sentinel appears once per covering) and
+          // the VERBATIM conjuncts decide the pair, where the pre-r19
+          // equi-join silently dropped it (and LeftAnti kept it
+          // spuriously). Matched non-NULL pairs are untouched: a real
+          // key can never equal the sentinel (bit 63 is clear on every
+          // engine cell id). Rank 0/1 keys keep the r18 plan
+          // byte-identical.
+          val coverExpr: Expression = {
+            val base = H3CoveringCells(geomExpr, Literal(r),
+              Literal(bufferM), asLong = true, maxCells = maxFanout)
+            if (keyRank == 2)
+              Concat(Seq(base,
+                CreateArray(Seq(Literal(H3RuleSupport.NullKeySentinel)))))
+            else base
+          }
+          val joinKey: Expression =
+            if (keyRank == 2)
+              Coalesce(Seq(keyAttr, Literal(H3RuleSupport.NullKeySentinel)))
+            else keyAttr
           val geomExploded = Generate(
-            Explode(H3CoveringCells(geomExpr, Literal(r),
-              Literal(bufferM), asLong = true, maxCells = maxFanout)),
+            Explode(coverExpr),
             Nil, outer = false, None, Seq(cellAttr), geomPlan)
-          val newCond = (EqualTo(keyAttr, cellAttr) +: conjuncts)
+          val newCond = (EqualTo(joinKey, cellAttr) +: conjuncts)
             .reduce(And)
           val (nl, nr) =
             if (idxLeft) (idxKeyed, geomExploded)

@@ -27,13 +27,13 @@ private[plans] object H3RuleSupport {
 
   /** The auto-aware opt-in conf (r16 Next #6 ergonomics): None = conf
     * absent, rule inert. Some(None) = the literal value `auto` — the
-    * rule infers the res PER SITE from the scanned relations' stored
-    * `h3_parent_<res>` columns (exactly one distinct res anywhere in
-    * the site's subtree; ambiguous or absent = that site stays
-    * unrewritten, with a warning for the ambiguous case). Some(Some(r))
-    * = pinned res, the original contract, now with a warning when a
-    * spatial-shaped site carries parent columns at OTHER resolutions
-    * only (the wrong-res-conf = silently-inert-rule footgun). */
+    * rule infers the res PER SITE from the scanned relations'
+    * REACHABLE stored `h3_parent_<res>` columns (one res names it;
+    * multiple key the FINEST with a warning, r19; absent = that site
+    * stays unrewritten). Some(Some(r)) = pinned res, the original
+    * contract, now with a warning when a spatial-shaped site carries
+    * parent columns at OTHER resolutions only (the wrong-res-conf =
+    * silently-inert-rule footgun). */
   def resConfOrAuto(spark: SparkSession, key: String): Option[Option[Int]] =
     spark.conf.getOption(key).map {
       case s if s.trim.equalsIgnoreCase("auto") => None
@@ -66,6 +66,18 @@ private[plans] object H3RuleSupport {
       catch { case scala.util.control.NonFatal(_) => None }
     else None
 
+  /** The impossible-cell-id join key for NULL-keyed rows (the lossless
+    * rank-2 routing, r19): every id [[graft.h3.H3Core]] encodes keeps
+    * bit 63 clear (ids sort as positive longs — H3Core.scala's bit
+    * layout), so no stored parent column value produced by the engine
+    * and no [[graft.functions.H3CellToParent]] output can ever equal a
+    * negative long. Rows whose key expression is NULL coalesce to this
+    * value and meet a matching sentinel entry on the other side, where
+    * the VERBATIM predicate decides them — a layout violating the
+    * at-or-finer stored-parent contract degrades to the exact path
+    * instead of silently losing rows. */
+  val NullKeySentinel: Long = -1L
+
   /** Distinct resolutions of stored LongType `h3_parent_<r>` columns
     * anywhere in `plan`'s subtree — subtree-wide, not output-only,
     * because column pruning routinely strips the key from the visible
@@ -81,6 +93,31 @@ private[plans] object H3RuleSupport {
       .filter(r => r >= 0 && r <= 15)
       .distinct
 
+  /** What [[keyedPlan]] can actually REACH: `h3_cell` availability and
+    * the stored-parent resolutions along the Project/Filter chain it
+    * threads — nothing below an Aggregate/Generate/Join counts (r18
+    * ADVICE low: the subtree-wide [[parentResolutions]] admits columns
+    * the threading can never surface, so a gate built on it lets a
+    * never-rewritable site pay the driver-side covering enumeration on
+    * every compile). A res `rr` is keyable iff the cell is reachable
+    * (per-row parent math, rank 1) or some stored parent at q >= rr is
+    * (rank 0 when q == rr, the rank-2 fallback when q > rr). */
+  def reachableKeys(plan: LogicalPlan): (Boolean, Seq[Int]) = {
+    def attrs(p: LogicalPlan): Seq[Attribute] = p match {
+      case Project(_, ch) => p.output ++ attrs(ch)
+      case Filter(_, ch) => p.output ++ attrs(ch)
+      case _ => p.output
+    }
+    val as = attrs(plan)
+    val cell = as.exists(a => a.name == "h3_cell" && a.dataType == LongType)
+    val parents = as.collect {
+      case a if a.dataType == LongType && a.name.startsWith("h3_parent_") =>
+        a.name.stripPrefix("h3_parent_")
+    }.flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(r => r >= 0 && r <= 15).distinct
+    (cell, parents)
+  }
+
   /** The H3 key expression over `output`, with a preference rank:
     * Some((expr, 0)) for a stored `h3_parent_<res>` ancestor column
     * (zero per-row math; its sargable range prefilter reaches scans),
@@ -90,16 +127,18 @@ private[plans] object H3RuleSupport {
     * stored ancestor is itself a cell, so its ancestor at a coarser r
     * is the row's ancestor at r (relations that store only a parent
     * column, no `h3_cell`, previously could not key any coarser res
-    * at all). Contract note for the rank-2 fallback: it assumes the
-    * rows' cells are at-or-finer than the USED stored column's res q
-    * (a row whose cell is COARSER than q has h3_parent_q NULL and the
-    * equi-join would drop it where the unrewritten predicate keeps
-    * it) — that is the stored column's own layout contract
-    * (H3Index.withParentAt builds at-or-finer by construction), the
-    * coarsest qualifying q minimizes the exposure, rank 2 means ANY
-    * reachable exact `h3_cell` key wins over it, and the rules warn
-    * once per session when it is actually used so a
-    * contract-violating layout at least gets a signal. */
+    * at all). Contract note for the rank-2 fallback: a row whose cell
+    * is COARSER than the USED stored column's res q has h3_parent_q
+    * NULL — since r19 both rules route such rows through the
+    * [[NullKeySentinel]] into the VERBATIM refine (lossless for every
+    * layout; see each rule's rank-2 branch), at the cost of exact
+    * predicate evaluation for exactly the contract-violating slice.
+    * The engine's own `H3Index.withParentAt` layout is at-or-finer by
+    * construction (the slice is empty there), the coarsest qualifying
+    * q minimizes the slice on foreign layouts, rank 2 means ANY
+    * reachable exact `h3_cell` key wins over it, and the rules still
+    * warn once per session when the fallback is used — now advisory
+    * performance guidance, not a soundness caveat. */
   def keyOf(output: Seq[Attribute], r: Int): Option[(Expression, Int)] =
     output.collectFirst {
       case a if a.name == s"h3_parent_$r" && a.dataType == LongType =>

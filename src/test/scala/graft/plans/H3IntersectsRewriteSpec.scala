@@ -547,7 +547,9 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
   }
 
   test("res=auto infers from the single stored h3_parent_<res> column; " +
-      "ambiguous or absent stays inert; a pinned res still overrides") {
+      "MULTIPLE stored parents key the FINEST with a warning (r19 — the " +
+      "recommended coarse-ancestor layout must not be rule-disabling); " +
+      "absent stays inert; a pinned res still overrides") {
     // cached so the parent columns are RELATION columns — auto infers
     // from the index's STORED layout; a derived withColumn alias is
     // (correctly) pruned away when unused and names nothing
@@ -565,10 +567,25 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
         assert(plan.contains("__g_h3f_key"),
           s"auto did not infer res 8 from the stored parent column:\n$plan")
         assert(q1.collect().map(_.toSeq).toSet === baseline)
-        // ambiguous: parent columns at TWO resolutions — inert
-        val q2 = idx2.filter(st_intersects(col("geom"), lit(queryWkb)))
-        assert(!planString(q2).contains("__g_h3f_"),
-          "auto rewrote despite ambiguous stored resolutions")
+        // multiple stored parents (h3_parent_{7,8}): pre-r19 this was
+        // "ambiguous, inert" — which turned the recommended multi-
+        // ancestor layout into a rule-disabling one. Now the FINEST
+        // (8, the tightest sound prefilter) keys, rank 0, warned once.
+        def q2 = idx2.filter(st_intersects(col("geom"), lit(queryWkb)))
+          .select("id", "h3_cell")
+        val base2 = q2.collect().map(_.toSeq).toSet
+        val plan2 = planString(q2)
+        assert(plan2.contains("__g_h3f_key"),
+          s"auto went inert on a multi-parent relation:\n$plan2")
+        assert("h3_parent_8#\\d+L AS __g_h3f_key".r
+          .findFirstIn(plan2).isDefined,
+          s"auto did not key the FINEST stored parent:\n$plan2")
+        assert(q2.collect().map(_.toSeq).toSet === base2,
+          "finest-parent auto rewrite changed the rows")
+        val rule = H3IntersectsRewrite(spark)
+        assert(H3RuleSupport.hasWarned(spark,
+          s"${rule.ConfKey}-multiparent-8,7"),
+          "multi-parent auto did not warn naming the choice")
         // absent: bare h3_cell names no resolution — auto has nothing
         // to infer from (cells may be stored finer than the query res)
         val q3 = cellIndex.filter(st_intersects(col("geom"), lit(queryWkb)))
@@ -581,6 +598,120 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
         assert(planString(q3).contains("__g_h3f_"))
       }
     } finally { idx2.unpersist(); idx1.unpersist() }
+  }
+
+  test("LOSSLESS rank-2 fallback (r19 Next #1): a layout VIOLATING the " +
+      "at-or-finer stored-parent contract — a row whose cell is coarser " +
+      "than the stored column's res, NULL parent — routes through the " +
+      "sentinel into the verbatim refine; row identity with the " +
+      "unrewritten plan, violating row included") {
+    import spark.implicits._
+    // fine rows: stored h3_parent_9 from res-9 cells (contract-holding)
+    val fine = cellIndex.drop("geom")
+      .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+    // the VIOLATING row: its own cell is at res 5 — COARSER than the
+    // stored column's res 9, so h3_cell_to_parent(cell, 9) is NULL —
+    // and its (huge) cell geometry intersects the query polygon, so
+    // the unrewritten filter KEEPS it; the pre-r19 equi-join dropped it
+    val (clat, clng) = Crs.swerefToWgs84(565850, 6452150)
+    val coarseCell = H3Core.latLngToCell(clat, clng, 5)
+    val coarse = Seq((999L, coarseCell)).toDF("id", "h3_cell")
+      .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+    // parent-only relation (no h3_cell): the pinned res 7 can only key
+    // via the rank-2 finer-parent fallback from h3_parent_9
+    val idx = fine.unionByName(coarse)
+      .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+      .drop("h3_cell")
+      .localCheckpoint(true)
+    def q = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+      .select("id")
+    val base = q.collect().map(_.getLong(0)).sorted.toSeq
+    assert(base.contains(999L),
+      "fixture broken: the violating row's cell geometry does not " +
+        "intersect the query polygon — the lossless claim is untested")
+    // NULL parent really is NULL (h3_cell_to_parent of a coarser cell)
+    assert(idx.filter(col("id") === 999L && col("h3_parent_9").isNull)
+      .count() == 1, "fixture broken: violating row's parent is not NULL")
+    withRule(Some("7")) {
+      val plan = planString(q)
+      assert(plan.contains("__g_h3f_key"),
+        s"rank-2 fallback did not fire:\n$plan")
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == base,
+        s"rank-2 rewrite lost/added rows: got ${got.length}, " +
+          s"expected ${base.length} (violating row kept: " +
+          s"${got.contains(999L)})")
+    }
+  }
+
+  test("the covering estimate tracks THIN shapes (r19, r18 ADVICE low): " +
+      "area+perimeter, not bbox — a long diagonal no longer coarsens " +
+      "on a phantom bbox size; compact shapes still lean high") {
+    import graft.h3.H3Cover
+    // a 20 km diagonal sliver, 40 m wide: its bbox is ~20x20 km
+    // (~53k res-9 cells) while the true covering is a corridor of a
+    // few hundred — the r18 bbox estimate overshot by orders and made
+    // sizedCover skip the configured res
+    val sliver = Geometry.fromWkt(
+      "POLYGON ((560000 6440000, 580000 6460000, 580040 6460000, " +
+        "560040 6440000, 560000 6440000))")
+    Seq(8, 9).foreach { res =>
+      val actual = H3Cover.coveringCellIds(sliver, res).length.toDouble
+      val est = H3Cover.estimatedCoveringCells(sliver, res)
+      assert(est <= 20.0 * actual,
+        s"res $res: estimate $est still overshoots the measured " +
+          s"$actual covering by >20x — thin shapes would coarsen " +
+          "on a phantom size")
+      assert(est >= actual / 5.0,
+        s"res $res: estimate $est UNDERSHOOTS the measured $actual — " +
+          "sizedCover could pay enumerations the gate should rule out")
+    }
+    // compact square: the estimate still bounds from above-ish
+    val square = Geometry.fromWkt(queryWkt)
+    Seq(7, 8).foreach { res =>
+      val actual = H3Cover.coveringCellIds(square, res).length.toDouble
+      val est = H3Cover.estimatedCoveringCells(square, res)
+      assert(est >= actual / 5.0 && est <= 20.0 * actual,
+        s"res $res: compact estimate $est vs measured $actual out of " +
+          "the sane band")
+    }
+  }
+
+  test("keyability gate probes REACHABLE keys (r19, r18 ADVICE low): a " +
+      "site whose only parent column sits below an Aggregate stays " +
+      "inert — keyedPlan threads Project/Filter only, so the subtree-" +
+      "wide column can never key the rewrite") {
+    val agg = cellIndex
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .groupBy("id")
+      .agg(first(col("geom")).as("geom"))
+    withRule(Some("8")) {
+      def q = agg.filter(st_intersects(col("geom"), lit(queryWkb)))
+      assert(!planString(q).contains("__g_h3f_"),
+        "rule fired on a site whose key is unreachable below an Aggregate")
+    }
+  }
+
+  test("a pinned res FINER than every reachable key lands on the finest " +
+      "keyable res instead of going inert (r19): parent-only relation, " +
+      "conf=10, keys rank-0 at the stored res 8") {
+    val idx = cellIndex
+      .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
+      .drop("h3_cell")
+      .localCheckpoint(true)
+    def q = idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+      .select("id")
+    val base = q.collect().map(_.toSeq).toSet
+    assert(base.nonEmpty)
+    withRule(Some("10")) {
+      val plan = planString(q)
+      assert(plan.contains("__g_h3f_key"),
+        s"pinned-finer-than-keyable res went inert:\n$plan")
+      assert("h3_parent_8#\\d+L AS __g_h3f_key".r.findFirstIn(plan).isDefined,
+        s"did not land rank-0 on the stored res 8:\n$plan")
+      assert(q.collect().map(_.toSeq).toSet === base,
+        "finest-keyable landing changed the rows")
+    }
   }
 
   test("materialized h3_parent_8 relation column is preferred and range-prefiltered") {

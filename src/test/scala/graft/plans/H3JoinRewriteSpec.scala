@@ -450,18 +450,35 @@ class H3JoinRewriteSpec extends AnyFunSuite {
         // the conf at its DEFAULT (true), the heuristic cannot see the
         // bucket column through the rule's alias and the 156x
         // shuffle-free layout is silently lost — the rule must warn,
-        // once per session, naming the conf
-        val rule = H3JoinRewrite(spark)
-        val warnKey = s"${rule.ConfKey}-autobucketedscan"
-        assert(spark.conf.get(
-          "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true",
-          "precondition: the footgun conf is no longer default-true")
-        assert(!H3RuleSupport.hasWarned(spark, warnKey),
-          "warn key already set — another test triggered it first")
-        planString(q) // analyze under the DEFAULT conf: rewrite fires
-        assert(H3RuleSupport.hasWarned(spark, warnKey),
-          "the rule keyed a bucketed scan under default " +
-            "autoBucketedScan without warning about the silent loss")
+        // once per session, naming the conf. On a FRESH session (r18
+        // ADVICE low): warnOnce state is session-global, so running
+        // the !hasWarned precondition on the suite's shared session
+        // fails spuriously if any earlier test analyzed a
+        // bucketed-keyed join under the default conf.
+        val s2 = spark.newSession()
+        val rule2 = H3JoinRewrite(s2)
+        val warnKey = s"${rule2.ConfKey}-autobucketedscan"
+        val prev2 = s2.experimental.extraOptimizations
+        s2.experimental.extraOptimizations = prev2 :+ rule2
+        s2.conf.set(rule2.ConfKey, "8")
+        try {
+          assert(s2.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true",
+            "precondition: the footgun conf is no longer default-true")
+          assert(!H3RuleSupport.hasWarned(s2, warnKey),
+            "fresh session has a stale warn key — warnOnce is broken")
+          val q2 = s2.table("h3j_bucketed_spec")
+            .join(s2.createDataFrame(gs.rdd, gs.schema),
+              st_intersects(col("geom"), col("ggeom")))
+            .select("id", "h3_cell", "gid")
+          q2.queryExecution.executedPlan // analyze under DEFAULT conf
+          assert(H3RuleSupport.hasWarned(s2, warnKey),
+            "the rule keyed a bucketed scan under default " +
+              "autoBucketedScan without warning about the silent loss")
+        } finally {
+          s2.experimental.extraOptimizations = prev2
+          s2.conf.unset(rule2.ConfKey)
+        }
         val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
           "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -489,7 +506,8 @@ class H3JoinRewriteSpec extends AnyFunSuite {
   }
 
   test("res=auto infers from the single stored parent column across " +
-      "the join's sides; ambiguous or absent stays inert") {
+      "the join's sides; MULTIPLE stored parents key the FINEST with a " +
+      "warning (r19); absent stays inert") {
     val idx = cellIndex
       .withColumn("h3_parent_8", h3_cell_to_parent(col("h3_cell"), lit(8)))
       .cache()
@@ -504,18 +522,87 @@ class H3JoinRewriteSpec extends AnyFunSuite {
           s"auto did not infer res 8 from the stored parent column:\n$plan")
         assert(q.collect().map(_.toSeq).sortBy(_.mkString(","))
           .sameElements(baseline))
-        // ambiguous: a second stored resolution anywhere across the
-        // sides — inert
+        // multiple stored resolutions across the sides: pre-r19 this
+        // was "ambiguous, inert" — now the FINEST (8) keys, warned
+        // once. Cached so BOTH parents are relation columns (a bare
+        // withColumn alias is correctly pruned away when unused, and
+        // auto then sees a single stored parent)
         val idx2 = idx.withColumn("h3_parent_7",
-          h3_cell_to_parent(col("h3_cell"), lit(7)))
-        val q2 = idx2.join(gs, st_intersects(col("geom"), col("ggeom")))
-        assert(!planString(q2).contains("__g_h3j_"),
-          "auto rewrote despite ambiguous stored resolutions")
+          h3_cell_to_parent(col("h3_cell"), lit(7))).cache()
+        def q2 = idx2.join(gs, st_intersects(col("geom"), col("ggeom")))
+          .select("id", "h3_cell", "gid")
+        val base2 = q2.collect().map(_.toSeq).sortBy(_.mkString(","))
+        val plan2 = planString(q2)
+        assert(plan2.contains("__g_h3j_"),
+          s"auto went inert on a multi-parent join:\n$plan2")
+        assert("h3_parent_8#\\d+L AS __g_h3j_key".r
+          .findFirstIn(plan2).isDefined,
+          s"auto did not key the FINEST stored parent:\n$plan2")
+        assert(q2.collect().map(_.toSeq).sortBy(_.mkString(","))
+          .sameElements(base2), "finest-parent auto join changed rows")
+        val rule = H3JoinRewrite(spark)
+        assert(H3RuleSupport.hasWarned(spark,
+          s"${rule.ConfKey}-multiparent-8,7"),
+          "multi-parent auto did not warn naming the choice")
+        idx2.unpersist()
         // absent: bare h3_cell names no res — nothing to infer
         val q3 = cellIndex.join(gs, st_intersects(col("geom"), col("ggeom")))
         assert(!planString(q3).contains("__g_h3j_"),
           "auto rewrote with no stored parent column to infer from")
       }
     } finally { idx.unpersist(); gs.unpersist() }
+  }
+
+  test("LOSSLESS rank-2 fallback (r19 Next #1): a contract-violating " +
+      "NULL-parent index row pairs through the sentinel + verbatim " +
+      "predicate — inner rows identical, and LeftAnti no longer keeps " +
+      "the violating row spuriously") {
+    import spark.implicits._
+    // parent-only index (no h3_cell): pinned res 8 keys rank-2 from
+    // the stored h3_parent_9. One row's own cell is at res 5 — coarser
+    // than 9, NULL stored parent — and its huge cell geometry
+    // intersects several geometry-side rows.
+    val fine = cellIndex.drop("geom")
+      .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+    val (clat, clng) = Crs.swerefToWgs84(562000, 6450000)
+    val coarseCell = H3Core.latLngToCell(clat, clng, 5)
+    val coarse = Seq((999L, coarseCell)).toDF("id", "h3_cell")
+      .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+    val idx = fine.unionByName(coarse)
+      .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+      .drop("h3_cell")
+      .localCheckpoint(true)
+    val gs = geomSide.cache()
+    try {
+      def inner = idx.join(gs, st_intersects(col("geom"), col("ggeom")))
+        .select("id", "gid")
+      val baseInner = inner.collect().map(_.toSeq).sortBy(_.mkString(","))
+      assert(baseInner.exists(_.head == 999L),
+        "fixture broken: the violating row matches no geometry — the " +
+          "lossless claim is untested")
+      // anti: the violating row DOES match, so the unrewritten anti
+      // join EXCLUDES it — the pre-r19 rewrite (no exploded match for
+      // a NULL key) kept it spuriously
+      def anti = idx.join(gs, st_intersects(col("geom"), col("ggeom")),
+        "left_anti").select("id")
+      val baseAnti = anti.collect().map(_.getLong(0)).sorted.toSeq
+      assert(!baseAnti.contains(999L), "fixture broken: violating row " +
+        "unmatched — the anti-join spurious-keep path is untested")
+      withRule(Some("8")) {
+        val plan = planString(inner)
+        assert(plan.contains("__g_h3j_"),
+          s"rank-2 join fallback did not fire:\n$plan")
+        val gotInner = inner.collect().map(_.toSeq).sortBy(_.mkString(","))
+        assert(gotInner.sameElements(baseInner),
+          s"rank-2 inner join changed rows (violating pairs kept: " +
+            s"${gotInner.count(_.head == 999L)} of " +
+            s"${baseInner.count(_.head == 999L)})")
+        assert(planString(anti).contains("__g_h3j_"))
+        val gotAnti = anti.collect().map(_.getLong(0)).sorted.toSeq
+        assert(gotAnti == baseAnti,
+          "rank-2 anti join diverged — the NULL-keyed row was kept/" +
+            "dropped against the verbatim semantics")
+      }
+    } finally gs.unpersist()
   }
 }
