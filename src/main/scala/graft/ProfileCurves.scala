@@ -1653,27 +1653,47 @@ object ProfileH3Filter {
         println(f"""{"metric":"h3filter_rule_parquet","polygon":"dwithin_1500m","index_rows":$nRows,"match_rows":$dRows,"full_scan_ms":$tFullDq%.1f,"rule_fresh_ms":$tRuleDq%.1f,"rule_warm_ms":$tWarmDq%.1f,"speedup_fresh":${tFullDq / tRuleDq}%.1f,"speedup_warm":${tFullDq / tWarmDq}%.1f}""")
       }
       // the r18 COARSENED guard on the same clustered layout: a
-      // 20x20 km query polygon whose res-8 covering (~800 cells) is
-      // capped at 200, so the prefilter can only land at a coarser
-      // res — the measured claim is "degrades, not disables": the
-      // coarsened query must beat the full scan (pre-r18 the cap sent
-      // it there) while the uncapped res-8 rewrite bounds it from
-      // below (tighter band, fewer refine candidates)
-      {
-        val midWkt = "POLYGON ((570000 6455000, 590000 6455000, " +
-          "590000 6475000, 570000 6475000, 570000 6455000))"
+      // 20x20 km query polygon whose res-8 covering (~1090 cells) is
+      // capped at 500, so the prefilter can only land at the coarser
+      // res 7 — the measured claim is "degrades, not disables, and
+      // stays SARGABLE" (r19): writeClustered stores h3_parent_{6,7}
+      // alongside 8, so the landing res keys a bare STORED column
+      // (rank 0) whose gap-split multi-range prefilter still reaches
+      // parquet row-group stats — pre-r19 the coarse key was per-row
+      // parent math over a full scan (PERF.md r18: 1.4x, refine
+      // avoidance only). Cap note: 200 would land at res 6, whose
+      // ±2.5-spacing corridor (~17 km) blankets this ~60 km fixture
+      // field entirely — nothing any prefilter could prune; one
+      // coarsening level is the demonstrable regime at this scale,
+      // and at a country-scale index the same math holds per level.
+      // two selectivities, the parquet-probe convention: "wide" is a
+      // 20x20 km query on the ~60 km fixture field — a tenth of the
+      // whole lake, where corridor refine work bounds any prefilter —
+      // and "sized" is a production-shaped 5x5 km query, where the
+      // sargable coarse landing shows its real pruning
+      Seq(
+        ("wide_20km", "POLYGON ((570000 6455000, 590000 6455000, " +
+          "590000 6475000, 570000 6475000, 570000 6455000))", 500),
+        ("sized_5km", "POLYGON ((570000 6455000, 575000 6455000, " +
+          "575000 6460000, 570000 6460000, 570000 6455000))", 110)
+      ).foreach { case (tag, midWkt, cap) =>
         val midPoly = graft.spatial.Geometry.fromWkt(midWkt)
         val midWkb = graft.spatial.Geometry.toWkb(midPoly)
         val cover8n = graft.pipeline.PreparedPolygonQuery
           .coveringCellIds(midPoly, 8).length
-        require(cover8n > 200, s"mid polygon covering too small: $cover8n")
+        require(cover8n > cap, s"$tag covering too small: $cover8n")
         def qc = pq.filter(st_intersects(col("geom"), lit(midWkb)))
           .select("id", "dataset_id", "leverantor", "klass").distinct()
         spark.conf.set(rule.ConfKey, "8")
-        spark.conf.set(rule.MaxCellsKey, "200")
+        spark.conf.set(rule.MaxCellsKey, cap.toString)
         val cRows = qc.count()
-        require(qc.queryExecution.executedPlan.toString.contains("__g_h3f_"),
+        val coarsePlan = qc.queryExecution.executedPlan.toString
+        require(coarsePlan.contains("__g_h3f_"),
           "coarsened rewrite did not fire in the profile session")
+        val landed = "h3_parent_(\\d+)#\\d+L AS __g_h3f_key".r
+          .findFirstMatchIn(coarsePlan).map(_.group(1).toInt).getOrElse(-1)
+        require(landed >= 0 && landed < 8,
+          s"coarsened key is not a stored coarse ancestor:\n$coarsePlan")
         val tCoarse = medianMs(5)(() => noop(qc))
         spark.conf.unset(rule.MaxCellsKey)
         require(qc.count() == cRows, "res-8 rewrite changed the rows")
@@ -1681,7 +1701,7 @@ object ProfileH3Filter {
         spark.conf.unset(rule.ConfKey)
         require(qc.count() == cRows, "unrewritten scan changed the rows")
         val tFullC = medianMs(5)(() => noop(qc))
-        println(f"""{"metric":"h3filter_rule_coarse","index_rows":$nRows,"match_rows":$cRows,"cover_res8_cells":$cover8n,"cap":200,"full_scan_ms":$tFullC%.1f,"rule_res8_ms":$tRes8%.1f,"rule_coarse_ms":$tCoarse%.1f,"speedup_coarse":${tFullC / tCoarse}%.1f,"coarse_vs_res8":${tCoarse / tRes8}%.1f}""")
+        println(f"""{"metric":"h3filter_rule_coarse","polygon":"$tag","index_rows":$nRows,"match_rows":$cRows,"cover_res8_cells":$cover8n,"cap":$cap,"landed_res":$landed,"full_scan_ms":$tFullC%.1f,"rule_res8_ms":$tRes8%.1f,"rule_coarse_ms":$tCoarse%.1f,"speedup_coarse":${tFullC / tCoarse}%.1f,"coarse_vs_res8":${tCoarse / tRes8}%.1f}""")
       }
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -60,12 +60,28 @@ object H3Index {
     index.withColumn(s"h3_parent_$res",
       graft.functions.GFunctions.h3_cell_to_parent(col("h3_cell"), lit(res)))
 
+  /** Materialize ancestors at SEVERAL resolutions (r19): the
+    * query-res ancestor plus 1-2 coarser levels costs pennies of
+    * storage (long columns over zstd) and makes the optimizer rules'
+    * COARSENED prefilter ([[graft.plans.H3IntersectsRewrite]]'s
+    * over-cap degradation, r18) land on a bare stored column whose
+    * BETWEEN reaches parquet row-group stats — instead of per-row
+    * parent math that scans everything. `res=auto` keys the finest of
+    * them (warning once). */
+  def withParentsAt(index: DataFrame, rs: Seq[Int]): DataFrame =
+    rs.distinct.sorted.foldLeft(index)(withParentAt)
+
   /** The probe-optimal warehouse layout, as a WRITE: materialize the
-    * query-res ancestor and range-cluster + sort the rows by it, so
-    * every downstream polygon probe's literal [min, max] prefilter
+    * query-res ancestor (plus `coarseLevels` coarser ancestors — the
+    * r19 sargable-coarsening layout, see [[withParentsAt]]) and
+    * range-cluster + sort the rows by the query-res column, so every
+    * downstream polygon probe's literal [min, max] prefilter
     * (H3Query.keyedIndex, PreparedPolygonQuery's bucket ranges)
     * reaches the parquet scan as a pushed predicate and row-group
-    * footer stats skip everything outside the polygon.
+    * footer stats skip everything outside the polygon. The coarse
+    * ancestors inherit the clustering's spatial coherence: rows
+    * sorted by `h3_parent_<res>` keep tight per-row-group min/max on
+    * the coarser columns too, so a coarsened BETWEEN still prunes.
     *
     * This is THE measured scale path (PERF.md r10): probes on this
     * layout hold flat at ~20 ms through 116M index rows, while probes
@@ -77,9 +93,9 @@ object H3Index {
     * small outputs), so the same call scales from a 150-row test
     * fixture to a multi-TB mart. */
   def writeClustered(df: DataFrame, path: String,
-      res: Int = H3Query.DefaultQueryRes): Unit = {
+      res: Int = H3Query.DefaultQueryRes, coarseLevels: Int = 2): Unit = {
     val parentCol = s"h3_parent_$res"
-    withParentAt(df, res)
+    withParentsAt(df, ((res - coarseLevels).max(0) to res))
       .repartitionByRange(col(parentCol))
       .sortWithinPartitions(parentCol)
       .write.mode("overwrite").option("compression", "zstd").parquet(path)

@@ -418,20 +418,30 @@ case class H3IntersectsRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         AttributeReference("__g_h3f_refine", BooleanType, nullable = false)()
       val rel = LocalRelation(Seq(qAttr, refAttr),
         flags.map { case (c, nr) => InternalRow(c, nr) })
-      // sargable range prefilter below the join: single-side long
-      // comparisons over the key attribute — PhysicalOperation's
-      // alias-substituting Project/Filter collection carries them to a
-      // parquet scan's row-group stats (strict superset of the
-      // equi-join — results unchanged). The rank-2 variant keeps its
+      // sargable MULTI-RANGE prefilter below the join (r19): the
+      // covering split at its largest id gaps into <= 16 [lo, hi]
+      // ranges — single-side long comparisons over the key attribute,
+      // which PhysicalOperation's alias-substituting Project/Filter
+      // collection carries to a parquet scan's row-group stats (a
+      // strict superset of the equi-join — results unchanged). One
+      // [min, max] envelope was enough at the configured res on a
+      // clustered layout, but a COARSE-res or multi-part covering's
+      // envelope spans most of the key band and prunes nothing (the
+      // r18 coarsened path read 1.2x); the gap-split ranges restore
+      // row-group pruning there. The rank-2 variant keeps its
       // NULL-keyed slice: IS NULL is equally pushable, and row-group
       // null counts prune it the same way.
       val pre =
         if (cover.isEmpty) keyedChild
         else {
-          val between = And(GreaterThanOrEqual(keyAttr, Literal(cover.min)),
-            LessThanOrEqual(keyAttr, Literal(cover.max)))
+          val ranges = H3RuleSupport
+            .coverRanges(cover, H3RuleSupport.MaxPrefilterRanges)
+            .map { case (lo, hi) =>
+              And(GreaterThanOrEqual(keyAttr, Literal(lo)),
+                LessThanOrEqual(keyAttr, Literal(hi))): Expression
+            }.reduce(Or)
           val cond =
-            if (keyRank == 2) Or(IsNull(keyAttr), between) else between
+            if (keyRank == 2) Or(IsNull(keyAttr), ranges) else ranges
           Filter(cond, keyedChild)
         }
       val join = Join(pre, rel, Inner,

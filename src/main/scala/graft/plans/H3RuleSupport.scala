@@ -93,6 +93,40 @@ private[plans] object H3RuleSupport {
       .filter(r => r >= 0 && r <= 15)
       .distinct
 
+  /** Cap on the disjuncts of the multi-range prefilter ([[coverRanges]]):
+    * enough to capture a compact covering's contiguous id runs nearly
+    * exactly, few enough that the pushed Or-tree stays trivial for
+    * row-group stat evaluation. */
+  val MaxPrefilterRanges = 16
+
+  /** Covering ids → at most `maxRanges` inclusive [lo, hi] ranges
+    * jointly containing every id, split at the LARGEST id gaps (r19).
+    * In H3Core's bit layout axial i is the major sort axis, so a
+    * compact region's covering at any one res is a handful of
+    * contiguous id runs — a few ranges capture it nearly exactly,
+    * where the single [min, max] envelope of a coarse-res or
+    * multi-part covering spans most of the key band and prunes NO
+    * parquet row groups (the r18 coarsened-prefilter finding: 1.2x on
+    * a stored coarse ancestor because the one BETWEEN admitted every
+    * row group). Strictly a SUPERSET of the id set, so layering it
+    * under the covering equi-join never changes results. */
+  def coverRanges(cover: Array[Long], maxRanges: Int): Seq[(Long, Long)] = {
+    if (cover.isEmpty) return Nil
+    var sorted = cover
+    var i = 1
+    while (i < sorted.length && sorted(i - 1) <= sorted(i)) i += 1
+    if (i < sorted.length) sorted = cover.sorted // defensive: callers sort
+    if (maxRanges <= 1) return Seq((sorted.head, sorted.last))
+    val splits = (1 until sorted.length).iterator
+      .map(j => (sorted(j) - sorted(j - 1), j))
+      .filter(_._1 > 1L)
+      .toArray.sortBy(-_._1)
+      .take(maxRanges - 1).map(_._2).sorted
+    (0 +: splits.toSeq :+ sorted.length).sliding(2).map {
+      case Seq(a, b) => (sorted(a), sorted(b - 1))
+    }.toSeq
+  }
+
   /** What [[keyedPlan]] can actually REACH: `h3_cell` availability and
     * the stored-parent resolutions along the Project/Filter chain it
     * threads — nothing below an Aggregate/Generate/Join counts (r18

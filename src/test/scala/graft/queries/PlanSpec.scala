@@ -130,6 +130,62 @@ class PlanSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("coarsened prefilter lands on a STORED coarse ancestor (r19): the " +
+      "shipped writeClustered layout carries h3_parent_{6,7,8}, so an " +
+      "over-cap literal's coarser BETWEEN is pushed to the parquet scan " +
+      "as a rank-0 stored-column range — not per-row parent math") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.GFunctions.{g_h3_cell_to_geom, st_intersects}
+    val dir = java.nio.file.Files.createTempDirectory("idxcoarse").toString
+    try {
+      graft.pipeline.H3Index.writeClustered(
+        GeoQueries.sharedIndex(spark, sfDir)
+          .select("id", "dataset_id", "leverantor", "klass", "h3_cell"),
+        dir, res = 8)
+      val back = spark.read.parquet(dir)
+      assert(Seq(6, 7, 8).forall(r => back.columns.contains(s"h3_parent_$r")),
+        s"shipped layout lacks coarse ancestors: ${back.columns.mkString(",")}")
+      val pq = back.withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+      val poly = graft.spatial.Geometry.fromWkt(
+        graft.pipeline.GeoFixture.queryPolygonWkt)
+      val wkb = graft.spatial.Geometry.toWkb(poly)
+      val cover8 = graft.pipeline.PreparedPolygonQuery.coveringCellIds(poly, 8)
+      val rule = graft.plans.H3IntersectsRewrite(spark)
+      val prev = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations = prev :+ rule
+      spark.conf.set(rule.ConfKey, "8")
+      // cap just under the res-8 covering: the rule can only fire by
+      // coarsening — pre-r19 the coarse key was per-row parent MATH
+      // (PERF.md r18: refine-avoidance only, 1.4x); on this layout it
+      // must be the bare stored column whose BETWEEN prunes row groups
+      spark.conf.set(rule.MaxCellsKey, (cover8.length - 1).toString)
+      try {
+        def q = pq.filter(st_intersects(col("geom"), lit(wkb)))
+          .select("id", "dataset_id").distinct()
+        val simple = q.queryExecution.executedPlan.toString
+        val landed = (6 to 7).find(r =>
+          s"h3_parent_$r#\\d+L AS __g_h3f_key".r.findFirstIn(simple).isDefined)
+        assert(landed.isDefined,
+          s"coarsened key is not a stored ancestor column:\n$simple")
+        val plan = q.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("|")
+        assert(pushed.contains(s"GreaterThanOrEqual(h3_parent_${landed.get}") &&
+          pushed.contains(s"LessThanOrEqual(h3_parent_${landed.get}"),
+          s"coarsened BETWEEN not pushed at the landing res:\n$pushed")
+        assert(!simple.contains("h3_cell_to_parent"),
+          "per-row parent math survived on the stored-ancestor layout")
+        assert(q.count() > 0)
+      } finally {
+        spark.experimental.extraOptimizations = prev
+        spark.conf.unset(rule.ConfKey)
+        spark.conf.unset(rule.MaxCellsKey)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("q67: exact-refine st_intersects stays ABOVE the broadcast join") {
     // the refine predicate must run on post-join candidates only; if
     // Catalyst pushes it below the join (it can when the predicate
