@@ -47,15 +47,75 @@ object Bench {
     }.toMap
   }
 
-  private[graft] def loadQuietRefs(path: String): Map[String, Double] =
+  private[graft] def readRefFile(path: String): Option[String] =
     try {
       val f = new java.io.File(path)
-      if (!f.isFile) Map.empty
+      if (!f.isFile) None
       else {
         val src = scala.io.Source.fromFile(f, "UTF-8")
-        try parseQuietRefs(src.mkString) finally src.close()
+        try Some(src.mkString) finally src.close()
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def loadQuietRefs(path: String): Map[String, Double] =
+    readRefFile(path).map(parseQuietRefs).getOrElse(Map.empty)
+
+  /** The `"sf":"<dir>"` field of a Bench metric line — which data
+    * scale the capture's timings are FROM. Refs are only comparable
+    * within one scale: an sf0.001 capture's times would mis-bar every
+    * entry of an sf0.1 run (and vice versa), so both artifact
+    * consumption and candidate emission gate on it. */
+  private[graft] def parseRefSf(json: String): Option[String] = {
+    val marker = "\"sf\":\""
+    val start = json.lastIndexOf(marker) match {
+      case -1 => return None
+      case i => i + marker.length
+    }
+    val end = json.indexOf('"', start)
+    if (end < 0) None else Some(json.substring(start, end))
+  }
+
+  /** A capture is CLEAN when nothing failed and no arbitrated time is
+    * over its adaptive bar — exactly the "0 benchdiff flags" state
+    * whose capture is fit to become the next BENCH_ref.json. Factored
+    * out so BenchDeferredSpec can pin the gate without a battery. */
+  private[graft] def isCleanCapture(
+      arbitrated: Seq[(String, Double, Double, Int)],
+      bar: String => Double, nErrors: Int): Boolean =
+    nErrors == 0 && arbitrated.forall { case (name, v, _, _) =>
+      v >= 0 && v <= bar(name)
+    }
+
+  /** Self-refreshing quiet refs (r18 Next #3 → r19): every CLEAN
+    * capture writes `BENCH_ref.candidate.json` — the full metric line,
+    * byte-identical to what [[parseQuietRefs]] consumes — so refreshing
+    * the checked-in artifact is `cp BENCH_ref.candidate.json
+    * BENCH_ref.json`, never a source edit, and a new battery entry
+    * gets its ref on the next refresh instead of a hardcoded fallback
+    * constant. Failure to write is a stderr note, never a bench
+    * failure. */
+  private[graft] def writeCandidateRef(path: String, line: String): Boolean =
+    try {
+      val w = new java.io.PrintWriter(
+        new java.io.File(path), "UTF-8")
+      try w.println(line) finally w.close()
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] candidate-ref write failed: " +
+          s"${e.getMessage}")
+        false
+    }
+
+  /** Adaptive-retry bar for one quiet reference. `ref <= 0` means the
+    * entry has NO reference anywhere (newer than the checked-in
+    * artifact and the fallback table): it runs UNBARRED — there is no
+    * regression signal to compare against, and a finite default bar
+    * would veto capture cleanliness forever, so the candidate ref that
+    * would give the entry its reference could never be emitted. */
+  private[graft] def barFor(ref: Double): Double =
+    if (ref <= 0.0) Double.MaxValue
+    else math.max(0.8, (if (ref < 1.0) 3.0 else 2.0) * ref)
 
   /** Outcome of the end-of-battery deferred retry pass. */
   private[graft] final case class Deferred(
@@ -428,10 +488,34 @@ object Bench {
       "q73_jaccard_refine" -> 0.9, "q77_query_mass" -> 0.83,
       "q79_exact_closed" -> 0.7)
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_ref.json")
-    val artifactRefs = loadQuietRefs(refPath)
-    if (artifactRefs.nonEmpty)
+    val refRaw = readRefFile(refPath)
+    val artifactSf = refRaw.flatMap(parseRefSf)
+    // refs only compare within ONE data scale: an sf0.001 capture's
+    // times would mis-bar every entry of an sf0.1 run, so an artifact
+    // from another sf is ignored loudly (and, below, a clean capture
+    // at another sf never emits a cp-able candidate)
+    val sfMatches = artifactSf.forall(s =>
+      new java.io.File(s).getName == new java.io.File(sfDir).getName)
+    val artifactRefs: Map[String, Double] =
+      if (sfMatches) refRaw.map(parseQuietRefs).getOrElse(Map.empty)
+      else Map.empty
+    if (!sfMatches)
+      System.err.println(s"[bench] quiet-ref artifact at $refPath is a " +
+        s"${new java.io.File(artifactSf.get).getName} capture but this " +
+        s"run is ${new java.io.File(sfDir).getName} — its refs would " +
+        "mis-bar every entry; hardcoded fallback refs only")
+    else if (artifactRefs.nonEmpty)
       System.err.println(s"[bench] quiet refs: ${artifactRefs.size} from " +
         "the BENCH_ref.json artifact (hardcoded fallback for the rest)")
+    else if (new java.io.File(refPath).isFile)
+      // file-present-but-unparseable is a DIFFERENT failure than
+      // missing (r18 ADVICE low: a jq-reformatted artifact used to be
+      // misreported as absent, misdirecting the diagnosis)
+      System.err.println("[bench] quiet-ref artifact at " +
+        new java.io.File(refPath).getAbsolutePath +
+        " is present but unparseable — expected Bench's compact " +
+        "single-line format (\"queries\":{...}); hardcoded fallback " +
+        "refs only")
     else
       // the default path is CWD-relative: launched from outside the
       // repo root the artifact silently vanishes and the stale
@@ -439,10 +523,24 @@ object Bench {
       System.err.println("[bench] no quiet-ref artifact at " +
         new java.io.File(refPath).getAbsolutePath +
         " — hardcoded fallback refs only (set SPARK_GRAFT_BENCH_REF)")
-    def adaptiveBar(name: String): Double = {
-      val ref = artifactRefs.getOrElse(name, quietRefS.getOrElse(name, 0.0))
-      val mult = if (ref > 0.0 && ref < 1.0) 3.0 else 2.0
-      math.max(0.8, mult * ref)
+    def adaptiveBar(name: String): Double =
+      barFor(artifactRefs.getOrElse(name, quietRefS.getOrElse(name, 0.0)))
+    // Entries newer than every reference (artifact + fallback table)
+    // have NO regression signal: a finite bar would flag them on every
+    // capture, so the capture could never be CLEAN and the candidate
+    // ref that would GIVE them a reference would never be written —
+    // a chicken-and-egg the r18 fallback constants papered over.
+    // They run unbarred (no adaptive retry, no cleanliness veto) and
+    // pick up a real ref at the next artifact refresh.
+    locally {
+      val refless = names.sorted.filterNot(n =>
+        artifactRefs.contains(n) || quietRefS.contains(n))
+      if (refless.nonEmpty)
+        System.err.println(s"[bench] ${refless.size} entr" +
+          (if (refless.size == 1) "y has" else "ies have") +
+          s" no quiet ref (newer than the artifact): " +
+          refless.mkString(", ") + " — unbarred this capture; refresh " +
+          "BENCH_ref.json from the next clean candidate to bar them")
     }
     var adaptiveReps = 0
     // consumer-aware release of the battery's persisted intermediates:
@@ -534,8 +632,37 @@ object Bench {
       .mkString("{", ",", "}")
     val summary =
       f""""n_queries":${arbitrated.size},"n_failed":${errors.size},"setup_s":$setupSTotal%.4f,"reps":$reps,"adaptive_reps":$adaptiveReps,"deferred_reps":$deferredReps,"deferred_memo_rebuilds":${deferred.memoRebuilds},"deferred_errors":$des,"raw_total_s":$rawTotal%.1f,"h3_polygon_query_ms_10k_warm":$h3QueryWarmMs,"h3_polygon_query_ms_10k_warm_p25":$h3QueryWarmP25Ms,"h3_polygon_query_ms_10k_fresh_plan":$h3QueryFreshMs,"h3_polygon_query_ms_10k_fresh_plan_p25":$h3QueryFreshP25Ms,"sf":"$sfDir""""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,$summary}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,$summary}"""
+    println(fullLine)
+    // self-refreshing quiet refs (r18 Next #3): a CLEAN capture (no
+    // failures anywhere, every arbitrated time under its bar) emits
+    // the ready-to-check-in candidate next to the artifact — the
+    // refresh is `cp BENCH_ref.candidate.json BENCH_ref.json`, and a
+    // new battery entry never needs a hardcoded fallback again
+    if (!sfMatches)
+      System.err.println("[bench] no candidate quiet-ref from this " +
+        "capture — its sf differs from the artifact's (a cp would " +
+        "mis-bar the driver's scale)")
+    else if (isCleanCapture(arbitrated, adaptiveBar,
+        errors.size + deferredErrors.size)) {
+      val candidate = new java.io.File(
+        new java.io.File(refPath).getAbsoluteFile.getParentFile,
+        "BENCH_ref.candidate.json").getPath
+      if (writeCandidateRef(candidate, fullLine))
+        System.err.println(s"[bench] clean capture — candidate quiet-ref " +
+          s"written to $candidate (cp over BENCH_ref.json to refresh)")
+    } else {
+      // say WHY there is no candidate: the refresher's first question
+      val blockers = arbitrated.collect {
+        case (n, v, _, _) if v < 0 || v > adaptiveBar(n) =>
+          if (v < 0) s"$n=FAILED"
+          else f"$n=$v%.2f (bar ${adaptiveBar(n)}%.2f)"
+      }
+      System.err.println("[bench] capture NOT clean — no candidate " +
+        s"quiet-ref (${errors.size + deferredErrors.size} failures; " +
+        s"over-bar: ${if (blockers.isEmpty) "none" else blockers.mkString(", ")})")
+    }
     // COMPACT tail-safe lines: harnesses that keep only a bounded tail
     // of stdout truncate the full line mid-JSON (every BENCH_r0x.json
     // records parsed:null for exactly this reason). The last two lines

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.LongType
 /** Shared plumbing for the H3 optimizer rules — one copy of the
   * opt-in resolution contract and of the cell-key preference, so the
   * two rules (and any future sibling) cannot drift. */
-private[plans] object H3RuleSupport {
+private[graft] object H3RuleSupport {
 
   /** The opt-in resolution conf: absent = rule inert; present = must
     * parse as an H3 resolution 0..15 (loud otherwise — a typo'd conf

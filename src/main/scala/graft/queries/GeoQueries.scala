@@ -47,7 +47,8 @@ object GeoQueries {
       "q135_query_table_macro", "q169_hybrid_identity",
       "q229_h3filter_rule", "q232_h3join_rule", "q233_h3join_dwithin",
       "q235_h3filter_dwithin", "q236_h3filter_auto", "q237_h3join_auto",
-      "q238_h3filter_coarse")
+      "q238_h3filter_coarse", "q239_h3filter_multiparent",
+      "q240_h3join_bucketed")
     val martConsumers = Set("q62_mart_explode", "q78_mart_objects")
     val stagedConsumers = Set(
       "q58_compact_roundtrip", "q61_stage004", "q68_compact",
@@ -153,6 +154,14 @@ object GeoQueries {
     * index is built ON this session, once. */
   private val q234Memo =
     new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+
+  /** q239's multi-parent parquet index and q240's bucketed warehouse —
+    * built once per (JVM, dir): the entries pin PLAN shape + identity
+    * per execution; the fixture layout itself is one-time setup. */
+  private val q239Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val q240Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def q234Session(s: SparkSession, dir: String): SparkSession = {
     // a memoized session bound to a STOPPED context (the embedding app
     // restarted Spark in this JVM) would fail every q234 run forever —
@@ -466,6 +475,139 @@ object GeoQueries {
       } finally s.conf.unset(rule.MaxCellsKey)
     }),
 
+    // MULTI-PARENT res=auto (r19 Next #4): the recommended coarse-
+    // ancestor layout (H3Index.withParentsAt — h3_parent_{6,7,8}
+    // stored) must not be rule-disabling. Pre-r19, `auto` refused it
+    // as ambiguous and the full scan ran; now it keys the FINEST
+    // stored parent (8 — the tightest sound prefilter), rank 0, with
+    // a once-per-session warning naming the choice. planOk pins the
+    // finest-parent alias; hasWarned pins the warning itself; the
+    // zero multiset-diff pins losslessness. The multi-parent relation
+    // is a parquet round-trip memoized per JVM (relation columns,
+    // not prunable Project aliases — the q236 lesson).
+    "q239_h3filter_multiparent" -> ((s, dir) => {
+      val rule = graft.plans.H3IntersectsRewrite(s)
+      val queryWkb = graft.spatial.Geometry.toWkb(
+        graft.spatial.Geometry.fromWkt(GeoFixture.queryPolygonWkt))
+      val path = q239Memo.computeIfAbsent(dir, _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_q239_idx").toString
+        H3Index.withParentsAt(sharedIndex(s, dir).drop("geom"), Seq(6, 7))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+      val idx = s.read.parquet(path)
+        .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+      val out = ruleIdentity(s, rule, rule.ConfKey, "auto",
+        p => p.contains("__g_h3f_key") && p.contains("BroadcastHashJoin") &&
+          "h3_parent_8#\\d+L AS __g_h3f_key".r.findFirstIn(p).isDefined,
+        "H3IntersectsRewrite res=auto did not key the FINEST of " +
+          "multiple stored parents — the recommended layout would be " +
+          "rule-disabling") {
+        idx.filter(st_intersects(col("geom"), lit(queryWkb)))
+          .select("id", "dataset_id").distinct()
+      }
+      require(graft.plans.H3RuleSupport.hasWarned(s,
+        s"${rule.ConfKey}-multiparent-8,7,6"),
+        "multi-parent auto keyed the finest res without warning")
+      out
+    }),
+
+    // BUCKETED SHUFFLE-FREE JOIN under the driver oracle (r19 Next #5
+    // + #6): the 156x layout story (31.3 -> 0.2 MB shuffled, PERF.md
+    // r17) was spec-only. Arm 1, on a FRESH session at the DEFAULT
+    // autoBucketedScan=true: analyzing the rewritten join must emit
+    // the silent-loss footgun warning naming the conf (the guardrail
+    // itself gets a driver-visible pin). Arm 2, with the conf false
+    // and broadcast disabled: the rewritten equi-join must reuse the
+    // bucketBy(4, h3_parent_8) layout — `Bucketed: true` in the FINAL
+    // adaptive plan and ZERO index-side Exchange — and match the
+    // unrewritten nested-loop join's rows multiset-exactly.
+    "q240_h3join_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val table = "g_q240_idx_bucketed"
+      q240Memo.computeIfAbsent(dir, _ => {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        // EXTERNAL table at a fresh per-JVM temp path: a managed
+        // location under spark-warehouse/ survives the in-memory
+        // catalog (a prior JVM's run leaves the directory behind,
+        // and saveAsTable refuses a pre-existing managed location
+        // even after DROP TABLE IF EXISTS)
+        val loc = java.nio.file.Files
+          .createTempDirectory("graft_q240_idx").toString
+        sharedIndex(s, dir).drop("geom")
+          .filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
+          .select("id", "dataset_id", "h3_cell", "h3_parent_8")
+          .write.bucketBy(4, "h3_parent_8").sortBy("h3_parent_8")
+          .option("path", loc)
+          .mode("overwrite").saveAsTable(table)
+        table
+      })
+      def counted(rows: Array[Seq[Any]]): Map[Seq[Any], Int] =
+        rows.groupBy(identity).map { case (k, v) => (k, v.length) }
+      def queryOn(sess: SparkSession): org.apache.spark.sql.DataFrame = {
+        val t = sess.table(table)
+          .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+        val gs = GeoFixture(sess, dir).filter(col("fid") <= 40)
+          .select(col("fid").cast("long").as("gid"),
+            col("geom").as("qgeom"))
+        t.join(gs, st_intersects(col("geom"), col("qgeom")))
+          .groupBy("gid")
+          .agg(countDistinct(col("id")).as("n_objects"),
+            count(lit(1)).as("n_pairs"))
+          .orderBy("gid")
+      }
+      // unrewritten baseline on the battery session (no rule installed)
+      val base = counted(queryOn(s).collect().map(_.toSeq))
+      require(base.nonEmpty, "q240 fixture joins nothing — vacuous")
+      // arm 1: footgun warning on a fresh session under the default conf
+      val s1 = s.newSession()
+      val rule1 = graft.plans.H3JoinRewrite(s1)
+      val warnKey = s"${rule1.ConfKey}-autobucketedscan"
+      s1.experimental.extraOptimizations =
+        s1.experimental.extraOptimizations :+ rule1
+      s1.conf.set(rule1.ConfKey, "8")
+      require(s1.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "true") == "true",
+        "q240 arm-1 precondition: autoBucketedScan is not default-true")
+      require(!graft.plans.H3RuleSupport.hasWarned(s1, warnKey),
+        "fresh session carries a stale warn key")
+      queryOn(s1).queryExecution.executedPlan // analyze: rewrite + warn
+      require(graft.plans.H3RuleSupport.hasWarned(s1, warnKey),
+        "the rule keyed a bucketed scan under default autoBucketedScan " +
+          "without the silent-loss warning")
+      // arm 2: shuffle-free bucketed join, rows identical
+      val s2 = s.newSession()
+      val rule2 = graft.plans.H3JoinRewrite(s2)
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ rule2
+      s2.conf.set(rule2.ConfKey, "8")
+      s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rew = queryOn(s2)
+      val rewRows = rew.collect().map(_.toSeq)
+      // executedPlan AFTER collect: AQE's FINAL plan (a noop write
+      // would hide it — the adaptive plan finalizes on execution)
+      val plan = rew.queryExecution.executedPlan.toString
+      require(plan.contains("__g_h3j_") && !plan.contains("NestedLoop") &&
+        !plan.contains("Cartesian"),
+        s"q240 arm-2: the join rewrite did not fire:\n$plan")
+      val finalSec = plan.split("== Final Plan ==").last
+        .split("== Initial Plan ==").head
+      require(finalSec.contains("Bucketed: true"),
+        s"bucketed scan unused under the rewrite:\n$finalSec")
+      require(!finalSec.linesIterator.exists(
+        _.contains("Exchange hashpartitioning(__g_h3j_key")),
+        s"index side re-shuffled despite the bucketed layout:\n$finalSec")
+      val rc = counted(rewRows)
+      val diff = (base.keySet ++ rc.keySet).iterator
+        .map(k => math.abs(base.getOrElse(k, 0) - rc.getOrElse(k, 0)).toLong)
+        .sum
+      Seq((diff, true)).toDF("diff", "nonempty")
+    }),
+
     // res=auto end-to-end for the JOIN rule (the q236 twin): the q232
     // spatial-join identity with the conf at `auto` — the rule infers
     // the res from the index side's stored h3_parent_8 (the geometry
@@ -581,6 +723,10 @@ object GeoQueries {
     "q237_h3join_auto" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q238_h3filter_coarse" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q239_h3filter_multiparent" ->
+      "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
+    "q240_h3join_bucketed" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",
     "q232_h3join_rule" ->
       "SELECT CAST(0 AS BIGINT) AS diff, true AS nonempty",

@@ -74,6 +74,63 @@ class BenchDeferredSpec extends AnyFunSuite {
     } finally tmp.delete()
   }
 
+  test("candidate quiet-ref emission (r19, r18 Next #3): a CLEAN capture " +
+      "— no failures, everything under bar — writes a candidate that " +
+      "round-trips through parseQuietRefs; any flag or failure blocks it") {
+    val bar: String => Double = _ => 2.0
+    val clean = Seq(("q_a", 0.5, 0.5, 1), ("q_b", 1.9, 1.9, 1))
+    assert(Bench.isCleanCapture(clean, bar, nErrors = 0))
+    // one entry over its bar = a benchdiff flag: not a refresh source
+    assert(!Bench.isCleanCapture(Seq(("q_a", 0.5, 0.5, 1),
+      ("q_b", 2.1, 2.1, 2)), bar, 0))
+    // any failure (main loop or deferred) blocks the candidate
+    assert(!Bench.isCleanCapture(clean, bar, nErrors = 1))
+    // a failed (-1) entry blocks it too
+    assert(!Bench.isCleanCapture(Seq(("q_a", -1.0, -1.0, 1)), bar, 0))
+    // the written candidate is byte-usable as the next BENCH_ref.json:
+    // exactly Bench's own line format, parsed by the same loader
+    val line = """{"metric":"total","value":2.4,"unit":"sec",""" +
+      """"queries":{"q_a":0.5000,"q_b":1.9000},"errors":{},"n_queries":2}"""
+    val tmp = java.io.File.createTempFile("bench_cand", ".json")
+    try {
+      assert(Bench.writeCandidateRef(tmp.getPath, line))
+      assert(Bench.loadQuietRefs(tmp.getPath) ==
+        Map("q_a" -> 0.5, "q_b" -> 1.9),
+        "candidate did not round-trip through the artifact loader")
+    } finally tmp.delete()
+    // an unwritable path is a stderr note, never a failure
+    assert(!Bench.writeCandidateRef("/nonexistent_dir/x/y.json", line))
+  }
+
+  test("parseRefSf: refs only compare within one data scale — the sf " +
+      "field round-trips out of a capture line; absent/truncated is None") {
+    val line = """{"metric":"total","value":2.4,"unit":"sec",""" +
+      """"queries":{"q_a":0.5000},"errors":{},""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseRefSf(line).contains("/root/testdata/sf0.1"))
+    assert(Bench.parseRefSf("""{"queries":{"q_a":0.5}}""").isEmpty)
+    assert(Bench.parseRefSf("""{"sf":"/unterminated""").isEmpty)
+  }
+
+  test("barFor: a REFLESS entry (newer than artifact + fallback table) " +
+      "runs unbarred — a finite default bar would veto cleanliness " +
+      "forever and the candidate ref could never be emitted") {
+    assert(Bench.barFor(0.0) == Double.MaxValue)
+    assert(Bench.barFor(-1.0) == Double.MaxValue)
+    // referenced entries keep the r17 bars exactly: 3x under 1 s
+    // (noise floor), 2x above, never below 0.8 s
+    assert(Bench.barFor(0.5) == 1.5)
+    assert(Bench.barFor(0.1) == 0.8)
+    assert(Bench.barFor(2.0) == 4.0)
+    // a refless new entry cannot block a clean capture however slow
+    val bar: String => Double = {
+      case "q_new" => Bench.barFor(0.0)
+      case _       => Bench.barFor(1.0)
+    }
+    assert(Bench.isCleanCapture(
+      Seq(("q_old", 1.5, 1.5, 1), ("q_new", 97.0, 97.0, 1)), bar, 0))
+  }
+
   test("no memo-backed deferred entries: zero rebuilds; a FAILED retry " +
       "keeps the inline timing and is recorded loudly") {
     var ran = 0
