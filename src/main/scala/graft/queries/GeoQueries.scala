@@ -105,9 +105,16 @@ object GeoQueries {
     * by clean-host recapture). One action through the index evaluates and
     * persists all three layers. The lazily-derived geom column is dropped:
     * it is not part of any persisted layer. */
-  def prewarmShared(s: SparkSession, dir: String): Unit =
+  def prewarmShared(s: SparkSession, dir: String): Unit = {
     index(s, dir).drop("geom")
       .write.format("noop").mode("overwrite").save()
+    // the q239/q240 fixture layouts (multi-parent parquet, bucketed
+    // warehouse) are one-time writes over the index just built —
+    // setup-phase work, not timed-entry work
+    q239Fixture(s, dir)
+    q240Fixture(s, dir)
+    ()
+  }
 
   /** Normalized objects (one row per object, with source_id) — lazy
     * projection over the cached staged relation, shared with the
@@ -157,11 +164,50 @@ object GeoQueries {
 
   /** q239's multi-parent parquet index and q240's bucketed warehouse —
     * built once per (JVM, dir): the entries pin PLAN shape + identity
-    * per execution; the fixture layout itself is one-time setup. */
+    * per execution; the fixture layout itself is one-time setup,
+    * charged to the bench's setup phase via [[prewarmShared]] (paying
+    * a multi-second parquet/bucketed write inside whichever timed
+    * window runs first made q239/q240 swing 3.7 -> 12.5 s across
+    * otherwise-identical captures — the exact attribution noise the
+    * prewarm convention exists to remove). */
   private val q239Memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q240Memo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Multi-parent (h3_parent_{6,7,8}) index as a parquet round-trip —
+    * RELATION columns, not prunable Project aliases (the q236
+    * lesson). Returns the parquet path. */
+  private def q239Fixture(s: SparkSession, dir: String): String =
+    q239Memo.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q239_idx").toString
+      H3Index.withParentsAt(sharedIndex(s, dir).drop("geom"), Seq(6, 7))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** `bucketBy(4, h3_parent_8)` warehouse slice as an EXTERNAL table
+    * at a fresh per-JVM temp path: a managed location under
+    * spark-warehouse/ survives the in-memory catalog (a prior JVM's
+    * run leaves the directory behind, and saveAsTable refuses a
+    * pre-existing managed location even after DROP TABLE IF EXISTS).
+    * Returns the table name. */
+  private def q240Fixture(s: SparkSession, dir: String): String = {
+    val table = "g_q240_idx_bucketed"
+    q240Memo.computeIfAbsent(dir, _ => {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft_q240_idx").toString
+      sharedIndex(s, dir).drop("geom")
+        .filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
+        .select("id", "dataset_id", "h3_cell", "h3_parent_8")
+        .write.bucketBy(4, "h3_parent_8").sortBy("h3_parent_8")
+        .option("path", loc)
+        .mode("overwrite").saveAsTable(table)
+      table
+    })
+  }
   private def q234Session(s: SparkSession, dir: String): SparkSession = {
     // a memoized session bound to a STOPPED context (the embedding app
     // restarted Spark in this JVM) would fail every q234 run forever —
@@ -489,14 +535,7 @@ object GeoQueries {
       val rule = graft.plans.H3IntersectsRewrite(s)
       val queryWkb = graft.spatial.Geometry.toWkb(
         graft.spatial.Geometry.fromWkt(GeoFixture.queryPolygonWkt))
-      val path = q239Memo.computeIfAbsent(dir, _ => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_q239_idx").toString
-        H3Index.withParentsAt(sharedIndex(s, dir).drop("geom"), Seq(6, 7))
-          .write.mode("overwrite").parquet(out)
-        out
-      })
-      val idx = s.read.parquet(path)
+      val idx = s.read.parquet(q239Fixture(s, dir))
         .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
       val out = ruleIdentity(s, rule, rule.ConfKey, "auto",
         p => p.contains("__g_h3f_key") && p.contains("BroadcastHashJoin") &&
@@ -525,24 +564,7 @@ object GeoQueries {
     // unrewritten nested-loop join's rows multiset-exactly.
     "q240_h3join_bucketed" -> ((s, dir) => {
       import s.implicits._
-      val table = "g_q240_idx_bucketed"
-      q240Memo.computeIfAbsent(dir, _ => {
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        // EXTERNAL table at a fresh per-JVM temp path: a managed
-        // location under spark-warehouse/ survives the in-memory
-        // catalog (a prior JVM's run leaves the directory behind,
-        // and saveAsTable refuses a pre-existing managed location
-        // even after DROP TABLE IF EXISTS)
-        val loc = java.nio.file.Files
-          .createTempDirectory("graft_q240_idx").toString
-        sharedIndex(s, dir).drop("geom")
-          .filter(pmod(xxhash64(col("h3_cell")), lit(8)) === 0)
-          .select("id", "dataset_id", "h3_cell", "h3_parent_8")
-          .write.bucketBy(4, "h3_parent_8").sortBy("h3_parent_8")
-          .option("path", loc)
-          .mode("overwrite").saveAsTable(table)
-        table
-      })
+      val table = q240Fixture(s, dir)
       def counted(rows: Array[Seq[Any]]): Map[Seq[Any], Int] =
         rows.groupBy(identity).map { case (k, v) => (k, v.length) }
       def queryOn(sess: SparkSession): org.apache.spark.sql.DataFrame = {
