@@ -644,6 +644,60 @@ class H3IntersectsRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("LOSSLESS rank-2 fallback applies to STREAMING plans too: the " +
+      "sentinel routing decides a contract-violating NULL-parent row " +
+      "inside the stream-static broadcast prefilter, rows == batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("h3f_r2_stream").toString
+    try {
+      // same contract-violating layout as the batch arm: fine rows
+      // store h3_parent_9; the violating row's own cell is res 5
+      // (coarser), so its stored parent is NULL — and its huge cell
+      // geometry intersects the query polygon
+      val fine = cellIndex.drop("geom")
+        .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+      val (clat, clng) = Crs.swerefToWgs84(565850, 6452150)
+      val coarseCell = H3Core.latLngToCell(clat, clng, 5)
+      val coarse = Seq((999L, coarseCell)).toDF("id", "h3_cell")
+        .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+      fine.unionByName(coarse)
+        .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+        .drop("h3_cell")
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      def cond = st_intersects(col("geom"), lit(queryWkb))
+      val expected = stored.filter(cond).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(expected.contains(999L),
+        "fixture broken: the violating row does not intersect — the " +
+          "streaming lossless claim is untested")
+      withRule(Some("7")) {
+        val stream = spark.readStream.schema(stored.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .filter(cond)
+          .select("id")
+        val q = stream.writeStream.outputMode("append").format("memory")
+          .queryName("h3f_r2_stream").start()
+        try q.processAllAvailable() finally q.stop()
+        val explained = {
+          val bos = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(bos))(q.explain())
+          bos.toString
+        }
+        assert(explained.contains("__g_h3f_key"),
+          s"rank-2 fallback did not fire inside the streaming " +
+            s"micro-batch:\n$explained")
+        val got = spark.table("h3f_r2_stream").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        assert(got == expected,
+          s"streamed rank-2 rewrite lost/added rows: got ${got.length}, " +
+            s"expected ${expected.length} (violating row kept: " +
+            s"${got.contains(999L)})")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("the covering estimate tracks THIN shapes (r19, r18 ADVICE low): " +
       "area+perimeter, not bbox — a long diagonal no longer coarsens " +
       "on a phantom bbox size; compact shapes still lean high") {
