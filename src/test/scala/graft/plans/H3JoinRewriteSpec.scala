@@ -605,4 +605,59 @@ class H3JoinRewriteSpec extends AnyFunSuite {
       }
     } finally gs.unpersist()
   }
+
+  test("LOSSLESS rank-2 fallback applies to STREAMING plans too: a " +
+      "readStream contract-violating index stratum joins through the " +
+      "sentinel inside the micro-batch, rows == the batch join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("h3j_r2_stream").toString
+    val gs = geomSide.cache()
+    try {
+      // same contract-violating parent-only layout as the batch arm
+      val fine = cellIndex.drop("geom")
+        .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+      val (clat, clng) = Crs.swerefToWgs84(562000, 6450000)
+      val coarseCell = H3Core.latLngToCell(clat, clng, 5)
+      val coarse = Seq((999L, coarseCell)).toDF("id", "h3_cell")
+        .withColumn("h3_parent_9", h3_cell_to_parent(col("h3_cell"), lit(9)))
+      fine.unionByName(coarse)
+        .withColumn("geom", g_h3_cell_to_geom(col("h3_cell")))
+        .drop("h3_cell")
+        .repartition(3).write.mode("overwrite").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val expected = stored
+        .join(gs, st_intersects(col("geom"), col("ggeom")))
+        .select("id", "gid")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(expected.exists(_.startsWith("999|")),
+        "fixture broken: the violating row matches no geometry — the " +
+          "streaming lossless claim is untested")
+      withRule(Some("8")) {
+        val stream = spark.readStream.schema(stored.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .join(gs, st_intersects(col("geom"), col("ggeom")))
+          .select("id", "gid")
+        val q = stream.writeStream.outputMode("append").format("memory")
+          .queryName("h3j_r2_stream").start()
+        try q.processAllAvailable() finally q.stop()
+        val explained = {
+          val bos = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(bos))(q.explain())
+          bos.toString
+        }
+        assert(explained.contains("__g_h3j_"),
+          s"rank-2 join fallback did not fire inside the streaming " +
+            s"micro-batch:\n$explained")
+        val got = spark.table("h3j_r2_stream")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(got == expected,
+          s"streamed rank-2 join != batch join (violating pairs kept: " +
+            s"${got.count(_.startsWith("999|"))} of " +
+            s"${expected.count(_.startsWith("999|"))})")
+      }
+    } finally {
+      gs.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
