@@ -535,12 +535,17 @@ object Bench {
     locally {
       val refless = names.sorted.filterNot(n =>
         artifactRefs.contains(n) || quietRefS.contains(n))
-      if (refless.nonEmpty)
+      if (refless.nonEmpty) {
+        // with the artifact absent/ignored most of the battery is
+        // refless — name a few, not hundreds on one stderr line
+        val shown = refless.take(8).mkString(", ") +
+          (if (refless.size > 8) s", … ${refless.size - 8} more" else "")
         System.err.println(s"[bench] ${refless.size} entr" +
           (if (refless.size == 1) "y has" else "ies have") +
-          s" no quiet ref (newer than the artifact): " +
-          refless.mkString(", ") + " — unbarred this capture; refresh " +
-          "BENCH_ref.json from the next clean candidate to bar them")
+          s" no quiet ref (newer than the artifact): $shown — unbarred " +
+          "this capture; refresh BENCH_ref.json from the next clean " +
+          "candidate to bar them")
+      }
     }
     var adaptiveReps = 0
     // consumer-aware release of the battery's persisted intermediates:
