@@ -596,25 +596,19 @@ object Sketches {
   def kmvOverlap(a: DataFrame, b: DataFrame,
       groupCols: Seq[String]): DataFrame = {
     val gcols = groupCols.map(col)
-    val (th, sa, sb) = thetaFrames(a, b, groupCols, "kmvOverlap")
-    val inter = sa.join(sb, groupCols :+ "__h")
-      .groupBy(gcols: _*).agg(count(lit(1)).as("__i"))
-    val uni = sa.union(sb).distinct()
-      .groupBy(gcols: _*).agg(count(lit(1)).as("__u"))
+    val th = thetaCounts(a, b, groupCols, "kmvOverlap")
     def kmvEst(sfx: String): Column =
       when(col(s"__n$sfx") < col(s"__k$sfx"), col(s"__n$sfx").cast("double"))
         .otherwise((col(s"__k$sfx") - 1).cast("double") * lit(Pow52) /
           (col(s"__kth$sfx").cast("double") + lit(0.5)))
-    th.join(uni, groupCols.toSeq, "left")
-      .join(inter, groupCols.toSeq, "left")
-      .select(gcols ++ Seq(
-        kmvEst("a").as("n_a"),
-        kmvEst("b").as("n_b"),
-        (coalesce(col("__i"), lit(0L)).cast("double") * lit(Pow52) /
-          col("__theta").cast("double")).as("n_inter"),
-        when(coalesce(col("__u"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(coalesce(col("__i"), lit(0L)).cast("double") /
-            col("__u").cast("double")).as("jaccard_kmv")): _*)
+    th.select(gcols ++ Seq(
+      kmvEst("a").as("n_a"),
+      kmvEst("b").as("n_b"),
+      (coalesce(col("__i"), lit(0L)).cast("double") * lit(Pow52) /
+        col("__theta").cast("double")).as("n_inter"),
+      when(coalesce(col("__u"), lit(0L)) === 0L, lit(0.0))
+        .otherwise(coalesce(col("__i"), lit(0L)).cast("double") /
+          col("__u").cast("double")).as("jaccard_kmv")): _*)
   }
 
   /** Theta set-DIFFERENCE sizing between two stored sketches (same
@@ -633,24 +627,14 @@ object Sketches {
   def kmvDifference(a: DataFrame, b: DataFrame,
       groupCols: Seq[String]): DataFrame = {
     val gcols = groupCols.map(col)
-    val (th, sa, sb) = thetaFrames(a, b, groupCols, "kmvDifference")
-    val keys = groupCols :+ "__h"
-    val aOnly = sa.join(sb, keys, "left_anti")
-      .groupBy(gcols: _*).agg(count(lit(1)).as("__ao"))
-    val bOnly = sb.join(sa, keys, "left_anti")
-      .groupBy(gcols: _*).agg(count(lit(1)).as("__bo"))
-    val inter = sa.join(sb, keys)
-      .groupBy(gcols: _*).agg(count(lit(1)).as("__i"))
+    val th = thetaCounts(a, b, groupCols, "kmvDifference")
     def scaled(c: Column): Column =
       coalesce(c, lit(0L)).cast("double") * lit(Pow52) /
         col("__theta").cast("double")
-    th.join(aOnly, groupCols.toSeq, "left")
-      .join(bOnly, groupCols.toSeq, "left")
-      .join(inter, groupCols.toSeq, "left")
-      .select(gcols ++ Seq(
-        scaled(col("__ao")).as("n_a_only"),
-        scaled(col("__bo")).as("n_b_only"),
-        scaled(col("__i")).as("n_inter")): _*)
+    th.select(gcols ++ Seq(
+      scaled(col("__ao")).as("n_a_only"),
+      scaled(col("__bo")).as("n_b_only"),
+      scaled(col("__i")).as("n_inter")): _*)
   }
 
   /** Shared theta plumbing for [[kmvOverlap]]/[[kmvDifference]]:
@@ -694,51 +678,101 @@ object Sketches {
         "have different retention thresholds — roll them up through " +
         "kmvMerge first) and both sides must share one k"))
 
-  private def thetaFrames(a: DataFrame, b: DataFrame,
-      groupCols: Seq[String], caller: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Shared theta computation for [[kmvOverlap]]/[[kmvDifference]]:
+    * per-group thresholds plus the θ-sample set counts (__i
+    * intersection, __u union, __ao A-only, __bo B-only), all from ONE
+    * staged side-flagged UNION of the two sketch tables.
+    *
+    * Shape rationale (r19 optimization round, guide §2.4): the
+    * previous spelling staged each side separately and fanned them
+    * into a k-gate aggregate, a per-side threshold aggregate, two
+    * θ-sample joins and (for the difference) two anti-joins + an
+    * inner join — ~10 plan subtrees over the two lazily-persisted
+    * sides, which AQE compiled into ~50 near-empty jobs per execution
+    * (measured 14.6 s first / 6.1 s warm for one kmvOverlap at sf0.1
+    * on 9163 input rows; the concurrent broadcast builds additionally
+    * raced to materialize the unpersisted sketch pipelines). The
+    * union form computes identical values with two aggregations and
+    * one broadcast join: rows carry a side flag, per-group thresholds
+    * come from conditional aggregates, and every set count is a flag
+    * predicate over the per-(group, hash) side flags — no join ever
+    * touches two copies of a sketch pipeline.
+    *
+    * k contract, the kmvMerge way (r15 ADVICE): each SIDE must be
+    * internally k-uniform and the two sides must share one k; the
+    * check runs as ONE lazy [[gateOf]] plan gate folded into __theta
+    * (r16 What's-wrong #2) — construction stays a pure transformation
+    * builder, and a violation raise_errors the consumer's own job
+    * loudly. Every downstream estimate divides by __theta, so column
+    * pruning can never drop the check. NULL bounds (an empty side)
+    * pass — an empty side yields no both-sides group rows, and the
+    * diagnostic keeps its k values via [[kGateMessage]]'s coalesces.
+    *
+    * Returned columns: groupCols, __na/__ktha/__ka and b-suffixed
+    * twins, __thetaa/__thetab/__theta, and nullable __i/__u/__ao/__bo
+    * (NULL when a group has no θ-sample rows at all — the callers
+    * coalesce to 0, the pre-r19 left-join convention). Only groups
+    * present on BOTH sides appear (the pre-r19 inner-join semantics:
+    * an absent side has no sketch, not an empty set). */
+  private def thetaCounts(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], caller: String): DataFrame = {
     val gcols = groupCols.map(col)
     // stageLazy, not stage: localCheckpoint staging submits its
     // shuffle stages at CALL time even when lazy — a persist cache
-    // gives the same one-execution sharing across the k gate, the
-    // threshold aggregate and the theta samples with zero call-time
-    // jobs (and these frames are <= k rows per group)
-    val sa0 = Materialize.stageLazy(a)
-    val sb0 = Materialize.stageLazy(b)
-    // the k contract as a one-row lazy gate over both staged sides:
-    // side-internal uniformity (min == max within each side, the
-    // kmvMerge rule) and cross-side equality; NULL bounds (an empty
-    // side) pass — an empty side simply yields no joined group rows
+    // gives one execution of the sketch pipelines with zero call-time
+    // jobs (and this frame is <= 2k rows per group)
+    val u0 = Materialize.stageLazy(
+      a.select(gcols ++ Seq(col("kmv_h"), col("kmv_k"),
+        lit(0).as("__side")): _*)
+        .unionByName(b.select(gcols ++ Seq(col("kmv_h"), col("kmv_k"),
+          lit(1).as("__side")): _*)))
+    def onSide(s: Int, c: Column): Column = when(col("__side") === s, c)
+    val pg = u0.groupBy(gcols: _*).agg(
+      count(onSide(0, lit(1))).as("__na"),
+      max(onSide(0, col("kmv_h"))).as("__ktha"),
+      max(onSide(0, col("kmv_k"))).as("__ka"),
+      min(onSide(0, col("kmv_k"))).as("__ka0g"),
+      count(onSide(1, lit(1))).as("__nb"),
+      max(onSide(1, col("kmv_h"))).as("__kthb"),
+      max(onSide(1, col("kmv_k"))).as("__kb"),
+      min(onSide(1, col("kmv_k"))).as("__kb0g"))
+    // the global per-side k bounds are min-of-group-mins /
+    // max-of-group-maxes — identical to aggregating the raw sides, and
+    // NULL exactly when a side is empty (min/max skip NULL group cells)
     val gate = gateOf(
-      sa0.agg(min(col("kmv_k")).as("__ka0"), max(col("kmv_k")).as("__ka1"))
-        .crossJoin(sb0.agg(min(col("kmv_k")).as("__kb0"),
-          max(col("kmv_k")).as("__kb1"))),
+      pg.agg(min(col("__ka0g")).as("__ka0"), max(col("__ka")).as("__ka1"),
+        min(col("__kb0g")).as("__kb0"), max(col("__kb")).as("__kb1")),
       (col("__ka0").isNull || col("__ka0") === col("__ka1")) &&
         (col("__kb0").isNull || col("__kb0") === col("__kb1")) &&
         (col("__ka0").isNull || col("__kb0").isNull ||
           col("__ka0") === col("__kb0")),
       kGateMessage(caller))
-    def agged(sk: DataFrame, sfx: String): DataFrame =
-      sk.groupBy(gcols: _*)
-        .agg(count(lit(1)).as(s"__n$sfx"), max(col("kmv_h")).as(s"__kth$sfx"),
-          max(col("kmv_k")).as(s"__k$sfx"))
-        .withColumn(s"__theta$sfx",
-          when(col(s"__n$sfx") < col(s"__k$sfx"), lit(Theta1))
-            .otherwise(col(s"__kth$sfx")))
-    val th = agged(sa0, "a").join(agged(sb0, "b"), groupCols)
+    val th = pg.filter(col("__na") > 0 && col("__nb") > 0)
+      .withColumn("__thetaa",
+        when(col("__na") < col("__ka"), lit(Theta1)).otherwise(col("__ktha")))
+      .withColumn("__thetab",
+        when(col("__nb") < col("__kb"), lit(Theta1)).otherwise(col("__kthb")))
       .crossJoin(gate)
       // __gate is 1 when the contract holds; folding it into __theta
       // keeps the raise_error subtree alive under column pruning (the
       // hdrQuantiles convention)
       .withColumn("__theta",
         least(col("__thetaa"), col("__thetab")) + (col("__gate") - 1L))
-      .drop("__gate")
+      .drop("__gate", "__ka0g", "__kb0g")
     val thSlim = th.select(gcols :+ col("__theta"): _*)
-    def below(sk: DataFrame): DataFrame =
-      sk.select(gcols :+ col("kmv_h").as("__h"): _*)
-        .join(thSlim, groupCols)
-        .filter(col("__h") < col("__theta"))
-        .select(gcols :+ col("__h"): _*)
-    (th, below(sa0), below(sb0))
+    val cnts = u0
+      .select(gcols ++ Seq(col("kmv_h").as("__h"), col("__side")): _*)
+      .join(thSlim, groupCols)
+      .filter(col("__h") < col("__theta"))
+      .groupBy(gcols :+ col("__h"): _*)
+      .agg(max(col("__side") === 0).as("__fa"),
+        max(col("__side") === 1).as("__fb"))
+      .groupBy(gcols: _*)
+      .agg(
+        sum(when(col("__fa") && col("__fb"), 1L).otherwise(0L)).as("__i"),
+        count(lit(1)).as("__u"),
+        sum(when(col("__fa") && !col("__fb"), 1L).otherwise(0L)).as("__ao"),
+        sum(when(col("__fb") && !col("__fa"), 1L).otherwise(0L)).as("__bo"))
+    th.join(cnts, groupCols.toSeq, "left")
   }
 }

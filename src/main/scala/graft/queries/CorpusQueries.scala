@@ -1099,9 +1099,12 @@ object CorpusQueries {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_type"), col("user_id"), col("event_id"))
       val strat = ev.filter(col("event_id") % 3 === 1)
-      val (tmp, src) = writeIdOrderedMicroBatches(strat, "event_id",
-        "q203")
-      try {
+      // q203/q231 stream the IDENTICAL slice: one shared fixture
+      // (Memos-owned lifecycle) instead of a corpus copy per execution
+      val src = StreamFixtures.sharedMicroBatches(strat, "event_id",
+        s"corpus:streamfx13:$dir",
+        Set("q203_streaming_hll", "q231_streaming_kmv"))
+      locally {
         val stream = s.readStream.schema(strat.schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
         val q = graft.ops.Sketches
@@ -1130,7 +1133,7 @@ object CorpusQueries {
           .select(col("event_type"), round(col("n_hll"), 2).as("n_hll"),
             col("hll_v"), col("hll_reg_digest"))
           .orderBy("event_type")
-      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
     }),
 
     // Streaming KMV build (q203's sibling for the distinct sketch):
@@ -1148,9 +1151,11 @@ object CorpusQueries {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_type"), col("user_id"), col("event_id"))
       val strat = ev.filter(col("event_id") % 3 === 1)
-      val (tmp, src) = writeIdOrderedMicroBatches(strat, "event_id",
-        "q231")
-      try {
+      // shared with q203 — see sharedMicroBatches
+      val src = StreamFixtures.sharedMicroBatches(strat, "event_id",
+        s"corpus:streamfx13:$dir",
+        Set("q203_streaming_hll", "q231_streaming_kmv"))
+      locally {
         val stream = s.readStream.schema(strat.schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
         val q = graft.ops.Sketches
@@ -1176,7 +1181,7 @@ object CorpusQueries {
             Seq("event_type"))
           .select(col("event_type"), round(col("n_kmv"), 4).as("n_kmv"))
           .orderBy("event_type")
-      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
     })
   )
 

@@ -15,6 +15,14 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  // parallel variant for the module's HEAVY one-pass builders (bigram
+  // explode, BPE merge learns, DSIR weight build) — see Inputs.parquet;
+  // the light per-entry reads stay bare: measured r19, the added
+  // exchange + 32-task stages cost the many small entries ~0.5 s each
+  // while only the heavy builders repay it
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    Inputs.parquet(s, s"$dir/documents.parquet")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -33,24 +41,32 @@ object PipelineQueries {
   }
 
   // q228 (overlap) and q230 (difference) share the staged distinct
-  // bigram table: ONE scan/explode/distinct builds both corpus halves
-  // (side is just a column), feeding the sketches AND the exact
-  // counts of both entries — built once per battery, released after
-  // the later consumer (Memos lifecycle; the spanList pattern).
+  // bigram table: ONE scan/explode/aggregate builds both corpus halves,
+  // feeding the sketches AND the exact counts of both entries — built
+  // once per battery, released after the later consumer (Memos
+  // lifecycle; the spanList pattern). Stored as one row per distinct
+  // (lang, bigram) with per-side membership FLAGS (r19 optimization,
+  // guide §2.3/§2.4): the flag form is strictly smaller than the
+  // (lang, side, bg) distinct rows, each side is a filter of it, and
+  // the exact intersection/difference counts of q228/q230 become ONE
+  // aggregation over this table instead of per-side groupBys plus
+  // (anti-)joins re-keyed on (lang, bg).
   private val bgMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def sharedBigrams(s: SparkSession, dir: String): DataFrame =
     bgMemo.getOrElseUpdate(dir, {
       val ts = filter(graft.ops.TextDedup.tokensOf(col("text")),
         t => length(t) > 0)
       val bg = graft.ops.Materialize.stage(
-        docs(s, dir).filter(col("doc_id").isNotNull)
+        docsPar(s, dir).filter(col("doc_id").isNotNull)
           .select(col("lang"), (col("doc_id") % 2).as("side"),
             explode(when(size(ts) >= 2,
               transform(sequence(lit(1), size(ts) - 1), i =>
                 concat(element_at(ts, i), lit(" "),
                   element_at(ts, i + 1))))
               .otherwise(array().cast("array<string>"))).as("bg"))
-          .distinct())
+          .groupBy(col("lang"), col("bg"))
+          .agg(max(col("side") === 0).as("__in_a"),
+            max(col("side") === 1).as("__in_b")))
       Memos.track(s"pipeline:kmvbg:$dir",
         Set("q228_kmv_overlap", "q230_kmv_difference"), bg) { () =>
         graft.ops.Materialize.release(bg); bgMemo.remove(dir); ()
@@ -68,7 +84,7 @@ object PipelineQueries {
   private val bpeMemo =
     scala.collection.concurrent.TrieMap[String, Seq[(Int, String, String, Long)]]()
   private def learnBpeRules(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
-    val r = graft.ops.TrainingOps.bpeMerges(docs(s, dir), "text", numMerges = 8)
+    val r = graft.ops.TrainingOps.bpeMerges(docsPar(s, dir), "text", numMerges = 8)
       .orderBy("merge_idx").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -87,7 +103,7 @@ object PipelineQueries {
   private def learnByteBpeRules(s: SparkSession,
       dir: String): Seq[(String, String)] = {
     val r = graft.ops.TrainingOps
-      .byteBpeMerges(docs(s, dir), "text", numMerges = 8)
+      .byteBpeMerges(docsPar(s, dir), "text", numMerges = 8)
       .orderBy("merge_idx").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     byteBpeMemo.put(dir, r)
@@ -102,7 +118,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap[String, DataFrame]()
   private def dsirFixture(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val d = docsPar(s, dir).select(col("doc_id"), col("text"))
     (d.filter(col("doc_id") % 37 =!= 0), d.filter(col("doc_id") % 37 === 0))
   }
   private def dsirWeightsMemo(s: SparkSession, dir: String): DataFrame =
@@ -1184,17 +1200,24 @@ object PipelineQueries {
     // theta min, sample counts, the two final divisions — in DuckDB.
     "q228_kmv_overlap" -> ((s, dir) => {
       val bg = sharedBigrams(s, dir)
-      val exA = bg.filter(col("side") === 0).select("lang", "bg")
-      val exB = bg.filter(col("side") === 1).select("lang", "bg")
+      val exA = bg.filter(col("__in_a")).select("lang", "bg")
+      val exB = bg.filter(col("__in_b")).select("lang", "bg")
       locally {
         val ov = graft.ops.Sketches.kmvOverlap(
           graft.ops.Sketches.kmvSketch(exA, Seq("lang"), "bg", k = 256),
           graft.ops.Sketches.kmvSketch(exB, Seq("lang"), "bg", k = 256),
           Seq("lang"))
-        val exact = exA.groupBy("lang").agg(count(lit(1)).as("__exa"))
-          .join(exB.groupBy("lang").agg(count(lit(1)).as("__exb")), "lang")
-          .join(exA.join(exB, Seq("lang", "bg"))
-            .groupBy("lang").agg(count(lit(1)).as("__exi")), "lang")
+        // exact counts as ONE pass over the staged flag table (r19 —
+        // was per-side groupBys + an inner join re-keyed on
+        // (lang, bg)); the >0 filters reproduce the former inner-join
+        // semantics exactly (a language missing a side or with an
+        // empty intersection produced no row there)
+        val exact = bg.groupBy("lang").agg(
+            sum(when(col("__in_a"), 1L).otherwise(0L)).as("__exa"),
+            sum(when(col("__in_b"), 1L).otherwise(0L)).as("__exb"),
+            sum(when(col("__in_a") && col("__in_b"), 1L).otherwise(0L))
+              .as("__exi"))
+          .filter(col("__exa") > 0 && col("__exb") > 0 && col("__exi") > 0)
         val rows = ov.join(exact, "lang")
           .orderBy("lang").collect()
         rows.foreach { r =>
@@ -1233,27 +1256,26 @@ object PipelineQueries {
     // scaled divisions) in DuckDB.
     "q230_kmv_difference" -> ((s, dir) => {
       val bg = sharedBigrams(s, dir)
-      val exA = bg.filter(col("side") === 0).select("lang", "bg")
-      val exB = bg.filter(col("side") === 1).select("lang", "bg")
+      val exA = bg.filter(col("__in_a")).select("lang", "bg")
+      val exB = bg.filter(col("__in_b")).select("lang", "bg")
       val d = graft.ops.Sketches.kmvDifference(
         graft.ops.Sketches.kmvSketch(exA, Seq("lang"), "bg", k = 256),
         graft.ops.Sketches.kmvSketch(exB, Seq("lang"), "bg", k = 256),
         Seq("lang"))
-      // LEFT joins from the theta frame + COALESCE to 0 (r16 ADVICE):
-      // a language whose halves share ALL bigrams has an EMPTY A∖B —
-      // its left-anti aggregate produces no row at all, and an inner
-      // join here would silently drop the language from Spark's output
-      // while the DuckDB oracle's LEFT JOIN keeps it with zeros
+      // exact set sizes as ONE pass over the staged flag table (r19 —
+      // was two left-anti joins + an inner join re-keyed on
+      // (lang, bg)); a language whose halves share ALL bigrams gets
+      // __exao = 0 from the flag sum directly (the r16 ADVICE zero
+      // the left-anti spelling needed LEFT joins + COALESCE for), and
+      // the LEFT join from the theta frame keeps exactly d's languages
       val exact = d.select("lang")
-        .join(exA.join(exB, Seq("lang", "bg"), "left_anti")
-          .groupBy("lang").agg(count(lit(1)).as("__exao")), Seq("lang"),
-          "left")
-        .join(exB.join(exA, Seq("lang", "bg"), "left_anti")
-          .groupBy("lang").agg(count(lit(1)).as("__exbo")), Seq("lang"),
-          "left")
-        .join(exA.join(exB, Seq("lang", "bg"))
-          .groupBy("lang").agg(count(lit(1)).as("__exi")), Seq("lang"),
-          "left")
+        .join(bg.groupBy("lang").agg(
+            sum(when(col("__in_a") && !col("__in_b"), 1L).otherwise(0L))
+              .as("__exao"),
+            sum(when(col("__in_b") && !col("__in_a"), 1L).otherwise(0L))
+              .as("__exbo"),
+            sum(when(col("__in_a") && col("__in_b"), 1L).otherwise(0L))
+              .as("__exi")), Seq("lang"), "left")
         .select(col("lang"), coalesce(col("__exao"), lit(0L)).as("__exao"),
           coalesce(col("__exbo"), lit(0L)).as("__exbo"),
           coalesce(col("__exi"), lit(0L)).as("__exi"))

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Inputs.parquet(s, s"$dir/embeddings.parquet")
 
   /** In-order double fold of sum(a[i]*b[i]) — deterministic, unlike a
     * shuffled SUM over exploded rows. */
@@ -216,13 +216,23 @@ object VectorQueries {
         corpus, "vec_id", "embedding", tau = 0.8,
         bands = 4, bandBits = 16).persist()
       try {
-        val lost = base.select("id_a", "id_b")
-          .exceptAll(withP.select("id_a", "id_b")).count()
+        // one-job two-sided pin ((id_a, id_b) unique per side — both
+        // ops end in a pair-distinct + refine): the two exceptAll
+        // counts are the two NULL sides of one full-outer join (r19;
+        // the q199/q227 one-job-pin convention)
+        val d0 = base.select(col("id_a"), col("id_b"), lit(1).as("__b"))
+          .join(withP.select(col("id_a"), col("id_b"), lit(1).as("__p")),
+            Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("lost"),
+            coalesce(sum(when(col("__b").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("gained"))
+          .head()
+        val (lost, gained) = (d0.getLong(0), d0.getLong(1))
         require(lost == 0L,
           s"multi-probe LOST $lost base candidate pairs — probe 0 " +
             "must reproduce the base banding")
-        val gained = withP.select("id_a", "id_b")
-          .exceptAll(base.select("id_a", "id_b")).count()
         require(gained > 0L,
           "probing found nothing the base banding missed — the " +
             "noised fixture has no drifted-signature mass")
@@ -250,9 +260,12 @@ object VectorQueries {
     "q214_streaming_srp" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
       val streamVecs = e.filter(col("vec_id") % 3 === 1)
-      val (tmp, src) = StreamFixtures.writeIdOrderedMicroBatches(
-        streamVecs, "vec_id", "q214")
-      try {
+      // q214/q227 stream the IDENTICAL slice: one shared fixture
+      // (Memos-owned lifecycle) instead of a corpus copy per execution
+      val src = StreamFixtures.sharedMicroBatches(streamVecs, "vec_id",
+        s"vector:streamfx13:$dir",
+        Set("q214_streaming_srp", "q227_streaming_multiprobe"))
+      locally {
         val stream = s.readStream.schema(streamVecs.schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
         val q = stream.filter(col("embedding").isNotNull)
@@ -270,7 +283,7 @@ object VectorQueries {
           "streaming SRP bucketing diverged from the batch operator " +
             "on the vec stratum")
         batch.orderBy("vec_id", "band")
-      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
     }),
 
     // STREAMING multi-probe bucketing (ops/VectorOps.srpProjections +
@@ -286,9 +299,11 @@ object VectorQueries {
     "q227_streaming_multiprobe" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
       val streamVecs = e.filter(col("vec_id") % 3 === 1)
-      val (tmp, src) = StreamFixtures.writeIdOrderedMicroBatches(
-        streamVecs, "vec_id", "q227")
-      try {
+      // shared with q214 — see sharedMicroBatches
+      val src = StreamFixtures.sharedMicroBatches(streamVecs, "vec_id",
+        s"vector:streamfx13:$dir",
+        Set("q214_streaming_srp", "q227_streaming_multiprobe"))
+      locally {
         val stream = s.readStream.schema(streamVecs.schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
         val q = stream.filter(col("embedding").isNotNull)
@@ -321,7 +336,7 @@ object VectorQueries {
           s"streaming multi-probe bucketing diverged from the batch " +
             s"probe table on $diff stratum rows")
         batch.orderBy("vec_id", "band", "probe")
-      } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
     })
   )
 
