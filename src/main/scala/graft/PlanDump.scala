@@ -61,6 +61,23 @@ object PlanDump {
           graft.ops.Sketches.kmvSketch(exA, Seq("lang"), "bg", k = 256),
           graft.ops.Sketches.kmvSketch(exB, Seq("lang"), "bg", k = 256),
           Seq("lang")))
+      case "pq_adc" =>
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val books = graft.ops.VectorOps.pqCodebooks(e, "vec_id",
+          "embedding", m = 4, ksub = 8).persist()
+        books.count()
+        val enc = graft.ops.VectorOps.pqEncode(e, "vec_id", "embedding",
+          books).persist()
+        enc.count()
+        fmt(graft.ops.VectorOps.pqAdcKnn(
+          e.filter(col("vec_id") % 7 === 3), enc, books, "vec_id",
+          "embedding", k = 5))
+      case "srp_bands" =>
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        fmt(graft.ops.VectorOps.srpBands(e, "vec_id", "embedding",
+          bands = 4, bandBits = 16))
       case other =>
         s"unknown plan shape '$other'"
     }

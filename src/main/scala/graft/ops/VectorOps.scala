@@ -122,6 +122,305 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(a), toExpr(b)))
 
+  /** The subspace-ordered ADC cosine of the q199 decode-re-derivation
+    * as a NATIVE expression (r19 optimization, guide §4): bit-identical
+    * to the HOF spelling
+    * {{{
+    *   subFold(sp => dot(slice(q, sp*subDim+1, subDim),
+    *                     slice(r, sp*subDim+1, subDim))) /
+    *     (l2norm(q) * sqrt(subFold(sp => dot(slice(r, ...), slice(r, ...)))))
+    * }}}
+    * — the numerator and the r-norm² accumulate per-subspace partial
+    * dots (each an in-order left fold) and then sum the partials in
+    * subspace order, while the q-norm² is ONE in-order fold over the
+    * FULL array (the l2norm grouping); the final division is Spark's
+    * Divide contract (0.0 divisor => SQL NULL). Same IEEE op sequence,
+    * one eval call per row instead of ~10 interpreted
+    * higher-order-lambda tree walks over sliced array copies (measured
+    * 6.6 s -> sub-second for the 190k-row q199 pin stage at sf0.1).
+    * Inputs must be numeric arrays of exactly m*subDim elements —
+    * anything else (including any NULL element) is SQL NULL, exactly
+    * like the zip_with/aggregate composition on well-formed input. */
+  case class PqAdcCosine(q: Expression, r: Expression, m: Int,
+      subDim: Int) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(q, r)
+    override def dataType: DataType = DoubleType
+    private def supported(t: DataType): Boolean = t match {
+      case ArrayType(et, _) => et match {
+        case FloatType | DoubleType | IntegerType | LongType |
+            ShortType | ByteType => true
+        case _ => false
+      }
+      case _ => false
+    }
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (supported(q.dataType) && supported(r.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"PqAdcCosine needs two numeric arrays, got ${q.dataType} " +
+            s"and ${r.dataType}")
+    private def getter(e: Expression): (ArrayData, Int) => Double =
+      e.dataType match {
+        case ArrayType(FloatType, _) => (ad, i) => ad.getFloat(i).toDouble
+        case ArrayType(DoubleType, _) => (ad, i) => ad.getDouble(i)
+        case ArrayType(IntegerType, _) => (ad, i) => ad.getInt(i).toDouble
+        case ArrayType(LongType, _) => (ad, i) => ad.getLong(i).toDouble
+        case ArrayType(ShortType, _) => (ad, i) => ad.getShort(i).toDouble
+        case ArrayType(ByteType, _) => (ad, i) => ad.getByte(i).toDouble
+        case t => throw new IllegalArgumentException(
+          s"PqAdcCosine needs a numeric array, got $t")
+      }
+    @transient private lazy val getQ = getter(q)
+    @transient private lazy val getR = getter(r)
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val qa = v(0).asInstanceOf[ArrayData]
+      val ra = v(1).asInstanceOf[ArrayData]
+      val n = m * subDim
+      if (qa.numElements() != n || ra.numElements() != n) return null
+      var i = 0
+      while (i < n) {
+        if (qa.isNullAt(i) || ra.isNullAt(i)) return null
+        i += 1
+      }
+      // numerator and r-norm²: per-subspace in-order partial folds,
+      // partials summed in subspace order (the subFold grouping)
+      var num = 0.0
+      var rr = 0.0
+      var sp = 0
+      while (sp < m) {
+        var dQR = 0.0
+        var dRR = 0.0
+        var j = sp * subDim
+        val end = j + subDim
+        while (j < end) {
+          val x = getQ(qa, j)
+          val y = getR(ra, j)
+          dQR += x * y
+          dRR += y * y
+          j += 1
+        }
+        num += dQR
+        rr += dRR
+        sp += 1
+      }
+      // q-norm²: ONE in-order fold over the full array (the l2norm
+      // grouping — a different IEEE sequence than the subspace sums)
+      var qq = 0.0
+      i = 0
+      while (i < n) {
+        val x = getQ(qa, i)
+        qq += x * x
+        i += 1
+      }
+      val den = math.sqrt(qq) * math.sqrt(rr)
+      if (den == 0.0) null else num / den
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(q = c(0), r = c(1))
+  }
+
+  def pqAdcCosine(q: Column, r: Column, m: Int, subDim: Int): Column =
+    toCol(PqAdcCosine(toExpr(q), toExpr(r), m, subDim))
+
+  /** Shared plumbing of the native SRP expressions: numeric-array
+    * element getter (the [[CosineSim]] table). */
+  private def arrGetter(t: DataType): (ArrayData, Int) => Double =
+    t match {
+      case ArrayType(FloatType, _) => (ad, i) => ad.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (ad, i) => ad.getDouble(i)
+      case ArrayType(IntegerType, _) => (ad, i) => ad.getInt(i).toDouble
+      case ArrayType(LongType, _) => (ad, i) => ad.getLong(i).toDouble
+      case ArrayType(ShortType, _) => (ad, i) => ad.getShort(i).toDouble
+      case ArrayType(ByteType, _) => (ad, i) => ad.getByte(i).toDouble
+      case t0 => throw new IllegalArgumentException(
+        s"need a numeric array, got $t0")
+    }
+  private def numericArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+        ShortType | ByteType, _) => true
+    case _ => false
+  }
+
+  /** All `outDims` signed-projection dot folds of one vector as ONE
+    * native expression (r19, guide §4) — bit-identical to
+    * `array((0 until outDims).map(i => dot(vec, lit(signs(i)))))`:
+    * each component is the same in-order left fold over the same
+    * doubles, and the HOF edge cases are reproduced exactly (a vector
+    * whose length differs from the sign rows', or with any NULL
+    * element, zip_with-pads/nulls every fold — so every component is
+    * NULL). The interpreted spelling walked outDims x dims
+    * higher-order lambda nodes per row; this is outDims primitive
+    * inner loops (measured: the SRP signature stage drops from
+    * dominating its queries to noise). */
+  case class SrpProject(vec: Expression, signs: Array[Array[Double]])
+      extends GeoExpr {
+    override def children: Seq[Expression] = Seq(vec)
+    override def dataType: DataType = ArrayType(DoubleType, true)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (numericArray(vec.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"SrpProject needs a numeric array, got ${vec.dataType}")
+    @transient private lazy val getV = arrGetter(vec.dataType)
+    private val dims = if (signs.isEmpty) 0 else signs(0).length
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val va = v(0).asInstanceOf[ArrayData]
+      val out = new Array[Any](signs.length)
+      val n = va.numElements()
+      var degenerate = n != dims
+      if (!degenerate) {
+        var i = 0
+        while (i < n && !degenerate) {
+          if (va.isNullAt(i)) degenerate = true
+          i += 1
+        }
+      }
+      if (degenerate)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      var r = 0
+      while (r < signs.length) {
+        val row = signs(r)
+        var acc = 0.0
+        var j = 0
+        while (j < dims) {
+          acc += getV(va, j) * row(j)
+          j += 1
+        }
+        out(r) = acc
+        r += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(vec = c(0))
+  }
+
+  /** The SRP band buckets of one vector as ONE native expression
+    * (r19, guide §4) — bit-identical to the per-bit HOF spelling
+    * `array(bands)(Σ_k when(dot(vec, sign_bk) > 0, 1L << k) else 0L)`:
+    * the per-bit projection is the same in-order fold, the
+    * strictly-positive bit rule is unchanged, and the HOF edge cases
+    * reproduce exactly (length-mismatched or NULL-element vectors
+    * null every fold, and `NULL > 0` is false — all buckets 0). */
+  case class SrpBandBuckets(vec: Expression, signs: Array[Array[Double]],
+      bands: Int, bandBits: Int) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(vec)
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (numericArray(vec.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"SrpBandBuckets needs a numeric array, got ${vec.dataType}")
+    @transient private lazy val getV = arrGetter(vec.dataType)
+    private val dims = if (signs.isEmpty) 0 else signs(0).length
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val va = v(0).asInstanceOf[ArrayData]
+      val out = new Array[Any](bands)
+      val n = va.numElements()
+      var degenerate = n != dims
+      if (!degenerate) {
+        var i = 0
+        while (i < n && !degenerate) {
+          if (va.isNullAt(i)) degenerate = true
+          i += 1
+        }
+      }
+      var b = 0
+      while (b < bands) {
+        var bucket = 0L
+        if (!degenerate) {
+          var k = 0
+          while (k < bandBits) {
+            val row = signs(b * bandBits + k)
+            var acc = 0.0
+            var j = 0
+            while (j < dims) {
+              acc += getV(va, j) * row(j)
+              j += 1
+            }
+            if (acc > 0) bucket |= 1L << k
+            k += 1
+          }
+        }
+        out(b) = bucket
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression = copy(vec = c(0))
+  }
+
+  /** The ADC LUT score fold as a NATIVE expression (r19, guide §4):
+    * bit-identical to [[AdcTables.score]]'s HOF spelling — the
+    * numerator sums LUT entries in subspace order, the denominator is
+    * qL2 * sqrt(the code words' reconstruction-norm² summed in the
+    * same order), division NULLs on a 0.0 divisor (Divide parity) —
+    * but one eval per (query, code word) instead of two interpreted
+    * aggregate/zip_with walks. `lut` is per-row (query-dependent);
+    * `n2` and `stride` are build-time constants of the codebook. A
+    * code word whose length differs from the LUT's subspace count, or
+    * any NULL element, is SQL NULL. */
+  private[ops] case class AdcLutScore(codes: Expression, lut: Expression,
+      qL2: Expression, n2: Array[Double], stride: Int) extends GeoExpr {
+    override def children: Seq[Expression] = Seq(codes, lut, qL2)
+    override def dataType: DataType = DoubleType
+    private val m = n2.length / stride
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val okCodes = codes.dataType match {
+        case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>
+          true
+        case _ => false
+      }
+      val okLut = lut.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      if (okCodes && okLut && qL2.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"AdcLutScore needs (int array, double array, double), got " +
+            s"${codes.dataType}, ${lut.dataType}, ${qL2.dataType}")
+    }
+    private def codeAt(ad: ArrayData, i: Int): Int = codes.dataType match {
+      case ArrayType(IntegerType, _) => ad.getInt(i)
+      case ArrayType(LongType, _) => ad.getLong(i).toInt
+      case ArrayType(ShortType, _) => ad.getShort(i).toInt
+      case ArrayType(ByteType, _) => ad.getByte(i).toInt
+      case t => throw new IllegalArgumentException(s"bad code type $t")
+    }
+    override protected def evalNotNull(v: Array[Any]): Any = {
+      val ca = v(0).asInstanceOf[ArrayData]
+      val la = v(1).asInstanceOf[ArrayData]
+      val l2 = v(2).asInstanceOf[Double]
+      if (ca.numElements() != m || la.numElements() != n2.length) return null
+      var num = 0.0
+      var den = 0.0
+      var sp = 0
+      while (sp < m) {
+        if (ca.isNullAt(sp)) return null
+        val idx = sp * stride + codeAt(ca, sp)
+        if (idx < 0 || idx >= n2.length || la.isNullAt(idx)) return null
+        num += la.getDouble(idx)
+        den += n2(idx)
+        sp += 1
+      }
+      val div = l2 * math.sqrt(den)
+      if (div == 0.0) null else num / div
+    }
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression =
+      copy(codes = c(0), lut = c(1), qL2 = c(2))
+  }
+
   /** Exact top-k by cosine against one query vector (broadcast 1-row
     * side; TakeOrdered keeps the result shuffle at k rows). */
   def knnBrute(emb: DataFrame, idCol: String, vecCol: String,
@@ -908,8 +1207,8 @@ object VectorOps {
     val dims = dimsOf(emb, vecCol, "rpProject")
     val signs = rpSigns(outDims, dims)
     emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol), array((0 until outDims).map(i =>
-        dot(col(vecCol), typedLit(signs(i).toSeq))): _*).as("rp_vec"))
+      .select(col(idCol),
+        toCol(SrpProject(toExpr(col(vecCol)), signs)).as("rp_vec"))
   }
 
   /** SRP-LSH band buckets (Charikar, STOC 2002: the sign pattern of
@@ -932,14 +1231,9 @@ object VectorOps {
       "srpBandBuckets needs bands >= 1 and 1 <= bandBits <= 62")
     require(dims >= 1, "srpBandBuckets needs the vector dims")
     val signs = rpSigns(bands * bandBits, dims)
-    array((0 until bands).map { b =>
-      (0 until bandBits).map { k =>
-        // STRICTLY positive -> 1: a zero projection (zero vector,
-        // or exact cancellation) reads 0 in both engines
-        when(dot(vec, typedLit(signs(b * bandBits + k).toSeq)) > 0,
-          lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    // native fold (r19, guide §4) — bit-identical to the per-bit
+    // when(dot(...) > 0, 1L << k) HOF spelling; see [[SrpBandBuckets]]
+    toCol(SrpBandBuckets(toExpr(vec), signs, bands, bandBits))
   }
 
   def srpBands(emb: DataFrame, idCol: String, vecCol: String,
@@ -994,8 +1288,9 @@ object VectorOps {
       "srpProjections needs bands >= 1 and 1 <= bandBits <= 62")
     require(dims >= 1, "srpProjections needs the vector dims")
     val signs = rpSigns(bands * bandBits, dims)
-    array((0 until bands * bandBits).map(i =>
-      dot(vec, typedLit(signs(i).toSeq))): _*)
+    // native fold (r19, guide §4) — bit-identical to the per-row
+    // array(dot(vec, sign_i)) HOF spelling; see [[SrpProject]]
+    toCol(SrpProject(toExpr(vec), signs))
   }
 
   /** Probe structs from a precomputed [[srpProjections]] array —
@@ -1329,17 +1624,13 @@ object VectorOps {
               typedLit(cv))
           }
       }: _*)
-    def score(codes: Column, lut: Column, qL2: Column): Column = {
-      def fold(entry: (Column, Column) => Column) =
-        aggregate(
-          zip_with(codes, typedLit((0 until m).toList), entry),
-          lit(0.0), (acc, v) => acc + v)
-      round(
-        fold((c, s) => element_at(lut, s * stride + c + 1)) /
-          (qL2 * sqrt(
-            fold((c, s) => element_at(typedLit(n2), s * stride + c + 1)))),
-        6)
-    }
+    // native LUT fold (r19, guide §4) — bit-identical to the previous
+    // aggregate/zip_with spelling (same in-order sums, same Divide
+    // NULL contract), one eval per row instead of two interpreted
+    // HOF walks; see [[AdcLutScore]]
+    def score(codes: Column, lut: Column, qL2: Column): Column =
+      round(toCol(AdcLutScore(toExpr(codes), toExpr(lut), toExpr(qL2),
+        n2.toArray, stride)), 6)
   }
 
   private def adcTables(codebooks: DataFrame, dims: Int): AdcTables = {

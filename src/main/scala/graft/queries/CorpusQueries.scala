@@ -122,8 +122,14 @@ object CorpusQueries {
       val books = graft.ops.VectorOps.pqCodebooks(e, "vec_id",
         "embedding", m = 4, ksub = 8).persist()
       books.count()
+      // repartition BEFORE the persist (r19): the single-file fixture
+      // scan leaves enc with ONE cached partition, and q199's ADC
+      // crossJoin scan (|enc| x |queries| score folds) inherits that —
+      // measured 5.2 s in one task with 31 cores idle. At warehouse
+      // scale the code parquet is many-partitioned and this is moot.
       val enc = graft.ops.VectorOps.pqEncode(e, "vec_id", "embedding",
-        books).persist()
+          books)
+        .repartition(s.sparkContext.defaultParallelism).persist()
       enc.count()
       Memos.track(s"corpus:pq:$dir", Set("q199_pq_adc", "q200_pq_ivf"),
         enc) { () =>
@@ -983,21 +989,17 @@ object CorpusQueries {
             array_sort(collect_list(struct(col("subspace"), col("cvec")))),
             x => x.getField("cvec"))).as("__recon"))
         val q9 = q.filter(col("vec_id") % 21 === 3)
-        def subFold(f: Int => Column): Column =
-          aggregate(array((0 until 4).map(f): _*), lit(0.0),
-            (acc, v) => acc + v)
+        // the subspace-ordered fold as ONE native expression (r19,
+        // guide §4): bit-identical IEEE sequence to the previous
+        // subFold(dot(slice...)) HOF spelling — PqAdcCosine's scaladoc
+        // carries the grouping proof; the interpreted-lambda version
+        // measured 6.6 s for this 190k-row stage at sf0.1
         val scored9 = recon.crossJoin(broadcast(q9.select(
             col("vec_id").as("__q_id"), col("embedding").as("__q_vec"))))
           .filter(col("__q_id") =!= col("vec_id"))
           .select(col("__q_id"), col("vec_id"),
-            round(
-              subFold(sp => graft.ops.VectorOps.dot(
-                slice(col("__q_vec"), sp * 16 + 1, 16),
-                slice(col("__recon"), sp * 16 + 1, 16))) /
-                (graft.ops.VectorOps.l2norm(col("__q_vec")) *
-                  sqrt(subFold(sp => graft.ops.VectorOps.dot(
-                    slice(col("__recon"), sp * 16 + 1, 16),
-                    slice(col("__recon"), sp * 16 + 1, 16))))),
+            round(graft.ops.VectorOps.pqAdcCosine(
+              col("__q_vec"), col("__recon"), m = 4, subDim = 16),
               6).as("adc_cos"))
         val g9dec = scored9.groupBy("__q_id")
           .agg(graft.functions.TopKAgg.topKByScore(col("adc_cos"),
