@@ -218,6 +218,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Cap the per-action plan-description string (r19 optimization):
+      // every action renders its physical plan into the
+      // SQLExecutionStart event even with the UI off, and the
+      // incremental-state entries' plans (persisted segment unions,
+      // InMemoryRelations with statistics) render MEGABYTES — jstack
+      // showed the driver in Statistics.simpleString between jobs, and
+      // capping cut q162 from ~9.7 s to ~7.3 s solo. Scale-independent
+      // (the cost tracks plan size, not data size); 16 KiB keeps every
+      // in-battery plan REQUIRE comfortably intact (q236/q240 pin
+      // strings sit in the first few KiB; the full battery validates
+      // them under this cap) while bounding the pathological renders.
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "16384"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

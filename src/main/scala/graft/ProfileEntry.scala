@@ -51,6 +51,32 @@ object ProfileEntry {
     }
   }
 
+  /** Sums Catalyst phase durations (analysis/optimization/planning)
+    * across every execution, so driver-side plan work — invisible to
+    * the job meter — is attributed. */
+  final class PhaseMeter
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val phases = scala.collection.mutable.LinkedHashMap[String, Long]()
+    private def record(
+        qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      synchronized {
+        qe.tracker.phases.foreach { case (p, s) =>
+          phases(p) = phases.getOrElse(p, 0L) + (s.endTimeMs - s.startTimeMs)
+        }
+      }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = record(qe)
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = record(qe)
+    def drainPrint(tag: String): Unit = synchronized {
+      println(s"  catalyst phases ($tag): " + phases.map { case (p, ms) =>
+        f"$p=${ms / 1e3}%.2f s" }.mkString(", "))
+      phases.clear()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +91,8 @@ object ProfileEntry {
     spark.sparkContext.setLogLevel("WARN")
     val meter = new JobMeter
     spark.sparkContext.addSparkListener(meter)
+    val phaseMeter = new PhaseMeter
+    spark.listenerManager.register(phaseMeter)
 
     val prefixes = args.toSeq
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -79,6 +107,7 @@ object ProfileEntry {
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"==== $n WARM PASS total ${dt}%.2f s")
+      phaseMeter.drainPrint(s"$n warm pass")
       meter.drainPrint(s"$n warm pass")
     }
     names.foreach { n =>
@@ -88,6 +117,7 @@ object ProfileEntry {
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300)
       println(f"==== $n total ${dt}%.2f s")
+      phaseMeter.drainPrint(n)
       meter.drainPrint(n)
     }
     graft.queries.LiveSourceQueries.stopServers()

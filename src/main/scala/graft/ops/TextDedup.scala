@@ -718,39 +718,18 @@ object TextDedup {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(tokensOf(col(textCol))).as("w"))
       .withColumn("hx", md5(col("w").cast("binary")))
-    // 64 combinable vote sums in ONE per-doc aggregate (an earlier
-    // (doc, token, digit, bit)-exploded spelling shuffled 64 rows per
-    // token — 160M rows at sf0.1 — through two aggregation levels;
-    // this shape keeps the explode at token granularity and the vote
-    // math map-side). Bit k (MSB-first) of hex digit j votes
-    // +1/-1 by (v div 2^(3-k)) % 2.
-    // staged projections keep the generated code small: 16 shared
-    // digit values, then 64 two-op votes, then 64 plain-column sums —
-    // inlining the digit extraction into every aggregate child made
-    // the codegen unit large enough that its one-time compile
-    // dominated the first execution (~6 s at sf0.1)
-    val withV = toks.select(col("doc_id") +: (0 until 16).map(j =>
-      (expr(s"instr('0123456789abcdef', substring(hx, ${j + 1}, 1))") - 1)
-        .as(s"v$j")): _*)
-    val withVotes = withV.select(col("doc_id") +: (0 until 16).flatMap(j =>
-      (0 until 4).map { k =>
-        val p = 1 << (3 - k)
-        when((col(s"v$j").divide(p)).cast("int") % 2 === 1, 1).otherwise(-1)
-          .as(s"b_${j}_$k")
-      }): _*)
-    val voteCols = (0 until 16).flatMap(j => (0 until 4).map(k =>
-      sum(col(s"b_${j}_$k")).as(s"t_${j}_$k")))
-    val tallies = withVotes.groupBy("doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-    // majority per bit, nibble re-assembly, hex render — all map-side
-    val hexArr = typedLit("0123456789abcdef".map(_.toString))
-    val sigExpr = concat((0 until 16).map { j =>
-      val nib = (0 until 4).map(k =>
-        when(col(s"t_${j}_$k") > 0, 1 << (3 - k)).otherwise(0))
-        .reduce(_ + _)
-      element_at(hexArr, nib + 1)
-    }: _*)
-    tallies.select(col("doc_id"), sigExpr.as("sig"))
+    // ONE typed imperative vote-tally aggregate (r19, guide §4) —
+    // value-identical to the previous 16-digit-projection + 64-vote +
+    // 64-sum column spelling (SimHashAgg's scaladoc carries the
+    // parity argument), still map-side combinable, but with NO
+    // 64-wide whole-stage codegen unit: that unit's Janino compile
+    // recurred on every execution (~1.7 s of q175's hot stage on a
+    // WARM JVM — the earlier staged-projection fix had only shrunk
+    // it). An earlier (doc, token, digit, bit)-exploded spelling
+    // shuffled 64 rows per token — 160M rows at sf0.1; the aggregate
+    // keeps the explode at token granularity.
+    toks.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.sigOf(col("hx")).as("sig"))
   }
 
   /** Candidate pairs from [[simHashMd5Sig]] signatures: 4 x 16-bit
