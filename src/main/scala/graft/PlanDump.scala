@@ -73,6 +73,9 @@ object PlanDump {
         fmt(graft.ops.VectorOps.pqAdcKnn(
           e.filter(col("vec_id") % 7 === 3), enc, books, "vec_id",
           "embedding", k = 5))
+      case "simhash_sig" =>
+        fmt(graft.ops.TextDedup.simHashMd5Sig(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text"))
       case "srp_bands" =>
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"))
