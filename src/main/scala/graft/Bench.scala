@@ -211,27 +211,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Cap the per-action plan-description string (r19 optimization):
-      // every action renders its physical plan into the
-      // SQLExecutionStart event even with the UI off, and the
-      // incremental-state entries' plans (persisted segment unions,
-      // InMemoryRelations with statistics) render MEGABYTES — jstack
-      // showed the driver in Statistics.simpleString between jobs, and
-      // capping cut q162 from ~9.7 s to ~7.3 s solo. Scale-independent
-      // (the cost tracks plan size, not data size); 16 KiB keeps every
-      // in-battery plan REQUIRE comfortably intact (q236/q240 pin
-      // strings sit in the first few KiB; the full battery validates
-      // them under this cap) while bounding the pathological renders.
-      .config("spark.sql.maxPlanStringLength",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "16384"))
-      .getOrCreate()
+    // Shared engine session (r19 What's-wrong #1): the plan-string cap
+    // and the rest of the local-mode contract now live in
+    // [[Sessions.localBuilder]], used by Bench AND Verify (and the
+    // Profile* diagnostics) — identical confs to the r19 bench session.
+    val spark = Sessions.localBuilder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM/codegen paths once so per-query times measure the

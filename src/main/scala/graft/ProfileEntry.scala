@@ -80,13 +80,9 @@ object ProfileEntry {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-profile-entry")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // Sessions.localBuilder: measure under the engine's session contract
+    // (incl. the plan-string cap) so profiles match what Bench/Verify run.
+    val spark = Sessions.localBuilder("graft-profile-entry", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val meter = new JobMeter

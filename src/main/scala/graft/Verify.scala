@@ -7,12 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Shared engine session (r19 What's-wrong #1 / Next #4): Verify now
+    // runs under the same session contract as Bench — in particular the
+    // spark.sql.maxPlanStringLength cap, so the per-action plan render
+    // of the incremental-state entries is bounded here too (it used to
+    // pay megabyte renders ~48x per query; the plan REQUIREs all
+    // validate under the cap). adaptive.enabled=true matches Spark 4's
+    // default, so the only behavior change is the render cap.
+    val spark = Sessions.localBuilder("graft-verify", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q150,q73 runs just the named prefixes — a

@@ -1360,19 +1360,20 @@ object VectorOps {
     * 1.23M-candidate mass. */
   def srpMultiProbeCandidates(emb: DataFrame, idCol: String,
       vecCol: String, tau: Double, bands: Int, bandBits: Int,
-      probes: Int = 2, maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxBucket >= 1, "srpMultiProbeCandidates needs maxBucket >= 1")
-    val base = Materialize.stage {
-      val b0 = srpBands(emb, idCol, vecCol, bands, bandBits)
-        .repartition(col("band"), col("bucket"))
-      if (maxBucket == Int.MaxValue) b0
-      else {
-        val sizes = b0.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bsz"))
-          .filter(col("bsz") <= maxBucket)
-        b0.join(sizes, Seq("band", "bucket")).drop("bsz")
-      }
-    }
+      probes: Int = 2, maxBucket: Int = Int.MaxValue): DataFrame =
+    srpMultiProbeCandidatesStaged(
+      srpStagedBands(emb, idCol, vecCol, bands, bandBits, maxBucket),
+      emb, idCol, vecCol, tau, bands, bandBits, probes)
+
+  /** [[srpMultiProbeCandidates]] over a caller-provided staged banding
+    * table ([[srpStagedBands]] with the SAME (bands, bandBits,
+    * maxBucket)) — the op-level sharing seam (r19 VERDICT Next #5): a
+    * caller that also runs [[srpCandidates]] on the same corpus passes
+    * ONE staged table to both, paying the banding projection + its
+    * (band, bucket) exchange once instead of once per operator. */
+  def srpMultiProbeCandidatesStaged(base: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String, tau: Double, bands: Int,
+      bandBits: Int, probes: Int = 2): DataFrame = {
     val probe = srpProbeBands(emb, idCol, vecCol, bands, bandBits, probes)
     val pairs = probe.select(col("band"), col("bucket"),
         col(idCol).as("__qa"))
@@ -1445,18 +1446,29 @@ object VectorOps {
     * (band, bucket) key the join needs anyway. */
   def srpCandidates(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double, bands: Int, bandBits: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    srpCandidatesStaged(
+      srpStagedBands(emb, idCol, vecCol, bands, bandBits, maxBucket),
+      emb, idCol, vecCol, tau)
+
+  /** The staged, (band, bucket)-partitioned banding table both SRP
+    * candidate generators consume. ONE (band, bucket) repartition up
+    * front, staged AFTER the cap: the size aggregation and the cap
+    * join are co-partitioned with it (zero further exchanges —
+    * ReusedExchange unifies the two reads of the banding subtree), and
+    * the join sides read the staged frame's preserved partitioning, so
+    * the banded table crosses the wire ONCE however it is consumed.
+    * Staging the pre-cap frame instead (the r14 first cut) re-executed
+    * the un-materialized cap join on both self-join sides — 8
+    * exchanges where this plan has 2 (PlanSpec pins the bound).
+    * Callers running BOTH [[srpCandidates]] and
+    * [[srpMultiProbeCandidates]] on one corpus should build this once
+    * and use the *Staged variants (r19 VERDICT Next #5). */
+  def srpStagedBands(emb: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bandBits: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxBucket >= 1, "srpCandidates needs maxBucket >= 1")
-    // ONE (band, bucket) repartition up front, staged AFTER the cap:
-    // the size aggregation and the cap join are co-partitioned with
-    // it (zero further exchanges — ReusedExchange unifies the two
-    // reads of the banding subtree), and the self-join sides read the
-    // staged frame's preserved partitioning, so the banded table
-    // crosses the wire ONCE however it is consumed. Staging the
-    // pre-cap frame instead (the r14 first cut) re-executed the
-    // un-materialized cap join on both self-join sides — 8 exchanges
-    // where this plan has 2 (PlanSpec pins the bound).
-    val banded = Materialize.stage {
+    require(maxBucket >= 1, "srpStagedBands needs maxBucket >= 1")
+    Materialize.stage {
       val b0 = srpBands(emb, idCol, vecCol, bands, bandBits)
         .repartition(col("band"), col("bucket"))
       if (maxBucket == Int.MaxValue) b0
@@ -1467,6 +1479,12 @@ object VectorOps {
         b0.join(sizes, Seq("band", "bucket")).drop("bsz")
       }
     }
+  }
+
+  /** [[srpCandidates]] over a caller-provided [[srpStagedBands]] table
+    * (same sharing seam as [[srpMultiProbeCandidatesStaged]]). */
+  def srpCandidatesStaged(banded: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
     val pairs = banded.select(col("band"), col("bucket"),
         col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("bucket"),

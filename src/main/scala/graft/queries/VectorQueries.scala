@@ -209,12 +209,19 @@ object VectorQueries {
               slice(col("embedding"), 1, 1)),
             (a, b) => a + lit(0.35) * b).as("embedding"))
       val corpus = e.unionByName(noised)
-      val withP = graft.ops.VectorOps.srpMultiProbeCandidates(
-        corpus, "vec_id", "embedding", tau = 0.8,
+      // ONE shared banding stage for both operators (r19 VERDICT Next
+      // #5): srpCandidates and srpMultiProbeCandidates here run over
+      // the same corpus at the same (bands, bandBits, maxBucket), so
+      // the staged (band, bucket) table — the banding projection (64
+      // sign dots per row) plus its repartition — is built once and
+      // passed to both, instead of each op staging its own copy.
+      val banded = graft.ops.VectorOps.srpStagedBands(
+        corpus, "vec_id", "embedding", bands = 4, bandBits = 16)
+      val withP = graft.ops.VectorOps.srpMultiProbeCandidatesStaged(
+        banded, corpus, "vec_id", "embedding", tau = 0.8,
         bands = 4, bandBits = 16, probes = 2).persist()
-      val base = graft.ops.VectorOps.srpCandidates(
-        corpus, "vec_id", "embedding", tau = 0.8,
-        bands = 4, bandBits = 16).persist()
+      val base = graft.ops.VectorOps.srpCandidatesStaged(
+        banded, corpus, "vec_id", "embedding", tau = 0.8).persist()
       try {
         // one-job two-sided pin ((id_a, id_b) unique per side — both
         // ops end in a pair-distinct + refine): the two exceptAll

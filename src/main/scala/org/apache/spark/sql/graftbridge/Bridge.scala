@@ -28,6 +28,20 @@ object Bridge {
       case _ => None
     }
 
+  /** The three confs Spark's FilePartition split math reads —
+    * (filesMaxPartitionBytes, filesOpenCostInBytes, minPartitionNum
+    * with the leaf-node default-parallelism fallback) — so a caller
+    * can ESTIMATE a scan's planned partition count from a file listing
+    * without materializing the physical RDD (`sessionState.conf` is
+    * private[sql]; r19 VERDICT Next #8). */
+  def scanSplitConf(spark: org.apache.spark.sql.SparkSession)
+      : (Long, Long, Int) = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val conf = classic.sessionState.conf
+    (conf.filesMaxPartitionBytes, conf.filesOpenCostInBytes,
+      conf.filesMinPartitionNum.getOrElse(classic.leafNodeDefaultParallelism))
+  }
+
   /** The catalog's own default location for a (possibly db-qualified)
     * managed table name — current database and `<db>.db/<t>` layout
     * resolved by the same rule `saveAsTable` uses. `sessionState` is

