@@ -1112,7 +1112,10 @@ object PipelineQueries {
     // The oracle replays learn + tokenize chain-for-chain in DuckDB.
     "q217_byte_bpe" -> ((s, dir) => {
       val rules = learnByteBpeRules(s, dir) // full learn each execution
-      val d = docs(s, dir)
+      // docsPar (r20): the tile-law count and the token-span pass walk
+      // every BYTE of the corpus; over the bare 1-partition fixture
+      // scan each ran as one 2.3 s task with 31 cores idle (profiled)
+      val d = docsPar(s, dir)
       val badTile = d.select(col("text"), concat_ws("",
           graft.ops.TrainingOps.bytePretokens(col("text"))).as("r"))
         .filter(col("r") =!= col("text")).count()
@@ -1151,8 +1154,9 @@ object PipelineQueries {
     // (fused: 255 + merge index; base: the unit's byte value).
     "q220_byte_bpe_ids" -> ((s, dir) => {
       val rules = byteBpeMemo.getOrElse(dir, learnByteBpeRules(s, dir))
+      // docsPar (r20): same per-byte pass rationale as q217
       val ids = graft.ops.TrainingOps.byteBpeEncodeIds(
-        docs(s, dir), "doc_id", "text", rules)
+        docsPar(s, dir), "doc_id", "text", rules)
       val misses = ids.filter(col("token_id").isNull).count()
       require(misses == 0L,
         s"byte-BPE vocabulary lookup missed $misses tokens — the " +
@@ -1175,6 +1179,9 @@ object PipelineQueries {
     // key (q112's parallel-window layout).
     "q225_byte_pack_e2e" -> ((s, dir) => {
       val rules = byteBpeMemo.getOrElse(dir, learnByteBpeRules(s, dir))
+      // bare read, NOT docsPar (r20 A/B: the span pass aggregates to
+      // per-doc counts immediately and the added exchange measured
+      // 3.5/3.6 -> 3.8/4.4 s isolated — the small-entry tax again)
       val counts = graft.ops.TrainingOps.byteBpeTokenSpans(
           docs(s, dir), "doc_id", "text", rules)
         .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
